@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Dev-loop correctness checker mimicking the driver's DuckDB oracle:
+runs each oracle SQL against the test tables, loads the Verify parquet
+dump, sorts columns by name and rows by all columns, and compares values.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def compare(name, spark_df, duck_df):
+    if list(spark_df.columns) != list(duck_df.columns):
+        return f"SCHEMA cols spark={list(spark_df.columns)} duck={list(duck_df.columns)}"
+    if len(spark_df) != len(duck_df):
+        return f"ROWS spark={len(spark_df)} duck={len(duck_df)}"
+    for c in spark_df.columns:
+        a, b = spark_df[c], duck_df[c]
+        try:
+            if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+                ok = ((a - b).abs() < 1e-9) | (a.isna() & b.isna())
+            else:
+                ok = (a.astype(str) == b.astype(str))
+        except Exception as e:
+            return f"CMP-ERR col {c}: {e}"
+        if not ok.all():
+            i = (~ok).idxmax()
+            return f"VALUE col {c} row {i}: spark={a[i]!r} duck={b[i]!r}"
+    return None
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name in sorted(os.listdir(out_dir)):
+        pdir = os.path.join(out_dir, name)
+        if not os.path.isdir(pdir):
+            continue
+        files = glob.glob(f"{pdir}/*.parquet")
+        if not files:
+            results[name] = "NO-PARQUET"
+            continue
+        spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        if name not in oracle:
+            results[name] = f"rows-only ({len(spark_df)} rows)" if len(spark_df) else "rows-only EMPTY!"
+            continue
+        try:
+            duck_df = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            results[name] = f"ORACLE-ERR {e}"
+            continue
+        err = compare(name, canon(spark_df), canon(duck_df))
+        results[name] = err or f"OK ({len(spark_df)} rows)"
+    for k in sorted(oracle):
+        if k not in results:
+            results[k] = "MISSING SPARK OUTPUT"
+    width = max(len(k) for k in results)
+    n_ok = sum(1 for v in results.values() if v.startswith(("OK", "rows-only (")))
+    for k, v in sorted(results.items()):
+        print(f"{k:<{width}}  {v}")
+    print(f"\n{n_ok}/{len(results)} green")
+    return 0 if n_ok == len(results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory.
+  *
+  * Every entry point (Verify, Bench, Pipeline, tests) builds its session
+  * here so session-level flags live in exactly one place (round-1 ADVICE:
+  * `spark.sql.legacy.parquet.nanosAsLong` was buried inside a reader and
+  * made table reads ordering-dependent).
+  *
+  * Scale notes (100 TB / 1000-executor target):
+  *  - shuffle partitions follow the core count locally; on a real cluster
+  *    AQE coalescing (`spark.sql.adaptive.enabled`, on by default in
+  *    Spark 4) re-sizes post-shuffle partitions, so the static number only
+  *    sets the upper bound for the map side.
+  *  - the session timezone is pinned UTC so timestamp→string/date
+  *    conversions are deterministic across environments.
+  */
+object Sessions {
+
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  def local(appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.parquet stores INT64 TIMESTAMP(NANOS); Spark's vectorized
+      // reader has no nanosecond TimestampType, so expose nanos as Long.
+      // Set once, up front: any parquet footer with TIMESTAMP(NANOS) read
+      // by this session yields LongType deterministically.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

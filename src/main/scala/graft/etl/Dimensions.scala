@@ -1,0 +1,116 @@
+package graft.etl
+
+import graft.model.Clock
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gold-layer dimension builders: SCD2 initial load + generated calendar.
+  * Mirrors `build_dimensions.py:26-161`, re-expressed Spark-first.
+  *
+  * Scale notes:
+  *  - [[scd2InitialLoad]] uses an unpartitioned `row_number` window — a
+  *    deliberate choice: dimensions are small by definition (the reference
+  *    dim is 8 rows; even a 100M-row dimension sorts on one 2 GB
+  *    partition). For fact-side surrogate keys at 100 TB use
+  *    [[Keys.scalableSurrogate]] instead (no global sort).
+  *  - [[calendar]] generates rows distributed via
+  *    `explode(sequence(...))`, not a driver-side collection (the
+  *    reference builds a Python list on the driver,
+  *    `build_dimensions.py:101-110`).
+  */
+object Dimensions {
+
+  /** P9 analog: 8-way timezone-name CASE (`build_dimensions.py:38-48`). */
+  def timezoneName(offsetSeconds: Column): Column =
+    when(offsetSeconds === -18000, "EST")
+      .when(offsetSeconds === 0, "GMT")
+      .when(offsetSeconds === 32400, "JST")
+      .when(offsetSeconds === 36000, "AEST")
+      .when(offsetSeconds === 19800, "IST")
+      .when(offsetSeconds === 14400, "GST")
+      .when(offsetSeconds === -10800, "BRT")
+      .otherwise("UTC")
+
+  /** C1: generic SCD Type 2 initial load (`build_dimensions.py:63-94`).
+    *
+    * Takes the distinct attribute tuples of the dimension grain, assigns a
+    * dense surrogate key by `orderCols` (callers MUST pass a total order —
+    * ties make keys engine-dependent, SURVEY §7.4 item 2), and stamps the
+    * SCD2 bookkeeping columns from the injected clock.
+    */
+  def scd2InitialLoad(
+      attrs: DataFrame,
+      surrogateName: String,
+      orderCols: Seq[Column],
+      clock: Clock): DataFrame =
+    attrs
+      .withColumn(surrogateName, row_number().over(Window.orderBy(orderCols: _*)))
+      .withColumn("effective_from_date", clock.nowDate)
+      .withColumn("effective_to_date", lit("9999-12-31").cast("date"))
+      .withColumn("is_current", lit(true))
+      .withColumn("version", lit(1))
+      .withColumn("created_timestamp", clock.nowTs)
+      .withColumn("updated_timestamp", clock.nowTs)
+
+  /** dim_location from current-weather silver: D2 distinct attribute
+    * tuples + timezone name + SCD2 load (`build_dimensions.py:30-94`). */
+  def buildDimLocation(currentSilver: DataFrame, clock: Clock): DataFrame = {
+    val attrs = currentSilver
+      .select(
+        col("location_name"),
+        col("country_code"),
+        col("latitude"),
+        col("longitude"),
+        col("timezone_offset_seconds"))
+      .distinct()
+      .withColumn("timezone_name", timezoneName(col("timezone_offset_seconds")))
+    // reference orders by location_name alone (build_dimensions.py:68);
+    // country_code breaks hypothetical ties for cross-engine determinism.
+    scd2InitialLoad(attrs, "location_key", Seq(col("location_name"), col("country_code")), clock)
+  }
+
+  /** S5 + C2: calendar dimension, generated distributed
+    * (`build_dimensions.py:99-148`). 11 derived attributes; `dayofweek` is
+    * Spark/Java numbering (1=Sunday..7=Saturday), identical to the
+    * reference's PySpark `dayofweek`. */
+  def calendar(spark: SparkSession, startDate: String, endDate: String): DataFrame =
+    spark
+      .sql(s"SELECT explode(sequence(to_date('$startDate'), to_date('$endDate'), interval 1 day)) AS full_date")
+      .withColumn("date_key", date_format(col("full_date"), "yyyyMMdd").cast("int"))
+      .withColumn("year", year(col("full_date")))
+      .withColumn("quarter", quarter(col("full_date")))
+      .withColumn("month", month(col("full_date")))
+      .withColumn("month_name", date_format(col("full_date"), "MMMM"))
+      .withColumn("day", dayofmonth(col("full_date")))
+      .withColumn("day_of_week", dayofweek(col("full_date")))
+      .withColumn("day_name", date_format(col("full_date"), "EEEE"))
+      .withColumn("week_of_year", weekofyear(col("full_date")))
+      .withColumn("is_weekend", when(dayofweek(col("full_date")).isin(1, 7), true).otherwise(false))
+      .withColumn("is_holiday", lit(false))
+
+  /** The reference's dim_date range (`build_dimensions.py:101-102`). */
+  def buildDimDate(spark: SparkSession): DataFrame =
+    calendar(spark, "2024-01-01", "2026-12-31")
+
+  /** S4: full-rebuild parquet sink (`build_dimensions.py:93`, `:147`). */
+  def writeDim(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+}
+
+/** Surrogate-key helpers. */
+object Keys {
+
+  /** W1 parity: global `row_number` key (`create_views.sql:8`). Single
+    * partition sort — correct but a scale bottleneck; prefer
+    * [[scalableSurrogate]] for fact tables. */
+  def globalRowNumber(df: DataFrame, name: String, orderCols: Seq[Column]): DataFrame =
+    df.withColumn(name, row_number().over(Window.orderBy(orderCols: _*)))
+
+  /** Scale path: unique (not dense, not ordered) 64-bit surrogate built
+    * from the partition id + per-partition offset. No shuffle, no sort —
+    * survives 100 TB. Use when key *uniqueness* is the requirement
+    * (fact keys), not dense ordering (small dim keys). */
+  def scalableSurrogate(df: DataFrame, name: String): DataFrame =
+    df.withColumn(name, monotonically_increasing_id())
+}

@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines.
+  *
+  * Four families, all shuffle-bounded and crossJoin-free:
+  *
+  *  - exact: hash-groupBy on a text digest — one shuffle keyed by digest.
+  *  - MinHash + LSH: shingle → k-minhash signature → band hashes →
+  *    self-join on (band index, band hash) buckets. Candidate generation
+  *    cost is bounded by bucket sizes, never all-pairs; at 100 TB the
+  *    band-hash shuffle partitions by (band, hash), which is uniform by
+  *    construction (hashes are uniform) — no skew salting needed unless a
+  *    single text is pathologically replicated, in which case the exact
+  *    pass removes it first.
+  *  - SimHash: 64-bit signature; near-dups = small Hamming distance.
+  *  - n-gram Jaccard: exact verification on LSH candidates only.
+  *
+  * Everything is built from Spark higher-order functions (codegen-friendly
+  * expressions, no UDFs); hashing is `xxhash64`, which is deterministic
+  * across sessions and plans.
+  */
+object Dedup {
+
+  /** Lowercased word tokens (whitespace split, empties removed). */
+  def wordTokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Distinct word n-gram shingles of a text column. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = wordTokens(text)
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))
+      ))
+  }
+
+  /** k-MinHash signature: element i = min over shingles of
+    * xxhash64(shingle, i). Identical shingle sets ⇒ identical signatures;
+    * Jaccard(a,b) ≈ fraction of equal signature slots. */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleCol, s => xxhash64(s, i)))
+    )
+
+  /** Explode a signature into (band index, band hash) rows for LSH
+    * bucketing: `bands` bands of `rows = k / bands` signature slots. */
+  def bandHashes(sig: Column, bands: Int, rows: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => struct(b.alias("band"), xxhash64(concat_ws(",", slice(sig, b * rows + 1, lit(rows))), b).alias("band_hash"))
+    )
+
+  /** Candidate near-dup pairs (id1 < id2) from MinHash-LSH bucketing.
+    *
+    * @param df    input with an id column and a text column
+    * @param k     signature length (bands * rowsPerBand)
+    * @param bands number of LSH bands; P(candidate) = 1-(1-J^r)^b
+    */
+  def lshCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      k: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val rows = k / bands
+    val sigs = df
+      .select(col(idCol).alias("__id"), shingles(col(textCol), shingleSize).alias("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("__id"), explode(bandHashes(minhashSignature(col("__sh"), k), bands, rows)).alias("__b"))
+      .select(col("__id"), col("__b.band").alias("__band"), col("__b.band_hash").alias("__bh"))
+
+    val a = sigs.select(col("__band"), col("__bh"), col("__id").alias("id1"))
+    val b = sigs.select(col("__band"), col("__bh"), col("__id").alias("id2"))
+    a.join(b, Seq("__band", "__bh"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
+  }
+
+  /** LSH candidates verified by exact word-shingle Jaccard ≥ threshold.
+    * The expensive O(candidates) verification joins text back only for
+    * surviving pairs — candidate count is LSH-bounded, never n². */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleSize: Int = 3,
+      k: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val cands = lshCandidatePairs(df, idCol, textCol, shingleSize, k, bands)
+    val sh = df.select(col(idCol).alias("__jid"), shingles(col(textCol), shingleSize).alias("__jsh"))
+    cands
+      .join(sh.withColumnRenamed("__jid", "id1").withColumnRenamed("__jsh", "__sh1"), Seq("id1"))
+      .join(sh.withColumnRenamed("__jid", "id2").withColumnRenamed("__jsh", "__sh2"), Seq("id2"))
+      .withColumn("jaccard", jaccard(col("__sh1"), col("__sh2")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** Exact Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Exact-duplicate groups via digest hash-groupBy: one shuffle keyed by
+    * md5(text). Returns (digest, dup_count, keeper_id) for groups > 1. */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).alias("text_md5"))
+      .agg(count(lit(1)).alias("dup_count"), min(col(idCol)).alias("keeper_id"))
+      .filter(col("dup_count") > 1)
+
+  /** Exact dedup keeping the smallest id per distinct text — the
+    * hash-groupBy form (shuffles digest+id, not full rows). */
+  def exactDedupIds(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).alias("text_md5"))
+      .agg(min(col(idCol)).alias(idCol))
+      .select(idCol)
+
+  /** 64-bit SimHash from word tokens: bit j of the signature is set iff
+    * the sum over tokens of ±1 (sign of bit j of xxhash64(token)) is
+    * positive. Pure higher-order expressions — no UDF. */
+  def simhash64(text: Column): Column = {
+    val toks = wordTokens(text)
+    // dynamic shift amounts need call_function: the Scala DSL's
+    // shiftleft/shiftright only accept literal Int shifts
+    val counts = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) =>
+        zip_with(
+          acc,
+          transform(
+            sequence(lit(0), lit(63)),
+            i => when(call_function("shiftright", xxhash64(t), i).bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L))),
+          (a, b) => a + b
+        )
+    )
+    aggregate(
+      zip_with(
+        counts,
+        sequence(lit(0), lit(63)),
+        (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L),
+      (s, x) => s.bitwiseOR(x)
+    )
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

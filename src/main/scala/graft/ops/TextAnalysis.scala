@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language ID, quality
+  * scoring, token counting, document fingerprinting. All per-row narrow
+  * transformations (no shuffle) built from codegen'd built-ins and
+  * higher-order functions — at 100 TB these run at scan speed.
+  */
+object TextAnalysis {
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * non-alphanumeric marks each count as one token. */
+  val tokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def tokenCount(text: Column): Column =
+    size(call_function("regexp_extract_all", text, lit(tokenPattern), lit(0)))
+
+  /** Whitespace word tokens (empties removed). */
+  def words(text: Column): Column = Dedup.wordTokens(text)
+
+  def wordCount(text: Column): Column = size(words(text))
+
+  def avgWordLen(text: Column): Column = {
+    val w = words(text)
+    when(size(w) > 0,
+      aggregate(w, lit(0L), (s, t) => s + length(t)).cast("double") / size(w))
+      .otherwise(0.0)
+  }
+
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))).cast("double") / length(text))
+      .otherwise(0.0)
+
+  /** Per-language stopword lists for the n-gram/stopword language
+    * heuristic. Deterministic and tiny by design. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "zu", "den", "mit", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "du", "est", "pour")
+  )
+
+  def stopwordCount(text: Column, lang: String): Column = {
+    val set = stopwords(lang)
+    size(filter(words(text), t => t.isin(set.map(lit(_)): _*)))
+  }
+
+  def stopwordRatio(text: Column, lang: String = "en"): Column =
+    when(wordCount(text) > 0, stopwordCount(text, lang).cast("double") / wordCount(text))
+      .otherwise(0.0)
+
+  /** Language ID: argmax of per-language stopword hits with a fixed
+    * tie-break order (en > es > de > fr), 'und' when no hits at all. */
+  def langId(text: Column): Column = {
+    val en = stopwordCount(text, "en")
+    val es = stopwordCount(text, "es")
+    val de = stopwordCount(text, "de")
+    val fr = stopwordCount(text, "fr")
+    when(en + es + de + fr === 0, "und")
+      .when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+  }
+
+  /** Composite quality score in [0,1]: length, word-shape, punctuation and
+    * stopword signals — the standard cheap pre-filter shape for corpus
+    * cleaning. Thresholds are explicit constants so the score is
+    * reproducible anywhere. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 400.0, lit(1.0))
+    val wordScore = least(wordCount(text).cast("double") / 80.0, lit(1.0))
+    val punctPenalty = least(punctRatio(text) * 5.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    round(lenScore * 0.3 + wordScore * 0.3 + stopScore * 0.3 + (lit(1.0) - punctPenalty) * 0.1, 4)
+  }
+
+  def qualityBucket(score: Column): Column =
+    when(score >= 0.75, "high")
+      .when(score >= 0.5, "medium")
+      .when(score >= 0.25, "low")
+      .otherwise("junk")
+
+  /** Character-positional rolling fingerprint:
+    * sum over positions of (pos+1) * codepoint(char), mod 1e9+7.
+    * Order-sensitive (anagram-safe) and expressible in any engine — used
+    * as the cross-engine document fingerprint. */
+  def charFingerprint(text: Column): Column =
+    pmod(
+      aggregate(
+        zip_with(
+          split(text, ""),
+          sequence(lit(1), greatest(length(text), lit(1))),
+          (ch, i) => i.cast("long") * ascii(ch)),
+        lit(0L),
+        (s, x) => s + x),
+      lit(1000000007L))
+
+  /** Token-level rolling fingerprint over xxhash64 of words (positional
+    * weight), for fast shard-local near-exact bucketing. */
+  def tokenFingerprint(text: Column): Column =
+    pmod(
+      aggregate(
+        zip_with(
+          words(text),
+          sequence(lit(1), greatest(wordCount(text), lit(1))),
+          (w, i) => pmod(xxhash64(w), lit(1000000007L)) * i.cast("long")),
+        lit(0L),
+        (s, x) => s + x),
+      lit(1000000007L))
+
+  /** Full per-document profile in one narrow pass. */
+  def profile(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_chars_calc", length(t))
+      .withColumn("n_words", wordCount(t))
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("avg_word_len", round(avgWordLen(t), 4))
+      .withColumn("punct_ratio", round(punctRatio(t), 4))
+      .withColumn("stopword_ratio", round(stopwordRatio(t), 4))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("quality_score", qualityScore(t))
+      .withColumn("quality_bucket", qualityBucket(col("quality_score")))
+      .withColumn("fingerprint", charFingerprint(t))
+  }
+}

@@ -1,0 +1,233 @@
+package graft.queries
+
+import graft.etl.Dimensions
+import graft.model.FixedClock
+import graft.ops.BandJoin
+import graft.sql.{Analytics, FactViews}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Composite / pipeline-level correctness queries (SURVEY §2.11: C1-C5,
+  * plus the J4 band join): the weather-warehouse library functions
+  * exercised over the driver's test tables with DuckDB oracles.
+  */
+object CompositeQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val MicrosPerHour = 3600L * 1000000L
+
+  /** J4: band self-join on events — same user, |Δt| < 1 h, id1 < id2 —
+    * via the bucketed strategy ([[graft.ops.BandJoin.bucketed]]). The
+    * oracle runs the faithful theta-join form; results must be identical
+    * (that is the point: the bucketed rewrite is a pure optimization). */
+  val j4BandJoin: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val left = e.select(col("user_id"), col("event_id").alias("id1"), col("ts_us").alias("l_us"))
+    val right = e.select(col("user_id"), col("event_id").alias("id2"), col("ts_us").alias("r_us"))
+    BandJoin.bucketed(left, right, Seq("user_id"), "l_us", "r_us", MicrosPerHour)
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).alias("pair_count"))
+      .orderBy(col("user_id"))
+  }
+
+  /** C1: SCD2 initial load over customer-derived attribute tuples with a
+    * fixed injected clock ([[graft.etl.Dimensions.scd2InitialLoad]]). */
+  val c1Scd2: Q = (s, d) => {
+    val clock = FixedClock("2024-06-01 00:00:00")
+    val attrs = Tables.customer(s, d)
+      .select(col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+      .distinct()
+    Dimensions.scd2InitialLoad(attrs, "customer_key", Seq(col("c_name")), clock)
+      .select(
+        col("customer_key"),
+        col("c_name"),
+        col("c_nationkey"),
+        col("c_mktsegment"),
+        date_format(col("effective_from_date"), "yyyy-MM-dd").alias("eff_from"),
+        date_format(col("effective_to_date"), "yyyy-MM-dd").alias("eff_to"),
+        col("is_current").cast("int").alias("is_current"),
+        col("version"))
+      .orderBy(col("customer_key"))
+  }
+
+  /** C2 + S5: generated calendar dimension, distributed
+    * ([[graft.etl.Dimensions.calendar]]) — 1,096 rows, 11 attributes. */
+  val c2Calendar: Q = (s, d) =>
+    Dimensions.buildDimDate(s)
+      .select(
+        date_format(col("full_date"), "yyyy-MM-dd").alias("full_date"),
+        col("date_key"),
+        col("year"),
+        col("quarter"),
+        col("month"),
+        col("month_name"),
+        col("day"),
+        col("day_of_week"),
+        col("day_name"),
+        col("week_of_year"),
+        col("is_weekend").cast("int").alias("is_weekend"),
+        col("is_holiday").cast("int").alias("is_holiday"))
+      .orderBy(col("full_date"))
+
+  /** Events analog of the forecast/actual pairing used by C3/C4:
+    * 'purchase' events are predictions, 'view' events are observations;
+    * same user within the tolerance matches (one-to-many, J4 semantics).
+    */
+  private def pairedEvents(s: SparkSession, d: String, toleranceUs: Long): DataFrame = {
+    val e = Tables.events(s, d)
+    val f = e.filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("event_id").alias("f_id"),
+        col("ts_us").alias("f_us"),
+        col("value").alias("f_val"),
+        pmod(get_json_object(col("props"), "$.k").cast("int"), lit(3)).cast("string").alias("f_cond"))
+    val a = e.filter(col("event_type") === "view")
+      .select(
+        col("user_id"),
+        col("event_id").alias("a_id"),
+        col("ts_us").alias("a_us"),
+        col("value").alias("a_val"),
+        pmod(get_json_object(col("props"), "$.k").cast("int"), lit(3)).cast("string").alias("a_cond"))
+    BandJoin.bucketed(f, a, Seq("user_id"), "f_us", "a_us", toleranceUs)
+  }
+
+  /** C3: forecast-accuracy derivation ([[graft.sql.FactViews.accuracyColumns]])
+    * over the events analog: error, |error|, category ladder, composite
+    * accuracy flag — aggregated by category. */
+  val c3Accuracy: Q = (s, d) => {
+    val clock = FixedClock("2024-06-01 00:00:00")
+    val paired = pairedEvents(s, d, MicrosPerHour)
+    FactViews.accuracyColumns(paired, col("f_val"), col("a_val"), col("f_cond"), col("a_cond"), clock)
+      .groupBy(col("temp_accuracy_category"))
+      .agg(
+        count(lit(1)).alias("n"),
+        sum(col("condition_match").cast("int")).cast("long").alias("n_cond_match"),
+        sum(col("is_accurate_forecast").cast("int")).cast("long").alias("n_accurate"),
+        round(avg(col("temp_absolute_error")), 2).alias("avg_abs_err"))
+      .orderBy(col("temp_accuracy_category"))
+  }
+
+  /** C4: horizon derivation + bucketing
+    * ([[graft.etl.BronzeToSilver.horizonHours]] formula shape /
+    * [[graft.sql.Analytics.horizonBucket]]): forward-looking pairs within
+    * 100 h, horizon in rounded hours, bucket totals. */
+  val c4Horizon: Q = (s, d) => {
+    val paired = pairedEvents(s, d, 100L * MicrosPerHour)
+      .filter(col("a_us") > col("f_us"))
+    paired
+      .withColumn("horizon_hours", round((col("a_us") - col("f_us")) / (3600.0 * 1000000.0), 1))
+      .groupBy(Analytics.horizonBucket(col("horizon_hours")).alias("horizon_bucket"))
+      .agg(count(lit(1)).alias("n"))
+      .orderBy(col("horizon_bucket"))
+  }
+
+  /** C5: data-quality gate — not-null, plausibility ranges, key dedup —
+    * survivors per group. The synthetic lineitem key is NOT unique, so the
+    * dedup uses a deterministic keep-rule (min flag per key) rather than
+    * dropDuplicates' arbitrary row choice (D1 covers dropDuplicates). */
+  val c5DqGate: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity").isNotNull)
+      .filter(col("l_quantity").between(1, 40))
+      .filter(col("l_discount").between(0, 0.08))
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(min(col("l_returnflag")).alias("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).alias("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** Flagship (SparkEntry.entry): accuracy-by-horizon over the events
+    * analog — the Spark collapse of the reference's Query 1
+    * (`sample_queries.sql:3-16`) exercising the band join, accuracy
+    * derivation, horizon bucketing, aggregation and sort in one plan. */
+  def flagship(s: SparkSession, d: String): DataFrame = {
+    val clock = FixedClock("2024-06-01 00:00:00")
+    val paired = pairedEvents(s, d, 100L * MicrosPerHour).filter(col("a_us") > col("f_us"))
+    val acc = FactViews
+      .accuracyColumns(paired, col("f_val"), col("a_val"), col("f_cond"), col("a_cond"), clock)
+      .withColumn("horizon_hours", round((col("a_us") - col("f_us")) / (3600.0 * 1000000.0), 1))
+    acc
+      .groupBy(Analytics.horizonBucket(col("horizon_hours")).alias("horizon_bucket"))
+      .agg(
+        count(lit(1)).alias("total_forecasts"),
+        round(avg(col("temp_absolute_error")), 2).alias("avg_error"),
+        round(avg(col("is_accurate_forecast").cast("int")) * 100, 1).alias("accuracy_pct"))
+      .orderBy(col("horizon_bucket"))
+  }
+
+  private val pairedSql =
+    """FROM (SELECT user_id, event_id AS f_id, epoch_us(ts) AS f_us, value AS f_val,
+                    CAST(CAST(json_extract_string(props, '$.k') AS INT) % 3 AS VARCHAR) AS f_cond
+             FROM events WHERE event_type = 'purchase') f
+       JOIN (SELECT user_id AS a_user, event_id AS a_id, epoch_us(ts) AS a_us, value AS a_val,
+                    CAST(CAST(json_extract_string(props, '$.k') AS INT) % 3 AS VARCHAR) AS a_cond
+             FROM events WHERE event_type = 'view') a
+       ON f.user_id = a.a_user"""
+
+  val oracles: Map[String, String] = Map(
+    "j4_band_join" ->
+      """SELECT a.user_id, CAST(count(*) AS BIGINT) AS pair_count
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id AND a.event_id < b.event_id
+          AND abs(epoch_us(a.ts) - epoch_us(b.ts)) < 3600000000
+         GROUP BY a.user_id ORDER BY a.user_id""",
+    "c1_scd2" ->
+      """SELECT CAST(row_number() OVER (ORDER BY c_name) AS INT) AS customer_key,
+                c_name, c_nationkey, c_mktsegment,
+                '2024-06-01' AS eff_from, '9999-12-31' AS eff_to,
+                1 AS is_current, 1 AS version
+         FROM (SELECT DISTINCT c_name, c_nationkey, c_mktsegment FROM customer)
+         ORDER BY customer_key""",
+    "c2_calendar" ->
+      """SELECT strftime(dd, '%Y-%m-%d') AS full_date,
+                CAST(strftime(dd, '%Y%m%d') AS INT) AS date_key,
+                CAST(year(dd) AS INT) AS year, CAST(quarter(dd) AS INT) AS quarter,
+                CAST(month(dd) AS INT) AS month, monthname(dd) AS month_name,
+                CAST(day(dd) AS INT) AS day, CAST(dayofweek(dd) + 1 AS INT) AS day_of_week,
+                dayname(dd) AS day_name, CAST(weekofyear(dd) AS INT) AS week_of_year,
+                CAST(dayofweek(dd) IN (0, 6) AS INT) AS is_weekend, 0 AS is_holiday
+         FROM (SELECT CAST(gs AS DATE) AS dd
+               FROM generate_series(DATE '2024-01-01', DATE '2026-12-31', INTERVAL 1 DAY) t(gs))
+         ORDER BY full_date""",
+    "c3_accuracy" ->
+      s"""SELECT CASE WHEN abs(f_val - a_val) <= 1 THEN 'Excellent'
+                      WHEN abs(f_val - a_val) <= 3 THEN 'Good'
+                      WHEN abs(f_val - a_val) <= 5 THEN 'Fair'
+                      ELSE 'Poor' END AS temp_accuracy_category,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(f_cond = a_cond AS INT)) AS BIGINT) AS n_cond_match,
+                 CAST(sum(CAST(abs(f_val - a_val) <= 3 AND f_cond = a_cond AS INT)) AS BIGINT) AS n_accurate,
+                 round(avg(abs(f_val - a_val)), 2) AS avg_abs_err
+          $pairedSql AND abs(f_us - a_us) < 3600000000
+          GROUP BY 1 ORDER BY 1""",
+    "c4_horizon" ->
+      s"""SELECT CASE WHEN h <= 24 THEN '0-24 hours'
+                      WHEN h <= 48 THEN '24-48 hours'
+                      WHEN h <= 72 THEN '48-72 hours'
+                      ELSE '72+ hours' END AS horizon_bucket,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT round((a_us - f_us) / 3600000000.0, 1) AS h
+                $pairedSql AND abs(f_us - a_us) < 360000000000 AND a_us > f_us)
+          GROUP BY 1 ORDER BY 1""",
+    "c5_dq_gate" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+         FROM (SELECT l_orderkey, l_linenumber, min(l_returnflag) AS l_returnflag FROM lineitem
+               WHERE l_quantity IS NOT NULL AND l_quantity BETWEEN 1 AND 40
+                 AND l_discount BETWEEN 0 AND 0.08
+               GROUP BY l_orderkey, l_linenumber)
+         GROUP BY l_returnflag ORDER BY l_returnflag"""
+  )
+
+  val queries: Map[String, Q] = Map(
+    "j4_band_join" -> j4BandJoin,
+    "c1_scd2" -> c1Scd2,
+    "c2_calendar" -> c2Calendar,
+    "c3_accuracy" -> c3Accuracy,
+    "c4_horizon" -> c4Horizon,
+    "c5_dq_gate" -> c5DqGate
+  )
+}

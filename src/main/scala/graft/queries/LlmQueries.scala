@@ -1,0 +1,316 @@
+package graft.queries
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Correctness queries for the training-data-pipeline operators: dedup
+  * (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity search,
+  * text analysis, multimodal plumbing.
+  *
+  * The synthetic corpus contains no duplicates, so dup-bearing queries
+  * build a deterministic augmented corpus IN the query (original docs ∪
+  * exact copies ∪ one-token-mutated copies) — both engines construct the
+  * same corpus, so the oracle checks the dedup logic, not the fixture.
+  */
+object LlmQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** documents ∪ exact copies of doc_id%10==0 (id+100000). */
+  private def withExactCopies(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text")).unionAll(
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 100000).alias("doc_id"), col("text")))
+
+  /** odd-id originals ∪ near-copies of doc_id%10==5 (id+200000, one token
+    * appended) — the near-duplicate corpus. */
+  private def nearDupCorpus(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"), col("text"))
+      .unionAll(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 5)
+          .select((col("doc_id") + 200000).alias("doc_id"),
+            concat(col("text"), lit(" zqxmutation")).alias("text")))
+
+  /** Exact-duplicate groups via digest hash-groupBy
+    * ([[graft.ops.Dedup.exactDupGroups]]). */
+  val ddExact: Q = (s, d) =>
+    Dedup.exactDupGroups(withExactCopies(Tables.documents(s, d)), "doc_id", "text")
+      .select(col("text_md5"), col("dup_count").cast("long").alias("dup_count"), col("keeper_id"))
+      .orderBy(col("text_md5"))
+
+  /** MinHash-LSH candidate generation verified by exact text equality —
+    * identical texts always collide in every band, so LSH recall on exact
+    * dups is 1.0 and the result must equal the oracle's exact self-join.
+    * No crossJoin anywhere: candidates come from band-hash buckets. */
+  val ddMinhashLsh: Q = (s, d) => {
+    val docs = withExactCopies(Tables.documents(s, d))
+    val cands = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+    val texts = docs.select(col("doc_id"), md5(col("text")).alias("__h"))
+    cands
+      .join(texts.withColumnRenamed("doc_id", "id1").withColumnRenamed("__h", "__h1"), Seq("id1"))
+      .join(texts.withColumnRenamed("doc_id", "id2").withColumnRenamed("__h", "__h2"), Seq("id2"))
+      .filter(col("__h1") === col("__h2"))
+      .select(col("id1"), col("id2"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Near-dup detection: LSH candidates → exact word-3-gram Jaccard ≥ 0.8
+    * ([[graft.ops.Dedup.nearDupPairs]]). The oracle computes the full
+    * quadratic Jaccard over the (small) corpus; LSH parameters are sized
+    * so recall at J≥0.8 is 1.0 on this corpus — verified, not assumed. */
+  val ddNearDupJaccard: Q = (s, d) =>
+    Dedup.nearDupPairs(nearDupCorpus(Tables.documents(s, d)), "doc_id", "text", 0.8)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).alias("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+
+  /** SimHash signatures + hamming distance of each mutated near-copy to
+    * its original (rows-only check: xxhash64 is Spark-specific, no SQL
+    * oracle — covered by unit tests instead). */
+  val ddSimhash: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+    val sigs = nearDupCorpus(base).select(
+      col("doc_id"), Dedup.simhash64(col("text")).alias("sig"))
+    val orig = sigs.filter(col("doc_id") < 200000)
+      .select(col("doc_id").alias("orig_id"), col("sig").alias("orig_sig"))
+    sigs.filter(col("doc_id") >= 200000)
+      .select((col("doc_id") - 200000).alias("orig_id"), col("sig").alias("mut_sig"))
+      .join(orig, Seq("orig_id"))
+      .select(col("orig_id"), Dedup.hamming64(col("orig_sig"), col("mut_sig")).alias("hamming"))
+      .orderBy(col("orig_id"))
+  }
+
+  /** Brute-force cosine top-k ([[graft.ops.Similarity.bruteTopK]]) —
+    * the exact baseline, vs a DuckDB list_cosine_similarity oracle. */
+  val annBruteTopK: Q = (s, d) =>
+    Similarity.bruteTopK(Tables.embeddings(s, d), "vec_id", "embedding", Seq(0L, 1L, 2L, 3L, 4L), 3)
+      .select(col("q_id"), col("rnk"), col("n_id"), col("sim"))
+      .orderBy(col("q_id"), col("rnk"))
+
+  /** LSH-bucketed ANN ([[graft.ops.Similarity.lshTopK]]) — the scale
+    * path; rows-only here, recall vs brute force asserted in tests. */
+  val annLshTopK: Q = (s, d) =>
+    Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding", Seq(0L, 1L, 2L, 3L, 4L), 3)
+      .select(col("q_id"), col("rnk"), col("n_id"), col("sim"))
+      .orderBy(col("q_id"), col("rnk"))
+
+  /** Embedding-cosine near-dup pairs over corpus ∪ exact vector copies
+    * (vec_id%20==0 → +100000): every planted pair has cosine 1.0 and LSH
+    * buckets identical signatures together, so recall is exact. */
+  val cosNearDup: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val corpus = emb.select(col("vec_id"), col("embedding")).unionAll(
+      emb.filter(pmod(col("vec_id"), lit(20)) === 0)
+        .select((col("vec_id") + 100000).alias("vec_id"), col("embedding")))
+    Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding", 0.95)
+      .select(col("id1"), col("id2"), col("sim"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Text profile: token/word counts, ratios, language ID
+    * ([[graft.ops.TextAnalysis.profile]] columns with SQL-expressible
+    * definitions). */
+  val txProfile: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 100)
+      .select(
+        col("doc_id"),
+        TextAnalysis.wordCount(col("text")).alias("n_words"),
+        TextAnalysis.tokenCount(col("text")).alias("n_tokens"),
+        round(TextAnalysis.punctRatio(col("text")), 4).alias("punct_ratio"),
+        round(TextAnalysis.stopwordRatio(col("text")), 4).alias("stopword_ratio"),
+        TextAnalysis.langId(col("text")).alias("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring + bucketing over the whole corpus. */
+  val txQuality: Q = (s, d) => {
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).alias("quality_score"))
+    scored
+      .groupBy(TextAnalysis.qualityBucket(col("quality_score")).alias("quality_bucket"))
+      .agg(count(lit(1)).alias("n"), round(avg(col("quality_score")), 4).alias("avg_score"))
+      .orderBy(col("quality_bucket"))
+  }
+
+  /** Cross-engine document fingerprint (positional rolling hash
+    * [[graft.ops.TextAnalysis.charFingerprint]]). */
+  val txFingerprint: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), TextAnalysis.charFingerprint(col("text")).alias("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  /** Multimodal plumbing: binary payload + metadata + frame-sample counts
+    * ([[graft.ops.Multimodal]]). Payload bytes are UTF-8 text standing in
+    * for media; schema/partitioning/explode shapes are the real thing. */
+  val mmBinaryMeta: Q = (s, d) => {
+    val media = Multimodal.attachPayload(
+      Tables.documents(s, d).filter(col("doc_id") < 100), "doc_id", "text", "fake/utf8")
+    val frames = Multimodal.frameSample(media, frameBytes = 64, stride = 32)
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).alias("n_frames"))
+    media
+      .join(frames, Seq("media_id"))
+      .select(col("media_id"), col("media_type"), col("n_bytes"), col("digest"),
+        col("n_frames").cast("long").alias("n_frames"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Stubbed feature extraction through the typed mapPartitions batch path
+    * (rows-only: the stub codec is Spark-side; unit-tested instead). */
+  val mmFeatures: Q = (s, d) => {
+    implicit val sp: SparkSession = s
+    Multimodal.extractFeatures(
+      Multimodal.attachPayload(Tables.documents(s, d).filter(col("doc_id") < 50), "doc_id", "text", "fake/utf8"))
+      .toDF()
+      .select(
+        col("media_id"),
+        col("n_bytes"),
+        round(element_at(col("features"), 4), 4).alias("byte_mean"),
+        round(element_at(col("features"), 5), 4).alias("byte_var"))
+      .orderBy(col("media_id"))
+  }
+
+  // ------------------------------------------------------------ oracle SQL
+
+  private val exactCopiesSql =
+    """(SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)"""
+
+  private val nearDupCorpusSql =
+    """(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' zqxmutation' AS text
+        FROM documents WHERE doc_id % 10 = 5)"""
+
+  /** Word-3-gram shingle set in DuckDB, matching
+    * [[graft.ops.Dedup.shingles]]: lowercase whitespace tokens, 3-gram
+    * join by space, distinct; short docs collapse to one shingle. */
+  private val shinglesSql =
+    """list_distinct(list_transform(
+         range(1, greatest(len(w) - 2, 1) + 1),
+         i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"""
+
+  private val wordsSql =
+    "list_filter(str_split_regex(lower(text), '\\s+'), x -> len(x) > 0)"
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact" ->
+      s"""SELECT md5(text) AS text_md5, CAST(count(*) AS BIGINT) AS dup_count,
+                 CAST(min(doc_id) AS BIGINT) AS keeper_id
+          FROM $exactCopiesSql GROUP BY 1 HAVING count(*) > 1 ORDER BY text_md5""",
+    "dd_minhash_lsh" ->
+      s"""SELECT a.doc_id AS id1, b.doc_id AS id2
+          FROM $exactCopiesSql a JOIN $exactCopiesSql b
+            ON a.text = b.text AND a.doc_id < b.doc_id
+          ORDER BY id1, id2""",
+    "dd_neardup_jaccard" ->
+      s"""WITH sh AS (
+            SELECT doc_id, $shinglesSql AS s
+            FROM (SELECT doc_id, $wordsSql AS w FROM $nearDupCorpusSql t))
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+                 round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+          ORDER BY id1, id2""",
+    "ann_brute_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              scored AS (
+                SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                       list_cosine_similarity(q.e, n.e) AS s
+                FROM v q JOIN v n ON q.vec_id < 5 AND q.vec_id <> n.vec_id),
+              ranked AS (
+                SELECT q_id, n_id, s,
+                       row_number() OVER (PARTITION BY q_id ORDER BY s DESC, n_id) AS rnk
+                FROM scored)
+         SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, round(s, 4) AS sim
+         FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk""",
+    "cos_near_dup" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+                    UNION ALL
+                    SELECT vec_id + 100000 AS vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings WHERE vec_id % 20 = 0)
+         SELECT a.vec_id AS id1, b.vec_id AS id2,
+                round(list_cosine_similarity(a.e, b.e), 4) AS sim
+         FROM c a JOIN c b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.e, b.e) >= 0.95
+         ORDER BY id1, id2""",
+    "tx_profile" ->
+      s"""SELECT doc_id,
+                 CAST(len($wordsSql) AS INT) AS n_words,
+                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_tokens,
+                 round(CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                       / len(text), 4) AS punct_ratio,
+                 round(CAST(len(list_filter($wordsSql,
+                         x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+                       / len($wordsSql), 4) AS stopword_ratio,
+                 CASE WHEN len(list_filter($wordsSql,
+                        x -> x IN ('the','a','of','and','to','in','is','it','that','for')))
+                      + len(list_filter($wordsSql,
+                        x -> x IN ('el','la','de','que','y','en','un','los','se','no')))
+                      + len(list_filter($wordsSql,
+                        x -> x IN ('der','die','und','das','ist','ein','zu','den','mit','nicht')))
+                      + len(list_filter($wordsSql,
+                        x -> x IN ('le','la','et','les','des','un','une','du','est','pour'))) = 0 THEN 'und'
+                      WHEN len(list_filter($wordsSql,
+                        x -> x IN ('the','a','of','and','to','in','is','it','that','for')))
+                        >= greatest(
+                             len(list_filter($wordsSql, x -> x IN ('el','la','de','que','y','en','un','los','se','no'))),
+                             len(list_filter($wordsSql, x -> x IN ('der','die','und','das','ist','ein','zu','den','mit','nicht'))),
+                             len(list_filter($wordsSql, x -> x IN ('le','la','et','les','des','un','une','du','est','pour')))) THEN 'en'
+                      WHEN len(list_filter($wordsSql, x -> x IN ('el','la','de','que','y','en','un','los','se','no')))
+                        >= greatest(
+                             len(list_filter($wordsSql, x -> x IN ('der','die','und','das','ist','ein','zu','den','mit','nicht'))),
+                             len(list_filter($wordsSql, x -> x IN ('le','la','et','les','des','un','une','du','est','pour')))) THEN 'es'
+                      WHEN len(list_filter($wordsSql, x -> x IN ('der','die','und','das','ist','ein','zu','den','mit','nicht')))
+                        >= len(list_filter($wordsSql, x -> x IN ('le','la','et','les','des','un','une','du','est','pour'))) THEN 'de'
+                      ELSE 'fr' END AS lang_pred
+          FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    "tx_quality" ->
+      s"""WITH q AS (
+            SELECT doc_id,
+                   round(least(CAST(len(text) AS DOUBLE) / 400.0, 1.0) * 0.3
+                       + least(CAST(len($wordsSql) AS DOUBLE) / 80.0, 1.0) * 0.3
+                       + least(CAST(len(list_filter($wordsSql,
+                             x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+                           / len($wordsSql) * 5.0, 1.0) * 0.3
+                       + (1.0 - least(CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                           / len(text) * 5.0, 1.0)) * 0.1, 4) AS quality_score
+            FROM documents)
+          SELECT CASE WHEN quality_score >= 0.75 THEN 'high'
+                      WHEN quality_score >= 0.5 THEN 'medium'
+                      WHEN quality_score >= 0.25 THEN 'low'
+                      ELSE 'junk' END AS quality_bucket,
+                 CAST(count(*) AS BIGINT) AS n,
+                 round(avg(quality_score), 4) AS avg_score
+          FROM q GROUP BY 1 ORDER BY 1""",
+    "tx_fingerprint" ->
+      """SELECT doc_id,
+                CAST(list_sum(list_transform(range(1, len(text) + 1),
+                       i -> i * ascii(substr(text, CAST(i AS INT), 1)))) % 1000000007 AS BIGINT) AS fingerprint
+         FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
+    "mm_binary_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id, 'fake/utf8' AS media_type,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS digest,
+                CAST(((greatest(octet_length(encode(text)) - 63, 1) - 1) // 32) + 1 AS BIGINT) AS n_frames
+         FROM documents WHERE doc_id < 100 ORDER BY media_id"""
+  )
+
+  val queries: Map[String, Q] = Map(
+    "dd_exact" -> ddExact,
+    "dd_minhash_lsh" -> ddMinhashLsh,
+    "dd_neardup_jaccard" -> ddNearDupJaccard,
+    "dd_simhash" -> ddSimhash,
+    "ann_brute_topk" -> annBruteTopK,
+    "ann_lsh_topk" -> annLshTopK,
+    "cos_near_dup" -> cosNearDup,
+    "tx_profile" -> txProfile,
+    "tx_quality" -> txQuality,
+    "tx_fingerprint" -> txFingerprint,
+    "mm_binary_meta" -> mmBinaryMeta,
+    "mm_features" -> mmFeatures
+  )
+}

@@ -1,0 +1,610 @@
+package graft.queries
+
+import graft.etl.{Dimensions, Keys}
+import graft.model.FixedClock
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Declared correctness queries for the relational operator inventory
+  * (SURVEY §2.1-§2.9: S*, P*, D*, J*, A*, W*, G1, F*, O*), each paired
+  * with a DuckDB oracle over the same parquet tables.
+  *
+  * Conventions (SURVEY §2.12): explicit ORDER BY with a total order,
+  * explicit casts on aggregates (counts → BIGINT), dates/timestamps
+  * exported as formatted strings or epoch integers, booleans as INT —
+  * so row hashes match across engines.
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- scans
+  /** S2: parquet scan with projection + pushed filter. */
+  val s2Scan: Q = (s, d) =>
+    Tables.nation(s, d)
+      .filter(col("n_regionkey") < 3)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+
+  /** S8: temp-view definition + SQL over it. */
+  val s8View: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_v")
+    s.sql("""SELECT o_orderpriority,
+                    CAST(count(*) AS BIGINT) AS n,
+                    round(sum(o_totalprice), 2) AS total
+             FROM graft_orders_v
+             GROUP BY o_orderpriority
+             ORDER BY o_orderpriority""")
+  }
+
+  // ---------------------------------------------- projections / predicates
+  /** P1: wide projection + rename (computed columns, final rounding). */
+  val p1Projection: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 1000)
+      .select(
+        col("l_orderkey").alias("orderkey"),
+        col("l_linenumber").alias("linenumber"),
+        col("l_quantity").alias("qty"),
+        col("l_extendedprice").alias("price"),
+        // 2+2-decimal products are exact at 4/6 decimals — rounding at the
+        // exact width avoids cross-engine round-half semantics divergence
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).alias("disc_price"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).alias("charge"),
+        col("l_returnflag").alias("returnflag"))
+      .orderBy(col("orderkey"), col("linenumber"))
+
+  /** P2: nested-struct construction + dotted field access. */
+  val p2NestedStruct: Q = (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 500)
+      .select(col("o_orderkey"),
+        struct(col("o_orderstatus").alias("status"), col("o_totalprice").alias("price")).alias("__s"))
+      .select(
+        col("o_orderkey"),
+        col("__s.status").alias("status"),
+        round(col("__s.price"), 2).alias("price"))
+      .orderBy(col("o_orderkey"))
+
+  /** P3: array element + field access (first/last token). */
+  val p3Array: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 100)
+      .select(
+        col("doc_id"),
+        split(col("text"), " ").alias("__w"))
+      .select(
+        col("doc_id"),
+        col("__w").getItem(0).alias("first_word"),
+        element_at(col("__w"), -1).alias("last_word"),
+        size(col("__w")).alias("n_words"))
+      .orderBy(col("doc_id"))
+
+  /** P4: null filter. */
+  val p4NullFilter: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity").isNotNull)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).alias("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** P5: range predicate. */
+  val p5Range: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity").between(10, 20))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).alias("n"), round(sum(col("l_quantity")), 2).alias("qty_sum"))
+      .orderBy(col("l_returnflag"))
+
+  /** P6: timestamp-between predicate. */
+  val p6TsBetween: Q = (s, d) =>
+    Tables.events(s, d)
+      .filter(col("event_time").between(to_timestamp(lit("2024-01-10 00:00:00")), to_timestamp(lit("2024-01-20 00:00:00"))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).alias("n"))
+      .orderBy(col("event_type"))
+
+  /** P7: equality filter on a dimension-ish attribute. */
+  val p7EqFilter: Q = (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).alias("n"))
+      .orderBy(col("o_orderpriority"))
+
+  /** P8: date-equality filter (fixed date = injectable "today"). */
+  val p8DateEq: Q = (s, d) =>
+    Tables.orders(s, d)
+      .filter(to_date(col("o_orderdate")) === to_date(lit("1995-06-15")))
+      .select(col("o_orderkey"), col("o_orderpriority"), round(col("o_totalprice"), 2).alias("price"))
+      .orderBy(col("o_orderkey"))
+
+  /** P9: CASE ladder bucketing. */
+  val p9Case: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        when(col("o_totalprice") > 300000, "huge")
+          .when(col("o_totalprice") > 150000, "large")
+          .when(col("o_totalprice") > 50000, "medium")
+          .otherwise("small")
+          .alias("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).alias("n"))
+      .orderBy(col("bucket"))
+
+  /** P10: null-default via coalesce (nulls manufactured by nullif). */
+  val p10Coalesce: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(coalesce(expr("nullif(l_returnflag, 'N')"), lit("X")).alias("flag"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).alias("n"))
+      .orderBy(col("flag"))
+
+  /** P11: literal / cast columns. */
+  val p11Cast: Q = (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 200)
+      .select(
+        col("o_orderkey"),
+        col("o_totalprice").cast("int").alias("price_int"),
+        col("o_orderkey").cast("string").alias("key_str"),
+        lit(42).alias("answer"),
+        lit("graft").alias("tag"))
+      .orderBy(col("o_orderkey"))
+
+  /** P12: schema-introspection guard — the substituted literal column when
+    * the schema lacks a field (`bronze_to_silver.py:35-42` analog). */
+  val p12SchemaGuard: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    // probe for an optional column; lineitem has no l_comment → literal
+    val guarded =
+      if (li.schema.fieldNames.contains("l_comment")) length(col("l_comment")).cast("double")
+      else lit(0.0)
+    li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).alias("n"), round(max(guarded), 1).alias("max_comment_len"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // ----------------------------------------------------------------- dedup
+  /** D1: subset dedup via dropDuplicates (keys only → deterministic). */
+  val d1DedupSubset: Q = (s, d) =>
+    Tables.events(s, d)
+      .dropDuplicates(Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** D2: full-row distinct. */
+  val d2Distinct: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_mktsegment"))
+      .distinct()
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
+  // ----------------------------------------------------------------- joins
+  /** J1: multi-key equi inner join fact→fact. */
+  val j1MultiKeyJoin: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey") && li("l_linestatus") === o("o_orderstatus"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).alias("n"), round(sum(col("l_extendedprice")), 2).alias("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** J2: date-cast equi join against the generated calendar dim
+    * (broadcast — the dim is 1096 rows). */
+  val j2DateCastJoin: Q = (s, d) => {
+    val cal = Dimensions.calendar(s, "1995-01-01", "2001-12-31")
+    val o = Tables.orders(s, d)
+    o.join(broadcast(cal), o("o_orderdate").cast("date") === cal("full_date"))
+      .groupBy(col("year"), col("month"))
+      .agg(count(lit(1)).alias("n"))
+      .orderBy(col("year"), col("month"))
+  }
+
+  /** J3: role-playing dim — the calendar joined twice under aliases. */
+  val j3RolePlaying: Q = (s, d) => {
+    val cal = Dimensions.calendar(s, "1995-01-01", "2001-12-31")
+    val calOrder = broadcast(cal.select(col("full_date").alias("__od"), col("year").alias("order_year")))
+    val calShip = broadcast(cal.select(col("full_date").alias("__sd"), col("year").alias("ship_year")))
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(calOrder, col("o_orderdate").cast("date") === col("__od"))
+      .join(calShip, col("l_shipdate").cast("date") === col("__sd"))
+      .groupBy(col("order_year"), col("ship_year"))
+      .agg(count(lit(1)).alias("n"))
+      .orderBy(col("order_year"), col("ship_year"))
+  }
+
+  /** J5: fact→dim analytics join (broadcast dim). */
+  val j5FactDim: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    o.join(broadcast(c.select(col("c_custkey"), col("c_mktsegment"))), o("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).alias("n"), round(avg(col("o_totalprice")), 2).alias("avg_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  // ------------------------------------------------------------ aggregates
+  /** A1: group-by + count/sum/avg/round (TPC-H Q1 shape). */
+  val a1Agg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).alias("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).alias("sum_price"),
+        round(avg(col("l_discount")), 4).alias("avg_disc"),
+        count(lit(1)).alias("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** A2: multi-key group-by. */
+  val a2MultiKey: Q = (s, d) =>
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).alias("n"), round(sum(col("c_acctbal")), 2).alias("bal"))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
+  /** A3: group-by on a computed expression. */
+  val a3ComputedGroup: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).alias("order_year"))
+      .agg(count(lit(1)).alias("n"))
+      .orderBy(col("order_year"))
+
+  /** A4: boolean-rate aggregation. */
+  val a4BoolRate: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(round(avg((col("l_discount") > 0.05).cast("int")) * 100, 1).alias("high_disc_pct"))
+      .orderBy(col("l_returnflag"))
+
+  /** A5: scalar count action. */
+  val a5Count: Q = (s, d) =>
+    Tables.lineitem(s, d).agg(count(lit(1)).alias("n"))
+
+  /** A6: distinct-count aggregation. */
+  val a6DistinctAgg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).alias("n_supp"))
+      .orderBy(col("l_returnflag"))
+
+  // --------------------------------------------------------------- windows
+  /** W1: global row_number surrogate key (parity shape; see
+    * [[graft.etl.Keys.scalableSurrogate]] for the 100 TB path). */
+  val w1RowNumberGlobal: Q = (s, d) =>
+    Keys.globalRowNumber(
+      Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+      "rn", Seq(col("o_orderkey")))
+      .select(col("rn"), col("o_orderkey"))
+      .orderBy(col("rn"))
+
+  /** W2: row_number dim keys (small input, total order). */
+  val w2RowNumberDim: Q = (s, d) =>
+    Tables.nation(s, d)
+      .withColumn("nation_key", row_number().over(Window.orderBy(col("n_name"), col("n_nationkey"))))
+      .select(col("nation_key"), col("n_name"), col("n_nationkey"))
+      .orderBy(col("nation_key"))
+
+  /** W3: percent-of-total empty-frame window over aggregate output. */
+  val w3PctOfTotal: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).alias("n"))
+      .withColumn("pct", round(col("n") * 100.0 / sum(col("n")).over(Window.partitionBy()), 1))
+      .orderBy(col("o_orderpriority"))
+
+  // ------------------------------------------------------------ generators
+  /** G1: explode array→rows (vs DuckDB unnest). */
+  val g1Explode: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), explode(split(col("text"), " ")).alias("token"))
+      .orderBy(col("doc_id"), col("token"))
+
+  // ------------------------------------------------------------- functions
+  /** F1: timestamp parse/convert family (exact integer epochs). */
+  val f1TsConvert: Q = (s, d) =>
+    Tables.events(s, d)
+      .filter(col("event_id") < 100)
+      .select(
+        col("event_id"),
+        col("ts_us"),
+        col("ts_ms"),
+        (col("ts_us") / lit(1000000L)).cast("long").alias("ts_sec"),
+        date_format(col("event_time"), "yyyy-MM-dd HH:mm:ss").alias("ts_str"))
+      .orderBy(col("event_id"))
+
+  /** F2: date extraction family (day-of-week normalized cross-engine). */
+  val f2DateExtract: Q = (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 300)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).alias("y"),
+        quarter(col("o_orderdate")).alias("q"),
+        month(col("o_orderdate")).alias("m"),
+        dayofmonth(col("o_orderdate")).alias("dom"),
+        dayofweek(col("o_orderdate")).alias("dow"),
+        weekofyear(col("o_orderdate")).alias("woy"))
+      .orderBy(col("o_orderkey"))
+
+  /** F3: date formatting. */
+  val f3DateFormat: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").alias("ym"))
+      .agg(count(lit(1)).alias("n"))
+      .orderBy(col("ym"))
+
+  /** F4: current timestamp through the injectable clock (FixedClock here —
+    * that is the point: deterministic "now"). */
+  val f4Clock: Q = (s, d) => {
+    val clock = FixedClock("2024-06-01 12:00:00")
+    s.range(1).select(
+      date_format(clock.nowTs, "yyyy-MM-dd HH:mm:ss").alias("now_str"),
+      date_format(clock.nowDate, "yyyy-MM-dd").alias("today_str"))
+  }
+
+  /** F5: math functions (round/abs/arithmetic). */
+  val f5Math: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).alias("charge"),
+        round(sum(abs(col("l_quantity") - 25)), 2).alias("qty_dev"),
+        round(max(col("l_extendedprice") / 100.0), 2).alias("max_centi"))
+      .orderBy(col("l_returnflag"))
+
+  /** F6: membership (isin). */
+  val f6IsIn: Q = (s, d) =>
+    Tables.customer(s, d)
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY", "AUTOMOBILE"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).alias("n"))
+      .orderBy(col("c_mktsegment"))
+
+  /** F7: boolean / equality expressions exported as INT. */
+  val f7BoolExpr: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(
+        (col("l_quantity") > 25).cast("int").alias("big_qty"),
+        (col("l_returnflag") === "R").cast("int").alias("returned"))
+      .groupBy(col("big_qty"), col("returned"))
+      .agg(count(lit(1)).alias("n"))
+      .orderBy(col("big_qty"), col("returned"))
+
+  /** F9: JSON extraction from a string column. */
+  val f9Json: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("int").alias("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).alias("n"), sum(col("k")).cast("long").alias("k_sum"))
+      .orderBy(col("event_type"))
+
+  // ----------------------------------------------------------------- sorts
+  /** O1: global sort on aggregate output (desc, total tie-break). */
+  val o1SortAgg: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice")), 2).alias("total"))
+      .orderBy(col("total").desc, col("o_orderpriority"))
+
+  /** O2: sort by CASE rank (the rank is exported so the order is
+    * hash-visible). */
+  val o2CaseRankSort: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).alias("n"))
+      .withColumn(
+        "rank",
+        when(col("o_orderpriority") === "1-URGENT", 1)
+          .when(col("o_orderpriority") === "2-HIGH", 2)
+          .when(col("o_orderpriority") === "3-MEDIUM", 3)
+          .when(col("o_orderpriority") === "5-LOW", 4)
+          .otherwise(5))
+      .orderBy(col("rank"))
+
+  // ------------------------------------------------------------ oracle SQL
+  val oracles: Map[String, String] = Map(
+    "s2_scan" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey < 3 ORDER BY n_nationkey",
+    "s8_view" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "p1_projection" ->
+      """SELECT l_orderkey AS orderkey, l_linenumber AS linenumber, l_quantity AS qty,
+                l_extendedprice AS price,
+                round(l_extendedprice * (1 - l_discount), 4) AS disc_price,
+                round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge,
+                l_returnflag AS returnflag
+         FROM lineitem WHERE l_orderkey < 1000 ORDER BY orderkey, linenumber""",
+    "p2_nested_struct" ->
+      """SELECT o_orderkey, o_orderstatus AS status, round(o_totalprice, 2) AS price
+         FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""",
+    "p3_array" ->
+      """SELECT doc_id, w[1] AS first_word, w[len(w)] AS last_word, CAST(len(w) AS INT) AS n_words
+         FROM (SELECT doc_id, str_split(text, ' ') AS w FROM documents WHERE doc_id < 100)
+         ORDER BY doc_id""",
+    "p4_null_filter" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n FROM lineitem
+         WHERE l_quantity IS NOT NULL GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "p5_range" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS qty_sum
+         FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "p6_ts_between" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events
+         WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+         GROUP BY event_type ORDER BY event_type""",
+    "p7_eq_filter" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n FROM orders
+         WHERE o_orderstatus = 'F' GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "p8_date_eq" ->
+      """SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price FROM orders
+         WHERE CAST(o_orderdate AS DATE) = DATE '1995-06-15' ORDER BY o_orderkey""",
+    "p9_case" ->
+      """SELECT CASE WHEN o_totalprice > 300000 THEN 'huge'
+                     WHEN o_totalprice > 150000 THEN 'large'
+                     WHEN o_totalprice > 50000 THEN 'medium'
+                     ELSE 'small' END AS bucket,
+                CAST(count(*) AS BIGINT) AS n
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "p10_coalesce" ->
+      """SELECT coalesce(nullif(l_returnflag, 'N'), 'X') AS flag, CAST(count(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "p11_cast" ->
+      """SELECT o_orderkey, CAST(trunc(o_totalprice) AS INT) AS price_int, CAST(o_orderkey AS VARCHAR) AS key_str,
+                42 AS answer, 'graft' AS tag
+         FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""",
+    "p12_schema_guard" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, 0.0 AS max_comment_len
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "d1_dedup_subset" ->
+      "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
+    "d2_distinct" ->
+      "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer ORDER BY c_nationkey, c_mktsegment",
+    "j1_multikey_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, round(sum(l_extendedprice), 2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey AND l_linestatus = o_orderstatus
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "j2_date_cast_join" ->
+      """WITH cal AS (SELECT CAST(gs AS DATE) AS full_date,
+                             CAST(year(CAST(gs AS DATE)) AS INT) AS year,
+                             CAST(month(CAST(gs AS DATE)) AS INT) AS month
+                      FROM generate_series(DATE '1995-01-01', DATE '2001-12-31', INTERVAL 1 DAY) t(gs))
+         SELECT year, month, CAST(count(*) AS BIGINT) AS n
+         FROM orders JOIN cal ON CAST(o_orderdate AS DATE) = cal.full_date
+         GROUP BY year, month ORDER BY year, month""",
+    "j3_role_playing" ->
+      """WITH cal AS (SELECT CAST(gs AS DATE) AS full_date, CAST(year(CAST(gs AS DATE)) AS INT) AS year
+                      FROM generate_series(DATE '1995-01-01', DATE '2001-12-31', INTERVAL 1 DAY) t(gs))
+         SELECT c1.year AS order_year, c2.year AS ship_year, CAST(count(*) AS BIGINT) AS n
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN cal c1 ON CAST(o_orderdate AS DATE) = c1.full_date
+         JOIN cal c2 ON CAST(l_shipdate AS DATE) = c2.full_date
+         GROUP BY order_year, ship_year ORDER BY order_year, ship_year""",
+    "j5_fact_dim" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, round(avg(o_totalprice), 2) AS avg_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "a1_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_price, round(avg(l_discount), 4) AS avg_disc,
+                CAST(count(*) AS BIGINT) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "a2_multikey_group" ->
+      """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n, round(sum(c_acctbal), 2) AS bal
+         FROM customer GROUP BY c_nationkey, c_mktsegment ORDER BY c_nationkey, c_mktsegment""",
+    "a3_computed_group" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year, CAST(count(*) AS BIGINT) AS n
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "a4_bool_rate" ->
+      """SELECT l_returnflag, round(avg(CAST(l_discount > 0.05 AS INT)) * 100, 1) AS high_disc_pct
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "a5_count" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem",
+    "a6_distinct_agg" ->
+      """SELECT l_returnflag, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "w1_rownum_global" ->
+      """SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS INT) AS rn, o_orderkey
+         FROM orders WHERE o_totalprice > 400000 ORDER BY rn""",
+    "w2_rownum_dim" ->
+      """SELECT CAST(row_number() OVER (ORDER BY n_name, n_nationkey) AS INT) AS nation_key, n_name, n_nationkey
+         FROM nation ORDER BY nation_key""",
+    "w3_pct_of_total" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                round(count(*) * 100.0 / sum(count(*)) OVER (), 1) AS pct
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "g1_explode" ->
+      """SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents
+         WHERE doc_id < 20 ORDER BY doc_id, token""",
+    "f1_ts_convert" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, epoch_ms(ts) AS ts_ms,
+                CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_sec,
+                strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+         FROM events WHERE event_id < 100 ORDER BY event_id""",
+    "f2_date_extract" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS y, CAST(quarter(o_orderdate) AS INT) AS q,
+                CAST(month(o_orderdate) AS INT) AS m, CAST(day(o_orderdate) AS INT) AS dom,
+                CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow, CAST(weekofyear(o_orderdate) AS INT) AS woy
+         FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""",
+    "f3_date_format" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS ym, CAST(count(*) AS BIGINT) AS n
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "f4_clock" ->
+      "SELECT '2024-06-01 12:00:00' AS now_str, '2024-06-01' AS today_str",
+    "f5_math" ->
+      """SELECT l_returnflag,
+                round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS charge,
+                round(sum(abs(l_quantity - 25)), 2) AS qty_dev,
+                round(max(l_extendedprice / 100.0), 2) AS max_centi
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "f6_isin" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n FROM customer
+         WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "f7_bool_expr" ->
+      """SELECT CAST(l_quantity > 25 AS INT) AS big_qty, CAST(l_returnflag = 'R' AS INT) AS returned,
+                CAST(count(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "f9_json" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "o1_sort_agg" ->
+      """SELECT o_orderpriority, round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY o_orderpriority ORDER BY total DESC, o_orderpriority""",
+    "o2_case_rank_sort" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+                     WHEN '3-MEDIUM' THEN 3 WHEN '5-LOW' THEN 4 ELSE 5 END AS rank
+         FROM orders GROUP BY o_orderpriority ORDER BY rank"""
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s2_scan" -> s2Scan,
+    "s8_view" -> s8View,
+    "p1_projection" -> p1Projection,
+    "p2_nested_struct" -> p2NestedStruct,
+    "p3_array" -> p3Array,
+    "p4_null_filter" -> p4NullFilter,
+    "p5_range" -> p5Range,
+    "p6_ts_between" -> p6TsBetween,
+    "p7_eq_filter" -> p7EqFilter,
+    "p8_date_eq" -> p8DateEq,
+    "p9_case" -> p9Case,
+    "p10_coalesce" -> p10Coalesce,
+    "p11_cast" -> p11Cast,
+    "p12_schema_guard" -> p12SchemaGuard,
+    "d1_dedup_subset" -> d1DedupSubset,
+    "d2_distinct" -> d2Distinct,
+    "j1_multikey_join" -> j1MultiKeyJoin,
+    "j2_date_cast_join" -> j2DateCastJoin,
+    "j3_role_playing" -> j3RolePlaying,
+    "j5_fact_dim" -> j5FactDim,
+    "a1_agg" -> a1Agg,
+    "a2_multikey_group" -> a2MultiKey,
+    "a3_computed_group" -> a3ComputedGroup,
+    "a4_bool_rate" -> a4BoolRate,
+    "a5_count" -> a5Count,
+    "a6_distinct_agg" -> a6DistinctAgg,
+    "w1_rownum_global" -> w1RowNumberGlobal,
+    "w2_rownum_dim" -> w2RowNumberDim,
+    "w3_pct_of_total" -> w3PctOfTotal,
+    "g1_explode" -> g1Explode,
+    "f1_ts_convert" -> f1TsConvert,
+    "f2_date_extract" -> f2DateExtract,
+    "f3_date_format" -> f3DateFormat,
+    "f4_clock" -> f4Clock,
+    "f5_math" -> f5Math,
+    "f6_isin" -> f6IsIn,
+    "f7_bool_expr" -> f7BoolExpr,
+    "f9_json" -> f9Json,
+    "o1_sort_agg" -> o1SortAgg,
+    "o2_case_rank_sort" -> o2CaseRankSort
+  )
+}
