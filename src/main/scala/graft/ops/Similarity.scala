@@ -12,15 +12,22 @@ import org.apache.spark.sql.functions._
   *    once with no shuffle of the big side; per-query ranking is a
   *    windowed top-k on (query, similarity). Linear in corpus size —
   *    the right baseline, and the oracle for recall measurements.
-  *  - [[lshTopK]]: random-hyperplane LSH. Each vector gets a `planes`-bit
-  *    signature sliced into bands; candidates co-bucket in ≥1 band
-  *    (equi-join on band hash — crossJoin-free). At 100 TB the bucket join
-  *    shuffles only (band, hash, id, vec) pairs, and the per-bucket
-  *    candidate verification is bounded by bucket occupancy.
+  *  - [[lshTopK]] / [[cosineNearDupPairs]]: random-hyperplane LSH. Each
+  *    vector gets a `planes`-bit signature sliced into bands; candidates
+  *    co-bucket in ≥1 band (equi-join on band hash — crossJoin-free). At
+  *    100 TB the bucket join shuffles only (band, hash, id, vec) tuples,
+  *    and the per-bucket candidate verification is bounded by bucket
+  *    occupancy, tuned by bits-per-band (default 8 bits ⇒ 1/256 random
+  *    collision rate per band).
+  *
+  * Efficiency notes: vectors are L2-normalized once in a projection
+  * before any join, so per-pair verification is a single dot product.
+  * The hyperplane matrix is a plan-time literal — signature evaluation is
+  * pure arithmetic, no per-row hashing.
   *
   * All arithmetic is double-precision via higher-order functions
   * (`zip_with`/`aggregate`), matching a DuckDB `list_cosine_similarity`
-  * oracle bit-for-bit on sequential summation.
+  * oracle on sequential summation.
   */
 object Similarity {
 
@@ -39,7 +46,11 @@ object Similarity {
 
   /** Exact top-k neighbors for each query id. Queries (small) are
     * broadcast against the corpus; ties broken by neighbor id for
-    * determinism. Output: (q_id, n_id, rnk, sim). */
+    * determinism. Output: (q_id, rnk, n_id, sim).
+    *
+    * The cosine is computed as dot/(|a|·|b|) per pair — NOT from
+    * pre-normalized vectors — so the floating-point result is
+    * bit-identical to a DuckDB `list_cosine_similarity` oracle. */
   def bruteTopK(corpus: DataFrame, idCol: String, vecCol: String, queryIds: Seq[Long], k: Int): DataFrame = {
     val n = corpus.select(
       col(idCol).alias("n_id"),
@@ -57,56 +68,76 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).alias("sim"))
   }
 
-  /** Deterministic pseudo-random hyperplanes: plane p, dim d weight =
-    * a zero-mean value derived from xxhash64 — no RNG state, identical
-    * across sessions/executors. */
-  private def planeWeight(p: Column, d: Column): Column =
-    (pmod(xxhash64(p, d), lit(2000001L)) - 1000000L).cast("double")
+  /** Deterministic pseudo-random hyperplane matrix: a fixed
+    * SplitMix64-style integer recurrence (no RNG state, identical across
+    * sessions/executors) mapped to zero-mean doubles. Generated at plan
+    * time: the planes ride in the plan as literals, so signature
+    * evaluation does arithmetic only — no per-row hashing. */
+  def planeMatrix(planes: Int, dims: Int): Seq[Seq[Double]] = {
+    var state = 0x243F6A8885A308D3L // fixed seed (pi digits)
+    def next(): Long = {
+      state += -7046029254386353131L // SplitMix64 golden gamma
+      var z = state
+      z = (z ^ (z >>> 30)) * -4658895280553007687L
+      z = (z ^ (z >>> 27)) * -7723592293110705685L
+      z ^ (z >>> 31)
+    }
+    Seq.fill(planes)(Seq.fill(dims)(next().toDouble / Long.MaxValue.toDouble))
+  }
 
   /** `planes`-bit random-hyperplane signature of a vector column, as an
-    * array of 0/1 longs. */
-  def rhpSignature(vec: Column, planes: Int): Column =
+    * array of 0/1 longs. `dims` must match the embedding width. */
+  def rhpSignature(vec: Column, planes: Int, dims: Int): Column = {
+    val m = typedlit(planeMatrix(planes, dims))
     transform(
       sequence(lit(0), lit(planes - 1)),
       p =>
         when(
           aggregate(
-            zip_with(vec.cast("array<double>"),
-              transform(sequence(lit(0), size(vec) - 1), d => planeWeight(p, d)),
-              (x, w) => x * w),
+            zip_with(vec.cast("array<double>"), element_at(m, p + 1), (x, w) => x * w),
             lit(0.0d),
             (s, x) => s + x) >= 0,
           lit(1L)
         ).otherwise(lit(0L))
     )
+  }
+
+  /** (id, normalized vector, band, band hash) rows: the bucketed LSH
+    * representation both ANN entry points join on. Vectors are
+    * L2-normalized here, once, so downstream similarity is `dot` only. */
+  private def bandedSignatures(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Int,
+      bands: Int,
+      dims: Int): DataFrame = {
+    val rows = planes / bands
+    corpus
+      .select(col(idCol).alias("__id"), col(vecCol).cast("array<double>").alias("__v0"))
+      .select(
+        col("__id"),
+        transform(col("__v0"), x => x / sqrt(aggregate(transform(col("__v0"), y => y * y), lit(0.0d), (s, y) => s + y)))
+          .alias("__v"),
+        rhpSignature(col("__v0"), planes, dims).alias("__sig"))
+      .select(col("__id"), col("__v"), col("__sig"), explode(sequence(lit(0), lit(bands - 1))).alias("band"))
+      .withColumn("bh", xxhash64(concat_ws(",", slice(col("__sig"), col("band") * rows + 1, lit(rows))), col("band")))
+      .drop("__sig")
+  }
 
   /** ANN top-k via random-hyperplane LSH: vectors co-bucket when a band of
-    * their bit signatures matches; exact cosine ranks candidates.
-    * Recall rises with `bands` (more buckets per vector). */
+    * their bit signatures matches; exact cosine (dot of normalized
+    * vectors) ranks candidates. Recall rises with `bands`. */
   def lshTopK(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       queryIds: Seq[Long],
       k: Int,
-      planes: Int = 32,
-      bands: Int = 8): DataFrame = {
-    val rows = planes / bands
-    val sigged = corpus.select(
-      col(idCol).alias("__id"),
-      col(vecCol).cast("array<double>").alias("__v"),
-      rhpSignature(col(vecCol), planes).alias("__sig"))
-
-    val banded = sigged.select(
-      col("__id"),
-      col("__v"),
-      explode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => struct(b.alias("band"), xxhash64(concat_ws(",", slice(col("__sig"), b * rows + 1, lit(rows))), b).alias("bh"))
-        )).alias("__b"))
-      .select(col("__id"), col("__v"), col("__b.band"), col("__b.bh"))
-
+      planes: Int = 64,
+      bands: Int = 16,
+      dims: Int = 64): DataFrame = {
+    val banded = bandedSignatures(corpus, idCol, vecCol, planes, bands, dims)
     val qSide = banded
       .filter(col("__id").isin(queryIds: _*))
       .select(col("__id").alias("q_id"), col("__v").alias("__qv"), col("band"), col("bh"))
@@ -118,7 +149,7 @@ object Similarity {
       .dropDuplicates("q_id", "n_id")
 
     cands
-      .withColumn("sim", dot(col("__qv"), col("__nv")) / (l2norm(col("__qv")) * l2norm(col("__nv"))))
+      .withColumn("sim", dot(col("__qv"), col("__nv")))
       .withColumn("rnk",
         row_number().over(Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))))
       .filter(col("rnk") <= k)
@@ -126,31 +157,23 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH bucketing (no query
-    * set: all-to-all within buckets only). */
+    * set: all-to-all within buckets only). Identical vectors always
+    * co-bucket (identical signatures), so exact-copy recall is 1.0. */
   def cosineNearDupPairs(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      planes: Int = 32,
-      bands: Int = 8): DataFrame = {
-    val rows = planes / bands
-    val banded = corpus
-      .select(
-        col(idCol).alias("__id"),
-        col(vecCol).cast("array<double>").alias("__v"),
-        rhpSignature(col(vecCol), planes).alias("__sig"))
-      .select(col("__id"), col("__v"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.alias("band"), xxhash64(concat_ws(",", slice(col("__sig"), b * rows + 1, lit(rows))), b).alias("bh")))).alias("__b"))
-      .select(col("__id"), col("__v"), col("__b.band"), col("__b.bh"))
-
+      planes: Int = 64,
+      bands: Int = 8,
+      dims: Int = 64): DataFrame = {
+    val banded = bandedSignatures(corpus, idCol, vecCol, planes, bands, dims)
     val a = banded.select(col("band"), col("bh"), col("__id").alias("id1"), col("__v").alias("__v1"))
     val b = banded.select(col("band"), col("bh"), col("__id").alias("id2"), col("__v").alias("__v2"))
     a.join(b, Seq("band", "bh"))
       .filter(col("id1") < col("id2"))
       .dropDuplicates("id1", "id2")
-      .withColumn("sim", dot(col("__v1"), col("__v2")) / (l2norm(col("__v1")) * l2norm(col("__v2"))))
+      .withColumn("sim", dot(col("__v1"), col("__v2")))
       .filter(col("sim") >= threshold)
       .select(col("id1"), col("id2"), round(col("sim"), 4).alias("sim"))
   }

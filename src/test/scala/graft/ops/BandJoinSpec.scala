@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class BandJoinSpec extends SparkSuite {
+
+  /** Deterministic pseudo-random event set: ids 0..n-1, key = id % 7,
+    * epoch spread via a hash-ish recurrence (seconds scale). */
+  private def mkEvents(n: Int, idName: String, epochName: String) = {
+    spark.range(n).toDF("id")
+      .select(
+        col("id").alias(idName),
+        pmod(col("id"), lit(7)).alias("k"),
+        pmod(col("id") * 2654435761L, lit(250000L)).alias(epochName))
+  }
+
+  test("bucketed band join ≡ naive theta join on every pair (tolerance 3600)") {
+    val l = mkEvents(400, "lid", "le")
+    val r = mkEvents(400, "rid", "re")
+    val naive = BandJoin.naive(l, r, Seq("k"), l("le"), r("re"), 3600L)
+      .select(col("lid"), col("rid"))
+    val bucketed = BandJoin.bucketed(l, r, Seq("k"), "le", "re", 3600L)
+      .select(col("lid"), col("rid"))
+    assert(naive.count() > 0) // non-vacuous
+    assert(bucketed.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(bucketed).count() === 0)
+  }
+
+  test("band edge: pairs exactly at the tolerance are excluded (strict <)") {
+    import spark.implicits._
+    val l = Seq((1L, 0L, 0L)).toDF("lid", "k", "le")
+    val r = Seq((2L, 0L, 3600L), (3L, 0L, 3599L), (4L, 0L, -3600L)).toDF("rid", "k", "re")
+    val got = BandJoin.bucketed(l, r, Seq("k"), "le", "re", 3600L)
+      .select("rid").collect().map(_.getLong(0)).sorted
+    assert(got === Array(3L)) // only |Δ| = 3599 qualifies
+  }
+
+  test("one-to-many semantics: every in-band observation matches, not just the nearest") {
+    import spark.implicits._
+    val l = Seq((1L, 0L, 1000L)).toDF("lid", "k", "le")
+    val r = Seq((10L, 0L, 500L), (11L, 0L, 1500L), (12L, 0L, 999999L)).toDF("rid", "k", "re")
+    val got = BandJoin.bucketed(l, r, Seq("k"), "le", "re", 3600L).count()
+    assert(got === 2)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup of 1
+    (4L, "completely different content about spark query engines and columnar formats"),
+    (5L, "another unrelated document mentioning calendars dimensions and weather data")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup finds the duplicate group and keeps the smallest id") {
+    val groups = Dedup.exactDupGroups(docs, "doc_id", "text").collect()
+    assert(groups.length === 1)
+    assert(groups.head.getAs[Long]("dup_count") === 2L)
+    assert(groups.head.getAs[Long]("keeper_id") === 1L)
+    assert(Dedup.exactDedupIds(docs, "doc_id", "text").count() === 4)
+  }
+
+  test("identical texts have identical minhash signatures; near-dups mostly agree") {
+    val sigs = docs
+      .select(col("doc_id"), Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 64).alias("sig"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    val agree13 = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    val agree14 = sigs(1L).zip(sigs(4L)).count { case (a, b) => a == b }
+    assert(agree13 > 32, s"near-dup agreement $agree13 should be high") // J≈0.71
+    assert(agree14 < 16, s"unrelated agreement $agree14 should be low")
+  }
+
+  test("LSH near-dup pipeline finds exact and near pairs above threshold, nothing else") {
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)) && keys.contains((1L, 3L)) && keys.contains((2L, 3L)))
+    assert(keys.size === 3)
+    assert(pairs.find(p => p._1 == 1L && p._2 == 2L).get._3 === 1.0)
+  }
+
+  test("simhash: identical → hamming 0; near-dup close; unrelated far") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash64(col("text")).alias("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) === 0)
+    assert(ham(sigs(1L), sigs(3L)) < 16)
+    assert(ham(sigs(1L), sigs(4L)) > 16)
+  }
+
+  test("jaccard expression is exact") {
+    val j = spark.range(1)
+      .select(Dedup.jaccard(array(lit("a"), lit("b"), lit("c")), array(lit("b"), lit("c"), lit("d"))).alias("j"))
+      .head().getDouble(0)
+    assert(j === 0.5)
+  }
+}

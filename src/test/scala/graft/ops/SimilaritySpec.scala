@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSuite
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("cosine on known vectors") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)), (Array(1.0f, 1.0f), Array(1.0f, 1.0f)))
+      .toDF("a", "b")
+    val sims = df.select(round(Similarity.cosine(col("a"), col("b")), 6).alias("s"))
+      .collect().map(_.getDouble(0))
+    assert(sims(0) === 0.0)
+    assert(sims(1) === 1.0)
+  }
+
+  test("bruteTopK returns exact neighbors with deterministic tie-break") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 0.05f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteTopK(df, "vec_id", "embedding", Seq(0L), 2).collect()
+    assert(top.map(_.getAs[Long]("n_id")).toSeq === Seq(3L, 1L))
+  }
+
+  test("LSH ANN recall ≥ 0.8 vs brute force on the test embeddings") {
+    val emb = Tables.embeddings(spark, sf())
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    def resultSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val brute = resultSet(Similarity.bruteTopK(emb, "vec_id", "embedding", qids, 10))
+    val lsh = resultSet(Similarity.lshTopK(emb, "vec_id", "embedding", qids, 10))
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("cosineNearDupPairs finds planted exact copies and nothing random") {
+    val emb = Tables.embeddings(spark, sf())
+    val corpus = emb.select(col("vec_id"), col("embedding")).unionAll(
+      emb.filter(col("vec_id") < 5).select((col("vec_id") + 10000).alias("vec_id"), col("embedding")))
+    val pairs = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === (0L until 5L).map(i => (i, i + 10000)).toSet)
+  }
+
+  test("plane matrix is deterministic") {
+    assert(Similarity.planeMatrix(4, 8) === Similarity.planeMatrix(4, 8))
+    assert(Similarity.planeMatrix(4, 8).head !== Similarity.planeMatrix(4, 8)(1))
+  }
+}

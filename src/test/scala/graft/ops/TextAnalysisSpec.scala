@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any =
+    Seq(text).toDF("text").select(c.alias("v")).head().get(0)
+
+  test("tokenCount: letter runs, digit runs, punctuation marks") {
+    assert(one(TextAnalysis.tokenCount(col("text")), "ab c1 d!") === 5) // ab, c, 1, d, !
+    assert(one(TextAnalysis.tokenCount(col("text")), "hello world") === 2)
+    assert(one(TextAnalysis.tokenCount(col("text")), "x2.5") === 4) // x, 2, ., 5
+  }
+
+  test("word stats") {
+    assert(one(TextAnalysis.wordCount(col("text")), "the  quick   fox") === 3)
+    assert(one(TextAnalysis.avgWordLen(col("text")), "ab abcd") === 3.0)
+    assert(one(TextAnalysis.punctRatio(col("text")), "ab!?") === 0.5)
+  }
+
+  test("langId picks the dominant stopword language with fixed tie-break") {
+    assert(one(TextAnalysis.langId(col("text")), "the cat is in the house and it is warm") === "en")
+    assert(one(TextAnalysis.langId(col("text")), "el perro y la casa en un pueblo") === "es")
+    assert(one(TextAnalysis.langId(col("text")), "der hund und die katze ist ein tier") === "de")
+    assert(one(TextAnalysis.langId(col("text")), "xyzzy qwerty plugh") === "und")
+  }
+
+  test("charFingerprint matches an independent Scala computation") {
+    val text = "spark data!"
+    val expected = text.zipWithIndex.map { case (ch, i) => (i + 1).toLong * ch.toLong }.sum % 1000000007L
+    assert(one(TextAnalysis.charFingerprint(col("text")), text) === expected)
+  }
+
+  test("quality score is in [0,1] and monotone-ish in substance") {
+    val junk = one(TextAnalysis.qualityScore(col("text")), "!!! ??? ..").asInstanceOf[Double]
+    val good = one(TextAnalysis.qualityScore(col("text")),
+      ("the quick brown fox jumps over the lazy dog and runs to the river " * 8)).asInstanceOf[Double]
+    assert(junk >= 0.0 && junk <= 1.0 && good >= 0.0 && good <= 1.0)
+    assert(good > junk)
+  }
+
+  test("profile emits all columns in one pass") {
+    val prof = TextAnalysis.profile(Seq((1L, "the quick brown fox")).toDF("id", "text"), "text")
+    val cols = prof.columns.toSet
+    assert(Set("n_words", "n_tokens", "avg_word_len", "punct_ratio", "stopword_ratio",
+      "lang_pred", "quality_score", "quality_bucket", "fingerprint").subsetOf(cols))
+    assert(prof.head().getAs[String]("lang_pred") === "en")
+  }
+}

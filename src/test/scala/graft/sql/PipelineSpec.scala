@@ -1,0 +1,100 @@
+package graft.sql
+
+import graft.{Pipeline, SparkSuite, WeatherFixtures}
+import graft.model.FixedClock
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** End-to-end: fixture bronze JSON → silver → dims → fact views →
+  * the four analytics queries (SURVEY §7.2 milestone slice). */
+class PipelineSpec extends SparkSuite {
+
+  private lazy val outputs = {
+    val root = Files.createTempDirectory("graft-pipe")
+    WeatherFixtures.standard(root)
+    Pipeline.run(
+      spark,
+      Pipeline.Layout(root.toString, s"$root/silver", s"$root/gold"),
+      FixedClock("2024-01-01 07:00:00"))
+  }
+
+  test("S7: pipeline lands silver + gold and registers the views") {
+    assert(outputs.currentSilver.count() === 2)
+    assert(outputs.forecastSilver.count() === 8)
+    assert(outputs.dimLocation.count() === 2)
+    assert(outputs.dimDate.count() === 1096)
+    assert(spark.table("fact_weather_actual").count() === 2)
+    assert(spark.table("fact_weather_forecast").count() === 8)
+  }
+
+  test("J1/J2/W1: actual fact keys resolve against both dims") {
+    val fa = spark.table("fact_weather_actual")
+    val keys = fa.select("actual_weather_key").collect().map(_.getInt(0)).sorted
+    assert(keys === Array(1, 2))
+    assert(fa.select("date_key").distinct().head().getInt(0) === 20240101)
+  }
+
+  test("J4/C3: accuracy view is the one-to-many band join with derived errors") {
+    val acc = spark.table("fact_forecast_accuracy").cache()
+    // only the +0.5h forecast points are within 1h of the 06:00 obs
+    assert(acc.count() === 2)
+    val london = acc.filter(col("location_key") === 1).head() // London first alphabetically
+    assert(london.getAs[Double]("temp_error_celsius") === 0.5) // 10.5 forecast vs 10.0 actual
+    assert(london.getAs[String]("temp_accuracy_category") === "Excellent")
+    assert(london.getAs[Boolean]("condition_match")) // Clouds == Clouds
+    assert(london.getAs[Boolean]("is_accurate_forecast"))
+    val tokyo = acc.filter(col("location_key") === 2).head()
+    assert(tokyo.getAs[Double]("temp_absolute_error") === 2.5) // 25.5+15 bias... forecast 25.5 vs 28.0
+    assert(tokyo.getAs[String]("temp_accuracy_category") === "Good")
+    assert(!tokyo.getAs[Boolean]("condition_match")) // Clouds forecast vs Clear actual
+  }
+
+  test("faithful and bucketed band strategies produce identical accuracy rows") {
+    val fa = spark.table("fact_weather_actual")
+    val ff = spark.table("fact_weather_forecast")
+    val clock = FixedClock("2024-01-01 07:00:00")
+    val bucketed = FactViews.factForecastAccuracy(ff, fa, clock)
+    val faithful = FactViews.factForecastAccuracy(ff, fa, clock, faithful = true)
+    val cols = Seq("location_key", "forecast_for_time", "actual_observation_time", "temp_error_celsius")
+    assert(bucketed.select(cols.head, cols.tail: _*).exceptAll(faithful.select(cols.head, cols.tail: _*)).count() === 0)
+    assert(faithful.select(cols.head, cols.tail: _*).exceptAll(bucketed.select(cols.head, cols.tail: _*)).count() === 0)
+  }
+
+  test("Query 1: accuracy by horizon buckets") {
+    val q1 = Analytics.accuracyByHorizon(spark.table("fact_forecast_accuracy")).collect()
+    assert(q1.length === 1) // both matches are 0.5h horizon
+    assert(q1.head.getAs[String]("horizon_bucket") === "0-24 hours")
+    assert(q1.head.getAs[Long]("total_forecasts") === 2L)
+    assert(q1.head.getAs[Double]("accuracy_pct") === 50.0) // London yes, Tokyo no
+  }
+
+  test("Query 2: city ranking ordered by accuracy") {
+    val q2 = Analytics.cityRanking(spark.table("fact_forecast_accuracy"), outputs.dimLocation).collect()
+    assert(q2.map(_.getAs[String]("location_name")).toSeq === Seq("London", "Tokyo"))
+    assert(q2.head.getAs[Double]("accuracy_pct") === 100.0)
+  }
+
+  test("Query 3: day summary with injected date") {
+    val q3 = Analytics.weatherSummary(
+      spark.table("fact_weather_actual"), outputs.dimLocation, to_date(lit("2024-01-01"))).collect()
+    assert(q3.length === 2)
+    assert(q3.map(_.getAs[String]("location_name")).toSeq === Seq("London", "Tokyo"))
+  }
+
+  test("Query 4: quality distribution percent-of-total sums to 100") {
+    val q4 = Analytics.qualityDistribution(spark.table("fact_forecast_accuracy")).collect()
+    assert(q4.map(_.getAs[Double]("percentage")).sum === 100.0)
+    assert(q4.map(_.getAs[String]("temp_accuracy_category")).toSeq === Seq("Excellent", "Good"))
+  }
+
+  test("SCD2 skip branch: second run leaves dim_location untouched") {
+    val root = Files.createTempDirectory("graft-pipe2")
+    WeatherFixtures.standard(root)
+    val layout = Pipeline.Layout(root.toString, s"$root/silver", s"$root/gold")
+    Pipeline.run(spark, layout, FixedClock("2024-01-01 07:00:00"))
+    val v1 = spark.read.parquet(s"$root/gold/dim_location").collect().toSet
+    Pipeline.run(spark, layout, FixedClock("2024-06-01 07:00:00")) // later clock
+    val v2 = spark.read.parquet(s"$root/gold/dim_location").collect().toSet
+    assert(v1 === v2) // build_dimensions.py:96-97 no-op branch
+  }
+}
