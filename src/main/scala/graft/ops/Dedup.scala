@@ -81,37 +81,54 @@ object Dedup {
       k: Int = 64,
       bands: Int = 16): DataFrame = {
     val rows = k / bands
-    // Structure matters: compute the per-shingle base hashes ONCE per doc
-    // (below the Generate), explode the band index, then compute only that
-    // band's `rows` min-hash slots per exploded row. Total per-doc work is
-    // exactly k·|shingles| long hashes — a naive "signature column then
-    // band transform" gets its signature expression inlined per band by
-    // CollapseProject and costs bands× more (measured 449 s → ~3 s at
-    // sf0.1).
-    val sigs = df
-      .select(col(idCol).alias("__id"), shingles(col(textCol), shingleSize).alias("__sh"))
-      .filter(size(col("__sh")) > 0)
-      .select(col("__id"), transform(col("__sh"), s => xxhash64(s)).alias("__bh0"))
-      .select(col("__id"), col("__bh0"), explode(sequence(lit(0), lit(bands - 1))).alias("__band"))
+    // Structure matters three times over (all measured at sf0.1):
+    //  - the signature is the native codegen'd expression
+    //    ([[graft.functions.MinHashSignature]]) — one compiled loop per
+    //    doc instead of k·|shingles| interpreted lambda calls;
+    //  - the band index is exploded BEFORE the band-hash projection, so
+    //    the signature is an attribute passing through the Generate and
+    //    is computed once per doc, never once per band (CollapseProject
+    //    inlines a multiply-referenced signature into a generator);
+    //  - candidate pairs come from groupBy(bucket)+collect_list, NOT a
+    //    bucket self-join: a self-join evaluates the whole
+    //    shingle+signature subtree once per side (2×), and a filter on
+    //    the shingle column inlines the pipeline yet again. One pass,
+    //    one shuffle keyed by (band, hash).
+    // Precondition: pre-filter empty/whitespace-only texts upstream (they
+    // all share the degenerate single-shingle signature and would
+    // co-bucket into one giant bucket).
+    val banded = df
+      .select(col(idCol).alias("__id"),
+        graft.functions.native.wordShingles(col(textCol), shingleSize).alias("__sh"))
+      .select(col("__id"), graft.functions.native.minhashSignature(col("__sh"), k).alias("__sig"))
+      .select(col("__id"), col("__sig"), explode(sequence(lit(0), lit(bands - 1))).alias("__band"))
       .select(
         col("__id"),
         col("__band"),
         xxhash64(
-          concat_ws(
-            ",",
-            transform(
-              sequence(lit(0), lit(rows - 1)),
-              r => array_min(transform(col("__bh0"), h => xxhash64(h, col("__band") * rows + r))))),
-          col("__band")
-        ).alias("__bh"))
+          concat_ws(",", slice(col("__sig"), col("__band") * rows + 1, lit(rows))),
+          col("__band")).alias("__bh"))
 
-    val a = sigs.select(col("__band"), col("__bh"), col("__id").alias("id1"))
-    val b = sigs.select(col("__band"), col("__bh"), col("__id").alias("id2"))
-    a.join(b, Seq("__band", "__bh"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2")
+    banded
+      .groupBy(col("__band"), col("__bh"))
+      .agg(collect_list(col("__id")).alias("__ids"))
+      .filter(size(col("__ids")) > 1)
+      .select(explode(pairCombinations(col("__ids"))).alias("__p"))
+      .select(col("__p.id1"), col("__p.id2"))
       .distinct()
   }
+
+  /** All unordered id pairs within a bucket, as (id1 < id2) structs:
+    * flatten of per-position suffix products. Bucket sizes are
+    * LSH-bounded, so the quadratic is local and small by construction. */
+  private def pairCombinations(ids: Column): Column =
+    flatten(
+      transform(
+        ids,
+        (x, i) =>
+          transform(
+            slice(ids, i + 2, greatest(size(ids) - i - 1, lit(1))),
+            y => struct(least(x, y).alias("id1"), greatest(x, y).alias("id2")))))
 
   /** LSH candidates verified by exact word-shingle Jaccard ≥ threshold.
     * The expensive O(candidates) verification joins text back only for
@@ -125,7 +142,8 @@ object Dedup {
       k: Int = 64,
       bands: Int = 16): DataFrame = {
     val cands = lshCandidatePairs(df, idCol, textCol, shingleSize, k, bands)
-    val sh = df.select(col(idCol).alias("__jid"), shingles(col(textCol), shingleSize).alias("__jsh"))
+    val sh = df.select(col(idCol).alias("__jid"),
+      graft.functions.native.wordShingles(col(textCol), shingleSize).alias("__jsh"))
     cands
       .join(sh.withColumnRenamed("__jid", "id1").withColumnRenamed("__jsh", "__sh1"), Seq("id1"))
       .join(sh.withColumnRenamed("__jid", "id2").withColumnRenamed("__jsh", "__sh2"), Seq("id2"))

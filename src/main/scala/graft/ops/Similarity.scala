@@ -31,9 +31,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two numeric array columns, computed in double. */
+  /** Dot product of two numeric array columns, computed in double.
+    * Higher-order-function reference implementation; the pipelines below
+    * use the codegen'd [[graft.functions.DotProduct]] (bit-identical:
+    * same sequential fold). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, x) => s + x)
+
+  private def fdot(a: Column, b: Column): Column = graft.functions.native.dotProduct(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -60,7 +65,8 @@ object Similarity {
         .select(col("n_id").alias("q_id"), col("__nv").alias("__qv")))
     val scored = q
       .join(n, col("q_id") =!= col("n_id"))
-      .withColumn("sim", dot(col("__qv"), col("__nv")) / (l2norm(col("__qv")) * l2norm(col("__nv"))))
+      .withColumn("sim",
+        fdot(col("__qv"), col("__nv")) / (sqrt(fdot(col("__qv"), col("__qv"))) * sqrt(fdot(col("__nv"), col("__nv")))))
     scored
       .withColumn("rnk",
         row_number().over(Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))))
@@ -117,8 +123,7 @@ object Similarity {
       .select(col(idCol).alias("__id"), col(vecCol).cast("array<double>").alias("__v0"))
       .select(
         col("__id"),
-        transform(col("__v0"), x => x / sqrt(aggregate(transform(col("__v0"), y => y * y), lit(0.0d), (s, y) => s + y)))
-          .alias("__v"),
+        transform(col("__v0"), x => x / sqrt(fdot(col("__v0"), col("__v0")))).alias("__v"),
         rhpSignature(col("__v0"), planes, dims).alias("__sig"))
       .select(col("__id"), col("__v"), col("__sig"), explode(sequence(lit(0), lit(bands - 1))).alias("band"))
       .withColumn("bh", xxhash64(concat_ws(",", slice(col("__sig"), col("band") * rows + 1, lit(rows))), col("band")))
@@ -149,7 +154,7 @@ object Similarity {
       .dropDuplicates("q_id", "n_id")
 
     cands
-      .withColumn("sim", dot(col("__qv"), col("__nv")))
+      .withColumn("sim", fdot(col("__qv"), col("__nv")))
       .withColumn("rnk",
         row_number().over(Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))))
       .filter(col("rnk") <= k)
@@ -173,7 +178,7 @@ object Similarity {
     a.join(b, Seq("band", "bh"))
       .filter(col("id1") < col("id2"))
       .dropDuplicates("id1", "id2")
-      .withColumn("sim", dot(col("__v1"), col("__v2")))
+      .withColumn("sim", fdot(col("__v1"), col("__v2")))
       .filter(col("sim") >= threshold)
       .select(col("id1"), col("id2"), round(col("sim"), 4).alias("sim"))
   }

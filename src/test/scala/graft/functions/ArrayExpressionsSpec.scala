@@ -1,0 +1,67 @@
+package graft.functions
+
+import graft.SparkSuite
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+class ArrayExpressionsSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("DotProduct is bit-identical to the higher-order-function fold") {
+    val df = Seq((Array(1.5, -2.0, 3.25), Array(0.5, 4.0, -1.25))).toDF("a", "b")
+    val (fast, ref) = df.select(
+      native.dotProduct(col("a"), col("b")),
+      Similarity.dot(col("a"), col("b"))).as[(Double, Double)].head()
+    assert(fast === ref)
+    assert(fast === 1.5 * 0.5 + -2.0 * 4.0 + 3.25 * -1.25)
+  }
+
+  test("MinHashSignature: identical inputs → identical signatures; length k; deterministic") {
+    val df = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("c d e", "a b c", "b c d")), // same set, different order
+      (3L, Seq("x y z"))
+    ).toDF("id", "sh")
+    val sigs = df.select(col("id"), native.minhashSignature(col("sh"), 32).alias("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L).length === 32)
+    assert(sigs(1L) === sigs(2L)) // set semantics under min
+    assert(sigs(1L) !== sigs(3L))
+  }
+
+  test("interpreted eval matches codegen (empty + null-element arrays)") {
+    // force both paths through a small df: collect() exercises codegen;
+    // the Literal fold below exercises interpreted eval
+    val viaDf = Seq(Seq("q", "w")).toDF("sh")
+      .select(native.minhashSignature(col("sh"), 8)).head().getSeq[Long](0)
+    val interp = MinHashSignature(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq("q", "w"), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+      8).eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray.toSeq
+    assert(viaDf === interp)
+  }
+
+  test("WordShingles matches the higher-order reference on edge cases") {
+    val texts = Seq(
+      "The quick brown FOX jumps over the lazy dog",
+      "one two",
+      "single",
+      "  leading   and trailing   ",
+      "a b c d"
+    ).toDF("text")
+    val both = texts.select(
+      native.wordShingles(col("text"), 3).alias("fast"),
+      graft.ops.Dedup.shingles(col("text"), 3).alias("ref"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1), s"mismatch for row $r")
+    }
+  }
+
+  test("SQL registration via GraftExtensions") {
+    val sig = spark.sql("SELECT minhash_signature(array('a','b'), 16) AS s, dot_product(array(1.0,2.0), array(3.0,4.0)) AS d")
+      .head()
+    assert(sig.getSeq[Long](0).length === 16)
+    assert(sig.getDouble(1) === 11.0)
+  }
+}
