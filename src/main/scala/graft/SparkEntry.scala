@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CompositeQueries, LlmQueries, RelationalQueries}
+import graft.queries.{CompositeQueries, LlmQueries, RelationalQueries, WeatherQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -23,10 +23,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ CompositeQueries.queries ++ LlmQueries.queries
+    RelationalQueries.queries ++ CompositeQueries.queries ++ LlmQueries.queries ++
+      WeatherQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ CompositeQueries.oracles ++ LlmQueries.oracles
+    RelationalQueries.oracles ++ CompositeQueries.oracles ++ LlmQueries.oracles ++
+      WeatherQueries.oracles
 }

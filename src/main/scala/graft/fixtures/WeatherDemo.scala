@@ -1,0 +1,105 @@
+package graft.fixtures
+
+import graft.Pipeline
+import graft.ingest.BronzeWriter
+import graft.model.FixedClock
+import java.nio.file.Files
+import java.time.LocalDateTime
+import org.apache.spark.sql.SparkSession
+
+/** Deterministic weather-shaped demo dataset + pipeline bootstrap.
+  *
+  * Payload JSON matches the extractor's annotated OpenWeather shape
+  * (`weather_extractor_lambda.py:109-126`). Every value is fixed and the
+  * pipeline clock is injected, so the fact views and the four analytics
+  * queries have hand-computable outputs — they serve as CORRECTNESS
+  * entries (VALUES oracles) exercising S1 (JSON scan), S3/S4 (sinks),
+  * S6 (ingest), S7 (orchestration), J1-J4, W1, C1-C3 on real weather
+  * shapes.
+  */
+object WeatherDemo {
+
+  val ExtractionTs = "2024-01-01T06:00:00"
+  val BatchId = "20240101_060000"
+  private val baseEpoch = 1704088800L // 2024-01-01 06:00:00 UTC
+
+  def currentJson(
+      city: String,
+      country: String,
+      temp: Double,
+      feelsLike: Double,
+      humidity: Long,
+      condition: String,
+      gust: Option[Double] = Some(3.5),
+      timezone: Long = 0L): String = {
+    val gustPart = gust.map(g => s""""gust": $g, """).getOrElse("")
+    s"""{
+       |  "city_name": "$city", "country": "$country",
+       |  "extraction_timestamp": "$ExtractionTs", "batch_id": "$BatchId", "data_type": "current",
+       |  "coord": {"lat": 51.5, "lon": -0.12},
+       |  "main": {"temp": $temp, "feels_like": $feelsLike, "temp_min": ${temp - 1}, "temp_max": ${temp + 1},
+       |           "pressure": 1012, "humidity": $humidity},
+       |  "wind": {"speed": 4.1, ${gustPart}"deg": 80},
+       |  "clouds": {"all": 20},
+       |  "visibility": 10000,
+       |  "weather": [{"id": 800, "main": "$condition", "description": "desc $condition", "icon": "01d"}],
+       |  "timezone": $timezone,
+       |  "sys": {"sunrise": 1704096000, "sunset": 1704127200}
+       |}""".stripMargin
+  }
+
+  def forecastJson(city: String, country: String, points: Seq[(Long, Double, String)]): String = {
+    val list = points
+      .map { case (dt, temp, cond) =>
+        s"""{"dt": $dt,
+           |  "main": {"temp": $temp, "feels_like": ${temp - 0.5}, "pressure": 1011, "humidity": 60},
+           |  "wind": {"speed": 3.0, "deg": 120},
+           |  "clouds": {"all": 40},
+           |  "pop": 0.2,
+           |  "weather": [{"id": 500, "main": "$cond", "description": "desc $cond", "icon": "10d"}]}""".stripMargin
+      }
+      .mkString("[", ",", "]")
+    s"""{
+       |  "city_name": "$city", "country": "$country",
+       |  "extraction_timestamp": "$ExtractionTs", "batch_id": "$BatchId", "data_type": "forecast",
+       |  "list": $list
+       |}""".stripMargin
+  }
+
+  /** Standard two-city bronze: London (matching forecast) and Tokyo
+    * (2.5° miss + condition mismatch), plus two DQ-gate victims.
+    * Forecast points at +0.5 h (band-join match), +27 h, +51 h, +100 h. */
+  def writeBronze(root: java.nio.file.Path): Unit = {
+    val t = LocalDateTime.of(2024, 1, 1, 6, 0, 0)
+    BronzeWriter.writeBatch(root.toString, "current", t, Seq(
+      currentJson("London", "GB", temp = 10.0, feelsLike = 8.0, humidity = 70, condition = "Clouds"),
+      currentJson("Tokyo", "JP", temp = 28.0, feelsLike = 33.0, humidity = 55, condition = "Clear", timezone = 32400L),
+      currentJson("BadTemp", "XX", temp = 99.0, feelsLike = 99.0, humidity = 50, condition = "Clear"),
+      currentJson("BadHum", "XX", temp = 20.0, feelsLike = 20.0, humidity = 150, condition = "Clear")
+    ))
+    def pts(bias: Double): Seq[(Long, Double, String)] = Seq(
+      (baseEpoch + 1800, 10.5 + bias, "Clouds"),
+      (baseEpoch + 27 * 3600, 12.0 + bias, "Rain"),
+      (baseEpoch + 51 * 3600, 13.0 + bias, "Clear"),
+      (baseEpoch + 100 * 3600, 14.0 + bias, "Clear")
+    )
+    BronzeWriter.writeBatch(root.toString, "forecast", t, Seq(
+      forecastJson("London", "GB", pts(0.0)),
+      forecastJson("Tokyo", "JP", pts(15.0))
+    ))
+  }
+
+  /** Run the full pipeline on the demo bronze once per session and
+    * register the views; subsequent calls are no-ops (the outputs are
+    * deterministic, so which caller triggers it doesn't matter). */
+  def ensurePipeline(spark: SparkSession): Unit = synchronized {
+    if (!spark.catalog.tableExists("fact_forecast_accuracy")) {
+      val root = Files.createTempDirectory("graft-wx-demo")
+      writeBronze(root)
+      Pipeline.run(
+        spark,
+        Pipeline.Layout(root.toString, s"$root/silver", s"$root/gold"),
+        FixedClock("2024-01-01 07:00:00"))
+    }
+  }
+}

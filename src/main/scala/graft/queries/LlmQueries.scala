@@ -96,6 +96,16 @@ object LlmQueries {
       .select(col("q_id"), col("rnk"), col("n_id"), col("sim"))
       .orderBy(col("q_id"), col("rnk"))
 
+  /** IVF ANN ([[graft.ops.Ivf]]) with a full probe: deterministically
+    * identical to exact search (every cell scanned), so it shares the
+    * brute-force oracle — the partial-probe scale path is covered by the
+    * recall tests. */
+  val annIvfTopK: Q = (s, d) =>
+    graft.ops.Ivf.topK(Tables.embeddings(s, d), "vec_id", "embedding",
+      Seq(0L, 1L, 2L, 3L, 4L), 3, nCells = 16, nProbe = 16)
+      .select(col("q_id"), col("rnk"), col("n_id"), col("sim"))
+      .orderBy(col("q_id"), col("rnk"))
+
   /** Embedding-cosine near-dup pairs over corpus ∪ exact vector copies
     * (vec_id%20==0 → +100000): every planted pair has cosine 1.0 and LSH
     * buckets identical signatures together, so recall is exact. */
@@ -228,6 +238,18 @@ object LlmQueries {
                 FROM scored)
          SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, round(s, 4) AS sim
          FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk""",
+    "ann_ivf_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              scored AS (
+                SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                       list_cosine_similarity(q.e, n.e) AS s
+                FROM v q JOIN v n ON q.vec_id < 5 AND q.vec_id <> n.vec_id),
+              ranked AS (
+                SELECT q_id, n_id, s,
+                       row_number() OVER (PARTITION BY q_id ORDER BY s DESC, n_id) AS rnk
+                FROM scored)
+         SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, round(s, 4) AS sim
+         FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk""",
     "cos_near_dup" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
                     UNION ALL
@@ -305,6 +327,7 @@ object LlmQueries {
     "dd_neardup_jaccard" -> ddNearDupJaccard,
     "dd_simhash" -> ddSimhash,
     "ann_brute_topk" -> annBruteTopK,
+    "ann_ivf_topk" -> annIvfTopK,
     "ann_lsh_topk" -> annLshTopK,
     "cos_near_dup" -> cosNearDup,
     "tx_profile" -> txProfile,

@@ -48,6 +48,30 @@ class SimilaritySpec extends SparkSuite {
     assert(pairs.toSet === (0L until 5L).map(i => (i, i + 10000)).toSet)
   }
 
+  test("IVF ANN: full probe ≡ brute force; recall scales with probe fraction") {
+    val emb = Tables.embeddings(spark, sf())
+    val qids = Seq(100L, 101L, 102L, 103L, 104L) // not centroid ids
+    def resultSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val brute = resultSet(Similarity.bruteTopK(emb, "vec_id", "embedding", qids, 10))
+    // probing every cell = exact search
+    val full = resultSet(Ivf.topK(emb, "vec_id", "embedding", qids, 10, nCells = 16, nProbe = 16))
+    assert(full === brute)
+    // the test embeddings are uniform random (no cluster structure), so
+    // partial-probe recall ≈ probe fraction — the invariant worth pinning
+    // is monotonicity, not a high absolute number
+    val half = resultSet(Ivf.topK(emb, "vec_id", "embedding", qids, 10, nCells = 16, nProbe = 8))
+    val recall = (brute & half).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
+  test("IVF assignment is total: every vector lands in exactly one cell") {
+    val emb = Tables.embeddings(spark, sf())
+    val assigned = Ivf.assign(emb, "vec_id", "embedding", 16)
+    assert(assigned.count() === emb.count())
+    assert(assigned.select("cell").distinct().count() <= 16)
+  }
+
   test("plane matrix is deterministic") {
     assert(Similarity.planeMatrix(4, 8) === Similarity.planeMatrix(4, 8))
     assert(Similarity.planeMatrix(4, 8).head !== Similarity.planeMatrix(4, 8)(1))
