@@ -8,6 +8,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-bench")
+    // steady-state warm-up: exercise codegen, shuffle, and the parquet
+    // reader once so the first timed query doesn't absorb JVM/session
+    // startup (it would otherwise be charged ~4s of warm-up)
+    spark.range(1000000).selectExpr("id % 97 AS k", "id AS v")
+      .groupBy("k").count().count()
+    graft.sources.Tables.lineitem(spark, sfDir).limit(1000).count()
     val outcomes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
