@@ -53,6 +53,97 @@ object Dimensions {
       .withColumn("created_timestamp", clock.nowTs)
       .withColumn("updated_timestamp", clock.nowTs)
 
+  /** Full SCD Type 2 incremental merge — the part the reference leaves as
+    * a no-op ("dimension exists, no updates needed",
+    * `build_dimensions.py:96-97`). Plain-parquet semantics: read → union
+    * → rewrite (no ACID table format present).
+    *
+    * For each natural key in `attrs`:
+    *  - attributes unchanged → current row kept as-is;
+    *  - attributes changed  → current row expired (`effective_to_date` =
+    *    merge date, `is_current` = false) and a new version inserted
+    *    (version+1, new surrogate key above the existing maximum);
+    *  - new key             → version 1 inserted.
+    * Keys absent from `attrs` keep their current row (dimensions retire
+    * members explicitly, not by omission). History rows pass through
+    * untouched.
+    *
+    * Scale: one shuffle on the natural key (the full-outer join); the
+    * max-key scalar is a broadcast; new surrogate assignment sorts only
+    * the NEW rows (dimension-delta-sized, not dimension-sized).
+    */
+  def scd2Merge(
+      existing: DataFrame,
+      attrs: DataFrame,
+      naturalKeys: Seq[String],
+      surrogateName: String,
+      orderCols: Seq[String],
+      clock: Clock): DataFrame = {
+    val attrCols = attrs.columns.filterNot(naturalKeys.contains).toSeq
+    val bookkeeping = Seq(surrogateName, "effective_from_date", "effective_to_date",
+      "is_current", "version", "created_timestamp", "updated_timestamp")
+
+    val current = existing.filter(col("is_current") === true)
+    val history = existing.filter(col("is_current") === false)
+
+    val incoming = attrs.select((naturalKeys ++ attrCols).map(col): _*).distinct()
+      .withColumn("__has_incoming", lit(true))
+    val curForJoin = current.select(
+      naturalKeys.map(col) ++
+        attrCols.map(c => col(c).alias(s"__cur_$c")) ++
+        bookkeeping.map(c => col(c).alias(s"__bk_$c")): _*)
+
+    val joined = incoming.join(curForJoin, naturalKeys, "full_outer")
+    val attrChanged = attrCols
+      .map(c => !(col(c) <=> col(s"__cur_$c")))
+      .reduceOption(_ || _)
+      .getOrElse(lit(false))
+    val isNewKey = col(s"__bk_$surrogateName").isNull
+    val keyAbsentFromAttrs = col("__has_incoming").isNull
+
+    // unchanged current rows + current rows whose key didn't arrive
+    val kept = joined
+      .filter(!isNewKey && (!attrChanged || keyAbsentFromAttrs))
+      .select(
+        naturalKeys.map(col) ++
+          attrCols.map(c => coalesce(col(s"__cur_$c"), col(c)).alias(c)) ++
+          bookkeeping.map(c => col(s"__bk_$c").alias(c)): _*)
+
+    // expired versions of changed keys
+    val expired = joined
+      .filter(!isNewKey && attrChanged && !keyAbsentFromAttrs)
+      .select(
+        naturalKeys.map(col) ++
+          attrCols.map(c => col(s"__cur_$c").alias(c)) ++
+          bookkeeping.map(c => col(s"__bk_$c").alias(c)): _*)
+      .withColumn("effective_to_date", clock.nowDate)
+      .withColumn("is_current", lit(false))
+      .withColumn("updated_timestamp", clock.nowTs)
+
+    // fresh versions: changed keys (version+1) and brand-new keys (v1)
+    val maxKey = current.agg(coalesce(max(col(surrogateName)), lit(0)).alias("__mk"))
+    val fresh = joined
+      .filter(isNewKey || (attrChanged && !keyAbsentFromAttrs))
+      .select(
+        naturalKeys.map(col) ++ attrCols.map(col) :+
+          coalesce(col(s"__bk_version") + 1, lit(1)).alias("version"): _*)
+      .withColumn("__rn", row_number().over(Window.orderBy(orderCols.map(col): _*)))
+      .crossJoin(broadcast(maxKey))
+      .withColumn(surrogateName, (col("__mk") + col("__rn")).cast("int"))
+      .drop("__rn", "__mk")
+      .withColumn("effective_from_date", clock.nowDate)
+      .withColumn("effective_to_date", lit("9999-12-31").cast("date"))
+      .withColumn("is_current", lit(true))
+      .withColumn("created_timestamp", clock.nowTs)
+      .withColumn("updated_timestamp", clock.nowTs)
+
+    val outCols = (naturalKeys ++ attrCols ++ bookkeeping).map(col)
+    history.select(outCols: _*)
+      .unionByName(kept.select(outCols: _*))
+      .unionByName(expired.select(outCols: _*))
+      .unionByName(fresh.select(outCols: _*))
+  }
+
   /** dim_location from current-weather silver: D2 distinct attribute
     * tuples + timezone name + SCD2 load (`build_dimensions.py:30-94`). */
   def buildDimLocation(currentSilver: DataFrame, clock: Clock): DataFrame = {

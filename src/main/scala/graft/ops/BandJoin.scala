@@ -72,4 +72,33 @@ object BandJoin {
       .filter(abs(col(leftEpochName) - col(rightEpochName)) < tolerance)
       .drop("__bucket")
   }
+
+  /** As-of (nearest-match) variant: each left row keeps only its CLOSEST
+    * in-band right row (ties broken by earlier right epoch). The opt-in
+    * improvement over the reference's one-to-many semantics
+    * (SURVEY §7.4 item 1) — accuracy rows stop multiplying when several
+    * observations fall inside the tolerance.
+    *
+    * `leftRowKeys` must uniquely identify left rows (the window that
+    * picks the nearest partitions by them — bounded per-row work, no
+    * global sort). */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftEpochName: String,
+      rightEpochName: String,
+      tolerance: Long,
+      leftRowKeys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    bucketed(left, right, keys, leftEpochName, rightEpochName, tolerance)
+      .withColumn(
+        "__rank",
+        row_number().over(
+          Window
+            .partitionBy(leftRowKeys.map(col): _*)
+            .orderBy(abs(col(leftEpochName) - col(rightEpochName)), col(rightEpochName))))
+      .filter(col("__rank") === 1)
+      .drop("__rank")
+  }
 }

@@ -53,6 +53,29 @@ object CompositeQueries {
       .orderBy(col("customer_key"))
   }
 
+  /** C1+ (beyond reference parity): SCD2 incremental merge
+    * ([[graft.etl.Dimensions.scd2Merge]]) — initial load at 2024-06-01,
+    * then a merge at 2024-07-01 where customers of nation 0 change
+    * segment: their v1 rows expire and v2 rows appear. */
+  val c1bScd2Merge: Q = (s, d) => {
+    val customer = Tables.customer(s, d)
+    val attrs0 = customer.select(col("c_name"), col("c_mktsegment")).distinct()
+    val dim0 = Dimensions.scd2InitialLoad(attrs0, "customer_key", Seq(col("c_name")), FixedClock("2024-06-01 00:00:00"))
+    val attrs1 = customer.select(
+      col("c_name"),
+      when(col("c_nationkey") === 0, "CHANGED").otherwise(col("c_mktsegment")).alias("c_mktsegment"))
+      .distinct()
+    Dimensions.scd2Merge(dim0, attrs1, Seq("c_name"), "customer_key", Seq("c_name"), FixedClock("2024-07-01 00:00:00"))
+      .select(
+        col("c_name"),
+        col("c_mktsegment"),
+        col("version"),
+        col("is_current").cast("int").alias("is_current"),
+        date_format(col("effective_from_date"), "yyyy-MM-dd").alias("eff_from"),
+        date_format(col("effective_to_date"), "yyyy-MM-dd").alias("eff_to"))
+      .orderBy(col("c_name"), col("version"))
+  }
+
   /** C2 + S5: generated calendar dimension, distributed
     * ([[graft.etl.Dimensions.calendar]]) — 1,096 rows, 11 attributes. */
   val c2Calendar: Q = (s, d) =>
@@ -182,6 +205,18 @@ object CompositeQueries {
                 1 AS is_current, 1 AS version
          FROM (SELECT DISTINCT c_name, c_nationkey, c_mktsegment FROM customer)
          ORDER BY customer_key""",
+    "c1b_scd2_merge" ->
+      """WITH base AS (SELECT DISTINCT c_name, c_mktsegment, c_nationkey FROM customer)
+         SELECT * FROM (
+           SELECT c_name, c_mktsegment, 1 AS version,
+                  CASE WHEN c_nationkey = 0 THEN 0 ELSE 1 END AS is_current,
+                  '2024-06-01' AS eff_from,
+                  CASE WHEN c_nationkey = 0 THEN '2024-07-01' ELSE '9999-12-31' END AS eff_to
+           FROM base
+           UNION ALL
+           SELECT c_name, 'CHANGED', 2, 1, '2024-07-01', '9999-12-31'
+           FROM base WHERE c_nationkey = 0)
+         ORDER BY c_name, version""",
     "c2_calendar" ->
       """SELECT strftime(dd, '%Y-%m-%d') AS full_date,
                 CAST(strftime(dd, '%Y%m%d') AS INT) AS date_key,
@@ -225,6 +260,7 @@ object CompositeQueries {
   val queries: Map[String, Q] = Map(
     "j4_band_join" -> j4BandJoin,
     "c1_scd2" -> c1Scd2,
+    "c1b_scd2_merge" -> c1bScd2Merge,
     "c2_calendar" -> c2Calendar,
     "c3_accuracy" -> c3Accuracy,
     "c4_horizon" -> c4Horizon,

@@ -36,6 +36,42 @@ class DimensionsSpec extends SparkSuite {
     assert(row.getAs[Int]("version") === 1)
   }
 
+  test("C1+: SCD2 merge expires changed rows, inserts new versions, keeps history") {
+    import spark.implicits._
+    val clock0 = FixedClock("2024-06-01 00:00:00")
+    val clock1 = FixedClock("2024-07-01 00:00:00")
+    val dim0 = Dimensions.scd2InitialLoad(
+      Seq(("alpha", "A"), ("beta", "B"), ("gamma", "C")).toDF("name", "attr"),
+      "k", Seq(col("name")), clock0)
+
+    val attrs1 = Seq(("alpha", "A2"), ("beta", "B"), ("delta", "D")).toDF("name", "attr")
+    val merged = Dimensions.scd2Merge(dim0, attrs1, Seq("name"), "k", Seq("name"), clock1).cache()
+
+    // one current row per key; gamma (absent from attrs) keeps its version
+    assert(merged.filter(col("is_current") === true).count() === 4) // alpha v2, beta v1, gamma v1, delta v1
+    val alpha = merged.filter(col("name") === "alpha").orderBy("version").collect()
+    assert(alpha.length === 2)
+    assert(alpha(0).getAs[String]("attr") === "A" && !alpha(0).getAs[Boolean]("is_current"))
+    assert(alpha(0).getAs[java.sql.Date]("effective_to_date").toString === "2024-07-01")
+    assert(alpha(1).getAs[String]("attr") === "A2" && alpha(1).getAs[Boolean]("is_current"))
+    assert(alpha(1).getAs[Int]("version") === 2)
+    // new surrogate keys start above the existing max
+    val maxOld = dim0.agg(org.apache.spark.sql.functions.max("k")).head().getInt(0)
+    val newKeys = merged.filter(col("version") === 2 || col("name") === "delta")
+      .select("k").collect().map(_.getInt(0))
+    assert(newKeys.forall(_ > maxOld))
+    // no overlapping validity intervals per key
+    val overlaps = merged.as("a").join(merged.as("b"),
+      col("a.name") === col("b.name") && col("a.k") =!= col("b.k") &&
+        col("a.effective_from_date") < col("b.effective_to_date") &&
+        col("b.effective_from_date") < col("a.effective_to_date")).count()
+    assert(overlaps === 0)
+    // idempotent re-merge with same attrs: nothing changes
+    val again = Dimensions.scd2Merge(merged, attrs1, Seq("name"), "k", Seq("name"), FixedClock("2024-08-01 00:00:00"))
+    assert(again.count() === merged.count())
+    assert(again.filter(col("is_current") === true).count() === 4)
+  }
+
   test("timezone name CASE covers the reference's 8 offsets") {
     import spark.implicits._
     val df = Seq(-18000L, 0L, 32400L, 36000L, 19800L, 14400L, -10800L, 12345L)

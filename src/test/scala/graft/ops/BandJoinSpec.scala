@@ -36,6 +36,24 @@ class BandJoinSpec extends SparkSuite {
     assert(got === Array(3L)) // only |Δ| = 3599 qualifies
   }
 
+  test("asOf keeps exactly the nearest in-band match per left row") {
+    import spark.implicits._
+    val l = Seq((1L, 0L, 1000L), (2L, 0L, 50000L)).toDF("lid", "k", "le")
+    val r = Seq((10L, 0L, 400L), (11L, 0L, 1200L), (12L, 0L, 3000L)).toDF("rid", "k", "re")
+    val got = BandJoin.asOf(l, r, Seq("k"), "le", "re", 3600L, Seq("lid"))
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(got === Map(1L -> 11L)) // |1000-1200|=200 beats 600 and 2000; lid 2 has no in-band match
+  }
+
+  test("asOf tie-break prefers the earlier right epoch") {
+    import spark.implicits._
+    val l = Seq((1L, 0L, 1000L)).toDF("lid", "k", "le")
+    val r = Seq((10L, 0L, 900L), (11L, 0L, 1100L)).toDF("rid", "k", "re")
+    val got = BandJoin.asOf(l, r, Seq("k"), "le", "re", 3600L, Seq("lid"))
+      .select("rid").collect().map(_.getLong(0))
+    assert(got === Array(10L)) // both |Δ|=100; earlier epoch wins
+  }
+
   test("one-to-many semantics: every in-band observation matches, not just the nearest") {
     import spark.implicits._
     val l = Seq((1L, 0L, 1000L)).toDF("lid", "k", "le")
