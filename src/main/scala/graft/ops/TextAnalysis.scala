@@ -78,6 +78,22 @@ object TextAnalysis {
     round(lenScore * 0.3 + wordScore * 0.3 + stopScore * 0.3 + (lit(1.0) - punctPenalty) * 0.1, 4)
   }
 
+  /** [[qualityScore]] with the tokenization hoisted: `words` must be
+    * `wordTokens(text)` projected ONCE in a previous select — the naive
+    * form re-splits the text for each of the word/stopword signals
+    * (~6 interpreted passes per document). Identical arithmetic, so the
+    * two forms agree bit-for-bit. */
+  def qualityScoreFromParts(text: Column, words: Column): Column = {
+    val nWords = size(words)
+    val lenScore = least(length(text).cast("double") / 400.0, lit(1.0))
+    val wordScore = least(nWords.cast("double") / 80.0, lit(1.0))
+    val punctPenalty = least(punctRatio(text) * 5.0, lit(1.0))
+    val stopCount = size(filter(words, t => t.isin(stopwords("en").map(lit(_)): _*)))
+    val stopRatio = when(nWords > 0, stopCount.cast("double") / nWords).otherwise(0.0)
+    val stopScore = least(stopRatio * 5.0, lit(1.0))
+    round(lenScore * 0.3 + wordScore * 0.3 + stopScore * 0.3 + (lit(1.0) - punctPenalty) * 0.1, 4)
+  }
+
   def qualityBucket(score: Column): Column =
     when(score >= 0.75, "high")
       .when(score >= 0.5, "medium")

@@ -134,10 +134,13 @@ object LlmQueries {
         TextAnalysis.langId(col("text")).alias("lang_pred"))
       .orderBy(col("doc_id"))
 
-  /** Quality scoring + bucketing over the whole corpus. */
+  /** Quality scoring + bucketing over the whole corpus (tokenization
+    * hoisted into its own projection — computed once per doc). */
   val txQuality: Q = (s, d) => {
     val scored = Tables.documents(s, d)
-      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).alias("quality_score"))
+      .select(col("doc_id"), col("text"), TextAnalysis.words(col("text")).alias("__w"))
+      .select(col("doc_id"),
+        TextAnalysis.qualityScoreFromParts(col("text"), col("__w")).alias("quality_score"))
     scored
       .groupBy(TextAnalysis.qualityBucket(col("quality_score")).alias("quality_bucket"))
       .agg(count(lit(1)).alias("n"), round(avg(col("quality_score")), 4).alias("avg_score"))

@@ -1,0 +1,43 @@
+package graft.sql
+
+import graft.{SparkEntry, SparkSuite}
+
+/** Physical-plan regression guards: the properties SCALE.md claims are
+  * asserted here, so a refactor that silently degrades a plan (loses a
+  * broadcast, reintroduces a cartesian product, drops pushdown) fails
+  * the build rather than the next 100 TB run.
+  */
+class PlanShapeSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+
+  test("dim joins broadcast (j5, j2)") {
+    assert(plan("j5_fact_dim").contains("BroadcastHashJoin"))
+    assert(plan("j2_date_cast_join").contains("BroadcastHashJoin"))
+  }
+
+  test("no cartesian products or broadcast nested loops anywhere in the declared corpus") {
+    // ann/ivf use broadcast nested loop by design (bounded query/centroid side)
+    val exempt = Set("ann_brute_topk", "ann_ivf_topk")
+    SparkEntry.queries.keys.filterNot(exempt).foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("band join (j4) is a hash equi-join on (key, bucket), not a theta join") {
+    val p = plan("j4_band_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("scans push filters and prune columns (s2)") {
+    val p = plan("s2_scan")
+    assert(p.contains("PushedFilters: [IsNotNull(n_regionkey), LessThan(n_regionkey,3)]"), p.take(2000))
+  }
+
+  test("aggregates are partial+final (a1: two HashAggregate levels)") {
+    val p = plan("a1_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+}
