@@ -38,7 +38,7 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, x) => s + x)
 
-  private def fdot(a: Column, b: Column): Column = graft.functions.native.dotProduct(a, b)
+  private[ops] def fdot(a: Column, b: Column): Column = graft.functions.native.dotProduct(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -92,19 +92,16 @@ object Similarity {
   }
 
   /** `planes`-bit random-hyperplane signature of a vector column, as an
-    * array of 0/1 longs. `dims` must match the embedding width. */
+    * array of 0/1 longs. `dims` must match the embedding width. The
+    * per-plane projection runs through the native [[graft.functions.DotProduct]]
+    * (compiled inner loop) instead of zip_with+aggregate lambdas — one
+    * virtual call per plane rather than ~2·dims interpreted calls. */
   def rhpSignature(vec: Column, planes: Int, dims: Int): Column = {
     val m = typedlit(planeMatrix(planes, dims))
+    val vd = vec.cast("array<double>")
     transform(
       sequence(lit(0), lit(planes - 1)),
-      p =>
-        when(
-          aggregate(
-            zip_with(vec.cast("array<double>"), element_at(m, p + 1), (x, w) => x * w),
-            lit(0.0d),
-            (s, x) => s + x) >= 0,
-          lit(1L)
-        ).otherwise(lit(0L))
+      p => when(fdot(vd, element_at(m, p + 1)) >= 0, lit(1L)).otherwise(lit(0L))
     )
   }
 
