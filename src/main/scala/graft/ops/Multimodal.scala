@@ -73,6 +73,35 @@ object Multimodal {
         MediaFeatures(m.media_id, m.media_type, m.n_bytes, stubDecodeFeatures(m.payload))))
   }
 
+  /** STUB RESIZE — stands in for image resampling (no codec libraries in
+    * this container): deterministic byte decimation keeping every
+    * `factor`-th byte. A real deployment replaces ONLY this function with
+    * decode → pixel resample → re-encode. The Spark-side shape — a narrow
+    * binary→binary projection with metadata refresh — is the real thing. */
+  def stubResize(payload: Array[Byte], factor: Int): Array[Byte] = {
+    if (payload == null || payload.isEmpty || factor <= 1) return payload
+    val out = new Array[Byte]((payload.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = payload(i * factor); i += 1 }
+    out
+  }
+
+  /** Resize stage over a media table: payload → resized payload, metadata
+    * (n_bytes, digest) recomputed, original size kept for provenance. */
+  def resize(media: DataFrame, factor: Int)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media
+      .select("media_id", "media_type", "payload", "n_bytes", "digest")
+      .as[MediaItem]
+      .mapPartitions(_.map { m =>
+        val p = stubResize(m.payload, factor)
+        MediaItem(m.media_id, m.media_type + s";resized/$factor", p, p.length.toLong, m.digest)
+      })
+      .toDF()
+      .withColumnRenamed("n_bytes", "n_bytes_resized")
+      .withColumn("digest", md5(col("payload")))
+  }
+
   /** Frame sampling for "video" payloads: fixed-size windows every
     * `stride` bytes, exploded one row per frame. Pure generator expression
     * — each output row holds only its slice. */

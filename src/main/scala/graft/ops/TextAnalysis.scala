@@ -66,6 +66,36 @@ object TextAnalysis {
       .otherwise("fr")
   }
 
+  /** Per-language frequent character trigrams (tiny, deterministic
+    * profiles) for the n-gram language heuristic. */
+  val langTrigrams: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", " th", "he ", "ing", "and", " an", "nd ", "ion", " of", "of "),
+    "es" -> Seq(" de", "de ", "la ", " la", "os ", "ión", " el", "el ", "ent", " en"),
+    "de" -> Seq("en ", "er ", "ch ", " de", "der", "ein", "sch", "ich", "nde", "die"),
+    "fr" -> Seq(" de", "es ", "de ", "le ", " le", "ent", "la ", " la", "et ", " et")
+  )
+
+  private def trigramHits(text: Column, lang: String): Column = {
+    val t = lower(text)
+    langTrigrams(lang).map(g => when(t.contains(g), 1).otherwise(0)).reduce(_ + _)
+  }
+
+  /** Character-n-gram language ID: score = number of the language's
+    * frequent trigrams present in the text; argmax with the same fixed
+    * tie-break as [[langId]]. Complements the stopword heuristic for text
+    * without clean word boundaries. */
+  def langIdNgram(text: Column): Column = {
+    val en = trigramHits(text, "en")
+    val es = trigramHits(text, "es")
+    val de = trigramHits(text, "de")
+    val fr = trigramHits(text, "fr")
+    when(en + es + de + fr === 0, "und")
+      .when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+  }
+
   /** Composite quality score in [0,1]: length, word-shape, punctuation and
     * stopword signals — the standard cheap pre-filter shape for corpus
     * cleaning. Thresholds are explicit constants so the score is

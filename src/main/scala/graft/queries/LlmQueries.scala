@@ -171,6 +171,18 @@ object LlmQueries {
       .orderBy(col("media_id"))
   }
 
+  /** Resize stage ([[graft.ops.Multimodal.resize]]): stub byte decimation
+    * with metadata refresh — the corpus is pure ASCII, so the DuckDB
+    * oracle reproduces the decimated payload digest character-wise. */
+  val mmResize: Q = (s, d) => {
+    implicit val sp: SparkSession = s
+    Multimodal.resize(
+      Multimodal.attachPayload(Tables.documents(s, d).filter(col("doc_id") < 100), "doc_id", "text", "fake/utf8"),
+      factor = 4)
+      .select(col("media_id"), col("media_type"), col("n_bytes_resized"), col("digest"))
+      .orderBy(col("media_id"))
+  }
+
   /** Stubbed feature extraction through the typed mapPartitions batch path
     * (rows-only: the stub codec is Spark-side; unit-tested instead). */
   val mmFeatures: Q = (s, d) => {
@@ -317,6 +329,12 @@ object LlmQueries {
                 CAST(list_sum(list_transform(range(1, len(text) + 1),
                        i -> i * ascii(substr(text, CAST(i AS INT), 1)))) % 1000000007 AS BIGINT) AS fingerprint
          FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
+    "mm_resize" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id, 'fake/utf8;resized/4' AS media_type,
+                CAST((len(text) + 3) // 4 AS BIGINT) AS n_bytes_resized,
+                md5(array_to_string(list_transform(range(1, len(text) + 1, 4),
+                      i -> substr(text, CAST(i AS INT), 1)), '')) AS digest
+         FROM documents WHERE doc_id < 100 ORDER BY media_id""",
     "mm_binary_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id, 'fake/utf8' AS media_type,
                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS digest,
@@ -337,6 +355,7 @@ object LlmQueries {
     "tx_quality" -> txQuality,
     "tx_fingerprint" -> txFingerprint,
     "mm_binary_meta" -> mmBinaryMeta,
+    "mm_resize" -> mmResize,
     "mm_features" -> mmFeatures
   )
 }

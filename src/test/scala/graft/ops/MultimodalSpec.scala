@@ -36,6 +36,18 @@ class MultimodalSpec extends SparkSuite {
     assert(feats(2L).features(4) === 0.0) // variance 0
   }
 
+  test("resize stage decimates payloads deterministically and refreshes metadata") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    assert(Multimodal.stubResize("abcdefgh".getBytes("UTF-8"), 2).toSeq ===
+      "aceg".getBytes("UTF-8").toSeq)
+    assert(Multimodal.stubResize(Array.emptyByteArray, 2).isEmpty)
+    val resized = Multimodal.resize(media, 4)
+    val rows = resized.collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(rows(2L).getAs[Long]("n_bytes_resized") === 25L) // 100 / 4
+    assert(rows(1L).getAs[String]("media_type") === "fake/utf8;resized/4")
+    assert(new String(rows(1L).getAs[Array[Byte]]("payload"), "UTF-8") === "ae") // every 4th of abcdefgh
+  }
+
   test("frameSample/frameSlices: window offsets and slice sizes") {
     val frames = Multimodal.frameSlices(media, frameBytes = 32, stride = 16)
     val byId = frames.groupBy("media_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -29,6 +29,12 @@ class TextAnalysisSpec extends SparkSuite {
     assert(one(TextAnalysis.langId(col("text")), "xyzzy qwerty plugh") === "und")
   }
 
+  test("langIdNgram scores frequent character trigrams") {
+    assert(one(TextAnalysis.langIdNgram(col("text")), "the thing and the motion of things") === "en")
+    assert(one(TextAnalysis.langIdNgram(col("text")), "la situación de el pueblo entre montañas") === "es")
+    assert(one(TextAnalysis.langIdNgram(col("text")), "qqq zzz xxx") === "und")
+  }
+
   test("charFingerprint matches an independent Scala computation") {
     val text = "spark data!"
     val expected = text.zipWithIndex.map { case (ch, i) => (i + 1).toLong * ch.toLong }.sum % 1000000007L
