@@ -33,6 +33,39 @@ object CompositeQueries {
       .orderBy(col("user_id"))
   }
 
+  /** J4b (beyond reference parity): as-of nearest-match band join
+    * ([[graft.ops.BandJoin.asOf]]) — each purchase matched to its closest
+    * view by the same user within 1 h. */
+  val j4bAsOfJoin: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val left = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").alias("purchase_id"), col("ts_us").alias("p_us"))
+    val right = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").alias("view_id"), col("ts_us").alias("v_us"))
+    BandJoin.asOf(left, right, Seq("user_id"), "p_us", "v_us", MicrosPerHour, Seq("purchase_id"))
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+        (col("v_us") - col("p_us")).alias("delta_us"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** C6 (beyond reference parity): gap-based sessionization — the
+    * flatMapGroupsWithState operator ([[graft.streaming.EventStreams.sessionize]])
+    * run in batch, verified against a relational gaps-and-islands oracle. */
+  val c6Sessionize: Q = (s, d) => {
+    import s.implicits._
+    val events = Tables.events(s, d)
+      .select(col("user_id"), col("event_time"), col("event_type"), col("value"))
+      .as[graft.streaming.EventStreams.Event]
+    graft.streaming.EventStreams.sessionize(events, gapMinutes = 30)
+      .toDF()
+      .select(
+        col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        col("n_events"),
+        round(col("value_sum"), 2).alias("value_sum"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** C1: SCD2 initial load over customer-derived attribute tuples with a
     * fixed injected clock ([[graft.etl.Dimensions.scd2InitialLoad]]). */
   val c1Scd2: Q = (s, d) => {
@@ -205,6 +238,33 @@ object CompositeQueries {
                 1 AS is_current, 1 AS version
          FROM (SELECT DISTINCT c_name, c_nationkey, c_mktsegment FROM customer)
          ORDER BY customer_key""",
+    "j4b_asof_join" ->
+      """SELECT user_id, purchase_id, view_id, delta_us FROM (
+           SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+                  epoch_us(v.ts) - epoch_us(p.ts) AS delta_us,
+                  row_number() OVER (PARTITION BY p.event_id
+                    ORDER BY abs(epoch_us(v.ts) - epoch_us(p.ts)), epoch_us(v.ts)) AS rk
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           JOIN (SELECT * FROM events WHERE event_type = 'view') v
+             ON p.user_id = v.user_id
+            AND abs(epoch_us(p.ts) - epoch_us(v.ts)) < 3600000000)
+         WHERE rk = 1 ORDER BY purchase_id""",
+    "c6_sessionize" ->
+      """WITH lagged AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         sess AS (
+           SELECT user_id, ts, value,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+           FROM lagged)
+         SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                CAST(count(*) AS INT) AS n_events, round(sum(value), 2) AS value_sum
+         FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""",
     "c1b_scd2_merge" ->
       """WITH base AS (SELECT DISTINCT c_name, c_mktsegment, c_nationkey FROM customer)
          SELECT * FROM (
@@ -259,6 +319,8 @@ object CompositeQueries {
 
   val queries: Map[String, Q] = Map(
     "j4_band_join" -> j4BandJoin,
+    "j4b_asof_join" -> j4bAsOfJoin,
+    "c6_sessionize" -> c6Sessionize,
     "c1_scd2" -> c1Scd2,
     "c1b_scd2_merge" -> c1bScd2Merge,
     "c2_calendar" -> c2Calendar,
