@@ -66,6 +66,18 @@ object CompositeQueries {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** ST1 (beyond reference parity): tumbling-window aggregation — the
+    * Structured-Streaming operator ([[graft.streaming.EventStreams.windowedCounts]])
+    * evaluated in batch, verified against a DuckDB time_bucket oracle. */
+  val st1WindowedCounts: Q = (s, d) =>
+    graft.streaming.EventStreams.windowedCounts(Tables.events(s, d), "1 hour", "2 hours")
+      .select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        col("event_type"),
+        col("n"),
+        col("value_sum"))
+      .orderBy(col("window_start"), col("event_type"))
+
   /** C1: SCD2 initial load over customer-derived attribute tuples with a
     * fixed injected clock ([[graft.etl.Dimensions.scd2InitialLoad]]). */
   val c1Scd2: Q = (s, d) => {
@@ -238,6 +250,10 @@ object CompositeQueries {
                 1 AS is_current, 1 AS version
          FROM (SELECT DISTINCT c_name, c_nationkey, c_mktsegment FROM customer)
          ORDER BY customer_key""",
+    "st1_windowed_counts" ->
+      """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS value_sum
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "j4b_asof_join" ->
       """SELECT user_id, purchase_id, view_id, delta_us FROM (
            SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
@@ -321,6 +337,7 @@ object CompositeQueries {
     "j4_band_join" -> j4BandJoin,
     "j4b_asof_join" -> j4bAsOfJoin,
     "c6_sessionize" -> c6Sessionize,
+    "st1_windowed_counts" -> st1WindowedCounts,
     "c1_scd2" -> c1Scd2,
     "c1b_scd2_merge" -> c1bScd2Merge,
     "c2_calendar" -> c2Calendar,
