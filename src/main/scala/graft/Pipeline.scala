@@ -1,8 +1,10 @@
 package graft
 
 import graft.etl.{BronzeToSilver, Dimensions}
+import graft.etl.Keys.KeyStrategy
 import graft.model.{Clock, Schemas, SystemClock}
 import graft.sql.FactViews
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** S7: end-to-end pipeline driver — the Spark-native collapse of the
@@ -10,6 +12,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (`weather_extractor_lambda.py:82-90`, `README.md:55-59`): one
   * SparkSession, stages invoked in dependency order, clock injected for
   * deterministic runs.
+  *
+  * Scale defaults: silver writes are dynamic-partition overwrites (a
+  * re-run of the same batch replaces its own partitions instead of
+  * double-appending), fact keys use the shuffle-free
+  * [[graft.etl.Keys.scalableSurrogate]] scheme, and `materializeGold`
+  * persists the three fact views as parquet so repeated analytics queries
+  * scan gold once instead of recomputing the whole view pipeline per
+  * query (Athena-style view inlining is the `materializeGold = false`
+  * parity mode).
   */
 object Pipeline {
 
@@ -21,12 +32,28 @@ object Pipeline {
       dimLocation: DataFrame,
       dimDate: DataFrame)
 
+  /** Existence probe through the Hadoop FileSystem API — works on any
+    * supported scheme (s3a://, hdfs://, file:/), unlike `java.io.File`. */
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Bronze→Silver→Gold→views. Reads bronze JSON (explicit permissive
     * schema), writes silver/gold parquet, registers the fact views, and
     * returns the layer DataFrames (read back from parquet so downstream
     * consumers see exactly what was persisted). */
-  def run(spark: SparkSession, layout: Layout, clock: Clock = SystemClock): Outputs = {
-    // Stage 1 — bronze → silver (bronze_to_silver.py analog)
+  def run(
+      spark: SparkSession,
+      layout: Layout,
+      clock: Clock = SystemClock,
+      keys: KeyStrategy = KeyStrategy.Scalable,
+      materializeGold: Boolean = false,
+      registerViews: Boolean = true): Outputs = {
+    // Stage 1 — bronze → silver (bronze_to_silver.py analog). Overwrite
+    // mode + dynamic partitionOverwriteMode (set in Sessions) replaces
+    // exactly the date partitions present in this batch: re-running a
+    // batch is idempotent, while other dates' partitions are untouched.
     val currentBronze = BronzeToSilver.readBronze(
       spark, s"${layout.bronzeDir}/raw/current/*/*/*/*/*.json", Some(Schemas.currentBronze))
     val forecastBronze = BronzeToSilver.readBronze(
@@ -34,10 +61,10 @@ object Pipeline {
 
     BronzeToSilver.writeSilver(
       BronzeToSilver.currentSilver(currentBronze, clock),
-      s"${layout.silverDir}/current_weather", "observation_date")
+      s"${layout.silverDir}/current_weather", "observation_date", mode = "overwrite")
     BronzeToSilver.writeSilver(
       BronzeToSilver.forecastSilver(forecastBronze, clock),
-      s"${layout.silverDir}/forecast_weather", "forecast_created_date")
+      s"${layout.silverDir}/forecast_weather", "forecast_created_date", mode = "overwrite")
 
     val currentSilver = spark.read.parquet(s"${layout.silverDir}/current_weather")
     val forecastSilver = spark.read.parquet(s"${layout.silverDir}/forecast_weather")
@@ -45,7 +72,7 @@ object Pipeline {
     // Stage 2 — silver → gold dims (build_dimensions.py analog);
     // SCD2 "exists" branch = skip, matching build_dimensions.py:96-97
     val dimLocPath = s"${layout.goldDir}/dim_location"
-    if (!new java.io.File(dimLocPath).exists())
+    if (!pathExists(spark, dimLocPath))
       Dimensions.writeDim(Dimensions.buildDimLocation(currentSilver, clock), dimLocPath)
     Dimensions.writeDim(Dimensions.buildDimDate(spark), s"${layout.goldDir}/dim_date")
 
@@ -53,9 +80,30 @@ object Pipeline {
     val dimDate = spark.read.parquet(s"${layout.goldDir}/dim_date")
 
     // Stage 3 — fact views (create_views.sql analog)
-    FactViews.registerAll(spark, currentSilver, forecastSilver, dimLocation, dimDate, clock)
-    currentSilver.createOrReplaceTempView("current_weather")
-    forecastSilver.createOrReplaceTempView("forecast_weather")
+    if (materializeGold) {
+      val actual = FactViews.factWeatherActual(currentSilver, dimLocation, dimDate, keys)
+      val forecast = FactViews.factWeatherForecast(forecastSilver, dimLocation, dimDate, keys)
+      actual.write.mode("overwrite").parquet(s"${layout.goldDir}/fact_weather_actual")
+      forecast.write.mode("overwrite").parquet(s"${layout.goldDir}/fact_weather_forecast")
+      val actualM = spark.read.parquet(s"${layout.goldDir}/fact_weather_actual")
+      val forecastM = spark.read.parquet(s"${layout.goldDir}/fact_weather_forecast")
+      FactViews.factForecastAccuracy(forecastM, actualM, clock, keys = keys)
+        .write.mode("overwrite").parquet(s"${layout.goldDir}/fact_forecast_accuracy")
+      if (registerViews) {
+        dimLocation.createOrReplaceTempView("dim_location")
+        dimDate.createOrReplaceTempView("dim_date")
+        actualM.createOrReplaceTempView("fact_weather_actual")
+        forecastM.createOrReplaceTempView("fact_weather_forecast")
+        spark.read.parquet(s"${layout.goldDir}/fact_forecast_accuracy")
+          .createOrReplaceTempView("fact_forecast_accuracy")
+      }
+    } else if (registerViews) {
+      FactViews.registerAll(spark, currentSilver, forecastSilver, dimLocation, dimDate, clock, keys)
+    }
+    if (registerViews) {
+      currentSilver.createOrReplaceTempView("current_weather")
+      forecastSilver.createOrReplaceTempView("forecast_weather")
+    }
 
     Outputs(currentSilver, forecastSilver, dimLocation, dimDate)
   }

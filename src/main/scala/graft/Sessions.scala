@@ -35,6 +35,9 @@ object Sessions {
       // Set once, up front: any parquet footer with TIMESTAMP(NANOS) read
       // by this session yields LongType deterministically.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // partitioned overwrites replace only the partitions present in the
+      // incoming batch (idempotent re-runs), never the whole table
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -45,7 +45,12 @@ object Dimensions {
       orderCols: Seq[Column],
       clock: Clock): DataFrame =
     attrs
-      .withColumn(surrogateName, row_number().over(Window.orderBy(orderCols: _*)))
+      // constant partition key: dense ordered dim keys REQUIRE a single
+      // sorted partition; partitionBy(lit) states that on purpose (the
+      // bare Window.orderBy form emits the accidental-scale-hazard
+      // WindowExec warning on every dim build). Dims are small by
+      // definition — fact keys use Keys.scalableSurrogate instead.
+      .withColumn(surrogateName, row_number().over(Window.partitionBy(lit(0)).orderBy(orderCols: _*)))
       .withColumn("effective_from_date", clock.nowDate)
       .withColumn("effective_to_date", lit("9999-12-31").cast("date"))
       .withColumn("is_current", lit(true))
@@ -127,7 +132,8 @@ object Dimensions {
       .select(
         naturalKeys.map(col) ++ attrCols.map(col) :+
           coalesce(col(s"__bk_version") + 1, lit(1)).alias("version"): _*)
-      .withColumn("__rn", row_number().over(Window.orderBy(orderCols.map(col): _*)))
+      // dim-delta-sized input; constant partition key as in scd2InitialLoad
+      .withColumn("__rn", row_number().over(Window.partitionBy(lit(0)).orderBy(orderCols.map(col): _*)))
       .crossJoin(broadcast(maxKey))
       .withColumn(surrogateName, (col("__mk") + col("__rn")).cast("int"))
       .drop("__rn", "__mk")
@@ -192,6 +198,24 @@ object Dimensions {
 /** Surrogate-key helpers. */
 object Keys {
 
+  /** How fact-table surrogate keys are generated. Downstream analytics
+    * never read fact keys (they are row identities, not join keys — the
+    * reference's queries join on the DIM keys only, `sample_queries
+    * .sql:25,40`), so results are invariant to the choice; the
+    * `wx_q{1,4}_parity_keys` CORRECTNESS entries prove it. */
+  sealed trait KeyStrategy
+
+  object KeyStrategy {
+    /** Default scale path: unique (not dense, not ordered) 64-bit ids —
+      * no shuffle, no sort, survives 100 TB. */
+    case object Scalable extends KeyStrategy
+
+    /** Reference parity (`create_views.sql:8,41,73`): dense ordered
+      * `row_number` over an unpartitioned window — a single-partition
+      * sort, the one plan shape that dies at scale. Opt-in oracle mode. */
+    case object ParityRowNumber extends KeyStrategy
+  }
+
   /** W1 parity: global `row_number` key (`create_views.sql:8`). Single
     * partition sort — correct but a scale bottleneck; prefer
     * [[scalableSurrogate]] for fact tables. */
@@ -204,4 +228,12 @@ object Keys {
     * (fact keys), not dense ordering (small dim keys). */
   def scalableSurrogate(df: DataFrame, name: String): DataFrame =
     df.withColumn(name, monotonically_increasing_id())
+
+  /** Apply the chosen fact-key strategy. `orderCols` define the parity
+    * mode's total order; ignored by the scalable path. */
+  def surrogate(df: DataFrame, name: String, orderCols: Seq[Column], strategy: KeyStrategy): DataFrame =
+    strategy match {
+      case KeyStrategy.Scalable => scalableSurrogate(df, name)
+      case KeyStrategy.ParityRowNumber => globalRowNumber(df, name, orderCols)
+    }
 }

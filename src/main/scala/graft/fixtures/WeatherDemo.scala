@@ -23,6 +23,11 @@ object WeatherDemo {
   val BatchId = "20240101_060000"
   private val baseEpoch = 1704088800L // 2024-01-01 06:00:00 UTC
 
+  /** The injected pipeline clock — exposed so callers rebuilding fact
+    * views out-of-band (e.g. the parity-key CORRECTNESS entries) feed the
+    * identical `created_timestamp`. */
+  val DemoClock: FixedClock = FixedClock("2024-01-01 07:00:00")
+
   def currentJson(
       city: String,
       country: String,
@@ -99,7 +104,44 @@ object WeatherDemo {
       Pipeline.run(
         spark,
         Pipeline.Layout(root.toString, s"$root/silver", s"$root/gold"),
-        FixedClock("2024-01-01 07:00:00"))
+        DemoClock)
     }
+  }
+
+  private var materializedGold: Option[String] = None
+
+  /** Run the demo pipeline once with `materializeGold = true` (fact views
+    * persisted as parquet — the 100× answer to per-query view
+    * recomputation) WITHOUT registering session views, and return the
+    * gold dir. The `wx_mat_q*` CORRECTNESS entries query these parquet
+    * tables against the same hand-computed oracles the lazy views match. */
+  def ensureMaterializedGold(spark: SparkSession): String = synchronized {
+    materializedGold.getOrElse {
+      val root = Files.createTempDirectory("graft-wx-mat")
+      writeBronze(root)
+      Pipeline.run(
+        spark,
+        Pipeline.Layout(root.toString, s"$root/silver", s"$root/gold"),
+        DemoClock,
+        materializeGold = true,
+        registerViews = false)
+      materializedGold = Some(s"$root/gold")
+      materializedGold.get
+    }
+  }
+
+  /** Rebuild the accuracy fact from the registered silver/dim tables
+    * under the opt-in parity `row_number` key scheme — the invariance
+    * counterpart to the default scalable-key pipeline. */
+  def parityKeyAccuracy(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    ensurePipeline(spark)
+    import graft.etl.Keys.KeyStrategy.ParityRowNumber
+    val actual = graft.sql.FactViews.factWeatherActual(
+      spark.table("current_weather"), spark.table("dim_location"), spark.table("dim_date"),
+      keys = ParityRowNumber)
+    val forecast = graft.sql.FactViews.factWeatherForecast(
+      spark.table("forecast_weather"), spark.table("dim_location"), spark.table("dim_date"),
+      keys = ParityRowNumber)
+    graft.sql.FactViews.factForecastAccuracy(forecast, actual, DemoClock, keys = ParityRowNumber)
   }
 }

@@ -170,6 +170,71 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression with 
     copy(child = newChild)
 }
 
+/** `l2_normalize(v)`: v / sqrt(dot(v,v)) over an array<double>, one
+  * compiled loop per row. NULL for zero (or empty) vectors, so degenerate
+  * embeddings are dropped loudly at an explicit `isNotNull` filter instead
+  * of silently propagating NaN similarities through threshold/rank
+  * filters. Division is by the norm (not multiplication by its inverse),
+  * bit-identical to the higher-order `transform(v, x -> x / sqrt(dot))`
+  * form it replaces — which also re-evaluated the full dot product once
+  * PER ELEMENT (O(d²) per row) because the norm lived inside the lambda.
+  */
+case class L2Normalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "l2_normalize"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = v.getDouble(i); s += x * x; i += 1 }
+    if (s <= 0.0) null
+    else {
+      val nrm = math.sqrt(s)
+      val out = new Array[Double](n)
+      i = 0
+      while (i < n) { out(i) = v.getDouble(i) / nrm; i += 1 }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val uad = classOf[UnsafeArrayData].getName
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val nrm = ctx.freshName("nrm")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $v.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $v.getDouble($i);
+         |  $s += $x * $x;
+         |}
+         |if ($s <= 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $nrm = java.lang.Math.sqrt($s);
+         |  double[] $out = new double[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $out[$i] = $v.getDouble($i) / $nrm;
+         |  }
+         |  ${ev.value} = $uad.fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): L2Normalize =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the native expressions. */
 object native {
 
@@ -184,4 +249,7 @@ object native {
     Bridge.column(DotProduct(
       Bridge.expression(a.cast("array<double>")),
       Bridge.expression(b.cast("array<double>"))))
+
+  def l2normalize(v: Column): Column =
+    Bridge.column(L2Normalize(Bridge.expression(v.cast("array<double>"))))
 }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StringType}
 
 /** SparkSessionExtensions hook exposing the native expressions to SQL:
   *
@@ -23,9 +23,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("minhash_signature"),
         new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
         (exprs: Seq[Expression]) =>
+          // explicit casts (here and below): the expressions skip
+          // ExpectsInputTypes (private[sql] AbstractDataType), so without
+          // a cast a wrong-typed argument dies at execution time with a
+          // ClassCastException instead of a plan-time analysis error
           exprs match {
-            case Seq(tokens, Literal(k: Int, IntegerType)) => MinHashSignature(tokens, k)
-            case Seq(tokens) => MinHashSignature(tokens, 64)
+            case Seq(tokens, Literal(k: Int, IntegerType)) =>
+              MinHashSignature(Cast(tokens, ArrayType(StringType)), k)
+            case Seq(tokens) => MinHashSignature(Cast(tokens, ArrayType(StringType)), 64)
             case _ => throw new IllegalArgumentException(
               "minhash_signature(tokens array<string>[, k int literal])")
           }
@@ -36,8 +41,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
         (exprs: Seq[Expression]) =>
           exprs match {
-            case Seq(text, Literal(n: Int, IntegerType)) => WordShingles(text, n)
-            case Seq(text) => WordShingles(text, 3)
+            case Seq(text, Literal(n: Int, IntegerType)) => WordShingles(Cast(text, StringType), n)
+            case Seq(text) => WordShingles(Cast(text, StringType), 3)
             case _ => throw new IllegalArgumentException(
               "word_shingles(text string[, n int literal])")
           }
@@ -48,11 +53,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
         (exprs: Seq[Expression]) =>
           exprs match {
-            // explicit casts: without ExpectsInputTypes there is no
-            // implicit coercion, and SQL float literals arrive as decimals
             case Seq(a, b) =>
               DotProduct(Cast(a, ArrayType(DoubleType)), Cast(b, ArrayType(DoubleType)))
             case _ => throw new IllegalArgumentException("dot_product(a array<double>, b array<double>)")
+          }
+      ))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("l2_normalize"),
+        new ExpressionInfo(classOf[L2Normalize].getName, "l2_normalize"),
+        (exprs: Seq[Expression]) =>
+          exprs match {
+            case Seq(v) => L2Normalize(Cast(v, ArrayType(DoubleType)))
+            case _ => throw new IllegalArgumentException("l2_normalize(v array<double>)")
           }
       ))
   }

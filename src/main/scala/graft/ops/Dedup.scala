@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for large-scale training-data pipelines.
@@ -73,13 +74,26 @@ object Dedup {
     * @param k     signature length (bands * rowsPerBand)
     * @param bands number of LSH bands; P(candidate) = 1-(1-J^r)^b
     */
+  /** @param maxBucket LSH buckets larger than this are dropped BEFORE the
+    *                   per-bucket id list materializes, so the worst case
+    *                   (a boilerplate-heavy corpus where thousands of
+    *                   near-identical texts co-bucket in every band) is
+    *                   bounded by construction: no unbounded
+    *                   `collect_list` buffer, no quadratic pair blow-up.
+    *                   A bucket that large is degenerate for NEAR-dup
+    *                   detection anyway — exact duplicates in it are
+    *                   caught by the exact digest pass
+    *                   ([[exactDupGroups]]), which is why the two passes
+    *                   are run together in practice. Audit drops with
+    *                   [[lshBucketStats]]. */
   def lshCandidatePairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleSize: Int = 3,
       k: Int = 64,
-      bands: Int = 16): DataFrame = {
+      bands: Int = 16,
+      maxBucket: Int = 1000): DataFrame = {
     val rows = k / bands
     // Structure matters three times over (all measured at sf0.1):
     //  - the signature is the native codegen'd expression
@@ -109,13 +123,44 @@ object Dedup {
           concat_ws(",", slice(col("__sig"), col("__band") * rows + 1, lit(rows))),
           col("__band")).alias("__bh"))
 
+    // bucket-size cap: a windowed count over the bucket key filters
+    // oversized buckets BEFORE collect_list ever aggregates them. The
+    // window and the groupBy hash-partition on the same (band, hash) key,
+    // so EnsureRequirements inserts exactly ONE shuffle — the cap is free.
     banded
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("__band"), col("__bh"))))
+      .filter(col("__bn") > 1 && col("__bn") <= maxBucket)
       .groupBy(col("__band"), col("__bh"))
       .agg(collect_list(col("__id")).alias("__ids"))
-      .filter(size(col("__ids")) > 1)
       .select(explode(pairCombinations(col("__ids"))).alias("__p"))
       .select(col("__p.id1"), col("__p.id2"))
       .distinct()
+  }
+
+  /** Bucket-occupancy audit for [[lshCandidatePairs]]: per-bucket sizes,
+    * descending — run before a production dedup to pick `maxBucket` and
+    * to see what a cap would drop (the drop itself is silent in the plan;
+    * this is the loud counterpart). */
+  def lshBucketStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      k: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val rows = k / bands
+    df.select(col(idCol).alias("__id"),
+      graft.functions.native.wordShingles(col(textCol), shingleSize).alias("__sh"))
+      .select(col("__id"), graft.functions.native.minhashSignature(col("__sh"), k).alias("__sig"))
+      .select(col("__id"), col("__sig"), explode(sequence(lit(0), lit(bands - 1))).alias("__band"))
+      .select(
+        col("__band"),
+        xxhash64(
+          concat_ws(",", slice(col("__sig"), col("__band") * rows + 1, lit(rows))),
+          col("__band")).alias("__bh"))
+      .groupBy(col("__band"), col("__bh"))
+      .agg(count(lit(1)).alias("bucket_size"))
+      .orderBy(col("bucket_size").desc)
   }
 
   /** All unordered id pairs within a bucket, as (id1 < id2) structs:

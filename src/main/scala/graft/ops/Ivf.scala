@@ -24,15 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  private def norml2(v: Column): Column =
-    transform(v, x => x / sqrt(native.dotProduct(v, v)))
+  /** Native single-pass L2 normalize; NULL for zero vectors (callers
+    * drop them explicitly rather than propagate NaN cosines). */
+  private def norml2(v: Column): Column = native.l2normalize(v)
 
   /** Assign every vector to its nearest centroid (by cosine, i.e. dot of
-    * normalized vectors). Returns (id, cell, vector) rows. */
+    * normalized vectors). Zero vectors (no direction, NaN cosine) are
+    * dropped at entry. Returns (id, cell, vector) rows. */
   def assign(corpus: DataFrame, idCol: String, vecCol: String, nCells: Int): DataFrame = {
     val normed = corpus.select(
       col(idCol).alias("__id"),
       norml2(col(vecCol).cast("array<double>")).alias("__v"))
+      .filter(col("__v").isNotNull)
     val cents = broadcast(
       normed.orderBy(col("__id")).limit(nCells)
         .select(col("__id").alias("cell"), col("__v").alias("__cv")))
@@ -59,6 +62,7 @@ object Ivf {
     // centroid vectors: the first nCells ids themselves
     val centroids = broadcast(
       corpus.select(col(idCol).alias("cell"), norml2(col(vecCol).cast("array<double>")).alias("__cv"))
+        .filter(col("__cv").isNotNull)
         .orderBy(col("cell")).limit(nCells))
 
     val queries = assigned.filter(col("__id").isin(queryIds: _*))

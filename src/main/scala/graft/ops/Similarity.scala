@@ -120,8 +120,13 @@ object Similarity {
       .select(col(idCol).alias("__id"), col(vecCol).cast("array<double>").alias("__v0"))
       .select(
         col("__id"),
-        transform(col("__v0"), x => x / sqrt(fdot(col("__v0"), col("__v0")))).alias("__v"),
+        // native normalize: one compiled loop per row (the HOF form
+        // re-evaluated the norm's dot product once per element), and NULL
+        // for zero vectors — dropped explicitly below instead of leaking
+        // NaN similarities past the threshold/rank filters
+        graft.functions.native.l2normalize(col("__v0")).alias("__v"),
         rhpSignature(col("__v0"), planes, dims).alias("__sig"))
+      .filter(col("__v").isNotNull)
       .select(col("__id"), col("__v"), col("__sig"), explode(sequence(lit(0), lit(bands - 1))).alias("band"))
       .withColumn("bh", xxhash64(concat_ws(",", slice(col("__sig"), col("band") * rows + 1, lit(rows))), col("band")))
       .drop("__sig")

@@ -43,10 +43,23 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "du", "est", "pour")
   )
 
-  def stopwordCount(text: Column, lang: String): Column = {
+  def stopwordCount(text: Column, lang: String): Column =
+    stopwordCountFromParts(words(text), lang)
+
+  /** Stopword hits from an already-tokenized words column. */
+  def stopwordCountFromParts(words: Column, lang: String): Column = {
     val set = stopwords(lang)
-    size(filter(words(text), t => t.isin(set.map(lit(_)): _*)))
+    size(filter(words, t => t.isin(set.map(lit(_)): _*)))
   }
+
+  def stopwordRatioFromParts(words: Column, lang: String = "en"): Column =
+    when(size(words) > 0, stopwordCountFromParts(words, lang).cast("double") / size(words))
+      .otherwise(0.0)
+
+  def avgWordLenFromParts(words: Column): Column =
+    when(size(words) > 0,
+      aggregate(words, lit(0L), (s, t) => s + length(t)).cast("double") / size(words))
+      .otherwise(0.0)
 
   def stopwordRatio(text: Column, lang: String = "en"): Column =
     when(wordCount(text) > 0, stopwordCount(text, lang).cast("double") / wordCount(text))
@@ -54,11 +67,15 @@ object TextAnalysis {
 
   /** Language ID: argmax of per-language stopword hits with a fixed
     * tie-break order (en > es > de > fr), 'und' when no hits at all. */
-  def langId(text: Column): Column = {
-    val en = stopwordCount(text, "en")
-    val es = stopwordCount(text, "es")
-    val de = stopwordCount(text, "de")
-    val fr = stopwordCount(text, "fr")
+  def langId(text: Column): Column = langIdFromParts(words(text))
+
+  /** [[langId]] from an already-tokenized words column (tokenize once,
+    * score four languages from the attribute). */
+  def langIdFromParts(words: Column): Column = {
+    val en = stopwordCountFromParts(words, "en")
+    val es = stopwordCountFromParts(words, "es")
+    val de = stopwordCountFromParts(words, "de")
+    val fr = stopwordCountFromParts(words, "fr")
     when(en + es + de + fr === 0, "und")
       .when(en >= es && en >= de && en >= fr, "en")
       .when(es >= de && es >= fr, "es")
@@ -158,18 +175,27 @@ object TextAnalysis {
         (s, x) => s + x),
       lit(1000000007L))
 
-  /** Full per-document profile in one narrow pass. */
+  /** Full per-document profile in one narrow pass. Tokenization is
+    * hoisted into its own projection (`__w`), so the text is split ONCE
+    * per document; every word-derived signal reads the attribute.
+    * (CollapseProject keeps a multiply-referenced non-cheap expression in
+    * its own projection, so the hoist survives optimization.) The naive
+    * per-signal forms re-tokenized ~6× per row. Arithmetic is identical
+    * to the unhoisted functions, so results agree bit-for-bit. */
   def profile(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    df.withColumn("n_chars_calc", length(t))
-      .withColumn("n_words", wordCount(t))
+    val w = col("__w")
+    df.withColumn("__w", words(t))
+      .withColumn("n_chars_calc", length(t))
+      .withColumn("n_words", size(w))
       .withColumn("n_tokens", tokenCount(t))
-      .withColumn("avg_word_len", round(avgWordLen(t), 4))
+      .withColumn("avg_word_len", round(avgWordLenFromParts(w), 4))
       .withColumn("punct_ratio", round(punctRatio(t), 4))
-      .withColumn("stopword_ratio", round(stopwordRatio(t), 4))
-      .withColumn("lang_pred", langId(t))
-      .withColumn("quality_score", qualityScore(t))
+      .withColumn("stopword_ratio", round(stopwordRatioFromParts(w), 4))
+      .withColumn("lang_pred", langIdFromParts(w))
+      .withColumn("quality_score", qualityScoreFromParts(t, w))
       .withColumn("quality_bucket", qualityBucket(col("quality_score")))
       .withColumn("fingerprint", charFingerprint(t))
+      .drop("__w")
   }
 }

@@ -125,13 +125,14 @@ object LlmQueries {
   val txProfile: Q = (s, d) =>
     Tables.documents(s, d)
       .filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text"), TextAnalysis.words(col("text")).alias("__w"))
       .select(
         col("doc_id"),
-        TextAnalysis.wordCount(col("text")).alias("n_words"),
+        size(col("__w")).alias("n_words"),
         TextAnalysis.tokenCount(col("text")).alias("n_tokens"),
         round(TextAnalysis.punctRatio(col("text")), 4).alias("punct_ratio"),
-        round(TextAnalysis.stopwordRatio(col("text")), 4).alias("stopword_ratio"),
-        TextAnalysis.langId(col("text")).alias("lang_pred"))
+        round(TextAnalysis.stopwordRatioFromParts(col("__w")), 4).alias("stopword_ratio"),
+        TextAnalysis.langIdFromParts(col("__w")).alias("lang_pred"))
       .orderBy(col("doc_id"))
 
   /** Quality scoring + bucketing over the whole corpus (tokenization
@@ -183,8 +184,10 @@ object LlmQueries {
       .orderBy(col("media_id"))
   }
 
-  /** Stubbed feature extraction through the typed mapPartitions batch path
-    * (rows-only: the stub codec is Spark-side; unit-tested instead). */
+  /** Stubbed feature extraction through the typed mapPartitions batch
+    * path. The stub features are deterministic byte statistics over
+    * pure-ASCII payloads, so DuckDB reproduces byte mean/variance exactly
+    * from `ascii()` — a full value oracle, not rows-only. */
   val mmFeatures: Q = (s, d) => {
     implicit val sp: SparkSession = s
     Multimodal.extractFeatures(
@@ -329,6 +332,23 @@ object LlmQueries {
                 CAST(list_sum(list_transform(range(1, len(text) + 1),
                        i -> i * ascii(substr(text, CAST(i AS INT), 1)))) % 1000000007 AS BIGINT) AS fingerprint
          FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
+    "mm_features" ->
+      """WITH b AS (
+           SELECT doc_id,
+                  len(text) AS n,
+                  list_transform(range(1, len(text) + 1),
+                    i -> ascii(substr(text, CAST(i AS INT), 1))) AS bytes
+           FROM documents WHERE doc_id < 50
+         )
+         SELECT CAST(doc_id AS BIGINT) AS media_id,
+                CAST(n AS BIGINT) AS n_bytes,
+                CASE WHEN n = 0 THEN 0.0
+                     ELSE round(CAST(list_sum(bytes) AS DOUBLE) / n, 4) END AS byte_mean,
+                CASE WHEN n = 0 THEN 0.0
+                     ELSE round(CAST(list_sum(list_transform(bytes, x -> x * x)) AS DOUBLE) / n
+                                - (CAST(list_sum(bytes) AS DOUBLE) / n)
+                                  * (CAST(list_sum(bytes) AS DOUBLE) / n), 4) END AS byte_var
+         FROM b ORDER BY media_id""",
     "mm_resize" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id, 'fake/utf8;resized/4' AS media_type,
                 CAST((len(text) + 3) // 4 AS BIGINT) AS n_bytes_resized,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.fixtures.WeatherDemo
-import graft.sql.Analytics
+import graft.sql.{Analytics, AnalyticsSql}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -59,7 +59,46 @@ object WeatherQueries {
     Analytics.qualityDistribution(s.table("fact_forecast_accuracy"))
   }
 
-  val oracles: Map[String, String] = Map(
+  /** Key-scheme invariance: Q1/Q4 rebuilt with the opt-in parity
+    * `row_number` fact keys must match the same hand-computed oracle the
+    * default scalable-key pipeline matches — fact keys are row
+    * identities, never inputs to analytics. */
+  val wxQ1ParityKeys: Q = (s, _) =>
+    Analytics.accuracyByHorizon(WeatherDemo.parityKeyAccuracy(s))
+
+  val wxQ4ParityKeys: Q = (s, _) =>
+    Analytics.qualityDistribution(WeatherDemo.parityKeyAccuracy(s))
+
+  /** Materialized-gold parity: Q2/Q4 over the PERSISTED fact parquet
+    * (Pipeline.run(materializeGold = true)) — the scale answer to
+    * Athena-style per-query view recomputation — must land on the same
+    * hand-computed numbers as the lazy views. */
+  val wxQ2Materialized: Q = (s, _) => {
+    val gold = WeatherDemo.ensureMaterializedGold(s)
+    Analytics.cityRanking(
+      s.read.parquet(s"$gold/fact_forecast_accuracy"),
+      s.read.parquet(s"$gold/dim_location"))
+  }
+
+  val wxQ4Materialized: Q = (s, _) => {
+    val gold = WeatherDemo.ensureMaterializedGold(s)
+    Analytics.qualityDistribution(s.read.parquet(s"$gold/fact_forecast_accuracy"))
+  }
+
+  /** Dialect-level parity: the reference's queries run as SQL TEXT
+    * (`sample_queries.sql` via [[AnalyticsSql]]) against the registered
+    * views, sharing the wx_q* oracles. */
+  val wxSqlQ1: Q = (s, _) => { WeatherDemo.ensurePipeline(s); s.sql(AnalyticsSql.q1) }
+  val wxSqlQ2: Q = (s, _) => { WeatherDemo.ensurePipeline(s); s.sql(AnalyticsSql.q2) }
+  val wxSqlQ3: Q = (s, _) => {
+    WeatherDemo.ensurePipeline(s)
+    // formatted post-SQL for oracle portability, as in wx_q3_summary
+    s.sql(AnalyticsSql.q3("2024-01-01"))
+      .withColumn("observation_time", date_format(col("observation_time"), "yyyy-MM-dd HH:mm:ss"))
+  }
+  val wxSqlQ4: Q = (s, _) => { WeatherDemo.ensurePipeline(s); s.sql(AnalyticsSql.q4) }
+
+  private val baseOracles: Map[String, String] = Map(
     "wx_s1_flatten" ->
       """SELECT * FROM (VALUES
            ('London', 'GB', 10.0, 3.5, 'Clouds', 'Cold', '2024-01-01', 0),
@@ -91,11 +130,32 @@ object WeatherQueries {
          ORDER BY temp_accuracy_category"""
   )
 
+  /** Parity-key and SQL-text variants share the base oracles verbatim:
+    * same hand-computed numbers regardless of key scheme or dialect. */
+  val oracles: Map[String, String] = baseOracles ++ Map(
+    "wx_q1_parity_keys" -> baseOracles("wx_q1_accuracy"),
+    "wx_q4_parity_keys" -> baseOracles("wx_q4_quality"),
+    "wx_mat_q2" -> baseOracles("wx_q2_city_ranking"),
+    "wx_mat_q4" -> baseOracles("wx_q4_quality"),
+    "wx_sql_q1" -> baseOracles("wx_q1_accuracy"),
+    "wx_sql_q2" -> baseOracles("wx_q2_city_ranking"),
+    "wx_sql_q3" -> baseOracles("wx_q3_summary"),
+    "wx_sql_q4" -> baseOracles("wx_q4_quality")
+  )
+
   val queries: Map[String, Q] = Map(
     "wx_s1_flatten" -> wxS1Flatten,
     "wx_q1_accuracy" -> wxQ1Accuracy,
     "wx_q2_city_ranking" -> wxQ2CityRanking,
     "wx_q3_summary" -> wxQ3Summary,
-    "wx_q4_quality" -> wxQ4Quality
+    "wx_q4_quality" -> wxQ4Quality,
+    "wx_q1_parity_keys" -> wxQ1ParityKeys,
+    "wx_q4_parity_keys" -> wxQ4ParityKeys,
+    "wx_mat_q2" -> wxQ2Materialized,
+    "wx_mat_q4" -> wxQ4Materialized,
+    "wx_sql_q1" -> wxSqlQ1,
+    "wx_sql_q2" -> wxSqlQ2,
+    "wx_sql_q3" -> wxSqlQ3,
+    "wx_sql_q4" -> wxSqlQ4
   )
 }

@@ -1,6 +1,7 @@
 package graft.sql
 
 import graft.etl.Keys
+import graft.etl.Keys.KeyStrategy
 import graft.model.Clock
 import graft.ops.BandJoin
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -12,9 +13,14 @@ import org.apache.spark.sql.functions._
   * Scale notes:
   *  - both dims are broadcast explicitly: dim_location is 8 rows,
   *    dim_date 1096 — never worth a shuffle side.
-  *  - the surrogate `row_number` keys keep reference parity (W1) with the
+  *  - surrogate keys default to [[graft.etl.Keys.scalableSurrogate]]
+  *    (no global sort — the 100 TB path). Pass
+  *    `keys = KeyStrategy.ParityRowNumber` for the reference's dense
+  *    ordered `row_number` (W1, `create_views.sql:8,41,73`) with the
   *    ordering extended to a total order so keys are deterministic
-  *    (SURVEY §7.4 item 2). At 100 TB swap in [[graft.etl.Keys.scalableSurrogate]].
+  *    (SURVEY §7.4 item 2). Analytics outputs are invariant to the
+  *    choice (fact keys are row identities, never join keys) — proven by
+  *    the `wx_q{1,4}_parity_keys` CORRECTNESS entries.
   *  - the accuracy view's forecast↔actual band join defaults to the
   *    bucketed strategy ([[graft.ops.BandJoin.bucketed]]); `faithful=true`
   *    reproduces the reference's equi-join + residual-filter shape.
@@ -23,7 +29,11 @@ object FactViews {
 
   /** fact_weather_actual (`create_views.sql:6-35`): J1 multi-key dim join
     * with `is_current`, J2 date-cast join, W1 surrogate key. */
-  def factWeatherActual(currentSilver: DataFrame, dimLocation: DataFrame, dimDate: DataFrame): DataFrame = {
+  def factWeatherActual(
+      currentSilver: DataFrame,
+      dimLocation: DataFrame,
+      dimDate: DataFrame,
+      keys: KeyStrategy = KeyStrategy.Scalable): DataFrame = {
     val dl = broadcast(dimLocation.filter(col("is_current") === true))
     val dd = broadcast(dimDate)
     currentSilver
@@ -51,13 +61,17 @@ object FactViews {
         col("batch_id"),
         col("processed_timestamp")
       )
-      .transform(Keys.globalRowNumber(_, "actual_weather_key",
-        Seq(col("observation_time"), col("location_key"))))
+      .transform(Keys.surrogate(_, "actual_weather_key",
+        Seq(col("observation_time"), col("location_key")), keys))
   }
 
   /** fact_weather_forecast (`create_views.sql:39-67`): J3 role-playing
     * date dim joined twice under aliases. */
-  def factWeatherForecast(forecastSilver: DataFrame, dimLocation: DataFrame, dimDate: DataFrame): DataFrame = {
+  def factWeatherForecast(
+      forecastSilver: DataFrame,
+      dimLocation: DataFrame,
+      dimDate: DataFrame,
+      keys: KeyStrategy = KeyStrategy.Scalable): DataFrame = {
     val dl = broadcast(dimLocation.filter(col("is_current") === true))
     val ddCreated = broadcast(dimDate.select(
       col("full_date").alias("__created_full_date"),
@@ -88,8 +102,8 @@ object FactViews {
         col("batch_id"),
         col("processed_timestamp")
       )
-      .transform(Keys.globalRowNumber(_, "forecast_key",
-        Seq(col("forecast_created_time"), col("forecast_for_time"), col("location_key"))))
+      .transform(Keys.surrogate(_, "forecast_key",
+        Seq(col("forecast_created_time"), col("forecast_for_time"), col("location_key")), keys))
   }
 
   /** C3 accuracy derivation columns shared by the weather view and the
@@ -124,7 +138,8 @@ object FactViews {
       factForecast: DataFrame,
       factActual: DataFrame,
       clock: Clock,
-      faithful: Boolean = false): DataFrame = {
+      faithful: Boolean = false,
+      keys: KeyStrategy = KeyStrategy.Scalable): DataFrame = {
     val f = factForecast.select(
       col("location_key"),
       col("forecast_created_date_key"),
@@ -170,9 +185,9 @@ object FactViews {
       col("weather_condition_forecast"),
       col("weather_condition_actual"),
       clock)
-      .transform(Keys.globalRowNumber(_, "accuracy_key",
+      .transform(Keys.surrogate(_, "accuracy_key",
         Seq(col("forecast_created_time"), col("forecast_for_time"),
-          col("location_key"), col("actual_observation_time"))))
+          col("location_key"), col("actual_observation_time")), keys))
       .drop("__f_epoch", "__a_epoch", "__a_location_key")
   }
 
@@ -183,10 +198,11 @@ object FactViews {
       forecastSilver: DataFrame,
       dimLocation: DataFrame,
       dimDate: DataFrame,
-      clock: Clock): Unit = {
-    val actual = factWeatherActual(currentSilver, dimLocation, dimDate)
-    val forecast = factWeatherForecast(forecastSilver, dimLocation, dimDate)
-    val accuracy = factForecastAccuracy(forecast, actual, clock)
+      clock: Clock,
+      keys: KeyStrategy = KeyStrategy.Scalable): Unit = {
+    val actual = factWeatherActual(currentSilver, dimLocation, dimDate, keys)
+    val forecast = factWeatherForecast(forecastSilver, dimLocation, dimDate, keys)
+    val accuracy = factForecastAccuracy(forecast, actual, clock, keys = keys)
     dimLocation.createOrReplaceTempView("dim_location")
     dimDate.createOrReplaceTempView("dim_date")
     actual.createOrReplaceTempView("fact_weather_actual")

@@ -42,45 +42,93 @@ object EventStreams {
       n_events: Int,
       value_sum: Double)
 
+  private def emit(userId: Long, s: SessionState): UserSession =
+    UserSession(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n, s.valueSum)
+
+  /** Fold a batch of events (sorted by time) into the current session
+    * state, emitting every session the gap rule closes along the way.
+    * Returns (open trailing session, closed sessions). */
+  private def foldSessions(
+      userId: Long,
+      sorted: Seq[Event],
+      initial: Option[SessionState],
+      gapMs: Long): (Option[SessionState], Seq[UserSession]) = {
+    var cur = initial
+    val closed = Seq.newBuilder[UserSession]
+    sorted.foreach { e =>
+      val t = e.event_time.getTime
+      cur match {
+        case Some(s) if t - s.last <= gapMs =>
+          cur = Some(s.copy(last = t, n = s.n + 1, valueSum = s.valueSum + e.value))
+        case Some(s) =>
+          closed += emit(userId, s)
+          cur = Some(SessionState(t, t, 1, e.value))
+        case None =>
+          cur = Some(SessionState(t, t, 1, e.value))
+      }
+    }
+    (cur, closed.result())
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session closes
-    * when `gapMinutes` pass without activity (processing-time timeout in
-    * streaming; end-of-group in batch tests). Emits closed sessions. */
+    * when `gapMinutes` pass without activity.
+    *
+    * Streaming input (`events.isStreaming`): the open session is KEPT in
+    * state across micro-batches and emitted only when the event-time
+    * watermark passes `last event + gap` (EventTimeTimeout) — a session
+    * spanning N micro-batches is emitted exactly once. `watermarkDelay`
+    * bounds late data; state size is O(active users), timeout-bounded.
+    *
+    * Batch input: end-of-group closes the trailing session (no more data
+    * is coming), which is the exact gaps-and-islands relational semantics
+    * the `c6_sessionize` oracle verifies. */
   def sessionize(
       events: Dataset[Event],
-      gapMinutes: Int): Dataset[UserSession] = {
+      gapMinutes: Int,
+      watermarkDelay: String = "0 seconds"): Dataset[UserSession] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
 
-    events
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, UserSession](
-        OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()) { (userId, it, state: GroupState[SessionState]) =>
-        // sort within group: batch semantics (test path); streaming relies
-        // on per-batch ordering + the gap rule
-        val sorted = it.toSeq.sortBy(_.event_time.getTime)
-        var cur = state.getOption
-        val closed = Seq.newBuilder[UserSession]
-        sorted.foreach { e =>
-          val t = e.event_time.getTime
-          cur match {
-            case Some(s) if t - s.last <= gapMs =>
-              cur = Some(s.copy(last = t, n = s.n + 1, valueSum = s.valueSum + e.value))
-            case Some(s) =>
-              closed += UserSession(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n, s.valueSum)
-              cur = Some(SessionState(t, t, 1, e.value))
-            case None =>
-              cur = Some(SessionState(t, t, 1, e.value))
+    if (events.isStreaming) {
+      events
+        .withWatermark("event_time", watermarkDelay)
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[SessionState, UserSession](
+          OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout()) { (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no new events: the session is
+            // definitively closed (later arrivals would be beyond-watermark
+            // late data by construction)
+            val s = state.get
+            state.remove()
+            Iterator.single(emit(userId, s))
+          } else {
+            val (open, closed) = foldSessions(
+              userId, it.toSeq.sortBy(_.event_time.getTime), state.getOption, gapMs)
+            open match {
+              case Some(s) =>
+                state.update(s)
+                // timeout must be strictly beyond the current watermark;
+                // a session already older than the watermark closes at the
+                // next trigger
+                state.setTimeoutTimestamp(math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+              case None => state.remove()
+            }
+            closed.iterator
           }
         }
-        // batch mode: close the trailing session too (no more data coming)
-        cur match {
-          case Some(s) =>
-            closed += UserSession(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n, s.valueSum)
-            state.remove()
-          case None => ()
+    } else {
+      events
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[SessionState, UserSession](
+          OutputMode.Append(),
+          GroupStateTimeout.NoTimeout()) { (userId, it, state: GroupState[SessionState]) =>
+          val (open, closed) = foldSessions(
+            userId, it.toSeq.sortBy(_.event_time.getTime), None, gapMs)
+          // batch mode: close the trailing session too (no more data coming)
+          (closed ++ open.map(emit(userId, _))).iterator
         }
-        closed.result().iterator
-      }
+    }
   }
 }

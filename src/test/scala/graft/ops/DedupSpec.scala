@@ -43,6 +43,29 @@ class DedupSpec extends SparkSuite {
     assert(pairs.find(p => p._1 == 1L && p._2 == 2L).get._3 === 1.0)
   }
 
+  test("LSH bucket cap bounds a degenerate boilerplate corpus; exact pass still catches it") {
+    // 1,000 identical boilerplate docs: every band-bucket they land in has
+    // 1,000 members — uncapped, that is one giant collect_list buffer and
+    // ~500k quadratic pairs PER BAND
+    val boiler = (100L until 1100L)
+      .map(i => (i, "please accept our terms and conditions before continuing to the site"))
+      .toDF("doc_id", "text")
+    val corpus = docs.union(boiler)
+    val pairs = Dedup.lshCandidatePairs(corpus, "doc_id", "text", maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // oversized buckets are dropped before materializing: no boilerplate
+    // pair survives, the small corpus's candidates are untouched
+    assert(pairs.forall { case (a, b) => a < 100L && b < 100L })
+    assert(pairs.map(p => (p._1, p._2)).toSet.contains((1L, 2L)))
+    // the replicated text is still caught — by the exact digest pass,
+    // which is why the two passes run together in practice
+    val groups = Dedup.exactDupGroups(corpus, "doc_id", "text").collect()
+    assert(groups.exists(g => g.getAs[Long]("dup_count") === 1000L && g.getAs[Long]("keeper_id") === 100L))
+    // audit surface: the stats report the degenerate occupancy loudly
+    val top = Dedup.lshBucketStats(corpus, "doc_id", "text").head()
+    assert(top.getAs[Long]("bucket_size") === 1000L)
+  }
+
   test("simhash: identical → hamming 0; near-dup close; unrelated far") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash64(col("text")).alias("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -29,9 +29,15 @@ class PipelineSpec extends SparkSuite {
 
   test("J1/J2/W1: actual fact keys resolve against both dims") {
     val fa = spark.table("fact_weather_actual")
-    val keys = fa.select("actual_weather_key").collect().map(_.getInt(0)).sorted
-    assert(keys === Array(1, 2))
+    // default = scalable surrogates: unique, not dense/ordered
+    val keys = fa.select("actual_weather_key").collect().map(_.getLong(0))
+    assert(keys.distinct.length === 2)
     assert(fa.select("date_key").distinct().head().getInt(0) === 20240101)
+    // opt-in parity mode: the reference's dense ordered row_number keys
+    val parity = FactViews.factWeatherActual(
+      outputs.currentSilver, outputs.dimLocation, outputs.dimDate,
+      keys = graft.etl.Keys.KeyStrategy.ParityRowNumber)
+    assert(parity.select("actual_weather_key").collect().map(_.getInt(0)).sorted === Array(1, 2))
   }
 
   test("J4/C3: accuracy view is the one-to-many band join with derived errors") {
@@ -85,6 +91,33 @@ class PipelineSpec extends SparkSuite {
     val q4 = Analytics.qualityDistribution(spark.table("fact_forecast_accuracy")).collect()
     assert(q4.map(_.getAs[Double]("percentage")).sum === 100.0)
     assert(q4.map(_.getAs[String]("temp_accuracy_category")).toSeq === Seq("Excellent", "Good"))
+  }
+
+  test("silver re-run is idempotent: dynamic partition overwrite, no double rows") {
+    val root = Files.createTempDirectory("graft-pipe3")
+    WeatherFixtures.standard(root)
+    val layout = Pipeline.Layout(root.toString, s"$root/silver", s"$root/gold")
+    val first = Pipeline.run(spark, layout, FixedClock("2024-01-01 07:00:00"))
+    assert(first.currentSilver.count() === 2 && first.forecastSilver.count() === 8)
+    // re-running the same batch replaces its own date partitions — the
+    // old append default silently doubled every silver row
+    val second = Pipeline.run(spark, layout, FixedClock("2024-01-01 07:00:00"))
+    assert(second.currentSilver.count() === 2)
+    assert(second.forecastSilver.count() === 8)
+  }
+
+  test("materialized gold: persisted fact tables answer the queries with identical results") {
+    val root = Files.createTempDirectory("graft-pipe4")
+    WeatherFixtures.standard(root)
+    val layout = Pipeline.Layout(root.toString, s"$root/silver", s"$root/gold")
+    Pipeline.run(spark, layout, FixedClock("2024-01-01 07:00:00"), materializeGold = true)
+    assert(new java.io.File(s"$root/gold/fact_forecast_accuracy").exists())
+    val q1 = Analytics.accuracyByHorizon(spark.table("fact_forecast_accuracy")).collect()
+    assert(q1.length === 1 && q1.head.getAs[Double]("accuracy_pct") === 50.0)
+    val q4 = Analytics.qualityDistribution(spark.table("fact_forecast_accuracy")).collect()
+    assert(q4.map(_.getAs[String]("temp_accuracy_category")).toSeq === Seq("Excellent", "Good"))
+    // restore the lazy-view registration for the other tests in this suite
+    Pipeline.run(spark, layout, FixedClock("2024-01-01 07:00:00"))
   }
 
   test("SCD2 skip branch: second run leaves dim_location untouched") {

@@ -66,22 +66,75 @@ class StreamingSpec extends SparkSuite {
     assert(sessions(2).user_id === 2L && sessions(2).n_events === 1)
   }
 
-  test("sessionization over a MemoryStream micro-batch emits closed sessions") {
+  test("streaming sessionization: a session spanning micro-batches is emitted exactly ONCE") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.Event]
     def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val q = EventStreams.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("graft_sessions_span").outputMode("append").start()
+
+    // batch 1: two events for user 7
+    input.addData(
+      EventStreams.Event(7L, ts(0), "click", 1.0),
+      EventStreams.Event(7L, ts(5), "click", 1.5))
+    q.processAllAvailable()
+    // batch 2: continuation WITHIN the gap — must merge into the open
+    // session, not start (or emit) a new one
+    input.addData(EventStreams.Event(7L, ts(10), "view", 2.5))
+    q.processAllAvailable()
+    assert(spark.table("graft_sessions_span").isEmpty) // still open: nothing emitted
+
+    // batches 3-4: watermark advancers (another user, far future). The
+    // timeout check runs against the PREVIOUS batch's watermark, so it
+    // takes one extra batch to observe the advance.
+    input.addData(EventStreams.Event(99L, ts(10000), "click", 0.0))
+    q.processAllAvailable()
+    input.addData(EventStreams.Event(99L, ts(10001), "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("graft_sessions_span").as[EventStreams.UserSession]
+      .collect().filter(_.user_id == 7L)
+    assert(got.length === 1) // ONE session — not one fragment per batch
+    assert(got(0).n_events === 3 && got(0).value_sum === 5.0)
+    assert(got(0).session_start.getTime === ts(0).getTime)
+    assert(got(0).session_end.getTime === ts(10).getTime)
+  }
+
+  test("streaming sessionization: in-batch gap closes immediately, trailing closes on timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val q = EventStreams.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("graft_sessions_gap").outputMode("append").start()
+
     input.addData(
       EventStreams.Event(7L, ts(0), "click", 1.0),
       EventStreams.Event(7L, ts(5), "click", 1.5),
       EventStreams.Event(8L, ts(0), "view", 4.0))
-    val q = EventStreams.sessionize(input.toDS(), gapMinutes = 30)
-      .writeStream.format("memory").queryName("graft_sessions").outputMode("append").start()
+    q.processAllAvailable()
+    // beyond-gap event in a later batch: the fold closes session 1 right
+    // here (no timeout needed) and opens session 2
+    input.addData(EventStreams.Event(7L, ts(120), "click", 9.0))
+    q.processAllAvailable()
+    val mid = spark.table("graft_sessions_gap").as[EventStreams.UserSession].collect()
+    assert(mid.count(_.user_id == 7L) === 1)
+    assert(mid.find(_.user_id == 7L).get.n_events === 2)
+
+    // advance the watermark twice → user 7's session 2 and user 8's
+    // session time out and emit
+    input.addData(EventStreams.Event(99L, ts(10000), "click", 0.0))
+    q.processAllAvailable()
+    input.addData(EventStreams.Event(99L, ts(10001), "click", 0.0))
     q.processAllAvailable()
     q.stop()
-    val got = spark.table("graft_sessions").as[EventStreams.UserSession]
-      .collect().sortBy(_.user_id)
-    assert(got.length === 2)
-    assert(got(0).user_id === 7L && got(0).n_events === 2)
+
+    val got = spark.table("graft_sessions_gap").as[EventStreams.UserSession]
+      .collect().sortBy(s => (s.user_id, s.session_start.getTime))
+    assert(got.count(_.user_id == 7L) === 2)
+    assert(got.filter(_.user_id == 7L).map(_.n_events).toSeq === Seq(2, 1))
+    assert(got.count(_.user_id == 8L) === 1)
   }
 }
