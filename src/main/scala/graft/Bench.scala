@@ -21,6 +21,9 @@ object Bench {
     val p0 = System.nanoTime()
     graft.fixtures.WeatherDemo.ensurePipeline(spark)
     val pipelineSec = (System.nanoTime() - p0) / 1e9
+    val m0 = System.nanoTime()
+    graft.fixtures.WeatherDemo.ensureMaterializedGold(spark)
+    val materializeSec = (System.nanoTime() - m0) / 1e9
     val outcomes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
@@ -34,7 +37,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"pipeline_bootstrap_sec":$pipelineSec,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"pipeline_bootstrap_sec":$pipelineSec,"materialize_gold_sec":$materializeSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling for corpus construction — the data
+  * mixing primitive of a training-data pipeline (keep 100% of high
+  * quality, 20% of low, 5% of junk, reproducibly).
+  *
+  * The keep decision hashes a stable per-row key: `md5(key)`'s first 4
+  * hex digits, compared lexicographically against `floor(rate · 16^4)`
+  * rendered as fixed-width hex. Fixed-width lowercase hex compares
+  * lexicographically exactly like the underlying 16-bit integer, so the
+  * rule is reproducible in ANY engine with md5 — the DuckDB oracle
+  * replays it verbatim (`sm_stratified`). Resolution is 1/65536 ≈
+  * 0.0015%, plenty for mixing rates.
+  *
+  * Scale shape: a narrow filter — no shuffle, no RNG state, no
+  * driver coordination; re-running on any subset of a 100 TB corpus
+  * keeps exactly the same rows. This is why hash-sampling (not
+  * `df.sample`, whose seed interacts with partitioning) is the standard
+  * at scale.
+  */
+object Sampling {
+
+  /** True iff `key` falls inside the keep-fraction `rate` of hash space. */
+  def hashKeep(key: Column, rate: Double): Column = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    if (rate >= 1.0) lit(true)
+    else if (rate <= 0.0) lit(false)
+    else substring(md5(key.cast("string")), 1, 4) < lit(f"${(rate * 65536).toLong}%04x")
+  }
+
+  /** Uniform deterministic sample: keep `rate` of rows by `key`. */
+  def sample(df: DataFrame, key: Column, rate: Double): DataFrame =
+    df.filter(hashKeep(key, rate))
+
+  /** Stratified deterministic sample: per-stratum keep rates, unlisted
+    * strata get `defaultRate`. One narrow filter, no shuffle. */
+  def stratifiedSample(
+      df: DataFrame,
+      strata: Column,
+      rates: Map[String, Double],
+      key: Column,
+      defaultRate: Double = 0.0): DataFrame = {
+    val keep = rates.foldLeft(when(lit(false), lit(true))) { case (acc, (s, r)) =>
+      acc.when(strata === s, hashKeep(key, r))
+    }.otherwise(hashKeep(key, defaultRate))
+    df.filter(keep)
+  }
+}

@@ -141,6 +141,29 @@ object TextAnalysis {
     round(lenScore * 0.3 + wordScore * 0.3 + stopScore * 0.3 + (lit(1.0) - punctPenalty) * 0.1, 4)
   }
 
+  /** Intra-document word repetition: 1 − (distinct words / words). The
+    * cheap boilerplate/spam signal — generated and templated text repeats
+    * tokens far above natural prose. */
+  def repetitionRatio(text: Column): Column = repetitionRatioFromParts(words(text))
+
+  def repetitionRatioFromParts(words: Column): Column =
+    when(size(words) > 0,
+      lit(1.0) - size(array_distinct(words)).cast("double") / size(words))
+      .otherwise(0.0)
+
+  /** Duplicate word-n-gram fraction: 1 − (distinct n-grams / n-grams).
+    * Catches phrase-level repetition that single-token repetition misses
+    * (loops in generated text, boilerplate headers). */
+  def dupNgramRatio(text: Column, n: Int): Column = {
+    val toks = words(text)
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    when(size(grams) > 0,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+      .otherwise(0.0)
+  }
+
   def qualityBucket(score: Column): Column =
     when(score >= 0.75, "high")
       .when(score >= 0.5, "medium")

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Contamination, Dedup, Multimodal, Quantization, Redaction, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -201,6 +201,83 @@ object LlmQueries {
       .orderBy(col("media_id"))
   }
 
+  /** PII redaction over documents with deterministically planted PII
+    * (the synthetic corpus itself is clean, so both engines append the
+    * same email/IP/phone suffix before redacting — the oracle checks the
+    * patterns and replacement, not the fixture). */
+  val txRedact: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 100)
+      .withColumn("txt",
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0.0."), pmod(col("doc_id"), lit(250)).cast("string"),
+          lit(" call +1 555 0100")))
+      .select(
+        col("doc_id"),
+        Redaction.emailCount(col("txt")).alias("n_emails"),
+        Redaction.ipCount(col("txt")).alias("n_ips"),
+        Redaction.phoneCount(col("txt")).alias("n_phones"),
+        Redaction.redactPii(col("txt")).alias("redacted"))
+      .orderBy(col("doc_id"))
+
+  /** Repetition quality signals (word-level + bigram-level). */
+  val txRepetition: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 100)
+      .select(
+        col("doc_id"),
+        round(TextAnalysis.repetitionRatio(col("text")), 4).alias("word_rep"),
+        round(TextAnalysis.dupNgramRatio(col("text"), 2), 4).alias("bigram_rep"))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic stratified sampling by length stratum (md5 hash-space
+    * keep rule — reproducible in any engine, the 100 TB mixing primitive). */
+  val smStratified: Q = (s, d) => {
+    val stratum = when(length(col("text")) >= 400, "long")
+      .when(length(col("text")) >= 150, "mid")
+      .otherwise("short")
+    Sampling.stratifiedSample(
+      Tables.documents(s, d).withColumn("stratum", stratum),
+      col("stratum"),
+      Map("long" -> 1.0, "mid" -> 0.5, "short" -> 0.125),
+      col("doc_id"))
+      .select(col("doc_id"), col("stratum"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark-contamination check: corpus docs vs a benchmark slice
+    * (doc_id % 50 == 0 ⇒ those corpus docs are fully contaminated by
+    * construction; the rest measure incidental trigram overlap). */
+  val ctNgramOverlap: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Contamination.ngramOverlap(
+      docs.filter(col("doc_id") < 300), "doc_id", "text",
+      docs.filter(pmod(col("doc_id"), lit(50)) === 0), "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus token-count histogram (the length-distribution audit every
+    * mixing plan starts from): docs per 20-token bucket + bucket token
+    * mass. */
+  val txTokenHist: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(TextAnalysis.tokenCount(col("text")).alias("__tok"))
+      .groupBy((floor(col("__tok") / 20) * 20).cast("int").alias("bucket_lo"))
+      .agg(count(lit(1)).alias("n_docs"), sum(col("__tok")).alias("total_tokens"))
+      .orderBy(col("bucket_lo"))
+
+  /** Per-vector int8 quantization audit: scale + max reconstruction
+    * error (bounded by scale/2 by construction). */
+  val eqQuantize: Q = (s, d) =>
+    Quantization.reconstructionError(
+      Tables.embeddings(s, d).filter(col("vec_id") < 200), "vec_id", "embedding")
+      .select(
+        col("vec_id"),
+        round(col("scale"), 6).alias("scale"),
+        round(col("max_err"), 6).alias("max_err"))
+      .orderBy(col("vec_id"))
+
   // ------------------------------------------------------------ oracle SQL
 
   private val exactCopiesSql =
@@ -332,6 +409,80 @@ object LlmQueries {
                 CAST(list_sum(list_transform(range(1, len(text) + 1),
                        i -> i * ascii(substr(text, CAST(i AS INT), 1)))) % 1000000007 AS BIGINT) AS fingerprint
          FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
+    "tx_token_hist" ->
+      """WITH t AS (
+           SELECT len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS tok
+           FROM documents)
+         SELECT CAST(FLOOR(tok / 20) * 20 AS INT) AS bucket_lo,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(tok) AS BIGINT) AS total_tokens
+         FROM t GROUP BY 1 ORDER BY 1""",
+    "eq_quantize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings WHERE vec_id < 200),
+              s AS (SELECT vec_id, e,
+                           greatest(list_max(list_transform(e, x -> abs(x))), 1e-12) / 127.0 AS scale
+                    FROM v),
+              q AS (SELECT vec_id, e, scale,
+                           list_transform(e, x -> CAST(round(x / scale) AS INT)) AS qv
+                    FROM s)
+         SELECT vec_id,
+                round(scale, 6) AS scale,
+                round(list_max(list_transform(range(1, len(e) + 1),
+                        i -> abs(e[i] - qv[i] * scale))), 6) AS max_err
+         FROM q ORDER BY vec_id""",
+    "tx_redact" ->
+      s"""WITH t AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com from 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+                        || ' call +1 555 0100' AS txt
+            FROM documents WHERE doc_id < 100)
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(txt, '${Redaction.EmailPattern}')) AS INT) AS n_emails,
+                 CAST(len(regexp_extract_all(txt, '${Redaction.Ipv4Pattern}')) AS INT) AS n_ips,
+                 CAST(len(regexp_extract_all(txt, '${Redaction.PhonePattern}')) AS INT) AS n_phones,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(txt, '${Redaction.EmailPattern}', '[EMAIL]', 'g'),
+                     '${Redaction.Ipv4Pattern}', '[IP]', 'g'),
+                   '${Redaction.PhonePattern}', '[PHONE]', 'g') AS redacted
+          FROM t ORDER BY doc_id""",
+    "tx_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents WHERE doc_id < 100),
+               g AS (SELECT doc_id, w,
+                            list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+                              i -> concat_ws(' ', w[i], w[i+1])) AS bg
+                     FROM t)
+          SELECT doc_id,
+                 round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4) AS word_rep,
+                 round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 4) AS bigram_rep
+          FROM g ORDER BY doc_id""",
+    "sm_stratified" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN len(text) >= 400 THEN 'long'
+                       WHEN len(text) >= 150 THEN 'mid'
+                       ELSE 'short' END AS stratum
+           FROM documents)
+         SELECT doc_id, stratum FROM t
+         WHERE (stratum = 'long')
+            OR (stratum = 'mid' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+            OR (stratum = 'short' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2000')
+         ORDER BY doc_id""",
+    "ct_ngram_overlap" ->
+      s"""WITH cw AS (SELECT doc_id, $wordsSql AS w FROM documents WHERE doc_id < 300),
+               c AS (SELECT doc_id, $shinglesSql AS s FROM cw),
+               e AS (SELECT doc_id, unnest(s) AS sh FROM c),
+               bw AS (SELECT $wordsSql AS w FROM documents WHERE doc_id % 50 = 0),
+               b AS (SELECT DISTINCT unnest($shinglesSql) AS sh FROM bw),
+               h AS (SELECT e.doc_id, count(*) AS n_hit FROM e JOIN b USING (sh) GROUP BY e.doc_id)
+          SELECT c.doc_id AS doc_id,
+                 CAST(len(c.s) AS INT) AS n_shingles,
+                 CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_contaminated,
+                 round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / len(c.s), 4) AS overlap_ratio
+          FROM c LEFT JOIN h ON c.doc_id = h.doc_id
+          ORDER BY c.doc_id""",
     "mm_features" ->
       """WITH b AS (
            SELECT doc_id,
@@ -374,6 +525,12 @@ object LlmQueries {
     "tx_profile" -> txProfile,
     "tx_quality" -> txQuality,
     "tx_fingerprint" -> txFingerprint,
+    "tx_redact" -> txRedact,
+    "tx_repetition" -> txRepetition,
+    "tx_token_hist" -> txTokenHist,
+    "sm_stratified" -> smStratified,
+    "ct_ngram_overlap" -> ctNgramOverlap,
+    "eq_quantize" -> eqQuantize,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_resize" -> mmResize,
     "mm_features" -> mmFeatures

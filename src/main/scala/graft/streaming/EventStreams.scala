@@ -31,6 +31,24 @@ object EventStreams {
         col("n"),
         col("value_sum"))
 
+  /** Streaming exact dedup: drop rows whose `keyCols` digest was already
+    * seen within the watermark horizon — the streaming counterpart of the
+    * batch digest groupBy ([[graft.ops.Dedup.exactDedupIds]]). State is
+    * one entry per distinct key inside the watermark window, evicted by
+    * the engine when the watermark passes (`dropDuplicatesWithinWatermark`)
+    * — bounded state on an unbounded stream, the only shape that
+    * survives an always-on 100 TB/day feed. Works on batch frames too
+    * (plain dropDuplicates semantics, no watermark needed). */
+  def dedupStream(
+      events: DataFrame,
+      timeCol: String,
+      keyCols: Seq[String],
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(timeCol, watermarkDelay).dropDuplicatesWithinWatermark(keyCols)
+    else
+      events.dropDuplicates(keyCols)
+
   final case class Event(user_id: Long, event_time: java.sql.Timestamp, event_type: String, value: Double)
 
   final case class SessionState(start: Long, last: Long, n: Int, valueSum: Double)

@@ -64,4 +64,25 @@ class ArrayExpressionsSpec extends SparkSuite {
     assert(sig.getSeq[Long](0).length === 16)
     assert(sig.getDouble(1) === 11.0)
   }
+
+  test("L2Normalize matches the HOF form bit-for-bit and nulls out zero vectors") {
+    val df = Seq(
+      (1L, Seq(3.0, 4.0)),
+      (2L, Seq(0.1, -0.2, 0.7)),
+      (3L, Seq(0.0, 0.0, 0.0)) // zero vector → NULL, not NaN
+    ).toDF("id", "v")
+    val got = df.select(col("id"), native.l2normalize(col("v")).alias("n")).collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Double](1))).toMap
+    assert(got(1L).get === Seq(0.6, 0.8))
+    // bit-identical to transform(v, x -> x / sqrt(dot(v, v)))
+    val ref = df.filter(col("id") === 2L)
+      .select(transform(col("v"), x => x / sqrt(native.dotProduct(col("v"), col("v")))))
+      .head().getSeq[Double](0)
+    assert(got(2L).get === ref)
+    assert(got(3L).isEmpty)
+    // SQL surface + interpreted path agree with codegen
+    val viaSql = spark.sql("SELECT l2_normalize(array(3.0, 4.0)) AS n").head().getSeq[Double](0)
+    assert(viaSql === Seq(0.6, 0.8))
+    assert(spark.sql("SELECT l2_normalize(array(0.0)) AS n").head().isNullAt(0))
+  }
 }

@@ -40,4 +40,25 @@ class PlanShapeSpec extends SparkSuite {
     val p = plan("a1_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
   }
+
+  test("contamination joins the benchmark shingle set broadcast (no corpus shuffle)") {
+    val p = plan("ct_ngram_overlap")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("stratified sampling is a narrow filter — no hash shuffle before the ordering") {
+    val p = plan("sm_stratified")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+  }
+
+  test("LSH bucket cap reuses the bucket shuffle: window + groupBy share ONE exchange") {
+    val p = plan("dd_minhash_lsh")
+    assert("Exchange hashpartitioning\\(__band".r.findAllIn(p).size === 1, p.take(3000))
+  }
+
+  test("default fact views plan no unpartitioned window (scalable surrogate keys)") {
+    graft.fixtures.WeatherDemo.ensurePipeline(spark)
+    val p = spark.table("fact_forecast_accuracy").queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.take(3000))
+  }
 }

@@ -66,6 +66,36 @@ class StreamingSpec extends SparkSuite {
     assert(sessions(2).user_id === 2L && sessions(2).n_events === 1)
   }
 
+  test("streaming dedup drops within-watermark repeats across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val q = EventStreams.dedupStream(input.toDS().toDF(), "event_time", Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("graft_dedup_stream").outputMode("append").start()
+    input.addData(
+      EventStreams.Event(1L, ts(0), "click", 1.0),
+      EventStreams.Event(1L, ts(1), "click", 2.0), // same key within watermark → dropped
+      EventStreams.Event(2L, ts(0), "view", 3.0))
+    q.processAllAvailable()
+    // second batch repeats a seen key (still inside the watermark) and
+    // introduces a fresh one
+    input.addData(
+      EventStreams.Event(1L, ts(2), "click", 4.0), // repeat across batches → dropped
+      EventStreams.Event(1L, ts(2), "view", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_dedup_stream")
+    assert(got.count() === 3) // (1,click), (2,view), (1,view)
+    assert(got.filter(col("user_id") === 1 && col("event_type") === "click").count() === 1)
+    // batch path: plain dropDuplicates semantics
+    val batch = EventStreams.dedupStream(
+      Seq(EventStreams.Event(1L, ts(0), "click", 1.0),
+        EventStreams.Event(1L, ts(9), "click", 2.0)).toDS().toDF(),
+      "event_time", Seq("user_id", "event_type"))
+    assert(batch.count() === 1)
+  }
+
   test("streaming sessionization: a session spanning micro-batches is emitted exactly ONCE") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
