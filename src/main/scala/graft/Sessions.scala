@@ -38,6 +38,10 @@ object Sessions {
       // partitioned overwrites replace only the partitions present in the
       // incoming batch (idempotent re-runs), never the whole table
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // catalog tables (bucketed-join demo) land in a temp warehouse,
+      // never the working directory
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.etl.Dimensions
 import graft.model.FixedClock
-import graft.ops.BandJoin
+import graft.ops.{BandJoin, Bucketing, Skew}
 import graft.sql.{Analytics, FactViews}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -227,6 +227,39 @@ object CompositeQueries {
       .orderBy(col("horizon_bucket"))
   }
 
+  /** Salted two-stage aggregation ≡ plain groupBy — the manual skew
+    * answer, held to exact equality (value column cast to long first so
+    * both summation orders are exact). */
+  val skSaltedAgg: Q = (s, d) =>
+    Skew.saltedAgg(
+      Tables.lineitem(s, d).withColumn("qty", col("l_quantity").cast("long")),
+      keyCols = Seq("l_returnflag", "l_linestatus"),
+      saltCols = Seq("l_orderkey", "l_linenumber"),
+      valueCol = "qty")
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("sum_v"), col("cnt_v"), col("min_v"), col("max_v"),
+        round(col("avg_v"), 4).alias("avg_v"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Bucketed co-located join: both sides written bucketed by the join
+    * key, then join + per-key aggregate — zero hash exchanges at read
+    * time (pinned by PlanShapeSpec). Oracle = the plain join. */
+  val bkBucketedJoin: Q = (s, d) => {
+    val o = Tables.orders(s, d).filter(pmod(col("o_orderkey"), lit(100)) === 0)
+    val l = Tables.lineitem(s, d).filter(pmod(col("l_orderkey"), lit(100)) === 0)
+    Bucketing.writeBucketed(o.select("o_orderkey", "o_totalprice"), "bk_orders", "o_orderkey", 8)
+    Bucketing.writeBucketed(l.select("l_orderkey", "l_quantity"), "bk_lineitem", "l_orderkey", 8)
+    val bo = s.table("bk_orders")
+    val bl = s.table("bk_lineitem")
+    bo.join(bl, bo("o_orderkey") === bl("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_totalprice"))
+      .agg(
+        count(lit(1)).alias("n_items"),
+        sum(col("l_quantity").cast("long")).alias("sum_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
   private val pairedSql =
     """FROM (SELECT user_id, event_id AS f_id, epoch_us(ts) AS f_us, value AS f_val,
                     CAST(CAST(json_extract_string(props, '$.k') AS INT) % 3 AS VARCHAR) AS f_cond
@@ -237,6 +270,22 @@ object CompositeQueries {
        ON f.user_id = a.a_user"""
 
   val oracles: Map[String, String] = Map(
+    "sk_salted_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_v,
+                CAST(count(*) AS BIGINT) AS cnt_v,
+                CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_v,
+                CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_v,
+                round(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*), 4) AS avg_v
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "bk_bucketed_join" ->
+      """SELECT o_orderkey, o_totalprice,
+                CAST(count(*) AS BIGINT) AS n_items,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey % 100 = 0
+         GROUP BY o_orderkey, o_totalprice
+         ORDER BY o_orderkey""",
     "j4_band_join" ->
       """SELECT a.user_id, CAST(count(*) AS BIGINT) AS pair_count
          FROM events a JOIN events b
@@ -343,6 +392,8 @@ object CompositeQueries {
     "c2_calendar" -> c2Calendar,
     "c3_accuracy" -> c3Accuracy,
     "c4_horizon" -> c4Horizon,
-    "c5_dq_gate" -> c5DqGate
+    "c5_dq_gate" -> c5DqGate,
+    "sk_salted_agg" -> skSaltedAgg,
+    "bk_bucketed_join" -> bkBucketedJoin
   )
 }

@@ -56,6 +56,18 @@ class PlanShapeSpec extends SparkSuite {
     assert("Exchange hashpartitioning\\(__band".r.findAllIn(p).size === 1, p.take(3000))
   }
 
+  test("bucketed join + aggregate plans zero hash exchanges") {
+    val p = plan("bk_bucketed_join")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+  }
+
+  test("salted aggregation runs two hash-aggregate stages, no extra exchange beyond the two keys") {
+    val p = plan("sk_salted_agg")
+    // (key, salt) partials + key merge: exactly two shuffles, both
+    // aggregate-output-sized
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p.take(3000))
+  }
+
   test("default fact views plan no unpartitioned window (scalable surrogate keys)") {
     graft.fixtures.WeatherDemo.ensurePipeline(spark)
     val p = spark.table("fact_forecast_accuracy").queryExecution.executedPlan.toString
