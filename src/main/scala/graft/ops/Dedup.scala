@@ -247,4 +247,37 @@ object Dedup {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Portable SimHash: per-token hash = first 60 bits of md5 (hex-parsed),
+    * 48 signature bits. Bit-for-bit reproducible in ANY engine with md5 —
+    * the `dd_simhash_md5` entry's DuckDB oracle recomputes the whole
+    * signature, giving SimHash a full value oracle ([[simhash64]] stays
+    * the production path: xxhash64 is much cheaper than a string md5 per
+    * token, but is Spark-specific and hence rows-only at the gate). */
+  def simhashPortable(text: Column, bits: Int = 48): Column = {
+    val toks = wordTokens(text)
+    val hashes = transform(toks, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val counts = aggregate(
+      hashes,
+      array_repeat(lit(0L), bits),
+      (acc, h) =>
+        zip_with(
+          acc,
+          transform(
+            sequence(lit(0), lit(bits - 1)),
+            j => when(call_function("shiftright", h, j).bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L))),
+          (a, b) => a + b
+        )
+    )
+    // signature bits are disjoint, so a plain sum assembles the word —
+    // portable to engines without an aggregate bitwise OR
+    aggregate(
+      zip_with(
+        counts,
+        sequence(lit(0), lit(bits - 1)),
+        (c, j) => when(c > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L),
+      (s, x) => s + x
+    )
+  }
 }

@@ -257,6 +257,16 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Portable SimHash (md5-based): the signature itself is the verified
+    * value — DuckDB recomputes all 48 bits from the same md5 token
+    * hashes, closing the "SimHash has no value oracle" gap (the
+    * xxhash64 production variant stays rows-only by nature). */
+  val ddSimhashMd5: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), Dedup.simhashPortable(col("text")).alias("simhash"))
+      .orderBy(col("doc_id"))
+
   /** Corpus token-count histogram (the length-distribution audit every
     * mixing plan starts from): docs per 20-token bucket + bucket token
     * mass. */
@@ -409,6 +419,16 @@ object LlmQueries {
                 CAST(list_sum(list_transform(range(1, len(text) + 1),
                        i -> i * ascii(substr(text, CAST(i AS INT), 1)))) % 1000000007 AS BIGINT) AS fingerprint
          FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
+    "dd_simhash_md5" ->
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents WHERE doc_id < 100),
+               h AS (SELECT doc_id, list_transform(w,
+                       x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)) AS hs FROM t)
+          SELECT doc_id,
+                 CAST(list_sum(list_transform(range(0, 48), j ->
+                   CASE WHEN list_sum(list_transform(hs,
+                          h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                        THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+          FROM h ORDER BY doc_id""",
     "tx_token_hist" ->
       """WITH t AS (
            SELECT len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS tok
@@ -528,6 +548,7 @@ object LlmQueries {
     "tx_redact" -> txRedact,
     "tx_repetition" -> txRepetition,
     "tx_token_hist" -> txTokenHist,
+    "dd_simhash_md5" -> ddSimhashMd5,
     "sm_stratified" -> smStratified,
     "ct_ngram_overlap" -> ctNgramOverlap,
     "eq_quantize" -> eqQuantize,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.fixtures.WeatherDemo
-import graft.sql.{Analytics, AnalyticsSql}
+import graft.sql.{Analytics, AnalyticsSql, FactViewsSql}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -85,6 +85,25 @@ object WeatherQueries {
     Analytics.qualityDistribution(s.read.parquet(s"$gold/fact_forecast_accuracy"))
   }
 
+  /** DDL-level parity: the reference's CREATE VIEW statements executed
+    * as SQL text ([[FactViewsSql]], `create_views.sql:6-115`) over the
+    * registered silver/dim views, then queried — same hand-computed
+    * numbers as the DataFrame-built views. */
+  private def ensureDdlViews(s: SparkSession): Unit = {
+    WeatherDemo.ensurePipeline(s)
+    FactViewsSql.registerAll(s, "2024-01-01 07:00:00")
+  }
+
+  val wxDdlQ1: Q = (s, _) => {
+    ensureDdlViews(s)
+    Analytics.accuracyByHorizon(s.table("fact_forecast_accuracy_ddl"))
+  }
+
+  val wxDdlQ4: Q = (s, _) => {
+    ensureDdlViews(s)
+    Analytics.qualityDistribution(s.table("fact_forecast_accuracy_ddl"))
+  }
+
   /** Dialect-level parity: the reference's queries run as SQL TEXT
     * (`sample_queries.sql` via [[AnalyticsSql]]) against the registered
     * views, sharing the wx_q* oracles. */
@@ -137,6 +156,8 @@ object WeatherQueries {
     "wx_q4_parity_keys" -> baseOracles("wx_q4_quality"),
     "wx_mat_q2" -> baseOracles("wx_q2_city_ranking"),
     "wx_mat_q4" -> baseOracles("wx_q4_quality"),
+    "wx_ddl_q1" -> baseOracles("wx_q1_accuracy"),
+    "wx_ddl_q4" -> baseOracles("wx_q4_quality"),
     "wx_sql_q1" -> baseOracles("wx_q1_accuracy"),
     "wx_sql_q2" -> baseOracles("wx_q2_city_ranking"),
     "wx_sql_q3" -> baseOracles("wx_q3_summary"),
@@ -153,6 +174,8 @@ object WeatherQueries {
     "wx_q4_parity_keys" -> wxQ4ParityKeys,
     "wx_mat_q2" -> wxQ2Materialized,
     "wx_mat_q4" -> wxQ4Materialized,
+    "wx_ddl_q1" -> wxDdlQ1,
+    "wx_ddl_q4" -> wxDdlQ4,
     "wx_sql_q1" -> wxSqlQ1,
     "wx_sql_q2" -> wxSqlQ2,
     "wx_sql_q3" -> wxSqlQ3,
