@@ -408,8 +408,62 @@ object RelationalQueries {
           .otherwise(5))
       .orderBy(col("rank"))
 
+  // ----------------------------------------------------- join completeness
+  /** J6: left-semi join — customers that placed at least one urgent
+    * order (the EXISTS shape; semi joins ship no payload columns from
+    * the probe side, exactly what a 100 TB existence check wants). */
+  val j6SemiJoin: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").alias("c_custkey")),
+        Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** J7: left-anti join — customers with no orders at all (the NOT
+    * EXISTS shape). */
+  val j7AntiJoin: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d).select(col("o_custkey").alias("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** A7: ROLLUP — subtotal + grand-total rows in one pass (two
+    * grouping-set aggregates over one shuffle). `grouping()` flags are
+    * exported so NULL group keys are distinguishable from NULL data. */
+  val a7Rollup: Q = (s, d) =>
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).alias("n"),
+        round(sum(col("o_totalprice")), 2).alias("total"),
+        // grouping() is only resolvable inside the grouping-set aggregate
+        grouping(col("o_orderstatus")).cast("int").alias("g_status"),
+        grouping(col("o_orderpriority")).cast("int").alias("g_priority"))
+      .orderBy(col("g_status"), col("g_priority"), col("o_orderstatus"), col("o_orderpriority"))
+
   // ------------------------------------------------------------ oracle SQL
   val oracles: Map[String, String] = Map(
+    "j6_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "j7_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "a7_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+                CAST(count(*) AS BIGINT) AS n,
+                round(sum(o_totalprice), 2) AS total,
+                CAST(CASE WHEN GROUPING(o_orderstatus) THEN 1 ELSE 0 END AS INT) AS g_status,
+                CAST(CASE WHEN GROUPING(o_orderpriority) THEN 1 ELSE 0 END AS INT) AS g_priority
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""",
     "s2_scan" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey < 3 ORDER BY n_nationkey",
     "s8_view" ->
@@ -605,6 +659,9 @@ object RelationalQueries {
     "f7_bool_expr" -> f7BoolExpr,
     "f9_json" -> f9Json,
     "o1_sort_agg" -> o1SortAgg,
-    "o2_case_rank_sort" -> o2CaseRankSort
+    "o2_case_rank_sort" -> o2CaseRankSort,
+    "j6_semi_join" -> j6SemiJoin,
+    "j7_anti_join" -> j7AntiJoin,
+    "a7_rollup" -> a7Rollup
   )
 }

@@ -84,6 +84,33 @@ class RestIngestSpec extends SparkSuite {
     } finally server.stop(0)
   }
 
+  test("fetched bronze feeds the whole pipeline: fetch → bronze → silver → gold → analytics") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/weather", (h: HttpExchange) => serve(h, rawCurrent(10.0)))
+    server.createContext("/forecast", (h: HttpExchange) => serve(h, rawForecast))
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val root = Files.createTempDirectory("graft-rest3").toString
+      RestIngest.extractBatch(
+        new HttpFetcher(2), base, root, LocalDateTime.of(2024, 1, 1, 6, 0, 0),
+        RestIngest.defaultCities.take(2))
+      // materialized, unregistered: full gold build without touching the
+      // session's demo views
+      graft.Pipeline.run(
+        spark,
+        graft.Pipeline.Layout(root, s"$root/silver", s"$root/gold"),
+        FixedClock("2024-01-01 07:00:00"),
+        materializeGold = true,
+        registerViews = false)
+      val acc = spark.read.parquet(s"$root/gold/fact_forecast_accuracy")
+      // one +0.5 h forecast point per city within the ±1 h band
+      assert(acc.count() === 2)
+      val q1 = graft.sql.Analytics.accuracyByHorizon(acc).collect()
+      assert(q1.length === 1 && q1.head.getAs[String]("horizon_bucket") === "0-24 hours")
+    } finally server.stop(0)
+  }
+
   test("a failing endpoint skips its records without failing the batch") {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/weather", (h: HttpExchange) => serve(h, rawCurrent(12.0)))
