@@ -235,6 +235,73 @@ case class L2Normalize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `quality_score_raw(text)`: the UNROUNDED composite quality score of
+  * [[graft.ops.TextAnalysis.qualityScoreFromParts]] — length, word-count,
+  * stopword and punctuation signals — in ONE pass over the string instead
+  * of several interpreted higher-order-lambda passes (split + filter +
+  * regexp_replace + stopword filter). Bit-identical arithmetic: counts
+  * are exact integers, the double ops replay the HOF form's exact order,
+  * and rounding is deliberately NOT done here — callers wrap with
+  * Spark's own `round(..., 4)` so cross-engine round-half parity is
+  * Spark's, not ours. CodegenFallback: one virtual call per row, the
+  * scan inside is JIT-compiled Scala.
+  *
+  * Tokenization parity: Java-regex `\s` separators (space, \t, \n,
+  * , \f, \r), tokens from the UTF8String-lowercased text, empties
+  * dropped — exactly `filter(split(lower(text), "\\s+"), len > 0)`.
+  * Punctuation parity: code points outside [A-Za-z0-9] and `\s`, counted
+  * on the ORIGINAL text like the `regexp_replace` length difference.
+  */
+case class QualityScoreRaw(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "quality_score_raw"
+
+  private val stop: java.util.Set[String] =
+    java.util.Set.of("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val nChars = u.numChars()
+    val s = u.toString
+    var punct = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val alnum = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9')
+      if (!alnum && !(cp < 128 && isWs(cp.toChar))) punct += 1
+      i += Character.charCount(cp)
+    }
+    val lower = u.toLowerCase.toString
+    var nWords = 0
+    var nStop = 0
+    var j = 0
+    val n = lower.length
+    while (j < n) {
+      while (j < n && isWs(lower.charAt(j))) j += 1
+      if (j < n) {
+        val st = j
+        while (j < n && !isWs(lower.charAt(j))) j += 1
+        nWords += 1
+        if (j - st <= 4 && stop.contains(lower.substring(st, j))) nStop += 1
+      }
+    }
+    val lenScore = math.min(nChars.toDouble / 400.0, 1.0)
+    val wordScore = math.min(nWords.toDouble / 80.0, 1.0)
+    val punctRatio = if (nChars > 0) punct.toDouble / nChars else 0.0
+    val punctPenalty = math.min(punctRatio * 5.0, 1.0)
+    val stopRatio = if (nWords > 0) nStop.toDouble / nWords else 0.0
+    val stopScore = math.min(stopRatio * 5.0, 1.0)
+    lenScore * 0.3 + wordScore * 0.3 + stopScore * 0.3 + (1.0 - punctPenalty) * 0.1
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QualityScoreRaw =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the native expressions. */
 object native {
 
@@ -252,4 +319,10 @@ object native {
 
   def l2normalize(v: Column): Column =
     Bridge.column(L2Normalize(Bridge.expression(v.cast("array<double>"))))
+
+  /** Rounded composite quality score: native single-pass raw score,
+    * rounded by Spark's own `round` for cross-engine parity. */
+  def qualityScore(text: Column): Column =
+    org.apache.spark.sql.functions.round(
+      Bridge.column(QualityScoreRaw(Bridge.expression(text.cast("string")))), 4)
 }

@@ -135,13 +135,15 @@ object LlmQueries {
         TextAnalysis.langIdFromParts(col("__w")).alias("lang_pred"))
       .orderBy(col("doc_id"))
 
-  /** Quality scoring + bucketing over the whole corpus (tokenization
-    * hoisted into its own projection — computed once per doc). */
+  /** Quality scoring + bucketing over the whole corpus. The score is the
+    * native single-pass [[graft.functions.QualityScoreRaw]] (one compiled
+    * scan per doc; the HOF form ran several interpreted lambda passes) —
+    * bit-identical to `qualityScoreFromParts`, pinned by
+    * `TextAnalysisSpec`. */
   val txQuality: Q = (s, d) => {
     val scored = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"), TextAnalysis.words(col("text")).alias("__w"))
       .select(col("doc_id"),
-        TextAnalysis.qualityScoreFromParts(col("text"), col("__w")).alias("quality_score"))
+        graft.functions.native.qualityScore(col("text")).alias("quality_score"))
     scored
       .groupBy(TextAnalysis.qualityBucket(col("quality_score")).alias("quality_bucket"))
       .agg(count(lit(1)).alias("n"), round(avg(col("quality_score")), 4).alias("avg_score"))

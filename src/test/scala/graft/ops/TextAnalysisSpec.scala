@@ -49,6 +49,32 @@ class TextAnalysisSpec extends SparkSuite {
     assert(good > junk)
   }
 
+  test("native quality score is bit-identical to the higher-order form") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and runs to the river",
+      "!!! ??? ..",
+      "",
+      "   \t  \n ",
+      "Crème brûlée!! 42 the of and",
+      "a",
+      ("for it is that the " * 40) + "tail",
+      "no4stop-words;here: 100% punct+digits!!"
+    ).toDF("text")
+    val both = texts.select(
+      graft.functions.native.qualityScore(col("text")).alias("fast"),
+      TextAnalysis.qualityScoreFromParts(col("text"), TextAnalysis.words(col("text"))).alias("ref"))
+    both.collect().foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1), s"mismatch: $r")
+    }
+    // and on a real corpus slice, every document agrees exactly
+    val docs = graft.sources.Tables.documents(spark, sf())
+      .limit(300)
+      .select(
+        graft.functions.native.qualityScore(col("text")).alias("fast"),
+        TextAnalysis.qualityScoreFromParts(col("text"), TextAnalysis.words(col("text"))).alias("ref"))
+    assert(docs.filter(col("fast") =!= col("ref")).count() === 0)
+  }
+
   test("profile emits all columns in one pass") {
     val prof = TextAnalysis.profile(Seq((1L, "the quick brown fox")).toDF("id", "text"), "text")
     val cols = prof.columns.toSet
