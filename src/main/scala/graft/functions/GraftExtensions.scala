@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal, Round}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StringType}
 
 /** SparkSessionExtensions hook exposing the native expressions to SQL:
@@ -56,6 +56,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             case Seq(a, b) =>
               DotProduct(Cast(a, ArrayType(DoubleType)), Cast(b, ArrayType(DoubleType)))
             case _ => throw new IllegalArgumentException("dot_product(a array<double>, b array<double>)")
+          }
+      ))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("quality_score"),
+        new ExpressionInfo(classOf[QualityScoreRaw].getName, "quality_score"),
+        (exprs: Seq[Expression]) =>
+          exprs match {
+            // rounded like the Column API: Spark's own Round for
+            // cross-engine round-half parity
+            case Seq(text) => Round(QualityScoreRaw(Cast(text, StringType)), Literal(4))
+            case _ => throw new IllegalArgumentException("quality_score(text string)")
           }
       ))
     ext.injectFunction(

@@ -85,4 +85,12 @@ class ArrayExpressionsSpec extends SparkSuite {
     assert(viaSql === Seq(0.6, 0.8))
     assert(spark.sql("SELECT l2_normalize(array(0.0)) AS n").head().isNullAt(0))
   }
+
+  test("quality_score SQL function matches the Column API") {
+    val txt = "the quick brown fox jumps over the lazy dog and runs to the river"
+    val viaSql = spark.sql(s"SELECT quality_score('$txt') AS q").head().getDouble(0)
+    val viaCol = Seq(txt).toDF("text")
+      .select(native.qualityScore(col("text"))).head().getDouble(0)
+    assert(viaSql === viaCol)
+  }
 }
