@@ -165,8 +165,9 @@ object Dedup {
 
   /** All unordered id pairs within a bucket, as (id1 < id2) structs:
     * flatten of per-position suffix products. Bucket sizes are
-    * LSH-bounded, so the quadratic is local and small by construction. */
-  private def pairCombinations(ids: Column): Column =
+    * LSH-bounded, so the quadratic is local and small by construction.
+    * Shared with [[Similarity]]'s vector LSH path (same bucket shape). */
+  private[ops] def pairCombinations(ids: Column): Column =
     flatten(
       transform(
         ids,

@@ -14,20 +14,24 @@ import org.apache.spark.sql.functions._
   *    the right baseline, and the oracle for recall measurements.
   *  - [[lshTopK]] / [[cosineNearDupPairs]]: random-hyperplane LSH. Each
   *    vector gets a `planes`-bit signature sliced into bands; candidates
-  *    co-bucket in ≥1 band (equi-join on band hash — crossJoin-free). At
-  *    100 TB the bucket join shuffles only (band, hash, id, vec) tuples,
-  *    and the per-bucket candidate verification is bounded by bucket
-  *    occupancy, tuned by bits-per-band (default 8 bits ⇒ 1/256 random
-  *    collision rate per band).
+  *    co-bucket in ≥1 band. Candidate generation is
+  *    groupBy(bucket)+collect_list of ids — NOT a bucket self-join (a
+  *    self-join re-evaluates the whole signature subtree once per side,
+  *    the lesson already recorded at [[Dedup.lshCandidatePairs]]) — and
+  *    buckets above `maxBucket` are dropped by a windowed count BEFORE
+  *    any id list materializes, so a degenerate corpus (thousands of
+  *    identical embeddings, dedup's expected input) is bounded by
+  *    construction instead of exploding O(n²) in one bucket. The count
+  *    window and the groupBy hash-partition on the same (band, hash) key:
+  *    one exchange total, the cap is free. Only (id, band, hash) tuples
+  *    ride that shuffle — vectors never do.
   *
-  * Efficiency notes: vectors are L2-normalized once in a projection
-  * before any join, so per-pair verification is a single dot product.
-  * The hyperplane matrix is a plan-time literal — signature evaluation is
-  * pure arithmetic, no per-row hashing.
-  *
-  * All arithmetic is double-precision via higher-order functions
-  * (`zip_with`/`aggregate`), matching a DuckDB `list_cosine_similarity`
-  * oracle on sequential summation.
+  * Verification joins the raw vectors back by id for surviving candidate
+  * pairs only (LSH-bounded, never n²) and computes the exact per-pair
+  * cosine as dot/(|a|·|b|) — NOT from pre-normalized vectors — so the
+  * floating-point result is bit-identical to a DuckDB
+  * `list_cosine_similarity` oracle (sequential summation), the same
+  * contract [[bruteTopK]] keeps.
   */
 object Similarity {
 
@@ -105,10 +109,17 @@ object Similarity {
     )
   }
 
-  /** (id, normalized vector, band, band hash) rows: the bucketed LSH
-    * representation both ANN entry points join on. Vectors are
-    * L2-normalized here, once, so downstream similarity is `dot` only. */
-  private def bandedSignatures(
+  /** (id, band, band hash) LSH bucket keys — the ONLY columns that ride
+    * the bucket shuffle (no vector payload: at 100 TB shuffling a
+    * 64-double embedding once per band multiplies shuffle bytes ~8×; ids
+    * are joined back to vectors only for surviving candidates). Zero
+    * vectors have no direction and are dropped here, so no NaN similarity
+    * can leak past threshold/rank filters downstream. The signature is
+    * projected BEFORE the band explode, so it is an attribute through the
+    * Generate and is computed once per row, never once per band
+    * (CollapseProject inlines multiply-referenced expressions into
+    * generator lambdas — measured lesson, see [[Dedup.lshCandidatePairs]]). */
+  private def bandedKeys(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
@@ -118,23 +129,37 @@ object Similarity {
     val rows = planes / bands
     corpus
       .select(col(idCol).alias("__id"), col(vecCol).cast("array<double>").alias("__v0"))
+      .filter(fdot(col("__v0"), col("__v0")) > 0)
+      .select(col("__id"), rhpSignature(col("__v0"), planes, dims).alias("__sig"))
+      .select(col("__id"), col("__sig"), explode(sequence(lit(0), lit(bands - 1))).alias("band"))
       .select(
         col("__id"),
-        // native normalize: one compiled loop per row (the HOF form
-        // re-evaluated the norm's dot product once per element), and NULL
-        // for zero vectors — dropped explicitly below instead of leaking
-        // NaN similarities past the threshold/rank filters
-        graft.functions.native.l2normalize(col("__v0")).alias("__v"),
-        rhpSignature(col("__v0"), planes, dims).alias("__sig"))
-      .filter(col("__v").isNotNull)
-      .select(col("__id"), col("__v"), col("__sig"), explode(sequence(lit(0), lit(bands - 1))).alias("band"))
-      .withColumn("bh", xxhash64(concat_ws(",", slice(col("__sig"), col("band") * rows + 1, lit(rows))), col("band")))
-      .drop("__sig")
+        col("band"),
+        xxhash64(concat_ws(",", slice(col("__sig"), col("band") * rows + 1, lit(rows))), col("band")).alias("bh"))
+  }
+
+  /** Raw double vectors keyed for verification join-back. */
+  private def vectors(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).alias("__vid"), col(vecCol).cast("array<double>").alias("__vec"))
+
+  /** Exact per-pair cosine for candidate (id1, id2) pairs: raw vectors
+    * joined back by id, similarity = dot/(|a|·|b|) — the DuckDB
+    * `list_cosine_similarity`-parity form. */
+  private def pairCosine(pairs: DataFrame, corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = vectors(corpus, idCol, vecCol)
+    pairs
+      .join(v.select(col("__vid").alias("id1"), col("__vec").alias("__v1")), Seq("id1"))
+      .join(v.select(col("__vid").alias("id2"), col("__vec").alias("__v2")), Seq("id2"))
+      .withColumn("sim",
+        fdot(col("__v1"), col("__v2")) /
+          (sqrt(fdot(col("__v1"), col("__v1"))) * sqrt(fdot(col("__v2"), col("__v2")))))
   }
 
   /** ANN top-k via random-hyperplane LSH: vectors co-bucket when a band of
-    * their bit signatures matches; exact cosine (dot of normalized
-    * vectors) ranks candidates. Recall rises with `bands`. */
+    * their bit signatures matches; exact cosine ranks candidates. Recall
+    * rises with `bands`. Buckets above `maxBucket` are dropped before the
+    * per-bucket id lists materialize (see object doc) — a bucket that hot
+    * is a mass-duplicate cluster, the near-dup path's job, not top-k's. */
   def lshTopK(
       corpus: DataFrame,
       idCol: String,
@@ -143,20 +168,25 @@ object Similarity {
       k: Int,
       planes: Int = 64,
       bands: Int = 16,
-      dims: Int = 64): DataFrame = {
-    val banded = bandedSignatures(corpus, idCol, vecCol, planes, bands, dims)
-    val qSide = banded
-      .filter(col("__id").isin(queryIds: _*))
-      .select(col("__id").alias("q_id"), col("__v").alias("__qv"), col("band"), col("bh"))
-    val cands = qSide
-      .join(banded.select(col("__id").alias("n_id"), col("__v").alias("__nv"), col("band"), col("bh")),
-        Seq("band", "bh"))
+      dims: Int = 64,
+      maxBucket: Int = 1000): DataFrame = {
+    val keys = bandedKeys(corpus, idCol, vecCol, planes, bands, dims)
+    val cands = keys
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("__bn") <= maxBucket)
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("__id")).alias("__ids"))
+      .withColumn("__qs", array_intersect(col("__ids"), typedlit(queryIds)))
+      .filter(size(col("__qs")) > 0)
+      .select(explode(col("__qs")).alias("q_id"), col("__ids"))
+      .select(col("q_id"), explode(col("__ids")).alias("n_id"))
       .filter(col("q_id") =!= col("n_id"))
-      .select("q_id", "n_id", "__qv", "__nv")
       .dropDuplicates("q_id", "n_id")
 
-    cands
-      .withColumn("sim", fdot(col("__qv"), col("__nv")))
+    pairCosine(
+      cands.select(col("q_id").alias("id1"), col("n_id").alias("id2")),
+      corpus, idCol, vecCol)
+      .select(col("id1").alias("q_id"), col("id2").alias("n_id"), col("sim"))
       .withColumn("rnk",
         row_number().over(Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))))
       .filter(col("rnk") <= k)
@@ -165,7 +195,11 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs via LSH bucketing (no query
     * set: all-to-all within buckets only). Identical vectors always
-    * co-bucket (identical signatures), so exact-copy recall is 1.0. */
+    * co-bucket (identical signatures), so exact-copy recall is 1.0.
+    * Candidate pairs come from one groupBy(bucket)+collect_list pass with
+    * the `maxBucket` occupancy cap applied by a windowed count sharing
+    * that same exchange — the [[Dedup.lshCandidatePairs]] shape exactly.
+    * Audit what a cap would drop with [[lshBucketStats]]. */
   def cosineNearDupPairs(
       corpus: DataFrame,
       idCol: String,
@@ -173,15 +207,34 @@ object Similarity {
       threshold: Double,
       planes: Int = 64,
       bands: Int = 8,
-      dims: Int = 64): DataFrame = {
-    val banded = bandedSignatures(corpus, idCol, vecCol, planes, bands, dims)
-    val a = banded.select(col("band"), col("bh"), col("__id").alias("id1"), col("__v").alias("__v1"))
-    val b = banded.select(col("band"), col("bh"), col("__id").alias("id2"), col("__v").alias("__v2"))
-    a.join(b, Seq("band", "bh"))
-      .filter(col("id1") < col("id2"))
-      .dropDuplicates("id1", "id2")
-      .withColumn("sim", fdot(col("__v1"), col("__v2")))
+      dims: Int = 64,
+      maxBucket: Int = 1000): DataFrame = {
+    val keys = bandedKeys(corpus, idCol, vecCol, planes, bands, dims)
+    val cands = keys
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("__bn") > 1 && col("__bn") <= maxBucket)
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("__id")).alias("__ids"))
+      .select(explode(Dedup.pairCombinations(col("__ids"))).alias("__p"))
+      .select(col("__p.id1"), col("__p.id2"))
+      .distinct()
+    pairCosine(cands, corpus, idCol, vecCol)
       .filter(col("sim") >= threshold)
       .select(col("id1"), col("id2"), round(col("sim"), 4).alias("sim"))
   }
+
+  /** Bucket-occupancy audit for the vector LSH paths: per-bucket sizes,
+    * descending — the loud counterpart to the silent `maxBucket` drop,
+    * mirroring [[Dedup.lshBucketStats]]. */
+  def lshBucketStats(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Int = 64,
+      bands: Int = 8,
+      dims: Int = 64): DataFrame =
+    bandedKeys(corpus, idCol, vecCol, planes, bands, dims)
+      .groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).alias("bucket_size"))
+      .orderBy(col("bucket_size").desc)
 }

@@ -90,7 +90,9 @@ object LlmQueries {
       .orderBy(col("q_id"), col("rnk"))
 
   /** LSH-bucketed ANN ([[graft.ops.Similarity.lshTopK]]) — the scale
-    * path; rows-only here, recall vs brute force asserted in tests. */
+    * path. Fully oracled: the hyperplane matrix is a deterministic
+    * plan-time literal, so the DuckDB oracle recomputes sign signatures,
+    * band buckets and the exact cosine rank from the same values. */
   val annLshTopK: Q = (s, d) =>
     Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding", Seq(0L, 1L, 2L, 3L, 4L), 3)
       .select(col("q_id"), col("rnk"), col("n_id"), col("sim"))
@@ -312,6 +314,17 @@ object LlmQueries {
   private val wordsSql =
     "list_filter(str_split_regex(lower(text), '\\s+'), x -> len(x) > 0)"
 
+  /** [[graft.ops.Similarity.lshTopK]]'s 64×64 hyperplane matrix as a
+    * DuckDB list-of-lists literal. The matrix is a deterministic
+    * plan-time constant (fixed-seed SplitMix64 recurrence), so the
+    * oracle reproduces the EXACT signatures the engine computes —
+    * `Double.toString` is shortest-round-trip, so the doubles survive
+    * the SQL text bit-for-bit. */
+  private lazy val lshPlanesSql: String =
+    graft.ops.Similarity.planeMatrix(64, 64)
+      .map(_.mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+
   val oracles: Map[String, String] = Map(
     "dd_exact" ->
       s"""SELECT md5(text) AS text_md5, CAST(count(*) AS BIGINT) AS dup_count,
@@ -356,6 +369,35 @@ object LlmQueries {
                        row_number() OVER (PARTITION BY q_id ORDER BY s DESC, n_id) AS rnk
                 FROM scored)
          SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, round(s, 4) AS sim
+         FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk""",
+    // Candidate rule: same band slice of the sign signature (bucket-hash
+    // equality in Spark ⟺ slice equality — xxhash64 only compresses the
+    // key); verification = exact cosine, ranked desc with id tie-break.
+    // 16 bands × 4 rows over 64 planes, queries vec_id < 5, k = 3 —
+    // the declared query's exact parameters.
+    "ann_lsh_topk" ->
+      s"""WITH m AS (SELECT $lshPlanesSql AS pl),
+              v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              nz AS (SELECT vec_id, e FROM v WHERE list_dot_product(e, e) > 0),
+              s AS (SELECT vec_id,
+                           list_transform(range(1, 65),
+                             p -> CASE WHEN list_dot_product(e, pl[CAST(p AS INT)]) >= 0
+                                       THEN 1 ELSE 0 END) AS sig
+                    FROM nz, m),
+              b AS (SELECT vec_id, band,
+                           array_to_string(sig[CAST(band*4+1 AS INT) : CAST(band*4+4 AS INT)], ',') AS bkey
+                    FROM s, (SELECT unnest(range(0, 16)) AS band) bands),
+              cand AS (SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
+                       FROM b q JOIN b n ON q.band = n.band AND q.bkey = n.bkey
+                       WHERE q.vec_id < 5 AND q.vec_id <> n.vec_id),
+              scored AS (SELECT c.q_id, c.n_id, list_cosine_similarity(qv.e, nv.e) AS sim
+                         FROM cand c
+                         JOIN v qv ON qv.vec_id = c.q_id
+                         JOIN v nv ON nv.vec_id = c.n_id),
+              ranked AS (SELECT q_id, n_id, sim,
+                                row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
+                         FROM scored)
+         SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, round(sim, 4) AS sim
          FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk""",
     "cos_near_dup" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

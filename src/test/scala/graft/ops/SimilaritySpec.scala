@@ -72,6 +72,37 @@ class SimilaritySpec extends SparkSuite {
     assert(assigned.select("cell").distinct().count() <= 16)
   }
 
+  test("vector LSH bucket cap bounds degenerate corpora (mass-identical embeddings)") {
+    // 1200 identical vectors co-bucket in EVERY band; uncapped that is
+    // ~719k in-bucket pairs. The windowed-count cap drops the degenerate
+    // buckets before any id list materializes, so the result is empty and
+    // the shuffle stays bounded.
+    val big = (0L until 1200L).map(i => (i, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val capped = Similarity.cosineNearDupPairs(
+      big, "vec_id", "embedding", 0.95, planes = 16, bands = 4, dims = 8, maxBucket = 100)
+    assert(capped.count() === 0L)
+    // under the cap the same corpus pairs exhaustively: C(10,2) = 45
+    val small = (0L until 10L).map(i => (i, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(
+      small, "vec_id", "embedding", 0.95, planes = 16, bands = 4, dims = 8, maxBucket = 100)
+    assert(pairs.count() === 45L)
+  }
+
+  test("lshTopK bucket cap drops mass-duplicate buckets but keeps normal ones") {
+    // query 0 sits in a degenerate bucket (300 identical vectors) — capped
+    // out; query 1000 has one distinct near-neighbor — survives.
+    val dupes = (0L until 300L).map(i => (i, Array.fill(8)(0.5f)))
+    val pairVecs = Seq(
+      (1000L, Array(1.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f)),
+      (1001L, Array(0.99f, 0.1f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f)))
+    val df = (dupes ++ pairVecs).toDF("vec_id", "embedding")
+    val top = Similarity.lshTopK(df, "vec_id", "embedding", Seq(0L, 1000L), 5,
+      planes = 16, bands = 4, dims = 8, maxBucket = 100)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+    assert(!top.exists(_._1 == 0L), "degenerate bucket should be capped out")
+    assert(top.contains((1000L, 1001L)), "normal bucket must survive the cap")
+  }
+
   test("plane matrix is deterministic") {
     assert(Similarity.planeMatrix(4, 8) === Similarity.planeMatrix(4, 8))
     assert(Similarity.planeMatrix(4, 8).head !== Similarity.planeMatrix(4, 8)(1))

@@ -56,6 +56,15 @@ class PlanShapeSpec extends SparkSuite {
     assert("Exchange hashpartitioning\\(__band".r.findAllIn(p).size === 1, p.take(3000))
   }
 
+  test("vector LSH cap shares the bucket shuffle: ONE band-hash exchange (cos_near_dup)") {
+    // the windowed occupancy count and the collect_list groupBy both
+    // hash-partition on (band, bh) — EnsureRequirements must plan exactly
+    // one exchange on that key (the verification joins key on id1/id2,
+    // not band)
+    val p = plan("cos_near_dup")
+    assert("Exchange hashpartitioning\\(band".r.findAllIn(p).size === 1, p.take(3000))
+  }
+
   test("bucketed join + aggregate plans zero hash exchanges") {
     val p = plan("bk_bucketed_join")
     assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
