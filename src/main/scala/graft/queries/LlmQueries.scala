@@ -66,6 +66,18 @@ object LlmQueries {
       .select(col("id1"), col("id2"), round(col("jaccard"), 4).alias("jaccard"))
       .orderBy(col("id1"), col("id2"))
 
+  /** Near-dup pairs → transitive clusters → keeper per cluster
+    * ([[graft.ops.Clustering]]): the step that turns pair detection into
+    * corpus-dedup semantics (A~B, B~C ⇒ one cluster, keep min id). The
+    * oracle recomputes components as a recursive-CTE transitive closure
+    * over the same full-quadratic Jaccard pair set. */
+  val ddCluster: Q = (s, d) =>
+    graft.ops.Clustering.clusterAssignments(
+      Dedup.nearDupPairs(nearDupCorpus(Tables.documents(s, d)), "doc_id", "text", 0.8)
+        .select(col("id1"), col("id2")))
+      .select(col("id").alias("doc_id"), col("cluster_id"), col("is_keeper"))
+      .orderBy(col("doc_id"))
+
   /** SimHash signatures + hamming distance of each mutated near-copy to
     * its original (rows-only check: xxhash64 is Spark-specific, no SQL
     * oracle — covered by unit tests instead). */
@@ -346,6 +358,23 @@ object LlmQueries {
           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
           ORDER BY id1, id2""",
+    "dd_cluster" ->
+      s"""WITH RECURSIVE
+            t AS (SELECT doc_id, $wordsSql AS w FROM $nearDupCorpusSql t0),
+            sh AS (SELECT doc_id, $shinglesSql AS s FROM t),
+            pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+                   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                   WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+            e AS (SELECT id1 AS src, id2 AS dst FROM pr
+                  UNION SELECT id2, id1 FROM pr),
+            walk(id, r) AS (
+              SELECT src, src FROM e
+              UNION
+              SELECT w.id, e2.dst FROM walk w JOIN e e2 ON e2.src = w.r)
+          SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id,
+                 (id = min(r)) AS is_keeper
+          FROM walk GROUP BY id ORDER BY doc_id""",
     "ann_brute_topk" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
               scored AS (
@@ -581,6 +610,7 @@ object LlmQueries {
     "dd_exact" -> ddExact,
     "dd_minhash_lsh" -> ddMinhashLsh,
     "dd_neardup_jaccard" -> ddNearDupJaccard,
+    "dd_cluster" -> ddCluster,
     "dd_simhash" -> ddSimhash,
     "ann_brute_topk" -> annBruteTopK,
     "ann_ivf_topk" -> annIvfTopK,

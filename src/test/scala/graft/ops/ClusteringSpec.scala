@@ -1,0 +1,33 @@
+package graft.ops
+
+import graft.SparkSuite
+
+class ClusteringSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("transitive chains collapse to one cluster with min-id keeper") {
+    // A~B, B~C must merge even though A~C was never a pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val out = Clustering.clusterAssignments(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out === Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false)))
+  }
+
+  test("long chain converges and dropNonKeepers leaves unpaired rows untouched") {
+    // path 0-1-2-...-12: min label travels one hop per round, worst case
+    // for propagation — must still converge inside the round budget
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val comps = Clustering.connectedComponents(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(comps.length === 13)
+    assert(comps.forall(_._2 == 0L))
+
+    val df = (0L until 20L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val kept = Clustering.dropNonKeepers(df, "doc_id", chain)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === (Set(0L) ++ (13L until 20L)))
+  }
+}
