@@ -302,6 +302,56 @@ case class QualityScoreRaw(child: Expression) extends UnaryExpression with Codeg
     copy(child = newChild)
 }
 
+/** `token_count(text)`: number of matches of the BPE-ish tokenizer
+  * pattern `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` — letter runs, digit runs,
+  * and single non-alphanumeric marks each count as one token — in ONE
+  * character scan instead of `regexp_extract_all` materializing every
+  * match string just to take the array's size (the corpus-audit hot loop:
+  * token histograms/profiles pay this per document at 100 TB).
+  *
+  * Bit-identical to the regex count: `\s` is Java-regex whitespace (the
+  * six ASCII chars — U+00A0 etc. do NOT separate and DO count as marks),
+  * runs are maximal (regex alternatives are greedy), and a supplementary
+  * character is ONE mark (Java regex char classes match code points).
+  * CodegenFallback: one virtual call per row, the scan inside is
+  * JIT-compiled Scala. */
+case class TokenCount(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "token_count"
+
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '' || c == '\f' || c == '\r'
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val len = s.length
+    var i = 0
+    var n = 0
+    while (i < len) {
+      val c = s.charAt(i)
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) {
+        n += 1
+        i += 1
+        while (i < len && { val d = s.charAt(i); (d >= 'A' && d <= 'Z') || (d >= 'a' && d <= 'z') }) i += 1
+      } else if (c >= '0' && c <= '9') {
+        n += 1
+        i += 1
+        while (i < len && { val d = s.charAt(i); d >= '0' && d <= '9' }) i += 1
+      } else if (isWs(c)) {
+        i += 1
+      } else {
+        n += 1
+        i += Character.charCount(s.codePointAt(i))
+      }
+    }
+    n
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCount =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the native expressions. */
 object native {
 
