@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 
 /** Native Catalyst expressions for the two hot loops the built-in
   * higher-order functions can't run fast: min-hash signatures and dense
@@ -321,7 +321,7 @@ case class TokenCount(child: Expression) extends UnaryExpression with CodegenFal
   override def prettyName: String = "token_count"
 
   @inline private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '' || c == '\f' || c == '\r'
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
@@ -369,6 +369,12 @@ object native {
 
   def l2normalize(v: Column): Column =
     Bridge.column(L2Normalize(Bridge.expression(v.cast("array<double>"))))
+
+  /** Single-pass BPE-ish token count, bit-identical to
+    * `size(regexp_extract_all(text, tokenPattern, 0))` (property-tested
+    * in TextAnalysisSpec). */
+  def tokenCount(text: Column): Column =
+    Bridge.column(TokenCount(Bridge.expression(text.cast("string"))))
 
   /** Rounded composite quality score: native single-pass raw score,
     * rounded by Spark's own `round` for cross-engine parity. */

@@ -10,20 +10,23 @@ import org.apache.spark.sql.functions._
   * as a pair, so dedup keeps exactly one representative per group.
   *
   * Connected components run as iterative min-label propagation over the
-  * pair list: each vertex repeatedly adopts the smallest component label
-  * among itself and its neighbors, so at the fixpoint every edge joins
-  * two equal labels ⇒ labels are constant per component and equal to the
-  * component's minimum id — which makes keeper selection free (keeper ⇔
-  * id == label).
+  * pair list with pointer jumping: each round a vertex adopts the
+  * smallest label among itself and its neighbors, then compresses by
+  * adopting its label's label (labels only decrease, so label-of-label
+  * never increases). At the fixpoint every edge joins two equal labels ⇒
+  * labels are constant per component and equal to the component's
+  * minimum id — which makes keeper selection free (keeper ⇔ id == label).
   *
   * Scale shape: the iteration runs over the PAIR table, which is
   * LSH-bounded (bucket-capped candidate generation) and therefore tiny
   * relative to the corpus — the 100 TB corpus itself is touched exactly
   * once, by one final left-anti join in [[dropNonKeepers]]. Each round is
-  * one shuffle-join + one aggregate; rounds needed = cluster diameter,
-  * which for near-dup clusters is small (members are all similar to each
-  * other). Lineage is truncated per round with `localCheckpoint`, so
-  * iteration N does not replay rounds 1..N-1.
+  * two shuffle-joins + one aggregate; the jump step halves the distance
+  * to the component minimum each round, so rounds needed is
+  * O(log diameter), not diameter — a drifting near-copy CHAIN thousands
+  * of hops long still converges inside the default budget. Lineage is
+  * truncated per round with `localCheckpoint`, so iteration N does not
+  * replay rounds 1..N-1.
   */
 object Clustering {
 
@@ -32,8 +35,9 @@ object Clustering {
     * (id, comp) where `comp` is the smallest vertex id in the component.
     *
     * Converges in at most `maxIter` rounds or when a round changes no
-    * label (the fixpoint — guaranteed within `maxIter` = the largest
-    * cluster diameter; throws if the budget is exhausted first rather
+    * label (the fixpoint — pointer jumping reaches it in O(log diameter)
+    * rounds, so the default budget covers any component a real pair
+    * table can hold; throws if the budget is exhausted first rather
     * than silently returning a half-merged clustering). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val e = pairs.select(col("id1").alias("src"), col("id2").alias("dst"))
@@ -52,14 +56,27 @@ object Clustering {
         .join(labels.select(col("id").alias("dst"), col("comp").alias("__nc")), Seq("dst"))
         .groupBy(col("src"))
         .agg(min(col("__nc")).alias("__nbr"))
-      val next = labels
+      val stepped = labels
         .join(nbrMin.select(col("src").alias("id"), col("__nbr")), Seq("id"), "left")
         .select(
           col("id"),
-          least(col("comp"), coalesce(col("__nbr"), col("comp"))).alias("comp"),
-          (coalesce(col("__nbr"), col("comp")) < col("comp")).alias("__chg"))
+          least(col("comp"), coalesce(col("__nbr"), col("comp"))).alias("__c1"),
+          col("comp").alias("__old"))
         .localCheckpoint(true)
-      changed = next.filter(col("__chg")).count()
+      // Pointer jump: adopt the current label of the current label. Label
+      // values are vertex ids and labels only decrease, so the lookup hits
+      // a row and never raises a label — it short-circuits chains, giving
+      // O(log diameter) total rounds instead of diameter.
+      val next = stepped
+        .join(
+          stepped.select(col("id").alias("__c1"), col("__c1").alias("__c2")),
+          Seq("__c1"), "left")
+        .select(
+          col("id"),
+          least(col("__c1"), coalesce(col("__c2"), col("__c1"))).alias("comp"),
+          col("__old"))
+        .localCheckpoint(true)
+      changed = next.filter(col("comp") < col("__old")).count()
       labels = next.select(col("id"), col("comp"))
       round += 1
     }

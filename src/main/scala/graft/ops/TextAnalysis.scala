@@ -14,7 +14,14 @@ object TextAnalysis {
     * non-alphanumeric marks each count as one token. */
   val tokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+  /** Single compiled character scan ([[graft.functions.TokenCount]]);
+    * bit-identical to [[tokenCountRegex]] (property-tested). */
   def tokenCount(text: Column): Column =
+    graft.functions.native.tokenCount(text)
+
+  /** Reference form: materializes every match string just to count them —
+    * kept as the oracle for the native scan. */
+  def tokenCountRegex(text: Column): Column =
     size(call_function("regexp_extract_all", text, lit(tokenPattern), lit(0)))
 
   /** Whitespace word tokens (empties removed). */

@@ -16,6 +16,16 @@ class ClusteringSpec extends SparkSuite {
       (10L, 10L, true), (11L, 10L, false)))
   }
 
+  test("a 400-hop chain converges inside the round budget (pointer jumping, not one-hop propagation)") {
+    // path 0-1-...-400: one-hop min propagation would need 400 rounds and
+    // throw past maxIter=25; the label-of-label jump must get there in
+    // O(log 400) ≈ a handful of rounds.
+    val chain = (0L until 400L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val comps = Clustering.connectedComponents(chain).collect()
+    assert(comps.length === 401)
+    assert(comps.forall(_.getLong(1) == 0L))
+  }
+
   test("long chain converges and dropNonKeepers leaves unpaired rows untouched") {
     // path 0-1-2-...-12: min label travels one hop per round, worst case
     // for propagation — must still converge inside the round budget

@@ -103,6 +103,27 @@ class SimilaritySpec extends SparkSuite {
     assert(top.contains((1000L, 1001L)), "normal bucket must survive the cap")
   }
 
+  test("no LSH bucket approaches maxBucket at oracle/bench scale (cap cannot diverge from the uncapped DuckDB oracles)") {
+    // The ann_lsh_topk / cos_near_dup DuckDB oracles do not model the
+    // maxBucket drop, so hash parity requires that NO bucket exceeds the
+    // cap on the data the driver verifies (sf0.01) and benches (sf0.1).
+    // Pin it loudly here — with the declared queries' exact parameters —
+    // so a future data regen that violates the assumption fails a test
+    // instead of silently hash-mismatching.
+    for (sfd <- Seq("sf0.01", "sf0.1")) {
+      val emb = Tables.embeddings(spark, sf(sfd))
+      val annMax = Similarity.lshBucketStats(emb, "vec_id", "embedding", planes = 64, bands = 16, dims = 64)
+        .agg(max(col("bucket_size"))).head().getLong(0)
+      val corpus = emb.select(col("vec_id"), col("embedding")).unionAll(
+        emb.filter(pmod(col("vec_id"), lit(20)) === 0)
+          .select((col("vec_id") + 100000).alias("vec_id"), col("embedding")))
+      val dupMax = Similarity.lshBucketStats(corpus, "vec_id", "embedding", planes = 64, bands = 8, dims = 64)
+        .agg(max(col("bucket_size"))).head().getLong(0)
+      assert(annMax <= 1000, s"$sfd: ann_lsh_topk bucket $annMax exceeds maxBucket — oracle would diverge")
+      assert(dupMax <= 1000, s"$sfd: cos_near_dup bucket $dupMax exceeds maxBucket — oracle would diverge")
+    }
+  }
+
   test("plane matrix is deterministic") {
     assert(Similarity.planeMatrix(4, 8) === Similarity.planeMatrix(4, 8))
     assert(Similarity.planeMatrix(4, 8).head !== Similarity.planeMatrix(4, 8)(1))

@@ -16,6 +16,21 @@ class TextAnalysisSpec extends SparkSuite {
     assert(one(TextAnalysis.tokenCount(col("text")), "x2.5") === 4) // x, 2, ., 5
   }
 
+  test("native tokenCount is bit-identical to the regex count on the documents corpus + edge cases") {
+    val edge = Seq(
+      "", " \t\n\f\r ", "héllo wörld", "a b", // NBSP is NOT a separator: counts as a mark
+      "😀x😀", // supplementary chars: one mark each
+      "mixed 123abc!@# end", "...", "a1b2c3", "ümlaut\nnewline\ttab"
+    ).toDF("text")
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet").select("text").union(edge)
+    val diff = docs.select(
+      TextAnalysis.tokenCount(col("text")).alias("fast"),
+      TextAnalysis.tokenCountRegex(col("text")).alias("slow"))
+      .filter(!(col("fast") <=> col("slow")))
+    assert(diff.count() === 0)
+    assert(one(TextAnalysis.tokenCount(col("text")), null) === null)
+  }
+
   test("word stats") {
     assert(one(TextAnalysis.wordCount(col("text")), "the  quick   fox") === 3)
     assert(one(TextAnalysis.avgWordLen(col("text")), "ab abcd") === 3.0)
