@@ -107,4 +107,44 @@ object Pipeline {
 
     Outputs(currentSilver, forecastSilver, dimLocation, dimDate)
   }
+
+  /** Register the persisted warehouse as a named database of EXTERNAL
+    * parquet tables — the Spark-catalog analog of the reference's Glue
+    * `weather_dwh` database (`create_views.sql:1-4`): a SECOND session
+    * can `spark.sql("SELECT ... FROM weather_dwh.fact_forecast_accuracy")`
+    * with no re-registration and no pipeline re-run. Tables are external
+    * (LOCATION = the layer paths [[run]] wrote), so dropping them never
+    * deletes data; silver tables are partitioned and their partitions are
+    * recovered into the catalog, so a date predicate prunes at the
+    * catalog level (`PartitionFilters`) before any file is listed —
+    * the property that turns a 100 TB history scan into a single-day
+    * scan. On a real cluster the same calls target the Hive/Glue
+    * metastore; locally the in-memory catalog is shared across
+    * `newSession()`s, which is what [[graft.fixtures.WeatherDemo
+    * .ensureCatalog]]'s fresh-session tests pin. */
+  def catalogWarehouse(
+      spark: SparkSession,
+      layout: Layout,
+      database: String = "weather_dwh",
+      includeFacts: Boolean = false): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $database")
+    def external(name: String, path: String, partitioned: Boolean = false): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $database.$name")
+      spark.sql(s"CREATE TABLE $database.$name USING parquet LOCATION '$path'")
+      // external partitioned tables start with empty partition metadata;
+      // recovery lists the directory tree once and registers each
+      // partition (MSCK REPAIR TABLE), after which pruning is a catalog
+      // lookup, not a filesystem walk
+      if (partitioned) spark.sql(s"MSCK REPAIR TABLE $database.$name")
+    }
+    external("current_weather", s"${layout.silverDir}/current_weather", partitioned = true)
+    external("forecast_weather", s"${layout.silverDir}/forecast_weather", partitioned = true)
+    external("dim_location", s"${layout.goldDir}/dim_location")
+    external("dim_date", s"${layout.goldDir}/dim_date")
+    if (includeFacts) {
+      external("fact_weather_actual", s"${layout.goldDir}/fact_weather_actual")
+      external("fact_weather_forecast", s"${layout.goldDir}/fact_weather_forecast")
+      external("fact_forecast_accuracy", s"${layout.goldDir}/fact_forecast_accuracy")
+    }
+  }
 }

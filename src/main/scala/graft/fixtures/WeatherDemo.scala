@@ -130,6 +130,27 @@ object WeatherDemo {
     }
   }
 
+  private var catalogued = false
+
+  /** Run the demo pipeline once with materialized gold and register every
+    * layer as persistent tables in a `weather_dwh` catalog database
+    * ([[Pipeline.catalogWarehouse]]) — the reference's Glue-database
+    * analog. After this, ANY session sharing the catalog (e.g.
+    * `spark.newSession()`, which drops all temp views) can run the
+    * reference analytics SQL against `weather_dwh.*` with no
+    * re-registration — what the `wx_cat_q*` entries and `PipelineSpec`
+    * verify. */
+  def ensureCatalog(spark: SparkSession): Unit = synchronized {
+    if (!catalogued) {
+      val root = Files.createTempDirectory("graft-wx-cat")
+      writeBronze(root)
+      val layout = Pipeline.Layout(root.toString, s"$root/silver", s"$root/gold")
+      Pipeline.run(spark, layout, DemoClock, materializeGold = true, registerViews = false)
+      Pipeline.catalogWarehouse(spark, layout, includeFacts = true)
+      catalogued = true
+    }
+  }
+
   /** Rebuild the accuracy fact from the registered silver/dim tables
     * under the opt-in parity `row_number` key scheme — the invariance
     * counterpart to the default scalable-key pipeline. */

@@ -117,6 +117,22 @@ object WeatherQueries {
   }
   val wxSqlQ4: Q = (s, _) => { WeatherDemo.ensurePipeline(s); s.sql(AnalyticsSql.q4) }
 
+  /** Catalog-level parity: the warehouse registered as a persistent
+    * `weather_dwh` database ([[graft.Pipeline.catalogWarehouse]], the
+    * reference's Glue database, `create_views.sql:1-4`), queried from a
+    * FRESH session (`newSession()` drops every temp view) — proving a
+    * second session runs the reference analytics with no
+    * re-registration. Shares the wx_q* oracles. */
+  private def freshCatalogSession(s: SparkSession): SparkSession = {
+    WeatherDemo.ensureCatalog(s)
+    val fresh = s.newSession()
+    fresh.sql("USE weather_dwh")
+    fresh
+  }
+
+  val wxCatQ1: Q = (s, _) => freshCatalogSession(s).sql(AnalyticsSql.q1)
+  val wxCatQ4: Q = (s, _) => freshCatalogSession(s).sql(AnalyticsSql.q4)
+
   private val baseOracles: Map[String, String] = Map(
     "wx_s1_flatten" ->
       """SELECT * FROM (VALUES
@@ -161,7 +177,9 @@ object WeatherQueries {
     "wx_sql_q1" -> baseOracles("wx_q1_accuracy"),
     "wx_sql_q2" -> baseOracles("wx_q2_city_ranking"),
     "wx_sql_q3" -> baseOracles("wx_q3_summary"),
-    "wx_sql_q4" -> baseOracles("wx_q4_quality")
+    "wx_sql_q4" -> baseOracles("wx_q4_quality"),
+    "wx_cat_q1" -> baseOracles("wx_q1_accuracy"),
+    "wx_cat_q4" -> baseOracles("wx_q4_quality")
   )
 
   val queries: Map[String, Q] = Map(
@@ -179,6 +197,8 @@ object WeatherQueries {
     "wx_sql_q1" -> wxSqlQ1,
     "wx_sql_q2" -> wxSqlQ2,
     "wx_sql_q3" -> wxSqlQ3,
-    "wx_sql_q4" -> wxSqlQ4
+    "wx_sql_q4" -> wxSqlQ4,
+    "wx_cat_q1" -> wxCatQ1,
+    "wx_cat_q4" -> wxCatQ4
   )
 }

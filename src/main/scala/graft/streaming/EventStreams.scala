@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -97,9 +98,15 @@ object EventStreams {
     * spanning N micro-batches is emitted exactly once. `watermarkDelay`
     * bounds late data; state size is O(active users), timeout-bounded.
     *
-    * Batch input: end-of-group closes the trailing session (no more data
-    * is coming), which is the exact gaps-and-islands relational semantics
-    * the `c6_sessionize` oracle verifies. */
+    * Batch input: the SAME semantics run as a relational gaps-and-islands
+    * plan (lag → new-session flag → running sum → groupBy), not the typed
+    * fold — a typed group materializes one (user × batch) group per task
+    * heap (`it.toSeq.sortBy`), which a single hot user with 10⁸ events
+    * OOMs, while the window plan sorts within spill-able partitions. The
+    * trailing session closes at end of input (no more data is coming);
+    * the `c6_sessionize` oracle verifies the semantics, `StreamingSpec`
+    * pins batch ≡ streaming parity, and `PlanShapeSpec` pins that no
+    * FlatMapGroupsWithState/object-serde node appears in the batch plan. */
   def sessionize(
       events: Dataset[Event],
       gapMinutes: Int,
@@ -137,16 +144,23 @@ object EventStreams {
           }
         }
     } else {
-      events
-        .groupByKey(_.user_id)
-        .flatMapGroupsWithState[SessionState, UserSession](
-          OutputMode.Append(),
-          GroupStateTimeout.NoTimeout()) { (userId, it, state: GroupState[SessionState]) =>
-          val (open, closed) = foldSessions(
-            userId, it.toSeq.sortBy(_.event_time.getTime), None, gapMs)
-          // batch mode: close the trailing session too (no more data coming)
-          (closed ++ open.map(emit(userId, _))).iterator
-        }
+      val byTime = Window.partitionBy(col("user_id")).orderBy(col("event_time"))
+      events.toDF()
+        .withColumn("__prev", lag(col("event_time"), 1).over(byTime))
+        .withColumn("__new",
+          (col("__prev").isNull ||
+            unix_millis(col("event_time")) - unix_millis(col("__prev")) > gapMs).cast("int"))
+        .withColumn("__sid",
+          sum(col("__new")).over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("__sid"))
+        .agg(
+          min(col("event_time")).alias("session_start"),
+          max(col("event_time")).alias("session_end"),
+          count(lit(1)).cast("int").alias("n_events"),
+          sum(col("value")).alias("value_sum"))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("value_sum"))
+        .as[UserSession]
     }
   }
 }

@@ -120,6 +120,35 @@ class PipelineSpec extends SparkSuite {
     Pipeline.run(spark, layout, FixedClock("2024-01-01 07:00:00"))
   }
 
+  test("catalog: a fresh session queries the weather_dwh database with no re-registration") {
+    val root = Files.createTempDirectory("graft-pipe5")
+    WeatherFixtures.standard(root)
+    val layout = Pipeline.Layout(root.toString, s"$root/silver", s"$root/gold")
+    Pipeline.run(spark, layout, FixedClock("2024-01-01 07:00:00"),
+      materializeGold = true, registerViews = false)
+    Pipeline.catalogWarehouse(spark, layout, database = "wx_cat_test", includeFacts = true)
+
+    // newSession shares the catalog but drops EVERY temp view — the only
+    // way the query below can work is through the persistent database
+    val fresh = spark.newSession()
+    fresh.sql("USE wx_cat_test")
+    val q1 = fresh.sql(AnalyticsSql.q1).collect()
+    assert(q1.length === 1 && q1.head.getAs[Double]("accuracy_pct") === 50.0)
+    assert(fresh.sql("SELECT count(*) AS n FROM wx_cat_test.current_weather").head().getLong(0) === 2L)
+
+    // silver partitions were recovered into the catalog: a date predicate
+    // prunes partitions in the scan node (PartitionFilters), so the 100 TB
+    // history is never listed for a single-day query
+    val p = fresh.table("wx_cat_test.current_weather")
+      .filter(col("observation_date") === "2024-01-01")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("observation_date"), p.take(2000))
+
+    // external tables: dropping the catalog entry must not delete data
+    fresh.sql("DROP TABLE wx_cat_test.dim_date")
+    assert(new java.io.File(s"$root/gold/dim_date").exists())
+  }
+
   test("SCD2 skip branch: second run leaves dim_location untouched") {
     val root = Files.createTempDirectory("graft-pipe2")
     WeatherFixtures.standard(root)

@@ -77,6 +77,17 @@ class PlanShapeSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p.take(3000))
   }
 
+  test("batch sessionization is the relational window plan — no typed group materialization") {
+    // streaming keeps flatMapGroupsWithState; batch must NOT buffer one
+    // (user × batch) group per task heap — a hot user with 10⁸ events
+    // would OOM. The gaps-and-islands window plan sorts inside spill-able
+    // partitions instead.
+    val p = plan("c6_sessionize")
+    assert(!p.contains("FlatMapGroupsWithState"), p.take(3000))
+    assert(!p.contains("DeserializeToObject"), p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+  }
+
   test("default fact views plan no unpartitioned window (scalable surrogate keys)") {
     graft.fixtures.WeatherDemo.ensurePipeline(spark)
     val p = spark.table("fact_forecast_accuracy").queryExecution.executedPlan.toString
