@@ -73,6 +73,48 @@ object BandJoin {
       .drop("__bucket")
   }
 
+  /** Skew-armored [[bucketed]]: a single hot (key × tolerance-window)
+    * pair — one location logging millions of observations in one hour at
+    * 100 TB — concentrates one hash partition under the plain bucketed
+    * join. Salting spreads it: the LEFT (probe/large) side gets a
+    * deterministic salt in [0, saltBuckets) hashed from `leftSaltCols`
+    * (a unique-ish row id — NOT the join key, which would re-collapse the
+    * hot key into one bucket), and the RIGHT side is replicated across
+    * ALL salts, so every true pair still meets in exactly one
+    * (key, bucket, salt) partition. Results are identical to [[bucketed]]
+    * (the `sk_salted_band_join` entry shares j4's faithful theta-join
+    * oracle); cost is a saltBuckets× map-side replication of the right
+    * side — pick the SMALLER input as `right`, same as a build side.
+    *
+    * This is the manual fallback for the case AQE skew-join splitting
+    * (`spark.sql.adaptive.skewJoin.enabled`, on by default) already
+    * covers for sort-merge joins at runtime: use it when the plan is a
+    * shuffled hash join, when one (key, bucket) exceeds even a split
+    * partition, or when deterministic task sizing matters more than
+    * adaptive splitting. */
+  def saltedBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftEpochName: String,
+      rightEpochName: String,
+      tolerance: Long,
+      leftSaltCols: Seq[String],
+      saltBuckets: Int = 8): DataFrame = {
+    val l = left
+      .withColumn("__bucket", expr(s"$leftEpochName DIV $tolerance"))
+      .withColumn("__salt", Skew.salt(saltBuckets, leftSaltCols.map(col): _*))
+    val r = right
+      .withColumn("__b0", expr(s"$rightEpochName DIV $tolerance"))
+      .withColumn("__off", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("__bucket", col("__b0") + col("__off"))
+      .withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
+      .drop("__b0", "__off")
+    l.join(r, (keys :+ "__bucket" :+ "__salt").toSeq)
+      .filter(abs(col(leftEpochName) - col(rightEpochName)) < tolerance)
+      .drop("__bucket", "__salt")
+  }
+
   /** As-of (nearest-match) variant: each left row keeps only its CLOSEST
     * in-band right row (ties broken by earlier right epoch). The opt-in
     * improvement over the reference's one-to-many semantics

@@ -33,6 +33,23 @@ object CompositeQueries {
       .orderBy(col("user_id"))
   }
 
+  /** SK2 (beyond reference parity): the j4 band join through the
+    * skew-armored salted strategy ([[graft.ops.BandJoin.saltedBucketed]])
+    * — identical results to [[j4BandJoin]] (it shares j4's faithful
+    * theta-join oracle), with a hot (user × hour) spread over 8 salt
+    * partitions. */
+  val skSaltedBandJoin: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val left = e.select(col("user_id"), col("event_id").alias("id1"), col("ts_us").alias("l_us"))
+    val right = e.select(col("user_id"), col("event_id").alias("id2"), col("ts_us").alias("r_us"))
+    BandJoin.saltedBucketed(left, right, Seq("user_id"), "l_us", "r_us", MicrosPerHour,
+      leftSaltCols = Seq("id1"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).alias("pair_count"))
+      .orderBy(col("user_id"))
+  }
+
   /** J4b (beyond reference parity): as-of nearest-match band join
     * ([[graft.ops.BandJoin.asOf]]) — each purchase matched to its closest
     * view by the same user within 1 h. */
@@ -292,6 +309,12 @@ object CompositeQueries {
            ON a.user_id = b.user_id AND a.event_id < b.event_id
           AND abs(epoch_us(a.ts) - epoch_us(b.ts)) < 3600000000
          GROUP BY a.user_id ORDER BY a.user_id""",
+    "sk_salted_band_join" ->
+      """SELECT a.user_id, CAST(count(*) AS BIGINT) AS pair_count
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id AND a.event_id < b.event_id
+          AND abs(epoch_us(a.ts) - epoch_us(b.ts)) < 3600000000
+         GROUP BY a.user_id ORDER BY a.user_id""",
     "c1_scd2" ->
       """SELECT CAST(row_number() OVER (ORDER BY c_name) AS INT) AS customer_key,
                 c_name, c_nationkey, c_mktsegment,
@@ -394,6 +417,7 @@ object CompositeQueries {
     "c4_horizon" -> c4Horizon,
     "c5_dq_gate" -> c5DqGate,
     "sk_salted_agg" -> skSaltedAgg,
+    "sk_salted_band_join" -> skSaltedBandJoin,
     "bk_bucketed_join" -> bkBucketedJoin
   )
 }

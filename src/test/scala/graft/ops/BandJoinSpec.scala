@@ -27,6 +27,38 @@ class BandJoinSpec extends SparkSuite {
     assert(naive.exceptAll(bucketed).count() === 0)
   }
 
+  test("saltedBucketed ≡ bucketed on random data AND on a planted hot (key × window)") {
+    val l = mkEvents(400, "lid", "le")
+    val r = mkEvents(400, "rid", "re")
+    val plain = BandJoin.bucketed(l, r, Seq("k"), "le", "re", 3600L)
+      .select(col("lid"), col("rid"))
+    val salted = BandJoin.saltedBucketed(l, r, Seq("k"), "le", "re", 3600L,
+      leftSaltCols = Seq("lid"), saltBuckets = 8)
+      .select(col("lid"), col("rid"))
+    assert(plain.count() > 0)
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+
+    // hot key: 500 left rows of ONE (key, hour) — under the plain join
+    // they all hash to one partition; salting must spread them WITHOUT
+    // changing the matched pairs
+    val hotL = spark.range(500).select(
+      col("id").alias("lid"), lit(0L).alias("k"), (col("id") % 3600L).alias("le"))
+    val hotR = spark.range(20).select(
+      (col("id") + 1000L).alias("rid"), lit(0L).alias("k"), (col("id") * 180L).alias("re"))
+    val hotPlain = BandJoin.bucketed(hotL, hotR, Seq("k"), "le", "re", 3600L)
+      .select(col("lid"), col("rid"))
+    val hotSalted = BandJoin.saltedBucketed(hotL, hotR, Seq("k"), "le", "re", 3600L,
+      leftSaltCols = Seq("lid"), saltBuckets = 8)
+      .select(col("lid"), col("rid"))
+    assert(hotSalted.exceptAll(hotPlain).count() === 0)
+    assert(hotPlain.exceptAll(hotSalted).count() === 0)
+    // the salted plan spreads the hot key: the join's left shuffle keys
+    // must include the salt column
+    val p = hotSalted.queryExecution.executedPlan.toString
+    assert(p.contains("__salt"), p.take(2000))
+  }
+
   test("band edge: pairs exactly at the tolerance are excluded (strict <)") {
     import spark.implicits._
     val l = Seq((1L, 0L, 0L)).toDF("lid", "k", "le")
