@@ -28,27 +28,81 @@ object Ivf {
     * drop them explicitly rather than propagate NaN cosines). */
   private def norml2(v: Column): Column = native.l2normalize(v)
 
-  /** Assign every vector to its nearest centroid (by cosine, i.e. dot of
-    * normalized vectors). Zero vectors (no direction, NaN cosine) are
-    * dropped at entry. Returns (id, cell, vector) rows. */
-  def assign(corpus: DataFrame, idCol: String, vecCol: String, nCells: Int): DataFrame = {
-    val normed = corpus.select(
+  /** (id, normalized vector) with zero vectors dropped. */
+  private def normalized(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus.select(
       col(idCol).alias("__id"),
       norml2(col(vecCol).cast("array<double>")).alias("__v"))
       .filter(col("__v").isNotNull)
-    val cents = broadcast(
-      normed.orderBy(col("__id")).limit(nCells)
-        .select(col("__id").alias("cell"), col("__v").alias("__cv")))
+
+  /** Nearest-centroid assignment against an explicit (cell, __cv)
+    * centroid table (broadcast — centroid sets are KBs). */
+  private def assignTo(normed: DataFrame, cents: DataFrame): DataFrame =
     normed
-      .join(cents) // broadcast nested loop: |corpus| × nCells, no shuffle of corpus
+      .join(broadcast(cents)) // broadcast nested loop: |corpus| × nCells, no shuffle of corpus
       .withColumn("__sim", native.dotProduct(col("__v"), col("__cv")))
       .withColumn("__rk", row_number().over(Window.partitionBy(col("__id")).orderBy(col("__sim").desc, col("cell"))))
       .filter(col("__rk") === 1)
       .select(col("__id"), col("cell"), col("__v"))
+
+  /** Deterministic seed centroids: the first `nCells` ids. */
+  private def seedCentroids(normed: DataFrame, nCells: Int): DataFrame =
+    normed.orderBy(col("__id")).limit(nCells)
+      .select(col("__id").alias("cell"), col("__v").alias("__cv"))
+
+  /** Assign every vector to its nearest centroid (by cosine, i.e. dot of
+    * normalized vectors). Zero vectors (no direction, NaN cosine) are
+    * dropped at entry. Returns (id, cell, vector) rows. */
+  def assign(corpus: DataFrame, idCol: String, vecCol: String, nCells: Int): DataFrame = {
+    val normed = normalized(corpus, idCol, vecCol)
+    assignTo(normed, seedCentroids(normed, nCells))
+  }
+
+  /** Spherical k-means (Lloyd) refinement of the coarse quantizer:
+    * iterate assign → per-cell mean → renormalize. Returns a
+    * (cell, __cv) centroid table usable by [[topK]]'s `centroids`
+    * parameter; cell ids are the seed ids (stable across iterations).
+    *
+    * Scale shape per iteration: assignment is the same broadcast
+    * nested-loop as [[assign]] (no corpus shuffle); the mean is ONE
+    * shuffle of (cell, pos, component) rows — explode is map-side, the
+    * aggregate is partial+final, and the shuffled payload is corpus ×
+    * dims scalars, the same bytes a vector shuffle would carry. Empty
+    * cells keep their previous centroid (left join + coalesce), so the
+    * cell count never silently shrinks. Iterations localCheckpoint the
+    * (small) centroid table, not the corpus. */
+  def trainCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      iterations: Int = 3): DataFrame = {
+    val normed = normalized(corpus, idCol, vecCol)
+    var cents = seedCentroids(normed, nCells).localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val means = assignTo(normed, cents)
+        .select(col("cell"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy(col("cell"), col("__pos"))
+        .agg(avg(col("__x")).alias("__m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).alias("__pm"))
+        .select(col("cell"), transform(col("__pm"), p => p.getField("__m")).alias("__mean"))
+        .select(col("cell"), norml2(col("__mean")).alias("__newCv"))
+      cents = cents
+        .join(means, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("__newCv"), col("__cv")).alias("__cv"))
+        .localCheckpoint(true)
+    }
+    cents
   }
 
   /** IVF top-k: probe the `nProbe` closest cells per query, exact-rank
-    * within them. Output (q_id, rnk, n_id, sim) like the other ANN paths. */
+    * within them. Output (q_id, rnk, n_id, sim) like the other ANN paths.
+    * `centroids` overrides the deterministic seed quantizer with a
+    * refined table (e.g. [[trainCentroids]]) — the search path is
+    * identical either way, and with `nProbe = nCells` the result is
+    * exactly brute force regardless of centroid quality (which is what
+    * lets the trained variant share the exact oracle). */
   def topK(
       corpus: DataFrame,
       idCol: String,
@@ -56,21 +110,18 @@ object Ivf {
       queryIds: Seq[Long],
       k: Int,
       nCells: Int = 32,
-      nProbe: Int = 8): DataFrame = {
-    val assigned = assign(corpus, idCol, vecCol, nCells)
-
-    // centroid vectors: the first nCells ids themselves
-    val centroids = broadcast(
-      corpus.select(col(idCol).alias("cell"), norml2(col(vecCol).cast("array<double>")).alias("__cv"))
-        .filter(col("__cv").isNotNull)
-        .orderBy(col("cell")).limit(nCells))
+      nProbe: Int = 8,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val normed = normalized(corpus, idCol, vecCol)
+    val cents = centroids.getOrElse(seedCentroids(normed, nCells))
+    val assigned = assignTo(normed, cents)
 
     val queries = assigned.filter(col("__id").isin(queryIds: _*))
       .select(col("__id").alias("q_id"), col("__v").alias("__qv"))
 
     // probe list: nProbe closest centroids per query
     val probes = queries
-      .join(centroids)
+      .join(broadcast(cents))
       .withColumn("__sim", native.dotProduct(col("__qv"), col("__cv")))
       .withColumn("__rk", row_number().over(Window.partitionBy(col("q_id")).orderBy(col("__sim").desc, col("cell"))))
       .filter(col("__rk") <= nProbe)

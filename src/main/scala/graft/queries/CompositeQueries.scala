@@ -95,6 +95,26 @@ object CompositeQueries {
         col("value_sum"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** ST2 (beyond reference parity): stream-static enrichment — windowed
+    * counts joined to a small static event-type dimension
+    * ([[graft.streaming.EventStreams.enrichedWindowedCounts]], broadcast,
+    * stateless). 'error' is deliberately unmapped: the left join keeps it
+    * with a null category. */
+  val st2StreamStatic: Q = (s, d) => {
+    import s.implicits._
+    val dim = Seq(
+      ("click", "engagement"), ("view", "engagement"),
+      ("purchase", "revenue"), ("signup", "growth")).toDF("event_type", "category")
+    graft.streaming.EventStreams.enrichedWindowedCounts(Tables.events(s, d), dim, "1 hour", "2 hours")
+      .select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        col("event_type"),
+        col("category"),
+        col("n"),
+        col("value_sum"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   /** C1: SCD2 initial load over customer-derived attribute tuples with a
     * fixed injected clock ([[graft.etl.Dimensions.scd2InitialLoad]]). */
   val c1Scd2: Q = (s, d) => {
@@ -326,6 +346,14 @@ object CompositeQueries {
       """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                 event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS value_sum
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "st2_stream_static" ->
+      """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                event_type,
+                CASE event_type WHEN 'click' THEN 'engagement' WHEN 'view' THEN 'engagement'
+                                WHEN 'purchase' THEN 'revenue' WHEN 'signup' THEN 'growth'
+                                ELSE NULL END AS category,
+                CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS value_sum
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "j4b_asof_join" ->
       """SELECT user_id, purchase_id, view_id, delta_us FROM (
            SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
@@ -410,6 +438,7 @@ object CompositeQueries {
     "j4b_asof_join" -> j4bAsOfJoin,
     "c6_sessionize" -> c6Sessionize,
     "st1_windowed_counts" -> st1WindowedCounts,
+    "st2_stream_static" -> st2StreamStatic,
     "c1_scd2" -> c1Scd2,
     "c1b_scd2_merge" -> c1bScd2Merge,
     "c2_calendar" -> c2Calendar,

@@ -78,6 +78,36 @@ object LlmQueries {
       .select(col("id").alias("doc_id"), col("cluster_id"), col("is_keeper"))
       .orderBy(col("doc_id"))
 
+  /** End-to-end corpus dedup: near-dup pairs → connected components →
+    * drop every non-keeper ([[graft.ops.Clustering.dropNonKeepers]]) —
+    * what a training-data pipeline actually ships: the corpus with one
+    * representative per near-dup cluster, unpaired rows untouched. The
+    * oracle recomputes components with a recursive CTE and anti-joins
+    * the non-keepers. */
+  val ddCorpusDedup: Q = (s, d) => {
+    val corpus = nearDupCorpus(Tables.documents(s, d))
+    val pairs = Dedup.nearDupPairs(corpus, "doc_id", "text", 0.8)
+      .select(col("id1"), col("id2"))
+    graft.ops.Clustering.dropNonKeepers(corpus, "doc_id", pairs)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** IVF ANN over k-means-REFINED centroids ([[graft.ops.Ivf
+    * .trainCentroids]], 3 spherical Lloyd rounds) with a full probe:
+    * deterministically identical to exact search whatever the centroids
+    * converge to, so it shares the brute-force oracle — while executing
+    * the train → assign → probe path end-to-end. Partial-probe recall
+    * with trained centroids is covered in `SimilaritySpec`. */
+  val annIvfTrained: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val cents = graft.ops.Ivf.trainCentroids(emb, "vec_id", "embedding", nCells = 16, iterations = 3)
+    graft.ops.Ivf.topK(emb, "vec_id", "embedding", Seq(0L, 1L, 2L, 3L, 4L), 3,
+      nCells = 16, nProbe = 16, centroids = Some(cents))
+      .select(col("q_id"), col("rnk"), col("n_id"), col("sim"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** SimHash signatures + hamming distance of each mutated near-copy to
     * its original (rows-only check: xxhash64 is Spark-specific, no SQL
     * oracle — covered by unit tests instead). */
@@ -375,6 +405,37 @@ object LlmQueries {
           SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id,
                  (id = min(r)) AS is_keeper
           FROM walk GROUP BY id ORDER BY doc_id""",
+    "dd_corpus_dedup" ->
+      s"""WITH RECURSIVE
+            c AS (SELECT doc_id, text FROM $nearDupCorpusSql t0),
+            t AS (SELECT doc_id, $wordsSql AS w FROM c),
+            sh AS (SELECT doc_id, $shinglesSql AS s FROM t),
+            pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+                   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                   WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+            e AS (SELECT id1 AS src, id2 AS dst FROM pr
+                  UNION SELECT id2, id1 FROM pr),
+            walk(id, r) AS (
+              SELECT src, src FROM e
+              UNION
+              SELECT w.id, e2.dst FROM walk w JOIN e e2 ON e2.src = w.r),
+            nonk AS (SELECT id FROM walk GROUP BY id HAVING id <> min(r))
+          SELECT doc_id FROM c
+          WHERE doc_id NOT IN (SELECT id FROM nonk)
+          ORDER BY doc_id""",
+    "ann_ivf_trained" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              scored AS (
+                SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                       list_cosine_similarity(q.e, n.e) AS s
+                FROM v q JOIN v n ON q.vec_id < 5 AND q.vec_id <> n.vec_id),
+              ranked AS (
+                SELECT q_id, n_id, s,
+                       row_number() OVER (PARTITION BY q_id ORDER BY s DESC, n_id) AS rnk
+                FROM scored)
+         SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, round(s, 4) AS sim
+         FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk""",
     "ann_brute_topk" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
               scored AS (
@@ -611,9 +672,11 @@ object LlmQueries {
     "dd_minhash_lsh" -> ddMinhashLsh,
     "dd_neardup_jaccard" -> ddNearDupJaccard,
     "dd_cluster" -> ddCluster,
+    "dd_corpus_dedup" -> ddCorpusDedup,
     "dd_simhash" -> ddSimhash,
     "ann_brute_topk" -> annBruteTopK,
     "ann_ivf_topk" -> annIvfTopK,
+    "ann_ivf_trained" -> annIvfTrained,
     "ann_lsh_topk" -> annLshTopK,
     "cos_near_dup" -> cosNearDup,
     "tx_profile" -> txProfile,

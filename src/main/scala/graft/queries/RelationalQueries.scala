@@ -445,8 +445,87 @@ object RelationalQueries {
         grouping(col("o_orderpriority")).cast("int").alias("g_priority"))
       .orderBy(col("g_status"), col("g_priority"), col("o_orderstatus"), col("o_orderpriority"))
 
+  /** A8 (beyond reference parity): exact interpolated percentiles per
+    * group — Spark's `percentile` ≡ SQL `percentile_cont` ≡ DuckDB
+    * `quantile_cont` (linear interpolation). Exact percentile sorts
+    * per-group; at 100 TB prefer `percentile_approx` (bounded-memory
+    * KLL-style sketch, mergeable map-side) unless exactness is required
+    * by contract — the oracle pins the exact form since approx is
+    * implementation-defined per engine. */
+  val a8Percentile: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(call_function("percentile", col("l_quantity").cast("double"), lit(0.5)), 4)
+          .alias("median_qty"),
+        round(call_function("percentile", col("l_extendedprice").cast("double"), lit(0.9)), 4)
+          .alias("p90_price"))
+      .orderBy(col("l_returnflag"))
+
+  /** A9 (beyond reference parity): CUBE — all 2² grouping sets with
+    * grouping flags, one pass (Spark expands grouping sets BEFORE the
+    * hash aggregate; partial aggregation still applies). */
+  val a9Cube: Q = (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).alias("n"),
+        round(sum(col("o_totalprice")), 2).alias("total"),
+        grouping(col("o_orderstatus")).cast("int").alias("g_status"),
+        grouping(col("o_orderpriority")).cast("int").alias("g_priority"))
+      .orderBy(col("g_status"), col("g_priority"), col("o_orderstatus"), col("o_orderpriority"))
+
+  /** W4 (beyond reference parity): top-N per group — the partitioned
+    * window ranks inside each group's partition (no global sort; the
+    * 100 TB shape), deterministic tie-break on the key. */
+  val w4TopNGroup: Q = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("rnk",
+        row_number().over(
+          Window.partitionBy(col("o_orderstatus"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rnk") <= 3)
+      .select(col("o_orderstatus"), col("rnk"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).alias("price"))
+      .orderBy(col("o_orderstatus"), col("rnk"))
+
+  /** G2 (beyond reference parity): posexplode — generator with element
+    * position (the order-preserving flatten a tokenizer pipeline needs). */
+  val g2Posexplode: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .orderBy(col("doc_id"), col("pos"))
+
   // ------------------------------------------------------------ oracle SQL
   val oracles: Map[String, String] = Map(
+    "a8_percentile" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 4) AS median_qty,
+                round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 4) AS p90_price
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "a9_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+                CAST(count(*) AS BIGINT) AS n,
+                round(sum(o_totalprice), 2) AS total,
+                CAST(CASE WHEN GROUPING(o_orderstatus) THEN 1 ELSE 0 END AS INT) AS g_status,
+                CAST(CASE WHEN GROUPING(o_orderpriority) THEN 1 ELSE 0 END AS INT) AS g_priority
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""",
+    "w4_topn_group" ->
+      """SELECT o_orderstatus, CAST(rnk AS INT) AS rnk, o_orderkey,
+                round(o_totalprice, 2) AS price
+         FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+                      row_number() OVER (PARTITION BY o_orderstatus
+                                         ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+               FROM orders)
+         WHERE rnk <= 3 ORDER BY o_orderstatus, rnk""",
+    "g2_posexplode" ->
+      """SELECT doc_id,
+                CAST(unnest(range(0, len(string_split(text, ' ')))) AS INT) AS pos,
+                unnest(string_split(text, ' ')) AS token
+         FROM documents WHERE doc_id < 20
+         ORDER BY doc_id, pos""",
     "j6_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE EXISTS (SELECT 1 FROM orders
@@ -662,6 +741,10 @@ object RelationalQueries {
     "o2_case_rank_sort" -> o2CaseRankSort,
     "j6_semi_join" -> j6SemiJoin,
     "j7_anti_join" -> j7AntiJoin,
-    "a7_rollup" -> a7Rollup
+    "a7_rollup" -> a7Rollup,
+    "a8_percentile" -> a8Percentile,
+    "a9_cube" -> a9Cube,
+    "w4_topn_group" -> w4TopNGroup,
+    "g2_posexplode" -> g2Posexplode
   )
 }

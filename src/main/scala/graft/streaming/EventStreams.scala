@@ -32,6 +32,23 @@ object EventStreams {
         col("n"),
         col("value_sum"))
 
+  /** Stream-static enrichment: windowed counts joined to a small static
+    * dimension on event_type. The static side is broadcast — a
+    * stream-static join carries NO state (each finalized window row
+    * probes the broadcast table once), so it scales with the stream
+    * rate, not history. Works identically on batch input (same
+    * operators), which is how the `st2_stream_static` entry oracles it;
+    * the streaming path is exercised in `StreamingSpec`. Left join:
+    * unmapped event types pass through with a null category rather than
+    * silently dropping counts. */
+  def enrichedWindowedCounts(
+      events: DataFrame,
+      typeDim: DataFrame,
+      windowLength: String = "10 minutes",
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    windowedCounts(events, windowLength, watermarkDelay)
+      .join(broadcast(typeDim), Seq("event_type"), "left")
+
   /** Streaming exact dedup: drop rows whose `keyCols` digest was already
     * seen within the watermark horizon — the streaming counterpart of the
     * batch digest groupBy ([[graft.ops.Dedup.exactDedupIds]]). State is

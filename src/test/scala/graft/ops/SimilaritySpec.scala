@@ -65,6 +65,25 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("IVF with k-means-trained centroids: unit norms, stable cells, full probe ≡ brute force") {
+    val emb = Tables.embeddings(spark, sf())
+    val cents = Ivf.trainCentroids(emb, "vec_id", "embedding", nCells = 8, iterations = 2)
+    val rows = cents.collect()
+    assert(rows.length === 8) // empty cells keep their previous centroid
+    rows.foreach { r =>
+      val v = r.getAs[scala.collection.Seq[Double]]("__cv")
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-9, s"centroid not unit: $norm")
+    }
+    val qids = Seq(100L, 101L, 102L)
+    def resultSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val brute = resultSet(Similarity.bruteTopK(emb, "vec_id", "embedding", qids, 10))
+    val full = resultSet(Ivf.topK(emb, "vec_id", "embedding", qids, 10,
+      nCells = 8, nProbe = 8, centroids = Some(cents)))
+    assert(full === brute)
+  }
+
   test("IVF assignment is total: every vector lands in exactly one cell") {
     val emb = Tables.embeddings(spark, sf())
     val assigned = Ivf.assign(emb, "vec_id", "embedding", 16)

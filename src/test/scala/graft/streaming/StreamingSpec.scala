@@ -49,6 +49,34 @@ class StreamingSpec extends SparkSuite {
     assert(counts.select("event_type").distinct().count() === 5)
   }
 
+  test("stream-static join: windowed counts enrich from a broadcast dim across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val dim = Seq(("click", "engagement"), ("purchase", "revenue")).toDF("event_type", "category")
+    val q = EventStreams.enrichedWindowedCounts(input.toDF(), dim, "10 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("graft_st2").outputMode("append").start()
+
+    input.addData(
+      EventStreams.Event(1L, ts(0), "click", 1.0),
+      EventStreams.Event(2L, ts(5), "purchase", 10.0),
+      EventStreams.Event(3L, ts(7), "error", 0.0))
+    q.processAllAvailable()
+    // advance the watermark past the first window so it finalizes
+    input.addData(EventStreams.Event(9L, ts(60), "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("graft_st2")
+      .select("event_type", "category", "n")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows === Set(
+      ("click", "engagement", 1L),
+      ("purchase", "revenue", 1L),
+      ("error", null, 1L))) // left join keeps unmapped types
+  }
+
   test("flatMapGroupsWithState sessionization: gap splits sessions, aggregates are exact") {
     import spark.implicits._
     def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
