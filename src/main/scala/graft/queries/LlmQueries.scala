@@ -78,6 +78,25 @@ object LlmQueries {
       .select(col("id").alias("doc_id"), col("cluster_id"), col("is_keeper"))
       .orderBy(col("doc_id"))
 
+  /** CP1: the composed training-corpus construction pipeline — quality
+    * gate (native single-pass score) ∧ token-length bounds (native
+    * single-scan count) → exact dedup (digest groupBy keeper semi-join)
+    * → deterministic 50% hash sample. All four stages are the engine's
+    * own operators chained exactly as a corpus build would run them; the
+    * whole plan is one scan + one dedup shuffle + narrow filters. */
+  val cpCorpusClean: Q = (s, d) => {
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        graft.functions.native.qualityScore(col("text")).alias("quality_score"),
+        TextAnalysis.tokenCount(col("text")).alias("n_tokens"))
+      .filter(col("quality_score") >= 0.4 && col("n_tokens").between(20, 2000))
+    val keepIds = Dedup.exactDedupIds(scored, "doc_id", "text")
+    graft.ops.Sampling.sample(
+      scored.join(keepIds, Seq("doc_id"), "left_semi"), col("doc_id"), 0.5)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** End-to-end corpus dedup: near-dup pairs → connected components →
     * drop every non-keeper ([[graft.ops.Clustering.dropNonKeepers]]) —
     * what a training-data pipeline actually ships: the corpus with one
@@ -356,6 +375,18 @@ object LlmQueries {
   private val wordsSql =
     "list_filter(str_split_regex(lower(text), '\\s+'), x -> len(x) > 0)"
 
+  /** [[graft.functions.QualityScoreRaw]]'s composite quality score in
+    * DuckDB, rounded to 4 dp (shared by tx_quality and
+    * cp_corpus_clean). */
+  private val qualityScoreSql =
+    s"""round(least(CAST(len(text) AS DOUBLE) / 400.0, 1.0) * 0.3
+             + least(CAST(len($wordsSql) AS DOUBLE) / 80.0, 1.0) * 0.3
+             + least(CAST(len(list_filter($wordsSql,
+                   x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+                 / len($wordsSql) * 5.0, 1.0) * 0.3
+             + (1.0 - least(CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                 / len(text) * 5.0, 1.0)) * 0.1, 4)"""
+
   /** [[graft.ops.Similarity.lshTopK]]'s 64×64 hyperplane matrix as a
     * DuckDB list-of-lists literal. The matrix is a deterministic
     * plan-time constant (fixed-seed SplitMix64 recurrence), so the
@@ -530,16 +561,19 @@ object LlmQueries {
                         >= len(list_filter($wordsSql, x -> x IN ('le','la','et','les','des','un','une','du','est','pour'))) THEN 'de'
                       ELSE 'fr' END AS lang_pred
           FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    "cp_corpus_clean" ->
+      s"""WITH q AS (SELECT doc_id, text, $qualityScoreSql AS quality_score,
+                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_tokens
+               FROM documents),
+          f AS (SELECT * FROM q WHERE quality_score >= 0.4 AND n_tokens BETWEEN 20 AND 2000),
+          k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text))
+         SELECT doc_id, n_tokens, quality_score FROM f
+         WHERE doc_id IN (SELECT doc_id FROM k)
+           AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+         ORDER BY doc_id""",
     "tx_quality" ->
       s"""WITH q AS (
-            SELECT doc_id,
-                   round(least(CAST(len(text) AS DOUBLE) / 400.0, 1.0) * 0.3
-                       + least(CAST(len($wordsSql) AS DOUBLE) / 80.0, 1.0) * 0.3
-                       + least(CAST(len(list_filter($wordsSql,
-                             x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
-                           / len($wordsSql) * 5.0, 1.0) * 0.3
-                       + (1.0 - least(CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-                           / len(text) * 5.0, 1.0)) * 0.1, 4) AS quality_score
+            SELECT doc_id, $qualityScoreSql AS quality_score
             FROM documents)
           SELECT CASE WHEN quality_score >= 0.75 THEN 'high'
                       WHEN quality_score >= 0.5 THEN 'medium'
@@ -673,6 +707,7 @@ object LlmQueries {
     "dd_neardup_jaccard" -> ddNearDupJaccard,
     "dd_cluster" -> ddCluster,
     "dd_corpus_dedup" -> ddCorpusDedup,
+    "cp_corpus_clean" -> cpCorpusClean,
     "dd_simhash" -> ddSimhash,
     "ann_brute_topk" -> annBruteTopK,
     "ann_ivf_topk" -> annIvfTopK,
