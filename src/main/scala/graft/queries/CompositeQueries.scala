@@ -115,6 +115,22 @@ object CompositeQueries {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** ST3 (beyond reference parity): stream-stream interval join — the
+    * view→purchase attribution join
+    * ([[graft.streaming.EventStreams.viewPurchaseAttribution]]) run in
+    * batch (watermarks analyzer-eliminated), verified against a DuckDB
+    * range-join oracle. The streaming path (state bounded by watermark +
+    * horizon, cross-micro-batch matching) is exercised in
+    * `StreamingSpec`. */
+  val st3IntervalJoin: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    graft.streaming.EventStreams.viewPurchaseAttribution(
+      e.filter(col("event_type") === "view"),
+      e.filter(col("event_type") === "purchase"), "1 hour", "2 hours")
+      .select(col("user_id"), col("view_id"), col("purchase_id"))
+      .orderBy(col("view_id"), col("purchase_id"))
+  }
+
   /** C1: SCD2 initial load over customer-derived attribute tuples with a
     * fixed injected clock ([[graft.etl.Dimensions.scd2InitialLoad]]). */
   val c1Scd2: Q = (s, d) => {
@@ -354,6 +370,13 @@ object CompositeQueries {
                                 ELSE NULL END AS category,
                 CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS value_sum
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "st3_interval_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+         FROM (SELECT * FROM events WHERE event_type = 'view') v
+         JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON v.user_id = p.user_id
+          AND epoch_us(p.ts) BETWEEN epoch_us(v.ts) AND epoch_us(v.ts) + 3600000000
+         ORDER BY view_id, purchase_id""",
     "j4b_asof_join" ->
       """SELECT user_id, purchase_id, view_id, delta_us FROM (
            SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
@@ -439,6 +462,7 @@ object CompositeQueries {
     "c6_sessionize" -> c6Sessionize,
     "st1_windowed_counts" -> st1WindowedCounts,
     "st2_stream_static" -> st2StreamStatic,
+    "st3_interval_join" -> st3IntervalJoin,
     "c1_scd2" -> c1Scd2,
     "c1b_scd2_merge" -> c1bScd2Merge,
     "c2_calendar" -> c2Calendar,

@@ -497,8 +497,79 @@ object RelationalQueries {
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
       .orderBy(col("doc_id"), col("pos"))
 
+  /** U1 (beyond reference parity): set operations — UNION (distinct),
+    * INTERSECT, EXCEPT between two customer segments, tagged and stacked
+    * so one result pins all three. */
+  val u1SetOps: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_nationkey")).distinct()
+    val bldg = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_nationkey")).distinct()
+    auto.union(bldg).distinct().withColumn("op", lit("union"))
+      .unionAll(auto.intersect(bldg).withColumn("op", lit("intersect")))
+      .unionAll(auto.except(bldg).withColumn("op", lit("except")))
+      .orderBy(col("op"), col("c_nationkey"))
+  }
+
+  /** A10 (beyond reference parity): HyperLogLog++ approximate distinct.
+    * Sketches are engine-specific, so the DECLARED result is the
+    * CONTRACT, not the estimate: exact count, and a boolean that the
+    * estimate landed within 5% (the sketch runs at rsd = 0.01, so 5% is
+    * a ≥5σ envelope — rsd is a standard deviation, not a bound, and the
+    * default 0.05 misses 5% on real groups about a third of the time).
+    * The oracle computes the exact count and pins
+    * `within_5pct` literally true — an engine whose sketch drifts out of
+    * contract fails the hash match. At 100 TB the sketch is the point:
+    * fixed-size mergeable state per group vs a full distinct shuffle. */
+  val a10ApproxDistinct: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).alias("n_exact"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.01).alias("__n_approx"))
+      .select(
+        col("l_returnflag"),
+        col("n_exact"),
+        (abs(col("__n_approx") - col("n_exact")) <= col("n_exact") * 0.05).alias("within_5pct"))
+      .orderBy(col("l_returnflag"))
+
+  /** W5 (beyond reference parity): running total — cumulative sum per
+    * group ordered by date with a rows frame (partitioned window; no
+    * global sort). */
+  val w5RunningTotal: Q = (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 50)
+      .withColumn("running_total",
+        round(sum(col("o_totalprice")).over(
+          Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("string").alias("o_orderdate"), col("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+
   // ------------------------------------------------------------ oracle SQL
   val oracles: Map[String, String] = Map(
+    "u1_set_ops" ->
+      """WITH auto AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+              bldg AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING')
+         SELECT c_nationkey, 'union' AS op FROM (SELECT c_nationkey FROM auto UNION SELECT c_nationkey FROM bldg)
+         UNION ALL
+         SELECT c_nationkey, 'intersect' AS op FROM (SELECT c_nationkey FROM auto INTERSECT SELECT c_nationkey FROM bldg)
+         UNION ALL
+         SELECT c_nationkey, 'except' AS op FROM (SELECT c_nationkey FROM auto EXCEPT SELECT c_nationkey FROM bldg)
+         ORDER BY op, c_nationkey""",
+    "a10_approx_distinct" ->
+      """SELECT l_returnflag,
+                CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
+                true AS within_5pct
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "w5_running_total" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+                round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey
+                                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                  AS running_total
+         FROM orders WHERE o_custkey < 50
+         ORDER BY o_custkey, o_orderdate, o_orderkey""",
     "a8_percentile" ->
       """SELECT l_returnflag,
                 round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 4) AS median_qty,
@@ -745,6 +816,9 @@ object RelationalQueries {
     "a8_percentile" -> a8Percentile,
     "a9_cube" -> a9Cube,
     "w4_topn_group" -> w4TopNGroup,
-    "g2_posexplode" -> g2Posexplode
+    "g2_posexplode" -> g2Posexplode,
+    "u1_set_ops" -> u1SetOps,
+    "a10_approx_distinct" -> a10ApproxDistinct,
+    "w5_running_total" -> w5RunningTotal
   )
 }

@@ -49,6 +49,34 @@ object EventStreams {
     windowedCounts(events, windowLength, watermarkDelay)
       .join(broadcast(typeDim), Seq("event_type"), "left")
 
+  /** Stream-stream interval join: each purchase matched to the same
+    * user's views in the preceding `horizon` — the attribution join.
+    * Both sides are watermarked and the join condition bounds event time
+    * in BOTH directions, so each side's state is evicted once the other
+    * side's watermark passes the horizon: state is O(events inside the
+    * horizon window), not O(history) — the only stream-stream join shape
+    * that survives an unbounded feed. On batch input the watermark nodes
+    * are eliminated by the analyzer and the same plan runs as a plain
+    * range join (how the `st3_interval_join` oracle verifies it). */
+  def viewPurchaseAttribution(
+      views: DataFrame,
+      purchases: DataFrame,
+      horizon: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val v = views.withWatermark("event_time", watermarkDelay).alias("v")
+    val p = purchases.withWatermark("event_time", watermarkDelay).alias("p")
+    v.join(
+        p,
+        expr(s"""v.user_id = p.user_id AND
+                 p.event_time BETWEEN v.event_time AND v.event_time + INTERVAL $horizon"""))
+      .select(
+        col("p.user_id").alias("user_id"),
+        col("v.event_id").alias("view_id"),
+        col("p.event_id").alias("purchase_id"),
+        col("v.event_time").alias("view_time"),
+        col("p.event_time").alias("purchase_time"))
+  }
+
   /** Streaming exact dedup: drop rows whose `keyCols` digest was already
     * seen within the watermark horizon — the streaming counterpart of the
     * batch digest groupBy ([[graft.ops.Dedup.exactDedupIds]]). State is

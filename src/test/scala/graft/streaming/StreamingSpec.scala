@@ -77,6 +77,34 @@ class StreamingSpec extends SparkSuite {
       ("error", null, 1L))) // left join keeps unmapped types
   }
 
+  test("stream-stream interval join matches view→purchase across micro-batches, in-horizon only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val views = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def df(m: MemoryStream[(Long, Long, java.sql.Timestamp)]) =
+      m.toDF().toDF("user_id", "event_id", "event_time")
+    val q = EventStreams.viewPurchaseAttribution(
+      df(views), df(purchases), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("graft_st3").outputMode("append").start()
+
+    // view in batch 1; matching purchase arrives in a LATER micro-batch —
+    // the buffered view state must still match it
+    views.addData((1L, 10L, ts(0)), (2L, 11L, ts(0)))
+    q.processAllAvailable()
+    purchases.addData(
+      (1L, 20L, ts(30)),  // in horizon → match
+      (2L, 21L, ts(90)))  // beyond 1 h → no match
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("graft_st3")
+      .select("user_id", "view_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 10L, 20L)))
+  }
+
   test("flatMapGroupsWithState sessionization: gap splits sessions, aggregates are exact") {
     import spark.implicits._
     def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
