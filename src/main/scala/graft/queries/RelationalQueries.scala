@@ -546,8 +546,38 @@ object RelationalQueries {
         col("o_orderdate").cast("string").alias("o_orderdate"), col("running_total"))
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
 
+  /** W6 (beyond reference parity): lead/lag with defaults — the
+    * adjacent-row comparison (order delta per customer) every
+    * time-series pipeline needs, inside the partitioned window. */
+  val w6LeadLag: Q = (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 50)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("string").alias("o_orderdate"),
+        lag(col("o_orderkey"), 1, -1L).over(
+          Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey")))
+          .alias("prev_order"),
+        lead(col("o_orderkey"), 1, -1L).over(
+          Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey")))
+          .alias("next_order"),
+        datediff(
+          col("o_orderdate"),
+          lag(col("o_orderdate"), 1).over(
+            Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))))
+          .alias("days_since_prev"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+
   // ------------------------------------------------------------ oracle SQL
   val oracles: Map[String, String] = Map(
+    "w6_lead_lag" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+                coalesce(lag(o_orderkey, 1) OVER w, -1) AS prev_order,
+                coalesce(lead(o_orderkey, 1) OVER w, -1) AS next_order,
+                CAST(datediff('day', lag(o_orderdate, 1) OVER w, o_orderdate) AS INT) AS days_since_prev
+         FROM orders WHERE o_custkey < 50
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderdate, o_orderkey""",
     "u1_set_ops" ->
       """WITH auto AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
               bldg AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING')
@@ -819,6 +849,7 @@ object RelationalQueries {
     "g2_posexplode" -> g2Posexplode,
     "u1_set_ops" -> u1SetOps,
     "a10_approx_distinct" -> a10ApproxDistinct,
-    "w5_running_total" -> w5RunningTotal
+    "w5_running_total" -> w5RunningTotal,
+    "w6_lead_lag" -> w6LeadLag
   )
 }

@@ -88,6 +88,39 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("Window"), p.take(3000))
   }
 
+  test("AQE splits a planted hot key in a shuffled join (skew-join evidence)") {
+    // the adaptive counterpart to BandJoin.saltedBucketed: when the plan
+    // IS a sort-merge join, AQE re-plans oversized partitions at runtime.
+    // Thresholds are lowered so a test-sized fixture trips the same code
+    // path a 100 TB hot key would.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // 190k of 200k left rows share key 0 — one partition ≫ the rest
+      val hotL = spark.range(200000)
+        .select(when(col("id") < 190000, 0L).otherwise(col("id")).alias("k"), col("id").alias("v"))
+      val right = spark.range(500).select(col("id").alias("k"), col("id").alias("w"))
+      val joined = hotL.join(right, Seq("k"))
+      // collect() executes THIS QueryExecution (count()/foreach() build a
+      // new one via agg/rdd and leave joined's adaptive plan un-finalized)
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true") || p.contains("skewed"), p.take(4000))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("default fact views plan no unpartitioned window (scalable surrogate keys)") {
     graft.fixtures.WeatherDemo.ensurePipeline(spark)
     val p = spark.table("fact_forecast_accuracy").queryExecution.executedPlan.toString
