@@ -72,6 +72,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ))
     ext.injectFunction(
       (
+        FunctionIdentifier("token_count"),
+        new ExpressionInfo(classOf[TokenCount].getName, "token_count"),
+        (exprs: Seq[Expression]) =>
+          exprs match {
+            case Seq(text) => TokenCount(Cast(text, StringType))
+            case _ => throw new IllegalArgumentException("token_count(text string)")
+          }
+      ))
+    ext.injectFunction(
+      (
         FunctionIdentifier("l2_normalize"),
         new ExpressionInfo(classOf[L2Normalize].getName, "l2_normalize"),
         (exprs: Seq[Expression]) =>

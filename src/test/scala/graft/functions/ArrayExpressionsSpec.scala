@@ -93,4 +93,12 @@ class ArrayExpressionsSpec extends SparkSuite {
       .select(native.qualityScore(col("text"))).head().getDouble(0)
     assert(viaSql === viaCol)
   }
+
+  test("token_count SQL function matches the Column API") {
+    val txt = "ab c1 d! mixed 123abc"
+    val viaSql = spark.sql(s"SELECT token_count('$txt') AS n").head().getInt(0)
+    val viaCol = Seq(txt).toDF("text")
+      .select(native.tokenCount(col("text"))).head().getInt(0)
+    assert(viaSql === viaCol && viaSql === 8)
+  }
 }
