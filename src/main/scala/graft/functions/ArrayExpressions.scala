@@ -381,4 +381,13 @@ object native {
   def qualityScore(text: Column): Column =
     org.apache.spark.sql.functions.round(
       Bridge.column(QualityScoreRaw(Bridge.expression(text.cast("string")))), 4)
+
+  /** Unrounded quality score. For thresholds and cross-engine-exact
+    * reporting prefer this raw double (IEEE arithmetic is deterministic,
+    * so it is bit-identical in any engine evaluating the same formula) and
+    * truncate for display — `round` half-way ties break differently across
+    * engines (Spark rounds the shortest decimal repr, DuckDB the binary
+    * value), which `cp_corpus_clean` hit at sf0.1. */
+  def qualityScoreRaw(text: Column): Column =
+    Bridge.column(QualityScoreRaw(Bridge.expression(text.cast("string"))))
 }

@@ -85,11 +85,16 @@ object LlmQueries {
     * own operators chained exactly as a corpus build would run them; the
     * whole plan is one scan + one dedup shuffle + narrow filters. */
   val cpCorpusClean: Q = (s, d) => {
+    // raw score for the threshold and TRUNCATED (not rounded) for the
+    // report: the raw double is bit-identical across engines, while
+    // round's half-way ties are not (Spark decimal-repr vs DuckDB binary
+    // — observed 1-ulp divergence at sf0.1)
+    val qraw = graft.functions.native.qualityScoreRaw(col("text"))
     val scored = Tables.documents(s, d)
       .select(col("doc_id"), col("text"),
-        graft.functions.native.qualityScore(col("text")).alias("quality_score"),
+        (floor(qraw * 10000) / 10000).alias("quality_score"),
         TextAnalysis.tokenCount(col("text")).alias("n_tokens"))
-      .filter(col("quality_score") >= 0.4 && col("n_tokens").between(20, 2000))
+      .filter(qraw >= 0.4 && col("n_tokens").between(20, 2000))
     val keepIds = Dedup.exactDedupIds(scored, "doc_id", "text")
     graft.ops.Sampling.sample(
       scored.join(keepIds, Seq("doc_id"), "left_semi"), col("doc_id"), 0.5)
@@ -376,16 +381,18 @@ object LlmQueries {
     "list_filter(str_split_regex(lower(text), '\\s+'), x -> len(x) > 0)"
 
   /** [[graft.functions.QualityScoreRaw]]'s composite quality score in
-    * DuckDB, rounded to 4 dp (shared by tx_quality and
-    * cp_corpus_clean). */
-  private val qualityScoreSql =
-    s"""round(least(CAST(len(text) AS DOUBLE) / 400.0, 1.0) * 0.3
+    * DuckDB — raw (bit-identical IEEE arithmetic) and rounded to 4 dp
+    * (shared by tx_quality and cp_corpus_clean). */
+  private val qualityScoreRawSql =
+    s"""(least(CAST(len(text) AS DOUBLE) / 400.0, 1.0) * 0.3
              + least(CAST(len($wordsSql) AS DOUBLE) / 80.0, 1.0) * 0.3
              + least(CAST(len(list_filter($wordsSql,
                    x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
                  / len($wordsSql) * 5.0, 1.0) * 0.3
              + (1.0 - least(CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-                 / len(text) * 5.0, 1.0)) * 0.1, 4)"""
+                 / len(text) * 5.0, 1.0)) * 0.1)"""
+
+  private val qualityScoreSql = s"round($qualityScoreRawSql, 4)"
 
   /** [[graft.ops.Similarity.lshTopK]]'s 64×64 hyperplane matrix as a
     * DuckDB list-of-lists literal. The matrix is a deterministic
@@ -562,12 +569,12 @@ object LlmQueries {
                       ELSE 'fr' END AS lang_pred
           FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
     "cp_corpus_clean" ->
-      s"""WITH q AS (SELECT doc_id, text, $qualityScoreSql AS quality_score,
+      s"""WITH q AS (SELECT doc_id, text, $qualityScoreRawSql AS qraw,
                  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_tokens
                FROM documents),
-          f AS (SELECT * FROM q WHERE quality_score >= 0.4 AND n_tokens BETWEEN 20 AND 2000),
+          f AS (SELECT * FROM q WHERE qraw >= 0.4 AND n_tokens BETWEEN 20 AND 2000),
           k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text))
-         SELECT doc_id, n_tokens, quality_score FROM f
+         SELECT doc_id, n_tokens, floor(qraw * 10000) / 10000 AS quality_score FROM f
          WHERE doc_id IN (SELECT doc_id FROM k)
            AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
          ORDER BY doc_id""",
