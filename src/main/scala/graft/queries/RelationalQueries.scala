@@ -568,8 +568,22 @@ object RelationalQueries {
           .alias("days_since_prev"))
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
 
+  /** O3 (beyond reference parity): global top-k via ORDER BY + LIMIT.
+    * Catalyst plans `TakeOrderedAndProject`: each partition keeps a
+    * k-row heap and the driver merges partition winners — no global
+    * sort, no full-data shuffle (pinned in PlanShapeSpec). The ONLY
+    * acceptable global-ordering shape at 100 TB. */
+  val o3TopLimit: Q = (s, d) =>
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).alias("price"))
+
   // ------------------------------------------------------------ oracle SQL
   val oracles: Map[String, String] = Map(
+    "o3_top_limit" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
     "w6_lead_lag" ->
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
                 coalesce(lag(o_orderkey, 1) OVER w, -1) AS prev_order,
@@ -850,6 +864,7 @@ object RelationalQueries {
     "u1_set_ops" -> u1SetOps,
     "a10_approx_distinct" -> a10ApproxDistinct,
     "w5_running_total" -> w5RunningTotal,
-    "w6_lead_lag" -> w6LeadLag
+    "w6_lead_lag" -> w6LeadLag,
+    "o3_top_limit" -> o3TopLimit
   )
 }

@@ -88,6 +88,12 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("Window"), p.take(3000))
   }
 
+  test("global top-k plans TakeOrderedAndProject — per-partition heaps, no full sort") {
+    val p = plan("o3_top_limit")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
+  }
+
   test("AQE splits a planted hot key in a shuffled join (skew-join evidence)") {
     // the adaptive counterpart to BandJoin.saltedBucketed: when the plan
     // IS a sort-merge join, AQE re-plans oversized partitions at runtime.
