@@ -131,6 +131,22 @@ object CompositeQueries {
       .orderBy(col("view_id"), col("purchase_id"))
   }
 
+  /** ST4 (beyond reference parity): streaming exact dedup
+    * ([[graft.streaming.EventStreams.dedupStream]]) run in batch over a
+    * doubled feed (events ∪ events) keyed by event_id — every row arrives
+    * exactly twice and must survive exactly once. The streaming path
+    * (`dropDuplicatesWithinWatermark`, watermark-evicted state) is
+    * exercised cross-micro-batch in `StreamingSpec`; this entry oracles
+    * the shared key-dedup semantics. */
+  val st4StreamDedup: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .filter(col("user_id") < 50)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("event_time"))
+    graft.streaming.EventStreams.dedupStream(e.union(e), "event_time", Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("event_type"), round(col("value"), 4).alias("value"))
+      .orderBy(col("event_id"))
+  }
+
   /** C1: SCD2 initial load over customer-derived attribute tuples with a
     * fixed injected clock ([[graft.etl.Dimensions.scd2InitialLoad]]). */
   val c1Scd2: Q = (s, d) => {
@@ -370,6 +386,9 @@ object CompositeQueries {
                                 ELSE NULL END AS category,
                 CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS value_sum
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "st4_stream_dedup" ->
+      """SELECT event_id, user_id, event_type, round(value, 4) AS value
+         FROM events WHERE user_id < 50 ORDER BY event_id""",
     "st3_interval_join" ->
       """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
          FROM (SELECT * FROM events WHERE event_type = 'view') v
@@ -463,6 +482,7 @@ object CompositeQueries {
     "st1_windowed_counts" -> st1WindowedCounts,
     "st2_stream_static" -> st2StreamStatic,
     "st3_interval_join" -> st3IntervalJoin,
+    "st4_stream_dedup" -> st4StreamDedup,
     "c1_scd2" -> c1Scd2,
     "c1b_scd2_merge" -> c1bScd2Merge,
     "c2_calendar" -> c2Calendar,

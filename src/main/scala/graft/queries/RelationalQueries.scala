@@ -579,8 +579,233 @@ object RelationalQueries {
       .limit(10)
       .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).alias("price"))
 
+  /** A11 (beyond reference parity): pivot — rows→columns on a bounded
+    * key set. The value list is EXPLICIT (`Seq("F","O")`): with it Spark
+    * plans a single map-side conditional aggregation; without it the
+    * engine runs an extra distinct-collect job on the pivot column, a
+    * full scan wasted at 100 TB. */
+  val a11Pivot: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_quantity")), 2))
+      .orderBy(col("l_returnflag"))
+
+  /** A12 (beyond reference parity): explicit GROUPING SETS — the general
+    * form of ROLLUP/CUBE (a7/a9), here (status,priority),(status),() —
+    * skipping the (priority) set CUBE would compute. One shuffle: Spark
+    * expands each input row to its matching sets map-side and aggregates
+    * all sets in one exchange, so a 100 TB fact is read once, not once
+    * per set. */
+  val a12GroupingSets: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")), Seq(col("o_orderstatus")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).cast("long").alias("n"),
+        round(sum(col("o_totalprice")), 2).alias("total"),
+        grouping(col("o_orderstatus")).cast("int").alias("g_status"),
+        grouping(col("o_orderpriority")).cast("int").alias("g_priority"))
+      .orderBy(col("g_status"), col("g_priority"), col("o_orderstatus"), col("o_orderpriority"))
+
+  /** A13 (beyond reference parity): statistical aggregates — corr,
+    * sample covariance, stddev, population variance, regression slope.
+    * All are single-pass partial-aggregable moments (sum, sum², sum·xy),
+    * so they combine map-side like any sum: one shuffle of O(groups)
+    * moment tuples regardless of fact size. Skewness/kurtosis are
+    * deliberately absent: Spark computes population (g1) and DuckDB
+    * sample (G1) forms, so no cross-engine oracle exists. */
+  val a13Stats: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).alias("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).alias("covar_qty_price"),
+        round(stddev_samp(col("l_extendedprice")), 4).alias("sd_price"),
+        round(var_pop(col("l_quantity")), 6).alias("var_qty"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).alias("slope_price_on_qty"))
+      .orderBy(col("l_returnflag"))
+
+  /** W7 (beyond reference parity): time-RANGE window frame — rolling
+    * 1-hour event-value sum per user, `RANGE BETWEEN 3600 PRECEDING AND
+    * CURRENT ROW` over epoch seconds. Partitioned by user ⇒ one hash
+    * exchange then a per-partition sort; the frame is a sliding
+    * two-pointer over each sorted partition, O(n) not O(n·frame).
+    * Epoch-seconds ordering (not raw timestamp) keeps the frame spec
+    * engine-portable and the sort key 8 bytes. */
+  val w7RangeFrame: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec")).rangeBetween(-3600L, 0L)
+    Tables.events(s, d)
+      .filter(col("user_id") < 30)
+      .withColumn("ts_sec", col("event_time").cast("long"))
+      .select(
+        col("user_id"), col("event_id"), col("ts_sec"),
+        round(sum(col("value")).over(w), 4).alias("rolling_1h_value"))
+      .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
+  }
+
+  /** W8 (beyond reference parity): distribution ranks — ntile(4),
+    * percent_rank, cume_dist over per-customer spend, partitioned by
+    * market segment. The window input is the AGGREGATED customer domain
+    * (one row per customer), not the raw fact, and each segment sorts
+    * independently — no global single-partition sort. */
+  val w8Ntile: Q = (s, d) => {
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).alias("spend"))
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("spend"), col("o_custkey"))
+    spend
+      .join(Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("o_custkey") < 300)
+      .select(
+        col("c_mktsegment"), col("o_custkey"), col("spend"),
+        ntile(4).over(w).cast("int").alias("quartile"),
+        round(percent_rank().over(w), 6).alias("pct_rank"),
+        round(cume_dist().over(w), 6).alias("cume"))
+      .orderBy(col("c_mktsegment"), col("spend"), col("o_custkey"))
+  }
+
+  /** F8: string-function battery (upper/substring/concat_ws/lpad/trim/
+    * regexp_replace/instr/levenshtein/reverse/translate). The reference
+    * has no string ops (SURVEY §2 F8 n/a) — included because any corpus
+    * pipeline normalizes text. All are narrow per-row codegen'd
+    * expressions; every function chosen has identical semantics in
+    * DuckDB so the whole battery is hash-verified. */
+  val f8String: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 50)
+      .select(
+        col("doc_id"),
+        upper(substring(col("text"), 1, 12)).alias("head_upper"),
+        concat_ws("|", col("lang"), col("source")).alias("tag"),
+        lpad(col("n_chars").cast("string"), 8, "0").alias("padded_len"),
+        length(trim(col("text"))).cast("int").alias("trim_len"),
+        substring(regexp_replace(col("text"), "[aeiou]", ""), 1, 20).alias("devoweled_head"),
+        instr(col("text"), "the").cast("int").alias("pos_the"),
+        levenshtein(col("lang"), col("source")).cast("int").alias("lev_lang_source"),
+        reverse(col("lang")).alias("rev_lang"),
+        translate(col("source"), "aeo", "430").alias("leet_source"))
+      .orderBy(col("doc_id"))
+
+  /** F10 (beyond reference parity): map-typed column round trip —
+    * per-user event-type counts folded into a `map<string,bigint>`
+    * (collect_list→array_sort→map_from_entries, sorted so map build
+    * order is deterministic across partitions), probed with element_at
+    * and size, then exploded back to rows. Maps stay bounded by the
+    * event-type domain (5 keys), so the collect_list is safe at any
+    * fact size — the cardinality contract a map column needs at 100 TB. */
+  val f10Map: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).alias("cnt"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(array_sort(collect_list(struct(col("event_type"), col("cnt"))))).alias("m"))
+      .select(
+        col("user_id"),
+        size(col("m")).cast("int").alias("n_types"),
+        coalesce(element_at(col("m"), "click"), lit(0L)).alias("click_cnt"),
+        explode(col("m")).as(Seq("event_type", "cnt")))
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** G3 (beyond reference parity): unpivot/melt — columns→rows, the
+    * inverse of a11. Runs on the POST-aggregate table (3 rows × 3
+    * metrics), where melt belongs: unpivoting a raw 100 TB fact would
+    * multiply it by the metric count before any reduction. */
+  val g3Unpivot: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(col("l_quantity")), 2).alias("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).alias("sum_price"),
+        round(sum(col("l_discount")), 2).alias("sum_disc"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "metric", "amount")
+      .orderBy(col("l_returnflag"), col("metric"))
+
   // ------------------------------------------------------------ oracle SQL
   val oracles: Map[String, String] = Map(
+    "a11_pivot" ->
+      """SELECT l_returnflag,
+                round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F",
+                round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O"
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "a12_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+                CAST(count(*) AS BIGINT) AS n,
+                round(sum(o_totalprice), 2) AS total,
+                CAST(CASE WHEN GROUPING(o_orderstatus) THEN 1 ELSE 0 END AS INT) AS g_status,
+                CAST(CASE WHEN GROUPING(o_orderpriority) THEN 1 ELSE 0 END AS INT) AS g_priority
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+         ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""",
+    "a13_stats" ->
+      """SELECT l_returnflag,
+                round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+                round(stddev_samp(l_extendedprice), 4) AS sd_price,
+                round(var_pop(l_quantity), 6) AS var_qty,
+                round(regr_slope(l_extendedprice, l_quantity), 6) AS slope_price_on_qty
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "w7_range_frame" ->
+      """SELECT user_id, event_id, CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ts_sec,
+                round(sum(value) OVER (PARTITION BY user_id
+                                       ORDER BY CAST(floor(extract(epoch FROM ts)) AS BIGINT)
+                                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4)
+                  AS rolling_1h_value
+         FROM events WHERE user_id < 30
+         ORDER BY user_id, ts_sec, event_id""",
+    "w8_ntile" ->
+      """WITH spend AS (
+           SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+           FROM orders GROUP BY 1)
+         SELECT c_mktsegment, o_custkey, spend,
+                CAST(ntile(4) OVER w AS INT) AS quartile,
+                round(percent_rank() OVER w, 6) AS pct_rank,
+                round(cume_dist() OVER w, 6) AS cume
+         FROM spend JOIN customer ON o_custkey = c_custkey
+         WHERE o_custkey < 300
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend, o_custkey)
+         ORDER BY c_mktsegment, spend, o_custkey""",
+    "f8_string" ->
+      """SELECT doc_id,
+                upper(substring(text, 1, 12)) AS head_upper,
+                concat_ws('|', lang, source) AS tag,
+                lpad(CAST(n_chars AS VARCHAR), 8, '0') AS padded_len,
+                CAST(length(trim(text)) AS INT) AS trim_len,
+                substring(regexp_replace(text, '[aeiou]', '', 'g'), 1, 20) AS devoweled_head,
+                CAST(strpos(text, 'the') AS INT) AS pos_the,
+                CAST(levenshtein(lang, source) AS INT) AS lev_lang_source,
+                reverse(lang) AS rev_lang,
+                translate(source, 'aeo', '430') AS leet_source
+         FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
+    "f10_map" ->
+      """WITH per AS (
+           SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2)
+         SELECT user_id,
+                CAST(count(*) OVER (PARTITION BY user_id) AS INT) AS n_types,
+                CAST(coalesce(max(CASE WHEN event_type = 'click' THEN cnt END)
+                                OVER (PARTITION BY user_id), 0) AS BIGINT) AS click_cnt,
+                event_type, cnt
+         FROM per ORDER BY user_id, event_type""",
+    "g3_unpivot" ->
+      """WITH aggd AS (
+           SELECT l_returnflag,
+                  round(sum(l_quantity), 2) AS sum_qty,
+                  round(sum(l_extendedprice), 2) AS sum_price,
+                  round(sum(l_discount), 2) AS sum_disc
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, metric, amount FROM (
+           SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS amount FROM aggd
+           UNION ALL
+           SELECT l_returnflag, 'sum_price' AS metric, sum_price AS amount FROM aggd
+           UNION ALL
+           SELECT l_returnflag, 'sum_disc' AS metric, sum_disc AS amount FROM aggd)
+         ORDER BY l_returnflag, metric""",
     "o3_top_limit" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
          FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
@@ -865,6 +1090,14 @@ object RelationalQueries {
     "a10_approx_distinct" -> a10ApproxDistinct,
     "w5_running_total" -> w5RunningTotal,
     "w6_lead_lag" -> w6LeadLag,
-    "o3_top_limit" -> o3TopLimit
+    "o3_top_limit" -> o3TopLimit,
+    "a11_pivot" -> a11Pivot,
+    "a12_grouping_sets" -> a12GroupingSets,
+    "a13_stats" -> a13Stats,
+    "w7_range_frame" -> w7RangeFrame,
+    "w8_ntile" -> w8Ntile,
+    "f8_string" -> f8String,
+    "f10_map" -> f10Map,
+    "g3_unpivot" -> g3Unpivot
   )
 }

@@ -94,6 +94,32 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
   }
 
+  test("pivot with explicit values is one aggregation pass — no distinct-collect pre-job") {
+    // without the explicit value list Spark runs a separate job to
+    // collect distinct pivot keys — a wasted full scan at 100 TB. The
+    // pivot values appearing as pivotfirst LITERALS proves they were
+    // resolved at plan time, not collected. Two exchanges are inherent
+    // ((flag,status) inner agg partials, then flag pivot) and both carry
+    // aggregate-sized data, never the raw fact.
+    val p = plan("a11_pivot")
+    assert(p.contains("pivotfirst") && p.contains(", F, O,"), p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p.take(2000))
+  }
+
+  test("grouping sets expand map-side and aggregate through ONE exchange") {
+    // each input row fans out to its matching sets BEFORE the shuffle, so
+    // the fact is read once and shuffled once for all three sets
+    val p = plan("a12_grouping_sets")
+    assert(p.contains("Expand"), p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(2000))
+  }
+
+  test("time-range rolling window stays partitioned by user — no single-partition sort") {
+    val p = plan("w7_range_frame")
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("Exchange SinglePartition"), p.take(2000))
+  }
+
   test("AQE splits a planted hot key in a shuffled join (skew-join evidence)") {
     // the adaptive counterpart to BandJoin.saltedBucketed: when the plan
     // IS a sort-merge join, AQE re-plans oversized partitions at runtime.

@@ -152,6 +152,41 @@ class StreamingSpec extends SparkSuite {
     assert(batch.count() === 1)
   }
 
+  test("foreachBatch idempotent sink: batches land once, replay rewrites instead of appending") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-sink")
+    val path = s"$root/out"
+    val input = MemoryStream[EventStreams.Event]
+    def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+
+    input.addData(
+      EventStreams.Event(1L, ts(0), "click", 1.0),
+      EventStreams.Event(2L, ts(1), "view", 2.0))
+    val q1 = Sinks.idempotentParquetSink(
+      input.toDS().toDF(), path, s"$root/ckpt", Some("graft_sink_t"))
+    q1.awaitTermination()
+    assert(spark.table("graft_sink_t").count() === 2)
+
+    // second run, one more batch → only the delta lands, catalog sees it
+    input.addData(EventStreams.Event(3L, ts(2), "purchase", 3.0))
+    val q2 = Sinks.idempotentParquetSink(
+      input.toDS().toDF(), path, s"$root/ckpt", Some("graft_sink_t"))
+    q2.awaitTermination()
+    assert(spark.table("graft_sink_t").count() === 3)
+    assert(spark.table("graft_sink_t").select("batch_id").distinct().count() === 2)
+
+    // simulate a crash-replay of batch 1 (write committed, checkpoint not):
+    // re-writing the same batch_id must REWRITE its partition, not append
+    val replay = Seq(EventStreams.Event(3L, ts(2), "purchase", 3.0)).toDF()
+    Sinks.writeBatchIdempotent(replay.drop("batch_id"), 1L, path)
+    spark.catalog.refreshTable("graft_sink_t")
+    assert(spark.table("graft_sink_t").count() === 3) // still 3 — no duplicates
+    // other partitions untouched by the replay
+    assert(spark.table("graft_sink_t").filter(col("batch_id") === 0).count() === 2)
+    spark.sql("DROP TABLE graft_sink_t")
+  }
+
   test("streaming sessionization: a session spanning micro-batches is emitted exactly ONCE") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
