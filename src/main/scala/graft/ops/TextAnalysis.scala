@@ -205,6 +205,50 @@ object TextAnalysis {
         (s, x) => s + x),
       lit(1000000007L))
 
+  /** Add-one-smoothed bigram language-model score per document — the
+    * kenlm-style fluency filter a training-corpus pipeline runs to drop
+    * gibberish: `avg_logp = mean over bigrams of ln((c(w1,w2)+1) /
+    * (c(w1)+|V|))`, model trained on the corpus itself in the same job.
+    *
+    * Plan shape for 100 TB: bigram EXTRACTION is narrow — bigrams come
+    * from an index-transform over each row's own token array (no
+    * per-token window, so the raw token stream is never shuffled);
+    * the only shuffles are the two count aggregations (map-side partial,
+    * output is vocabulary-sized, not corpus-sized), the count-lookup
+    * joins keyed on bigram/unigram, and the final per-doc groupBy. The
+    * vocabulary-size scalar joins broadcast. */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(
+      col(idCol), split(lower(col(textCol)), " ").alias("__t"))
+    val bi = toks
+      .select(
+        col(idCol),
+        // guard: sequence(1,0) would count DOWN ([1,0]); docs with <2
+        // tokens contribute an empty bigram list instead
+        explode(transform(
+          when(size(col("__t")) >= 2, sequence(lit(1), size(col("__t")) - 1))
+            .otherwise(array().cast("array<int>")),
+          i => struct(
+            element_at(col("__t"), i).alias("w"),
+            element_at(col("__t"), i + 1).alias("w2")))).alias("__b"))
+      .select(col(idCol), col("__b.w").alias("w"), col("__b.w2").alias("w2"))
+    val uni = toks
+      .select(explode(col("__t")).alias("w"))
+      .groupBy(col("w")).agg(count(lit(1)).alias("c1"))
+    val big = bi.groupBy(col("w"), col("w2")).agg(count(lit(1)).alias("c12"))
+    val vocab = uni.agg(count(lit(1)).alias("vsize"))
+    bi
+      .join(big, Seq("w", "w2"))
+      .join(uni, Seq("w"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__logp",
+        log((col("c12") + 1).cast("double") / (col("c1") + col("vsize"))))
+      .groupBy(col(idCol))
+      .agg(
+        round(avg(col("__logp")), 4).alias("avg_logp"),
+        count(lit(1)).cast("long").alias("n_bigrams"))
+  }
+
   /** Full per-document profile in one narrow pass. Tokenization is
     * hoisted into its own projection (`__w`), so the text is split ONCE
     * per document; every word-derived signal reads the attribute.

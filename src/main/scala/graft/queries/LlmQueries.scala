@@ -347,6 +347,15 @@ object LlmQueries {
       .agg(count(lit(1)).alias("n_docs"), sum(col("__tok")).alias("total_tokens"))
       .orderBy(col("bucket_lo"))
 
+  /** Bigram language-model fluency score per document
+    * ([[graft.ops.TextAnalysis.bigramLmScore]]): add-one-smoothed
+    * self-trained model, the kenlm-style gibberish filter. Narrow bigram
+    * extraction (index transform over each row's token array — no token
+    * shuffle); the oracle replays the identical model in SQL. */
+  val txBigramLm: Q = (s, d) =>
+    TextAnalysis.bigramLmScore(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Per-vector int8 quantization audit: scale + max reconstruction
     * error (bounded by scale/2 by construction). */
   val eqQuantize: Q = (s, d) =>
@@ -612,6 +621,25 @@ object LlmQueries {
                 CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(tok) AS BIGINT) AS total_tokens
          FROM t GROUP BY 1 ORDER BY 1""",
+    "tx_bigram_lm" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         bi AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                    i -> {'w': t[i], 'w2': t[i + 1]})) AS b
+           FROM toks),
+         bi2 AS (SELECT doc_id, b.w AS w, b.w2 AS w2 FROM bi),
+         uni AS (
+           SELECT w, count(*) AS c1
+           FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+           GROUP BY 1),
+         big AS (SELECT w, w2, count(*) AS c12 FROM bi2 GROUP BY 1, 2),
+         v AS (SELECT count(*) AS vsize FROM uni)
+         SELECT doc_id,
+                round(avg(ln((c12 + 1.0) / (c1 + vsize))), 4) AS avg_logp,
+                CAST(count(*) AS BIGINT) AS n_bigrams
+         FROM bi2 JOIN big USING (w, w2) JOIN uni USING (w) CROSS JOIN v
+         GROUP BY doc_id ORDER BY doc_id""",
     "eq_quantize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                     FROM embeddings WHERE vec_id < 200),
@@ -731,6 +759,7 @@ object LlmQueries {
     "sm_stratified" -> smStratified,
     "ct_ngram_overlap" -> ctNgramOverlap,
     "eq_quantize" -> eqQuantize,
+    "tx_bigram_lm" -> txBigramLm,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_resize" -> mmResize,
     "mm_features" -> mmFeatures

@@ -726,8 +726,93 @@ object RelationalQueries {
         "metric", "amount")
       .orderBy(col("l_returnflag"), col("metric"))
 
+  /** W9 (beyond reference parity): gap-fill / LOCF (last observation
+    * carried forward) — `last(col, ignoreNulls)` over an unbounded-
+    * preceding frame carries each user's latest purchase value across
+    * subsequent non-purchase events. The sparse→filled idiom for sensor
+    * and pricing feeds. Partitioned by user; the frame is a running
+    * single-value state, O(1) per row. */
+  val w9Locf: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .filter(col("user_id") < 30)
+      .withColumn("ts_sec", col("event_time").cast("long"))
+      .withColumn("purchase_val",
+        when(col("event_type") === "purchase", round(col("value"), 4)))
+      .select(
+        col("user_id"), col("event_id"), col("ts_sec"), col("event_type"),
+        last(col("purchase_val"), ignoreNulls = true).over(w).alias("last_purchase_val"))
+      .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
+  }
+
+  /** C7 (beyond reference parity): time-series densification — per-user
+    * dense hourly spine (`sequence` from the user's own min to max active
+    * hour, exploded) left-joined to hourly aggregates, gaps zero-filled.
+    * The spine is generated per user from a 2-column aggregate, so its
+    * size is bounded by each user's activity span (never |users| ×
+    * |global hours|) and NO cartesian/cross join appears in the plan. */
+  val c7Densify: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .filter(col("user_id") < 20)
+      .withColumn("hour", expr("CAST(event_time AS LONG) DIV 3600"))
+    val hourly = ev.groupBy(col("user_id"), col("hour"))
+      .agg(count(lit(1)).alias("n"), round(sum(col("value")), 4).alias("v"))
+    val spine = ev.groupBy(col("user_id"))
+      .agg(min(col("hour")).alias("h0"), max(col("hour")).alias("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).alias("hour"))
+    spine.join(hourly, Seq("user_id", "hour"), "left")
+      .select(
+        col("user_id"), col("hour"),
+        coalesce(col("n"), lit(0L)).alias("n_events"),
+        coalesce(col("v"), lit(0.0)).alias("value_sum"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
+  /** F11 (beyond reference parity): ordered string aggregation
+    * (listagg/string_agg) — distinct order statuses per priority,
+    * sorted then joined. collect_set keeps the aggregate bounded by the
+    * value domain; sorting happens on the tiny per-group set, after
+    * aggregation, never on the fact. */
+  val f11Listagg: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderstatus"))), ",").alias("statuses"),
+        countDistinct(col("o_orderstatus")).cast("long").alias("n_status"))
+      .orderBy(col("o_orderpriority"))
+
   // ------------------------------------------------------------ oracle SQL
   val oracles: Map[String, String] = Map(
+    "w9_locf" ->
+      """SELECT user_id, event_id, CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ts_sec,
+                event_type,
+                last_value(CASE WHEN event_type = 'purchase' THEN round(value, 4) END IGNORE NULLS)
+                  OVER (PARTITION BY user_id
+                        ORDER BY CAST(floor(extract(epoch FROM ts)) AS BIGINT), event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_val
+         FROM events WHERE user_id < 30
+         ORDER BY user_id, ts_sec, event_id""",
+    "c7_densify" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(floor(extract(epoch FROM ts) / 3600) AS BIGINT) AS hour, value
+           FROM events WHERE user_id < 20),
+         hourly AS (
+           SELECT user_id, hour, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS v
+           FROM ev GROUP BY 1, 2),
+         spine AS (
+           SELECT user_id, unnest(range(min(hour), max(hour) + 1)) AS hour
+           FROM ev GROUP BY user_id)
+         SELECT s.user_id, s.hour,
+                coalesce(n, 0) AS n_events,
+                coalesce(v, 0.0) AS value_sum
+         FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
+         ORDER BY 1, 2""",
+    "f11_listagg" ->
+      """SELECT o_orderpriority,
+                string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+                CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+         FROM orders GROUP BY 1 ORDER BY 1""",
     "a11_pivot" ->
       """SELECT l_returnflag,
                 round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F",
@@ -1098,6 +1183,9 @@ object RelationalQueries {
     "w8_ntile" -> w8Ntile,
     "f8_string" -> f8String,
     "f10_map" -> f10Map,
-    "g3_unpivot" -> g3Unpivot
+    "g3_unpivot" -> g3Unpivot,
+    "w9_locf" -> w9Locf,
+    "c7_densify" -> c7Densify,
+    "f11_listagg" -> f11Listagg
   )
 }

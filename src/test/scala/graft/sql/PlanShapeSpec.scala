@@ -153,6 +153,60 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("runtime bloom filter from a selective dim filter prunes the fact side of a shuffled join") {
+    // when the dim side is too big to broadcast but carries a selective
+    // filter, Spark builds a bloom filter over its join keys at runtime
+    // and pushes might_contain() into the fact scan — at 100 TB this
+    // drops most fact rows BEFORE the shuffle. Thresholds lowered so the
+    // test fixture takes the same code path.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.functions.col
+      val fact = graft.sources.Tables.lineitem(spark, sf())
+      val dim = graft.sources.Tables.orders(spark, sf())
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"), p.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    // fact partitioned on the join key column; the dim filter's matching
+    // keys become a runtime PartitionFilter on the fact scan — only the
+    // surviving partition directories are listed/read. The catalog-level
+    // counterpart of the bloom filter above, and the property that keeps
+    // a date-partitioned 100 TB fact scan proportional to the dim filter.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-dpp")
+    graft.sources.Tables.lineitem(spark, sf())
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(s"$root/fact")
+    // dim must come from storage with the filter on a NON-join column:
+    // a literal dim would constant-fold into a static partition filter
+    // (also fine, but then nothing is pruned at RUNTIME)
+    Seq(("A", "returned"), ("N", "kept"), ("R", "kept"))
+      .toDF("flag", "grp").write.mode("overwrite").parquet(s"$root/dim")
+    val fact = spark.read.parquet(s"$root/fact")
+    val dim = spark.read.parquet(s"$root/dim").filter(col("grp") === "returned")
+    val joined = fact.join(dim, col("l_returnflag") === col("flag"))
+      .groupBy(col("flag")).agg(count(lit(1)).alias("n"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"), p.take(3000))
+  }
+
   test("default fact views plan no unpartitioned window (scalable surrogate keys)") {
     graft.fixtures.WeatherDemo.ensurePipeline(spark)
     val p = spark.table("fact_forecast_accuracy").queryExecution.executedPlan.toString
