@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Partial-aggregable top-k: the scale path for "top k rows per group".
+  *
+  * The window-function form (`row_number` ≤ k, `w4_topn_group`) sorts
+  * EVERY group's full row set inside each partition before discarding all
+  * but k rows. This typed [[Aggregator]] instead keeps a k-element
+  * bounded buffer per group on the MAP side; partials merge by merging
+  * two k-buffers, so the shuffle carries O(groups × k) tuples no matter
+  * how many fact rows feed it — at 100 TB that is the difference between
+  * shuffling kilobytes and sorting terabytes. Results are identical
+  * (same oracle shape as w4): descending by value, ties broken by
+  * ascending id.
+  */
+object TopK {
+
+  /** Bounded buffer as parallel arrays (product-encodable without
+    * ExpressionEncoder plumbing); invariant: sorted desc by value, ties
+    * asc by id, length ≤ k. */
+  final case class Buf(vs: Seq[Double], ids: Seq[Long])
+
+  final case class TopKByValue(k: Int)
+      extends Aggregator[(Double, Long), Buf, Buf] {
+
+    private def cap(pairs: Seq[(Double, Long)]): Buf = {
+      val kept = pairs.sortBy(t => (-t._1, t._2)).take(k)
+      Buf(kept.map(_._1), kept.map(_._2))
+    }
+
+    override def zero: Buf = Buf(Nil, Nil)
+
+    override def reduce(b: Buf, a: (Double, Long)): Buf = {
+      // skip the sort when the buffer is full and a is out of range
+      if (b.vs.length >= k) {
+        val worstV = b.vs.last
+        val worstId = b.ids.last
+        if (a._1 < worstV || (a._1 == worstV && a._2 > worstId)) return b
+      }
+      cap(b.vs.zip(b.ids) :+ a)
+    }
+
+    override def merge(b1: Buf, b2: Buf): Buf =
+      cap(b1.vs.zip(b1.ids) ++ b2.vs.zip(b2.ids))
+
+    override def finish(r: Buf): Buf = r
+
+    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    override def outputEncoder: Encoder[Buf] = Encoders.product[Buf]
+  }
+}

@@ -782,8 +782,90 @@ object RelationalQueries {
         countDistinct(col("o_orderstatus")).cast("long").alias("n_status"))
       .orderBy(col("o_orderpriority"))
 
+  /** W4b (beyond reference parity): top-N per group via a PARTIAL-
+    * AGGREGABLE typed Aggregator ([[graft.ops.TopK]]) — map-side
+    * k-buffers merge through the shuffle, so it carries O(groups × k)
+    * tuples where the w4 window plan sorts every group's full row set.
+    * Same results, same oracle shape as `w4_topn_group`. */
+  val w4bTopNAgg: Q = (s, d) => {
+    val topk = udaf(graft.ops.TopK.TopKByValue(3))
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).alias("top"))
+      .select(
+        col("o_orderstatus"),
+        posexplode(arrays_zip(col("top.vs"), col("top.ids"))).as(Seq("idx", "t")))
+      .select(
+        col("o_orderstatus"),
+        (col("idx") + 1).cast("int").alias("rnk"),
+        col("t.ids").alias("o_orderkey"),
+        round(col("t.vs"), 2).alias("price"))
+      .orderBy(col("o_orderstatus"), col("rnk"))
+  }
+
+  /** A14 (beyond reference parity): approximate percentile CONTRACT —
+    * `percentile_approx` (mergeable KLL-style quantile summaries, the
+    * only percentile that aggregates two-level at 100 TB) held inside an
+    * exact rank envelope: the approx p90 must land between the exact p85
+    * and p95 values (rank error at accuracy 10⁴ is ~10⁻⁴, far inside).
+    * The oracle checks the exact p90 and the contract bit. */
+  val a14ApproxQuantile: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_exact"),
+        (percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000))
+          .between(
+            expr("percentile(l_extendedprice, 0.85)"),
+            expr("percentile(l_extendedprice, 0.95)")))
+          .alias("within_rank_envelope"))
+      .orderBy(col("l_returnflag"))
+
+  /** A15 (beyond reference parity): mergeable distinct-count sketches —
+    * per-(flag,status) HLL sketches unioned up to per-flag estimates,
+    * the two-level re-aggregation exact distinct cannot do (exact
+    * distinct re-shuffles raw keys; sketches merge as 4 KB registers).
+    * HLL at lgK=12 has σ≈1.6% relative error and is fully deterministic
+    * (order-independent register max), so the 5% contract bit is stable;
+    * the oracle checks the exact count and the bit. */
+  val a15SketchMerge: Q = (s, d) => {
+    val perPair = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(hll_sketch_agg(col("l_orderkey")).alias("sk"))
+    val merged = perPair
+      .groupBy(col("l_returnflag"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).alias("n_approx"))
+    val exact = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).cast("long").alias("n_exact"))
+    merged.join(exact, Seq("l_returnflag"))
+      .select(
+        col("l_returnflag"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")) <= col("n_exact") * 0.05)
+          .alias("within_5pct"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // ------------------------------------------------------------ oracle SQL
   val oracles: Map[String, String] = Map(
+    "w4b_topn_agg" ->
+      """SELECT o_orderstatus, CAST(rnk AS INT) AS rnk, o_orderkey,
+                round(o_totalprice, 2) AS price
+         FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+                      row_number() OVER (PARTITION BY o_orderstatus
+                                         ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+               FROM orders)
+         WHERE rnk <= 3 ORDER BY o_orderstatus, rnk""",
+    "a14_approx_quantile" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 4) AS p90_exact,
+                true AS within_rank_envelope
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "a15_sketch_merge" ->
+      """SELECT l_returnflag,
+                CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
+                true AS within_5pct
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "w9_locf" ->
       """SELECT user_id, event_id, CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ts_sec,
                 event_type,
@@ -1186,6 +1268,9 @@ object RelationalQueries {
     "g3_unpivot" -> g3Unpivot,
     "w9_locf" -> w9Locf,
     "c7_densify" -> c7Densify,
-    "f11_listagg" -> f11Listagg
+    "f11_listagg" -> f11Listagg,
+    "w4b_topn_agg" -> w4bTopNAgg,
+    "a14_approx_quantile" -> a14ApproxQuantile,
+    "a15_sketch_merge" -> a15SketchMerge
   )
 }
