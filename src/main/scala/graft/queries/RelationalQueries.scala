@@ -782,6 +782,30 @@ object RelationalQueries {
         countDistinct(col("o_orderstatus")).cast("long").alias("n_status"))
       .orderBy(col("o_orderpriority"))
 
+  /** J8 (beyond reference parity): FULL OUTER join — per-nation customer
+    * vs supplier counts with deliberately partial overlap, unmatched
+    * sides null-filled. Completes the join family (inner/left/semi/anti/
+    * band/as-of already declared; full outer is also the engine's SCD2
+    * merge shape, `Dimensions.scala:101`). Both inputs are pre-aggregated
+    * to their key domain before the join, so the full-outer shuffle
+    * carries O(|nations|) rows, not facts. */
+  val j8FullOuter: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+      .filter(col("c_nationkey") < 15)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).alias("n_cust"))
+    val p = Tables.supplier(s, d)
+      .filter(col("s_nationkey") > 9)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).alias("n_supp"))
+    c.join(p, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).alias("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).alias("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).alias("n_supp"),
+        (col("c_nationkey").isNotNull && col("s_nationkey").isNotNull)
+          .cast("int").alias("both_sides"))
+      .orderBy(col("nationkey"))
+  }
+
   /** W4b (beyond reference parity): top-N per group via a PARTIAL-
     * AGGREGABLE typed Aggregator ([[graft.ops.TopK]]) — map-side
     * k-buffers merge through the shuffle, so it carries O(groups × k)
@@ -848,6 +872,17 @@ object RelationalQueries {
 
   // ------------------------------------------------------------ oracle SQL
   val oracles: Map[String, String] = Map(
+    "j8_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS k, CAST(count(*) AS BIGINT) AS n_cust
+                    FROM customer WHERE c_nationkey < 15 GROUP BY 1),
+              s AS (SELECT s_nationkey AS k, CAST(count(*) AS BIGINT) AS n_supp
+                    FROM supplier WHERE s_nationkey > 9 GROUP BY 1)
+         SELECT coalesce(c.k, s.k) AS nationkey,
+                coalesce(n_cust, 0) AS n_cust,
+                coalesce(n_supp, 0) AS n_supp,
+                CAST(CASE WHEN c.k IS NOT NULL AND s.k IS NOT NULL
+                          THEN 1 ELSE 0 END AS INT) AS both_sides
+         FROM c FULL OUTER JOIN s ON c.k = s.k ORDER BY nationkey""",
     "w4b_topn_agg" ->
       """SELECT o_orderstatus, CAST(rnk AS INT) AS rnk, o_orderkey,
                 round(o_totalprice, 2) AS price
@@ -1271,6 +1306,7 @@ object RelationalQueries {
     "f11_listagg" -> f11Listagg,
     "w4b_topn_agg" -> w4bTopNAgg,
     "a14_approx_quantile" -> a14ApproxQuantile,
-    "a15_sketch_merge" -> a15SketchMerge
+    "a15_sketch_merge" -> a15SketchMerge,
+    "j8_full_outer" -> j8FullOuter
   )
 }

@@ -26,6 +26,24 @@ class BronzeToSilverSpec extends SparkSuite {
     assert(names === Set("London", "Tokyo")) // BadTemp (99°C) and BadHum (150%) gone
   }
 
+  test("S1-robustness: a corrupt bronze file null-rows through PERMISSIVE and is dropped by the DQ gate") {
+    // a malformed extractor payload must not fail the 100 TB batch: the
+    // permissive reader turns it into an all-null row and the C5 gate
+    // (null + range filters) drops it, so the good files still land
+    val root = WeatherFixtures.standard(Files.createTempDirectory("graft-corrupt"))
+    java.nio.file.Files.writeString(
+      root.resolve("raw/current/year=2024/month=01/day=01/hour=06/corrupt.json"),
+      "{ this is : not json,,, \"name\": tru")
+    val bronze = BronzeToSilver.readBronze(
+      spark, s"$root/raw/current/*/*/*/*/*.json", Some(Schemas.currentBronze))
+    // PERMISSIVE: the corrupt file parses to one all-null row, no throw
+    assert(bronze.count() === 5) // 4 fixture docs + 1 corrupt null row
+    assert(bronze.filter(col("city_name").isNull).count() === 1)
+    val silver = BronzeToSilver.currentSilver(bronze, clock)
+    val names = silver.select("location_name").collect().map(_.getString(0)).toSet
+    assert(names === Set("London", "Tokyo")) // same survivors as the clean corpus
+  }
+
   test("P2/P3: nested and array access flatten the right values") {
     val london = currentSilver.filter(col("location_name") === "London").head()
     assert(london.getAs[Double]("temperature_celsius") === 10.0)

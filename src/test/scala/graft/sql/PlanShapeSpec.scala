@@ -207,6 +207,23 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("dynamicpruning"), p.take(3000))
   }
 
+  test("a self-joined aggregate reuses one exchange — the shared subtree is scanned once") {
+    // the "compare each group to itself" shape (period-over-period,
+    // cohort vs cohort): both join inputs are the SAME aggregate, and
+    // ReuseExchange must plan one scan+shuffle with a ReusedExchange
+    // node, not recompute the 100 TB subtree twice
+    import org.apache.spark.sql.functions._
+    val agg = graft.sources.Tables.orders(spark, sf())
+      .groupBy(col("o_custkey")).agg(sum(col("o_totalprice")).alias("spend"))
+    val joined = agg.alias("a")
+      .join(agg.alias("b"), col("a.o_custkey") === col("b.o_custkey"))
+      .select(col("a.o_custkey"), (col("a.spend") + col("b.spend")).alias("s2"))
+    joined.collect() // finalize the adaptive plan
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage")
+      || "Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).size === 1, p.take(3000))
+  }
+
   test("default fact views plan no unpartitioned window (scalable surrogate keys)") {
     graft.fixtures.WeatherDemo.ensurePipeline(spark)
     val p = spark.table("fact_forecast_accuracy").queryExecution.executedPlan.toString
