@@ -4,7 +4,6 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.graftbridge.Bridge
@@ -131,40 +130,21 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   * than n words collapse to one shingle of all tokens (the empty text
   * yields [""]). Exactly the semantics of the higher-order reference
   * [[graft.ops.Dedup.shingles]], but one compiled loop per row instead
-  * of ~2 interpreted lambda calls per word. CodegenFallback: the per-row
-  * call is virtual, the loop inside is JIT-compiled Scala.
+  * of ~2 interpreted lambda calls per word. doGenCode emits a static
+  * kernel call ([[ExprKernels.wordShingles]]), so the expression stays
+  * inside whole-stage codegen — a CodegenFallback here would knock the
+  * WHOLE containing stage back to interpreted Volcano mode.
   */
-case class WordShingles(child: Expression, n: Int) extends UnaryExpression with CodegenFallback {
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
-    val toks = text.split("\\s+").filter(_.nonEmpty)
-    val out = new java.util.LinkedHashSet[String]
-    if (toks.length <= n) out.add(toks.mkString(" "))
-    else {
-      var i = 0
-      val sb = new java.lang.StringBuilder
-      while (i <= toks.length - n) {
-        sb.setLength(0)
-        var j = 0
-        while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(toks(i + j))
-          j += 1
-        }
-        out.add(sb.toString)
-        i += 1
-      }
-    }
-    val arr = new Array[Any](out.size)
-    val it = out.iterator()
-    var i = 0
-    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
-    new GenericArrayData(arr)
-  }
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.wordShingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.wordShingles($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
@@ -243,19 +223,69 @@ case class L2Normalize(child: Expression) extends UnaryExpression {
   * are exact integers, the double ops replay the HOF form's exact order,
   * and rounding is deliberately NOT done here — callers wrap with
   * Spark's own `round(..., 4)` so cross-engine round-half parity is
-  * Spark's, not ours. CodegenFallback: one virtual call per row, the
-  * scan inside is JIT-compiled Scala.
+  * Spark's, not ours. doGenCode emits a static kernel call
+  * ([[ExprKernels.qualityScoreRaw]]), so the expression stays inside
+  * whole-stage codegen (a CodegenFallback would knock the whole
+  * containing stage back to interpreted Volcano mode).
   *
   * Tokenization parity: Java-regex `\s` separators (space, \t, \n,
-  * , \f, \r), tokens from the UTF8String-lowercased text, empties
+  * VT, \f, \r), tokens from the UTF8String-lowercased text, empties
   * dropped — exactly `filter(split(lower(text), "\\s+"), len > 0)`.
   * Punctuation parity: code points outside [A-Za-z0-9] and `\s`, counted
   * on the ORIGINAL text like the `regexp_replace` length difference.
   */
-case class QualityScoreRaw(child: Expression) extends UnaryExpression with CodegenFallback {
+case class QualityScoreRaw(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "quality_score_raw"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.qualityScoreRaw(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.qualityScoreRaw($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): QualityScoreRaw =
+    copy(child = newChild)
+}
+
+
+/** `token_count(text)`: number of matches of the BPE-ish tokenizer
+  * pattern `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` — letter runs, digit runs,
+  * and single non-alphanumeric marks each count as one token — in ONE
+  * character scan instead of `regexp_extract_all` materializing every
+  * match string just to take the array's size (the corpus-audit hot loop:
+  * token histograms/profiles pay this per document at 100 TB).
+  *
+  * Bit-identical to the regex count: `\s` is Java-regex whitespace (the
+  * six ASCII chars — U+00A0 etc. do NOT separate and DO count as marks),
+  * runs are maximal (regex alternatives are greedy), and a supplementary
+  * character is ONE mark (Java regex char classes match code points).
+  * doGenCode emits a static kernel call ([[ExprKernels.tokenCount]]),
+  * so the expression stays inside whole-stage codegen. */
+case class TokenCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "token_count"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.tokenCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.tokenCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCount =
+    copy(child = newChild)
+}
+
+
+/** Static kernels for the generated-code path: whole-stage codegen
+  * calls these as ONE static Java call per row (Scala top-level objects
+  * compile to static forwarders), so the scans stay JIT-compiled without
+  * any CodegenFallback. The interpreted `nullSafeEval` paths delegate to
+  * the SAME methods, so both execution modes share one implementation.
+  */
+object ExprKernels {
 
   private val stop: java.util.Set[String] =
     java.util.Set.of("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
@@ -263,8 +293,36 @@ case class QualityScoreRaw(child: Expression) extends UnaryExpression with Codeg
   @inline private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
-  override def nullSafeEval(input: Any): Any = {
-    val u = input.asInstanceOf[UTF8String]
+  /** See [[WordShingles]] for semantics. */
+  def wordShingles(input: UTF8String, n: Int): ArrayData = {
+    val text = input.toString.toLowerCase(java.util.Locale.ROOT)
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    val out = new java.util.LinkedHashSet[String]
+    if (toks.length <= n) out.add(toks.mkString(" "))
+    else {
+      var i = 0
+      val sb = new java.lang.StringBuilder
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out.add(sb.toString)
+        i += 1
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** See [[QualityScoreRaw]] for semantics and parity notes. */
+  def qualityScoreRaw(u: UTF8String): Double = {
     val nChars = u.numChars()
     val s = u.toString
     var punct = 0
@@ -298,33 +356,9 @@ case class QualityScoreRaw(child: Expression) extends UnaryExpression with Codeg
     lenScore * 0.3 + wordScore * 0.3 + stopScore * 0.3 + (1.0 - punctPenalty) * 0.1
   }
 
-  override protected def withNewChildInternal(newChild: Expression): QualityScoreRaw =
-    copy(child = newChild)
-}
-
-/** `token_count(text)`: number of matches of the BPE-ish tokenizer
-  * pattern `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` — letter runs, digit runs,
-  * and single non-alphanumeric marks each count as one token — in ONE
-  * character scan instead of `regexp_extract_all` materializing every
-  * match string just to take the array's size (the corpus-audit hot loop:
-  * token histograms/profiles pay this per document at 100 TB).
-  *
-  * Bit-identical to the regex count: `\s` is Java-regex whitespace (the
-  * six ASCII chars — U+00A0 etc. do NOT separate and DO count as marks),
-  * runs are maximal (regex alternatives are greedy), and a supplementary
-  * character is ONE mark (Java regex char classes match code points).
-  * CodegenFallback: one virtual call per row, the scan inside is
-  * JIT-compiled Scala. */
-case class TokenCount(child: Expression) extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = IntegerType
-  override def prettyName: String = "token_count"
-
-  @inline private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
-
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  /** See [[TokenCount]] for semantics and regex-parity notes. */
+  def tokenCount(input: UTF8String): Int = {
+    val s = input.toString
     val len = s.length
     var i = 0
     var n = 0
@@ -347,9 +381,6 @@ case class TokenCount(child: Expression) extends UnaryExpression with CodegenFal
     }
     n
   }
-
-  override protected def withNewChildInternal(newChild: Expression): TokenCount =
-    copy(child = newChild)
 }
 
 /** Column-level entry points for the native expressions. */

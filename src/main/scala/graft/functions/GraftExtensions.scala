@@ -18,6 +18,9 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StringTyp
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // transparent acceleration: the portable regex token-count form
+    // optimizes into the native single-scan kernel (see NativeRewriteRule)
+    ext.injectOptimizerRule(_ => graft.plans.NativeRewriteRule)
     ext.injectFunction(
       (
         FunctionIdentifier("minhash_signature"),

@@ -42,6 +42,35 @@ class ArrayExpressionsSpec extends SparkSuite {
     assert(viaDf === interp)
   }
 
+  test("all native kernels compile under whole-stage codegen — no silent interpreted fallback") {
+    // with codegen.fallback=false a janino compile error in any doGenCode
+    // THROWS instead of silently degrading the stage to Volcano mode —
+    // this pins that the static-kernel calls (ExprKernels.*) really run
+    // inside generated code
+    val saved = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rows = Seq(("The quick brown fox, it is 42!", Array(0.6, 0.8)))
+        .toDF("text", "vec")
+        .select(
+          native.tokenCount(col("text")).alias("tc"),
+          native.qualityScore(col("text")).alias("q"),
+          native.wordShingles(col("text"), 2).alias("sh"),
+          native.l2normalize(col("vec")).alias("l2"),
+          native.dotProduct(col("vec"), col("vec")).alias("dp"),
+          native.minhashSignature(native.wordShingles(col("text"), 2), 4).alias("mh"))
+        .collect()
+      assert(rows.head.getAs[Int]("tc") === 9) // the|quick|brown|fox|,|it|is|42|!
+      assert(rows.head.getAs[Double]("dp") === 1.0)
+      assert(rows.head.getSeq[Long](5).length === 4)
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("WordShingles matches the higher-order reference on edge cases") {
     val texts = Seq(
       "The quick brown FOX jumps over the lazy dog",

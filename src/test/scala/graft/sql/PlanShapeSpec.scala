@@ -224,6 +224,24 @@ class PlanShapeSpec extends SparkSuite {
       || "Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).size === 1, p.take(3000))
   }
 
+  test("optimizer rule rewrites the portable regex token count into the native kernel") {
+    // a user writing the reference form gets the single-scan TokenCount
+    // transparently (injectOptimizerRule), results unchanged
+    import org.apache.spark.sql.functions._
+    graft.sources.Tables.documents(spark, sf()).createOrReplaceTempView("graft_nrr_docs")
+    val sql = """SELECT doc_id,
+                        size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS n
+                 FROM graft_nrr_docs"""
+    val df = spark.sql(sql)
+    assert(df.queryExecution.optimizedPlan.toString.contains("token_count"),
+      df.queryExecution.optimizedPlan.toString.take(2000))
+    // and the rewrite is invisible to results: matches the native API
+    val viaNative = graft.sources.Tables.documents(spark, sf())
+      .select(col("doc_id"), graft.functions.native.tokenCount(col("text")).alias("n"))
+    assert(df.orderBy(col("doc_id")).collect().toSeq ===
+      viaNative.orderBy(col("doc_id")).collect().toSeq)
+  }
+
   test("default fact views plan no unpartitioned window (scalable surrogate keys)") {
     graft.fixtures.WeatherDemo.ensurePipeline(spark)
     val p = spark.table("fact_forecast_accuracy").queryExecution.executedPlan.toString
