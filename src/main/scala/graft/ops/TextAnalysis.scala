@@ -232,12 +232,18 @@ object TextAnalysis {
             element_at(col("__t"), i).alias("w"),
             element_at(col("__t"), i + 1).alias("w2")))).alias("__b"))
       .select(col(idCol), col("__b.w").alias("w"), col("__b.w2").alias("w2"))
+    // per-doc bigram multiplicities FIRST: every downstream shuffle and
+    // join then carries distinct (doc, bigram) rows, not instances, and
+    // the global bigram counts derive from the same aggregate instead of
+    // re-scanning the corpus
+    val perDoc = bi.groupBy(col(idCol), col("w"), col("w2"))
+      .agg(count(lit(1)).alias("m"))
     val uni = toks
       .select(explode(col("__t")).alias("w"))
       .groupBy(col("w")).agg(count(lit(1)).alias("c1"))
-    val big = bi.groupBy(col("w"), col("w2")).agg(count(lit(1)).alias("c12"))
+    val big = perDoc.groupBy(col("w"), col("w2")).agg(sum(col("m")).alias("c12"))
     val vocab = uni.agg(count(lit(1)).alias("vsize"))
-    bi
+    perDoc
       .join(big, Seq("w", "w2"))
       .join(uni, Seq("w"))
       .crossJoin(broadcast(vocab))
@@ -245,8 +251,9 @@ object TextAnalysis {
         log((col("c12") + 1).cast("double") / (col("c1") + col("vsize"))))
       .groupBy(col(idCol))
       .agg(
-        round(avg(col("__logp")), 4).alias("avg_logp"),
-        count(lit(1)).cast("long").alias("n_bigrams"))
+        // weighted by multiplicity ≡ the per-instance average
+        round(sum(col("m") * col("__logp")) / sum(col("m")), 4).alias("avg_logp"),
+        sum(col("m")).cast("long").alias("n_bigrams"))
   }
 
   /** Full per-document profile in one narrow pass. Tokenization is

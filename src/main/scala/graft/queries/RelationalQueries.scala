@@ -870,8 +870,57 @@ object RelationalQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** F12 (beyond reference parity): VARIANT semi-structured path —
+    * `parse_json` into the binary variant encoding, typed extraction
+    * with `variant_get`. Unlike the string-JSON path (f9), variant
+    * parses ONCE at ingestion and every downstream extraction is a
+    * binary field probe — at 100 TB the difference between one parse
+    * and one parse per expression. */
+  val f12Variant: Q = (s, d) =>
+    Tables.events(s, d)
+      .filter(col("event_id") < 500)
+      .withColumn("__v", parse_json(col("props")))
+      .select(
+        col("event_id"),
+        variant_get(col("__v"), "$.k", "int").alias("k"),
+        pmod(variant_get(col("__v"), "$.k", "int"), lit(7)).cast("int").alias("k_mod7"),
+        variant_get(col("__v"), "$.missing", "int").alias("absent"))
+      .orderBy(col("event_id"))
+
+  /** F13 (beyond reference parity): ANSI-safe `try_` arithmetic —
+    * divide-by-zero and bigint overflow yield NULL instead of failing
+    * the job. Under ANSI mode (Spark 4 default) plain operators THROW on
+    * these, which at 100 TB means one bad row kills a stage-hours job;
+    * try_* is the per-expression opt-out that keeps the gate explicit. */
+  val f13TryArith: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 500)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        // truncate, not round: the quotient lands on x.xxxx5 ties where
+        // Spark (shortest-decimal) and DuckDB (binary) round-half differ
+        (floor(try_divide(col("l_extendedprice"), col("l_quantity")) * 10000) / 10000)
+          .alias("unit_price"),
+        try_divide(col("l_extendedprice"), col("l_quantity") - col("l_quantity"))
+          .alias("div_zero"),
+        // +1 because orderkey 0 exists: MaxValue+0 is a VALID long
+        try_add(lit(Long.MaxValue), col("l_orderkey") + 1).alias("overflow_add"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   // ------------------------------------------------------------ oracle SQL
   val oracles: Map[String, String] = Map(
+    "f12_variant" ->
+      """SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS INT) AS k,
+                CAST(CAST(json_extract_string(props, '$.k') AS INT) % 7 AS INT) AS k_mod7,
+                CAST(json_extract_string(props, '$.missing') AS INT) AS absent
+         FROM events WHERE event_id < 500 ORDER BY event_id""",
+    "f13_try_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+                floor(l_extendedprice / l_quantity * 10000) / 10000 AS unit_price,
+                CAST(NULL AS DOUBLE) AS div_zero,
+                CAST(NULL AS BIGINT) AS overflow_add
+         FROM lineitem WHERE l_orderkey < 500 ORDER BY l_orderkey, l_linenumber""",
     "j8_full_outer" ->
       """WITH c AS (SELECT c_nationkey AS k, CAST(count(*) AS BIGINT) AS n_cust
                     FROM customer WHERE c_nationkey < 15 GROUP BY 1),
@@ -1307,6 +1356,8 @@ object RelationalQueries {
     "w4b_topn_agg" -> w4bTopNAgg,
     "a14_approx_quantile" -> a14ApproxQuantile,
     "a15_sketch_merge" -> a15SketchMerge,
-    "j8_full_outer" -> j8FullOuter
+    "j8_full_outer" -> j8FullOuter,
+    "f12_variant" -> f12Variant,
+    "f13_try_arith" -> f13TryArith
   )
 }
