@@ -256,6 +256,28 @@ object TextAnalysis {
         sum(col("m")).cast("long").alias("n_bigrams"))
   }
 
+  /** TF-IDF term weights per document: `tf(d,t) · ln(N / df(t))`,
+    * unsmoothed and deterministic. Shuffle structure mirrors
+    * [[bigramLmScore]]: term counts aggregate per (doc, term) FIRST, the
+    * document frequency derives from that aggregate (each distinct
+    * (doc, term) contributes one df count — no second corpus scan), and
+    * the corpus-size scalar joins broadcast. At 100 TB the only
+    * corpus-sized shuffle is the initial (doc, term) partial aggregate;
+    * everything downstream is vocabulary-sized. */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(split(lower(col(textCol)), " ")).alias("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).alias("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).alias("__df"))
+    val n = docs.agg(count(lit(1)).alias("__n"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(
+        col(idCol), col("term"), col("tf"),
+        round(col("tf") * log(col("__n").cast("double") / col("__df")), 4).alias("tfidf"))
+  }
+
   /** Full per-document profile in one narrow pass. Tokenization is
     * hoisted into its own projection (`__w`), so the text is split ONCE
     * per document; every word-derived signal reads the attribute.

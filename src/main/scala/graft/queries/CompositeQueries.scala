@@ -147,6 +147,28 @@ object CompositeQueries {
       .orderBy(col("event_id"))
   }
 
+  /** ST5 (beyond reference parity): Spark's NATIVE `session_window`
+    * operator — gap-based sessions as a groupBy key, no custom state
+    * code at all. Complements the two custom paths (c6 gaps-and-islands
+    * window plan for batch, flatMapGroupsWithState for streaming): at
+    * 100 TB the native operator merges session candidates inside the
+    * aggregation (partial merge, spill-able), one shuffle on user_id.
+    * Note session_window.end = last event + gap (not the last event —
+    * the oracle models the + INTERVAL explicitly). */
+  val st5SessionWindow: Q = (s, d) =>
+    Tables.events(s, d)
+      .filter(col("user_id") < 50)
+      .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
+      .agg(
+        count(lit(1)).cast("int").alias("n_events"),
+        round(sum(col("value")), 4).alias("value_sum"))
+      .select(
+        col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        col("n_events"), col("value_sum"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** C1: SCD2 initial load over customer-derived attribute tuples with a
     * fixed injected clock ([[graft.etl.Dimensions.scd2InitialLoad]]). */
   val c1Scd2: Q = (s, d) => {
@@ -389,6 +411,26 @@ object CompositeQueries {
     "st4_stream_dedup" ->
       """SELECT event_id, user_id, event_type, round(value, 4) AS value
          FROM events WHERE user_id < 50 ORDER BY event_id""",
+    "st5_session_window" ->
+      """WITH lagged AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS brk
+           FROM events WHERE user_id < 50
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         sess AS (
+           SELECT user_id, ts, value,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM lagged)
+         SELECT user_id,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+                CAST(count(*) AS INT) AS n_events,
+                round(sum(value), 4) AS value_sum
+         FROM sess GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
     "st3_interval_join" ->
       """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
          FROM (SELECT * FROM events WHERE event_type = 'view') v
@@ -483,6 +525,7 @@ object CompositeQueries {
     "st2_stream_static" -> st2StreamStatic,
     "st3_interval_join" -> st3IntervalJoin,
     "st4_stream_dedup" -> st4StreamDedup,
+    "st5_session_window" -> st5SessionWindow,
     "c1_scd2" -> c1Scd2,
     "c1b_scd2_merge" -> c1bScd2Merge,
     "c2_calendar" -> c2Calendar,

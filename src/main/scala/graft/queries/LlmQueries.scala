@@ -356,6 +356,14 @@ object LlmQueries {
     TextAnalysis.bigramLmScore(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** TF-IDF term weights ([[graft.ops.TextAnalysis.tfidf]]) — the
+    * classic relevance/keyword-extraction weighting, model replayed in
+    * SQL. */
+  val txTfidf: Q = (s, d) =>
+    TextAnalysis.tfidf(Tables.documents(s, d), "doc_id", "text")
+      .filter(col("doc_id") < 30)
+      .orderBy(col("doc_id"), col("term"))
+
   /** Per-vector int8 quantization audit: scale + max reconstruction
     * error (bounded by scale/2 by construction). */
   val eqQuantize: Q = (s, d) =>
@@ -621,6 +629,17 @@ object LlmQueries {
                 CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(tok) AS BIGINT) AS total_tokens
          FROM t GROUP BY 1 ORDER BY 1""",
+    "tx_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+         tf AS (
+           SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS nd FROM documents)
+         SELECT doc_id, term, tf,
+                round(tf * ln(CAST(nd AS DOUBLE) / dfc), 4) AS tfidf
+         FROM tf JOIN dfq USING (term) CROSS JOIN n
+         WHERE doc_id < 30 ORDER BY doc_id, term""",
     "tx_bigram_lm" ->
       """WITH toks AS (
            SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
@@ -760,6 +779,7 @@ object LlmQueries {
     "ct_ngram_overlap" -> ctNgramOverlap,
     "eq_quantize" -> eqQuantize,
     "tx_bigram_lm" -> txBigramLm,
+    "tx_tfidf" -> txTfidf,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_resize" -> mmResize,
     "mm_features" -> mmFeatures
