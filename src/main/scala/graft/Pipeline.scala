@@ -30,7 +30,11 @@ object Pipeline {
       currentSilver: DataFrame,
       forecastSilver: DataFrame,
       dimLocation: DataFrame,
-      dimDate: DataFrame)
+      dimDate: DataFrame,
+      /** Observed write metrics per silver layer (rows_written,
+        * min/max partition) — accumulated inside the write jobs
+        * themselves, zero extra scans. */
+      writeMetrics: Map[String, Map[String, Any]] = Map.empty)
 
   /** Existence probe through the Hadoop FileSystem API — works on any
     * supported scheme (s3a://, hdfs://, file:/), unlike `java.io.File`. */
@@ -59,10 +63,10 @@ object Pipeline {
     val forecastBronze = BronzeToSilver.readBronze(
       spark, s"${layout.bronzeDir}/raw/forecast/*/*/*/*/*.json", Some(Schemas.forecastBronze))
 
-    BronzeToSilver.writeSilver(
+    val currentMetrics = BronzeToSilver.writeSilverObserved(
       BronzeToSilver.currentSilver(currentBronze, clock),
       s"${layout.silverDir}/current_weather", "observation_date", mode = "overwrite")
-    BronzeToSilver.writeSilver(
+    val forecastMetrics = BronzeToSilver.writeSilverObserved(
       BronzeToSilver.forecastSilver(forecastBronze, clock),
       s"${layout.silverDir}/forecast_weather", "forecast_created_date", mode = "overwrite")
 
@@ -105,7 +109,8 @@ object Pipeline {
       forecastSilver.createOrReplaceTempView("forecast_weather")
     }
 
-    Outputs(currentSilver, forecastSilver, dimLocation, dimDate)
+    Outputs(currentSilver, forecastSilver, dimLocation, dimDate,
+      Map("current_weather" -> currentMetrics, "forecast_weather" -> forecastMetrics))
   }
 
   /** Register the persisted warehouse as a named database of EXTERNAL

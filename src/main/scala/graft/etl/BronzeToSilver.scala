@@ -143,4 +143,25 @@ object BronzeToSilver {
     * dynamic partition overwrite (SURVEY §7.4 item 6). */
   def writeSilver(df: DataFrame, path: String, partitionCol: String, mode: String = "append"): Unit =
     df.write.partitionBy(partitionCol).mode(mode).parquet(path)
+
+  /** [[writeSilver]] with observed write metrics (`Dataset.observe`):
+    * row count and partition-column range accumulate INSIDE the write
+    * job itself — the operational numbers a pipeline reports per batch
+    * (reference analog: Glue job metrics) without the second full scan
+    * a `df.count()` would cost. At 100 TB a post-write count re-reads
+    * the layer; observation is free. */
+  def writeSilverObserved(
+      df: DataFrame,
+      path: String,
+      partitionCol: String,
+      mode: String = "append"): Map[String, Any] = {
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(
+        obs,
+        count(lit(1)).alias("rows_written"),
+        min(col(partitionCol)).cast("string").alias("min_partition"),
+        max(col(partitionCol)).cast("string").alias("max_partition"))
+      .write.partitionBy(partitionCol).mode(mode).parquet(path)
+    obs.get
+  }
 }

@@ -1,0 +1,129 @@
+package graft.ops
+
+import graft.functions.native
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ): compress each (normalized) vector into m
+  * one-byte codes — one code per d/m-dim subspace, each trained by its
+  * own small k-means — and answer similarity queries with asymmetric
+  * distance (full-precision query vs quantized corpus) through a lookup
+  * table. The memory story at 100 TB: a 64-dim float vector (256 B)
+  * becomes m codes (m bytes — 16 B at the default m=16, a 16×
+  * compression), turning a cluster-wide ANN corpus into something a
+  * single executor core streams from cache; raise m/ksub for recall,
+  * lower them for density.
+  *
+  * Scale shape: training assigns subvectors against a BROADCAST codebook
+  * (m × ksub centroids ≈ KBs — never a corpus shuffle); encoding is the
+  * same broadcast argmin; ADC search builds a per-query lookup table
+  * (m × ksub dots, broadcast), joins it to the corpus codes map-side,
+  * and reduces with ONE partial+final aggregation per (query, neighbor).
+  * Deterministic end to end: seeds are the first ksub ids' subvectors,
+  * ties break on code id, so the contract oracle is stable.
+  */
+object Pq {
+
+  /** (id, sub, subvector) rows: each normalized vector split into m
+    * contiguous d/m-dim slices. Narrow (explode of a per-row transform). */
+  private def subvectors(corpus: DataFrame, idCol: String, vecCol: String, m: Int): DataFrame = {
+    val normed = corpus.select(
+      col(idCol).alias("__id"),
+      native.l2normalize(col(vecCol).cast("array<double>")).alias("__v"))
+      .filter(col("__v").isNotNull)
+    val dsub = size(col("__v")) / m
+    normed
+      .select(
+        col("__id"),
+        posexplode(transform(
+          sequence(lit(0), lit(m - 1)),
+          s => slice(col("__v"), s * dsub + 1, dsub))).as(Seq("sub", "__sv")))
+  }
+
+  /** Nearest code per (id, sub) against a broadcast codebook:
+    * argmin ||sv − c||² ⇔ argmax (dot(sv, c) − ||c||²/2). */
+  private def assignCodes(subvecs: DataFrame, codebook: DataFrame): DataFrame =
+    subvecs
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("__score",
+        native.dotProduct(col("__sv"), col("__cv")) -
+          native.dotProduct(col("__cv"), col("__cv")) / 2)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__id"), col("sub")).orderBy(col("__score").desc, col("code"))))
+      .filter(col("__rk") === 1)
+      .select(col("__id"), col("sub"), col("code"), col("__sv"))
+
+  /** Per-subspace Lloyd k-means codebook: (sub, code, __cv). Seeds are
+    * the first `ksub` ids' subvectors (deterministic); empty codes keep
+    * their previous centroid. */
+  def trainCodebook(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      ksub: Int,
+      iterations: Int = 3): DataFrame = {
+    val subvecs = subvectors(corpus, idCol, vecCol, m)
+    val seedW = Window.partitionBy(col("sub")).orderBy(col("__id"))
+    var codebook = subvecs
+      .withColumn("__rk", row_number().over(seedW))
+      .filter(col("__rk") <= ksub)
+      .select(col("sub"), (col("__rk") - 1).cast("int").alias("code"), col("__sv").alias("__cv"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val means = assignCodes(subvecs, codebook)
+        .select(col("sub"), col("code"), posexplode(col("__sv")).as(Seq("__pos", "__x")))
+        .groupBy(col("sub"), col("code"), col("__pos"))
+        .agg(avg(col("__x")).alias("__mc"))
+        .groupBy(col("sub"), col("code"))
+        .agg(array_sort(collect_list(struct(col("__pos"), col("__mc")))).alias("__pm"))
+        .select(col("sub"), col("code"),
+          transform(col("__pm"), p => p.getField("__mc")).alias("__newCv"))
+      codebook = codebook
+        .join(means, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"), coalesce(col("__newCv"), col("__cv")).alias("__cv"))
+        .localCheckpoint(true)
+    }
+    codebook
+  }
+
+  /** Encode the corpus: (id, sub, code) — the 1-byte-per-subspace
+    * representation an executor streams at 100 TB. */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String, codebook: DataFrame, m: Int): DataFrame =
+    assignCodes(subvectors(corpus, idCol, vecCol, m), codebook)
+      .select(col("__id"), col("sub"), col("code"))
+
+  /** Asymmetric-distance top-k: full-precision queries against the
+    * quantized corpus. The per-query lookup table (dot of each query
+    * subvector with each code centroid) is broadcast; approximate
+    * cosine = Σ_sub lut(q, sub, code(n, sub)) reduces in one
+    * aggregation. Queries never see raw corpus vectors — only codes. */
+  def adcTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: Seq[Long],
+      k: Int,
+      m: Int = 16,
+      ksub: Int = 32,
+      iterations: Int = 3): DataFrame = {
+    val codebook = trainCodebook(corpus, idCol, vecCol, m, ksub, iterations)
+    val codes = encode(corpus, idCol, vecCol, codebook, m)
+    val lut = subvectors(corpus.filter(col(idCol).isin(queryIds: _*)), idCol, vecCol, m)
+      .select(col("__id").alias("q_id"), col("sub"), col("__sv"))
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("q_id"), col("sub"), col("code"),
+        native.dotProduct(col("__sv"), col("__cv")).alias("__d"))
+    codes
+      .join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("q_id") =!= col("__id"))
+      .groupBy(col("q_id"), col("__id"))
+      .agg(sum(col("__d")).alias("approx_sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("approx_sim").desc, col("__id"))))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk").cast("int").alias("rnk"),
+        col("__id").alias("n_id"), round(col("approx_sim"), 4).alias("approx_sim"))
+  }
+}

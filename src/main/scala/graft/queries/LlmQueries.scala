@@ -364,6 +364,27 @@ object LlmQueries {
       .filter(col("doc_id") < 30)
       .orderBy(col("doc_id"), col("term"))
 
+  /** Product-quantization recall CONTRACT ([[graft.ops.Pq]]): each
+    * query's EXACT nearest neighbor (hash-verified against the DuckDB
+    * brute oracle) must appear in the PQ asymmetric-distance top-10 —
+    * the recall bar a 32×-compressed ANN index has to clear before it
+    * can replace full-precision vectors. Deterministic training
+    * (seeded, tie-broken) keeps the contract bit stable. */
+  val eqPqRecall: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val exact = Similarity.bruteTopK(emb, "vec_id", "embedding", qids, 1)
+      .filter(col("rnk") === 1)
+      .select(col("q_id"), col("n_id").alias("top1_id"))
+    val pq = graft.ops.Pq.adcTopK(emb, "vec_id", "embedding", qids, 10)
+      .select(col("q_id"), col("n_id"))
+    exact
+      .join(pq.withColumnRenamed("n_id", "pq_id"), Seq("q_id"), "left")
+      .groupBy(col("q_id"), col("top1_id"))
+      .agg(max((col("pq_id") === col("top1_id")).cast("int")).cast("int").alias("in_pq_top10"))
+      .orderBy(col("q_id"))
+  }
+
   /** Per-vector int8 quantization audit: scale + max reconstruction
     * error (bounded by scale/2 by construction). */
   val eqQuantize: Q = (s, d) =>
@@ -629,6 +650,18 @@ object LlmQueries {
                 CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(tok) AS BIGINT) AS total_tokens
          FROM t GROUP BY 1 ORDER BY 1""",
+    "eq_pq_recall" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              scored AS (
+                SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                       list_cosine_similarity(q.e, n.e) AS s
+                FROM v q JOIN v n ON q.vec_id < 5 AND q.vec_id <> n.vec_id),
+              ranked AS (
+                SELECT q_id, n_id,
+                       row_number() OVER (PARTITION BY q_id ORDER BY s DESC, n_id) AS rnk
+                FROM scored)
+         SELECT q_id, n_id AS top1_id, CAST(1 AS INT) AS in_pq_top10
+         FROM ranked WHERE rnk = 1 ORDER BY q_id""",
     "tx_tfidf" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
@@ -780,6 +813,7 @@ object LlmQueries {
     "eq_quantize" -> eqQuantize,
     "tx_bigram_lm" -> txBigramLm,
     "tx_tfidf" -> txTfidf,
+    "eq_pq_recall" -> eqPqRecall,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_resize" -> mmResize,
     "mm_features" -> mmFeatures

@@ -39,6 +39,31 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("PQ: codebook shape, total encoding, and ADC recall of the exact top-1") {
+    val emb = Tables.embeddings(spark, sf())
+    val m = 16
+    val ksub = 32
+    val codebook = Pq.trainCodebook(emb, "vec_id", "embedding", m, ksub)
+    // full codebook: m × ksub centroids, each of dim d/m
+    assert(codebook.count() === m.toLong * ksub)
+    assert(codebook.select(size(col("__cv"))).distinct().head().getInt(0) === 64 / m)
+    // encoding is total: every vector gets exactly m codes, all < ksub
+    val codes = Pq.encode(emb, "vec_id", "embedding", codebook, m)
+    val n = emb.count()
+    assert(codes.count() === n * m)
+    assert(codes.agg(max(col("code"))).head().getInt(0) < ksub)
+    // ADC search finds each query's exact nearest neighbor in its top-10
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val exactTop1 = Similarity.bruteTopK(emb, "vec_id", "embedding", qids, 1)
+      .collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("n_id")).toMap
+    val pq = Pq.adcTopK(emb, "vec_id", "embedding", qids, 10)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("n_id")).toSet }
+    qids.foreach { q =>
+      assert(pq(q).contains(exactTop1(q)), s"query $q: exact top-1 ${exactTop1(q)} not in PQ top-10 ${pq(q)}")
+    }
+  }
+
   test("cosineNearDupPairs finds planted exact copies and nothing random") {
     val emb = Tables.embeddings(spark, sf())
     val corpus = emb.select(col("vec_id"), col("embedding")).unionAll(

@@ -104,6 +104,13 @@ class PipelineSpec extends SparkSuite {
     val second = Pipeline.run(spark, layout, FixedClock("2024-01-01 07:00:00"))
     assert(second.currentSilver.count() === 2)
     assert(second.forecastSilver.count() === 8)
+    // observed write metrics accumulated INSIDE the write jobs (no
+    // post-write re-scan): rows match the landed counts, the partition
+    // range covers the fixture date
+    assert(second.writeMetrics("current_weather")("rows_written") === 2L)
+    assert(second.writeMetrics("forecast_weather")("rows_written") === 8L)
+    assert(second.writeMetrics("current_weather")("min_partition").toString
+      .startsWith("2024-01-01"))
   }
 
   test("materialized gold: persisted fact tables answer the queries with identical results") {

@@ -242,6 +242,35 @@ class PlanShapeSpec extends SparkSuite {
       viaNative.orderBy(col("doc_id")).collect().toSeq)
   }
 
+  test("ANALYZE TABLE statistics feed the cost-based optimizer (rowCount estimates present)") {
+    // at 100 TB the CBO's join-order and broadcast decisions are only as
+    // good as catalog statistics — this pins the ANALYZE → stats →
+    // estimated-rowCount pipeline end to end
+    import org.apache.spark.sql.functions._
+    val saved = spark.conf.getOption("spark.sql.cbo.enabled")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_cbo")
+    graft.sources.Tables.orders(spark, sf())
+      .write.mode("overwrite").saveAsTable("graft_cbo.orders_s")
+    spark.sql("ANALYZE TABLE graft_cbo.orders_s COMPUTE STATISTICS FOR ALL COLUMNS")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val plan = spark.table("graft_cbo.orders_s")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .queryExecution.optimizedPlan
+      assert(plan.stats.rowCount.isDefined, plan.stats.toString)
+      // the filter estimate must be a strict subset of the table estimate
+      val tableRows = spark.table("graft_cbo.orders_s").queryExecution.optimizedPlan.stats.rowCount.get
+      assert(plan.stats.rowCount.get < tableRows)
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+        case None => spark.conf.unset("spark.sql.cbo.enabled")
+      }
+      spark.sql("DROP TABLE IF EXISTS graft_cbo.orders_s")
+      spark.sql("DROP DATABASE IF EXISTS graft_cbo")
+    }
+  }
+
   test("default fact views plan no unpartitioned window (scalable surrogate keys)") {
     graft.fixtures.WeatherDemo.ensurePipeline(spark)
     val p = spark.table("fact_forecast_accuracy").queryExecution.executedPlan.toString
