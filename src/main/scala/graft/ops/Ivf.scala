@@ -96,6 +96,61 @@ object Ivf {
     cents
   }
 
+  /** IVF-PQ: the production ANN index — coarse IVF cells bound WHERE to
+    * look (`nProbe / nCells` of the corpus per query), PQ codes bound
+    * WHAT is read there (m bytes per vector instead of the full float
+    * array), and asymmetric distance ranks candidates without ever
+    * touching a raw corpus vector at query time. Simplification vs the
+    * classical formulation: codes quantize the vectors themselves, not
+    * the cell residuals — one shared codebook, and with
+    * `nProbe = nCells` the result is exactly [[Pq.adcTopK]] (which is
+    * what lets the declared entry share the PQ recall contract).
+    *
+    * Scale shape: cells and codes are both corpus-linear one-time
+    * builds (broadcast assignments, no corpus shuffle); a query touches
+    * probed cells' CODE rows only — at 100 TB with the code table
+    * bucketed by cell, a query reads nProbe partition-pruned byte
+    * streams. */
+  def pqTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: Seq[Long],
+      k: Int,
+      nCells: Int = 32,
+      nProbe: Int = 8,
+      m: Int = 16,
+      ksub: Int = 32,
+      iterations: Int = 3): DataFrame = {
+    val normed = normalized(corpus, idCol, vecCol)
+    val cents = seedCentroids(normed, nCells)
+    val assigned = assignTo(normed, cents).select(col("__id"), col("cell"))
+    val codebook = Pq.trainCodebook(corpus, idCol, vecCol, m, ksub, iterations)
+    val cellCodes = Pq.encode(corpus, idCol, vecCol, codebook, m)
+      .join(assigned, Seq("__id"))
+    val queries = normed.filter(col("__id").isin(queryIds: _*))
+      .select(col("__id").alias("q_id"), col("__v").alias("__qv"))
+    val probes = queries
+      .join(broadcast(cents))
+      .withColumn("__sim", native.dotProduct(col("__qv"), col("__cv")))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("__sim").desc, col("cell"))))
+      .filter(col("__rk") <= nProbe)
+      .select(col("q_id"), col("cell"))
+    val lut = Pq.queryLut(corpus, idCol, vecCol, queryIds, codebook, m)
+    cellCodes
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(lut), Seq("q_id", "sub", "code"))
+      .filter(col("q_id") =!= col("__id"))
+      .groupBy(col("q_id"), col("__id"))
+      .agg(sum(col("__d")).alias("approx_sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("approx_sim").desc, col("__id"))))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk").cast("int").alias("rnk"),
+        col("__id").alias("n_id"), round(col("approx_sim"), 4).alias("approx_sim"))
+  }
+
   /** IVF top-k: probe the `nProbe` closest cells per query, exact-rank
     * within them. Output (q_id, rnk, n_id, sim) like the other ANN paths.
     * `centroids` overrides the deterministic seed quantizer with a

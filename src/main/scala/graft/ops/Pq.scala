@@ -27,7 +27,7 @@ object Pq {
 
   /** (id, sub, subvector) rows: each normalized vector split into m
     * contiguous d/m-dim slices. Narrow (explode of a per-row transform). */
-  private def subvectors(corpus: DataFrame, idCol: String, vecCol: String, m: Int): DataFrame = {
+  private[ops] def subvectors(corpus: DataFrame, idCol: String, vecCol: String, m: Int): DataFrame = {
     val normed = corpus.select(
       col(idCol).alias("__id"),
       native.l2normalize(col(vecCol).cast("array<double>")).alias("__v"))
@@ -99,6 +99,22 @@ object Pq {
     * subvector with each code centroid) is broadcast; approximate
     * cosine = Σ_sub lut(q, sub, code(n, sub)) reduces in one
     * aggregation. Queries never see raw corpus vectors — only codes. */
+  /** Per-query ADC lookup table: (q_id, sub, code, __d) with
+    * __d = dot(query subvector, code centroid). m × ksub rows per query
+    * — KBs, always broadcastable. */
+  private[ops] def queryLut(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: Seq[Long],
+      codebook: DataFrame,
+      m: Int): DataFrame =
+    subvectors(corpus.filter(col(idCol).isin(queryIds: _*)), idCol, vecCol, m)
+      .select(col("__id").alias("q_id"), col("sub"), col("__sv"))
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("q_id"), col("sub"), col("code"),
+        native.dotProduct(col("__sv"), col("__cv")).alias("__d"))
+
   def adcTopK(
       corpus: DataFrame,
       idCol: String,
@@ -110,11 +126,7 @@ object Pq {
       iterations: Int = 3): DataFrame = {
     val codebook = trainCodebook(corpus, idCol, vecCol, m, ksub, iterations)
     val codes = encode(corpus, idCol, vecCol, codebook, m)
-    val lut = subvectors(corpus.filter(col(idCol).isin(queryIds: _*)), idCol, vecCol, m)
-      .select(col("__id").alias("q_id"), col("sub"), col("__sv"))
-      .join(broadcast(codebook), Seq("sub"))
-      .select(col("q_id"), col("sub"), col("code"),
-        native.dotProduct(col("__sv"), col("__cv")).alias("__d"))
+    val lut = queryLut(corpus, idCol, vecCol, queryIds, codebook, m)
     codes
       .join(broadcast(lut), Seq("sub", "code"))
       .filter(col("q_id") =!= col("__id"))

@@ -385,6 +385,26 @@ object LlmQueries {
       .orderBy(col("q_id"))
   }
 
+  /** IVF-PQ recall CONTRACT ([[graft.ops.Ivf.pqTopK]]): the composed
+    * production index — coarse cells bound WHERE to look (half the
+    * cells probed here), PQ codes bound WHAT is read — must still place
+    * each query's exact nearest neighbor in its top-10. `SimilaritySpec`
+    * additionally pins full-probe ≡ plain-PQ exact equality. */
+  val annIvfPqRecall: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val exact = Similarity.bruteTopK(emb, "vec_id", "embedding", qids, 1)
+      .filter(col("rnk") === 1)
+      .select(col("q_id"), col("n_id").alias("top1_id"))
+    val ivfpq = graft.ops.Ivf.pqTopK(emb, "vec_id", "embedding", qids, 10, nCells = 32, nProbe = 16)
+      .select(col("q_id"), col("n_id").alias("pq_id"))
+    exact
+      .join(ivfpq, Seq("q_id"), "left")
+      .groupBy(col("q_id"), col("top1_id"))
+      .agg(max((col("pq_id") === col("top1_id")).cast("int")).cast("int").alias("in_ivfpq_top10"))
+      .orderBy(col("q_id"))
+  }
+
   /** Per-vector int8 quantization audit: scale + max reconstruction
     * error (bounded by scale/2 by construction). */
   val eqQuantize: Q = (s, d) =>
@@ -650,6 +670,18 @@ object LlmQueries {
                 CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(tok) AS BIGINT) AS total_tokens
          FROM t GROUP BY 1 ORDER BY 1""",
+    "ann_ivfpq_recall" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              scored AS (
+                SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                       list_cosine_similarity(q.e, n.e) AS s
+                FROM v q JOIN v n ON q.vec_id < 5 AND q.vec_id <> n.vec_id),
+              ranked AS (
+                SELECT q_id, n_id,
+                       row_number() OVER (PARTITION BY q_id ORDER BY s DESC, n_id) AS rnk
+                FROM scored)
+         SELECT q_id, n_id AS top1_id, CAST(1 AS INT) AS in_ivfpq_top10
+         FROM ranked WHERE rnk = 1 ORDER BY q_id""",
     "eq_pq_recall" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
               scored AS (
@@ -814,6 +846,7 @@ object LlmQueries {
     "tx_bigram_lm" -> txBigramLm,
     "tx_tfidf" -> txTfidf,
     "eq_pq_recall" -> eqPqRecall,
+    "ann_ivfpq_recall" -> annIvfPqRecall,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_resize" -> mmResize,
     "mm_features" -> mmFeatures

@@ -64,6 +64,26 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("IVF-PQ: full probe is EXACTLY plain PQ; partial probe keeps the top-1 recall contract") {
+    val emb = Tables.embeddings(spark, sf())
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rnk"), r.getAs[Long]("n_id"))).toSet
+    // probing every cell makes the coarse layer a no-op: identical ranking
+    val full = rows(Ivf.pqTopK(emb, "vec_id", "embedding", qids, 10, nCells = 16, nProbe = 16))
+    val adc = rows(Pq.adcTopK(emb, "vec_id", "embedding", qids, 10))
+    assert(full === adc)
+    // half probe: each query's exact top-1 still inside the top-10
+    val exactTop1 = Similarity.bruteTopK(emb, "vec_id", "embedding", qids, 1)
+      .collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("n_id")).toMap
+    val half = Ivf.pqTopK(emb, "vec_id", "embedding", qids, 10, nCells = 16, nProbe = 8)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("n_id")).toSet }
+    qids.foreach { q =>
+      assert(half(q).contains(exactTop1(q)), s"query $q: top-1 ${exactTop1(q)} missed at nProbe=8")
+    }
+  }
+
   test("cosineNearDupPairs finds planted exact copies and nothing random") {
     val emb = Tables.embeddings(spark, sf())
     val corpus = emb.select(col("vec_id"), col("embedding")).unionAll(
