@@ -26,4 +26,34 @@ object Bucketing {
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(tableName)
+
+  /** Range-sorted parquet write: `repartitionByRange` + in-partition
+    * sort clusters each sort-key range into contiguous row groups, so a
+    * range predicate prunes at the ROW-GROUP level via parquet min/max
+    * stats (the poor man's Z-order, exact for one dimension). At 100 TB
+    * a date-range query then reads the few row groups whose stats
+    * overlap the predicate instead of decoding every page — combine
+    * with partitioning for directory-level pruning first.
+    * `blockBytes` bounds the row-group size (smaller groups = finer
+    * pruning, more footer overhead).
+    *
+    * Measured caveat (pinned in PlanShapeSpec): numeric sort keys prune
+    * reliably; TIMESTAMP keys write correct min/max stats but the
+    * vectorized reader does not group-skip on them in this Spark build
+    * (NTZ-inferred columns) — sort on the epoch long (or a date int)
+    * when range pruning is the goal. */
+  def writeRangeSorted(
+      df: DataFrame,
+      path: String,
+      sortCol: String,
+      partitions: Int = 8,
+      blockBytes: Long = 8L * 1024 * 1024): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(partitions, col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .write
+      .mode("overwrite")
+      .option("parquet.block.size", blockBytes.toString)
+      .parquet(path)
+  }
 }

@@ -907,8 +907,72 @@ object RelationalQueries {
         try_add(lit(Long.MaxValue), col("l_orderkey") + 1).alias("overflow_add"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** X1 (beyond reference parity): the TPC-H Q3 shape — shipping
+    * priority: 3-way join (customer ⋈ orders ⋈ lineitem) with selective
+    * filters on both dimensions of time, revenue aggregation, global
+    * top-10. The canonical "join order + broadcast the filtered small
+    * side + TakeOrdered" plan every warehouse optimizer is judged on. */
+  val x1ShippingPriority: Q = (s, d) => {
+    val cutoff = "1996-03-15"
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+    val l = Tables.lineitem(s, d).filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).alias("revenue"))
+      .select(
+        col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").alias("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** X2 (beyond reference parity): the TPC-H Q5 shape — regional
+    * volume: 5-way snowflake join (region → nation → customer → orders
+    * → lineitem ⋈ supplier with the SAME-nation constraint), revenue by
+    * nation. Region/nation/supplier broadcast; the same-nation predicate
+    * makes join ORDER matter — the CBO showcase. */
+  val x2RegionVolume: Q = (s, d) => {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, d)
+    val sup = Tables.supplier(s, d)
+    r.join(n, col("r_regionkey") === col("n_regionkey"))
+      .join(c, col("c_nationkey") === col("n_nationkey"))
+      .join(o, col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).alias("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   // ------------------------------------------------------------ oracle SQL
   val oracles: Map[String, String] = Map(
+    "x1_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                o_orderpriority,
+                round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+                       JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1996-03-15'
+           AND l_shipdate > TIMESTAMP '1996-03-15'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "x2_region_volume" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+         FROM region JOIN nation ON r_regionkey = n_regionkey
+                     JOIN customer ON c_nationkey = n_nationkey
+                     JOIN orders ON o_custkey = c_custkey
+                     JOIN lineitem ON l_orderkey = o_orderkey
+                     JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         WHERE r_name = 'ASIA' AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
     "f12_variant" ->
       """SELECT event_id,
                 CAST(json_extract_string(props, '$.k') AS INT) AS k,
@@ -1358,6 +1422,8 @@ object RelationalQueries {
     "a15_sketch_merge" -> a15SketchMerge,
     "j8_full_outer" -> j8FullOuter,
     "f12_variant" -> f12Variant,
-    "f13_try_arith" -> f13TryArith
+    "f13_try_arith" -> f13TryArith,
+    "x1_shipping_priority" -> x1ShippingPriority,
+    "x2_region_volume" -> x2RegionVolume
   )
 }

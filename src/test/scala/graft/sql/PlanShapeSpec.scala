@@ -271,6 +271,30 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("range-sorted layout prunes parquet row groups: a tight range reads a fraction of the rows") {
+    // writeRangeSorted clusters the sort key into contiguous row groups;
+    // the scan's pushed range predicate then skips whole groups via
+    // min/max stats — observable as the scan OUTPUTTING far fewer rows
+    // than the file holds (row-group granularity, before the Filter)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = java.nio.file.Files.createTempDirectory("graft-sorted")
+    val li = graft.sources.Tables.lineitem(spark, sf("sf0.01"))
+    val total = li.count()
+    graft.ops.Bucketing.writeRangeSorted(
+      li, s"$root/li", "l_orderkey", partitions = 4, blockBytes = 256L * 1024)
+    val filtered = spark.read.parquet(s"$root/li")
+      .filter(col("l_orderkey").between(lit(100L), lit(500L)))
+    filtered.collect()
+    val scan = filtered.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: FileSourceScanExec => s
+    }.get
+    assert(scan.metadata("PushedFilters").contains("GreaterThanOrEqual(l_orderkey"),
+      scan.metadata("PushedFilters"))
+    val scanned = scan.metrics("numOutputRows").value
+    assert(scanned < total / 2, s"scan output $scanned of $total rows — row groups not pruned")
+  }
+
   test("default fact views plan no unpartitioned window (scalable surrogate keys)") {
     graft.fixtures.WeatherDemo.ensurePipeline(spark)
     val p = spark.table("fact_forecast_accuracy").queryExecution.executedPlan.toString
