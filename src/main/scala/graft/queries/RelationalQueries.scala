@@ -951,8 +951,144 @@ object RelationalQueries {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** W10 (beyond reference parity): the full rank family in one window —
+    * row_number / rank / dense_rank / nth_value, gap semantics included
+    * (ties share rank, dense_rank has no gaps). */
+  val w10RankFamily: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    val wFrame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 300)
+      .select(
+        col("o_orderstatus"), col("o_orderkey"), col("o_orderpriority"),
+        row_number().over(w).cast("int").alias("rn"),
+        rank().over(w).cast("int").alias("rnk"),
+        dense_rank().over(w).cast("int").alias("drnk"),
+        nth_value(col("o_orderkey"), 2).over(wFrame).alias("second_key"))
+      .orderBy(col("o_orderstatus"), col("rn"))
+  }
+
+  /** A16 (beyond reference parity): argmax/argmin aggregation — the
+    * "which row holds the extreme" question answered in ONE aggregation
+    * pass (max_by/min_by carry the witness through partial merges)
+    * instead of the self-join-on-max anti-pattern that scans twice. */
+  val a16MinMaxBy: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        // scalar order key: price dominates, orderkey breaks ties (lower
+        // key wins on equal price); prices ≲ 6e5 so price·1e8 ≈ 6e13 keeps
+        // a unit orderkey step ≫ one double ulp — IEEE-identical in DuckDB
+        max_by(col("o_orderkey"), col("o_totalprice") * lit(1e8) - col("o_orderkey"))
+          .alias("priciest_order"),
+        min_by(col("o_orderkey"), col("o_totalprice") * lit(1e8) - col("o_orderkey"))
+          .alias("cheapest_order"),
+        round(max(col("o_totalprice")), 2).alias("max_price"))
+      .orderBy(col("o_orderstatus"))
+
+  /** A17 (beyond reference parity): boolean aggregates — every/bool_and,
+    * some/bool_or, count_if. Partial-aggregable single-bit state. */
+  val a17BoolAgg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        every(col("l_quantity") > 0).cast("int").alias("all_positive_qty"),
+        some(col("l_discount") > lit(0.09)).cast("int").alias("any_high_discount"),
+        count_if(col("l_tax") > lit(0.05)).cast("long").alias("n_high_tax"))
+      .orderBy(col("l_returnflag"))
+
+  /** F14 (beyond reference parity): array-function battery — union /
+    * intersect / except / distinct / flatten / zip_with, results sorted
+    * so cross-engine set ORDER semantics never matter. All narrow
+    * per-row HOFs. */
+  val f14Array: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 30)
+      .withColumn("__w", split(lower(col("text")), " "))
+      .withColumn("__a", slice(col("__w"), 1, 6))
+      .withColumn("__b", slice(col("__w"), 4, 6))
+      .select(
+        col("doc_id"),
+        // arrays stringified: the differential harness sorts/hashes flat
+        // values, so list cells are joined deterministically
+        array_join(array_sort(array_distinct(concat(col("__a"), col("__b")))), " ").alias("union_sorted"),
+        array_join(array_sort(array_intersect(col("__a"), col("__b"))), " ").alias("intersect_sorted"),
+        array_join(array_sort(array_except(col("__a"), col("__b"))), " ").alias("except_sorted"),
+        size(array_distinct(col("__w"))).cast("int").alias("n_distinct_words"),
+        array_join(zip_with(col("__a"), col("__a"), (x, y) => (length(x) + length(y)).cast("string")), " ")
+          .alias("double_lengths"))
+      .orderBy(col("doc_id"))
+
+  /** F15 (beyond reference parity): date arithmetic — add days/months,
+    * month boundaries, quarter/ISO week extraction. Only functions with
+    * engine-identical semantics (fractional months_between and
+    * 0-vs-1-based dayofweek are deliberately excluded). */
+  val f15DateArith: Q = (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 300)
+      .withColumn("__d", col("o_orderdate").cast("date"))
+      .select(
+        col("o_orderkey"),
+        date_format(col("__d"), "yyyy-MM-dd").alias("order_date"),
+        date_format(date_add(col("__d"), 30), "yyyy-MM-dd").alias("plus_30d"),
+        date_format(add_months(col("__d"), 2), "yyyy-MM-dd").alias("plus_2m"),
+        date_format(last_day(col("__d")), "yyyy-MM-dd").alias("month_end"),
+        date_format(trunc(col("__d"), "month"), "yyyy-MM-dd").alias("month_start"),
+        quarter(col("__d")).cast("int").alias("qtr"),
+        weekofyear(col("__d")).cast("int").alias("iso_week"))
+      .orderBy(col("o_orderkey"))
+
   // ------------------------------------------------------------ oracle SQL
   val oracles: Map[String, String] = Map(
+    "w10_rank_family" ->
+      """SELECT o_orderstatus, o_orderkey, o_orderpriority,
+                CAST(row_number() OVER w AS INT) AS rn,
+                CAST(rank() OVER w AS INT) AS rnk,
+                CAST(dense_rank() OVER w AS INT) AS drnk,
+                nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderstatus
+                                               ORDER BY o_orderpriority, o_orderkey
+                                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS second_key
+         FROM orders WHERE o_orderkey < 300
+         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderpriority, o_orderkey)
+         ORDER BY o_orderstatus, rn""",
+    "a16_min_max_by" ->
+      """SELECT o_orderstatus,
+                arg_max(o_orderkey, o_totalprice * 100000000 - o_orderkey) AS priciest_order,
+                arg_min(o_orderkey, o_totalprice * 100000000 - o_orderkey) AS cheapest_order,
+                round(max(o_totalprice), 2) AS max_price
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "a17_bool_agg" ->
+      """SELECT l_returnflag,
+                CAST(CASE WHEN bool_and(l_quantity > 0) THEN 1 ELSE 0 END AS INT) AS all_positive_qty,
+                CAST(CASE WHEN bool_or(l_discount > 0.09) THEN 1 ELSE 0 END AS INT) AS any_high_discount,
+                CAST(count(*) FILTER (WHERE l_tax > 0.05) AS BIGINT) AS n_high_tax
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "f14_array" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  string_split(lower(text), ' ') AS w,
+                  list_slice(string_split(lower(text), ' '), 1, 6) AS a,
+                  list_slice(string_split(lower(text), ' '), 4, 9) AS b
+           FROM documents WHERE doc_id < 30)
+         SELECT doc_id,
+                array_to_string(list_sort(list_distinct(list_concat(a, b))), ' ') AS union_sorted,
+                array_to_string(list_sort(list_intersect(a, b)), ' ') AS intersect_sorted,
+                array_to_string(list_sort(list_filter(list_distinct(a), x -> NOT list_contains(b, x))), ' ') AS except_sorted,
+                CAST(len(list_distinct(w)) AS INT) AS n_distinct_words,
+                array_to_string(list_transform(a, x -> CAST(2 * length(x) AS VARCHAR)), ' ') AS double_lengths
+         FROM t ORDER BY doc_id""",
+    "f15_date_arith" ->
+      """SELECT o_orderkey,
+                strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+                strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,
+                strftime(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus_2m,
+                strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+                strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_start,
+                CAST(quarter(o_orderdate) AS INT) AS qtr,
+                CAST(weekofyear(o_orderdate) AS INT) AS iso_week
+         FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""",
     "x1_shipping_priority" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
                 o_orderpriority,
@@ -1424,6 +1560,11 @@ object RelationalQueries {
     "f12_variant" -> f12Variant,
     "f13_try_arith" -> f13TryArith,
     "x1_shipping_priority" -> x1ShippingPriority,
-    "x2_region_volume" -> x2RegionVolume
+    "x2_region_volume" -> x2RegionVolume,
+    "w10_rank_family" -> w10RankFamily,
+    "a16_min_max_by" -> a16MinMaxBy,
+    "a17_bool_agg" -> a17BoolAgg,
+    "f14_array" -> f14Array,
+    "f15_date_arith" -> f15DateArith
   )
 }
