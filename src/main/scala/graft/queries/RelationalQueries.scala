@@ -1039,8 +1039,58 @@ object RelationalQueries {
         weekofyear(col("__d")).cast("int").alias("iso_week"))
       .orderBy(col("o_orderkey"))
 
+  /** U2 (beyond reference parity): union by NAME with missing columns —
+    * the schema-evolution merge: two batches with different column
+    * order and one absent column align by name, the gap null-filled.
+    * Positional UNION would silently mis-associate columns; this is the
+    * only safe way to append an evolved batch to 100 TB of history. */
+  val u2UnionByName: Q = (s, d) => {
+    val old = Tables.orders(s, d)
+      .filter(col("o_orderkey") < 200)
+      .select(col("o_orderkey"), col("o_orderstatus"), round(col("o_totalprice"), 2).alias("price"))
+    val evolved = Tables.orders(s, d)
+      .filter(col("o_orderkey") >= 200 && col("o_orderkey") < 400)
+      // different column ORDER + a new column the old batch lacks
+      .select(round(col("o_totalprice"), 2).alias("price"), col("o_orderkey"),
+        col("o_orderstatus"), col("o_orderpriority").alias("priority"))
+    old.unionByName(evolved, allowMissingColumns = true)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("price"),
+        coalesce(col("priority"), lit("<none>")).alias("priority"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** F16 (beyond reference parity): regex extraction — capture groups
+    * (`regexp_extract`), match predicate (`rlike`), and match counting,
+    * RE2-portable patterns so both engines agree. */
+  val f16Regex: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 60)
+      .select(
+        col("doc_id"),
+        regexp_extract(col("text"), "([A-Za-z]+) ([A-Za-z]+)", 2).alias("second_word"),
+        col("text").rlike("[0-9]").cast("int").alias("has_digit"),
+        size(regexp_extract_all(col("text"), lit("[aeiou]+"), lit(0))).cast("int")
+          .alias("n_vowel_runs"))
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------------ oracle SQL
   val oracles: Map[String, String] = Map(
+    "u2_union_by_name" ->
+      """SELECT o_orderkey, o_orderstatus, price, priority FROM (
+           SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price,
+                  '<none>' AS priority
+           FROM orders WHERE o_orderkey < 200
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price,
+                  o_orderpriority AS priority
+           FROM orders WHERE o_orderkey >= 200 AND o_orderkey < 400)
+         ORDER BY o_orderkey""",
+    "f16_regex" ->
+      """SELECT doc_id,
+                regexp_extract(text, '([A-Za-z]+) ([A-Za-z]+)', 2) AS second_word,
+                CAST(CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0 END AS INT) AS has_digit,
+                CAST(len(regexp_extract_all(text, '[aeiou]+')) AS INT) AS n_vowel_runs
+         FROM documents WHERE doc_id < 60 ORDER BY doc_id""",
     "w10_rank_family" ->
       """SELECT o_orderstatus, o_orderkey, o_orderpriority,
                 CAST(row_number() OVER w AS INT) AS rn,
@@ -1565,6 +1615,8 @@ object RelationalQueries {
     "a16_min_max_by" -> a16MinMaxBy,
     "a17_bool_agg" -> a17BoolAgg,
     "f14_array" -> f14Array,
-    "f15_date_arith" -> f15DateArith
+    "f15_date_arith" -> f15DateArith,
+    "u2_union_by_name" -> u2UnionByName,
+    "f16_regex" -> f16Regex
   )
 }
