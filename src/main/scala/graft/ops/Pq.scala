@@ -42,17 +42,22 @@ object Pq {
   }
 
   /** Nearest code per (id, sub) against a broadcast codebook:
-    * argmin ||sv − c||² ⇔ argmax (dot(sv, c) − ||c||²/2). */
+    * argmin ||sv − c||² ⇔ argmax (dot(sv, c) − ||c||²/2). The argmax is
+    * a `max_by` hash AGGREGATION (partial-merge, no sort), not a
+    * row_number window — same result (ties → lower code via the struct
+    * key), one sort-free pass over the ksub candidates per subvector. */
   private def assignCodes(subvecs: DataFrame, codebook: DataFrame): DataFrame =
     subvecs
       .join(broadcast(codebook), Seq("sub"))
       .withColumn("__score",
         native.dotProduct(col("__sv"), col("__cv")) -
           native.dotProduct(col("__cv"), col("__cv")) / 2)
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy(col("__id"), col("sub")).orderBy(col("__score").desc, col("code"))))
-      .filter(col("__rk") === 1)
-      .select(col("__id"), col("sub"), col("code"), col("__sv"))
+      .groupBy(col("__id"), col("sub"))
+      .agg(max_by(
+        struct(col("code"), col("__sv")),
+        struct(col("__score"), (-col("code")).alias("__nc"))).alias("__best"))
+      .select(col("__id"), col("sub"),
+        col("__best.code").alias("code"), col("__best.__sv").alias("__sv"))
 
   /** Per-subspace Lloyd k-means codebook: (sub, code, __cv). Seeds are
     * the first `ksub` ids' subvectors (deterministic); empty codes keep
