@@ -295,6 +295,31 @@ class PlanShapeSpec extends SparkSuite {
     assert(scanned < total / 2, s"scan output $scanned of $total rows — row groups not pruned")
   }
 
+  test("Z-ordered layout prunes row groups on EITHER clustered dimension") {
+    // interleaved (partkey, suppkey) clustering: a tight range on either
+    // column alone must skip most row groups — the property a
+    // single-column sort gives only its own column
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = java.nio.file.Files.createTempDirectory("graft-zorder")
+    val li = graft.sources.Tables.lineitem(spark, sf("sf0.01"))
+    val total = li.count()
+    graft.ops.Bucketing.writeZOrdered(
+      li, s"$root/li", "l_partkey", 1999L, "l_suppkey", 99L,
+      bits = 11, partitions = 4, blockBytes = 128L * 1024)
+    def scannedRows(pred: org.apache.spark.sql.Column): Long = {
+      val f = spark.read.parquet(s"$root/li").filter(pred)
+      f.collect()
+      f.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: FileSourceScanExec => s
+      }.get.metrics("numOutputRows").value
+    }
+    val byPart = scannedRows(col("l_partkey").between(100L, 180L))
+    val bySupp = scannedRows(col("l_suppkey").between(10L, 14L))
+    assert(byPart < total / 2, s"partkey range scanned $byPart of $total")
+    assert(bySupp < total / 2, s"suppkey range scanned $bySupp of $total")
+  }
+
   test("default fact views plan no unpartitioned window (scalable surrogate keys)") {
     graft.fixtures.WeatherDemo.ensurePipeline(spark)
     val p = spark.table("fact_forecast_accuracy").queryExecution.executedPlan.toString

@@ -187,6 +187,39 @@ class StreamingSpec extends SparkSuite {
     spark.sql("DROP TABLE graft_sink_t")
   }
 
+  test("native session_window merges across micro-batches and emits once the watermark closes it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val q = input.toDF()
+      .withWatermark("event_time", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
+      .agg(count(lit(1)).cast("int").alias("n"), sum(col("value")).alias("v"))
+      .select(col("user_id"), col("session_window.start").alias("s"), col("n"), col("v"))
+      .writeStream.format("memory").queryName("graft_st5_stream").outputMode("append").start()
+
+    input.addData(
+      EventStreams.Event(7L, ts(0), "click", 1.0),
+      EventStreams.Event(7L, ts(5), "click", 1.5))
+    q.processAllAvailable()
+    // continuation WITHIN the gap in a later batch must MERGE into the
+    // open session state, not emit a fragment
+    input.addData(EventStreams.Event(7L, ts(10), "view", 2.5))
+    q.processAllAvailable()
+    assert(spark.table("graft_st5_stream").filter(col("user_id") === 7).isEmpty)
+
+    // watermark passes start+gap → the merged session finalizes once
+    input.addData(EventStreams.Event(99L, ts(10000), "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_st5_stream").filter(col("user_id") === 7).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Int]("n") === 3 && got.head.getAs[Double]("v") === 5.0)
+    assert(got.head.getAs[java.sql.Timestamp]("s").getTime === ts(0).getTime)
+  }
+
   test("streaming sessionization: a session spanning micro-batches is emitted exactly ONCE") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
