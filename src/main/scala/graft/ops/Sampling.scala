@@ -35,6 +35,22 @@ object Sampling {
   def sample(df: DataFrame, key: Column, rate: Double): DataFrame =
     df.filter(hashKeep(key, rate))
 
+  /** The key's position in [0,1) hash space (16-bit resolution), the
+    * per-row uniform variate every deterministic sampler compares
+    * against — portable to any engine with md5. */
+  def hashUnit(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("double") / 65536.0
+
+  /** WEIGHTED deterministic sample: each row carries its own keep
+    * probability (clamped to [0,1]) — quality-proportional mixing
+    * ("keep docs in proportion to their quality score") as one narrow
+    * filter. Same reproducibility contract as [[sample]]: the decision
+    * depends only on (key, probability), never on partitioning or RNG
+    * state, so any engine and any subset of the corpus agree row for
+    * row. */
+  def weightedSample(df: DataFrame, key: Column, prob: Column): DataFrame =
+    df.filter(hashUnit(key) < least(greatest(prob, lit(0.0)), lit(1.0)))
+
   /** Stratified deterministic sample: per-stratum keep rates, unlisted
     * strata get `defaultRate`. One narrow filter, no shuffle. */
   def stratifiedSample(

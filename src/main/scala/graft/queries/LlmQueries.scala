@@ -316,6 +316,19 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Weighted deterministic sampling ([[graft.ops.Sampling
+    * .weightedSample]]): each doc kept with probability proportional to
+    * its length (length/400, capped at 1) — the quality-proportional
+    * mixing rule, decided by the doc's OWN hash position so the sample
+    * is reproducible in any engine and on any corpus subset. */
+  val smWeighted: Q = (s, d) =>
+    Sampling.weightedSample(
+      Tables.documents(s, d),
+      col("doc_id"),
+      least(col("n_chars") / 400.0, lit(1.0)))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   /** Benchmark-contamination check: corpus docs vs a benchmark slice
     * (doc_id % 50 == 0 ⇒ those corpus docs are fully contaminated by
     * construction; the rest measure incidental trigram overlap). */
@@ -765,6 +778,11 @@ object LlmQueries {
                  round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4) AS word_rep,
                  round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 4) AS bigram_rep
           FROM g ORDER BY doc_id""",
+    "sm_weighted" ->
+      """SELECT doc_id, n_chars FROM documents
+         WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0
+               < least(n_chars / 400.0, 1.0)
+         ORDER BY doc_id""",
     "sm_stratified" ->
       """WITH t AS (
            SELECT doc_id,
@@ -841,6 +859,7 @@ object LlmQueries {
     "tx_token_hist" -> txTokenHist,
     "dd_simhash_md5" -> ddSimhashMd5,
     "sm_stratified" -> smStratified,
+    "sm_weighted" -> smWeighted,
     "ct_ngram_overlap" -> ctNgramOverlap,
     "eq_quantize" -> eqQuantize,
     "tx_bigram_lm" -> txBigramLm,
