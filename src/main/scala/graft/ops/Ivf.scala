@@ -151,6 +151,87 @@ object Ivf {
         col("__id").alias("n_id"), round(col("approx_sim"), 4).alias("approx_sim"))
   }
 
+  /** RESIDUAL IVF-PQ — the classical formulation ([[pqTopK]] quantizes
+    * raw vectors; this quantizes each vector's residual `v − centroid`
+    * of its cell): residuals are smaller and more isotropic than raw
+    * vectors, so the same code budget spends its resolution where the
+    * cell has not already explained the data. ADC decomposes exactly:
+    * `dot(q, v) = dot(q, c) + dot(q, r)` — the first term is ONE
+    * constant per (query, probed cell); the second sums the per-subspace
+    * lookup of q's OWN subvectors against the residual codebook (no
+    * residual query is ever formed).
+    *
+    * Same scale shape as [[pqTopK]]: broadcast codebook/LUT/probe list,
+    * one aggregation per (query, neighbor); the residual computation is
+    * one narrow zip_with at build time.
+    *
+    * PRECONDITION (measured, pinned in SimilaritySpec): residuals only
+    * help when the corpus is CLUSTERED — then ‖v − c‖ ≪ ‖v‖ and the code
+    * budget resolves fine within-cell offsets. On uniform-random vectors
+    * the residual norm is ≈√2 (LARGER than the unit vectors), so raw
+    * codes win; that is why the declared recall entry uses [[pqTopK]]
+    * while this variant is verified on a clustered fixture. */
+  def pqTopKResidual(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: Seq[Long],
+      k: Int,
+      nCells: Int = 32,
+      nProbe: Int = 8,
+      m: Int = 16,
+      ksub: Int = 32,
+      iterations: Int = 3): DataFrame = {
+    val normed = normalized(corpus, idCol, vecCol)
+    val cents = seedCentroids(normed, nCells)
+    val assigned = assignTo(normed, cents) // (__id, cell, __v)
+    // residual per vector: v − its cell centroid (narrow after a
+    // broadcast join on cell)
+    val residuals = assigned
+      .join(broadcast(cents), Seq("cell"))
+      .select(col("__id"), col("cell"),
+        zip_with(col("__v"), col("__cv"), (x, c) => x - c).alias("__r"))
+    // train on NON-degenerate residuals only: the seed centroids' own
+    // residuals are exactly zero (they ARE their cell's centroid), and
+    // deterministic seeding from the first ids would otherwise fill the
+    // codebook with zero codes that never separate anything
+    val trainSet = residuals
+      .filter(native.dotProduct(col("__r"), col("__r")) > 0)
+      .select(col("__id"), col("__r"))
+    val codebook = Pq.trainCodebook(
+      trainSet, "__id", "__r", m, ksub, iterations, normalize = false)
+    val cellCodes = Pq.encode(
+      residuals.select(col("__id"), col("__r")), "__id", "__r", codebook, m,
+      normalize = false)
+      .join(residuals.select(col("__id"), col("cell")), Seq("__id"))
+
+    val queries = normed.filter(col("__id").isin(queryIds: _*))
+      .select(col("__id").alias("q_id"), col("__v").alias("__qv"))
+    // probe list WITH the per-cell base similarity dot(q, c)
+    val probes = queries
+      .join(broadcast(cents))
+      .withColumn("__base", native.dotProduct(col("__qv"), col("__cv")))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("__base").desc, col("cell"))))
+      .filter(col("__rk") <= nProbe)
+      .select(col("q_id"), col("cell"), col("__base"))
+    // LUT of q's raw subvectors vs the RESIDUAL codebook: dot(q, r) ≈ Σ lut
+    val lut = Pq.queryLut(corpus, idCol, vecCol, queryIds, codebook, m)
+    cellCodes
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(lut), Seq("q_id", "sub", "code"))
+      .filter(col("q_id") =!= col("__id"))
+      .groupBy(col("q_id"), col("__id"))
+      // every sub row carries the same __base for the (q, cell) pair —
+      // first() is exact, and base + Σ lut reassembles dot(q, c + r)
+      .agg((first(col("__base")) + sum(col("__d"))).alias("approx_sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("approx_sim").desc, col("__id"))))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk").cast("int").alias("rnk"),
+        col("__id").alias("n_id"), round(col("approx_sim"), 4).alias("approx_sim"))
+  }
+
   /** IVF top-k: probe the `nProbe` closest cells per query, exact-rank
     * within them. Output (q_id, rnk, n_id, sim) like the other ANN paths.
     * `centroids` overrides the deterministic seed quantizer with a

@@ -27,11 +27,20 @@ object Pq {
 
   /** (id, sub, subvector) rows: each normalized vector split into m
     * contiguous d/m-dim slices. Narrow (explode of a per-row transform). */
-  private[ops] def subvectors(corpus: DataFrame, idCol: String, vecCol: String, m: Int): DataFrame = {
-    val normed = corpus.select(
-      col(idCol).alias("__id"),
-      native.l2normalize(col(vecCol).cast("array<double>")).alias("__v"))
-      .filter(col("__v").isNotNull)
+  private[ops] def subvectors(
+      corpus: DataFrame, idCol: String, vecCol: String, m: Int,
+      normalize: Boolean = true): DataFrame = {
+    // normalize=false is the RESIDUAL path: residuals are not unit
+    // vectors and may legitimately be zero (a vector that IS its cell
+    // centroid) — renormalizing would corrupt them and drop the zeros
+    val normed =
+      if (normalize)
+        corpus.select(
+          col(idCol).alias("__id"),
+          native.l2normalize(col(vecCol).cast("array<double>")).alias("__v"))
+          .filter(col("__v").isNotNull)
+      else
+        corpus.select(col(idCol).alias("__id"), col(vecCol).cast("array<double>").alias("__v"))
     val dsub = size(col("__v")) / m
     normed
       .select(
@@ -68,8 +77,9 @@ object Pq {
       vecCol: String,
       m: Int,
       ksub: Int,
-      iterations: Int = 3): DataFrame = {
-    val subvecs = subvectors(corpus, idCol, vecCol, m)
+      iterations: Int = 3,
+      normalize: Boolean = true): DataFrame = {
+    val subvecs = subvectors(corpus, idCol, vecCol, m, normalize)
     val seedW = Window.partitionBy(col("sub")).orderBy(col("__id"))
     var codebook = subvecs
       .withColumn("__rk", row_number().over(seedW))
@@ -95,8 +105,10 @@ object Pq {
 
   /** Encode the corpus: (id, sub, code) — the 1-byte-per-subspace
     * representation an executor streams at 100 TB. */
-  def encode(corpus: DataFrame, idCol: String, vecCol: String, codebook: DataFrame, m: Int): DataFrame =
-    assignCodes(subvectors(corpus, idCol, vecCol, m), codebook)
+  def encode(
+      corpus: DataFrame, idCol: String, vecCol: String, codebook: DataFrame, m: Int,
+      normalize: Boolean = true): DataFrame =
+    assignCodes(subvectors(corpus, idCol, vecCol, m, normalize), codebook)
       .select(col("__id"), col("sub"), col("code"))
 
   /** Asymmetric-distance top-k: full-precision queries against the
