@@ -1073,8 +1073,50 @@ object RelationalQueries {
           .alias("n_vowel_runs"))
       .orderBy(col("doc_id"))
 
+  /** G4 (beyond reference parity): PageRank over the customer↔supplier
+    * purchase graph ([[graft.ops.Graph.pageRank]]) — 3 fixed iterations,
+    * d=0.85, node ids namespaced ('c'/'s' prefixes: the key spaces
+    * overlap numerically). Fixed iterations make the whole computation
+    * SQL-replayable — the oracle unrolls all three rounds as CTEs. */
+  val g4Pagerank: Q = (s, d) => {
+    val e = Tables.orders(s, d).filter(col("o_orderkey") < 2000)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(
+        concat(lit("c"), col("o_custkey")).alias("src"),
+        concat(lit("s"), col("l_suppkey")).alias("dst"))
+      .distinct()
+    graft.ops.Graph.pageRank(e, "src", "dst", iterations = 3)
+      .select(col("node"), round(col("pr"), 8).alias("pr"))
+      .orderBy(col("node"))
+  }
+
   // ------------------------------------------------------------ oracle SQL
   val oracles: Map[String, String] = Map(
+    "g4_pagerank" ->
+      """WITH e AS (
+           SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS s,
+                           's' || CAST(l_suppkey AS VARCHAR) AS t
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE o_orderkey < 2000),
+         sym AS (SELECT DISTINCT src, dst FROM (
+           SELECT s AS src, t AS dst FROM e UNION ALL SELECT t AS src, s AS dst FROM e)),
+         deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS dg FROM sym GROUP BY 1),
+         nodes AS (SELECT src AS node FROM deg),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes),
+         pr0 AS (SELECT node, 1.0 / nn AS pr FROM nodes CROSS JOIN n),
+         c1 AS (SELECT dst, sum(p.pr / d.dg) AS i
+                FROM sym JOIN deg d USING (src) JOIN pr0 p ON sym.src = p.node GROUP BY dst),
+         pr1 AS (SELECT node, 0.15 / nn + 0.85 * coalesce(i, 0) AS pr
+                 FROM nodes CROSS JOIN n LEFT JOIN c1 ON nodes.node = c1.dst),
+         c2 AS (SELECT dst, sum(p.pr / d.dg) AS i
+                FROM sym JOIN deg d USING (src) JOIN pr1 p ON sym.src = p.node GROUP BY dst),
+         pr2 AS (SELECT node, 0.15 / nn + 0.85 * coalesce(i, 0) AS pr
+                 FROM nodes CROSS JOIN n LEFT JOIN c2 ON nodes.node = c2.dst),
+         c3 AS (SELECT dst, sum(p.pr / d.dg) AS i
+                FROM sym JOIN deg d USING (src) JOIN pr2 p ON sym.src = p.node GROUP BY dst),
+         pr3 AS (SELECT node, 0.15 / nn + 0.85 * coalesce(i, 0) AS pr
+                 FROM nodes CROSS JOIN n LEFT JOIN c3 ON nodes.node = c3.dst)
+         SELECT node, round(pr, 8) AS pr FROM pr3 ORDER BY node""",
     "u2_union_by_name" ->
       """SELECT o_orderkey, o_orderstatus, price, priority FROM (
            SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price,
@@ -1617,6 +1659,7 @@ object RelationalQueries {
     "f14_array" -> f14Array,
     "f15_date_arith" -> f15DateArith,
     "u2_union_by_name" -> u2UnionByName,
-    "f16_regex" -> f16Regex
+    "f16_regex" -> f16Regex,
+    "g4_pagerank" -> g4Pagerank
   )
 }

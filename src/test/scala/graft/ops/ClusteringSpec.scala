@@ -6,6 +6,18 @@ class ClusteringSpec extends SparkSuite {
 
   import spark.implicits._
 
+  test("PageRank: star center outranks leaves, ranks sum to ~1, deterministic across runs") {
+    val edges = Seq(("hub", "a"), ("hub", "b"), ("hub", "c"), ("hub", "d"), ("a", "b"))
+      .toDF("src", "dst")
+    val pr = Graph.pageRank(edges, "src", "dst", iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr("hub") > pr("a") && pr("a") > pr("c"), pr.toString)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9) // undirected ⇒ no dangling leakage
+    val again = Graph.pageRank(edges, "src", "dst", iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(again === pr)
+  }
+
   test("transitive chains collapse to one cluster with min-id keeper") {
     // A~B, B~C must merge even though A~C was never a pair
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
