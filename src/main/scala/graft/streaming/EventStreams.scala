@@ -62,15 +62,21 @@ object EventStreams {
       views: DataFrame,
       purchases: DataFrame,
       horizon: String = "1 hour",
-      watermarkDelay: String = "2 hours"): DataFrame = {
+      watermarkDelay: String = "2 hours",
+      joinType: String = "inner"): DataFrame = {
     val v = views.withWatermark("event_time", watermarkDelay).alias("v")
     val p = purchases.withWatermark("event_time", watermarkDelay).alias("p")
     v.join(
         p,
         expr(s"""v.user_id = p.user_id AND
-                 p.event_time BETWEEN v.event_time AND v.event_time + INTERVAL $horizon"""))
+                 p.event_time BETWEEN v.event_time AND v.event_time + INTERVAL $horizon"""),
+        // "left_outer": a view with NO in-horizon purchase is emitted
+        // null-extended — but only once the purchase-side watermark
+        // passes its horizon, when "no match" becomes a FACT rather
+        // than "not yet" (the streaming-correct unmatched semantics)
+        joinType)
       .select(
-        col("p.user_id").alias("user_id"),
+        col("v.user_id").alias("user_id"),
         col("v.event_id").alias("view_id"),
         col("p.event_id").alias("purchase_id"),
         col("v.event_time").alias("view_time"),

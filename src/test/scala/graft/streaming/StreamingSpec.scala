@@ -105,6 +105,42 @@ class StreamingSpec extends SparkSuite {
     assert(got === Set((1L, 10L, 20L)))
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched views emit null-extended AFTER watermark eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val views = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def df(m: MemoryStream[(Long, Long, java.sql.Timestamp)]) =
+      m.toDF().toDF("user_id", "event_id", "event_time")
+    val q = EventStreams.viewPurchaseAttribution(
+      df(views), df(purchases), "1 hour", "2 hours", joinType = "left_outer")
+      .writeStream.format("memory").queryName("graft_st3_outer").outputMode("append").start()
+
+    views.addData((1L, 10L, ts(0)), (2L, 11L, ts(0))) // user 2 will never purchase
+    purchases.addData((1L, 20L, ts(30)))
+    q.processAllAvailable()
+    // user 2's view is NOT yet emitted: "no match" is still "not yet"
+    val mid = spark.table("graft_st3_outer").collect()
+    assert(!mid.exists(r => r.getLong(1) == 11L))
+
+    // advance BOTH watermarks far past view-time + horizon → the
+    // unmatched view becomes a fact and emits null-extended
+    views.addData((99L, 90L, ts(10000)))
+    purchases.addData((99L, 91L, ts(10000)))
+    q.processAllAvailable()
+    views.addData((99L, 92L, ts(10001)))
+    purchases.addData((99L, 93L, ts(10001)))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("graft_st3_outer")
+      .select("view_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(rows(10L) === 20L)  // matched inside horizon
+    assert(rows(11L) === -1L)  // unmatched, null-extended exactly once
+  }
+
   test("flatMapGroupsWithState sessionization: gap splits sessions, aggregates are exact") {
     import spark.implicits._
     def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
