@@ -61,4 +61,54 @@ object Graph {
     }
     pr
   }
+
+  /** Synchronous label propagation (community detection) over an
+    * UNDIRECTED graph: every node starts labeled with its own id; each
+    * round it adopts the most frequent label among its neighbors. Ties
+    * break to the node's CURRENT label when that label is among the
+    * tied-max candidates, else to the MINIMUM candidate — deterministic
+    * and SQL-replayable (the textbook random tie-break is neither), and
+    * the prefer-current rule stops a single bridge edge from flooding
+    * its label through an all-ties clique (pure min tie-break degrades
+    * to connected components). Iterations are FIXED like [[pageRank]]:
+    * budget rounds, not convergence.
+    *
+    * Scale shape per round: one shuffle keyed (node, label) for the
+    * neighbor-label histogram (partial-aggregated map-side), one keyed
+    * node for the max count, then a same-key join back + one agg to
+    * resolve the tie-break — no windows, no driver collects. The label
+    * table localCheckpoints each round so lineage (and replanning)
+    * doesn't grow with iterations. */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 3): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).alias("src"), col(dstCol).alias("dst"))
+      .unionAll(edges.select(col(dstCol).alias("src"), col(srcCol).alias("dst")))
+      .distinct()
+    val nodes = sym.select(col("src").alias("node")).distinct()
+    var lab = nodes.select(col("node"), col("node").alias("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val hist = sym
+        .join(lab, col("dst") === col("node"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).alias("__cnt"))
+      val best = hist.groupBy(col("src")).agg(max(col("__cnt")).alias("__mx"))
+      lab = hist
+        .join(best, Seq("src"))
+        .filter(col("__cnt") === col("__mx"))
+        .join(lab.select(col("node"), col("label").alias("__cur")),
+          col("src") === col("node"))
+        .groupBy(col("src"))
+        .agg(coalesce(
+          max(when(col("label") === col("__cur"), col("label"))),
+          min(col("label"))).alias("label"))
+        .select(col("src").alias("node"), col("label"))
+        .localCheckpoint(true)
+    }
+    lab
+  }
 }

@@ -1090,6 +1090,22 @@ object RelationalQueries {
       .orderBy(col("node"))
   }
 
+  /** G5 (beyond reference parity): label-propagation communities over
+    * the same purchase graph as G4 ([[graft.ops.Graph.labelPropagation]])
+    * — 3 fixed synchronous rounds, most-frequent neighbor label, ties
+    * to the MINIMUM label so the run is deterministic and the oracle
+    * can unroll every round as CTEs (histogram → max count → argmin). */
+  val g5LabelProp: Q = (s, d) => {
+    val e = Tables.orders(s, d).filter(col("o_orderkey") < 2000)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(
+        concat(lit("c"), col("o_custkey")).alias("src"),
+        concat(lit("s"), col("l_suppkey")).alias("dst"))
+      .distinct()
+    graft.ops.Graph.labelPropagation(e, "src", "dst", iterations = 3)
+      .orderBy(col("node"))
+  }
+
   // ------------------------------------------------------------ oracle SQL
   val oracles: Map[String, String] = Map(
     "g4_pagerank" ->
@@ -1117,6 +1133,40 @@ object RelationalQueries {
          pr3 AS (SELECT node, 0.15 / nn + 0.85 * coalesce(i, 0) AS pr
                  FROM nodes CROSS JOIN n LEFT JOIN c3 ON nodes.node = c3.dst)
          SELECT node, round(pr, 8) AS pr FROM pr3 ORDER BY node""",
+    "g5_label_prop" ->
+      """WITH e AS (
+           SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS s,
+                           's' || CAST(l_suppkey AS VARCHAR) AS t
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE o_orderkey < 2000),
+         sym AS (SELECT DISTINCT src, dst FROM (
+           SELECT s AS src, t AS dst FROM e UNION ALL SELECT t AS src, s AS dst FROM e)),
+         l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+         h1 AS (SELECT sym.src AS src, l0.label AS label, count(*) AS cnt
+                FROM sym JOIN l0 ON sym.dst = l0.node GROUP BY 1, 2),
+         m1 AS (SELECT src, max(cnt) AS mx FROM h1 GROUP BY 1),
+         l1 AS (SELECT h1.src AS node,
+                       coalesce(max(CASE WHEN h1.label = c.label THEN h1.label END),
+                                min(h1.label)) AS label
+                FROM h1 JOIN m1 ON h1.src = m1.src AND h1.cnt = m1.mx
+                        JOIN l0 c ON h1.src = c.node GROUP BY 1),
+         h2 AS (SELECT sym.src AS src, l1.label AS label, count(*) AS cnt
+                FROM sym JOIN l1 ON sym.dst = l1.node GROUP BY 1, 2),
+         m2 AS (SELECT src, max(cnt) AS mx FROM h2 GROUP BY 1),
+         l2 AS (SELECT h2.src AS node,
+                       coalesce(max(CASE WHEN h2.label = c.label THEN h2.label END),
+                                min(h2.label)) AS label
+                FROM h2 JOIN m2 ON h2.src = m2.src AND h2.cnt = m2.mx
+                        JOIN l1 c ON h2.src = c.node GROUP BY 1),
+         h3 AS (SELECT sym.src AS src, l2.label AS label, count(*) AS cnt
+                FROM sym JOIN l2 ON sym.dst = l2.node GROUP BY 1, 2),
+         m3 AS (SELECT src, max(cnt) AS mx FROM h3 GROUP BY 1),
+         l3 AS (SELECT h3.src AS node,
+                       coalesce(max(CASE WHEN h3.label = c.label THEN h3.label END),
+                                min(h3.label)) AS label
+                FROM h3 JOIN m3 ON h3.src = m3.src AND h3.cnt = m3.mx
+                        JOIN l2 c ON h3.src = c.node GROUP BY 1)
+         SELECT node, label FROM l3 ORDER BY node""",
     "u2_union_by_name" ->
       """SELECT o_orderkey, o_orderstatus, price, priority FROM (
            SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price,
@@ -1660,6 +1710,7 @@ object RelationalQueries {
     "f15_date_arith" -> f15DateArith,
     "u2_union_by_name" -> u2UnionByName,
     "f16_regex" -> f16Regex,
-    "g4_pagerank" -> g4Pagerank
+    "g4_pagerank" -> g4Pagerank,
+    "g5_label_prop" -> g5LabelProp
   )
 }

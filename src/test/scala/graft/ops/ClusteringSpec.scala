@@ -18,6 +18,25 @@ class ClusteringSpec extends SparkSuite {
     assert(again === pr)
   }
 
+  test("label propagation: two cliques joined by one bridge settle into two communities") {
+    // 4-clique {a1..a4} + 4-clique {b1..b4}, one bridge a1~b4; the
+    // prefer-current tie-break keeps the bridge from flooding one label
+    // across both cliques, so each clique settles on its own label
+    val as = Seq("a1", "a2", "a3", "a4"); val bs = Seq("b1", "b2", "b3", "b4")
+    val clique = (m: Seq[String]) =>
+      for (i <- m.indices; j <- i + 1 until m.size) yield (m(i), m(j))
+    val edges = (clique(as) ++ clique(bs) :+ ("a1", "b4")).toDF("src", "dst")
+    val lab = Graph.labelPropagation(edges, "src", "dst", iterations = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(lab.size === 8)
+    assert(as.map(lab).distinct.size === 1, lab.toString)
+    assert(Seq("b1", "b2", "b3").map(lab).distinct.size === 1, lab.toString)
+    assert(lab("a1") !== lab("b1"), lab.toString)
+    val again = Graph.labelPropagation(edges, "src", "dst", iterations = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(again === lab) // deterministic tie-break, no RNG
+  }
+
   test("transitive chains collapse to one cluster with min-id keeper") {
     // A~B, B~C must merge even though A~C was never a pair
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
