@@ -193,6 +193,69 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).alias("sim"))
   }
 
+  /** Multi-probe ANN top-k: like [[lshTopK]] but each query probes, per
+    * band, its own bucket PLUS every bucket at Hamming distance 1 on the
+    * band slice (flip one of the `planes/bands` bits) — the classic
+    * multi-probe LSH recall boost (Lv et al., VLDB'07) without adding
+    * hash tables. Candidate rule: ∃ band with hamming(q_slice, n_slice)
+    * ≤ 1; verification is exact cosine, so extra probes only ADD
+    * recall, never change a surfaced pair's score.
+    *
+    * Scale shape: the corpus side computes (id, band, bh) keys exactly
+    * once ([[bandedKeys]] — no vector payload); the query side expands
+    * to |Q|·bands·(rows+1) probe keys and is BROADCAST, so candidate
+    * generation is a map-side hash join — the big side never shuffles
+    * at all (better than the collect_list path when |Q| is bounded).
+    * The `maxBucket` occupancy cap is applied to corpus keys by the
+    * same one-exchange windowed count as [[lshTopK]]. */
+  def multiProbeLshTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: Seq[Long],
+      k: Int,
+      planes: Int = 64,
+      bands: Int = 16,
+      dims: Int = 64,
+      maxBucket: Int = 1000): DataFrame = {
+    val rows = planes / bands
+    val capped = bandedKeys(corpus, idCol, vecCol, planes, bands, dims)
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("__bn") <= maxBucket)
+      .select(col("__id").alias("n_id"), col("band"), col("bh"))
+    val probes = corpus
+      .select(col(idCol).alias("q_id"), col(vecCol).cast("array<double>").alias("__v0"))
+      .filter(col("q_id").isin(queryIds: _*) && fdot(col("__v0"), col("__v0")) > 0)
+      .select(col("q_id"), rhpSignature(col("__v0"), planes, dims).alias("__sig"))
+      .select(col("q_id"), col("__sig"),
+        explode(sequence(lit(0), lit(bands - 1))).alias("band"))
+      .select(col("q_id"), col("band"),
+        slice(col("__sig"), col("band") * rows + 1, lit(rows)).alias("__bs"))
+      // probe 0 = the slice itself; probe f≥1 = bit f flipped
+      .select(col("q_id"), col("band"), col("__bs"),
+        explode(sequence(lit(0), lit(rows))).alias("__f"))
+      .select(col("q_id"), col("band"),
+        when(col("__f") === 0, col("__bs"))
+          .otherwise(transform(col("__bs"),
+            (x, i) => when(i === col("__f") - 1, lit(1L) - x).otherwise(x)))
+          .alias("__ps"))
+      .select(col("q_id"), col("band"),
+        xxhash64(concat_ws(",", col("__ps")), col("band")).alias("bh"))
+    val cands = broadcast(probes)
+      .join(capped, Seq("band", "bh"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"))
+      .distinct()
+    pairCosine(
+      cands.select(col("q_id").alias("id1"), col("n_id").alias("id2")),
+      corpus, idCol, vecCol)
+      .select(col("id1").alias("q_id"), col("id2").alias("n_id"), col("sim"))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).alias("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH bucketing (no query
     * set: all-to-all within buckets only). Identical vectors always
     * co-bucket (identical signatures), so exact-copy recall is 1.0.

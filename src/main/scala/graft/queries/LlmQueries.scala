@@ -164,6 +164,17 @@ object LlmQueries {
       .select(col("q_id"), col("rnk"), col("n_id"), col("sim"))
       .orderBy(col("q_id"), col("rnk"))
 
+  /** Multi-probe LSH ANN ([[Similarity.multiProbeLshTopK]]): per band the
+    * query probes its own bucket plus every 1-bit-flip bucket, so the
+    * candidate rule widens to hamming ≤ 1 on the band slice — strictly
+    * more recall than `ann_lsh_topk` at the same table count. Oracle
+    * replays the rule as an elementwise slice compare. */
+  val annMplshTopK: Q = (s, d) =>
+    Similarity.multiProbeLshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      Seq(0L, 1L, 2L, 3L, 4L), 3)
+      .select(col("q_id"), col("rnk"), col("n_id"), col("sim"))
+      .orderBy(col("q_id"), col("rnk"))
+
   /** IVF ANN ([[graft.ops.Ivf]]) with a full probe: deterministically
     * identical to exact search (every cell scanned), so it shares the
     * brute-force oracle — the partial-probe scale path is covered by the
@@ -598,6 +609,35 @@ object LlmQueries {
                          FROM scored)
          SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, round(sim, 4) AS sim
          FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk""",
+    // Multi-probe rule: candidate iff SOME band's 4-bit slice differs in
+    // ≤ 1 position (probe 0 = exact bucket, probes 1..4 = one flipped
+    // bit). Same planes/bands/queries/k as ann_lsh_topk.
+    "ann_mplsh_topk" ->
+      s"""WITH m AS (SELECT $lshPlanesSql AS pl),
+              v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              nz AS (SELECT vec_id, e FROM v WHERE list_dot_product(e, e) > 0),
+              s AS (SELECT vec_id,
+                           list_transform(range(1, 65),
+                             p -> CASE WHEN list_dot_product(e, pl[CAST(p AS INT)]) >= 0
+                                       THEN 1 ELSE 0 END) AS sig
+                    FROM nz, m),
+              b AS (SELECT vec_id, band,
+                           sig[CAST(band*4+1 AS INT) : CAST(band*4+4 AS INT)] AS bs
+                    FROM s, (SELECT unnest(range(0, 16)) AS band) bands),
+              cand AS (SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
+                       FROM b q JOIN b n ON q.band = n.band
+                       WHERE q.vec_id < 5 AND q.vec_id <> n.vec_id
+                         AND len(list_filter(range(1, 5),
+                               i -> q.bs[CAST(i AS INT)] <> n.bs[CAST(i AS INT)])) <= 1),
+              scored AS (SELECT c.q_id, c.n_id, list_cosine_similarity(qv.e, nv.e) AS sim
+                         FROM cand c
+                         JOIN v qv ON qv.vec_id = c.q_id
+                         JOIN v nv ON nv.vec_id = c.n_id),
+              ranked AS (SELECT q_id, n_id, sim,
+                                row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
+                         FROM scored)
+         SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, round(sim, 4) AS sim
+         FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk""",
     "cos_near_dup" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
                     UNION ALL
@@ -850,6 +890,7 @@ object LlmQueries {
     "ann_ivf_topk" -> annIvfTopK,
     "ann_ivf_trained" -> annIvfTrained,
     "ann_lsh_topk" -> annLshTopK,
+    "ann_mplsh_topk" -> annMplshTopK,
     "cos_near_dup" -> cosNearDup,
     "tx_profile" -> txProfile,
     "tx_quality" -> txQuality,

@@ -39,6 +39,28 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("multi-probe LSH dominates single-probe: per-query top-k quality never drops") {
+    val emb = Tables.embeddings(spark, sf())
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    def simSums(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Double]("sim")).sum }
+    val sp = simSums(Similarity.lshTopK(emb, "vec_id", "embedding", qids, 10))
+    val mp = simSums(Similarity.multiProbeLshTopK(emb, "vec_id", "embedding", qids, 10))
+    // probes are a strict superset of the exact bucket, verification is
+    // exact cosine ⇒ each query's ranked top-k can only improve
+    qids.foreach { q =>
+      assert(mp.getOrElse(q, 0.0) >= sp.getOrElse(q, 0.0) - 1e-9,
+        s"q=$q mp=${mp.get(q)} sp=${sp.get(q)}")
+    }
+    val brute = Similarity.bruteTopK(emb, "vec_id", "embedding", qids, 10)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val mpSet = Similarity.multiProbeLshTopK(emb, "vec_id", "embedding", qids, 10)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = (brute & mpSet).size.toDouble / brute.size
+    assert(recall >= 0.8, s"multi-probe recall $recall")
+  }
+
   test("PQ: codebook shape, total encoding, and ADC recall of the exact top-1") {
     val emb = Tables.embeddings(spark, sf())
     val m = 16
