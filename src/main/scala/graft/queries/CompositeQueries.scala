@@ -131,6 +131,24 @@ object CompositeQueries {
       .orderBy(col("view_id"), col("purchase_id"))
   }
 
+  /** ST6 (beyond reference parity): the LEFT-OUTER stream-stream interval
+    * join ([[graft.streaming.EventStreams.viewPurchaseAttribution]] with
+    * joinType=left_outer) run in batch — views with no in-horizon
+    * purchase survive null-extended (streamed, they are emitted when the
+    * purchase watermark passes the horizon; `StreamingSpec` pins that
+    * path cross-micro-batch). Nulls normalized to -1 so both engines
+    * sort identically. */
+  val st6OuterIntervalJoin: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    graft.streaming.EventStreams.viewPurchaseAttribution(
+      e.filter(col("event_type") === "view"),
+      e.filter(col("event_type") === "purchase"), "1 hour", "2 hours",
+      joinType = "left_outer")
+      .select(col("user_id"), col("view_id"),
+        coalesce(col("purchase_id"), lit(-1L)).alias("purchase_id"))
+      .orderBy(col("view_id"), col("purchase_id"))
+  }
+
   /** ST4 (beyond reference parity): streaming exact dedup
     * ([[graft.streaming.EventStreams.dedupStream]]) run in batch over a
     * doubled feed (events ∪ events) keyed by event_id — every row arrives
@@ -438,6 +456,14 @@ object CompositeQueries {
            ON v.user_id = p.user_id
           AND epoch_us(p.ts) BETWEEN epoch_us(v.ts) AND epoch_us(v.ts) + 3600000000
          ORDER BY view_id, purchase_id""",
+    "st6_outer_interval_join" ->
+      """SELECT v.user_id, v.event_id AS view_id,
+                coalesce(p.event_id, -1) AS purchase_id
+         FROM (SELECT * FROM events WHERE event_type = 'view') v
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON v.user_id = p.user_id
+          AND epoch_us(p.ts) BETWEEN epoch_us(v.ts) AND epoch_us(v.ts) + 3600000000
+         ORDER BY view_id, purchase_id""",
     "j4b_asof_join" ->
       """SELECT user_id, purchase_id, view_id, delta_us FROM (
            SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
@@ -524,6 +550,7 @@ object CompositeQueries {
     "st1_windowed_counts" -> st1WindowedCounts,
     "st2_stream_static" -> st2StreamStatic,
     "st3_interval_join" -> st3IntervalJoin,
+    "st6_outer_interval_join" -> st6OuterIntervalJoin,
     "st4_stream_dedup" -> st4StreamDedup,
     "st5_session_window" -> st5SessionWindow,
     "c1_scd2" -> c1Scd2,
