@@ -141,6 +141,37 @@ class StreamingSpec extends SparkSuite {
     assert(rows(11L) === -1L)  // unmatched, null-extended exactly once
   }
 
+  test("stream-stream RIGHT OUTER interval join: unmatched purchases emit null-extended after eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val views = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def df(m: MemoryStream[(Long, Long, java.sql.Timestamp)]) =
+      m.toDF().toDF("user_id", "event_id", "event_time")
+    val q = EventStreams.viewPurchaseAttribution(
+      df(views), df(purchases), "1 hour", "2 hours", joinType = "right_outer")
+      .writeStream.format("memory").queryName("graft_st3_router").outputMode("append").start()
+
+    views.addData((1L, 10L, ts(0)))
+    purchases.addData((1L, 20L, ts(30)), (3L, 22L, ts(30))) // user 3 never viewed
+    q.processAllAvailable()
+    // advance both watermarks far past purchase-time + horizon
+    views.addData((99L, 90L, ts(10000)))
+    purchases.addData((99L, 91L, ts(10000)))
+    q.processAllAvailable()
+    views.addData((99L, 92L, ts(10001)))
+    purchases.addData((99L, 93L, ts(10001)))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("graft_st3_router")
+      .select("purchase_id", "view_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(rows(20L) === 10L)  // matched inside horizon
+    assert(rows(22L) === -1L)  // purchase with no view, null-extended once
+  }
+
   test("flatMapGroupsWithState sessionization: gap splits sessions, aggregates are exact") {
     import spark.implicits._
     def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
