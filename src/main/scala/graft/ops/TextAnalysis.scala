@@ -243,12 +243,17 @@ object TextAnalysis {
       .groupBy(col("w")).agg(count(lit(1)).alias("c1"))
     val big = perDoc.groupBy(col("w"), col("w2")).agg(sum(col("m")).alias("c12"))
     val vocab = uni.agg(count(lit(1)).alias("vsize"))
-    perDoc
-      .join(big, Seq("w", "w2"))
+    // resolve the model to ONE vocabulary-sized (w,w2)→logp lookup before
+    // touching per-doc rows: the corpus-sized perDoc then rides a single
+    // exchange (join on the bigram key) instead of two back-to-back
+    // shuffle joins (bigram counts, then unigram counts)
+    val model = big
       .join(uni, Seq("w"))
       .crossJoin(broadcast(vocab))
-      .withColumn("__logp",
-        log((col("c12") + 1).cast("double") / (col("c1") + col("vsize"))))
+      .select(col("w"), col("w2"),
+        log((col("c12") + 1).cast("double") / (col("c1") + col("vsize"))).alias("__logp"))
+    perDoc
+      .join(model, Seq("w", "w2"))
       .groupBy(col(idCol))
       .agg(
         // weighted by multiplicity ≡ the per-instance average
