@@ -65,6 +65,15 @@ class PlanShapeSpec extends SparkSuite {
     assert("Exchange hashpartitioning\\(band".r.findAllIn(p).size === 1, p.take(3000))
   }
 
+  test("multi-probe LSH candidate join broadcasts the probe side (corpus keys never hash-shuffle into it)") {
+    // probes are |Q|·bands·(rows+1) rows — the candidate join must be a
+    // BroadcastHashJoin on (band, bh); the corpus side's only exchange is
+    // the occupancy-cap window, same as the single-probe paths
+    val p = plan("ann_mplsh_topk")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert("Exchange hashpartitioning\\(band".r.findAllIn(p).size === 1, p.take(3000))
+  }
+
   test("bucketed join + aggregate plans zero hash exchanges") {
     val p = plan("bk_bucketed_join")
     assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
