@@ -68,6 +68,34 @@ object Dedup {
         xxhash64(concat_ws(",", slice(sig, b * rows + 1, rows)), lit(b)).alias("band_hash"))
     }: _*)
 
+  /** MinHash-LSH index rows `(__id, __band, __bh)` for a corpus — the
+    * table a production pipeline PERSISTS per ingested batch so that
+    * tomorrow's batch dedups against 100 TB of history by scanning
+    * ~3 longs × bands per historical doc instead of re-shingling the
+    * text. The signature is computed once per doc (projected before the
+    * band explode — see [[lshCandidatePairs]] for why that ordering is
+    * load-bearing). */
+  def lshIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      k: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val rows = k / bands
+    df
+      .select(col(idCol).alias("__id"),
+        graft.functions.native.wordShingles(col(textCol), shingleSize).alias("__sh"))
+      .select(col("__id"), graft.functions.native.minhashSignature(col("__sh"), k).alias("__sig"))
+      .select(col("__id"), col("__sig"), explode(sequence(lit(0), lit(bands - 1))).alias("__band"))
+      .select(
+        col("__id"),
+        col("__band"),
+        xxhash64(
+          concat_ws(",", slice(col("__sig"), col("__band") * rows + 1, lit(rows))),
+          col("__band")).alias("__bh"))
+  }
+
   /** Candidate near-dup pairs (id1 < id2) from MinHash-LSH bucketing.
     *
     * @param df    input with an id column and a text column
@@ -94,7 +122,6 @@ object Dedup {
       k: Int = 64,
       bands: Int = 16,
       maxBucket: Int = 1000): DataFrame = {
-    val rows = k / bands
     // Structure matters three times over (all measured at sf0.1):
     //  - the signature is the native codegen'd expression
     //    ([[graft.functions.MinHashSignature]]) — one compiled loop per
@@ -111,17 +138,7 @@ object Dedup {
     // Precondition: pre-filter empty/whitespace-only texts upstream (they
     // all share the degenerate single-shingle signature and would
     // co-bucket into one giant bucket).
-    val banded = df
-      .select(col(idCol).alias("__id"),
-        graft.functions.native.wordShingles(col(textCol), shingleSize).alias("__sh"))
-      .select(col("__id"), graft.functions.native.minhashSignature(col("__sh"), k).alias("__sig"))
-      .select(col("__id"), col("__sig"), explode(sequence(lit(0), lit(bands - 1))).alias("__band"))
-      .select(
-        col("__id"),
-        col("__band"),
-        xxhash64(
-          concat_ws(",", slice(col("__sig"), col("__band") * rows + 1, lit(rows))),
-          col("__band")).alias("__bh"))
+    val banded = lshIndex(df, idCol, textCol, shingleSize, k, bands)
 
     // bucket-size cap: a windowed count over the bucket key filters
     // oversized buckets BEFORE collect_list ever aggregates them. The
@@ -190,6 +207,57 @@ object Dedup {
     val cands = lshCandidatePairs(df, idCol, textCol, shingleSize, k, bands)
     val sh = df.select(col(idCol).alias("__jid"),
       graft.functions.native.wordShingles(col(textCol), shingleSize).alias("__jsh"))
+    cands
+      .join(sh.withColumnRenamed("__jid", "id1").withColumnRenamed("__jsh", "__sh1"), Seq("id1"))
+      .join(sh.withColumnRenamed("__jid", "id2").withColumnRenamed("__jsh", "__sh2"), Seq("id2"))
+      .withColumn("jaccard", jaccard(col("__sh1"), col("__sh2")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** Incremental near-dup detection: a NEW batch against an already-
+    * ingested history — the shape a production corpus pipeline actually
+    * runs daily (never all-pairs over 100 TB; [[nearDupPairs]] is the
+    * bootstrap, this is the steady state). Ids of `history` and `batch`
+    * must be disjoint (caller's contract).
+    *
+    * Candidates = (batch × history co-bucketed pairs) ∪ (batch × batch
+    * via [[lshCandidatePairs]]); history-internal pairs are by
+    * construction already known and never recomputed. Verification is
+    * exact shingle Jaccard on candidates only.
+    *
+    * Scale shape: the batch's band keys (|batch| · bands rows) BROADCAST
+    * against the history index, so the history side never shuffles into
+    * the candidate join — its only exchange is the occupancy-cap window,
+    * and in production the persisted index ([[lshIndex]]) replaces even
+    * the re-derivation done here. Verification joins re-shingle only the
+    * docs that appear in surviving candidate pairs. */
+  def incrementalNearDupPairs(
+      history: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleSize: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      maxBucket: Int = 1000): DataFrame = {
+    val hKeys = lshIndex(history, idCol, textCol, shingleSize, k, bands)
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("__band"), col("__bh"))))
+      .filter(col("__bn") <= maxBucket)
+      .select(col("__id").alias("__hid"), col("__band"), col("__bh"))
+    val bKeys = lshIndex(batch, idCol, textCol, shingleSize, k, bands)
+      .select(col("__id").alias("__bid"), col("__band"), col("__bh"))
+    val cross = broadcast(bKeys)
+      .join(hKeys, Seq("__band", "__bh"))
+      .select(
+        least(col("__bid"), col("__hid")).alias("id1"),
+        greatest(col("__bid"), col("__hid")).alias("id2"))
+    val intra = lshCandidatePairs(batch, idCol, textCol, shingleSize, k, bands, maxBucket)
+    val cands = cross.unionAll(intra).distinct()
+    val sh = history.unionByName(batch)
+      .select(col(idCol).alias("__jid"),
+        graft.functions.native.wordShingles(col(textCol), shingleSize).alias("__jsh"))
     cands
       .join(sh.withColumnRenamed("__jid", "id1").withColumnRenamed("__jsh", "__sh1"), Seq("id1"))
       .join(sh.withColumnRenamed("__jid", "id2").withColumnRenamed("__jsh", "__sh2"), Seq("id2"))

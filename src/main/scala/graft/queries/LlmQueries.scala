@@ -66,6 +66,23 @@ object LlmQueries {
       .select(col("id1"), col("id2"), round(col("jaccard"), 4).alias("jaccard"))
       .orderBy(col("id1"), col("id2"))
 
+  /** Incremental dedup ([[graft.ops.Dedup.incrementalNearDupPairs]]):
+    * the mutated +200000 copies play the NEW daily batch, the odd-id
+    * originals the ingested history — every planted near-dup pair
+    * crosses batch×history, the exact steady-state scenario. The oracle
+    * is the full quadratic Jaccard restricted to pairs touching the
+    * batch (history-internal pairs are declared already-known and never
+    * recomputed). */
+  val ddIncremental: Q = (s, d) => {
+    val corpus = nearDupCorpus(Tables.documents(s, d))
+    Dedup.incrementalNearDupPairs(
+      corpus.filter(col("doc_id") < 200000),
+      corpus.filter(col("doc_id") >= 200000),
+      "doc_id", "text", 0.8)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).alias("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** Near-dup pairs → transitive clusters → keeper per cluster
     * ([[graft.ops.Clustering]]): the step that turns pair detection into
     * corpus-dedup semantics (A~B, B~C ⇒ one cluster, keep min id). The
@@ -508,6 +525,18 @@ object LlmQueries {
           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
           ORDER BY id1, id2""",
+    "dd_incremental" ->
+      s"""WITH sh AS (
+            SELECT doc_id, $shinglesSql AS s
+            FROM (SELECT doc_id, $wordsSql AS w FROM $nearDupCorpusSql t))
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+                 round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE (a.doc_id >= 200000 OR b.doc_id >= 200000)
+            AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+          ORDER BY id1, id2""",
     "dd_cluster" ->
       s"""WITH RECURSIVE
             t AS (SELECT doc_id, $wordsSql AS w FROM $nearDupCorpusSql t0),
@@ -882,6 +911,7 @@ object LlmQueries {
     "dd_exact" -> ddExact,
     "dd_minhash_lsh" -> ddMinhashLsh,
     "dd_neardup_jaccard" -> ddNearDupJaccard,
+    "dd_incremental" -> ddIncremental,
     "dd_cluster" -> ddCluster,
     "dd_corpus_dedup" -> ddCorpusDedup,
     "cp_corpus_clean" -> cpCorpusClean,

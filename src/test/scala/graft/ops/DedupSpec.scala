@@ -43,6 +43,22 @@ class DedupSpec extends SparkSuite {
     assert(pairs.find(p => p._1 == 1L && p._2 == 2L).get._3 === 1.0)
   }
 
+  test("incremental dedup ≡ full near-dup restricted to batch-touching pairs; history-internal pairs never re-emitted") {
+    val hist = docs // ids 1-5 already ingested (1~2~3 are known dups)
+    val batch = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog near the river bank today"), // dup of 1/2
+      (12L, "fresh batch document with entirely novel content about incremental indexes")
+    ).toDF("doc_id", "text")
+    val inc = Dedup.incrementalNearDupPairs(hist, batch, "doc_id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.nearDupPairs(hist.unionByName(batch), "doc_id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter { case (a, b) => a >= 11L || b >= 11L }
+    assert(inc === expected, s"inc=$inc expected=$expected")
+    assert(inc.contains((1L, 11L)) && inc.contains((3L, 11L)))
+    assert(!inc.contains((1L, 2L)), "history-internal pair must not be re-emitted")
+  }
+
   test("LSH bucket cap bounds a degenerate boilerplate corpus; exact pass still catches it") {
     // 1,000 identical boilerplate docs: every band-bucket they land in has
     // 1,000 members — uncapped, that is one giant collect_list buffer and
