@@ -266,6 +266,34 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Fuzzy string matching via prefix blocking + bounded edit distance —
+    * the entity-resolution companion to the shingle paths (catches
+    * typo-level variants that share almost all shingles' CHARACTERS but
+    * not the shingles themselves). The self-join is a hash equi-join on
+    * the `blockLen`-char prefix (never a cartesian product), and the
+    * Levenshtein runs with the THRESHOLD variant, which abandons a pair
+    * early once the running distance exceeds `maxDist` — O(maxDist·len)
+    * per pair, not O(len²). Blocking trades recall for scale by
+    * construction (a typo inside the prefix escapes the block) — the
+    * standard multi-pass answer is a second run keyed on a different
+    * block (e.g. suffix), unioned. */
+  def editDistancePairs(
+      df: DataFrame,
+      strCol: String,
+      blockLen: Int,
+      maxDist: Int): DataFrame = {
+    val names = df.select(col(strCol).alias("__s")).distinct()
+      .withColumn("__blk", substring(col("__s"), 1, blockLen))
+    val a = names.select(col("__blk"), col("__s").alias("name1"))
+    val b = names.select(col("__blk"), col("__s").alias("name2"))
+    a.join(b, Seq("__blk"))
+      .filter(col("name1") < col("name2"))
+      .withColumn("dist", levenshtein(col("name1"), col("name2"), maxDist))
+      // threshold variant returns -1 when the bound is exceeded
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("name1"), col("name2"), col("dist"))
+  }
+
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

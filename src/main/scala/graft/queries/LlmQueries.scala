@@ -83,6 +83,16 @@ object LlmQueries {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Fuzzy entity matching ([[graft.ops.Dedup.editDistancePairs]]):
+    * distinct part names, 4-char prefix block, Levenshtein ≤ 4 with the
+    * thresholded (early-exit) variant. The oracle replays block + full
+    * edit distance in DuckDB. */
+  val ddEditDist: Q = (s, d) =>
+    Dedup.editDistancePairs(Tables.part(s, d).select(col("p_name")), "p_name",
+      blockLen = 4, maxDist = 4)
+      .select(col("name1"), col("name2"), col("dist").cast("int").alias("dist"))
+      .orderBy(col("name1"), col("name2"))
+
   /** Near-dup pairs → transitive clusters → keeper per cluster
     * ([[graft.ops.Clustering]]): the step that turns pair detection into
     * corpus-dedup semantics (A~B, B~C ⇒ one cluster, keep min id). The
@@ -525,6 +535,15 @@ object LlmQueries {
           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
           ORDER BY id1, id2""",
+    "dd_editdist" ->
+      """SELECT a.p_name AS name1, b.p_name AS name2,
+                CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+         FROM (SELECT DISTINCT p_name FROM part) a
+         JOIN (SELECT DISTINCT p_name FROM part) b
+           ON substr(a.p_name, 1, 4) = substr(b.p_name, 1, 4)
+          AND a.p_name < b.p_name
+         WHERE levenshtein(a.p_name, b.p_name) <= 4
+         ORDER BY name1, name2""",
     "dd_incremental" ->
       s"""WITH sh AS (
             SELECT doc_id, $shinglesSql AS s
@@ -912,6 +931,7 @@ object LlmQueries {
     "dd_minhash_lsh" -> ddMinhashLsh,
     "dd_neardup_jaccard" -> ddNearDupJaccard,
     "dd_incremental" -> ddIncremental,
+    "dd_editdist" -> ddEditDist,
     "dd_cluster" -> ddCluster,
     "dd_corpus_dedup" -> ddCorpusDedup,
     "cp_corpus_clean" -> cpCorpusClean,
