@@ -68,19 +68,27 @@ object Ivf {
     * shuffle of (cell, pos, component) rows — explode is map-side, the
     * aggregate is partial+final, and the shuffled payload is corpus ×
     * dims scalars, the same bytes a vector shuffle would carry. Empty
-    * cells keep their previous centroid (left join + coalesce), so the
-    * cell count never silently shrinks. Iterations localCheckpoint the
-    * (small) centroid table, not the corpus. */
+    * cells keep their previous centroid, so the cell count never
+    * silently shrinks. The centroid table lives on the DRIVER between
+    * iterations (nCells × dims doubles — KBs by design, the MLlib
+    * k-means contract): each round collects one aggregate's result and
+    * re-broadcasts it as a LocalRelation — no per-iteration
+    * localCheckpoint jobs, no lineage growth. The corpus never visits
+    * the driver. */
   def trainCentroids(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       nCells: Int,
       iterations: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
     val normed = normalized(corpus, idCol, vecCol)
-    var cents = seedCentroids(normed, nCells).localCheckpoint(true)
+    def toDf(rows: Seq[(Long, Seq[Double])]): DataFrame =
+      spark.createDataFrame(rows).toDF("cell", "__cv")
+    var local: Seq[(Long, Seq[Double])] = seedCentroids(normed, nCells)
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
     for (_ <- 1 to iterations) {
-      val means = assignTo(normed, cents)
+      val updated = assignTo(normed, toDf(local))
         .select(col("cell"), posexplode(col("__v")).as(Seq("__pos", "__x")))
         .groupBy(col("cell"), col("__pos"))
         .agg(avg(col("__x")).alias("__m"))
@@ -88,12 +96,11 @@ object Ivf {
         .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).alias("__pm"))
         .select(col("cell"), transform(col("__pm"), p => p.getField("__m")).alias("__mean"))
         .select(col("cell"), norml2(col("__mean")).alias("__newCv"))
-      cents = cents
-        .join(means, Seq("cell"), "left")
-        .select(col("cell"), coalesce(col("__newCv"), col("__cv")).alias("__cv"))
-        .localCheckpoint(true)
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      local = local.map { case (cell, cv) => (cell, updated.getOrElse(cell, cv)) }
     }
-    cents
+    toDf(local)
   }
 
   /** IVF-PQ: the production ANN index — coarse IVF cells bound WHERE to

@@ -70,7 +70,15 @@ object Pq {
 
   /** Per-subspace Lloyd k-means codebook: (sub, code, __cv). Seeds are
     * the first `ksub` ids' subvectors (deterministic); empty codes keep
-    * their previous centroid. */
+    * their previous centroid.
+    *
+    * The codebook lives on the DRIVER between iterations (m × ksub
+    * centroids — KBs by design, the same bounded-model contract MLlib's
+    * k-means uses): each round is one aggregate job whose result is
+    * collected and re-broadcast as a LocalRelation. No per-iteration
+    * localCheckpoint, no lineage growth, and every downstream reference
+    * to the codebook is a free local broadcast instead of a replayed
+    * checkpoint stage. The CORPUS never visits the driver. */
   def trainCodebook(
       corpus: DataFrame,
       idCol: String,
@@ -79,15 +87,19 @@ object Pq {
       ksub: Int,
       iterations: Int = 3,
       normalize: Boolean = true): DataFrame = {
+    val spark = corpus.sparkSession
     val subvecs = subvectors(corpus, idCol, vecCol, m, normalize)
+    def toDf(rows: Seq[(Int, Int, Seq[Double])]): DataFrame =
+      spark.createDataFrame(rows).toDF("sub", "code", "__cv")
     val seedW = Window.partitionBy(col("sub")).orderBy(col("__id"))
-    var codebook = subvecs
+    var local: Seq[(Int, Int, Seq[Double])] = subvecs
       .withColumn("__rk", row_number().over(seedW))
       .filter(col("__rk") <= ksub)
       .select(col("sub"), (col("__rk") - 1).cast("int").alias("code"), col("__sv").alias("__cv"))
-      .localCheckpoint(true)
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
     for (_ <- 1 to iterations) {
-      val means = assignCodes(subvecs, codebook)
+      val updated = assignCodes(subvecs, toDf(local))
         .select(col("sub"), col("code"), posexplode(col("__sv")).as(Seq("__pos", "__x")))
         .groupBy(col("sub"), col("code"), col("__pos"))
         .agg(avg(col("__x")).alias("__mc"))
@@ -95,12 +107,14 @@ object Pq {
         .agg(array_sort(collect_list(struct(col("__pos"), col("__mc")))).alias("__pm"))
         .select(col("sub"), col("code"),
           transform(col("__pm"), p => p.getField("__mc")).alias("__newCv"))
-      codebook = codebook
-        .join(means, Seq("sub", "code"), "left")
-        .select(col("sub"), col("code"), coalesce(col("__newCv"), col("__cv")).alias("__cv"))
-        .localCheckpoint(true)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+      // empty codes keep their previous centroid
+      local = local.map { case (sub, code, cv) =>
+        (sub, code, updated.getOrElse((sub, code), cv))
+      }
     }
-    codebook
+    toDf(local)
   }
 
   /** Encode the corpus: (id, sub, code) — the 1-byte-per-subspace
