@@ -65,6 +65,27 @@ object CompositeQueries {
       .orderBy(col("purchase_id"))
   }
 
+  /** J4c (beyond reference parity): the NATIVE as-of join operator
+    * ([[graft.ops.AsOfNative]] → `AsOfJoinExec`): each purchase matched
+    * to the LATEST view ≤ purchase time within 1 h, per user —
+    * backward-with-tolerance semantics executed as a per-partition
+    * two-pointer merge (one exchange + sort per side; no bucket
+    * explode, no window). Right side pre-deduped per (user, instant)
+    * for the operator's determinism contract. */
+  val j4cAsofNative: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").alias("purchase_id"), col("ts_us").alias("pt"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts_us").alias("vt"))
+      .agg(max(col("event_id")).alias("view_id"))
+    graft.ops.AsOfNative.join(p, v, Seq("user_id"), "pt", "vt", MicrosPerHour)
+      .select(col("user_id"), col("purchase_id"),
+        coalesce(col("view_id_r"), lit(-1L)).alias("view_id"),
+        coalesce(col("pt") - col("vt_r"), lit(-1L)).alias("delta_us"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** C6 (beyond reference parity): gap-based sessionization — the
     * flatMapGroupsWithState operator ([[graft.streaming.EventStreams.sessionize]])
     * run in batch, verified against a relational gaps-and-islands oracle. */
@@ -464,6 +485,20 @@ object CompositeQueries {
            ON v.user_id = p.user_id
           AND epoch_us(p.ts) BETWEEN epoch_us(v.ts) AND epoch_us(v.ts) + 3600000000
          ORDER BY view_id, purchase_id""",
+    "j4c_asof_native" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pt
+                    FROM events WHERE event_type = 'purchase'),
+              v AS (SELECT user_id, epoch_us(ts) AS vt, max(event_id) AS view_id
+                    FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+              j AS (SELECT p.user_id, p.purchase_id, p.pt, v.vt, v.view_id,
+                           row_number() OVER (PARTITION BY p.purchase_id
+                                              ORDER BY v.vt DESC) AS rk
+                    FROM p LEFT JOIN v
+                      ON p.user_id = v.user_id AND v.vt <= p.pt
+                     AND p.pt - v.vt <= 3600000000)
+         SELECT user_id, purchase_id, coalesce(view_id, -1) AS view_id,
+                coalesce(pt - vt, -1) AS delta_us
+         FROM j WHERE rk = 1 ORDER BY purchase_id""",
     "j4b_asof_join" ->
       """SELECT user_id, purchase_id, view_id, delta_us FROM (
            SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
@@ -546,6 +581,7 @@ object CompositeQueries {
   val queries: Map[String, Q] = Map(
     "j4_band_join" -> j4BandJoin,
     "j4b_asof_join" -> j4bAsOfJoin,
+    "j4c_asof_native" -> j4cAsofNative,
     "c6_sessionize" -> c6Sessionize,
     "st1_windowed_counts" -> st1WindowedCounts,
     "st2_stream_static" -> st2StreamStatic,
