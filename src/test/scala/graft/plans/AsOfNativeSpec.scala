@@ -44,6 +44,19 @@ class AsOfNativeSpec extends SparkSuite {
     assert(out.contains(("A", 310L, -1L, -1.0)), out.toString)
   }
 
+  test("empty right side: every left row emits null-extended; repeated left times all match") {
+    val noQuotes = quotes.filter(col("sym") === "ZZZ")
+    val out = AsOfNative.join(trades, noQuotes, Seq("sym"), "t", "t", 1000L)
+    assert(out.count() === 5)
+    assert(out.filter(col("bid_r").isNotNull).count() === 0)
+    // left rows at the SAME (key, time) must each match the same quote
+    val dupTrades = Seq(("A", 200L, 1.0), ("A", 200L, 2.0)).toDF("sym", "t", "px")
+    val matched = AsOfNative.join(dupTrades, quotes, Seq("sym"), "t", "t", 1000L)
+      .select(col("px"), col("bid_r")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(matched === Set((1.0, 11.0), (2.0, 11.0)), matched.toString)
+  }
+
   test("physical plan is the native operator with one exchange + sort per side") {
     val df = AsOfNative.join(trades, quotes, Seq("sym"), "t", "t", 1000L)
     val p = df.queryExecution.executedPlan.toString
