@@ -26,7 +26,8 @@ object AsOfNative {
       leftTimeCol: String,
       rightTimeCol: String,
       toleranceUs: Long,
-      rightSuffix: String = "_r"): DataFrame = {
+      rightSuffix: String = "_r",
+      forward: Boolean = false): DataFrame = {
     val renamed = right.select(right.columns.map(c => col(c).as(c + rightSuffix)): _*)
     val lPlan = left.queryExecution.analyzed
     val rPlan = renamed.queryExecution.analyzed
@@ -39,6 +40,6 @@ object AsOfNative {
       keyCols.map(k => attr(rPlan, k + rightSuffix)),
       attr(lPlan, leftTimeCol),
       attr(rPlan, rightTimeCol + rightSuffix),
-      toleranceUs))
+      toleranceUs, forward))
   }
 }

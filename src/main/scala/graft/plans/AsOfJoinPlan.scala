@@ -17,13 +17,14 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * ([[AsOfJoinExec]]) that executes a backward AS-OF join as a
   * per-partition two-pointer merge.
   *
-  * Semantics (pandas `merge_asof` / kdb `aj` backward form): for each
-  * left row, the matching right row is the one with equal keys and the
+  * Semantics (pandas `merge_asof` / kdb `aj`): for each left row, the
+  * matching right row has equal keys and — backward (default) — the
   * LARGEST right time ≤ left time with `leftTime − rightTime ≤
-  * tolerance`; unmatched left rows are emitted null-extended (left
-  * outer). Determinism contract: callers make (keys, time) unique on
-  * the right side (else "the" latest right row at a tied time is
-  * sort-order-dependent).
+  * tolerance`, or — `forward = true` — the SMALLEST right time ≥ left
+  * time with `rightTime − leftTime ≤ tolerance`. Unmatched left rows
+  * are emitted null-extended (left outer). Determinism contract:
+  * callers make (keys, time) unique on the right side (else "the"
+  * latest/earliest right row at a tied time is sort-order-dependent).
   *
   * Why a physical operator instead of the composed form
   * ([[graft.ops.BandJoin.asOf]], which buckets + explodes ×3 + windows):
@@ -43,7 +44,8 @@ case class AsOfJoin(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    toleranceUs: Long) extends BinaryNode {
+    toleranceUs: Long,
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -55,7 +57,8 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsOfJoin =>
       AsOfJoinExec(planLater(j.left), planLater(j.right),
-        j.leftKeys, j.rightKeys, j.leftTime, j.rightTime, j.toleranceUs) :: Nil
+        j.leftKeys, j.rightKeys, j.leftTime, j.rightTime, j.toleranceUs,
+        j.forward) :: Nil
     case _ => Nil
   }
 }
@@ -67,7 +70,8 @@ case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    toleranceUs: Long) extends BinaryExecNode {
+    toleranceUs: Long,
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -110,36 +114,65 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rSchema.size)
       val resultProj = UnsafeProjection.create(outSchema, outSchema)
-      // the single buffered candidate: latest right row ≤ current left
-      // time for the key it was captured under
-      var lastRight: InternalRow = null
-      var lastRightKey: UnsafeRow = null
-      var lastRightTime: Long = 0L
-
-      lIter.map { l =>
-        val lk = lKeyProj(l)
-        val lt = lTimeBound.eval(l).asInstanceOf[Long]
-        var advance = true
-        while (advance && rBuf.hasNext) {
-          val r = rBuf.head
-          val rk = rKeyProj(r)
-          val cmp = keyOrd.compare(rk, lk)
-          if (cmp < 0) {
-            // right key already passed by the left cursor — discard
-            rBuf.next()
-          } else if (cmp == 0 && rTimeBound.eval(r).asInstanceOf[Long] <= lt) {
-            lastRight = r.copy()
-            lastRightKey = rk.copy()
-            lastRightTime = rTimeBound.eval(lastRight).asInstanceOf[Long]
-            rBuf.next()
-          } else {
-            advance = false
+      if (forward) {
+        // FORWARD: match = smallest right time ≥ left time within
+        // tolerance. The candidate is always the right HEAD: advance
+        // past rows whose key has been passed or whose time is already
+        // behind the left cursor, then peek — never consume a possible
+        // match (several left rows may share one future right row).
+        lIter.map { l =>
+          val lk = lKeyProj(l)
+          val lt = lTimeBound.eval(l).asInstanceOf[Long]
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val r = rBuf.head
+            val rk = rKeyProj(r)
+            val cmp = keyOrd.compare(rk, lk)
+            if (cmp < 0 || (cmp == 0 && rTimeBound.eval(r).asInstanceOf[Long] < lt)) {
+              rBuf.next()
+            } else {
+              advance = false
+            }
           }
+          val matched = rBuf.hasNext && {
+            val r = rBuf.head
+            keyOrd.compare(rKeyProj(r), lk) == 0 &&
+              rTimeBound.eval(r).asInstanceOf[Long] - lt <= tol
+          }
+          resultProj(joined(l, if (matched) rBuf.head else nullRight))
         }
-        val matched = lastRight != null &&
-          keyOrd.compare(lastRightKey, lk) == 0 &&
-          lt - lastRightTime <= tol
-        resultProj(joined(l, if (matched) lastRight else nullRight))
+      } else {
+        // BACKWARD: the single buffered candidate — latest right row ≤
+        // current left time for the key it was captured under
+        var lastRight: InternalRow = null
+        var lastRightKey: UnsafeRow = null
+        var lastRightTime: Long = 0L
+
+        lIter.map { l =>
+          val lk = lKeyProj(l)
+          val lt = lTimeBound.eval(l).asInstanceOf[Long]
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val r = rBuf.head
+            val rk = rKeyProj(r)
+            val cmp = keyOrd.compare(rk, lk)
+            if (cmp < 0) {
+              // right key already passed by the left cursor — discard
+              rBuf.next()
+            } else if (cmp == 0 && rTimeBound.eval(r).asInstanceOf[Long] <= lt) {
+              lastRight = r.copy()
+              lastRightKey = rk.copy()
+              lastRightTime = rTimeBound.eval(lastRight).asInstanceOf[Long]
+              rBuf.next()
+            } else {
+              advance = false
+            }
+          }
+          val matched = lastRight != null &&
+            keyOrd.compare(lastRightKey, lk) == 0 &&
+            lt - lastRightTime <= tol
+          resultProj(joined(l, if (matched) lastRight else nullRight))
+        }
       }
     }
   }

@@ -86,6 +86,25 @@ object CompositeQueries {
       .orderBy(col("purchase_id"))
   }
 
+  /** J4d (beyond reference parity): the native as-of operator in
+    * FORWARD mode — each view matched to the EARLIEST purchase ≥ view
+    * time within 1 h (the st3 attribution direction, reduced to one
+    * best match per view by the operator instead of a window). */
+  val j4dAsofForward: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").alias("view_id"), col("ts_us").alias("vt"))
+    val p = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us").alias("pt"))
+      .agg(min(col("event_id")).alias("purchase_id"))
+    graft.ops.AsOfNative.join(v, p, Seq("user_id"), "vt", "pt", MicrosPerHour,
+      forward = true)
+      .select(col("user_id"), col("view_id"),
+        coalesce(col("purchase_id_r"), lit(-1L)).alias("purchase_id"),
+        coalesce(col("pt_r") - col("vt"), lit(-1L)).alias("delta_us"))
+      .orderBy(col("view_id"))
+  }
+
   /** C6 (beyond reference parity): gap-based sessionization — the
     * flatMapGroupsWithState operator ([[graft.streaming.EventStreams.sessionize]])
     * run in batch, verified against a relational gaps-and-islands oracle. */
@@ -499,6 +518,20 @@ object CompositeQueries {
          SELECT user_id, purchase_id, coalesce(view_id, -1) AS view_id,
                 coalesce(pt - vt, -1) AS delta_us
          FROM j WHERE rk = 1 ORDER BY purchase_id""",
+    "j4d_asof_forward" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS vt
+                    FROM events WHERE event_type = 'view'),
+              p AS (SELECT user_id, epoch_us(ts) AS pt, min(event_id) AS purchase_id
+                    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+              j AS (SELECT v.user_id, v.view_id, v.vt, p.pt, p.purchase_id,
+                           row_number() OVER (PARTITION BY v.view_id
+                                              ORDER BY p.pt ASC) AS rk
+                    FROM v LEFT JOIN p
+                      ON v.user_id = p.user_id AND p.pt >= v.vt
+                     AND p.pt - v.vt <= 3600000000)
+         SELECT user_id, view_id, coalesce(purchase_id, -1) AS purchase_id,
+                coalesce(pt - vt, -1) AS delta_us
+         FROM j WHERE rk = 1 ORDER BY view_id""",
     "j4b_asof_join" ->
       """SELECT user_id, purchase_id, view_id, delta_us FROM (
            SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
@@ -582,6 +615,7 @@ object CompositeQueries {
     "j4_band_join" -> j4BandJoin,
     "j4b_asof_join" -> j4bAsOfJoin,
     "j4c_asof_native" -> j4cAsofNative,
+    "j4d_asof_forward" -> j4dAsofForward,
     "c6_sessionize" -> c6Sessionize,
     "st1_windowed_counts" -> st1WindowedCounts,
     "st2_stream_static" -> st2StreamStatic,

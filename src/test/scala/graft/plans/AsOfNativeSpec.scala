@@ -57,6 +57,27 @@ class AsOfNativeSpec extends SparkSuite {
     assert(matched === Set((1.0, 11.0), (2.0, 11.0)), matched.toString)
   }
 
+  test("forward as-of: earliest quote ≥ trade time within tolerance; shared future match not consumed") {
+    val out = AsOfNative.join(trades, quotes, Seq("sym"), "t", "t",
+      toleranceUs = 100L, forward = true)
+      .select(col("sym"), col("t"), col("t_r"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(out === Set(
+      ("A", 100L, 190L),  // next quote at 190, within 100
+      ("A", 200L, 205L),  // 205 is the earliest ≥ 200
+      ("A", 310L, -1L),   // no future A quote
+      ("B", 150L, -1L),   // B quote at 400 exceeds tolerance 100
+      ("C", 500L, -1L)
+    ), out.toString)
+    // two trades sharing one future quote must BOTH match it
+    val dup = Seq(("A", 180L, 1.0), ("A", 185L, 2.0)).toDF("sym", "t", "px")
+    val both = AsOfNative.join(dup, quotes, Seq("sym"), "t", "t", 100L, forward = true)
+      .select(col("px"), col("t_r")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toSet
+    assert(both === Set((1.0, 190L), (2.0, 190L)), both.toString)
+  }
+
   test("physical plan is the native operator with one exchange + sort per side") {
     val df = AsOfNative.join(trades, quotes, Seq("sym"), "t", "t", 1000L)
     val p = df.queryExecution.executedPlan.toString
