@@ -532,6 +532,37 @@ object RelationalQueries {
         (abs(col("__n_approx") - col("n_exact")) <= col("n_exact") * 0.05).alias("within_5pct"))
       .orderBy(col("l_returnflag"))
 
+  /** A18 (beyond reference parity): Count-Min-sketch heavy hitters —
+    * the mergeable frequency sketch a 100 TB pipeline uses where exact
+    * per-key counts would shuffle raw keys (boilerplate detection, hot
+    * token tracking). ONE aggregation builds the sketch (KBs, partial-
+    * mergeable); the exact top-10 keys are then estimated against it on
+    * the driver (the sketch is a bounded model, like the k-means
+    * codebooks). Contract oracle: the CM estimate never undercounts and
+    * overcounts by ≤ eps·N (here eps=0.001) — deterministic because the
+    * seed is fixed. */
+  val a18CountMin: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val skBytes = li
+      .agg(count_min_sketch(col("l_suppkey"), lit(0.001d), lit(0.99d), lit(42)).alias("sk"),
+        count(lit(1)).alias("n"))
+      .head()
+    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes.getAs[Array[Byte]](0)))
+    val n = skBytes.getAs[Long]("n")
+    val top = li.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).alias("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("l_suppkey"))
+      .limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = top.map { case (k, exact) =>
+      val est = sketch.estimateCount(java.lang.Long.valueOf(k))
+      (k, exact, est >= exact && est <= exact + (0.001 * n).toLong)
+    }.toSeq
+    s.createDataFrame(rows).toDF("l_suppkey", "exact_cnt", "within_bound")
+      .orderBy(col("exact_cnt").desc, col("l_suppkey"))
+  }
+
   /** W5 (beyond reference parity): running total — cumulative sum per
     * group ordered by date with a rows frame (partitioned window; no
     * global sort). */
@@ -1287,6 +1318,10 @@ object RelationalQueries {
                 round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 4) AS p90_exact,
                 true AS within_rank_envelope
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "a18_count_min" ->
+      """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS exact_cnt, true AS within_bound
+         FROM lineitem GROUP BY 1
+         ORDER BY exact_cnt DESC, l_suppkey LIMIT 10""",
     "a15_sketch_merge" ->
       """SELECT l_returnflag,
                 CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
@@ -1698,6 +1733,7 @@ object RelationalQueries {
     "w4b_topn_agg" -> w4bTopNAgg,
     "a14_approx_quantile" -> a14ApproxQuantile,
     "a15_sketch_merge" -> a15SketchMerge,
+    "a18_count_min" -> a18CountMin,
     "j8_full_outer" -> j8FullOuter,
     "f12_variant" -> f12Variant,
     "f13_try_arith" -> f13TryArith,
