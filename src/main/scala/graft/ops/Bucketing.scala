@@ -43,6 +43,34 @@ object Bucketing {
     * (NTZ-inferred columns) — sort on the epoch long (or a date int)
     * when range pruning is the goal. */
   // (see writeZOrdered below for the two-dimensional generalization)
+  /** Compact a parquet directory's small files into ~`targetBytes`
+    * outputs — the maintenance op every streaming/incremental sink needs
+    * (a micro-batch sink at 100 TB/day leaves thousands of KB-files per
+    * partition; scans then pay per-file open/footer cost and lose
+    * row-group pruning). File count is derived from the INPUT's actual
+    * bytes (Hadoop FS listing, no data read); rows move through ONE
+    * round-robin repartition (deterministic count, no skewed coalesce
+    * merging of adjacent tiny files onto one task). Returns
+    * (files_before, files_after, bytes_total). */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      inputDir: String,
+      outputDir: String,
+      targetBytes: Long): (Int, Int, Long) = {
+    val path = new org.apache.hadoop.fs.Path(inputDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inputDir)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(outputDir)
+    val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(outputDir))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (files.length, outFiles, totalBytes)
+  }
+
   def writeRangeSorted(
       df: DataFrame,
       path: String,
