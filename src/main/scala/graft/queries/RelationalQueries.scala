@@ -982,6 +982,27 @@ object RelationalQueries {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** X3 (beyond reference parity): TPC-H Q10 shape — returned-item
+    * revenue per customer over a date window, 4-way join, top 20. The
+    * selective flag + date filters push to the scans; nation broadcasts;
+    * the aggregate is partial+final on c_custkey; the top-20 is a
+    * TakeOrderedAndProject (per-partition heaps), not a global sort. */
+  val x3ReturnedCustomers: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+    val n = Tables.nation(s, d)
+    c.join(o, col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).alias("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** W10 (beyond reference parity): the full rank family in one window —
     * row_number / rank / dense_rank / nth_value, gap semantics included
     * (ties share rank, dense_rank has no gaps). */
@@ -1273,6 +1294,17 @@ object RelationalQueries {
            AND l_shipdate > TIMESTAMP '1996-03-15'
          GROUP BY l_orderkey, o_orderdate, o_orderpriority
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "x3_returned_customers" ->
+      """SELECT c_custkey, c_name, n_name,
+                round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+         FROM customer JOIN orders ON o_custkey = c_custkey
+                       JOIN lineitem ON l_orderkey = o_orderkey
+                       JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "x2_region_volume" ->
       """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
          FROM region JOIN nation ON r_regionkey = n_regionkey
@@ -1739,6 +1771,7 @@ object RelationalQueries {
     "f13_try_arith" -> f13TryArith,
     "x1_shipping_priority" -> x1ShippingPriority,
     "x2_region_volume" -> x2RegionVolume,
+    "x3_returned_customers" -> x3ReturnedCustomers,
     "w10_rank_family" -> w10RankFamily,
     "a16_min_max_by" -> a16MinMaxBy,
     "a17_bool_agg" -> a17BoolAgg,
