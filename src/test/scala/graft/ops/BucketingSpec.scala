@@ -25,4 +25,23 @@ class BucketingSpec extends SparkSuite {
     val b = spark.read.parquet(out).orderBy("id").collect()
     assert(a.length === 10000 && (a sameElements b))
   }
+
+  test("compact composes with the streaming sink: a batch partition's file spray collapses, rows intact") {
+    // the real maintenance loop: the foreachBatch sink lands each
+    // micro-batch in its own batch_id=<n> partition as many small files;
+    // a nightly compact rewrites ONE partition without touching others
+    val dir = java.nio.file.Files.createTempDirectory("graft_sinkcompact").toString
+    val batch = (0L until 5000L).map(i => (i, i % 7)).toDF("event_id", "k")
+      .repartition(32)
+    graft.streaming.Sinks.writeBatchIdempotent(batch, batchId = 0L, dir)
+    val part = s"$dir/batch_id=0"
+    val before = new java.io.File(part).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before > 1, s"expected a file spray, got $before")
+    val compacted = s"$dir/batch_id=0_compacted"
+    val (b0, after, _) = Bucketing.compact(spark, part, compacted, Long.MaxValue)
+    assert(b0 === before && after === 1)
+    assert(spark.read.parquet(compacted).count() === 5000)
+    assert(spark.read.parquet(compacted).agg(sum(col("event_id"))).head().getLong(0)
+      === (0L until 5000L).sum)
+  }
 }
