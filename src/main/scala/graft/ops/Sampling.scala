@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic hash-based sampling for corpus construction — the data
@@ -50,6 +51,47 @@ object Sampling {
     * row. */
   def weightedSample(df: DataFrame, key: Column, prob: Column): DataFrame =
     df.filter(hashUnit(key) < least(greatest(prob, lit(0.0)), lit(1.0)))
+
+  /** Deterministic UPSAMPLING: replicate each row `weight` times in
+    * expectation — `floor(w)` whole copies plus one more iff the row's
+    * hash variate falls under `frac(w)` (deterministic Bernoulli). The
+    * training-mix half that [[weightedSample]] can't do: epoch-style
+    * repetition of high-value sources (w > 1) in the same pass that
+    * downsamples the rest (w < 1). Narrow (explode of a per-row
+    * sequence), no shuffle; `copy_n` numbers the replicas so downstream
+    * dedup/shuffling can still tell them apart. */
+  def upsample(df: DataFrame, key: Column, weight: Column): DataFrame = {
+    val w = greatest(weight, lit(0.0))
+    val copies = (floor(w).cast("long") +
+      when(hashUnit(key) < (w - floor(w)), 1L).otherwise(0L)).alias("__n")
+    df.withColumn("__n", copies)
+      .filter(col("__n") > 0)
+      .withColumn("copy_n", explode(sequence(lit(1L), col("__n"))))
+      .drop("__n")
+  }
+
+  /** Deterministic MIXTURE construction: exactly `targets(stratum)` rows
+    * per stratum (or all rows, if fewer), chosen as the stratum's
+    * smallest hash variates — the "take n_i docs from source i" recipe a
+    * training mix specifies. One shuffle keyed by stratum (the ranking
+    * window); selection is stable under corpus growth ONLY in
+    * distribution (a new doc can displace a ranked one — by design: the
+    * mix quota, not the membership, is the contract). */
+  def mixture(
+      df: DataFrame,
+      strata: Column,
+      key: Column,
+      targets: Map[String, Long]): DataFrame = {
+    val quota = targets.foldLeft(when(lit(false), lit(0L))) { case (acc, (s, n)) =>
+      acc.when(strata === s, n)
+    }.otherwise(lit(0L))
+    df.withColumn("__q", quota)
+      .filter(col("__q") > 0)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(strata).orderBy(hashUnit(key), key.cast("string"))))
+      .filter(col("__rk") <= col("__q"))
+      .drop("__q", "__rk")
+  }
 
   /** Stratified deterministic sample: per-stratum keep rates, unlisted
     * strata get `defaultRate`. One narrow filter, no shuffle. */

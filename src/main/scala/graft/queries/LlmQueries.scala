@@ -367,6 +367,30 @@ object LlmQueries {
       .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic upsampling ([[graft.ops.Sampling.upsample]]): epoch-
+    * style replication by per-row weight (floor copies + hash-Bernoulli
+    * remainder) — the mix half weighted DOWNsampling can't express. */
+  val smUpsample: Q = (s, d) =>
+    Sampling.upsample(
+      Tables.documents(s, d).select(col("doc_id")),
+      col("doc_id"),
+      pmod(col("doc_id"), lit(3)) + lit(0.5))
+      .orderBy(col("doc_id"), col("copy_n"))
+
+  /** Deterministic mixture construction ([[graft.ops.Sampling.mixture]]):
+    * exact per-source quotas filled by smallest hash variates — "take
+    * n_i docs from source i", the training-mix recipe as one windowed
+    * pass. */
+  val smMixture: Q = (s, d) =>
+    Sampling.mixture(
+      Tables.documents(s, d).select(col("doc_id"),
+        when(col("n_chars") >= 400, "long")
+          .when(col("n_chars") >= 150, "mid")
+          .otherwise("short").alias("stratum")),
+      col("stratum"), col("doc_id"),
+      Map("long" -> 40L, "mid" -> 25L, "short" -> 10L))
+      .orderBy(col("doc_id"))
+
   /** Benchmark-contamination check: corpus docs vs a benchmark slice
     * (doc_id % 50 == 0 ⇒ those corpus docs are fully contaminated by
     * construction; the rest measure incidental trigram overlap). */
@@ -866,6 +890,37 @@ object LlmQueries {
                  round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4) AS word_rep,
                  round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 4) AS bigram_rep
           FROM g ORDER BY doc_id""",
+    "sm_upsample" ->
+      """WITH t AS (
+           SELECT doc_id, (doc_id % 3) + 0.5 AS w,
+                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+                    / 65536.0 AS h
+           FROM documents),
+         n AS (SELECT doc_id,
+                      CAST(floor(w) AS BIGINT)
+                        + CASE WHEN h < w - floor(w) THEN 1 ELSE 0 END AS n
+               FROM t)
+         SELECT doc_id, CAST(u.x AS BIGINT) AS copy_n
+         FROM n, unnest(list_transform(range(1, CAST(n.n AS INT) + 1), y -> y)) AS u(x)
+         WHERE n.n > 0 ORDER BY doc_id, copy_n""",
+    "sm_mixture" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN n_chars >= 400 THEN 'long'
+                       WHEN n_chars >= 150 THEN 'mid'
+                       ELSE 'short' END AS stratum,
+                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+                    / 65536.0 AS h
+           FROM documents),
+         r AS (SELECT doc_id, stratum,
+                      row_number() OVER (PARTITION BY stratum
+                                         ORDER BY h, CAST(doc_id AS VARCHAR)) AS rk
+               FROM t)
+         SELECT doc_id, stratum FROM r
+         WHERE (stratum = 'long' AND rk <= 40)
+            OR (stratum = 'mid' AND rk <= 25)
+            OR (stratum = 'short' AND rk <= 10)
+         ORDER BY doc_id""",
     "sm_weighted" ->
       """SELECT doc_id, n_chars FROM documents
          WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0
@@ -951,6 +1006,8 @@ object LlmQueries {
     "dd_simhash_md5" -> ddSimhashMd5,
     "sm_stratified" -> smStratified,
     "sm_weighted" -> smWeighted,
+    "sm_upsample" -> smUpsample,
+    "sm_mixture" -> smMixture,
     "ct_ngram_overlap" -> ctNgramOverlap,
     "eq_quantize" -> eqQuantize,
     "tx_bigram_lm" -> txBigramLm,
