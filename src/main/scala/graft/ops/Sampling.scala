@@ -72,25 +72,64 @@ object Sampling {
 
   /** Deterministic MIXTURE construction: exactly `targets(stratum)` rows
     * per stratum (or all rows, if fewer), chosen as the stratum's
-    * smallest hash variates — the "take n_i docs from source i" recipe a
-    * training mix specifies. One shuffle keyed by stratum (the ranking
-    * window); selection is stable under corpus growth ONLY in
-    * distribution (a new doc can displace a ranked one — by design: the
-    * mix quota, not the membership, is the contract). */
+    * smallest (hash variate, key) pairs — the "take n_i docs from
+    * source i" recipe a training mix specifies. Selection is stable
+    * under corpus growth only in distribution (a new doc can displace a
+    * ranked one — by design: the quota, not the membership, is the
+    * contract).
+    *
+    * Scale shape — distributed exact selection, NOT a per-stratum
+    * `row_number` (a window partitioned by a handful of sources puts a
+    * whole 100 TB stratum on one task): (1) one partial+final aggregate
+    * histograms hash-variate buckets per stratum (strata × 4096 rows —
+    * collected, bounded model); (2) the driver finds each stratum's
+    * boundary bucket; (3) rows below the boundary keep by a narrow
+    * filter, and ONLY the boundary bucket's rows (≈ stratum/4096) pay a
+    * ranking window. Result is identical to the global rank — the
+    * bucket is a prefix of the (h, key) sort order. */
   def mixture(
       df: DataFrame,
       strata: Column,
       key: Column,
-      targets: Map[String, Long]): DataFrame = {
+      targets: Map[String, Long],
+      buckets: Int = 4096): DataFrame = {
     val quota = targets.foldLeft(when(lit(false), lit(0L))) { case (acc, (s, n)) =>
       acc.when(strata === s, n)
     }.otherwise(lit(0L))
-    df.withColumn("__q", quota)
+    val withH = df
+      .withColumn("__q", quota)
       .filter(col("__q") > 0)
+      .withColumn("__h", hashUnit(key))
+      .withColumn("__b", floor(col("__h") * buckets).cast("int"))
+    val hist = withH.groupBy(strata.alias("__s"), col("__b"))
+      .agg(count(lit(1)).alias("__c"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // per stratum: boundary bucket b* where the cumulative count reaches
+    // the quota, and the residual rank to take inside it
+    val bounds: Map[String, (Int, Long)] = targets.map { case (s, n) =>
+      var cum = 0L; var b = 0; var boundary = buckets; var residual = 0L
+      while (b < buckets && boundary == buckets) {
+        val c = hist.getOrElse((s, b), 0L)
+        if (cum + c >= n) { boundary = b; residual = n - cum }
+        cum += c; b += 1
+      }
+      // quota not reached: keep the whole stratum
+      s -> (if (boundary == buckets) (buckets, Long.MaxValue) else (boundary, residual))
+    }
+    val boundaryB = targets.keys.foldLeft(when(lit(false), lit(-1))) { (acc, s) =>
+      acc.when(strata === s, bounds(s)._1)
+    }.otherwise(lit(-1))
+    val residualN = targets.keys.foldLeft(when(lit(false), lit(0L))) { (acc, s) =>
+      acc.when(strata === s, bounds(s)._2)
+    }.otherwise(lit(0L))
+    val below = withH.filter(col("__b") < boundaryB)
+    val atBoundary = withH.filter(col("__b") === boundaryB)
       .withColumn("__rk", row_number().over(
-        Window.partitionBy(strata).orderBy(hashUnit(key), key.cast("string"))))
-      .filter(col("__rk") <= col("__q"))
-      .drop("__q", "__rk")
+        Window.partitionBy(strata, col("__b")).orderBy(col("__h"), key.cast("string"))))
+      .filter(col("__rk") <= residualN)
+      .drop("__rk")
+    below.unionByName(atBoundary).drop("__q", "__h", "__b")
   }
 
   /** Stratified deterministic sample: per-stratum keep rates, unlisted

@@ -50,6 +50,44 @@ class CorpusOpsSpec extends SparkSuite {
     assert(h > 2300 && h < 2700, s"half stratum kept $h of 5000")
   }
 
+  test("mixture fills exact quotas via bucketed selection, ≡ the naive global rank, short strata kept whole") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (0L until 3000L).map(i => (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("id", "src")
+    val targets = Map("a" -> 100L, "b" -> 2000L, "c" -> 7L) // b's quota exceeds its 1000 rows
+    val got = Sampling.mixture(df, col("src"), col("id"), targets, buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc === Map("a" -> 100, "b" -> 1000, "c" -> 7), bySrc.toString)
+    // identical to the naive per-stratum global rank
+    val naive = df
+      .withColumn("__rk", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy(col("src"))
+          .orderBy(Sampling.hashUnit(col("id")), col("id").cast("string"))))
+      .filter(
+        (col("src") === "a" && col("__rk") <= 100) ||
+        (col("src") === "b" && col("__rk") <= 2000) ||
+        (col("src") === "c" && col("__rk") <= 7))
+      .select(col("id"), col("src"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSet === naive.toSet)
+  }
+
+  test("upsample replicates by expectation: whole copies always, fractional by hash; zero weight drops") {
+    val df = (0L until 2000L).map(i => (i, i % 2)).toDF("id", "grp")
+    // weight 0 for odd grp, 2.5 for even grp
+    val out = Sampling.upsample(df, col("id"),
+      when(col("grp") === 0, 2.5).otherwise(0.0))
+    val n = out.count()
+    assert(out.filter(col("grp") === 1).count() === 0)
+    // 1000 even rows × E[copies]=2.5 → expect ~2500, hash-deterministic
+    assert(n > 2300 && n < 2700, s"n=$n")
+    assert(out.groupBy("id").count().agg(org.apache.spark.sql.functions.max("count"))
+      .head().getLong(0) === 3L) // 2.5 → never more than 3 copies
+    assert(Sampling.upsample(df, col("id"),
+      when(col("grp") === 0, 2.5).otherwise(0.0)).count() === n) // deterministic
+  }
+
   test("contamination: benchmark members score 1.0, disjoint docs 0.0, partial in between") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
