@@ -17,14 +17,14 @@ object Bench {
     * stays well under the harness's 2000-char tail window. */
   private val headline: Seq[String] = Seq(
     "wx_q1_accuracy", "wx_q2_city_ranking", "wx_q3_summary", "wx_q4_quality",
-    "wx_s1_flatten", "a1_agg", "a7_rollup", "a14_approx_quantile",
-    "j1_multikey_join", "j3_role_playing", "j4_band_join", "j4b_asof_join",
+    "wx_s1_flatten", "a1_agg", "a7_rollup", "a18_count_min",
+    "j1_multikey_join", "j3_role_playing", "j4_band_join", "j4c_asof_native",
     "j8_full_outer", "w1_rownum_global", "w4_topn_group", "o1_sort_agg",
-    "c1_scd2", "d1_dedup_subset", "dd_exact", "dd_minhash_lsh", "dd_simhash",
-    "cos_near_dup", "ann_brute_topk", "ann_ivf_topk", "eq_pq_recall",
+    "c1_scd2", "dd_exact", "dd_minhash_lsh", "dd_incremental", "dd_editdist",
+    "cos_near_dup", "ann_brute_topk", "ann_mplsh_topk", "eq_pq_recall",
     "tx_quality", "tx_token_hist", "tx_tfidf", "tx_bigram_lm", "g4_pagerank",
-    "sk_salted_agg", "bk_bucketed_join", "st1_windowed_counts",
-    "x1_shipping_priority", "x2_region_volume", "u1_set_ops", "sm_stratified")
+    "g5_label_prop", "sk_salted_agg", "bk_bucketed_join", "st1_windowed_counts",
+    "x1_shipping_priority", "x3_returned_customers", "u1_set_ops", "sm_mixture")
 
   private def fmt(v: Double): String = f"$v%.3f"
 
