@@ -37,6 +37,26 @@ class ClusteringSpec extends SparkSuite {
     assert(again === lab) // deterministic tie-break, no RNG
   }
 
+  test("label propagation invariant on random graphs: every label is a node id inside the node's own component") {
+    import org.scalacheck.Gen
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 39L); b <- Gen.chooseNum(0L, 39L) if a != b
+    } yield (s"n$a", s"n$b")
+    val edges = Gen.listOfN(60, edgeGen).sample.get.distinct
+    val df = edges.toDF("src", "dst")
+    val lab = Graph.labelPropagation(df, "src", "dst", iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // components via the production CC operator (ids as comparable strings)
+    val comp = Clustering.connectedComponents(
+      df.toDF("id1", "id2"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    lab.foreach { case (node, label) =>
+      assert(comp.contains(label) && comp(label) === comp(node),
+        s"node $node took label $label from another component")
+    }
+    assert(lab.keySet === comp.keySet)
+  }
+
   test("transitive chains collapse to one cluster with min-id keeper") {
     // A~B, B~C must merge even though A~C was never a pair
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")

@@ -59,6 +59,30 @@ class DedupSpec extends SparkSuite {
     assert(!inc.contains((1L, 2L)), "history-internal pair must not be re-emitted")
   }
 
+  test("editDistancePairs property: within-block pairs match a brute-force Levenshtein on random strings") {
+    import org.scalacheck.Gen
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val gen = for {
+      prefix <- Gen.oneOf("abc", "abd", "xyz")
+      tail <- Gen.listOfN(4, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    } yield prefix + tail
+    val names = Gen.listOfN(60, gen).sample.get.distinct
+    val got = Dedup.editDistancePairs(names.toDF("s"), "s", blockLen = 3, maxDist = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val expected = (for {
+      a <- names; b <- names
+      if a < b && a.take(3) == b.take(3) && lev(a, b) <= 3
+    } yield (a, b, lev(a, b))).toSet
+    assert(got === expected,
+      s"missing=${expected.diff(got).take(3)} extra=${got.diff(expected).take(3)}")
+  }
+
   test("LSH bucket cap bounds a degenerate boilerplate corpus; exact pass still catches it") {
     // 1,000 identical boilerplate docs: every band-bucket they land in has
     // 1,000 members — uncapped, that is one giant collect_list buffer and
