@@ -74,6 +74,23 @@ class PlanShapeSpec extends SparkSuite {
     assert("Exchange hashpartitioning\\(band".r.findAllIn(p).size === 1, p.take(3000))
   }
 
+  test("Q10 shape (x3): broadcast dim + per-partition heap top-20, no global sort") {
+    val p = plan("x3_returned_customers")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("incremental dedup broadcasts the batch keys against the history index") {
+    val p = plan("dd_incremental")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("mixture's only window runs on the boundary bucket (partition spec includes the bucket), never a stratum-wide rank") {
+    val p = plan("sm_mixture")
+    assert("Window \\[[^\\]]*row_number[^\\]]*\\], \\[stratum[^,]*, __b".r.findFirstIn(p).isDefined,
+      p.take(3000))
+  }
+
   test("bucketed join + aggregate plans zero hash exchanges") {
     val p = plan("bk_bucketed_join")
     assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
