@@ -44,4 +44,12 @@ class AnalyticsPropertySpec extends SparkSuite {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
+
+  test("every declared query has an oracle (dd_simhash is the one documented exception)") {
+    // a queries() entry without oracleSql silently downgrades to the
+    // driver's rows-only check — this test makes forgetting an oracle a
+    // build failure instead of a quiet correctness-coverage hole
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled === Set("dd_simhash"), s"queries without oracles: $unoracled")
+  }
 }
