@@ -391,6 +391,21 @@ object LlmQueries {
       Map("long" -> 40L, "mid" -> 25L, "short" -> 10L))
       .orderBy(col("doc_id"))
 
+  /** The SQL-registration path of the native expressions end-to-end:
+    * a SQL-TEXT query through the `SparkSessionExtensions.injectFunction`
+    * names (`token_count`, `word_shingles`, `dot_product`) — proving a
+    * pure-SQL user gets the same codegen'd kernels the column API uses.
+    * Oracle recomputes each from portable SQL. */
+  val f18SqlNative: Q = (s, d) => {
+    Tables.documents(s, d).createOrReplaceTempView("graft_docs_sqlfn")
+    s.sql("""
+      SELECT doc_id,
+             token_count(text) AS n_tokens,
+             CAST(size(word_shingles(text, 3)) AS INT) AS n_shingles,
+             round(dot_product(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)), 1) AS dot
+      FROM graft_docs_sqlfn WHERE doc_id < 50 ORDER BY doc_id""")
+  }
+
   /** Benchmark-contamination check: corpus docs vs a benchmark slice
     * (doc_id % 50 == 0 ⇒ those corpus docs are fully contaminated by
     * construction; the rest measure incidental trigram overlap). */
@@ -890,6 +905,14 @@ object LlmQueries {
                  round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4) AS word_rep,
                  round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 4) AS bigram_rep
           FROM g ORDER BY doc_id""",
+    "f18_sql_native" ->
+      s"""SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
+                   AS n_tokens,
+                 CAST(len((SELECT $shinglesSql FROM (SELECT $wordsSql AS w))) AS INT)
+                   AS n_shingles,
+                 32.0 AS dot
+          FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
     "sm_upsample" ->
       """WITH t AS (
            SELECT doc_id, (doc_id % 3) + 0.5 AS w,
@@ -1007,6 +1030,7 @@ object LlmQueries {
     "sm_stratified" -> smStratified,
     "sm_weighted" -> smWeighted,
     "sm_upsample" -> smUpsample,
+    "f18_sql_native" -> f18SqlNative,
     "sm_mixture" -> smMixture,
     "ct_ngram_overlap" -> ctNgramOverlap,
     "eq_quantize" -> eqQuantize,
