@@ -21,9 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // transparent acceleration: the portable regex token-count form
     // optimizes into the native single-scan kernel (see NativeRewriteRule)
     ext.injectOptimizerRule(_ => graft.plans.NativeRewriteRule)
-    // whole-operator extension: the native backward AS-OF join
+    // whole-operator extensions: the native AS-OF and interval joins
     // (logical node → strategy → sort-merge physical operator)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
     ext.injectFunction(
       (
         FunctionIdentifier("minhash_signature"),

@@ -42,4 +42,31 @@ object AsOfNative {
       attr(rPlan, rightTimeCol + rightSuffix),
       toleranceUs, forward))
   }
+
+  /** DataFrame API over the native interval join
+    * ([[graft.plans.RangeJoin]] → `RangeJoinExec`): all pairs with
+    * equal keys and `|leftTime − rightTime| ≤ toleranceUs`, inner.
+    * Same right-suffix and epoch-long contracts as [[join]]. */
+  def rangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      toleranceUs: Long,
+      rightSuffix: String = "_r"): DataFrame = {
+    val renamed = right.select(right.columns.map(c => col(c).as(c + rightSuffix)): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = renamed.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found in ${plan.output.map(_.name)}"))
+    Bridge.ofRows(left.sparkSession, graft.plans.RangeJoin(
+      lPlan, rPlan,
+      keyCols.map(attr(lPlan, _)),
+      keyCols.map(k => attr(rPlan, k + rightSuffix)),
+      attr(lPlan, leftTimeCol),
+      attr(rPlan, rightTimeCol + rightSuffix),
+      toleranceUs))
+  }
 }

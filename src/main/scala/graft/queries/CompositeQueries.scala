@@ -105,6 +105,23 @@ object CompositeQueries {
       .orderBy(col("view_id"))
   }
 
+  /** J4e (beyond reference parity): the native INTERVAL join operator
+    * ([[graft.ops.AsOfNative.rangeJoin]] → `RangeJoinExec`): all
+    * view↔purchase pairs within |Δt| ≤ 1 h per user — J4's band
+    * semantics with one shuffle per side and a window-bounded buffer
+    * instead of the composed bucket + ×3 explode. */
+  val j4eRangeNative: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").alias("view_id"), col("ts_us").alias("vt"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").alias("purchase_id"), col("ts_us").alias("pt"))
+    graft.ops.AsOfNative.rangeJoin(p, v, Seq("user_id"), "pt", "vt", MicrosPerHour)
+      .select(col("user_id"), col("view_id_r").alias("view_id"), col("purchase_id"),
+        (col("vt_r") - col("pt")).alias("delta_us"))
+      .orderBy(col("view_id"), col("purchase_id"))
+  }
+
   /** C6 (beyond reference parity): gap-based sessionization — the
     * flatMapGroupsWithState operator ([[graft.streaming.EventStreams.sessionize]])
     * run in batch, verified against a relational gaps-and-islands oracle. */
@@ -518,6 +535,14 @@ object CompositeQueries {
          SELECT user_id, purchase_id, coalesce(view_id, -1) AS view_id,
                 coalesce(pt - vt, -1) AS delta_us
          FROM j WHERE rk = 1 ORDER BY purchase_id""",
+    "j4e_range_native" ->
+      """SELECT p.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+                epoch_us(v.ts) - epoch_us(p.ts) AS delta_us
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           ON p.user_id = v.user_id
+          AND abs(epoch_us(p.ts) - epoch_us(v.ts)) <= 3600000000
+         ORDER BY view_id, purchase_id""",
     "j4d_asof_forward" ->
       """WITH v AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS vt
                     FROM events WHERE event_type = 'view'),
@@ -616,6 +641,7 @@ object CompositeQueries {
     "j4b_asof_join" -> j4bAsOfJoin,
     "j4c_asof_native" -> j4cAsofNative,
     "j4d_asof_forward" -> j4dAsofForward,
+    "j4e_range_native" -> j4eRangeNative,
     "c6_sessionize" -> c6Sessionize,
     "st1_windowed_counts" -> st1WindowedCounts,
     "st2_stream_static" -> st2StreamStatic,

@@ -86,6 +86,29 @@ class AsOfNativeSpec extends SparkSuite {
     assert(!p.contains("Window"), p) // no window, no explode — the merge does it
   }
 
+  test("native range join ≡ naive theta join on the events table; plan is the native node, no explode") {
+    val e = graft.sources.Tables.events(spark, sf("sf0.001"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").alias("vid"), col("ts_us").alias("vt"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").alias("p_uid"), col("event_id").alias("pid"), col("ts_us").alias("pt"))
+    val tol = 3600L * 1000000L
+    val nativeDf = AsOfNative.rangeJoin(
+      v, p.withColumnRenamed("p_uid", "user_id"), Seq("user_id"), "vt", "pt", tol)
+    val native = nativeDf.select(col("vid"), col("pid_r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val theta = v.join(p, col("user_id") === col("p_uid") &&
+        abs(col("vt") - col("pt")) <= tol)
+      .select(col("vid"), col("pid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native === theta,
+      s"only-native=${native.diff(theta).take(5)} only-theta=${theta.diff(native).take(5)} sizes=${native.size}/${theta.size}")
+    val plan = nativeDf.queryExecution.executedPlan.toString
+    assert(plan.contains("RangeJoin "), plan.take(2000))
+    assert(!plan.contains("Generate") && !plan.contains("explode"), plan.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2, plan.take(3000))
+  }
+
   test("native as-of agrees with the composed band-join asOf on the events table") {
     val e = graft.sources.Tables.events(spark, sf("sf0.001"))
     val p = e.filter(col("event_type") === "purchase")
