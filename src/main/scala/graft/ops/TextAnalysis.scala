@@ -283,6 +283,71 @@ object TextAnalysis {
         round(col("tf") * log(col("__n").cast("double") / col("__df")), 4).alias("tfidf"))
   }
 
+  /** Okapi BM25 term weights per document — the retrieval scoring the
+    * corpus-search half of a data pipeline runs (Robertson/Spärck Jones;
+    * the Lucene `+1` idf form, never negative):
+    * `idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` with
+    * `idf = ln(1 + (N − df + 0.5)/(df + 0.5))`.
+    *
+    * Shuffle structure mirrors [[tfidf]]: per-(doc, term) counts first;
+    * document length derives from that aggregate (sum of tf — no second
+    * tokenization); df from the same aggregate; N and avgdl are
+    * broadcast scalars. One corpus-sized shuffle total. */
+  def bm25(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(split(lower(col(textCol)), " ")).alias("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).alias("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).alias("__dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).alias("__df"))
+    // avgdl from an exact long sum (not avg): partial-aggregation
+    // summation order can shift avg's last ulp, and the oracle must
+    // reproduce the scalar bit-for-bit
+    val scalars = dl.agg(
+      count(lit(1)).cast("double").alias("__n"),
+      (sum(col("__dl")).cast("double") / count(lit(1))).alias("__avgdl"))
+    val idf = log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5))
+    val norm = col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl") / col("__avgdl")))
+    tf.join(dl, Seq(idCol))
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(scalars))
+      .select(col(idCol), col("term"), col("tf"), round(idf * norm, 4).alias("bm25"))
+  }
+
+  /** Sliding-window document chunking: split each document's token
+    * stream into windows of `size` tokens advancing by `stride`
+    * (overlap = size − stride). The last chunk may be short; a document
+    * never yields a chunk fully contained in the previous one
+    * (`nChunks = 1 + ceil(max(n − size, 0) / stride)`). Narrow — the
+    * generator runs over each row's own token array, no shuffle. */
+  def chunk(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      size: Int,
+      stride: Int): DataFrame = {
+    require(stride > 0 && size >= stride, s"need 0 < stride <= size, got size=$size stride=$stride")
+    val toks = split(col(textCol), " ")
+    val n = org.apache.spark.sql.functions.size(col("__t"))
+    val nChunks = (lit(1) + ceil((greatest(n - size, lit(0))).cast("double") / stride)).cast("int")
+    docs
+      .select(col(idCol), toks.alias("__t"))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => slice(col("__t"), i * stride + 1, lit(size)))))
+      .select(
+        col(idCol),
+        col("pos").cast("int").alias("chunk_idx"),
+        org.apache.spark.sql.functions.size(col("col")).alias("chunk_tokens"),
+        array_join(col("col"), " ").alias("chunk_text"))
+  }
+
   /** Full per-document profile in one narrow pass. Tokenization is
     * hoisted into its own projection (`__w`), so the text is split ONCE
     * per document; every word-derived signal reads the attribute.

@@ -1,0 +1,184 @@
+package graft.queries
+
+import graft.ops.ChangeData
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-analytics composites (round 7): funnel conversion, cohort
+  * retention, trailing-window anomaly detection, CDC changelog
+  * application and snapshot diffing — the product-analytics and
+  * table-maintenance shapes a warehouse serves daily, over the driver's
+  * `events` table with full DuckDB oracles.
+  */
+object EventAnalytics {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** C8: ordered funnel view → click → purchase. Each stage is the
+    * earliest qualifying event strictly after the user's previous-stage
+    * time. Three key-partitioned aggregates + two equi joins on
+    * user_id — every shuffle is keyed by user_id, so at 100 TB the plan
+    * is three passes over the (pre-filtered) event types, never a
+    * per-user sort of the full stream. */
+  val c8Funnel: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    def stage(t: String) = e.filter(col("event_type") === t)
+    val v = stage("view").groupBy(col("user_id")).agg(min(col("ts_us")).alias("v_us"))
+    val c = stage("click").join(v, Seq("user_id"))
+      .filter(col("ts_us") > col("v_us"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).alias("c_us"))
+    val p = stage("purchase").join(c, Seq("user_id"))
+      .filter(col("ts_us") > col("c_us"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).alias("p_us"))
+    v.agg(count(lit(1)).alias("users_view"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).alias("users_click"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).alias("users_purchase"))))
+  }
+
+  /** C9: weekly cohort retention — users bucketed by the Monday week of
+    * their first event; distinct actives per (cohort week, week
+    * offset). One per-user aggregate, one join back keyed on user_id,
+    * one distinct aggregate — the classic two-shuffle retention plan. */
+  val c9Cohort: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val firsts = e.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("event_time"))).cast("date").alias("cohort_week"))
+    e.join(firsts, Seq("user_id"))
+      .select(
+        col("cohort_week"),
+        (datediff(date_trunc("week", col("event_time")).cast("date"), col("cohort_week")) / 7)
+          .cast("int").alias("week_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).alias("n_users"))
+      .select(
+        date_format(col("cohort_week"), "yyyy-MM-dd").alias("cohort_week"),
+        col("week_offset"), col("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** C10: trailing-window anomaly detection — per-user z-score of each
+    * event's value against the preceding 20 events (sample stddev,
+    * ≥ 10 observations). The window is user-partitioned: no global
+    * sort, parallel across users, frame state is 20 rows. */
+  val c10Anomaly: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us")).rowsBetween(-20, -1)
+    Tables.events(s, d)
+      .select(
+        col("event_id"), col("user_id"), col("value"),
+        avg(col("value")).over(w).alias("__mean"),
+        stddev_samp(col("value")).over(w).alias("__sd"),
+        count(col("value")).over(w).alias("__n"))
+      .filter(col("__n") >= 10 && col("__sd") > 0)
+      .select(col("event_id"), col("user_id"), col("value"),
+        ((col("value") - col("__mean")) / col("__sd")).alias("__z"))
+      .filter(abs(col("__z")) > 1.5)
+      .select(col("event_id"), col("user_id"), col("value"),
+        round(col("__z"), 2).alias("z"))
+      .orderBy(col("event_id"))
+  }
+
+  /** DT1: CDC changelog application ([[graft.ops.ChangeData.applyChangelog]])
+    * — events replayed as a changelog keyed by user_id, versioned by
+    * ts_us, with 'error' rows as tombstones: latest state per user,
+    * deleted users absent. The operator is a single partial-aggregable
+    * `max(struct(...))` — no window sort. */
+  val dtCdcApply: Q = (s, d) =>
+    ChangeData.applyChangelog(
+      Tables.events(s, d).select(
+        col("user_id"), col("ts_us"), col("event_id"), col("event_type"), col("value")),
+      keyCols = Seq("user_id"), versionCol = "ts_us", opCol = "event_type",
+      deleteOp = "error")
+      .select(col("user_id"), col("event_id").alias("last_event_id"),
+        col("event_type").alias("last_type"), col("value").alias("last_value"))
+      .orderBy(col("user_id"))
+
+  /** DT2: snapshot diff ([[graft.ops.ChangeData.snapshotDiff]]) between
+    * each user's latest value as of Jan 15 and as of Feb 1 — added /
+    * removed / changed / unchanged per key via pre-shuffle digests. */
+  val dtSnapshotDiff: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    def stateAt(cutUs: Long) = e
+      .filter(col("ts_us") < cutUs)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts_us"), col("event_id"), col("value"))).alias("__s"))
+      .select(col("user_id"), col("__s.value").alias("value"))
+    // 2024-01-15 / 2024-02-01 00:00 UTC in epoch microseconds
+    ChangeData.snapshotDiff(
+      stateAt(1705276800000000L), stateAt(1706745600000000L), Seq("user_id"))
+      .orderBy(col("user_id"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "c8_funnel" ->
+      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS v_us FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+              c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS c_us
+                    FROM events e JOIN v ON e.user_id = v.user_id
+                    WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.v_us GROUP BY 1),
+              p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+                    FROM events e JOIN c ON e.user_id = c.user_id
+                    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.c_us GROUP BY 1)
+         SELECT (SELECT count(*) FROM v) AS users_view,
+                (SELECT count(*) FROM c) AS users_click,
+                (SELECT count(*) FROM p) AS users_purchase""",
+    "c9_cohort" ->
+      """WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+                    FROM events GROUP BY 1),
+              j AS (SELECT f.cohort_week,
+                           CAST(datediff('day', f.cohort_week,
+                                  CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT) AS week_offset,
+                           e.user_id
+                    FROM events e JOIN f ON e.user_id = f.user_id)
+         SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, week_offset,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
+    "c10_anomaly" ->
+      """WITH scored AS (
+           SELECT event_id, user_id, value,
+                  avg(value) OVER w AS m, stddev_samp(value) OVER w AS sd,
+                  count(value) OVER w AS n
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+         SELECT event_id, user_id, value, round((value - m) / sd, 2) AS z
+         FROM scored
+         WHERE n >= 10 AND sd > 0 AND abs((value - m) / sd) > 1.5
+         ORDER BY event_id""",
+    "dt_cdc_apply" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+                value AS last_value
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+         WHERE rn = 1 AND event_type <> 'error'
+         ORDER BY user_id""",
+    "dt_snapshot_diff" ->
+      """WITH b AS (SELECT user_id, value FROM (
+                      SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts DESC, event_id DESC) AS rn
+                      FROM events WHERE epoch_us(ts) < 1705276800000000)
+                    WHERE rn = 1),
+              a AS (SELECT user_id, value FROM (
+                      SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts DESC, event_id DESC) AS rn
+                      FROM events WHERE epoch_us(ts) < 1706745600000000)
+                    WHERE rn = 1)
+         SELECT coalesce(b.user_id, a.user_id) AS user_id,
+                CASE WHEN b.user_id IS NULL THEN 'added'
+                     WHEN a.user_id IS NULL THEN 'removed'
+                     WHEN b.value <> a.value THEN 'changed'
+                     ELSE 'unchanged' END AS diff_status
+         FROM b FULL OUTER JOIN a ON b.user_id = a.user_id
+         ORDER BY user_id"""
+  )
+
+  val queries: Map[String, Q] = Map(
+    "c8_funnel" -> c8Funnel,
+    "c9_cohort" -> c9Cohort,
+    "c10_anomaly" -> c10Anomaly,
+    "dt_cdc_apply" -> dtCdcApply,
+    "dt_snapshot_diff" -> dtSnapshotDiff
+  )
+}
