@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint checking — the expectations
+  * report a warehouse runs before publishing a table (the reference
+  * hard-codes its gate inline, `bronze_to_silver.py:88-93`; this is
+  * the reusable form).
+  *
+  * Scale notes (100 TB): all row-level constraints (not-null, range,
+  * set-membership, custom predicate) are evaluated in ONE scan — each
+  * contributes a `sum(CASE)` to a single aggregate, so 20 constraints
+  * cost one pass, not 20. Uniqueness adds one shuffle keyed by the
+  * unique columns; referential integrity adds one left-anti join
+  * (broadcast when the parent's key projection is small). Nothing else
+  * touches the data.
+  */
+object DataQuality {
+
+  sealed trait Constraint { def name: String }
+  /** col must never be null. */
+  final case class NotNull(colName: String) extends Constraint {
+    def name = s"not_null($colName)"
+  }
+  /** col must lie in [lo, hi] when non-null. */
+  final case class InRange(colName: String, lo: Double, hi: Double) extends Constraint {
+    def name = s"in_range($colName,$lo,$hi)"
+  }
+  /** col must be one of the allowed values when non-null. */
+  final case class InSet(colName: String, allowed: Seq[String]) extends Constraint {
+    def name = s"in_set($colName)"
+  }
+  /** arbitrary row predicate must hold (nulls count as violations). */
+  final case class Satisfies(label: String, predicate: Column) extends Constraint {
+    def name = s"satisfies($label)"
+  }
+  /** the column tuple must be unique across the table. */
+  final case class Unique(cols: Seq[String]) extends Constraint {
+    def name = s"unique(${cols.mkString(",")})"
+  }
+  /** every non-null child key must exist in the parent's key column. */
+  final case class RefIntegrity(childCol: String, parent: DataFrame, parentCol: String)
+      extends Constraint {
+    def name = s"ref_integrity($childCol)"
+  }
+
+  private def violation(c: Constraint): Option[Column] = c match {
+    case NotNull(cn)      => Some(col(cn).isNull)
+    case InRange(cn, lo, hi) => Some(col(cn).isNotNull && !col(cn).between(lo, hi))
+    case InSet(cn, allowed)  => Some(col(cn).isNotNull && !col(cn).isin(allowed: _*))
+    case Satisfies(_, p)  => Some(!coalesce(p, lit(false)))
+    case _                => None // needs its own shuffle/join
+  }
+
+  /** One row per constraint: (constraint, violations, passed), ordered
+    * by constraint name. */
+  def report(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    val spark = df.sparkSession
+    // single-scan part: every row-level constraint is one sum(CASE)
+    val rowLevel = constraints.flatMap(c => violation(c).map(v => (c.name, v)))
+    val scanned: Seq[DataFrame] =
+      if (rowLevel.isEmpty) Nil
+      else {
+        val agg = df.agg(
+          sum(when(rowLevel.head._2, 1L).otherwise(0L)).alias("v0"),
+          rowLevel.tail.zipWithIndex.map { case ((_, v), i) =>
+            sum(when(v, 1L).otherwise(0L)).alias(s"v${i + 1}")
+          }: _*)
+        Seq(agg.select(
+          // one input row -> stack to (constraint, violations) rows
+          explode(array(rowLevel.zipWithIndex.map { case ((n, _), i) =>
+            struct(lit(n).alias("constraint"), col(s"v$i").alias("violations"))
+          }: _*)).alias("r"))
+          .select(col("r.constraint"), col("r.violations")))
+      }
+    val heavier: Seq[DataFrame] = constraints.collect {
+      case u @ Unique(cols) =>
+        val dups = df.groupBy(cols.map(col): _*)
+          .agg(count(lit(1)).alias("__n"))
+          .filter(col("__n") > 1)
+          .agg(coalesce(sum(col("__n")), lit(0L)).alias("violations"))
+        dups.select(lit(u.name).alias("constraint"), col("violations"))
+      case r @ RefIntegrity(childCol, parent, parentCol) =>
+        df.filter(col(childCol).isNotNull)
+          .join(parent.select(col(parentCol).alias(childCol)).distinct(),
+            Seq(childCol), "left_anti")
+          .agg(count(lit(1)).alias("violations"))
+          .select(lit(r.name).alias("constraint"), col("violations"))
+    }
+    (scanned ++ heavier)
+      .reduce(_ unionAll _)
+      .select(col("constraint"), col("violations"),
+        (col("violations") === 0).alias("passed"))
+      .orderBy(col("constraint"))
+  }
+}

@@ -435,7 +435,58 @@ object CompositeQueries {
              FROM events WHERE event_type = 'view') a
        ON f.user_id = a.a_user"""
 
+  /** C11: declarative data-quality report ([[graft.ops.DataQuality]]) —
+    * five row-level constraints in ONE scan (each a sum(CASE) in a
+    * shared aggregate), plus a uniqueness shuffle and a referential
+    * left-anti join. The reusable form of c5's inline gate. */
+  val c11DqReport: Q = (s, d) => {
+    import graft.ops.DataQuality._
+    report(
+      Tables.lineitem(s, d),
+      Seq(
+        NotNull("l_quantity"),
+        InRange("l_discount", 0.0, 0.08),
+        InSet("l_returnflag", Seq("A", "N", "R")),
+        Satisfies("price_positive", col("l_extendedprice") > 0),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        RefIntegrity("l_orderkey", Tables.orders(s, d), "o_orderkey")))
+  }
+
   val oracles: Map[String, String] = Map(
+    "c11_dq_report" ->
+      """WITH v AS (
+           SELECT 'not_null(l_quantity)' AS "constraint",
+                  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+           FROM lineitem
+           UNION ALL
+           SELECT 'in_range(l_discount,0.0,0.08)',
+                  CAST(sum(CASE WHEN l_discount IS NOT NULL
+                                 AND NOT (l_discount BETWEEN 0 AND 0.08)
+                                THEN 1 ELSE 0 END) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'in_set(l_returnflag)',
+                  CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+                                 AND l_returnflag NOT IN ('A', 'N', 'R')
+                                THEN 1 ELSE 0 END) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'satisfies(price_positive)',
+                  CAST(sum(CASE WHEN NOT coalesce(l_extendedprice > 0, FALSE)
+                                THEN 1 ELSE 0 END) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'unique(l_orderkey,l_linenumber)',
+                  CAST(coalesce((SELECT sum(n) FROM (
+                    SELECT count(*) AS n FROM lineitem
+                    GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)), 0) AS BIGINT)
+           UNION ALL
+           SELECT 'ref_integrity(l_orderkey)',
+                  (SELECT CAST(count(*) AS BIGINT)
+                   FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+                   WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL))
+         SELECT "constraint", violations, violations = 0 AS passed
+         FROM v ORDER BY "constraint"""",
     "sk_salted_agg" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_v,
@@ -655,6 +706,7 @@ object CompositeQueries {
     "c3_accuracy" -> c3Accuracy,
     "c4_horizon" -> c4Horizon,
     "c5_dq_gate" -> c5DqGate,
+    "c11_dq_report" -> c11DqReport,
     "sk_salted_agg" -> skSaltedAgg,
     "sk_salted_band_join" -> skSaltedBandJoin,
     "bk_bucketed_join" -> bkBucketedJoin

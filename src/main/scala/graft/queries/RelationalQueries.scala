@@ -1003,6 +1003,40 @@ object RelationalQueries {
       .limit(20)
   }
 
+  /** X4 (beyond reference parity): correlated scalar subquery — orders
+    * priced above 1.5× their own customer's average. Written as SQL
+    * text so Catalyst's decorrelation actually runs: the optimizer
+    * rewrites the per-row subquery into ONE aggregate + equi join
+    * (pinned in `PlanShapeSpec` — no per-row re-execution, which is
+    * the difference between O(n) and O(n²) at 100 TB). */
+  val x4CorrelatedScalar: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_x4")
+    s.sql("""
+      SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+      FROM graft_orders_x4 o
+      WHERE o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice)
+                                  FROM graft_orders_x4 o2
+                                  WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey""")
+  }
+
+  /** X5 (beyond reference parity): LATERAL correlated subquery — each
+    * customer joined to an aggregate over its own orders. Decorrelated
+    * by DecorrelateInnerQuery into one aggregate + left outer join
+    * (customers without orders keep a NULL, the lateral-scalar-agg
+    * contract both engines share). */
+  val x5Lateral: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer_x5")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_x5")
+    s.sql("""
+      SELECT c.c_custkey, t.n_orders, t.max_price
+      FROM graft_customer_x5 c,
+      LATERAL (SELECT count(*) AS n_orders, round(max(o.o_totalprice), 2) AS max_price
+               FROM graft_orders_x5 o WHERE o.o_custkey = c.c_custkey) t
+      WHERE c.c_custkey < 200
+      ORDER BY c.c_custkey""")
+  }
+
   /** W10 (beyond reference parity): the full rank family in one window —
     * row_number / rank / dense_rank / nth_value, gap semantics included
     * (ties share rank, dense_rank has no gaps). */
@@ -1305,6 +1339,19 @@ object RelationalQueries {
            AND o_orderdate < TIMESTAMP '1997-01-01'
          GROUP BY c_custkey, c_name, n_name
          ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "x4_correlated_scalar" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+         FROM orders o
+         WHERE o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice) FROM orders o2
+                                     WHERE o2.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey""",
+    "x5_lateral" ->
+      """SELECT c.c_custkey, t.n_orders, t.max_price
+         FROM customer c,
+         LATERAL (SELECT count(*) AS n_orders, round(max(o.o_totalprice), 2) AS max_price
+                  FROM orders o WHERE o.o_custkey = c.c_custkey) t
+         WHERE c.c_custkey < 200
+         ORDER BY c.c_custkey""",
     "x2_region_volume" ->
       """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
          FROM region JOIN nation ON r_regionkey = n_regionkey
@@ -1772,6 +1819,8 @@ object RelationalQueries {
     "x1_shipping_priority" -> x1ShippingPriority,
     "x2_region_volume" -> x2RegionVolume,
     "x3_returned_customers" -> x3ReturnedCustomers,
+    "x4_correlated_scalar" -> x4CorrelatedScalar,
+    "x5_lateral" -> x5Lateral,
     "w10_rank_family" -> w10RankFamily,
     "a16_min_max_by" -> a16MinMaxBy,
     "a17_bool_agg" -> a17BoolAgg,

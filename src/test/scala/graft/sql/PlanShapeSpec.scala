@@ -351,4 +351,28 @@ class PlanShapeSpec extends SparkSuite {
     val p = spark.table("fact_forecast_accuracy").queryExecution.executedPlan.toString
     assert(!p.contains("Window"), p.take(3000))
   }
+
+  test("correlated scalar subquery (x4) decorrelates to one aggregate + join, no per-row subquery") {
+    val p = plan("x4_correlated_scalar")
+    assert(!p.contains("Subquery"), s"per-row subquery survived optimization:\n${p.take(2000)}")
+    assert(p.contains("HashAggregate") &&
+      (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin")),
+      p.take(2000))
+  }
+
+  test("lateral correlated aggregate (x5) decorrelates to an outer equi join") {
+    val p = plan("x5_lateral")
+    assert(!p.contains("Subquery"), s"per-row lateral survived optimization:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("dq report (c11) evaluates all row-level constraints in one scan of the fact table") {
+    val p = SparkEntry.queries("c11_dq_report")(spark, sf())
+      .queryExecution.executedPlan.toString
+    // one scan for the four sum(CASE) constraints + one for uniqueness +
+    // two for referential integrity (child + parent) = 4 lineitem scans
+    // would mean per-constraint passes; the shared aggregate keeps it to 3
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 4, s"expected <=4 parquet scans (shared row-level aggregate), got $scans:\n${p.take(3000)}")
+  }
 }
