@@ -24,7 +24,9 @@ object Bench {
     "cos_near_dup", "ann_brute_topk", "ann_mplsh_topk", "eq_pq_recall",
     "tx_quality", "tx_token_hist", "tx_tfidf", "tx_bigram_lm", "g4_pagerank",
     "g5_label_prop", "sk_salted_agg", "bk_bucketed_join", "st1_windowed_counts",
-    "x1_shipping_priority", "x3_returned_customers", "u1_set_ops", "sm_mixture")
+    "x1_shipping_priority", "x3_returned_customers", "u1_set_ops", "sm_mixture",
+    "c8_funnel", "c11_dq_report", "x4_correlated_scalar", "tx_bm25", "cp_pack",
+    "dt_cdc_apply")
 
   private def fmt(v: Double): String = f"$v%.3f"
 

@@ -82,7 +82,11 @@ object Ivf {
       nCells: Int,
       iterations: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
+    // persist the normalized training set across the seed + Lloyd
+    // rounds (it is re-read every iteration otherwise) — MLlib's
+    // cache-the-training-input contract; memory-and-disk so it spills
     val normed = normalized(corpus, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def toDf(rows: Seq[(Long, Seq[Double])]): DataFrame =
       spark.createDataFrame(rows).toDF("cell", "__cv")
     var local: Seq[(Long, Seq[Double])] = seedCentroids(normed, nCells)
@@ -100,6 +104,7 @@ object Ivf {
         .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
       local = local.map { case (cell, cv) => (cell, updated.getOrElse(cell, cv)) }
     }
+    normed.unpersist(blocking = false)
     toDf(local)
   }
 

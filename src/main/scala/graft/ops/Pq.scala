@@ -88,7 +88,12 @@ object Pq {
       iterations: Int = 3,
       normalize: Boolean = true): DataFrame = {
     val spark = corpus.sparkSession
+    // the training set is read `iterations + 1` times (seed + each
+    // Lloyd round): persist it once instead of replaying the scan +
+    // subvector explode per round — the same cache-the-training-input
+    // contract MLlib's k-means uses (memory-and-disk: spills, never OOMs)
     val subvecs = subvectors(corpus, idCol, vecCol, m, normalize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def toDf(rows: Seq[(Int, Int, Seq[Double])]): DataFrame =
       spark.createDataFrame(rows).toDF("sub", "code", "__cv")
     val seedW = Window.partitionBy(col("sub")).orderBy(col("__id"))
@@ -114,6 +119,7 @@ object Pq {
         (sub, code, updated.getOrElse((sub, code), cv))
       }
     }
+    subvecs.unpersist(blocking = false)
     toDf(local)
   }
 

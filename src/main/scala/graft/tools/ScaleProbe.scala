@@ -63,6 +63,24 @@ object ScaleProbe {
           Window.partitionBy(col("l_suppkey")).orderBy(col("l_extendedprice").desc, col("l_orderkey"))))
           .filter(col("rk") <= 3).count()
       })
+      time(s"$tag cdc_apply", graft.ops.ChangeData.applyChangelog(
+        ev.select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"), col("value")),
+        Seq("user_id"), "ts_us", "event_type", deleteOp = "error").count())
+      time(s"$tag pack_greedy", graft.ops.Packing.packGreedy(
+        doc.select((col("doc_id") % 97).cast("string").alias("src"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").alias("n_tokens")),
+        "src", "doc_id", "n_tokens", 128L).count())
+      time(s"$tag bm25", graft.ops.TextAnalysis.bm25(doc, "doc_id", "text").count())
+      time(s"$tag funnel", {
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts_us")).alias("v_us"))
+        val c = ev.filter(col("event_type") === "click").join(v, Seq("user_id"))
+          .filter(col("ts_us") > col("v_us"))
+          .groupBy(col("user_id")).agg(min(col("ts_us")).alias("c_us"))
+        ev.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+          .filter(col("ts_us") > col("c_us"))
+          .groupBy(col("user_id")).agg(min(col("ts_us")).alias("p_us")).count()
+      })
     }
     spark.stop()
   }
