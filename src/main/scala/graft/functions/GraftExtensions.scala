@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (logical node → strategy → sort-merge physical operator)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectFunction(
       (
         FunctionIdentifier("minhash_signature"),

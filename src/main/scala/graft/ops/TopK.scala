@@ -1,7 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
 import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Partial-aggregable top-k: the scale path for "top k rows per group".
   *
@@ -16,6 +18,31 @@ import org.apache.spark.sql.expressions.Aggregator
   * ascending id.
   */
 object TopK {
+
+  /** DataFrame API over the NATIVE grouped top-k operator
+    * ([[graft.plans.TopKPerGroup]] → partial + final
+    * `TopKPerGroupExec`): whole input rows, arbitrary multi-column
+    * ordering, heap-bounded memory, no sort, one exchange.
+    *
+    * @param orderCols (column, descending?) pairs; make the order total
+    *                  within a group (append a unique tiebreak column)
+    *                  for deterministic results. */
+  def nativePerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[(String, Boolean)],
+      k: Int): DataFrame = {
+    val plan = df.queryExecution.analyzed
+    def attr(name: String) = plan.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"column $name not found in ${plan.output.map(_.name)}"))
+    Bridge.ofRows(df.sparkSession, graft.plans.TopKPerGroup(
+      plan,
+      groupCols.map(attr),
+      orderCols.map { case (c, desc) =>
+        SortOrder(attr(c), if (desc) Descending else Ascending)
+      },
+      k))
+  }
 
   /** Bounded buffer as parallel arrays (product-encodable without
     * ExpressionEncoder plumbing); invariant: sorted desc by value, ties

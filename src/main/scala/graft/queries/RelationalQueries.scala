@@ -489,6 +489,19 @@ object RelationalQueries {
         round(col("o_totalprice"), 2).alias("price"))
       .orderBy(col("o_orderstatus"), col("rnk"))
 
+  /** W4C (beyond reference parity): the same top-3-per-group through the
+    * NATIVE grouped top-k operator ([[graft.ops.TopK.nativePerGroup]] →
+    * `TopKPerGroupExec` partial + final) — whole rows, bounded heaps,
+    * one exchange, no sort, no window. Shares w4's oracle semantics
+    * (minus the rank column, which a heap does not materialize). */
+  val w4cTopNNative: Q = (s, d) =>
+    graft.ops.TopK.nativePerGroup(
+      Tables.orders(s, d).select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice")),
+      Seq("o_orderstatus"), Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3)
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).alias("price"))
+      .orderBy(col("o_orderstatus"), col("price").desc, col("o_orderkey"))
+
   /** G2 (beyond reference parity): posexplode — generator with element
     * position (the order-preserving flatten a tokenizer pipeline needs). */
   val g2Posexplode: Q = (s, d) =>
@@ -1567,6 +1580,13 @@ object RelationalQueries {
                                          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
                FROM orders)
          WHERE rnk <= 3 ORDER BY o_orderstatus, rnk""",
+    "w4c_topn_native" ->
+      """SELECT o_orderstatus, o_orderkey, round(o_totalprice, 2) AS price
+         FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+                      row_number() OVER (PARTITION BY o_orderstatus
+                                         ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+               FROM orders)
+         WHERE rnk <= 3 ORDER BY o_orderstatus, price DESC, o_orderkey""",
     "g2_posexplode" ->
       """SELECT doc_id,
                 CAST(unnest(range(0, len(string_split(text, ' ')))) AS INT) AS pos,
@@ -1810,6 +1830,7 @@ object RelationalQueries {
     "c7_densify" -> c7Densify,
     "f11_listagg" -> f11Listagg,
     "w4b_topn_agg" -> w4bTopNAgg,
+    "w4c_topn_native" -> w4cTopNNative,
     "a14_approx_quantile" -> a14ApproxQuantile,
     "a15_sketch_merge" -> a15SketchMerge,
     "a18_count_min" -> a18CountMin,
