@@ -111,7 +111,59 @@ object EventAnalytics {
       .orderBy(col("user_id"))
   }
 
+  /** C12: event-transition matrix (first-order Markov counts) — lead()
+    * per user gives (state, next state); probabilities normalize per
+    * source state over the 25-row transition table, never raw events.
+    * The only event-sized shuffle is the user-partitioned window. */
+  val c12Transitions: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type").alias("from_type"),
+        lead(col("event_type"), 1).over(w).alias("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).alias("n"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n") / sum(col("n")).over(Window.partitionBy(col("from_type"))), 4).alias("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** SK3: skew diagnostics — per-key row counts, the top-5 heaviest
+    * keys with their multiple of the mean (the report that decides
+    * whether a join needs salting). One aggregate + a broadcast scalar
+    * + a per-partition-heap top-5 (TakeOrderedAndProject). */
+  val skSkewReport: Q = (s, d) => {
+    val counts = Tables.events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).alias("n_rows"))
+    val stats = counts.agg(
+      count(lit(1)).alias("n_keys"),
+      avg(col("n_rows")).alias("__avg"))
+    counts.crossJoin(broadcast(stats))
+      .select(col("user_id"), col("n_rows"),
+        round(col("n_rows") / col("__avg"), 4).alias("skew_x"),
+        col("n_keys"))
+      .orderBy(col("n_rows").desc, col("user_id"))
+      .limit(5)
+  }
+
   val oracles: Map[String, String] = Map(
+    "c12_transitions" ->
+      """WITH t AS (SELECT user_id, event_type AS from_type,
+                           lead(event_type) OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id) AS to_type
+                    FROM events),
+              c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+                    FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+                round(n / sum(n) OVER (PARTITION BY from_type), 4) AS p
+         FROM c ORDER BY from_type, to_type""",
+    "sk_skew_report" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+                    FROM events GROUP BY 1),
+              s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys, avg(n_rows) AS a FROM c)
+         SELECT user_id, n_rows, round(n_rows / a, 4) AS skew_x, n_keys
+         FROM c CROSS JOIN s
+         ORDER BY n_rows DESC, user_id LIMIT 5""",
     "c8_funnel" ->
       """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS v_us FROM events
                     WHERE event_type = 'view' GROUP BY 1),
@@ -179,6 +231,8 @@ object EventAnalytics {
     "c9_cohort" -> c9Cohort,
     "c10_anomaly" -> c10Anomaly,
     "dt_cdc_apply" -> dtCdcApply,
-    "dt_snapshot_diff" -> dtSnapshotDiff
+    "dt_snapshot_diff" -> dtSnapshotDiff,
+    "c12_transitions" -> c12Transitions,
+    "sk_skew_report" -> skSkewReport
   )
 }

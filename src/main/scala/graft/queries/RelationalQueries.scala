@@ -1050,6 +1050,51 @@ object RelationalQueries {
       ORDER BY c.c_custkey""")
   }
 
+  /** A19 (beyond reference parity): equi-width histogram with share and
+    * cumulative share — the profiling pass a warehouse runs before
+    * choosing bucket/partition boundaries. One partial+final aggregate
+    * over the facts; the percent/cumulative windows run on the 10-row
+    * BUCKET table (the W3 post-aggregate pattern), never on raw rows. */
+  val a19Histogram: Q = (s, d) => {
+    val b = Tables.orders(s, d)
+      .select(floor(col("o_totalprice") / 50000).cast("int").alias("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).alias("n"))
+    val tot = b.agg(sum(col("n")).alias("__t"))
+    val wCum = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.crossJoin(broadcast(tot))
+      .select(
+        col("bucket"),
+        (col("bucket") * 50000).cast("double").alias("lo"),
+        ((col("bucket") + 1) * 50000).cast("double").alias("hi"),
+        col("n"),
+        round(col("n") / col("__t"), 4).alias("pct"),
+        round(sum(col("n")).over(wCum) / col("__t"), 4).alias("cum_pct"))
+      .orderBy(col("bucket"))
+  }
+
+  /** X6 (beyond reference parity): TPC-H Q18 shape — large-quantity
+    * orders via an IN subquery over an aggregate with HAVING. SQL text
+    * so RewritePredicateSubquery runs: the IN becomes a LEFT SEMI join
+    * against the HAVING-filtered aggregate (pinned — no per-row
+    * subquery), and the top-100 is a per-partition heap. */
+  val x6LargeOrders: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer_x6")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_x6")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_x6")
+    s.sql("""
+      SELECT c.c_name, c.c_custkey, o.o_orderkey,
+             date_format(o.o_orderdate, 'yyyy-MM-dd') AS o_orderdate,
+             round(o.o_totalprice, 2) AS price,
+             sum(l.l_quantity) AS total_qty
+      FROM graft_customer_x6 c
+      JOIN graft_orders_x6 o ON o.o_custkey = c.c_custkey
+      JOIN graft_lineitem_x6 l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey IN (SELECT l_orderkey FROM graft_lineitem_x6
+                             GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+      GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+      ORDER BY price DESC, o.o_orderkey LIMIT 100""")
+  }
+
   /** W10 (beyond reference parity): the full rank family in one window —
     * row_number / rank / dense_rank / nth_value, gap semantics included
     * (ties share rank, dense_rank has no gaps). */
@@ -1580,6 +1625,26 @@ object RelationalQueries {
                                          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
                FROM orders)
          WHERE rnk <= 3 ORDER BY o_orderstatus, rnk""",
+    "a19_histogram" ->
+      """WITH b AS (SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bucket,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM orders GROUP BY 1),
+              t AS (SELECT sum(n) AS tt FROM b)
+         SELECT bucket, CAST(bucket * 50000 AS DOUBLE) AS lo,
+                CAST((bucket + 1) * 50000 AS DOUBLE) AS hi, n,
+                round(n / tt, 4) AS pct,
+                round(sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) / tt, 4) AS cum_pct
+         FROM b CROSS JOIN t ORDER BY bucket""",
+    "x6_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                round(o_totalprice, 2) AS price, sum(l_quantity) AS total_qty
+         FROM customer JOIN orders ON o_custkey = c_custkey
+                       JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                              GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY price DESC, o_orderkey LIMIT 100""",
     "w4c_topn_native" ->
       """SELECT o_orderstatus, o_orderkey, round(o_totalprice, 2) AS price
          FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
@@ -1831,6 +1896,8 @@ object RelationalQueries {
     "f11_listagg" -> f11Listagg,
     "w4b_topn_agg" -> w4bTopNAgg,
     "w4c_topn_native" -> w4cTopNNative,
+    "a19_histogram" -> a19Histogram,
+    "x6_large_orders" -> x6LargeOrders,
     "a14_approx_quantile" -> a14ApproxQuantile,
     "a15_sketch_merge" -> a15SketchMerge,
     "a18_count_min" -> a18CountMin,

@@ -366,6 +366,13 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("IN-subquery with HAVING (x6) rewrites to a left semi join against the aggregate") {
+    val p = plan("x6_large_orders")
+    assert(!p.contains("Subquery"), s"per-row IN subquery survived:\n${p.take(2000)}")
+    assert(p.contains("LeftSemi"), s"expected a left semi join:\n${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 should be a heap:\n${p.take(2000)}")
+  }
+
   test("dq report (c11) evaluates all row-level constraints in one scan of the fact table") {
     val p = SparkEntry.queries("c11_dq_report")(spark, sf())
       .queryExecution.executedPlan.toString
