@@ -41,6 +41,80 @@ object Sinks {
     * ADD PARTITION` — O(1) catalog work per batch, where `MSCK REPAIR`
     * would re-list the whole (eventually enormous) directory tree each
     * trigger. */
+  /** foreachBatch CDC upsert sink — a streaming MATERIALIZED VIEW of
+    * "current state per key" over a changelog stream. Each micro-batch
+    * folds into the previous state with
+    * [[graft.ops.ChangeData.applyChangelog]] (latest version wins,
+    * tombstones drop keys) and writes a fresh immutable
+    * `state_v=<batchId>` directory; [[readState]] serves the highest
+    * version. Crash-replay is idempotent by construction: a replayed
+    * batch rebuilds exactly its own version directory from the same
+    * immutable inputs (previous state + replayed data).
+    *
+    * Assumes per-key versions arrive non-decreasing ACROSS batches
+    * (watermark-ordered upstream): a compacted state does not retain
+    * tombstones, so late out-of-order rows older than a processed
+    * delete would resurrect the key.
+    *
+    * Scale note: the state is rewritten whole per batch (simple,
+    * atomic). At 100 TB, hash-shard the state by key and rewrite only
+    * shards containing batch keys — the fold is per-key, so the layout
+    * supports it unchanged; superseded versions are GC'd by retention. */
+  def upsertStateSink(
+      stream: DataFrame,
+      path: String,
+      checkpoint: String,
+      keyCols: Seq[String],
+      versionCol: String,
+      opCol: String,
+      deleteOp: String = "D",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        applyBatchUpsert(df, batchId, path, keyCols, versionCol, opCol, deleteOp)
+      }
+      .start()
+
+  /** One micro-batch of the upsert fold (exposed for replay testing). */
+  def applyBatchUpsert(
+      df: DataFrame,
+      batchId: Long,
+      path: String,
+      keyCols: Seq[String],
+      versionCol: String,
+      opCol: String,
+      deleteOp: String): Unit = {
+    val spark = df.sparkSession
+    val unioned = latestStateDir(spark, path, before = Some(batchId))
+      .map(prev => spark.read.parquet(prev).unionByName(df))
+      .getOrElse(df)
+    graft.ops.ChangeData.applyChangelog(unioned, keyCols, versionCol, opCol, deleteOp)
+      .write.mode("overwrite").parquet(s"$path/state_v=$batchId")
+  }
+
+  /** The current materialized state: the highest `state_v` version. */
+  def readState(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(latestStateDir(spark, path, before = None).getOrElse(
+      throw new IllegalStateException(s"no state_v=* directory under $path")))
+
+  private def latestStateDir(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      before: Option[Long]): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val versions = fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("state_v=") => n.stripPrefix("state_v=").toLong }
+      .filter(v => before.forall(v < _))
+    if (versions.isEmpty) None else Some(s"$path/state_v=${versions.max}")
+  }
+
   def idempotentParquetSink(
       stream: DataFrame,
       path: String,

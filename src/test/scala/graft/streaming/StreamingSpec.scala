@@ -254,6 +254,51 @@ class StreamingSpec extends SparkSuite {
     spark.sql("DROP TABLE graft_sink_t")
   }
 
+  test("upsert state sink: streaming CDC fold equals batch changelog compaction, replay idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-upsert")
+    val path = s"$root/state"
+    val input = MemoryStream[EventStreams.Event]
+    def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+
+    val b1 = Seq(
+      EventStreams.Event(1L, ts(0), "click", 1.0),
+      EventStreams.Event(2L, ts(1), "view", 2.0),
+      EventStreams.Event(3L, ts(2), "view", 3.0))
+    val b2 = Seq(
+      EventStreams.Event(1L, ts(3), "view", 4.0),   // upsert over batch-1 row
+      EventStreams.Event(2L, ts(4), "error", 5.0),  // tombstone: key 2 disappears
+      EventStreams.Event(4L, ts(5), "click", 6.0))  // new key
+
+    input.addData(b1: _*)
+    val q1 = Sinks.upsertStateSink(
+      input.toDS().toDF(), path, s"$root/ckpt",
+      keyCols = Seq("user_id"), versionCol = "event_time", opCol = "event_type",
+      deleteOp = "error")
+    q1.awaitTermination()
+    input.addData(b2: _*)
+    val q2 = Sinks.upsertStateSink(
+      input.toDS().toDF(), path, s"$root/ckpt",
+      keyCols = Seq("user_id"), versionCol = "event_time", opCol = "event_type",
+      deleteOp = "error")
+    q2.awaitTermination()
+
+    val streamed = Sinks.readState(spark, path)
+    val batch = graft.ops.ChangeData.applyChangelog(
+      (b1 ++ b2).toDF(), Seq("user_id"), "event_time", "event_type", deleteOp = "error")
+    assert(streamed.exceptAll(batch).count() === 0 && batch.exceptAll(streamed).count() === 0)
+    assert(streamed.count() === 3) // keys 1 (updated), 3, 4; key 2 deleted
+    assert(streamed.filter(col("user_id") === 1).head().getString(2) === "view")
+
+    // crash-replay of the SECOND batch (state written, checkpoint lost):
+    // rebuilding state_v=1 from the same immutable inputs changes nothing
+    Sinks.applyBatchUpsert(
+      b2.toDF(), 1L, path, Seq("user_id"), "event_time", "event_type", "error")
+    val replayed = Sinks.readState(spark, path)
+    assert(replayed.exceptAll(batch).count() === 0 && batch.exceptAll(replayed).count() === 0)
+  }
+
   test("native session_window merges across micro-batches and emits once the watermark closes it") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
