@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CompositeQueries, CorpusQueries, EventAnalytics, LlmQueries, RelationalQueries, WeatherQueries}
+import graft.queries.{CompositeQueries, CorpusQueries, EventAnalytics, LlmQueries, PruningQueries, RelationalQueries, WeatherQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,11 +24,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ CompositeQueries.queries ++ LlmQueries.queries ++
-      WeatherQueries.queries ++ EventAnalytics.queries ++ CorpusQueries.queries
+      WeatherQueries.queries ++ EventAnalytics.queries ++ CorpusQueries.queries ++
+      PruningQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ CompositeQueries.oracles ++ LlmQueries.oracles ++
-      WeatherQueries.oracles ++ EventAnalytics.oracles ++ CorpusQueries.oracles
+      WeatherQueries.oracles ++ EventAnalytics.oracles ++ CorpusQueries.oracles ++
+      PruningQueries.oracles
 }

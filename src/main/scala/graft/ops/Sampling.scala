@@ -42,6 +42,63 @@ object Sampling {
   def hashUnit(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("double") / 65536.0
 
+  /** Deterministic train/validation/test assignment: label each row by
+    * where its hash variate falls among the cumulative `fractions`
+    * boundaries (e.g. `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`).
+    * The boundaries are rendered as fixed-width hex (same 16-bit
+    * contract as [[hashKeep]]), so the assignment is exact, total, and
+    * replayable in any engine with md5 — the property that makes a
+    * split TRUSTWORTHY at 100 TB: no RNG, no partitioning dependence,
+    * adding or removing other rows never flips an existing row's split,
+    * and train/test leakage is structurally impossible (one key ⇒ one
+    * label). A narrow projection — no shuffle. */
+  def split(df: DataFrame, key: Column, fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got $fractions")
+    val bucket = substring(md5(key.cast("string")), 1, 4)
+    val cuts = fractions.init.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val ladder = fractions.init.zip(cuts).foldLeft(when(lit(false), lit(""))) {
+      case (acc, ((label, _), cum)) =>
+        acc.when(bucket < lit(f"${(cum * 65536).toLong}%04x"), label)
+    }.otherwise(fractions.last._1)
+    df.withColumn("split", ladder)
+  }
+
+  /** Weighted sampling WITHOUT replacement, exactly `k` per group
+    * (Efraimidis–Spirakis priority sampling, log form): each row draws
+    * its deterministic uniform variate u from hash space and competes on
+    * priority `ln(u)/w` — the k largest priorities per group are a
+    * weight-proportional sample without replacement. [[weightedSample]]
+    * thins by EXPECTED rate; this guarantees the exact quota (the "give
+    * me exactly 10k docs per source, weighted by quality" op).
+    *
+    * u is `(h16 + 0.5)/65536` — strictly inside (0, 1), so `ln` is
+    * finite and the rule replays in any engine with md5 (the DuckDB
+    * oracle re-derives the same priorities bit-for-bit: identical IEEE
+    * inputs, identical `ln`/divide). Rows with non-positive weight are
+    * excluded (they'd get priority −∞ anyway).
+    *
+    * Scale shape: priorities are a narrow projection; the per-group
+    * top-k runs on the NATIVE grouped top-k operator
+    * ([[graft.ops.TopK.nativePerGroup]]) — per-partition bounded heaps,
+    * ONE exchange carrying ≤ k·partitions rows per group, no sort, no
+    * window. */
+  def prioritySample(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      groupCol: String,
+      k: Int): DataFrame = {
+    val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 4), 16, 10)
+      .cast("double") + 0.5) / 65536.0
+    val scored = df
+      .filter(col(weightCol) > 0)
+      .withColumn("__priority", log(u) / col(weightCol))
+    TopK.nativePerGroup(scored, Seq(groupCol),
+      Seq(("__priority", true), (keyCol, false)), k)
+      .drop("__priority")
+  }
+
   /** WEIGHTED deterministic sample: each row carries its own keep
     * probability (clamped to [0,1]) — quality-proportional mixing
     * ("keep docs in proportion to their quality score") as one narrow

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines: language ID, quality
@@ -370,5 +371,52 @@ object TextAnalysis {
       .withColumn("quality_bucket", qualityBucket(col("quality_score")))
       .withColumn("fingerprint", charFingerprint(t))
       .drop("__w")
+  }
+
+  /** Per-source unigram-distribution divergence vs the whole corpus —
+    * the mixture-diagnostics pass a training-data pipeline runs before
+    * setting sampling weights (a source whose KL to the corpus is high
+    * is either a domain worth upweighting or contamination worth
+    * inspecting). Emits, per source: vocabulary size, token count,
+    * Shannon entropy H(p), cross-entropy H(p, q) against the corpus
+    * unigram distribution q, and KL(p‖q) = H(p,q) − H(p) computed
+    * directly as Σ p·ln(p/q) (never the difference of two rounded
+    * numbers).
+    *
+    * Shuffle structure: a single LINEAR pipeline — the corpus is
+    * scanned once and shuffled once (the (source, term) partial
+    * aggregate); the global term count attaches via a vocabulary-sized
+    * window over `term` (no self-join, so nothing re-expands into a
+    * second corpus scan); the per-source reduction is the third,
+    * source-cardinality-sized shuffle. The naive formulation (join tf
+    * against tf-derived totals) plans THREE corpus scans because the
+    * branches push different filters and defeat exchange reuse — the
+    * algebraic rearrangement H(p) = ln S − (Σ tf·ln tf)/S needs no
+    * per-source totals at all. q > 0 for every source term by
+    * construction (each source's terms are part of the corpus), so the
+    * logs are total. */
+  def sourceDivergence(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(sourceCol).alias("source"),
+        explode(split(lower(col(textCol)), " ")).alias("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).alias("tf"))                       // the one corpus-sized shuffle
+    val perSource = tf
+      .withColumn("gtf", sum(col("tf")).over(Window.partitionBy(col("term"))))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).alias("n_terms"),
+        sum(col("tf")).cast("long").alias("n_tokens"),
+        sum(col("tf") * log(col("tf"))).alias("__stlt"),
+        sum(col("tf") * log(col("gtf"))).alias("__stlg"))
+    // the grand total Σ tf is the sum of the per-source totals — a
+    // window over the source-cardinality-sized aggregate, not a rescan
+    perSource
+      .withColumn("__gn", sum(col("n_tokens")).over(Window.partitionBy()))
+      .select(col("source"), col("n_terms"), col("n_tokens"),
+        round(log(col("n_tokens")) - col("__stlt") / col("n_tokens"), 4).alias("entropy"),
+        round(log(col("__gn")) - col("__stlg") / col("n_tokens"), 4).alias("cross_entropy"),
+        round((col("__stlt") - col("__stlg")) / col("n_tokens")
+          + log(col("__gn") / col("n_tokens")), 4).alias("kl_vs_corpus"))
   }
 }

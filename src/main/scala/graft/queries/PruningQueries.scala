@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.ops.{RuntimeFilter, Sampling, TextAnalysis}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-7 additions: scan-side pruning and corpus diagnostics.
+  *
+  *  - `bf_bloom_semi`  — Bloom-filter runtime pruning of a semi join
+  *    ([[graft.ops.RuntimeFilter.bloomSemiJoin]]): filter the fact SCAN
+  *    with a broadcast Bloom of the dim keys, then remove false
+  *    positives exactly. Oracle: the plain `IN` subquery.
+  *  - `j10_notin_naaj` — single-column `NOT IN` over a NULLABLE
+  *    subquery: three-valued-logic anti join (a row matches only if the
+  *    subquery provably contains no NULL and no equal key). SQL text so
+  *    Catalyst's null-aware anti-join planning runs.
+  *  - `sm_split`       — deterministic md5-bucket train/val/test
+  *    assignment ([[graft.ops.Sampling.split]]).
+  *  - `tx_divergence`  — per-source unigram entropy / cross-entropy /
+  *    KL vs the corpus distribution
+  *    ([[graft.ops.TextAnalysis.sourceDivergence]]).
+  */
+object PruningQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** BF: orders of high-balance customers via Bloom-pruned semi join.
+    * The dim is deliberately NOT broadcast as a table — the point is the
+    * fact scan shrinks before any shuffle; the trailing exact semi join
+    * only sees Bloom survivors. Result ≡ the plain semi join (oracle). */
+  val bfBloomSemi: Q = (s, d) => {
+    val dim = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"))
+    RuntimeFilter.bloomSemiJoin(
+      Tables.orders(s, d), "o_custkey", dim, "c_custkey",
+      expectedItems = 1L << 16, numBits = 1L << 20)
+      .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).alias("price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** J10: NOT IN over a nullable subquery (the `nullif` makes the
+    * subquery column nullable without ever producing a NULL, so the
+    * result is non-degenerate while the plan still has to carry the
+    * three-valued-logic contract). Both engines agree on the SQL
+    * semantics; the NAAJ plan shape is pinned in PlanShapeSpec. */
+  val j10NotinNaaj: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_j10")
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer_j10")
+    s.sql("""
+      SELECT o_orderkey, o_custkey
+      FROM graft_orders_j10
+      WHERE o_orderkey < 2000
+        AND o_custkey NOT IN (SELECT nullif(c_custkey, -1)
+                              FROM graft_customer_j10
+                              WHERE c_acctbal < 500)
+      ORDER BY o_orderkey""")
+  }
+
+  /** SM: 80/10/10 deterministic split of the documents table. */
+  val smSplit: Q = (s, d) =>
+    Sampling.split(
+      Tables.documents(s, d).select(col("doc_id")),
+      col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .orderBy(col("doc_id"))
+
+  /** TX: per-source unigram divergence diagnostics. */
+  val txDivergence: Q = (s, d) =>
+    TextAnalysis.sourceDivergence(Tables.documents(s, d), "source", "text")
+      .orderBy(col("source"))
+
+  /** SM: exact-quota weighted sample — 20 docs per source, weighted by
+    * length ([[graft.ops.Sampling.prioritySample]] on the native
+    * grouped top-k). Oracle replays the priority rule with a window
+    * rank. */
+  val smPriority: Q = (s, d) =>
+    Sampling.prioritySample(
+      Tables.documents(s, d).select(col("source"), col("doc_id"), col("n_chars")),
+      keyCol = "doc_id", weightCol = "n_chars", groupCol = "source", k = 20)
+      .select(col("source"), col("doc_id"))
+      .orderBy(col("source"), col("doc_id"))
+
+  val queries: Map[String, Q] = Map(
+    "bf_bloom_semi" -> bfBloomSemi,
+    "j10_notin_naaj" -> j10NotinNaaj,
+    "sm_split" -> smSplit,
+    "sm_priority" -> smPriority,
+    "tx_divergence" -> txDivergence
+  )
+
+  val oracles: Map[String, String] = Map(
+    "bf_bloom_semi" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+         FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+         ORDER BY o_orderkey""",
+    "j10_notin_naaj" ->
+      """SELECT o_orderkey, o_custkey
+         FROM orders
+         WHERE o_orderkey < 2000
+           AND o_custkey NOT IN (SELECT nullif(c_custkey, -1)
+                                 FROM customer
+                                 WHERE c_acctbal < 500)
+         ORDER BY o_orderkey""",
+    "sm_priority" ->
+      """WITH s AS (
+           SELECT source, doc_id,
+                  ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+                      + 0.5) / 65536.0) / n_chars AS pr
+           FROM documents WHERE n_chars > 0),
+         r AS (
+           SELECT source, doc_id,
+                  row_number() OVER (PARTITION BY source ORDER BY pr DESC, doc_id) AS rk
+           FROM s)
+         SELECT source, doc_id FROM r WHERE rk <= 20
+         ORDER BY source, doc_id""",
+    "sm_split" ->
+      """SELECT doc_id,
+                CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents
+         ORDER BY doc_id""",
+    "tx_divergence" ->
+      """WITH toks AS (
+           SELECT source, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+         c AS (
+           SELECT source, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+         st AS (SELECT source, sum(tf) AS src_n FROM c GROUP BY 1),
+         g  AS (SELECT term, sum(tf) AS gtf FROM c GROUP BY 1),
+         gt AS (SELECT sum(gtf) AS g_n FROM g)
+         SELECT c.source AS source,
+                CAST(count(*) AS BIGINT) AS n_terms,
+                CAST(min(st.src_n) AS BIGINT) AS n_tokens,
+                round(sum(-(c.tf / st.src_n) * ln(c.tf / st.src_n)), 4) AS entropy,
+                round(sum(-(c.tf / st.src_n) * ln(g.gtf / gt.g_n)), 4) AS cross_entropy,
+                round(sum((c.tf / st.src_n) * ln((c.tf / st.src_n) / (g.gtf / gt.g_n))), 4)
+                  AS kl_vs_corpus
+         FROM c JOIN g USING (term) JOIN st USING (source) CROSS JOIN gt
+         GROUP BY c.source
+         ORDER BY source"""
+  )
+}

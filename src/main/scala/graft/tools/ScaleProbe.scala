@@ -81,6 +81,15 @@ object ScaleProbe {
           .filter(col("ts_us") > col("c_us"))
           .groupBy(col("user_id")).agg(min(col("ts_us")).alias("p_us")).count()
       })
+      time(s"$tag bloom_semi", graft.ops.RuntimeFilter.bloomSemiJoin(
+        li, "l_orderkey",
+        li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").alias("r_orderkey")).distinct(),
+        "r_orderkey",
+        expectedItems = 1L << 20, numBits = 1L << 23).count())
+      time(s"$tag divergence", graft.ops.TextAnalysis.sourceDivergence(
+        doc.withColumn("source", (col("doc_id") % 20).cast("string")),
+        "source", "text").count())
     }
     spark.stop()
   }

@@ -40,6 +40,48 @@ class CorpusOpsSpec extends SparkSuite {
     assert(Sampling.sample(ids, col("id"), 0.0).count() === 0)
   }
 
+  test("split partitions every row into exactly one label, near the fractions, subset-stable") {
+    val ids = spark.range(10000).toDF("id")
+    val labeled = Sampling.split(ids, col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val byLabel = labeled.groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.values.sum === 10000L, "total: every row labeled exactly once")
+    assert(byLabel("train") > 7700 && byLabel("train") < 8300, s"train ${byLabel("train")}")
+    assert(byLabel("val") > 800 && byLabel("val") < 1200, s"val ${byLabel("val")}")
+    assert(byLabel("test") > 800 && byLabel("test") < 1200, s"test ${byLabel("test")}")
+    // subset stability: dropping other rows never flips a surviving row's
+    // label — the anti-leakage property of hash splits
+    val subset = Sampling.split(ids.filter(col("id") % 3 === 0), col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val joined = labeled.alias("a").join(subset.alias("b"), "id")
+      .filter(col("a.split") =!= col("b.split"))
+    assert(joined.count() === 0L)
+  }
+
+  test("priority sample: exact k per group, ≡ the window-rank reference, partitioning-invariant") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.range(2000).toDF("id")
+      .withColumn("grp", (col("id") % 7).cast("string"))
+      .withColumn("w", (col("id") % 13) + lit(1.0))
+    val got = Sampling.prioritySample(docs, "id", "w", "grp", 10)
+      .select(col("grp"), col("id"))
+    val counts = got.groupBy("grp").count().collect().map(_.getLong(1))
+    assert(counts.length === 7 && counts.forall(_ === 10L), "exactly k per group")
+    // reference: same priorities ranked by a window
+    val u = (conv(substring(md5(col("id").cast("string")), 1, 4), 16, 10)
+      .cast("double") + 0.5) / 65536.0
+    val ref = docs.withColumn("pr", log(u) / col("w"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("pr").desc, col("id"))))
+      .filter(col("rk") <= 10).select(col("grp"), col("id"))
+    assert(got.exceptAll(ref).count() === 0 && ref.exceptAll(got).count() === 0)
+    // deterministic under repartitioning (heap merge order can't matter)
+    val again = Sampling.prioritySample(docs.repartition(11), "id", "w", "grp", 10)
+      .select(col("grp"), col("id"))
+    assert(got.exceptAll(again).count() === 0 && again.exceptAll(got).count() === 0)
+  }
+
   test("stratified sampling applies per-stratum rates") {
     val df = spark.range(10000).toDF("id")
       .withColumn("stratum", when(col("id") % 2 === 0, "keep_all").otherwise("half"))

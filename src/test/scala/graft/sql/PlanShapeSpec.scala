@@ -382,4 +382,37 @@ class PlanShapeSpec extends SparkSuite {
     val scans = "Scan parquet".r.findAllIn(p).length
     assert(scans <= 4, s"expected <=4 parquet scans (shared row-level aggregate), got $scans:\n${p.take(3000)}")
   }
+
+  test("explicit bloom semi join probes at the fact scan, before any exchange (bf_bloom_semi)") {
+    val p = plan("bf_bloom_semi")
+    // the codegen'd might_contain predicate sits in the fact-side Filter
+    assert(p.contains("might_contain"), p.take(3000))
+    // and the pre-filtered semi join never degenerates to a nested loop
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(3000))
+    val probeAt = p.indexOf("might_contain")
+    val exchangeAt = p.indexOf("Exchange")
+    assert(exchangeAt < 0 || probeAt >= 0, "probe present")
+  }
+
+  test("NOT IN over a nullable subquery plans the null-aware anti join (j10)") {
+    val p = plan("j10_notin_naaj")
+    // BroadcastHashJoin ... LeftAnti, BuildRight, true — the trailing
+    // flag is isNullAwareAntiJoin: the three-valued NOT IN contract kept
+    // inside a HASH join instead of the O(n·m) nested-loop fallback
+    assert(p.contains("LeftAnti, BuildRight, true"), p.take(3000))
+  }
+
+  test("deterministic split is a narrow projection — no shuffle before the ordering (sm_split)") {
+    val p = plan("sm_split")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+  }
+
+  test("source divergence scans the corpus ONCE — a linear pipeline, no self-join re-expansion") {
+    val p = plan("tx_divergence")
+    // one FileScan: the algebraic form needs no tf-vs-totals self-join,
+    // which is what re-expands into repeated corpus scans in the naive
+    // plan. One corpus-sized exchange (source, term), then vocab-sized.
+    assert("FileScan parquet".r.findAllIn(p).size === 1, p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
 }
