@@ -64,6 +64,30 @@ object Sampling {
     df.withColumn("split", ladder)
   }
 
+  /** Deterministic corpus shuffle + shard: the "global shuffle" every
+    * training run needs, without a global sort. Each row's shard is its
+    * hash bucket (`h32 mod nShards`) and its position within the shard
+    * is its rank in (hash, key) order — together a reproducible
+    * pseudo-random permutation of the corpus, decorrelated from the
+    * ingest order. One exchange (on shard) + per-shard sort; no stage
+    * ever sees a global ordering, so the plan scales with
+    * corpus/nShards per task — pick nShards so a shard fits a task
+    * (at 100 TB that's thousands of shards, exactly how training-data
+    * shards are sized anyway). Replayable in any engine with md5:
+    * adding a doc never reorders earlier shards' relative order beyond
+    * its own insertion point (position shifts are confined to the one
+    * shard the new doc hashes into). */
+  def shuffleShards(df: DataFrame, key: Column, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val h = conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+    df.withColumn("__h", h)
+      .withColumn("shard", (col("__h") % nShards).cast("int"))
+      .withColumn("pos", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("__h"), key)))
+      .drop("__h")
+  }
+
   /** Weighted sampling WITHOUT replacement, exactly `k` per group
     * (Efraimidis–Spirakis priority sampling, log form): each row draws
     * its deterministic uniform variate u from hash space and competes on

@@ -373,6 +373,29 @@ object TextAnalysis {
       .drop("__w")
   }
 
+  /** Exact top-`size` vocabulary induction: corpus term + document
+    * frequencies, truncated to the most frequent `size` terms with
+    * dense ids in (frequency desc, term) order — the deterministic
+    * vocabulary build step of a tokenizer/featurizer pipeline.
+    *
+    * Scale shape: ONE corpus-sized shuffle (the per-term partial
+    * aggregate; `count(distinct doc)` plans as a two-level aggregate,
+    * still keyed by term), then a heap `TakeOrderedAndProject` — the
+    * corpus is never globally sorted. The id-assigning window runs on
+    * the `size`-row truncation, which is driver-trivial by
+    * construction. For the approximate any-k variant at extreme
+    * vocabularies, `a18_count_min` is the sketch path. */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String, size: Int): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(split(lower(col(textCol)), " ")).alias("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).alias("tf"), countDistinct(col(idCol)).alias("df"))
+    tf.orderBy(col("tf").desc, col("term")).limit(size)
+      .withColumn("term_id",
+        row_number().over(Window.orderBy(col("tf").desc, col("term"))))
+      .select(col("term_id"), col("term"), col("tf"), col("df"))
+  }
+
   /** Per-source unigram-distribution divergence vs the whole corpus —
     * the mixture-diagnostics pass a training-data pipeline runs before
     * setting sampling weights (a source whose KL to the corpus is high

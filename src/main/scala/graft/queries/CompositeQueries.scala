@@ -206,6 +206,31 @@ object CompositeQueries {
       .orderBy(col("view_id"), col("purchase_id"))
   }
 
+  /** ST7 (beyond reference parity): Bloom-prefiltered stream ingest
+    * ([[graft.streaming.EventStreams.bloomFilteredWindowedCounts]]) —
+    * irrelevant events are dropped at the SOURCE scan by a Bloom of the
+    * interesting-key set (here: users with ≥3 purchases), false
+    * positives removed by the stateless broadcast semi join, and only
+    * the survivors reach the watermarked aggregation. Evaluated in
+    * batch for the oracle; the cross-micro-batch streaming path is
+    * exercised in `StreamingSpec`. */
+  val st7BloomPrefilter: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val vips = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").alias("vip_id"))
+      .agg(count(lit(1)).alias("n_purch"))
+      .filter(col("n_purch") >= 3)
+      .select(col("vip_id"))
+    graft.streaming.EventStreams.bloomFilteredWindowedCounts(
+      e, vips, "vip_id", "user_id", "1 hour", "2 hours")
+      .select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        col("event_type"),
+        col("n"),
+        col("value_sum"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   /** ST4 (beyond reference parity): streaming exact dedup
     * ([[graft.streaming.EventStreams.dedupStream]]) run in batch over a
     * doubled feed (events ∪ events) keyed by event_id — every row arrives
@@ -537,6 +562,13 @@ object CompositeQueries {
     "st4_stream_dedup" ->
       """SELECT event_id, user_id, event_type, round(value, 4) AS value
          FROM events WHERE user_id < 50 ORDER BY event_id""",
+    "st7_bloom_prefilter" ->
+      """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS value_sum
+         FROM events
+         WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase'
+                           GROUP BY user_id HAVING count(*) >= 3)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "st5_session_window" ->
       """WITH lagged AS (
            SELECT user_id, ts, value,
@@ -700,6 +732,7 @@ object CompositeQueries {
     "st6_outer_interval_join" -> st6OuterIntervalJoin,
     "st4_stream_dedup" -> st4StreamDedup,
     "st5_session_window" -> st5SessionWindow,
+    "st7_bloom_prefilter" -> st7BloomPrefilter,
     "c1_scd2" -> c1Scd2,
     "c1b_scd2_merge" -> c1bScd2Merge,
     "c2_calendar" -> c2Calendar,

@@ -90,12 +90,47 @@ object CorpusQueries {
                        ELSE p.bin_fill + d.n_tokens END
            FROM d JOIN p ON d.source = p.source AND d.rn = p.rn + 1)
          SELECT source, doc_id, n_tokens, bin_id, bin_fill
-         FROM p ORDER BY source, doc_id"""
+         FROM p ORDER BY source, doc_id""",
+    "cp_shard" ->
+      """WITH h AS (
+           SELECT doc_id,
+                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hh
+           FROM documents)
+         SELECT doc_id, CAST(hh % 8 AS INT) AS shard,
+                CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) AS INT) AS pos
+         FROM h ORDER BY shard, pos""",
+    "tx_vocab" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+         ag AS (
+           SELECT term, CAST(count(*) AS BIGINT) AS tf,
+                  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           FROM toks GROUP BY 1),
+         top AS (SELECT * FROM ag ORDER BY tf DESC, term LIMIT 200)
+         SELECT CAST(row_number() OVER (ORDER BY tf DESC, term) AS INT) AS term_id,
+                term, tf, df
+         FROM top ORDER BY term_id"""
   )
+
+  /** CP: deterministic corpus shuffle + shard
+    * ([[graft.ops.Sampling.shuffleShards]]) — hash-bucket shards with
+    * in-shard pseudo-random positions; one exchange, no global sort. */
+  val cpShard: Q = (s, d) =>
+    graft.ops.Sampling.shuffleShards(
+      Tables.documents(s, d).select(col("doc_id")), col("doc_id"), 8)
+      .orderBy(col("shard"), col("pos"))
+
+  /** TX: exact top-200 vocabulary with dense ids
+    * ([[graft.ops.TextAnalysis.vocabulary]]). */
+  val txVocab: Q = (s, d) =>
+    TextAnalysis.vocabulary(Tables.documents(s, d), "doc_id", "text", 200)
+      .orderBy(col("term_id"))
 
   val queries: Map[String, Q] = Map(
     "tx_bm25" -> txBm25,
     "g6_chunk" -> g6Chunk,
-    "cp_pack" -> cpPack
+    "cp_pack" -> cpPack,
+    "cp_shard" -> cpShard,
+    "tx_vocab" -> txVocab
   )
 }

@@ -49,6 +49,34 @@ object EventStreams {
     windowedCounts(events, windowLength, watermarkDelay)
       .join(broadcast(typeDim), Seq("event_type"), "left")
 
+  /** Bloom-prefiltered windowed counts: the ingest-side reducer for a
+    * stream whose interesting keys are a known (possibly large) set. At
+    * 100 TB/day the wrong place to discard irrelevant events is inside
+    * the stateful aggregation — they would first inflate the shuffle
+    * and the state store. The Bloom of the key set is applied AT THE
+    * SOURCE scan (stateless, codegen'd, no extra state), the exact
+    * stream-static left-semi join (broadcast, stateless) removes the
+    * false positives, and only then does the watermarked aggregation
+    * run — its state is O(interesting keys' windows), not O(stream).
+    * Works identically on batch input (the oracle path); the streaming
+    * execution is exercised in `StreamingSpec`. */
+  def bloomFilteredWindowedCounts(
+      events: DataFrame,
+      keyDim: DataFrame,
+      keyCol: String,
+      eventKeyCol: String = "user_id",
+      windowLength: String = "10 minutes",
+      watermarkDelay: String = "30 minutes",
+      expectedItems: Long = 1L << 16,
+      numBits: Long = 1L << 20): DataFrame = {
+    val bloom = graft.ops.RuntimeFilter.buildBloom(keyDim, keyCol, expectedItems, numBits)
+    val pruned = events
+      .where(graft.ops.RuntimeFilter.mightContain(bloom, col(eventKeyCol)))
+      .join(broadcast(keyDim.select(col(keyCol)).distinct()),
+        col(eventKeyCol) === col(keyCol), "left_semi")
+    windowedCounts(pruned, windowLength, watermarkDelay)
+  }
+
   /** Stream-stream interval join: each purchase matched to the same
     * user's views in the preceding `horizon` — the attribution join.
     * Both sides are watermarked and the join condition bounds event time

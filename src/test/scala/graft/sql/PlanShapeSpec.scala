@@ -407,6 +407,18 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
   }
 
+  test("corpus shard-shuffle: one shard exchange, every window partitioned (cp_shard)") {
+    val p = plan("cp_shard")
+    // the rank window must be partitioned by shard — an unpartitioned
+    // window here would serialize the whole corpus through one task
+    assert(p.contains("windowspecdefinition(shard"), p.take(3000))
+  }
+
+  test("vocabulary truncation is a heap TakeOrdered — the corpus is never globally sorted (tx_vocab)") {
+    val p = plan("tx_vocab")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
   test("source divergence scans the corpus ONCE — a linear pipeline, no self-join re-expansion") {
     val p = plan("tx_divergence")
     // one FileScan: the algebraic form needs no tf-vs-totals self-join,

@@ -77,6 +77,33 @@ class StreamingSpec extends SparkSuite {
       ("error", null, 1L))) // left join keeps unmapped types
   }
 
+  test("bloom-prefiltered stream: non-member events never reach the aggregation, members all do") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val keep = Seq(1L, 3L).toDF("vip_id")
+    val q = EventStreams.bloomFilteredWindowedCounts(
+      input.toDF(), keep, "vip_id", "user_id", "10 minutes", "0 seconds",
+      expectedItems = 16, numBits = 1024)
+      .writeStream.format("memory").queryName("graft_st7").outputMode("append").start()
+
+    input.addData(
+      EventStreams.Event(1L, ts(0), "click", 1.0),
+      EventStreams.Event(2L, ts(1), "click", 5.0), // not in the key set
+      EventStreams.Event(3L, ts(5), "purchase", 10.0))
+    q.processAllAvailable()
+    input.addData(EventStreams.Event(1L, ts(60), "click", 0.0)) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("graft_st7")
+      .select("event_type", "n", "value_sum")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // user 2's click is gone; users 1 and 3 both counted
+    assert(rows === Set(("click", 1L, 1.0), ("purchase", 1L, 10.0)))
+  }
+
   test("stream-stream interval join matches view→purchase across micro-batches, in-horizon only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
