@@ -231,6 +231,17 @@ object CompositeQueries {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** ST8 (beyond reference parity): grouped top-k leaderboard
+    * ([[graft.streaming.EventStreams.groupedTopK]]) — batch path runs
+    * the NATIVE grouped top-k; the streaming path (bounded
+    * flatMapGroupsWithState heap state, O(groups·k)) is proven
+    * batch-parity in `StreamingSpec`. */
+  val st8StreamTopk: Q = (s, d) =>
+    graft.streaming.EventStreams.groupedTopK(Tables.events(s, d), 10)
+      .select(col("event_type"), col("rank"), col("event_id"),
+        round(col("value"), 4).alias("value"))
+      .orderBy(col("event_type"), col("rank"))
+
   /** ST4 (beyond reference parity): streaming exact dedup
     * ([[graft.streaming.EventStreams.dedupStream]]) run in batch over a
     * doubled feed (events ∪ events) keyed by event_id — every row arrives
@@ -562,6 +573,16 @@ object CompositeQueries {
     "st4_stream_dedup" ->
       """SELECT event_id, user_id, event_type, round(value, 4) AS value
          FROM events WHERE user_id < 50 ORDER BY event_id""",
+    "st8_stream_topk" ->
+      """WITH r AS (
+           SELECT event_type, event_id, value,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value DESC, event_id) AS rk
+           FROM events)
+         SELECT event_type, CAST(rk AS INT) AS rank, event_id,
+                round(value, 4) AS value
+         FROM r WHERE rk <= 10
+         ORDER BY event_type, rank""",
     "st7_bloom_prefilter" ->
       """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                 event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS value_sum
@@ -733,6 +754,7 @@ object CompositeQueries {
     "st4_stream_dedup" -> st4StreamDedup,
     "st5_session_window" -> st5SessionWindow,
     "st7_bloom_prefilter" -> st7BloomPrefilter,
+    "st8_stream_topk" -> st8StreamTopk,
     "c1_scd2" -> c1Scd2,
     "c1b_scd2_merge" -> c1bScd2Merge,
     "c2_calendar" -> c2Calendar,

@@ -77,6 +77,56 @@ object EventStreams {
     windowedCounts(pruned, windowLength, watermarkDelay)
   }
 
+  /** Grouped top-k leaderboard, batch AND streaming — the "top k per
+    * key, continuously" op. Same dual-path contract as [[sessionize]]:
+    *
+    *  - STREAMING: `flatMapGroupsWithState` holding a BOUNDED heap per
+    *    group (state is O(groups · k) — a leaderboard over an unbounded
+    *    feed never stores the feed). Each micro-batch folds its rows
+    *    into the heap one at a time (a row only pays the O(k) insert
+    *    when it beats the current k-th — the batch is never
+    *    materialized) and re-emits the group's current top-k
+    *    (OutputMode.Update).
+    *  - BATCH: the NATIVE grouped top-k operator
+    *    ([[graft.ops.TopK.nativePerGroup]] — partial heaps, one
+    *    exchange, no sort), with ranks assigned by a window over the
+    *    ≤ k·groups surviving rows.
+    *
+    * Input needs (event_type, event_id, value) columns; ties break by
+    * id, so results are deterministic and the streaming path is
+    * batch-parity (spec-pinned). */
+  def groupedTopK(events: DataFrame, k: Int): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val cols = events.select(
+      col("event_type"), col("event_id").cast("long").alias("event_id"),
+      col("value").cast("double").alias("value"))
+    if (events.isStreaming) {
+      def beats(v: Double, id: Long, v2: Double, id2: Long): Boolean =
+        v > v2 || (v == v2 && id < id2)
+      cols.as[(String, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[TopKBuf, RankedEvent](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout()) { (key, it, state) =>
+          var buf = state.getOption.map(b => b.vs.zip(b.ids).toList).getOrElse(Nil)
+          it.foreach { case (_, id, v) =>
+            if (buf.size < k || beats(v, id, buf.last._1, buf.last._2))
+              buf = ((v, id) :: buf).sortBy(t => (-t._1, t._2)).take(k)
+          }
+          state.update(TopKBuf(buf.map(_._2), buf.map(_._1)))
+          buf.iterator.zipWithIndex.map { case ((v, id), i) => RankedEvent(key, i + 1, id, v) }
+        }
+        .toDF()
+    } else {
+      graft.ops.TopK.nativePerGroup(
+        cols, Seq("event_type"), Seq(("value", true), ("event_id", false)), k)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("value").desc, col("event_id"))))
+        .select(col("event_type"), col("rank"), col("event_id"), col("value"))
+    }
+  }
+
   /** Stream-stream interval join: each purchase matched to the same
     * user's views in the preceding `horizon` — the attribution join.
     * Both sides are watermarked and the join condition bounds event time
@@ -130,6 +180,15 @@ object EventStreams {
       events.dropDuplicates(keyCols)
 
   final case class Event(user_id: Long, event_time: java.sql.Timestamp, event_type: String, value: Double)
+
+  final case class ScoredEvent(event_id: Long, event_time: java.sql.Timestamp, event_type: String, value: Double)
+
+  /** Bounded leaderboard state: parallel arrays sorted by (value desc,
+    * id asc), length ≤ k — product-encodable without ExpressionEncoder
+    * plumbing (the [[graft.ops.TopK.Buf]] convention). */
+  final case class TopKBuf(ids: Seq[Long], vs: Seq[Double])
+
+  final case class RankedEvent(event_type: String, rank: Int, event_id: Long, value: Double)
 
   final case class SessionState(start: Long, last: Long, n: Int, valueSum: Double)
 

@@ -104,6 +104,41 @@ class StreamingSpec extends SparkSuite {
     assert(rows === Set(("click", 1L, 1.0), ("purchase", 1L, 10.0)))
   }
 
+  test("streaming grouped top-k: bounded state merges across micro-batches, final update ≡ batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.ScoredEvent]
+    def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val q = EventStreams.groupedTopK(input.toDF(), 2)
+      .writeStream.format("memory").queryName("graft_st8").outputMode("update").start()
+
+    input.addData(
+      EventStreams.ScoredEvent(1L, ts(0), "click", 5.0),
+      EventStreams.ScoredEvent(2L, ts(1), "click", 3.0),
+      EventStreams.ScoredEvent(3L, ts(2), "purchase", 7.0))
+    q.processAllAvailable()
+    val afterBatch1 = spark.table("graft_st8").count()
+    // batch 2: 4 beats 2 for click rank-2; purchase unchanged rows re-emit only for its group
+    input.addData(EventStreams.ScoredEvent(4L, ts(3), "click", 4.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val all = spark.table("graft_st8")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val lastUpdate = all.drop(afterBatch1.toInt)
+    assert(lastUpdate.toSet === Set(("click", 1, 1L, 5.0), ("click", 2, 4L, 4.0)),
+      s"last update was ${lastUpdate.mkString(",")}")
+    // batch parity: the same rows through the native batch path
+    val batch = EventStreams.groupedTopK(
+      Seq(
+        (1L, ts(0), "click", 5.0), (2L, ts(1), "click", 3.0),
+        (3L, ts(2), "purchase", 7.0), (4L, ts(3), "click", 4.0))
+        .toDF("event_id", "event_time", "event_type", "value"), 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(batch === Set(
+      ("click", 1, 1L, 5.0), ("click", 2, 4L, 4.0), ("purchase", 1, 3L, 7.0)))
+  }
+
   test("stream-stream interval join matches view→purchase across micro-batches, in-horizon only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
