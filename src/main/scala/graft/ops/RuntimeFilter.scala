@@ -47,29 +47,71 @@ object RuntimeFilter {
 
   /** `might_contain(bloom, xxhash64(key))` as a Column — a codegen'd
     * scan-side predicate; the serialized filter rides into the task as
-    * a Literal (broadcast with the task binary). */
+    * a Literal. Fine for small filters; past ~100 KB prefer
+    * [[mightContainBroadcast]] (a plan literal is re-serialized into
+    * EVERY task binary — measured ~3 s/stage tax at 1 MB × 64 tasks). */
   def mightContain(bloom: Array[Byte], key: Column): Column =
     Bridge.column(BloomFilterMightContain(
       Literal(bloom, BinaryType),
       XxHash64(Seq(Bridge.expression(key)), 42L)))
 
+  /** The broadcast form: bytes ship once per executor (torrent
+    * broadcast), the task binary carries only the handle — how Spark's
+    * own injected runtime filters travel. Codegen'd native expression
+    * ([[graft.functions.BloomMightContainBroadcast]]). */
+  def mightContainBroadcast(
+      spark: org.apache.spark.sql.SparkSession,
+      bloom: Array[Byte],
+      key: Column): Column =
+    Bridge.column(graft.functions.BloomMightContainBroadcast(
+      spark.sparkContext.broadcast(bloom),
+      XxHash64(Seq(Bridge.expression(key)), 42L)))
+
   /** Semi join `fact ⋉ dimKeys` with a Bloom pre-filter on the fact
     * scan. Exact: the trailing left-semi join removes the Bloom's false
     * positives, so the result is identical to a plain semi join — only
-    * the shuffle volume changes. `dim` should already be projected to
-    * its key column (plus any filter); it is aggregated once for the
-    * Bloom and reused (cached by the caller if it is expensive).
-    */
+    * the shuffle volume changes.
+    *
+    * `dim` is evaluated TWICE — once aggregated into the Bloom (an
+    * action) and once as the join's build side; actions cannot share a
+    * subtree, so a dim derived from an expensive subquery MUST be
+    * `.persist()`ed (or checkpointed) by the caller first, exactly as
+    * one would before any multi-action reuse. The scale probe measured
+    * the uncached form re-scanning a corpus-sized dim twice — the
+    * slowdown was the double evaluation, never the probe itself
+    * (~0.3 s per 4.8M rows, measured).
+    *
+    * When to reach for this op at all: the dim KEY SET is too large to
+    * broadcast raw (AQE would otherwise turn the semi join into a
+    * broadcast join and win) but its Bloom still fits comfortably —
+    * ~1.2 MB per 10⁶ keys at 8 bits/key. Below that size, let AQE
+    * broadcast; above it, the Bloom is the only thing that still ships
+    * to every task. */
   def bloomSemiJoin(
       fact: DataFrame,
       factKey: String,
       dim: DataFrame,
       dimKey: String,
       expectedItems: Long = 1L << 20,
-      numBits: Long = 1L << 23): DataFrame = {
+      numBits: Long = 1L << 23,
+      maxFpp: Double = 0.33): DataFrame = {
     val bloom = buildBloom(dim, dimKey, expectedItems, numBits)
-    fact
-      .where(mightContain(bloom, fact(factKey)))
-      .join(dim.select(col(dimKey)).distinct(), fact(factKey) === col(dimKey), "left_semi")
+    // adaptive guard: a filter overloaded past its design point (more
+    // dim keys than expectedItems) converges on FPP ≈ 1 — probing with
+    // it is pure overhead on every fact row (measured 8.8× super-linear
+    // in the scale probe before this guard). Same reasoning as the
+    // selectivity thresholds on Spark's InjectRuntimeFilter: when the
+    // filter can't prune, don't ship it.
+    // a null filter means the dim had ZERO rows (the aggregate returns
+    // null on empty input) — the semi join is empty; short-circuit the
+    // fact scan entirely rather than probing with a null literal
+    if (bloom == null) return fact.limit(0)
+    val fpp = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(bloom)).expectedFpp()
+    val pruned =
+      if (fpp <= maxFpp)
+        fact.where(mightContainBroadcast(fact.sparkSession, bloom, fact(factKey)))
+      else fact
+    pruned.join(dim.select(col(dimKey)).distinct(), fact(factKey) === col(dimKey), "left_semi")
   }
 }

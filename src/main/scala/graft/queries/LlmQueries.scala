@@ -525,13 +525,13 @@ object LlmQueries {
          range(1, greatest(len(w) - 2, 1) + 1),
          i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"""
 
-  private val wordsSql =
+  private[queries] val wordsSql =
     "list_filter(str_split_regex(lower(text), '\\s+'), x -> len(x) > 0)"
 
   /** [[graft.functions.QualityScoreRaw]]'s composite quality score in
     * DuckDB — raw (bit-identical IEEE arithmetic) and rounded to 4 dp
     * (shared by tx_quality and cp_corpus_clean). */
-  private val qualityScoreRawSql =
+  private[queries] val qualityScoreRawSql =
     s"""(least(CAST(len(text) AS DOUBLE) / 400.0, 1.0) * 0.3
              + least(CAST(len($wordsSql) AS DOUBLE) / 80.0, 1.0) * 0.3
              + least(CAST(len(list_filter($wordsSql,

@@ -82,7 +82,29 @@ object PruningQueries {
       .select(col("source"), col("doc_id"))
       .orderBy(col("source"), col("doc_id"))
 
+  /** CP2: the capstone corpus pipeline — quality/length gate → exact
+    * dedup → deterministic split → keep train → shard-shuffle, every
+    * stage the engine's own operator, chained exactly as a corpus build
+    * ships it. One scan + one dedup shuffle + narrow split filter + one
+    * shard exchange. The oracle replays all five stages in SQL. */
+  val cpE2eCorpus: Q = (s, d) => {
+    val qraw = graft.functions.native.qualityScoreRaw(col("text"))
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).alias("n_tokens"))
+      .filter(qraw >= 0.4 && col("n_tokens").between(20, 2000))
+    val deduped = scored
+      .join(graft.ops.Dedup.exactDedupIds(scored, "doc_id", "text"), Seq("doc_id"), "left_semi")
+    val train = Sampling.split(deduped, col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .filter(col("split") === "train")
+    Sampling.shuffleShards(train.select(col("doc_id"), col("n_tokens")), col("doc_id"), 4)
+      .select(col("doc_id"), col("n_tokens"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "cp_e2e_corpus" -> cpE2eCorpus,
     "bf_bloom_semi" -> bfBloomSemi,
     "j10_notin_naaj" -> j10NotinNaaj,
     "sm_split" -> smSplit,
@@ -91,6 +113,25 @@ object PruningQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "cp_e2e_corpus" ->
+      s"""WITH q AS (
+           SELECT doc_id, text, ${LlmQueries.qualityScoreRawSql} AS qraw,
+                  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
+                    AS n_tokens
+           FROM documents),
+         f AS (SELECT * FROM q WHERE qraw >= 0.4 AND n_tokens BETWEEN 20 AND 2000),
+         k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)),
+         t AS (
+           SELECT doc_id, n_tokens FROM f
+           WHERE doc_id IN (SELECT doc_id FROM k)
+             AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'),
+         h AS (
+           SELECT doc_id, n_tokens,
+                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hh
+           FROM t)
+         SELECT doc_id, n_tokens, CAST(hh % 4 AS INT) AS shard,
+                CAST(row_number() OVER (PARTITION BY hh % 4 ORDER BY hh, doc_id) AS INT) AS pos
+         FROM h ORDER BY shard, pos""",
     "bf_bloom_semi" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
          FROM orders

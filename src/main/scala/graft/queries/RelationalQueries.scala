@@ -1077,6 +1077,32 @@ object RelationalQueries {
     * so RewritePredicateSubquery runs: the IN becomes a LEFT SEMI join
     * against the HAVING-filtered aggregate (pinned — no per-row
     * subquery), and the top-100 is a per-partition heap. */
+  // (a20_mode lives just below x6 for file-locality with the other
+  // aggregate extensions' oracles)
+  /** A20 (beyond reference parity): DETERMINISTIC mode — the most
+    * frequent value per group with ties broken by value order. Spark's
+    * built-in `mode()` is tie-nondeterministic, so this derives the
+    * mode from two partial-aggregable hash aggregates instead:
+    * count per (group, value), then `min(struct(-cnt, value))` — struct
+    * ordering is lexicographic, so the minimum is exactly (max count,
+    * then min value). No window, no sort, both levels map-side
+    * combinable: the 100 TB shape for "most common value per key". */
+  val a20Mode: Q = (s, d) => {
+    val counts = Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).alias("cnt"))
+    counts.groupBy(col("o_orderstatus"))
+      .agg(
+        min(struct((-col("cnt")).alias("neg"), col("o_orderpriority").alias("v"))).alias("m"),
+        sum(col("cnt")).alias("n_rows"))
+      .select(
+        col("o_orderstatus"),
+        col("m.v").alias("modal_priority"),
+        (-col("m.neg")).cast("long").alias("modal_count"),
+        col("n_rows"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val x6LargeOrders: Q = (s, d) => {
     Tables.customer(s, d).createOrReplaceTempView("graft_customer_x6")
     Tables.orders(s, d).createOrReplaceTempView("graft_orders_x6")
@@ -1625,6 +1651,17 @@ object RelationalQueries {
                                          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
                FROM orders)
          WHERE rnk <= 3 ORDER BY o_orderstatus, rnk""",
+    "a20_mode" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+                    FROM orders GROUP BY 1, 2),
+              r AS (SELECT o_orderstatus, o_orderpriority, cnt,
+                           row_number() OVER (PARTITION BY o_orderstatus
+                                              ORDER BY cnt DESC, o_orderpriority) AS rk,
+                           sum(cnt) OVER (PARTITION BY o_orderstatus) AS nr
+                    FROM c)
+         SELECT o_orderstatus, o_orderpriority AS modal_priority, cnt AS modal_count,
+                CAST(nr AS BIGINT) AS n_rows
+         FROM r WHERE rk = 1 ORDER BY o_orderstatus""",
     "a19_histogram" ->
       """WITH b AS (SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bucket,
                            CAST(count(*) AS BIGINT) AS n
@@ -1897,6 +1934,7 @@ object RelationalQueries {
     "w4b_topn_agg" -> w4bTopNAgg,
     "w4c_topn_native" -> w4cTopNNative,
     "a19_histogram" -> a19Histogram,
+    "a20_mode" -> a20Mode,
     "x6_large_orders" -> x6LargeOrders,
     "a14_approx_quantile" -> a14ApproxQuantile,
     "a15_sketch_merge" -> a15SketchMerge,

@@ -81,12 +81,19 @@ object ScaleProbe {
           .filter(col("ts_us") > col("c_us"))
           .groupBy(col("user_id")).agg(min(col("ts_us")).alias("p_us")).count()
       })
-      time(s"$tag bloom_semi", graft.ops.RuntimeFilter.bloomSemiJoin(
-        li, "l_orderkey",
-        li.filter(col("l_returnflag") === "R")
-          .select(col("l_orderkey").alias("r_orderkey")).distinct(),
-        "r_orderkey",
-        expectedItems = 1L << 20, numBits = 1L << 23).count())
+      // Bloom pruning's contract (learned by measurement, see the op's
+      // Scaladoc): a SELECTIVE dim, a filter sized to the key count
+      // (an overloaded bloom → FPP ≈ 1 → pure overhead; now guarded in
+      // the op), and a CACHED dim when it derives from an expensive
+      // subtree (the op evaluates dim twice — build + join side).
+      time(s"$tag bloom_semi", {
+        val bdim = li.filter(col("l_orderkey") % 97 === 0)
+          .select(col("l_orderkey").alias("r_orderkey")).distinct().persist()
+        try graft.ops.RuntimeFilter.bloomSemiJoin(
+          li, "l_orderkey", bdim, "r_orderkey",
+          expectedItems = (1L << 16) * factor, numBits = (1L << 20) * factor).count()
+        finally bdim.unpersist(blocking = false)
+      })
       time(s"$tag divergence", graft.ops.TextAnalysis.sourceDivergence(
         doc.withColumn("source", (col("doc_id") % 20).cast("string")),
         "source", "text").count())

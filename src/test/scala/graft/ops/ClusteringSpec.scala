@@ -38,11 +38,16 @@ class ClusteringSpec extends SparkSuite {
   }
 
   test("label propagation invariant on random graphs: every label is a node id inside the node's own component") {
-    import org.scalacheck.Gen
-    val edgeGen = for {
-      a <- Gen.chooseNum(0L, 39L); b <- Gen.chooseNum(0L, 39L) if a != b
-    } yield (s"n$a", s"n$b")
-    val edges = Gen.listOfN(60, edgeGen).sample.get.distinct
+    // seeded generation: Gen.sample.get intermittently returns None when
+    // the filtered generator exhausts retries (observed flake) — a fixed
+    // seed keeps the arbitrary-graph spirit and is reproducible
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(60) {
+      val a = rnd.nextInt(40)
+      val b0 = rnd.nextInt(40)
+      val b = if (b0 == a) (a + 1) % 40 else b0
+      (s"n$a", s"n$b")
+    }.distinct
     val df = edges.toDF("src", "dst")
     val lab = Graph.labelPropagation(df, "src", "dst", iterations = 3)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap

@@ -36,6 +36,18 @@ class RuntimeFilterSpec extends SparkSuite {
     assert(survivors < factN / 2, s"bloom pruned ($survivors of $factN)")
   }
 
+  test("an overloaded bloom (FPP≈1) is dropped — plan has no probe, result still exact") {
+    val fact = Tables.orders(spark, sf())
+    val dim = Tables.customer(spark, sf()).select(col("c_custkey"))
+    // 16-bit filter for hundreds of keys: expectedFpp ≈ 1 ⇒ guard trips
+    val df = RuntimeFilter.bloomSemiJoin(fact, "o_custkey", dim, "c_custkey",
+      expectedItems = 4, numBits = 16)
+    assert(!df.queryExecution.executedPlan.toString.contains("might_contain"),
+      "overloaded filter must not be probed")
+    assert(df.count() ===
+      fact.join(dim, fact("o_custkey") === col("c_custkey"), "left_semi").count())
+  }
+
   test("bloomSemiJoin against an empty dim is empty (empty filter matches nothing)") {
     val fact = Tables.orders(spark, sf())
     val dim = Tables.customer(spark, sf())
