@@ -1103,6 +1103,51 @@ object RelationalQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** J11 (beyond reference parity): NULL-SAFE equi join (`<=>`) — NULLs
+    * compare EQUAL, so rows whose keys are both NULL pair up instead of
+    * vanishing (the dimension-with-unknown-key join). Stays a HASH join:
+    * Spark normalizes null-safe keys (coalesce+isnull wrapping) rather
+    * than falling back to a nested loop — pinned. */
+  val j11NullsafeJoin: Q = (s, d) => {
+    val c = Tables.customer(s, d).withColumn("ck", expr("nullif(c_nationkey, 3)"))
+    val n = Tables.nation(s, d).withColumn("nk", expr("nullif(n_nationkey, 3)"))
+    c.join(n, c("ck") <=> n("nk"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).alias("n_cust"))
+      .orderBy(col("n_name"))
+  }
+
+  /** X7 (beyond reference parity): correlated EXISTS — rewritten by
+    * RewritePredicateSubquery into a LEFT SEMI join (pinned: no
+    * per-row subquery execution). */
+  val x7Exists: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer_x7")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_x7")
+    s.sql("""
+      SELECT c_custkey, c_mktsegment
+      FROM graft_customer_x7 c
+      WHERE EXISTS (SELECT 1 FROM graft_orders_x7 o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey""")
+  }
+
+  /** X8 (beyond reference parity): correlated NOT EXISTS — a LEFT ANTI
+    * join after rewrite (unlike NOT IN, never null-aware: EXISTS is
+    * two-valued). */
+  val x8NotExists: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer_x8")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_x8")
+    s.sql("""
+      SELECT c_custkey, c_mktsegment
+      FROM graft_customer_x8 c
+      WHERE NOT EXISTS (SELECT 1 FROM graft_orders_x8 o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
+        AND c_custkey < 500
+      ORDER BY c_custkey""")
+  }
+
   val x6LargeOrders: Q = (s, d) => {
     Tables.customer(s, d).createOrReplaceTempView("graft_customer_x6")
     Tables.orders(s, d).createOrReplaceTempView("graft_orders_x6")
@@ -1651,6 +1696,26 @@ object RelationalQueries {
                                          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
                FROM orders)
          WHERE rnk <= 3 ORDER BY o_orderstatus, rnk""",
+    "j11_nullsafe_join" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust
+         FROM customer JOIN nation
+           ON nullif(c_nationkey, 3) IS NOT DISTINCT FROM nullif(n_nationkey, 3)
+         GROUP BY 1 ORDER BY 1""",
+    "x7_exists" ->
+      """SELECT c_custkey, c_mktsegment
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "x8_not_exists" ->
+      """SELECT c_custkey, c_mktsegment
+         FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderpriority = '1-URGENT')
+           AND c_custkey < 500
+         ORDER BY c_custkey""",
     "a20_mode" ->
       """WITH c AS (SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
                     FROM orders GROUP BY 1, 2),
@@ -1935,6 +2000,9 @@ object RelationalQueries {
     "w4c_topn_native" -> w4cTopNNative,
     "a19_histogram" -> a19Histogram,
     "a20_mode" -> a20Mode,
+    "j11_nullsafe_join" -> j11NullsafeJoin,
+    "x7_exists" -> x7Exists,
+    "x8_not_exists" -> x8NotExists,
     "x6_large_orders" -> x6LargeOrders,
     "a14_approx_quantile" -> a14ApproxQuantile,
     "a15_sketch_merge" -> a15SketchMerge,

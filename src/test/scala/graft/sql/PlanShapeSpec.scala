@@ -407,6 +407,15 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
   }
 
+  test("null-safe join stays a hash join; EXISTS/NOT EXISTS rewrite to semi/anti (j11, x7, x8)") {
+    val pj = plan("j11_nullsafe_join")
+    assert(pj.contains("HashJoin") && !pj.contains("BroadcastNestedLoopJoin"), pj.take(2000))
+    val p7 = plan("x7_exists")
+    assert(p7.contains("LeftSemi") && !p7.contains("Subquery"), p7.take(2000))
+    val p8 = plan("x8_not_exists")
+    assert(p8.contains("LeftAnti") && !p8.contains("Subquery"), p8.take(2000))
+  }
+
   test("corpus shard-shuffle: one shard exchange, every window partitioned (cp_shard)") {
     val p = plan("cp_shard")
     // the rank window must be partitioned by shard — an unpartitioned
