@@ -97,6 +97,8 @@ object ScaleProbe {
       time(s"$tag divergence", graft.ops.TextAnalysis.sourceDivergence(
         doc.withColumn("source", (col("doc_id") % 20).cast("string")),
         "source", "text").count())
+      time(s"$tag shard_shuffle", graft.ops.Sampling.shuffleShards(
+        doc.select(col("doc_id")), col("doc_id"), 64).count())
     }
     spark.stop()
   }

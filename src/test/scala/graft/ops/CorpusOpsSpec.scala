@@ -82,6 +82,35 @@ class CorpusOpsSpec extends SparkSuite {
     assert(got.exceptAll(again).count() === 0 && again.exceptAll(got).count() === 0)
   }
 
+  test("priority sample with constant weights degenerates to the k largest hash variates") {
+    val docs = spark.range(500).toDF("id").withColumn("grp", lit("g")).withColumn("w", lit(2.5))
+    val got = Sampling.prioritySample(docs, "id", "w", "grp", 25)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    // ln(u)/w is monotone INCREASING in u for constant w>0 (ln u < 0,
+    // closer to 0 is larger): top-k priorities = k LARGEST u
+    val want = spark.range(500).toDF("id")
+      .withColumn("u", conv(substring(md5(col("id").cast("string")), 1, 4), 16, 10).cast("double"))
+      .orderBy(col("u").desc, col("id")).limit(25)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got === want)
+  }
+
+  test("shuffleShards is a permutation: every row once, contiguous positions, repartition-invariant") {
+    val ids = spark.range(3000).toDF("id")
+    val sharded = Sampling.shuffleShards(ids, col("id"), 5)
+    assert(sharded.count() === 3000L)
+    assert(sharded.select(col("id")).distinct().count() === 3000L)
+    val perShard = sharded.groupBy(col("shard"))
+      .agg(count(lit(1)).alias("n"), min(col("pos")).alias("lo"), max(col("pos")).alias("hi"))
+      .collect()
+    perShard.foreach { r =>
+      assert(r.getInt(2) === 1 && r.getInt(3).toLong === r.getLong(1),
+        s"shard ${r.getInt(0)}: pos must be contiguous 1..n")
+    }
+    val again = Sampling.shuffleShards(ids.repartition(13), col("id"), 5)
+    assert(sharded.exceptAll(again).count() === 0 && again.exceptAll(sharded).count() === 0)
+  }
+
   test("stratified sampling applies per-stratum rates") {
     val df = spark.range(10000).toDF("id")
       .withColumn("stratum", when(col("id") % 2 === 0, "keep_all").otherwise("half"))
