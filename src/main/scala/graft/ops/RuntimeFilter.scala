@@ -112,6 +112,10 @@ object RuntimeFilter {
       if (fpp <= maxFpp)
         fact.where(mightContainBroadcast(fact.sparkSession, bloom, fact(factKey)))
       else fact
-    pruned.join(dim.select(col(dimKey)).distinct(), fact(factKey) === col(dimKey), "left_semi")
+    // join on the dim side's RESOLVED attribute — a bare col(dimKey)
+    // is ambiguous whenever dimKey also names a fact column (the
+    // factKey == dimKey case, the most common semi-join shape)
+    val keys = dim.select(col(dimKey)).distinct()
+    pruned.join(keys, pruned(factKey) === keys(dimKey), "left_semi")
   }
 }

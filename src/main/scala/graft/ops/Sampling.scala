@@ -59,7 +59,11 @@ object Sampling {
     val cuts = fractions.init.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
     val ladder = fractions.init.zip(cuts).foldLeft(when(lit(false), lit(""))) {
       case (acc, ((label, _), cum)) =>
-        acc.when(bucket < lit(f"${(cum * 65536).toLong}%04x"), label)
+        // a cumulative cut ≥ 1.0 covers ALL remaining rows — rendering
+        // it as hex would produce 5-char "10000", which breaks the
+        // 4-char lexicographic compare (the hashKeep ≥1.0 guard, here)
+        if (cum >= 1.0) acc.when(lit(true), label)
+        else acc.when(bucket < lit(f"${(cum * 65536).toLong}%04x"), label)
     }.otherwise(fractions.last._1)
     df.withColumn("split", ladder)
   }

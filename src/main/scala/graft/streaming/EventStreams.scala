@@ -70,10 +70,11 @@ object EventStreams {
       expectedItems: Long = 1L << 16,
       numBits: Long = 1L << 20): DataFrame = {
     val bloom = graft.ops.RuntimeFilter.buildBloom(keyDim, keyCol, expectedItems, numBits)
-    val pruned = events
-      .where(graft.ops.RuntimeFilter.mightContain(bloom, col(eventKeyCol)))
-      .join(broadcast(keyDim.select(col(keyCol)).distinct()),
-        col(eventKeyCol) === col(keyCol), "left_semi")
+    // resolved dim-side attribute: a bare col(keyCol) is ambiguous when
+    // keyCol == eventKeyCol (joining on the same column name)
+    val keys = keyDim.select(col(keyCol)).distinct()
+    val probed = events.where(graft.ops.RuntimeFilter.mightContain(bloom, col(eventKeyCol)))
+    val pruned = probed.join(broadcast(keys), probed(eventKeyCol) === keys(keyCol), "left_semi")
     windowedCounts(pruned, windowLength, watermarkDelay)
   }
 

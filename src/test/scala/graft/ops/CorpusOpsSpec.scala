@@ -82,6 +82,14 @@ class CorpusOpsSpec extends SparkSuite {
     assert(got.exceptAll(again).count() === 0 && again.exceptAll(got).count() === 0)
   }
 
+  test("split with a full-weight label and zero-weight tail labels every row (1.0 boundary)") {
+    val ids = spark.range(1000).toDF("id")
+    val labeled = Sampling.split(ids, col("id"), Seq("train" -> 1.0, "test" -> 0.0))
+    // cumulative 1.0 must not render as 5-char hex "10000" (which the
+    // 4-char compare would mislabel ~94% of rows into the empty tail)
+    assert(labeled.filter(col("split") === "train").count() === 1000L)
+  }
+
   test("priority sample with constant weights degenerates to the k largest hash variates") {
     val docs = spark.range(500).toDF("id").withColumn("grp", lit("g")).withColumn("w", lit(2.5))
     val got = Sampling.prioritySample(docs, "id", "w", "grp", 25)

@@ -48,6 +48,16 @@ class RuntimeFilterSpec extends SparkSuite {
       fact.join(dim, fact("o_custkey") === col("c_custkey"), "left_semi").count())
   }
 
+  test("bloomSemiJoin resolves when both sides use the SAME key name") {
+    import spark.implicits._
+    val fact = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val dim = Seq(2L, 4L, 9L).toDF("id")
+    val got = RuntimeFilter.bloomSemiJoin(fact, "id", dim, "id",
+      expectedItems = 16, numBits = 1L << 10)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(Array(2L, 4L)))
+  }
+
   test("bloomSemiJoin against an empty dim is empty (empty filter matches nothing)") {
     val fact = Tables.orders(spark, sf())
     val dim = Tables.customer(spark, sf())

@@ -389,9 +389,15 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("might_contain"), p.take(3000))
     // and the pre-filtered semi join never degenerates to a nested loop
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(3000))
+    // positional pin: in the printed tree the probe Filter must sit
+    // DIRECTLY over the fact FileScan with no Exchange between them —
+    // i.e. rows are dropped before they ever reach a shuffle
     val probeAt = p.indexOf("might_contain")
-    val exchangeAt = p.indexOf("Exchange")
-    assert(exchangeAt < 0 || probeAt >= 0, "probe present")
+    val scanAfterProbe = p.indexOf("FileScan", probeAt)
+    assert(scanAfterProbe > probeAt, "fact scan below the probe")
+    val between = p.substring(probeAt, scanAfterProbe)
+    assert(!between.contains("Exchange"),
+      s"an Exchange sits between the bloom probe and the fact scan:\n$between")
   }
 
   test("NOT IN over a nullable subquery plans the null-aware anti join (j10)") {
