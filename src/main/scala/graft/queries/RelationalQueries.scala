@@ -1103,6 +1103,36 @@ object RelationalQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** A21 (beyond reference parity): `GROUP BY ALL` — every non-aggregate
+    * select item becomes a grouping key (same resolution rule in Spark 4
+    * and DuckDB). Plans identically to the explicit form: partial+final
+    * hash aggregate. */
+  val a21GroupByAll: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_a21")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             round(sum(o_totalprice), 2) AS total
+      FROM graft_orders_a21
+      GROUP BY ALL
+      ORDER BY o_orderstatus, o_orderpriority""")
+  }
+
+  /** O4 (beyond reference parity): LIMIT/OFFSET pagination. Correct and
+    * portable, but the WRONG pagination shape at 100 TB — OFFSET n must
+    * still produce and discard n rows upstream (Spark plans a global
+    * limit of offset+limit collected to one task); production pagination
+    * over big results is keyset-based (`WHERE key > last_seen ORDER BY
+    * key LIMIT p`, which prunes at the scan). Declared for surface
+    * parity with that caveat. */
+  val o4Offset: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_o4")
+    s.sql("""
+      SELECT o_orderkey, round(o_totalprice, 2) AS price
+      FROM graft_orders_o4
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 20 OFFSET 40""")
+  }
+
   /** J11 (beyond reference parity): NULL-SAFE equi join (`<=>`) — NULLs
     * compare EQUAL, so rows whose keys are both NULL pair up instead of
     * vanishing (the dimension-with-unknown-key join). Stays a HASH join:
@@ -1696,6 +1726,17 @@ object RelationalQueries {
                                          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
                FROM orders)
          WHERE rnk <= 3 ORDER BY o_orderstatus, rnk""",
+    "a21_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                round(sum(o_totalprice), 2) AS total
+         FROM orders
+         GROUP BY ALL
+         ORDER BY o_orderstatus, o_orderpriority""",
+    "o4_offset" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+         FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 20 OFFSET 40""",
     "j11_nullsafe_join" ->
       """SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust
          FROM customer JOIN nation
@@ -2001,6 +2042,8 @@ object RelationalQueries {
     "a19_histogram" -> a19Histogram,
     "a20_mode" -> a20Mode,
     "j11_nullsafe_join" -> j11NullsafeJoin,
+    "a21_group_by_all" -> a21GroupByAll,
+    "o4_offset" -> o4Offset,
     "x7_exists" -> x7Exists,
     "x8_not_exists" -> x8NotExists,
     "x6_large_orders" -> x6LargeOrders,
