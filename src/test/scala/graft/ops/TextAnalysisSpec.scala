@@ -97,4 +97,25 @@ class TextAnalysisSpec extends SparkSuite {
       "lang_pred", "quality_score", "quality_bucket", "fingerprint").subsetOf(cols))
     assert(prof.head().getAs[String]("lang_pred") === "en")
   }
+
+  test("sourceDivergence matches hand-computed entropy / cross-entropy / KL on a tiny corpus") {
+    // A: "a a b" (S=3), B: "b" (S=1); global a=2, b=2, g_n=4
+    val docs = Seq(("A", "a a b"), ("B", "b")).toDF("source", "text")
+    val got = TextAnalysis.sourceDivergence(docs, "source", "text")
+      .orderBy(col("source"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // H(A) = ln3 − (2/3)ln2 = 0.6365; H(A,q) = −ln(1/2) = 0.6931; KL = 0.0566
+    assert(got(0) === (("A", 2L, 3L, 0.6365, 0.6931, 0.0566)), got(0).toString)
+    // B is a point mass: H = 0; cross-entropy = KL = ln 2
+    assert(got(1) === (("B", 1L, 1L, 0.0, 0.6931, 0.6931)), got(1).toString)
+  }
+
+  test("vocabulary: tf/df exact, dense ids in (tf desc, term) order") {
+    val docs = Seq((1L, "b a a"), (2L, "b")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabulary(docs, "doc_id", "text", 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // a and b tie on tf=2 → term order breaks the tie; df: a in 1 doc, b in 2
+    assert(got.toSeq === Seq((1, "a", 2L, 1L), (2, "b", 2L, 2L)), got.mkString(","))
+  }
 }

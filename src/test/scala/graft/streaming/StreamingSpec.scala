@@ -139,6 +139,45 @@ class StreamingSpec extends SparkSuite {
       ("click", 1, 1L, 5.0), ("click", 2, 4L, 4.0), ("purchase", 1, 3L, 7.0)))
   }
 
+  test("streaming grouped top-k state survives a query RESTART from checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-topk-ckpt").toString
+    def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val input = MemoryStream[EventStreams.ScoredEvent]
+    val emissions = new scala.collection.mutable.ArrayBuffer[Set[(String, Int, Long, Double)]]()
+    // memory sink cannot recover from a checkpoint; foreachBatch can —
+    // and it is also how this op would ship updates in production
+    def start() = EventStreams.groupedTopK(input.toDF(), 2)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.collect()
+          .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+        emissions.synchronized { if (rows.nonEmpty) emissions += rows }
+        ()
+      }
+      .start()
+
+    val q1 = start()
+    input.addData(
+      EventStreams.ScoredEvent(1L, ts(0), "click", 5.0),
+      EventStreams.ScoredEvent(2L, ts(1), "click", 3.0))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart from the SAME checkpoint: the heap state (ids 1, 2) must
+    // be recovered by the state store, not rebuilt from the (gone) feed
+    val q2 = start()
+    input.addData(EventStreams.ScoredEvent(3L, ts(3), "click", 4.0))
+    q2.processAllAvailable()
+    q2.stop()
+
+    // 4.0 displaces 3.0 only if the pre-restart state (5.0, 3.0) was recovered
+    assert(emissions.last === Set(("click", 1, 1L, 5.0), ("click", 2, 3L, 4.0)),
+      s"emissions were ${emissions.mkString(";")}")
+  }
+
   test("stream-stream interval join matches view→purchase across micro-batches, in-horizon only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
