@@ -1133,6 +1133,35 @@ object RelationalQueries {
       LIMIT 20 OFFSET 40""")
   }
 
+  /** A22 (beyond reference parity): equal-frequency binning WITHOUT a
+    * global sort — the scale-correct quartile bucketing. The naive form
+    * (`ntile(4) OVER (ORDER BY price)`) serializes the table through
+    * one task; here the three boundaries come from ONE exact-percentile
+    * aggregate (a single pass), broadcast as scalars, and the bucket
+    * assignment is a narrow CASE compare. Output is per-bucket counts +
+    * bounds. Spark `percentile` and DuckDB `quantile_cont` share the
+    * linear-interpolation definition, so boundaries agree. */
+  val a22EquifreqBins: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val bounds = o.agg(
+      expr("percentile(o_totalprice, 0.25)").alias("q1"),
+      expr("percentile(o_totalprice, 0.5)").alias("q2"),
+      expr("percentile(o_totalprice, 0.75)").alias("q3"))
+    o.crossJoin(broadcast(bounds))
+      .select(
+        when(col("o_totalprice") < col("q1"), 1)
+          .when(col("o_totalprice") < col("q2"), 2)
+          .when(col("o_totalprice") < col("q3"), 3)
+          .otherwise(4).alias("bucket"),
+        col("q1"), col("q2"), col("q3"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).alias("n"),
+        round(first(col("q1")), 4).alias("q1"),
+        round(first(col("q2")), 4).alias("q2"),
+        round(first(col("q3")), 4).alias("q3"))
+      .orderBy(col("bucket"))
+  }
+
   /** J11 (beyond reference parity): NULL-SAFE equi join (`<=>`) — NULLs
     * compare EQUAL, so rows whose keys are both NULL pair up instead of
     * vanishing (the dimension-with-unknown-key join). Stays a HASH join:
@@ -1726,6 +1755,19 @@ object RelationalQueries {
                                          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
                FROM orders)
          WHERE rnk <= 3 ORDER BY o_orderstatus, rnk""",
+    "a22_equifreq_bins" ->
+      """WITH b AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+                           quantile_cont(o_totalprice, 0.5)  AS q2,
+                           quantile_cont(o_totalprice, 0.75) AS q3
+                    FROM orders)
+         SELECT CASE WHEN o_totalprice < q1 THEN 1
+                     WHEN o_totalprice < q2 THEN 2
+                     WHEN o_totalprice < q3 THEN 3
+                     ELSE 4 END AS bucket,
+                CAST(count(*) AS BIGINT) AS n,
+                round(min(q1), 4) AS q1, round(min(q2), 4) AS q2, round(min(q3), 4) AS q3
+         FROM orders CROSS JOIN b
+         GROUP BY 1 ORDER BY 1""",
     "a21_group_by_all" ->
       """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
                 round(sum(o_totalprice), 2) AS total
@@ -2043,6 +2085,7 @@ object RelationalQueries {
     "a20_mode" -> a20Mode,
     "j11_nullsafe_join" -> j11NullsafeJoin,
     "a21_group_by_all" -> a21GroupByAll,
+    "a22_equifreq_bins" -> a22EquifreqBins,
     "o4_offset" -> o4Offset,
     "x7_exists" -> x7Exists,
     "x8_not_exists" -> x8NotExists,
