@@ -17,9 +17,15 @@ import org.apache.spark.sql.functions._
   *    Catalyst's null-aware anti-join planning runs.
   *  - `sm_split`       — deterministic md5-bucket train/val/test
   *    assignment ([[graft.ops.Sampling.split]]).
+  *  - `sm_priority`    — exact-quota weighted sampling without
+  *    replacement ([[graft.ops.Sampling.prioritySample]] on the native
+  *    grouped top-k).
   *  - `tx_divergence`  — per-source unigram entropy / cross-entropy /
   *    KL vs the corpus distribution
   *    ([[graft.ops.TextAnalysis.sourceDivergence]]).
+  *  - `cp_e2e_corpus`  — the capstone pipeline: quality gate → exact
+  *    dedup → split → train shard-shuffle, all engine ops, one SQL
+  *    oracle replaying the five stages.
   */
 object PruningQueries {
 
