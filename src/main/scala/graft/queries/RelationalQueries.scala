@@ -1207,6 +1207,27 @@ object RelationalQueries {
       ORDER BY c_custkey""")
   }
 
+  /** X9 (beyond reference parity): TPC-H Q16 shape — supplier diversity
+    * per part attribute, with a NOT IN supplier exclusion and a
+    * count(DISTINCT) over the join. The exclusion plans as an anti join
+    * against the (broadcastable) supplier subquery; the distinct count
+    * is the standard two-level expand aggregate keyed by the group —
+    * nothing in the plan depends on table size except the two keyed
+    * shuffles. */
+  val x9PartsSupplier: Q = (s, d) => {
+    Tables.part(s, d).createOrReplaceTempView("graft_part_x9")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_x9")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_supplier_x9")
+    s.sql("""
+      SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM graft_part_x9 JOIN graft_lineitem_x9 ON p_partkey = l_partkey
+      WHERE p_size IN (1, 5, 9, 13)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM graft_supplier_x9 WHERE s_acctbal < 0)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+      LIMIT 50""")
+  }
+
   val x6LargeOrders: Q = (s, d) => {
     Tables.customer(s, d).createOrReplaceTempView("graft_customer_x6")
     Tables.orders(s, d).createOrReplaceTempView("graft_orders_x6")
@@ -1755,6 +1776,14 @@ object RelationalQueries {
                                          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
                FROM orders)
          WHERE rnk <= 3 ORDER BY o_orderstatus, rnk""",
+    "x9_parts_supplier" ->
+      """SELECT p_brand, p_type, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM part JOIN lineitem ON p_partkey = l_partkey
+         WHERE p_size IN (1, 5, 9, 13)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+         LIMIT 50""",
     "a22_equifreq_bins" ->
       """WITH b AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1,
                            quantile_cont(o_totalprice, 0.5)  AS q2,
@@ -2086,6 +2115,7 @@ object RelationalQueries {
     "j11_nullsafe_join" -> j11NullsafeJoin,
     "a21_group_by_all" -> a21GroupByAll,
     "a22_equifreq_bins" -> a22EquifreqBins,
+    "x9_parts_supplier" -> x9PartsSupplier,
     "o4_offset" -> o4Offset,
     "x7_exists" -> x7Exists,
     "x8_not_exists" -> x8NotExists,

@@ -90,6 +90,23 @@ class CorpusOpsSpec extends SparkSuite {
     assert(labeled.filter(col("split") === "train").count() === 1000L)
   }
 
+  test("split covers every row for arbitrary fraction vectors (fuzz, seeded)") {
+    val rnd = new scala.util.Random(11)
+    val ids = spark.range(2000).toDF("id")
+    (1 to 5).foreach { _ =>
+      val k = 2 + rnd.nextInt(4)
+      val raw = Seq.fill(k)(rnd.nextDouble() + 0.01)
+      val fracs = raw.zipWithIndex.map { case (w, i) => s"s$i" -> w / raw.sum }
+      // normalize the last fraction so the vector sums to exactly 1.0
+      val exact = fracs.init :+ (fracs.last._1 -> (1.0 - fracs.init.map(_._2).sum))
+      val labeled = Sampling.split(ids, col("id"), exact)
+      assert(labeled.filter(col("split").isNull || col("split") === "").count() === 0L)
+      assert(labeled.count() === 2000L)
+      val labels = labeled.select(col("split")).distinct().collect().map(_.getString(0)).toSet
+      assert(labels.subsetOf(exact.map(_._1).toSet))
+    }
+  }
+
   test("priority sample with constant weights degenerates to the k largest hash variates") {
     val docs = spark.range(500).toDF("id").withColumn("grp", lit("g")).withColumn("w", lit(2.5))
     val got = Sampling.prioritySample(docs, "id", "w", "grp", 25)

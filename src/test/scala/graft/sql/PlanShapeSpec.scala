@@ -422,6 +422,16 @@ class PlanShapeSpec extends SparkSuite {
     assert(p8.contains("LeftAnti") && !p8.contains("Subquery"), p8.take(2000))
   }
 
+  test("equifreq binning never sorts the facts; Q16 shape is anti join + heap limit (a22, x9)") {
+    val pa = plan("a22_equifreq_bins")
+    // boundaries come from an aggregate, never ntile over a global sort
+    assert(!pa.contains("Window"), pa.take(2000))
+    assert("FileScan parquet".r.findAllIn(pa).size <= 2, pa.take(2000))
+    val px = plan("x9_parts_supplier")
+    assert(px.contains("LeftAnti"), px.take(2000))
+    assert(px.contains("TakeOrderedAndProject"), px.take(2000))
+  }
+
   test("corpus shard-shuffle: one shard exchange, every window partitioned (cp_shard)") {
     val p = plan("cp_shard")
     // the rank window must be partitioned by shard — an unpartitioned
