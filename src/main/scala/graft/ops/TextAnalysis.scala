@@ -396,6 +396,29 @@ object TextAnalysis {
       .select(col("term_id"), col("term"), col("tf"), col("df"))
   }
 
+  /** Per-source Zipf slope: the least-squares slope of ln(tf) against
+    * ln(rank) over each source's top-`topK` terms — the standard
+    * power-law health check for a text corpus (natural language sits
+    * near −1; templated/boilerplate-heavy sources flatten, spam with
+    * exploded vocabularies steepen). Shuffle shape: the one corpus-sized
+    * (source, term) aggregate, a vocabulary-sized rank window
+    * partitioned by source, and a `regr_slope` aggregate over ≤ topK
+    * rows per source. */
+  def zipfSlope(docs: DataFrame, sourceCol: String, textCol: String, topK: Int = 100): DataFrame = {
+    val tf = docs
+      .select(col(sourceCol).alias("source"),
+        explode(split(lower(col(textCol)), " ")).alias("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).alias("tf"))
+    tf.withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("tf").desc, col("term"))))
+      .filter(col("rk") <= topK)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).alias("n_terms"),
+        round(expr("regr_slope(ln(tf), ln(rk))"), 4).alias("zipf_slope"))
+  }
+
   /** Per-source unigram-distribution divergence vs the whole corpus —
     * the mixture-diagnostics pass a training-data pipeline runs before
     * setting sampling weights (a source whose KL to the corpus is high

@@ -109,7 +109,13 @@ object PruningQueries {
       .orderBy(col("shard"), col("pos"))
   }
 
+  /** TX: per-source Zipf slope ([[graft.ops.TextAnalysis.zipfSlope]]). */
+  val txZipf: Q = (s, d) =>
+    TextAnalysis.zipfSlope(Tables.documents(s, d), "source", "text", topK = 100)
+      .orderBy(col("source"))
+
   val queries: Map[String, Q] = Map(
+    "tx_zipf" -> txZipf,
     "cp_e2e_corpus" -> cpE2eCorpus,
     "bf_bloom_semi" -> bfBloomSemi,
     "j10_notin_naaj" -> j10NotinNaaj,
@@ -119,6 +125,19 @@ object PruningQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "tx_zipf" ->
+      """WITH toks AS (
+           SELECT source, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+         c AS (
+           SELECT source, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+         r AS (
+           SELECT source, tf,
+                  row_number() OVER (PARTITION BY source ORDER BY tf DESC, term) AS rk
+           FROM c)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+                round(regr_slope(ln(tf), ln(rk)), 4) AS zipf_slope
+         FROM r WHERE rk <= 100
+         GROUP BY source ORDER BY source""",
     "cp_e2e_corpus" ->
       s"""WITH q AS (
            SELECT doc_id, text, ${LlmQueries.qualityScoreRawSql} AS qraw,

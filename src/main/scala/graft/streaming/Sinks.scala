@@ -115,6 +115,35 @@ object Sinks {
     if (versions.isEmpty) None else Some(s"$path/state_v=${versions.max}")
   }
 
+  /** Retention GC for the versioned state sink: delete all but the
+    * newest `keep` `state_v=` directories. The maintenance half of the
+    * upsert sink's contract — each micro-batch writes a NEW immutable
+    * state version (that immutability is what makes crash-replay
+    * idempotent), so an unbounded stream accumulates unbounded
+    * superseded versions; at 100 TB of state the GC is what keeps the
+    * footprint O(keep × state), not O(batches × state). Keeps ≥ 1
+    * version always (the readable current state), never touches the
+    * newest, and returns the deleted version numbers. Safe to run
+    * concurrently with readers of the LATEST version; `keep > 1` leaves
+    * grace versions for in-flight readers of the previous one. */
+  def vacuumState(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      keep: Int = 2): Seq[Long] = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    val versions = fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("state_v=") => n.stripPrefix("state_v=").toLong }
+      .sorted
+    val doomed = versions.dropRight(keep)
+    doomed.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$path/state_v=$v"), true))
+    doomed
+  }
+
   def idempotentParquetSink(
       stream: DataFrame,
       path: String,

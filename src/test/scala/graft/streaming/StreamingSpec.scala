@@ -398,6 +398,14 @@ class StreamingSpec extends SparkSuite {
       b2.toDF(), 1L, path, Seq("user_id"), "event_time", "event_type", "error")
     val replayed = Sinks.readState(spark, path)
     assert(replayed.exceptAll(batch).count() === 0 && batch.exceptAll(replayed).count() === 0)
+
+    // retention GC: keep only the newest version; current state unchanged
+    val deleted = Sinks.vacuumState(spark, path, keep = 1)
+    assert(deleted === Seq(0L), s"deleted $deleted")
+    val afterVacuum = Sinks.readState(spark, path)
+    assert(afterVacuum.exceptAll(batch).count() === 0 && batch.exceptAll(afterVacuum).count() === 0)
+    // idempotent: nothing left to delete at keep=1
+    assert(Sinks.vacuumState(spark, path, keep = 1).isEmpty)
   }
 
   test("native session_window merges across micro-batches and emits once the watermark closes it") {
