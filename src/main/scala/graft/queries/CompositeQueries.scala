@@ -242,6 +242,20 @@ object CompositeQueries {
         round(col("value"), 4).alias("value"))
       .orderBy(col("event_type"), col("rank"))
 
+  /** ST10 (beyond reference parity): per-window distribution drift
+    * ([[graft.streaming.EventStreams.distributionDrift]]) — each hourly
+    * window's event-type mix scored (KL, TV) against the overall
+    * distribution as baseline. */
+  val st10Drift: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val baseline = e.groupBy(col("event_type")).agg(count(lit(1)).alias("q_count"))
+    val wc = graft.streaming.EventStreams.windowedCounts(e, "1 hour", "2 hours")
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        col("event_type"), col("n"))
+    graft.streaming.EventStreams.distributionDrift(wc, baseline)
+      .orderBy(col("window_start"))
+  }
+
   /** ST4 (beyond reference parity): streaming exact dedup
     * ([[graft.streaming.EventStreams.dedupStream]]) run in batch over a
     * doubled feed (events ∪ events) keyed by event_id — every row arrives
@@ -573,6 +587,34 @@ object CompositeQueries {
     "st4_stream_dedup" ->
       """SELECT event_id, user_id, event_type, round(value, 4) AS value
          FROM events WHERE user_id < 50 ORDER BY event_id""",
+    "st10_drift" ->
+      """WITH q AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS q_count FROM events GROUP BY 1),
+         c AS (SELECT CAST(sum(q_count) AS BIGINT) AS C FROM q),
+         w AS (
+           SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                  event_type, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         j AS (
+           -- NB: DuckDB identifiers are case-insensitive — the window
+           -- total must NOT be named "N" next to a column "n"
+           SELECT w.window_start, w.n, c.C AS ct,
+                  CAST(sum(w.n) OVER (PARTITION BY w.window_start) AS BIGINT) AS nt,
+                  coalesce(q.q_count, 0) AS qc
+           FROM w LEFT JOIN q USING (event_type) CROSS JOIN c),
+         t AS (
+           SELECT window_start, n, nt, ct,
+                  (n / CAST(nt AS DOUBLE)) AS p,
+                  CASE WHEN qc = 0 THEN 1e-9 ELSE qc / CAST(ct AS DOUBLE) END AS qq,
+                  abs(n * ct - qc * nt) AS tvnum
+           FROM j)
+         SELECT window_start, CAST(count(*) AS BIGINT) AS n_types,
+                CAST(sum(n) AS BIGINT) AS n_events,
+                CAST(floor(sum(CAST(p * ln(p / qq) AS DECIMAL(38,18))) * 10000) / 10000 AS DOUBLE)
+                  AS kl_vs_baseline,
+                CAST(floor(CAST(sum(tvnum) AS DOUBLE) / (2.0 * max(nt) * max(ct)) * 10000) / 10000
+                  AS DOUBLE) AS tv_seen
+         FROM t GROUP BY 1 ORDER BY 1""",
     "st8_stream_topk" ->
       """WITH r AS (
            SELECT event_type, event_id, value,
@@ -755,6 +797,7 @@ object CompositeQueries {
     "st5_session_window" -> st5SessionWindow,
     "st7_bloom_prefilter" -> st7BloomPrefilter,
     "st8_stream_topk" -> st8StreamTopk,
+    "st10_drift" -> st10Drift,
     "c1_scd2" -> c1Scd2,
     "c1b_scd2_merge" -> c1bScd2Merge,
     "c2_calendar" -> c2Calendar,

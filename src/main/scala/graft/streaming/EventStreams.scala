@@ -78,6 +78,62 @@ object EventStreams {
     windowedCounts(pruned, windowLength, watermarkDelay)
   }
 
+  /** Per-window distribution drift vs a static baseline — the
+    * monitoring analytic a streaming ingest runs to catch a source
+    * going bad (a scraper shift, an upstream schema break) as a
+    * composition-of-events change rather than a volume change. For each
+    * event-time window: the KL divergence of the window's event-type
+    * distribution p against the baseline q, plus the seen-type
+    * total-variation term (½ Σ|p−q| over types present in the window —
+    * baseline types with zero window mass are a volume alarm, not a
+    * drift alarm, and are left to the count monitors).
+    *
+    * Input is the OUTPUT of [[windowedCounts]] (already aggregated);
+    * the per-window normalization is a window function over the few
+    * rows per event-time window. Batch: runs directly (how the
+    * `st10_drift` oracle verifies it). Streaming: apply inside
+    * `foreachBatch` on the finalized windows (chaining a second
+    * stateful aggregate after a streaming window agg is the one shape
+    * Structured Streaming restricts; the batch-per-batch form is the
+    * standard monitoring pattern and is exercised in `StreamingSpec`).
+    * Baseline types absent from a window contribute 0 to KL (p=0 term)
+    * and q/2 to TV; window types missing from the baseline would make
+    * KL infinite — the left join keeps them visible with a null drift
+    * contribution guarded by a coalesce on a tiny q floor. */
+  def distributionDrift(windowed: DataFrame, baselineCounts: DataFrame): DataFrame = {
+    // Cross-engine exactness discipline (three verify failures taught
+    // this): TV values land EXACTLY on half-grid rationals (p, q are
+    // small-denominator fractions), where any float rounding of
+    // ±1 ulp summation noise is engine-dependent. So TV is computed
+    // INTEGER-exact — Σ|n·C − qc·N| over longs, ONE double division at
+    // the end (identical in every engine) — and KL (whose logs keep it
+    // off the grid) sums the per-term decimal images (exact,
+    // order-independent addition) before truncating. floor, not round:
+    // identical doubles floor identically; round's half-way ties don't.
+    val bl = baselineCounts
+      .withColumn("__C", sum(col("q_count")).over(Window.partitionBy()))
+    val perWin = Window.partitionBy(col("window_start"))
+    val joined = windowed
+      .join(broadcast(bl), Seq("event_type"), "left")
+      .withColumn("__N", sum(col("n")).over(perWin))
+      .withColumn("__qc", coalesce(col("q_count"), lit(0L)))
+    val p = col("n") / col("__N")
+    val q = when(col("__qc") === 0L, lit(1e-9)).otherwise(col("__qc") / col("__C"))
+    joined
+      .select(col("window_start"), col("n"), col("__N"), col("__C"),
+        (p * log(p / q)).alias("__kl"),
+        abs(col("n") * col("__C") - col("__qc") * col("__N")).alias("__tvnum"))
+      .groupBy(col("window_start"))
+      .agg(
+        count(lit(1)).alias("n_types"),
+        sum(col("n")).alias("n_events"),
+        (floor(sum(col("__kl").cast("decimal(38,18)")) * 10000) / 10000)
+          .cast("double").alias("kl_vs_baseline"),
+        (floor(sum(col("__tvnum")).cast("double")
+          / (lit(2.0) * max(col("__N")) * max(col("__C"))) * 10000) / 10000)
+          .cast("double").alias("tv_seen"))
+  }
+
   /** Grouped top-k leaderboard, batch AND streaming — the "top k per
     * key, continuously" op. Same dual-path contract as [[sessionize]]:
     *

@@ -178,6 +178,49 @@ class StreamingSpec extends SparkSuite {
       s"emissions were ${emissions.mkString(";")}")
   }
 
+  test("distribution drift: matching window scores ~0, skewed window scores ln2; rides foreachBatch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val baseline = Seq(("click", 1L), ("view", 1L)).toDF("event_type", "q_count")
+
+    // batch math: window A matches baseline exactly; window B is all-click
+    val events = Seq(
+      EventStreams.Event(1L, ts(0), "click", 0.0), EventStreams.Event(2L, ts(1), "view", 0.0),
+      EventStreams.Event(3L, ts(2), "click", 0.0), EventStreams.Event(4L, ts(3), "view", 0.0),
+      EventStreams.Event(5L, ts(60), "click", 0.0), EventStreams.Event(6L, ts(61), "click", 0.0)
+    ).toDF()
+    val wc = EventStreams.windowedCounts(events, "10 minutes", "0 seconds")
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        col("event_type"), col("n"))
+    val drift = EventStreams.distributionDrift(wc, baseline)
+      .orderBy(col("window_start"))
+      .collect().map(r => (r.getDouble(3), r.getDouble(4)))
+    assert(drift(0) === ((0.0, 0.0)), s"matching window: ${drift(0)}")
+    assert(drift(1) === ((0.6931, 0.25)), s"skewed window: ${drift(1)}") // ln 2; ½|1−½|
+    // streaming wiring: the same computation per micro-batch of finalized windows
+    val input = MemoryStream[EventStreams.Event]
+    val seen = new scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    val q = EventStreams.windowedCounts(input.toDF(), "10 minutes", "0 seconds")
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val wcB = df.select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+          col("event_type"), col("n"))
+        val rows = EventStreams.distributionDrift(wcB, baseline)
+          .collect().map(r => (r.getDouble(3), r.getDouble(4)))
+        seen.synchronized { seen ++= rows }
+        ()
+      }.start()
+    input.addData(
+      EventStreams.Event(1L, ts(0), "click", 0.0), EventStreams.Event(2L, ts(1), "click", 0.0))
+    q.processAllAvailable()
+    input.addData(EventStreams.Event(9L, ts(120), "view", 0.0)) // advance watermark, finalize
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.contains((0.6931, 0.25)), s"streamed drift rows: ${seen.mkString(",")}")
+  }
+
   test("stream-stream interval join matches view→purchase across micro-batches, in-horizon only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
