@@ -159,19 +159,31 @@ object LlmQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
-  /** SimHash signatures + hamming distance of each mutated near-copy to
-    * its original (rows-only check: xxhash64 is Spark-specific, no SQL
-    * oracle — covered by unit tests instead). */
+  /** SimHash near-dup audit: signature of each mutated near-copy joined
+    * back to its original, plus the Hamming distance between them. Uses
+    * the portable md5-based 48-bit signature ([[Dedup.simhashPortable]])
+    * so EVERY value — both signatures and the distance — is replayed
+    * bit-for-bit by the DuckDB oracle. The xxhash64 production kernel
+    * ([[Dedup.simhash64]], much cheaper per token at scale) is pinned to
+    * this portable variant by a classification-agreement property in
+    * DedupSpec. */
   val ddSimhash: Q = (s, d) => {
-    val base = Tables.documents(s, d)
-    val sigs = nearDupCorpus(base).select(
-      col("doc_id"), Dedup.simhash64(col("text")).alias("sig"))
+    val base = Tables.documents(s, d).filter(col("doc_id") < 1000)
+    val corpus = base.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"), col("text"))
+      .unionAll(
+        base.filter(pmod(col("doc_id"), lit(10)) === 5)
+          .select((col("doc_id") + 200000).alias("doc_id"),
+            concat(col("text"), lit(" zqxmutation")).alias("text")))
+    val sigs = corpus.select(
+      col("doc_id"), Dedup.simhashPortable(col("text")).alias("sig"))
     val orig = sigs.filter(col("doc_id") < 200000)
       .select(col("doc_id").alias("orig_id"), col("sig").alias("orig_sig"))
     sigs.filter(col("doc_id") >= 200000)
       .select((col("doc_id") - 200000).alias("orig_id"), col("sig").alias("mut_sig"))
       .join(orig, Seq("orig_id"))
-      .select(col("orig_id"), Dedup.hamming64(col("orig_sig"), col("mut_sig")).alias("hamming"))
+      .select(col("orig_id"), col("orig_sig"), col("mut_sig"),
+        Dedup.hamming64(col("orig_sig"), col("mut_sig")).alias("hamming"))
       .orderBy(col("orig_id"))
   }
 
@@ -525,8 +537,23 @@ object LlmQueries {
          range(1, greatest(len(w) - 2, 1) + 1),
          i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"""
 
-  private[queries] val wordsSql =
-    "list_filter(str_split_regex(lower(text), '\\s+'), x -> len(x) > 0)"
+  private[queries] def wordsSqlOf(expr: String): String =
+    "list_filter(str_split_regex(lower(" + expr + "), '\\s+'), x -> len(x) > 0)"
+
+  private[queries] val wordsSql = wordsSqlOf("text")
+
+  /** 48-bit portable SimHash of `textExpr` in DuckDB — replays
+    * [[graft.ops.Dedup.simhashPortable]] bit-for-bit: md5 token hashes
+    * (first 60 bits hex-parsed), a ±1 sign vote per bit, disjoint-bit
+    * sum assembling the signature word. */
+  private def simhashSql(textExpr: String): String = {
+    val hs = "list_transform(" + wordsSqlOf(textExpr) +
+      ", x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT))"
+    s"""CAST(list_sum(list_transform(range(0, 48), j ->
+          CASE WHEN list_sum(list_transform($hs,
+                 h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+               THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"""
+  }
 
   /** [[graft.functions.QualityScoreRaw]]'s composite quality score in
     * DuckDB — raw (bit-identical IEEE arithmetic) and rounded to 4 dp
@@ -792,6 +819,16 @@ object LlmQueries {
                 CAST(list_sum(list_transform(range(1, len(text) + 1),
                        i -> i * ascii(substr(text, CAST(i AS INT), 1)))) % 1000000007 AS BIGINT) AS fingerprint
          FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
+    "dd_simhash" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents
+                        WHERE doc_id < 1000 AND doc_id % 10 = 5),
+              s AS (SELECT doc_id AS orig_id,
+                           ${simhashSql("text")} AS orig_sig,
+                           ${simhashSql("text || ' zqxmutation'")} AS mut_sig
+                    FROM base)
+          SELECT orig_id, orig_sig, mut_sig,
+                 CAST(bit_count(xor(orig_sig, mut_sig)) AS INT) AS hamming
+          FROM s ORDER BY orig_id""",
     "dd_simhash_md5" ->
       s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents WHERE doc_id < 100),
                h AS (SELECT doc_id, list_transform(w,

@@ -115,6 +115,29 @@ class DedupSpec extends SparkSuite {
     assert(ham(sigs(1L), sigs(4L)) > 16)
   }
 
+  test("xxhash64 fast path agrees with the portable oracle signature on near-dup classification") {
+    // dd_simhash's declared entry uses the portable md5 signature (the
+    // one DuckDB can replay); this property pins the cheaper xxhash64
+    // production kernel to it: both must rank identical pairs at 0,
+    // near-dups below the duplicate threshold, and unrelated pairs above
+    // it — scaled to each signature's width (64 vs 48 bits).
+    val sigs = docs.select(
+        col("doc_id"),
+        Dedup.simhash64(col("text")).alias("fast"),
+        Dedup.simhashPortable(col("text")).alias("portable"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val pairs = Seq((1L, 2L, "identical"), (1L, 3L, "near"), (1L, 4L, "far"), (1L, 5L, "far"))
+    for ((a, b, kind) <- pairs) {
+      val fastH = ham(sigs(a)._1, sigs(b)._1)
+      val portH = ham(sigs(a)._2, sigs(b)._2)
+      // duplicate-call thresholds at 1/4 of the signature width
+      val (fastDup, portDup) = (fastH <= 16, portH <= 12)
+      assert(fastDup === portDup, s"pair ($a,$b) [$kind]: fast=$fastH/64 portable=$portH/48 disagree")
+      if (kind == "identical") assert(fastH === 0 && portH === 0)
+    }
+  }
+
   test("jaccard expression is exact") {
     val j = spark.range(1)
       .select(Dedup.jaccard(array(lit("a"), lit("b"), lit("c")), array(lit("b"), lit("c"), lit("d"))).alias("j"))

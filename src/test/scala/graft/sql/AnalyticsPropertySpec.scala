@@ -45,11 +45,11 @@ class AnalyticsPropertySpec extends SparkSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("every declared query has an oracle (dd_simhash is the one documented exception)") {
+  test("every declared query has an oracle") {
     // a queries() entry without oracleSql silently downgrades to the
     // driver's rows-only check — this test makes forgetting an oracle a
     // build failure instead of a quiet correctness-coverage hole
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(unoracled === Set("dd_simhash"), s"queries without oracles: $unoracled")
+    assert(unoracled.isEmpty, s"queries without oracles: $unoracled")
   }
 }
