@@ -68,12 +68,28 @@ object EventStreams {
       windowLength: String = "10 minutes",
       watermarkDelay: String = "30 minutes",
       expectedItems: Long = 1L << 16,
-      numBits: Long = 1L << 20): DataFrame = {
+      numBits: Long = 1L << 20,
+      maxFpp: Double = 0.33): DataFrame = {
     val bloom = graft.ops.RuntimeFilter.buildBloom(keyDim, keyCol, expectedItems, numBits)
+    // empty key dim → the semi join is empty; short-circuit instead of
+    // probing with a null literal (same guard as bloomSemiJoin)
+    if (bloom == null) return windowedCounts(events.limit(0), windowLength, watermarkDelay)
+    // overloaded filter (keys >> expectedItems) probes at FPP ≈ 1 —
+    // pure per-row overhead with no pruning; drop the probe and let the
+    // exact semi join do all the work (bloomSemiJoin's adaptive guard)
+    val fpp = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(bloom)).expectedFpp()
+    // broadcast, never a plan literal: at the default 1<<20 bits the
+    // serialized filter is 128 KB, and in streaming a literal would be
+    // re-serialized into every task of EVERY micro-batch
+    val probed =
+      if (fpp <= maxFpp)
+        events.where(graft.ops.RuntimeFilter.mightContainBroadcast(
+          events.sparkSession, bloom, col(eventKeyCol)))
+      else events
     // resolved dim-side attribute: a bare col(keyCol) is ambiguous when
     // keyCol == eventKeyCol (joining on the same column name)
     val keys = keyDim.select(col(keyCol)).distinct()
-    val probed = events.where(graft.ops.RuntimeFilter.mightContain(bloom, col(eventKeyCol)))
     val pruned = probed.join(broadcast(keys), probed(eventKeyCol) === keys(keyCol), "left_semi")
     windowedCounts(pruned, windowLength, watermarkDelay)
   }
@@ -122,7 +138,13 @@ object EventStreams {
     joined
       .select(col("window_start"), col("n"), col("__N"), col("__C"),
         (p * log(p / q)).alias("__kl"),
-        abs(col("n") * col("__C") - col("__qc") * col("__N")).alias("__tvnum"))
+        // decimal(38,0) products: Long multiply would overflow silently
+        // past n·C ≈ 2^63 (plausible at 100 TB counts) while the DuckDB
+        // oracle promotes BIGINT products to HUGEINT — decimal multiply
+        // is exact and overflow-checked, so the engines stay aligned
+        abs(col("n").cast("decimal(38,0)") * col("__C").cast("decimal(38,0)")
+          - col("__qc").cast("decimal(38,0)") * col("__N").cast("decimal(38,0)"))
+          .alias("__tvnum"))
       .groupBy(col("window_start"))
       .agg(
         count(lit(1)).alias("n_types"),

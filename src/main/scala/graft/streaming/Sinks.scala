@@ -100,6 +100,16 @@ object Sinks {
     spark.read.parquet(latestStateDir(spark, path, before = None).getOrElse(
       throw new IllegalStateException(s"no state_v=* directory under $path")))
 
+  /** Safe parse of a `state_v=<N>` directory name. Non-numeric entries
+    * (a leftover temp dir from an interrupted write, a foreign file
+    * someone dropped in) are skipped — maintenance ops like
+    * [[vacuumState]] must degrade to ignoring a stray entry, not die
+    * on a NumberFormatException. */
+  private def parseStateVersion(name: String): Option[Long] =
+    if (name.startsWith("state_v="))
+      scala.util.Try(name.stripPrefix("state_v=").toLong).toOption
+    else None
+
   private def latestStateDir(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -110,7 +120,7 @@ object Sinks {
     val versions = fs.listStatus(p).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
-      .collect { case n if n.startsWith("state_v=") => n.stripPrefix("state_v=").toLong }
+      .flatMap(parseStateVersion)
       .filter(v => before.forall(v < _))
     if (versions.isEmpty) None else Some(s"$path/state_v=${versions.max}")
   }
@@ -137,7 +147,7 @@ object Sinks {
     val versions = fs.listStatus(p).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
-      .collect { case n if n.startsWith("state_v=") => n.stripPrefix("state_v=").toLong }
+      .flatMap(parseStateVersion)
       .sorted
     val doomed = versions.dropRight(keep)
     doomed.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$path/state_v=$v"), true))

@@ -449,6 +449,15 @@ class StreamingSpec extends SparkSuite {
     assert(afterVacuum.exceptAll(batch).count() === 0 && batch.exceptAll(afterVacuum).count() === 0)
     // idempotent: nothing left to delete at keep=1
     assert(Sinks.vacuumState(spark, path, keep = 1).isEmpty)
+
+    // stray non-numeric state_v=* entry (e.g. an interrupted write's
+    // temp dir): GC and reads skip it instead of dying on a parse error
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/state_v=_tmp_junk"))
+    assert(Sinks.vacuumState(spark, path, keep = 1).isEmpty)
+    val withStray = Sinks.readState(spark, path)
+    assert(withStray.exceptAll(batch).count() === 0 && batch.exceptAll(withStray).count() === 0)
   }
 
   test("native session_window merges across micro-batches and emits once the watermark closes it") {
