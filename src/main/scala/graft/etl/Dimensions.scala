@@ -150,6 +150,28 @@ object Dimensions {
       .unionByName(fresh.select(outCols: _*))
   }
 
+  /** Snapshot-isolated SCD2 merge against a [[graft.store.SnapshotStore]]
+    * table: read the newest committed dimension snapshot, fold the
+    * incoming attributes through [[scd2Merge]], commit the result as the
+    * next version. The read-union-rewrite is the same; what changes is
+    * visibility — a reader racing the merge resolves the previous
+    * commit marker until the new snapshot is fully durable, so it sees
+    * the old dimension or the new one, never a half-rewritten mix (the
+    * gap a plain `mode("overwrite")` rewrite leaves open, reference
+    * `build_dimensions.py:93`). Returns the committed version. */
+  def scd2MergeCommit(
+      spark: SparkSession,
+      table: String,
+      attrs: DataFrame,
+      naturalKeys: Seq[String],
+      surrogateName: String,
+      orderCols: Seq[String],
+      clock: Clock): Long = {
+    val existing = graft.store.SnapshotStore.read(spark, table)
+    graft.store.SnapshotStore.commit(
+      scd2Merge(existing, attrs, naturalKeys, surrogateName, orderCols, clock), table)
+  }
+
   /** dim_location from current-weather silver: D2 distinct attribute
     * tuples + timezone name + SCD2 load (`build_dimensions.py:30-94`). */
   def buildDimLocation(currentSilver: DataFrame, clock: Clock): DataFrame = {

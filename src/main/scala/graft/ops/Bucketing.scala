@@ -71,6 +71,38 @@ object Bucketing {
     (files.length, outFiles, totalBytes)
   }
 
+  /** [[compact]] against a [[graft.store.SnapshotStore]] table: read the
+    * newest committed snapshot, rewrite it into ~`targetBytes` files as
+    * the NEXT version, publish atomically. Compaction is pure
+    * maintenance — the data is identical — so the one thing that
+    * matters is that a concurrent reader never sees the half-built
+    * rewrite; the commit marker guarantees it (an in-place `compact`
+    * overwrite cannot). Returns (files_before, files_after,
+    * bytes_total, committed_version). */
+  def compactCommit(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      targetBytes: Long): (Int, Int, Long, Long) = {
+    import graft.store.SnapshotStore
+    val cur = SnapshotStore.currentVersion(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $table"))
+    val inDir = SnapshotStore.versionDir(table, cur)
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val next = cur + 1
+    val outDir = SnapshotStore.versionDir(table, next)
+    spark.read.parquet(inDir).repartition(nOut)
+      .write.mode("overwrite").parquet(outDir)
+    SnapshotStore.publishMarker(spark, table, next)
+    val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (files.length, outFiles, totalBytes, next)
+  }
+
   def writeRangeSorted(
       df: DataFrame,
       path: String,
