@@ -18,6 +18,31 @@ class ClusteringSpec extends SparkSuite {
     assert(again === pr)
   }
 
+  test("reliable checkpointDir: identical results, and the result survives a lineage kill") {
+    val edges = Seq(("hub", "a"), ("hub", "b"), ("hub", "c"), ("hub", "d"), ("a", "b"))
+      .toDF("src", "dst")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val local = Graph.pageRank(edges, "src", "dst", iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val reliable = Graph.pageRank(edges, "src", "dst", iterations = 5,
+      checkpointDir = Some(ckpt))
+    assert(reliable.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap === local)
+
+    // simulate executor loss: drop every cached block this run created.
+    // localCheckpoint would die here (truncated lineage, blocks gone);
+    // the reliable variant re-reads its checkpoint FILES and completes.
+    spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => before.contains(id) }
+      .values.foreach(_.unpersist(blocking = true))
+    assert(reliable.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap === local)
+
+    val lab = Graph.labelPropagation(edges, "src", "dst", iterations = 4,
+      checkpointDir = Some(ckpt))
+    assert(lab.count() === 5)
+  }
+
   test("label propagation: two cliques joined by one bridge settle into two communities") {
     // 4-clique {a1..a4} + 4-clique {b1..b4}, one bridge a1~b4; the
     // prefer-current tie-break keeps the bridge from flooding one label
