@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   * frame-sample stages.
   *
   * The Spark-side machinery — schema, partitioning, typed batch shape —
-  * is real and tested; the *codec* itself is a clearly-marked
-  * deterministic STUB (this container has no image/audio libraries), so a
-  * production deployment swaps exactly one function.
+  * is real and tested. The IMAGE codec is real too: `image/…` payloads
+  * decode through `javax.imageio` (JDK built-in JPEG/PNG/GIF/BMP — no
+  * native deps) into pixel-moment features. Audio/video decode remains a
+  * clearly-marked deterministic STUB (no such codec ships in the JDK),
+  * so a production deployment swaps exactly one function per modality.
   *
   * Scale notes: payload bytes ride along narrow transformations only —
   * nothing here shuffles a payload. Feature extraction runs as a typed
@@ -61,16 +63,63 @@ object Multimodal {
       mean, variance, sum % 251.0, sumSq % 251.0, (payload.length % 64).toDouble)
   }
 
+  /** REAL image decode via `javax.imageio` (JDK built-in — JPEG, PNG,
+    * GIF, BMP; no native deps, works in this container). 8-dim
+    * deterministic pixel-moment vector: width, height, n_pixels, mean
+    * red, mean green, mean blue, luminance mean, luminance variance
+    * (Rec.601 luma). Returns None when the payload is not a decodable
+    * image — the caller falls back to [[stubDecodeFeatures]], which
+    * remains the stand-in for media types without a JDK codec (audio,
+    * video). Exact for lossless formats, so PNG features are golden-
+    * testable; JPEG decode is deterministic for a given JDK. */
+  def decodeImageFeatures(payload: Array[Byte]): Option[Array[Double]] = {
+    if (payload == null || payload.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    val n = w.toLong * h
+    var sr, sg, sb, sy, syy = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        val luma = 0.299 * r + 0.587 * g + 0.114 * b
+        sr += r; sg += g; sb += b; sy += luma; syy += luma * luma
+        x += 1
+      }
+      y += 1
+    }
+    val meanY = sy / n
+    Some(Array(w.toDouble, h.toDouble, n.toDouble,
+      sr / n, sg / n, sb / n, meanY, syy / n - meanY * meanY))
+  }
+
+  /** Codec dispatch: `image/…` payloads get the real `javax.imageio`
+    * decode (stub fallback on undecodable bytes); every other media
+    * type uses the deterministic stub. */
+  def decodeFeatures(mediaType: String, payload: Array[Byte]): Array[Double] =
+    if (mediaType != null && mediaType.startsWith("image/"))
+      decodeImageFeatures(payload).getOrElse(stubDecodeFeatures(payload))
+    else stubDecodeFeatures(payload)
+
   /** Feature extraction as a typed mapPartitions batch (the Scala analog
     * of `mapInPandas`): partition-at-a-time, codec invoked per item, no
-    * shuffle. */
+    * shuffle. Dispatches per media_type ([[decodeFeatures]]): real image
+    * decode for `image/…`, deterministic stub otherwise. */
   def extractFeatures(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media
       .select("media_id", "media_type", "payload", "n_bytes", "digest")
       .as[MediaItem]
       .mapPartitions(_.map(m =>
-        MediaFeatures(m.media_id, m.media_type, m.n_bytes, stubDecodeFeatures(m.payload))))
+        MediaFeatures(m.media_id, m.media_type, m.n_bytes, decodeFeatures(m.media_type, m.payload))))
   }
 
   /** STUB RESIZE — stands in for image resampling (no codec libraries in

@@ -28,6 +28,58 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.stubDecodeFeatures(Array.emptyByteArray).forall(_ === 0.0))
   }
 
+  // deterministic 4x2 test image: known solid colors per pixel column
+  private def testImage(format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff)(x))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, bos))
+    bos.toByteArray
+  }
+
+  test("real PNG decode: golden pixel-moment features") {
+    val f = Multimodal.decodeImageFeatures(testImage("png")).get
+    assert(f.length === 8)
+    assert(f(0) === 4.0 && f(1) === 2.0 && f(2) === 8.0) // w, h, n_pixels
+    // per row: red, green, blue, white pixels -> channel means are exact
+    assert(f(3) === (255.0 + 0 + 0 + 255) / 4) // mean R = 127.5
+    assert(f(4) === (0.0 + 255 + 0 + 255) / 4) // mean G
+    assert(f(5) === (0.0 + 0 + 255 + 255) / 4) // mean B
+    // Rec.601 luma of the four colors, exact arithmetic
+    val lumas = Seq(0.299 * 255, 0.587 * 255, 0.114 * 255, 255.0)
+    val meanY = lumas.sum / 4
+    assert(math.abs(f(6) - meanY) < 1e-9)
+    assert(math.abs(f(7) - (lumas.map(l => l * l).sum / 4 - meanY * meanY)) < 1e-9)
+  }
+
+  test("JPEG decodes through the same path; non-image bytes fall back to the stub") {
+    val jpegF = Multimodal.decodeImageFeatures(testImage("jpg")).get
+    assert(jpegF(0) === 4.0 && jpegF(1) === 2.0) // geometry survives lossy encode
+    assert(Multimodal.decodeImageFeatures("not an image".getBytes("UTF-8")).isEmpty)
+    // dispatch: image/* with undecodable bytes degrades to the stub
+    val garbage = "garbage".getBytes("UTF-8")
+    assert(Multimodal.decodeFeatures("image/png", garbage)
+      sameElements Multimodal.stubDecodeFeatures(garbage))
+    assert(Multimodal.decodeFeatures("fake/utf8", garbage)
+      sameElements Multimodal.stubDecodeFeatures(garbage))
+  }
+
+  test("extractFeatures over real encoded images: distributed decode, golden values") {
+    val png = testImage("png")
+    val rows = Seq(
+      (10L, "image/png", png),
+      (11L, "text/plain", "hello".getBytes("UTF-8")))
+      .toDF("media_id", "media_type", "payload")
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .withColumn("digest", md5(col("payload")))
+    val feats = Multimodal.extractFeatures(rows)(spark)
+      .collect().map(f => f.media_id -> f.features).toMap
+    assert(feats(10L).take(3).toSeq === Seq(4.0, 2.0, 8.0))
+    assert(feats(10L)(3) === 127.5)
+    assert(feats(11L) sameElements Multimodal.stubDecodeFeatures("hello".getBytes("UTF-8")))
+  }
+
   test("extractFeatures runs the typed mapPartitions batch path") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val feats = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
