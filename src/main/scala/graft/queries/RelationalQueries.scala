@@ -1133,6 +1133,35 @@ object RelationalQueries {
       LIMIT 20 OFFSET 40""")
   }
 
+  /** O5: KEYSET pagination — the scale-correct alternative to
+    * [[o4Offset]]'s LIMIT/OFFSET. OFFSET must compute-and-discard all
+    * skipped rows, so page N costs O(N·page) and deep pages serialize
+    * through the limit operator; the keyset form seeks from the last
+    * row the client saw — `(price, key) < cursor` under the page order
+    * — so EVERY page is the same cheap top-k over a filtered scan
+    * (TakeOrderedAndProject with per-partition heaps; no global sort,
+    * no discarded prefix; the predicate prunes at the scan). Returns
+    * page 3 of the o4 ordering, row-identical to OFFSET 40: the cursor
+    * (the 40th row) is derived here by a bounded top-k and broadcast —
+    * in production it is a remembered scalar from the previous page.
+    * Tie-safe: o_orderkey breaks o_totalprice ties in both the order
+    * and the seek predicate. */
+  val o5Keyset: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val cursor = o
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(40)
+      .orderBy(col("o_totalprice"), col("o_orderkey").desc) // the 40th row of the page order
+      .limit(1)
+      .select(col("o_totalprice").alias("last_price"), col("o_orderkey").alias("last_key"))
+    o.crossJoin(broadcast(cursor))
+      .filter(col("o_totalprice") < col("last_price") ||
+        (col("o_totalprice") === col("last_price") && col("o_orderkey") > col("last_key")))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).alias("price"))
+  }
+
   /** A22 (beyond reference parity): equal-frequency binning WITHOUT a
     * global sort — the scale-correct quartile bucketing. The naive form
     * (`ntile(4) OVER (ORDER BY price)`) serializes the table through
@@ -1808,6 +1837,17 @@ object RelationalQueries {
          FROM orders
          ORDER BY o_totalprice DESC, o_orderkey
          LIMIT 20 OFFSET 40""",
+    "o5_keyset" ->
+      """WITH cursor AS (
+           SELECT o_totalprice AS last_price, o_orderkey AS last_key
+           FROM orders ORDER BY o_totalprice DESC, o_orderkey
+           LIMIT 1 OFFSET 39)
+         SELECT o_orderkey, round(o_totalprice, 2) AS price
+         FROM orders, cursor
+         WHERE o_totalprice < last_price
+            OR (o_totalprice = last_price AND o_orderkey > last_key)
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 20""",
     "j11_nullsafe_join" ->
       """SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust
          FROM customer JOIN nation
@@ -2117,6 +2157,7 @@ object RelationalQueries {
     "a22_equifreq_bins" -> a22EquifreqBins,
     "x9_parts_supplier" -> x9PartsSupplier,
     "o4_offset" -> o4Offset,
+    "o5_keyset" -> o5Keyset,
     "x7_exists" -> x7Exists,
     "x8_not_exists" -> x8NotExists,
     "x6_large_orders" -> x6LargeOrders,

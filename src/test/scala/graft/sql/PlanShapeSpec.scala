@@ -120,6 +120,15 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
   }
 
+  test("keyset pagination (o5) seeks with a filter + top-k — no global sort, no discarded prefix") {
+    val p = plan("o5_keyset")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(3000))
+    // the page is a FILTERED top-k: the seek predicate exists in the
+    // plan (OFFSET would instead discard rows inside the limit operator)
+    assert(!p.toLowerCase.contains("offset"), p.take(3000))
+  }
+
   test("pivot with explicit values is one aggregation pass — no distinct-collect pre-job") {
     // without the explicit value list Spark runs a separate job to
     // collect distinct pivot keys — a wasted full scan at 100 TB. The
