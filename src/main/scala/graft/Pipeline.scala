@@ -131,9 +131,14 @@ object Pipeline {
       spark: SparkSession,
       layout: Layout,
       database: String = "weather_dwh",
-      includeFacts: Boolean = false): Unit = {
+      includeFacts: Boolean = false,
+      refreshStats: Boolean = true): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $database")
-    def external(name: String, path: String, partitioned: Boolean = false): Unit = {
+    def external(
+        name: String,
+        path: String,
+        partitioned: Boolean = false,
+        statCols: Seq[String] = Seq.empty): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS $database.$name")
       spark.sql(s"CREATE TABLE $database.$name USING parquet LOCATION '$path'")
       // external partitioned tables start with empty partition metadata;
@@ -141,15 +146,34 @@ object Pipeline {
       // partition (MSCK REPAIR TABLE), after which pruning is a catalog
       // lookup, not a filesystem walk
       if (partitioned) spark.sql(s"MSCK REPAIR TABLE $database.$name")
+      // stats refresh at load time: the CBO's join-order and broadcast
+      // decisions in FRESH sessions are only as good as catalog stats,
+      // and a table loaded without them estimates from file sizes alone.
+      // Table-level stats (row count/size) for everything; column
+      // histograms only for the join/filter keys that decide plans —
+      // at 100 TB "FOR ALL COLUMNS" on a fact table is its own scan of
+      // every column, so stats cost is budgeted like any other job.
+      if (refreshStats) {
+        spark.sql(s"ANALYZE TABLE $database.$name COMPUTE STATISTICS")
+        if (statCols.nonEmpty)
+          spark.sql(s"ANALYZE TABLE $database.$name COMPUTE STATISTICS FOR COLUMNS ${statCols.mkString(", ")}")
+      }
     }
-    external("current_weather", s"${layout.silverDir}/current_weather", partitioned = true)
-    external("forecast_weather", s"${layout.silverDir}/forecast_weather", partitioned = true)
-    external("dim_location", s"${layout.goldDir}/dim_location")
-    external("dim_date", s"${layout.goldDir}/dim_date")
+    external("current_weather", s"${layout.silverDir}/current_weather", partitioned = true,
+      statCols = Seq("location_name"))
+    external("forecast_weather", s"${layout.silverDir}/forecast_weather", partitioned = true,
+      statCols = Seq("location_name"))
+    external("dim_location", s"${layout.goldDir}/dim_location",
+      statCols = Seq("location_key", "location_name", "is_current"))
+    external("dim_date", s"${layout.goldDir}/dim_date",
+      statCols = Seq("date_key", "full_date"))
     if (includeFacts) {
-      external("fact_weather_actual", s"${layout.goldDir}/fact_weather_actual")
-      external("fact_weather_forecast", s"${layout.goldDir}/fact_weather_forecast")
-      external("fact_forecast_accuracy", s"${layout.goldDir}/fact_forecast_accuracy")
+      external("fact_weather_actual", s"${layout.goldDir}/fact_weather_actual",
+        statCols = Seq("location_key", "date_key"))
+      external("fact_weather_forecast", s"${layout.goldDir}/fact_weather_forecast",
+        statCols = Seq("location_key", "forecast_created_date_key", "forecast_for_date_key"))
+      external("fact_forecast_accuracy", s"${layout.goldDir}/fact_forecast_accuracy",
+        statCols = Seq("location_key", "forecast_created_date_key"))
     }
   }
 }

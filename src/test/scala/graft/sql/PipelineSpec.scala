@@ -151,6 +151,27 @@ class PipelineSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(p.contains("PartitionFilters: [") && p.contains("observation_date"), p.take(2000))
 
+    // stats were refreshed at load time: the fresh session's plans see
+    // catalog rowCount estimates with NO manual ANALYZE anywhere here
+    // (cbo.enabled only switches the estimator that READS them; stats
+    // resolve through the thread's ACTIVE session conf, so pin it)
+    fresh.conf.set("spark.sql.cbo.enabled", "true")
+    org.apache.spark.sql.classic.SparkSession.setActiveSession(
+      fresh.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+    try {
+      val stats = fresh.table("wx_cat_test.fact_forecast_accuracy")
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(2)), stats.toString)
+      val dimStats = fresh.table("wx_cat_test.dim_location")
+        .queryExecution.optimizedPlan.stats
+      assert(dimStats.rowCount.isDefined && dimStats.rowCount.get > 0, dimStats.toString)
+    } finally org.apache.spark.sql.classic.SparkSession.setActiveSession(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+    // column-level stats landed too (distinct counts on the join keys)
+    val cols = fresh.sql("DESCRIBE EXTENDED wx_cat_test.dim_location location_key")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cols.get("distinct_count").exists(_ != "NULL"), cols.toString)
+
     // external tables: dropping the catalog entry must not delete data
     fresh.sql("DROP TABLE wx_cat_test.dim_date")
     assert(new java.io.File(s"$root/gold/dim_date").exists())
