@@ -460,6 +460,34 @@ class StreamingSpec extends SparkSuite {
     assert(withStray.exceptAll(batch).count() === 0 && batch.exceptAll(withStray).count() === 0)
   }
 
+  test("state is bounded: 10x the input rows leaves the state-store row count unchanged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same event-time span and key cardinality, 10x the rows: windowed
+    // aggregation state is O(open windows x types), NOT O(input) — the
+    // property that lets the operator survive an unbounded feed
+    def stateRowsFor(n: Int): Long = {
+      val input = MemoryStream[EventStreams.Event]
+      val q = EventStreams.windowedCounts(input.toDF(), "10 minutes", "5 minutes")
+        .writeStream.format("noop").outputMode("update").start()
+      (0 until 3).foreach { b =>
+        input.addData((0 until n).map { i =>
+          EventStreams.Event(i % 50,
+            new java.sql.Timestamp(1704067200000L + (b * 10 + i * 10 / n) * 60000L),
+            Seq("click", "view")(i % 2), 1.0)
+        })
+        q.processAllAvailable()
+      }
+      val rows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      q.stop()
+      rows
+    }
+    val small = stateRowsFor(2000)
+    val big = stateRowsFor(20000)
+    assert(small > 0)
+    assert(big === small, s"state grew with input: $small -> $big")
+  }
+
   test("native session_window merges across micro-batches and emits once the watermark closes it") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
