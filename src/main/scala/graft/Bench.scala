@@ -32,6 +32,16 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional arg: comma-separated query subset ("headline" = the curated
+    // list above) for targeted runs at bigger SFs; no args = full corpus
+    // (the driver's contract). Subset runs write their per-query map to
+    // BENCH_SUBSET.json so the official BENCH_FULL.json is never clobbered
+    // by a partial run.
+    val subset: Option[Set[String]] = args.headOption.map {
+      case "headline" => headline.toSet
+      case s          => s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+    }
+    val fullOut = if (subset.isEmpty) "BENCH_FULL.json" else "BENCH_SUBSET.json"
     val spark = Sessions.local("graft-bench")
     // steady-state warm-up: exercise codegen, shuffle, and the parquet
     // reader once so the first timed query doesn't absorb JVM/session
@@ -54,7 +64,9 @@ object Bench {
     val c0 = System.nanoTime()
     graft.fixtures.WeatherDemo.ensureCatalog(spark)
     val catalogSec = (System.nanoTime() - c0) / 1e9
-    val outcomes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val outcomes = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => subset.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).count(); None }
@@ -70,7 +82,7 @@ object Bench {
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${outcomes.size},"queries":$fullQs,"errors":$errs,$boot,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
+      java.nio.file.Paths.get(fullOut),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val okMap = ok.map { case (k, v, _) => k -> v }.toMap
     val headQs = headline.flatMap(k => okMap.get(k).map(v => "\"" + k + "\":" + fmt(v)))
