@@ -100,6 +100,99 @@ object Sinks {
     spark.read.parquet(latestStateDir(spark, path, before = None).getOrElse(
       throw new IllegalStateException(s"no state_v=* directory under $path")))
 
+  /** Deterministic shard of a key tuple: Murmur3 hash (fixed seed — the
+    * SAME key lands in the SAME shard in every batch) mod `shards`. */
+  def shardOf(keyCols: Seq[String], shards: Int): org.apache.spark.sql.Column =
+    pmod(hash(keyCols.map(col): _*), lit(shards))
+
+  /** HASH-SHARDED upsert fold — the 100 TB shape of [[applyBatchUpsert]].
+    *
+    * The unsharded sink rewrites the WHOLE state every micro-batch
+    * (simple, atomic — fine while state ≪ batch cadence × IO budget).
+    * At 100 TB of state that rewrite is the bottleneck, and it's
+    * unnecessary: a fold is per-key, so a batch only changes the keys
+    * it carries. This variant partitions state into `shards` by key
+    * hash, each shard independently versioned
+    * (`shard=<s>/state_v=<batchId>`), and a micro-batch:
+    *
+    *  1. computes the DISTINCT shards its keys touch (≤ `shards` rows
+    *     to the driver — bounded, never data-sized);
+    *  2. for each touched shard, folds batch-shard rows into that
+    *     shard's latest state and writes ONE new shard version;
+    *  3. leaves untouched shards' files entirely alone.
+    *
+    * A batch touching k of S shards rewrites k/S of the state. Readers
+    * ([[readStateSharded]]) union each shard's LATEST version — one
+    * multi-path parquet read. Crash-replay stays idempotent per shard:
+    * a replayed batch rebuilds exactly its own `state_v=<batchId>`
+    * shard dirs from the same immutable inputs (shard membership is
+    * deterministic). [[vacuumState]] applies per shard directory.
+    *
+    * Returns the touched shard ids (diagnostics / tests). */
+  def applyBatchUpsertSharded(
+      df: DataFrame,
+      batchId: Long,
+      path: String,
+      keyCols: Seq[String],
+      versionCol: String,
+      opCol: String,
+      deleteOp: String,
+      shards: Int): Seq[Int] = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val spark = df.sparkSession
+    val withShard = df.withColumn("__shard", shardOf(keyCols, shards))
+    // bounded driver relation: at most `shards` rows
+    val touched = withShard.select("__shard").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    touched.foreach { s =>
+      val shardPath = s"$path/shard=$s"
+      val batchShard = withShard.filter(col("__shard") === s).drop("__shard")
+      val unioned = latestStateDir(spark, shardPath, before = Some(batchId))
+        .map(prev => spark.read.parquet(prev).unionByName(batchShard))
+        .getOrElse(batchShard)
+      graft.ops.ChangeData.applyChangelog(unioned, keyCols, versionCol, opCol, deleteOp)
+        .write.mode("overwrite").parquet(s"$shardPath/state_v=$batchId")
+    }
+    touched
+  }
+
+  /** Current materialized state of a sharded sink: union of every
+    * shard's latest version, as ONE multi-path parquet read. */
+  def readStateSharded(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root))
+      throw new IllegalStateException(s"no sharded state under $path")
+    val latest = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
+      .flatMap(st => latestStateDir(spark, st.getPath.toString, before = None))
+    if (latest.isEmpty)
+      throw new IllegalStateException(s"no shard has a state_v=* version under $path")
+    spark.read.parquet(latest: _*)
+  }
+
+  /** foreachBatch CDC upsert sink over sharded state — same contract as
+    * [[upsertStateSink]], O(touched shards / shards) rewrite per batch. */
+  def upsertStateSinkSharded(
+      stream: DataFrame,
+      path: String,
+      checkpoint: String,
+      keyCols: Seq[String],
+      versionCol: String,
+      opCol: String,
+      deleteOp: String = "D",
+      shards: Int = 64,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        applyBatchUpsertSharded(df, batchId, path, keyCols, versionCol, opCol, deleteOp, shards)
+        ()
+      }
+      .start()
+
   /** Safe parse of a `state_v=<N>` directory name. Non-numeric entries
     * (a leftover temp dir from an interrupted write, a foreign file
     * someone dropped in) are skipped — maintenance ops like

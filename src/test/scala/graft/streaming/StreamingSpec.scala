@@ -460,6 +460,68 @@ class StreamingSpec extends SparkSuite {
     assert(withStray.exceptAll(batch).count() === 0 && batch.exceptAll(withStray).count() === 0)
   }
 
+  test("sharded upsert state: parity with unsharded fold, untouched shards never rewritten, replay idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-upsert-sh")
+    val path = s"$root/state"
+    val shards = 8
+    def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    // batch 1: 40 keys spread over all shards
+    val b1 = (1L to 40L).map(u => EventStreams.Event(u, ts(u.toInt), "click", u.toDouble))
+    // batch 2: updates for exactly two keys (+1 delete) -> few shards touched
+    val b2 = Seq(
+      EventStreams.Event(7L, ts(100), "view", 777.0),
+      EventStreams.Event(23L, ts(101), "error", 0.0), // tombstone
+      EventStreams.Event(99L, ts(102), "click", 99.0))
+
+    val t1 = Sinks.applyBatchUpsertSharded(
+      b1.toDF(), 0L, path, Seq("user_id"), "event_time", "event_type", "error", shards)
+    assert(t1.nonEmpty && t1.size <= shards)
+    val t2 = Sinks.applyBatchUpsertSharded(
+      b2.toDF(), 1L, path, Seq("user_id"), "event_time", "event_type", "error", shards)
+    // 3 keys can touch at most 3 shards — the whole point of sharding
+    assert(t2.size <= 3, s"batch 2 touched $t2")
+
+    // parity: sharded state == one-shot changelog compaction of all rows
+    val expected = graft.ops.ChangeData.applyChangelog(
+      (b1 ++ b2).toDF(), Seq("user_id"), "event_time", "event_type", deleteOp = "error")
+    val got = Sinks.readStateSharded(spark, path)
+    assert(got.exceptAll(expected).count() === 0 && expected.exceptAll(got).count() === 0)
+    assert(got.filter(col("user_id") === 23L).isEmpty) // tombstone applied
+    assert(got.filter(col("user_id") === 7L).head().getDouble(3) === 777.0)
+
+    // untouched shards still have ONLY their batch-0 version (no rewrite)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val untouched = t1.filterNot(t2.contains)
+    assert(untouched.nonEmpty)
+    untouched.foreach { s =>
+      val versions = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/shard=$s"))
+        .map(_.getPath.getName).filter(_.startsWith("state_v=")).toSeq
+      assert(versions === Seq("state_v=0"), s"shard $s was rewritten: $versions")
+    }
+
+    // crash replay of batch 2: same immutable inputs -> identical state
+    Sinks.applyBatchUpsertSharded(
+      b2.toDF(), 1L, path, Seq("user_id"), "event_time", "event_type", "error", shards)
+    val replayed = Sinks.readStateSharded(spark, path)
+    assert(replayed.exceptAll(expected).count() === 0 && expected.exceptAll(replayed).count() === 0)
+
+    // the streaming wrapper drives the same fold end-to-end
+    val input = MemoryStream[EventStreams.Event]
+    input.addData(b1: _*)
+    val q = Sinks.upsertStateSinkSharded(
+      input.toDS().toDF(), s"$root/state2", s"$root/ckpt2",
+      keyCols = Seq("user_id"), versionCol = "event_time", opCol = "event_type",
+      deleteOp = "error", shards = shards)
+    q.awaitTermination()
+    val streamed = Sinks.readStateSharded(spark, s"$root/state2")
+    val exp1 = graft.ops.ChangeData.applyChangelog(
+      b1.toDF(), Seq("user_id"), "event_time", "event_type", deleteOp = "error")
+    assert(streamed.exceptAll(exp1).count() === 0 && exp1.exceptAll(streamed).count() === 0)
+  }
+
   test("state is bounded: 10x the input rows leaves the state-store row count unchanged") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
