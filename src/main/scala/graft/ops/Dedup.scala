@@ -345,6 +345,57 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash BANDED near-dup pairs — the SimHash counterpart of MinHash
+    * LSH, and the operator that makes a simhash signature useful at
+    * scale (pairwise Hamming over a corpus is n²; banding is not).
+    *
+    * The `bits`-bit portable signature is sliced into `bands`
+    * contiguous `bits/bands`-bit slices; two docs become CANDIDATES iff
+    * they agree on at least one slice (pigeonhole guarantee: any pair
+    * within Hamming distance `bands − 1` differs in fewer bits than
+    * there are bands, so some band holds no differing bit and they MUST
+    * collide — recall 1.0 below that distance, probabilistic above).
+    * Candidates then pay the exact Hamming check; only pairs ≤
+    * `maxHamming` survive.
+    *
+    * Scale shape mirrors [[lshCandidatePairs]]: one shuffle keyed
+    * (band, slice), bucket-occupancy cap BEFORE collect_list, pairs via
+    * in-bucket combinations — never an all-pairs join. The signature is
+    * computed once per doc and rides through the band generator as an
+    * attribute. */
+  def simhashBandPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int = 48,
+      bands: Int = 4,
+      maxHamming: Int = 6,
+      maxBucket: Int = 1000): DataFrame = {
+    require(bits % bands == 0, s"bits ($bits) must divide into bands ($bands)")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val sigs = df.select(col(idCol).alias("__id"), simhashPortable(col(textCol), bits).alias("__sig"))
+    val banded = sigs
+      .select(col("__id"), col("__sig"),
+        explode(sequence(lit(0), lit(bands - 1))).alias("band"))
+      .withColumn("slice",
+        call_function("shiftright", col("__sig"), col("band") * bandBits).bitwiseAND(mask))
+    val cands = banded
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("band"), col("slice"))))
+      .filter(col("__bn") > 1 && col("__bn") <= maxBucket)
+      .groupBy(col("band"), col("slice"))
+      .agg(collect_list(col("__id")).alias("__ids"))
+      .select(explode(pairCombinations(col("__ids"))).alias("__p"))
+      .select(col("__p.id1").alias("id1"), col("__p.id2").alias("id2"))
+      .distinct()
+    cands
+      .join(sigs.select(col("__id").alias("id1"), col("__sig").alias("__s1")), Seq("id1"))
+      .join(sigs.select(col("__id").alias("id2"), col("__sig").alias("__s2")), Seq("id2"))
+      .withColumn("hamming", hamming64(col("__s1"), col("__s2")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+
   /** Portable SimHash: per-token hash = first 60 bits of md5 (hex-parsed),
     * 48 signature bits. Bit-for-bit reproducible in ANY engine with md5 —
     * the `dd_simhash_md5` entry's DuckDB oracle recomputes the whole

@@ -187,6 +187,23 @@ object LlmQueries {
       .orderBy(col("orig_id"))
   }
 
+  /** SimHash BANDED near-dup detection ([[Dedup.simhashBandPairs]]):
+    * candidates from band-slice bucket collisions (pigeonhole recall
+    * 1.0 within Hamming ≤ bands−1; never an all-pairs join), verified
+    * by exact Hamming ≤ 6. The DuckDB oracle replays signatures, the
+    * agree-on-any-band candidate rule, and the Hamming filter. */
+  val ddSimhashBand: Q = (s, d) => {
+    val base = Tables.documents(s, d).filter(col("doc_id") < 2000)
+    val corpus = base.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"), col("text"))
+      .unionAll(
+        base.filter(pmod(col("doc_id"), lit(10)) === 5)
+          .select((col("doc_id") + 200000).alias("doc_id"),
+            concat(col("text"), lit(" zqxmutation")).alias("text")))
+    Dedup.simhashBandPairs(corpus, "doc_id", "text")
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** Brute-force cosine top-k ([[graft.ops.Similarity.bruteTopK]]) —
     * the exact baseline, vs a DuckDB list_cosine_similarity oracle. */
   val annBruteTopK: Q = (s, d) =>
@@ -829,6 +846,24 @@ object LlmQueries {
           SELECT orig_id, orig_sig, mut_sig,
                  CAST(bit_count(xor(orig_sig, mut_sig)) AS INT) AS hamming
           FROM s ORDER BY orig_id""",
+    "dd_simhash_band" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+              corpus AS (
+                SELECT doc_id, text FROM base WHERE doc_id % 2 = 1
+                UNION ALL
+                SELECT doc_id + 200000 AS doc_id, text || ' zqxmutation' AS text
+                FROM base WHERE doc_id % 10 = 5),
+              s AS (SELECT doc_id, ${simhashSql("text")} AS sig FROM corpus),
+              p AS (
+                SELECT a.doc_id AS id1, b.doc_id AS id2,
+                       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+                FROM s a JOIN s b ON a.doc_id < b.doc_id
+                WHERE ((a.sig >> 0) & 4095) = ((b.sig >> 0) & 4095)
+                   OR ((a.sig >> 12) & 4095) = ((b.sig >> 12) & 4095)
+                   OR ((a.sig >> 24) & 4095) = ((b.sig >> 24) & 4095)
+                   OR ((a.sig >> 36) & 4095) = ((b.sig >> 36) & 4095))
+          SELECT id1, id2, hamming FROM p WHERE hamming <= 6
+          ORDER BY id1, id2""",
     "dd_simhash_md5" ->
       s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents WHERE doc_id < 100),
                h AS (SELECT doc_id, list_transform(w,
@@ -1051,6 +1086,7 @@ object LlmQueries {
     "dd_corpus_dedup" -> ddCorpusDedup,
     "cp_corpus_clean" -> cpCorpusClean,
     "dd_simhash" -> ddSimhash,
+    "dd_simhash_band" -> ddSimhashBand,
     "ann_brute_topk" -> annBruteTopK,
     "ann_ivf_topk" -> annIvfTopK,
     "ann_ivf_trained" -> annIvfTrained,

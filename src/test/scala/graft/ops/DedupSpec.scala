@@ -138,6 +138,21 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("simhash banding: identical docs pair at hamming 0; pigeonhole recall within bands-1; unrelated pairs excluded") {
+    val pairs = Dedup.simhashBandPairs(docs, "doc_id", "text", maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // exact duplicates (1,2) always collide in EVERY band, distance 0
+    assert(pairs.get((1L, 2L)).contains(0))
+    // near-dup (1,3): one changed word -> small distance; pigeonhole
+    // guarantees the candidate whenever hamming <= bands-1 = 3, and the
+    // mutation here stays within the verify threshold
+    assert(pairs.contains((1L, 3L)), pairs.toString)
+    assert(pairs((1L, 3L)) <= 12)
+    // unrelated docs are far apart: even if a band slice collides by
+    // chance, the exact Hamming verification drops them
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((4L, 5L)), pairs.toString)
+  }
+
   test("jaccard expression is exact") {
     val j = spark.range(1)
       .select(Dedup.jaccard(array(lit("a"), lit("b"), lit("c")), array(lit("b"), lit("c"), lit("d"))).alias("j"))
