@@ -251,6 +251,66 @@ object Ivf {
     * identical either way, and with `nProbe = nCells` the result is
     * exactly brute force regardless of centroid quality (which is what
     * lets the trained variant share the exact oracle). */
+  /** PERSIST the inverted file: assignment rows written `partitionBy`
+    * cell (one directory per cell) plus the centroid table — the
+    * durable form of the index this file's Scaladoc promises ("at
+    * 100 TB it would be written bucketed by cell id so probes become
+    * partition-pruned scans"). Build once, amortize over every query
+    * batch; [[searchIndex]] reads ONLY the probed cells' directories.
+    * `iterations > 0` refines the coarse quantizer with spherical
+    * k-means ([[trainCentroids]]) before assignment. */
+  def writeIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nCells: Int = 32,
+      iterations: Int = 0): Unit = {
+    val normed = normalized(corpus, idCol, vecCol)
+    val cents =
+      if (iterations > 0) trainCentroids(corpus, idCol, vecCol, nCells, iterations)
+      else seedCentroids(normed, nCells)
+    val assigned = assignTo(normed, cents)
+    assigned.select(col("cell"), col("__id"), col("__v"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Search a [[writeIndex]]-persisted inverted file. The probe list
+    * (≤ queries × nProbe cell ids — bounded, never corpus-sized) is
+    * collected and pushed as a STATIC partition filter, so the scan
+    * reads `nProbe`-ish of `nCells` directories and the rest of the
+    * corpus is never opened (partition pruning, pinned in
+    * `PlanShapeSpec`). Queries are looked up by id inside the index
+    * itself (footer-pruned scan on `__id`) — external query vectors
+    * would skip that lookup but search identically. */
+  def searchIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queryIds: Seq[Long],
+      k: Int,
+      nProbe: Int = 8): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val cells = spark.read.parquet(s"$path/cells")
+    val queries = cells.filter(col("__id").isin(queryIds: _*))
+      .select(col("__id").alias("q_id"), col("__v").alias("__qv"))
+    val probes = queries
+      .join(broadcast(cents))
+      .withColumn("__sim", native.dotProduct(col("__qv"), col("__cv")))
+      .withColumn("__rk", row_number().over(Window.partitionBy(col("q_id")).orderBy(col("__sim").desc, col("cell"))))
+      .filter(col("__rk") <= nProbe)
+      .select(col("q_id"), col("__qv"), col("cell"))
+    val probedCells = probes.select(col("cell")).distinct().collect().map(_.get(0))
+    val pruned = cells.filter(col("cell").isin(probedCells: _*))
+    probes
+      .join(pruned.select(col("cell"), col("__id").alias("n_id"), col("__v").alias("__nv")), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", native.dotProduct(col("__qv"), col("__nv")))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).alias("sim"))
+  }
+
   def topK(
       corpus: DataFrame,
       idCol: String,

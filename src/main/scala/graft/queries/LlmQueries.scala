@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Contamination, Dedup, Multimodal, Quantization, Redaction, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Contamination, Dedup, Ivf, Multimodal, Quantization, Redaction, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -156,6 +156,22 @@ object LlmQueries {
     graft.ops.Ivf.topK(emb, "vec_id", "embedding", Seq(0L, 1L, 2L, 3L, 4L), 3,
       nCells = 16, nProbe = 16, centroids = Some(cents))
       .select(col("q_id"), col("rnk"), col("n_id"), col("sim"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** PERSISTED IVF index with a PARTIAL probe ([[graft.ops.Ivf]]
+    * writeIndex/searchIndex): the index is built to disk partitioned by
+    * cell, and the search reads only the 4-of-16 probed cell
+    * directories (partition-pruned, pinned in PlanShapeSpec). Unlike
+    * `ann_ivf_topk` (full probe ⇒ exact ⇒ brute oracle), this entry's
+    * DuckDB oracle replays the ENTIRE IVF contract in SQL: seed
+    * centroids, argmax cell assignment, per-query probe ranking, and
+    * the pruned-cell cosine top-k — partial-probe semantics verified
+    * value-for-value. */
+  val annIvfDisk: Q = (s, d) => {
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_${Integer.toHexString(d.hashCode)}"
+    Ivf.writeIndex(Tables.embeddings(s, d), "vec_id", "embedding", idx, nCells = 16)
+    Ivf.searchIndex(s, idx, Seq(0L, 1L, 2L, 3L, 4L), 3, nProbe = 4)
       .orderBy(col("q_id"), col("rnk"))
   }
 
@@ -711,6 +727,38 @@ object LlmQueries {
                 FROM scored)
          SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, round(s, 4) AS sim
          FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk""",
+    // Full IVF replay: seed centroids = first 16 vec_ids; cell = argmax
+    // cosine vs centroids (cosine of raw vectors ≡ dot of normalized,
+    // which is what the Spark side computes); probes = top-4 cells per
+    // query; candidates = vectors assigned to probed cells; rank by
+    // cosine desc, id tie-break. Same tie-break (cell asc) everywhere.
+    "ann_ivf_disk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              cents AS (SELECT vec_id AS cell, e AS cv FROM v ORDER BY vec_id LIMIT 16),
+              asg AS (
+                SELECT v.vec_id, v.e, c.cell,
+                       row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY list_cosine_similarity(v.e, c.cv) DESC, c.cell) AS rk
+                FROM v CROSS JOIN cents c),
+              a AS (SELECT vec_id, e, cell FROM asg WHERE rk = 1),
+              q AS (SELECT vec_id AS q_id, e AS qe FROM a WHERE vec_id < 5),
+              pb AS (
+                SELECT q.q_id, q.qe, c.cell,
+                       row_number() OVER (PARTITION BY q.q_id
+                         ORDER BY list_cosine_similarity(q.qe, c.cv) DESC, c.cell) AS prk
+                FROM q CROSS JOIN cents c),
+              pr AS (SELECT q_id, qe, cell FROM pb WHERE prk <= 4),
+              scored AS (
+                SELECT pr.q_id, a.vec_id AS n_id,
+                       list_cosine_similarity(pr.qe, a.e) AS s
+                FROM pr JOIN a ON a.cell = pr.cell
+                WHERE a.vec_id <> pr.q_id),
+              ranked AS (
+                SELECT q_id, n_id, s,
+                       row_number() OVER (PARTITION BY q_id ORDER BY s DESC, n_id) AS rnk
+                FROM scored)
+         SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, round(s, 4) AS sim
+         FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk""",
     // Candidate rule: same band slice of the sign signature (bucket-hash
     // equality in Spark ⟺ slice equality — xxhash64 only compresses the
     // key); verification = exact cosine, ranked desc with id tie-break.
@@ -1090,6 +1138,7 @@ object LlmQueries {
     "ann_brute_topk" -> annBruteTopK,
     "ann_ivf_topk" -> annIvfTopK,
     "ann_ivf_trained" -> annIvfTrained,
+    "ann_ivf_disk" -> annIvfDisk,
     "ann_lsh_topk" -> annLshTopK,
     "ann_mplsh_topk" -> annMplshTopK,
     "cos_near_dup" -> cosNearDup,

@@ -174,6 +174,29 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("persisted IVF index: search equals in-memory IVF; full probe equals brute; scan reads only probed cells") {
+    val emb = Tables.embeddings(spark, sf())
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+    Ivf.writeIndex(emb, "vec_id", "embedding", idx, nCells = 16)
+    val qids = Seq(100L, 101L, 102L, 103L, 104L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rnk"), r.getAs[Long]("n_id"))).toSet
+
+    // partial probe from disk == partial probe in memory (same centroids)
+    val disk = Ivf.searchIndex(spark, idx, qids, 10, nProbe = 4)
+    val mem = Ivf.topK(emb, "vec_id", "embedding", qids, 10, nCells = 16, nProbe = 4)
+    assert(rows(disk) === rows(mem))
+    // full probe from disk == exact
+    val brute = Similarity.bruteTopK(emb, "vec_id", "embedding", qids, 10)
+    assert(rows(Ivf.searchIndex(spark, idx, qids, 10, nProbe = 16)) === rows(brute))
+
+    // the probed-cell scan is partition-pruned: the candidate read
+    // carries a partition filter on cell (AQE hides scan nodes from
+    // collectLeaves, so pin via the executed-plan text)
+    val planStr = disk.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(planStr).isDefined, planStr.take(3000))
+  }
+
   test("IVF with k-means-trained centroids: unit norms, stable cells, full probe ≡ brute force") {
     val emb = Tables.embeddings(spark, sf())
     val cents = Ivf.trainCentroids(emb, "vec_id", "embedding", nCells = 8, iterations = 2)
