@@ -349,6 +349,57 @@ object TextAnalysis {
         array_join(col("col"), " ").alias("chunk_text"))
   }
 
+  /** CONTENT-DEFINED chunking: boundaries come from token content (a
+    * token whose portable hash ≡ 0 mod `modulus` closes its chunk), not
+    * from fixed offsets — so an edit near the start of a document
+    * shifts only the chunks up to the next boundary, and every later
+    * chunk keeps its exact text (and digest). That edit-stability is
+    * the point: chunk-level dedup over a corpus of near-identical
+    * documents (mirrors, revisions) only works when unchanged regions
+    * re-produce IDENTICAL chunks, which fixed-stride chunking ([[chunk]])
+    * destroys after any insertion. Average chunk length ≈ `modulus`
+    * tokens (geometric); md5-derived hash makes the rule replayable in
+    * any engine (same trick as [[graft.ops.Dedup.simhashPortable]]).
+    *
+    * Narrow per-doc generator — boundary positions, slices, and digests
+    * are higher-order array expressions; no shuffle, no state. */
+  def contentDefinedChunks(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      modulus: Int = 16): DataFrame = {
+    require(modulus > 1, s"modulus must be > 1, got $modulus")
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val n = size(col("__t"))
+    // boundary AFTER position i (1-based) iff hash(token_i) % modulus == 0
+    val bounds = filter(
+      sequence(lit(1), n),
+      i => pmod(conv(substring(md5(element_at(col("__t"), i)), 1, 15), 16, 10).cast("long"),
+        lit(modulus.toLong)) === 0)
+    // chunk start positions: 1 + each boundary that is not the last token
+    val starts = concat(
+      array(lit(1)),
+      transform(filter(col("__b"), p => p < n), p => p + 1))
+    docs
+      .select(col(idCol), toks.alias("__t"))
+      .filter(size(col("__t")) > 0)
+      .withColumn("__b", bounds)
+      .withColumn("__s", starts)
+      .select(col(idCol), col("__t"),
+        posexplode(
+          zip_with(
+            col("__s"),
+            // chunk end = next boundary (or doc end for the tail chunk)
+            concat(filter(col("__b"), p => p < n), array(n)),
+            (s, e) => struct(s.alias("s"), e.alias("e")))))
+      .select(
+        col(idCol),
+        col("pos").cast("int").alias("chunk_idx"),
+        (col("col.e") - col("col.s") + 1).cast("int").alias("chunk_tokens"),
+        md5(array_join(slice(col("__t"), col("col.s"), col("col.e") - col("col.s") + 1), " "))
+          .alias("chunk_digest"))
+  }
+
   /** Full per-document profile in one narrow pass. Tokenization is
     * hoisted into its own projection (`__w`), so the text is split ONCE
     * per document; every word-derived signal reads the attribute.

@@ -472,6 +472,15 @@ object LlmQueries {
       .select(col("doc_id"), Dedup.simhashPortable(col("text")).alias("simhash"))
       .orderBy(col("doc_id"))
 
+  /** Content-defined chunking ([[TextAnalysis.contentDefinedChunks]]):
+    * rolling-hash boundaries make chunk identity stable under edits —
+    * the chunk-level dedup precondition fixed-stride chunking can't
+    * give. Oracle replays boundary rule, slices, and digests. */
+  val g7CdcChunk: Q = (s, d) =>
+    TextAnalysis.contentDefinedChunks(
+      Tables.documents(s, d).filter(col("doc_id") < 500), "doc_id", "text")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   /** Corpus token-count histogram (the length-distribution audit every
     * mixing plan starts from): docs per 20-token bucket + bucket token
     * mass. */
@@ -894,6 +903,31 @@ object LlmQueries {
           SELECT orig_id, orig_sig, mut_sig,
                  CAST(bit_count(xor(orig_sig, mut_sig)) AS INT) AS hamming
           FROM s ORDER BY orig_id""",
+    // Content-defined chunking replay: same tokenization (no lowering —
+    // chunk digests keep case), md5-derived boundary rule, 1-based
+    // end-inclusive slices, digests of space-joined token runs.
+    "g7_cdc_chunk" ->
+      """WITH t AS (SELECT doc_id, list_filter(str_split_regex(text, '\s+'), x -> len(x) > 0) AS w
+                    FROM documents WHERE doc_id < 500),
+              t2 AS (SELECT doc_id, w, len(w) AS n,
+                            list_filter(range(1, len(w) + 1), i ->
+                              CAST(concat('0x', substr(md5(w[CAST(i AS INT)]), 1, 15)) AS BIGINT) % 16 = 0) AS b
+                     FROM t WHERE len(w) > 0),
+              s AS (SELECT doc_id, w, n,
+                           list_concat([CAST(1 AS BIGINT)],
+                             list_transform(list_filter(b, p -> p < n), p -> p + 1)) AS st,
+                           list_concat(list_filter(b, p -> p < n), [n]) AS en
+                    FROM t2),
+              c AS (SELECT doc_id,
+                           unnest(list_transform(range(1, len(st) + 1), i ->
+                             {'idx': i - 1,
+                              'tok': en[CAST(i AS INT)] - st[CAST(i AS INT)] + 1,
+                              'dig': md5(array_to_string(
+                                       w[CAST(st[CAST(i AS INT)] AS INT):CAST(en[CAST(i AS INT)] AS INT)], ' '))})) AS u
+                    FROM s)
+         SELECT doc_id, CAST(u.idx AS INT) AS chunk_idx,
+                CAST(u.tok AS INT) AS chunk_tokens, u.dig AS chunk_digest
+         FROM c ORDER BY doc_id, chunk_idx""",
     "dd_simhash_band" ->
       s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
               corpus AS (
@@ -1135,6 +1169,7 @@ object LlmQueries {
     "cp_corpus_clean" -> cpCorpusClean,
     "dd_simhash" -> ddSimhash,
     "dd_simhash_band" -> ddSimhashBand,
+    "g7_cdc_chunk" -> g7CdcChunk,
     "ann_brute_topk" -> annBruteTopK,
     "ann_ivf_topk" -> annIvfTopK,
     "ann_ivf_trained" -> annIvfTrained,

@@ -64,6 +64,41 @@ class PackingSpec extends SparkSuite {
     assert(out.length === 1 && out(0).getInt(2) === 3 && out(0).getString(3) === "a b c")
   }
 
+  test("content-defined chunks: cover every token, edit-stable after the first boundary, fixed-stride is not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val seed = new scala.util.Random(42)
+    val words = (1 to 400).map(_ => ('a' + seed.nextInt(26)).toChar.toString * (1 + seed.nextInt(5)))
+    val original = words.mkString(" ")
+    val edited = "zzz " + original // one token inserted at the front
+    val docs = Seq((1L, original), (2L, edited)).toDF("doc_id", "text")
+    val chunks = TextAnalysis.contentDefinedChunks(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+
+    // coverage: chunk token counts sum to the doc's token count
+    assert(chunks.filter(_._1 == 1L).map(_._3).sum === 400)
+    assert(chunks.filter(_._1 == 2L).map(_._3).sum === 401)
+
+    // edit-stability: every chunk of the ORIGINAL except its first also
+    // appears, digest-identical, in the EDITED doc — the insertion only
+    // disturbed the region before the first boundary
+    val origDigests = chunks.filter(_._1 == 1L).sortBy(_._2).map(_._4)
+    val editDigests = chunks.filter(_._1 == 2L).map(_._4).toSet
+    assert(origDigests.length > 3, s"want several chunks, got ${origDigests.length}")
+    val surviving = origDigests.drop(1).count(editDigests.contains)
+    assert(surviving === origDigests.length - 1,
+      s"only $surviving of ${origDigests.length - 1} post-edit chunks survived")
+
+    // the contrast that motivates the operator: fixed-stride chunking
+    // shifts EVERY chunk after a front insertion
+    val fixed = TextAnalysis.chunk(docs, "doc_id", "text", size = 32, stride = 32)
+      .withColumn("d", md5(col("chunk_text")))
+      .collect().map(r => (r.getLong(0), r.getAs[String]("d")))
+    val f1 = fixed.filter(_._1 == 1L).map(_._2).toSet
+    val f2 = fixed.filter(_._1 == 2L).map(_._2).toSet
+    assert((f1 & f2).size <= 1, s"fixed-stride unexpectedly stable: ${(f1 & f2).size}")
+  }
+
   test("bm25: higher tf scores higher within a document; rare terms outscore common ones") {
     val docs = Seq(
       (1L, "apple apple apple banana common"),
