@@ -294,6 +294,34 @@ object Dedup {
       .select(col("name1"), col("name2"), col("dist"))
   }
 
+  /** Chunk-overlap near-dup pairs: document pairs sharing at least
+    * `minShared` content-defined chunks
+    * ([[graft.ops.TextAnalysis.contentDefinedChunks]]). Because CDC
+    * chunk identity is edit-stable, two revisions of a document share
+    * every chunk outside their edited regions — so shared-chunk count
+    * is a structural containment signal that survives local edits,
+    * where whole-doc digests (exact dedup) see nothing and
+    * shingle-Jaccard needs the full pairwise estimate. Scale shape:
+    * one shuffle keyed by chunk digest, in-bucket pair combinations
+    * with an occupancy cap (the [[lshCandidatePairs]] idiom — never an
+    * all-pairs join), one pair-keyed count. */
+  def chunkOverlapPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      modulus: Int = 16,
+      minShared: Int = 3,
+      maxBucket: Int = 1000): DataFrame =
+    TextAnalysis.contentDefinedChunks(df, idCol, textCol, modulus)
+      .groupBy(col("chunk_digest"))
+      .agg(collect_set(col(idCol)).alias("__ids"))
+      .filter(size(col("__ids")) > 1 && size(col("__ids")) <= maxBucket)
+      .select(explode(pairCombinations(col("__ids"))).alias("__p"))
+      .select(col("__p.id1"), col("__p.id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).alias("shared_chunks"))
+      .filter(col("shared_chunks") >= minShared)
+
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

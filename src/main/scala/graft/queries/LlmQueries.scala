@@ -481,6 +481,24 @@ object LlmQueries {
       Tables.documents(s, d).filter(col("doc_id") < 500), "doc_id", "text")
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** Chunk-overlap near-dup detection ([[Dedup.chunkOverlapPairs]]):
+    * the dedup application of content-defined chunking — each mutated
+    * near-copy (suffix edit) shares every chunk of its original except
+    * the last, so the pair surfaces by shared-chunk count with no
+    * pairwise text comparison anywhere. Oracle replays chunk digests
+    * and the shared-count rule. */
+  val ddChunkOverlap: Q = (s, d) => {
+    val base = Tables.documents(s, d).filter(col("doc_id") < 1000)
+    val corpus = base.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"), col("text"))
+      .unionAll(
+        base.filter(pmod(col("doc_id"), lit(10)) === 5)
+          .select((col("doc_id") + 200000).alias("doc_id"),
+            concat(col("text"), lit(" zqxmutation")).alias("text")))
+    Dedup.chunkOverlapPairs(corpus, "doc_id", "text")
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** Corpus token-count histogram (the length-distribution audit every
     * mixing plan starts from): docs per 20-token bucket + bucket token
     * mass. */
@@ -903,6 +921,38 @@ object LlmQueries {
           SELECT orig_id, orig_sig, mut_sig,
                  CAST(bit_count(xor(orig_sig, mut_sig)) AS INT) AS hamming
           FROM s ORDER BY orig_id""",
+    // Chunk digests over the near-dup corpus (same CDC replay as
+    // g7_cdc_chunk, digest-only), then pairs by shared-digest count.
+    // count(DISTINCT digest) ⇔ Spark's one-pair-per-digest emission
+    // when a digest repeats inside one document.
+    "dd_chunk_overlap" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+              corpus AS (
+                SELECT doc_id, text FROM base WHERE doc_id % 2 = 1
+                UNION ALL
+                SELECT doc_id + 200000 AS doc_id, text || ' zqxmutation' AS text
+                FROM base WHERE doc_id % 10 = 5),
+              t AS (SELECT doc_id, list_filter(str_split_regex(text, '\s+'), x -> len(x) > 0) AS w
+                    FROM corpus),
+              t2 AS (SELECT doc_id, w, len(w) AS n,
+                            list_filter(range(1, len(w) + 1), i ->
+                              CAST(concat('0x', substr(md5(w[CAST(i AS INT)]), 1, 15)) AS BIGINT) % 16 = 0) AS b
+                     FROM t WHERE len(w) > 0),
+              s AS (SELECT doc_id, w, n,
+                           list_concat([CAST(1 AS BIGINT)],
+                             list_transform(list_filter(b, p -> p < n), p -> p + 1)) AS st,
+                           list_concat(list_filter(b, p -> p < n), [n]) AS en
+                    FROM t2),
+              chunks AS (SELECT doc_id,
+                                unnest(list_transform(range(1, len(st) + 1), i ->
+                                  md5(array_to_string(
+                                    w[CAST(st[CAST(i AS INT)] AS INT):CAST(en[CAST(i AS INT)] AS INT)], ' ')))) AS dig
+                         FROM s)
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+                CAST(count(DISTINCT a.dig) AS BIGINT) AS shared_chunks
+         FROM chunks a JOIN chunks b ON a.dig = b.dig AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(DISTINCT a.dig) >= 3
+         ORDER BY id1, id2""",
     // Content-defined chunking replay: same tokenization (no lowering —
     // chunk digests keep case), md5-derived boundary rule, 1-based
     // end-inclusive slices, digests of space-joined token runs.
@@ -1170,6 +1220,7 @@ object LlmQueries {
     "dd_simhash" -> ddSimhash,
     "dd_simhash_band" -> ddSimhashBand,
     "g7_cdc_chunk" -> g7CdcChunk,
+    "dd_chunk_overlap" -> ddChunkOverlap,
     "ann_brute_topk" -> annBruteTopK,
     "ann_ivf_topk" -> annIvfTopK,
     "ann_ivf_trained" -> annIvfTrained,

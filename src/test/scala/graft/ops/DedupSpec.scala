@@ -153,6 +153,22 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.contains((1L, 4L)) && !pairs.contains((4L, 5L)), pairs.toString)
   }
 
+  test("chunk overlap surfaces a suffix-edited near-dup; unrelated docs share nothing") {
+    val r = new scala.util.Random(7)
+    val body = (1 to 300).map(_ => ('a' + r.nextInt(26)).toChar.toString * (1 + r.nextInt(4))).mkString(" ")
+    val other = (1 to 300).map(_ => ('A' + r.nextInt(26)).toChar.toString * (1 + r.nextInt(4))).mkString(" ")
+    val corpus = Seq((1L, body), (2L, body + " suffixedit"), (3L, other))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.chunkOverlapPairs(corpus, "doc_id", "text")
+      .collect().map(re => (re.getLong(0), re.getLong(1)) -> re.getLong(2)).toMap
+    val nChunks = graft.ops.TextAnalysis.contentDefinedChunks(corpus.limit(1), "doc_id", "text").count()
+    // the suffix edit disturbs only the tail region (the last chunk,
+    // plus possibly the penultimate when the final boundary shifts or a
+    // digest repeats): nearly all chunks stay shared
+    assert(pairs.get((1L, 2L)).exists(_ >= nChunks - 2), s"pairs=$pairs nChunks=$nChunks")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)), pairs.toString)
+  }
+
   test("jaccard expression is exact") {
     val j = spark.range(1)
       .select(Dedup.jaccard(array(lit("a"), lit("b"), lit("c")), array(lit("b"), lit("c"), lit("d"))).alias("j"))
