@@ -52,6 +52,140 @@ object ChangeData {
       .select(changes.columns.map(col): _*)
   }
 
+  /** MERGE INTO: the warehouse upsert statement — apply a source
+    * relation to a target table with the classic three clauses, clause
+    * order matching ANSI/Delta semantics:
+    *
+    *   - WHEN MATCHED AND `deleteWhen` THEN DELETE  (checked first)
+    *   - WHEN MATCHED THEN UPDATE SET `updateSet`
+    *   - WHEN NOT MATCHED [AND `insertWhen`] THEN INSERT
+    *   - rows of `target` with no source match pass through unchanged
+    *     (no NOT-MATCHED-BY-SOURCE clause — the reference has no
+    *     equivalent either; compose with [[applyChangelog]] if needed)
+    *
+    * Expressions in `updateSet` / `deleteWhen` / `insertValues` /
+    * `insertWhen` reference the two sides through the aliases `__t`
+    * (target) and `__s` (source), e.g.
+    * `col("__t.acctbal") + col("__s.delta")`.
+    *
+    * MERGE requires each target row to match at most one source row
+    * (ANSI: "cardinality violation"); `checkDuplicateSourceKeys`
+    * enforces it with one aggregate over the (small) source side.
+    *
+    * Scale notes (100 TB):
+    *   - `broadcastSource = true` is the low-shuffle plan for the usual
+    *     shape (huge target, small batch): matched/unmatched-target
+    *     rows ride ONE broadcast hash left-outer join — the wide
+    *     target never shuffles — and inserts come from a second,
+    *     key-column-only pass of the source against the target's key
+    *     projection. Spark cannot broadcast a full-outer join, so the
+    *     general path (`broadcastSource = false`) is one shuffle per
+    *     side on the key.
+    *   - Pair with [[graft.store.SnapshotStore]] (see `mergeCommit`)
+    *     so the rewrite publishes atomically, and with the sharded
+    *     state layout of [[graft.streaming.Sinks]] when only touched
+    *     shards should rewrite.
+    */
+  def mergeInto(
+      target: DataFrame,
+      source: DataFrame,
+      keyCols: Seq[String],
+      updateSet: Map[String, Column],
+      deleteWhen: Option[Column] = None,
+      insertValues: Map[String, Column] = Map.empty,
+      insertWhen: Option[Column] = None,
+      broadcastSource: Boolean = false,
+      checkDuplicateSourceKeys: Boolean = true): DataFrame = {
+    require(keyCols.nonEmpty, "mergeInto needs at least one key column")
+    require(updateSet.keySet.intersect(keyCols.toSet).isEmpty,
+      "MERGE cannot update key columns")
+    if (checkDuplicateSourceKeys) {
+      val dups = source.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).alias("__n")).filter(col("__n") > 1).limit(1).count()
+      require(dups == 0, "MERGE cardinality violation: duplicate keys in source")
+    }
+    val t = target.alias("__t")
+    val s = source.select(
+      keyCols.map(col) ++
+        source.columns.filterNot(keyCols.contains).map(col) :+
+        lit(true).alias("__s_present"): _*).alias("__s")
+    val joinCond = keyCols.map(k => col(s"__t.$k") === col(s"__s.$k")).reduce(_ && _)
+
+    def insertExpr(c: String): Column =
+      insertValues.getOrElse(c,
+        if (source.columns.contains(c)) col(s"__s.$c")
+        else throw new IllegalArgumentException(
+          s"insert value for target column '$c' is neither in source nor in insertValues"))
+
+    // DELETE is a MATCHED clause: it must never suppress an unmatched
+    // source row's insert. In the broadcast path every joined row has a
+    // target side, so source presence alone means matched; the full
+    // outer path needs both presence markers.
+    def keepAgainst(matched: Column) = deleteWhen match {
+      case Some(cond) => !(matched && coalesce(cond, lit(false)))
+      case None       => lit(true)
+    }
+
+    if (broadcastSource) {
+      // low-shuffle plan: the wide target rows never shuffle
+      val updatedOrKept = t.join(broadcast(s), joinCond, "left_outer")
+        .filter(keepAgainst(coalesce(col("__s_present"), lit(false))))
+        .select(target.columns.map { c =>
+          val matched = coalesce(col("__s_present"), lit(false))
+          when(matched, updateSet.getOrElse(c, col(s"__t.$c")))
+            .otherwise(col(s"__t.$c")).alias(c)
+        }.toIndexedSeq: _*)
+      // inserts: source anti-join against the target's KEY projection
+      // (slim shuffle of key columns only, never the payload)
+      val targetKeys = target.select(keyCols.map(col): _*).alias("__t")
+      val inserts = s.join(targetKeys, joinCond, "left_anti")
+        .filter(insertWhen.getOrElse(lit(true)))
+        .select(target.columns.map { c =>
+          (if (keyCols.contains(c)) col(s"__s.$c") else insertExpr(c)).alias(c)
+        }.toIndexedSeq: _*)
+      updatedOrKept.unionAll(inserts)
+    } else {
+      t.select(col("*"), lit(true).alias("__t_present")).alias("__t")
+        .join(s, joinCond, "full_outer")
+        .filter(keepAgainst(
+          coalesce(col("__t_present"), lit(false)) && coalesce(col("__s_present"), lit(false))))
+        .filter(
+          coalesce(col("__t_present"), lit(false)) ||
+            coalesce(insertWhen.getOrElse(lit(true)), lit(false)))
+        .select(target.columns.map { c =>
+          val matched = coalesce(col("__t_present"), lit(false)) &&
+            coalesce(col("__s_present"), lit(false))
+          val base =
+            if (keyCols.contains(c)) coalesce(col(s"__t.$c"), col(s"__s.$c"))
+            else when(coalesce(col("__t_present"), lit(false)) === false, insertExpr(c))
+              .when(matched, updateSet.getOrElse(c, col(s"__t.$c")))
+              .otherwise(col(s"__t.$c"))
+          base.alias(c)
+        }.toIndexedSeq: _*)
+    }
+  }
+
+  /** [[mergeInto]] against a [[graft.store.SnapshotStore]] table: read
+    * the current snapshot, merge, publish the result as the next
+    * version (atomic visibility — a reader racing the merge sees the
+    * previous complete snapshot, never a mix). Returns the committed
+    * version. */
+  def mergeCommit(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      source: DataFrame,
+      keyCols: Seq[String],
+      updateSet: Map[String, Column],
+      deleteWhen: Option[Column] = None,
+      insertValues: Map[String, Column] = Map.empty,
+      insertWhen: Option[Column] = None,
+      broadcastSource: Boolean = true): Long = {
+    val merged = mergeInto(
+      graft.store.SnapshotStore.read(spark, table), source, keyCols,
+      updateSet, deleteWhen, insertValues, insertWhen, broadcastSource)
+    graft.store.SnapshotStore.commit(merged, table)
+  }
+
   /** Diff two snapshots of the same table: one row per key present in
     * either side, with `diff_status` ∈ added | removed | changed |
     * unchanged. Non-key columns are compared via an md5 digest of the

@@ -111,6 +111,38 @@ object EventAnalytics {
       .orderBy(col("user_id"))
   }
 
+  /** DT3: MERGE INTO ([[graft.ops.ChangeData.mergeInto]]) — the
+    * warehouse upsert statement over `customer`, with a source batch
+    * derived from 1995 order activity. All three clauses fire:
+    * matched+big-spender → DELETE, matched → UPDATE (acctbal += spend),
+    * not-matched (keys shifted past the customer range) → INSERT.
+    * Money moves in integer cents so both engines compute bit-identical
+    * doubles from one final division. Runs the `broadcastSource`
+    * low-shuffle plan: the wide target side never shuffles. */
+  val dtMergeInto: Q = (s, d) => {
+    val src = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === 1995)
+      .groupBy(
+        when(col("o_custkey") % 7 === 0, col("o_custkey") + 1000000L)
+          .otherwise(col("o_custkey")).alias("c_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).alias("delta_cents"))
+    ChangeData.mergeInto(
+      target = Tables.customer(s, d),
+      source = src,
+      keyCols = Seq("c_custkey"),
+      updateSet = Map(
+        "c_acctbal" -> ((round(col("__t.c_acctbal") * 100).cast("long") +
+          col("__s.delta_cents")) / 100.0)),
+      deleteWhen = Some(col("__s.delta_cents") > 80000000L),
+      insertValues = Map(
+        "c_name" -> concat(lit("new-"), col("__s.c_custkey")),
+        "c_nationkey" -> lit(-1),
+        "c_acctbal" -> (col("__s.delta_cents") / 100.0),
+        "c_mktsegment" -> lit("NEW")),
+      broadcastSource = true)
+      .orderBy(col("c_custkey"))
+  }
+
   /** C12: event-transition matrix (first-order Markov counts) — lead()
     * per user gives (state, next state); probabilities normalize per
     * source state over the 25-row transition table, never raw events.
@@ -206,6 +238,28 @@ object EventAnalytics {
                  ORDER BY ts DESC, event_id DESC) AS rn FROM events)
          WHERE rn = 1 AND event_type <> 'error'
          ORDER BY user_id""",
+    "dt_merge_into" ->
+      """WITH src AS (
+           SELECT CASE WHEN o_custkey % 7 = 0 THEN o_custkey + 1000000
+                       ELSE o_custkey END AS c_custkey,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS delta_cents
+           FROM orders WHERE year(o_orderdate) = 1995
+           GROUP BY 1)
+         SELECT coalesce(t.c_custkey, s.c_custkey) AS c_custkey,
+                CASE WHEN t.c_custkey IS NULL THEN concat('new-', s.c_custkey)
+                     ELSE t.c_name END AS c_name,
+                CASE WHEN t.c_custkey IS NULL THEN -1
+                     ELSE t.c_nationkey END AS c_nationkey,
+                CASE WHEN t.c_custkey IS NULL THEN s.delta_cents / 100.0
+                     WHEN s.c_custkey IS NULL THEN t.c_acctbal
+                     ELSE (CAST(round(t.c_acctbal * 100) AS BIGINT) + s.delta_cents) / 100.0
+                END AS c_acctbal,
+                CASE WHEN t.c_custkey IS NULL THEN 'NEW'
+                     ELSE t.c_mktsegment END AS c_mktsegment
+         FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+         WHERE NOT (t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+                    AND s.delta_cents > 80000000)
+         ORDER BY c_custkey""",
     "dt_snapshot_diff" ->
       """WITH b AS (SELECT user_id, value FROM (
                       SELECT user_id, value, row_number() OVER (PARTITION BY user_id
@@ -232,6 +286,7 @@ object EventAnalytics {
     "c10_anomaly" -> c10Anomaly,
     "dt_cdc_apply" -> dtCdcApply,
     "dt_snapshot_diff" -> dtSnapshotDiff,
+    "dt_merge_into" -> dtMergeInto,
     "c12_transitions" -> c12Transitions,
     "sk_skew_report" -> skSkewReport
   )

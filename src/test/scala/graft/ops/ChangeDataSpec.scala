@@ -55,4 +55,96 @@ class ChangeDataSpec extends SparkSuite {
       .orderBy(col("k")).collect().map(_.getString(1)).toSeq
     assert(out === Seq("changed", "changed"))
   }
+
+  // ---- MERGE INTO ----
+
+  private val mergeTarget = Seq(
+    (1L, "alice", 100.0),  // matched, updated
+    (2L, "bob", 200.0),    // matched, delete clause fires
+    (3L, "carol", 300.0)   // not matched by source: passes through
+  ).toDF("k", "name", "bal")
+
+  private val mergeSource = Seq(
+    (1L, 50.0, false),
+    (2L, 999.0, true),   // del flag → WHEN MATCHED AND del THEN DELETE
+    (4L, 40.0, false),   // not matched → insert
+    (5L, 60.0, true)     // not matched: delete clause must NOT suppress insert
+  ).toDF("k", "delta", "del")
+
+  private def runMerge(broadcastSource: Boolean) =
+    ChangeData.mergeInto(
+      mergeTarget, mergeSource, Seq("k"),
+      updateSet = Map("bal" -> (col("__t.bal") + col("__s.delta"))),
+      deleteWhen = Some(col("__s.del")),
+      insertValues = Map(
+        "name" -> concat(lit("new-"), col("__s.k")),
+        "bal" -> col("__s.delta")),
+      broadcastSource = broadcastSource)
+
+  test("mergeInto applies delete-first, update, insert, and pass-through clauses") {
+    for (bc <- Seq(true, false)) {
+      val out = runMerge(bc).orderBy(col("k")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      assert(out === Seq(
+        (1L, "alice", 150.0),
+        (3L, "carol", 300.0),
+        (4L, "new-4", 40.0),
+        (5L, "new-5", 60.0)), s"broadcastSource=$bc")
+    }
+  }
+
+  test("mergeInto broadcast and full-outer plans agree row-for-row") {
+    val a = runMerge(broadcastSource = true)
+    val b = runMerge(broadcastSource = false)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
+  test("mergeInto low-shuffle plan broadcasts: no exchange of the target side") {
+    val plan = runMerge(broadcastSource = true).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("mergeInto insertWhen gates inserts without touching matched rows") {
+    val out = ChangeData.mergeInto(
+      mergeTarget, mergeSource, Seq("k"),
+      updateSet = Map("bal" -> (col("__t.bal") + col("__s.delta"))),
+      insertValues = Map(
+        "name" -> concat(lit("new-"), col("__s.k")),
+        "bal" -> col("__s.delta")),
+      insertWhen = Some(col("__s.delta") > 50.0),
+      broadcastSource = true)
+      .orderBy(col("k")).collect().map(_.getLong(0)).toSeq
+    assert(out === Seq(1L, 2L, 3L, 5L)) // 4 (delta 40) filtered; 2 kept (no delete clause)
+  }
+
+  test("mergeInto rejects duplicate source keys (cardinality violation)") {
+    val dupSource = mergeSource.unionAll(mergeSource.limit(1))
+    val e = intercept[IllegalArgumentException] {
+      ChangeData.mergeInto(
+        mergeTarget, dupSource, Seq("k"),
+        updateSet = Map("bal" -> col("__s.delta")))
+    }
+    assert(e.getMessage.contains("cardinality"))
+  }
+
+  test("mergeCommit publishes the merged table as the next atomic snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("merge_commit").toString
+    val table = s"$dir/t"
+    graft.store.SnapshotStore.commit(mergeTarget, table)
+    val v = ChangeData.mergeCommit(
+      spark, table, mergeSource, Seq("k"),
+      updateSet = Map("bal" -> (col("__t.bal") + col("__s.delta"))),
+      deleteWhen = Some(col("__s.del")),
+      insertValues = Map(
+        "name" -> concat(lit("new-"), col("__s.k")),
+        "bal" -> col("__s.delta")))
+    assert(v === 1L)
+    val cur = graft.store.SnapshotStore.read(spark, table)
+      .orderBy(col("k")).collect().map(_.getLong(0)).toSeq
+    assert(cur === Seq(1L, 3L, 4L, 5L))
+    // time travel still sees the pre-merge snapshot
+    val old = graft.store.SnapshotStore.readVersion(spark, table, 0L)
+      .orderBy(col("k")).collect().map(_.getLong(0)).toSeq
+    assert(old === Seq(1L, 2L, 3L))
+  }
 }
