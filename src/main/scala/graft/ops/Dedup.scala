@@ -205,14 +205,7 @@ object Dedup {
       k: Int = 64,
       bands: Int = 16): DataFrame = {
     val cands = lshCandidatePairs(df, idCol, textCol, shingleSize, k, bands)
-    val sh = df.select(col(idCol).alias("__jid"),
-      graft.functions.native.wordShingles(col(textCol), shingleSize).alias("__jsh"))
-    cands
-      .join(sh.withColumnRenamed("__jid", "id1").withColumnRenamed("__jsh", "__sh1"), Seq("id1"))
-      .join(sh.withColumnRenamed("__jid", "id2").withColumnRenamed("__jsh", "__sh2"), Seq("id2"))
-      .withColumn("jaccard", jaccard(col("__sh1"), col("__sh2")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
+    verifyJaccard(cands, df, idCol, textCol, threshold, shingleSize)
   }
 
   /** Incremental near-dup detection: a NEW batch against an already-
@@ -321,6 +314,87 @@ object Dedup {
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).alias("shared_chunks"))
       .filter(col("shared_chunks") >= minShared)
+
+  /** EXACT set-similarity join via prefix filtering (the AllPairs /
+    * PPJoin family) — every pair with shingle Jaccard ≥ `threshold`,
+    * with recall 1.0 by theorem, not by tuning. The lossless complement
+    * of [[nearDupPairs]]: MinHash-LSH trades recall for bucket
+    * uniformity; the prefix filter keeps exactness and gets its bound
+    * from the similarity itself.
+    *
+    * How: order all shingles by ascending document frequency (rarest
+    * first, ties by value — one global aggregate, no sort of the
+    * corpus); a doc of n shingles exposes only its first
+    * `n − ⌈τ·n⌉ + 1` ordered shingles as candidate keys. Two docs with
+    * J ≥ τ share ≥ ⌈τ·max(n₁,n₂)⌉ shingles, so their prefixes must
+    * intersect (take the globally smallest common shingle e: a prefix
+    * that misses e fits all common shingles into its last ⌈τ·n⌉ − 1
+    * slots — too few). Pairs therefore co-occur in ≥ 1 prefix bucket;
+    * exact Jaccard verification then drops false candidates.
+    *
+    * Scale shape (100 TB): one df aggregate keyed by shingle, one
+    * doc-keyed regroup to order prefixes, one prefix-keyed bucket
+    * shuffle with the [[lshCandidatePairs]] occupancy-cap idiom
+    * (prefix tokens are the RAREST in each doc, so buckets are small by
+    * construction — df(tok) bounds the bucket), and verification joins
+    * shingle sets back for the candidate set only. Never all-pairs.
+    * `maxBucket` only bites on degenerate corpora (one text replicated
+    * n×, which the exact pass removes first — same contract as LSH). */
+  def prefixFilterJoin(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleSize: Int = 3,
+      maxBucket: Int = 4096): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+    val base = df.select(
+      col(idCol).alias("__id"),
+      graft.functions.native.wordShingles(col(textCol), shingleSize).alias("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val ex = base.select(col("__id"), explode(col("__sh")).alias("__tok"))
+    val dfreq = ex.groupBy(col("__tok")).agg(count(lit(1)).alias("__df"))
+    // rarest-first global order, materialized per doc: sort each doc's
+    // own (df, tok) structs — a narrow array_sort after the regroup,
+    // never a corpus-wide sort
+    val ordered = ex.join(dfreq, "__tok")
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__tok")))).alias("__o"))
+    val prefLen = greatest(
+      size(col("__o")) - ceil(size(col("__o")) * threshold).cast("int") + 1, lit(1))
+    val pref = ordered.select(
+      col("__id"),
+      explode(slice(transform(col("__o"), x => x("__tok")), lit(1), prefLen)).alias("__ptok"))
+    val cands = pref
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("__ptok"))))
+      .filter(col("__bn") > 1 && col("__bn") <= maxBucket)
+      .groupBy(col("__ptok"))
+      .agg(collect_list(col("__id")).alias("__ids"))
+      .select(explode(pairCombinations(col("__ids"))).alias("__p"))
+      .select(col("__p.id1"), col("__p.id2"))
+      .distinct()
+    verifyJaccard(cands, df, idCol, textCol, threshold, shingleSize)
+  }
+
+  /** Exact shingle-Jaccard verification of candidate (id1, id2) pairs:
+    * shared by the LSH and prefix-filter paths. Joins shingle sets back
+    * for candidates only — cost is O(candidates), never n². */
+  private[ops] def verifyJaccard(
+      cands: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleSize: Int): DataFrame = {
+    val sh = df.select(col(idCol).alias("__jid"),
+      graft.functions.native.wordShingles(col(textCol), shingleSize).alias("__jsh"))
+    cands
+      .join(sh.withColumnRenamed("__jid", "id1").withColumnRenamed("__jsh", "__sh1"), Seq("id1"))
+      .join(sh.withColumnRenamed("__jid", "id2").withColumnRenamed("__jsh", "__sh2"), Seq("id2"))
+      .withColumn("jaccard", jaccard(col("__sh1"), col("__sh2")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
 
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column =

@@ -66,6 +66,16 @@ object LlmQueries {
       .select(col("id1"), col("id2"), round(col("jaccard"), 4).alias("jaccard"))
       .orderBy(col("id1"), col("id2"))
 
+  /** EXACT set-similarity join ([[graft.ops.Dedup.prefixFilterJoin]]):
+    * the lossless AllPairs/PPJoin complement to the MinHash-LSH path —
+    * recall 1.0 by the prefix-filter theorem, so the brute-force
+    * quadratic Jaccard IS its oracle, not an approximation of it.
+    * Candidates come from rarest-first prefix buckets, never all-pairs. */
+  val ddSsjoinPrefix: Q = (s, d) =>
+    Dedup.prefixFilterJoin(nearDupCorpus(Tables.documents(s, d)), "doc_id", "text", 0.7)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).alias("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+
   /** Incremental dedup ([[graft.ops.Dedup.incrementalNearDupPairs]]):
     * the mutated +200000 copies play the NEW daily batch, the odd-id
     * originals the ingested history — every planted near-dup pair
@@ -661,6 +671,17 @@ object LlmQueries {
           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
           ORDER BY id1, id2""",
+    "dd_ssjoin_prefix" ->
+      s"""WITH sh AS (
+            SELECT doc_id, $shinglesSql AS s
+            FROM (SELECT doc_id, $wordsSql AS w FROM $nearDupCorpusSql t))
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+                 round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+          ORDER BY id1, id2""",
     "dd_editdist" ->
       """SELECT a.p_name AS name1, b.p_name AS name2,
                 CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
@@ -1212,6 +1233,7 @@ object LlmQueries {
     "dd_exact" -> ddExact,
     "dd_minhash_lsh" -> ddMinhashLsh,
     "dd_neardup_jaccard" -> ddNearDupJaccard,
+    "dd_ssjoin_prefix" -> ddSsjoinPrefix,
     "dd_incremental" -> ddIncremental,
     "dd_editdist" -> ddEditDist,
     "dd_cluster" -> ddCluster,

@@ -169,6 +169,51 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)), pairs.toString)
   }
 
+  test("prefixFilterJoin property: exactly the brute-force Jaccard pairs on a random corpus") {
+    // lossless claim: recall 1.0 AND precision 1.0 vs the quadratic
+    // reference, on a corpus of seeded mutations at varied distances
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november")
+    def doc() = Vector.fill(12 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bases = Vector.fill(30)(doc())
+    val corpus = bases.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      bases.take(10).zipWithIndex.map { case (t, i) =>
+        // mutate: append 1-3 tokens
+        (100L + i, t + " " + Vector.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+    val df = corpus.toDF("doc_id", "text")
+    val tau = 0.5
+    def shingleSet(t: String): Set[String] = {
+      val w = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      (if (w.length <= 3) Seq(w.mkString(" "))
+       else w.sliding(3).map(_.mkString(" ")).toSeq).toSet
+    }
+    val expected = (for {
+      (i, a) <- corpus; (j, b) <- corpus
+      if i < j
+      sa = shingleSet(a); sb = shingleSet(b)
+      inter = (sa & sb).size
+      jac = inter.toDouble / (sa | sb).size
+      if jac >= tau
+    } yield (i, j)).toSet
+    val got = Dedup.prefixFilterJoin(df, "doc_id", "text", tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected,
+      s"missing=${expected.diff(got).take(5)} extra=${got.diff(expected).take(5)}")
+    assert(expected.nonEmpty, "fixture must plant at least one qualifying pair")
+  }
+
+  test("prefixFilterJoin agrees with nearDupPairs verification values where both find the pair") {
+    val exact = Dedup.prefixFilterJoin(docs, "doc_id", "text", 0.6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Dedup.nearDupPairs(docs, "doc_id", "text", 0.6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // LSH candidates ⊆ exact result; Jaccard values identical on the overlap
+    assert(lsh.keySet.subsetOf(exact.keySet))
+    lsh.foreach { case (k, v) => assert(math.abs(exact(k) - v) < 1e-12) }
+  }
+
   test("jaccard expression is exact") {
     val j = spark.range(1)
       .select(Dedup.jaccard(array(lit("a"), lit("b"), lit("c")), array(lit("b"), lit("c"), lit("d"))).alias("j"))
