@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) table clustering + file-level min-max data
+  * skipping — the multi-dimensional answer to "my scans filter on two
+  * columns but the layout can only sort by one".
+  *
+  * A linear sort gives perfect file pruning on its leading column and
+  * none on any other; interleaving the bits of d columns gives every
+  * column ~1/d of the locality, so a range predicate on ANY indexed
+  * column maps to a bounded set of curve segments = a bounded set of
+  * files. This is the same layout trick Delta/Iceberg `OPTIMIZE ZORDER
+  * BY` applies; here it is built from first principles on plain
+  * parquet:
+  *
+  *  1. [[zValue]] — a codegen'd bit-interleave expression (no UDF),
+  *  2. [[writeZordered]] — range-partition + in-partition sort by the
+  *     z-value, so each output file covers one tight curve segment,
+  *  3. [[writeFileStats]] — a per-file min/max index table (the
+  *     "poor man's Delta stats"), written under `_zindex` (the
+  *     underscore prefix hides it from the data file index),
+  *  4. [[skippingScan]] — prunes files whose [min,max] envelope
+  *     misses the predicate BEFORE any data file opens, then re-applies
+  *     the exact predicate to the surviving rows.
+  *
+  * Scale notes (100 TB):
+  *  - The stats index is one row per file (≈ thousands of rows per PB
+  *    at healthy file sizes); pruning it is a metadata-only query —
+  *    this is exactly how lakehouse formats make 100 TB scans cheap
+  *    when predicates are selective.
+  *  - [[writeZordered]]'s range partitioning samples the z-value (a
+  *    Spark RangePartitioner sample pass), then shuffles once; the
+  *    in-file sort is per-partition. Cost is one extra shuffle at
+  *    write time, paid back on every subsequent selective scan.
+  *  - Parquet's own row-group min/max pushdown still applies INSIDE
+  *    each surviving file and composes with this file-level pruning.
+  *
+  * Reference analog: the weather warehouse partitions bronze/silver by
+  * date only (`bronze_to_silver.py`), so any city-scoped scan reads
+  * every date partition in range; z-ordering (city, date) bounds both.
+  */
+object Zorder {
+
+  /** Morton z-value of `cols`: bit-interleave the low `bits` bits of
+    * each column (caller guarantees values are non-negative and fit —
+    * mask/bucket upstream, e.g. `pmod(key, 1 << bits)`). Pure
+    * shift/and/or expression tree, whole-stage-codegen friendly; the
+    * per-column bit planes are disjoint so the combine is a plain sum. */
+  def zValue(cols: Seq[Column], bits: Int): Column = {
+    val d = cols.size
+    require(d >= 1, "zValue needs at least one column")
+    require(bits >= 1 && bits * d <= 62, s"bits*dims must fit a long, got $bits*$d")
+    val terms = for {
+      (c, i) <- cols.zipWithIndex
+      k <- 0 until bits
+    } yield shiftleft(shiftright(c.cast("long"), k).bitwiseAND(lit(1L)), k * d + i)
+    terms.reduce(_ + _)
+  }
+
+  /** Write `df` clustered by the Morton curve over `zCols` into
+    * `numFiles` files: range-partition on the z-value (each file = one
+    * contiguous curve segment) and sort inside each file (tight
+    * parquet row-group envelopes too). Follow with [[writeFileStats]]
+    * to enable [[skippingScan]]. */
+  def writeZordered(
+      df: DataFrame,
+      path: String,
+      zCols: Seq[String],
+      bits: Int,
+      numFiles: Int): Unit = {
+    val z = zValue(zCols.map(col), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Build the per-file min/max stats index for `statCols` over the
+    * table at `path` and persist it under `<path>/_zindex` (hidden from
+    * data scans by the underscore prefix). One scan of the table at
+    * write time; columnar pruning keeps it to the indexed columns. */
+  def writeFileStats(spark: SparkSession, path: String, statCols: Seq[String]): Unit = {
+    val aggs = statCols.flatMap { c =>
+      Seq(min(col(c)).alias(s"min_$c"), max(col(c)).alias(s"max_$c"))
+    } :+ count(lit(1)).alias("n_rows")
+    spark.read.parquet(path)
+      .select(input_file_name().alias("file") +: statCols.map(col): _*)
+      .groupBy(col("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_zindex")
+  }
+
+  /** The per-file stats index written by [[writeFileStats]]. */
+  def fileStats(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/_zindex")
+
+  /** Scan `path` reading ONLY files whose min/max envelope intersects
+    * every `[lo, hi]` range in `ranges`, then re-apply the exact
+    * predicate to surviving rows. File pruning happens on the index
+    * table — no data file opens for a pruned file. Returns the
+    * filtered rows; [[lastScanFiles]]-style observability comes from
+    * [[selectFiles]], which this delegates to. */
+  def skippingScan(
+      spark: SparkSession,
+      path: String,
+      ranges: Map[String, (Long, Long)]): DataFrame = {
+    val files = selectFiles(spark, path, ranges)
+    val base =
+      if (files.isEmpty)
+        spark.read.parquet(path).limit(0) // degenerate: nothing qualifies
+      else spark.read.parquet(files: _*)
+    ranges.foldLeft(base) { case (d, (c, (lo, hi))) =>
+      d.filter(col(c) >= lo && col(c) <= hi)
+    }
+  }
+
+  /** Files whose stats envelope intersects every requested range —
+    * the metadata-only half of [[skippingScan]], exposed for tests and
+    * for prune-factor audits. */
+  def selectFiles(
+      spark: SparkSession,
+      path: String,
+      ranges: Map[String, (Long, Long)]): Seq[String] = {
+    val pruned = ranges.foldLeft(fileStats(spark, path)) { case (d, (c, (lo, hi))) =>
+      d.filter(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
+    }
+    pruned.select(col("file")).collect().map(_.getString(0)).toSeq
+  }
+
+  /** Total file count of the table at `path` (for prune-factor audits). */
+  def totalFiles(spark: SparkSession, path: String): Long = {
+    val f = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.listStatus(new Path(path)).count { s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet") &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".")
+    }
+  }
+}

@@ -109,12 +109,33 @@ object PruningQueries {
       .orderBy(col("shard"), col("pos"))
   }
 
+  /** ZO: z-order clustering + file-level min-max skipping
+    * ([[graft.ops.Zorder]]): write orders Morton-clustered on
+    * (customer bucket, order day), index per-file envelopes, then
+    * answer a two-dimensional range predicate reading only the files
+    * whose envelope intersects — a linear layout prunes on its leading
+    * column only. Result ≡ the plain filter (oracle); the prune factor
+    * itself is pinned in ZorderSpec and measured in SCALE.md. */
+  val zoSkippingScan: Q = (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString + "/orders_z"
+    val orders = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+      pmod(col("o_custkey"), lit(4096)).cast("long").alias("ck"),
+      datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).cast("long").alias("od"))
+    graft.ops.Zorder.writeZordered(orders, dir, Seq("ck", "od"), bits = 12, numFiles = 16)
+    graft.ops.Zorder.writeFileStats(s, dir, Seq("ck", "od"))
+    graft.ops.Zorder.skippingScan(s, dir, Map("ck" -> (100L, 300L), "od" -> (400L, 700L)))
+      .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).alias("price"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** TX: per-source Zipf slope ([[graft.ops.TextAnalysis.zipfSlope]]). */
   val txZipf: Q = (s, d) =>
     TextAnalysis.zipfSlope(Tables.documents(s, d), "source", "text", topK = 100)
       .orderBy(col("source"))
 
   val queries: Map[String, Q] = Map(
+    "zo_skipping_scan" -> zoSkippingScan,
     "tx_zipf" -> txZipf,
     "cp_e2e_corpus" -> cpE2eCorpus,
     "bf_bloom_semi" -> bfBloomSemi,
@@ -125,6 +146,12 @@ object PruningQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "zo_skipping_scan" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+         FROM orders
+         WHERE o_custkey % 4096 BETWEEN 100 AND 300
+           AND date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) BETWEEN 400 AND 700
+         ORDER BY o_orderkey""",
     "tx_zipf" ->
       """WITH toks AS (
            SELECT source, unnest(string_split(lower(text), ' ')) AS term FROM documents),
