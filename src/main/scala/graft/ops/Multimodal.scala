@@ -101,12 +101,110 @@ object Multimodal {
       sr / n, sg / n, sb / n, meanY, syy / n - meanY * meanY))
   }
 
+  /** REAL audio decode via `javax.sound.sampled` (JDK built-in — WAV /
+    * AIFF / AU container parsing + PCM frames; no native deps, works in
+    * this container). 8-dim deterministic signal-moment vector:
+    *
+    *   [sample_rate, channels, n_frames, duration_s,
+    *    peak, rms, mean, zero_crossing_rate]
+    *
+    * peak/rms/mean are in normalized full-scale units (sample /
+    * 2^(bits−1)); zcr counts sign-boundary transitions over successive
+    * samples / (n−1). Every statistic accumulates in EXACT integer
+    * arithmetic (Long sums of the raw PCM ints) with one final float
+    * division — so the features are bit-reproducible and replayable by
+    * an oracle that knows the generating samples. Supports PCM_SIGNED
+    * 8/16-bit (the WAV formats the JDK itself writes); returns None on
+    * anything else — caller falls back to [[stubDecodeFeatures]].
+    * Multi-channel streams are analyzed over the interleaved sample
+    * sequence (channel count is reported for downstream splitting). */
+  def decodeAudioFeatures(payload: Array[Byte]): Option[Array[Double]] = {
+    if (payload == null || payload.isEmpty) return None
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+    if (ais == null) return None
+    try {
+      val fmt = ais.getFormat
+      val bits = fmt.getSampleSizeInBits
+      val ok = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        (bits == 8 || bits == 16)
+      if (!ok) return None
+      val raw = ais.readAllBytes()
+      val bytesPer = bits / 8
+      val n = raw.length / bytesPer
+      if (n == 0) return None
+      val fullScale = (1 << (bits - 1)).toDouble
+      var sum = 0L
+      var sumSq = 0L
+      var peak = 0L
+      var zc = 0L
+      var prevNeg = false
+      var i = 0
+      while (i < n) {
+        val s: Int =
+          if (bits == 16) {
+            val lo = raw(2 * i) & 0xff
+            val hi = raw(2 * i + 1).toInt
+            if (fmt.isBigEndian) (raw(2 * i).toInt << 8) | (raw(2 * i + 1) & 0xff)
+            else (hi << 8) | lo
+          } else raw(i).toInt
+        sum += s
+        sumSq += s.toLong * s
+        val a = math.abs(s.toLong)
+        if (a > peak) peak = a
+        val neg = s < 0
+        if (i > 0 && neg != prevNeg) zc += 1
+        prevNeg = neg
+        i += 1
+      }
+      val frames = n / fmt.getChannels
+      Some(Array(
+        fmt.getSampleRate.toDouble,
+        fmt.getChannels.toDouble,
+        frames.toDouble,
+        frames / fmt.getSampleRate.toDouble,
+        peak.toDouble / fullScale,
+        math.sqrt(sumSq.toDouble / n) / fullScale,
+        (sum.toDouble / n) / fullScale,
+        if (n > 1) zc.toDouble / (n - 1) else 0.0))
+    } finally ais.close()
+  }
+
+  /** Encode 16-bit mono PCM samples as a WAV payload (via the JDK's own
+    * WAVE writer) — the deterministic fixture generator for audio-column
+    * tests and queries: real bytes, real header, real decode path. */
+  def wavBytes(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Codec dispatch: `image/…` payloads get the real `javax.imageio`
-    * decode (stub fallback on undecodable bytes); every other media
-    * type uses the deterministic stub. */
+    * decode, `audio/…` the real `javax.sound.sampled` decode (stub
+    * fallback on undecodable bytes in both cases); every other media
+    * type — video, for which the JDK ships no codec — uses the
+    * deterministic stub. */
   def decodeFeatures(mediaType: String, payload: Array[Byte]): Array[Double] =
     if (mediaType != null && mediaType.startsWith("image/"))
       decodeImageFeatures(payload).getOrElse(stubDecodeFeatures(payload))
+    else if (mediaType != null && mediaType.startsWith("audio/"))
+      decodeAudioFeatures(payload).getOrElse(stubDecodeFeatures(payload))
     else stubDecodeFeatures(payload)
 
   /** Feature extraction as a typed mapPartitions batch (the Scala analog

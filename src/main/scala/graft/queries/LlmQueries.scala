@@ -364,6 +364,39 @@ object LlmQueries {
       .orderBy(col("media_id"))
   }
 
+  /** REAL audio decode ([[graft.ops.Multimodal.decodeAudioFeatures]]):
+    * deterministic 16-bit mono WAV payloads are synthesized per doc
+    * (real RIFF bytes through the JDK's own WAVE writer), then decoded
+    * back through `javax.sound.sampled` into exact signal moments. The
+    * oracle replays the generating sample formula in SQL — every
+    * statistic accumulates in exact integers with one final division,
+    * so equality proves the decode path recovers the PCM bit-for-bit. */
+  val mmAudio: Q = (s, d) => {
+    import s.implicits._
+    val media = Tables.documents(s, d).filter(col("doc_id") < 50)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { k =>
+        val n = (800 + (k % 5) * 200).toInt
+        val smp = Array.tabulate(n)(i => (((k * 31 + i.toLong * 17) % 2001) - 1000).toShort)
+        (k, "audio/wav", Multimodal.wavBytes(smp, 8000))
+      })
+      .toDF("media_id", "media_type", "payload")
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .withColumn("digest", md5(col("payload")))
+    Multimodal.extractFeatures(media)(s).toDF()
+      .select(
+        col("media_id"),
+        element_at(col("features"), 1).cast("int").alias("sample_rate"),
+        element_at(col("features"), 2).cast("int").alias("channels"),
+        element_at(col("features"), 3).cast("long").alias("n_frames"),
+        round(element_at(col("features"), 4), 6).alias("duration_s"),
+        round(element_at(col("features"), 5), 6).alias("peak"),
+        round(element_at(col("features"), 6), 6).alias("rms"),
+        round(element_at(col("features"), 7), 6).alias("mean"),
+        round(element_at(col("features"), 8), 6).alias("zcr"))
+      .orderBy(col("media_id"))
+  }
+
   /** PII redaction over documents with deterministically planted PII
     * (the synthetic corpus itself is clean, so both engines append the
     * same email/IP/phone suffix before redacting — the oracle checks the
@@ -1216,6 +1249,30 @@ object LlmQueries {
                                 - (CAST(list_sum(bytes) AS DOUBLE) / n)
                                   * (CAST(list_sum(bytes) AS DOUBLE) / n), 4) END AS byte_var
          FROM b ORDER BY media_id""",
+    "mm_audio" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+         s AS (SELECT doc_id,
+                 list_transform(range(0, 800 + (doc_id % 5) * 200),
+                                i -> (doc_id * 31 + i * 17) % 2001 - 1000) AS smp
+               FROM d),
+         m AS (SELECT doc_id, len(smp) AS n,
+                 list_sum(smp) AS ssum,
+                 list_sum(list_transform(smp, x -> x * x)) AS ssq,
+                 list_max(list_transform(smp, x -> abs(x))) AS pk,
+                 list_sum(list_transform(range(2, len(smp) + 1),
+                   j -> CASE WHEN (smp[j] < 0) <> (smp[j - 1] < 0)
+                        THEN 1 ELSE 0 END)) AS zc
+               FROM s)
+         SELECT CAST(doc_id AS BIGINT) AS media_id,
+                CAST(8000 AS INT) AS sample_rate,
+                CAST(1 AS INT) AS channels,
+                CAST(n AS BIGINT) AS n_frames,
+                round(n / 8000.0, 6) AS duration_s,
+                round(pk / 32768.0, 6) AS peak,
+                round(sqrt(CAST(ssq AS DOUBLE) / n) / 32768.0, 6) AS rms,
+                round((CAST(ssum AS DOUBLE) / n) / 32768.0, 6) AS mean,
+                round(CAST(zc AS DOUBLE) / (n - 1), 6) AS zcr
+         FROM m ORDER BY media_id""",
     "mm_resize" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id, 'fake/utf8;resized/4' AS media_type,
                 CAST((len(text) + 3) // 4 AS BIGINT) AS n_bytes_resized,
@@ -1270,6 +1327,7 @@ object LlmQueries {
     "ann_ivfpq_recall" -> annIvfPqRecall,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_resize" -> mmResize,
-    "mm_features" -> mmFeatures
+    "mm_features" -> mmFeatures,
+    "mm_audio" -> mmAudio
   )
 }

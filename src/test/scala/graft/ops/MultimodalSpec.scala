@@ -100,6 +100,65 @@ class MultimodalSpec extends SparkSuite {
     assert(new String(rows(1L).getAs[Array[Byte]]("payload"), "UTF-8") === "ae") // every 4th of abcdefgh
   }
 
+  test("real WAV decode: golden signal moments from known samples") {
+    // samples: [1000, -1000, 0, 500] — hand-computable moments
+    val wav = Multimodal.wavBytes(Array[Short](1000, -1000, 0, 500), 8000)
+    val f = Multimodal.decodeAudioFeatures(wav).get
+    assert(f(0) === 8000.0) // sample rate
+    assert(f(1) === 1.0) // channels
+    assert(f(2) === 4.0) // frames
+    assert(f(3) === 4 / 8000.0) // duration
+    assert(f(4) === 1000.0 / 32768.0) // peak
+    val ssq = 1000.0 * 1000 + 1000.0 * 1000 + 0 + 500.0 * 500
+    assert(f(5) === math.sqrt(ssq / 4) / 32768.0) // rms
+    assert(f(6) === (500.0 / 4) / 32768.0) // mean
+    assert(f(7) === 2.0 / 3.0) // sign changes: +→−, −→0+ (0 is non-negative), 0→+ no change at 500? (1000,-1000):1, (-1000,0):1, (0,500):0 → 2/3
+  }
+
+  test("WAV roundtrip recovers PCM exactly: encode → decode is lossless") {
+    val rnd = new scala.util.Random(7)
+    val smp = Array.fill(1024)((rnd.nextInt(65536) - 32768).toShort)
+    val f = Multimodal.decodeAudioFeatures(Multimodal.wavBytes(smp, 16000)).get
+    var sum = 0L; var ssq = 0L; var pk = 0L
+    smp.foreach { s => sum += s; ssq += s.toLong * s; pk = math.max(pk, math.abs(s.toLong)) }
+    assert(f(2) === 1024.0)
+    assert(f(4) === pk / 32768.0)
+    assert(f(5) === math.sqrt(ssq.toDouble / 1024) / 32768.0)
+    assert(f(6) === (sum.toDouble / 1024) / 32768.0)
+  }
+
+  test("audio dispatch: audio/* decodes really; non-audio bytes fall back to the stub") {
+    val wav = Multimodal.wavBytes(Array[Short](100, -100), 8000)
+    assert(Multimodal.decodeFeatures("audio/wav", wav)(0) === 8000.0)
+    val junk = "not a riff header at all".getBytes("UTF-8")
+    assert(Multimodal.decodeAudioFeatures(junk).isEmpty)
+    assert(Multimodal.decodeFeatures("audio/wav", junk).toSeq ===
+      Multimodal.stubDecodeFeatures(junk).toSeq)
+    // and an image payload routed as audio also falls back, not crashes
+    assert(Multimodal.decodeFeatures("video/mp4", wav).toSeq ===
+      Multimodal.stubDecodeFeatures(wav).toSeq)
+  }
+
+  test("extractFeatures decodes audio distributed (mapPartitions path)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    val rows = (0L until 8L).map { k =>
+      val smp = Array.tabulate(64)(i => ((k * 7 + i * 13) % 201 - 100).toShort)
+      (k, "audio/wav", Multimodal.wavBytes(smp, 8000))
+    }
+    val df = rows.toDF("media_id", "media_type", "payload")
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .withColumn("digest", md5(col("payload")))
+      .repartition(4)
+    val feats = Multimodal.extractFeatures(df).collect()
+      .map(f => f.media_id -> f.features).toMap
+    assert(feats.size === 8)
+    rows.foreach { case (k, _, _) =>
+      assert(feats(k)(2) === 64.0, s"media $k frame count")
+      assert(feats(k)(0) === 8000.0)
+    }
+  }
+
   test("frameSample/frameSlices: window offsets and slice sizes") {
     val frames = Multimodal.frameSlices(media, frameBytes = 32, stride = 16)
     val byId = frames.groupBy("media_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
