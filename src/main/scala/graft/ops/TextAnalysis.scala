@@ -447,6 +447,37 @@ object TextAnalysis {
       .select(col("term_id"), col("term"), col("tf"), col("df"))
   }
 
+  /** Encode documents against an induced top-V vocabulary
+    * ([[vocabulary]]): every token becomes its dense term id (0 for
+    * out-of-vocabulary), preserving token order — the id sequence a
+    * training pipeline feeds downstream — plus per-doc OOV accounting,
+    * the standard coverage diagnostic when sizing V.
+    *
+    * Scale shape (100 TB): the vocabulary is V rows — it BROADCASTS to
+    * the token join, so the corpus-sized side never shuffles for the
+    * lookup; the only exchange is the positional regroup keyed by doc
+    * id. Token order is restored by sorting each doc's own (pos, id)
+    * structs — a narrow per-row array_sort, never a corpus sort. */
+  def encodeWithVocab(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int): DataFrame = {
+    val vocab = vocabulary(docs, idCol, textCol, vocabSize).select(col("term"), col("term_id"))
+    docs
+      .select(col(idCol), posexplode(split(lower(col(textCol)), " ")).as(Seq("pos", "term")))
+      .join(broadcast(vocab), Seq("term"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).alias("n_tokens"),
+        sum(when(col("term_id").isNull, 1L).otherwise(0L)).alias("n_oov"),
+        sort_array(collect_list(struct(
+          col("pos"), coalesce(col("term_id"), lit(0)).alias("id")))).alias("__s"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).alias("oov_rate"),
+        transform(col("__s"), x => x("id")).alias("token_ids"))
+  }
+
   /** Per-source Zipf slope: the least-squares slope of ln(tf) against
     * ln(rank) over each source's top-`topK` terms — the standard
     * power-law health check for a text corpus (natural language sits

@@ -99,6 +99,28 @@ object CorpusQueries {
          SELECT doc_id, CAST(hh % 8 AS INT) AS shard,
                 CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) AS INT) AS pos
          FROM h ORDER BY shard, pos""",
+    "tx_encode" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+                  unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS pos
+           FROM documents),
+         ag AS (
+           SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+           FROM toks GROUP BY 1),
+         top AS (SELECT * FROM ag ORDER BY tf DESC, term LIMIT 200),
+         vocab AS (
+           SELECT CAST(row_number() OVER (ORDER BY tf DESC, term) AS INT) AS term_id, term
+           FROM top)
+         SELECT t.doc_id,
+                CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(count(*) FILTER (WHERE v.term_id IS NULL) AS BIGINT) AS n_oov,
+                round(CAST(count(*) FILTER (WHERE v.term_id IS NULL) AS DOUBLE)
+                      / count(*), 4) AS oov_rate,
+                md5(string_agg(CAST(coalesce(v.term_id, 0) AS VARCHAR), ','
+                    ORDER BY t.pos)) AS ids_md5
+         FROM toks t LEFT JOIN vocab v USING (term)
+         GROUP BY t.doc_id
+         ORDER BY doc_id""",
     "tx_vocab" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
@@ -126,11 +148,22 @@ object CorpusQueries {
     TextAnalysis.vocabulary(Tables.documents(s, d), "doc_id", "text", 200)
       .orderBy(col("term_id"))
 
+  /** TX: encode the corpus against its own induced top-200 vocabulary
+    * ([[graft.ops.TextAnalysis.encodeWithVocab]]) — order-preserving
+    * token-id sequences (digested for compare) + per-doc OOV rate. */
+  val txEncode: Q = (s, d) =>
+    TextAnalysis.encodeWithVocab(Tables.documents(s, d), "doc_id", "text", 200)
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("oov_rate"), 4).alias("oov_rate"),
+        md5(concat_ws(",", col("token_ids"))).alias("ids_md5"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, Q] = Map(
     "tx_bm25" -> txBm25,
     "g6_chunk" -> g6Chunk,
     "cp_pack" -> cpPack,
     "cp_shard" -> cpShard,
-    "tx_vocab" -> txVocab
+    "tx_vocab" -> txVocab,
+    "tx_encode" -> txEncode
   )
 }

@@ -119,15 +119,21 @@ object EventAnalytics {
     * Money moves in integer cents so both engines compute bit-identical
     * doubles from one final division. Runs the `broadcastSource`
     * low-shuffle plan: the wide target side never shuffles. */
-  val dtMergeInto: Q = (s, d) => {
-    val src = Tables.orders(s, d)
+  /** The 1995-activity merge source shared by `dt_merge_into` and
+    * `dt_time_travel`: per-customer spend in integer cents, with every
+    * 7th key shifted past the customer range so the NOT MATCHED clause
+    * fires too. */
+  private def mergeSource(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
       .filter(year(col("o_orderdate")) === 1995)
       .groupBy(
         when(col("o_custkey") % 7 === 0, col("o_custkey") + 1000000L)
           .otherwise(col("o_custkey")).alias("c_custkey"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).alias("delta_cents"))
+
+  private def mergeCustomer(target: DataFrame, src: DataFrame): DataFrame =
     ChangeData.mergeInto(
-      target = Tables.customer(s, d),
+      target = target,
       source = src,
       keyCols = Seq("c_custkey"),
       updateSet = Map(
@@ -140,7 +146,28 @@ object EventAnalytics {
         "c_acctbal" -> (col("__s.delta_cents") / 100.0),
         "c_mktsegment" -> lit("NEW")),
       broadcastSource = true)
+
+  val dtMergeInto: Q = (s, d) =>
+    mergeCustomer(Tables.customer(s, d), mergeSource(s, d))
       .orderBy(col("c_custkey"))
+
+  /** DT4: time travel over [[graft.store.SnapshotStore]] — commit the
+    * customer table (v0), run the MERGE as the next atomic snapshot
+    * (v1), then read BOTH versions by number: the pre-merge snapshot
+    * stays byte-stable under the committed rewrite. Summaries use
+    * integer cents so both engines agree exactly. */
+  val dtTimeTravel: Q = (s, d) => {
+    val table = java.nio.file.Files.createTempDirectory("timetravel").toString + "/customer"
+    graft.store.SnapshotStore.commit(Tables.customer(s, d), table)
+    graft.store.SnapshotStore.commit(
+      mergeCustomer(graft.store.SnapshotStore.read(s, table), mergeSource(s, d)), table)
+    def summary(v: Long) =
+      graft.store.SnapshotStore.readVersion(s, table, v)
+        .agg(
+          count(lit(1)).alias("n_rows"),
+          sum(round(col("c_acctbal") * 100).cast("long")).alias("bal_cents"))
+        .select(lit(v).alias("version"), col("n_rows"), col("bal_cents"))
+    summary(0L).unionAll(summary(1L)).orderBy(col("version"))
   }
 
   /** C12: event-transition matrix (first-order Markov counts) — lead()
@@ -260,6 +287,27 @@ object EventAnalytics {
          WHERE NOT (t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
                     AND s.delta_cents > 80000000)
          ORDER BY c_custkey""",
+    "dt_time_travel" ->
+      """WITH src AS (
+           SELECT CASE WHEN o_custkey % 7 = 0 THEN o_custkey + 1000000
+                       ELSE o_custkey END AS c_custkey,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS delta_cents
+           FROM orders WHERE year(o_orderdate) = 1995
+           GROUP BY 1),
+         v1 AS (
+           SELECT CASE WHEN t.c_custkey IS NULL THEN s.delta_cents
+                       WHEN s.c_custkey IS NULL THEN CAST(round(t.c_acctbal * 100) AS BIGINT)
+                       ELSE CAST(round(t.c_acctbal * 100) AS BIGINT) + s.delta_cents
+                  END AS cents
+           FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+           WHERE NOT (t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+                      AND s.delta_cents > 80000000))
+         SELECT CAST(0 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+                sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS bal_cents
+         FROM customer
+         UNION ALL
+         SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT), sum(cents) FROM v1
+         ORDER BY version""",
     "dt_snapshot_diff" ->
       """WITH b AS (SELECT user_id, value FROM (
                       SELECT user_id, value, row_number() OVER (PARTITION BY user_id
@@ -287,6 +335,7 @@ object EventAnalytics {
     "dt_cdc_apply" -> dtCdcApply,
     "dt_snapshot_diff" -> dtSnapshotDiff,
     "dt_merge_into" -> dtMergeInto,
+    "dt_time_travel" -> dtTimeTravel,
     "c12_transitions" -> c12Transitions,
     "sk_skew_report" -> skSkewReport
   )

@@ -280,6 +280,33 @@ object LlmQueries {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Semantic corpus dedup (the SemDeDup shape) end-to-end over the
+    * EMBEDDING space: LSH-bucketed exact-cosine near-dup pairs
+    * ([[graft.ops.Similarity.cosineNearDupPairs]], plane matrix
+    * replayed in the oracle) → connected components (pointer jumping,
+    * [[graft.ops.Clustering]]) → drop non-keepers. The embedding
+    * analog of `dd_corpus_dedup`: duplicates that share no text
+    * n-grams but sit at cosine ≥ 0.95 collapse to one representative.
+    * Scale shape: candidate pairs from banded hyperplane buckets
+    * (never all-pairs), O(log n) pointer-jumping rounds. */
+  val ddSemanticDedup: Q = (s, d) => {
+    // replicas via explode, not unionAll: the components path evaluates
+    // through Dataset.rdd, whose extra optimizer round trips a Union
+    // constraint-rewrite bug (key not found: embedding#N) when a union
+    // child constrains the pruned vector column — the explode form has
+    // no Union node and survives every execution path
+    def corpus() = Tables.embeddings(s, d).select(
+        explode(when(pmod(col("vec_id"), lit(20)) === 0, array(lit(0L), lit(100000L)))
+          .otherwise(array(lit(0L)))).alias("__off"),
+        col("vec_id"), col("embedding"))
+      .select((col("vec_id") + col("__off")).alias("vec_id"), col("embedding"))
+    val pairs = Similarity.cosineNearDupPairs(corpus(), "vec_id", "embedding", 0.95)
+      .select(col("id1"), col("id2"))
+    graft.ops.Clustering.dropNonKeepers(corpus().select(col("vec_id")), "vec_id", pairs)
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Text profile: token/word counts, ratios, language ID
     * ([[graft.ops.TextAnalysis.profile]] columns with SQL-expressible
     * definitions). */
@@ -908,6 +935,25 @@ object LlmQueries {
          FROM c a JOIN c b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.e, b.e) >= 0.95
          ORDER BY id1, id2""",
+    "dd_semantic_dedup" ->
+      """WITH RECURSIVE
+            c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+                  UNION ALL
+                  SELECT vec_id + 100000 AS vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings WHERE vec_id % 20 = 0),
+            pr AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+                   FROM c a JOIN c b ON a.vec_id < b.vec_id
+                   WHERE list_cosine_similarity(a.e, b.e) >= 0.95),
+            e AS (SELECT id1 AS src, id2 AS dst FROM pr
+                  UNION SELECT id2, id1 FROM pr),
+            walk(id, r) AS (
+              SELECT src, src FROM e
+              UNION
+              SELECT w.id, e2.dst FROM walk w JOIN e e2 ON e2.src = w.r),
+            nonk AS (SELECT id FROM walk GROUP BY id HAVING id <> min(r))
+          SELECT vec_id FROM c
+          WHERE vec_id NOT IN (SELECT id FROM nonk)
+          ORDER BY vec_id""",
     "tx_profile" ->
       s"""SELECT doc_id,
                  CAST(len($wordsSql) AS INT) AS n_words,
@@ -1307,6 +1353,7 @@ object LlmQueries {
     "ann_lsh_topk" -> annLshTopK,
     "ann_mplsh_topk" -> annMplshTopK,
     "cos_near_dup" -> cosNearDup,
+    "dd_semantic_dedup" -> ddSemanticDedup,
     "tx_profile" -> txProfile,
     "tx_quality" -> txQuality,
     "tx_fingerprint" -> txFingerprint,
