@@ -1257,6 +1257,38 @@ object RelationalQueries {
       LIMIT 50""")
   }
 
+  /** X10 (beyond reference parity): the TPC-H Q21 shape — suppliers who
+    * kept a finished multi-supplier order waiting, i.e. shipped > 60
+    * days after the order date while every OTHER supplier on the order
+    * shipped on time. One correlated EXISTS (→ left semi) and one
+    * correlated NOT EXISTS carrying an outer-column predicate (→ left
+    * anti after decorrelation) over lineitem self-joins keyed by
+    * l_orderkey, so every shuffle is order-keyed; the heap LIMIT
+    * replaces any global sort. (The driver's lineitem has no
+    * commit/receipt dates, so lateness is ship-lag vs o_orderdate.) */
+  val x10WaitingSuppliers: Q = (s, d) => {
+    Tables.supplier(s, d).createOrReplaceTempView("graft_supplier_x10")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_x10")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_x10")
+    s.sql("""
+      SELECT s.s_name, count(*) AS numwait
+      FROM graft_supplier_x10 s
+      JOIN graft_lineitem_x10 l1 ON l1.l_suppkey = s.s_suppkey
+      JOIN graft_orders_x10 o ON o.o_orderkey = l1.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (SELECT 1 FROM graft_lineitem_x10 l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM graft_lineitem_x10 l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY s.s_name
+      ORDER BY numwait DESC, s.s_name
+      LIMIT 20""")
+  }
+
   val x6LargeOrders: Q = (s, d) => {
     Tables.customer(s, d).createOrReplaceTempView("graft_customer_x6")
     Tables.orders(s, d).createOrReplaceTempView("graft_orders_x6")
@@ -1813,6 +1845,23 @@ object RelationalQueries {
          GROUP BY 1, 2, 3
          ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
          LIMIT 50""",
+    "x10_waiting_suppliers" ->
+      """SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+         FROM supplier s
+         JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+         JOIN orders o ON o.o_orderkey = l1.l_orderkey
+         WHERE o.o_orderstatus = 'F'
+           AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+         GROUP BY s.s_name
+         ORDER BY numwait DESC, s.s_name
+         LIMIT 20""",
     "a22_equifreq_bins" ->
       """WITH b AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1,
                            quantile_cont(o_totalprice, 0.5)  AS q2,
@@ -2156,6 +2205,7 @@ object RelationalQueries {
     "a21_group_by_all" -> a21GroupByAll,
     "a22_equifreq_bins" -> a22EquifreqBins,
     "x9_parts_supplier" -> x9PartsSupplier,
+    "x10_waiting_suppliers" -> x10WaitingSuppliers,
     "o4_offset" -> o4Offset,
     "o5_keyset" -> o5Keyset,
     "x7_exists" -> x7Exists,

@@ -422,6 +422,15 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
   }
 
+  test("Q21 shape (x10): correlated EXISTS/NOT EXISTS decorrelate to semi/anti, heap top-20") {
+    val p = plan("x10_waiting_suppliers")
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a left semi join:\n${p.take(3000)}")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as a left anti join:\n${p.take(3000)}")
+    assert(!p.contains("Subquery"), s"a correlated subquery survived optimization:\n${p.take(3000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 should be a heap, not a sort:\n${p.take(3000)}")
+  }
+
   test("null-safe join stays a hash join; EXISTS/NOT EXISTS rewrite to semi/anti (j11, x7, x8)") {
     val pj = plan("j11_nullsafe_join")
     assert(pj.contains("HashJoin") && !pj.contains("BroadcastNestedLoopJoin"), pj.take(2000))
