@@ -364,14 +364,26 @@ object Dedup {
       size(col("__o")) - ceil(size(col("__o")) * threshold).cast("int") + 1, lit(1))
     val pref = ordered.select(
       col("__id"),
+      size(col("__o")).alias("__n"),
       explode(slice(transform(col("__o"), x => x("__tok")), lit(1), prefLen)).alias("__ptok"))
+    // pairs carry both set sizes so the AllPairs LENGTH filter prunes
+    // before the distinct and the verify joins: J ≥ τ forces
+    // |y| ≥ τ·|x| (and symmetrically), so wildly different sizes can
+    // never qualify — dropping them here is free (the sizes ride the
+    // same bucket shuffle) and shrinks the exact-verification set
     val cands = pref
       .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("__ptok"))))
       .filter(col("__bn") > 1 && col("__bn") <= maxBucket)
       .groupBy(col("__ptok"))
-      .agg(collect_list(col("__id")).alias("__ids"))
-      .select(explode(pairCombinations(col("__ids"))).alias("__p"))
-      .select(col("__p.id1"), col("__p.id2"))
+      .agg(collect_list(struct(col("__id"), col("__n"))).alias("__ms"))
+      .select(explode(pairCombinations(col("__ms"))).alias("__p"))
+      .select(
+        col("__p.id1.__id").alias("id1"), col("__p.id1.__n").alias("__n1"),
+        col("__p.id2.__id").alias("id2"), col("__p.id2.__n").alias("__n2"))
+      .filter(
+        col("__n2") >= ceil(col("__n1") * threshold) &&
+          col("__n1") >= ceil(col("__n2") * threshold))
+      .select(col("id1"), col("id2"))
       .distinct()
     verifyJaccard(cands, df, idCol, textCol, threshold, shingleSize)
   }
