@@ -132,6 +132,30 @@ object Zorder {
     pruned.select(col("file")).collect().map(_.getString(0)).toSeq
   }
 
+  /** OPTIMIZE ZORDER for a [[graft.store.SnapshotStore]] table: rewrite
+    * the current snapshot Morton-clustered on `zCols`, build its
+    * `_zindex` stats, and publish the result as the next version with
+    * atomic visibility — readers racing the rewrite keep the previous
+    * complete snapshot until the marker lands, exactly like a lakehouse
+    * `OPTIMIZE` job. Returns the committed version. The data layout is
+    * the only change; rows are identical, so any reader logic is
+    * unaffected and time travel still reaches the pre-optimize layout. */
+  def optimizeCommit(
+      spark: SparkSession,
+      table: String,
+      zCols: Seq[String],
+      bits: Int,
+      numFiles: Int): Long = {
+    import graft.store.SnapshotStore
+    val cur = SnapshotStore.read(spark, table)
+    val next = SnapshotStore.currentVersion(spark, table).get + 1
+    val dir = SnapshotStore.versionDir(table, next)
+    writeZordered(cur, dir, zCols, bits, numFiles)
+    writeFileStats(spark, dir, zCols)
+    SnapshotStore.publishMarker(spark, table, next)
+    next
+  }
+
   /** Total file count of the table at `path` (for prune-factor audits). */
   def totalFiles(spark: SparkSession, path: String): Long = {
     val f = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)

