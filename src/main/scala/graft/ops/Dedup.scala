@@ -365,26 +365,43 @@ object Dedup {
     val pref = ordered.select(
       col("__id"),
       size(col("__o")).alias("__n"),
-      explode(slice(transform(col("__o"), x => x("__tok")), lit(1), prefLen)).alias("__ptok"))
-    // pairs carry both set sizes so the AllPairs LENGTH filter prunes
-    // before the distinct and the verify joins: J ≥ τ forces
-    // |y| ≥ τ·|x| (and symmetrically), so wildly different sizes can
-    // never qualify — dropping them here is free (the sizes ride the
-    // same bucket shuffle) and shrinks the exact-verification set
+      posexplode(slice(transform(col("__o"), x => x("__tok")), lit(1), prefLen))
+        .as(Seq("__pos", "__ptok")))
+    // Two candidate prunes BEFORE the expensive verify joins, both free
+    // (their inputs ride the same bucket shuffle):
+    //  - AllPairs LENGTH filter: J ≥ τ forces |y| ≥ τ·|x| (and
+    //    symmetrically) — wildly different sizes never qualify.
+    //  - PPJoin POSITIONAL filter: meeting at 0-based prefix positions
+    //    (i, j) bounds the overlap by 1 + min(n1−i−1, n2−j−1) (only
+    //    later-ordered tokens can still match under the shared global
+    //    order), while J ≥ τ needs ≥ ⌈τ/(1+τ)·(n1+n2)⌉ — pairs whose
+    //    BEST meeting position can't reach the bound are dropped by the
+    //    same groupBy that dedups multi-bucket pairs.
     val cands = pref
       .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("__ptok"))))
       .filter(col("__bn") > 1 && col("__bn") <= maxBucket)
       .groupBy(col("__ptok"))
-      .agg(collect_list(struct(col("__id"), col("__n"))).alias("__ms"))
+      .agg(collect_list(struct(col("__id"), col("__n"), col("__pos"))).alias("__ms"))
       .select(explode(pairCombinations(col("__ms"))).alias("__p"))
       .select(
         col("__p.id1.__id").alias("id1"), col("__p.id1.__n").alias("__n1"),
-        col("__p.id2.__id").alias("id2"), col("__p.id2.__n").alias("__n2"))
+        col("__p.id1.__pos").alias("__i"),
+        col("__p.id2.__id").alias("id2"), col("__p.id2.__n").alias("__n2"),
+        col("__p.id2.__pos").alias("__j"))
       .filter(
         col("__n2") >= ceil(col("__n1") * threshold) &&
           col("__n1") >= ceil(col("__n2") * threshold))
+      .groupBy(col("id1"), col("id2"))
+      .agg(
+        max(lit(1) + least(col("__n1") - col("__i") - 1, col("__n2") - col("__j") - 1))
+          .alias("__ub"),
+        first(col("__n1")).alias("__n1"), first(col("__n2")).alias("__n2"))
+      // epsilon slack keeps knife-edge integer cases where the float
+      // image of τ/(1+τ) rounds up — errs toward verifying, never
+      // toward dropping a true pair
+      .filter(col("__ub").cast("double") >=
+        (col("__n1") + col("__n2")) * lit(threshold / (1 + threshold)) - lit(1e-9))
       .select(col("id1"), col("id2"))
-      .distinct()
     verifyJaccard(cands, df, idCol, textCol, threshold, shingleSize)
   }
 
