@@ -262,6 +262,34 @@ object TextAnalysis {
         sum(col("m")).cast("long").alias("n_bigrams"))
   }
 
+  /** LM-quality corpus partitioning (the CCNet head/middle/tail cut):
+    * score every document with the corpus bigram LM
+    * ([[bigramLmScore]]), then split the corpus at the tercile
+    * boundaries of the score distribution — `head` = most fluent
+    * (highest avg log-prob / lowest perplexity), `tail` = least. The
+    * standard pre-training gate: keep head+middle, or mix buckets with
+    * different weights.
+    *
+    * Cross-engine determinism: bucketing compares the integer image of
+    * the 4-dp-rounded score (`round(avg_logp·10⁴)` as a long), so the
+    * tercile boundaries interpolate between exact integers and both
+    * engines assign identical buckets. Scale shape: [[bigramLmScore]]'s
+    * one corpus aggregate + vocab-sized model join, then ONE exact
+    * percentile aggregate over doc-count rows and a broadcast of the
+    * two boundaries — no global sort, no window. */
+  def lmQualityBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scored = bigramLmScore(docs, idCol, textCol)
+      .select(col(idCol), col("avg_logp"), col("n_bigrams"),
+        round(col("avg_logp") * 10000).cast("long").alias("__s4"))
+    val bounds = scored.agg(
+      expr("percentile(__s4, array(1.0D/3, 2.0D/3))").alias("__b"))
+    scored.crossJoin(broadcast(bounds))
+      .select(col(idCol), col("avg_logp"), col("n_bigrams"),
+        when(col("__s4") <= element_at(col("__b"), 1), lit("tail"))
+          .when(col("__s4") <= element_at(col("__b"), 2), lit("middle"))
+          .otherwise(lit("head")).alias("ppl_bucket"))
+  }
+
   /** TF-IDF term weights per document: `tf(d,t) · ln(N / df(t))`,
     * unsmoothed and deterministic. Shuffle structure mirrors
     * [[bigramLmScore]]: term counts aggregate per (doc, term) FIRST, the

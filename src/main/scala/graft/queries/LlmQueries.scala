@@ -588,6 +588,14 @@ object LlmQueries {
     TextAnalysis.bigramLmScore(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** CCNet-style perplexity partitioning
+    * ([[graft.ops.TextAnalysis.lmQualityBuckets]]): corpus terciles of
+    * the bigram-LM score — head (most fluent) / middle / tail. */
+  val txPplBuckets: Q = (s, d) =>
+    TextAnalysis.lmQualityBuckets(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("avg_logp"), col("ppl_bucket"))
+      .orderBy(col("doc_id"))
+
   /** TF-IDF term weights ([[graft.ops.TextAnalysis.tfidf]]) — the
     * classic relevance/keyword-extraction weighting, model replayed in
     * SQL. */
@@ -1168,6 +1176,34 @@ object LlmQueries {
                 CAST(count(*) AS BIGINT) AS n_bigrams
          FROM bi2 JOIN big USING (w, w2) JOIN uni USING (w) CROSS JOIN v
          GROUP BY doc_id ORDER BY doc_id""",
+    "tx_ppl_buckets" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         bi AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                    i -> {'w': t[i], 'w2': t[i + 1]})) AS b
+           FROM toks),
+         bi2 AS (SELECT doc_id, b.w AS w, b.w2 AS w2 FROM bi),
+         uni AS (
+           SELECT w, count(*) AS c1
+           FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+           GROUP BY 1),
+         big AS (SELECT w, w2, count(*) AS c12 FROM bi2 GROUP BY 1, 2),
+         v AS (SELECT count(*) AS vsize FROM uni),
+         scored AS (
+           SELECT doc_id, round(avg(ln((c12 + 1.0) / (c1 + vsize))), 4) AS avg_logp
+           FROM bi2 JOIN big USING (w, w2) JOIN uni USING (w) CROSS JOIN v
+           GROUP BY doc_id),
+         s4 AS (SELECT doc_id, avg_logp,
+                       CAST(round(avg_logp * 10000) AS BIGINT) AS s4
+                FROM scored),
+         b AS (SELECT quantile_cont(s4, [1.0/3, 2.0/3]) AS qb FROM s4)
+         SELECT doc_id, avg_logp,
+                CASE WHEN s4 <= qb[1] THEN 'tail'
+                     WHEN s4 <= qb[2] THEN 'middle'
+                     ELSE 'head' END AS ppl_bucket
+         FROM s4 CROSS JOIN b
+         ORDER BY doc_id""",
     "eq_quantize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                     FROM embeddings WHERE vec_id < 200),
@@ -1369,6 +1405,7 @@ object LlmQueries {
     "ct_ngram_overlap" -> ctNgramOverlap,
     "eq_quantize" -> eqQuantize,
     "tx_bigram_lm" -> txBigramLm,
+    "tx_ppl_buckets" -> txPplBuckets,
     "tx_tfidf" -> txTfidf,
     "eq_pq_recall" -> eqPqRecall,
     "ann_ivfpq_recall" -> annIvfPqRecall,
