@@ -21,6 +21,27 @@ class SnapshotStoreSpec extends SparkSuite {
     intercept[IllegalArgumentException](SnapshotStore.readVersion(spark, t, 7L))
   }
 
+  test("schema evolution across versions: each snapshot is self-contained, merges can add columns") {
+    val root = java.nio.file.Files.createTempDirectory("graft-snapev").toString
+    val t = s"$root/t"
+    SnapshotStore.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    // v1 adds a column (widening evolution) — full-snapshot versioning
+    // makes this free: no mergeSchema read, no backfill coordination
+    val evolved = SnapshotStore.read(spark, t).withColumn("score", col("k") * 10.0)
+    SnapshotStore.commit(evolved, t)
+    assert(SnapshotStore.read(spark, t).columns.toSeq === Seq("k", "v", "score"))
+    // time travel still serves the ORIGINAL schema, not a merged one
+    assert(SnapshotStore.readVersion(spark, t, 0L).columns.toSeq === Seq("k", "v"))
+    // a MERGE against the evolved table fills the new column for inserts
+    val src = Seq((3L, "c", 30.0)).toDF("k", "v", "score")
+    graft.ops.ChangeData.mergeCommit(
+      spark, t, src, Seq("k"),
+      updateSet = Map("score" -> org.apache.spark.sql.functions.col("__s.score")))
+    val cur = SnapshotStore.read(spark, t).orderBy(col("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(cur === Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+  }
+
   test("an unpublished data directory is invisible; visibility flips at the marker") {
     val root = java.nio.file.Files.createTempDirectory("graft-snap2").toString
     val t = s"$root/t"
