@@ -179,6 +179,23 @@ object CompositeQueries {
     * range-join oracle. The streaming path (state bounded by watermark +
     * horizon, cross-micro-batch matching) is exercised in
     * `StreamingSpec`. */
+  /** ST11 (beyond reference parity): streaming AS-OF (temporal) join —
+    * each purchase enriched with the user's latest at-or-before view
+    * within 1 h ([[graft.streaming.EventStreams.asOfEnrichStream]]:
+    * interval join + watermark-evicted latest-wins aggregate), run in
+    * batch with a window-rank oracle. The two-stateful-operator
+    * streaming path is exercised in `StreamingSpec`. */
+  val st11AsofEnrich: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    def side(t: String) = e.filter(col("event_type") === t)
+      .select(col("user_id"), col("event_id"), col("event_time"))
+    graft.streaming.EventStreams.asOfEnrichStream(side("view"), side("purchase"), "1 hour", "2 hours")
+      .select(col("user_id"), col("purchase_id"),
+        coalesce(col("view_id"), lit(-1L)).alias("view_id"),
+        coalesce(col("view_lag_sec"), lit(-1L)).alias("view_lag_sec"))
+      .orderBy(col("purchase_id"))
+  }
+
   val st3IntervalJoin: Q = (s, d) => {
     val e = Tables.events(s, d)
     graft.streaming.EventStreams.viewPurchaseAttribution(
@@ -652,6 +669,23 @@ object CompositeQueries {
                 round(sum(value), 4) AS value_sum
          FROM sess GROUP BY user_id, sid
          ORDER BY user_id, session_start""",
+    "st11_asof_enrich" ->
+      """WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS vt
+                    FROM events WHERE event_type = 'view'),
+         p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pt
+               FROM events WHERE event_type = 'purchase'),
+         j AS (SELECT p.user_id, p.purchase_id, p.pt, v.event_id AS view_id, v.vt
+               FROM p LEFT JOIN v
+                 ON p.user_id = v.user_id
+                AND v.vt BETWEEN p.pt - 3600000000 AND p.pt),
+         r AS (SELECT *, row_number() OVER (PARTITION BY purchase_id
+                 ORDER BY vt DESC NULLS LAST, view_id DESC NULLS LAST) AS rk
+               FROM j)
+         SELECT user_id, purchase_id,
+                coalesce(view_id, -1) AS view_id,
+                coalesce(pt // 1000000 - vt // 1000000, -1) AS view_lag_sec
+         FROM r WHERE rk = 1
+         ORDER BY purchase_id""",
     "st3_interval_join" ->
       """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
          FROM (SELECT * FROM events WHERE event_type = 'view') v
@@ -792,6 +826,7 @@ object CompositeQueries {
     "st1_windowed_counts" -> st1WindowedCounts,
     "st2_stream_static" -> st2StreamStatic,
     "st3_interval_join" -> st3IntervalJoin,
+    "st11_asof_enrich" -> st11AsofEnrich,
     "st6_outer_interval_join" -> st6OuterIntervalJoin,
     "st4_stream_dedup" -> st4StreamDedup,
     "st5_session_window" -> st5SessionWindow,

@@ -240,6 +240,54 @@ object EventStreams {
         col("p.event_time").alias("purchase_time"))
   }
 
+  /** Streaming AS-OF (temporal) join: each purchase enriched with the
+    * same user's LATEST view at-or-before it, within `horizon` — the
+    * streaming twin of the native batch as-of join
+    * ([[graft.ops.AsOfNative]] / `j4c_asof_native`), a shape Spark has
+    * no built-in operator for (Flink calls it a temporal join).
+    *
+    * Composed from two watermark-bounded stateful operators instead of
+    * hand-rolled state: (1) the stream-stream LEFT OUTER interval join
+    * buffers only in-horizon candidates per side (state O(window), as
+    * in [[viewPurchaseAttribution]]); (2) a latest-wins aggregate
+    * keyed by the purchase (grouping on the watermarked event-time
+    * column, so append-mode state evicts as the watermark passes) picks
+    * max(struct(view_time, view_id)) — the null-extended no-match rows
+    * lose to any real match because struct ordering ranks null fields
+    * lowest, and ties on view_time break deterministically by id. The
+    * result emits once the purchase's event time falls behind the
+    * watermark, when "latest view" is a fact rather than "latest so
+    * far".
+    *
+    * On batch input the analyzer eliminates the watermark nodes and the
+    * same plan is a range join + aggregate — how the oracle verifies
+    * it. */
+  def asOfEnrichStream(
+      views: DataFrame,
+      purchases: DataFrame,
+      horizon: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val v = views.withWatermark("event_time", watermarkDelay).alias("v")
+    val p = purchases.withWatermark("event_time", watermarkDelay).alias("p")
+    p.join(
+        v,
+        expr(s"""p.user_id = v.user_id AND
+                 v.event_time BETWEEN p.event_time - INTERVAL $horizon AND p.event_time"""),
+        "left_outer")
+      .groupBy(
+        col("p.event_time").alias("purchase_time"),
+        col("p.user_id").alias("user_id"),
+        col("p.event_id").alias("purchase_id"))
+      .agg(max(struct(col("v.event_time"), col("v.event_id"))).alias("__latest"))
+      .select(
+        col("user_id"),
+        col("purchase_id"),
+        col("purchase_time"),
+        col("__latest.event_id").alias("view_id"),
+        ((col("purchase_time").cast("long") - col("__latest.event_time").cast("long")))
+          .alias("view_lag_sec"))
+  }
+
   /** Streaming exact dedup: drop rows whose `keyCols` digest was already
     * seen within the watermark horizon — the streaming counterpart of the
     * batch digest groupBy ([[graft.ops.Dedup.exactDedupIds]]). State is

@@ -249,6 +249,54 @@ class StreamingSpec extends SparkSuite {
     assert(got === Set((1L, 10L, 20L)))
   }
 
+  test("streaming AS-OF join: latest in-horizon view wins across micro-batches; no-view purchases null out") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val views = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def df(m: MemoryStream[(Long, Long, java.sql.Timestamp)]) =
+      m.toDF().toDF("user_id", "event_id", "event_time")
+    val q = EventStreams.asOfEnrichStream(df(views), df(purchases), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("graft_st11").outputMode("append").start()
+
+    // user 1: two in-horizon views (the LATER one must win, from an
+    // earlier micro-batch than the purchase); user 2: view beyond the
+    // horizon (no match); user 3: purchase with no view at all
+    views.addData((1L, 10L, ts(0)), (1L, 11L, ts(20)), (2L, 12L, ts(0)))
+    q.processAllAvailable()
+    purchases.addData((1L, 20L, ts(30)), (2L, 21L, ts(90)), (3L, 22L, ts(40)))
+    q.processAllAvailable()
+    // advance BOTH watermarks past everything so the aggregate emits
+    views.addData((9L, 90L, ts(400)))
+    purchases.addData((9L, 91L, ts(400)))
+    q.processAllAvailable()
+    views.addData((9L, 92L, ts(800)))
+    purchases.addData((9L, 93L, ts(800)))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("graft_st11")
+      .select("user_id", "purchase_id", "view_id", "view_lag_sec")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got.contains((1L, 20L, 11L, 600L)), s"latest view must win: $got")
+    assert(got.contains((2L, 21L, -1L, -1L)), s"out-of-horizon view must not match: $got")
+    assert(got.contains((3L, 22L, -1L, -1L)), s"no-view purchase must null out: $got")
+    // streaming result ≡ the batch plan on the same data
+    val bv = Seq((1L, 10L, ts(0)), (1L, 11L, ts(20)), (2L, 12L, ts(0)),
+      (9L, 90L, ts(400)), (9L, 92L, ts(800))).toDF("user_id", "event_id", "event_time")
+    val bp = Seq((1L, 20L, ts(30)), (2L, 21L, ts(90)), (3L, 22L, ts(40)),
+      (9L, 91L, ts(400)), (9L, 93L, ts(800))).toDF("user_id", "event_id", "event_time")
+    val batch = EventStreams.asOfEnrichStream(bv, bp, "1 hour", "2 hours")
+      .select("user_id", "purchase_id", "view_id", "view_lag_sec")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got.subsetOf(batch), s"streaming emitted a row batch would not: ${got.diff(batch)}")
+  }
+
   test("stream-stream LEFT OUTER interval join: unmatched views emit null-extended AFTER watermark eviction") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
