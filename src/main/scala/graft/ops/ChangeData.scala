@@ -165,6 +165,57 @@ object ChangeData {
     }
   }
 
+  /** Incremental materialized-aggregate maintenance: fold a fact DELTA
+    * into a keyed aggregate snapshot without rescanning history — the
+    * "incremental materialized view refresh" every warehouse runs
+    * nightly. Maintains the algebraic aggregate state
+    * (n, sum/min/max per measure), which re-derives count/sum/avg/
+    * min/max exactly; the state combines associatively, so applying
+    * deltas in any split/order equals the full recompute (pinned in
+    * `ChangeDataSpec`).
+    *
+    * Scale shape (100 TB): each refresh aggregates ONLY the delta
+    * (map-side partial + one key shuffle), then combines with the
+    * key-cardinality-sized state — history facts are never re-read.
+    * The state commits through [[graft.store.SnapshotStore]], so a
+    * dashboard reading mid-refresh sees the previous complete state. */
+  def aggState(facts: DataFrame, keyCols: Seq[String], measureCols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).alias("n") +: measureCols.flatMap { m =>
+      Seq(sum(col(m)).alias(s"sum_$m"), min(col(m)).alias(s"min_$m"), max(col(m)).alias(s"max_$m"))
+    }
+    facts.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Combine two aggregate states ([[aggState]] outputs) — associative
+    * and commutative, the delta-fold step. */
+  def combineAggStates(a: DataFrame, b: DataFrame, keyCols: Seq[String], measureCols: Seq[String]): DataFrame = {
+    val aggs = sum(col("n")).alias("n") +: measureCols.flatMap { m =>
+      Seq(sum(col(s"sum_$m")).alias(s"sum_$m"),
+        min(col(s"min_$m")).alias(s"min_$m"),
+        max(col(s"max_$m")).alias(s"max_$m"))
+    }
+    a.unionByName(b).groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Refresh the aggregate snapshot at `table` with a new fact delta:
+    * state' = combine(state, aggState(delta)), committed atomically.
+    * Bootstraps the table on first call. Returns the version. */
+  def incrementalAggCommit(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      delta: DataFrame,
+      keyCols: Seq[String],
+      measureCols: Seq[String]): Long = {
+    val d = aggState(delta, keyCols, measureCols)
+    val next = graft.store.SnapshotStore.currentVersion(spark, table) match {
+      case None => d
+      case Some(v) =>
+        combineAggStates(
+          graft.store.SnapshotStore.readVersion(spark, table, v), d, keyCols, measureCols)
+    }
+    graft.store.SnapshotStore.commit(next, table)
+  }
+
   /** [[mergeInto]] against a [[graft.store.SnapshotStore]] table: read
     * the current snapshot, merge, publish the result as the next
     * version (atomic visibility — a reader racing the merge sees the

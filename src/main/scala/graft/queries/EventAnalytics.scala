@@ -170,6 +170,29 @@ object EventAnalytics {
     summary(0L).unionAll(summary(1L)).orderBy(col("version"))
   }
 
+  /** DT5: incremental materialized-aggregate refresh
+    * ([[graft.ops.ChangeData.incrementalAggCommit]]) — the orders fact
+    * applied as three year-sliced deltas into a per-customer aggregate
+    * snapshot; the final state must equal the one-shot aggregate over
+    * all history (the oracle), with history never rescanned. Money in
+    * integer cents for exactness. */
+  val dtIncrAgg: Q = (s, d) => {
+    val table = java.nio.file.Files.createTempDirectory("incragg").toString + "/agg"
+    val orders = Tables.orders(s, d).select(
+      col("o_custkey"),
+      round(col("o_totalprice") * 100).cast("long").alias("cents"),
+      year(col("o_orderdate")).alias("__y"))
+    Seq((0, 1996), (1996, 1999), (1999, 3000)).foreach { case (lo, hi) =>
+      ChangeData.incrementalAggCommit(s, table,
+        orders.filter(col("__y") >= lo && col("__y") < hi).drop("__y"),
+        Seq("o_custkey"), Seq("cents"))
+    }
+    graft.store.SnapshotStore.read(s, table)
+      .select(col("o_custkey"), col("n"),
+        col("sum_cents"), col("min_cents"), col("max_cents"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** C12: event-transition matrix (first-order Markov counts) — lead()
     * per user gives (state, next state); probabilities normalize per
     * source state over the 25-row transition table, never raw events.
@@ -287,6 +310,15 @@ object EventAnalytics {
          WHERE NOT (t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
                     AND s.delta_cents > 80000000)
          ORDER BY c_custkey""",
+    "dt_incr_agg" ->
+      """SELECT o_custkey,
+                CAST(count(*) AS BIGINT) AS n,
+                sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents,
+                min(CAST(round(o_totalprice * 100) AS BIGINT)) AS min_cents,
+                max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents
+         FROM orders
+         GROUP BY o_custkey
+         ORDER BY o_custkey""",
     "dt_time_travel" ->
       """WITH src AS (
            SELECT CASE WHEN o_custkey % 7 = 0 THEN o_custkey + 1000000
@@ -336,6 +368,7 @@ object EventAnalytics {
     "dt_snapshot_diff" -> dtSnapshotDiff,
     "dt_merge_into" -> dtMergeInto,
     "dt_time_travel" -> dtTimeTravel,
+    "dt_incr_agg" -> dtIncrAgg,
     "c12_transitions" -> c12Transitions,
     "sk_skew_report" -> skSkewReport
   )

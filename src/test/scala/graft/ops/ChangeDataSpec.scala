@@ -127,6 +127,26 @@ class ChangeDataSpec extends SparkSuite {
     assert(e.getMessage.contains("cardinality"))
   }
 
+  test("incremental aggregate refresh: any delta split equals the one-shot recompute") {
+    val rnd = new scala.util.Random(11)
+    val facts = Seq.tabulate(500)(i => (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong))
+      .toDF("k", "v")
+    val oneShot = ChangeData.aggState(facts, Seq("k"), Seq("v"))
+    // three different splits, folded through the snapshot table
+    for ((splits, idx) <- Seq(Seq(100, 400), Seq(250, 250), Seq(1, 499)).zipWithIndex) {
+      val dir = java.nio.file.Files.createTempDirectory(s"incr$idx").toString + "/t"
+      var off = 0
+      splits.foreach { len =>
+        val part = facts.limit(off + len).exceptAll(facts.limit(off))
+        ChangeData.incrementalAggCommit(spark, dir, part, Seq("k"), Seq("v"))
+        off += len
+      }
+      val folded = graft.store.SnapshotStore.read(spark, dir)
+      assert(folded.exceptAll(oneShot).count() === 0 && oneShot.exceptAll(folded).count() === 0,
+        s"split $splits diverged from the one-shot aggregate")
+    }
+  }
+
   test("mergeCommit publishes the merged table as the next atomic snapshot") {
     val dir = java.nio.file.Files.createTempDirectory("merge_commit").toString
     val table = s"$dir/t"
