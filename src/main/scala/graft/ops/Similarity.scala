@@ -256,23 +256,49 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).alias("sim"))
   }
 
+  /** Occupancy-scaled bits-per-band: enough hyperplanes per band that the
+    * expected bucket occupancy stays ~`targetOccupancy` regardless of
+    * corpus size (the LSH geometry contract: buckets/band = 2^bits must
+    * grow with n or in-bucket candidate pairs grow quadratically — at
+    * fixed 8-bit geometry a 210k-vector corpus means ~820 ids/bucket and
+    * hundreds of millions of pairs, which is how the sf10 ladder point
+    * originally failed). Clamped to [8, 24] bits: at least the legacy
+    * 256-bucket floor, at most 16M buckets (beyond which signature cost
+    * dominates and occupancy is already ≪ 1). */
+  def occupancyScaledBits(n: Long, targetOccupancy: Int = 8): Int = {
+    val need = math.ceil(math.log(math.max(2.0, n.max(1L).toDouble / targetOccupancy)) /
+      math.log(2.0)).toInt
+    math.min(24, math.max(8, need))
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH bucketing (no query
     * set: all-to-all within buckets only). Identical vectors always
-    * co-bucket (identical signatures), so exact-copy recall is 1.0.
-    * Candidate pairs come from one groupBy(bucket)+collect_list pass with
-    * the `maxBucket` occupancy cap applied by a windowed count sharing
-    * that same exchange — the [[Dedup.lshCandidatePairs]] shape exactly.
-    * Audit what a cap would drop with [[lshBucketStats]]. */
+    * co-bucket (identical signatures), so exact-copy recall is 1.0 at ANY
+    * geometry. Candidate pairs come from one groupBy(bucket)+collect_list
+    * pass with the `maxBucket` occupancy cap applied by a windowed count
+    * sharing that same exchange — the [[Dedup.lshCandidatePairs]] shape
+    * exactly. Audit what a cap would drop with [[lshBucketStats]].
+    *
+    * `planes = 0` (the default) means AUTO geometry: one count() over the
+    * corpus picks [[occupancyScaledBits]] bits per band, keeping `bands`
+    * independent OR-amplification rounds while bucket count tracks corpus
+    * size — constant occupancy from sf0.01 to the sf10 ladder and beyond.
+    * Recall for non-identical pairs at sim ≥ threshold is governed by
+    * bands × bits as usual; pass explicit `planes` to pin geometry (the
+    * ann_lsh entries do, because their oracles replay the signature). */
   def cosineNearDupPairs(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      planes: Int = 64,
+      planes: Int = 0,
       bands: Int = 8,
       dims: Int = 64,
       maxBucket: Int = 1000): DataFrame = {
-    val keys = bandedKeys(corpus, idCol, vecCol, planes, bands, dims)
+    val nPlanes =
+      if (planes > 0) planes
+      else bands * occupancyScaledBits(corpus.count())
+    val keys = bandedKeys(corpus, idCol, vecCol, nPlanes, bands, dims)
     val cands = keys
       .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
       .filter(col("__bn") > 1 && col("__bn") <= maxBucket)

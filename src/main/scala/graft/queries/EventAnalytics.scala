@@ -127,7 +127,7 @@ object EventAnalytics {
     Tables.orders(s, d)
       .filter(year(col("o_orderdate")) === 1995)
       .groupBy(
-        when(col("o_custkey") % 7 === 0, col("o_custkey") + 1000000L)
+        when(col("o_custkey") % 7 === 0, col("o_custkey") + 1000000000000L)
           .otherwise(col("o_custkey")).alias("c_custkey"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).alias("delta_cents"))
 
@@ -290,7 +290,7 @@ object EventAnalytics {
          ORDER BY user_id""",
     "dt_merge_into" ->
       """WITH src AS (
-           SELECT CASE WHEN o_custkey % 7 = 0 THEN o_custkey + 1000000
+           SELECT CASE WHEN o_custkey % 7 = 0 THEN o_custkey + 1000000000000
                        ELSE o_custkey END AS c_custkey,
                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS delta_cents
            FROM orders WHERE year(o_orderdate) = 1995
@@ -321,7 +321,7 @@ object EventAnalytics {
          ORDER BY o_custkey""",
     "dt_time_travel" ->
       """WITH src AS (
-           SELECT CASE WHEN o_custkey % 7 = 0 THEN o_custkey + 1000000
+           SELECT CASE WHEN o_custkey % 7 = 0 THEN o_custkey + 1000000000000
                        ELSE o_custkey END AS c_custkey,
                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS delta_cents
            FROM orders WHERE year(o_orderdate) = 1995

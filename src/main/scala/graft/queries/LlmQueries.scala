@@ -18,20 +18,20 @@ object LlmQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** documents ∪ exact copies of doc_id%10==0 (id+100000). */
+  /** documents ∪ exact copies of doc_id%10==0 (id+1000000000). */
   private def withExactCopies(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text")).unionAll(
       docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select((col("doc_id") + 100000).alias("doc_id"), col("text")))
+        .select((col("doc_id") + 1000000000).alias("doc_id"), col("text")))
 
-  /** odd-id originals ∪ near-copies of doc_id%10==5 (id+200000, one token
+  /** odd-id originals ∪ near-copies of doc_id%10==5 (id+2000000000, one token
     * appended) — the near-duplicate corpus. */
   private def nearDupCorpus(docs: DataFrame): DataFrame =
     docs.filter(pmod(col("doc_id"), lit(2)) === 1)
       .select(col("doc_id"), col("text"))
       .unionAll(
         docs.filter(pmod(col("doc_id"), lit(10)) === 5)
-          .select((col("doc_id") + 200000).alias("doc_id"),
+          .select((col("doc_id") + 2000000000L).alias("doc_id"),
             concat(col("text"), lit(" zqxmutation")).alias("text")))
 
   /** Exact-duplicate groups via digest hash-groupBy
@@ -77,7 +77,7 @@ object LlmQueries {
       .orderBy(col("id1"), col("id2"))
 
   /** Incremental dedup ([[graft.ops.Dedup.incrementalNearDupPairs]]):
-    * the mutated +200000 copies play the NEW daily batch, the odd-id
+    * the mutated +2000000000 copies play the NEW daily batch, the odd-id
     * originals the ingested history — every planted near-dup pair
     * crosses batch×history, the exact steady-state scenario. The oracle
     * is the full quadratic Jaccard restricted to pairs touching the
@@ -86,8 +86,8 @@ object LlmQueries {
   val ddIncremental: Q = (s, d) => {
     val corpus = nearDupCorpus(Tables.documents(s, d))
     Dedup.incrementalNearDupPairs(
-      corpus.filter(col("doc_id") < 200000),
-      corpus.filter(col("doc_id") >= 200000),
+      corpus.filter(col("doc_id") < 2000000000L),
+      corpus.filter(col("doc_id") >= 2000000000L),
       "doc_id", "text", 0.8)
       .select(col("id1"), col("id2"), round(col("jaccard"), 4).alias("jaccard"))
       .orderBy(col("id1"), col("id2"))
@@ -199,14 +199,14 @@ object LlmQueries {
       .select(col("doc_id"), col("text"))
       .unionAll(
         base.filter(pmod(col("doc_id"), lit(10)) === 5)
-          .select((col("doc_id") + 200000).alias("doc_id"),
+          .select((col("doc_id") + 2000000000L).alias("doc_id"),
             concat(col("text"), lit(" zqxmutation")).alias("text")))
     val sigs = corpus.select(
       col("doc_id"), Dedup.simhashPortable(col("text")).alias("sig"))
-    val orig = sigs.filter(col("doc_id") < 200000)
+    val orig = sigs.filter(col("doc_id") < 2000000000L)
       .select(col("doc_id").alias("orig_id"), col("sig").alias("orig_sig"))
-    sigs.filter(col("doc_id") >= 200000)
-      .select((col("doc_id") - 200000).alias("orig_id"), col("sig").alias("mut_sig"))
+    sigs.filter(col("doc_id") >= 2000000000L)
+      .select((col("doc_id") - 2000000000L).alias("orig_id"), col("sig").alias("mut_sig"))
       .join(orig, Seq("orig_id"))
       .select(col("orig_id"), col("orig_sig"), col("mut_sig"),
         Dedup.hamming64(col("orig_sig"), col("mut_sig")).alias("hamming"))
@@ -224,7 +224,7 @@ object LlmQueries {
       .select(col("doc_id"), col("text"))
       .unionAll(
         base.filter(pmod(col("doc_id"), lit(10)) === 5)
-          .select((col("doc_id") + 200000).alias("doc_id"),
+          .select((col("doc_id") + 2000000000L).alias("doc_id"),
             concat(col("text"), lit(" zqxmutation")).alias("text")))
     Dedup.simhashBandPairs(corpus, "doc_id", "text")
       .orderBy(col("id1"), col("id2"))
@@ -268,13 +268,20 @@ object LlmQueries {
       .orderBy(col("q_id"), col("rnk"))
 
   /** Embedding-cosine near-dup pairs over corpus ∪ exact vector copies
-    * (vec_id%20==0 → +100000): every planted pair has cosine 1.0 and LSH
-    * buckets identical signatures together, so recall is exact. */
+    * (vec_id%20==0 → +1000000000): every planted pair has cosine 1.0 and LSH
+    * buckets identical signatures together, so recall is exact.
+    * Replicas via explode, not unionAll: a union child constraining the
+    * pruned vector column trips Spark's Union constraint-rewrite bug
+    * (key not found: embedding#N) in PruneFilters once table stats make
+    * the optimizer revisit the union — first seen at the sf10 ladder
+    * point; the explode form has no Union node (same fix as
+    * `dd_semantic_dedup`). */
   val cosNearDup: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
-    val corpus = emb.select(col("vec_id"), col("embedding")).unionAll(
-      emb.filter(pmod(col("vec_id"), lit(20)) === 0)
-        .select((col("vec_id") + 100000).alias("vec_id"), col("embedding")))
+    val corpus = Tables.embeddings(s, d).select(
+        explode(when(pmod(col("vec_id"), lit(20)) === 0, array(lit(0L), lit(1000000000L)))
+          .otherwise(array(lit(0L)))).alias("__off"),
+        col("vec_id"), col("embedding"))
+      .select((col("vec_id") + col("__off")).alias("vec_id"), col("embedding"))
     Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding", 0.95)
       .select(col("id1"), col("id2"), col("sim"))
       .orderBy(col("id1"), col("id2"))
@@ -296,7 +303,7 @@ object LlmQueries {
     // child constrains the pruned vector column — the explode form has
     // no Union node and survives every execution path
     def corpus() = Tables.embeddings(s, d).select(
-        explode(when(pmod(col("vec_id"), lit(20)) === 0, array(lit(0L), lit(100000L)))
+        explode(when(pmod(col("vec_id"), lit(20)) === 0, array(lit(0L), lit(1000000000L)))
           .otherwise(array(lit(0L)))).alias("__off"),
         col("vec_id"), col("embedding"))
       .select((col("vec_id") + col("__off")).alias("vec_id"), col("embedding"))
@@ -563,7 +570,7 @@ object LlmQueries {
       .select(col("doc_id"), col("text"))
       .unionAll(
         base.filter(pmod(col("doc_id"), lit(10)) === 5)
-          .select((col("doc_id") + 200000).alias("doc_id"),
+          .select((col("doc_id") + 2000000000L).alias("doc_id"),
             concat(col("text"), lit(" zqxmutation")).alias("text")))
     Dedup.chunkOverlapPairs(corpus, "doc_id", "text")
       .orderBy(col("id1"), col("id2"))
@@ -660,11 +667,11 @@ object LlmQueries {
 
   private val exactCopiesSql =
     """(SELECT doc_id, text FROM documents
-        UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)"""
+        UNION ALL SELECT doc_id + 1000000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)"""
 
   private val nearDupCorpusSql =
     """(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
-        UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' zqxmutation' AS text
+        UNION ALL SELECT doc_id + 2000000000 AS doc_id, text || ' zqxmutation' AS text
         FROM documents WHERE doc_id % 10 = 5)"""
 
   /** Word-3-gram shingle set in DuckDB, matching
@@ -767,7 +774,7 @@ object LlmQueries {
                  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                        / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          WHERE (a.doc_id >= 200000 OR b.doc_id >= 200000)
+          WHERE (a.doc_id >= 2000000000 OR b.doc_id >= 2000000000)
             AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
           ORDER BY id1, id2""",
@@ -936,7 +943,7 @@ object LlmQueries {
     "cos_near_dup" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
                     UNION ALL
-                    SELECT vec_id + 100000 AS vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    SELECT vec_id + 1000000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS e
                     FROM embeddings WHERE vec_id % 20 = 0)
          SELECT a.vec_id AS id1, b.vec_id AS id2,
                 round(list_cosine_similarity(a.e, b.e), 4) AS sim
@@ -947,7 +954,7 @@ object LlmQueries {
       """WITH RECURSIVE
             c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
                   UNION ALL
-                  SELECT vec_id + 100000 AS vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  SELECT vec_id + 1000000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS e
                   FROM embeddings WHERE vec_id % 20 = 0),
             pr AS (SELECT a.vec_id AS id1, b.vec_id AS id2
                    FROM c a JOIN c b ON a.vec_id < b.vec_id
@@ -1038,7 +1045,7 @@ object LlmQueries {
               corpus AS (
                 SELECT doc_id, text FROM base WHERE doc_id % 2 = 1
                 UNION ALL
-                SELECT doc_id + 200000 AS doc_id, text || ' zqxmutation' AS text
+                SELECT doc_id + 2000000000 AS doc_id, text || ' zqxmutation' AS text
                 FROM base WHERE doc_id % 10 = 5),
               t AS (SELECT doc_id, list_filter(str_split_regex(text, '\s+'), x -> len(x) > 0) AS w
                     FROM corpus),
@@ -1091,7 +1098,7 @@ object LlmQueries {
               corpus AS (
                 SELECT doc_id, text FROM base WHERE doc_id % 2 = 1
                 UNION ALL
-                SELECT doc_id + 200000 AS doc_id, text || ' zqxmutation' AS text
+                SELECT doc_id + 2000000000 AS doc_id, text || ' zqxmutation' AS text
                 FROM base WHERE doc_id % 10 = 5),
               s AS (SELECT doc_id, ${simhashSql("text")} AS sig FROM corpus),
               p AS (
