@@ -86,7 +86,7 @@ object Bucketing {
     import graft.store.SnapshotStore
     val cur = SnapshotStore.currentVersion(spark, table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $table"))
-    val inDir = SnapshotStore.versionDir(table, cur)
+    val inDir = SnapshotStore.manifest(spark, table, cur).data
     val path = new org.apache.hadoop.fs.Path(inDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(path)
@@ -95,7 +95,9 @@ object Bucketing {
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val next = cur + 1
     val outDir = SnapshotStore.versionDir(table, next)
-    spark.read.parquet(inDir).repartition(nOut)
+    // readVersion (not the raw dir) so pending deletion vectors are
+    // materialized away by the rewrite, like any table format's compaction
+    SnapshotStore.readVersion(spark, table, cur).repartition(nOut)
       .write.mode("overwrite").parquet(outDir)
     SnapshotStore.publishMarker(spark, table, next)
     val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))

@@ -1,7 +1,8 @@
 package graft.store
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.broadcast
 
 /** Snapshot-isolated plain-parquet tables: a minimal commit-log layout
   * that gives read-union-rewrite maintenance jobs (SCD2 merge, CDC
@@ -10,14 +11,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Layout under a table root:
   * {{{
-  *   <table>/v=<N>/part-*.parquet   immutable snapshot data (never edited)
-  *   <table>/_commits/<N>           commit marker, created atomically
+  *   <table>/v=<N>/part-*.parquet    immutable snapshot data (never edited)
+  *   <table>/v=<N>__<tok>/...        writer-unique staged data (multi-writer)
+  *   <table>/_deletes/d_<tok>/...    deletion-vector key files (merge-on-read)
+  *   <table>/_commits/<N>            commit marker = tiny manifest, atomic
   * }}}
   *
   * The invariant that buys isolation: '''a version exists for readers
   * only once its marker file exists''', and the marker is published with
   * an atomic rename (temp file → final name), the same primitive Spark's
-  * own streaming manifest log relies on. A writer builds `v=<N>` at
+  * own streaming manifest log relies on. A writer builds its data dir at
   * leisure — crash mid-write and the directory is an invisible orphan
   * that [[vacuum]] collects; a concurrent reader resolves the newest
   * MARKER, so it sees the previous complete snapshot until the instant
@@ -27,15 +30,44 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * listing — safe there only because the streaming checkpoint
   * serializes its single writer).
   *
+  * '''Marker = manifest.''' A marker's content names the version's data
+  * directory plus any deletion-vector files and their key columns
+  * (plain `k=v` lines — no JSON dependency, readable with `cat`):
+  * {{{
+  *   data=<table>/v=7__a3f1
+  *   delete=<table>/_deletes/d_09c2
+  *   keys=o_orderkey
+  * }}}
+  * Legacy single-line markers (a bare data-dir path) still parse.
+  *
+  * '''Multi-writer commits are optimistic CAS.''' The marker file for
+  * version N is published with a no-overwrite rename
+  * (`FileContext.rename(…, Options.Rename.NONE)` — atomic on HDFS;
+  * checked on the local fs). Exactly one writer wins version N; a loser
+  * observes the conflict, drops its staged data, re-reads the NEW
+  * current snapshot, and re-derives its change against it
+  * ([[commitTransform]] — rebase-and-retry, the same protocol as
+  * Delta/Iceberg optimistic concurrency). Writers stage data under
+  * writer-unique dirs (`v=<N>__<token>`) so racing stages never collide.
+  *
+  * '''Deletion vectors (merge-on-read).''' [[deleteCommit]] writes only
+  * the deleted KEYS (eval-set-sized) and publishes a manifest that
+  * reuses the previous version's data directory — an O(deleted-keys)
+  * commit instead of an O(table) rewrite, the point of merge-on-read at
+  * 100 TB. Readers apply DVs as a broadcast anti join (the delete side
+  * is small by construction); any full rewrite ([[commit]], SCD2 merge,
+  * `Zorder.optimizeCommit`, `Bucketing.compactCommit`) naturally
+  * materializes them away because its fresh manifest carries no
+  * `delete=` lines.
+  *
   * Scale notes for the 100 TB shape:
   *  - Readers list `_commits/` (tiny marker files), never the data tree.
   *  - Each commit rewrites only what the job rewrites; history is
   *    retained until [[vacuum]], so long-running readers pinned to an
   *    old version keep a consistent view (keep ≥ 2 grace versions).
-  *  - Concurrent WRITERS are last-marker-wins: serializing multi-writer
-  *    commits needs a compare-and-swap the filesystem API lacks — run
-  *    maintenance single-writer per table, as every table format's
-  *    compaction job does anyway.
+  *  - [[vacuum]] is reference-counted over manifests: a data dir or DV
+  *    file survives while ANY retained version references it (delete
+  *    commits share their predecessor's data dir).
   *
   * Reference analog: the weather warehouse overwrites plain parquet in
   * place (`build_dimensions.py:93`), so an Athena query racing the Glue
@@ -44,14 +76,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SnapshotStore {
 
+  /** What a commit marker resolves to: the snapshot's data directory,
+    * the deletion-vector key files to anti-join away, and the key
+    * columns those files carry. */
+  final case class Manifest(data: String, deletes: Seq[String], keyCols: Seq[String])
+
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def commitsDir(table: String) = s"$table/_commits"
 
+  private def deletesDir(table: String) = s"$table/_deletes"
+
   private def parseVersion(name: String): Option[Long] =
     // tolerate foreign files (temp markers, editor droppings): skip, don't die
     scala.util.Try(name.toLong).toOption
+
+  /** Version prefix of a data-dir name: `v=5` → 5, `v=5__a3f1` → 5
+    * (writer-unique staged dirs carry a token suffix). */
+  private def dirVersion(name: String): Option[Long] = {
+    val core = name.stripPrefix("v=").takeWhile(_.isDigit)
+    if (core.isEmpty) None else parseVersion(core)
+  }
+
+  private def token(): String = java.util.UUID.randomUUID.toString.take(8)
 
   /** All committed versions, ascending (empty if the table has none). */
   def versions(spark: SparkSession, table: String): Seq[Long] = {
@@ -70,49 +118,171 @@ object SnapshotStore {
 
   def versionDir(table: String, v: Long): String = s"$table/v=$v"
 
+  /** Resolve a committed version's manifest from its marker content.
+    * Legacy markers (bare path, or the pre-manifest era's fixed layout)
+    * resolve to `v=<N>` with no deletes. */
+  def manifest(spark: SparkSession, table: String, v: Long): Manifest = {
+    val marker = new Path(commitsDir(table), v.toString)
+    val f = fs(spark, table)
+    require(f.exists(marker), s"version $v is not committed under $table")
+    val in = f.open(marker)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    if (lines.exists(_.startsWith("data="))) {
+      Manifest(
+        data = lines.find(_.startsWith("data=")).get.stripPrefix("data="),
+        deletes = lines.filter(_.startsWith("delete=")).map(_.stripPrefix("delete=")),
+        keyCols = lines.find(_.startsWith("keys=")).map(_.stripPrefix("keys=").split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil))
+    } else {
+      // legacy bare-path marker (or empty → the fixed v=<N> layout)
+      Manifest(lines.headOption.getOrElse(versionDir(table, v)), Nil, Nil)
+    }
+  }
+
   /** Read the newest committed snapshot. */
   def read(spark: SparkSession, table: String): DataFrame =
     currentVersion(spark, table)
       .map(v => readVersion(spark, table, v))
       .getOrElse(throw new IllegalStateException(s"no committed snapshot under $table"))
 
-  /** Time travel: read one specific committed snapshot. */
+  /** Time travel: read one specific committed snapshot. Deletion
+    * vectors apply as a broadcast anti join on the manifest's key
+    * columns (the delete side is deleted-keys-sized — small). */
   def readVersion(spark: SparkSession, table: String, v: Long): DataFrame = {
-    require(versions(spark, table).contains(v), s"version $v is not committed under $table")
-    spark.read.parquet(versionDir(table, v))
+    val m = manifest(spark, table, v)
+    val base = spark.read.parquet(m.data)
+    if (m.deletes.isEmpty) base
+    else {
+      val dvs = spark.read.parquet(m.deletes: _*).select(m.keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
+      base.join(broadcast(dvs), m.keyCols, "left_anti")
+    }
   }
 
   /** Write `df` as the next snapshot and publish it atomically. Returns
     * the committed version number. The data write (the long part) is
-    * invisible to readers; visibility flips at the marker rename. */
+    * invisible to readers; visibility flips at the marker rename.
+    * Single-writer convenience: on a marker race it retries the NEXT
+    * version number without rewriting the already-staged data. */
   def commit(df: DataFrame, table: String): Long = {
     val spark = df.sparkSession
-    val next = currentVersion(spark, table).map(_ + 1).getOrElse(0L)
-    df.write.mode("overwrite").parquet(versionDir(table, next))
-    publishMarker(spark, table, next)
+    var next = currentVersion(spark, table).map(_ + 1).getOrElse(0L)
+    val dataDir = s"$table/v=${next}__${token()}"
+    df.write.mode("overwrite").parquet(dataDir)
+    while (!tryPublishManifest(spark, table, next, Manifest(dataDir, Nil, Nil)))
+      next += 1 // lost a marker race; the staged data is still valid as a later version
     next
   }
 
   /** Publish the marker for a version whose data dir was written by the
-    * caller (lets multi-step writers stage data their own way). */
-  def publishMarker(spark: SparkSession, table: String, v: Long): Unit = {
+    * caller at the fixed `v=<N>` path (lets multi-step single-writer
+    * maintenance jobs stage data their own way). Throws on a marker
+    * conflict — those callers assume exclusive ownership of the table. */
+  def publishMarker(spark: SparkSession, table: String, v: Long): Unit =
+    if (!tryPublishManifest(spark, table, v, Manifest(versionDir(table, v), Nil, Nil)))
+      throw new IllegalStateException(s"could not publish commit marker $v under $table")
+
+  /** CAS primitive: atomically publish version `v`'s manifest marker,
+    * returning false if some other writer already owns version `v`.
+    * Content is staged to a temp file, then renamed with
+    * `Options.Rename.NONE` (no overwrite) — on HDFS that rename is
+    * atomic, so exactly one concurrent writer wins; the marker is never
+    * visible with partial content. */
+  def tryPublishManifest(spark: SparkSession, table: String, v: Long, m: Manifest): Boolean = {
     val f = fs(spark, table)
     val dir = new Path(commitsDir(table))
     f.mkdirs(dir)
-    val tmp = new Path(dir, s".tmp_$v")
+    val tmp = new Path(dir, s".tmp_${v}_${token()}")
+    val content = new StringBuilder(s"data=${m.data}\n")
+    m.deletes.foreach(d => content.append(s"delete=$d\n"))
+    if (m.keyCols.nonEmpty) content.append(s"keys=${m.keyCols.mkString(",")}\n")
     val out = f.create(tmp, true)
-    try out.write(versionDir(table, v).getBytes("UTF-8"))
+    try out.write(content.toString.getBytes("UTF-8"))
     finally out.close()
-    // atomic on HDFS and local fs: the marker appears whole or not at all
-    if (!f.rename(tmp, new Path(dir, v.toString)))
-      throw new IllegalStateException(s"could not publish commit marker $v under $table")
+    val fc = FileContext.getFileContext(new Path(table).toUri, spark.sparkContext.hadoopConfiguration)
+    try {
+      fc.rename(tmp, new Path(dir, v.toString), Options.Rename.NONE)
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        f.delete(tmp, false); false
+      case _: java.io.FileNotFoundException => // some local-fs impls report dst-exists this way
+        f.delete(tmp, false); false
+      case e: java.io.IOException if e.getMessage != null && e.getMessage.contains("already exists") =>
+        f.delete(tmp, false); false
+    }
+  }
+
+  /** Optimistic multi-writer commit: derive the next snapshot from the
+    * current one with `fn` (None on an empty table), stage it under a
+    * writer-unique dir, and CAS the marker. On conflict — some other
+    * writer committed first — drop the staged data, re-read the NEW
+    * current snapshot, and re-derive (rebase-and-retry). Lost updates
+    * are impossible: every committed version's content was derived from
+    * its direct predecessor. */
+  def commitTransform(
+      spark: SparkSession,
+      table: String,
+      fn: Option[DataFrame] => DataFrame,
+      maxAttempts: Int = 8): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = currentVersion(spark, table)
+      val df = fn(base.map(v => readVersion(spark, table, v)))
+      val next = base.map(_ + 1).getOrElse(0L)
+      val dataDir = s"$table/v=${next}__${token()}"
+      df.write.mode("overwrite").parquet(dataDir)
+      if (tryPublishManifest(spark, table, next, Manifest(dataDir, Nil, Nil))) return next
+      fs(spark, table).delete(new Path(dataDir), true)
+      attempt += 1
+    }
+    throw new IllegalStateException(s"commitTransform lost $maxAttempts CAS races on $table")
+  }
+
+  /** Merge-on-read delete: commit a new version that REUSES the current
+    * data directory and adds a deletion-vector file holding the keys of
+    * live rows matching `cond`. O(deleted keys) written, not O(table).
+    * Successive delete commits accumulate DV files; any full rewrite
+    * materializes them away. CAS + recompute on writer conflict. */
+  def deleteCommit(
+      spark: SparkSession,
+      table: String,
+      keyCols: Seq[String],
+      cond: Column,
+      maxAttempts: Int = 8): Long = {
+    require(keyCols.nonEmpty, "deleteCommit needs at least one key column")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, table)
+        .getOrElse(throw new IllegalStateException(s"no committed snapshot under $table"))
+      val m = manifest(spark, table, cur)
+      require(
+        m.deletes.isEmpty || m.keyCols == keyCols,
+        s"delete key columns $keyCols differ from the table's existing DV keys ${m.keyCols}")
+      val dv = s"${deletesDir(table)}/d_${token()}"
+      readVersion(spark, table, cur) // live rows only: composes with prior DVs
+        .where(cond)
+        .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+        .distinct()
+        .write.mode("overwrite").parquet(dv)
+      if (tryPublishManifest(spark, table, cur + 1, Manifest(m.data, m.deletes :+ dv, keyCols)))
+        return cur + 1
+      attempt += 1 // orphan DV file is GC'd by vacuum's reference count
+    }
+    throw new IllegalStateException(s"deleteCommit lost $maxAttempts CAS races on $table")
   }
 
   /** Retention GC: drop all but the newest `keep` committed snapshots,
     * plus any UNCOMMITTED orphan `v=` directory below the current
-    * version (an abandoned write that crashed before its marker).
-    * Returns the deleted version numbers. Keep ≥ 2 to leave a grace
-    * snapshot for in-flight readers of the previous version. */
+    * version (an abandoned or CAS-defeated write that never published a
+    * marker). Data dirs and deletion-vector files are reference-counted
+    * across the RETAINED manifests — a delete commit shares its
+    * predecessor's data dir, so physical deletion happens only when the
+    * last referencing version ages out. Run single-maintenance-writer
+    * (like every table format's vacuum). Returns the dropped version
+    * numbers. Keep ≥ 2 to leave a grace snapshot for in-flight readers
+    * of the previous version. */
   def vacuum(spark: SparkSession, table: String, keep: Int = 2): Seq[Long] = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
     val committed = versions(spark, table)
@@ -120,18 +290,38 @@ object SnapshotStore {
     val current = committed.last
     val f = fs(spark, table)
     val root = new Path(table)
-    val dataVersions = f.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v=") => n.stripPrefix("v=") }
-      .flatMap(parseVersion)
+
+    val retained = committed.takeRight(keep)
     val doomedCommitted = committed.dropRight(keep)
-    val orphans = dataVersions.filterNot(committed.contains).filter(_ < current)
-    val doomed = (doomedCommitted ++ orphans).distinct.sorted
-    doomed.foreach { v =>
-      f.delete(new Path(versionDir(table, v)), true)
+    val retainedManifests = retained.map(v => manifest(spark, table, v))
+    val liveData = retainedManifests.map(m => new Path(m.data).getName).toSet
+    val liveDvs = retainedManifests.flatMap(_.deletes).map(p => new Path(p).getName).toSet
+
+    // committed-but-aged-out versions: drop marker; drop data dir unless shared forward
+    doomedCommitted.foreach { v =>
+      val m = manifest(spark, table, v)
+      if (!liveData.contains(new Path(m.data).getName)) f.delete(new Path(m.data), true)
       f.delete(new Path(commitsDir(table), v.toString), false)
     }
-    doomed
+
+    // orphan data dirs: no retained manifest references them and their
+    // version prefix is below current (writers may be staging > current)
+    f.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("v="))
+      .filter(p => !liveData.contains(p.getName))
+      .filter(p => dirVersion(p.getName).exists(_ < current))
+      .foreach(p => f.delete(p, true))
+
+    // unreferenced deletion-vector files (aged-out or CAS-defeated)
+    val dvRoot = new Path(deletesDir(table))
+    if (f.exists(dvRoot)) {
+      f.listStatus(dvRoot).toSeq
+        .map(_.getPath)
+        .filter(p => !liveDvs.contains(p.getName))
+        .foreach(p => f.delete(p, true))
+    }
+    doomedCommitted
   }
 }

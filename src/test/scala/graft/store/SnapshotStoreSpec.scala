@@ -117,6 +117,122 @@ class SnapshotStoreSpec extends SparkSuite {
     assert(SnapshotStore.readVersion(spark, t, 0L).collect().toSet === oldRows)
   }
 
+  test("optimistic concurrency: CAS marker publish admits exactly one writer per version") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cas").toString
+    val t = s"$root/t"
+    SnapshotStore.commit(spark.range(5).toDF("id"), t)
+    // stage two competing v=1 data dirs, then race the markers
+    val dirA = s"$t/v=1__writerA"
+    val dirB = s"$t/v=1__writerB"
+    spark.range(100).toDF("id").write.parquet(dirA)
+    spark.range(200).toDF("id").write.parquet(dirB)
+    val winA = SnapshotStore.tryPublishManifest(spark, t, 1L, SnapshotStore.Manifest(dirA, Nil, Nil))
+    val winB = SnapshotStore.tryPublishManifest(spark, t, 1L, SnapshotStore.Manifest(dirB, Nil, Nil))
+    assert(winA && !winB, "exactly one marker creation may win")
+    assert(SnapshotStore.read(spark, t).count() === 100)
+  }
+
+  test("commitTransform: two concurrent appenders rebase, neither update is lost") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mw").toString
+    val t = s"$root/t"
+    SnapshotStore.commit(spark.range(0, 10).toDF("id"), t)
+
+    def appender(lo: Long, hi: Long): Thread = new Thread(() => {
+      SnapshotStore.commitTransform(spark, t, {
+        case Some(cur) => cur.union(spark.range(lo, hi).toDF("id"))
+        case None      => spark.range(lo, hi).toDF("id")
+      })
+    })
+    val t1 = appender(100, 110)
+    val t2 = appender(200, 210)
+    t1.start(); t2.start(); t1.join(60000); t2.join(60000)
+
+    // both deltas present regardless of commit order: the loser re-derived
+    // against the winner's snapshot instead of clobbering it
+    val ids = SnapshotStore.read(spark, t).collect().map(_.getLong(0)).toSet
+    assert((100L until 110L).forall(ids.contains), "appender A's rows survived")
+    assert((200L until 210L).forall(ids.contains), "appender B's rows survived")
+    assert(ids.size === 30)
+    assert(SnapshotStore.versions(spark, t) === Seq(0L, 1L, 2L))
+  }
+
+  test("commitTransform rebases when another writer claims the version mid-flight") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rebase").toString
+    val t = s"$root/t"
+    SnapshotStore.commit(spark.range(10).toDF("id"), t)
+    var calls = 0
+    val v = SnapshotStore.commitTransform(spark, t, { base =>
+      calls += 1
+      if (calls == 1) {
+        // a rival writer lands v=1 while our first derivation is in flight
+        SnapshotStore.commit(spark.range(50).toDF("id"), t)
+      }
+      base.get.union(spark.range(1000, 1001).toDF("id"))
+    })
+    assert(calls === 2, "the transform must re-derive against the rival's snapshot")
+    assert(v === 2L)
+    // derived from the RIVAL's 50 rows (not the stale 10) + our append
+    assert(SnapshotStore.read(spark, t).count() === 51)
+  }
+
+  test("deleteCommit is merge-on-read: data dir reused, reads anti-join DVs, rewrite materializes") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dv").toString
+    val t = s"$root/t"
+    SnapshotStore.commit(spark.range(100).toDF("id"), t)
+    val m0 = SnapshotStore.manifest(spark, t, 0L)
+
+    val v1 = SnapshotStore.deleteCommit(spark, t, Seq("id"), col("id") % 10 === 0)
+    assert(v1 === 1L)
+    val m1 = SnapshotStore.manifest(spark, t, 1L)
+    assert(m1.data === m0.data, "delete commit must NOT rewrite the data directory")
+    assert(m1.deletes.size === 1 && m1.keyCols === Seq("id"))
+    assert(SnapshotStore.read(spark, t).count() === 90)
+
+    // successive deletes accumulate; second predicate applies to LIVE rows
+    val v2 = SnapshotStore.deleteCommit(spark, t, Seq("id"), col("id") < 20)
+    assert(v2 === 2L)
+    assert(SnapshotStore.manifest(spark, t, 2L).deletes.size === 2)
+    val live = SnapshotStore.read(spark, t).collect().map(_.getLong(0)).toSet
+    assert(live === (20L until 100L).filterNot(_ % 10 == 0).toSet)
+
+    // time travel shows pre-delete and first-delete states unchanged
+    assert(SnapshotStore.readVersion(spark, t, 0L).count() === 100)
+    assert(SnapshotStore.readVersion(spark, t, 1L).count() === 90)
+
+    // a full rewrite (compaction) materializes the DVs away
+    val (_, _, _, v3) = graft.ops.Bucketing.compactCommit(spark, t, 1L << 30)
+    assert(v3 === 3L)
+    val m3 = SnapshotStore.manifest(spark, t, 3L)
+    assert(m3.deletes.isEmpty && m3.data != m1.data)
+    assert(SnapshotStore.read(spark, t).collect().map(_.getLong(0)).toSet === live)
+  }
+
+  test("vacuum reference-counts shared data dirs and collects unreferenced DV files") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dvgc").toString
+    val t = s"$root/t"
+    SnapshotStore.commit(spark.range(100).toDF("id"), t)          // v0
+    SnapshotStore.deleteCommit(spark, t, Seq("id"), col("id") < 10)  // v1 shares v0's data
+    SnapshotStore.deleteCommit(spark, t, Seq("id"), col("id") < 20)  // v2 shares too
+    val shared = SnapshotStore.manifest(spark, t, 0L).data
+
+    // keep=2 retains v1,v2 — both still reference v0's data dir, so the
+    // dir must survive even though v0's marker ages out
+    assert(SnapshotStore.vacuum(spark, t, keep = 2) === Seq(0L))
+    val f = new org.apache.hadoop.fs.Path(shared)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.exists(new org.apache.hadoop.fs.Path(shared)), "shared data dir must survive GC")
+    assert(SnapshotStore.read(spark, t).count() === 80)
+
+    // rewrite (materializes DVs, fresh dir), then vacuum keep=1: the old
+    // shared dir and both DV files are now unreferenced → collected
+    SnapshotStore.commit(SnapshotStore.read(spark, t), t)         // v3
+    assert(SnapshotStore.vacuum(spark, t, keep = 1) === Seq(1L, 2L))
+    assert(!f.exists(new org.apache.hadoop.fs.Path(shared)), "unreferenced data dir collected")
+    val dvRoot = new org.apache.hadoop.fs.Path(s"$t/_deletes")
+    assert(!f.exists(dvRoot) || f.listStatus(dvRoot).isEmpty, "unreferenced DV files collected")
+    assert(SnapshotStore.read(spark, t).count() === 80)
+  }
+
   test("compactCommit rewrites small files into one snapshot-isolated version") {
     val root = java.nio.file.Files.createTempDirectory("graft-snap5").toString
     val t = s"$root/t"
