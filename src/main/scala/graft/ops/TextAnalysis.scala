@@ -178,6 +178,79 @@ object TextAnalysis {
       .when(score >= 0.25, "low")
       .otherwise("junk")
 
+  /** The Gopher required-stopword list (a doc passing the rule contains
+    * ≥ 2 of these — a cheap "is this prose at all" signal). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", appendix A — the published MassiveText filter list). Each
+    * rule is a named boolean column; `keep` is their conjunction, so a
+    * pipeline can either filter on `keep` or audit per-rule kill rates.
+    *
+    * Rules (public thresholds):
+    *  - word count in [50, 100000]
+    *  - mean word length in [3, 10]
+    *  - (# symbols + ellipses) / words < 0.1
+    *  - < 90% of lines start with a bullet
+    *  - < 30% of lines end with an ellipsis
+    *  - ≥ 80% of words contain an alphabetic character
+    *  - ≥ 2 of the required stopwords appear
+    *
+    * Scale shape: one narrow pass — text is tokenized and line-split
+    * exactly once, every signal reads those arrays; no shuffle, runs at
+    * scan speed like the rest of the quality layer. All ratios are
+    * single divisions of exact integers, so the doubles (and therefore
+    * the rule booleans at their thresholds) are bit-identical across
+    * engines — the DuckDB oracle replays every column. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val parts = docs.select(
+      col(idCol).alias("doc_id"),
+      col(textCol).alias("__text"),
+      words(col(textCol)).alias("__w"),
+      split(col(textCol), "\n").alias("__lines"))
+    val nW = size(col("__w"))
+    val nL = size(col("__lines"))
+    val meanLen = when(nW > 0,
+      aggregate(col("__w"), lit(0L), (s, t) => s + length(t)).cast("double") / nW)
+      .otherwise(0.0)
+    val nHash = length(col("__text")) - length(replace(col("__text"), lit("#"), lit("")))
+    val nEllipsis = floor((length(col("__text"))
+      - length(replace(col("__text"), lit("..."), lit("")))).cast("double") / 3.0).cast("int")
+    val symbolRatio = when(nW > 0, (nHash + nEllipsis).cast("double") / nW).otherwise(0.0)
+    val fracAlpha = when(nW > 0,
+      size(filter(col("__w"), w => w.rlike("[a-z]"))).cast("double") / nW).otherwise(0.0)
+    val nReqStop = size(filter(
+      array(gopherStopwords.map(lit(_)): _*), s0 => array_contains(col("__w"), s0)))
+    val bulletFrac = size(filter(col("__lines"), l =>
+      startswith(ltrim(l), lit("- ")) || startswith(ltrim(l), lit("* ")) ||
+        startswith(ltrim(l), lit("•")))).cast("double") / nL
+    val ellipsisFrac = size(filter(col("__lines"), l =>
+      endswith(rtrim(l), lit("...")))).cast("double") / nL
+
+    parts.select(
+      col("doc_id"),
+      nW.alias("n_words"),
+      meanLen.alias("mean_word_len"),
+      symbolRatio.alias("symbol_ratio"),
+      fracAlpha.alias("frac_alpha_words"),
+      nReqStop.alias("n_required_stopwords"),
+      bulletFrac.alias("bullet_line_frac"),
+      ellipsisFrac.alias("ellipsis_line_frac"),
+      nW.between(50, 100000).alias("r_word_count"),
+      meanLen.between(3.0, 10.0).alias("r_mean_word_len"),
+      (symbolRatio < 0.1).alias("r_symbol_ratio"),
+      (bulletFrac < 0.9).alias("r_bullet_lines"),
+      (ellipsisFrac < 0.3).alias("r_ellipsis_lines"),
+      (fracAlpha >= 0.8).alias("r_alpha_words"),
+      (nReqStop >= 2).alias("r_stop_words"))
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_word_len") && col("r_symbol_ratio") &&
+          col("r_bullet_lines") && col("r_ellipsis_lines") && col("r_alpha_words") &&
+          col("r_stop_words"))
+  }
+
   /** Character-positional rolling fingerprint:
     * sum over positions of (pos+1) * codepoint(char), mod 1e9+7.
     * Order-sensitive (anagram-safe) and expressible in any engine — used

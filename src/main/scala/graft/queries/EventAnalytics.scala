@@ -170,6 +170,28 @@ object EventAnalytics {
     summary(0L).unionAll(summary(1L)).orderBy(col("version"))
   }
 
+  /** DT6: merge-on-read deletion vectors
+    * ([[graft.store.SnapshotStore.deleteCommit]]) — commit the orders
+    * fact (v0), then two delete commits that write ONLY the deleted
+    * keys and reuse v0's data directory untouched; the read applies the
+    * accumulated DVs as a broadcast anti join. The oracle replays the
+    * two predicates as plain filters (row-local predicates compose, so
+    * live = NOT p1 AND NOT p2). Money in integer cents. */
+  val dtDeleteVectors: Q = (s, d) => {
+    val table = java.nio.file.Files.createTempDirectory("delvec").toString + "/orders"
+    graft.store.SnapshotStore.commit(Tables.orders(s, d), table)
+    graft.store.SnapshotStore.deleteCommit(s, table, Seq("o_orderkey"),
+      col("o_orderstatus") === "F" && pmod(col("o_orderkey"), lit(5)) === 0)
+    graft.store.SnapshotStore.deleteCommit(s, table, Seq("o_orderkey"),
+      pmod(col("o_orderkey"), lit(7)) === 3)
+    graft.store.SnapshotStore.read(s, table)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).alias("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long")).alias("price_cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** DT5: incremental materialized-aggregate refresh
     * ([[graft.ops.ChangeData.incrementalAggCommit]]) — the orders fact
     * applied as three year-sliced deltas into a per-customer aggregate
@@ -310,6 +332,15 @@ object EventAnalytics {
          WHERE NOT (t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
                     AND s.delta_cents > 80000000)
          ORDER BY c_custkey""",
+    "dt_delete_vectors" ->
+      """SELECT o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS price_cents
+         FROM orders
+         WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
+           AND NOT (o_orderkey % 7 = 3)
+         GROUP BY o_orderstatus
+         ORDER BY o_orderstatus""",
     "dt_incr_agg" ->
       """SELECT o_custkey,
                 CAST(count(*) AS BIGINT) AS n,
@@ -369,6 +400,7 @@ object EventAnalytics {
     "dt_merge_into" -> dtMergeInto,
     "dt_time_travel" -> dtTimeTravel,
     "dt_incr_agg" -> dtIncrAgg,
+    "dt_delete_vectors" -> dtDeleteVectors,
     "c12_transitions" -> c12Transitions,
     "sk_skew_report" -> skSkewReport
   )

@@ -539,6 +539,29 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-prefiltered benchmark decontamination
+    * ([[Contamination.bloomDecontaminate]]): the corpus probes a
+    * broadcast Bloom of the benchmark's shingles BEFORE any explode or
+    * shuffle — clean documents (the overwhelming majority at scale)
+    * never leave the scan. Exact: no false negatives + trailing exact
+    * join, so the oracle is the plain n-gram join restricted to
+    * contaminated docs. */
+  val ctBloomDecontam: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Contamination.bloomDecontaminate(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 13), "doc_id", "text",
+      docs.filter(pmod(col("doc_id"), lit(97)) === 13), "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gopher document-quality rules ([[TextAnalysis.gopherRules]], Rae
+    * et al. 2021 appendix A): per-rule booleans + conjunction, every
+    * signal column replayed by the oracle. */
+  val txGopherRules: Q = (s, d) =>
+    TextAnalysis.gopherRules(
+      Tables.documents(s, d).filter(col("doc_id") < 300), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Portable SimHash (md5-based): the signature itself is the verified
     * value — DuckDB recomputes all 48 bits from the same md5 token
     * hashes, closing the "SimHash has no value oracle" gap (the
@@ -1321,6 +1344,58 @@ object LlmQueries {
                  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / len(c.s), 4) AS overlap_ratio
           FROM c LEFT JOIN h ON c.doc_id = h.doc_id
           ORDER BY c.doc_id""",
+    "ct_bloom_decontam" ->
+      s"""WITH cw AS (SELECT doc_id, $wordsSql AS w FROM documents WHERE doc_id % 97 <> 13),
+               c AS (SELECT doc_id, $shinglesSql AS s FROM cw),
+               e AS (SELECT doc_id, unnest(s) AS sh FROM c),
+               bw AS (SELECT $wordsSql AS w FROM documents WHERE doc_id % 97 = 13),
+               b AS (SELECT DISTINCT unnest($shinglesSql) AS sh FROM bw),
+               h AS (SELECT e.doc_id, count(*) AS n_hit FROM e JOIN b USING (sh) GROUP BY e.doc_id)
+          SELECT c.doc_id AS doc_id,
+                 CAST(len(c.s) AS INT) AS n_shingles,
+                 CAST(h.n_hit AS BIGINT) AS n_contaminated,
+                 round(CAST(h.n_hit AS DOUBLE) / len(c.s), 4) AS overlap_ratio
+          FROM c JOIN h ON c.doc_id = h.doc_id
+          ORDER BY c.doc_id""",
+    "tx_gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id, text, $wordsSql AS w,
+                            str_split(text, chr(10)) AS ls
+                     FROM documents WHERE doc_id < 300),
+              m AS (SELECT doc_id,
+                           CAST(len(w) AS INT) AS n_words,
+                           CASE WHEN len(w) > 0
+                                THEN CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w)
+                                ELSE 0.0 END AS mean_word_len,
+                           CASE WHEN len(w) > 0
+                                THEN CAST((len(text) - len(replace(text, '#', '')))
+                                     + CAST(floor((len(text) - len(replace(text, '...', ''))) / 3.0) AS INT)
+                                     AS DOUBLE) / len(w)
+                                ELSE 0.0 END AS symbol_ratio,
+                           CASE WHEN len(w) > 0
+                                THEN CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(w)
+                                ELSE 0.0 END AS frac_alpha_words,
+                           CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                                s -> list_contains(w, s))) AS INT) AS n_required_stopwords,
+                           CAST(len(list_filter(ls, l -> starts_with(ltrim(l), '- ')
+                                OR starts_with(ltrim(l), '* ')
+                                OR starts_with(ltrim(l), '•'))) AS DOUBLE) / len(ls) AS bullet_line_frac,
+                           CAST(len(list_filter(ls, l -> ends_with(rtrim(l), '...'))) AS DOUBLE)
+                             / len(ls) AS ellipsis_line_frac
+                    FROM t)
+         SELECT doc_id, n_words, mean_word_len, symbol_ratio, frac_alpha_words,
+                n_required_stopwords, bullet_line_frac, ellipsis_line_frac,
+                (n_words BETWEEN 50 AND 100000) AS r_word_count,
+                (mean_word_len BETWEEN 3.0 AND 10.0) AS r_mean_word_len,
+                (symbol_ratio < 0.1) AS r_symbol_ratio,
+                (bullet_line_frac < 0.9) AS r_bullet_lines,
+                (ellipsis_line_frac < 0.3) AS r_ellipsis_lines,
+                (frac_alpha_words >= 0.8) AS r_alpha_words,
+                (n_required_stopwords >= 2) AS r_stop_words,
+                ((n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                 AND (symbol_ratio < 0.1) AND (bullet_line_frac < 0.9)
+                 AND (ellipsis_line_frac < 0.3) AND (frac_alpha_words >= 0.8)
+                 AND (n_required_stopwords >= 2)) AS keep
+         FROM m ORDER BY doc_id""",
     "mm_features" ->
       """WITH b AS (
            SELECT doc_id,
@@ -1410,6 +1485,8 @@ object LlmQueries {
     "f18_sql_native" -> f18SqlNative,
     "sm_mixture" -> smMixture,
     "ct_ngram_overlap" -> ctNgramOverlap,
+    "ct_bloom_decontam" -> ctBloomDecontam,
+    "tx_gopher_rules" -> txGopherRules,
     "eq_quantize" -> eqQuantize,
     "tx_bigram_lm" -> txBigramLm,
     "tx_ppl_buckets" -> txPplBuckets,

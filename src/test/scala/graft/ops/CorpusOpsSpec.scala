@@ -200,6 +200,59 @@ class CorpusOpsSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("bloomDecontaminate equals the exact n-gram join restricted to contaminated docs") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (3L, "alpha beta gamma delta unseen tokens here"),
+      (4L, "seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val benchmark = Seq("alpha beta gamma delta epsilon zeta").toDF("text")
+    val exact = Contamination.ngramOverlap(corpus, "doc_id", "text", benchmark, "text")
+      .filter(col("n_contaminated") >= 1)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_shingles"),
+        r.getAs[Long]("n_contaminated"), r.getAs[Double]("overlap_ratio"))).toSet
+    val bloomed = Contamination.bloomDecontaminate(corpus, "doc_id", "text", benchmark, "text")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_shingles"),
+        r.getAs[Long]("n_contaminated"), r.getAs[Double]("overlap_ratio"))).toSet
+    assert(bloomed === exact, "bloom prefilter must not change the exact result")
+    assert(bloomed.map(_._1) === Set(1L, 3L), "clean docs never appear")
+    // empty benchmark → empty result, not a null-probe crash
+    assert(Contamination.bloomDecontaminate(
+      corpus, "doc_id", "text", benchmark.limit(0), "text").count() === 0)
+  }
+
+  test("gopherRules: each published rule fires on its designed violation") {
+    val wc50 = (1 to 50).map(i => s"word$i").mkString(" ") // 50 tokens, all alpha, len>3
+    val docs = Seq(
+      // passes everything: 50+ words, mean len in [3,10], 2 required stopwords
+      (1L, s"the cat sat with a dog $wc50"),
+      (2L, "too short to keep"),                                // word count < 50
+      (3L, s"the of ${(1 to 60).map(_ => "zz").mkString(" ")}"), // mean word len 2 < 3
+      (4L, s"the cat sat with a dog ${(1 to 50).map(_ => "#x#").mkString(" ")}"), // symbol ratio
+      (5L, s"the cat sat with a dog $wc50\n" + (1 to 20).map(_ => "- bullet line").mkString("\n")),
+      (6L, s"the cat sat with a dog $wc50\n" + (1 to 20).map(_ => "trailing line...").mkString("\n")),
+      (7L, s"the of ${(1 to 60).map(i => s"$i$i$i$i").mkString(" ")}"), // numerals: alpha frac < 0.8
+      (8L, wc50 + " " + wc50)                                   // no required stopwords
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Boolean]("keep"))
+    assert(!got(2L).getAs[Boolean]("r_word_count") && !got(2L).getAs[Boolean]("keep"))
+    assert(!got(3L).getAs[Boolean]("r_mean_word_len"))
+    assert(!got(4L).getAs[Boolean]("r_symbol_ratio"))
+    assert(!got(5L).getAs[Boolean]("r_bullet_lines"),
+      s"bullet frac ${got(5L).getAs[Double]("bullet_line_frac")}")
+    assert(!got(6L).getAs[Boolean]("r_ellipsis_lines"))
+    assert(!got(7L).getAs[Boolean]("r_alpha_words"))
+    assert(!got(8L).getAs[Boolean]("r_stop_words"))
+    // the one passing doc really passed every rule, not just the conjunction
+    val r1 = got(1L)
+    Seq("r_word_count", "r_mean_word_len", "r_symbol_ratio", "r_bullet_lines",
+      "r_ellipsis_lines", "r_alpha_words", "r_stop_words")
+      .foreach(c => assert(r1.getAs[Boolean](c), c))
+  }
+
   test("repetition: templated text scores high, natural prose low") {
     val df = Seq(
       (1L, "spam spam spam spam"),
