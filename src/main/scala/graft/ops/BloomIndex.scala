@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.XxHash64
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** File-level Bloom skipping index — the POINT-lookup complement of
+  * [[Zorder]]'s min/max envelope index.
+  *
+  * Min/max file stats prune RANGE predicates, but an equality probe on
+  * a high-cardinality key that the layout is NOT clustered by gets no
+  * help from envelopes: every file's [min,max] spans the whole key
+  * space, so a needle lookup still opens every file. A per-file Bloom
+  * filter answers "might this file contain key k?" in a few hundred KB
+  * per file regardless of cardinality — the same trick as Parquet's
+  * own optional bloom pages and Delta's bloom index, built here on the
+  * `_zindex` pattern (one metadata row per file, underscore-hidden from
+  * data scans).
+  *
+  * Scale shape (100 TB): the index is one (file, bloom) row per data
+  * file; at 8 bits/key a 10⁸-row file costs ~100 MB... so don't — size
+  * `expectedItems`/`numBits` to the keys-per-file of a healthy layout
+  * (10⁶–10⁷ rows/file ⇒ 1–10 MB/file). Probing is metadata-only: the
+  * index rows are collected (bounded: files, not rows) and tested on
+  * the driver; only surviving files are opened, and Parquet row-group
+  * pushdown still applies inside them. False positives cost an extra
+  * file open, never a wrong row — the exact predicate re-applies.
+  *
+  * Hashing matches [[RuntimeFilter]]: values go in as `xxhash64(key,
+  * seed=42)`, probes hash the literal the same way, so the index file
+  * is interoperable with the scan-side probes there.
+  */
+object BloomIndex {
+
+  private val Seed = 42L
+
+  /** Build the per-file Bloom index for `keyCol` over the table at
+    * `path`, persisted under `<path>/_bindex`. One scan, one partial+
+    * final aggregate keyed by file name; each group's filter is sized
+    * by `expectedItems`/`numBits` (bits cap the memory per file). */
+  def writeFileBloomIndex(
+      spark: SparkSession,
+      path: String,
+      keyCol: String,
+      expectedItems: Long = 1L << 20,
+      numBits: Long = 1L << 23): Unit = {
+    val df = spark.read.parquet(path)
+    val hashed = XxHash64(Seq(Bridge.expression(df(keyCol))), Seed)
+    val agg = Bridge.column(
+      new BloomFilterAggregate(hashed, Literal(expectedItems), Literal(numBits))
+        .toAggregateExpression())
+    df.select(input_file_name().alias("file"), df(keyCol))
+      .groupBy(col("file"))
+      .agg(agg.alias("bloom"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_bindex")
+  }
+
+  /** Files that MIGHT contain `key` (no false negatives): collect the
+    * metadata-sized index and probe each file's filter on the driver —
+    * the same metadata-only pattern as [[Zorder.selectFiles]]. */
+  def selectFiles(spark: SparkSession, path: String, key: Long): Seq[String] = {
+    val hashed = XxHash64(Seq(Literal(key)), Seed).eval(InternalRow.empty).asInstanceOf[Long]
+    spark.read.parquet(s"$path/_bindex").collect().toSeq
+      .filter { r =>
+        val bytes = r.getAs[Array[Byte]]("bloom")
+        bytes != null && org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+          .mightContainLong(hashed)
+      }
+      .map(_.getAs[String]("file"))
+  }
+
+  /** Point lookup `keyCol = key` reading only Bloom-surviving files,
+    * with the exact predicate re-applied (false positives cost a file
+    * open, never a wrong row). */
+  def pointLookup(spark: SparkSession, path: String, keyCol: String, key: Long): DataFrame = {
+    val files = selectFiles(spark, path, key)
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(files: _*)
+    base.filter(col(keyCol) === key)
+  }
+
+  /** Multi-key lookup: union of per-key file sets (still metadata-only
+    * — one index collect, k probes), one scan over the merged file
+    * list, exact IN re-applied. */
+  def multiLookup(spark: SparkSession, path: String, keyCol: String, keys: Seq[Long]): DataFrame = {
+    val files = keys.flatMap(k => selectFiles(spark, path, k)).distinct
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(files: _*)
+    base.filter(col(keyCol).isin(keys: _*))
+  }
+
+  /** Total data files at `path` (prune-factor audits). */
+  def totalFiles(spark: SparkSession, path: String): Long =
+    Zorder.totalFiles(spark, path)
+}

@@ -129,6 +129,28 @@ object PruningQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** BL: file-level Bloom point lookup ([[graft.ops.BloomIndex]]) —
+    * needle-in-haystack equality on a high-cardinality key the layout
+    * is NOT clustered by. The table is written hash-scattered (the
+    * envelope index is useless by construction: every file spans the
+    * key range); the per-file Bloom index prunes to the files that
+    * might hold each probed key, and the exact IN re-applies. Result ≡
+    * plain filter, which is what the oracle runs; the pruning factor
+    * itself is pinned in ScalaTest. */
+  val blPointLookup: Q = (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory("bindex").toString + "/orders_b"
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .repartition(16, col("o_custkey")) // scatter: no key locality at all
+      .write.mode("overwrite").parquet(dir)
+    graft.ops.BloomIndex.writeFileBloomIndex(s, dir, "o_orderkey",
+      expectedItems = 1L << 16, numBits = 1L << 19)
+    graft.ops.BloomIndex.multiLookup(s, dir, "o_orderkey",
+      Seq(1L, 7L, 32L, 4963L, 29440L, 299999L))
+      .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).alias("price"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** TX: per-source Zipf slope ([[graft.ops.TextAnalysis.zipfSlope]]). */
   val txZipf: Q = (s, d) =>
     TextAnalysis.zipfSlope(Tables.documents(s, d), "source", "text", topK = 100)
@@ -136,6 +158,7 @@ object PruningQueries {
 
   val queries: Map[String, Q] = Map(
     "zo_skipping_scan" -> zoSkippingScan,
+    "bl_point_lookup" -> blPointLookup,
     "tx_zipf" -> txZipf,
     "cp_e2e_corpus" -> cpE2eCorpus,
     "bf_bloom_semi" -> bfBloomSemi,
@@ -151,6 +174,11 @@ object PruningQueries {
          FROM orders
          WHERE o_custkey % 4096 BETWEEN 100 AND 300
            AND date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) BETWEEN 400 AND 700
+         ORDER BY o_orderkey""",
+    "bl_point_lookup" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+         FROM orders
+         WHERE o_orderkey IN (1, 7, 32, 4963, 29440, 299999)
          ORDER BY o_orderkey""",
     "tx_zipf" ->
       """WITH toks AS (

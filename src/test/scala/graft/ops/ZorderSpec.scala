@@ -103,4 +103,41 @@ class ZorderSpec extends SparkSuite {
     Zorder.writeFileStats(spark, dir, Seq("x", "y"))
     assert(Zorder.skippingScan(spark, dir, Map("x" -> (1000L, 2000L))).count() === 0)
   }
+
+  test("bloom index: point lookup opens ~1 file of many, result equals the plain filter") {
+    val dir = java.nio.file.Files.createTempDirectory("bspec").toString + "/t"
+    // hash-scattered high-cardinality keys: every file spans the whole
+    // key range, so the min/max envelope CANNOT prune — the case the
+    // bloom index exists for
+    spark.range(0, 200000).toDF("k")
+      .withColumn("payload", col("k") * 7)
+      .repartition(16, col("k") % 997) // scatter uncorrelated with k
+      .write.parquet(dir)
+    BloomIndex.writeFileBloomIndex(spark, dir, "k",
+      expectedItems = 1L << 15, numBits = 1L << 19)
+    assert(BloomIndex.totalFiles(spark, dir) === 16L)
+
+    // envelope pruning is indeed useless on this layout
+    Zorder.writeFileStats(spark, dir, Seq("k"))
+    assert(Zorder.selectFiles(spark, dir, Map("k" -> (123456L, 123456L))).size === 16)
+
+    // bloom pruning opens the one true file (+ rare false positives)
+    val files = BloomIndex.selectFiles(spark, dir, 123456L)
+    assert(files.nonEmpty && files.size <= 3, s"expected ~1 file, got ${files.size}")
+    val got = BloomIndex.pointLookup(spark, dir, "k", 123456L)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("payload"))).toSeq
+    assert(got === Seq((123456L, 864192L)))
+
+    // no false negatives across many probes; misses return empty
+    (0 until 50).foreach { i =>
+      val k = i * 3989L % 200000
+      assert(BloomIndex.pointLookup(spark, dir, "k", k).count() === 1L, s"k=$k")
+    }
+    assert(BloomIndex.pointLookup(spark, dir, "k", 999999999L).count() === 0L)
+
+    // multiLookup: union of per-key file sets, exact IN re-applied
+    val multi = BloomIndex.multiLookup(spark, dir, "k", Seq(5L, 99999L, 555555555L))
+      .collect().map(_.getAs[Long]("k")).toSet
+    assert(multi === Set(5L, 99999L))
+  }
 }
