@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // transparent acceleration: the portable regex token-count form
     // optimizes into the native single-scan kernel (see NativeRewriteRule)
     ext.injectOptimizerRule(_ => graft.plans.NativeRewriteRule)
+    // automatic materialized-view rewrite: aggregates over a registered
+    // base fact re-target onto its summary table (see AggMvRewriteRule)
+    ext.injectOptimizerRule(session => new graft.plans.AggMvRewriteRule(session))
     // whole-operator extensions: the native AS-OF and interval joins
     // (logical node → strategy → sort-merge physical operator)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

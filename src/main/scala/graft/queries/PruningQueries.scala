@@ -151,6 +151,42 @@ object PruningQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** MV: automatic materialized-view rewrite
+    * ([[graft.plans.AggMvRewriteRule]]) — the aggregate is written
+    * against the BASE fact, the optimizer re-targets it onto the
+    * registered summary table, and the query itself asserts the
+    * rewrite fired (so this entry fails loudly, not silently, if the
+    * rule regresses). Oracle computes the same aggregate from the raw
+    * fact — rollup algebra must be exact. */
+  val mvRewriteAgg: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("aggmv").toString
+    val base = s"$root/orders_base"
+    val mv = s"$root/orders_mv"
+    Tables.orders(s, d).select(
+      col("o_orderstatus"),
+      year(col("o_orderdate")).alias("yr"),
+      round(col("o_totalprice") * 100).cast("long").alias("cents"))
+      .write.mode("overwrite").parquet(base)
+    graft.sql.MaterializedAgg.create(s, base, mv, Seq("o_orderstatus", "yr"), Seq("cents"))
+    val out = s.read.parquet(base)
+      .filter(col("yr") >= 1995)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).alias("n_rows"),
+        sum(col("cents")).alias("sum_cents"),
+        min(col("cents")).alias("min_cents"),
+        max(col("cents")).alias("max_cents"),
+        round(avg(col("cents")), 4).alias("avg_cents"))
+    val scanned = out.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.rootPaths.map(_.toUri.getPath)
+    }.flatten
+    require(scanned.nonEmpty && scanned.forall(_ == mv),
+      s"MV rewrite did not fire: scans $scanned")
+    out.orderBy(col("o_orderstatus"))
+  }
+
   /** TX: per-source Zipf slope ([[graft.ops.TextAnalysis.zipfSlope]]). */
   val txZipf: Q = (s, d) =>
     TextAnalysis.zipfSlope(Tables.documents(s, d), "source", "text", topK = 100)
@@ -159,6 +195,7 @@ object PruningQueries {
   val queries: Map[String, Q] = Map(
     "zo_skipping_scan" -> zoSkippingScan,
     "bl_point_lookup" -> blPointLookup,
+    "mv_rewrite_agg" -> mvRewriteAgg,
     "tx_zipf" -> txZipf,
     "cp_e2e_corpus" -> cpE2eCorpus,
     "bf_bloom_semi" -> bfBloomSemi,
@@ -180,6 +217,18 @@ object PruningQueries {
          FROM orders
          WHERE o_orderkey IN (1, 7, 32, 4963, 29440, 299999)
          ORDER BY o_orderkey""",
+    "mv_rewrite_agg" ->
+      """WITH b AS (SELECT o_orderstatus, year(o_orderdate) AS yr,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                    FROM orders)
+         SELECT o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(cents) AS BIGINT) AS sum_cents,
+                min(cents) AS min_cents,
+                max(cents) AS max_cents,
+                round(avg(cents), 4) AS avg_cents
+         FROM b WHERE yr >= 1995
+         GROUP BY 1 ORDER BY 1""",
     "tx_zipf" ->
       """WITH toks AS (
            SELECT source, unnest(string_split(lower(text), ' ')) AS term FROM documents),

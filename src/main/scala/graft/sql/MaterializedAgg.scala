@@ -1,0 +1,98 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+
+/** Materialized aggregate (summary table) registry + builder — the
+  * storage half of automatic MV query rewrite
+  * ([[graft.plans.AggMvRewriteRule]]).
+  *
+  * An MV materializes `GROUP BY groupCols` over a parquet base table
+  * with the re-aggregable state per measure column: `n` (row count),
+  * and `sum_/cnt_/min_/max_<c>` per measure. Any aggregate whose
+  * grouping is a SUBSET of `groupCols` and whose aggregates are
+  * sum/count/min/max/avg over measure columns is then answerable from
+  * the MV by RE-aggregation (sum of sums, min of mins, count = sum of
+  * n, avg = sum of sums / sum of cnts) — the classic aggregate-rollup
+  * property, the same algebra as
+  * [[graft.ops.ChangeData.incrementalAggCommit]]'s delta merge.
+  *
+  * At 100 TB this is the difference between a dashboard query scanning
+  * the fact table and scanning a table the size of the group-key
+  * cardinality; the rewrite happens in the optimizer so queries —
+  * DataFrame or SQL text — do not change at all.
+  */
+object MaterializedAgg {
+
+  /** A registered MV: where the base lives, where the summary lives,
+    * what it groups by, and which measures it carries. */
+  final case class AggMv(
+      basePath: String,
+      mvPath: String,
+      groupCols: Seq[String],
+      measureCols: Seq[String])
+
+  // path-keyed global registry; LogicalRelation resolved lazily per session
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, AggMv]()
+
+  /** MVs registered for the base table at `path` (normalized). */
+  def forBasePath(path: String): Option[AggMv] =
+    Option(registry.get(normalize(path)))
+
+  def registered: Seq[AggMv] = {
+    import scala.jdk.CollectionConverters._
+    registry.values.asScala.toSeq
+  }
+
+  private def normalize(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** Build the summary table for `basePath` grouped by `groupCols`
+    * carrying `measureCols`, write it to `mvPath`, and register it for
+    * automatic rewrite. One aggregate over the base at build time. */
+  def create(
+      spark: SparkSession,
+      basePath: String,
+      mvPath: String,
+      groupCols: Seq[String],
+      measureCols: Seq[String]): AggMv = {
+    val base = spark.read.parquet(basePath)
+    val aggs = count(lit(1)).alias("n") +: measureCols.flatMap { c =>
+      Seq(
+        sum(col(c)).alias(s"sum_$c"),
+        count(col(c)).alias(s"cnt_$c"),
+        min(col(c)).alias(s"min_$c"),
+        max(col(c)).alias(s"max_$c"))
+    }
+    base.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(mvPath)
+    val mv = AggMv(normalize(basePath), mvPath, groupCols, measureCols)
+    registry.put(mv.basePath, mv)
+    mv
+  }
+
+  /** Register a pre-built MV (e.g. maintained incrementally via
+    * [[graft.ops.ChangeData.incrementalAggCommit]]-style state). */
+  def register(mv: AggMv): Unit =
+    registry.put(normalize(mv.basePath), mv.copy(basePath = normalize(mv.basePath)))
+
+  /** Drop all registrations (tests). */
+  def clear(): Unit = registry.clear()
+
+  /** A fresh resolved relation for the MV (fresh expr ids per call, so
+    * one MV can appear several times in a plan). */
+  private[graft] def mvRelation(spark: SparkSession, mv: AggMv): LogicalRelation =
+    spark.read.parquet(mv.mvPath).queryExecution.analyzed.collectFirst {
+      case r: LogicalRelation => r.newInstance()
+    }.getOrElse(throw new IllegalStateException(s"MV at ${mv.mvPath} did not resolve to a relation"))
+
+  /** Does this path-backed relation match a registered base? */
+  private[graft] def matchBase(rootPaths: Seq[String]): Option[AggMv] =
+    rootPaths match {
+      case Seq(p) => forBasePath(p)
+      case _      => None
+    }
+}
