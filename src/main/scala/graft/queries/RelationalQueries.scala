@@ -1289,6 +1289,77 @@ object RelationalQueries {
       LIMIT 20""")
   }
 
+  /** X11 (beyond reference parity): TPC-H Q7 shape — volume shipping
+    * between a nation PAIR by ship year. A 6-table join where the pair
+    * disjunction makes join ORDER and broadcast choices matter (both
+    * nation sides broadcast; lineitem never shuffles more than once).
+    * Revenue in exact integer cent·pct units so the cross-engine sum is
+    * associative — no float-accumulation drift at any scale. */
+  val x11VolumeShipping: Q = (s, d) => {
+    Tables.supplier(s, d).createOrReplaceTempView("graft_supplier_x11")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_x11")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_x11")
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer_x11")
+    Tables.nation(s, d).createOrReplaceTempView("graft_nation_x11")
+    s.sql("""
+      SELECT supp_nation, cust_nation, l_year, sum(volume_cp) AS revenue_cp
+      FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l.l_shipdate) AS l_year,
+               CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS volume_cp
+        FROM graft_supplier_x11 s
+        JOIN graft_lineitem_x11 l ON s.s_suppkey = l.l_suppkey
+        JOIN graft_orders_x11 o ON o.o_orderkey = l.l_orderkey
+        JOIN graft_customer_x11 c ON c.c_custkey = o.o_custkey
+        JOIN graft_nation_x11 n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN graft_nation_x11 n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+      ) shipping
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year""")
+  }
+
+  /** X12 (beyond reference parity): TPC-H Q8 shape — a nation's market
+    * share inside a region's customer base by order year: 7-table
+    * snowflake, conditional aggregation over the SAME sum (share =
+    * filtered sum / total sum), exact integer units so the ratio is a
+    * division of exact longs — bit-identical across engines. */
+  val x12MarketShare: Q = (s, d) => {
+    Tables.part(s, d).createOrReplaceTempView("graft_part_x12")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_supplier_x12")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_x12")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_x12")
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer_x12")
+    Tables.nation(s, d).createOrReplaceTempView("graft_nation_x12")
+    Tables.region(s, d).createOrReplaceTempView("graft_region_x12")
+    s.sql("""
+      SELECT o_year,
+             round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume_cp ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(volume_cp) AS DOUBLE), 6) AS mkt_share
+      FROM (
+        SELECT year(o.o_orderdate) AS o_year,
+               CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS volume_cp,
+               n2.n_name AS nation
+        FROM graft_part_x12 p
+        JOIN graft_lineitem_x12 l ON p.p_partkey = l.l_partkey
+        JOIN graft_supplier_x12 s ON s.s_suppkey = l.l_suppkey
+        JOIN graft_orders_x12 o ON o.o_orderkey = l.l_orderkey
+        JOIN graft_customer_x12 c ON c.c_custkey = o.o_custkey
+        JOIN graft_nation_x12 n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN graft_region_x12 r ON n1.n_regionkey = r.r_regionkey
+        JOIN graft_nation_x12 n2 ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'EUROPE'
+          AND p.p_type = 'PROMO'
+          AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+      ) all_nations
+      GROUP BY o_year
+      ORDER BY o_year""")
+  }
+
   val x6LargeOrders: Q = (s, d) => {
     Tables.customer(s, d).createOrReplaceTempView("graft_customer_x6")
     Tables.orders(s, d).createOrReplaceTempView("graft_orders_x6")
@@ -1862,6 +1933,49 @@ object RelationalQueries {
          GROUP BY s.s_name
          ORDER BY numwait DESC, s.s_name
          LIMIT 20""",
+    "x11_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, CAST(l_year AS INT) AS l_year,
+                CAST(sum(volume_cp) AS BIGINT) AS revenue_cp
+         FROM (
+           SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                  year(l.l_shipdate) AS l_year,
+                  CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS volume_cp
+           FROM supplier s
+           JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+           JOIN orders o ON o.o_orderkey = l.l_orderkey
+           JOIN customer c ON c.c_custkey = o.o_custkey
+           JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+           WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+             AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+         ) shipping
+         GROUP BY supp_nation, cust_nation, l_year
+         ORDER BY supp_nation, cust_nation, l_year""",
+    "x12_market_share" ->
+      """SELECT CAST(o_year AS INT) AS o_year,
+                round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume_cp ELSE 0 END) AS DOUBLE)
+                      / CAST(sum(volume_cp) AS DOUBLE), 6) AS mkt_share
+         FROM (
+           SELECT year(o.o_orderdate) AS o_year,
+                  CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS volume_cp,
+                  n2.n_name AS nation
+           FROM part p
+           JOIN lineitem l ON p.p_partkey = l.l_partkey
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           JOIN orders o ON o.o_orderkey = l.l_orderkey
+           JOIN customer c ON c.c_custkey = o.o_custkey
+           JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+           JOIN region r ON n1.n_regionkey = r.r_regionkey
+           JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+           WHERE r.r_name = 'EUROPE'
+             AND p.p_type = 'PROMO'
+             AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+         ) all_nations
+         GROUP BY o_year
+         ORDER BY o_year""",
     "a22_equifreq_bins" ->
       """WITH b AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1,
                            quantile_cont(o_totalprice, 0.5)  AS q2,
@@ -2206,6 +2320,8 @@ object RelationalQueries {
     "a22_equifreq_bins" -> a22EquifreqBins,
     "x9_parts_supplier" -> x9PartsSupplier,
     "x10_waiting_suppliers" -> x10WaitingSuppliers,
+    "x11_volume_shipping" -> x11VolumeShipping,
+    "x12_market_share" -> x12MarketShare,
     "o4_offset" -> o4Offset,
     "o5_keyset" -> o5Keyset,
     "x7_exists" -> x7Exists,

@@ -431,6 +431,15 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-20 should be a heap, not a sort:\n${p.take(3000)}")
   }
 
+  test("Q7/Q8 shapes (x11, x12): dims broadcast, lineitem never cartesian, single agg each") {
+    val p11 = plan("x11_volume_shipping")
+    assert(p11.contains("BroadcastHashJoin"), s"nation/supplier dims must broadcast:\n${p11.take(3000)}")
+    assert(!p11.contains("BroadcastNestedLoopJoin") && !p11.contains("CartesianProduct"), p11.take(3000))
+    val p12 = plan("x12_market_share")
+    assert(p12.contains("BroadcastHashJoin"), s"snowflake dims must broadcast:\n${p12.take(3000)}")
+    assert(!p12.contains("BroadcastNestedLoopJoin") && !p12.contains("CartesianProduct"), p12.take(3000))
+  }
+
   test("null-safe join stays a hash join; EXISTS/NOT EXISTS rewrite to semi/anti (j11, x7, x8)") {
     val pj = plan("j11_nullsafe_join")
     assert(pj.contains("HashJoin") && !pj.contains("BroadcastNestedLoopJoin"), pj.take(2000))
