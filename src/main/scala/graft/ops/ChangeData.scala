@@ -180,8 +180,11 @@ object ChangeData {
     * The state commits through [[graft.store.SnapshotStore]], so a
     * dashboard reading mid-refresh sees the previous complete state. */
   def aggState(facts: DataFrame, keyCols: Seq[String], measureCols: Seq[String]): DataFrame = {
+    // cnt_<m> (non-null count) rides along so the state doubles as a
+    // MaterializedAgg summary (avg = sum/cnt rewrites need it)
     val aggs = count(lit(1)).alias("n") +: measureCols.flatMap { m =>
-      Seq(sum(col(m)).alias(s"sum_$m"), min(col(m)).alias(s"min_$m"), max(col(m)).alias(s"max_$m"))
+      Seq(sum(col(m)).alias(s"sum_$m"), count(col(m)).alias(s"cnt_$m"),
+        min(col(m)).alias(s"min_$m"), max(col(m)).alias(s"max_$m"))
     }
     facts.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -191,6 +194,7 @@ object ChangeData {
   def combineAggStates(a: DataFrame, b: DataFrame, keyCols: Seq[String], measureCols: Seq[String]): DataFrame = {
     val aggs = sum(col("n")).alias("n") +: measureCols.flatMap { m =>
       Seq(sum(col(s"sum_$m")).alias(s"sum_$m"),
+        sum(col(s"cnt_$m")).alias(s"cnt_$m"),
         min(col(s"min_$m")).alias(s"min_$m"),
         max(col(s"max_$m")).alias(s"max_$m"))
     }

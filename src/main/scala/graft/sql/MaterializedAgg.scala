@@ -79,6 +79,27 @@ object MaterializedAgg {
   def register(mv: AggMv): Unit =
     registry.put(normalize(mv.basePath), mv.copy(basePath = normalize(mv.basePath)))
 
+  /** Register the CURRENT version of an incrementally-maintained
+    * aggregate snapshot table ([[graft.ops.ChangeData
+    * .incrementalAggCommit]] writes the same n/sum_/cnt_/min_/max_
+    * state) as the MV for `basePath`. Call again after each refresh —
+    * re-registration is how the rewrite tracks table versions (each
+    * snapshot's data dir is immutable, so an in-flight query keeps the
+    * version it resolved). */
+  def registerSnapshot(
+      spark: SparkSession,
+      snapshotTable: String,
+      basePath: String,
+      groupCols: Seq[String],
+      measureCols: Seq[String]): AggMv = {
+    val v = graft.store.SnapshotStore.currentVersion(spark, snapshotTable)
+      .getOrElse(throw new IllegalStateException(s"no committed snapshot under $snapshotTable"))
+    val dataDir = graft.store.SnapshotStore.manifest(spark, snapshotTable, v).data
+    val mv = AggMv(normalize(basePath), dataDir, groupCols, measureCols)
+    registry.put(mv.basePath, mv)
+    mv
+  }
+
   /** Drop all registrations (tests). */
   def clear(): Unit = registry.clear()
 

@@ -446,6 +446,56 @@ class StreamingSpec extends SparkSuite {
     spark.sql("DROP TABLE graft_sink_t")
   }
 
+  test("streaming MV maintenance: foreachBatch refreshes the summary, the rewrite serves fresh numbers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-stream-mv")
+    val base = s"$root/fact"
+    val summary = s"$root/summary"
+    val input = MemoryStream[(String, Long)]
+
+    val sink = input.toDS().toDF("status", "cents").writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.persist()
+        // fact append + incremental summary refresh + MV re-registration:
+        // the nightly "maintain the dashboard rollup" loop, per micro-batch
+        batch.write.mode("append").parquet(base)
+        graft.ops.ChangeData.incrementalAggCommit(
+          spark, summary, batch, Seq("status"), Seq("cents"))
+        graft.sql.MaterializedAgg.registerSnapshot(
+          spark, summary, base, Seq("status"), Seq("cents"))
+        batch.unpersist()
+        ()
+      }
+
+    try {
+      input.addData(("A", 10L), ("A", 20L), ("B", 5L))
+      val q1 = sink.start(); q1.processAllAvailable(); q1.stop()
+
+      def agg = spark.read.parquet(base).groupBy("status")
+        .agg(count(lit(1)).alias("n"), sum("cents").alias("s"), avg("cents").alias("a"))
+      def scans = agg.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.map(_.toUri.getPath)
+      }.flatten
+      assert(scans.nonEmpty && scans.forall(_.contains("/summary/")),
+        s"query must be served from the maintained summary, got $scans")
+      val r1 = agg.orderBy("status").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(r1 === Seq(("A", 2L, 30L), ("B", 1L, 5L)))
+
+      // second micro-batch: summary version advances, rewrite sees NEW numbers
+      input.addData(("A", 5L), ("C", 7L))
+      val q2 = sink.start(); q2.processAllAvailable(); q2.stop()
+      val r2 = agg.orderBy("status").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(r2 === Seq(("A", 3L, 35L), ("B", 1L, 5L), ("C", 1L, 7L)))
+      // and avg came through the sum/cnt rewrite exactly
+      val a = agg.filter(col("status") === "A").head().getDouble(3)
+      assert(a === 35.0 / 3.0)
+    } finally graft.sql.MaterializedAgg.clear()
+  }
+
   test("upsert state sink: streaming CDC fold equals batch changelog compaction, replay idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
