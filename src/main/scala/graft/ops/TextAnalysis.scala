@@ -178,6 +178,47 @@ object TextAnalysis {
       .when(score >= 0.25, "low")
       .otherwise("junk")
 
+  /** TRAINED language ID: per-language word-frequency profiles learned
+    * from the labeled corpus itself (the CLD/fastText shape, reduced to
+    * its scalable core), replacing [[langId]]'s fixed stopword lists.
+    *
+    * Training is ONE corpus aggregate: (lang, word) term frequencies +
+    * per-language totals, combined into integer-scaled frequency
+    * weights `tf·10⁹ DIV n_lang` — integer division keeps the whole
+    * model exact, so scoring (and therefore the argmax) is
+    * bit-reproducible in any engine: no `log()` whose last ulp differs
+    * between libm and the JVM. Classification joins document tokens
+    * against the broadcast vocab-sized model and takes the
+    * deterministic argmax (score desc, language asc). At 100 TB the
+    * model is vocab×languages rows — built once, broadcast everywhere;
+    * per-document work is one narrow explode + broadcast join +
+    * doc-keyed aggregate. */
+  def trainedLangId(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      classify: DataFrame): DataFrame = {
+    val toks = docs.select(col(langCol).alias("lang"), explode(words(col(textCol))).alias("word"))
+    val tf = toks.groupBy(col("lang"), col("word")).agg(count(lit(1)).alias("tf"))
+    val totals = tf.groupBy(col("lang")).agg(sum(col("tf")).alias("n_lang"))
+    val model = tf.join(totals, "lang")
+      .select(col("word"), col("lang"), expr("tf * 1000000000L DIV n_lang").alias("w_scaled"))
+
+    val docToks = classify.select(
+      col(idCol).alias("doc_id"), col(langCol).alias("lang_true"),
+      explode(words(col(textCol))).alias("word"))
+    val scores = docToks
+      .join(broadcast(model), Seq("word"))
+      .groupBy(col("doc_id"), col("lang_true"), col("lang"))
+      .agg(sum(col("w_scaled")).alias("score"))
+    scores
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("lang"))))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("lang_true"), col("lang").alias("pred_lang"), col("score"))
+  }
+
   /** The Gopher required-stopword list (a doc passing the rule contains
     * ≥ 2 of these — a cheap "is this prose at all" signal). */
   val gopherStopwords: Seq[String] =

@@ -562,6 +562,16 @@ object LlmQueries {
       Tables.documents(s, d).filter(col("doc_id") < 300), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Trained language ID ([[TextAnalysis.trainedLangId]]): frequency
+    * profiles learned from the labeled corpus, integer-exact scoring so
+    * the argmax replays bit-for-bit in DuckDB. */
+  val txLangidTrained: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    TextAnalysis.trainedLangId(
+      docs, "doc_id", "text", "lang", docs.filter(col("doc_id") < 300))
+      .orderBy(col("doc_id"))
+  }
+
   /** Portable SimHash (md5-based): the signature itself is the verified
     * value — DuckDB recomputes all 48 bits from the same md5 token
     * hashes, closing the "SimHash has no value oracle" gap (the
@@ -1357,6 +1367,21 @@ object LlmQueries {
                  round(CAST(h.n_hit AS DOUBLE) / len(c.s), 4) AS overlap_ratio
           FROM c JOIN h ON c.doc_id = h.doc_id
           ORDER BY c.doc_id""",
+    "tx_langid_trained" ->
+      s"""WITH toks AS (SELECT lang, unnest($wordsSql) AS word FROM documents),
+               tf AS (SELECT lang, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+               tot AS (SELECT lang, sum(tf) AS n_lang FROM tf GROUP BY 1),
+               model AS (SELECT word, tf.lang, (tf * 1000000000) // n_lang AS w_scaled
+                         FROM tf JOIN tot USING (lang)),
+               dt AS (SELECT doc_id, lang AS lang_true, unnest($wordsSql) AS word
+                      FROM documents WHERE doc_id < 300),
+               sc AS (SELECT doc_id, lang_true, m.lang AS lang,
+                             CAST(sum(w_scaled) AS BIGINT) AS score
+                      FROM dt JOIN model m USING (word) GROUP BY 1, 2, 3),
+               r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                                  ORDER BY score DESC, lang) AS rn FROM sc)
+          SELECT doc_id, lang_true, lang AS pred_lang, score
+          FROM r WHERE rn = 1 ORDER BY doc_id""",
     "tx_gopher_rules" ->
       s"""WITH t AS (SELECT doc_id, text, $wordsSql AS w,
                             str_split(text, chr(10)) AS ls
@@ -1487,6 +1512,7 @@ object LlmQueries {
     "ct_ngram_overlap" -> ctNgramOverlap,
     "ct_bloom_decontam" -> ctBloomDecontam,
     "tx_gopher_rules" -> txGopherRules,
+    "tx_langid_trained" -> txLangidTrained,
     "eq_quantize" -> eqQuantize,
     "tx_bigram_lm" -> txBigramLm,
     "tx_ppl_buckets" -> txPplBuckets,

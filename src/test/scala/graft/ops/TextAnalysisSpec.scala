@@ -118,4 +118,21 @@ class TextAnalysisSpec extends SparkSuite {
     // a and b tie on tf=2 → term order breaks the tie; df: a in 1 doc, b in 2
     assert(got.toSeq === Seq((1, "a", 2L, 1L), (2, "b", 2L, 2L)), got.mkString(","))
   }
+
+  test("trainedLangId: learned profiles classify held-in docs; shared words don't flip the argmax") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the dog ate the food", "en"),
+      (3L, "le chat mange le poisson", "fr"),
+      (4L, "le chien et le chat", "fr"),
+      // 'data' appears in both languages — shared evidence cancels out
+      (5L, "the data cat", "en"),
+      (6L, "le data chat", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.trainedLangId(docs, "doc_id", "text", "lang", docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("lang_true"), r.getAs[String]("pred_lang"))).toMap
+    got.foreach { case (id, (t, p)) => assert(t === p, s"doc $id predicted $p, labeled $t") }
+    assert(got.size === 6)
+  }
 }
