@@ -77,9 +77,14 @@ import org.apache.spark.sql.functions.broadcast
 object SnapshotStore {
 
   /** What a commit marker resolves to: the snapshot's data directory,
-    * the deletion-vector key files to anti-join away, and the key
-    * columns those files carry. */
-  final case class Manifest(data: String, deletes: Seq[String], keyCols: Seq[String])
+    * the deletion-vector key files to anti-join away, the key columns
+    * those files carry, and the commit wall-clock (epoch millis; 0 for
+    * markers published before timestamps existed). */
+  final case class Manifest(
+      data: String,
+      deletes: Seq[String],
+      keyCols: Seq[String],
+      ts: Long = 0L)
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -134,7 +139,8 @@ object SnapshotStore {
       Manifest(
         data = lines.find(_.startsWith("data=")).get.stripPrefix("data="),
         deletes = lines.filter(_.startsWith("delete=")).map(_.stripPrefix("delete=")),
-        keyCols = lines.find(_.startsWith("keys=")).map(_.stripPrefix("keys=").split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil))
+        keyCols = lines.find(_.startsWith("keys=")).map(_.stripPrefix("keys=").split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil),
+        ts = lines.find(_.startsWith("ts=")).flatMap(l => scala.util.Try(l.stripPrefix("ts=").toLong).toOption).getOrElse(0L))
     } else {
       // legacy bare-path marker (or empty → the fixed v=<N> layout)
       Manifest(lines.headOption.getOrElse(versionDir(table, v)), Nil, Nil)
@@ -194,9 +200,11 @@ object SnapshotStore {
     val dir = new Path(commitsDir(table))
     f.mkdirs(dir)
     val tmp = new Path(dir, s".tmp_${v}_${token()}")
+    val ts = if (m.ts > 0L) m.ts else System.currentTimeMillis()
     val content = new StringBuilder(s"data=${m.data}\n")
     m.deletes.foreach(d => content.append(s"delete=$d\n"))
     if (m.keyCols.nonEmpty) content.append(s"keys=${m.keyCols.mkString(",")}\n")
+    content.append(s"ts=$ts\n")
     val out = f.create(tmp, true)
     try out.write(content.toString.getBytes("UTF-8"))
     finally out.close()
@@ -271,6 +279,21 @@ object SnapshotStore {
       attempt += 1 // orphan DV file is GC'd by vacuum's reference count
     }
     throw new IllegalStateException(s"deleteCommit lost $maxAttempts CAS races on $table")
+  }
+
+  /** Timestamp time travel (`AS OF <ts>`): read the newest snapshot
+    * whose commit time is ≤ `tsMillis` — the query-at-a-point-in-time
+    * companion to version-number [[readVersion]]. Commit times come
+    * from the markers (monotone per table because versions are
+    * CAS-serialized). Throws if the table has no snapshot that old. */
+  def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame = {
+    val vs = versions(spark, table)
+    val candidates = vs.map(v => v -> manifest(spark, table, v).ts)
+    candidates.filter { case (_, ts) => ts > 0L && ts <= tsMillis }.map(_._1).lastOption match {
+      case Some(v) => readVersion(spark, table, v)
+      case None => throw new IllegalArgumentException(
+        s"no snapshot at or before $tsMillis under $table (commits: ${candidates.map(_._2).mkString(",")})")
+    }
   }
 
   /** Retention GC: drop all but the newest `keep` committed snapshots,

@@ -233,6 +233,24 @@ class SnapshotStoreSpec extends SparkSuite {
     assert(SnapshotStore.read(spark, t).count() === 80)
   }
 
+  test("AS OF timestamp time travel resolves the newest snapshot at or before the instant") {
+    val root = java.nio.file.Files.createTempDirectory("graft-asof").toString
+    val t = s"$root/t"
+    SnapshotStore.commit(spark.range(10).toDF("id"), t)   // v0
+    Thread.sleep(5)
+    SnapshotStore.commit(spark.range(20).toDF("id"), t)   // v1
+    Thread.sleep(5)
+    SnapshotStore.commit(spark.range(30).toDF("id"), t)   // v2
+    val ts = (0L to 2L).map(v => SnapshotStore.manifest(spark, t, v).ts)
+    assert(ts.forall(_ > 0L) && ts == ts.sorted, s"commit times must be monotone: $ts")
+    assert(SnapshotStore.readAsOf(spark, t, ts(0)).count() === 10)
+    assert(SnapshotStore.readAsOf(spark, t, ts(1)).count() === 20)
+    assert(SnapshotStore.readAsOf(spark, t, (ts(1) + ts(2)) / 2).count() === 20,
+      "between commits resolves the EARLIER snapshot")
+    assert(SnapshotStore.readAsOf(spark, t, System.currentTimeMillis() + 60000).count() === 30)
+    intercept[IllegalArgumentException](SnapshotStore.readAsOf(spark, t, ts(0) - 1))
+  }
+
   test("compactCommit rewrites small files into one snapshot-isolated version") {
     val root = java.nio.file.Files.createTempDirectory("graft-snap5").toString
     val t = s"$root/t"
