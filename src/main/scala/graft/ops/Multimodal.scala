@@ -195,6 +195,98 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** One decoded animation frame: index, geometry, mean gray level. */
+  final case class FrameInfo(frame_idx: Int, width: Int, height: Int, gray_mean: Double)
+
+  /** REAL multi-frame decode (animated GIF via the JDK's `ImageIO`
+    * `ImageReader` sequence API — no native deps). This is the "video"
+    * modality made real for the one animated container the JDK can
+    * parse: per-frame pixel planes, frame count, per-frame moments.
+    * GIF is palette-indexed and LOSSLESS, so constant-tone test frames
+    * round-trip bit-exactly — which lets the oracle verify decoded
+    * frame means against the generating formula, the same trick as the
+    * WAV path. Returns None when the payload isn't a GIF stream. */
+  def decodeGifFrames(payload: Array[Byte]): Option[Seq[FrameInfo]] = {
+    if (payload == null || payload.isEmpty) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      if (!reader.getFormatName.equalsIgnoreCase("gif")) return None
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      val out = (0 until n).map { i =>
+        val img = reader.read(i)
+        val w = img.getWidth
+        val h = img.getHeight
+        var sy = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            // grayscale fixtures: r == g == b; use the green channel
+            sy += ((rgb >> 8) & 0xff).toDouble
+            x += 1
+          }
+          y += 1
+        }
+        FrameInfo(i, w, h, sy / (w.toLong * h))
+      }
+      reader.dispose()
+      Some(out)
+    } catch {
+      case _: java.io.IOException => None
+    } finally iis.close()
+  }
+
+  /** Animated-GIF fixture encoder through the JDK's own writer
+    * (`writeToSequence`) — the test-side twin of [[decodeGifFrames]],
+    * like [[wavBytes]] for audio. */
+  def gifBytes(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { img =>
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    baos.toByteArray
+  }
+
+  /** A constant-gray frame (palette of one color → exact round-trip). */
+  def grayFrame(width: Int, height: Int, gray: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = img.createGraphics()
+    g2.setColor(new java.awt.Color(gray, gray, gray))
+    g2.fillRect(0, 0, width, height)
+    g2.dispose()
+    img
+  }
+
+  /** Frame-sampling stage over animated media: decode, keep every
+    * `stride`-th frame, one output row per sampled frame. Runs as the
+    * same typed mapPartitions batch as [[extractFeatures]] — payloads
+    * never shuffle; output rows carry moments, not pixels. */
+  def sampleFrames(media: DataFrame, stride: Int)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media
+      .select("media_id", "media_type", "payload", "n_bytes", "digest")
+      .as[MediaItem]
+      .mapPartitions(_.flatMap { m =>
+        decodeGifFrames(m.payload).toSeq.flatMap { frames =>
+          frames.filter(_.frame_idx % stride == 0).map(f =>
+            (m.media_id, f.frame_idx, f.width, f.height, f.gray_mean, frames.size))
+        }
+      })
+      .toDF("media_id", "frame_idx", "width", "height", "gray_mean", "n_frames")
+  }
+
   /** Codec dispatch: `image/…` payloads get the real `javax.imageio`
     * decode, `audio/…` the real `javax.sound.sampled` decode (stub
     * fallback on undecodable bytes in both cases); every other media

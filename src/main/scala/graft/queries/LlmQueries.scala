@@ -431,6 +431,32 @@ object LlmQueries {
       .orderBy(col("media_id"))
   }
 
+  /** REAL animated-media frame sampling ([[Multimodal.decodeGifFrames]]):
+    * each media item is an animated GIF (the one animated container the
+    * JDK can both write and parse) of doc_id-derived constant-gray
+    * frames; the engine decodes the frame SEQUENCE and keeps every 2nd
+    * frame. GIF is lossless-indexed, so the oracle replays frame count,
+    * geometry, and per-frame gray means from the generating formula —
+    * equality proves bit-exact multi-frame recovery. */
+  val mmFrames: Q = (s, d) => {
+    import s.implicits._
+    val media = Tables.documents(s, d).filter(col("doc_id") < 40)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { k =>
+        val nFrames = (k % 3 + 2).toInt
+        val frames = (0 until nFrames).map(f =>
+          Multimodal.grayFrame(8, 8, ((k * 31 + f * 17) % 256).toInt))
+        (k, "image/gif-anim", Multimodal.gifBytes(frames))
+      })
+      .toDF("media_id", "media_type", "payload")
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .withColumn("digest", md5(col("payload")))
+    Multimodal.sampleFrames(media, stride = 2)(s)
+      .select(col("media_id"), col("frame_idx"), col("width"), col("height"),
+        col("gray_mean"), col("n_frames"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   /** PII redaction over documents with deterministically planted PII
     * (the synthetic corpus itself is clean, so both engines append the
     * same email/IP/phone suffix before redacting — the oracle checks the
@@ -1468,6 +1494,16 @@ object LlmQueries {
                 md5(array_to_string(list_transform(range(1, len(text) + 1, 4),
                       i -> substr(text, CAST(i AS INT), 1)), '')) AS digest
          FROM documents WHERE doc_id < 100 ORDER BY media_id""",
+    "mm_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id, doc_id % 3 + 2 AS nf
+                    FROM documents WHERE doc_id < 40),
+              f AS (SELECT media_id, nf, unnest(range(0, nf)) AS fi FROM m)
+         SELECT media_id, CAST(fi AS INT) AS frame_idx,
+                8 AS width, 8 AS height,
+                CAST((media_id * 31 + fi * 17) % 256 AS DOUBLE) AS gray_mean,
+                CAST(nf AS INT) AS n_frames
+         FROM f WHERE fi % 2 = 0
+         ORDER BY media_id, frame_idx""",
     "mm_binary_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id, 'fake/utf8' AS media_type,
                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS digest,
@@ -1522,6 +1558,7 @@ object LlmQueries {
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_resize" -> mmResize,
     "mm_features" -> mmFeatures,
-    "mm_audio" -> mmAudio
+    "mm_audio" -> mmAudio,
+    "mm_frames" -> mmFrames
   )
 }

@@ -159,6 +159,30 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("animated GIF: frame sequence round-trips bit-exactly, stride sampling, non-GIF rejected") {
+    // encode 4 constant-gray frames, decode all back exactly
+    val grays = Seq(0, 85, 170, 255)
+    val gif = Multimodal.gifBytes(grays.map(g => Multimodal.grayFrame(6, 4, g)))
+    val frames = Multimodal.decodeGifFrames(gif).get
+    assert(frames.size === 4)
+    frames.zip(grays).foreach { case (f, g) =>
+      assert(f.width === 6 && f.height === 4)
+      assert(f.gray_mean === g.toDouble, s"frame ${f.frame_idx}: lossless round-trip must be exact")
+    }
+    // non-GIF payloads are rejected, not mis-decoded
+    assert(Multimodal.decodeGifFrames("not a gif".getBytes).isEmpty)
+    assert(Multimodal.decodeGifFrames(Array.emptyByteArray).isEmpty)
+
+    // distributed stride sampling keeps frames 0 and 2
+    import spark.implicits._
+    val media = Seq((7L, "image/gif-anim", gif)).toDF("media_id", "media_type", "payload")
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .withColumn("digest", md5(col("payload")))
+    val sampled = Multimodal.sampleFrames(media, stride = 2)(spark)
+      .collect().map(r => (r.getAs[Int]("frame_idx"), r.getAs[Double]("gray_mean"), r.getAs[Int]("n_frames")))
+    assert(sampled.toSeq.sorted === Seq((0, 0.0, 4), (2, 170.0, 4)))
+  }
+
   test("frameSample/frameSlices: window offsets and slice sizes") {
     val frames = Multimodal.frameSlices(media, frameBytes = 32, stride = 16)
     val byId = frames.groupBy("media_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
