@@ -26,7 +26,10 @@ object Bench {
     "g5_label_prop", "sk_salted_agg", "bk_bucketed_join", "st1_windowed_counts",
     "x1_shipping_priority", "x3_returned_customers", "u1_set_ops", "sm_mixture",
     "c8_funnel", "c11_dq_report", "x4_correlated_scalar", "tx_bm25", "cp_pack",
-    "dt_cdc_apply", "bf_bloom_semi", "tx_divergence")
+    "dt_cdc_apply", "bf_bloom_semi", "tx_divergence",
+    "mv_rewrite_agg", "dt_delete_vectors", "bl_point_lookup", "zo_skipping_scan",
+    "ct_bloom_decontam", "tx_gopher_rules", "dd_ssjoin_prefix", "dt_merge_into",
+    "x11_volume_shipping", "tx_langid_trained", "mm_frames", "st11_asof_enrich")
 
   private def fmt(v: Double): String = f"$v%.3f"
 
