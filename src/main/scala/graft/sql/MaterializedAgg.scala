@@ -103,6 +103,41 @@ object MaterializedAgg {
   /** Drop all registrations (tests). */
   def clear(): Unit = registry.clear()
 
+  /** Persist the registry (same `k=v` line format as the snapshot-store
+    * manifests) so a fresh session restores its MVs with [[load]] —
+    * registration survives the JVM, like a catalog would hold it. */
+  def save(spark: SparkSession, path: String): Unit = {
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(new org.apache.hadoop.fs.Path(path), true)
+    try registered.foreach { mv =>
+      out.write(
+        s"mv\tbase=${mv.basePath}\tdata=${mv.mvPath}\tgroup=${mv.groupCols.mkString(",")}\tmeasure=${mv.measureCols.mkString(",")}\n"
+          .getBytes("UTF-8"))
+    } finally out.close()
+  }
+
+  /** Restore registrations written by [[save]]. Unreadable or foreign
+    * lines are skipped, not fatal. Returns the number registered. */
+  def load(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) return 0
+    val in = f.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val loaded = text.linesIterator.filter(_.startsWith("mv\t")).flatMap { line =>
+      val kv = line.split("\t").drop(1)
+        .flatMap(t => t.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None })
+        .toMap
+      for (b <- kv.get("base"); d <- kv.get("data"); g <- kv.get("group"); m <- kv.get("measure"))
+        yield AggMv(b, d, g.split(",").toSeq.filter(_.nonEmpty), m.split(",").toSeq.filter(_.nonEmpty))
+    }.toSeq
+    loaded.foreach(register)
+    loaded.size
+  }
+
   /** A fresh resolved relation for the MV (fresh expr ids per call, so
     * one MV can appear several times in a plan). */
   private[graft] def mvRelation(spark: SparkSession, mv: AggMv): LogicalRelation =

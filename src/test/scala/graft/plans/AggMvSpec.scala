@@ -83,6 +83,21 @@ class AggMvSpec extends SparkSuite {
     assert(got.find(_._1 == "A").get._2 === 1666L)
   }
 
+  test("registry save/load round-trips: a fresh registry restores MVs and the rewrite fires") {
+    val (base, mv) = freshBase()
+    val reg = s"${new java.io.File(base).getParent}/registry.mv"
+    MaterializedAgg.clear() // isolate from earlier tests' registrations
+    MaterializedAgg.create(spark, base, mv, Seq("status", "yr"), Seq("cents"))
+    MaterializedAgg.save(spark, reg)
+    MaterializedAgg.clear()
+    def q = spark.read.parquet(base).groupBy("status").agg(sum("cents").alias("s"))
+    assert(!scanPaths(q).contains(mv), "cleared registry must not rewrite")
+    assert(MaterializedAgg.load(spark, reg) === 1)
+    assert(scanPaths(q).forall(_ == mv), "restored registry must rewrite again")
+    // loading a missing file is a no-op, not an error
+    assert(MaterializedAgg.load(spark, s"$reg.absent") === 0)
+  }
+
   test("unsupported shapes leave the plan untouched: distinct agg, measure filter, unknown column") {
     val (base, mv) = freshBase()
     MaterializedAgg.create(spark, base, mv, Seq("status", "yr"), Seq("cents"))
