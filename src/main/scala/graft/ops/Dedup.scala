@@ -559,4 +559,92 @@ object Dedup {
       (s, x) => s + x
     )
   }
+
+  /** Exact-substring duplicated-SPAN detection — the sequence-level
+    * dedup of Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better"), re-expressed at word-`k`-gram
+    * granularity so it runs as plain shuffles instead of a distributed
+    * suffix array: a token position is duplicated iff some `k`-gram
+    * covering it also occurs in at least `minDocs − 1` OTHER documents;
+    * maximal runs of duplicated positions are merged into spans.
+    * Document-level dedup (MinHash/SimHash) misses exactly this case —
+    * two mostly-distinct documents sharing one long boilerplate block —
+    * which is why span dedup is the standard second pass on web-scale
+    * training corpora.
+    *
+    * Returns one row per input document:
+    * `(id, n_tokens, n_dup_spans, dup_tokens, dup_frac, keep)` where
+    * `dup_tokens` counts positions covered by ≥1 duplicated `k`-gram
+    * and `keep = dup_frac ≤ maxDupFrac` (the usual gate drops or trims
+    * documents that are mostly boilerplate).
+    *
+    * Cross-engine determinism: grams are keyed by `md5` of the joined
+    * token window, so an external engine replays the exact hash.
+    *
+    * Scale shape (100 TB): one exchange of `(doc, pos, md5)` gram rows
+    * keyed by digest for the occurrence count (distinct `(doc, gram)`
+    * first, so the count is partial-aggregable and intra-doc repeats
+    * don't inflate it), one digest-keyed join back to positions, then
+    * the span merge — a classic gaps-and-islands pass — runs under a
+    * window PARTITIONED BY document (never global), bounded per task by
+    * the document's own token count. Digests (32-char md5) ride the
+    * shuffles, never the text. No all-pairs stage anywhere.
+    */
+  def duplicatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minDocs: Int = 2,
+      maxDupFrac: Double = 0.2): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val toks = docs.select(col(idCol), wordTokens(col(textCol)).alias("__w"))
+    // 1-based start positions (matches SQL list slicing): gram i covers
+    // tokens [i, i+k-1]; docs shorter than k contribute no grams
+    val grams = toks
+      .select(
+        col(idCol),
+        explode(transform(
+          when(size(col("__w")) >= k, sequence(lit(1), size(col("__w")) - (k - 1)))
+            .otherwise(array().cast("array<int>")),
+          i => struct(
+            i.alias("pos"),
+            md5(concat_ws(" ", slice(col("__w"), i, lit(k)))).alias("h")))).alias("__g"))
+      .select(col(idCol), col("__g.pos").alias("pos"), col("__g.h").alias("h"))
+    val dupGrams = grams
+      .select(col(idCol), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).alias("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("h"))
+    val hits = grams
+      .join(dupGrams, Seq("h"))
+      .select(col(idCol), col("pos"), (col("pos") + (k - 1)).alias("__end"))
+    // gaps-and-islands: a hit starts a new span iff it begins past the
+    // running max end of all earlier hits in the same document
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val runningEnd =
+      max(col("__end")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = hits
+      .withColumn("__new", when(col("pos") > coalesce(runningEnd, lit(0)), 1).otherwise(0))
+      .withColumn("__island", sum(col("__new")).over(byDoc))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).alias("__s"), max(col("__end")).alias("__e"))
+    val perDoc = spans
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").alias("__n_spans"),
+        sum(col("__e") - col("__s") + 1).cast("long").alias("__dup_tokens"))
+    toks
+      .select(col(idCol), size(col("__w")).alias("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        coalesce(col("__n_spans"), lit(0)).alias("n_dup_spans"),
+        coalesce(col("__dup_tokens"), lit(0L)).alias("dup_tokens"),
+        round(coalesce(col("__dup_tokens"), lit(0L)).cast("double") / col("n_tokens"), 4)
+          .alias("dup_frac"),
+        (coalesce(col("__dup_tokens"), lit(0L)).cast("double") / col("n_tokens") <= maxDupFrac)
+          .alias("keep"))
+  }
 }

@@ -230,4 +230,95 @@ object Sampling {
     }.otherwise(hashKeep(key, defaultRate))
     df.filter(keep)
   }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    * score every RAW document by how much more likely its hashed-n-gram
+    * bag is under a TARGET corpus' unigram model than under the raw
+    * corpus' own, then keep the top `keepFrac` by that importance
+    * weight. The standard trick for skewing a web-scale crawl toward a
+    * high-quality target domain (e.g. Wikipedia-like text) without a
+    * learned classifier.
+    *
+    * Features are words hashed into `buckets` bins via the first 8 hex
+    * digits of `md5` (portable: any engine with md5 replays the exact
+    * binning). Both models use add-1 smoothing over the `buckets` bins;
+    * a document's log-weight is
+    * `Σ_tokens log p̂_target(bin) − log p̂_raw(bin)`.
+    * Selection compares the 4-dp integer image of the weight
+    * (`round(logw·10⁴)` as a long) against the corpus `1 − keepFrac`
+    * quantile of the same image — exact integer percentile
+    * interpolation, the same cross-engine-deterministic cut as
+    * [[TextAnalysis.lmQualityBuckets]].
+    *
+    * Returns raw documents only:
+    * `(id, n_tokens, logw, selected)`.
+    *
+    * Scale shape (100 TB): per-doc bin multiplicities first (one
+    * exchange of `(doc, bin, count)` rows — bins are ints, text never
+    * shuffles), both models reduce to `buckets`-sized aggregates
+    * (partial-aggregable counts), the per-bin log-ratio table is
+    * broadcast back (≤ `buckets` rows), and the cut point is ONE exact
+    * percentile over doc-count rows broadcast as a scalar. No global
+    * sort, no window, no driver-side loop.
+    */
+  def dsirSelect(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      buckets: Int = 256,
+      keepFrac: Double = 0.25): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(keepFrac > 0.0 && keepFrac < 1.0, s"keepFrac must be in (0,1), got $keepFrac")
+    val toks = docs.select(
+      col(idCol),
+      isTarget.alias("__tgt"),
+      Dedup.wordTokens(col(textCol)).alias("__w"))
+    val binned = toks.select(
+      col(idCol),
+      col("__tgt"),
+      explode(transform(
+        col("__w"),
+        w => pmod(conv(substring(md5(w), 1, 8), 16, 10).cast("long"), lit(buckets))))
+        .alias("__b"))
+    // per-doc bin multiplicities FIRST (same discipline as the bigram
+    // LM): downstream aggregates and joins carry distinct (doc, bin)
+    // rows, and both corpus models derive from this one aggregate
+    val perDoc = binned.groupBy(col(idCol), col("__tgt"), col("__b"))
+      .agg(count(lit(1)).alias("__m"))
+    val model = perDoc
+      .groupBy(col("__b"))
+      .agg(
+        sum(when(col("__tgt"), col("__m")).otherwise(0L)).alias("__ct"),
+        sum(when(!col("__tgt"), col("__m")).otherwise(0L)).alias("__cr"))
+      .agg(
+        collect_list(struct(col("__b"), col("__ct"), col("__cr"))).alias("__rows"),
+        sum(col("__ct")).alias("__nt"),
+        sum(col("__cr")).alias("__nr"))
+      .select(
+        explode(col("__rows")).alias("__r"),
+        col("__nt"), col("__nr"))
+      .select(
+        col("__r.__b").alias("__b"),
+        (log((col("__r.__ct") + 1).cast("double") / (col("__nt") + buckets))
+          - log((col("__r.__cr") + 1).cast("double") / (col("__nr") + buckets)))
+          .alias("__lam"))
+    val scored = perDoc
+      .filter(!col("__tgt"))
+      .join(broadcast(model), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__m")).cast("long").alias("n_tokens"),
+        round(sum(col("__m") * col("__lam")), 4).alias("logw"))
+      .withColumn("__s4", round(col("logw") * 10000).cast("long"))
+    val cut = scored.agg(
+      percentile(col("__s4"), lit(1.0 - keepFrac)).alias("__cut"))
+    scored
+      .crossJoin(broadcast(cut))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        col("logw"),
+        (col("__s4").cast("double") >= col("__cut")).alias("selected"))
+  }
 }

@@ -689,4 +689,63 @@ object TextAnalysis {
         round((col("__stlt") - col("__stlg")) / col("n_tokens")
           + log(col("__gn") / col("n_tokens")), 4).alias("kl_vs_corpus"))
   }
+
+  /** Bad-phrase fragments for the C4 policy battery (the published
+    * filter drops pages containing listed phrases; the list itself is
+    * external, so a small representative stand-in is compiled in). */
+  private val c4BadPhrases = Seq("lorem ipsum", "click here", "terms of use")
+
+  /** C4-style document filters (Raffel et al. 2020, §2.2 "Colossal
+    * Clean Crawled Corpus"): the OTHER canonical cleaning battery next
+    * to [[gopherRules]] — C4 filters on sentence structure and policy
+    * phrases where Gopher filters on word statistics. Re-expressed
+    * per document over this engine's corpus:
+    *
+    *  - ≥ 3 sentences (split on terminal punctuation);
+    *  - ≥ 5 words (C4 drops pages with fewer than 5 words);
+    *  - no curly brace (code markup proxy);
+    *  - no "lorem ipsum" / policy boilerplate phrases;
+    *  - fraction of sentences ending in terminal punctuation (C4 keeps
+    *    only lines ending in one; reported as a ratio here so the rule
+    *    is a threshold, not a row filter).
+    *
+    * Every metric is a narrow scan-speed expression (split / regexp
+    * count / contains) — no shuffle, no UDF; the whole battery stays
+    * inside whole-stage codegen and runs at 100 TB as a mapper. */
+  def c4Rules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val parts = docs.select(
+      col(idCol).alias("doc_id"),
+      lower(col(textCol)).alias("__t"),
+      words(col(textCol)).alias("__w"))
+    // sentences = non-empty trimmed segments between terminal marks
+    val sents = filter(
+      transform(split(col("__t"), "[.!?]"), s0 => trim(s0)),
+      s0 => length(s0) > 0)
+    val nSent = size(sents)
+    val nWords = size(col("__w"))
+    // terminal-ended sentence count = number of terminal marks that
+    // close a non-empty segment ≡ total terminal marks bounded by nSent
+    val nTerm = least(
+      length(col("__t")) - length(regexp_replace(col("__t"), "[.!?]", "")),
+      nSent)
+    val termFrac = when(nSent > 0, nTerm.cast("double") / nSent).otherwise(0.0)
+    val hasBrace = col("__t").contains("{") || col("__t").contains("}")
+    val hasBad = c4BadPhrases
+      .map(p => col("__t").contains(p))
+      .reduce(_ || _)
+    parts.select(
+      col("doc_id"),
+      nWords.alias("n_words"),
+      nSent.alias("n_sentences"),
+      round(termFrac, 4).alias("terminal_sentence_frac"),
+      hasBrace.alias("has_brace"),
+      hasBad.alias("has_bad_phrase"),
+      (nSent >= 3).alias("r_min_sentences"),
+      (nWords >= 5).alias("r_min_words"),
+      (!hasBrace).alias("r_no_brace"),
+      (!hasBad).alias("r_no_bad_phrase"))
+      .withColumn("keep",
+        col("r_min_sentences") && col("r_min_words") &&
+          col("r_no_brace") && col("r_no_bad_phrase"))
+  }
 }

@@ -635,6 +635,69 @@ object LlmQueries {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Span-dedup corpus: originals ∪ copies of doc_id%5==0 with one
+    * unique marker token inserted at the midpoint (id+3e9). A copy
+    * shares two long token runs with its original — the two halves —
+    * so span detection must find TWO islands per pair member, not one,
+    * exercising the interval merge on both sides. */
+  private def spanCorpus(docs: DataFrame): DataFrame = {
+    val w = Dedup.wordTokens(col("text"))
+    val m = floor(size(w).cast("double") / 2).cast("int")
+    docs.select(col("doc_id"), col("text")).unionAll(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(
+          (col("doc_id") + 3000000000L).alias("doc_id"),
+          concat_ws(" ",
+            concat(
+              slice(w, lit(1), m),
+              array(concat(lit("zqins"), col("doc_id").cast("string"))),
+              slice(w, m + 1, size(w) - m))).alias("text")))
+  }
+
+  /** Exact-substring duplicated spans
+    * ([[graft.ops.Dedup.duplicatedSpans]], Lee et al. 2021 at 8-gram
+    * granularity) over the mid-insert span corpus: each original/copy
+    * pair shares its two halves, so both members report their halves as
+    * duplicated spans (minus the grams straddling the insertion point)
+    * while unpaired docs stay clean. */
+  val ddSubstringSpans: Q = (s, d) =>
+    Dedup.duplicatedSpans(spanCorpus(Tables.documents(s, d)), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** DSIR importance selection ([[graft.ops.Sampling.dsirSelect]], Xie
+    * et al. 2023): hashed-unigram importance weights of every non-`en`
+    * document against the `en` target model; top quartile selected. */
+  val smDsir: Q = (s, d) =>
+    Sampling.dsirSelect(
+      Tables.documents(s, d), "doc_id", "text", isTarget = col("lang") === "en")
+      .orderBy(col("doc_id"))
+
+  /** C4-battery corpus: deterministic punctuation re-synthesis (a '.'
+    * after every `doc_id%5+3`-th token) plus policy-phrase / brace
+    * injections on doc_id%13==0 / %17==0 — the raw corpus has no
+    * punctuation, so rule outcomes would be constant without it. */
+  private def punctuatedCorpus(docs: DataFrame): DataFrame = {
+    val w = Dedup.wordTokens(col("text"))
+    val m = (pmod(col("doc_id"), lit(5)) + 3).cast("int")
+    val punct = concat_ws(" ",
+      zip_with(w, sequence(lit(1), size(w)),
+        (t, i) => concat(t, when(pmod(i, m) === 0, lit(".")).otherwise(lit("")))))
+    docs.select(
+      col("doc_id"),
+      concat(
+        punct,
+        when(pmod(col("doc_id"), lit(13)) === 0, lit(" lorem ipsum")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(17)) === 0, lit(" {code}")).otherwise(lit("")))
+        .alias("text"))
+  }
+
+  /** C4 cleaning battery ([[graft.ops.TextAnalysis.c4Rules]], Raffel et
+    * al. 2020) over the punctuated corpus: sentence-structure and
+    * policy-phrase rules vary per document by construction. */
+  val txC4Rules: Q = (s, d) =>
+    TextAnalysis.c4Rules(punctuatedCorpus(Tables.documents(s, d)), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Corpus token-count histogram (the length-distribution audit every
     * mixing plan starts from): docs per 20-token bucket + bucket token
     * mass. */
@@ -785,6 +848,98 @@ object LlmQueries {
       .mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    "dd_substring_spans" ->
+      s"""WITH base AS (SELECT doc_id, $wordsSql AS w FROM documents),
+              corpus AS (
+                SELECT doc_id, w FROM base
+                UNION ALL
+                SELECT doc_id + 3000000000 AS doc_id,
+                       w[1:CAST(len(w) // 2 AS INT)]
+                         || ['zqins' || CAST(doc_id AS VARCHAR)]
+                         || w[CAST(len(w) // 2 AS INT) + 1:len(w)] AS w
+                FROM base WHERE doc_id % 5 = 0),
+              g AS (SELECT doc_id, unnest(list_transform(
+                      range(1, greatest(len(w) - 7, 0) + 1),
+                      i -> {'pos': i, 'h': md5(array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' '))})) AS s
+                    FROM corpus),
+              g2 AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM g),
+              dup AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+                                     FROM g2 GROUP BY 1) WHERE nd >= 2),
+              hits AS (SELECT doc_id, pos, pos + 7 AS e FROM g2 JOIN dup USING (h)),
+              isl AS (SELECT doc_id, pos, e,
+                        CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                             THEN 1 ELSE 0 END AS ni
+                      FROM hits),
+              isl2 AS (SELECT doc_id, pos, e,
+                         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                       FROM isl),
+              sp AS (SELECT doc_id, island, min(pos) AS s, max(e) AS e
+                     FROM isl2 GROUP BY 1, 2),
+              agg AS (SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS dup_toks
+                      FROM sp GROUP BY 1)
+          SELECT c.doc_id AS doc_id,
+                 CAST(len(c.w) AS INT) AS n_tokens,
+                 CAST(coalesce(a.n_spans, 0) AS INT) AS n_dup_spans,
+                 CAST(coalesce(a.dup_toks, 0) AS BIGINT) AS dup_tokens,
+                 round(CAST(coalesce(a.dup_toks, 0) AS DOUBLE) / len(c.w), 4) AS dup_frac,
+                 (CAST(coalesce(a.dup_toks, 0) AS DOUBLE) / len(c.w) <= 0.2) AS keep
+          FROM corpus c LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""",
+    "sm_dsir" ->
+      s"""WITH toks AS (SELECT doc_id, lang = 'en' AS tgt, unnest($wordsSql) AS word
+                        FROM documents),
+              b AS (SELECT doc_id, tgt,
+                      CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) % 256 AS bin
+                    FROM toks),
+              pd AS (SELECT doc_id, tgt, bin, count(*) AS m FROM b GROUP BY 1, 2, 3),
+              mdl AS (SELECT bin,
+                        sum(CASE WHEN tgt THEN m ELSE 0 END) AS ct,
+                        sum(CASE WHEN NOT tgt THEN m ELSE 0 END) AS cr
+                      FROM pd GROUP BY 1),
+              tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM mdl),
+              lam AS (SELECT bin,
+                        ln((ct + 1.0) / (nt + 256)) - ln((cr + 1.0) / (nr + 256)) AS lam
+                      FROM mdl CROSS JOIN tot),
+              sc AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+                       round(sum(m * lam), 4) AS logw
+                     FROM pd JOIN lam USING (bin) WHERE NOT tgt GROUP BY 1),
+              s4 AS (SELECT *, CAST(round(logw * 10000) AS BIGINT) AS s4 FROM sc),
+              cut AS (SELECT quantile_cont(s4, 0.75) AS c FROM s4)
+          SELECT doc_id, n_tokens, logw, (CAST(s4 AS DOUBLE) >= c) AS selected
+          FROM s4 CROSS JOIN cut ORDER BY doc_id""",
+    "tx_c4_rules" ->
+      s"""WITH base AS (SELECT doc_id, $wordsSql AS w FROM documents),
+              pc AS (SELECT doc_id,
+                       concat(
+                         array_to_string(list_transform(range(1, len(w) + 1),
+                           i -> concat(w[CAST(i AS INT)],
+                                       CASE WHEN i % (doc_id % 5 + 3) = 0
+                                            THEN '.' ELSE '' END)), ' '),
+                         CASE WHEN doc_id % 13 = 0 THEN ' lorem ipsum' ELSE '' END,
+                         CASE WHEN doc_id % 17 = 0 THEN ' {code}' ELSE '' END) AS text
+                     FROM base),
+              t AS (SELECT doc_id, lower(text) AS tl, $wordsSql AS w2 FROM pc),
+              m AS (SELECT doc_id,
+                      CAST(len(w2) AS INT) AS n_words,
+                      CAST(len(list_filter(list_transform(str_split_regex(tl, '[.!?]'),
+                             s -> trim(s)), s -> len(s) > 0)) AS INT) AS n_sent,
+                      len(tl) - len(regexp_replace(tl, '[.!?]', '', 'g')) AS n_marks,
+                      (contains(tl, '{') OR contains(tl, '}')) AS has_brace,
+                      (contains(tl, 'lorem ipsum') OR contains(tl, 'click here')
+                        OR contains(tl, 'terms of use')) AS has_bad
+                    FROM t)
+          SELECT doc_id, n_words, n_sent AS n_sentences,
+                 round(CASE WHEN n_sent > 0
+                            THEN CAST(least(n_marks, n_sent) AS DOUBLE) / n_sent
+                            ELSE 0.0 END, 4) AS terminal_sentence_frac,
+                 has_brace, has_bad AS has_bad_phrase,
+                 (n_sent >= 3) AS r_min_sentences,
+                 (n_words >= 5) AS r_min_words,
+                 (NOT has_brace) AS r_no_brace,
+                 (NOT has_bad) AS r_no_bad_phrase,
+                 ((n_sent >= 3) AND (n_words >= 5) AND (NOT has_brace)
+                   AND (NOT has_bad)) AS keep
+          FROM m ORDER BY doc_id""",
     "dd_exact" ->
       s"""SELECT md5(text) AS text_md5, CAST(count(*) AS BIGINT) AS dup_count,
                  CAST(min(doc_id) AS BIGINT) AS keeper_id
@@ -1548,6 +1703,9 @@ object LlmQueries {
     "ct_ngram_overlap" -> ctNgramOverlap,
     "ct_bloom_decontam" -> ctBloomDecontam,
     "tx_gopher_rules" -> txGopherRules,
+    "dd_substring_spans" -> ddSubstringSpans,
+    "sm_dsir" -> smDsir,
+    "tx_c4_rules" -> txC4Rules,
     "tx_langid_trained" -> txLangidTrained,
     "eq_quantize" -> eqQuantize,
     "tx_bigram_lm" -> txBigramLm,

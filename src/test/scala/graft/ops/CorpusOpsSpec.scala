@@ -267,4 +267,78 @@ class CorpusOpsSpec extends SparkSuite {
     assert(got(1L)._2 === 1.0 - 1.0 / 3.0) // "spam spam" ×3 → 1 distinct of 3
     assert(got(2L)._1 === 0.0 && got(2L)._2 === 0.0)
   }
+
+  test("duplicatedSpans: cross-doc runs merge into maximal islands; intra-doc repeats don't count") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),           // shares a..e with 2
+      (2L, "x y a b c d e z w q"),       // the shared run sits mid-doc
+      (3L, "p q r s t u v"),             // clean
+      (4L, "a1 b1 c1 m1 m2 m3 u1 v1 w1"), // two disjoint shared runs with 5
+      (5L, "a1 b1 c1 n1 n2 n3 u1 v1 w1"),
+      (6L, "z1 z2 z3 z1 z2 z3 k1 k2 k3") // intra-doc repeat only — not a dup
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc1: grams "a b c","b c d","c d e" dup → one island covering pos 1..5
+    assert(got(1L).getAs[Int]("n_dup_spans") === 1)
+    assert(got(1L).getAs[Long]("dup_tokens") === 5L)
+    assert(got(1L).getAs[Double]("dup_frac") === 0.625)
+    assert(!got(1L).getAs[Boolean]("keep"))
+    // doc2: same three grams at pos 3..5 → island pos 3..7
+    assert(got(2L).getAs[Int]("n_dup_spans") === 1)
+    assert(got(2L).getAs[Long]("dup_tokens") === 5L)
+    // doc3: untouched
+    assert(got(3L).getAs[Int]("n_dup_spans") === 0)
+    assert(got(3L).getAs[Long]("dup_tokens") === 0L)
+    assert(got(3L).getAs[Boolean]("keep"))
+    // docs 4/5: two disjoint 3-token islands each (head + tail), 6 dup tokens of 9
+    for (id <- Seq(4L, 5L)) {
+      assert(got(id).getAs[Int]("n_dup_spans") === 2, s"doc $id")
+      assert(got(id).getAs[Long]("dup_tokens") === 6L, s"doc $id")
+      assert(!got(id).getAs[Boolean]("keep"), s"doc $id")
+    }
+    // doc6: the repeated run exists only within ONE document — minDocs
+    // counts distinct docs, so nothing is flagged
+    assert(got(6L).getAs[Int]("n_dup_spans") === 0)
+    assert(got(6L).getAs[Boolean]("keep"))
+  }
+
+  test("dsirSelect: target-like raw docs outrank raw-like ones; top keepFrac selected") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "tgt"),
+      (2L, "alpha beta alpha gamma", "tgt"),
+      (3L, "delta gamma beta alpha", "tgt"),
+      (11L, "alpha beta alpha beta", "raw"),  // pure target vocabulary
+      (12L, "red blue red blue", "raw"),      // pure raw vocabulary
+      (13L, "green yellow green yellow", "raw"),
+      (14L, "gamma delta gamma delta", "raw") // pure target vocabulary
+    ).toDF("doc_id", "text", "kind")
+    val got = Sampling.dsirSelect(
+      docs, "doc_id", "text", isTarget = col("kind") === "tgt", keepFrac = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got.keySet === Set(11L, 12L, 13L, 14L)) // raw docs only
+    assert(got.values.forall(_.getAs[Long]("n_tokens") === 4L))
+    // target-vocabulary docs carry strictly higher importance weights
+    assert(got(11L).getAs[Double]("logw") > got(12L).getAs[Double]("logw"))
+    assert(got(14L).getAs[Double]("logw") > got(13L).getAs[Double]("logw"))
+    val selected = got.filter(_._2.getAs[Boolean]("selected")).keySet
+    assert(selected === Set(11L, 14L), s"got $selected")
+  }
+
+  test("c4Rules: each rule fires on its designed violation") {
+    val docs = Seq(
+      (1L, "one two three four. five six seven. eight nine ten."), // keeps
+      (2L, "too short"),                                  // <5 words, 1 sentence
+      (3L, "a b c. lorem ipsum text. more words here."),  // policy phrase
+      (4L, "code { x } one two. three four five. six seven eight.") // brace
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.c4Rules(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Boolean]("keep"))
+    assert(got(1L).getAs[Int]("n_sentences") === 3)
+    assert(got(1L).getAs[Double]("terminal_sentence_frac") === 1.0)
+    assert(!got(2L).getAs[Boolean]("r_min_words") && !got(2L).getAs[Boolean]("r_min_sentences"))
+    assert(!got(3L).getAs[Boolean]("r_no_bad_phrase") && !got(3L).getAs[Boolean]("keep"))
+    assert(!got(4L).getAs[Boolean]("r_no_brace") && !got(4L).getAs[Boolean]("keep"))
+  }
 }
