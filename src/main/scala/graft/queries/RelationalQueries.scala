@@ -1360,6 +1360,145 @@ object RelationalQueries {
       ORDER BY o_year""")
   }
 
+  /** X13 (beyond reference parity): TPC-H Q6 shape — the pure
+    * scan-aggregate forecast: three range predicates and a two-column
+    * product, no join, no group. The whole query is ONE parquet scan
+    * with every predicate pushed (`PushedFilters` carries all three)
+    * and a two-column `ReadSchema`+filter columns — the canonical
+    * "does the engine read only what it must" probe. Revenue in exact
+    * integer cent·cent-pct units (price cents × discount cent-pct). */
+  val x13ForecastRevenue: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_x13")
+    s.sql("""
+      SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cd
+      FROM graft_lineitem_x13
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24""")
+  }
+
+  /** X14 (beyond reference parity): TPC-H Q14 shape — promo revenue
+    * share in a month: one fact→dim join (part broadcasts), conditional
+    * numerator over the same exact-integer sum as the denominator, so
+    * the percentage is one division of exact longs. */
+  val x14PromoRevenue: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_x14")
+    Tables.part(s, d).createOrReplaceTempView("graft_part_x14")
+    s.sql("""
+      SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN volume_cp ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(volume_cp) AS DOUBLE), 6) AS promo_revenue_pct
+      FROM (
+        SELECT p.p_type,
+               CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS volume_cp
+        FROM graft_lineitem_x14 l
+        JOIN graft_part_x14 p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l.l_shipdate < TIMESTAMP '1996-10-01') promo""")
+  }
+
+  /** X15 (beyond reference parity): TPC-H Q15 shape — the top supplier
+    * by quarterly revenue: a keyed aggregate reused TWICE (once as the
+    * join input, once under the global-max scalar subquery). Catalyst
+    * plans the scalar max as a broadcast-able single-row aggregate and
+    * reuses the revenue exchange; exact integer cents make the max
+    * tie-free across engines. */
+  val x15TopSupplier: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_x15")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_supplier_x15")
+    s.sql("""
+      WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+                 AS total_revenue_cp
+        FROM graft_lineitem_x15
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+      SELECT s.s_suppkey, s.s_name, r.total_revenue_cp
+      FROM graft_supplier_x15 s
+      JOIN rev r ON s.s_suppkey = r.supplier_no
+      WHERE r.total_revenue_cp = (SELECT max(total_revenue_cp) FROM rev)
+      ORDER BY s.s_suppkey""")
+  }
+
+  /** X16 (beyond reference parity): TPC-H Q9 shape — product-line
+    * profit by supplier nation and order year: a 5-table join where
+    * profit = revenue − cost needs BOTH part attributes and lineitem
+    * quantities, all in exact cent·pct units (quantities are integral,
+    * so the cost term is exact too). The name LIKE filter prunes part
+    * FIRST — the join tree should broadcast the filtered part and
+    * nation sides and shuffle lineitem exactly once. */
+  val x16Profit: Q = (s, d) => {
+    Tables.part(s, d).createOrReplaceTempView("graft_part_x16")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_supplier_x16")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_x16")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_x16")
+    Tables.nation(s, d).createOrReplaceTempView("graft_nation_x16")
+    s.sql("""
+      SELECT nation, o_year, CAST(sum(amount_cp) AS BIGINT) AS profit_cp
+      FROM (
+        SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+               CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                 - CAST(round(p.p_retailprice * 100) AS BIGINT) * 100
+                   * CAST(l.l_quantity AS BIGINT) AS amount_cp
+        FROM graft_part_x16 p
+        JOIN graft_lineitem_x16 l ON p.p_partkey = l.l_partkey
+        JOIN graft_supplier_x16 s ON s.s_suppkey = l.l_suppkey
+        JOIN graft_orders_x16 o ON o.o_orderkey = l.l_orderkey
+        JOIN graft_nation_x16 n ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%red%'
+      ) profit
+      GROUP BY nation, o_year
+      ORDER BY nation, o_year DESC""")
+  }
+
+  /** X17 (beyond reference parity): TPC-H Q13 shape — the customer
+    * order-count distribution: a LEFT OUTER join with an extra ON
+    * predicate (so customers keep rows their filter drops), a per-key
+    * count, then a histogram of the counts. Two keyed aggregates; the
+    * outer join must NOT convert to inner (zero-order customers are
+    * the point of the query). */
+  val x17OrderHistogram: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer_x17")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_x17")
+    s.sql("""
+      SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      FROM (
+        SELECT c.c_custkey, CAST(count(o.o_orderkey) AS INT) AS c_count
+        FROM graft_customer_x17 c
+        LEFT OUTER JOIN graft_orders_x17 o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey) c_orders
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC""")
+  }
+
+  /** X18 (beyond reference parity): TPC-H Q19 shape — disjunctive
+    * multi-attribute predicates (brand × size × quantity bands OR-ed
+    * together) over a fact→dim join. The shared `p_partkey = l_partkey`
+    * conjunct must still drive a single equi-join (the OR only filters
+    * rows); common-factor extraction keeps the disjunction out of the
+    * join condition so no nested-loop appears. */
+  val x18Disjunctive: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_x18")
+    Tables.part(s, d).createOrReplaceTempView("graft_part_x18")
+    s.sql("""
+      SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+               AS revenue_cp
+      FROM graft_lineitem_x18 l
+      JOIN graft_part_x18 p ON p.p_partkey = l.l_partkey
+      WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+              AND l.l_quantity BETWEEN 1 AND 11)
+         OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+              AND l.l_quantity BETWEEN 10 AND 20)
+         OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+              AND l.l_quantity BETWEEN 20 AND 30)""")
+  }
+
   val x6LargeOrders: Q = (s, d) => {
     Tables.customer(s, d).createOrReplaceTempView("graft_customer_x6")
     Tables.orders(s, d).createOrReplaceTempView("graft_orders_x6")
@@ -1976,6 +2115,77 @@ object RelationalQueries {
          ) all_nations
          GROUP BY o_year
          ORDER BY o_year""",
+    "x13_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cd
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+    "x14_promo_revenue" ->
+      """SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN volume_cp ELSE 0 END) AS DOUBLE)
+                      / CAST(sum(volume_cp) AS DOUBLE), 6) AS promo_revenue_pct
+         FROM (
+           SELECT p.p_type,
+                  CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS volume_cp
+           FROM lineitem l
+           JOIN part p ON p.p_partkey = l.l_partkey
+           WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+             AND l.l_shipdate < TIMESTAMP '1996-10-01') promo""",
+    "x15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey AS supplier_no,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+                    AS total_revenue_cp
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s.s_suppkey, s.s_name, r.total_revenue_cp
+         FROM supplier s
+         JOIN rev r ON s.s_suppkey = r.supplier_no
+         WHERE r.total_revenue_cp = (SELECT max(total_revenue_cp) FROM rev)
+         ORDER BY s.s_suppkey""",
+    "x16_profit" ->
+      """SELECT nation, CAST(o_year AS INT) AS o_year, CAST(sum(amount_cp) AS BIGINT) AS profit_cp
+         FROM (
+           SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+                  CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                    - CAST(round(p.p_retailprice * 100) AS BIGINT) * 100
+                      * CAST(l.l_quantity AS BIGINT) AS amount_cp
+           FROM part p
+           JOIN lineitem l ON p.p_partkey = l.l_partkey
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           JOIN orders o ON o.o_orderkey = l.l_orderkey
+           JOIN nation n ON s.s_nationkey = n.n_nationkey
+           WHERE p.p_name LIKE '%red%'
+         ) profit
+         GROUP BY nation, o_year
+         ORDER BY nation, o_year DESC""",
+    "x17_order_histogram" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+         FROM (
+           SELECT c.c_custkey, CAST(count(o.o_orderkey) AS INT) AS c_count
+           FROM customer c
+           LEFT OUTER JOIN orders o
+             ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+           GROUP BY c.c_custkey) c_orders
+         GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+    "x18_disjunctive" ->
+      """SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+                  AS revenue_cp
+         FROM lineitem l
+         JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+                 AND l.l_quantity BETWEEN 1 AND 11)
+            OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+                 AND l.l_quantity BETWEEN 10 AND 20)
+            OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+                 AND l.l_quantity BETWEEN 20 AND 30)""",
     "a22_equifreq_bins" ->
       """WITH b AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1,
                            quantile_cont(o_totalprice, 0.5)  AS q2,
@@ -2322,6 +2532,12 @@ object RelationalQueries {
     "x10_waiting_suppliers" -> x10WaitingSuppliers,
     "x11_volume_shipping" -> x11VolumeShipping,
     "x12_market_share" -> x12MarketShare,
+    "x13_forecast_revenue" -> x13ForecastRevenue,
+    "x14_promo_revenue" -> x14PromoRevenue,
+    "x15_top_supplier" -> x15TopSupplier,
+    "x16_profit" -> x16Profit,
+    "x17_order_histogram" -> x17OrderHistogram,
+    "x18_disjunctive" -> x18Disjunctive,
     "o4_offset" -> o4Offset,
     "o5_keyset" -> o5Keyset,
     "x7_exists" -> x7Exists,
