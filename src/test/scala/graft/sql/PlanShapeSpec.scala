@@ -479,4 +479,37 @@ class PlanShapeSpec extends SparkSuite {
     assert("FileScan parquet".r.findAllIn(p).size === 1, p.take(3000))
     assert(!p.contains("Join"), p.take(3000))
   }
+
+  test("Q6 shape (x13): join-free single scan with every predicate pushed") {
+    // the default 100-char metadata render truncates the PushedFilters
+    // list before the quantity/discount entries — widen it for this pin
+    spark.conf.set("spark.sql.maxMetadataStringLength", 2000)
+    try {
+      val p = plan("x13_forecast_revenue")
+      assert(!p.contains("Join"), p.take(3000))
+      assert(p.contains("GreaterThanOrEqual(l_shipdate"), p.take(3000))
+      assert(p.contains("LessThan(l_quantity,24.0)"), p.take(3000))
+      assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"), p.take(3000))
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", 100)
+  }
+
+  test("Q9 shape (x16): all four dims broadcast — lineitem never sort-merges") {
+    val p = plan("x16_profit")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 4, p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("Q13 shape (x17): the outer join survives — zero-order customers are the point") {
+    val p = plan("x17_order_histogram")
+    assert(p.contains("LeftOuter"), p.take(3000))
+  }
+
+  test("Q19 shape (x18): ONE broadcast equi-join; disjunct bands pushed into both scans") {
+    val p = plan("x18_disjunctive")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 1, p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // the OR-of-bands reaches parquet on each side (quantity bands on
+    // lineitem, brand/size bands on part)
+    assert("PushedFilters: \\[[^\\]]*Or\\(".r.findAllIn(p).size >= 2, p.take(3000))
+  }
 }
