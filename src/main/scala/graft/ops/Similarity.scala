@@ -256,6 +256,101 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).alias("sim"))
   }
 
+  /** FILTERED vector search, exact form — top-k among ONLY the corpus
+    * rows satisfying `eligible` (the metadata-filter + ANN combination
+    * every retrieval stack needs). PRE-filter semantics: the predicate
+    * restricts the candidate set BEFORE ranking, so exactly k eligible
+    * neighbors come back whenever k exist. The tempting alternative —
+    * post-filtering an unfiltered top-k — returns fewer than k (or
+    * zero) eligible rows when the filter is selective: the well-known
+    * filtered-ANN recall hole this operator exists to avoid. Queries
+    * are looked up in the UNFILTERED corpus (a query need not satisfy
+    * its own filter). Same broadcast-queries + per-group-heap shape as
+    * [[bruteTopK]]; the filter is a narrow scan predicate, pushable to
+    * parquet when `eligible` references scan columns. */
+  def filteredTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      eligible: Column,
+      queryIds: Seq[Long],
+      k: Int): DataFrame = {
+    val base = corpus.select(
+      col(idCol).alias("n_id"),
+      col(vecCol).cast("array<double>").alias("__nv"),
+      eligible.alias("__ok"))
+    val q = broadcast(
+      base.filter(col("n_id").isin(queryIds: _*))
+        .select(col("n_id").alias("q_id"), col("__nv").alias("__qv")))
+    val n = base.filter(col("__ok")).select(col("n_id"), col("__nv"))
+    q.join(n, col("q_id") =!= col("n_id"))
+      .withColumn("sim",
+        fdot(col("__qv"), col("__nv")) /
+          (sqrt(fdot(col("__qv"), col("__qv"))) * sqrt(fdot(col("__nv"), col("__nv")))))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).alias("sim"))
+  }
+
+  /** Scale path for filtered search: [[multiProbeLshTopK]]'s broadcast
+    * probe join with the predicate PUSHED BELOW bucketing — only
+    * eligible rows compute band keys at all, so bucket occupancy,
+    * candidate volume, and the verify join all shrink by the filter's
+    * selectivity. (Post-filtering an ANN result would instead have to
+    * re-probe with a widening k until enough eligible rows survive.)
+    * Probe side still draws queries from the unfiltered corpus. Same
+    * recall character as multi-probe LSH, now over the eligible
+    * sub-corpus; surviving pairs carry exact cosines, so extra probes
+    * only add recall. */
+  def filteredMultiProbeTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      eligible: Column,
+      queryIds: Seq[Long],
+      k: Int,
+      planes: Int = 64,
+      bands: Int = 16,
+      dims: Int = 64,
+      maxBucket: Int = 1000): DataFrame = {
+    val rows = planes / bands
+    val capped = bandedKeys(corpus.filter(eligible), idCol, vecCol, planes, bands, dims)
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("__bn") <= maxBucket)
+      .select(col("__id").alias("n_id"), col("band"), col("bh"))
+    val probes = corpus
+      .select(col(idCol).alias("q_id"), col(vecCol).cast("array<double>").alias("__v0"))
+      .filter(col("q_id").isin(queryIds: _*) && fdot(col("__v0"), col("__v0")) > 0)
+      .select(col("q_id"), rhpSignature(col("__v0"), planes, dims).alias("__sig"))
+      .select(col("q_id"), col("__sig"),
+        explode(sequence(lit(0), lit(bands - 1))).alias("band"))
+      .select(col("q_id"), col("band"),
+        slice(col("__sig"), col("band") * rows + 1, lit(rows)).alias("__bs"))
+      .select(col("q_id"), col("band"), col("__bs"),
+        explode(sequence(lit(0), lit(rows))).alias("__f"))
+      .select(col("q_id"), col("band"),
+        when(col("__f") === 0, col("__bs"))
+          .otherwise(transform(col("__bs"),
+            (x, i) => when(i === col("__f") - 1, lit(1L) - x).otherwise(x)))
+          .alias("__ps"))
+      .select(col("q_id"), col("band"),
+        xxhash64(concat_ws(",", col("__ps")), col("band")).alias("bh"))
+    val cands = broadcast(probes)
+      .join(capped, Seq("band", "bh"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"))
+      .distinct()
+    pairCosine(
+      cands.select(col("q_id").alias("id1"), col("n_id").alias("id2")),
+      corpus, idCol, vecCol)
+      .select(col("id1").alias("q_id"), col("id2").alias("n_id"), col("sim"))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).alias("sim"))
+  }
+
   /** Occupancy-scaled bits-per-band: enough hyperplanes per band that the
     * expected bucket occupancy stays ~`targetOccupancy` regardless of
     * corpus size (the LSH geometry contract: buckets/band = 2^bits must

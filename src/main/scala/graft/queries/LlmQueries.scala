@@ -237,6 +237,19 @@ object LlmQueries {
       .select(col("q_id"), col("rnk"), col("n_id"), col("sim"))
       .orderBy(col("q_id"), col("rnk"))
 
+  /** FILTERED vector search ([[graft.ops.Similarity.filteredTopK]]):
+    * top-k among only even-label vectors — pre-filter semantics, so
+    * every query returns exactly k ELIGIBLE neighbors (post-filtering
+    * an unfiltered top-k would leave recall holes). The scale path
+    * ([[graft.ops.Similarity.filteredMultiProbeTopK]], filter pushed
+    * below bucketing) is pinned against this exact form in
+    * `SimilaritySpec`. */
+  val annFilteredTopK: Q = (s, d) =>
+    Similarity.filteredTopK(
+      Tables.embeddings(s, d), "vec_id", "embedding",
+      eligible = pmod(col("label"), lit(2)) === 0, Seq(0L, 1L, 2L, 3L, 4L), 3)
+      .orderBy(col("q_id"), col("rnk"))
+
   /** LSH-bucketed ANN ([[graft.ops.Similarity.lshTopK]]) — the scale
     * path. Fully oracled: the hyperplane matrix is a deterministic
     * plan-time literal, so the DuckDB oracle recomputes sign signatures,
@@ -1040,6 +1053,19 @@ object LlmQueries {
                 FROM scored)
          SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, round(s, 4) AS sim
          FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk""",
+    "ann_filtered_topk" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              scored AS (
+                SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                       list_cosine_similarity(q.e, n.e) AS s
+                FROM v q JOIN v n ON q.vec_id < 5 AND q.vec_id <> n.vec_id
+                WHERE n.label % 2 = 0),
+              ranked AS (
+                SELECT q_id, n_id, s,
+                       row_number() OVER (PARTITION BY q_id ORDER BY s DESC, n_id) AS rnk
+                FROM scored)
+         SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, round(s, 4) AS sim
+         FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk""",
     "ann_brute_topk" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
               scored AS (
@@ -1706,6 +1732,7 @@ object LlmQueries {
     "dd_substring_spans" -> ddSubstringSpans,
     "sm_dsir" -> smDsir,
     "tx_c4_rules" -> txC4Rules,
+    "ann_filtered_topk" -> annFilteredTopK,
     "tx_langid_trained" -> txLangidTrained,
     "eq_quantize" -> eqQuantize,
     "tx_bigram_lm" -> txBigramLm,

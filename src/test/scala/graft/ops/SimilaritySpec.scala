@@ -61,6 +61,49 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.8, s"multi-probe recall $recall")
   }
 
+  test("filtered search: pre-filter returns k ELIGIBLE rows where post-filter leaves a hole") {
+    val emb = Tables.embeddings(spark, sf())
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val eligible = pmod(col("label"), lit(2)) === 0
+    val filtered = Similarity.filteredTopK(emb, "vec_id", "embedding", eligible, qids, 10)
+      .collect()
+    val evenIds = emb.filter(eligible).select("vec_id").collect().map(_.getLong(0)).toSet
+    // every neighbor satisfies the predicate, every query has exactly k
+    assert(filtered.forall(r => evenIds.contains(r.getAs[Long]("n_id"))))
+    assert(filtered.groupBy(_.getAs[Long]("q_id")).forall(_._2.length === 10))
+    // ≡ brute top-k over the corpus restricted to eligible ∪ queries
+    val restricted = emb.filter(eligible || col("vec_id").isin(qids: _*))
+    val ref = Similarity.bruteTopK(restricted, "vec_id", "embedding", qids, 10)
+      .collect().filter(r => evenIds.contains(r.getAs[Long]("n_id")))
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    // the reference ranks odd-label queries among its candidates, so drop
+    // them from its rows; surviving pairs must all be found by the
+    // pre-filter form (which ranks eligible rows only)
+    val got = filtered.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    assert(ref.subsetOf(got), s"missing ${ref -- got}")
+    // post-filtering an UNFILTERED top-k leaves the hole: fewer than k
+    // eligible survivors for at least one query
+    val post = Similarity.bruteTopK(emb, "vec_id", "embedding", qids, 10)
+      .collect().filter(r => evenIds.contains(r.getAs[Long]("n_id")))
+      .groupBy(_.getAs[Long]("q_id")).map(_._2.length)
+    assert(post.exists(_ < 10), s"post-filter survivor counts $post")
+  }
+
+  test("filtered multi-probe LSH: only eligible neighbors, recall ≥ 0.8 vs the exact filtered form") {
+    val emb = Tables.embeddings(spark, sf())
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val eligible = pmod(col("label"), lit(2)) === 0
+    val evenIds = emb.filter(eligible).select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = Similarity.filteredTopK(emb, "vec_id", "embedding", eligible, qids, 10)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val ann = Similarity.filteredMultiProbeTopK(emb, "vec_id", "embedding", eligible, qids, 10)
+      .collect()
+    assert(ann.forall(r => evenIds.contains(r.getAs[Long]("n_id"))))
+    val annSet = ann.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = (exact & annSet).size.toDouble / exact.size
+    assert(recall >= 0.8, s"filtered ANN recall $recall")
+  }
+
   test("PQ: codebook shape, total encoding, and ADC recall of the exact top-1") {
     val emb = Tables.embeddings(spark, sf())
     val m = 16
