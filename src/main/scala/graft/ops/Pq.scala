@@ -152,6 +152,21 @@ object Pq {
       .select(col("q_id"), col("sub"), col("code"),
         native.dotProduct(col("__sv"), col("__cv")).alias("__d"))
 
+  /** Resolution-scaled codes-per-subspace — the PQ sibling of
+    * [[Similarity.occupancyScaledBits]]: at a FIXED code budget the
+    * number of corpus vectors crowding between the exact top-1's
+    * quantized distance and rank k grows with n, so recall@k of the
+    * exact neighbor decays as the corpus grows (measured: the top-10
+    * contract that holds at 500 vectors breaks by 5000). Scaling ksub
+    * with √(n/baseN) keeps per-subspace quantization cells populated at
+    * a roughly constant rate; clamped to [base, 256] — codes must stay
+    * one byte. Training cost grows linearly in ksub (broadcast
+    * codebook assignment), still centroid-sized driver relations. */
+  def resolutionScaledKsub(n: Long, base: Int = 32, baseN: Long = 500): Int = {
+    val scaled = math.ceil(base * math.sqrt(math.max(1.0, n.toDouble / baseN))).toInt
+    math.min(256, math.max(base, scaled))
+  }
+
   def adcTopK(
       corpus: DataFrame,
       idCol: String,

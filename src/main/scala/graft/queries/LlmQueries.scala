@@ -758,7 +758,10 @@ object LlmQueries {
     val exact = Similarity.bruteTopK(emb, "vec_id", "embedding", qids, 1)
       .filter(col("rnk") === 1)
       .select(col("q_id"), col("n_id").alias("top1_id"))
-    val pq = graft.ops.Pq.adcTopK(emb, "vec_id", "embedding", qids, 10)
+    // code resolution scales with corpus size or the top-10 contract
+    // decays as rank crowding grows (graft.ops.Pq.resolutionScaledKsub)
+    val pq = graft.ops.Pq.adcTopK(emb, "vec_id", "embedding", qids, 10,
+      ksub = graft.ops.Pq.resolutionScaledKsub(emb.count()))
       .select(col("q_id"), col("n_id"))
     exact
       .join(pq.withColumnRenamed("n_id", "pq_id"), Seq("q_id"), "left")
@@ -778,7 +781,8 @@ object LlmQueries {
     val exact = Similarity.bruteTopK(emb, "vec_id", "embedding", qids, 1)
       .filter(col("rnk") === 1)
       .select(col("q_id"), col("n_id").alias("top1_id"))
-    val ivfpq = graft.ops.Ivf.pqTopK(emb, "vec_id", "embedding", qids, 10, nCells = 32, nProbe = 16)
+    val ivfpq = graft.ops.Ivf.pqTopK(emb, "vec_id", "embedding", qids, 10, nCells = 32, nProbe = 16,
+      ksub = graft.ops.Pq.resolutionScaledKsub(emb.count()))
       .select(col("q_id"), col("n_id").alias("pq_id"))
     exact
       .join(ivfpq, Seq("q_id"), "left")
