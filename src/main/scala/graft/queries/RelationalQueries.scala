@@ -523,6 +523,27 @@ object RelationalQueries {
       .orderBy(col("op"), col("c_nationkey"))
   }
 
+  /** U3 (beyond reference parity): BAG-semantics set operations —
+    * `INTERSECT ALL` / `EXCEPT ALL` keep MULTIPLICITY (min / truncated
+    * difference of per-row counts), the SQL corner that silently
+    * diverges from the distinct forms the moment inputs carry
+    * duplicates. Spark plans both as aggregate+generate (count pairs,
+    * re-expand) — no join explosion; the multiplicity algebra is the
+    * whole point of the entry, so inputs are taken WITHOUT distinct. */
+  val u3BagSetOps: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_nationkey"))
+    val bldg = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_nationkey"))
+    auto.intersectAll(bldg)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).alias("n"))
+      .withColumn("op", lit("intersect_all"))
+      .unionAll(
+        auto.exceptAll(bldg)
+          .groupBy(col("c_nationkey")).agg(count(lit(1)).alias("n"))
+          .withColumn("op", lit("except_all")))
+      .orderBy(col("op"), col("c_nationkey"))
+  }
+
   /** A10 (beyond reference parity): HyperLogLog++ approximate distinct.
     * Sketches are engine-specific, so the DECLARED result is the
     * CONTRACT, not the estimate: exact count, and a boolean that the
@@ -2013,6 +2034,17 @@ object RelationalQueries {
          UNION ALL
          SELECT c_nationkey, 'except' AS op FROM (SELECT c_nationkey FROM auto EXCEPT SELECT c_nationkey FROM bldg)
          ORDER BY op, c_nationkey""",
+    "u3_bag_set_ops" ->
+      """WITH auto AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+              bldg AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+              ia AS (SELECT c_nationkey FROM auto INTERSECT ALL SELECT c_nationkey FROM bldg),
+              ea AS (SELECT c_nationkey FROM auto EXCEPT ALL SELECT c_nationkey FROM bldg)
+         SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n, 'intersect_all' AS op
+         FROM ia GROUP BY 1
+         UNION ALL
+         SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n, 'except_all' AS op
+         FROM ea GROUP BY 1
+         ORDER BY op, c_nationkey""",
     "a10_approx_distinct" ->
       """SELECT l_returnflag,
                 CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
@@ -2540,6 +2572,7 @@ object RelationalQueries {
     "x18_disjunctive" -> x18Disjunctive,
     "o4_offset" -> o4Offset,
     "o5_keyset" -> o5Keyset,
+    "u3_bag_set_ops" -> u3BagSetOps,
     "x7_exists" -> x7Exists,
     "x8_not_exists" -> x8NotExists,
     "x6_large_orders" -> x6LargeOrders,
