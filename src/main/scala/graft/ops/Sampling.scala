@@ -270,22 +270,24 @@ object Sampling {
       keepFrac: Double = 0.25): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     require(keepFrac > 0.0 && keepFrac < 1.0, s"keepFrac must be in (0,1), got $keepFrac")
-    val toks = docs.select(
+    val words = docs.select(
       col(idCol),
       isTarget.alias("__tgt"),
-      Dedup.wordTokens(col(textCol)).alias("__w"))
-    val binned = toks.select(
-      col(idCol),
-      col("__tgt"),
-      explode(transform(
-        col("__w"),
-        w => pmod(conv(substring(md5(w), 1, 8), 16, 10).cast("long"), lit(buckets))))
-        .alias("__b"))
-    // per-doc bin multiplicities FIRST (same discipline as the bigram
-    // LM): downstream aggregates and joins carry distinct (doc, bin)
-    // rows, and both corpus models derive from this one aggregate
-    val perDoc = binned.groupBy(col(idCol), col("__tgt"), col("__b"))
+      explode(Dedup.wordTokens(col(textCol))).alias("__word"))
+    // per-doc WORD multiplicities first (the bigram-LM discipline), so
+    // the md5 binning runs once per VOCABULARY entry — not once per
+    // token occurrence — via a vocab-sized broadcast lookup
+    val perDocWord = words.groupBy(col(idCol), col("__tgt"), col("__word"))
       .agg(count(lit(1)).alias("__m"))
+    val vocab = perDocWord.select(col("__word")).distinct()
+      .select(
+        col("__word"),
+        pmod(conv(substring(md5(col("__word")), 1, 8), 16, 10).cast("long"), lit(buckets))
+          .alias("__b"))
+    val perDoc = perDocWord
+      .join(broadcast(vocab), Seq("__word"))
+      .groupBy(col(idCol), col("__tgt"), col("__b"))
+      .agg(sum(col("__m")).alias("__m"))
     val model = perDoc
       .groupBy(col("__b"))
       .agg(
