@@ -1520,6 +1520,203 @@ object RelationalQueries {
               AND l.l_quantity BETWEEN 20 AND 30)""")
   }
 
+  /** X19 (beyond reference parity): TPC-H Q2 shape — min-cost supplier
+    * per part within a region. The testdata has no partsupp table, so
+    * the part×supplier cost relation is derived from lineitem (min
+    * observed price per pair) — the SHAPE is preserved exactly: a keyed
+    * aggregate consumed twice, once as the join input and once under a
+    * CORRELATED scalar-min subquery that repeats the region-restricted
+    * join. Catalyst decorrelates the subquery into one aggregate +
+    * equi join on p_partkey (no per-row re-execution); prices in exact
+    * integer cents make the min comparison tie-free across engines. */
+  val x19MinCostSupplier: Q = (s, d) => {
+    Tables.part(s, d).createOrReplaceTempView("graft_part_x19")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_supplier_x19")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_x19")
+    Tables.nation(s, d).createOrReplaceTempView("graft_nation_x19")
+    Tables.region(s, d).createOrReplaceTempView("graft_region_x19")
+    s.sql("""
+      WITH cost AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               CAST(min(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS min_price_c
+        FROM graft_lineitem_x19 l
+        GROUP BY l.l_partkey, l.l_suppkey)
+      SELECT round(s.s_acctbal, 2) AS acctbal, s.s_name, n.n_name,
+             p.p_partkey, p.p_name, c.min_price_c
+      FROM graft_part_x19 p
+      JOIN cost c ON c.l_partkey = p.p_partkey
+      JOIN graft_supplier_x19 s ON s.s_suppkey = c.l_suppkey
+      JOIN graft_nation_x19 n ON n.n_nationkey = s.s_nationkey
+      JOIN graft_region_x19 r ON r.r_regionkey = n.n_regionkey
+      WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
+        AND c.min_price_c = (
+          SELECT min(c2.min_price_c)
+          FROM cost c2
+          JOIN graft_supplier_x19 s2 ON s2.s_suppkey = c2.l_suppkey
+          JOIN graft_nation_x19 n2 ON n2.n_nationkey = s2.s_nationkey
+          JOIN graft_region_x19 r2 ON r2.r_regionkey = n2.n_regionkey
+          WHERE c2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+      ORDER BY acctbal DESC, n.n_name, s.s_name, p.p_partkey
+      LIMIT 100""")
+  }
+
+  /** X20 (beyond reference parity): TPC-H Q4 shape — order-priority
+    * checking: orders in a quarter having at least one LATE lineitem
+    * (shipped > 90 days after the order date — the commitdate surrogate,
+    * since the testdata carries no l_commitdate), counted by priority.
+    * The EXISTS becomes a left-semi join with a mixed equi + non-equi
+    * condition; the date filter pushes to the orders scan. */
+  val x20PriorityExists: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_x20")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_x20")
+    s.sql("""
+      SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      FROM graft_orders_x20 o
+      WHERE o.o_orderdate >= TIMESTAMP '1996-07-01' AND o.o_orderdate < TIMESTAMP '1996-10-01'
+        AND EXISTS (SELECT 1 FROM graft_lineitem_x20 l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+      GROUP BY o.o_orderpriority
+      ORDER BY o.o_orderpriority""")
+  }
+
+  /** X21 (beyond reference parity): TPC-H Q11 shape — important parts:
+    * per-part inventory value (price-cents × integral quantity — exact)
+    * restricted to one nation's suppliers, kept only where the part's
+    * share exceeds a fraction of the GLOBAL sum — a scalar subquery in
+    * HAVING over the same relation. The CTE is scanned twice; both
+    * aggregates are partial+final on their keys, and the global sum is
+    * a single-row broadcast. */
+  val x21ImportantParts: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_x21")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_supplier_x21")
+    Tables.nation(s, d).createOrReplaceTempView("graft_nation_x21")
+    s.sql("""
+      WITH pvalue AS (
+        SELECT l.l_partkey,
+               CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * CAST(l.l_quantity AS BIGINT) AS value_c
+        FROM graft_lineitem_x21 l
+        JOIN graft_supplier_x21 s ON s.s_suppkey = l.l_suppkey
+        JOIN graft_nation_x21 n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_7')
+      SELECT l_partkey, CAST(sum(value_c) AS BIGINT) AS value_c
+      FROM pvalue
+      GROUP BY l_partkey
+      HAVING CAST(sum(value_c) AS DOUBLE) >
+             (SELECT CAST(sum(value_c) AS DOUBLE) * 0.001 FROM pvalue)
+      ORDER BY value_c DESC, l_partkey""")
+  }
+
+  /** X22 (beyond reference parity): TPC-H Q12 shape — lineitems of a
+    * year classified into ship-delay bands (the l_shipmode surrogate —
+    * the testdata has no shipmode column), with urgent/non-urgent
+    * conditional counts per band. One fact→fact equi join, the CASE
+    * runs codegen'd in the project, and the aggregate is partial+final
+    * on the 3-row band key. */
+  val x22ShipDelayClasses: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_x22")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_x22")
+    s.sql("""
+      SELECT delay_class,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      FROM (
+        SELECT o.o_orderpriority,
+               CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY THEN 'FAST'
+                    WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY THEN 'NORMAL'
+                    ELSE 'SLOW' END AS delay_class
+        FROM graft_orders_x22 o
+        JOIN graft_lineitem_x22 l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01') t
+      GROUP BY delay_class
+      ORDER BY delay_class""")
+  }
+
+  /** X23 (beyond reference parity): TPC-H Q17 shape — small-quantity
+    * revenue: lineitems of one brand whose quantity is under 20% of
+    * that PART's average quantity — a correlated scalar-avg subquery
+    * per outer row. Decorrelated into one per-part average + equi join;
+    * the average of integral-double quantities is an exact sum/count in
+    * both engines, and the revenue lands in exact integer cents. */
+  val x23SmallQtyRevenue: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_x23")
+    Tables.part(s, d).createOrReplaceTempView("graft_part_x23")
+    s.sql("""
+      SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS small_qty_revenue_c
+      FROM graft_lineitem_x23 l
+      JOIN graft_part_x23 p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#23'
+        AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                            FROM graft_lineitem_x23 l2
+                            WHERE l2.l_partkey = l.l_partkey)""")
+  }
+
+  /** X24 (beyond reference parity): TPC-H Q20 shape — dominant
+    * suppliers of a part family: a nested IN over a grouped HAVING
+    * whose threshold is itself a CORRELATED scalar sum per part (the
+    * ps_availqty surrogate: a supplier qualifies when it shipped more
+    * than half of a part's total). Three nesting levels — IN → GROUP
+    * BY/HAVING → correlated scalar — all decorrelated into joins;
+    * integral-double quantity sums are exact in both engines. */
+  val x24ExcessSuppliers: Q = (s, d) => {
+    Tables.supplier(s, d).createOrReplaceTempView("graft_supplier_x24")
+    Tables.nation(s, d).createOrReplaceTempView("graft_nation_x24")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_x24")
+    Tables.part(s, d).createOrReplaceTempView("graft_part_x24")
+    s.sql("""
+      SELECT s.s_suppkey, s.s_name
+      FROM graft_supplier_x24 s
+      JOIN graft_nation_x24 n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+        AND s.s_suppkey IN (
+          SELECT l.l_suppkey
+          FROM graft_lineitem_x24 l
+          WHERE l.l_partkey IN (SELECT p_partkey FROM graft_part_x24
+                                WHERE p_name LIKE 'red%')
+            AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l.l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY l.l_suppkey, l.l_partkey
+          HAVING sum(l.l_quantity) > 0.5 * (
+            SELECT sum(l2.l_quantity) FROM graft_lineitem_x24 l2
+            WHERE l2.l_partkey = l.l_partkey
+              AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
+      ORDER BY s.s_suppkey""")
+  }
+
+  /** X25 (beyond reference parity): TPC-H Q22 shape — idle customers
+    * with means: above-average account balance (global scalar-avg
+    * subquery over a filtered self-scan, computed on exact integer
+    * cents so the threshold is engine-identical) and no RECENT orders
+    * (anti join — every synthetic customer has some order, so "idle"
+    * means lapsed since 1999), grouped by country segment (c_nationkey stands in for the
+    * phone country code the testdata doesn't carry). */
+  val x25IdleCustomers: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer_x25")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_x25")
+    s.sql("""
+      WITH pot AS (
+        SELECT c.c_custkey, CAST(c.c_nationkey AS INT) AS cntry,
+               CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_c
+        FROM graft_customer_x25 c
+        WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+      SELECT cntry, CAST(count(*) AS BIGINT) AS numcust,
+             CAST(sum(acctbal_c) AS BIGINT) AS totacctbal_c
+      FROM pot p
+      WHERE p.acctbal_c > (SELECT avg(CAST(p2.acctbal_c AS DOUBLE))
+                           FROM pot p2 WHERE p2.acctbal_c > 0)
+        AND NOT EXISTS (SELECT 1 FROM graft_orders_x25 o
+                        WHERE o.o_custkey = p.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+      GROUP BY cntry
+      ORDER BY cntry""")
+  }
+
   val x6LargeOrders: Q = (s, d) => {
     Tables.customer(s, d).createOrReplaceTempView("graft_customer_x6")
     Tables.orders(s, d).createOrReplaceTempView("graft_orders_x6")
@@ -2218,6 +2415,114 @@ object RelationalQueries {
                  AND l.l_quantity BETWEEN 10 AND 20)
             OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
                  AND l.l_quantity BETWEEN 20 AND 30)""",
+    "x19_min_cost_supplier" ->
+      """WITH cost AS (
+           SELECT l.l_partkey, l.l_suppkey,
+                  CAST(min(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS min_price_c
+           FROM lineitem l
+           GROUP BY l.l_partkey, l.l_suppkey)
+         SELECT round(s.s_acctbal, 2) AS acctbal, s.s_name, n.n_name,
+                p.p_partkey, p.p_name, c.min_price_c
+         FROM part p
+         JOIN cost c ON c.l_partkey = p.p_partkey
+         JOIN supplier s ON s.s_suppkey = c.l_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         JOIN region r ON r.r_regionkey = n.n_regionkey
+         WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
+           AND c.min_price_c = (
+             SELECT min(c2.min_price_c)
+             FROM cost c2
+             JOIN supplier s2 ON s2.s_suppkey = c2.l_suppkey
+             JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+             JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+             WHERE c2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+         ORDER BY acctbal DESC, n.n_name, s.s_name, p.p_partkey
+         LIMIT 100""",
+    "x20_priority_exists" ->
+      """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+         FROM orders o
+         WHERE o.o_orderdate >= TIMESTAMP '1996-07-01' AND o.o_orderdate < TIMESTAMP '1996-10-01'
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+         GROUP BY o.o_orderpriority
+         ORDER BY o.o_orderpriority""",
+    "x21_important_parts" ->
+      """WITH pvalue AS (
+           SELECT l.l_partkey,
+                  CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * CAST(l.l_quantity AS BIGINT) AS value_c
+           FROM lineitem l
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           JOIN nation n ON n.n_nationkey = s.s_nationkey
+           WHERE n.n_name = 'NATION_7')
+         SELECT l_partkey, CAST(sum(value_c) AS BIGINT) AS value_c
+         FROM pvalue
+         GROUP BY l_partkey
+         HAVING CAST(sum(value_c) AS DOUBLE) >
+                (SELECT CAST(sum(value_c) AS DOUBLE) * 0.001 FROM pvalue)
+         ORDER BY value_c DESC, l_partkey""",
+    "x22_ship_delay_classes" ->
+      """SELECT delay_class,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM (
+           SELECT o.o_orderpriority,
+                  CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY THEN 'FAST'
+                       WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY THEN 'NORMAL'
+                       ELSE 'SLOW' END AS delay_class
+           FROM orders o
+           JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+           WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l.l_shipdate < TIMESTAMP '1997-01-01') t
+         GROUP BY delay_class
+         ORDER BY delay_class""",
+    "x23_small_qty_revenue" ->
+      """SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                  AS small_qty_revenue_c
+         FROM lineitem l
+         JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE p.p_brand = 'Brand#23'
+           AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = l.l_partkey)""",
+    "x24_excess_suppliers" ->
+      """SELECT s.s_suppkey, s.s_name
+         FROM supplier s
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         WHERE n.n_name = 'NATION_3'
+           AND s.s_suppkey IN (
+             SELECT l.l_suppkey
+             FROM lineitem l
+             WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                                   WHERE p_name LIKE 'red%')
+               AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+               AND l.l_shipdate < TIMESTAMP '1997-01-01'
+             GROUP BY l.l_suppkey, l.l_partkey
+             HAVING sum(l.l_quantity) > 0.5 * (
+               SELECT sum(l2.l_quantity) FROM lineitem l2
+               WHERE l2.l_partkey = l.l_partkey
+                 AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+                 AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
+         ORDER BY s.s_suppkey""",
+    "x25_idle_customers" ->
+      """WITH pot AS (
+           SELECT c.c_custkey, CAST(c.c_nationkey AS INT) AS cntry,
+                  CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_c
+           FROM customer c
+           WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+         SELECT cntry, CAST(count(*) AS BIGINT) AS numcust,
+                CAST(sum(acctbal_c) AS BIGINT) AS totacctbal_c
+         FROM pot p
+         WHERE p.acctbal_c > (SELECT avg(CAST(p2.acctbal_c AS DOUBLE))
+                              FROM pot p2 WHERE p2.acctbal_c > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = p.c_custkey
+                             AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+         GROUP BY cntry
+         ORDER BY cntry""",
     "a22_equifreq_bins" ->
       """WITH b AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1,
                            quantile_cont(o_totalprice, 0.5)  AS q2,
@@ -2570,6 +2875,13 @@ object RelationalQueries {
     "x16_profit" -> x16Profit,
     "x17_order_histogram" -> x17OrderHistogram,
     "x18_disjunctive" -> x18Disjunctive,
+    "x19_min_cost_supplier" -> x19MinCostSupplier,
+    "x20_priority_exists" -> x20PriorityExists,
+    "x21_important_parts" -> x21ImportantParts,
+    "x22_ship_delay_classes" -> x22ShipDelayClasses,
+    "x23_small_qty_revenue" -> x23SmallQtyRevenue,
+    "x24_excess_suppliers" -> x24ExcessSuppliers,
+    "x25_idle_customers" -> x25IdleCustomers,
     "o4_offset" -> o4Offset,
     "o5_keyset" -> o5Keyset,
     "u3_bag_set_ops" -> u3BagSetOps,

@@ -129,6 +129,33 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.toLowerCase.contains("offset"), p.take(3000))
   }
 
+  test("Q2 shape (x19): correlated scalar-min decorrelates to an aggregate + join, dims broadcast") {
+    val p = plan("x19_min_cost_supplier")
+    // decorrelation proof: no subquery node survives — the per-part min
+    // is a HashAggregate joined back on (min_price_c, partkey)
+    assert(!p.contains("Subquery"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("Q4 shape (x20): EXISTS plans as a left-semi join, never a per-row probe") {
+    val p = plan("x20_priority_exists")
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(!p.contains("Subquery"), p.take(3000))
+  }
+
+  test("Q17 shape (x23): correlated scalar-avg decorrelates to a per-part aggregate + join") {
+    val p = plan("x23_small_qty_revenue")
+    assert(!p.contains("Subquery"), p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(3000))
+  }
+
+  test("Q20 shape (x24): nested IN + correlated HAVING all decorrelate to semi joins") {
+    val p = plan("x24_excess_suppliers")
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(!p.contains("Subquery"), p.take(3000))
+  }
+
   test("pivot with explicit values is one aggregation pass — no distinct-collect pre-job") {
     // without the explicit value list Spark runs a separate job to
     // collect distinct pivot keys — a wasted full scan at 100 TB. The
