@@ -30,10 +30,11 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet stores INT64 TIMESTAMP(NANOS); Spark's vectorized
-      // reader has no nanosecond TimestampType, so expose nanos as Long.
-      // Set once, up front: any parquet footer with TIMESTAMP(NANOS) read
-      // by this session yields LongType deterministically.
+      // Legacy data generations stored events.ts as INT64 TIMESTAMP(NANOS),
+      // which Spark's vectorized reader rejects without this flag; with it,
+      // NANOS columns load as Long and Tables.events derives the epochs.
+      // Current data is timestamp[us] (flag is a no-op there) — kept so
+      // either generation loads.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // partitioned overwrites replace only the partitions present in the
       // incoming batch (idempotent re-runs), never the whole table

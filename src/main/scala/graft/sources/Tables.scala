@@ -7,16 +7,18 @@ import org.apache.spark.sql.functions._
   *
   * All tables are single parquet files under `sfDir`. Reads are plain
   * `spark.read.parquet` so Catalyst gets full pushdown/pruning; the only
-  * normalization happens on `events`, whose `ts` column is physically
-  * INT64 TIMESTAMP(NANOS) parquet — a type Spark's vectorized reader
-  * rejects unless `spark.sql.legacy.parquet.nanosAsLong` is set (done
-  * once at session build in [[graft.Sessions]]; re-asserted here so the
-  * read is safe from any session).
+  * normalization happens on `events`, whose `ts` column's physical type
+  * has varied across data generations (INT64 TIMESTAMP(NANOS) in early
+  * rounds, timestamp[us] since r8). [[events]] adapts to whatever Spark
+  * loads. `spark.sql.legacy.parquet.nanosAsLong` stays set (in
+  * [[graft.Sessions]] and defensively here) so a legacy NANOS file loads
+  * as Long instead of failing the footer parse; it is a no-op on
+  * timestamp[us] data.
   */
 object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") // defensive: footer parse needs the flag (idempotent)
+    if (name == "events") // defensive: legacy NANOS footers need the flag (idempotent)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
   }
@@ -31,19 +33,42 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events` with `ts` normalized:
-    *   - `ts`        : raw epoch nanoseconds (long)
+  /** `events` with `ts` normalized, adaptively on the *loaded* type:
     *   - `ts_us`     : epoch microseconds (long) — matches DuckDB `epoch_us(ts)`
     *   - `ts_ms`     : epoch milliseconds (long) — matches DuckDB `epoch_ms(ts)`
     *   - `event_time`: TimestampType at microsecond precision (session TZ UTC)
     *
-    * `DIV` is exact integer division (truncation toward zero); all test
-    * timestamps are 2024+, so truncation == floor. Pre-epoch (negative)
-    * nanos would need floor semantics — documented assumption, see ADVICE r1.
+    * The generated data's physical type has drifted across driver rounds
+    * (INT64 TIMESTAMP(NANOS) → timestamp[us]), so the reader branches on
+    * what Spark actually loaded instead of assuming a physical layout:
+    *   - TimestampType / TimestampNTZType (timestamp[us] parquet): derive
+    *     the epochs with `unix_micros`/`unix_millis`. NTZ is first cast to
+    *     TimestampType — the session TZ is pinned UTC ([[graft.Sessions]]),
+    *     so the naive value is interpreted exactly as DuckDB's `epoch_us`
+    *     interprets it.
+    *   - LongType (legacy INT64 nanos surfaced via
+    *     `spark.sql.legacy.parquet.nanosAsLong`): integer `DIV`. Exact
+    *     truncating division; all test timestamps are 2024+, so truncation
+    *     == floor.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .withColumn("ts_us", expr("ts DIV 1000"))
-      .withColumn("ts_ms", expr("ts DIV 1000000"))
-      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case TimestampType | TimestampNTZType =>
+        val t = col("ts").cast(TimestampType)
+        raw
+          .withColumn("ts_us", unix_micros(t))
+          .withColumn("ts_ms", unix_millis(t))
+          .withColumn("event_time", t)
+      case LongType =>
+        raw
+          .withColumn("ts_us", expr("ts DIV 1000"))
+          .withColumn("ts_ms", expr("ts DIV 1000000"))
+          .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts loaded as unsupported type $other; expected timestamp or long(nanos)")
+    }
+  }
 }
