@@ -78,7 +78,18 @@ object Pq {
     * collected and re-broadcast as a LocalRelation. No per-iteration
     * localCheckpoint, no lineage growth, and every downstream reference
     * to the codebook is a free local broadcast instead of a replayed
-    * checkpoint stage. The CORPUS never visits the driver. */
+    * checkpoint stage. The CORPUS never visits the driver.
+    *
+    * Training reads a BOUNDED deterministic sample, not the full corpus
+    * (`maxTrainVectors`, id-hash strided so it is stable across runs and
+    * partitionings): Lloyd cost per round is sample × m × ksub, so with
+    * [[resolutionScaledKsub]] growing ksub as √n the total training cost
+    * stays ~√n instead of n^1.5 — at 100 TB you never k-means the whole
+    * corpus to learn 256 centroids per subspace, a few thousand vectors
+    * estimate the same cell means (k-means is a mean estimator; its
+    * variance shrinks with sample size, not corpus size). ENCODING still
+    * touches every vector — that is the product being built. Corpora at
+    * or below the budget train on everything, unchanged. */
   def trainCodebook(
       corpus: DataFrame,
       idCol: String,
@@ -86,13 +97,20 @@ object Pq {
       m: Int,
       ksub: Int,
       iterations: Int = 3,
-      normalize: Boolean = true): DataFrame = {
+      normalize: Boolean = true,
+      maxTrainVectors: Int = 4096): DataFrame = {
     val spark = corpus.sparkSession
+    val n = corpus.count()
+    val stride = math.max(1L, n / math.max(1, maxTrainVectors))
+    val train =
+      if (stride > 1)
+        corpus.filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
+      else corpus
     // the training set is read `iterations + 1` times (seed + each
     // Lloyd round): persist it once instead of replaying the scan +
     // subvector explode per round — the same cache-the-training-input
     // contract MLlib's k-means uses (memory-and-disk: spills, never OOMs)
-    val subvecs = subvectors(corpus, idCol, vecCol, m, normalize)
+    val subvecs = subvectors(train, idCol, vecCol, m, normalize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def toDf(rows: Seq[(Int, Int, Seq[Double])]): DataFrame =
       spark.createDataFrame(rows).toDF("sub", "code", "__cv")
@@ -175,8 +193,10 @@ object Pq {
       k: Int,
       m: Int = 16,
       ksub: Int = 32,
-      iterations: Int = 3): DataFrame = {
-    val codebook = trainCodebook(corpus, idCol, vecCol, m, ksub, iterations)
+      iterations: Int = 3,
+      maxTrainVectors: Int = 4096): DataFrame = {
+    val codebook = trainCodebook(corpus, idCol, vecCol, m, ksub, iterations,
+      maxTrainVectors = maxTrainVectors)
     val codes = encode(corpus, idCol, vecCol, codebook, m)
     val lut = queryLut(corpus, idCol, vecCol, queryIds, codebook, m)
     codes

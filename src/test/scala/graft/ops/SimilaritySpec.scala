@@ -129,6 +129,43 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("PQ bounded-sample training: above-budget corpus trains on a stride sample, stays deterministic, keeps recall") {
+    import spark.implicits._
+    // 3000 deterministic pseudo-random base vectors + a perturbed copy of
+    // each (ids +3000): every query's exact top-1 is its planted near-dup,
+    // whose codes quantize (nearly) identically — so the recall assertion
+    // tests the sampled-training path, not ADC luck on random vectors
+    val base = spark.range(3000).select(
+      col("id").alias("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        j => sin((col("id") * 131 + j * 17) % 997)).alias("embedding"))
+    val dup = base.select(
+      (col("vec_id") + 3000).alias("vec_id"),
+      transform(col("embedding"), (x, j) => x + sin(col("vec_id") * 7 + j) * lit(0.01))
+        .alias("embedding"))
+    val corpus = base.unionByName(dup)
+    val m = 16
+    val ksub = 64
+    // n=6000, budget 1024 → stride 5: training reads ~1/5 of the corpus
+    val cb1 = Pq.trainCodebook(corpus, "vec_id", "embedding", m, ksub, maxTrainVectors = 1024)
+    assert(cb1.count() === m.toLong * ksub)
+    // id-hash stride sampling is deterministic: retraining is bit-identical
+    val cb2 = Pq.trainCodebook(corpus, "vec_id", "embedding", m, ksub, maxTrainVectors = 1024)
+    assert(cb1.collect().map(_.toString).sorted.sameElements(cb2.collect().map(_.toString).sorted))
+    // encoding stays TOTAL — sampling bounds training, never coverage
+    val codes = Pq.encode(corpus, "vec_id", "embedding", cb1, m)
+    assert(codes.select("__id").distinct().count() === 6000L)
+    // sampled-codebook ADC still places each query's planted top-1 in its top-10
+    val qids = Seq(0L, 1L, 2L)
+    val pq = Pq.adcTopK(corpus, "vec_id", "embedding", qids, 10, m = m, ksub = ksub,
+      maxTrainVectors = 1024)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("n_id")).toSet }
+    qids.foreach { q =>
+      assert(pq(q).contains(q + 3000), s"query $q: planted near-dup ${q + 3000} not in top-10 ${pq(q)}")
+    }
+  }
+
   test("IVF-PQ: full probe is EXACTLY plain PQ; partial probe keeps the top-1 recall contract") {
     val emb = Tables.embeddings(spark, sf())
     val qids = Seq(0L, 1L, 2L, 3L, 4L)
