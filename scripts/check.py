@@ -73,9 +73,11 @@ def main(sf_dir, out_dir):
             continue
         err = compare(name, canon(spark_df), canon(duck_df))
         results[name] = err or f"OK ({len(spark_df)} rows)"
+    errs_path = f"{out_dir}/errors.json"
+    errs = json.load(open(errs_path)) if os.path.exists(errs_path) else {}
     for k in sorted(oracle):
         if k not in results:
-            results[k] = "MISSING SPARK OUTPUT"
+            results[k] = f"ERR {errs[k][:120]}" if k in errs else "MISSING SPARK OUTPUT"
     width = max(len(k) for k in results)
     n_ok = sum(1 for v in results.values() if v.startswith(("OK", "rows-only (")))
     for k, v in sorted(results.items()):

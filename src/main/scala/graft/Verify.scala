@@ -12,6 +12,12 @@ object Verify {
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val spark = Sessions.local("graft-verify")
     new java.io.File(outDir).mkdirs()
+    // declared-vs-recorded completeness: a query that throws must leave a
+    // machine-readable trace, not just vanish from the dump (a missing
+    // entry reads as "never declared" downstream — r8 shipped 35 silent
+    // absences that way). errors.json is written even when empty so its
+    // presence distinguishes "no failures" from "old dump".
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -19,6 +25,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
         if (sys.env.contains("GRAFT_VERIFY_STACK")) e.printStackTrace()
       }
     }
@@ -37,6 +44,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }
