@@ -94,11 +94,19 @@ object MakeSf {
       "events", 8)
 
     val docs = read("documents"); val maxDid = maxOf(docs, "doc_id")
+    // filler tokens must be (nearly) GLOBALLY unique, not just distinct
+    // within a doc: an earlier mod-997 vocabulary made every ~997th doc
+    // share its whole filler shingle set, so "replica" docs formed
+    // corpus-sized boilerplate clusters whose pairwise-candidate count
+    // grew with SF — per-capita candidate density is the invariant a
+    // scaling ladder must hold. A 64-bit hash over (doc, position)
+    // makes filler shingles df≈1: they depress replica↔source Jaccard
+    // (the design goal) and generate no candidates of their own.
     val filler = array_join(
       transform(
         sequence(lit(1), greatest(lit(1), floor(size(split(col("text"), " ")) * 0.3)).cast("int")),
         i => concat(lit("zq"), col("__r"), lit("x"),
-          pmod(col("doc_id") * 31 + i * 7, lit(997)))),
+          pmod(xxhash64(col("doc_id") * 1000003 + i), lit(999999937L)))),
       " ")
     write(replicas(docs)
       .withColumn("text",
