@@ -177,6 +177,36 @@ class PipelineSpec extends SparkSuite {
     assert(new java.io.File(s"$root/gold/dim_date").exists())
   }
 
+  test("catalog reload is incremental: unchanged tables keep their entry, changed tables re-register") {
+    val root = Files.createTempDirectory("graft-pipe6")
+    WeatherFixtures.standard(root)
+    val layout = Pipeline.Layout(root.toString, s"$root/silver", s"$root/gold")
+    Pipeline.run(spark, layout, FixedClock("2024-01-01 07:00:00"),
+      materializeGold = true, registerViews = false)
+    Pipeline.catalogWarehouse(spark, layout, database = "wx_incr_test", includeFacts = true)
+
+    def created(table: String): String =
+      spark.sql(s"DESCRIBE EXTENDED wx_incr_test.$table")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap.apply("Created Time")
+    def fingerprint(table: String): String =
+      spark.sql(s"SHOW TBLPROPERTIES wx_incr_test.$table")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap.apply("graft.fingerprint")
+
+    val t0 = (created("dim_location"), created("dim_date"))
+    val f0 = fingerprint("dim_date")
+    Thread.sleep(1100) // Created Time is second-resolution
+    // grow dim_date's location so ONLY its fingerprint changes
+    spark.range(1).selectExpr("DATE_FROM_UNIX_DATE(CAST(id AS INT)) AS full_date")
+      .write.mode("append").parquet(s"$root/gold/dim_date")
+
+    Pipeline.catalogWarehouse(spark, layout, database = "wx_incr_test", includeFacts = true)
+    // unchanged table: same catalog entry (no DROP/CREATE round trip)
+    assert(created("dim_location") === t0._1, "unchanged table was rebuilt")
+    // changed table: re-registered with a fresh fingerprint
+    assert(created("dim_date") !== t0._2, "changed table was not re-registered")
+    assert(fingerprint("dim_date") !== f0, "fingerprint not refreshed")
+  }
+
   test("SCD2 skip branch: second run leaves dim_location untouched") {
     val root = Files.createTempDirectory("graft-pipe2")
     WeatherFixtures.standard(root)
