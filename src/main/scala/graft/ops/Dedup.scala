@@ -340,13 +340,27 @@ object Dedup {
     * shingle sets back for the candidate set only. Never all-pairs.
     * `maxBucket` only bites on degenerate corpora (one text replicated
     * n×, which the exact pass removes first — same contract as LSH). */
+  /** `maxCandidatePairs > 0` arms a FAIL-FAST candidate budget: exact
+    * set-similarity join is data-dependent by nature — a corpus with
+    * large boilerplate clusters (many docs sharing rare-ish shingles)
+    * generates candidate pairs super-linearly, and the failure mode
+    * without a guard is tens of GB of shuffle spill followed by an
+    * opaque executor OOM (observed on an adversarial 500 k-doc corpus:
+    * 77 GB of spill). With the budget armed, the exact pair count the
+    * prefix buckets will emit (Σ per-bucket nC2, after the `maxBucket`
+    * cap) is computed from the SAME exchange before any pair
+    * materializes, and the join aborts with the remediation knobs named
+    * (raise `threshold`, lower `maxBucket`, or use the LSH twin
+    * [[nearDupPairs]]) instead of melting the cluster. Costs one extra
+    * aggregate job over the persisted prefix rows — off by default. */
   def prefixFilterJoin(
       df: DataFrame,
       idCol: String,
       textCol: String,
       threshold: Double,
       shingleSize: Int = 3,
-      maxBucket: Int = 4096): DataFrame = {
+      maxBucket: Int = 4096,
+      maxCandidatePairs: Long = 0L): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
     val base = df.select(
       col(idCol).alias("__id"),
@@ -377,9 +391,29 @@ object Dedup {
     //    order), while J ≥ τ needs ≥ ⌈τ/(1+τ)·(n1+n2)⌉ — pairs whose
     //    BEST meeting position can't reach the bound are dropped by the
     //    same groupBy that dedups multi-bucket pairs.
-    val cands = pref
+    val bucketed = pref
       .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("__ptok"))))
       .filter(col("__bn") > 1 && col("__bn") <= maxBucket)
+    val guarded =
+      if (maxCandidatePairs <= 0) bucketed
+      else {
+        // each of a bucket's bn rows contributes (bn-1)/2 pairs → the agg
+        // below is EXACTLY Σ_buckets bn·(bn-1)/2, the pair count the
+        // explode will emit. Persist so the window runs once, not twice.
+        val b = bucketed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val est = b.agg(coalesce(sum(col("__bn") - 1), lit(0L)).cast("long"))
+          .head.getLong(0) / 2
+        if (est > maxCandidatePairs) {
+          b.unpersist(blocking = false)
+          throw new IllegalStateException(
+            s"prefixFilterJoin would generate $est candidate pairs " +
+              s"(budget $maxCandidatePairs): the corpus has large near-identical " +
+              s"clusters at threshold=$threshold. Raise threshold, lower " +
+              s"maxBucket (=$maxBucket), or use the LSH path (nearDupPairs).")
+        }
+        b
+      }
+    val cands = guarded
       .groupBy(col("__ptok"))
       .agg(collect_list(struct(col("__id"), col("__n"), col("__pos"))).alias("__ms"))
       .select(explode(pairCombinations(col("__ms"))).alias("__p"))

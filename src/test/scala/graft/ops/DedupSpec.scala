@@ -204,6 +204,25 @@ class DedupSpec extends SparkSuite {
     assert(expected.nonEmpty, "fixture must plant at least one qualifying pair")
   }
 
+  test("prefixFilterJoin candidate budget: trips on a boilerplate cluster, transparent when under budget") {
+    // 40 docs sharing one boilerplate body (pairwise Jaccard ≈ 1) — the
+    // corpus shape that generates pairs quadratically
+    val boiler = (1L to 40L).map(i =>
+      (i, s"shared boilerplate header text repeated across the whole corpus item $i"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      Dedup.prefixFilterJoin(boiler, "doc_id", "text", 0.5, maxCandidatePairs = 100L)
+    }
+    assert(e.getMessage.contains("candidate pairs") && e.getMessage.contains("nearDupPairs"))
+    // a sufficient budget changes nothing: identical pairs to the unguarded run
+    val free = Dedup.prefixFilterJoin(boiler, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val guarded = Dedup.prefixFilterJoin(boiler, "doc_id", "text", 0.5,
+      maxCandidatePairs = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded === free && free.nonEmpty)
+  }
+
   test("prefixFilterJoin agrees with nearDupPairs verification values where both find the pair") {
     val exact = Dedup.prefixFilterJoin(docs, "doc_id", "text", 0.6)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
