@@ -53,10 +53,17 @@ def main(sf_dir, out_dir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    errs_path = f"{out_dir}/errors.json"
+    errs = json.load(open(errs_path)) if os.path.exists(errs_path) else {}
     results = {}
     for name in sorted(os.listdir(out_dir)):
         pdir = os.path.join(out_dir, name)
         if not os.path.isdir(pdir):
+            continue
+        if name in errs:
+            # the latest run recorded a failure for this query: a parquet
+            # dump left by an earlier run is stale — never report it OK
+            results[name] = f"ERR {errs[name][:120]}"
             continue
         files = glob.glob(f"{pdir}/*.parquet")
         if not files:
@@ -73,8 +80,6 @@ def main(sf_dir, out_dir):
             continue
         err = compare(name, canon(spark_df), canon(duck_df))
         results[name] = err or f"OK ({len(spark_df)} rows)"
-    errs_path = f"{out_dir}/errors.json"
-    errs = json.load(open(errs_path)) if os.path.exists(errs_path) else {}
     for k in sorted(oracle):
         if k not in results:
             results[k] = f"ERR {errs[k][:120]}" if k in errs else "MISSING SPARK OUTPUT"

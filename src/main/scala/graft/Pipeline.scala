@@ -141,12 +141,18 @@ object Pipeline {
       * incremental — an unchanged table keeps its catalog entry, its
       * recovered partitions AND its stats, paying one metadata call
       * instead of a re-scan. (A same-size in-place rewrite could alias,
-      * but every writer in this engine goes through new part files.) */
+      * but every writer in this engine goes through new part files.)
+      * An absent location fingerprints as "absent" rather than throwing:
+      * registering an external table over a not-yet-written path is
+      * legal (CREATE succeeds, stats record zero rows), and the
+      * fingerprint flips once data lands, forcing the re-register. */
     def fingerprint(path: String): String = {
       val p = new Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val cs = fs.getContentSummary(p)
-      s"${cs.getLength}:${cs.getFileCount}"
+      try {
+        val cs = fs.getContentSummary(p)
+        s"${cs.getLength}:${cs.getFileCount}"
+      } catch { case _: java.io.FileNotFoundException => "absent" }
     }
 
     def external(
@@ -154,7 +160,11 @@ object Pipeline {
         path: String,
         partitioned: Boolean = false,
         statCols: Seq[String] = Seq.empty): Unit = {
-      val fp = fingerprint(path)
+      // the skip key covers the stats CONFIG as well as the data: a
+      // reload that changes refreshStats or the statCols list must
+      // re-register even over unchanged bytes, or the caller's explicit
+      // request for (different) stats would be silently ignored
+      val fp = s"${fingerprint(path)}:$refreshStats:${statCols.mkString(",")}"
       val unchanged =
         try {
           val props = spark.sql(s"SHOW TBLPROPERTIES $database.$name")

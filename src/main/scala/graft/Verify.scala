@@ -44,8 +44,26 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    Files.writeString(Paths.get(s"$outDir/errors.json"),
-      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // subset (dev-loop) runs must MERGE into an existing errors.json, not
+    // clobber it: only the queries attempted this run get their entries
+    // refreshed (success drops the entry, failure replaces it) — a prior
+    // full run's record for untouched queries survives. A full run is
+    // authoritative and starts clean.
+    val errPath = Paths.get(s"$outDir/errors.json")
+    val prior: Map[String, String] =
+      if (only.isDefined && Files.exists(errPath))
+        try {
+          import scala.jdk.CollectionConverters._
+          new com.fasterxml.jackson.databind.ObjectMapper()
+            .readValue(Files.readString(errPath), classOf[java.util.Map[String, String]])
+            .asScala.toMap
+        } catch { case _: Exception => Map.empty }
+      else Map.empty
+    val attempted = SparkEntry.queries.keySet.filter(n => only.forall(_.contains(n)))
+    val merged = (prior -- attempted) ++ errors
+    Files.writeString(errPath,
+      merged.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

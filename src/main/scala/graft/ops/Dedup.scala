@@ -351,8 +351,9 @@ object Dedup {
     * cap) is computed from the SAME exchange before any pair
     * materializes, and the join aborts with the remediation knobs named
     * (raise `threshold`, lower `maxBucket`, or use the LSH twin
-    * [[nearDupPairs]]) instead of melting the cluster. Costs one extra
-    * aggregate job over the persisted prefix rows — off by default. */
+    * [[nearDupPairs]]) instead of melting the cluster. Costs one plain
+    * hash-aggregate pass over the prefix rows (no window, nothing
+    * persisted) — off by default. */
   def prefixFilterJoin(
       df: DataFrame,
       idCol: String,
@@ -391,29 +392,27 @@ object Dedup {
     //    order), while J ≥ τ needs ≥ ⌈τ/(1+τ)·(n1+n2)⌉ — pairs whose
     //    BEST meeting position can't reach the bound are dropped by the
     //    same groupBy that dedups multi-bucket pairs.
-    val bucketed = pref
+    if (maxCandidatePairs > 0) {
+      // EXACTLY the pair count the buckets will emit: Σ_buckets bn·(bn-1)/2
+      // after the same >1 / ≤maxBucket occupancy filter. Computed as its
+      // own plain hash-aggregate plan (no window sort, nothing persisted,
+      // nothing left pinned in the block manager) — the armed path pays
+      // one cheap token-count pass before any pair materializes.
+      val est = pref
+        .groupBy(col("__ptok")).agg(count(lit(1)).alias("__bn"))
+        .filter(col("__bn") > 1 && col("__bn") <= maxBucket)
+        .agg(coalesce(sum(col("__bn") * (col("__bn") - 1)), lit(0L)).cast("long"))
+        .head.getLong(0) / 2
+      if (est > maxCandidatePairs)
+        throw new IllegalStateException(
+          s"prefixFilterJoin would generate $est candidate pairs " +
+            s"(budget $maxCandidatePairs): the corpus has large near-identical " +
+            s"clusters at threshold=$threshold. Raise threshold, lower " +
+            s"maxBucket (=$maxBucket), or use the LSH path (nearDupPairs).")
+    }
+    val cands = pref
       .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("__ptok"))))
       .filter(col("__bn") > 1 && col("__bn") <= maxBucket)
-    val guarded =
-      if (maxCandidatePairs <= 0) bucketed
-      else {
-        // each of a bucket's bn rows contributes (bn-1)/2 pairs → the agg
-        // below is EXACTLY Σ_buckets bn·(bn-1)/2, the pair count the
-        // explode will emit. Persist so the window runs once, not twice.
-        val b = bucketed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val est = b.agg(coalesce(sum(col("__bn") - 1), lit(0L)).cast("long"))
-          .head.getLong(0) / 2
-        if (est > maxCandidatePairs) {
-          b.unpersist(blocking = false)
-          throw new IllegalStateException(
-            s"prefixFilterJoin would generate $est candidate pairs " +
-              s"(budget $maxCandidatePairs): the corpus has large near-identical " +
-              s"clusters at threshold=$threshold. Raise threshold, lower " +
-              s"maxBucket (=$maxBucket), or use the LSH path (nearDupPairs).")
-        }
-        b
-      }
-    val cands = guarded
       .groupBy(col("__ptok"))
       .agg(collect_list(struct(col("__id"), col("__n"), col("__pos"))).alias("__ms"))
       .select(explode(pairCombinations(col("__ms"))).alias("__p"))

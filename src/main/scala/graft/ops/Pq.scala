@@ -100,6 +100,13 @@ object Pq {
       normalize: Boolean = true,
       maxTrainVectors: Int = 4096): DataFrame = {
     val spark = corpus.sparkSession
+    // sizing the stride needs n. The count is one column-pruned pass
+    // (metadata-cheap on a parquet-backed corpus; one real pass on a
+    // derived plan like IVF residuals) — ~5-10% of a training run that
+    // then makes `iterations` full assignment passes. Accepted: the
+    // alternatives (rate-based sampling without n, or persisting the
+    // full corpus subvectors to count them) cost correctness of the
+    // sample-size contract or corpus-sized memory.
     val n = corpus.count()
     val stride = math.max(1L, n / math.max(1, maxTrainVectors))
     val train =

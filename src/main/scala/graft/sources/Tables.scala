@@ -18,8 +18,16 @@ import org.apache.spark.sql.functions._
 object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") // defensive: legacy NANOS footers need the flag (idempotent)
+    if (name == "events") {
+      // defensive re-asserts so the read is safe from ANY session, not
+      // just ones built through graft.Sessions (both are idempotent):
+      //  - legacy NANOS footers need the flag to load at all
+      //  - the timestamp[us] path casts NTZ→timestamp, which interprets
+      //    the naive value in the SESSION timezone; pin UTC or ts_us/
+      //    ts_ms would shift by the local offset vs DuckDB's epoch_us
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+    }
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
