@@ -26,11 +26,34 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.loc[order].reset_index(drop=True)
 
 
+def dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class used for strict parity. The driver hashes the
+    pandas-rendered values, so an int64 column on one side and float64 on
+    the other (e.g. DuckDB sum(BIGINT)->HUGEINT->float64) renders '100'
+    vs '100.0' and can NEVER hash-match even when values are identical.
+    Coercing past that here would make dev-loop green lie about driver
+    green, which is exactly how the dt_* bug survived two rounds."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "other"
+
+
 def compare(name, spark_df, duck_df):
     if list(spark_df.columns) != list(duck_df.columns):
         return f"SCHEMA cols spark={list(spark_df.columns)} duck={list(duck_df.columns)}"
     if len(spark_df) != len(duck_df):
         return f"ROWS spark={len(spark_df)} duck={len(duck_df)}"
+    for c in spark_df.columns:
+        ka, kb = dtype_class(spark_df[c]), dtype_class(duck_df[c])
+        if ka != kb:
+            return (f"DTYPE col {c}: spark={spark_df[c].dtype}({ka}) "
+                    f"duck={duck_df[c].dtype}({kb}) — driver hash would mismatch")
     for c in spark_df.columns:
         a, b = spark_df[c], duck_df[c]
         try:

@@ -127,12 +127,19 @@ object Pipeline {
     * metastore; locally the in-memory catalog is shared across
     * `newSession()`s, which is what [[graft.fixtures.WeatherDemo
     * .ensureCatalog]]'s fresh-session tests pin. */
+  /** `ddlParallelism` bounds the concurrent DDL fan-out. The default (4)
+    * is safe for the in-memory catalog and metastores that take
+    * concurrent connections; set 1 for metastores whose client
+    * serializes or rejects concurrent DDL (e.g. Derby-backed Hive
+    * allows a single connection) — registration then degrades to
+    * strictly sequential with identical results. */
   def catalogWarehouse(
       spark: SparkSession,
       layout: Layout,
       database: String = "weather_dwh",
       includeFacts: Boolean = false,
-      refreshStats: Boolean = true): Unit = {
+      refreshStats: Boolean = true,
+      ddlParallelism: Int = 4): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $database")
 
     /** Cheap content fingerprint of a table location (total bytes +
@@ -217,13 +224,27 @@ object Pipeline {
     // per-table registration is independent (distinct table names, no
     // shared DDL state beyond the already-created database), so run the
     // DDL+ANALYZE chains concurrently: load wall-clock is the slowest
-    // table, not the sum of 7 command-at-a-time round trips
+    // table, not the sum of 7 command-at-a-time round trips. The pool is
+    // a small DEDICATED executor, not ExecutionContext.global: the
+    // fan-out must be bounded by `ddlParallelism` (metastore clients
+    // have their own concurrency contracts — see scaladoc), and it is
+    // shut down on exit so no registration thread outlives the call.
+    // Failure drains: every in-flight future is awaited before the first
+    // error propagates, so the catalog is quiescent — never still being
+    // mutated in the background — when the caller sees the exception.
+    import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val work = tables.map { case (name, path, part, cols) =>
-      Future(external(name, path, partitioned = part, statCols = cols))
+    val pool = Executors.newFixedThreadPool(math.max(1, ddlParallelism))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val work = tables.map { case (name, path, part, cols) =>
+        Future(external(name, path, partitioned = part, statCols = cols))
+      }
+      val outcomes = work.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+      outcomes.foreach(_.get) // first failure, after all have settled
+    } finally {
+      pool.shutdown()
     }
-    Await.result(Future.sequence(work), Duration.Inf)
   }
 }

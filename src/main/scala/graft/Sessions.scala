@@ -21,13 +21,33 @@ object Sessions {
 
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 
+  /** Shuffle-partition count. Defaults to the core count — right for the
+    * sf≤0.1 dev/bench loop where partitions stay small. For large-sf
+    * ladder runs (sf1/sf10 locally; any real cluster) override with
+    * `SPARK_GRAFT_SHUFFLE_PARTITIONS` sized so a post-shuffle partition
+    * of the LARGEST shuffle fits in executor memory (~128–200 MB of rows
+    * per partition) — with AQE on, oversizing is cheap (coalescing merges
+    * small partitions at runtime) while undersizing spills: the sf10 j1
+    * join went 16.8× for 10× data purely from sort-spill at
+    * partitions=cpus. */
+  def shufflePartitions: String =
+    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+
+  /** Scan-split ceiling (`spark.sql.files.maxPartitionBytes`). The Spark
+    * default (128 MB) is kept; override with
+    * `SPARK_GRAFT_MAX_PARTITION_BYTES` to trade task count against
+    * per-task memory on wide-row large-sf scans. */
+  def maxPartitionBytes: String =
+    sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728")
+
   def local(appName: String = "graft"): SparkSession = {
     val spark = SparkSession
       .builder()
       .appName(appName)
       .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Legacy data generations stored events.ts as INT64 TIMESTAMP(NANOS),

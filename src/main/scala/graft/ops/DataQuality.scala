@@ -94,4 +94,67 @@ object DataQuality {
         (col("violations") === 0).alias("passed"))
       .orderBy(col("constraint"))
   }
+
+  /** Two-level profiling, level 1: the APPROXIMATE screen. Every
+    * constraint — including the "heavy" ones — is estimated in ONE scan
+    * of `df` with NO shuffle of the data at all:
+    *
+    *  - row-level rules: the same `sum(CASE)` columns as [[report]]
+    *    (these are already exact and single-scan);
+    *  - `Unique`: `count(*) − approx_count_distinct(struct(cols))`
+    *    (HyperLogLog++, relative error `rsd`), clamped at 0 — duplicate
+    *    mass shows up as a distinct-count deficit without ever
+    *    shuffling the key tuples;
+    *  - `RefIntegrity`: child keys probe a broadcast Bloom filter built
+    *    over the parent keys (one bounded parent-side aggregate, the
+    *    [[RuntimeFilter]] machinery), so the anti-join disappears. Bloom
+    *    filters have no false negatives, so every counted violation is
+    *    REAL; false positives only UNDERcount (by ~fpp of true
+    *    violations).
+    *
+    * `passed` therefore means "no violation signal at sketch precision".
+    * The intended 100 TB workflow: run this screen first (one pass);
+    * run the exact [[report]] — whose `Unique` shuffle and
+    * `RefIntegrity` join are the expensive steps — only when the screen
+    * flags a constraint or when a publication gate demands exact
+    * counts. Output schema matches [[report]] with `est_violations`
+    * in place of `violations`. */
+  def reportApprox(
+      df: DataFrame,
+      constraints: Seq[Constraint],
+      rsd: Double = 0.05,
+      bloomExpectedItems: Long = 1L << 20,
+      bloomNumBits: Long = 1L << 23): DataFrame = {
+    val spark = df.sparkSession
+    val estimates: Seq[(String, Column)] = constraints.map { c =>
+      violation(c) match {
+        case Some(v) => c.name -> sum(when(v, 1L).otherwise(0L))
+        case None =>
+          c match {
+            case u @ Unique(cols) =>
+              u.name -> greatest(
+                count(lit(1)) - approx_count_distinct(struct(cols.map(col): _*), rsd),
+                lit(0L))
+            case r @ RefIntegrity(childCol, parent, parentCol) =>
+              val bloom = RuntimeFilter.buildBloom(
+                parent.select(col(parentCol)), parentCol, bloomExpectedItems, bloomNumBits)
+              val miss =
+                if (bloom == null) col(childCol).isNotNull // empty parent: every key dangles
+                else col(childCol).isNotNull &&
+                  !RuntimeFilter.mightContainBroadcast(spark, bloom, col(childCol))
+              r.name -> sum(when(miss, 1L).otherwise(0L))
+          }
+      }
+    }
+    df.agg(
+      estimates.head._2.alias("v0"),
+      estimates.tail.zipWithIndex.map { case ((_, e), i) => e.alias(s"v${i + 1}") }: _*)
+      .select(
+        explode(array(estimates.zipWithIndex.map { case ((n, _), i) =>
+          struct(lit(n).alias("constraint"), col(s"v$i").cast("long").alias("est_violations"))
+        }: _*)).alias("r"))
+      .select(col("r.constraint"), col("r.est_violations"),
+        (col("r.est_violations") === 0).alias("passed"))
+      .orderBy(col("constraint"))
+  }
 }

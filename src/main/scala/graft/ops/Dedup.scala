@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Document deduplication for large-scale training-data pipelines.
   *
@@ -221,9 +222,18 @@ object Dedup {
     *
     * Scale shape: the batch's band keys (|batch| · bands rows) BROADCAST
     * against the history index, so the history side never shuffles into
-    * the candidate join — its only exchange is the occupancy-cap window,
-    * and in production the persisted index ([[lshIndex]]) replaces even
-    * the re-derivation done here. Verification joins re-shingle only the
+    * the candidate join — and the history index is PROBE-PRUNED first: a
+    * broadcast semi-join on the batch's distinct bucket keys drops every
+    * history row whose bucket the batch never probes BEFORE the
+    * occupancy-cap window runs, so the only history exchange is sized by
+    * probed buckets (∝ |batch| · occupancy), not by |history|. Pruning
+    * is result-identical: un-probed buckets can produce no candidates,
+    * and probed buckets keep ALL their history rows, so the occupancy
+    * count each bucket caps on is unchanged. Both sides get the same
+    * `maxBucket` occupancy cap (batch-side degenerate buckets would
+    * otherwise multiply every probed history bucket they touch). In
+    * production the persisted index ([[lshIndex]]) replaces even the
+    * re-derivation done here. Verification joins re-shingle only the
     * docs that appear in surviving candidate pairs. */
   def incrementalNearDupPairs(
       history: DataFrame,
@@ -235,12 +245,16 @@ object Dedup {
       k: Int = 64,
       bands: Int = 16,
       maxBucket: Int = 1000): DataFrame = {
+    val bKeys = lshIndex(batch, idCol, textCol, shingleSize, k, bands)
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("__band"), col("__bh"))))
+      .filter(col("__bn") <= maxBucket)
+      .select(col("__id").alias("__bid"), col("__band"), col("__bh"))
+    val probed = bKeys.select(col("__band"), col("__bh")).distinct()
     val hKeys = lshIndex(history, idCol, textCol, shingleSize, k, bands)
+      .join(broadcast(probed), Seq("__band", "__bh"), "left_semi")
       .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("__band"), col("__bh"))))
       .filter(col("__bn") <= maxBucket)
       .select(col("__id").alias("__hid"), col("__band"), col("__bh"))
-    val bKeys = lshIndex(batch, idCol, textCol, shingleSize, k, bands)
-      .select(col("__id").alias("__bid"), col("__band"), col("__bh"))
     val cross = broadcast(bKeys)
       .join(hKeys, Seq("__band", "__bh"))
       .select(
@@ -351,9 +365,14 @@ object Dedup {
     * cap) is computed from the SAME exchange before any pair
     * materializes, and the join aborts with the remediation knobs named
     * (raise `threshold`, lower `maxBucket`, or use the LSH twin
-    * [[nearDupPairs]]) instead of melting the cluster. Costs one plain
-    * hash-aggregate pass over the prefix rows (no window, nothing
-    * persisted) — off by default. */
+    * [[nearDupPairs]]) instead of melting the cluster. The armed path
+    * persists the prefix rows (MEMORY_AND_DISK) so the tokenize + shingle
+    * + explode lineage is computed ONCE, shared by the estimate and the
+    * candidate join; within budget, the candidates (≤ budget rows by the
+    * check itself) are pinned via an eager localCheckpoint and the
+    * prefix cache is released before verification runs — nothing stays
+    * pinned in the block manager after the call returns. Off by
+    * default. */
   def prefixFilterJoin(
       df: DataFrame,
       idCol: String,
@@ -392,25 +411,7 @@ object Dedup {
     //    order), while J ≥ τ needs ≥ ⌈τ/(1+τ)·(n1+n2)⌉ — pairs whose
     //    BEST meeting position can't reach the bound are dropped by the
     //    same groupBy that dedups multi-bucket pairs.
-    if (maxCandidatePairs > 0) {
-      // EXACTLY the pair count the buckets will emit: Σ_buckets bn·(bn-1)/2
-      // after the same >1 / ≤maxBucket occupancy filter. Computed as its
-      // own plain hash-aggregate plan (no window sort, nothing persisted,
-      // nothing left pinned in the block manager) — the armed path pays
-      // one cheap token-count pass before any pair materializes.
-      val est = pref
-        .groupBy(col("__ptok")).agg(count(lit(1)).alias("__bn"))
-        .filter(col("__bn") > 1 && col("__bn") <= maxBucket)
-        .agg(coalesce(sum(col("__bn") * (col("__bn") - 1)), lit(0L)).cast("long"))
-        .head.getLong(0) / 2
-      if (est > maxCandidatePairs)
-        throw new IllegalStateException(
-          s"prefixFilterJoin would generate $est candidate pairs " +
-            s"(budget $maxCandidatePairs): the corpus has large near-identical " +
-            s"clusters at threshold=$threshold. Raise threshold, lower " +
-            s"maxBucket (=$maxBucket), or use the LSH path (nearDupPairs).")
-    }
-    val cands = pref
+    def candsFrom(p: DataFrame): DataFrame = p
       .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("__ptok"))))
       .filter(col("__bn") > 1 && col("__bn") <= maxBucket)
       .groupBy(col("__ptok"))
@@ -435,6 +436,33 @@ object Dedup {
       .filter(col("__ub").cast("double") >=
         (col("__n1") + col("__n2")) * lit(threshold / (1 + threshold)) - lit(1e-9))
       .select(col("id1"), col("id2"))
+    val cands =
+      if (maxCandidatePairs > 0) {
+        // EXACTLY the pair count the buckets will emit: Σ_buckets
+        // bn·(bn-1)/2 after the same >1 / ≤maxBucket occupancy filter.
+        // `pref` is persisted while armed so its tokenize+shingle+explode
+        // lineage runs once for the estimate AND the candidate join (the
+        // guard matters most on exactly the corpora where that lineage is
+        // expensive). Within budget the candidate rows are ≤ the budget
+        // by this very check, so the eager localCheckpoint that pins them
+        // is bounded — and it lets the pref cache be released before the
+        // (lazy) verification join ever runs.
+        val prefP = pref.persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val est = prefP
+            .groupBy(col("__ptok")).agg(count(lit(1)).alias("__bn"))
+            .filter(col("__bn") > 1 && col("__bn") <= maxBucket)
+            .agg(coalesce(sum(col("__bn") * (col("__bn") - 1)), lit(0L)).cast("long"))
+            .head.getLong(0) / 2
+          if (est > maxCandidatePairs)
+            throw new IllegalStateException(
+              s"prefixFilterJoin would generate $est candidate pairs " +
+                s"(budget $maxCandidatePairs): the corpus has large near-identical " +
+                s"clusters at threshold=$threshold. Raise threshold, lower " +
+                s"maxBucket (=$maxBucket), or use the LSH path (nearDupPairs).")
+          candsFrom(prefP).localCheckpoint(true)
+        } finally prefP.unpersist(false)
+      } else candsFrom(pref)
     verifyJaccard(cands, df, idCol, textCol, threshold, shingleSize)
   }
 

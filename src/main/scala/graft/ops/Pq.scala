@@ -100,15 +100,25 @@ object Pq {
       normalize: Boolean = true,
       maxTrainVectors: Int = 4096): DataFrame = {
     val spark = corpus.sparkSession
-    // sizing the stride needs n. The count is one column-pruned pass
-    // (metadata-cheap on a parquet-backed corpus; one real pass on a
-    // derived plan like IVF residuals) — ~5-10% of a training run that
-    // then makes `iterations` full assignment passes. Accepted: the
-    // alternatives (rate-based sampling without n, or persisting the
-    // full corpus subvectors to count them) cost correctness of the
-    // sample-size contract or corpus-sized memory.
-    val n = corpus.count()
-    val stride = math.max(1L, n / math.max(1, maxTrainVectors))
+    // A LocalLimit-bounded probe decides whether sizing is needed at all:
+    // it reads ≤ maxTrainVectors+1 rows, so an at-or-under-budget corpus
+    // (the common small case) never pays a full count. Above budget, the
+    // full count is one column-pruned pass (metadata-cheap on a
+    // parquet-backed corpus; one real pass on a derived plan like IVF
+    // residuals) — ~5-10% of a training run that then makes `iterations`
+    // full assignment passes. Accepted: the alternatives (rate-based
+    // sampling without n, or persisting the full corpus subvectors to
+    // count them) cost correctness of the sample-size contract or
+    // corpus-sized memory. The stride rounds UP: the budget is a CEILING
+    // on the expected sample (floor division lets n = 2·budget−1 slip
+    // through at stride 1, an expected sample of ~2× the budget).
+    val probe = corpus.limit(maxTrainVectors + 1).count()
+    val stride =
+      if (probe <= maxTrainVectors) 1L
+      else {
+        val n = corpus.count()
+        math.max(1L, (n + maxTrainVectors - 1) / math.max(1, maxTrainVectors))
+      }
     val train =
       if (stride > 1)
         corpus.filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)

@@ -335,7 +335,7 @@ object EventAnalytics {
     "dt_delete_vectors" ->
       """SELECT o_orderstatus,
                 CAST(count(*) AS BIGINT) AS n_rows,
-                sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS price_cents
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
          FROM orders
          WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
            AND NOT (o_orderkey % 7 = 3)
@@ -344,7 +344,7 @@ object EventAnalytics {
     "dt_incr_agg" ->
       """SELECT o_custkey,
                 CAST(count(*) AS BIGINT) AS n,
-                sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
                 min(CAST(round(o_totalprice * 100) AS BIGINT)) AS min_cents,
                 max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents
          FROM orders
@@ -366,10 +366,11 @@ object EventAnalytics {
            WHERE NOT (t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
                       AND s.delta_cents > 80000000))
          SELECT CAST(0 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
-                sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS bal_cents
+                CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
          FROM customer
          UNION ALL
-         SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT), sum(cents) FROM v1
+         SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+                CAST(sum(cents) AS BIGINT) FROM v1
          ORDER BY version""",
     "dt_snapshot_diff" ->
       """WITH b AS (SELECT user_id, value FROM (

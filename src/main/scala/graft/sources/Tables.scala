@@ -19,14 +19,12 @@ object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // defensive re-asserts so the read is safe from ANY session, not
-      // just ones built through graft.Sessions (both are idempotent):
-      //  - legacy NANOS footers need the flag to load at all
-      //  - the timestamp[us] path casts NTZ→timestamp, which interprets
-      //    the naive value in the SESSION timezone; pin UTC or ts_us/
-      //    ts_ms would shift by the local offset vs DuckDB's epoch_us
+      // defensive re-assert so the read is safe from ANY session, not
+      // just ones built through graft.Sessions (idempotent): legacy
+      // NANOS footers need the flag to load at all. The UTC timezone
+      // concern lives in [[events]], scoped to analysis of that frame —
+      // a plain table() read must not mutate the caller's session TZ.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.conf.set("spark.sql.session.timeZone", "UTC")
     }
     spark.read.parquet(s"$dir/$name.parquet")
   }
@@ -64,11 +62,25 @@ object Tables {
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case TimestampType | TimestampNTZType =>
-        val t = col("ts").cast(TimestampType)
-        raw
-          .withColumn("ts_us", unix_micros(t))
-          .withColumn("ts_ms", unix_millis(t))
-          .withColumn("event_time", t)
+        // The NTZ→timestamp cast interprets the naive value in the
+        // SESSION timezone, and ResolveTimeZone bakes that zone into the
+        // Cast at ANALYSIS time (Dataset creation is eagerly analyzed).
+        // Pin UTC only while this frame is built and restore the
+        // caller's setting after: the derived columns stay UTC-correct
+        // forever (the zone travels with the resolved Cast), and a
+        // caller who deliberately runs a non-UTC session keeps it.
+        val prior = s.conf.getOption("spark.sql.session.timeZone")
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        try {
+          val t = col("ts").cast(TimestampType)
+          raw
+            .withColumn("ts_us", unix_micros(t))
+            .withColumn("ts_ms", unix_millis(t))
+            .withColumn("event_time", t)
+        } finally prior match {
+          case Some(tz) => s.conf.set("spark.sql.session.timeZone", tz)
+          case None     => s.conf.unset("spark.sql.session.timeZone")
+        }
       case LongType =>
         raw
           .withColumn("ts_us", expr("ts DIV 1000"))

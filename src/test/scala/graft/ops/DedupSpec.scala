@@ -223,6 +223,42 @@ class DedupSpec extends SparkSuite {
     assert(guarded === free && free.nonEmpty)
   }
 
+  test("adversarial realistic corpus: budget refuses the exact join, the LSH twin still answers") {
+    // The shape the budget exists for — not a degenerate one-text-replicated
+    // corpus but a REALISTIC one: a licence template replicated with small
+    // per-doc field substitutions (holder, year), mixed into genuinely
+    // distinct docs. Each cluster doc's rarest-first prefix starts with its
+    // own unique shingles (df=1) but must continue into SHARED template
+    // shingles (prefix length ≈ 0.2·n+1 exceeds the unique tail), so the
+    // shared-prefix buckets hold the whole cluster and candidates grow
+    // quadratically in cluster size while the corpus looks innocent.
+    val template = "permission is hereby granted free of charge to any person obtaining a copy " +
+      "of this software and associated documentation files to deal in the software without " +
+      "restriction including without limitation the rights to use copy modify merge publish " +
+      "distribute sublicense and sell copies subject to the following conditions"
+    val cluster = (1L to 150L).map(i =>
+      (i, s"$template copyright holder number $i year ${1990 + (i % 30)}"))
+    val distinctDocs = (1001L to 1050L).map(i =>
+      (i, s"document $i discusses topic ${i * 7 % 97} with unique vocabulary " +
+        s"item${i}a item${i}b item${i}c item${i}d item${i}e item${i}f item${i}g item${i}h"))
+    val corpus = (cluster ++ distinctDocs).toDF("doc_id", "text")
+
+    val e = intercept[IllegalStateException] {
+      Dedup.prefixFilterJoin(corpus, "doc_id", "text", 0.8, maxCandidatePairs = 5000L)
+    }
+    assert(e.getMessage.contains("candidate pairs") && e.getMessage.contains("nearDupPairs"),
+      e.getMessage)
+
+    // the remediation the refusal names works on the SAME corpus: the LSH
+    // twin answers with bounded buckets and surfaces the cluster — and
+    // nothing but the cluster — at the same threshold
+    val lsh = Dedup.nearDupPairs(corpus, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty && lsh.forall { case (a, b) => a <= 150L && b <= 150L },
+      s"expected only intra-cluster pairs, got ${lsh.filterNot { case (a, b) => a <= 150L && b <= 150L }.take(5)}")
+    assert(lsh.size > 5000, s"cluster should pair quadratically, got ${lsh.size}")
+  }
+
   test("prefixFilterJoin agrees with nearDupPairs verification values where both find the pair") {
     val exact = Dedup.prefixFilterJoin(docs, "doc_id", "text", 0.6)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

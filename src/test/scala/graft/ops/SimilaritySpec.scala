@@ -146,7 +146,8 @@ class SimilaritySpec extends SparkSuite {
     val corpus = base.unionByName(dup)
     val m = 16
     val ksub = 64
-    // n=6000, budget 1024 → stride 5: training reads ~1/5 of the corpus
+    // n=6000, budget 1024 → stride ceil(6000/1024)=6: training reads
+    // ~1/6 of the corpus, expected sample ~1000 ≤ the 1024 ceiling
     val cb1 = Pq.trainCodebook(corpus, "vec_id", "embedding", m, ksub, maxTrainVectors = 1024)
     assert(cb1.count() === m.toLong * ksub)
     // id-hash stride sampling is deterministic: retraining is bit-identical

@@ -185,26 +185,30 @@ class PipelineSpec extends SparkSuite {
       materializeGold = true, registerViews = false)
     Pipeline.catalogWarehouse(spark, layout, database = "wx_incr_test", includeFacts = true)
 
-    def created(table: String): String =
-      spark.sql(s"DESCRIBE EXTENDED wx_incr_test.$table")
-        .collect().map(r => r.getString(0) -> r.getString(1)).toMap.apply("Created Time")
-    def fingerprint(table: String): String =
+    def props(table: String): Map[String, String] =
       spark.sql(s"SHOW TBLPROPERTIES wx_incr_test.$table")
-        .collect().map(r => r.getString(0) -> r.getString(1)).toMap.apply("graft.fingerprint")
-
-    val t0 = (created("dim_location"), created("dim_date"))
-    val f0 = fingerprint("dim_date")
-    Thread.sleep(1100) // Created Time is second-resolution
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // a marker property survives ONLY if the table keeps its catalog
+    // entry: a re-registration is DROP + CREATE, which discards it. This
+    // is clock-free — the previous version compared second-resolution
+    // "Created Time" across a Thread.sleep, which went flaky whenever a
+    // slow box coarsened the tick.
+    Seq("dim_location", "dim_date").foreach { t =>
+      spark.sql(s"ALTER TABLE wx_incr_test.$t SET TBLPROPERTIES ('graft.test.marker' = 'r1')")
+    }
+    val f0 = props("dim_date")("graft.fingerprint")
     // grow dim_date's location so ONLY its fingerprint changes
     spark.range(1).selectExpr("DATE_FROM_UNIX_DATE(CAST(id AS INT)) AS full_date")
       .write.mode("append").parquet(s"$root/gold/dim_date")
 
     Pipeline.catalogWarehouse(spark, layout, database = "wx_incr_test", includeFacts = true)
     // unchanged table: same catalog entry (no DROP/CREATE round trip)
-    assert(created("dim_location") === t0._1, "unchanged table was rebuilt")
-    // changed table: re-registered with a fresh fingerprint
-    assert(created("dim_date") !== t0._2, "changed table was not re-registered")
-    assert(fingerprint("dim_date") !== f0, "fingerprint not refreshed")
+    assert(props("dim_location").get("graft.test.marker").contains("r1"),
+      "unchanged table was rebuilt")
+    // changed table: re-registered (marker discarded) with a fresh fingerprint
+    assert(!props("dim_date").contains("graft.test.marker"),
+      "changed table was not re-registered")
+    assert(props("dim_date")("graft.fingerprint") !== f0, "fingerprint not refreshed")
   }
 
   test("SCD2 skip branch: second run leaves dim_location untouched") {
