@@ -197,9 +197,15 @@ class PipelineSpec extends SparkSuite {
       spark.sql(s"ALTER TABLE wx_incr_test.$t SET TBLPROPERTIES ('graft.test.marker' = 'r1')")
     }
     val f0 = props("dim_date")("graft.fingerprint")
-    // grow dim_date's location so ONLY its fingerprint changes
-    spark.range(1).selectExpr("DATE_FROM_UNIX_DATE(CAST(id AS INT)) AS full_date")
-      .write.mode("append").parquet(s"$root/gold/dim_date")
+    // grow dim_date's location so ONLY its fingerprint changes. The
+    // appended file must carry dim_date's FULL schema: CREATE TABLE
+    // schema inference reads one footer, and a narrower file (a previous
+    // version appended a full_date-only row) can win that race and drop
+    // date_key, failing the re-register's ANALYZE ... FOR COLUMNS. An
+    // empty append with the real schema still bumps the file count, which
+    // is all the fingerprint needs.
+    val dimDate = spark.read.parquet(s"$root/gold/dim_date")
+    dimDate.limit(0).write.mode("append").parquet(s"$root/gold/dim_date")
 
     Pipeline.catalogWarehouse(spark, layout, database = "wx_incr_test", includeFacts = true)
     // unchanged table: same catalog entry (no DROP/CREATE round trip)
