@@ -1,0 +1,250 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-10 additions: the source/sink FORMAT axis, plus small-file
+  * compaction as an oracle-checked query.
+  *
+  * The reference ingests multi-line JSON and lands Parquet
+  * (`bronze_to_silver.py:30`, `:114-117`); those two formats are covered
+  * by `f9_json`/`s2_scan` and the `wx_*` pipeline. A real lake ingests
+  * more shapes than that, so the engine's claim of "every source a user
+  * runs today" should include the rest of Spark's built-in format
+  * surface, each proven by a round-trip whose read-back result must
+  * match a DuckDB oracle computed from the original parquet:
+  *
+  *  - `fm_csv_roundtrip`   — CSV sink + source with an EXPLICIT schema
+  *    on read. Schema-on-read matters at scale: without it Spark runs a
+  *    whole extra inference scan over the files before the real job.
+  *  - `fm_orc_roundtrip`   — ORC sink + source; the read-back filter is
+  *    a date range, which ORC serves from stripe/row-group statistics
+  *    (predicate pushdown), same as the parquet path.
+  *  - `fm_jsonl_roundtrip` — JSON-lines sink + source with NESTED
+  *    structs and an explicit schema, then dotted-path flattening — the
+  *    reference's bronze→silver shape re-expressed on the compact
+  *    line-per-record encoding streaming collectors actually emit.
+  *  - `fm_text_lines`      — the `text` source: delimiter-joined lines
+  *    parsed back with `split()` into typed columns. This is the
+  *    raw-log ingestion path; parsing is a narrow projection, so the
+  *    scan parallelizes per-line with no shuffle.
+  *  - `fm_binary_files`    — the `binaryFile` source: documents written
+  *    as loose files on disk and re-ingested as (path, length, content)
+  *    rows — the multimodal ingestion front door (`mm_*` operate on the
+  *    binary columns this source produces). The file set is bounded (8
+  *    docs) because the write side is driver-local by design; the READ
+  *    side is the distributed path under test.
+  *  - `dt_compact`         — [[graft.ops.Bucketing.compactCommit]] over
+  *    a [[graft.store.SnapshotStore]] table: a 64-file commit plus a
+  *    deletion-vector commit rewritten into ~1 file as the next atomic
+  *    version. The query asserts the file count actually dropped and
+  *    returns the post-compaction aggregate, which must equal the
+  *    oracle's plain filter — compaction is pure maintenance, invisible
+  *    to readers. At 100 TB the small-file problem (per-file open cost,
+  *    scheduler pressure, NameNode/listing load) is a first-class
+  *    failure mode; snapshot-isolated compaction is the remedy that
+  *    never blocks a concurrent reader.
+  */
+object FormatQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** FM1: orders → gzip CSV with header → schema'd read-back → status ×
+    * year aggregate. Money compared in integer cents so the text
+    * round-trip of the double is exercised (Spark writes the shortest
+    * repr, which parses back to the identical double). */
+  val fmCsvRoundtrip: Q = (s, d) => {
+    val dir = tmpDir("fmcsv") + "/orders_csv"
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), to_date(col("o_orderdate")).alias("od"))
+      .write.mode("overwrite")
+      .option("header", "true").option("compression", "gzip")
+      .csv(dir)
+    s.read
+      .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, od DATE")
+      .option("header", "true")
+      .csv(dir)
+      .groupBy(col("o_orderstatus"), year(col("od")).alias("yr"))
+      .agg(
+        count(lit(1)).alias("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long")).alias("price_cents"))
+      .orderBy(col("o_orderstatus"), col("yr"))
+  }
+
+  /** FM2: lineitem → ORC → read-back with a ship-date range the format
+    * can serve from stripe statistics → returnflag × linestatus
+    * aggregate in exact cents. */
+  val fmOrcRoundtrip: Q = (s, d) => {
+    val dir = tmpDir("fmorc") + "/lineitem_orc"
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag"), col("l_linestatus"), to_date(col("l_shipdate")).alias("sd"))
+      .write.mode("overwrite").orc(dir)
+    s.read.orc(dir)
+      .filter(col("sd").between(lit("1996-01-01"), lit("1996-12-31")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).alias("n_rows"),
+        sum(round(col("l_quantity") * 100).cast("long")).alias("qty_cents"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).alias("price_cents"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** FM3: customer → nested JSON-lines → schema'd read-back → dotted
+    * flatten → per-segment aggregate. The nesting (profile/account
+    * structs) makes the round trip prove struct encode/decode, not just
+    * scalar text. */
+  val fmJsonlRoundtrip: Q = (s, d) => {
+    val dir = tmpDir("fmjson") + "/customer_json"
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        struct(col("c_name").alias("name"), col("c_mktsegment").alias("segment")).alias("profile"),
+        struct(col("c_nationkey").alias("nationkey"),
+          round(col("c_acctbal") * 100).cast("long").alias("bal_cents")).alias("account"))
+      .write.mode("overwrite").option("compression", "gzip").json(dir)
+    s.read
+      .schema("c_custkey BIGINT, profile STRUCT<name: STRING, segment: STRING>, " +
+        "account STRUCT<nationkey: INT, bal_cents: BIGINT>")
+      .json(dir)
+      .select(col("c_custkey"), col("profile.segment").alias("segment"),
+        col("account.nationkey").alias("nationkey"), col("account.bal_cents").alias("bal_cents"))
+      .groupBy(col("segment"))
+      .agg(
+        count(lit(1)).alias("n_rows"),
+        sum(col("bal_cents")).alias("bal_cents"),
+        countDistinct(col("nationkey")).alias("n_nations"))
+      .orderBy(col("segment"))
+  }
+
+  /** FM4: documents → ctrl-A-joined lines through the `text` sink →
+    * `split()` parse on read-back → lang × source dedup profile. The
+    * content travels as its md5 so the line encoding never depends on
+    * what bytes the text itself contains. */
+  val fmTextLines: Q = (s, d) => {
+    val dir = tmpDir("fmtext") + "/docs_txt"
+    Tables.documents(s, d)
+      .select(concat_ws("\u0001",
+        col("doc_id"), col("lang"), col("source"), md5(col("text"))).alias("value"))
+      .write.mode("overwrite").text(dir)
+    val f = split(col("value"), "\u0001")
+    s.read.text(dir)
+      .select(
+        f.getItem(0).cast("long").alias("doc_id"),
+        f.getItem(1).alias("lang"),
+        f.getItem(2).alias("source"),
+        f.getItem(3).alias("text_md5"))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).alias("n_docs"),
+        countDistinct(col("text_md5")).alias("n_unique"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** FM5: eight documents written as loose .txt files (driver-local by
+    * design — the WRITE side is a fixture; the distributed path under
+    * test is the `binaryFile` READ), re-ingested as (path, length,
+    * content) rows, keyed back out of the filename. */
+  val fmBinaryFiles: Q = (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory("fmbin")
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 8)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .foreach { r =>
+        java.nio.file.Files.write(
+          dir.resolve(s"doc_${r.getLong(0)}.txt"),
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    s.read.format("binaryFile").load(dir.toString)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.txt$", 1).cast("long").alias("doc_id"),
+        col("length").alias("n_bytes"),
+        md5(col("content")).alias("content_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DT7: snapshot-isolated small-file compaction — commit events
+    * scattered across 64 files (v0), apply a deletion-vector commit
+    * (v1), then [[graft.ops.Bucketing.compactCommit]] rewrites the live
+    * rows into ~1 file as v2, materializing the DVs away. The require()
+    * makes the entry fail loudly if compaction ever stops shrinking the
+    * file count; the returned aggregate proves the rewrite changed
+    * nothing a reader can see. */
+  val dtCompact: Q = (s, d) => {
+    val table = tmpDir("fmcompact") + "/events_store"
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").alias("value_cents"))
+    graft.store.SnapshotStore.commit(ev.repartition(64), table)
+    graft.store.SnapshotStore.deleteCommit(s, table, Seq("event_id"),
+      pmod(col("event_id"), lit(10)) === 0)
+    val (before, after, _, _) =
+      graft.ops.Bucketing.compactCommit(s, table, targetBytes = 1L << 30)
+    require(after < before, s"compaction did not shrink the file count: $before -> $after")
+    graft.store.SnapshotStore.read(s, table)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).alias("n_rows"),
+        sum(col("value_cents")).alias("value_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "fm_csv_roundtrip" -> fmCsvRoundtrip,
+    "fm_orc_roundtrip" -> fmOrcRoundtrip,
+    "fm_jsonl_roundtrip" -> fmJsonlRoundtrip,
+    "fm_text_lines" -> fmTextLines,
+    "fm_binary_files" -> fmBinaryFiles,
+    "dt_compact" -> dtCompact
+  )
+
+  val oracles: Map[String, String] = Map(
+    "fm_csv_roundtrip" ->
+      """SELECT o_orderstatus, year(o_orderdate) AS yr,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+         FROM orders
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "fm_orc_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "fm_jsonl_roundtrip" ->
+      """SELECT c_mktsegment AS segment,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents,
+                CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+         FROM customer
+         GROUP BY 1 ORDER BY 1""",
+    "fm_text_lines" ->
+      """SELECT lang, source,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
+         FROM documents
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "fm_binary_files" ->
+      """SELECT doc_id,
+                CAST(strlen(text) AS BIGINT) AS n_bytes,
+                md5(text) AS content_md5
+         FROM documents
+         WHERE doc_id < 8
+         ORDER BY doc_id""",
+    "dt_compact" ->
+      """SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events
+         WHERE event_id % 10 <> 0
+         GROUP BY 1 ORDER BY 1"""
+  )
+}
