@@ -35,6 +35,10 @@ import org.apache.spark.sql.functions._
   *    binary columns this source produces). The file set is bounded (8
   *    docs) because the write side is driver-local by design; the READ
   *    side is the distributed path under test.
+  *  - `fm_xml_roundtrip`   — the XML source/sink (built into Spark 4):
+  *    row-tagged records with an explicit schema on read. XML is the
+  *    interchange shape enterprise feeds still arrive in; the round
+  *    trip proves escaping and typed parse, not just happy-path text.
   *  - `dt_compact`         — [[graft.ops.Bucketing.compactCommit]] over
   *    a [[graft.store.SnapshotStore]] table: a 64-file commit plus a
   *    deletion-vector commit rewritten into ~1 file as the next atomic
@@ -45,6 +49,16 @@ import org.apache.spark.sql.functions._
   *    scheduler pressure, NameNode/listing load) is a first-class
   *    failure mode; snapshot-isolated compaction is the remedy that
   *    never blocks a concurrent reader.
+  *
+  * A scale note on compressed text formats: gzip is NOT splittable, so
+  * one .csv.gz/.json.gz file is one task forever. That is safe here —
+  * and at any scale — only because compression is applied per PART
+  * file: a write with N output partitions lands N independently
+  * decompressable files, so read parallelism equals the file count the
+  * writer chose. The pathological shape (one multi-GB .gz) can only be
+  * produced by coalescing to 1 before the write; for archival text at
+  * 100 TB prefer a splittable codec or keep part files bounded
+  * (`spark.sql.files.maxRecordsPerFile`).
   */
 object FormatQueries {
 
@@ -169,6 +183,31 @@ object FormatQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** FM6: orders → row-tagged XML → schema'd read-back → priority
+    * aggregate. Spark 4's built-in XML source; the writer escapes
+    * markup-significant bytes, the reader parses back through the
+    * explicit schema (no inference pass). */
+  val fmXmlRoundtrip: Q = (s, d) => {
+    val dir = tmpDir("fmxml") + "/orders_xml"
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        to_date(col("o_orderdate")).alias("od"))
+      .write.mode("overwrite").format("xml")
+      .option("rootTag", "orders").option("rowTag", "order")
+      .save(dir)
+    s.read.format("xml")
+      .schema("o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE, od DATE")
+      .option("rowTag", "order")
+      .load(dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).alias("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long")).alias("price_cents"),
+        date_format(min(col("od")), "yyyy-MM-dd").alias("first_date"),
+        date_format(max(col("od")), "yyyy-MM-dd").alias("last_date"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** DT7: snapshot-isolated small-file compaction — commit events
     * scattered across 64 files (v0), apply a deletion-vector commit
     * (v1), then [[graft.ops.Bucketing.compactCommit]] rewrites the live
@@ -201,6 +240,7 @@ object FormatQueries {
     "fm_jsonl_roundtrip" -> fmJsonlRoundtrip,
     "fm_text_lines" -> fmTextLines,
     "fm_binary_files" -> fmBinaryFiles,
+    "fm_xml_roundtrip" -> fmXmlRoundtrip,
     "dt_compact" -> dtCompact
   )
 
@@ -239,6 +279,14 @@ object FormatQueries {
          FROM documents
          WHERE doc_id < 8
          ORDER BY doc_id""",
+    "fm_xml_roundtrip" ->
+      """SELECT o_orderpriority,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+                strftime(min(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS first_date,
+                strftime(max(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS last_date
+         FROM orders
+         GROUP BY 1 ORDER BY 1""",
     "dt_compact" ->
       """SELECT event_type,
                 CAST(count(*) AS BIGINT) AS n_rows,

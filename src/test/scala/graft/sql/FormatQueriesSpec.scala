@@ -71,6 +71,22 @@ class FormatQueriesSpec extends SparkSuite {
     }
   }
 
+  test("xml round trip escapes markup-significant content losslessly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fmspec-xml").toString
+    val src = Seq(
+      (1L, """a < b && "c" > 'd'"""),
+      (2L, "<order><nested/></order>"),
+      (3L, "plain")).toDF("id", "payload")
+    src.write.mode("overwrite").format("xml")
+      .option("rootTag", "rows").option("rowTag", "row").save(dir)
+    val back = spark.read.format("xml")
+      .schema("id BIGINT, payload STRING").option("rowTag", "row").load(dir)
+    val matched = src.alias("a").join(back.alias("b"),
+      col("a.id") === col("b.id") && col("a.payload") === col("b.payload")).count()
+    assert(matched === 3, "markup content changed through the XML round trip")
+  }
+
   test("dt_compact: compaction shrinks to ~1 file and never rewrites history") {
     val table = java.nio.file.Files.createTempDirectory("fmspec-compact").toString + "/ev"
     val ev = Tables.events(spark, sf())
