@@ -102,7 +102,15 @@ def main(sf_dir, out_dir):
             results[name] = f"ORACLE-ERR {e}"
             continue
         err = compare(name, canon(spark_df), canon(duck_df))
-        results[name] = err or f"OK ({len(spark_df)} rows)"
+        # a 0-row match is vacuous: both sides agreeing on nothing usually
+        # means the query's predicate misses the dataset entirely (seen
+        # with a date range outside the generated span) — flag it so the
+        # dev loop surfaces weak entries the driver's rows>0 smoke would
+        # also question
+        if err is None and len(spark_df) == 0:
+            results[name] = "OK-EMPTY (0 rows — vacuous match, check predicates)"
+        else:
+            results[name] = err or f"OK ({len(spark_df)} rows)"
     for k in sorted(oracle):
         if k not in results:
             results[k] = f"ERR {errs[k][:120]}" if k in errs else "MISSING SPARK OUTPUT"

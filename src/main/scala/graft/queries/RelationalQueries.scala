@@ -421,12 +421,16 @@ object RelationalQueries {
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
 
-  /** J7: left-anti join — customers with no orders at all (the NOT
-    * EXISTS shape). */
+  /** J7: left-anti join — customers with no 1995 orders (the NOT
+    * EXISTS shape). The year restriction keeps the result non-vacuous:
+    * "no orders at all" is empty at every generated SF, and a 0-row
+    * match proves nothing about the anti-join path. */
   val j7AntiJoin: Q = (s, d) =>
     Tables.customer(s, d)
       .join(
-        Tables.orders(s, d).select(col("o_custkey").alias("c_custkey")),
+        Tables.orders(s, d)
+          .filter(year(col("o_orderdate")) === 1995)
+          .select(col("o_custkey").alias("c_custkey")),
         Seq("c_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
@@ -2629,7 +2633,9 @@ object RelationalQueries {
          ORDER BY c_custkey""",
     "j7_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND year(o_orderdate) = 1995)
          ORDER BY c_custkey""",
     "a7_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,
