@@ -39,6 +39,12 @@ import org.apache.spark.sql.functions._
   *    row-tagged records with an explicit schema on read. XML is the
   *    interchange shape enterprise feeds still arrive in; the round
   *    trip proves escaping and typed parse, not just happy-path text.
+  *  - `fm_schema_merge`    — schema evolution across parquet file
+  *    generations: `mergeSchema=true` union-reconciles footers, old
+  *    rows surface added columns as NULL, coalesce supplies defaults.
+  *  - `fm_corrupt_records` — PERMISSIVE-mode JSON ingestion with a
+  *    `_corrupt_record` quarantine column: bad lines are booked, not
+  *    fatal (FAILFAST) and not silently dropped (DROPMALFORMED).
   *  - `dt_compact`         — [[graft.ops.Bucketing.compactCommit]] over
   *    a [[graft.store.SnapshotStore]] table: a 64-file commit plus a
   *    deletion-vector commit rewritten into ~1 file as the next atomic
@@ -208,6 +214,65 @@ object FormatQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** FM7: schema evolution across file generations — generation 1 lands
+    * without `o_orderpriority`, generation 2 adds it; `mergeSchema=true`
+    * reconciles the footers into the union schema and generation-1 rows
+    * surface the new column as NULL, defaulted with coalesce. This is
+    * the reference's `windGust` probe (`bronze_to_silver.py:35-42`)
+    * upgraded from one optional field to the general mechanism a lake
+    * needs when producers add columns over time. At scale the footer
+    * merge is a metadata operation (one footer per file), not a data
+    * scan. */
+  val fmSchemaMerge: Q = (s, d) => {
+    val dir = tmpDir("fmevolve") + "/orders_gen"
+    val orders = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority"), year(col("o_orderdate")).alias("yr"))
+    orders.filter(col("yr") < 1996)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(dir)
+    orders.filter(col("yr") >= 1996)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("append").parquet(dir)
+    s.read.option("mergeSchema", "true").parquet(dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        coalesce(col("o_orderpriority"), lit("UNKNOWN")).alias("priority"))
+      .groupBy(col("priority"))
+      .agg(
+        count(lit(1)).alias("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long")).alias("price_cents"))
+      .orderBy(col("priority"))
+  }
+
+  /** FM8: corrupt-record quarantine — a JSON-lines feed where every
+    * 7th record is invalid, read in PERMISSIVE mode with a declared
+    * `_corrupt_record` column: bad lines land whole in the quarantine
+    * column instead of killing the job (FAILFAST) or vanishing
+    * (DROPMALFORMED). The aggregate books good rows per lang and the
+    * corrupt count under its own bucket — at 100 TB a feed WILL contain
+    * garbage, and row-level quarantine is the only shape that neither
+    * stops the pipeline nor silently drops data. */
+  val fmCorruptRecords: Q = (s, d) => {
+    val dir = tmpDir("fmcorrupt") + "/docs_jsonl"
+    Tables.documents(s, d)
+      .select(
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit("{bad json line "), col("doc_id")))
+          .otherwise(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))))
+          .alias("value"))
+      .write.mode("overwrite").text(dir)
+    s.read
+      .schema("doc_id BIGINT, lang STRING, n_chars BIGINT, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .groupBy(coalesce(col("lang"), lit("__CORRUPT__")).alias("lang_bucket"))
+      .agg(
+        count(lit(1)).alias("n_rows"),
+        coalesce(sum(col("n_chars")), lit(0L)).alias("total_chars"))
+      .orderBy(col("lang_bucket"))
+  }
+
   /** DT7: snapshot-isolated small-file compaction — commit events
     * scattered across 64 files (v0), apply a deletion-vector commit
     * (v1), then [[graft.ops.Bucketing.compactCommit]] rewrites the live
@@ -241,6 +306,8 @@ object FormatQueries {
     "fm_text_lines" -> fmTextLines,
     "fm_binary_files" -> fmBinaryFiles,
     "fm_xml_roundtrip" -> fmXmlRoundtrip,
+    "fm_schema_merge" -> fmSchemaMerge,
+    "fm_corrupt_records" -> fmCorruptRecords,
     "dt_compact" -> dtCompact
   )
 
@@ -286,6 +353,20 @@ object FormatQueries {
                 strftime(min(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS first_date,
                 strftime(max(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS last_date
          FROM orders
+         GROUP BY 1 ORDER BY 1""",
+    "fm_schema_merge" ->
+      """SELECT CASE WHEN year(o_orderdate) >= 1996 THEN o_orderpriority
+                     ELSE 'UNKNOWN' END AS priority,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+         FROM orders
+         GROUP BY 1 ORDER BY 1""",
+    "fm_corrupt_records" ->
+      """SELECT CASE WHEN doc_id % 7 = 0 THEN '__CORRUPT__' ELSE lang END AS lang_bucket,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(coalesce(sum(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END), 0)
+                     AS BIGINT) AS total_chars
+         FROM documents
          GROUP BY 1 ORDER BY 1""",
     "dt_compact" ->
       """SELECT event_type,

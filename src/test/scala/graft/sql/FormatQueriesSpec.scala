@@ -87,6 +87,41 @@ class FormatQueriesSpec extends SparkSuite {
     assert(matched === 3, "markup content changed through the XML round trip")
   }
 
+  test("mergeSchema surfaces generation-2 columns with NULLs for old rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fmspec-evolve").toString
+    Seq((1L, 10.0)).toDF("k", "v").write.mode("overwrite").parquet(dir)
+    Seq((2L, 20.0, "new")).toDF("k", "v", "tag").write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted === Array("k", "tag", "v"))
+    val rows = merged.orderBy("k").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("tag")), "gen-1 row must NULL the added column")
+    assert(rows(1).getAs[String]("tag") === "new")
+  }
+
+  test("PERMISSIVE quarantines the raw corrupt line; FAILFAST dies on it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fmspec-corrupt").toString
+    Seq("""{"k": 1}""", "{definitely not json").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(dir)
+    val schema = "k BIGINT, _corrupt_record STRING"
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir).cache()
+    try {
+      assert(permissive.count() === 2)
+      val bad = permissive.filter(col("_corrupt_record").isNotNull).collect()
+      assert(bad.length === 1)
+      assert(bad(0).getAs[String]("_corrupt_record") === "{definitely not json")
+      assert(bad(0).isNullAt(bad(0).fieldIndex("k")), "corrupt row must not fabricate fields")
+      intercept[org.apache.spark.SparkException] {
+        spark.read.schema("k BIGINT").option("mode", "FAILFAST").json(dir)
+          .write.format("noop").mode("overwrite").save()
+      }
+    } finally permissive.unpersist()
+  }
+
   test("dt_compact: compaction shrinks to ~1 file and never rewrites history") {
     val table = java.nio.file.Files.createTempDirectory("fmspec-compact").toString + "/ev"
     val ev = Tables.events(spark, sf())
