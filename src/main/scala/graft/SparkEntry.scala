@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CompositeQueries, CorpusQueries, EventAnalytics, FormatQueries, LlmQueries, PruningQueries, RelationalQueries, WeatherQueries}
+import graft.queries.{CompositeQueries, CorpusQueries, EventAnalytics, FormatQueries, LlmQueries, ModernSqlQueries, PruningQueries, RelationalQueries, WeatherQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -25,12 +25,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ CompositeQueries.queries ++ LlmQueries.queries ++
       WeatherQueries.queries ++ EventAnalytics.queries ++ CorpusQueries.queries ++
-      PruningQueries.queries ++ FormatQueries.queries
+      PruningQueries.queries ++ FormatQueries.queries ++ ModernSqlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ CompositeQueries.oracles ++ LlmQueries.oracles ++
       WeatherQueries.oracles ++ EventAnalytics.oracles ++ CorpusQueries.oracles ++
-      PruningQueries.oracles ++ FormatQueries.oracles
+      PruningQueries.oracles ++ FormatQueries.oracles ++ ModernSqlQueries.oracles
 }
