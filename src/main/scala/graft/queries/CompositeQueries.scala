@@ -259,6 +259,17 @@ object CompositeQueries {
         round(col("value"), 4).alias("value"))
       .orderBy(col("event_type"), col("rank"))
 
+  /** ST12 (beyond reference parity): per-user running (count, cents-sum)
+    * profile — the batch window plan of
+    * [[graft.streaming.EventStreams.runningUserStats]]; the streaming
+    * path (Spark 4 `transformWithState`, ValueState per user in the
+    * RocksDB store) is proven batch-parity cross-micro-batch in
+    * `StreamingSpec`. */
+  val st12TwsRunning: Q = (s, d) =>
+    graft.streaming.EventStreams.runningUserStats(
+      Tables.events(s, d).filter(col("user_id") < 50))
+      .orderBy(col("user_id"), col("n_so_far"))
+
   /** ST10 (beyond reference parity): per-window distribution drift
     * ([[graft.streaming.EventStreams.distributionDrift]]) — each hourly
     * window's event-type mix scored (KL, TV) against the overall
@@ -632,6 +643,16 @@ object CompositeQueries {
                 CAST(floor(CAST(sum(tvnum) AS DOUBLE) / (2.0 * max(nt) * max(ct)) * 10000) / 10000
                   AS DOUBLE) AS tv_seen
          FROM t GROUP BY 1 ORDER BY 1""",
+    "st12_tws_running" ->
+      """SELECT user_id, event_id,
+                CAST(row_number() OVER w AS BIGINT) AS n_so_far,
+                CAST(sum(CAST(round(value * 100) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cents_so_far
+         FROM events WHERE user_id < 50
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, n_so_far""",
     "st8_stream_topk" ->
       """WITH r AS (
            SELECT event_type, event_id, value,
@@ -833,6 +854,7 @@ object CompositeQueries {
     "st7_bloom_prefilter" -> st7BloomPrefilter,
     "st8_stream_topk" -> st8StreamTopk,
     "st10_drift" -> st10Drift,
+    "st12_tws_running" -> st12TwsRunning,
     "c1_scd2" -> c1Scd2,
     "c1b_scd2_merge" -> c1bScd2Merge,
     "c2_calendar" -> c2Calendar,

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
 /** Event-stream operators: watermarked windowed aggregation and custom
   * sessionization state — the Structured Streaming surface of the engine.
@@ -426,6 +426,76 @@ object EventStreams {
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("n_events"), col("value_sum"))
         .as[UserSession]
+    }
+  }
+
+  /** transformWithState input/output/state rows (ST12). Cents are exact
+    * longs (HALF_UP at the value's 2-decimal width) so the running sum is
+    * associative and cross-engine exact. */
+  final case class TwsEvent(user_id: Long, event_id: Long, ts_us: Long, value: Double)
+  final case class RunningAgg(n: Long, cents: Long)
+  final case class RunningOut(user_id: Long, event_id: Long, n_so_far: Long, cents_so_far: Long)
+
+  /** Arbitrary-state processor (Spark 4 `transformWithState` API): one
+    * ValueState row per user holding (n, cents). Per micro-batch the
+    * group's rows fold in (ts_us, event_id) order, so a feed that
+    * arrives in event-time order (the spec's contract) emits exactly
+    * the batch window plan's running totals. State is O(users) — two
+    * longs per key in the RocksDB store, never the event history. */
+  private final class RunningStatsProcessor
+      extends StatefulProcessor[Long, TwsEvent, RunningOut] {
+    @transient private var agg: ValueState[RunningAgg] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      agg = getHandle.getValueState[RunningAgg](
+        "agg", org.apache.spark.sql.Encoders.product[RunningAgg], TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[TwsEvent], timers: TimerValues): Iterator[RunningOut] = {
+      var st = if (agg.exists()) agg.get() else RunningAgg(0L, 0L)
+      val out = rows.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+        val cents = BigDecimal(e.value * 100)
+          .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+        st = RunningAgg(st.n + 1, st.cents + cents)
+        RunningOut(key, e.event_id, st.n, st.cents)
+      }
+      agg.update(st)
+      out.iterator
+    }
+  }
+  private type ValueState[S] = org.apache.spark.sql.streaming.ValueState[S]
+
+  /** Per-user running (count, cents-sum) emitted per event — the
+    * cumulative-profile op. Dual-path contract like [[sessionize]]:
+    *
+    *  - STREAMING: `transformWithState` (the Spark 4 arbitrary-state
+    *    API) with a [[RunningStatsProcessor]] ValueState per user —
+    *    requires the RocksDB state store provider (spec sets it).
+    *  - BATCH: a window plan — row_number + running sum over
+    *    (ts_us, event_id) — one shuffle on user_id, no state code.
+    *
+    * StreamingSpec proves the streaming path emits exactly the batch
+    * rows across multiple event-time-ordered micro-batches; the
+    * `st12_tws_running` oracle checks the shared semantics. */
+  def runningUserStats(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    if (events.isStreaming) {
+      events
+        .select(col("user_id").cast("long"), col("event_id").cast("long"),
+          col("ts_us").cast("long"), col("value").cast("double"))
+        .as[TwsEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new RunningStatsProcessor, TimeMode.None(), OutputMode.Append())
+        .toDF()
+    } else {
+      val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      events
+        .select(col("user_id").cast("long"), col("event_id").cast("long"),
+          col("ts_us").cast("long"),
+          round(col("value") * 100).cast("long").alias("__cents"))
+        .withColumn("n_so_far", row_number().over(byTime).cast("long"))
+        .withColumn("cents_so_far",
+          sum(col("__cents")).over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("user_id"), col("event_id"), col("n_so_far"), col("cents_so_far"))
     }
   }
 }

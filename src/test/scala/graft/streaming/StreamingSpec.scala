@@ -752,4 +752,49 @@ class StreamingSpec extends SparkSuite {
     assert(got.filter(_.user_id == 7L).map(_.n_events).toSeq === Seq(2, 1))
     assert(got.count(_.user_id == 8L) === 1)
   }
+
+  test("transformWithState running stats: ValueState survives micro-batches, emits exactly the batch window plan") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the arbitrary-state API requires the RocksDB state store provider
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[EventStreams.TwsEvent]
+      val q = EventStreams.runningUserStats(input.toDF())
+        .writeStream.format("memory").queryName("graft_st12").outputMode("append").start()
+      // two users interleaved, fed in event-time order across THREE
+      // micro-batches — the running totals must carry across batches
+      input.addData(
+        EventStreams.TwsEvent(1L, 10L, 1000L, 1.25),
+        EventStreams.TwsEvent(2L, 11L, 1500L, 2.00),
+        EventStreams.TwsEvent(1L, 12L, 2000L, 0.75))
+      q.processAllAvailable()
+      input.addData(
+        EventStreams.TwsEvent(1L, 13L, 3000L, 10.00),
+        EventStreams.TwsEvent(2L, 14L, 3500L, 0.10))
+      q.processAllAvailable()
+      input.addData(EventStreams.TwsEvent(2L, 15L, 4000L, 5.55))
+      q.processAllAvailable()
+      q.stop()
+
+      val streamed = spark.table("graft_st12")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = EventStreams.runningUserStats(
+        Seq(
+          (1L, 10L, 1000L, 1.25), (2L, 11L, 1500L, 2.00), (1L, 12L, 2000L, 0.75),
+          (1L, 13L, 3000L, 10.00), (2L, 14L, 3500L, 0.10), (2L, 15L, 4000L, 5.55))
+          .toDF("user_id", "event_id", "ts_us", "value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed === batch,
+        s"streaming running stats diverged from the batch window plan:\n$streamed\nvs\n$batch")
+      // spot-check the cumulative cents really accumulated across batches
+      assert(streamed.contains((1L, 13L, 3L, 1200L)), s"user 1 final row wrong: $streamed")
+      assert(streamed.contains((2L, 15L, 3L, 765L)), s"user 2 final row wrong: $streamed")
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
