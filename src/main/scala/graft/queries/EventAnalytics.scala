@@ -192,6 +192,29 @@ object EventAnalytics {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** DT7: snapshot table read through the DataSource V2 connector
+    * ([[graft.sources.SnapshotDataSource]]) — commit the orders fact
+    * range-partitioned into multiple files, apply a deletion-vector
+    * commit, then query via `format("graft-snapshot")`: pruned columns,
+    * a pushed filter, DVs applied inside the partition readers. The
+    * oracle replays the delete predicate + filter as plain SQL — proving
+    * the connector path answers exactly like the engine path (file
+    * skipping and projection are IO-only). */
+  val dtDsv2Scan: Q = (s, d) => {
+    val table = java.nio.file.Files.createTempDirectory("dsv2").toString + "/orders"
+    graft.store.SnapshotStore.commit(
+      Tables.orders(s, d).repartitionByRange(4, col("o_orderkey")), table)
+    graft.store.SnapshotStore.deleteCommit(s, table, Seq("o_orderkey"),
+      pmod(col("o_orderkey"), lit(10)) === 1)
+    s.read.format("graft-snapshot").option("path", table).load()
+      .filter(col("o_totalprice") > 300000.0)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).alias("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).alias("cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** DT5: incremental materialized-aggregate refresh
     * ([[graft.ops.ChangeData.incrementalAggCommit]]) — the orders fact
     * applied as three year-sliced deltas into a per-customer aggregate
@@ -332,6 +355,14 @@ object EventAnalytics {
          WHERE NOT (t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
                     AND s.delta_cents > 80000000)
          ORDER BY c_custkey""",
+    "dt_dsv2_scan" ->
+      """SELECT o_orderpriority,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders
+         WHERE o_totalprice > 300000.0 AND o_orderkey % 10 <> 1
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
     "dt_delete_vectors" ->
       """SELECT o_orderstatus,
                 CAST(count(*) AS BIGINT) AS n_rows,
@@ -402,6 +433,7 @@ object EventAnalytics {
     "dt_time_travel" -> dtTimeTravel,
     "dt_incr_agg" -> dtIncrAgg,
     "dt_delete_vectors" -> dtDeleteVectors,
+    "dt_dsv2_scan" -> dtDsv2Scan,
     "c12_transitions" -> c12Transitions,
     "sk_skew_report" -> skSkewReport
   )

@@ -1,0 +1,409 @@
+package graft.sources
+
+import graft.store.SnapshotStore
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.schema.MessageType
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 connector for [[graft.store.SnapshotStore]] tables:
+  *
+  * {{{
+  *   spark.read.format("graft-snapshot")
+  *     .option("path", tableRoot)          // required
+  *     .option("version", "2")             // optional time travel
+  *     .option("asOf", "2026-01-01 00:00:00") // or wall-clock travel
+  *     .load()
+  * }}}
+  *
+  * and the pure-SQL surface `CREATE TABLE t USING `graft-snapshot`
+  * OPTIONS (path '...')` — the catalog integration the programmatic
+  * `SnapshotStore.read` can't give a SQL-only user.
+  *
+  * Scale design (100 TB):
+  *  - Planning is METADATA-ONLY: the driver lists the snapshot's part
+  *    files and reads parquet FOOTERS, never data pages.
+  *  - Column pruning is real: the pruned schema becomes the parquet
+  *    read projection, so unrequested columns are never decoded
+  *    ([[SnapshotPartitionReader]]).
+  *  - Filter pushdown is used for FILE SKIPPING against footer min/max
+  *    statistics; every filter is also returned as a residual, so Spark
+  *    re-applies it row-level — skipping can only prune, never corrupt.
+  *  - Deletion vectors apply in the reader against an O(deleted-keys)
+  *    key set resolved at planning (the same bound as `readVersion`'s
+  *    broadcast anti join build side).
+  *  - One [[InputPartition]] per part file: parallelism follows the
+  *    writing job's file count, the natural snapshot granularity.
+  *
+  * Unsupported (by design, validated): nested/array/map columns in the
+  * pruned projection, and writes — commits go through the store's CAS
+  * publish ([[SnapshotStore.commit]]), not INSERT.
+  *
+  * Reference analog: the weather warehouse's Athena tables are plain
+  * Glue-catalog parquet locations (`create_views.sql:6`); this connector
+  * is the same "query the table by name" surface with snapshot isolation
+  * on top.
+  */
+final class SnapshotDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-snapshot"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (_, m) = SnapshotDataSource.resolveManifest(options)
+    SparkSession.active.read.parquet(m.data).schema
+  }
+
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform], properties: JMap[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val (tablePath, m) = SnapshotDataSource.resolveManifest(opts)
+    new SnapshotTable(tablePath, m, schema)
+  }
+}
+
+object SnapshotDataSource {
+  /** Resolve the commit manifest the options name: explicit `version`,
+    * wall-clock `asOf` (epoch millis or 'yyyy-MM-dd HH:mm:ss' UTC), or
+    * the newest commit. */
+  private[sources] def resolveManifest(
+      options: CaseInsensitiveStringMap): (String, SnapshotStore.Manifest) = {
+    val spark = SparkSession.active
+    val table = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-snapshot requires option 'path' (the table root)"))
+    val version = Option(options.get("version")).map(_.toLong).orElse {
+      Option(options.get("asOf")).map { s =>
+        val millis = s.toLongOption.getOrElse {
+          java.time.LocalDateTime
+            .parse(s.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        }
+        SnapshotStore.versionAsOf(spark, table, millis)
+      }
+    }.orElse(SnapshotStore.currentVersion(spark, table))
+      .getOrElse(throw new IllegalStateException(s"no committed snapshot under $table"))
+    (table, SnapshotStore.manifest(spark, table, version))
+  }
+}
+
+private[sources] final class SnapshotTable(
+    tablePath: String, m: SnapshotStore.Manifest, tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = tablePath
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SnapshotScanBuilder(m, tableSchema)
+}
+
+private[sources] final class SnapshotScanBuilder(m: SnapshotStore.Manifest, schema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = schema
+  private var skippable: Array[Filter] = Array.empty
+
+  /** Accept the stats-skippable comparisons for file pruning; EVERY
+    * filter is returned as a residual so Spark re-applies it row-level
+    * — pushdown here can only reduce IO, never change answers. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    skippable = filters.filter(SnapshotScan.isSkippable)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = skippable
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def build(): Scan = new SnapshotScan(m, schema, required, skippable)
+}
+
+private[sources] object SnapshotScan {
+  /** Filters usable for footer min/max file skipping: flat comparisons
+    * on atomic numeric/string columns. */
+  def isSkippable(f: Filter): Boolean = f match {
+    case EqualTo(_, v)            => atomic(v)
+    case GreaterThan(_, v)        => atomic(v)
+    case GreaterThanOrEqual(_, v) => atomic(v)
+    case LessThan(_, v)           => atomic(v)
+    case LessThanOrEqual(_, v)    => atomic(v)
+    case In(_, vs)                => vs.nonEmpty && vs.forall(atomic)
+    case _                        => false
+  }
+  private def atomic(v: Any): Boolean = v match {
+    case _: Long | _: Int | _: Short | _: Byte | _: Double | _: Float | _: String => true
+    case _ => false
+  }
+
+  /** Conservative exclusion: true only when the column's [min, max]
+    * provably contains no qualifying value. Type mismatch → keep. */
+  def excludes(f: Filter, stats: Map[String, (Any, Any)]): Boolean = {
+    def cmp(v: Any, bound: Any): Option[Int] = (v, bound) match {
+      case (a: Number, b: Number)
+          if !a.isInstanceOf[java.lang.Double] && !a.isInstanceOf[java.lang.Float] &&
+            (b.isInstanceOf[java.lang.Long] || b.isInstanceOf[java.lang.Integer]) =>
+        Some(java.lang.Long.compare(a.longValue(), b.longValue()))
+      case (a: Number, b: Number) => Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
+      case (a: String, b: String) => Some(a.compareTo(b))
+      case _                      => None
+    }
+    def outside(col: String, check: ((Any, Any)) => Option[Boolean]): Boolean =
+      stats.get(col).flatMap(check).getOrElse(false)
+    f match {
+      case EqualTo(c, v) => outside(c, { case (mn, mx) =>
+        for (a <- cmp(v, mn); b <- cmp(v, mx)) yield a < 0 || b > 0 })
+      case GreaterThan(c, v) => outside(c, { case (_, mx) => cmp(v, mx).map(_ >= 0) })
+      case GreaterThanOrEqual(c, v) => outside(c, { case (_, mx) => cmp(v, mx).map(_ > 0) })
+      case LessThan(c, v) => outside(c, { case (mn, _) => cmp(v, mn).map(_ <= 0) })
+      case LessThanOrEqual(c, v) => outside(c, { case (mn, _) => cmp(v, mn).map(_ < 0) })
+      case In(c, vs) => vs.forall(v => excludes(EqualTo(c, v), stats))
+      case _ => false
+    }
+  }
+}
+
+private[sources] final class SnapshotScan(
+    m: SnapshotStore.Manifest,
+    fullSchema: StructType,
+    required: StructType,
+    skippable: Array[Filter])
+    extends Scan with Batch {
+
+  // ---- driver-side, metadata-only planning (footers, never data pages)
+  private val spark = SparkSession.active
+  private val hadoopConf = spark.sparkContext.hadoopConfiguration
+
+  private lazy val (keptFiles: Seq[String], totalFiles: Int) = {
+    val dir = new Path(m.data)
+    val fs = dir.getFileSystem(hadoopConf)
+    val all = fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    val kept =
+      if (skippable.isEmpty) all
+      else all.filter { p =>
+        val stats = footerStats(p)
+        !skippable.exists(f => SnapshotScan.excludes(f, stats))
+      }
+    (kept.map(_.toString), all.size)
+  }
+
+  /** Per-column (min, max) over all row groups of one file, for columns
+    * whose every row group carries comparable stats. */
+  private def footerStats(p: Path): Map[String, (Any, Any)] = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, hadoopConf))
+    try {
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      if (blocks.isEmpty) return Map.empty
+      val perBlock: Seq[Map[String, (Any, Any)]] = blocks.map { b =>
+        b.getColumns.asScala.flatMap { c =>
+          val s = c.getStatistics
+          if (s == null || !s.hasNonNullValue || c.getPath.size != 1) None
+          else {
+            val col = c.getPath.iterator().next()
+            (s.genericGetMin, s.genericGetMax) match {
+              case (mn: Number, mx: Number) => Some(col -> (mn: Any, mx: Any))
+              case (mn: org.apache.parquet.io.api.Binary, mx: org.apache.parquet.io.api.Binary)
+                  if c.getPrimitiveType.getLogicalTypeAnnotation != null &&
+                    c.getPrimitiveType.getLogicalTypeAnnotation.toString == "STRING" =>
+                Some(col -> (mn.toStringUsingUTF8: Any, mx.toStringUsingUTF8: Any))
+              case _ => None
+            }
+          }
+        }.toMap
+      }
+      // a column qualifies only if EVERY row group reported stats for it
+      val cols = perBlock.map(_.keySet).reduce(_ intersect _)
+      cols.map { c =>
+        val mins = perBlock.map(_(c)._1)
+        val maxs = perBlock.map(_(c)._2)
+        def least(vs: Seq[Any]): Any = vs.reduce { (a, b) =>
+          (a, b) match {
+            case (x: Number, y: Number) if x.doubleValue() <= y.doubleValue() => x
+            case (_: Number, y: Number) => y
+            case (x: String, y: String) => if (x <= y) x else y
+            case _ => a
+          }
+        }
+        def greatest(vs: Seq[Any]): Any = vs.reduce { (a, b) =>
+          (a, b) match {
+            case (x: Number, y: Number) if x.doubleValue() >= y.doubleValue() => x
+            case (_: Number, y: Number) => y
+            case (x: String, y: String) => if (x >= y) x else y
+            case _ => a
+          }
+        }
+        c -> (least(mins), greatest(maxs))
+      }.toMap
+    } finally r.close()
+  }
+
+  /** Deletion-vector key tuples, resolved once at planning; O(deleted
+    * keys) — the same bound as readVersion's broadcast build side. */
+  private lazy val dvKeys: Set[Seq[Any]] =
+    if (m.deletes.isEmpty) Set.empty
+    else spark.read.parquet(m.deletes: _*)
+      .select(m.keyCols.map(org.apache.spark.sql.functions.col): _*)
+      .distinct().collect()
+      .map(r => Seq.tabulate(r.length)(r.get)).toSet
+
+  override def readSchema(): StructType = required
+
+  override def description(): String = {
+    val files = s"files=${keptFiles.size}/$totalFiles"
+    val dv = if (m.deletes.isEmpty) "" else s", dvKeys=${dvKeys.size}"
+    s"graft-snapshot ${m.data} ($files$dv, pushed=${skippable.mkString("[", ",", "]")})"
+  }
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    keptFiles.map(f => SnapshotInputPartition(f): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SnapshotReaderFactory(required, m.keyCols, dvKeys,
+      new SerializableHadoopConf(hadoopConf))
+}
+
+private[sources] final case class SnapshotInputPartition(file: String) extends InputPartition
+
+/** Hadoop Configuration is not Serializable; ship it writable-style. */
+private[sources] final class SerializableHadoopConf(@transient var conf: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject(); conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject(); conf = new Configuration(false); conf.readFields(in)
+  }
+}
+
+private[sources] final class SnapshotReaderFactory(
+    required: StructType,
+    keyCols: Seq[String],
+    dvKeys: Set[Seq[Any]],
+    conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new SnapshotPartitionReader(
+      partition.asInstanceOf[SnapshotInputPartition].file, required, keyCols, dvKeys, conf.conf)
+}
+
+/** Row-by-row parquet reader over one part file: projection-pruned at
+  * the parquet layer, deletion-vector keys filtered before the row is
+  * materialized. Columns the file lacks (schema evolution) read null. */
+private[sources] final class SnapshotPartitionReader(
+    file: String,
+    required: StructType,
+    keyCols: Seq[String],
+    dvKeys: Set[Seq[Any]],
+    conf: Configuration)
+    extends PartitionReader[InternalRow] {
+
+  private val path = new Path(file)
+  // projection = required columns ∪ DV key columns, restricted to what
+  // THIS file carries (evolution: absent columns stay null)
+  private val fileSchema: MessageType = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    try r.getFooter.getFileMetaData.getSchema finally r.close()
+  }
+  private val wantDv = dvKeys.nonEmpty
+  private val wanted: Seq[String] =
+    (required.fieldNames.toSeq ++ (if (wantDv) keyCols else Nil)).distinct
+  private val present: Seq[String] = wanted.filter(fileSchema.containsField)
+  private val reader: ParquetReader[Group] = {
+    val c = new Configuration(conf)
+    val projection = new MessageType(
+      fileSchema.getName, present.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))).asJava)
+    c.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+    ParquetReader.builder(new GroupReadSupport(), path).withConf(c).build()
+  }
+
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    while (current != null && wantDv && dvKeys.contains(keyOf(current))) {
+      current = reader.read()
+    }
+    current != null
+  }
+
+  private def jvmValue(g: Group, name: String, dt: DataType): Any = {
+    val idx = g.getType.getFieldIndex(name)
+    if (g.getFieldRepetitionCount(idx) == 0) null
+    else dt match {
+      case LongType                         => g.getLong(idx, 0)
+      case IntegerType                      => g.getInteger(idx, 0)
+      case DoubleType                       => g.getDouble(idx, 0)
+      case FloatType                        => g.getFloat(idx, 0)
+      case BooleanType                      => g.getBoolean(idx, 0)
+      case StringType                       => g.getString(idx, 0)
+      case TimestampType | TimestampNTZType => g.getLong(idx, 0) // INT64 micros
+      case DateType                         => g.getInteger(idx, 0) // int32 days
+      case BinaryType                       => g.getBinary(idx, 0).getBytes
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft-snapshot: unsupported column type $other for '$name' " +
+            "(nested/array/map columns are not served by this connector)")
+    }
+  }
+
+  private def keyOf(g: Group): Seq[Any] = keyCols.map { k =>
+    if (!g.getType.containsField(k)) null
+    else {
+      val dt = requiredTypeOf(k)
+      jvmValue(g, k, dt)
+    }
+  }
+
+  private val typeByName: Map[String, DataType] =
+    required.fields.map(f => f.name -> f.dataType).toMap
+  private def requiredTypeOf(k: String): DataType =
+    // key columns may be pruned out of `required`; fall back to the
+    // physical primitive (snapshot keys are long/int/string in practice)
+    typeByName.getOrElse(k, {
+      val t = fileSchema.getType(fileSchema.getFieldIndex(k)).asPrimitiveType()
+      t.getPrimitiveTypeName match {
+        case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64  => LongType
+        case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32  => IntegerType
+        case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.DOUBLE => DoubleType
+        case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY => StringType
+        case other => throw new UnsupportedOperationException(
+          s"graft-snapshot: unsupported deletion-vector key type $other for '$k'")
+      }
+    })
+
+  override def get(): InternalRow = {
+    val g = current
+    val vals = required.fields.map { f =>
+      if (!g.getType.containsField(f.name)) null
+      else jvmValue(g, f.name, f.dataType) match {
+        case null      => null
+        case s: String => UTF8String.fromString(s)
+        case v         => v
+      }
+    }
+    new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+  }
+
+  override def close(): Unit = reader.close()
+}

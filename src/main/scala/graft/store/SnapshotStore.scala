@@ -286,14 +286,17 @@ object SnapshotStore {
     * companion to version-number [[readVersion]]. Commit times come
     * from the markers (monotone per table because versions are
     * CAS-serialized). Throws if the table has no snapshot that old. */
-  def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame = {
+  def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame =
+    readVersion(spark, table, versionAsOf(spark, table, tsMillis))
+
+  /** Newest committed version whose commit wall-clock is at or before
+    * `tsMillis` (CAS-serialized versions make commit times monotone). */
+  def versionAsOf(spark: SparkSession, table: String, tsMillis: Long): Long = {
     val vs = versions(spark, table)
     val candidates = vs.map(v => v -> manifest(spark, table, v).ts)
-    candidates.filter { case (_, ts) => ts > 0L && ts <= tsMillis }.map(_._1).lastOption match {
-      case Some(v) => readVersion(spark, table, v)
-      case None => throw new IllegalArgumentException(
-        s"no snapshot at or before $tsMillis under $table (commits: ${candidates.map(_._2).mkString(",")})")
-    }
+    candidates.filter { case (_, ts) => ts > 0L && ts <= tsMillis }.map(_._1).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot at or before $tsMillis under $table (commits: ${candidates.map(_._2).mkString(",")})"))
   }
 
   /** Retention GC: drop all but the newest `keep` committed snapshots,

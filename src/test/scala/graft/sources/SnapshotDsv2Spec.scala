@@ -1,0 +1,115 @@
+package graft.sources
+
+import graft.SparkSuite
+import graft.store.SnapshotStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** DSv2 connector properties the dt_dsv2_scan oracle can't see: plan-
+  * level column pruning, footer-stats file skipping, time travel through
+  * reader options, deletion vectors inside the partition readers, and
+  * the pure-SQL CREATE TABLE surface. */
+class SnapshotDsv2Spec extends SparkSuite {
+
+  private def freshTable(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  private def scanOf(df: DataFrame) =
+    df.queryExecution.sparkPlan.collectFirst { case b: BatchScanExec => b.scan }
+      .getOrElse(fail(s"no BatchScanExec in plan:\n${df.queryExecution.sparkPlan}"))
+
+  private def load(table: String): DataFrame =
+    spark.read.format("graft-snapshot").option("path", table).load()
+
+  test("connector read equals SnapshotStore.read, including after a second commit") {
+    val table = freshTable("dsv2-basic")
+    val orders = graft.sources.Tables.orders(spark, sf())
+    SnapshotStore.commit(orders, table)
+    assert(load(table).collect().toSet === SnapshotStore.read(spark, table).collect().toSet)
+
+    SnapshotStore.commit(orders.filter(col("o_orderkey") % 2 === 0), table)
+    assert(load(table).count() === SnapshotStore.read(spark, table).count())
+    // explicit version pins the old snapshot
+    val v0 = spark.read.format("graft-snapshot")
+      .option("path", table).option("version", "0").load()
+    assert(v0.count() === orders.count())
+  }
+
+  test("asOf option resolves the wall-clock version like readAsOf") {
+    val table = freshTable("dsv2-asof")
+    val orders = graft.sources.Tables.orders(spark, sf())
+    SnapshotStore.commit(orders.limit(10), table)
+    val betweenCommits = System.currentTimeMillis()
+    Thread.sleep(5)
+    SnapshotStore.commit(orders.limit(20), table)
+    val asOf = spark.read.format("graft-snapshot")
+      .option("path", table).option("asOf", betweenCommits.toString).load()
+    assert(asOf.count() === 10, "asOf did not pin the first commit")
+  }
+
+  test("column pruning reaches the scan; filters report as pushed") {
+    val table = freshTable("dsv2-prune")
+    SnapshotStore.commit(graft.sources.Tables.orders(spark, sf()), table)
+    val q = load(table)
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val scan = scanOf(q)
+    assert(scan.readSchema().fieldNames.toSet === Set("o_orderkey", "o_totalprice"),
+      s"projection not pruned: ${scan.readSchema()}")
+    assert(scan.description().contains("o_totalprice"),
+      s"price filter not reported pushed: ${scan.description()}")
+    // residual semantics: values still exactly right
+    val expect = graft.sources.Tables.orders(spark, sf())
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"), col("o_totalprice")).collect().toSet
+    assert(q.collect().toSet === expect)
+  }
+
+  test("footer stats skip files the predicate excludes") {
+    val table = freshTable("dsv2-skip")
+    // range-partitioned commit → disjoint o_orderkey ranges per file
+    SnapshotStore.commit(
+      graft.sources.Tables.orders(spark, sf()).repartitionByRange(4, col("o_orderkey")), table)
+    val q = load(table).filter(col("o_orderkey") === 17L)
+    val desc = scanOf(q).description()
+    val files = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+      .getOrElse(fail(s"no file counts in scan description: $desc"))
+    assert(files.group(2).toInt >= 4, s"expected >=4 part files: $desc")
+    assert(files.group(1).toInt === 1, s"point lookup should keep exactly 1 file: $desc")
+    assert(q.count() === 1)
+    // an excluded-everywhere predicate keeps zero files but still answers
+    val none = load(table).filter(col("o_orderkey") === -5L)
+    assert("files=(\\d+)/".r.findFirstMatchIn(scanOf(none).description()).get.group(1).toInt === 0)
+    assert(none.count() === 0)
+  }
+
+  test("deletion vectors apply inside the partition readers") {
+    val table = freshTable("dsv2-dv")
+    val orders = graft.sources.Tables.orders(spark, sf())
+    SnapshotStore.commit(orders, table)
+    SnapshotStore.deleteCommit(spark, table, Seq("o_orderkey"),
+      pmod(col("o_orderkey"), lit(3)) === 0)
+    val got = load(table)
+    assert(got.filter(col("o_orderkey") % 3 === 0).count() === 0, "deleted keys visible")
+    assert(got.count() === SnapshotStore.read(spark, table).count())
+    // pruning a projection that drops the key column still applies DVs
+    val pruned = load(table).select(col("o_orderpriority"))
+    assert(pruned.count() === got.count())
+  }
+
+  test("pure-SQL surface: CREATE TABLE ... USING graft-snapshot") {
+    val table = freshTable("dsv2-sql")
+    SnapshotStore.commit(graft.sources.Tables.nation(spark, sf()), table)
+    spark.sql("DROP TABLE IF EXISTS graft_dsv2_nation")
+    spark.sql(
+      s"CREATE TABLE graft_dsv2_nation USING `graft-snapshot` OPTIONS (path '$table')")
+    try {
+      val n = spark.sql(
+        "SELECT count(*) AS c FROM graft_dsv2_nation WHERE n_regionkey < 3").collect()(0).getLong(0)
+      val expect = graft.sources.Tables.nation(spark, sf())
+        .filter(col("n_regionkey") < 3).count()
+      assert(n === expect)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_dsv2_nation")
+  }
+}
