@@ -98,6 +98,53 @@ class SnapshotDsv2Spec extends SparkSuite {
     assert(pruned.count() === got.count())
   }
 
+  test("write path: mode(overwrite) commits an atomic new version; engine reads it back") {
+    val table = freshTable("dsv2-write")
+    val orders = graft.sources.Tables.orders(spark, sf())
+    SnapshotStore.commit(orders, table) // v0
+    // note: a NARROWER frame would be legal too — V2 output resolution
+    // pads missing nullable columns to the table schema
+    val replacement = orders.filter(col("o_orderkey") < 100)
+    replacement.write.format("graft-snapshot").option("path", table)
+      .mode("overwrite").save() // v1 via the CAS commit protocol
+    assert(SnapshotStore.versions(spark, table) === Seq(0L, 1L))
+    // the ENGINE path reads the connector-written snapshot bit-exactly
+    assert(SnapshotStore.read(spark, table).collect().toSet === replacement.collect().toSet)
+    // and the connector reads its own write
+    assert(load(table).count() === replacement.count())
+    // time travel still reaches the pre-overwrite snapshot
+    assert(SnapshotStore.readVersion(spark, table, 0L).count() === orders.count())
+  }
+
+  test("write path: plain append is rejected with the incremental-path guidance") {
+    val table = freshTable("dsv2-append")
+    SnapshotStore.commit(graft.sources.Tables.nation(spark, sf()), table)
+    val e = intercept[Exception] {
+      graft.sources.Tables.nation(spark, sf())
+        .write.format("graft-snapshot").option("path", table).mode("append").save()
+    }
+    assert(e.getMessage.contains("INSERT OVERWRITE"),
+      s"append refusal should point at the scale-honest paths: ${e.getMessage}")
+  }
+
+  test("pure-SQL surface: INSERT OVERWRITE through the catalog table") {
+    val table = freshTable("dsv2-sqlwrite")
+    SnapshotStore.commit(
+      graft.sources.Tables.nation(spark, sf()).select("n_nationkey", "n_name"), table)
+    spark.sql("DROP TABLE IF EXISTS graft_dsv2_wnation")
+    spark.sql(
+      s"CREATE TABLE graft_dsv2_wnation USING `graft-snapshot` OPTIONS (path '$table')")
+    try {
+      spark.sql(
+        """INSERT OVERWRITE graft_dsv2_wnation
+           SELECT CAST(n_nationkey + 100 AS INT) AS n_nationkey, upper(n_name) AS n_name
+           FROM graft_dsv2_wnation""")
+      val got = SnapshotStore.read(spark, table)
+      assert(got.agg(min(col("n_nationkey"))).head().getInt(0) === 100)
+      assert(SnapshotStore.versions(spark, table).size === 2)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_dsv2_wnation")
+  }
+
   test("pure-SQL surface: CREATE TABLE ... USING graft-snapshot") {
     val table = freshTable("dsv2-sql")
     SnapshotStore.commit(graft.sources.Tables.nation(spark, sf()), table)
