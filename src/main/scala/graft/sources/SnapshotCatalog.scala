@@ -1,0 +1,124 @@
+package graft.sources
+
+import graft.store.SnapshotStore
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util.{Map => JMap}
+
+/** TableCatalog plugin over a warehouse of [[SnapshotStore]] tables —
+  * the pure-SQL multi-table surface, including Spark's NATIVE time
+  * travel syntax:
+  *
+  * {{{
+  *   spark.conf: spark.sql.catalog.snap = graft.sources.SnapshotCatalog
+  *               spark.sql.catalog.snap.warehouse = /data/warehouse
+  *
+  *   SELECT * FROM snap.sales.orders                  -- newest snapshot
+  *   SELECT * FROM snap.sales.orders VERSION AS OF 3  -- commit number
+  *   SELECT * FROM snap.sales.orders TIMESTAMP AS OF '2026-08-01'
+  *   INSERT OVERWRITE snap.sales.orders SELECT ...    -- CAS-committed v+1
+  * }}}
+  *
+  * Identifier → path mapping is `warehouse/namespace…/table`; a table
+  * EXISTS iff its `_commits/` dir does — tables are born from
+  * `SnapshotStore.commit` (or an engine job), not DDL, so `CREATE
+  * TABLE` is refused with that guidance and `DROP TABLE` removes the
+  * whole snapshot tree. Catalog calls are metadata-only (commit-marker
+  * listing + parquet footers); no data pages are read at resolution.
+  *
+  * Reference analog: the Glue Data Catalog naming Athena's tables
+  * (`create_views.sql:6` resolves `weather_warehouse.fact_current_
+  * weather` the same way) — with snapshot versions instead of mutable
+  * locations.
+  */
+final class SnapshotCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires option 'warehouse' (spark.sql.catalog.$name.warehouse)"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark = SparkSession.active
+
+  private def tableRoot(ident: Identifier): String =
+    (warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/")
+
+  override def tableExists(ident: Identifier): Boolean =
+    SnapshotStore.versions(spark, tableRoot(ident)).nonEmpty
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace.toSeq)
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && fs.exists(new Path(s.getPath, "_commits")))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+      .toArray
+  }
+
+  private def tableAt(ident: Identifier, version: Long): Table = {
+    val root = tableRoot(ident)
+    val m = SnapshotStore.manifest(spark, root, version)
+    new SnapshotTable(root, m, spark.read.parquet(m.data).schema)
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = tableRoot(ident)
+    SnapshotStore.currentVersion(spark, root) match {
+      case Some(v) => tableAt(ident, v)
+      case None    => throw new NoSuchTableException(ident)
+    }
+  }
+
+  /** `VERSION AS OF <n>` — the commit number. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = version.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"graft snapshot versions are commit numbers; got '$version'"))
+    if (!SnapshotStore.versions(spark, tableRoot(ident)).contains(v))
+      throw new NoSuchTableException(ident)
+    tableAt(ident, v)
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands epoch MICROseconds. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val root = tableRoot(ident)
+    if (SnapshotStore.versions(spark, root).isEmpty)
+      throw new NoSuchTableException(ident)
+    tableAt(ident, SnapshotStore.versionAsOf(spark, root, timestampMicros / 1000L))
+  }
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: JMap[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft snapshot tables are born from their first commit " +
+        "(SnapshotStore.commit / an engine job writing under the warehouse), not DDL")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "snapshot schema evolves through commits; ALTER TABLE is not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = new Path(tableRoot(ident))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(root) && fs.delete(root, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("rename is not supported for snapshot tables")
+}

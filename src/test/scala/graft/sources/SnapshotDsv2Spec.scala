@@ -145,6 +145,56 @@ class SnapshotDsv2Spec extends SparkSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_dsv2_wnation")
   }
 
+  test("TableCatalog plugin: namespaced tables, native VERSION/TIMESTAMP AS OF, INSERT OVERWRITE") {
+    val wh = java.nio.file.Files.createTempDirectory("dsv2-wh").toString
+    spark.conf.set("spark.sql.catalog.graftsnap", classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftsnap.warehouse", wh)
+    try {
+      val nation = graft.sources.Tables.nation(spark, sf())
+      SnapshotStore.commit(nation, s"$wh/dims/nation") // v0: 25 rows
+      val betweenCommits = System.currentTimeMillis()
+      Thread.sleep(5)
+      SnapshotStore.commit(nation.filter(col("n_regionkey") < 2), s"$wh/dims/nation") // v1: 10
+
+      assert(spark.sql("SELECT count(*) AS c FROM graftsnap.dims.nation")
+        .head().getLong(0) === 10)
+      assert(spark.sql("SELECT count(*) AS c FROM graftsnap.dims.nation VERSION AS OF 0")
+        .head().getLong(0) === 25)
+      // a far-future instant resolves to the newest commit
+      assert(spark.sql(
+        "SELECT count(*) AS c FROM graftsnap.dims.nation TIMESTAMP AS OF '2999-01-01'")
+        .head().getLong(0) === 10)
+      // between-commit wall-clock resolution (micros, per the catalog API)
+      val cat = spark.sessionState.catalogManager.catalog("graftsnap")
+        .asInstanceOf[SnapshotCatalog]
+      val ident = org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("dims"), "nation")
+      val pinned = cat.loadTable(ident, betweenCommits * 1000L)
+      assert(pinned.asInstanceOf[SnapshotTable].name().endsWith("dims/nation"))
+
+      assert(spark.sql("SHOW TABLES IN graftsnap.dims").collect()
+        .map(_.getString(1)).toSeq === Seq("nation"))
+
+      // SQL write through the catalog identifier: a CAS-committed v2
+      spark.sql(
+        """INSERT OVERWRITE graftsnap.dims.nation
+           SELECT n_nationkey, n_name, n_regionkey FROM graftsnap.dims.nation VERSION AS OF 0
+           WHERE n_regionkey = 4""")
+      assert(SnapshotStore.versions(spark, s"$wh/dims/nation") === Seq(0L, 1L, 2L))
+      assert(spark.sql("SELECT count(*) AS c FROM graftsnap.dims.nation").head().getLong(0) ===
+        nation.filter(col("n_regionkey") === 4).count())
+
+      val e = intercept[Exception] {
+        spark.sql("CREATE TABLE graftsnap.dims.fresh (id BIGINT) USING parquet")
+      }
+      assert(e.getMessage.contains("first commit"),
+        s"CREATE TABLE refusal should explain how tables are born: ${e.getMessage}")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graftsnap.warehouse")
+      spark.conf.unset("spark.sql.catalog.graftsnap")
+    }
+  }
+
   test("pure-SQL surface: CREATE TABLE ... USING graft-snapshot") {
     val table = freshTable("dsv2-sql")
     SnapshotStore.commit(graft.sources.Tables.nation(spark, sf()), table)
