@@ -197,28 +197,32 @@ private[sources] final class SnapshotScan(
   private val spark = SparkSession.active
   private val hadoopConf = spark.sparkContext.hadoopConfiguration
 
-  private lazy val (keptFiles: Seq[String], totalFiles: Int) = {
+  private lazy val (keptFiles: Seq[String], totalFiles: Int, allColumnsPresent: Boolean) = {
     val dir = new Path(m.data)
     val fs = dir.getFileSystem(hadoopConf)
     val all = fs.listStatus(dir).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath)
-    val kept =
-      if (skippable.isEmpty) all
-      else all.filter { p =>
-        val stats = footerStats(p)
-        !skippable.exists(f => SnapshotScan.excludes(f, stats))
-      }
-    (kept.map(_.toString), all.size)
+    var allPresent = true
+    val kept = all.filter { p =>
+      val (stats, fields) = footerInfo(p)
+      if (!required.fieldNames.forall(fields)) allPresent = false
+      skippable.isEmpty || !skippable.exists(f => SnapshotScan.excludes(f, stats))
+    }
+    (kept.map(_.toString), all.size, allPresent)
   }
 
-  /** Per-column (min, max) over all row groups of one file, for columns
-    * whose every row group carries comparable stats. */
-  private def footerStats(p: Path): Map[String, (Any, Any)] = {
+  /** Per-column (min, max) over all row groups of one file (for columns
+    * whose every row group carries comparable stats), plus the file's
+    * top-level field names — one footer read serves skipping AND the
+    * columnar-eligibility check. */
+  private def footerInfo(p: Path): (Map[String, (Any, Any)], Set[String]) = {
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, hadoopConf))
     try {
+      val fields = r.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .map(_.getName).toSet
       val blocks = r.getFooter.getBlocks.asScala.toSeq
-      if (blocks.isEmpty) return Map.empty
+      if (blocks.isEmpty) return (Map.empty, fields)
       val perBlock: Seq[Map[String, (Any, Any)]] = blocks.map { b =>
         b.getColumns.asScala.flatMap { c =>
           val s = c.getStatistics
@@ -238,7 +242,7 @@ private[sources] final class SnapshotScan(
       }
       // a column qualifies only if EVERY row group reported stats for it
       val cols = perBlock.map(_.keySet).reduce(_ intersect _)
-      cols.map { c =>
+      val stats = cols.map { c =>
         val mins = perBlock.map(_(c)._1)
         val maxs = perBlock.map(_(c)._2)
         def least(vs: Seq[Any]): Any = vs.reduce { (a, b) =>
@@ -259,6 +263,7 @@ private[sources] final class SnapshotScan(
         }
         c -> (least(mins), greatest(maxs))
       }.toMap
+      (stats, fields)
     } finally r.close()
   }
 
@@ -273,10 +278,22 @@ private[sources] final class SnapshotScan(
 
   override def readSchema(): StructType = required
 
+  /** Vectorized reading needs row-level fidelity the batch API can't
+    * give when deletion vectors must drop rows, and every file must
+    * carry every requested column; otherwise fall back to the row
+    * reader (correct for both). */
+  private lazy val columnar: Boolean =
+    m.deletes.isEmpty && allColumnsPresent &&
+      required.fields.forall(f => f.dataType match {
+        case _: StructType | _: ArrayType | _: MapType => false
+        case _                                         => true
+      })
+
   override def description(): String = {
     val files = s"files=${keptFiles.size}/$totalFiles"
     val dv = if (m.deletes.isEmpty) "" else s", dvKeys=${dvKeys.size}"
-    s"graft-snapshot ${m.data} ($files$dv, pushed=${skippable.mkString("[", ",", "]")})"
+    val mode = if (columnar) "vectorized" else "row"
+    s"graft-snapshot ${m.data} ($files, $mode$dv, pushed=${skippable.mkString("[", ",", "]")})"
   }
 
   override def toBatch: Batch = this
@@ -285,7 +302,7 @@ private[sources] final class SnapshotScan(
     keptFiles.map(f => SnapshotInputPartition(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SnapshotReaderFactory(required, m.keyCols, dvKeys,
+    new SnapshotReaderFactory(required, m.keyCols, dvKeys, columnar,
       new SerializableHadoopConf(hadoopConf))
 }
 
@@ -306,11 +323,42 @@ private[sources] final class SnapshotReaderFactory(
     required: StructType,
     keyCols: Seq[String],
     dvKeys: Set[Seq[Any]],
+    columnar: Boolean,
     conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new SnapshotPartitionReader(
       partition.asInstanceOf[SnapshotInputPartition].file, required, keyCols, dvKeys, conf.conf)
+
+  // columnar mode is an all-partitions-or-none decision made at planning
+  // (BatchScanExec requires a uniform answer), so the partition argument
+  // is deliberately unused
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new SnapshotColumnarReader(
+      partition.asInstanceOf[SnapshotInputPartition].file, required)
+}
+
+/** Vectorized path: Spark's own VectorizedParquetRecordReader serves
+  * ColumnarBatches straight from the parquet pages — the same decode
+  * kernel the built-in parquet source uses, so the connector pays no
+  * row-materialization tax on the scan side when no deletion vectors
+  * apply. Column pruning is by name through the reader's projection. */
+private[sources] final class SnapshotColumnarReader(file: String, required: StructType)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  private val reader =
+    new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
+      /* useOffHeap = */ false, /* capacity = */ 4096)
+  reader.initialize(file, java.util.Arrays.asList(required.fieldNames: _*))
+  reader.initBatch(new StructType(), InternalRow.empty)
+  reader.enableReturningBatches()
+
+  override def next(): Boolean = reader.nextBatch()
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = reader.resultBatch()
+  override def close(): Unit = reader.close()
 }
 
 /** Row-by-row parquet reader over one part file: projection-pruned at

@@ -84,6 +84,25 @@ class SnapshotDsv2Spec extends SparkSuite {
     assert(none.count() === 0)
   }
 
+  test("vectorized path serves DV-free scans; DVs and evolution fall back to the row reader") {
+    val table = freshTable("dsv2-vec")
+    val orders = graft.sources.Tables.orders(spark, sf())
+    SnapshotStore.commit(orders, table)
+    val clean = load(table).select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+    assert(scanOf(clean).description().contains("vectorized"),
+      s"DV-free scan should be columnar: ${scanOf(clean).description()}")
+    // vectorized values identical to the engine read (timestamps included)
+    assert(clean.collect().toSet ===
+      SnapshotStore.read(spark, table)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate")).collect().toSet)
+
+    SnapshotStore.deleteCommit(spark, table, Seq("o_orderkey"), col("o_orderkey") < 10)
+    val withDv = load(table)
+    assert(scanOf(withDv).description().contains("row"),
+      s"DV scan must take the row path: ${scanOf(withDv).description()}")
+    assert(withDv.count() === orders.filter(col("o_orderkey") >= 10).count())
+  }
+
   test("deletion vectors apply inside the partition readers") {
     val table = freshTable("dsv2-dv")
     val orders = graft.sources.Tables.orders(spark, sf())
