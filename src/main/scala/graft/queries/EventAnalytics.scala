@@ -202,8 +202,13 @@ object EventAnalytics {
     * skipping and projection are IO-only). */
   val dtDsv2Scan: Q = (s, d) => {
     val table = java.nio.file.Files.createTempDirectory("dsv2").toString + "/orders"
+    // file count scales with the session's parallelism, not a constant:
+    // snapshot files bound BOTH the write fan-out and the connector's
+    // read partitions (one InputPartition per file), so 4 files at sf10
+    // would serialize 1.5M-row file reads (measured 44 s -> see SCALE.md)
+    val files = s.sparkContext.defaultParallelism.max(4)
     graft.store.SnapshotStore.commit(
-      Tables.orders(s, d).repartitionByRange(4, col("o_orderkey")), table)
+      Tables.orders(s, d).repartitionByRange(files, col("o_orderkey")), table)
     graft.store.SnapshotStore.deleteCommit(s, table, Seq("o_orderkey"),
       pmod(col("o_orderkey"), lit(10)) === 1)
     s.read.format("graft-snapshot").option("path", table).load()
@@ -213,6 +218,38 @@ object EventAnalytics {
         count(lit(1)).alias("n"),
         sum(round(col("o_totalprice") * 100).cast("long")).alias("cents"))
       .orderBy(col("o_orderpriority"))
+  }
+
+  /** DT8: the TableCatalog surface end-to-end — commit the orders fact
+    * under a warehouse (v0), apply a deletion-vector commit (v1), then
+    * answer ENTIRELY in SQL through [[graft.sources.SnapshotCatalog]]
+    * with Spark's native `VERSION AS OF` time travel. The catalog name
+    * is derived from the warehouse path (catalog instances are cached
+    * by name per session — a fixed name would pin the first run's
+    * warehouse forever). Oracle replays both versions as plain filters
+    * in integer cents. */
+  val dtCatalogTt: Q = (s, d) => {
+    val wh = java.nio.file.Files.createTempDirectory("cattt").toString
+    val cat = "gsnap_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(wh.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.SnapshotCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    // parallelism-scaled file count: snapshot files bound the connector's
+    // read partitions (same reasoning as dtDsv2Scan)
+    graft.store.SnapshotStore.commit(
+      Tables.orders(s, d).repartition(s.sparkContext.defaultParallelism.max(4)),
+      s"$wh/facts/orders")
+    graft.store.SnapshotStore.deleteCommit(s, s"$wh/facts/orders", Seq("o_orderkey"),
+      pmod(col("o_orderkey"), lit(4)) === 2)
+    s.sql(
+      s"""SELECT CAST(0 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+          FROM $cat.facts.orders VERSION AS OF 0
+          UNION ALL
+          SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          FROM $cat.facts.orders
+          ORDER BY version""")
   }
 
   /** DT5: incremental materialized-aggregate refresh
@@ -355,6 +392,15 @@ object EventAnalytics {
          WHERE NOT (t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
                     AND s.delta_cents > 80000000)
          ORDER BY c_custkey""",
+    "dt_catalog_tt" ->
+      """SELECT CAST(0 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+         FROM orders
+         UNION ALL
+         SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         FROM orders WHERE o_orderkey % 4 <> 2
+         ORDER BY version""",
     "dt_dsv2_scan" ->
       """SELECT o_orderpriority,
                 CAST(count(*) AS BIGINT) AS n,
@@ -434,6 +480,7 @@ object EventAnalytics {
     "dt_incr_agg" -> dtIncrAgg,
     "dt_delete_vectors" -> dtDeleteVectors,
     "dt_dsv2_scan" -> dtDsv2Scan,
+    "dt_catalog_tt" -> dtCatalogTt,
     "c12_transitions" -> c12Transitions,
     "sk_skew_report" -> skSkewReport
   )
