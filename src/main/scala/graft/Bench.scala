@@ -96,10 +96,18 @@ object Bench {
     val headRuns: Map[String, Seq[Double]] = headline
       .filter(okMap1.contains)
       .map { name =>
-        val extra = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          qfns(name)(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
+        // a transient re-run failure (FS hiccup, disk pressure from the
+        // fixture temp dirs) must not abort the bench AFTER the whole
+        // corpus already executed — fall back to the first-pass time
+        val extra = (1 to 2).flatMap { _ =>
+          try {
+            val t0 = System.nanoTime()
+            qfns(name)(spark, sfDir).count()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Exception =>
+            System.err.println(s"[bench] re-run of $name failed: ${e.getMessage}")
+            None
+          }
         }
         name -> (okMap1(name) +: extra)
       }.toMap

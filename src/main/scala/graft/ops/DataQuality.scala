@@ -123,8 +123,8 @@ object DataQuality {
       df: DataFrame,
       constraints: Seq[Constraint],
       rsd: Double = 0.05,
-      bloomExpectedItems: Long = 1L << 20,
-      bloomNumBits: Long = 1L << 23): DataFrame = {
+      bloomExpectedItems: Long = -1L,
+      bloomNumBits: Long = -1L): DataFrame = {
     val spark = df.sparkSession
     val estimates: Seq[(String, Column)] = constraints.map { c =>
       violation(c) match {
@@ -136,8 +136,19 @@ object DataQuality {
                 count(lit(1)) - approx_count_distinct(struct(cols.map(col): _*), rsd),
                 lit(0L))
             case r @ RefIntegrity(childCol, parent, parentCol) =>
+              // auto-size the Bloom to the PARENT's cardinality (one
+              // cheap count over the parent key column): a fixed 1 MB
+              // filter saturates past ~1M keys, its false-positive rate
+              // heads to 1, and the screen green-lights real dangling
+              // refs — the opposite of its job. ~8 bits/key ≈ 2 % fpp.
+              val expected =
+                if (bloomExpectedItems > 0) bloomExpectedItems
+                else math.max(parent.select(col(parentCol)).count(), 1L)
+              val bits =
+                if (bloomNumBits > 0) bloomNumBits
+                else math.max(expected * 8L, 1L << 23)
               val bloom = RuntimeFilter.buildBloom(
-                parent.select(col(parentCol)), parentCol, bloomExpectedItems, bloomNumBits)
+                parent.select(col(parentCol)), parentCol, expected, bits)
               val miss =
                 if (bloom == null) col(childCol).isNotNull // empty parent: every key dangles
                 else col(childCol).isNotNull &&

@@ -231,7 +231,12 @@ object Dedup {
     * and probed buckets keep ALL their history rows, so the occupancy
     * count each bucket caps on is unchanged. Both sides get the same
     * `maxBucket` occupancy cap (batch-side degenerate buckets would
-    * otherwise multiply every probed history bucket they touch). In
+    * otherwise multiply every probed history bucket they touch) —
+    * NOTE the cap itself is a bounded-recall contract, not result-
+    * identical: a bucket holding > maxBucket near-identical docs
+    * contributes no candidates, exactly the standing
+    * [[lshCandidatePairs]] contract (raise `maxBucket` to trade cost
+    * for recall on adversarial corpora). In
     * production the persisted index ([[lshIndex]]) replaces even the
     * re-derivation done here. Verification joins re-shingle only the
     * docs that appear in surviving candidate pairs. */

@@ -69,19 +69,43 @@ final class SnapshotDataSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = false
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val (_, m) = SnapshotDataSource.resolveManifest(options)
-    SparkSession.active.read.parquet(m.data).schema
+    val resolved = SnapshotDataSource.resolveManifest(options)
+    // pin the resolution for the getTable call of this SAME load():
+    // without a version option, a commit landing between the two calls
+    // would otherwise hand the scan a different snapshot than the one
+    // the schema was inferred from
+    SnapshotDataSource.pinned.set(SnapshotDataSource.optionsKey(options) -> resolved)
+    // mergeSchema: an evolved snapshot's data dir can mix file
+    // generations; the table schema is their union (absent columns
+    // read null in the row path)
+    SparkSession.active.read.option("mergeSchema", "true")
+      .parquet(resolved._2.data).schema
   }
 
   override def getTable(
       schema: StructType, partitioning: Array[Transform], properties: JMap[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    val (tablePath, m) = SnapshotDataSource.resolveManifest(opts)
+    val key = SnapshotDataSource.optionsKey(opts)
+    val cached = SnapshotDataSource.pinned.get()
+    val (tablePath, m) =
+      if (cached != null && cached._1 == key) {
+        SnapshotDataSource.pinned.remove() // one-shot: later load()s resolve fresh
+        cached._2
+      } else SnapshotDataSource.resolveManifest(opts)
     new SnapshotTable(tablePath, m, schema)
   }
 }
 
 object SnapshotDataSource {
+  /** inferSchema→getTable handoff for one load() call (same driver
+    * thread): the resolved manifest, keyed by the option triple. */
+  private[sources] val pinned =
+    new ThreadLocal[(String, (String, SnapshotStore.Manifest))]
+
+  private[sources] def optionsKey(options: CaseInsensitiveStringMap): String =
+    Seq("path", "version", "asOf")
+      .map(k => s"$k=${Option(options.get(k)).getOrElse("")}").mkString(";")
+
   /** Resolve the commit manifest the options name: explicit `version`,
     * wall-clock `asOf` (epoch millis or 'yyyy-MM-dd HH:mm:ss' UTC), or
     * the newest commit. */
@@ -159,18 +183,30 @@ private[sources] object SnapshotScan {
     case _ => false
   }
 
+  /** Exact-where-possible value ordering shared by the exclusion check
+    * AND the cross-row-group min/max merge: integral pairs compare as
+    * longs (a double round trip silently collapses values past 2^53),
+    * strings compare in UNSIGNED UTF-8 byte order (parquet's stats
+    * order — Java's UTF-16 compareTo disagrees for supplementary-plane
+    * characters, which would wrongly exclude files). None = no defined
+    * order → never skip on it. */
+  def cmpAny(v: Any, bound: Any): Option[Int] = (v, bound) match {
+    case (a: Number, b: Number)
+        if !a.isInstanceOf[java.lang.Double] && !a.isInstanceOf[java.lang.Float] &&
+          !b.isInstanceOf[java.lang.Double] && !b.isInstanceOf[java.lang.Float] =>
+      Some(java.lang.Long.compare(a.longValue(), b.longValue()))
+    case (a: Number, b: Number) => Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
+    case (a: String, b: String) =>
+      Some(java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    case _ => None
+  }
+
   /** Conservative exclusion: true only when the column's [min, max]
     * provably contains no qualifying value. Type mismatch → keep. */
   def excludes(f: Filter, stats: Map[String, (Any, Any)]): Boolean = {
-    def cmp(v: Any, bound: Any): Option[Int] = (v, bound) match {
-      case (a: Number, b: Number)
-          if !a.isInstanceOf[java.lang.Double] && !a.isInstanceOf[java.lang.Float] &&
-            (b.isInstanceOf[java.lang.Long] || b.isInstanceOf[java.lang.Integer]) =>
-        Some(java.lang.Long.compare(a.longValue(), b.longValue()))
-      case (a: Number, b: Number) => Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
-      case (a: String, b: String) => Some(a.compareTo(b))
-      case _                      => None
-    }
+    def cmp(v: Any, bound: Any): Option[Int] = cmpAny(v, bound)
     def outside(col: String, check: ((Any, Any)) => Option[Boolean]): Boolean =
       stats.get(col).flatMap(check).getOrElse(false)
     f match {
@@ -245,20 +281,20 @@ private[sources] final class SnapshotScan(
       val stats = cols.map { c =>
         val mins = perBlock.map(_(c)._1)
         val maxs = perBlock.map(_(c)._2)
+        // same exact ordering as the exclusion check — a lossy merge
+        // here would feed `excludes` a too-tight envelope
         def least(vs: Seq[Any]): Any = vs.reduce { (a, b) =>
-          (a, b) match {
-            case (x: Number, y: Number) if x.doubleValue() <= y.doubleValue() => x
-            case (_: Number, y: Number) => y
-            case (x: String, y: String) => if (x <= y) x else y
-            case _ => a
+          SnapshotScan.cmpAny(a, b) match {
+            case Some(c) if c <= 0 => a
+            case Some(_)           => b
+            case None              => a
           }
         }
         def greatest(vs: Seq[Any]): Any = vs.reduce { (a, b) =>
-          (a, b) match {
-            case (x: Number, y: Number) if x.doubleValue() >= y.doubleValue() => x
-            case (_: Number, y: Number) => y
-            case (x: String, y: String) => if (x >= y) x else y
-            case _ => a
+          SnapshotScan.cmpAny(a, b) match {
+            case Some(c) if c >= 0 => a
+            case Some(_)           => b
+            case None              => a
           }
         }
         c -> (least(mins), greatest(maxs))
@@ -320,10 +356,22 @@ private[sources] final class SnapshotScan(
   override def planInputPartitions(): Array[InputPartition] =
     keptFiles.map(f => SnapshotInputPartition(f): InputPartition).toArray
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // the vectorized reader's schema converter reads SQL confs out of
+    // the Hadoop conf (Spark's own parquet format sets them per query);
+    // propagate the session's values the same way
+    val c = new Configuration(hadoopConf)
+    Seq(
+      "spark.sql.parquet.binaryAsString" -> "false",
+      "spark.sql.parquet.int96AsTimestamp" -> "true",
+      "spark.sql.caseSensitive" -> "false",
+      "spark.sql.parquet.inferTimestampNTZ.enabled" -> "true",
+      "spark.sql.legacy.parquet.nanosAsLong" -> "false"
+    ).foreach { case (k, dflt) => c.set(k, spark.conf.get(k, dflt)) }
     new SnapshotReaderFactory(required, m.keyCols,
       if (m.deletes.isEmpty) None else Some(dvKeysBroadcast), columnar,
-      new SerializableHadoopConf(hadoopConf))
+      new SerializableHadoopConf(c))
+  }
 }
 
 private[sources] final case class SnapshotInputPartition(file: String) extends InputPartition
@@ -372,7 +420,7 @@ private[sources] final class SnapshotReaderFactory(
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new SnapshotColumnarReader(
-      partition.asInstanceOf[SnapshotInputPartition].file, required)
+      partition.asInstanceOf[SnapshotInputPartition].file, required, conf.conf)
 }
 
 /** Vectorized path: Spark's own VectorizedParquetRecordReader serves
@@ -380,13 +428,31 @@ private[sources] final class SnapshotReaderFactory(
   * kernel the built-in parquet source uses, so the connector pays no
   * row-materialization tax on the scan side when no deletion vectors
   * apply. Column pruning is by name through the reader's projection. */
-private[sources] final class SnapshotColumnarReader(file: String, required: StructType)
+private[sources] final class SnapshotColumnarReader(
+    file: String, required: StructType, conf: Configuration)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
   private val reader =
     new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
       /* useOffHeap = */ false, /* capacity = */ 4096)
-  reader.initialize(file, java.util.Arrays.asList(required.fieldNames: _*))
+  locally {
+    // split-based initialize keeps the SESSION's Hadoop configuration
+    // (filesystem credentials, custom schemes); the (path, columns)
+    // overload builds a bare `new Configuration()` internally and only
+    // works for default-filesystem paths
+    val c = new Configuration(conf)
+    c.set("org.apache.spark.sql.parquet.row.requested_schema", required.json)
+    c.set("parquet.read.support.class",
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport].getName)
+    val p = new Path(file)
+    val len = p.getFileSystem(c).getFileStatus(p).getLen
+    // mapred.FileSplit extends the mapreduce one AND satisfies the old-API
+    // cast inside SpecificParquetRecordReaderBase.initialize
+    val split = new org.apache.hadoop.mapred.FileSplit(p, 0, len, Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      c, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    reader.initialize(split, ctx)
+  }
   reader.initBatch(new StructType(), InternalRow.empty)
   reader.enableReturningBatches()
 
@@ -409,20 +475,40 @@ private[sources] final class SnapshotPartitionReader(
   private val path = new Path(file)
   // projection = required columns ∪ DV key columns, restricted to what
   // THIS file carries (evolution: absent columns stay null)
-  private val fileSchema: MessageType = {
+  private val (fileSchema: MessageType, fileRows: Long) = {
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
-    try r.getFooter.getFileMetaData.getSchema finally r.close()
+    try (r.getFooter.getFileMetaData.getSchema, r.getRecordCount) finally r.close()
   }
   private val wantDv = dv != null
   private val wanted: Seq[String] =
     (required.fieldNames.toSeq ++ (if (wantDv) keyCols else Nil)).distinct
   private val present: Seq[String] = wanted.filter(fileSchema.containsField)
-  private val reader: ParquetReader[Group] = {
-    val c = new Configuration(conf)
-    val projection = new MessageType(
-      fileSchema.getName, present.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))).asJava)
-    c.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
-    ParquetReader.builder(new GroupReadSupport(), path).withConf(c).build()
+  private val projection: MessageType = new MessageType(
+    fileSchema.getName, present.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))).asJava)
+  // a file carrying NONE of the wanted columns (pure schema evolution)
+  // still contributes its row count as all-null rows; parquet-mr
+  // rejects an empty projection group, so that case skips the reader
+  private val reader: ParquetReader[Group] =
+    if (present.isEmpty) null
+    else {
+      val c = new Configuration(conf)
+      c.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+      ParquetReader.builder(new GroupReadSupport(), path).withConf(c).build()
+    }
+  // engine-written TimestampType columns are INT96 by Spark default
+  // (spark.sql.parquet.outputTimestampType); NTZ and rewritten files
+  // carry INT64 micros — decode per the FILE's physical type
+  private val projInt96: Array[Boolean] = present.indices.map { i =>
+    projection.getType(i).isPrimitive &&
+      projection.getType(i).asPrimitiveType().getPrimitiveTypeName ==
+        org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96
+  }.toArray
+
+  private def int96Micros(b: org.apache.parquet.io.api.Binary): Long = {
+    val buf = b.toByteBuffer.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nanosOfDay = buf.getLong
+    val julianDay = buf.getInt
+    (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
   }
 
   // ---- hot-path plumbing, computed ONCE: the projection schema is the
@@ -465,7 +551,9 @@ private[sources] final class SnapshotPartitionReader(
       case FloatType                        => g.getFloat(idx, 0)
       case BooleanType                      => g.getBoolean(idx, 0)
       case StringType                       => g.getString(idx, 0)
-      case TimestampType | TimestampNTZType => g.getLong(idx, 0) // INT64 micros
+      case TimestampType | TimestampNTZType =>
+        if (projInt96(idx)) int96Micros(g.getInt96(idx, 0))
+        else g.getLong(idx, 0) // INT64 micros
       case DateType                         => g.getInteger(idx, 0) // int32 days
       case BinaryType                       => g.getBinary(idx, 0).getBytes
       case other =>
@@ -489,8 +577,13 @@ private[sources] final class SnapshotPartitionReader(
     }
 
   private var current: Group = _
+  private var emptyRemaining: Long = fileRows
 
   override def next(): Boolean = {
+    if (reader == null) { // all-null rows; no readable DV keys to match
+      emptyRemaining -= 1
+      return emptyRemaining >= 0
+    }
     current = reader.read()
     while (current != null && wantDv && deleted(current)) {
       current = reader.read()
@@ -514,5 +607,5 @@ private[sources] final class SnapshotPartitionReader(
     new GenericInternalRow(vals)
   }
 
-  override def close(): Unit = reader.close()
+  override def close(): Unit = if (reader != null) reader.close()
 }

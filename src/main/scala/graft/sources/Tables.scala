@@ -69,17 +69,22 @@ object Tables {
         // caller's setting after: the derived columns stay UTC-correct
         // forever (the zone travels with the resolved Cast), and a
         // caller who deliberately runs a non-UTC session keeps it.
-        val prior = s.conf.getOption("spark.sql.session.timeZone")
-        s.conf.set("spark.sql.session.timeZone", "UTC")
-        try {
-          val t = col("ts").cast(TimestampType)
-          raw
-            .withColumn("ts_us", unix_micros(t))
-            .withColumn("ts_ms", unix_millis(t))
-            .withColumn("event_time", t)
-        } finally prior match {
-          case Some(tz) => s.conf.set("spark.sql.session.timeZone", tz)
-          case None     => s.conf.unset("spark.sql.session.timeZone")
+        // synchronized: two threads interleaving set/restore on the
+        // SHARED session conf could capture "UTC" as the prior value
+        // and leave the session permanently pinned to UTC
+        Tables.synchronized {
+          val prior = s.conf.getOption("spark.sql.session.timeZone")
+          s.conf.set("spark.sql.session.timeZone", "UTC")
+          try {
+            val t = col("ts").cast(TimestampType)
+            raw
+              .withColumn("ts_us", unix_micros(t))
+              .withColumn("ts_ms", unix_millis(t))
+              .withColumn("event_time", t)
+          } finally prior match {
+            case Some(tz) => s.conf.set("spark.sql.session.timeZone", tz)
+            case None     => s.conf.unset("spark.sql.session.timeZone")
+          }
         }
       case LongType =>
         raw

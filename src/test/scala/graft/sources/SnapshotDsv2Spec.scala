@@ -117,6 +117,42 @@ class SnapshotDsv2Spec extends SparkSuite {
     assert(pruned.count() === got.count())
   }
 
+  test("row path decodes INT96 timestamps (the engine writer's default physical type)") {
+    val table = freshTable("dsv2-int96")
+    // events.event_time is a true TimestampType column -> Spark writes
+    // INT96 under the default outputTimestampType
+    val events = graft.sources.Tables.events(spark, sf())
+      .select(col("event_id"), col("user_id"), col("event_time"))
+    SnapshotStore.commit(events, table)
+    SnapshotStore.deleteCommit(spark, table, Seq("event_id"), col("event_id") % 5 === 0)
+    val viaConnector = load(table) // DVs force the row path
+    assert(scanOf(viaConnector).description().contains("row"))
+    val expect = SnapshotStore.read(spark, table)
+      .select(col("event_id"), col("event_time")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    val got = viaConnector.select(col("event_id"), col("event_time")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    assert(got === expect, "INT96 timestamps decoded wrong through the row path")
+  }
+
+  test("schema evolution: files carrying NONE of the requested columns contribute null rows") {
+    val table = freshTable("dsv2-evolve")
+    val gen1 = graft.sources.Tables.nation(spark, sf()).select(col("n_nationkey"))
+    SnapshotStore.commit(gen1, table) // v0 files: only n_nationkey
+    // v1 data dir holds BOTH generations' files (mixed schemas)
+    val dataDir = SnapshotStore.manifest(spark, table, 0).data
+    graft.sources.Tables.nation(spark, sf())
+      .select(col("n_nationkey") + 1000, col("n_name"))
+      .toDF("n_nationkey", "n_name")
+      .write.mode("append").parquet(dataDir)
+    // selecting ONLY the evolved column: gen-1 files have an empty
+    // projection and must contribute all-null rows, not crash
+    val names = load(table).select(col("n_name")) // merged (union) schema
+    val got = names.collect().map(r => Option(r.getString(0)))
+    assert(got.count(_.isEmpty) === 25, s"gen-1 rows should be null: ${got.toSeq.take(5)}")
+    assert(got.count(_.isDefined) === 25, "gen-2 rows lost")
+  }
+
   test("write path: mode(overwrite) commits an atomic new version; engine reads it back") {
     val table = freshTable("dsv2-write")
     val orders = graft.sources.Tables.orders(spark, sf())
