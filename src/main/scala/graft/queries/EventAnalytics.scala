@@ -209,8 +209,11 @@ object EventAnalytics {
     val files = s.sparkContext.defaultParallelism.max(4)
     graft.store.SnapshotStore.commit(
       Tables.orders(s, d).repartitionByRange(files, col("o_orderkey")), table)
+    // DVs are a SMALL-delta mechanism (deletes past a few percent are
+    // compaction's job — ops/Bucketing.compactCommit materializes them
+    // away), so the fixture deletes ~2%: the realistic DV read shape
     graft.store.SnapshotStore.deleteCommit(s, table, Seq("o_orderkey"),
-      pmod(col("o_orderkey"), lit(10)) === 1)
+      pmod(col("o_orderkey"), lit(50)) === 1)
     s.read.format("graft-snapshot").option("path", table).load()
       .filter(col("o_totalprice") > 300000.0)
       .groupBy(col("o_orderpriority"))
@@ -240,7 +243,7 @@ object EventAnalytics {
       Tables.orders(s, d).repartition(s.sparkContext.defaultParallelism.max(4)),
       s"$wh/facts/orders")
     graft.store.SnapshotStore.deleteCommit(s, s"$wh/facts/orders", Seq("o_orderkey"),
-      pmod(col("o_orderkey"), lit(4)) === 2)
+      pmod(col("o_orderkey"), lit(50)) === 2)
     s.sql(
       s"""SELECT CAST(0 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
@@ -399,14 +402,14 @@ object EventAnalytics {
          UNION ALL
          SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-         FROM orders WHERE o_orderkey % 4 <> 2
+         FROM orders WHERE o_orderkey % 50 <> 2
          ORDER BY version""",
     "dt_dsv2_scan" ->
       """SELECT o_orderpriority,
                 CAST(count(*) AS BIGINT) AS n,
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
          FROM orders
-         WHERE o_totalprice > 300000.0 AND o_orderkey % 10 <> 1
+         WHERE o_totalprice > 300000.0 AND o_orderkey % 50 <> 1
          GROUP BY o_orderpriority
          ORDER BY o_orderpriority""",
     "dt_delete_vectors" ->

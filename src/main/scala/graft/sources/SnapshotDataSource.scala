@@ -167,6 +167,11 @@ private[sources] final class SnapshotScanBuilder(m: SnapshotStore.Manifest, sche
 }
 
 private[sources] object SnapshotScan {
+  /** One parquet row group: byte range (midpoint-convention split
+    * boundaries), row count, and exact per-column (min, max). */
+  final case class RowGroupInfo(
+      start: Long, length: Long, rows: Long, stats: Map[String, (Any, Any)])
+
   /** Filters usable for footer min/max file skipping: flat comparisons
     * on atomic numeric/string columns. */
   def isSkippable(f: Filter): Boolean = f match {
@@ -233,34 +238,46 @@ private[sources] final class SnapshotScan(
   private val spark = SparkSession.active
   private val hadoopConf = spark.sparkContext.hadoopConfiguration
 
-  private lazy val (keptFiles: Seq[String], totalFiles: Int, allColumnsPresent: Boolean) = {
+  /** One partition per ROW GROUP, not per file: a snapshot written as
+    * few large files still fans out across the cluster, and stats
+    * skipping works at row-group precision (a qualifying file's other
+    * row groups are still pruned). */
+  private lazy val (keptGroups: Seq[SnapshotInputPartition], totalGroups: Int,
+      totalFiles: Int, allColumnsPresent: Boolean) = {
     val dir = new Path(m.data)
     val fs = dir.getFileSystem(hadoopConf)
     val all = fs.listStatus(dir).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath)
     var allPresent = true
-    val kept = all.filter { p =>
-      val (stats, fields) = footerInfo(p)
+    var total = 0
+    val wanted = (required.fieldNames.toSeq ++
+      (if (m.deletes.isEmpty) Nil else m.keyCols)).distinct
+    val kept = all.flatMap { p =>
+      val (blocks, fields) = footerInfo(p)
       if (!required.fieldNames.forall(fields)) allPresent = false
-      skippable.isEmpty || !skippable.exists(f => SnapshotScan.excludes(f, stats))
+      val selfContained = wanted.forall(fields)
+      total += blocks.size
+      blocks
+        .filter(b => skippable.isEmpty ||
+          !skippable.exists(f => SnapshotScan.excludes(f, b.stats)))
+        .map(b => SnapshotInputPartition(p.toString, b.start, b.length, b.rows, selfContained))
     }
-    (kept.map(_.toString), all.size, allPresent)
+    (kept, total, all.size, allPresent)
   }
 
-  /** Per-column (min, max) over all row groups of one file (for columns
-    * whose every row group carries comparable stats), plus the file's
-    * top-level field names — one footer read serves skipping AND the
-    * columnar-eligibility check. */
-  private def footerInfo(p: Path): (Map[String, (Any, Any)], Set[String]) = {
+  /** Per-ROW-GROUP (start, length, rows, per-column min/max) plus the
+    * file's top-level field names — one footer read serves skipping,
+    * splitting, AND the columnar-eligibility check. Stats stay exact:
+    * no cross-row-group merge exists anymore (skipping is per group),
+    * so there is no lossy envelope to get wrong. */
+  private def footerInfo(p: Path): (Seq[SnapshotScan.RowGroupInfo], Set[String]) = {
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, hadoopConf))
     try {
       val fields = r.getFooter.getFileMetaData.getSchema.getFields.asScala
         .map(_.getName).toSet
-      val blocks = r.getFooter.getBlocks.asScala.toSeq
-      if (blocks.isEmpty) return (Map.empty, fields)
-      val perBlock: Seq[Map[String, (Any, Any)]] = blocks.map { b =>
-        b.getColumns.asScala.flatMap { c =>
+      val blocks = r.getFooter.getBlocks.asScala.toSeq.map { b =>
+        val stats = b.getColumns.asScala.flatMap { c =>
           val s = c.getStatistics
           if (s == null || !s.hasNonNullValue || c.getPath.size != 1) None
           else {
@@ -275,31 +292,10 @@ private[sources] final class SnapshotScan(
             }
           }
         }.toMap
+        SnapshotScan.RowGroupInfo(
+          b.getStartingPos, b.getCompressedSize, b.getRowCount, stats)
       }
-      // a column qualifies only if EVERY row group reported stats for it
-      val cols = perBlock.map(_.keySet).reduce(_ intersect _)
-      val stats = cols.map { c =>
-        val mins = perBlock.map(_(c)._1)
-        val maxs = perBlock.map(_(c)._2)
-        // same exact ordering as the exclusion check — a lossy merge
-        // here would feed `excludes` a too-tight envelope
-        def least(vs: Seq[Any]): Any = vs.reduce { (a, b) =>
-          SnapshotScan.cmpAny(a, b) match {
-            case Some(c) if c <= 0 => a
-            case Some(_)           => b
-            case None              => a
-          }
-        }
-        def greatest(vs: Seq[Any]): Any = vs.reduce { (a, b) =>
-          SnapshotScan.cmpAny(a, b) match {
-            case Some(c) if c >= 0 => a
-            case Some(_)           => b
-            case None              => a
-          }
-        }
-        c -> (least(mins), greatest(maxs))
-      }.toMap
-      (stats, fields)
+      (blocks, fields)
     } finally r.close()
   }
 
@@ -318,6 +314,9 @@ private[sources] final class SnapshotScan(
           t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L + t.getNano / 1000L
         case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
         case d: java.time.LocalDate => d.toEpochDay.toInt
+        // UTF8String so the vectorized row path probes without a
+        // per-row java.lang.String materialization
+        case s: String => UTF8String.fromString(s)
         case v => v
       })).toSet
 
@@ -345,16 +344,17 @@ private[sources] final class SnapshotScan(
       })
 
   override def description(): String = {
-    val files = s"files=${keptFiles.size}/$totalFiles"
+    val files = s"files=${keptGroups.map(_.file).distinct.size}/$totalFiles"
+    val groups = s"rowGroups=${keptGroups.size}/$totalGroups"
     val dv = if (m.deletes.isEmpty) "" else s", dvKeys=${dvKeys.size}"
     val mode = if (columnar) "vectorized" else "row"
-    s"graft-snapshot ${m.data} ($files, $mode$dv, pushed=${skippable.mkString("[", ",", "]")})"
+    s"graft-snapshot ${m.data} ($files, $groups, $mode$dv, pushed=${skippable.mkString("[", ",", "]")})"
   }
 
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    keptFiles.map(f => SnapshotInputPartition(f): InputPartition).toArray
+    keptGroups.map(p => p: InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // the vectorized reader's schema converter reads SQL confs out of
@@ -368,13 +368,22 @@ private[sources] final class SnapshotScan(
       "spark.sql.parquet.inferTimestampNTZ.enabled" -> "true",
       "spark.sql.legacy.parquet.nanosAsLong" -> "false"
     ).foreach { case (k, dflt) => c.set(k, spark.conf.get(k, dflt)) }
-    new SnapshotReaderFactory(required, m.keyCols,
+    val keyTypes = m.keyCols.map(n =>
+      fullSchema.find(_.name == n).map(_.dataType).getOrElse(
+        throw new IllegalStateException(
+          s"deletion-vector key column '$n' missing from table schema")))
+    new SnapshotReaderFactory(required, m.keyCols, keyTypes,
       if (m.deletes.isEmpty) None else Some(dvKeysBroadcast), columnar,
       new SerializableHadoopConf(c))
   }
 }
 
-private[sources] final case class SnapshotInputPartition(file: String) extends InputPartition
+/** One row group of one part file (midpoint-convention byte range).
+  * `selfContained` = the file carries every wanted column, so the
+  * vectorized decoder can serve it even on the row (DV) path. */
+private[sources] final case class SnapshotInputPartition(
+    file: String, start: Long, length: Long, rows: Long,
+    selfContained: Boolean = true) extends InputPartition
 
 /** Deletion-vector membership structure, built ONCE on the driver and
   * broadcast whole. Single-key tables (the common case) probe a flat
@@ -403,14 +412,23 @@ private[sources] final class SerializableHadoopConf(@transient var conf: Configu
 private[sources] final class SnapshotReaderFactory(
     required: StructType,
     keyCols: Seq[String],
+    keyTypes: Seq[DataType],
     dvKeys: Option[org.apache.spark.broadcast.Broadcast[DvLookup]],
     columnar: Boolean,
     conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new SnapshotPartitionReader(
-      partition.asInstanceOf[SnapshotInputPartition].file, required, keyCols,
-      dvKeys.map(_.value).orNull, conf.conf)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SnapshotInputPartition]
+    // self-contained row groups decode through the VECTORIZED reader
+    // even on the row path (DV probe per emitted row — ~10x the
+    // record-assembly reader); only schema-evolution gaps fall back to
+    // the Group reader, which fills absent columns with null
+    if (p.selfContained)
+      new SnapshotVectorRowReader(
+        p, required, keyCols, keyTypes, dvKeys.map(_.value).orNull, conf.conf)
+    else
+      new SnapshotPartitionReader(p, required, keyCols, dvKeys.map(_.value).orNull, conf.conf)
+  }
 
   // columnar mode is an all-partitions-or-none decision made at planning
   // (BatchScanExec requires a uniform answer), so the partition argument
@@ -420,7 +438,94 @@ private[sources] final class SnapshotReaderFactory(
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new SnapshotColumnarReader(
-      partition.asInstanceOf[SnapshotInputPartition].file, required, conf.conf)
+      partition.asInstanceOf[SnapshotInputPartition], required, conf.conf)
+}
+
+/** Row-emitting reader over the VECTORIZED decoder: batches decode
+  * through Spark's parquet kernel, rows stream out one at a time with
+  * the deletion-vector probe applied per row — the DV path at decode
+  * speed instead of parquet-mr record-assembly speed. Used whenever
+  * the row group carries every wanted column; a codegen'd projection
+  * drops the DV key columns the query didn't ask for. */
+private[sources] final class SnapshotVectorRowReader(
+    partition: SnapshotInputPartition,
+    required: StructType,
+    keyCols: Seq[String],
+    keyTypes: Seq[DataType],
+    dv: DvLookup,
+    conf: Configuration)
+    extends PartitionReader[InternalRow] {
+
+  private val wantDv = dv != null
+  // decode projection = required ∪ DV keys (keys may be pruned out of
+  // the query's projection but are still needed for the probe)
+  private val requested: StructType = {
+    val extra = if (wantDv) {
+      keyCols.zip(keyTypes).filterNot { case (n, _) => required.fieldNames.contains(n) }
+    } else Nil
+    StructType(required.fields ++ extra.map { case (n, t) => StructField(n, t) })
+  }
+
+  private val reader =
+    new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
+      /* useOffHeap = */ false, /* capacity = */ 4096)
+  locally {
+    val c = new Configuration(conf)
+    c.set("org.apache.spark.sql.parquet.row.requested_schema", requested.json)
+    c.set("parquet.read.support.class",
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport].getName)
+    val p = new Path(partition.file)
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      p, partition.start, partition.length, Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      c, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    reader.initialize(split, ctx)
+    reader.initBatch(new StructType(), InternalRow.empty)
+    // NO enableReturningBatches: nextKeyValue()/getCurrentValue yield
+    // InternalRows backed by the current batch
+  }
+
+  private val keyOrds: Array[Int] = keyCols.map(requested.fieldIndex).toArray
+  private val keyTs: Array[DataType] = keyTypes.toArray
+  private val singleKey = wantDv && dv.isSingle
+  // codegen'd projection down to the query's columns (identity-cheap
+  // when no extra key columns were decoded)
+  private val project =
+    if (requested.length == required.length) null
+    else org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+      required.fields.map(f =>
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          requested.fieldIndex(f.name), f.dataType, nullable = true)
+          : org.apache.spark.sql.catalyst.expressions.Expression))
+
+  private def keyVal(row: InternalRow, i: Int): Any =
+    if (row.isNullAt(keyOrds(i))) null
+    else row.get(keyOrds(i), keyTs(i)) // UTF8String for strings — matches DvLookup
+
+  private def deleted(row: InternalRow): Boolean =
+    if (singleKey) dv.containsSingle(keyVal(row, 0))
+    else {
+      val key = new Array[Any](keyOrds.length)
+      var i = 0
+      while (i < keyOrds.length) { key(i) = keyVal(row, i); i += 1 }
+      dv.containsMulti(key.toSeq)
+    }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    var has = reader.nextKeyValue()
+    while (has && wantDv && deleted(reader.getCurrentValue.asInstanceOf[InternalRow])) {
+      has = reader.nextKeyValue()
+    }
+    if (has) current = reader.getCurrentValue.asInstanceOf[InternalRow]
+    has
+  }
+
+  override def get(): InternalRow =
+    if (project == null) current else project(current)
+
+  override def close(): Unit = reader.close()
 }
 
 /** Vectorized path: Spark's own VectorizedParquetRecordReader serves
@@ -429,7 +534,7 @@ private[sources] final class SnapshotReaderFactory(
   * row-materialization tax on the scan side when no deletion vectors
   * apply. Column pruning is by name through the reader's projection. */
 private[sources] final class SnapshotColumnarReader(
-    file: String, required: StructType, conf: Configuration)
+    partition: SnapshotInputPartition, required: StructType, conf: Configuration)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
   private val reader =
@@ -444,11 +549,12 @@ private[sources] final class SnapshotColumnarReader(
     c.set("org.apache.spark.sql.parquet.row.requested_schema", required.json)
     c.set("parquet.read.support.class",
       classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport].getName)
-    val p = new Path(file)
-    val len = p.getFileSystem(c).getFileStatus(p).getLen
+    val p = new Path(partition.file)
     // mapred.FileSplit extends the mapreduce one AND satisfies the old-API
-    // cast inside SpecificParquetRecordReaderBase.initialize
-    val split = new org.apache.hadoop.mapred.FileSplit(p, 0, len, Array.empty[String])
+    // cast inside SpecificParquetRecordReaderBase.initialize; the byte
+    // range selects exactly this partition's row group (midpoints)
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      p, partition.start, partition.length, Array.empty[String])
     val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
       c, new org.apache.hadoop.mapreduce.TaskAttemptID())
     reader.initialize(split, ctx)
@@ -465,19 +571,19 @@ private[sources] final class SnapshotColumnarReader(
   * the parquet layer, deletion-vector keys filtered before the row is
   * materialized. Columns the file lacks (schema evolution) read null. */
 private[sources] final class SnapshotPartitionReader(
-    file: String,
+    partition: SnapshotInputPartition,
     required: StructType,
     keyCols: Seq[String],
     dv: DvLookup, // null = no deletion vectors; pre-built, broadcast-shared
     conf: Configuration)
     extends PartitionReader[InternalRow] {
 
-  private val path = new Path(file)
+  private val path = new Path(partition.file)
   // projection = required columns ∪ DV key columns, restricted to what
   // THIS file carries (evolution: absent columns stay null)
-  private val (fileSchema: MessageType, fileRows: Long) = {
+  private val fileSchema: MessageType = {
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
-    try (r.getFooter.getFileMetaData.getSchema, r.getRecordCount) finally r.close()
+    try r.getFooter.getFileMetaData.getSchema finally r.close()
   }
   private val wantDv = dv != null
   private val wanted: Seq[String] =
@@ -486,14 +592,17 @@ private[sources] final class SnapshotPartitionReader(
   private val projection: MessageType = new MessageType(
     fileSchema.getName, present.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))).asJava)
   // a file carrying NONE of the wanted columns (pure schema evolution)
-  // still contributes its row count as all-null rows; parquet-mr
-  // rejects an empty projection group, so that case skips the reader
+  // still contributes this row group's count as all-null rows;
+  // parquet-mr rejects an empty projection group, so that case skips
+  // the reader
   private val reader: ParquetReader[Group] =
     if (present.isEmpty) null
     else {
       val c = new Configuration(conf)
       c.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
-      ParquetReader.builder(new GroupReadSupport(), path).withConf(c).build()
+      ParquetReader.builder(new GroupReadSupport(), path).withConf(c)
+        .withFileRange(partition.start, partition.start + partition.length)
+        .build()
     }
   // engine-written TimestampType columns are INT96 by Spark default
   // (spark.sql.parquet.outputTimestampType); NTZ and rewritten files
@@ -562,22 +671,27 @@ private[sources] final class SnapshotPartitionReader(
             "(nested/array/map columns are not served by this connector)")
     }
 
+  // DvLookup stores UTF8String for string keys (the vectorized path's
+  // native form); this fallback path converts at probe time
+  private def keyJvm(g: Group, i: Int): Any = {
+    if (keyIdx(i) < 0) return null
+    jvmValue(g, keyIdx(i), keyType(i)) match {
+      case s: String => UTF8String.fromString(s)
+      case v         => v
+    }
+  }
+
   private def deleted(g: Group): Boolean =
-    if (singleKeyDv) {
-      val i = keyIdx(0)
-      dv.containsSingle(if (i < 0) null else jvmValue(g, i, keyType(0)))
-    } else {
+    if (singleKeyDv) dv.containsSingle(keyJvm(g, 0))
+    else {
       val key = new Array[Any](keyIdx.length)
       var i = 0
-      while (i < keyIdx.length) {
-        key(i) = if (keyIdx(i) < 0) null else jvmValue(g, keyIdx(i), keyType(i))
-        i += 1
-      }
+      while (i < keyIdx.length) { key(i) = keyJvm(g, i); i += 1 }
       dv.containsMulti(key.toSeq)
     }
 
   private var current: Group = _
-  private var emptyRemaining: Long = fileRows
+  private var emptyRemaining: Long = partition.rows
 
   override def next(): Boolean = {
     if (reader == null) { // all-null rows; no readable DV keys to match

@@ -103,6 +103,39 @@ class SnapshotDsv2Spec extends SparkSuite {
     assert(withDv.count() === orders.filter(col("o_orderkey") >= 10).count())
   }
 
+  test("one big file splits into row-group partitions; skipping prunes within the file") {
+    val table = freshTable("dsv2-rg")
+    val dataDir = s"$table/v=0"
+    // ONE file, many small row groups (128 KB block size)
+    graft.sources.Tables.lineitem(spark, sf("sf0.01"))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .sort(col("l_orderkey")) // row groups get disjoint key ranges
+      .coalesce(1)
+      .write.option("parquet.block.size", 128 * 1024).mode("overwrite").parquet(dataDir)
+    SnapshotStore.publishMarker(spark, table, 0L)
+
+    val full = load(table)
+    val desc = scanOf(full).description()
+    val rg = "rowGroups=(\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+      .getOrElse(fail(s"no rowGroups in description: $desc"))
+    assert(rg.group(2).toInt > 4, s"expected many row groups in one file: $desc")
+    assert(desc.contains("files=1/1"), desc)
+    // the scan fans out one partition per row group
+    assert(full.rdd.getNumPartitions === rg.group(2).toInt)
+    assert(full.count() ===
+      graft.sources.Tables.lineitem(spark, sf("sf0.01")).count())
+
+    // a point lookup keeps a strict subset of row groups WITHIN the file
+    val point = load(table).filter(col("l_orderkey") === 17L)
+    val prg = "rowGroups=(\\d+)/(\\d+)".r
+      .findFirstMatchIn(scanOf(point).description()).get
+    assert(prg.group(1).toInt < prg.group(2).toInt,
+      s"point lookup should prune row groups: ${scanOf(point).description()}")
+    assert(point.count() ===
+      graft.sources.Tables.lineitem(spark, sf("sf0.01"))
+        .filter(col("l_orderkey") === 17L).count())
+  }
+
   test("deletion vectors apply inside the partition readers") {
     val table = freshTable("dsv2-dv")
     val orders = graft.sources.Tables.orders(spark, sf())
