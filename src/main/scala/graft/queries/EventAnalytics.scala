@@ -255,6 +255,24 @@ object EventAnalytics {
           ORDER BY version""")
   }
 
+  /** DT9: footer-aggregate pushdown — COUNT/MIN/MAX over a snapshot
+    * table answered ENTIRELY from parquet footers through the DSv2
+    * connector ([[graft.sources.SnapshotDataSource]]): the scan is
+    * metadata-only (SnapshotDsv2Spec pins the FOOTER AGGREGATE plan and
+    * the decline paths — filters, DVs, string stats). At 100 TB this is
+    * the difference between an O(footers) and an O(table) row count. */
+  val dtAggPushdown: Q = (s, d) => {
+    val table = java.nio.file.Files.createTempDirectory("aggpd").toString + "/orders"
+    graft.store.SnapshotStore.commit(
+      Tables.orders(s, d).repartition(s.sparkContext.defaultParallelism.max(4)), table)
+    s.read.format("graft-snapshot").option("path", table).load()
+      .agg(
+        count(lit(1)).alias("n"),
+        round(min(col("o_totalprice")), 2).alias("min_price"),
+        round(max(col("o_totalprice")), 2).alias("max_price"),
+        max(col("o_orderkey")).alias("max_key"))
+  }
+
   /** DT5: incremental materialized-aggregate refresh
     * ([[graft.ops.ChangeData.incrementalAggCommit]]) — the orders fact
     * applied as three year-sliced deltas into a per-customer aggregate
@@ -395,6 +413,12 @@ object EventAnalytics {
          WHERE NOT (t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
                     AND s.delta_cents > 80000000)
          ORDER BY c_custkey""",
+    "dt_agg_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+                round(min(o_totalprice), 2) AS min_price,
+                round(max(o_totalprice), 2) AS max_price,
+                CAST(max(o_orderkey) AS BIGINT) AS max_key
+         FROM orders""",
     "dt_catalog_tt" ->
       """SELECT CAST(0 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
@@ -484,6 +508,7 @@ object EventAnalytics {
     "dt_delete_vectors" -> dtDeleteVectors,
     "dt_dsv2_scan" -> dtDsv2Scan,
     "dt_catalog_tt" -> dtCatalogTt,
+    "dt_agg_pushdown" -> dtAggPushdown,
     "c12_transitions" -> c12Transitions,
     "sk_skew_report" -> skSkewReport
   )

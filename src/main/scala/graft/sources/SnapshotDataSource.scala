@@ -147,15 +147,19 @@ private[sources] final class SnapshotTable(
 }
 
 private[sources] final class SnapshotScanBuilder(m: SnapshotStore.Manifest, schema: StructType)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = schema
   private var skippable: Array[Filter] = Array.empty
+  private var sawFilters = false
+  private var aggResult: Option[(StructType, Seq[Any], String)] = None
 
   /** Accept the stats-skippable comparisons for file pruning; EVERY
     * filter is returned as a residual so Spark re-applies it row-level
     * — pushdown here can only reduce IO, never change answers. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    sawFilters = filters.nonEmpty
     skippable = filters.filter(SnapshotScan.isSkippable)
     filters
   }
@@ -163,14 +167,151 @@ private[sources] final class SnapshotScanBuilder(m: SnapshotStore.Manifest, sche
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = new SnapshotScan(m, schema, required, skippable)
+  /** COUNT(*) / MIN / MAX answered from parquet FOOTERS — a metadata-
+    * only aggregate: no data page is ever read. Complete pushdown only,
+    * and only when it is provably exact: no residual filters, no
+    * deletion vectors, no GROUP BY, numeric columns whose every row
+    * group carries stats (string stats can be writer-truncated). */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    tryComputeAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    aggResult = tryComputeAgg(agg)
+    aggResult.isDefined
+  }
+
+  private def tryComputeAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Any], String)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (sawFilters || m.deletes.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
+        case _                                             => None
+      }
+    def numeric(n: String): Boolean = schema.find(_.name == n).map(_.dataType).exists {
+      case LongType | IntegerType | DoubleType | FloatType => true
+      case _                                               => false
+    }
+    val wanted: Option[Seq[Either[Unit, (String, Boolean)]]] = // Left=count, Right=(col, isMin)
+      agg.aggregateExpressions.toSeq.foldLeft(
+        Option(Seq.empty[Either[Unit, (String, Boolean)]])) {
+        case (None, _) => None
+        case (Some(acc), _: CountStar) => Some(acc :+ Left(()))
+        case (Some(acc), mn: Min) =>
+          colOf(mn.column).filter(numeric).map(c => acc :+ Right((c, true)))
+        case (Some(acc), mx: Max) =>
+          colOf(mx.column).filter(numeric).map(c => acc :+ Right((c, false)))
+        case _ => None
+      }
+    wanted.flatMap { specs =>
+      SnapshotScan.footerAggregates(m,
+        specs.collect { case Right((c, _)) => c }.distinct).map { case (rows, minMax) =>
+        val fields = specs.zipWithIndex.map {
+          case (Left(()), i) => StructField(s"agg_$i", LongType, nullable = false)
+          case (Right((c, _)), i) =>
+            StructField(s"agg_$i", schema.find(_.name == c).get.dataType)
+        }
+        val values = specs.map {
+          case Left(())         => rows: Any
+          case Right((c, isMn)) => minMax.get(c).map(b => if (isMn) b._1 else b._2).orNull
+        }
+        (StructType(fields), values,
+          specs.map { case Left(_) => "count(*)"
+                      case Right((c, m2)) => s"${if (m2) "min" else "max"}($c)" }.mkString(","))
+      }
+    }
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((aggSchema, values, desc)) => new SnapshotAggScan(m, aggSchema, values, desc)
+    case None => new SnapshotScan(m, schema, required, skippable)
+  }
 }
+
+/** Result of a fully pushed footer aggregate: ONE row, zero data IO. */
+private[sources] final class SnapshotAggScan(
+    m: SnapshotStore.Manifest, aggSchema: StructType, values: Seq[Any], aggDesc: String)
+    extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-snapshot ${m.data} (FOOTER AGGREGATE [$aggDesc] — metadata-only, no data pages)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SnapshotAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+      new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean = { val r = !emitted; emitted = true; r }
+        override def get(): InternalRow =
+          new GenericInternalRow(p.asInstanceOf[SnapshotAggPartition].values.toArray)
+        override def close(): Unit = ()
+      }
+  }
+}
+
+private[sources] final case class SnapshotAggPartition(values: Seq[Any]) extends InputPartition
 
 private[sources] object SnapshotScan {
   /** One parquet row group: byte range (midpoint-convention split
     * boundaries), row count, and exact per-column (min, max). */
   final case class RowGroupInfo(
       start: Long, length: Long, rows: Long, stats: Map[String, (Any, Any)])
+
+  /** Driver-side footer fold for pushed aggregates: total row count +
+    * exact (min, max) per requested column. None when exactness can't
+    * be PROVEN (a row group missing stats for a requested column, or
+    * non-numeric stats) — the caller then declines the pushdown and
+    * Spark runs the ordinary plan. Row groups whose column is entirely
+    * null contribute nothing (SQL min/max ignore nulls). */
+  def footerAggregates(
+      m: SnapshotStore.Manifest, cols: Seq[String]): Option[(Long, Map[String, (Any, Any)])] = {
+    val spark = SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(m.data)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return Some((0L, Map.empty))
+    val files = fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    var rows = 0L
+    val acc = scala.collection.mutable.Map.empty[String, (Any, Any)]
+    files.foreach { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+      try {
+        rows += r.getRecordCount
+        val blocks = r.getFooter.getBlocks.asScala.toSeq
+        cols.foreach { c =>
+          blocks.foreach { b =>
+            val cc = b.getColumns.asScala
+              .find(x => x.getPath.size == 1 && x.getPath.iterator().next() == c)
+              .getOrElse(return None)
+            val s = cc.getStatistics
+            if (s == null) return None
+            if (!s.hasNonNullValue) {
+              // provably all-null row group is fine; unknown is not
+              if (!(s.isNumNullsSet && s.getNumNulls == b.getRowCount)) return None
+            } else (s.genericGetMin, s.genericGetMax) match {
+              case (mn: Number, mx: Number) =>
+                acc.get(c) match {
+                  case None => acc(c) = (mn, mx)
+                  case Some((curMn, curMx)) =>
+                    val newMn = if (cmpAny(mn, curMn).exists(_ < 0)) mn else curMn
+                    val newMx = if (cmpAny(mx, curMx).exists(_ > 0)) mx else curMx
+                    acc(c) = (newMn, newMx)
+                }
+              case _ => return None
+            }
+          }
+        }
+      } finally r.close()
+    }
+    Some((rows, acc.toMap))
+  }
 
   /** Filters usable for footer min/max file skipping: flat comparisons
     * on atomic numeric/string columns. */

@@ -186,6 +186,38 @@ class SnapshotDsv2Spec extends SparkSuite {
     assert(got.count(_.isDefined) === 25, "gen-2 rows lost")
   }
 
+  test("COUNT/MIN/MAX push down to parquet footers — metadata-only aggregates") {
+    val table = freshTable("dsv2-agg")
+    val orders = graft.sources.Tables.orders(spark, sf())
+    SnapshotStore.commit(orders.repartition(4), table)
+    val q = load(table).agg(
+      count(lit(1)).alias("n"),
+      min(col("o_totalprice")).alias("mn"),
+      max(col("o_totalprice")).alias("mx"),
+      max(col("o_orderkey")).alias("mk"))
+    val desc = scanOf(q).description()
+    assert(desc.contains("FOOTER AGGREGATE"), s"aggregate not pushed: $desc")
+    val r = q.collect()(0)
+    val expect = orders.agg(
+      count(lit(1)), min(col("o_totalprice")), max(col("o_totalprice")),
+      max(col("o_orderkey"))).collect()(0)
+    assert(r === expect, s"footer aggregate diverged: $r vs $expect")
+
+    // NOT pushed when it would be wrong: a filter forces the real plan
+    val filtered = load(table).filter(col("o_orderkey") > 10).agg(count(lit(1)).alias("n"))
+    assert(!scanOf(filtered).description().contains("FOOTER AGGREGATE"))
+    assert(filtered.collect()(0).getLong(0) ===
+      orders.filter(col("o_orderkey") > 10).count())
+    // ...and with deletion vectors live rows must be counted for real
+    SnapshotStore.deleteCommit(spark, table, Seq("o_orderkey"), col("o_orderkey") < 5)
+    val dv = load(table).agg(count(lit(1)).alias("n"))
+    assert(!scanOf(dv).description().contains("FOOTER AGGREGATE"))
+    assert(dv.collect()(0).getLong(0) === orders.filter(col("o_orderkey") >= 5).count())
+    // string min/max is declined (writer truncation risk) — exact plan runs
+    val s = load(table).agg(min(col("o_orderpriority")).alias("m"))
+    assert(!scanOf(s).description().contains("FOOTER AGGREGATE"))
+  }
+
   test("write path: mode(overwrite) commits an atomic new version; engine reads it back") {
     val table = freshTable("dsv2-write")
     val orders = graft.sources.Tables.orders(spark, sf())
