@@ -16,6 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -78,8 +79,14 @@ final class SnapshotDataSource extends TableProvider with DataSourceRegister {
     // mergeSchema: an evolved snapshot's data dir can mix file
     // generations; the table schema is their union (absent columns
     // read null in the row path)
-    SparkSession.active.read.option("mergeSchema", "true")
+    val base = SparkSession.active.read.option("mergeSchema", "true")
       .parquet(resolved._2.data).schema
+    // change-feed reads carry the two CDC metadata columns
+    if (options.getBoolean("changeFeed", false))
+      StructType(base.fields :+
+        StructField("_change_type", StringType, nullable = false) :+
+        StructField("_commit_version", LongType, nullable = false))
+    else base
   }
 
   override def getTable(
@@ -137,19 +144,23 @@ private[sources] final class SnapshotTable(
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_DYNAMIC)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SnapshotScanBuilder(m, tableSchema)
+    new SnapshotScanBuilder(m, tableSchema, tablePath, options)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
     new SnapshotWriteBuilder(tablePath, info)
 }
 
-private[sources] final class SnapshotScanBuilder(m: SnapshotStore.Manifest, schema: StructType)
+private[sources] final class SnapshotScanBuilder(
+    m: SnapshotStore.Manifest, schema: StructType,
+    tablePath: String = "", options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
+  private val changeFeed = options.getBoolean("changeFeed", false)
   private var required: StructType = schema
   private var skippable: Array[Filter] = Array.empty
   private var sawFilters = false
@@ -165,7 +176,10 @@ private[sources] final class SnapshotScanBuilder(m: SnapshotStore.Manifest, sche
   }
   override def pushedFilters(): Array[Filter] = skippable
 
-  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // the change-feed stream emits full rows + CDC columns; pruning
+    // would desynchronize readSchema from the stream's output
+    if (!changeFeed) required = requiredSchema
 
   /** COUNT(*) / MIN / MAX answered from parquet FOOTERS — a metadata-
     * only aggregate: no data page is ever read. Complete pushdown only,
@@ -229,7 +243,8 @@ private[sources] final class SnapshotScanBuilder(m: SnapshotStore.Manifest, sche
 
   override def build(): Scan = aggResult match {
     case Some((aggSchema, values, desc)) => new SnapshotAggScan(m, aggSchema, values, desc)
-    case None => new SnapshotScan(m, schema, required, skippable)
+    case None =>
+      new SnapshotScan(m, schema, required, skippable, tablePath, changeFeed, options)
   }
 }
 
@@ -372,7 +387,10 @@ private[sources] final class SnapshotScan(
     m: SnapshotStore.Manifest,
     fullSchema: StructType,
     required: StructType,
-    skippable: Array[Filter])
+    skippable: Array[Filter],
+    tablePath: String = "",
+    changeFeed: Boolean = false,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends Scan with Batch {
 
   // ---- driver-side, metadata-only planning (footers, never data pages)
@@ -492,7 +510,21 @@ private[sources] final class SnapshotScan(
     s"graft-snapshot ${m.data} ($files, $groups, $mode$dv, pushed=${skippable.mkString("[", ",", "]")})"
   }
 
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    if (changeFeed) throw new UnsupportedOperationException(
+      "changeFeed is a streaming surface (readStream); batch readers time-travel " +
+        "with the version/asOf options instead")
+    this
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    if (!changeFeed) throw new UnsupportedOperationException(
+      "streaming a snapshot table requires option(\"changeFeed\", \"true\") — " +
+        "each committed version becomes one micro-batch of 'snapshot' image rows " +
+        "or 'delete' key rows")
+    new SnapshotMicroBatchStream(tablePath,
+      StructType(fullSchema.fields.dropRight(2)), options) // drop the CDC meta columns
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
     keptGroups.map(p => p: InputPartition).toArray

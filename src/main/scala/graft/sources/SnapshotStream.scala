@@ -1,0 +1,216 @@
+package graft.sources
+
+import graft.store.SnapshotStore
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+/** Change-feed streaming source over a [[SnapshotStore]] table — each
+  * committed VERSION is one atomic micro-batch:
+  *
+  * {{{
+  *   spark.readStream.format("graft-snapshot")
+  *     .option("path", t).option("changeFeed", "true").load()
+  * }}}
+  *
+  * Batch semantics (the store's two commit shapes map directly):
+  *  - a commit that REPLACES the data dir (append/overwrite/merge/
+  *    compaction) emits the full new image: every live row with
+  *    `_change_type = 'snapshot'` — consumers replace their state;
+  *  - a DELETE COMMIT (same data dir, new deletion-vector file) emits
+  *    ONLY the delta keys with `_change_type = 'delete'` (non-key
+  *    columns null) — consumers drop those keys. O(deleted-keys) rows,
+  *    never a table rescan.
+  *
+  * Both carry `_commit_version`. Offsets are commit versions, so
+  * restart-from-checkpoint resumes exactly after the last processed
+  * commit — versions are CAS-serialized, making the feed gap-free and
+  * replayable (time travel serves any batch again).
+  *
+  * `startingVersion` option: number (emit that version's image first),
+  * or `latest` (only future commits). Default: the current version's
+  * image is the first batch (initial load).
+  */
+private[sources] final class SnapshotMicroBatchStream(
+    tablePath: String,
+    tableSchema: StructType,
+    options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+    extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+  private def conf = spark.sparkContext.hadoopConfiguration
+
+  override def initialOffset(): Offset = {
+    val current = SnapshotStore.currentVersion(spark, tablePath).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $tablePath"))
+    Option(options.get("startingVersion")) match {
+      case Some("latest") => SnapshotVersionOffset(current)
+      case Some(v)        => SnapshotVersionOffset(v.toLong - 1)
+      case None           => SnapshotVersionOffset(current - 1)
+    }
+  }
+
+  override def latestOffset(): Offset =
+    SnapshotVersionOffset(
+      SnapshotStore.currentVersion(spark, tablePath).getOrElse(-1L))
+
+  override def deserializeOffset(json: String): Offset =
+    SnapshotVersionOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[SnapshotVersionOffset].v
+    val to = end.asInstanceOf[SnapshotVersionOffset].v
+    val versions = SnapshotStore.versions(spark, tablePath).filter(v => v > from && v <= to)
+    versions.flatMap { v =>
+      val m = SnapshotStore.manifest(spark, tablePath, v)
+      val prevData =
+        if (v == 0) None
+        else SnapshotStore.versions(spark, tablePath).filter(_ < v).lastOption
+          .map(pv => SnapshotStore.manifest(spark, tablePath, pv))
+      prevData match {
+        case Some(prev) if prev.data == m.data =>
+          // delete commit: the DELTA deletion-vector entries only —
+          // each is a parquet DIRECTORY; expand to its part files
+          val delta = m.deletes.filterNot(prev.deletes.toSet)
+          delta.flatMap { d =>
+            val dp = new Path(d)
+            val fs = dp.getFileSystem(conf)
+            val files =
+              if (fs.getFileStatus(dp).isDirectory)
+                fs.listStatus(dp).toSeq.filter(s =>
+                  s.isFile && s.getPath.getName.endsWith(".parquet")).map(_.getPath.toString)
+              else Seq(d)
+            files.map(f => SnapshotStreamPartition(
+              SnapshotInputPartition(f, 0L, Long.MaxValue, 0L, selfContained = false),
+              changeType = "delete", version = v))
+          }
+        case _ =>
+          // new image: every row group of the version's data files,
+          // with the version's OWN deletion vectors applied
+          snapshotImagePartitions(m, v)
+      }
+    }.toArray
+  }
+
+  /** Row-group partitions over one version's data dir (no skipping —
+    * a change feed emits everything), tagged `snapshot`. */
+  private def snapshotImagePartitions(
+      m: SnapshotStore.Manifest, v: Long): Seq[SnapshotStreamPartition] = {
+    val dir = new Path(m.data)
+    val fs = dir.getFileSystem(conf)
+    val wanted = tableSchema.fieldNames.toSeq ++ m.keyCols
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .flatMap { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+        try {
+          val fields = r.getFooter.getFileMetaData.getSchema.getFields.asScala
+            .map(_.getName).toSet
+          val selfContained = wanted.forall(fields)
+          r.getFooter.getBlocks.asScala.toSeq.map { b =>
+            SnapshotStreamPartition(
+              SnapshotInputPartition(f.getPath.toString, b.getStartingPos,
+                b.getCompressedSize, b.getRowCount, selfContained),
+              changeType = "snapshot", version = v)
+          }
+        } finally r.close()
+      }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // per-version DV lookups for the snapshot-image batches, broadcast
+    // once each (delete batches read delta key FILES, no lookup needed)
+    val versions = SnapshotStore.versions(spark, tablePath)
+    val lookups: Map[Long, org.apache.spark.broadcast.Broadcast[DvLookup]] =
+      versions.flatMap { v =>
+        val m = SnapshotStore.manifest(spark, tablePath, v)
+        if (m.deletes.isEmpty) None
+        else {
+          val keys = spark.read.parquet(m.deletes: _*)
+            .select(m.keyCols.map(org.apache.spark.sql.functions.col): _*)
+            .distinct().collect()
+            .map(r => Seq.tabulate(r.length)(i => r.get(i) match {
+              case s: String => UTF8String.fromString(s)
+              case x         => x
+            })).toSet
+          Some(v -> spark.sparkContext.broadcast(new DvLookup(keys, m.keyCols.size)))
+        }
+      }.toMap
+    val keyColsByVersion: Map[Long, Seq[String]] =
+      versions.map(v => v -> SnapshotStore.manifest(spark, tablePath, v).keyCols).toMap
+    new SnapshotStreamReaderFactory(tableSchema, keyColsByVersion, lookups,
+      new SerializableHadoopConf({
+        val c = new org.apache.hadoop.conf.Configuration(conf)
+        Seq(
+          "spark.sql.parquet.binaryAsString" -> "false",
+          "spark.sql.parquet.int96AsTimestamp" -> "true",
+          "spark.sql.caseSensitive" -> "false",
+          "spark.sql.parquet.inferTimestampNTZ.enabled" -> "true",
+          "spark.sql.legacy.parquet.nanosAsLong" -> "false"
+        ).foreach { case (k, d) => c.set(k, spark.conf.get(k, d)) }
+        c
+      }))
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] final case class SnapshotVersionOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+private[sources] final case class SnapshotStreamPartition(
+    base: SnapshotInputPartition, changeType: String, version: Long) extends InputPartition
+
+/** Wraps the batch readers and appends (_change_type, _commit_version).
+  * Snapshot batches reuse the vectorized/Group row readers (the same
+  * DV semantics as a batch read of that version); delete batches read
+  * the delta key FILES through the Group reader's schema-evolution
+  * path — key columns populate, everything else reads null. */
+private[sources] final class SnapshotStreamReaderFactory(
+    tableSchema: StructType,
+    keyColsByVersion: Map[Long, Seq[String]],
+    dvByVersion: Map[Long, org.apache.spark.broadcast.Broadcast[DvLookup]],
+    conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SnapshotStreamPartition]
+    val inner: PartitionReader[InternalRow] = p.changeType match {
+      case "delete" =>
+        // delta DV file: whole file, evolution path fills non-keys null
+        new SnapshotPartitionReader(p.base, tableSchema, Nil, null, conf.conf)
+      case _ =>
+        val keyCols = keyColsByVersion.getOrElse(p.version, Nil)
+        val dv = dvByVersion.get(p.version).map(_.value).orNull
+        if (p.base.selfContained && dv != null) {
+          val keyTypes = keyCols.map(n =>
+            tableSchema.find(_.name == n).map(_.dataType).getOrElse(LongType))
+          new SnapshotVectorRowReader(p.base, tableSchema, keyCols, keyTypes, dv, conf.conf)
+        } else if (p.base.selfContained) {
+          new SnapshotVectorRowReader(p.base, tableSchema, Nil, Nil, null, conf.conf)
+        } else {
+          new SnapshotPartitionReader(p.base, tableSchema, keyCols, dv, conf.conf)
+        }
+    }
+    val meta = new GenericInternalRow(
+      Array[Any](UTF8String.fromString(p.changeType), p.version))
+    new PartitionReader[InternalRow] {
+      private val joined = new JoinedRow()
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = joined(inner.get(), meta)
+      override def close(): Unit = inner.close()
+    }
+  }
+}

@@ -315,6 +315,68 @@ class SnapshotDsv2Spec extends SparkSuite {
     }
   }
 
+  test("change feed: each commit streams as one micro-batch — images and delete keys") {
+    val table = freshTable("dsv2-cdf")
+    val nation = graft.sources.Tables.nation(spark, sf())
+    SnapshotStore.commit(nation, table) // v0
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", table).option("changeFeed", "true").load()
+      .writeStream.format("memory").queryName("graft_cdf").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def rows = spark.table("graft_cdf").collect()
+      def ct(r: org.apache.spark.sql.Row) = r.getString(r.fieldIndex("_change_type"))
+      def cv(r: org.apache.spark.sql.Row) = r.getLong(r.fieldIndex("_commit_version"))
+      val b0 = rows
+      assert(b0.length === 25, s"initial image should be the full v0: ${b0.length}")
+      assert(b0.forall(r => ct(r) == "snapshot" && cv(r) == 0L))
+
+      // v1: delete commit → ONLY the delta keys stream, non-keys null
+      SnapshotStore.deleteCommit(spark, table, Seq("n_nationkey"), col("n_regionkey") === 0)
+      q.processAllAvailable()
+      val dels = rows.filter(ct(_) == "delete")
+      assert(dels.length === nation.filter(col("n_regionkey") === 0).count())
+      assert(dels.forall(cv(_) == 1L))
+      assert(dels.forall(r => r.isNullAt(r.fieldIndex("n_name"))),
+        "delete batches carry keys only")
+
+      // v2: rewrite → a fresh snapshot image (10 live rows)
+      SnapshotStore.commit(nation.filter(col("n_regionkey") < 2), table)
+      q.processAllAvailable()
+      val v2 = rows.filter(cv(_) == 2L)
+      assert(v2.length === 10 && v2.forall(ct(_) == "snapshot"))
+    } finally q.stop()
+  }
+
+  test("change feed: checkpoint restart resumes after the last processed version") {
+    val table = freshTable("dsv2-cdfck")
+    val ckpt = java.nio.file.Files.createTempDirectory("dsv2-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("dsv2-cdfout").toString
+    val nation = graft.sources.Tables.nation(spark, sf())
+    SnapshotStore.commit(nation, table) // v0
+    def start() = spark.readStream.format("graft-snapshot")
+      .option("path", table).option("changeFeed", "true").load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(out).count() === 25) // v0 image processed
+
+    SnapshotStore.commit(nation.filter(col("n_regionkey") === 4), table) // v1
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out)
+      // v0 must NOT replay: the checkpoint already committed it
+      assert(rows.filter(col("_commit_version") === 0L).count() === 25,
+        "v0 image lost or replayed")
+      assert(rows.filter(col("_commit_version") === 1L).count() ===
+        nation.filter(col("n_regionkey") === 4).count())
+      assert(rows.count() === 25 + nation.filter(col("n_regionkey") === 4).count(),
+        "restart emitted duplicate batches")
+    } finally q2.stop()
+  }
+
   test("pure-SQL surface: CREATE TABLE ... USING graft-snapshot") {
     val table = freshTable("dsv2-sql")
     SnapshotStore.commit(graft.sources.Tables.nation(spark, sf()), table)
