@@ -9,6 +9,23 @@ class SnapshotStoreSpec extends SparkSuite {
 
   import spark.implicits._
 
+  test("history: one metadata-only row per version with inferred operation kind") {
+    val root = java.nio.file.Files.createTempDirectory("graft-snaphist").toString
+    val t = s"$root/t"
+    SnapshotStore.commit(spark.range(10).toDF("id"), t)                 // v0 create
+    SnapshotStore.deleteCommit(spark, t, Seq("id"),
+      org.apache.spark.sql.functions.col("id") < 3)                     // v1 delete
+    SnapshotStore.commit(spark.range(20).toDF("id"), t)                 // v2 rewrite
+    val h = SnapshotStore.history(spark, t)
+      .orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getInt(3)))
+    assert(h.toSeq === Seq((0L, "create", 0), (1L, "delete", 1), (2L, "rewrite", 0)))
+    // commit clocks are monotone (CAS-serialized versions)
+    val ts = SnapshotStore.history(spark, t).orderBy("version")
+      .collect().map(_.getLong(1))
+    assert(ts.sorted.toSeq === ts.toSeq)
+  }
+
   test("commit/read roundtrip, monotone versions, time travel") {
     val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
     val t = s"$root/t"
