@@ -522,6 +522,17 @@ private[sources] final class SnapshotScan(
       "streaming a snapshot table requires option(\"changeFeed\", \"true\") — " +
         "each committed version becomes one micro-batch of 'snapshot' image rows " +
         "or 'delete' key rows")
+    // the CDC metadata columns are appended by the PATH-based provider's
+    // inferSchema; a catalog `.table()` read resolves the base schema and
+    // would mis-bind the widened rows — refuse with the working recipe
+    if (fullSchema.length < 2 ||
+        fullSchema.fields(fullSchema.length - 2).name != "_change_type" ||
+        fullSchema.fields(fullSchema.length - 1).name != "_commit_version")
+      throw new UnsupportedOperationException(
+        "the change feed is a path-based surface: use spark.readStream" +
+          ".format(\"graft-snapshot\").option(\"path\", <tableRoot>)" +
+          ".option(\"changeFeed\", \"true\") (catalog .table() reads resolve " +
+          "the base schema without the CDC columns)")
     new SnapshotMicroBatchStream(tablePath,
       StructType(fullSchema.fields.dropRight(2)), options) // drop the CDC meta columns
   }

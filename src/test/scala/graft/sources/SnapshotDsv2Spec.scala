@@ -348,6 +348,25 @@ class SnapshotDsv2Spec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("change feed via catalog .table() is refused with the path-based recipe") {
+    val wh = java.nio.file.Files.createTempDirectory("dsv2-cdfcat").toString
+    spark.conf.set("spark.sql.catalog.gsnapcdf", classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsnapcdf.warehouse", wh)
+    try {
+      SnapshotStore.commit(graft.sources.Tables.nation(spark, sf()), s"$wh/dims/nation")
+      val e = intercept[Exception] {
+        val q = spark.readStream.option("changeFeed", "true").table("gsnapcdf.dims.nation")
+          .writeStream.format("memory").queryName("graft_cdfcat").outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      assert(e.getMessage.contains("path-based"),
+        s"expected the path-based guidance, got: ${e.getMessage.take(200)}")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gsnapcdf.warehouse")
+      spark.conf.unset("spark.sql.catalog.gsnapcdf")
+    }
+  }
+
   test("change feed: checkpoint restart resumes after the last processed version") {
     val table = freshTable("dsv2-cdfck")
     val ckpt = java.nio.file.Files.createTempDirectory("dsv2-ckpt").toString
