@@ -73,7 +73,10 @@ final class SnapshotCatalog extends TableCatalog {
   private def tableAt(ident: Identifier, version: Long): Table = {
     val root = tableRoot(ident)
     val m = SnapshotStore.manifest(spark, root, version)
-    new SnapshotTable(root, m, spark.read.parquet(m.data).schema)
+    // mergeSchema: same union-schema rule as the path-based provider
+    // (an evolved snapshot's data dir can mix file generations)
+    new SnapshotTable(root, m,
+      spark.read.option("mergeSchema", "true").parquet(m.data).schema)
   }
 
   override def loadTable(ident: Identifier): Table = {

@@ -367,19 +367,78 @@ private[sources] object SnapshotScan {
   /** Conservative exclusion: true only when the column's [min, max]
     * provably contains no qualifying value. Type mismatch → keep. */
   def excludes(f: Filter, stats: Map[String, (Any, Any)]): Boolean = {
-    def cmp(v: Any, bound: Any): Option[Int] = cmpAny(v, bound)
     def outside(col: String, check: ((Any, Any)) => Option[Boolean]): Boolean =
       stats.get(col).flatMap(check).getOrElse(false)
     f match {
       case EqualTo(c, v) => outside(c, { case (mn, mx) =>
-        for (a <- cmp(v, mn); b <- cmp(v, mx)) yield a < 0 || b > 0 })
-      case GreaterThan(c, v) => outside(c, { case (_, mx) => cmp(v, mx).map(_ >= 0) })
-      case GreaterThanOrEqual(c, v) => outside(c, { case (_, mx) => cmp(v, mx).map(_ > 0) })
-      case LessThan(c, v) => outside(c, { case (mn, _) => cmp(v, mn).map(_ <= 0) })
-      case LessThanOrEqual(c, v) => outside(c, { case (mn, _) => cmp(v, mn).map(_ < 0) })
+        for (a <- cmpAny(v, mn); b <- cmpAny(v, mx)) yield a < 0 || b > 0 })
+      case GreaterThan(c, v) => outside(c, { case (_, mx) => cmpAny(v, mx).map(_ >= 0) })
+      case GreaterThanOrEqual(c, v) => outside(c, { case (_, mx) => cmpAny(v, mx).map(_ > 0) })
+      case LessThan(c, v) => outside(c, { case (mn, _) => cmpAny(v, mn).map(_ <= 0) })
+      case LessThanOrEqual(c, v) => outside(c, { case (mn, _) => cmpAny(v, mn).map(_ < 0) })
       case In(c, vs) => vs.forall(v => excludes(EqualTo(c, v), stats))
       case _ => false
     }
+  }
+
+  /** The session's SQL confs the vectorized parquet reader resolves out
+    * of the Hadoop conf (Spark's own format sets them per query) —
+    * shared by the batch scan and the change-feed stream. */
+  def readerHadoopConf(spark: SparkSession, base: Configuration): Configuration = {
+    val c = new Configuration(base)
+    Seq(
+      "spark.sql.parquet.binaryAsString" -> "false",
+      "spark.sql.parquet.int96AsTimestamp" -> "true",
+      "spark.sql.caseSensitive" -> "false",
+      "spark.sql.parquet.inferTimestampNTZ.enabled" -> "true",
+      "spark.sql.legacy.parquet.nanosAsLong" -> "false"
+    ).foreach { case (k, dflt) => c.set(k, spark.conf.get(k, dflt)) }
+    c
+  }
+
+  /** Load one manifest's deletion vectors as a ready-to-probe lookup,
+    * values normalized to the readers' JVM-value space (micros for
+    * timestamps, days for dates, UTF8String for strings) — ONE home for
+    * the normalization so the batch scan and the change-feed stream can
+    * never disagree on it. */
+  def loadDvLookup(spark: SparkSession, m: SnapshotStore.Manifest): DvLookup = {
+    val keys = spark.read.parquet(m.deletes: _*)
+      .select(m.keyCols.map(org.apache.spark.sql.functions.col): _*)
+      .distinct().collect()
+      .map(r => Seq.tabulate(r.length)(i => r.get(i) match {
+        case t: java.sql.Timestamp =>
+          t.getTime * 1000L + t.getNanos / 1000L % 1000L
+        case t: java.time.LocalDateTime =>
+          t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L + t.getNano / 1000L
+        case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+        case d: java.time.LocalDate => d.toEpochDay.toInt
+        case s: String => UTF8String.fromString(s)
+        case v => v
+      })).toSet
+    new DvLookup(keys, m.keyCols.size)
+  }
+
+  /** Initialize a VectorizedParquetRecordReader over one row-group byte
+    * range with the given requested Spark schema — the split-based path
+    * that keeps the session's Hadoop configuration (the (path, columns)
+    * overload builds a bare Configuration internally). */
+  def initVectorizedReader(
+      reader: org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader,
+      file: String, start: Long, length: Long,
+      requestedSchemaJson: String, conf: Configuration): Unit = {
+    val c = new Configuration(conf)
+    c.set("org.apache.spark.sql.parquet.row.requested_schema", requestedSchemaJson)
+    c.set("parquet.read.support.class",
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport].getName)
+    val p = new Path(file)
+    // mapred.FileSplit extends the mapreduce one AND satisfies the
+    // old-API cast inside SpecificParquetRecordReaderBase.initialize;
+    // the byte range selects exactly this partition's row group
+    val split = new org.apache.hadoop.mapred.FileSplit(p, start, length, Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      c, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    reader.initialize(split, ctx)
+    reader.initBatch(new StructType(), InternalRow.empty)
   }
 }
 
@@ -458,36 +517,18 @@ private[sources] final class SnapshotScan(
     } finally r.close()
   }
 
-  /** Deletion-vector key tuples, resolved once at planning; O(deleted
-    * keys) — the same bound as readVersion's broadcast build side. */
-  private lazy val dvKeys: Set[Seq[Any]] =
-    if (m.deletes.isEmpty) Set.empty
-    else spark.read.parquet(m.deletes: _*)
-      .select(m.keyCols.map(org.apache.spark.sql.functions.col): _*)
-      .distinct().collect()
-      .map(r => Seq.tabulate(r.length)(i => r.get(i) match {
-        // normalize to the partition reader's JVM-value space
-        case t: java.sql.Timestamp =>
-          t.getTime * 1000L + t.getNanos / 1000L % 1000L
-        case t: java.time.LocalDateTime =>
-          t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L + t.getNano / 1000L
-        case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
-        case d: java.time.LocalDate => d.toEpochDay.toInt
-        // UTF8String so the vectorized row path probes without a
-        // per-row java.lang.String materialization
-        case s: String => UTF8String.fromString(s)
-        case v => v
-      })).toSet
-
-  /** The READY-TO-PROBE lookup ships to executors as a TORRENT
-    * broadcast (deserialized once per executor, shared by its tasks) —
-    * neither the key set nor any derived structure is ever rebuilt
-    * per task: a 25 %-deleted 15M-row snapshot costs each task a hash
-    * probe per row, not a multi-million-entry set construction
-    * (measured: per-task rebuild made the row path 60x slower than the
-    * underlying parquet reader). */
+  /** The READY-TO-PROBE lookup, resolved once at planning (O(deleted
+    * keys), the same bound as readVersion's broadcast build side) and
+    * shipped as a TORRENT broadcast (deserialized once per executor,
+    * shared by its tasks) — neither the key set nor any derived
+    * structure is ever rebuilt per task: a 25 %-deleted 15M-row
+    * snapshot costs each task a hash probe per row, not a
+    * multi-million-entry set construction (measured: per-task rebuild
+    * made the row path 60x slower than the underlying parquet
+    * reader). */
+  private lazy val dvLookup: DvLookup = SnapshotScan.loadDvLookup(spark, m)
   private lazy val dvKeysBroadcast: org.apache.spark.broadcast.Broadcast[DvLookup] =
-    spark.sparkContext.broadcast(new DvLookup(dvKeys, m.keyCols.size))
+    spark.sparkContext.broadcast(dvLookup)
 
   override def readSchema(): StructType = required
 
@@ -505,7 +546,7 @@ private[sources] final class SnapshotScan(
   override def description(): String = {
     val files = s"files=${keptGroups.map(_.file).distinct.size}/$totalFiles"
     val groups = s"rowGroups=${keptGroups.size}/$totalGroups"
-    val dv = if (m.deletes.isEmpty) "" else s", dvKeys=${dvKeys.size}"
+    val dv = if (m.deletes.isEmpty) "" else s", dvKeys=${dvLookup.size}"
     val mode = if (columnar) "vectorized" else "row"
     s"graft-snapshot ${m.data} ($files, $groups, $mode$dv, pushed=${skippable.mkString("[", ",", "]")})"
   }
@@ -541,17 +582,7 @@ private[sources] final class SnapshotScan(
     keptGroups.map(p => p: InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    // the vectorized reader's schema converter reads SQL confs out of
-    // the Hadoop conf (Spark's own parquet format sets them per query);
-    // propagate the session's values the same way
-    val c = new Configuration(hadoopConf)
-    Seq(
-      "spark.sql.parquet.binaryAsString" -> "false",
-      "spark.sql.parquet.int96AsTimestamp" -> "true",
-      "spark.sql.caseSensitive" -> "false",
-      "spark.sql.parquet.inferTimestampNTZ.enabled" -> "true",
-      "spark.sql.legacy.parquet.nanosAsLong" -> "false"
-    ).foreach { case (k, dflt) => c.set(k, spark.conf.get(k, dflt)) }
+    val c = SnapshotScan.readerHadoopConf(spark, hadoopConf)
     val keyTypes = m.keyCols.map(n =>
       fullSchema.find(_.name == n).map(_.dataType).getOrElse(
         throw new IllegalStateException(
@@ -653,21 +684,10 @@ private[sources] final class SnapshotVectorRowReader(
   private val reader =
     new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
       /* useOffHeap = */ false, /* capacity = */ 4096)
-  locally {
-    val c = new Configuration(conf)
-    c.set("org.apache.spark.sql.parquet.row.requested_schema", requested.json)
-    c.set("parquet.read.support.class",
-      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport].getName)
-    val p = new Path(partition.file)
-    val split = new org.apache.hadoop.mapred.FileSplit(
-      p, partition.start, partition.length, Array.empty[String])
-    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
-      c, new org.apache.hadoop.mapreduce.TaskAttemptID())
-    reader.initialize(split, ctx)
-    reader.initBatch(new StructType(), InternalRow.empty)
-    // NO enableReturningBatches: nextKeyValue()/getCurrentValue yield
-    // InternalRows backed by the current batch
-  }
+  // NO enableReturningBatches: nextKeyValue()/getCurrentValue yield
+  // InternalRows backed by the current batch
+  SnapshotScan.initVectorizedReader(
+    reader, partition.file, partition.start, partition.length, requested.json, conf)
 
   private val keyOrds: Array[Int] = keyCols.map(requested.fieldIndex).toArray
   private val keyTs: Array[DataType] = keyTypes.toArray
@@ -724,26 +744,8 @@ private[sources] final class SnapshotColumnarReader(
   private val reader =
     new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
       /* useOffHeap = */ false, /* capacity = */ 4096)
-  locally {
-    // split-based initialize keeps the SESSION's Hadoop configuration
-    // (filesystem credentials, custom schemes); the (path, columns)
-    // overload builds a bare `new Configuration()` internally and only
-    // works for default-filesystem paths
-    val c = new Configuration(conf)
-    c.set("org.apache.spark.sql.parquet.row.requested_schema", required.json)
-    c.set("parquet.read.support.class",
-      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport].getName)
-    val p = new Path(partition.file)
-    // mapred.FileSplit extends the mapreduce one AND satisfies the old-API
-    // cast inside SpecificParquetRecordReaderBase.initialize; the byte
-    // range selects exactly this partition's row group (midpoints)
-    val split = new org.apache.hadoop.mapred.FileSplit(
-      p, partition.start, partition.length, Array.empty[String])
-    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
-      c, new org.apache.hadoop.mapreduce.TaskAttemptID())
-    reader.initialize(split, ctx)
-  }
-  reader.initBatch(new StructType(), InternalRow.empty)
+  SnapshotScan.initVectorizedReader(
+    reader, partition.file, partition.start, partition.length, required.json, conf)
   reader.enableReturningBatches()
 
   override def next(): Boolean = reader.nextBatch()

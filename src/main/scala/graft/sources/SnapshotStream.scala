@@ -71,6 +71,7 @@ private[sources] final class SnapshotMicroBatchStream(
     val from = start.asInstanceOf[SnapshotVersionOffset].v
     val to = end.asInstanceOf[SnapshotVersionOffset].v
     val versions = SnapshotStore.versions(spark, tablePath).filter(v => v > from && v <= to)
+    plannedVersions = versions
     versions.flatMap { v =>
       val m = SnapshotStore.manifest(spark, tablePath, v)
       val prevData =
@@ -127,39 +128,28 @@ private[sources] final class SnapshotMicroBatchStream(
       }
   }
 
+  /** Per-version DV lookups for snapshot-image batches, broadcast once
+    * each and CACHED for the stream's lifetime — a micro-batch only
+    * pays for versions it actually plans (delete batches read delta
+    * key FILES directly, no lookup needed). */
+  private val lookupCache =
+    scala.collection.mutable.Map.empty[Long, Option[org.apache.spark.broadcast.Broadcast[DvLookup]]]
+  private val keyColsCache = scala.collection.mutable.Map.empty[Long, Seq[String]]
+  private def lookupFor(v: Long): Option[org.apache.spark.broadcast.Broadcast[DvLookup]] =
+    lookupCache.getOrElseUpdate(v, {
+      val m = SnapshotStore.manifest(spark, tablePath, v)
+      keyColsCache(v) = m.keyCols
+      if (m.deletes.isEmpty) None
+      else Some(spark.sparkContext.broadcast(SnapshotScan.loadDvLookup(spark, m)))
+    })
+  @volatile private var plannedVersions: Seq[Long] = Nil
+
   override def createReaderFactory(): PartitionReaderFactory = {
-    // per-version DV lookups for the snapshot-image batches, broadcast
-    // once each (delete batches read delta key FILES, no lookup needed)
-    val versions = SnapshotStore.versions(spark, tablePath)
-    val lookups: Map[Long, org.apache.spark.broadcast.Broadcast[DvLookup]] =
-      versions.flatMap { v =>
-        val m = SnapshotStore.manifest(spark, tablePath, v)
-        if (m.deletes.isEmpty) None
-        else {
-          val keys = spark.read.parquet(m.deletes: _*)
-            .select(m.keyCols.map(org.apache.spark.sql.functions.col): _*)
-            .distinct().collect()
-            .map(r => Seq.tabulate(r.length)(i => r.get(i) match {
-              case s: String => UTF8String.fromString(s)
-              case x         => x
-            })).toSet
-          Some(v -> spark.sparkContext.broadcast(new DvLookup(keys, m.keyCols.size)))
-        }
-      }.toMap
-    val keyColsByVersion: Map[Long, Seq[String]] =
-      versions.map(v => v -> SnapshotStore.manifest(spark, tablePath, v).keyCols).toMap
+    val versions = plannedVersions
+    val lookups = versions.flatMap(v => lookupFor(v).map(v -> _)).toMap
+    val keyColsByVersion = versions.map(v => v -> keyColsCache.getOrElse(v, Nil)).toMap
     new SnapshotStreamReaderFactory(tableSchema, keyColsByVersion, lookups,
-      new SerializableHadoopConf({
-        val c = new org.apache.hadoop.conf.Configuration(conf)
-        Seq(
-          "spark.sql.parquet.binaryAsString" -> "false",
-          "spark.sql.parquet.int96AsTimestamp" -> "true",
-          "spark.sql.caseSensitive" -> "false",
-          "spark.sql.parquet.inferTimestampNTZ.enabled" -> "true",
-          "spark.sql.legacy.parquet.nanosAsLong" -> "false"
-        ).foreach { case (k, d) => c.set(k, spark.conf.get(k, d)) }
-        c
-      }))
+      new SerializableHadoopConf(SnapshotScan.readerHadoopConf(spark, conf)))
   }
 
   override def commit(end: Offset): Unit = ()
