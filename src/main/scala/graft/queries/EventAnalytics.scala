@@ -204,7 +204,7 @@ object EventAnalytics {
     val table = java.nio.file.Files.createTempDirectory("dsv2").toString + "/orders"
     // file count scales with the session's parallelism, not a constant:
     // snapshot files bound BOTH the write fan-out and the connector's
-    // read partitions (one InputPartition per file), so 4 files at sf10
+    // read partitions (row groups follow file layout), so 4 files at sf10
     // would serialize 1.5M-row file reads (measured 44 s -> see SCALE.md)
     val files = s.sparkContext.defaultParallelism.max(4)
     graft.store.SnapshotStore.commit(

@@ -51,8 +51,9 @@ import scala.jdk.CollectionConverters._
   *  - Deletion vectors apply in the reader against an O(deleted-keys)
   *    key set resolved at planning (the same bound as `readVersion`'s
   *    broadcast anti join build side).
-  *  - One [[InputPartition]] per part file: parallelism follows the
-  *    writing job's file count, the natural snapshot granularity.
+  *  - One [[InputPartition]] per ROW GROUP (midpoint-convention byte
+  *    ranges): a snapshot written as few large files still fans out,
+  *    and stats skipping prunes at row-group precision.
   *
   * Unsupported (by design, validated): nested/array/map columns in the
   * pruned projection, and writes — commits go through the store's CAS
@@ -185,7 +186,9 @@ private[sources] final class SnapshotScanBuilder(
     * only aggregate: no data page is ever read. Complete pushdown only,
     * and only when it is provably exact: no residual filters, no
     * deletion vectors, no GROUP BY, numeric columns whose every row
-    * group carries stats (string stats can be writer-truncated). */
+    * group carries stats (string stats can be writer-truncated), and no
+    * NaN in any float/double bound (a NaN bound means the column holds
+    * NaN, whose Spark ordering footer stats can't reproduce). */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     tryComputeAgg(agg).isDefined
@@ -196,12 +199,35 @@ private[sources] final class SnapshotScanBuilder(
     aggResult.isDefined
   }
 
+  // Spark calls supportCompletePushDown then pushAggregation with the
+  // SAME Aggregation — memoized so the driver-side footer sweep runs
+  // once, not twice, per pushed aggregate
+  private var aggMemo: Option[
+    (org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+      Option[(StructType, Seq[Any], String)])] = None
+
   private def tryComputeAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Any], String)] = {
+    aggMemo match {
+      case Some((prev, res)) if prev == agg => return res
+      case _ => ()
+    }
+    val res = computeAgg(agg)
+    aggMemo = Some((agg, res))
+    res
+  }
+
+  private def computeAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, Seq[Any], String)] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
-    if (sawFilters || m.deletes.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    // changeFeed scans must stay streamable (SnapshotAggScan has no
+    // micro-batch form); a filtered/DV/grouped aggregate can't be
+    // answered from footers exactly
+    if (changeFeed || sawFilters || m.deletes.nonEmpty ||
+        agg.groupByExpressions.nonEmpty) return None
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
@@ -312,6 +338,17 @@ private[sources] object SnapshotScan {
               if (!(s.isNumNullsSet && s.getNumNulls == b.getRowCount)) return None
             } else (s.genericGetMin, s.genericGetMax) match {
               case (mn: Number, mx: Number) =>
+                // parquet-mr builds float/double stats via Math.min/max,
+                // so a NaN anywhere in the row group poisons its bounds:
+                // NaN-free bounds PROVE a NaN-free group, and a NaN bound
+                // means footer min/max can't reproduce Spark's NaN
+                // ordering — decline
+                def isNaN(x: Number): Boolean = x match {
+                  case d: java.lang.Double => d.isNaN
+                  case f: java.lang.Float  => f.isNaN
+                  case _                   => false
+                }
+                if (isNaN(mn) || isNaN(mx)) return None
                 acc.get(c) match {
                   case None => acc(c) = (mn, mx)
                   case Some((curMn, curMx)) =>
@@ -413,7 +450,21 @@ private[sources] object SnapshotScan {
         case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
         case d: java.time.LocalDate => d.toEpochDay.toInt
         case s: String => UTF8String.fromString(s)
-        case v => v
+        case v: java.lang.Long => v
+        case v: java.lang.Integer => v
+        case v: java.lang.Short => v
+        case v: java.lang.Byte => v
+        case v: java.lang.Double => v
+        case v: java.lang.Float => v
+        case v: java.lang.Boolean => v
+        case null => null
+        // decimal/binary/etc would compare by the WRONG equality against
+        // the readers' probe values — deleted rows would silently
+        // resurface; refuse instead
+        case other => throw new UnsupportedOperationException(
+          s"graft-snapshot: unsupported deletion-vector key value type " +
+            s"${other.getClass.getName} (supported: integral/floating/boolean/" +
+            "string/timestamp/date keys)")
       })).toSet
     new DvLookup(keys, m.keyCols.size)
   }

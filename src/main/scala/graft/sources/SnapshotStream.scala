@@ -50,13 +50,29 @@ private[sources] final class SnapshotMicroBatchStream(
   private def spark = SparkSession.active
   private def conf = spark.sparkContext.hadoopConfiguration
 
+  /** Newest version at or before `v` whose batch is a full IMAGE (first
+    * version, or data dir changed vs its predecessor). Anchoring the
+    * stream here keeps the documented replace-then-delete protocol
+    * sound even when the head (or `startingVersion`) is a delete
+    * commit: consumers always see the base image before its deltas. */
+  private def imageBaseOf(v: Long): Long = {
+    val vs = SnapshotStore.versions(spark, tablePath)
+    val manifests = vs.map(x => x -> SnapshotStore.manifest(spark, tablePath, x)).toMap
+    vs.filter(_ <= v).reverse
+      .find { x =>
+        val prev = vs.filter(_ < x).lastOption
+        prev.isEmpty || manifests(prev.get).data != manifests(x).data
+      }
+      .getOrElse(vs.head)
+  }
+
   override def initialOffset(): Offset = {
     val current = SnapshotStore.currentVersion(spark, tablePath).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $tablePath"))
     Option(options.get("startingVersion")) match {
       case Some("latest") => SnapshotVersionOffset(current)
-      case Some(v)        => SnapshotVersionOffset(v.toLong - 1)
-      case None           => SnapshotVersionOffset(current - 1)
+      case Some(v)        => SnapshotVersionOffset(imageBaseOf(v.toLong) - 1)
+      case None           => SnapshotVersionOffset(imageBaseOf(current) - 1)
     }
   }
 
@@ -70,14 +86,16 @@ private[sources] final class SnapshotMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[SnapshotVersionOffset].v
     val to = end.asInstanceOf[SnapshotVersionOffset].v
-    val versions = SnapshotStore.versions(spark, tablePath).filter(v => v > from && v <= to)
-    plannedVersions = versions
-    versions.flatMap { v =>
-      val m = SnapshotStore.manifest(spark, tablePath, v)
-      val prevData =
-        if (v == 0) None
-        else SnapshotStore.versions(spark, tablePath).filter(_ < v).lastOption
-          .map(pv => SnapshotStore.manifest(spark, tablePath, pv))
+    // one commit-dir listing + one manifest read per version for the
+    // whole batch (each is a remote round-trip on object stores)
+    val allVersions = SnapshotStore.versions(spark, tablePath)
+    val manifests = allVersions
+      .map(v => v -> SnapshotStore.manifest(spark, tablePath, v)).toMap
+    val versions = allVersions.filter(v => v > from && v <= to)
+    val imageVersions = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val parts = versions.flatMap { v =>
+      val m = manifests(v)
+      val prevData = allVersions.filter(_ < v).lastOption.map(manifests)
       prevData match {
         case Some(prev) if prev.data == m.data =>
           // delete commit: the DELTA deletion-vector entries only —
@@ -98,9 +116,12 @@ private[sources] final class SnapshotMicroBatchStream(
         case _ =>
           // new image: every row group of the version's data files,
           // with the version's OWN deletion vectors applied
+          imageVersions += v
           snapshotImagePartitions(m, v)
       }
-    }.toArray
+    }
+    plannedImageVersions = imageVersions.toSeq
+    parts.toArray
   }
 
   /** Row-group partitions over one version's data dir (no skipping —
@@ -128,10 +149,11 @@ private[sources] final class SnapshotMicroBatchStream(
       }
   }
 
-  /** Per-version DV lookups for snapshot-image batches, broadcast once
-    * each and CACHED for the stream's lifetime — a micro-batch only
-    * pays for versions it actually plans (delete batches read delta
-    * key FILES directly, no lookup needed). */
+  /** Per-version DV lookups, broadcast once each and cached until the
+    * version is COMMITTED past — only IMAGE batches need them (delete
+    * batches read delta key FILES directly), so only image versions
+    * ever build one: a delete micro-batch never pays the O(|DV|)
+    * driver collect. */
   private val lookupCache =
     scala.collection.mutable.Map.empty[Long, Option[org.apache.spark.broadcast.Broadcast[DvLookup]]]
   private val keyColsCache = scala.collection.mutable.Map.empty[Long, Seq[String]]
@@ -142,17 +164,28 @@ private[sources] final class SnapshotMicroBatchStream(
       if (m.deletes.isEmpty) None
       else Some(spark.sparkContext.broadcast(SnapshotScan.loadDvLookup(spark, m)))
     })
-  @volatile private var plannedVersions: Seq[Long] = Nil
+  @volatile private var plannedImageVersions: Seq[Long] = Nil
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val versions = plannedVersions
+    val versions = plannedImageVersions
     val lookups = versions.flatMap(v => lookupFor(v).map(v -> _)).toMap
     val keyColsByVersion = versions.map(v => v -> keyColsCache.getOrElse(v, Nil)).toMap
     new SnapshotStreamReaderFactory(tableSchema, keyColsByVersion, lookups,
       new SerializableHadoopConf(SnapshotScan.readerHadoopConf(spark, conf)))
   }
 
-  override def commit(end: Offset): Unit = ()
+  /** Processed-through watermark: lookups for versions at or before
+    * `end` can never be planned again — evict so a long-running stream
+    * doesn't accumulate one full-DV broadcast per processed version. */
+  override def commit(end: Offset): Unit = {
+    val upTo = end.asInstanceOf[SnapshotVersionOffset].v
+    lookupCache.filterInPlace { (v, b) =>
+      val keep = v > upTo
+      if (!keep) b.foreach(_.unpersist(false))
+      keep
+    }
+    keyColsCache.filterInPlace((v, _) => v > upTo)
+  }
   override def stop(): Unit = ()
 }
 

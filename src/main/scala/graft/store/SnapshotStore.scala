@@ -299,6 +299,25 @@ object SnapshotStore {
         s"no snapshot at or before $tsMillis under $table (commits: ${candidates.map(_._2).mkString(",")})"))
   }
 
+  /** Commit history (the DESCRIBE HISTORY surface): one row per
+    * retained version with its wall-clock, operation kind (inferred
+    * from the manifest shape — a delete commit shares its
+    * predecessor's data dir), and deletion-vector count. Metadata-only:
+    * reads commit markers, never data. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val vs = versions(spark, table)
+    val ms = vs.map(v => manifest(spark, table, v))
+    val rows = vs.zip(ms).zipWithIndex.map { case ((v, m), i) =>
+      val op =
+        if (i == 0) "create"
+        else if (ms(i - 1).data == m.data) "delete"
+        else "rewrite"
+      (v, m.ts, op, m.deletes.size, m.keyCols.mkString(","))
+    }
+    rows.toDF("version", "commit_ts_ms", "operation", "n_delete_files", "key_cols")
+  }
+
   /** Retention GC: drop all but the newest `keep` committed snapshots,
     * plus any UNCOMMITTED orphan `v=` directory below the current
     * version (an abandoned or CAS-defeated write that never published a
@@ -309,25 +328,6 @@ object SnapshotStore {
     * (like every table format's vacuum). Returns the dropped version
     * numbers. Keep ≥ 2 to leave a grace snapshot for in-flight readers
     * of the previous version. */
-  /** Commit history (the DESCRIBE HISTORY surface): one row per
-    * retained version with its wall-clock, operation kind (inferred
-    * from the manifest shape — a delete commit shares its
-    * predecessor's data dir), and deletion-vector count. Metadata-only:
-    * reads commit markers, never data. */
-  def history(spark: SparkSession, table: String): DataFrame = {
-    import spark.implicits._
-    val vs = versions(spark, table)
-    val rows = vs.zipWithIndex.map { case (v, i) =>
-      val m = manifest(spark, table, v)
-      val op =
-        if (i == 0) "create"
-        else if (manifest(spark, table, vs(i - 1)).data == m.data) "delete"
-        else "rewrite"
-      (v, m.ts, op, m.deletes.size, m.keyCols.mkString(","))
-    }
-    rows.toDF("version", "commit_ts_ms", "operation", "n_delete_files", "key_cols")
-  }
-
   def vacuum(spark: SparkSession, table: String, keep: Int = 2): Seq[Long] = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
     val committed = versions(spark, table)

@@ -348,6 +348,27 @@ class SnapshotDsv2Spec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("change feed: a delete commit at the head still anchors with the base image") {
+    val table = freshTable("dsv2-cdfanchor")
+    val nation = graft.sources.Tables.nation(spark, sf())
+    SnapshotStore.commit(nation, table) // v0
+    SnapshotStore.deleteCommit(spark, table, Seq("n_nationkey"), col("n_regionkey") === 1) // v1 = head
+    // a FRESH stream starting at a delete-commit head must replay the
+    // v0 image first — otherwise consumers get an unanchored delete
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", table).option("changeFeed", "true").load()
+      .writeStream.format("memory").queryName("graft_cdf_anchor").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("graft_cdf_anchor").collect()
+      val images = rows.filter(_.getString(rows.head.fieldIndex("_change_type")) == "snapshot")
+      val dels = rows.filter(_.getString(rows.head.fieldIndex("_change_type")) == "delete")
+      assert(images.length === 25, s"base image missing: ${images.length}")
+      assert(images.forall(_.getLong(rows.head.fieldIndex("_commit_version")) === 0L))
+      assert(dels.length === nation.filter(col("n_regionkey") === 1).count())
+    } finally q.stop()
+  }
+
   test("change feed via catalog .table() is refused with the path-based recipe") {
     val wh = java.nio.file.Files.createTempDirectory("dsv2-cdfcat").toString
     spark.conf.set("spark.sql.catalog.gsnapcdf", classOf[SnapshotCatalog].getName)
