@@ -1,0 +1,68 @@
+package graft.sources
+
+import graft.store.SnapshotStore
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Snapshot-table REPLICATION over the change feed — the cross-region /
+  * cross-cluster mirror story, composed entirely from the engine's own
+  * primitives:
+  *
+  * {{{
+  *   SnapshotReplication.mirror(spark, sourceRoot, targetRoot, ckptDir)
+  * }}}
+  *
+  * Each source commit arrives as one change-feed micro-batch and is
+  * re-applied to the target through the SAME commit protocol the source
+  * used: image batches (`_change_type='snapshot'` — a rewrite at the
+  * source) become a fresh [[SnapshotStore.commit]]; delete batches
+  * (O(deleted-keys) key rows) become a [[SnapshotStore.deleteKeysCommit]]
+  * — the mirror never rescans the table for a source delete. A batch
+  * spanning several source commits applies them in version order.
+  *
+  * Delivery is foreachBatch at-least-once: a crash can REPLAY a batch,
+  * which re-commits the same image (an extra target version with
+  * identical content) or re-applies the same delete keys (a no-op
+  * union) — the mirror's CONTENT always converges to the source's live
+  * rows; target version numbers are its own monotone history. Image
+  * commits materialize the source's deletion vectors away (the batch
+  * carries live rows only), so a mirror can be denser than its source.
+  */
+object SnapshotReplication {
+
+  def mirror(
+      spark: SparkSession,
+      sourceTable: String,
+      targetTable: String,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream.format("graft-snapshot")
+      .option("path", sourceTable).option("changeFeed", "true").load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val versions = batch.select(col("_commit_version")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        versions.foreach { v =>
+          val rows = batch.filter(col("_commit_version") === v).cache()
+          try {
+            rows.select(col("_change_type")).limit(1).collect()
+              .headOption.map(_.getString(0)) match {
+              case Some("delete") =>
+                // key columns come from the SOURCE commit's manifest
+                val keyCols = SnapshotStore.manifest(s, sourceTable, v).keyCols
+                SnapshotStore.deleteKeysCommit(s, targetTable, keyCols,
+                  rows.select(keyCols.map(col): _*))
+              case Some(_) =>
+                SnapshotStore.commit(
+                  rows.drop("_change_type", "_commit_version"), targetTable)
+              case None => () // empty slice (possible on replay boundaries)
+            }
+          } finally rows.unpersist()
+        }
+        ()
+      }
+      .start()
+}

@@ -281,6 +281,36 @@ object SnapshotStore {
     throw new IllegalStateException(s"deleteCommit lost $maxAttempts CAS races on $table")
   }
 
+  /** Like [[deleteCommit]] but with an EXPLICIT key frame instead of a
+    * predicate — the shape a change-feed consumer has in hand (delete
+    * batches carry keys, not conditions). Keys already dead in the
+    * target are harmless (DV union). */
+  def deleteKeysCommit(
+      spark: SparkSession,
+      table: String,
+      keyCols: Seq[String],
+      keys: DataFrame,
+      maxAttempts: Int = 8): Long = {
+    require(keyCols.nonEmpty, "deleteKeysCommit needs at least one key column")
+    val dv = s"${deletesDir(table)}/d_${token()}"
+    keys.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+      .distinct()
+      .write.mode("overwrite").parquet(dv)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, table)
+        .getOrElse(throw new IllegalStateException(s"no committed snapshot under $table"))
+      val m = manifest(spark, table, cur)
+      require(
+        m.deletes.isEmpty || m.keyCols == keyCols,
+        s"delete key columns $keyCols differ from the table's existing DV keys ${m.keyCols}")
+      if (tryPublishManifest(spark, table, cur + 1, Manifest(m.data, m.deletes :+ dv, keyCols)))
+        return cur + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(s"deleteKeysCommit lost $maxAttempts CAS races on $table")
+  }
+
   /** Timestamp time travel (`AS OF <ts>`): read the newest snapshot
     * whose commit time is ≤ `tsMillis` — the query-at-a-point-in-time
     * companion to version-number [[readVersion]]. Commit times come
