@@ -175,6 +175,23 @@ object ModernSqlQueries {
       Map("tbl" -> "graft_ms_orders", "lo" -> "1995-01-01", "hi" -> "1996-01-01"))
   }
 
+  /** ms8: SQL ergonomics — LATERAL COLUMN ALIASES (a SELECT item
+    * referencing a sibling alias, resolved left-to-right by the
+    * analyzer — no subquery nesting needed) and `ORDER BY ALL`
+    * (DuckDB-originated shorthand Spark 4 adopted). Both resolve to the
+    * exact plan the explicit spelling produces; the oracle is DuckDB's
+    * native form of the same features. */
+  val ms8LateralAlias: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_ms_lineitem")
+    s.sql(
+      """SELECT l_orderkey, l_linenumber,
+                round(l_extendedprice * (1.0 - l_discount), 4) AS disc_price,
+                round(disc_price * (1.0 + l_tax), 6) AS charge
+         FROM graft_ms_lineitem
+         WHERE l_orderkey < 200
+         ORDER BY ALL""")
+  }
+
   val queries: Map[String, Q] = Map(
     "ms1_recursive_chain" -> ms1RecursiveChain,
     "ms2_recursive_paths" -> ms2RecursivePaths,
@@ -182,7 +199,8 @@ object ModernSqlQueries {
     "ms4_sql_table_fn"    -> ms4SqlTableFn,
     "ms5_collation"       -> ms5Collation,
     "ms6_pipe_sql"        -> ms6PipeSql,
-    "ms7_param_sql"       -> ms7ParamSql)
+    "ms7_param_sql"       -> ms7ParamSql,
+    "ms8_lateral_alias"   -> ms8LateralAlias)
 
   val oracles: Map[String, String] = Map(
     "ms1_recursive_chain" ->
@@ -245,5 +263,12 @@ object ModernSqlQueries {
          FROM orders
          WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
            AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
-         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "ms8_lateral_alias" ->
+      """SELECT l_orderkey, l_linenumber,
+                round(l_extendedprice * (1.0 - l_discount), 4) AS disc_price,
+                round(disc_price * (1.0 + l_tax), 6) AS charge
+         FROM lineitem
+         WHERE l_orderkey < 200
+         ORDER BY ALL""")
 }
