@@ -38,7 +38,8 @@ import java.util.{Map => JMap}
   * weather` the same way) — with snapshot versions instead of mutable
   * locations.
   */
-final class SnapshotCatalog extends TableCatalog {
+final class SnapshotCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -76,7 +77,8 @@ final class SnapshotCatalog extends TableCatalog {
     // mergeSchema: same union-schema rule as the path-based provider
     // (an evolved snapshot's data dir can mix file generations)
     new SnapshotTable(root, m,
-      spark.read.option("mergeSchema", "true").parquet(m.data).schema)
+      spark.read.option("mergeSchema", "true")
+        .parquet(SnapshotStore.dataFiles(spark, m): _*).schema)
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -110,7 +112,43 @@ final class SnapshotCatalog extends TableCatalog {
       properties: JMap[String, String]): Table =
     throw new UnsupportedOperationException(
       "graft snapshot tables are born from their first commit " +
-        "(SnapshotStore.commit / an engine job writing under the warehouse), not DDL")
+        "(SnapshotStore.commit / an engine job writing under the warehouse, or " +
+        "CREATE TABLE ... AS SELECT, whose initial data IS the first commit) — " +
+        "bare CREATE TABLE has no snapshot to publish")
+
+  /** CTAS: `CREATE TABLE <cat>.<ns>.<t> AS SELECT ...` — the query's
+    * result stages as ordinary part files and `commitStagedChanges`
+    * publishes version 0 through the SAME CAS marker every other commit
+    * uses: the table either exists fully (v0 = the complete SELECT) or
+    * not at all; a racing creator loses the marker CAS and errors.
+    * Bare CREATE TABLE stays refused ([[createTable]]) — it has no
+    * content to commit. */
+  override def stageCreate(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: JMap[String, String]): org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "snapshot tables are unpartitioned (row-group stats skipping covers pruning)")
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    new StagedSnapshotTable(tableRoot(ident), schema, replace = false)
+  }
+
+  /** RTAS (`REPLACE TABLE ... AS SELECT`): same staging, published as
+    * the next version of the existing table — an atomic full rewrite. */
+  override def stageReplace(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: JMap[String, String]): org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new StagedSnapshotTable(tableRoot(ident), schema, replace = true)
+  }
+
+  override def stageCreateOrReplace(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: JMap[String, String]): org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "snapshot tables are unpartitioned (row-group stats skipping covers pruning)")
+    new StagedSnapshotTable(tableRoot(ident), schema, replace = true)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
@@ -124,4 +162,70 @@ final class SnapshotCatalog extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("rename is not supported for snapshot tables")
+}
+
+/** The staged side of CTAS/RTAS: collects the query's committed part
+  * files through the ordinary snapshot writer, then publishes them as
+  * ONE file-granular manifest when Spark calls `commitStagedChanges` —
+  * before that marker rename the table (or the new version) does not
+  * exist for any reader. */
+private[sources] final class StagedSnapshotTable(
+    root: String, tableSchema: StructType, replace: Boolean)
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+  import graft.store.SnapshotStore
+
+  private def spark = SparkSession.active
+  private val stagedDir =
+    s"$root/v=${SnapshotStore.currentVersion(spark, root).map(_ + 1).getOrElse(0L)}__${java.util.UUID.randomUUID.toString.take(8)}"
+  @volatile private var stagedFiles: Seq[String] = Nil
+
+  override def name(): String = root
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_WRITE,
+      org.apache.spark.sql.connector.catalog.TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+    override def truncate(): WriteBuilder = this // RTAS truncates; staging is already a replace
+    override def build(): Write = new Write {
+      override def toBatch: BatchWrite = new BatchWrite {
+        override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DataWriterFactory = {
+          val p = new Path(stagedDir)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+          new SnapshotWriterFactory(stagedDir, info.schema(),
+            new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+        }
+        // files are recorded only; visibility waits for commitStagedChanges
+        override def commit(messages: Array[WriterCommitMessage]): Unit =
+          stagedFiles = messages.collect { case SnapshotCommitMessage(Some(f)) => f }.toSeq
+        override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+      }
+    }
+  }
+
+  override def commitStagedChanges(): Unit = {
+    val m = SnapshotStore.Manifest("", Nil, Nil,
+      ts = System.currentTimeMillis(), files = stagedFiles, op = if (replace) "rewrite" else "ctas")
+    if (replace) {
+      var next = SnapshotStore.currentVersion(spark, root).map(_ + 1).getOrElse(0L)
+      while (!SnapshotStore.tryPublishManifest(spark, root, next, m))
+        next += 1 // staged data stays valid as a later version
+    } else if (!SnapshotStore.tryPublishManifest(spark, root, 0L, m)) {
+      abortStagedChanges()
+      throw new IllegalStateException(
+        s"CREATE TABLE AS SELECT lost a concurrent-create race on $root " +
+          "(the table now exists; use CREATE OR REPLACE to overwrite)")
+    }
+  }
+
+  override def abortStagedChanges(): Unit = {
+    val p = new Path(stagedDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
 }

@@ -81,7 +81,7 @@ final class SnapshotDataSource extends TableProvider with DataSourceRegister {
     // generations; the table schema is their union (absent columns
     // read null in the row path)
     val base = SparkSession.active.read.option("mergeSchema", "true")
-      .parquet(resolved._2.data).schema
+      .parquet(SnapshotStore.dataFiles(SparkSession.active, resolved._2): _*).schema
     // change-feed reads carry the two CDC metadata columns
     if (options.getBoolean("changeFeed", false))
       StructType(base.fields :+
@@ -140,7 +140,9 @@ object SnapshotDataSource {
 private[sources] final class SnapshotTable(
     tablePath: String, m: SnapshotStore.Manifest, tableSchema: StructType)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = tablePath
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -153,15 +155,35 @@ private[sources] final class SnapshotTable(
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
     new SnapshotWriteBuilder(tablePath, info)
+
+  /** `_file`: which part file a row lives in — `SELECT _file, ...`
+    * works like Spark's parquet source, and it is the GROUP identity
+    * row-level operations replace copy-on-write. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = SnapshotScan.FileCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "snapshot part file holding the row"
+    })
+
+  /** SQL `MERGE INTO` / `UPDATE` / `DELETE` — group-based (copy-on-
+    * write over touched FILES), enabled by file-granular manifests. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new SnapshotRowLevelOperation(tablePath, m, tableSchema, info.command)
 }
 
 private[sources] final class SnapshotScanBuilder(
     m: SnapshotStore.Manifest, schema: StructType,
-    tablePath: String = "", options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    tablePath: String = "", options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+    rowLevelOp: SnapshotRowLevelOperation = null)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private val changeFeed = options.getBoolean("changeFeed", false)
+  private val rowLevel = rowLevelOp != null
   private var required: StructType = schema
   private var skippable: Array[Filter] = Array.empty
   private var sawFilters = false
@@ -169,10 +191,17 @@ private[sources] final class SnapshotScanBuilder(
 
   /** Accept the stats-skippable comparisons for file pruning; EVERY
     * filter is returned as a residual so Spark re-applies it row-level
-    * — pushdown here can only reduce IO, never change answers. */
+    * — pushdown here can only reduce IO, never change answers.
+    *
+    * Row-level-operation scans accept NOTHING: a copy-on-write group
+    * scan must read affected FILES whole (carry-over rows included), so
+    * static row-group skipping — sound for queries because the filter
+    * re-applies — would drop carry-over row groups from rewritten
+    * files. Group pruning for those scans happens at runtime instead
+    * ([[SnapshotScan.filter]] on `_file`). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     sawFilters = filters.nonEmpty
-    skippable = filters.filter(SnapshotScan.isSkippable)
+    skippable = if (rowLevel) Array.empty else filters.filter(SnapshotScan.isSkippable)
     filters
   }
   override def pushedFilters(): Array[Filter] = skippable
@@ -226,7 +255,7 @@ private[sources] final class SnapshotScanBuilder(
     // changeFeed scans must stay streamable (SnapshotAggScan has no
     // micro-batch form); a filtered/DV/grouped aggregate can't be
     // answered from footers exactly
-    if (changeFeed || sawFilters || m.deletes.nonEmpty ||
+    if (changeFeed || rowLevel || sawFilters || m.deletes.nonEmpty ||
         agg.groupByExpressions.nonEmpty) return None
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
@@ -270,7 +299,11 @@ private[sources] final class SnapshotScanBuilder(
   override def build(): Scan = aggResult match {
     case Some((aggSchema, values, desc)) => new SnapshotAggScan(m, aggSchema, values, desc)
     case None =>
-      new SnapshotScan(m, schema, required, skippable, tablePath, changeFeed, options)
+      val scan =
+        new SnapshotScan(m, schema, required, skippable, tablePath, changeFeed, options,
+          rowLevel = rowLevel)
+      if (rowLevel) rowLevelOp.registerScan(scan)
+      scan
   }
 }
 
@@ -281,7 +314,7 @@ private[sources] final class SnapshotAggScan(
   override def readSchema(): StructType = aggSchema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-snapshot ${m.data} (FOOTER AGGREGATE [$aggDesc] — metadata-only, no data pages)"
+    s"graft-snapshot ${SnapshotScan.dataLabel(m)} (FOOTER AGGREGATE [$aggDesc] — metadata-only, no data pages)"
   override def planInputPartitions(): Array[InputPartition] =
     Array(SnapshotAggPartition(values))
   override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
@@ -299,6 +332,41 @@ private[sources] final class SnapshotAggScan(
 private[sources] final case class SnapshotAggPartition(values: Seq[Any]) extends InputPartition
 
 private[sources] object SnapshotScan {
+  /** Name of the file-path metadata column. */
+  val FileCol = "_file"
+
+  /** Parse a runtime group-filter predicate into the `_file` value set
+    * it admits: `IN(_file, v...)` or `=(_file, v)`. None for anything
+    * else — an unparsed predicate just means no runtime pruning, which
+    * degrades to a full (correct) rewrite. */
+  def extractFileIn(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate): Option[Set[String]] = {
+    import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+    def strOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case l: V2Literal[_] if l.value != null => Some(l.value.toString)
+        case _                                  => None
+      }
+    def isFileRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case f: NamedReference => f.fieldNames.sameElements(Array(FileCol))
+        case _                 => false
+      }
+    p.name() match {
+      case "IN" if p.children().nonEmpty && isFileRef(p.children()(0)) =>
+        val vs = p.children().drop(1).map(strOf)
+        if (vs.forall(_.isDefined)) Some(vs.flatten.toSet) else None
+      case "=" if p.children().length == 2 && isFileRef(p.children()(0)) =>
+        strOf(p.children()(1)).map(Set(_))
+      case _ => None
+    }
+  }
+
+  /** Human label for a manifest's data: the dir for dir-granular
+    * commits, a file count for file-granular ones. */
+  def dataLabel(m: SnapshotStore.Manifest): String =
+    if (m.files.nonEmpty) s"[${m.files.size} manifest files]" else m.data
+
   /** One parquet row group: byte range (midpoint-convention split
     * boundaries), row count, and exact per-column (min, max). */
   final case class RowGroupInfo(
@@ -314,15 +382,11 @@ private[sources] object SnapshotScan {
       m: SnapshotStore.Manifest, cols: Seq[String]): Option[(Long, Map[String, (Any, Any)])] = {
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
-    val dir = new Path(m.data)
-    val fs = dir.getFileSystem(conf)
-    if (!fs.exists(dir)) return Some((0L, Map.empty))
-    val files = fs.listStatus(dir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val files = SnapshotStore.dataFiles(spark, m).map(new Path(_))
     var rows = 0L
     val acc = scala.collection.mutable.Map.empty[String, (Any, Any)]
     files.foreach { f =>
-      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
       try {
         rows += r.getRecordCount
         val blocks = r.getFooter.getBlocks.asScala.toSeq
@@ -500,12 +564,55 @@ private[sources] final class SnapshotScan(
     skippable: Array[Filter],
     tablePath: String = "",
     changeFeed: Boolean = false,
-    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
-    extends Scan with Batch {
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+    rowLevel: Boolean = false)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   // ---- driver-side, metadata-only planning (footers, never data pages)
   private val spark = SparkSession.active
   private val hadoopConf = spark.sparkContext.hadoopConfiguration
+
+  /** The `_file` METADATA column ([[SnapshotTable.metadataColumns]]):
+    * a per-partition constant the reader appends — Spark places
+    * metadata columns after the data columns, so it is always the
+    * scan's LAST field when requested. */
+  private val hasFileCol = required.fieldNames.contains(SnapshotScan.FileCol)
+  if (hasFileCol)
+    require(required.fieldNames.last == SnapshotScan.FileCol,
+      s"metadata column ${SnapshotScan.FileCol} must be the scan's last field: $required")
+  /** Data columns the parquet layer actually decodes. */
+  private val physical: StructType =
+    if (hasFileCol) StructType(required.fields.dropRight(1)) else required
+
+  // ---- runtime group filtering (row-level operations): the planner's
+  // group-filter subquery computes the distinct `_file` values matching
+  // the command and hands them back as an IN predicate — files outside
+  // the set are untouched groups and drop out of BOTH the read and the
+  // copy-on-write rewrite set
+  @volatile private var runtimeFiles: Option[Set[String]] = None
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (rowLevel) Array(org.apache.spark.sql.connector.expressions.Expressions.column(SnapshotScan.FileCol))
+    else Array.empty
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val sets = predicates.flatMap(SnapshotScan.extractFileIn)
+    if (sets.nonEmpty) runtimeFiles = Some(sets.reduce(_ intersect _))
+  }
+
+  /** Files this scan will actually read after runtime group filtering —
+    * the copy-on-write REPLACEMENT set a row-level commit drops from
+    * the manifest. */
+  private[sources] def scannedFiles: Seq[String] =
+    effectiveGroups.map(_.file).distinct
+
+  private def effectiveGroups: Seq[SnapshotInputPartition] =
+    runtimeFiles match {
+      case Some(keep) => keptGroups.filter(p => keep.contains(p.file))
+      case None       => keptGroups
+    }
 
   /** One partition per ROW GROUP, not per file: a snapshot written as
     * few large files still fans out across the cluster, and stats
@@ -513,18 +620,14 @@ private[sources] final class SnapshotScan(
     * row groups are still pruned). */
   private lazy val (keptGroups: Seq[SnapshotInputPartition], totalGroups: Int,
       totalFiles: Int, allColumnsPresent: Boolean) = {
-    val dir = new Path(m.data)
-    val fs = dir.getFileSystem(hadoopConf)
-    val all = fs.listStatus(dir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath)
+    val all = SnapshotStore.dataFiles(spark, m).map(new Path(_))
     var allPresent = true
     var total = 0
-    val wanted = (required.fieldNames.toSeq ++
+    val wanted = (physical.fieldNames.toSeq ++
       (if (m.deletes.isEmpty) Nil else m.keyCols)).distinct
     val kept = all.flatMap { p =>
       val (blocks, fields) = footerInfo(p)
-      if (!required.fieldNames.forall(fields)) allPresent = false
+      if (!physical.fieldNames.forall(fields)) allPresent = false
       val selfContained = wanted.forall(fields)
       total += blocks.size
       blocks
@@ -588,8 +691,8 @@ private[sources] final class SnapshotScan(
     * carry every requested column; otherwise fall back to the row
     * reader (correct for both). */
   private lazy val columnar: Boolean =
-    m.deletes.isEmpty && allColumnsPresent &&
-      required.fields.forall(f => f.dataType match {
+    m.deletes.isEmpty && allColumnsPresent && !hasFileCol &&
+      physical.fields.forall(f => f.dataType match {
         case _: StructType | _: ArrayType | _: MapType => false
         case _                                         => true
       })
@@ -599,7 +702,7 @@ private[sources] final class SnapshotScan(
     val groups = s"rowGroups=${keptGroups.size}/$totalGroups"
     val dv = if (m.deletes.isEmpty) "" else s", dvKeys=${dvLookup.size}"
     val mode = if (columnar) "vectorized" else "row"
-    s"graft-snapshot ${m.data} ($files, $groups, $mode$dv, pushed=${skippable.mkString("[", ",", "]")})"
+    s"graft-snapshot ${SnapshotScan.dataLabel(m)} ($files, $groups, $mode$dv, pushed=${skippable.mkString("[", ",", "]")})"
   }
 
   override def toBatch: Batch = {
@@ -630,7 +733,7 @@ private[sources] final class SnapshotScan(
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    keptGroups.map(p => p: InputPartition).toArray
+    effectiveGroups.map(p => p: InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val c = SnapshotScan.readerHadoopConf(spark, hadoopConf)
@@ -638,9 +741,9 @@ private[sources] final class SnapshotScan(
       fullSchema.find(_.name == n).map(_.dataType).getOrElse(
         throw new IllegalStateException(
           s"deletion-vector key column '$n' missing from table schema")))
-    new SnapshotReaderFactory(required, m.keyCols, keyTypes,
+    new SnapshotReaderFactory(physical, m.keyCols, keyTypes,
       if (m.deletes.isEmpty) None else Some(dvKeysBroadcast), columnar,
-      new SerializableHadoopConf(c))
+      new SerializableHadoopConf(c), appendFileCol = hasFileCol)
   }
 }
 
@@ -681,7 +784,8 @@ private[sources] final class SnapshotReaderFactory(
     keyTypes: Seq[DataType],
     dvKeys: Option[org.apache.spark.broadcast.Broadcast[DvLookup]],
     columnar: Boolean,
-    conf: SerializableHadoopConf)
+    conf: SerializableHadoopConf,
+    appendFileCol: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SnapshotInputPartition]
@@ -689,11 +793,24 @@ private[sources] final class SnapshotReaderFactory(
     // even on the row path (DV probe per emitted row — ~10x the
     // record-assembly reader); only schema-evolution gaps fall back to
     // the Group reader, which fills absent columns with null
-    if (p.selfContained)
-      new SnapshotVectorRowReader(
-        p, required, keyCols, keyTypes, dvKeys.map(_.value).orNull, conf.conf)
-    else
-      new SnapshotPartitionReader(p, required, keyCols, dvKeys.map(_.value).orNull, conf.conf)
+    val inner: PartitionReader[InternalRow] =
+      if (p.selfContained)
+        new SnapshotVectorRowReader(
+          p, required, keyCols, keyTypes, dvKeys.map(_.value).orNull, conf.conf)
+      else
+        new SnapshotPartitionReader(p, required, keyCols, dvKeys.map(_.value).orNull, conf.conf)
+    if (!appendFileCol) inner
+    else {
+      // `_file` metadata column: a per-partition constant appended as
+      // the scan's last field (Spark places metadata after data cols)
+      val meta = new GenericInternalRow(Array[Any](UTF8String.fromString(p.file)))
+      new PartitionReader[InternalRow] {
+        private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+        override def next(): Boolean = inner.next()
+        override def get(): InternalRow = joined(inner.get(), meta)
+        override def close(): Unit = inner.close()
+      }
+    }
   }
 
   // columnar mode is an all-partitions-or-none decision made at planning

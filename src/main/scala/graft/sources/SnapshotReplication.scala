@@ -3,7 +3,7 @@ package graft.sources
 import graft.store.SnapshotStore
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Snapshot-table REPLICATION over the change feed — the cross-region /
@@ -17,7 +17,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Each source commit arrives as one change-feed micro-batch and is
   * re-applied to the target through the SAME commit protocol the source
   * used: image batches (`_change_type='snapshot'` — a rewrite at the
-  * source) become a fresh [[SnapshotStore.commit]]; delete batches
+  * source) become a fresh [[SnapshotStore.commit]]; insert batches
+  * (`'insert'` — an append at the source, O(new-files) rows) become an
+  * [[SnapshotStore.appendCommit]]; delete batches
   * (O(deleted-keys) key rows) become a [[SnapshotStore.deleteKeysCommit]]
   * — the mirror never rescans the table for a source delete. A batch
   * spanning several source commits applies them in version order.
@@ -51,10 +53,24 @@ object SnapshotReplication {
             rows.select(col("_change_type")).limit(1).collect()
               .headOption.map(_.getString(0)) match {
               case Some("delete") =>
-                // key columns come from the SOURCE commit's manifest
-                val keyCols = SnapshotStore.manifest(s, sourceTable, v).keyCols
+                // key columns come from the SOURCE commit's manifest;
+                // if the source was vacuumed past v before this batch
+                // applied (crash replay), fall back to deriving them
+                // from the batch itself — delete batches carry the key
+                // columns populated and every other column null
+                val keyCols = scala.util.Try(
+                  SnapshotStore.manifest(s, sourceTable, v).keyCols).getOrElse {
+                  val payload = rows.drop("_change_type", "_commit_version")
+                  val counts = payload.select(payload.columns.map(c =>
+                    count(col(c)).alias(c)).toIndexedSeq: _*).collect()(0)
+                  payload.columns.toSeq.filter(c => counts.getLong(counts.fieldIndex(c)) > 0L)
+                }
                 SnapshotStore.deleteKeysCommit(s, targetTable, keyCols,
                   rows.select(keyCols.map(col): _*))
+              case Some("insert") =>
+                // append delta: mirror as an O(new-files) append commit
+                SnapshotStore.appendCommit(
+                  rows.drop("_change_type", "_commit_version"), targetTable)
               case Some(_) =>
                 SnapshotStore.commit(
                   rows.drop("_change_type", "_commit_version"), targetTable)

@@ -1,0 +1,172 @@
+package graft.sources
+
+import graft.store.SnapshotStore
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** SQL row-level commands over snapshot tables — `MERGE INTO`,
+  * `UPDATE`, `DELETE` — as a GROUP-BASED (copy-on-write) DataSource V2
+  * row-level operation, the shape Spark plans as `ReplaceData`:
+  *
+  * {{{
+  *   MERGE INTO snap.facts.orders t USING updates s
+  *   ON t.o_orderkey = s.o_orderkey
+  *   WHEN MATCHED THEN UPDATE SET *
+  *   WHEN NOT MATCHED THEN INSERT *
+  * }}}
+  *
+  * The scale contract, made possible by FILE-GRANULAR manifests:
+  *  1. Spark's runtime group filter
+  *     (`RowLevelOperationRuntimeGroupFiltering`) computes the distinct
+  *     `_file` values with at least one row matching the command and
+  *     hands them to [[SnapshotScan.filter]] — only TOUCHED files are
+  *     read and rewritten.
+  *  2. The replacement write stages the surviving+updated+inserted rows
+  *     of those files as fresh part files.
+  *  3. [[SnapshotRowLevelBatchWrite.commit]] publishes ONE manifest:
+  *     (previous files − touched files) + staged files. Untouched files
+  *     never move — a 1-row MERGE against a 10 000-file table rewrites
+  *     one file, not the table.
+  *
+  * Correctness guards:
+  *  - The group scan reads touched files WHOLE (no static row-group
+  *    skipping — see [[SnapshotScanBuilder.pushFilters]]): carry-over
+  *    rows of a rewritten file must flow through the replacement.
+  *  - Refused while deletion vectors are live: key-based DVs compose
+  *    wrong with partial rewrites (a re-inserted deleted key would
+  *    vanish) — compact first, like append.
+  *  - Concurrency is optimistic: the commit CAS-publishes
+  *    `baseVersion + 1`; if any other writer committed since the scan,
+  *    the publish loses and the command fails with a concurrent-
+  *    modification error instead of silently dropping that writer's
+  *    rows (SQL semantics give no rebase hook — the user re-runs).
+  *
+  * Reference analog: the warehouse's SCD2 upsert jobs
+  * (`build_dimensions.py:60-93`) are full-table overwrites; this is the
+  * same statement surface with an O(touched-files) execution.
+  */
+private[sources] final class SnapshotRowLevelOperation(
+    tablePath: String,
+    m: SnapshotStore.Manifest,
+    tableSchema: StructType,
+    cmd: Command)
+    extends RowLevelOperation {
+
+  private def spark = SparkSession.active
+
+  if (m.deletes.nonEmpty)
+    throw new UnsupportedOperationException(
+      s"graft-snapshot: ${cmd} on $tablePath refused while deletion vectors are live " +
+        "(key-based DVs compose wrong with partial rewrites) — run a compacting " +
+        "INSERT OVERWRITE or Bucketing.compactCommit first")
+
+  /** The head version this command rewrites; the resolved relation must
+    * BE the head — rewriting a time-travelled snapshot would silently
+    * drop every commit after it. */
+  private[sources] val baseVersion: Long = {
+    val v = SnapshotStore.currentVersion(spark, tablePath).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $tablePath"))
+    val head = SnapshotStore.manifest(spark, tablePath, v)
+    if (head.data != m.data || head.files != m.files)
+      throw new IllegalStateException(
+        s"graft-snapshot: $cmd must target the table head; $tablePath moved to " +
+          s"version $v since this relation resolved (re-run the command)")
+    v
+  }
+
+  // every scan this operation built (the main group scan, plus the
+  // group-filter subquery's scan); the commit takes the most-restrictive
+  // scanned-file set — only the main scan ever receives a runtime filter
+  private val scans = new java.util.concurrent.CopyOnWriteArrayList[SnapshotScan]()
+  private[sources] def registerScan(s: SnapshotScan): Unit = scans.add(s)
+  private[sources] def replacedFiles: Seq[String] = {
+    val it = scala.jdk.CollectionConverters.ListHasAsScala(scans).asScala
+    if (it.isEmpty) SnapshotStore.dataFiles(spark, m) // no scan built: full rewrite
+    else it.map(_.scannedFiles).minBy(_.size)
+  }
+
+  override def command(): Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SnapshotScanBuilder(m, tableSchema, tablePath, options, rowLevelOp = this)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val op = this
+    new WriteBuilder {
+      override def build(): Write =
+        new SnapshotRowLevelWrite(tablePath, info.schema(), op)
+    }
+  }
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(SnapshotScan.FileCol))
+
+  override def description(): String =
+    s"graft-snapshot $cmd copy-on-write (base v$baseVersion)"
+}
+
+private[sources] final class SnapshotRowLevelWrite(
+    tablePath: String, writeSchema: StructType, op: SnapshotRowLevelOperation) extends Write {
+  // Spark's ReplaceData writes DATA columns only; a metadata column in
+  // the write schema would mean the writer persists `_file` — refuse
+  // loudly rather than corrupt
+  require(!writeSchema.fieldNames.contains(SnapshotScan.FileCol),
+    s"row-level write schema unexpectedly carries ${SnapshotScan.FileCol}: $writeSchema")
+  override def toBatch: BatchWrite = new SnapshotRowLevelBatchWrite(tablePath, writeSchema, op)
+}
+
+private[sources] final class SnapshotRowLevelBatchWrite(
+    tablePath: String, schema: StructType, op: SnapshotRowLevelOperation)
+    extends BatchWrite {
+
+  private val spark = SparkSession.active
+  private val stagedDir =
+    s"$tablePath/v=${op.baseVersion + 1}__${java.util.UUID.randomUUID.toString.take(8)}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val p = new Path(stagedDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+    new SnapshotWriterFactory(stagedDir, schema,
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val committed = messages.collect { case SnapshotCommitMessage(Some(f)) => f }.toSeq
+    val fs = new Path(stagedDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committedNames = committed.map(f => new Path(f).getName).toSet
+    fs.listStatus(new Path(stagedDir)).toSeq
+      .filterNot(s => committedNames.contains(s.getPath.getName))
+      .foreach(s => fs.delete(s.getPath, s.isDirectory))
+
+    val m = SnapshotStore.manifest(spark, tablePath, op.baseVersion)
+    val replaced = op.replacedFiles.toSet
+    val survivors = SnapshotStore.dataFiles(spark, m).filterNot(replaced)
+    val opName = op.command() match {
+      case Command.MERGE  => "merge"
+      case Command.UPDATE => "update"
+      case Command.DELETE => "delete-cow"
+    }
+    val ok = SnapshotStore.tryPublishManifest(spark, tablePath, op.baseVersion + 1,
+      SnapshotStore.Manifest("", Nil, Nil, ts = System.currentTimeMillis(),
+        files = survivors ++ committed, op = opName))
+    if (!ok) {
+      abort(messages)
+      throw new java.util.ConcurrentModificationException(
+        s"graft-snapshot: ${op.command()} on $tablePath lost to a concurrent commit " +
+          s"of version ${op.baseVersion + 1} — re-run the command against the new head")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val p = new Path(stagedDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+}

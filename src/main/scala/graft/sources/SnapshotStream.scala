@@ -23,12 +23,15 @@ import scala.jdk.CollectionConverters._
   *     .option("path", t).option("changeFeed", "true").load()
   * }}}
   *
-  * Batch semantics (the store's two commit shapes map directly):
-  *  - a commit that REPLACES the data dir (append/overwrite/merge/
-  *    compaction) emits the full new image: every live row with
+  * Batch semantics (the store's three commit shapes map directly):
+  *  - a commit that REWRITES the data (overwrite/merge/compaction)
+  *    emits the full new image: every live row with
   *    `_change_type = 'snapshot'` — consumers replace their state;
-  *  - a DELETE COMMIT (same data dir, new deletion-vector file) emits
-  *    ONLY the delta keys with `_change_type = 'delete'` (non-key
+  *  - an APPEND COMMIT (file-granular superset manifest) emits ONLY
+  *    the newly added files' rows with `_change_type = 'insert'` —
+  *    O(new data), never a table image;
+  *  - a DELETE COMMIT (same data identity, new deletion-vector file)
+  *    emits ONLY the delta keys with `_change_type = 'delete'` (non-key
   *    columns null) — consumers drop those keys. O(deleted-keys) rows,
   *    never a table rescan.
   *
@@ -50,19 +53,44 @@ private[sources] final class SnapshotMicroBatchStream(
   private def spark = SparkSession.active
   private def conf = spark.sparkContext.hadoopConfiguration
 
-  /** Newest version at or before `v` whose batch is a full IMAGE (first
-    * version, or data dir changed vs its predecessor). Anchoring the
-    * stream here keeps the documented replace-then-delete protocol
-    * sound even when the head (or `startingVersion`) is a delete
-    * commit: consumers always see the base image before its deltas. */
+  // committed manifests are immutable per version, so both caches are
+  // safe across triggers — each version costs ONE marker read and (for
+  // dir-granular manifests) ONE data-dir listing over the stream's whole
+  // lifetime, instead of O(history) round-trips per micro-batch
+  private val manifestCache =
+    scala.collection.mutable.Map.empty[Long, SnapshotStore.Manifest]
+  private val fileSetCache = scala.collection.mutable.Map.empty[Long, Seq[String]]
+  private def manifestOf(v: Long): SnapshotStore.Manifest =
+    manifestCache.getOrElseUpdate(v, SnapshotStore.manifest(spark, tablePath, v))
+  private def filesOf(v: Long): Seq[String] =
+    fileSetCache.getOrElseUpdate(v, SnapshotStore.dataFiles(spark, manifestOf(v)))
+
+  /** Commit kind of version `v` relative to its predecessor — drives
+    * which delta (if any) the batch can carry:
+    *  - `delete`: same data identity, new deletion vectors → key delta
+    *  - `insert`: file-granular superset, no DVs on either side → the
+    *    NEW files only (an [[SnapshotStore.appendCommit]])
+    *  - `image`: anything else (rewrite/merge/compaction), and any
+    *    version whose predecessor is unknown (first version, or
+    *    vacuumed past — the image is always a safe anchor) */
+  private def classify(v: Long, vs: Seq[Long]): String = {
+    if (!vs.contains(v - 1)) return "image"
+    val prev = manifestOf(v - 1)
+    val m = manifestOf(v)
+    if (m.data == prev.data && m.files == prev.files) "delete"
+    else if (m.files.nonEmpty && m.deletes.isEmpty && prev.deletes.isEmpty &&
+        filesOf(v - 1).toSet.subsetOf(m.files.toSet)) "insert"
+    else "image"
+  }
+
+  /** Newest version at or before `v` whose batch is a full IMAGE.
+    * Anchoring the stream here keeps the documented protocol sound even
+    * when the head (or `startingVersion`) is a delete or append commit:
+    * consumers always see the base image before its deltas. */
   private def imageBaseOf(v: Long): Long = {
     val vs = SnapshotStore.versions(spark, tablePath)
-    val manifests = vs.map(x => x -> SnapshotStore.manifest(spark, tablePath, x)).toMap
     vs.filter(_ <= v).reverse
-      .find { x =>
-        val prev = vs.filter(_ < x).lastOption
-        prev.isEmpty || manifests(prev.get).data != manifests(x).data
-      }
+      .find(x => classify(x, vs) == "image")
       .getOrElse(vs.head)
   }
 
@@ -86,20 +114,29 @@ private[sources] final class SnapshotMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[SnapshotVersionOffset].v
     val to = end.asInstanceOf[SnapshotVersionOffset].v
-    // one commit-dir listing + one manifest read per version for the
-    // whole batch (each is a remote round-trip on object stores)
+    // ONE commit-dir listing per trigger; manifests resolve through the
+    // cross-trigger cache, and only for versions in (from, to] plus the
+    // single predecessor classification needs
     val allVersions = SnapshotStore.versions(spark, tablePath)
-    val manifests = allVersions
-      .map(v => v -> SnapshotStore.manifest(spark, tablePath, v)).toMap
     val versions = allVersions.filter(v => v > from && v <= to)
+    // retention guard: versions are CAS-dense, so a gap right after the
+    // checkpointed offset means vacuum collected commits this stream
+    // never processed — silent emptiness would be data loss downstream
+    if (versions.nonEmpty && from >= 0 && versions.head != from + 1)
+      throw new IllegalStateException(
+        s"graft-snapshot change feed fell behind vacuum retention on $tablePath: " +
+          s"versions ${from + 1}..${versions.head - 1} were vacuumed before this " +
+          "stream processed them. Increase SnapshotStore.vacuum(keep=) so retention " +
+          "outlives the slowest consumer, or restart the stream from a fresh " +
+          "checkpoint to take a new base image.")
     val imageVersions = scala.collection.mutable.ArrayBuffer.empty[Long]
     val parts = versions.flatMap { v =>
-      val m = manifests(v)
-      val prevData = allVersions.filter(_ < v).lastOption.map(manifests)
-      prevData match {
-        case Some(prev) if prev.data == m.data =>
+      val m = manifestOf(v)
+      classify(v, allVersions) match {
+        case "delete" =>
           // delete commit: the DELTA deletion-vector entries only —
           // each is a parquet DIRECTORY; expand to its part files
+          val prev = manifestOf(v - 1)
           val delta = m.deletes.filterNot(prev.deletes.toSet)
           delta.flatMap { d =>
             val dp = new Path(d)
@@ -113,40 +150,43 @@ private[sources] final class SnapshotMicroBatchStream(
               SnapshotInputPartition(f, 0L, Long.MaxValue, 0L, selfContained = false),
               changeType = "delete", version = v))
           }
+        case "insert" =>
+          // append commit: ONLY the newly added files stream, tagged
+          // 'insert' — O(new data) rows, never a table image (appends
+          // carry no DVs by construction, so no lookup is needed)
+          val prevFiles = filesOf(v - 1).toSet
+          rowGroupPartitions(m, v, m.files.filterNot(prevFiles), "insert")
         case _ =>
           // new image: every row group of the version's data files,
           // with the version's OWN deletion vectors applied
           imageVersions += v
-          snapshotImagePartitions(m, v)
+          rowGroupPartitions(m, v, filesOf(v), "snapshot")
       }
     }
     plannedImageVersions = imageVersions.toSeq
     parts.toArray
   }
 
-  /** Row-group partitions over one version's data dir (no skipping —
-    * a change feed emits everything), tagged `snapshot`. */
-  private def snapshotImagePartitions(
-      m: SnapshotStore.Manifest, v: Long): Seq[SnapshotStreamPartition] = {
-    val dir = new Path(m.data)
-    val fs = dir.getFileSystem(conf)
+  /** Row-group partitions over the given data files (no skipping — a
+    * change feed emits everything), tagged with the batch kind. */
+  private def rowGroupPartitions(
+      m: SnapshotStore.Manifest, v: Long, files: Seq[String],
+      changeType: String): Seq[SnapshotStreamPartition] = {
     val wanted = tableSchema.fieldNames.toSeq ++ m.keyCols
-    fs.listStatus(dir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .flatMap { f =>
-        val r = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
-        try {
-          val fields = r.getFooter.getFileMetaData.getSchema.getFields.asScala
-            .map(_.getName).toSet
-          val selfContained = wanted.forall(fields)
-          r.getFooter.getBlocks.asScala.toSeq.map { b =>
-            SnapshotStreamPartition(
-              SnapshotInputPartition(f.getPath.toString, b.getStartingPos,
-                b.getCompressedSize, b.getRowCount, selfContained),
-              changeType = "snapshot", version = v)
-          }
-        } finally r.close()
-      }
+    files.flatMap { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+      try {
+        val fields = r.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .map(_.getName).toSet
+        val selfContained = wanted.forall(fields)
+        r.getFooter.getBlocks.asScala.toSeq.map { b =>
+          SnapshotStreamPartition(
+            SnapshotInputPartition(f, b.getStartingPos,
+              b.getCompressedSize, b.getRowCount, selfContained),
+            changeType = changeType, version = v)
+        }
+      } finally r.close()
+    }
   }
 
   /** Per-version DV lookups, broadcast once each and cached until the
@@ -159,7 +199,7 @@ private[sources] final class SnapshotMicroBatchStream(
   private val keyColsCache = scala.collection.mutable.Map.empty[Long, Seq[String]]
   private def lookupFor(v: Long): Option[org.apache.spark.broadcast.Broadcast[DvLookup]] =
     lookupCache.getOrElseUpdate(v, {
-      val m = SnapshotStore.manifest(spark, tablePath, v)
+      val m = manifestOf(v)
       keyColsCache(v) = m.keyCols
       if (m.deletes.isEmpty) None
       else Some(spark.sparkContext.broadcast(SnapshotScan.loadDvLookup(spark, m)))
@@ -185,6 +225,10 @@ private[sources] final class SnapshotMicroBatchStream(
       keep
     }
     keyColsCache.filterInPlace((v, _) => v > upTo)
+    // manifest/file caches: keep upTo itself — it is the predecessor the
+    // next batch's classification reads — and drop everything older
+    manifestCache.filterInPlace((v, _) => v >= upTo)
+    fileSetCache.filterInPlace((v, _) => v >= upTo)
   }
   override def stop(): Unit = ()
 }

@@ -15,24 +15,28 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsDynamicOverwrite, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types._
 
-/** DSv2 write path for [[SnapshotDataSource]]: `INSERT OVERWRITE` /
-  * `df.write.format("graft-snapshot").mode("overwrite")` becomes ONE
-  * atomic snapshot commit through the store's CAS marker protocol —
-  * tasks stage part files into a writer-unique `v=<n>__<token>` dir
-  * (invisible to readers), and visibility flips at the no-overwrite
-  * marker rename in [[SnapshotBatchWrite.commit]]. A lost CAS race
-  * re-publishes the SAME staged data as the next version — staged bytes
-  * are never rewritten.
+/** DSv2 write path for [[SnapshotDataSource]]: both `INSERT OVERWRITE`
+  * and `INSERT INTO` become ONE atomic snapshot commit through the
+  * store's CAS marker protocol — tasks stage part files into a
+  * writer-unique `v=<n>__<token>` dir (invisible to readers), and
+  * visibility flips at the no-overwrite marker rename in
+  * [[SnapshotBatchWrite.commit]]. A lost CAS race re-links the SAME
+  * staged files as the next version — staged bytes are never rewritten.
   *
-  * Plain append is REJECTED with guidance: a snapshot version has one
-  * immutable data dir, so "append" means rewriting O(table) bytes —
-  * the scale-honest paths are `INSERT OVERWRITE` (replace), a MERGE
-  * ([[graft.ops.ChangeData.mergeCommit]]), or a delete commit; refusing
-  * beats silently shipping a full-table copy per INSERT.
+  * `INSERT INTO` (append) publishes a FILE-GRANULAR manifest: the
+  * predecessor's data files plus exactly the files this job's committed
+  * tasks reported — an O(new-files) commit, the incremental-load shape
+  * the reference's Silver layer runs daily (`bronze_to_silver.py:116`).
+  * Append is refused only while deletion vectors are live (the store's
+  * DVs are key-based and table-wide, so re-inserting a deleted key
+  * would silently suppress the new row — compact first).
   *
-  * Task failure/speculation safe: every task writes a UUID-unique file,
-  * aborted tasks delete their own file, and an aborted JOB deletes the
-  * whole staged dir — committed readers never see partial state.
+  * Task failure/speculation safe at FILE granularity: the manifest
+  * lists only the files named in the collected [[SnapshotCommitMessage]]s
+  * (exactly one per committed task), and [[SnapshotBatchWrite.commit]]
+  * deletes any stray file a lost task attempt left in the staged dir
+  * before publishing. An aborted JOB deletes the whole staged dir —
+  * committed readers never see partial state.
   */
 private[sources] final class SnapshotWriteBuilder(
     tablePath: String, info: LogicalWriteInfo)
@@ -46,20 +50,17 @@ private[sources] final class SnapshotWriteBuilder(
     * overwrite" degenerates to a full replace — identical to truncate. */
   override def overwriteDynamicPartitions(): WriteBuilder = { truncating = true; this }
 
-  override def build(): Write = {
-    if (!truncating)
-      throw new UnsupportedOperationException(
-        "graft-snapshot: append would rewrite the whole snapshot; use INSERT OVERWRITE " +
-          "(or SnapshotStore.commit / ChangeData.mergeCommit for incremental writes)")
-    new SnapshotWrite(tablePath, info.schema())
-  }
+  override def build(): Write =
+    new SnapshotWrite(tablePath, info.schema(), append = !truncating)
 }
 
-private[sources] final class SnapshotWrite(tablePath: String, schema: StructType) extends Write {
-  override def toBatch: BatchWrite = new SnapshotBatchWrite(tablePath, schema)
+private[sources] final class SnapshotWrite(
+    tablePath: String, schema: StructType, append: Boolean) extends Write {
+  override def toBatch: BatchWrite = new SnapshotBatchWrite(tablePath, schema, append)
 }
 
-private[sources] final class SnapshotBatchWrite(tablePath: String, schema: StructType)
+private[sources] final class SnapshotBatchWrite(
+    tablePath: String, schema: StructType, append: Boolean)
     extends BatchWrite {
 
   private val spark = SparkSession.active
@@ -75,11 +76,46 @@ private[sources] final class SnapshotBatchWrite(tablePath: String, schema: Struc
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    var next = SnapshotStore.currentVersion(spark, tablePath).map(_ + 1).getOrElse(0L)
-    while (!SnapshotStore.tryPublishManifest(
-        spark, tablePath, next, SnapshotStore.Manifest(stagedDir, Nil, Nil,
-          ts = System.currentTimeMillis())))
-      next += 1 // lost the CAS race; the staged data is still valid as a later version
+    // the COMMITTED task set defines the snapshot: only files named in
+    // the collected messages ship; anything else in the staged dir is a
+    // lost task attempt (executor crash before abort, defeated
+    // speculative run) and is deleted before the publish
+    val committed = messages.collect {
+      case SnapshotCommitMessage(Some(f)) => f
+    }.toSeq
+    val fs = new Path(stagedDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committedNames = committed.map(f => new Path(f).getName).toSet
+    fs.listStatus(new Path(stagedDir)).toSeq
+      .filterNot(s => committedNames.contains(s.getPath.getName))
+      .foreach(s => fs.delete(s.getPath, s.isDirectory))
+
+    if (append) {
+      var attempt = 0
+      while (attempt < 8) {
+        val (next, base) = SnapshotStore.currentVersion(spark, tablePath) match {
+          case Some(v) =>
+            val m = SnapshotStore.manifest(spark, tablePath, v)
+            if (m.deletes.nonEmpty) throw new UnsupportedOperationException(
+              s"graft-snapshot: INSERT INTO $tablePath refused while deletion vectors " +
+                "are live (key-based DVs would suppress re-inserted keys) — run a " +
+                "compacting INSERT OVERWRITE or Bucketing.compactCommit first, then append")
+            (v + 1, SnapshotStore.dataFiles(spark, m))
+          case None => (0L, Seq.empty[String])
+        }
+        if (SnapshotStore.tryPublishManifest(spark, tablePath, next,
+            SnapshotStore.Manifest("", Nil, Nil, ts = System.currentTimeMillis(),
+              files = base ++ committed, op = "append")))
+          return
+        attempt += 1 // CAS lost: re-link the SAME staged files on the new head
+      }
+      throw new IllegalStateException(s"graft-snapshot append lost 8 CAS races on $tablePath")
+    } else {
+      var next = SnapshotStore.currentVersion(spark, tablePath).map(_ + 1).getOrElse(0L)
+      while (!SnapshotStore.tryPublishManifest(
+          spark, tablePath, next, SnapshotStore.Manifest("", Nil, Nil,
+            ts = System.currentTimeMillis(), files = committed, op = "rewrite")))
+        next += 1 // lost the CAS race; the staged data is still valid as a later version
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -136,13 +172,20 @@ private[sources] final class SnapshotDataWriter(
     s"$stagedDir/part-$partitionId-${java.util.UUID.randomUUID.toString.take(8)}.parquet"
   private val messageType = SnapshotParquetSchema.toMessageType(schema)
   private val factory = new SimpleGroupFactory(messageType)
-  private val writer: ParquetWriter[Group] = {
+  private var writer: ParquetWriter[Group] = null
+  private def openWriter(): ParquetWriter[Group] = {
     val c = new Configuration(conf)
     org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(messageType, c)
     ExampleParquetWriter.builder(new Path(file)).withConf(c).build()
   }
+  // partition 0 opens its file eagerly so even an all-empty write ships
+  // one schema-bearing parquet file (readers infer schema from data
+  // files); every OTHER empty partition stays fileless — an append of a
+  // small batch commits O(non-empty partitions) files, not O(partitions)
+  if (partitionId == 0) writer = openWriter()
 
   override def write(row: InternalRow): Unit = {
+    if (writer == null) writer = openWriter()
     val g = factory.newGroup()
     var i = 0
     while (i < schema.length) {
@@ -164,18 +207,21 @@ private[sources] final class SnapshotDataWriter(
   }
 
   override def commit(): WriterCommitMessage = {
-    writer.close()
-    SnapshotCommitMessage(file)
+    if (writer == null) SnapshotCommitMessage(None)
+    else { writer.close(); SnapshotCommitMessage(Some(file)) }
   }
 
   override def abort(): Unit = {
-    try writer.close() catch { case _: Exception => () }
-    val p = new Path(file)
-    val fs = p.getFileSystem(conf)
-    if (fs.exists(p)) fs.delete(p, false)
+    if (writer != null) {
+      try writer.close() catch { case _: Exception => () }
+      val p = new Path(file)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
   }
 
   override def close(): Unit = ()
 }
 
-private[sources] final case class SnapshotCommitMessage(file: String) extends WriterCommitMessage
+private[sources] final case class SnapshotCommitMessage(file: Option[String])
+    extends WriterCommitMessage

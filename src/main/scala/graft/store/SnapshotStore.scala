@@ -76,15 +76,25 @@ import org.apache.spark.sql.functions.broadcast
   */
 object SnapshotStore {
 
-  /** What a commit marker resolves to: the snapshot's data directory,
-    * the deletion-vector key files to anti-join away, the key columns
-    * those files carry, and the commit wall-clock (epoch millis; 0 for
-    * markers published before timestamps existed). */
+  /** What a commit marker resolves to: the snapshot's data (either one
+    * directory — legacy dir-granular commits — or an explicit FILE list
+    * for file-granular commits), the deletion-vector key files to
+    * anti-join away, the key columns those files carry, the commit
+    * wall-clock (epoch millis; 0 for markers published before
+    * timestamps existed), and the operation kind that produced it.
+    *
+    * File-granular manifests (`files` non-empty) are what make APPEND
+    * an O(new-files) commit: version N+1's manifest lists version N's
+    * files plus the newly staged ones — no byte of existing data moves,
+    * and the change feed can emit exactly the added files as a delta
+    * instead of a full table image. */
   final case class Manifest(
       data: String,
       deletes: Seq[String],
       keyCols: Seq[String],
-      ts: Long = 0L)
+      ts: Long = 0L,
+      files: Seq[String] = Nil,
+      op: String = "")
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -135,12 +145,14 @@ object SnapshotStore {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
-    if (lines.exists(_.startsWith("data="))) {
+    if (lines.exists(l => l.startsWith("data=") || l.startsWith("file="))) {
       Manifest(
-        data = lines.find(_.startsWith("data=")).get.stripPrefix("data="),
+        data = lines.find(_.startsWith("data=")).map(_.stripPrefix("data=")).getOrElse(""),
         deletes = lines.filter(_.startsWith("delete=")).map(_.stripPrefix("delete=")),
         keyCols = lines.find(_.startsWith("keys=")).map(_.stripPrefix("keys=").split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil),
-        ts = lines.find(_.startsWith("ts=")).flatMap(l => scala.util.Try(l.stripPrefix("ts=").toLong).toOption).getOrElse(0L))
+        ts = lines.find(_.startsWith("ts=")).flatMap(l => scala.util.Try(l.stripPrefix("ts=").toLong).toOption).getOrElse(0L),
+        files = lines.filter(_.startsWith("file=")).map(_.stripPrefix("file=")),
+        op = lines.find(_.startsWith("op=")).map(_.stripPrefix("op=")).getOrElse(""))
     } else {
       // legacy bare-path marker (or empty → the fixed v=<N> layout)
       Manifest(lines.headOption.getOrElse(versionDir(table, v)), Nil, Nil)
@@ -153,12 +165,30 @@ object SnapshotStore {
       .map(v => readVersion(spark, table, v))
       .getOrElse(throw new IllegalStateException(s"no committed snapshot under $table"))
 
+  /** The parquet data files a manifest resolves to: the explicit file
+    * list for file-granular commits (zero filesystem round-trips), or
+    * a listing of the data directory for legacy dir-granular commits.
+    * ONE home for the resolution — every reader (engine, DSv2 scan,
+    * change feed, vacuum refcount) goes through it. */
+  def dataFiles(spark: SparkSession, m: Manifest): Seq[String] =
+    if (m.files.nonEmpty) m.files
+    else {
+      val dir = new Path(m.data)
+      val f = fs(spark, m.data)
+      if (!f.exists(dir)) Seq.empty
+      else f.listStatus(dir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString)
+    }
+
   /** Time travel: read one specific committed snapshot. Deletion
     * vectors apply as a broadcast anti join on the manifest's key
     * columns (the delete side is deleted-keys-sized — small). */
   def readVersion(spark: SparkSession, table: String, v: Long): DataFrame = {
     val m = manifest(spark, table, v)
-    val base = spark.read.parquet(m.data)
+    val base =
+      if (m.files.nonEmpty) spark.read.parquet(m.files: _*)
+      else spark.read.parquet(m.data)
     if (m.deletes.isEmpty) base
     else {
       val dvs = spark.read.parquet(m.deletes: _*).select(m.keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
@@ -176,9 +206,48 @@ object SnapshotStore {
     var next = currentVersion(spark, table).map(_ + 1).getOrElse(0L)
     val dataDir = s"$table/v=${next}__${token()}"
     df.write.mode("overwrite").parquet(dataDir)
-    while (!tryPublishManifest(spark, table, next, Manifest(dataDir, Nil, Nil)))
+    while (!tryPublishManifest(spark, table, next, Manifest(dataDir, Nil, Nil, op = "rewrite")))
       next += 1 // lost a marker race; the staged data is still valid as a later version
     next
+  }
+
+  /** O(new-files) APPEND: stage `df` as fresh part files and publish a
+    * FILE-GRANULAR manifest listing the predecessor's files plus the
+    * staged ones. No existing byte moves or is re-read — the commit
+    * cost is the new data plus one marker rename, which is what makes
+    * incremental daily loads (the reference's own Silver append,
+    * `bronze_to_silver.py:116`) viable at 100 TB. CAS multi-writer
+    * safe: a lost race re-reads the NEW current manifest and re-links
+    * the already-staged files against it (staged bytes written once).
+    *
+    * Refused while deletion vectors are live: the store's DVs are
+    * KEY-based and table-wide, so an append re-inserting a deleted key
+    * would be silently suppressed — compact first (any full rewrite
+    * materializes DVs away), then append. */
+  def appendCommit(df: DataFrame, table: String, maxAttempts: Int = 8): Long = {
+    val spark = df.sparkSession
+    val stageDir =
+      s"$table/v=${currentVersion(spark, table).map(_ + 1).getOrElse(0L)}__${token()}"
+    df.write.mode("overwrite").parquet(stageDir)
+    val staged = dataFiles(spark, Manifest(stageDir, Nil, Nil))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val (next, base) = currentVersion(spark, table) match {
+        case Some(v) =>
+          val m = manifest(spark, table, v)
+          if (m.deletes.nonEmpty) throw new UnsupportedOperationException(
+            s"append to $table refused: live deletion vectors are key-based and " +
+              "table-wide, so appended rows with previously deleted keys would be " +
+              "suppressed — run a compacting rewrite (materializes DVs away) first")
+          (v + 1, dataFiles(spark, m))
+        case None => (0L, Seq.empty[String])
+      }
+      if (tryPublishManifest(spark, table, next,
+          Manifest("", Nil, Nil, files = base ++ staged, op = "append")))
+        return next
+      attempt += 1 // CAS lost: re-link the SAME staged files against the new head
+    }
+    throw new IllegalStateException(s"appendCommit lost $maxAttempts CAS races on $table")
   }
 
   /** Publish the marker for a version whose data dir was written by the
@@ -201,9 +270,12 @@ object SnapshotStore {
     f.mkdirs(dir)
     val tmp = new Path(dir, s".tmp_${v}_${token()}")
     val ts = if (m.ts > 0L) m.ts else System.currentTimeMillis()
-    val content = new StringBuilder(s"data=${m.data}\n")
+    val content = new StringBuilder()
+    if (m.data.nonEmpty) content.append(s"data=${m.data}\n")
+    m.files.foreach(p => content.append(s"file=$p\n"))
     m.deletes.foreach(d => content.append(s"delete=$d\n"))
     if (m.keyCols.nonEmpty) content.append(s"keys=${m.keyCols.mkString(",")}\n")
+    if (m.op.nonEmpty) content.append(s"op=${m.op}\n")
     content.append(s"ts=$ts\n")
     val out = f.create(tmp, true)
     try out.write(content.toString.getBytes("UTF-8"))
@@ -241,7 +313,7 @@ object SnapshotStore {
       val next = base.map(_ + 1).getOrElse(0L)
       val dataDir = s"$table/v=${next}__${token()}"
       df.write.mode("overwrite").parquet(dataDir)
-      if (tryPublishManifest(spark, table, next, Manifest(dataDir, Nil, Nil))) return next
+      if (tryPublishManifest(spark, table, next, Manifest(dataDir, Nil, Nil, op = "rewrite"))) return next
       fs(spark, table).delete(new Path(dataDir), true)
       attempt += 1
     }
@@ -274,7 +346,8 @@ object SnapshotStore {
         .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
         .distinct()
         .write.mode("overwrite").parquet(dv)
-      if (tryPublishManifest(spark, table, cur + 1, Manifest(m.data, m.deletes :+ dv, keyCols)))
+      if (tryPublishManifest(spark, table, cur + 1,
+          Manifest(m.data, m.deletes :+ dv, keyCols, files = m.files, op = "delete")))
         return cur + 1
       attempt += 1 // orphan DV file is GC'd by vacuum's reference count
     }
@@ -304,7 +377,8 @@ object SnapshotStore {
       require(
         m.deletes.isEmpty || m.keyCols == keyCols,
         s"delete key columns $keyCols differ from the table's existing DV keys ${m.keyCols}")
-      if (tryPublishManifest(spark, table, cur + 1, Manifest(m.data, m.deletes :+ dv, keyCols)))
+      if (tryPublishManifest(spark, table, cur + 1,
+          Manifest(m.data, m.deletes :+ dv, keyCols, files = m.files, op = "delete")))
         return cur + 1
       attempt += 1
     }
@@ -341,7 +415,8 @@ object SnapshotStore {
     val rows = vs.zip(ms).zipWithIndex.map { case ((v, m), i) =>
       val op =
         if (i == 0) "create"
-        else if (ms(i - 1).data == m.data) "delete"
+        else if (m.op.nonEmpty) m.op // recorded by the committing API
+        else if (ms(i - 1).data == m.data && ms(i - 1).files == m.files) "delete"
         else "rewrite"
       (v, m.ts, op, m.deletes.size, m.keyCols.mkString(","))
     }
@@ -369,25 +444,37 @@ object SnapshotStore {
     val retained = committed.takeRight(keep)
     val doomedCommitted = committed.dropRight(keep)
     val retainedManifests = retained.map(v => manifest(spark, table, v))
-    val liveData = retainedManifests.map(m => new Path(m.data).getName).toSet
+    // dir-granular manifests protect their whole data dir; file-granular
+    // manifests protect individual (dirName, fileName) entries — an
+    // append chain shares files across staging dirs of many versions,
+    // so liveness is per FILE, not per dir
+    val liveData = retainedManifests.filter(m => m.data.nonEmpty && m.files.isEmpty)
+      .map(m => new Path(m.data).getName).toSet
+    val liveFiles = retainedManifests.flatMap(_.files)
+      .map { p => val q = new Path(p); (q.getParent.getName, q.getName) }.toSet
     val liveDvs = retainedManifests.flatMap(_.deletes).map(p => new Path(p).getName).toSet
 
-    // committed-but-aged-out versions: drop marker; drop data dir unless shared forward
+    // aged-out versions: markers drop; data is swept below (refcounted)
     doomedCommitted.foreach { v =>
-      val m = manifest(spark, table, v)
-      if (!liveData.contains(new Path(m.data).getName)) f.delete(new Path(m.data), true)
       f.delete(new Path(commitsDir(table), v.toString), false)
     }
 
-    // orphan data dirs: no retained manifest references them and their
-    // version prefix is below current (writers may be staging > current)
+    // one sweep over all v= dirs below current (aged-out AND orphaned
+    // stages): a dir survives whole if dir-granular-live; otherwise its
+    // dead files are deleted individually and the dir goes once empty.
+    // Dirs at/above current are never touched — writers may be staging.
     f.listStatus(root).toSeq
       .filter(_.isDirectory)
       .map(_.getPath)
       .filter(p => p.getName.startsWith("v="))
       .filter(p => !liveData.contains(p.getName))
       .filter(p => dirVersion(p.getName).exists(_ < current))
-      .foreach(p => f.delete(p, true))
+      .foreach { p =>
+        val entries = f.listStatus(p).toSeq
+        val (live, dead) = entries.partition(s => liveFiles.contains((p.getName, s.getPath.getName)))
+        if (live.isEmpty) f.delete(p, true)
+        else dead.foreach(s => f.delete(s.getPath, s.isDirectory))
+      }
 
     // unreferenced deletion-vector files (aged-out or CAS-defeated)
     val dvRoot = new Path(deletesDir(table))

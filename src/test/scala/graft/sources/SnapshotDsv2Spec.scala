@@ -236,15 +236,126 @@ class SnapshotDsv2Spec extends SparkSuite {
     assert(SnapshotStore.readVersion(spark, table, 0L).count() === orders.count())
   }
 
-  test("write path: plain append is rejected with the incremental-path guidance") {
+  test("write path: mode(append) commits O(new-files) — existing bytes never move") {
     val table = freshTable("dsv2-append")
+    val nation = graft.sources.Tables.nation(spark, sf())
+    SnapshotStore.commit(nation, table) // v0 (dir-granular)
+    val v0Files = SnapshotStore.dataFiles(spark, SnapshotStore.manifest(spark, table, 0L))
+    val fsys = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v0Mtimes = v0Files.map(f =>
+      f -> fsys.getFileStatus(new org.apache.hadoop.fs.Path(f)).getModificationTime).toMap
+
+    nation.select(col("n_nationkey") + 100, col("n_name"), col("n_regionkey"))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .coalesce(2)
+      .write.format("graft-snapshot").option("path", table).mode("append").save()
+
+    val m1 = SnapshotStore.manifest(spark, table, 1L)
+    assert(m1.op === "append" && m1.files.nonEmpty, s"append must publish file actions: $m1")
+    assert(v0Files.toSet.subsetOf(m1.files.toSet), "append must link predecessor files")
+    v0Files.foreach { f =>
+      assert(fsys.getFileStatus(new org.apache.hadoop.fs.Path(f)).getModificationTime
+        === v0Mtimes(f), s"append rewrote an existing file: $f")
+    }
+    assert(load(table).count() === 50)
+    assert(SnapshotStore.read(spark, table).count() === 50, "engine read sees the append")
+    assert(SnapshotStore.readVersion(spark, table, 0L).count() === 25, "time travel intact")
+    // appended rows really are there (not a double image)
+    assert(load(table).agg(max(col("n_nationkey"))).head().getInt(0) ===
+      nation.agg(max(col("n_nationkey"))).head().getInt(0) + 100)
+  }
+
+  test("write path: append is refused while deletion vectors are live, with remediation") {
+    val table = freshTable("dsv2-appenddv")
     SnapshotStore.commit(graft.sources.Tables.nation(spark, sf()), table)
+    SnapshotStore.deleteCommit(spark, table, Seq("n_nationkey"), col("n_nationkey") < 5)
     val e = intercept[Exception] {
       graft.sources.Tables.nation(spark, sf())
         .write.format("graft-snapshot").option("path", table).mode("append").save()
     }
-    assert(e.getMessage.contains("INSERT OVERWRITE"),
-      s"append refusal should point at the scale-honest paths: ${e.getMessage}")
+    assert(e.getMessage.contains("compact"),
+      s"DV-append refusal should name the remediation: ${e.getMessage}")
+  }
+
+  test("pure-SQL surface: INSERT INTO through the catalog appends file-granular") {
+    val wh = java.nio.file.Files.createTempDirectory("dsv2-whins").toString
+    spark.conf.set("spark.sql.catalog.gsnapins", classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsnapins.warehouse", wh)
+    try {
+      val nation = graft.sources.Tables.nation(spark, sf())
+      SnapshotStore.commit(nation, s"$wh/dims/nation")
+      spark.sql(
+        """INSERT INTO gsnapins.dims.nation
+           SELECT CAST(n_nationkey + 500 AS INT), n_name, n_regionkey
+           FROM gsnapins.dims.nation""")
+      assert(spark.sql("SELECT count(*) AS c FROM gsnapins.dims.nation").head().getLong(0) === 50)
+      assert(SnapshotStore.manifest(spark, s"$wh/dims/nation", 1L).op === "append")
+      // second INSERT INTO stacks on the file-granular head
+      spark.sql("INSERT INTO gsnapins.dims.nation VALUES (CAST(9999 AS INT), 'ATLANTIS', CAST(0 AS INT))")
+      assert(spark.sql("SELECT count(*) AS c FROM gsnapins.dims.nation").head().getLong(0) === 51)
+      assert(spark.sql(
+        "SELECT n_name FROM gsnapins.dims.nation WHERE n_nationkey = 9999").head().getString(0)
+        === "ATLANTIS")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gsnapins.warehouse")
+      spark.conf.unset("spark.sql.catalog.gsnapins")
+    }
+  }
+
+  test("change feed: an append commit streams ONLY the new rows as 'insert'") {
+    val table = freshTable("dsv2-cdfins")
+    val nation = graft.sources.Tables.nation(spark, sf())
+    SnapshotStore.commit(nation, table) // v0
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", table).option("changeFeed", "true").load()
+      .writeStream.format("memory").queryName("graft_cdf_ins").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def rows = spark.table("graft_cdf_ins").collect()
+      def ct(r: org.apache.spark.sql.Row) = r.getString(r.fieldIndex("_change_type"))
+      def cv(r: org.apache.spark.sql.Row) = r.getLong(r.fieldIndex("_commit_version"))
+      assert(rows.length === 25 && rows.forall(ct(_) == "snapshot"))
+
+      SnapshotStore.appendCommit(
+        nation.select(col("n_nationkey") + 100, col("n_name"), col("n_regionkey"))
+          .toDF("n_nationkey", "n_name", "n_regionkey")
+          .filter(col("n_regionkey") === 2).coalesce(1), table) // v1: 5 new rows
+      q.processAllAvailable()
+      val ins = rows.filter(cv(_) == 1L)
+      assert(ins.length === 5, s"append batch must carry ONLY the delta: ${ins.length}")
+      assert(ins.forall(ct(_) == "insert"), "append batches are 'insert', not a new image")
+      assert(ins.forall(r => r.getInt(r.fieldIndex("n_nationkey")) >= 100))
+      assert(rows.length === 30, "no image replay on append")
+    } finally q.stop()
+  }
+
+  test("change feed: a checkpoint left behind vacuum retention fails loudly, not empty") {
+    val table = freshTable("dsv2-cdfvac")
+    val ckpt = java.nio.file.Files.createTempDirectory("dsv2-vacckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("dsv2-vacout").toString
+    val nation = graft.sources.Tables.nation(spark, sf())
+    SnapshotStore.commit(nation, table) // v0
+    def start() = spark.readStream.format("graft-snapshot")
+      .option("path", table).option("changeFeed", "true").load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop() // checkpoint now at v0
+    // the table advances 3 versions and vacuum collects all but the last 2
+    SnapshotStore.commit(nation.limit(10), table) // v1
+    SnapshotStore.commit(nation.limit(5), table)  // v2
+    SnapshotStore.commit(nation.limit(2), table)  // v3
+    SnapshotStore.vacuum(spark, table, keep = 2)  // v1 is gone; checkpoint needs it
+    val q2 = start()
+    val e = intercept[Exception] { q2.processAllAvailable() }
+    try {
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      val all = msgs(e).mkString(" | ")
+      assert(all.contains("vacuum retention"),
+        s"retention breach must fail loudly with the fix named: $all")
+    } finally q2.stop()
   }
 
   test("pure-SQL surface: INSERT OVERWRITE through the catalog table") {
@@ -456,5 +567,61 @@ class SnapshotDsv2Spec extends SparkSuite {
         .filter(col("n_regionkey") < 3).count()
       assert(n === expect)
     } finally spark.sql("DROP TABLE IF EXISTS graft_dsv2_nation")
+  }
+
+  test("CTAS creates v0 atomically; RTAS replaces; bare CREATE still refused") {
+    val wh = java.nio.file.Files.createTempDirectory("dsv2-ctas").toString
+    spark.conf.set("spark.sql.catalog.gsnapctas", classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsnapctas.warehouse", wh)
+    try {
+      SnapshotStore.commit(graft.sources.Tables.nation(spark, sf()), s"$wh/dims/nation")
+      spark.sql(
+        """CREATE TABLE gsnapctas.dims.big_nations AS
+           SELECT n_nationkey, n_name FROM gsnapctas.dims.nation WHERE n_regionkey >= 2""")
+      // v0 exists, listed, time-travelable, engine-readable
+      assert(SnapshotStore.versions(spark, s"$wh/dims/big_nations") === Seq(0L))
+      assert(SnapshotStore.manifest(spark, s"$wh/dims/big_nations", 0L).op === "ctas")
+      val expect = graft.sources.Tables.nation(spark, sf())
+        .filter(col("n_regionkey") >= 2).count()
+      assert(spark.sql("SELECT count(*) AS c FROM gsnapctas.dims.big_nations")
+        .head().getLong(0) === expect)
+      assert(spark.sql("SHOW TABLES IN gsnapctas.dims").collect()
+        .map(_.getString(1)).toSet === Set("nation", "big_nations"))
+      assert(spark.sql(
+        "SELECT count(*) AS c FROM gsnapctas.dims.big_nations VERSION AS OF 0")
+        .head().getLong(0) === expect)
+
+      // duplicate CTAS fails (table exists)
+      val dup = intercept[Exception] {
+        spark.sql("CREATE TABLE gsnapctas.dims.big_nations AS SELECT 1 AS x")
+      }
+      assert(dup.getMessage.toLowerCase.contains("already exists"), dup.getMessage)
+
+      // RTAS: atomic full rewrite as v1; v0 still time travels
+      spark.sql(
+        """CREATE OR REPLACE TABLE gsnapctas.dims.big_nations AS
+           SELECT n_nationkey, n_name FROM gsnapctas.dims.nation WHERE n_regionkey = 0""")
+      assert(SnapshotStore.versions(spark, s"$wh/dims/big_nations") === Seq(0L, 1L))
+      assert(spark.sql("SELECT count(*) AS c FROM gsnapctas.dims.big_nations")
+        .head().getLong(0) ===
+        graft.sources.Tables.nation(spark, sf()).filter(col("n_regionkey") === 0).count())
+      assert(spark.sql(
+        "SELECT count(*) AS c FROM gsnapctas.dims.big_nations VERSION AS OF 0")
+        .head().getLong(0) === expect)
+
+      // bare CREATE TABLE keeps its refusal + guidance
+      val e = intercept[Exception] {
+        spark.sql("CREATE TABLE gsnapctas.dims.bare (id BIGINT) USING parquet")
+      }
+      assert(e.getMessage.contains("first commit"), e.getMessage)
+      // INSERT INTO the CTAS-born table works (file-granular append on v1)
+      spark.sql("INSERT INTO gsnapctas.dims.big_nations VALUES (CAST(777 AS INT), 'NOWHERE')")
+      assert(spark.sql(
+        "SELECT n_name FROM gsnapctas.dims.big_nations WHERE n_nationkey = 777")
+        .head().getString(0) === "NOWHERE")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gsnapctas.warehouse")
+      spark.conf.unset("spark.sql.catalog.gsnapctas")
+    }
   }
 }

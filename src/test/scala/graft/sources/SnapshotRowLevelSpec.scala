@@ -1,0 +1,155 @@
+package graft.sources
+
+import graft.SparkSuite
+import graft.store.SnapshotStore
+import org.apache.spark.sql.functions._
+
+/** SQL row-level commands (MERGE INTO / UPDATE / DELETE) over snapshot
+  * catalog tables: copy-on-write over TOUCHED files only, carry-over
+  * rows preserved, untouched files never rewritten, optimistic-
+  * concurrency refusal, and the `_file` metadata column they ride on. */
+class SnapshotRowLevelSpec extends SparkSuite {
+
+  private def withCatalog(test: (String, String) => Unit): Unit = {
+    val wh = java.nio.file.Files.createTempDirectory("rowlevel-wh").toString
+    val cat = "grl_" + java.util.UUID.randomUUID.toString.take(8).replace("-", "")
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try test(cat, wh)
+    finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
+  private def fileOf(p: String) = new org.apache.hadoop.fs.Path(p)
+  private def fsys = new org.apache.hadoop.fs.Path("/")
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("_file metadata column reads like the parquet source's") {
+    val table = java.nio.file.Files.createTempDirectory("rl-file").toString + "/t"
+    SnapshotStore.commit(
+      graft.sources.Tables.nation(spark, sf()).repartition(3), table)
+    val got = spark.read.format("graft-snapshot").option("path", table).load()
+      .select(col("n_nationkey"), col("_file")).collect()
+    assert(got.length === 25)
+    val files = SnapshotStore.dataFiles(spark,
+      SnapshotStore.manifest(spark, table, 0L)).map(f => fileOf(f).getName).toSet
+    got.foreach { r =>
+      assert(files.contains(fileOf(r.getString(1)).getName),
+        s"_file points outside the snapshot: ${r.getString(1)}")
+    }
+    assert(got.map(_.getString(1)).distinct.length === files.size,
+      "every part file should appear in _file")
+  }
+
+  test("MERGE INTO: copy-on-write over touched files only; untouched bytes never move") {
+    withCatalog { (cat, wh) =>
+      val table = s"$wh/facts/orders"
+      // range-partitioned → disjoint o_orderkey per file, so a merge on
+      // a narrow key range touches a strict subset of files
+      val orders = graft.sources.Tables.orders(spark, sf())
+      SnapshotStore.commit(orders.repartitionByRange(6, col("o_orderkey")), table)
+      val v0Files = SnapshotStore.dataFiles(spark, SnapshotStore.manifest(spark, table, 0L))
+      val mtime0 = v0Files.map(f => f -> fsys.getFileStatus(fileOf(f)).getModificationTime).toMap
+
+      val lo = orders.agg(min(col("o_orderkey"))).head().getLong(0)
+      spark.range(0, 3).selectExpr(
+        s"id + $lo AS o_orderkey", "'PATCHED' AS o_priority")
+        .createOrReplaceTempView("rl_src")
+
+      spark.sql(
+        s"""MERGE INTO $cat.facts.orders t USING rl_src s
+            ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED THEN UPDATE SET t.o_orderpriority = s.o_priority
+            WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+              o_orderdate, o_orderpriority)
+            VALUES (s.o_orderkey, -1L, 'X', 0.0D, NULL, s.o_priority)""")
+
+      val m1 = SnapshotStore.manifest(spark, table, 1L)
+      assert(m1.op === "merge" && m1.files.nonEmpty)
+      val survivors = m1.files.toSet.intersect(v0Files.toSet)
+      assert(survivors.nonEmpty, "untouched files must survive in the manifest")
+      assert(survivors.size < v0Files.size, "at least one file must be replaced")
+      assert(v0Files.toSet.diff(m1.files.toSet).size <= 2,
+        s"a 3-key merge should touch few files, replaced=${v0Files.toSet.diff(m1.files.toSet).size}")
+      survivors.foreach { f =>
+        assert(fsys.getFileStatus(fileOf(f)).getModificationTime === mtime0(f),
+          s"merge rewrote an untouched file: $f")
+      }
+      // semantics: updates landed, carry-over rows intact, nothing lost
+      val got = spark.sql(s"SELECT * FROM $cat.facts.orders")
+      assert(got.count() === orders.count(), "row count must be stable for a pure-update merge")
+      assert(got.filter(col("o_orderpriority") === "PATCHED").count() === 3)
+      val expectOther = orders.filter(col("o_orderkey") > lo + 2)
+        .agg(sum(col("o_totalprice"))).head().getDouble(0)
+      assert(math.abs(got.filter(col("o_orderkey") > lo + 2)
+        .agg(sum(col("o_totalprice"))).head().getDouble(0) - expectOther) < 1e-6,
+        "carry-over rows of touched files must pass through unchanged")
+      // time travel still serves the pre-merge snapshot
+      assert(SnapshotStore.readVersion(spark, table, 0L)
+        .filter(col("o_orderpriority") === "PATCHED").count() === 0)
+    }
+  }
+
+  test("MERGE INTO: NOT MATCHED inserts append; source-only keys arrive") {
+    withCatalog { (cat, wh) =>
+      val table = s"$wh/dims/nation"
+      SnapshotStore.commit(graft.sources.Tables.nation(spark, sf()), table)
+      spark.sql("SELECT CAST(900 AS INT) AS k, 'NEWLAND' AS nm UNION ALL SELECT CAST(901 AS INT), 'OTHERLAND'")
+        .createOrReplaceTempView("rl_nation_src")
+      spark.sql(
+        s"""MERGE INTO $cat.dims.nation t USING rl_nation_src s
+            ON t.n_nationkey = s.k
+            WHEN MATCHED THEN UPDATE SET t.n_name = s.nm
+            WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey)
+            VALUES (s.k, s.nm, CAST(-1 AS INT))""")
+      val got = spark.sql(s"SELECT * FROM $cat.dims.nation")
+      assert(got.count() === 27)
+      assert(got.filter(col("n_regionkey") === -1).count() === 2)
+    }
+  }
+
+  test("UPDATE and DELETE SQL run copy-on-write; history records them") {
+    withCatalog { (cat, wh) =>
+      val table = s"$wh/dims/nation"
+      SnapshotStore.commit(
+        graft.sources.Tables.nation(spark, sf()).repartitionByRange(4, col("n_nationkey")),
+        table)
+      spark.sql(s"UPDATE $cat.dims.nation SET n_name = 'REDACTED' WHERE n_nationkey = 7")
+      assert(spark.sql(
+        s"SELECT n_name FROM $cat.dims.nation WHERE n_nationkey = 7").head().getString(0)
+        === "REDACTED")
+      assert(spark.sql(s"SELECT count(*) AS c FROM $cat.dims.nation").head().getLong(0) === 25)
+
+      spark.sql(s"DELETE FROM $cat.dims.nation WHERE n_regionkey = 2")
+      assert(spark.sql(
+        s"SELECT count(*) AS c FROM $cat.dims.nation WHERE n_regionkey = 2").head().getLong(0) === 0)
+      assert(spark.sql(s"SELECT count(*) AS c FROM $cat.dims.nation").head().getLong(0) === 20)
+
+      val ops = SnapshotStore.history(spark, table).orderBy("version")
+        .collect().map(_.getString(2)).toSeq
+      assert(ops === Seq("create", "update", "delete-cow"), s"history: $ops")
+      // the copy-on-write delete REWROTE touched files (no DV lines)
+      assert(SnapshotStore.manifest(spark, table, 2L).deletes.isEmpty)
+    }
+  }
+
+  test("MERGE is refused while deletion vectors are live, naming compaction") {
+    withCatalog { (cat, wh) =>
+      val table = s"$wh/dims/nation"
+      SnapshotStore.commit(graft.sources.Tables.nation(spark, sf()), table)
+      SnapshotStore.deleteCommit(spark, table, Seq("n_nationkey"), col("n_nationkey") < 3)
+      spark.sql("SELECT CAST(1 AS INT) AS k, 'X' AS nm").createOrReplaceTempView("rl_dv_src")
+      val e = intercept[Exception] {
+        spark.sql(
+          s"""MERGE INTO $cat.dims.nation t USING rl_dv_src s
+              ON t.n_nationkey = s.k
+              WHEN MATCHED THEN UPDATE SET t.n_name = s.nm""")
+      }
+      def msgs(t: Throwable): String =
+        if (t == null) "" else Option(t.getMessage).getOrElse("") + " | " + msgs(t.getCause)
+      assert(msgs(e).contains("compact"), s"expected compaction guidance: ${msgs(e).take(300)}")
+    }
+  }
+}

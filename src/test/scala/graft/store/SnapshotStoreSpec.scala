@@ -278,4 +278,100 @@ class SnapshotStoreSpec extends SparkSuite {
     assert(SnapshotStore.read(spark, t).count() === 10000)
     assert(SnapshotStore.readVersion(spark, t, 0L).count() === 10000)
   }
+
+  test("appendCommit is O(new-files): old bytes never move, manifest accretes file actions") {
+    val root = java.nio.file.Files.createTempDirectory("graft-append").toString
+    val t = s"$root/t"
+    SnapshotStore.commit(spark.range(100).toDF("id"), t)                       // v0 dir-granular
+    val v0Files = SnapshotStore.dataFiles(spark, SnapshotStore.manifest(spark, t, 0L))
+    val v0Mtimes = v0Files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      f -> p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p).getModificationTime
+    }.toMap
+
+    val v1 = SnapshotStore.appendCommit(spark.range(100, 150).toDF("id").coalesce(2), t)
+    assert(v1 === 1L)
+    val m1 = SnapshotStore.manifest(spark, t, 1L)
+    assert(m1.files.nonEmpty && m1.op === "append", s"append manifest must be file-granular: $m1")
+    // the append LINKS v0's files — no byte of them was rewritten
+    assert(v0Files.toSet.subsetOf(m1.files.toSet), "append must carry predecessor files forward")
+    v0Files.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val mt = p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p).getModificationTime
+      assert(mt === v0Mtimes(f), s"append rewrote an existing file: $f")
+    }
+    assert(m1.files.size - v0Files.size === 2, "exactly the staged files were added")
+    assert(SnapshotStore.read(spark, t).count() === 150)
+    assert(SnapshotStore.readVersion(spark, t, 0L).count() === 100, "time travel past the append")
+
+    // append chains compose; second append links the first's manifest files directly
+    SnapshotStore.appendCommit(spark.range(150, 160).toDF("id").coalesce(1), t)
+    assert(SnapshotStore.read(spark, t).count() === 160)
+    assert(SnapshotStore.read(spark, t).agg(sum(col("id"))).head().getLong(0) === (0L until 160L).sum)
+    val h = SnapshotStore.history(spark, t).orderBy("version").collect().map(_.getString(2))
+    assert(h.toSeq === Seq("create", "append", "append"))
+  }
+
+  test("appendCommit refuses while deletion vectors are live; compaction re-enables it") {
+    val root = java.nio.file.Files.createTempDirectory("graft-appdv").toString
+    val t = s"$root/t"
+    SnapshotStore.commit(spark.range(50).toDF("id"), t)
+    SnapshotStore.deleteCommit(spark, t, Seq("id"), col("id") < 10)
+    val e = intercept[UnsupportedOperationException] {
+      SnapshotStore.appendCommit(spark.range(100, 110).toDF("id"), t)
+    }
+    assert(e.getMessage.contains("compact"), s"refusal must name the remediation: ${e.getMessage}")
+    // a rewrite materializes DVs away; append works again
+    SnapshotStore.commit(SnapshotStore.read(spark, t), t)
+    SnapshotStore.appendCommit(spark.range(100, 110).toDF("id").coalesce(1), t)
+    assert(SnapshotStore.read(spark, t).count() === 40 + 10)
+  }
+
+  test("delete commits over an append chain reuse the file list; reads stay DV-correct") {
+    val root = java.nio.file.Files.createTempDirectory("graft-appdel").toString
+    val t = s"$root/t"
+    SnapshotStore.commit(spark.range(30).toDF("id"), t)                  // v0
+    SnapshotStore.appendCommit(spark.range(30, 60).toDF("id").coalesce(1), t) // v1
+    SnapshotStore.deleteCommit(spark, t, Seq("id"), col("id") % 2 === 0) // v2: DV over both generations
+    val m2 = SnapshotStore.manifest(spark, t, 2L)
+    assert(m2.files === SnapshotStore.manifest(spark, t, 1L).files,
+      "delete commit must share the append chain's file list")
+    assert(SnapshotStore.read(spark, t).count() === 30)
+    assert(SnapshotStore.read(spark, t).filter(col("id") % 2 === 0).count() === 0)
+  }
+
+  test("vacuum reference-counts FILES across append chains") {
+    val root = java.nio.file.Files.createTempDirectory("graft-appvac").toString
+    val t = s"$root/t"
+    val fsys = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SnapshotStore.commit(spark.range(40).toDF("id"), t)                        // v0
+    SnapshotStore.appendCommit(spark.range(40, 80).toDF("id").coalesce(1), t)  // v1 links v0 files
+    SnapshotStore.commit(spark.range(5).toDF("id"), t)                         // v2 rewrite
+    SnapshotStore.appendCommit(spark.range(5, 9).toDF("id").coalesce(1), t)    // v3 links v2 files
+
+    // keep v2+v3: v0/v1 markers go; v0's files were ALSO linked by v1 only
+    // (both doomed) so the whole old chain's bytes must be collected,
+    // while v2's dir survives because v3 links its files
+    val dropped = SnapshotStore.vacuum(spark, t, keep = 2)
+    assert(dropped === Seq(0L, 1L))
+    assert(SnapshotStore.versions(spark, t) === Seq(2L, 3L))
+    val v0Dir = new org.apache.hadoop.fs.Path(t).suffix("") // root listing below
+    val dirs = fsys.listStatus(new org.apache.hadoop.fs.Path(t)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("v="))
+    // v0 staging dir fully dead -> gone; v1's append stage also gone
+    val liveFiles = SnapshotStore.manifest(spark, t, 3L).files
+    assert(SnapshotStore.read(spark, t).count() === 9, "retained chain must read whole")
+    liveFiles.foreach { f =>
+      assert(fsys.exists(new org.apache.hadoop.fs.Path(f)), s"vacuum deleted a live file: $f")
+    }
+    val deadDirsRemaining = dirs.filter { d =>
+      SnapshotStore.vacuum(spark, t, keep = 2) // idempotent
+      val keep = liveFiles.exists(f => new org.apache.hadoop.fs.Path(f).getParent.getName == d)
+      !keep && fsys.exists(new org.apache.hadoop.fs.Path(s"$t/$d"))
+    }
+    assert(deadDirsRemaining.isEmpty, s"dead staging dirs survived vacuum: $deadDirsRemaining")
+    // readVersion(2) still green (its dir-granular data dir holds live files)
+    assert(SnapshotStore.readVersion(spark, t, 2L).count() === 5)
+  }
 }
