@@ -157,10 +157,11 @@ object EventAnalytics {
     * stays byte-stable under the committed rewrite. Summaries use
     * integer cents so both engines agree exactly. */
   val dtTimeTravel: Q = (s, d) => {
-    val table = java.nio.file.Files.createTempDirectory("timetravel").toString + "/customer"
-    graft.store.SnapshotStore.commit(Tables.customer(s, d), table)
-    graft.store.SnapshotStore.commit(
-      mergeCustomer(graft.store.SnapshotStore.read(s, table), mergeSource(s, d)), table)
+    val table = Fixtures.table("timetravel", d) { t =>
+      graft.store.SnapshotStore.commit(Tables.customer(s, d), t)
+      graft.store.SnapshotStore.commit(
+        mergeCustomer(graft.store.SnapshotStore.read(s, t), mergeSource(s, d)), t)
+    }
     def summary(v: Long) =
       graft.store.SnapshotStore.readVersion(s, table, v)
         .agg(
@@ -178,12 +179,13 @@ object EventAnalytics {
     * two predicates as plain filters (row-local predicates compose, so
     * live = NOT p1 AND NOT p2). Money in integer cents. */
   val dtDeleteVectors: Q = (s, d) => {
-    val table = java.nio.file.Files.createTempDirectory("delvec").toString + "/orders"
-    graft.store.SnapshotStore.commit(Tables.orders(s, d), table)
-    graft.store.SnapshotStore.deleteCommit(s, table, Seq("o_orderkey"),
-      col("o_orderstatus") === "F" && pmod(col("o_orderkey"), lit(5)) === 0)
-    graft.store.SnapshotStore.deleteCommit(s, table, Seq("o_orderkey"),
-      pmod(col("o_orderkey"), lit(7)) === 3)
+    val table = Fixtures.table("delvec", d) { t =>
+      graft.store.SnapshotStore.commit(Tables.orders(s, d), t)
+      graft.store.SnapshotStore.deleteCommit(s, t, Seq("o_orderkey"),
+        col("o_orderstatus") === "F" && pmod(col("o_orderkey"), lit(5)) === 0)
+      graft.store.SnapshotStore.deleteCommit(s, t, Seq("o_orderkey"),
+        pmod(col("o_orderkey"), lit(7)) === 3)
+    }
     graft.store.SnapshotStore.read(s, table)
       .groupBy(col("o_orderstatus"))
       .agg(
@@ -201,19 +203,20 @@ object EventAnalytics {
     * the connector path answers exactly like the engine path (file
     * skipping and projection are IO-only). */
   val dtDsv2Scan: Q = (s, d) => {
-    val table = java.nio.file.Files.createTempDirectory("dsv2").toString + "/orders"
-    // file count scales with the session's parallelism, not a constant:
-    // snapshot files bound BOTH the write fan-out and the connector's
-    // read partitions (row groups follow file layout), so 4 files at sf10
-    // would serialize 1.5M-row file reads (measured 44 s -> see SCALE.md)
-    val files = s.sparkContext.defaultParallelism.max(4)
-    graft.store.SnapshotStore.commit(
-      Tables.orders(s, d).repartitionByRange(files, col("o_orderkey")), table)
-    // DVs are a SMALL-delta mechanism (deletes past a few percent are
-    // compaction's job — ops/Bucketing.compactCommit materializes them
-    // away), so the fixture deletes ~2%: the realistic DV read shape
-    graft.store.SnapshotStore.deleteCommit(s, table, Seq("o_orderkey"),
-      pmod(col("o_orderkey"), lit(50)) === 1)
+    val table = Fixtures.table("dsv2", d) { t =>
+      // file count scales with the session's parallelism, not a constant:
+      // snapshot files bound BOTH the write fan-out and the connector's
+      // read partitions (row groups follow file layout), so 4 files at sf10
+      // would serialize 1.5M-row file reads (measured 44 s -> see SCALE.md)
+      val files = s.sparkContext.defaultParallelism.max(4)
+      graft.store.SnapshotStore.commit(
+        Tables.orders(s, d).repartitionByRange(files, col("o_orderkey")), t)
+      // DVs are a SMALL-delta mechanism (deletes past a few percent are
+      // compaction's job — ops/Bucketing.compactCommit materializes them
+      // away), so the fixture deletes ~2%: the realistic DV read shape
+      graft.store.SnapshotStore.deleteCommit(s, t, Seq("o_orderkey"),
+        pmod(col("o_orderkey"), lit(50)) === 1)
+    }
     s.read.format("graft-snapshot").option("path", table).load()
       .filter(col("o_totalprice") > 300000.0)
       .groupBy(col("o_orderpriority"))
@@ -232,18 +235,19 @@ object EventAnalytics {
     * warehouse forever). Oracle replays both versions as plain filters
     * in integer cents. */
   val dtCatalogTt: Q = (s, d) => {
-    val wh = java.nio.file.Files.createTempDirectory("cattt").toString
+    val wh = Fixtures.dir("cattt", d) { root =>
+      // parallelism-scaled file count: snapshot files bound the connector's
+      // read partitions (same reasoning as dtDsv2Scan)
+      graft.store.SnapshotStore.commit(
+        Tables.orders(s, d).repartition(s.sparkContext.defaultParallelism.max(4)),
+        s"$root/facts/orders")
+      graft.store.SnapshotStore.deleteCommit(s, s"$root/facts/orders", Seq("o_orderkey"),
+        pmod(col("o_orderkey"), lit(50)) === 2)
+    }
     val cat = "gsnap_" + java.security.MessageDigest.getInstance("MD5")
       .digest(wh.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.SnapshotCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
-    // parallelism-scaled file count: snapshot files bound the connector's
-    // read partitions (same reasoning as dtDsv2Scan)
-    graft.store.SnapshotStore.commit(
-      Tables.orders(s, d).repartition(s.sparkContext.defaultParallelism.max(4)),
-      s"$wh/facts/orders")
-    graft.store.SnapshotStore.deleteCommit(s, s"$wh/facts/orders", Seq("o_orderkey"),
-      pmod(col("o_orderkey"), lit(50)) === 2)
     s.sql(
       s"""SELECT CAST(0 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
@@ -262,9 +266,10 @@ object EventAnalytics {
     * the decline paths — filters, DVs, string stats). At 100 TB this is
     * the difference between an O(footers) and an O(table) row count. */
   val dtAggPushdown: Q = (s, d) => {
-    val table = java.nio.file.Files.createTempDirectory("aggpd").toString + "/orders"
-    graft.store.SnapshotStore.commit(
-      Tables.orders(s, d).repartition(s.sparkContext.defaultParallelism.max(4)), table)
+    val table = Fixtures.table("aggpd", d) { t =>
+      graft.store.SnapshotStore.commit(
+        Tables.orders(s, d).repartition(s.sparkContext.defaultParallelism.max(4)), t)
+    }
     s.read.format("graft-snapshot").option("path", table).load()
       .agg(
         count(lit(1)).alias("n"),
@@ -280,15 +285,16 @@ object EventAnalytics {
     * all history (the oracle), with history never rescanned. Money in
     * integer cents for exactness. */
   val dtIncrAgg: Q = (s, d) => {
-    val table = java.nio.file.Files.createTempDirectory("incragg").toString + "/agg"
-    val orders = Tables.orders(s, d).select(
-      col("o_custkey"),
-      round(col("o_totalprice") * 100).cast("long").alias("cents"),
-      year(col("o_orderdate")).alias("__y"))
-    Seq((0, 1996), (1996, 1999), (1999, 3000)).foreach { case (lo, hi) =>
-      ChangeData.incrementalAggCommit(s, table,
-        orders.filter(col("__y") >= lo && col("__y") < hi).drop("__y"),
-        Seq("o_custkey"), Seq("cents"))
+    val table = Fixtures.table("incragg", d) { t =>
+      val orders = Tables.orders(s, d).select(
+        col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").alias("cents"),
+        year(col("o_orderdate")).alias("__y"))
+      Seq((0, 1996), (1996, 1999), (1999, 3000)).foreach { case (lo, hi) =>
+        ChangeData.incrementalAggCommit(s, t,
+          orders.filter(col("__y") >= lo && col("__y") < hi).drop("__y"),
+          Seq("o_custkey"), Seq("cents"))
+      }
     }
     graft.store.SnapshotStore.read(s, table)
       .select(col("o_custkey"), col("n"),
@@ -331,7 +337,90 @@ object EventAnalytics {
       .limit(5)
   }
 
-  val oracles: Map[String, String] = Map(
+
+  /** Register (idempotently) a [[graft.sources.SnapshotCatalog]] over
+    * `wh` under a name derived from the path — catalog instances are
+    * cached by name per session, so the name must follow the warehouse. */
+  private def snapCatalog(s: SparkSession, wh: String): String = {
+    val cat = "gsnap_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(wh.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.SnapshotCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    cat
+  }
+
+  /** DT10: file-granular APPEND ([[graft.store.SnapshotStore.appendCommit]])
+    * — the incremental daily-load shape (the reference's Silver append,
+    * `bronze_to_silver.py:116`): v0 holds pre-1996 orders, v1 appends the
+    * rest as an O(new-files) commit that links v0's files untouched. The
+    * oracle is the PLAIN orders aggregate — append must reconstruct the
+    * full fact exactly, with no row doubled (a dir-granular image would)
+    * or lost. */
+  val dtAppend: Q = (s, d) => {
+    val table = Fixtures.table("dtappend", d) { t =>
+      val orders = Tables.orders(s, d)
+      val files = s.sparkContext.defaultParallelism.max(4)
+      graft.store.SnapshotStore.commit(
+        orders.filter(year(col("o_orderdate")) < 1996).repartition(files), t)
+      graft.store.SnapshotStore.appendCommit(
+        orders.filter(year(col("o_orderdate")) >= 1996).repartition(files), t)
+    }
+    s.read.format("graft-snapshot").option("path", table).load()
+      .groupBy(year(col("o_orderdate")).alias("yr"))
+      .agg(
+        count(lit(1)).alias("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long")).alias("cents"))
+      .orderBy(col("yr"))
+  }
+
+  /** DT11: SQL `MERGE INTO` over a catalog table — the same three-clause
+    * semantics as `dt_merge_into` (delete big spenders, update balances,
+    * insert shifted keys), but issued as the ANSI statement and executed
+    * as a group-based copy-on-write row-level operation (only files with
+    * a matching row rewrite; see SnapshotRowLevelSpec for the file-level
+    * pins). SHARES dt_merge_into's oracle: both paths must produce the
+    * byte-identical merged customer table. */
+  val dtMergeSql: Q = (s, d) => {
+    val wh = Fixtures.dir("mergesql", d) { root =>
+      val cat = snapCatalog(s, root)
+      graft.store.SnapshotStore.commit(Tables.customer(s, d), s"$root/facts/customer")
+      mergeSource(s, d).createOrReplaceTempView("graft_merge_sql_src")
+      s.sql(
+        s"""MERGE INTO $cat.facts.customer t USING graft_merge_sql_src src
+            ON t.c_custkey = src.c_custkey
+            WHEN MATCHED AND src.delta_cents > 80000000 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET
+              c_acctbal = (CAST(round(t.c_acctbal * 100) AS BIGINT) + src.delta_cents) / 100.0
+            WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+              VALUES (src.c_custkey, concat('new-', CAST(src.c_custkey AS STRING)),
+                      CAST(-1 AS INT), src.delta_cents / 100.0, 'NEW')""")
+    }
+    val cat = snapCatalog(s, wh)
+    s.sql(s"""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+              FROM $cat.facts.customer ORDER BY c_custkey""")
+  }
+
+  /** DT12: `CREATE TABLE ... AS SELECT` through the snapshot catalog —
+    * the summary mart is born as version 0 in ONE atomic staged commit,
+    * then answered from the new table. Oracle recomputes the aggregate
+    * from raw orders: the CTAS result must equal its defining query. */
+  val dtCtas: Q = (s, d) => {
+    val wh = Fixtures.dir("ctaswh", d) { root =>
+      val cat = snapCatalog(s, root)
+      graft.store.SnapshotStore.commit(Tables.orders(s, d), s"$root/facts/orders")
+      s.sql(
+        s"""CREATE TABLE $cat.marts.prio_summary AS
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM $cat.facts.orders
+            GROUP BY o_orderpriority""")
+    }
+    val cat = snapCatalog(s, wh)
+    s.sql(s"SELECT * FROM $cat.marts.prio_summary ORDER BY o_orderpriority")
+  }
+
+  private val oraclesBase: Map[String, String] = Map(
     "c12_transitions" ->
       """WITH t AS (SELECT user_id, event_type AS from_type,
                            lead(event_type) OVER (PARTITION BY user_id
@@ -413,6 +502,20 @@ object EventAnalytics {
          WHERE NOT (t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
                     AND s.delta_cents > 80000000)
          ORDER BY c_custkey""",
+    "dt_append" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders
+         GROUP BY 1
+         ORDER BY yr""",
+    "dt_ctas" ->
+      """SELECT o_orderpriority,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
     "dt_agg_pushdown" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
                 round(min(o_totalprice), 2) AS min_price,
@@ -496,6 +599,11 @@ object EventAnalytics {
          ORDER BY user_id"""
   )
 
+  /** dt_merge_sql SHARES dt_merge_into's oracle text: the SQL statement
+    * and the DataFrame API must produce the identical merged table. */
+  val oracles: Map[String, String] =
+    oraclesBase + ("dt_merge_sql" -> oraclesBase("dt_merge_into"))
+
   val queries: Map[String, Q] = Map(
     "c8_funnel" -> c8Funnel,
     "c9_cohort" -> c9Cohort,
@@ -509,6 +617,9 @@ object EventAnalytics {
     "dt_dsv2_scan" -> dtDsv2Scan,
     "dt_catalog_tt" -> dtCatalogTt,
     "dt_agg_pushdown" -> dtAggPushdown,
+    "dt_append" -> dtAppend,
+    "dt_merge_sql" -> dtMergeSql,
+    "dt_ctas" -> dtCtas,
     "c12_transitions" -> c12Transitions,
     "sk_skew_report" -> skSkewReport
   )

@@ -171,17 +171,18 @@ object FormatQueries {
     * test is the `binaryFile` READ), re-ingested as (path, length,
     * content) rows, keyed back out of the filename. */
   val fmBinaryFiles: Q = (s, d) => {
-    val dir = java.nio.file.Files.createTempDirectory("fmbin")
-    Tables.documents(s, d)
-      .filter(col("doc_id") < 8)
-      .select(col("doc_id"), col("text"))
-      .collect()
-      .foreach { r =>
-        java.nio.file.Files.write(
-          dir.resolve(s"doc_${r.getLong(0)}.txt"),
-          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      }
-    s.read.format("binaryFile").load(dir.toString)
+    val dir = Fixtures.dir("fmbin", d) { r =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 8)
+        .select(col("doc_id"), col("text"))
+        .collect()
+        .foreach { row =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(r, s"doc_${row.getLong(0)}.txt"),
+            row.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+    }
+    s.read.format("binaryFile").load(dir)
       .select(
         regexp_extract(col("path"), "doc_(\\d+)\\.txt$", 1).cast("long").alias("doc_id"),
         col("length").alias("n_bytes"),
@@ -281,16 +282,17 @@ object FormatQueries {
     * file count; the returned aggregate proves the rewrite changed
     * nothing a reader can see. */
   val dtCompact: Q = (s, d) => {
-    val table = tmpDir("fmcompact") + "/events_store"
-    val ev = Tables.events(s, d)
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        round(col("value") * 100).cast("long").alias("value_cents"))
-    graft.store.SnapshotStore.commit(ev.repartition(64), table)
-    graft.store.SnapshotStore.deleteCommit(s, table, Seq("event_id"),
-      pmod(col("event_id"), lit(10)) === 0)
-    val (before, after, _, _) =
-      graft.ops.Bucketing.compactCommit(s, table, targetBytes = 1L << 30)
-    require(after < before, s"compaction did not shrink the file count: $before -> $after")
+    val table = Fixtures.table("fmcompact", d) { t =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").alias("value_cents"))
+      graft.store.SnapshotStore.commit(ev.repartition(64), t)
+      graft.store.SnapshotStore.deleteCommit(s, t, Seq("event_id"),
+        pmod(col("event_id"), lit(10)) === 0)
+      val (before, after, _, _) =
+        graft.ops.Bucketing.compactCommit(s, t, targetBytes = 1L << 30)
+      require(after < before, s"compaction did not shrink the file count: $before -> $after")
+    }
     graft.store.SnapshotStore.read(s, table)
       .groupBy(col("event_type"))
       .agg(

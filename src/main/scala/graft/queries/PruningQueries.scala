@@ -117,13 +117,14 @@ object PruningQueries {
     * column only. Result ≡ the plain filter (oracle); the prune factor
     * itself is pinned in ZorderSpec and measured in SCALE.md. */
   val zoSkippingScan: Q = (s, d) => {
-    val dir = java.nio.file.Files.createTempDirectory("zorder").toString + "/orders_z"
-    val orders = Tables.orders(s, d).select(
-      col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-      pmod(col("o_custkey"), lit(4096)).cast("long").alias("ck"),
-      datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).cast("long").alias("od"))
-    graft.ops.Zorder.writeZordered(orders, dir, Seq("ck", "od"), bits = 12, numFiles = 16)
-    graft.ops.Zorder.writeFileStats(s, dir, Seq("ck", "od"))
+    val dir = Fixtures.table("zorder", d) { t =>
+      val orders = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        pmod(col("o_custkey"), lit(4096)).cast("long").alias("ck"),
+        datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).cast("long").alias("od"))
+      graft.ops.Zorder.writeZordered(orders, t, Seq("ck", "od"), bits = 12, numFiles = 16)
+      graft.ops.Zorder.writeFileStats(s, t, Seq("ck", "od"))
+    }
     graft.ops.Zorder.skippingScan(s, dir, Map("ck" -> (100L, 300L), "od" -> (400L, 700L)))
       .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).alias("price"))
       .orderBy(col("o_orderkey"))
@@ -138,13 +139,14 @@ object PruningQueries {
     * plain filter, which is what the oracle runs; the pruning factor
     * itself is pinned in ScalaTest. */
   val blPointLookup: Q = (s, d) => {
-    val dir = java.nio.file.Files.createTempDirectory("bindex").toString + "/orders_b"
-    Tables.orders(s, d)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      .repartition(16, col("o_custkey")) // scatter: no key locality at all
-      .write.mode("overwrite").parquet(dir)
-    graft.ops.BloomIndex.writeFileBloomIndex(s, dir, "o_orderkey",
-      expectedItems = 1L << 16, numBits = 1L << 19)
+    val dir = Fixtures.table("bindex", d) { t =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartition(16, col("o_custkey")) // scatter: no key locality at all
+        .write.mode("overwrite").parquet(t)
+      graft.ops.BloomIndex.writeFileBloomIndex(s, t, "o_orderkey",
+        expectedItems = 1L << 16, numBits = 1L << 19)
+    }
     graft.ops.BloomIndex.multiLookup(s, dir, "o_orderkey",
       Seq(1L, 7L, 32L, 4963L, 29440L, 299999L))
       .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).alias("price"))
@@ -159,15 +161,17 @@ object PruningQueries {
     * rule regresses). Oracle computes the same aggregate from the raw
     * fact — rollup algebra must be exact. */
   val mvRewriteAgg: Q = (s, d) => {
-    val root = java.nio.file.Files.createTempDirectory("aggmv").toString
+    val root = Fixtures.dir("aggmv", d) { r =>
+      Tables.orders(s, d).select(
+        col("o_orderstatus"),
+        year(col("o_orderdate")).alias("yr"),
+        round(col("o_totalprice") * 100).cast("long").alias("cents"))
+        .write.mode("overwrite").parquet(s"$r/orders_base")
+      graft.sql.MaterializedAgg.create(s, s"$r/orders_base", s"$r/orders_mv",
+        Seq("o_orderstatus", "yr"), Seq("cents"))
+    }
     val base = s"$root/orders_base"
     val mv = s"$root/orders_mv"
-    Tables.orders(s, d).select(
-      col("o_orderstatus"),
-      year(col("o_orderdate")).alias("yr"),
-      round(col("o_totalprice") * 100).cast("long").alias("cents"))
-      .write.mode("overwrite").parquet(base)
-    graft.sql.MaterializedAgg.create(s, base, mv, Seq("o_orderstatus", "yr"), Seq("cents"))
     val out = s.read.parquet(base)
       .filter(col("yr") >= 1995)
       .groupBy(col("o_orderstatus"))
