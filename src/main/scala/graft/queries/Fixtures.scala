@@ -21,20 +21,34 @@ package graft.queries
 object Fixtures {
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val buildSecs = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+  /** Seconds each fixture's ONE-TIME build took, keyed `kind|sfDir` —
+    * the bench publishes this so fixture setup is attributed separately
+    * from the measured query time (a read-path regression can't hide
+    * behind write noise). */
+  def buildTimes: Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    buildSecs.asScala.map { case (k, v) => k -> v.doubleValue }.toMap
+  }
 
   /** A fixture TABLE path (`<tmp>/t`), built once by `build`. */
   def table(kind: String, sfDir: String)(build: String => Unit): String =
-    cache.computeIfAbsent(s"$kind|$sfDir", { _ =>
+    cache.computeIfAbsent(s"$kind|$sfDir", { key =>
+      val t0 = System.nanoTime()
       val t = java.nio.file.Files.createTempDirectory(kind).toString + "/t"
       build(t)
+      buildSecs.put(key, (System.nanoTime() - t0) / 1e9)
       t
     })
 
   /** A fixture DIRECTORY (warehouse roots, loose-file dirs). */
   def dir(kind: String, sfDir: String)(build: String => Unit): String =
-    cache.computeIfAbsent(s"$kind|$sfDir", { _ =>
+    cache.computeIfAbsent(s"$kind|$sfDir", { key =>
+      val t0 = System.nanoTime()
       val root = java.nio.file.Files.createTempDirectory(kind).toString
       build(root)
+      buildSecs.put(key, (System.nanoTime() - t0) / 1e9)
       root
     })
 }

@@ -210,7 +210,9 @@ private[sources] final class StagedSnapshotTable(
 
   override def commitStagedChanges(): Unit = {
     val m = SnapshotStore.Manifest("", Nil, Nil,
-      ts = System.currentTimeMillis(), files = stagedFiles, op = if (replace) "rewrite" else "ctas")
+      ts = System.currentTimeMillis(), files = stagedFiles,
+      op = if (replace) "rewrite" else "ctas",
+      statsExact = true) // SnapshotDataWriter never truncates stats
     if (replace) {
       var next = SnapshotStore.currentVersion(spark, root).map(_ + 1).getOrElse(0L)
       while (!SnapshotStore.tryPublishManifest(spark, root, next, m))

@@ -262,9 +262,12 @@ private[sources] final class SnapshotScanBuilder(
         case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
         case _                                             => None
       }
-    def numeric(n: String): Boolean = schema.find(_.name == n).map(_.dataType).exists {
-      case LongType | IntegerType | DoubleType | FloatType => true
-      case _                                               => false
+    // strings are accepted too: footerAggregates PROVES their stats
+    // untruncated via the thrift is_min/max_value_exact flags before
+    // answering (truncated binary stats are bounds, not values)
+    def aggregatable(n: String): Boolean = schema.find(_.name == n).map(_.dataType).exists {
+      case LongType | IntegerType | DoubleType | FloatType | StringType => true
+      case _                                                            => false
     }
     val wanted: Option[Seq[Either[Unit, (String, Boolean)]]] = // Left=count, Right=(col, isMin)
       agg.aggregateExpressions.toSeq.foldLeft(
@@ -272,9 +275,9 @@ private[sources] final class SnapshotScanBuilder(
         case (None, _) => None
         case (Some(acc), _: CountStar) => Some(acc :+ Left(()))
         case (Some(acc), mn: Min) =>
-          colOf(mn.column).filter(numeric).map(c => acc :+ Right((c, true)))
+          colOf(mn.column).filter(aggregatable).map(c => acc :+ Right((c, true)))
         case (Some(acc), mx: Max) =>
-          colOf(mx.column).filter(numeric).map(c => acc :+ Right((c, false)))
+          colOf(mx.column).filter(aggregatable).map(c => acc :+ Right((c, false)))
         case _ => None
       }
     wanted.flatMap { specs =>
@@ -286,8 +289,12 @@ private[sources] final class SnapshotScanBuilder(
             StructField(s"agg_$i", schema.find(_.name == c).get.dataType)
         }
         val values = specs.map {
-          case Left(())         => rows: Any
-          case Right((c, isMn)) => minMax.get(c).map(b => if (isMn) b._1 else b._2).orNull
+          case Left(()) => rows: Any
+          case Right((c, isMn)) =>
+            minMax.get(c).map(b => if (isMn) b._1 else b._2).map {
+              case str: String => UTF8String.fromString(str) // StringType rows carry UTF8String
+              case v           => v
+            }.orNull
         }
         (StructType(fields), values,
           specs.map { case Left(_) => "count(*)"
@@ -383,6 +390,12 @@ private[sources] object SnapshotScan {
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     val files = SnapshotStore.dataFiles(spark, m).map(new Path(_))
+    // per-file raw THRIFT footer parse, done lazily and only when a
+    // string aggregate needs the is_min/max_value_exact proof (the
+    // high-level parquet-mr Statistics API drops those flags)
+    val exactCache = scala.collection.mutable.Map.empty[Path, Map[(Int, String), (Boolean, Boolean)]]
+    def exactFlags(p: Path): Map[(Int, String), (Boolean, Boolean)] =
+      exactCache.getOrElseUpdate(p, readExactnessFlags(p, conf))
     var rows = 0L
     val acc = scala.collection.mutable.Map.empty[String, (Any, Any)]
     files.foreach { f =>
@@ -400,33 +413,94 @@ private[sources] object SnapshotScan {
             if (!s.hasNonNullValue) {
               // provably all-null row group is fine; unknown is not
               if (!(s.isNumNullsSet && s.getNumNulls == b.getRowCount)) return None
-            } else (s.genericGetMin, s.genericGetMax) match {
-              case (mn: Number, mx: Number) =>
-                // parquet-mr builds float/double stats via Math.min/max,
-                // so a NaN anywhere in the row group poisons its bounds:
-                // NaN-free bounds PROVE a NaN-free group, and a NaN bound
-                // means footer min/max can't reproduce Spark's NaN
-                // ordering — decline
-                def isNaN(x: Number): Boolean = x match {
-                  case d: java.lang.Double => d.isNaN
-                  case f: java.lang.Float  => f.isNaN
-                  case _                   => false
-                }
-                if (isNaN(mn) || isNaN(mx)) return None
-                acc.get(c) match {
-                  case None => acc(c) = (mn, mx)
-                  case Some((curMn, curMx)) =>
-                    val newMn = if (cmpAny(mn, curMn).exists(_ < 0)) mn else curMn
-                    val newMx = if (cmpAny(mx, curMx).exists(_ > 0)) mx else curMx
-                    acc(c) = (newMn, newMx)
-                }
-              case _ => return None
+            } else {
+              val bIdx = r.getFooter.getBlocks.asScala.indexOf(b)
+              val v: (Any, Any) = (s.genericGetMin, s.genericGetMax) match {
+                case (mn: Number, mx: Number) =>
+                  // parquet-mr builds float/double stats via Math.min/max,
+                  // so a NaN anywhere in the row group poisons its bounds:
+                  // NaN-free bounds PROVE a NaN-free group, and a NaN bound
+                  // means footer min/max can't reproduce Spark's NaN
+                  // ordering — decline
+                  def isNaN(x: Number): Boolean = x match {
+                    case d: java.lang.Double => d.isNaN
+                    case f: java.lang.Float  => f.isNaN
+                    case _                   => false
+                  }
+                  if (isNaN(mn) || isNaN(mx)) return None
+                  (mn, mx)
+                case (mn: org.apache.parquet.io.api.Binary, mx: org.apache.parquet.io.api.Binary)
+                    if cc.getPrimitiveType.getLogicalTypeAnnotation != null &&
+                      cc.getPrimitiveType.getLogicalTypeAnnotation.toString == "STRING" =>
+                  // string stats may be writer-TRUNCATED (then min is a
+                  // lower bound and max an incremented upper bound, not
+                  // actual values). Two proofs of exactness: the
+                  // MANIFEST's stats=exact tag (recorded by the store's
+                  // own writers, which never truncate), or the thrift
+                  // footer's is_min/max_value_exact flags (written by
+                  // parquet-cpp; parquet-mr ≤1.16 never writes them).
+                  // Neither → decline and let the real plan run.
+                  if (m.statsExact) (mn.toStringUsingUTF8, mx.toStringUsingUTF8)
+                  else exactFlags(f).get((bIdx, c)) match {
+                    case Some((true, true)) => (mn.toStringUsingUTF8, mx.toStringUsingUTF8)
+                    case _                  => return None
+                  }
+                case _ => return None
+              }
+              acc.get(c) match {
+                case None => acc(c) = v
+                case Some((curMn, curMx)) =>
+                  val newMn = if (cmpAny(v._1, curMn).exists(_ < 0)) v._1 else curMn
+                  val newMx = if (cmpAny(v._2, curMx).exists(_ > 0)) v._2 else curMx
+                  acc(c) = (newMn, newMx)
+              }
             }
           }
         }
       } finally r.close()
     }
     Some((rows, acc.toMap))
+  }
+
+  /** Raw thrift footer parse: per (row-group index, column name), the
+    * parquet-format `is_min_value_exact` / `is_max_value_exact` flags
+    * (absent → (false, false)). parquet-mr's converted Statistics drops
+    * these, so proving a string stat untruncated needs the wire form. */
+  private def readExactnessFlags(
+      p: Path, conf: Configuration): Map[(Int, String), (Boolean, Boolean)] = {
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    try {
+      in.seek(len - 8)
+      val tail = new Array[Byte](8)
+      in.readFully(tail)
+      require(tail(4) == 'P' && tail(5) == 'A' && tail(6) == 'R' && tail(7) == '1',
+        s"not a parquet file: $p")
+      val metaLen = java.nio.ByteBuffer.wrap(tail, 0, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      in.seek(len - 8 - metaLen)
+      val fmd = org.apache.parquet.format.Util.readFileMetaData(in)
+      val out = scala.collection.mutable.Map.empty[(Int, String), (Boolean, Boolean)]
+      val rgs = fmd.getRow_groups
+      var i = 0
+      while (i < rgs.size()) {
+        val colIt = rgs.get(i).getColumns.iterator()
+        while (colIt.hasNext) {
+          val cc = colIt.next()
+          val md = cc.getMeta_data
+          if (md != null && md.getPath_in_schema != null && md.getPath_in_schema.size == 1 &&
+              md.getStatistics != null) {
+            val st = md.getStatistics
+            out((i, md.getPath_in_schema.get(0))) = (
+              st.isSetIs_min_value_exact && st.isIs_min_value_exact,
+              st.isSetIs_max_value_exact && st.isIs_max_value_exact)
+          }
+        }
+        i += 1
+      }
+      out.toMap
+    } finally in.close()
   }
 
   /** Filters usable for footer min/max file skipping: flat comparisons
@@ -503,8 +577,17 @@ private[sources] object SnapshotScan {
     * the normalization so the batch scan and the change-feed stream can
     * never disagree on it. */
   def loadDvLookup(spark: SparkSession, m: SnapshotStore.Manifest): DvLookup = {
-    val keys = spark.read.parquet(m.deletes: _*)
+    val frame = spark.read.parquet(m.deletes: _*)
       .select(m.keyCols.map(org.apache.spark.sql.functions.col): _*)
+    // the JVM-value space the readers probe with: timestamps as micros
+    // longs, dates as day ints, strings as UTF8String — the projection
+    // layout must match or byte equality silently never fires
+    val storageTypes: Seq[DataType] = frame.schema.fields.toSeq.map(_.dataType).map {
+      case TimestampType | TimestampNTZType => LongType
+      case DateType                         => IntegerType
+      case other                            => other
+    }
+    val keys = frame
       .distinct().collect()
       .map(r => Seq.tabulate(r.length)(i => r.get(i) match {
         case t: java.sql.Timestamp =>
@@ -530,7 +613,7 @@ private[sources] object SnapshotScan {
             s"${other.getClass.getName} (supported: integral/floating/boolean/" +
             "string/timestamp/date keys)")
       })).toSet
-    new DvLookup(keys, m.keyCols.size)
+    new DvLookup(keys, m.keyCols.size, storageTypes)
   }
 
   /** Initialize a VectorizedParquetRecordReader over one row-group byte
@@ -655,6 +738,14 @@ private[sources] final class SnapshotScan(
           else {
             val col = c.getPath.iterator().next()
             (s.genericGetMin, s.genericGetMax) match {
+              // NaN-poisoned float/double bounds (parquet-mr folds NaN
+              // through Math.min/max) would make EqualTo/LessThan wrongly
+              // exclude row groups holding matching real values — drop
+              // the column's stats for this group instead (keep = safe)
+              case (mn: java.lang.Double, _) if mn.isNaN => None
+              case (_, mx: java.lang.Double) if mx.isNaN => None
+              case (mn: java.lang.Float, _) if mn.isNaN => None
+              case (_, mx: java.lang.Float) if mx.isNaN => None
               case (mn: Number, mx: Number) => Some(col -> (mn: Any, mx: Any))
               case (mn: org.apache.parquet.io.api.Binary, mx: org.apache.parquet.io.api.Binary)
                   if c.getPrimitiveType.getLogicalTypeAnnotation != null &&
@@ -756,15 +847,46 @@ private[sources] final case class SnapshotInputPartition(
 
 /** Deletion-vector membership structure, built ONCE on the driver and
   * broadcast whole. Single-key tables (the common case) probe a flat
-  * Set[Any]; composite keys probe tuple Seqs. */
-private[sources] final class DvLookup(keys: Set[Seq[Any]], arity: Int) extends Serializable {
+  * Set[Any]; composite keys probe a set of UnsafeRow BYTE IMAGES —
+  * hashing is murmur3 over the packed row bytes instead of per-field
+  * boxed tuple hashing (~2 µs/row → sub-µs; the r10 verdict's ask #5).
+  * Probes are per-reader ([[DvProbe]]) because UnsafeProjection output
+  * rows are reused — the broadcast-shared set itself is immutable. */
+private[sources] final class DvLookup(
+    keys: Set[Seq[Any]], arity: Int, keyStorageTypes: Seq[DataType]) extends Serializable {
   private val single: Set[Any] =
     if (arity == 1) keys.iterator.map(_.head).toSet else null
-  private val multi: Set[Seq[Any]] = if (arity == 1) null else keys
+  private val multi: Set[InternalRow] =
+    if (arity == 1) null
+    else {
+      // driver-side build: project each normalized key tuple into its
+      // UnsafeRow image once; .copy() detaches from the reused buffer
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(keyStorageTypes.toArray)
+      keys.iterator
+        .map(k => proj(new GenericInternalRow(k.toArray)).copy(): InternalRow)
+        .toSet
+    }
   def size: Int = if (single != null) single.size else multi.size
   def isSingle: Boolean = single != null
   def containsSingle(v: Any): Boolean = single.contains(v)
-  def containsMulti(v: Seq[Any]): Boolean = multi.contains(v)
+  /** One probe per reader: owns a reusable input row + projection. */
+  def newProbe(): DvProbe = new DvProbe(keyStorageTypes, multi)
+}
+
+/** Reader-local composite-key probe: fills a reused GenericInternalRow,
+  * projects to the same UnsafeRow layout the lookup set stores, and
+  * tests membership by byte equality. NOT thread-safe (by design —
+  * one per PartitionReader). */
+private[sources] final class DvProbe(types: Seq[DataType], set: Set[InternalRow]) {
+  private val proj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(types.toArray)
+  private val row = new GenericInternalRow(types.length)
+  def contains(vals: Array[Any]): Boolean = {
+    var i = 0
+    while (i < vals.length) { row.update(i, vals(i)); i += 1 }
+    set.contains(proj(row))
+  }
 }
 
 /** Hadoop Configuration is not Serializable; ship it writable-style. */
@@ -860,6 +982,7 @@ private[sources] final class SnapshotVectorRowReader(
   private val keyOrds: Array[Int] = keyCols.map(requested.fieldIndex).toArray
   private val keyTs: Array[DataType] = keyTypes.toArray
   private val singleKey = wantDv && dv.isSingle
+  private val multiProbe: DvProbe = if (wantDv && !dv.isSingle) dv.newProbe() else null
   // codegen'd projection down to the query's columns (identity-cheap
   // when no extra key columns were decoded)
   private val project =
@@ -874,13 +997,13 @@ private[sources] final class SnapshotVectorRowReader(
     if (row.isNullAt(keyOrds(i))) null
     else row.get(keyOrds(i), keyTs(i)) // UTF8String for strings — matches DvLookup
 
+  private val keyScratch = new Array[Any](keyOrds.length)
   private def deleted(row: InternalRow): Boolean =
     if (singleKey) dv.containsSingle(keyVal(row, 0))
     else {
-      val key = new Array[Any](keyOrds.length)
       var i = 0
-      while (i < keyOrds.length) { key(i) = keyVal(row, i); i += 1 }
-      dv.containsMulti(key.toSeq)
+      while (i < keyOrds.length) { keyScratch(i) = keyVal(row, i); i += 1 }
+      multiProbe.contains(keyScratch)
     }
 
   private var current: InternalRow = _
@@ -1001,9 +1124,11 @@ private[sources] final class SnapshotPartitionReader(
   // per DV key column: projection index + type
   private val keyIdx: Array[Int] = keyCols.map(k => projIndex.getOrElse(k, -1)).toArray
   private val keyType: Array[DataType] = keyCols.map(resolvedType).toArray
-  // single-key fast path avoids the per-row Seq allocation; the lookup
+  // single-key fast path avoids the per-row allocation; the lookup
   // structure itself came pre-built through the broadcast
   private val singleKeyDv = wantDv && dv.isSingle
+  private val multiProbe: DvProbe = if (wantDv && !dv.isSingle) dv.newProbe() else null
+  private val keyScratch = new Array[Any](keyCols.length)
 
   private def jvmValue(g: Group, idx: Int, dt: DataType): Any =
     if (g.getFieldRepetitionCount(idx) == 0) null
@@ -1038,10 +1163,9 @@ private[sources] final class SnapshotPartitionReader(
   private def deleted(g: Group): Boolean =
     if (singleKeyDv) dv.containsSingle(keyJvm(g, 0))
     else {
-      val key = new Array[Any](keyIdx.length)
       var i = 0
-      while (i < keyIdx.length) { key(i) = keyJvm(g, i); i += 1 }
-      dv.containsMulti(key.toSeq)
+      while (i < keyIdx.length) { keyScratch(i) = keyJvm(g, i); i += 1 }
+      multiProbe.contains(keyScratch)
     }
 
   private var current: Group = _

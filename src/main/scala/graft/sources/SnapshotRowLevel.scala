@@ -155,7 +155,7 @@ private[sources] final class SnapshotRowLevelBatchWrite(
     }
     val ok = SnapshotStore.tryPublishManifest(spark, tablePath, op.baseVersion + 1,
       SnapshotStore.Manifest("", Nil, Nil, ts = System.currentTimeMillis(),
-        files = survivors ++ committed, op = opName))
+        files = survivors ++ committed, op = opName, statsExact = m.statsExact))
     if (!ok) {
       abort(messages)
       throw new java.util.ConcurrentModificationException(

@@ -92,19 +92,22 @@ private[sources] final class SnapshotBatchWrite(
     if (append) {
       var attempt = 0
       while (attempt < 8) {
-        val (next, base) = SnapshotStore.currentVersion(spark, tablePath) match {
+        val (next, base, prevExact) = SnapshotStore.currentVersion(spark, tablePath) match {
           case Some(v) =>
             val m = SnapshotStore.manifest(spark, tablePath, v)
             if (m.deletes.nonEmpty) throw new UnsupportedOperationException(
               s"graft-snapshot: INSERT INTO $tablePath refused while deletion vectors " +
                 "are live (key-based DVs would suppress re-inserted keys) — run a " +
                 "compacting INSERT OVERWRITE or Bucketing.compactCommit first, then append")
-            (v + 1, SnapshotStore.dataFiles(spark, m))
-          case None => (0L, Seq.empty[String])
+            (v + 1, SnapshotStore.dataFiles(spark, m), m.statsExact)
+          case None => (0L, Seq.empty[String], true)
         }
         if (SnapshotStore.tryPublishManifest(spark, tablePath, next,
             SnapshotStore.Manifest("", Nil, Nil, ts = System.currentTimeMillis(),
-              files = base ++ committed, op = "append")))
+              files = base ++ committed, op = "append",
+              // the connector's own writer never truncates stats; the
+              // chain stays exact only if the base already was
+              statsExact = prevExact)))
           return
         attempt += 1 // CAS lost: re-link the SAME staged files on the new head
       }
@@ -113,7 +116,8 @@ private[sources] final class SnapshotBatchWrite(
       var next = SnapshotStore.currentVersion(spark, tablePath).map(_ + 1).getOrElse(0L)
       while (!SnapshotStore.tryPublishManifest(
           spark, tablePath, next, SnapshotStore.Manifest("", Nil, Nil,
-            ts = System.currentTimeMillis(), files = committed, op = "rewrite")))
+            ts = System.currentTimeMillis(), files = committed, op = "rewrite",
+            statsExact = true))) // SnapshotDataWriter never truncates stats
         next += 1 // lost the CAS race; the staged data is still valid as a later version
     }
   }

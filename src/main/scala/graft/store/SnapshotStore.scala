@@ -94,7 +94,8 @@ object SnapshotStore {
       keyCols: Seq[String],
       ts: Long = 0L,
       files: Seq[String] = Nil,
-      op: String = "")
+      op: String = "",
+      statsExact: Boolean = false)
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -115,6 +116,17 @@ object SnapshotStore {
   }
 
   private def token(): String = java.util.UUID.randomUUID.toString.take(8)
+
+  /** True when data written through this session's parquet writer has
+    * UNTRUNCATED binary statistics — a commit-time fact the writer can
+    * prove (parquet-mr truncates only when
+    * `parquet.statistics.truncate.length` is configured). Recorded as
+    * `stats=exact` in the manifest so footer STRING aggregates know the
+    * min/max are actual values, not truncated bounds; foreign data
+    * published via [[publishMarker]] never gets the tag. */
+  private def writerStatsExact(spark: SparkSession): Boolean =
+    spark.sparkContext.hadoopConfiguration
+      .getInt("parquet.statistics.truncate.length", Int.MaxValue) == Int.MaxValue
 
   /** All committed versions, ascending (empty if the table has none). */
   def versions(spark: SparkSession, table: String): Seq[Long] = {
@@ -152,7 +164,8 @@ object SnapshotStore {
         keyCols = lines.find(_.startsWith("keys=")).map(_.stripPrefix("keys=").split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil),
         ts = lines.find(_.startsWith("ts=")).flatMap(l => scala.util.Try(l.stripPrefix("ts=").toLong).toOption).getOrElse(0L),
         files = lines.filter(_.startsWith("file=")).map(_.stripPrefix("file=")),
-        op = lines.find(_.startsWith("op=")).map(_.stripPrefix("op=")).getOrElse(""))
+        op = lines.find(_.startsWith("op=")).map(_.stripPrefix("op=")).getOrElse(""),
+        statsExact = lines.contains("stats=exact"))
     } else {
       // legacy bare-path marker (or empty → the fixed v=<N> layout)
       Manifest(lines.headOption.getOrElse(versionDir(table, v)), Nil, Nil)
@@ -206,7 +219,8 @@ object SnapshotStore {
     var next = currentVersion(spark, table).map(_ + 1).getOrElse(0L)
     val dataDir = s"$table/v=${next}__${token()}"
     df.write.mode("overwrite").parquet(dataDir)
-    while (!tryPublishManifest(spark, table, next, Manifest(dataDir, Nil, Nil, op = "rewrite")))
+    while (!tryPublishManifest(spark, table, next,
+        Manifest(dataDir, Nil, Nil, op = "rewrite", statsExact = writerStatsExact(spark))))
       next += 1 // lost a marker race; the staged data is still valid as a later version
     next
   }
@@ -232,18 +246,19 @@ object SnapshotStore {
     val staged = dataFiles(spark, Manifest(stageDir, Nil, Nil))
     var attempt = 0
     while (attempt < maxAttempts) {
-      val (next, base) = currentVersion(spark, table) match {
+      val (next, base, m0) = currentVersion(spark, table) match {
         case Some(v) =>
           val m = manifest(spark, table, v)
           if (m.deletes.nonEmpty) throw new UnsupportedOperationException(
             s"append to $table refused: live deletion vectors are key-based and " +
               "table-wide, so appended rows with previously deleted keys would be " +
               "suppressed — run a compacting rewrite (materializes DVs away) first")
-          (v + 1, dataFiles(spark, m))
-        case None => (0L, Seq.empty[String])
+          (v + 1, dataFiles(spark, m), Some(m))
+        case None => (0L, Seq.empty[String], None)
       }
       if (tryPublishManifest(spark, table, next,
-          Manifest("", Nil, Nil, files = base ++ staged, op = "append")))
+          Manifest("", Nil, Nil, files = base ++ staged, op = "append",
+            statsExact = m0.forall(_.statsExact) && writerStatsExact(spark))))
         return next
       attempt += 1 // CAS lost: re-link the SAME staged files against the new head
     }
@@ -276,6 +291,7 @@ object SnapshotStore {
     m.deletes.foreach(d => content.append(s"delete=$d\n"))
     if (m.keyCols.nonEmpty) content.append(s"keys=${m.keyCols.mkString(",")}\n")
     if (m.op.nonEmpty) content.append(s"op=${m.op}\n")
+    if (m.statsExact) content.append("stats=exact\n")
     content.append(s"ts=$ts\n")
     val out = f.create(tmp, true)
     try out.write(content.toString.getBytes("UTF-8"))
@@ -313,7 +329,8 @@ object SnapshotStore {
       val next = base.map(_ + 1).getOrElse(0L)
       val dataDir = s"$table/v=${next}__${token()}"
       df.write.mode("overwrite").parquet(dataDir)
-      if (tryPublishManifest(spark, table, next, Manifest(dataDir, Nil, Nil, op = "rewrite"))) return next
+      if (tryPublishManifest(spark, table, next,
+          Manifest(dataDir, Nil, Nil, op = "rewrite", statsExact = writerStatsExact(spark)))) return next
       fs(spark, table).delete(new Path(dataDir), true)
       attempt += 1
     }
@@ -347,7 +364,8 @@ object SnapshotStore {
         .distinct()
         .write.mode("overwrite").parquet(dv)
       if (tryPublishManifest(spark, table, cur + 1,
-          Manifest(m.data, m.deletes :+ dv, keyCols, files = m.files, op = "delete")))
+          Manifest(m.data, m.deletes :+ dv, keyCols, files = m.files, op = "delete",
+            statsExact = m.statsExact)))
         return cur + 1
       attempt += 1 // orphan DV file is GC'd by vacuum's reference count
     }
@@ -378,7 +396,8 @@ object SnapshotStore {
         m.deletes.isEmpty || m.keyCols == keyCols,
         s"delete key columns $keyCols differ from the table's existing DV keys ${m.keyCols}")
       if (tryPublishManifest(spark, table, cur + 1,
-          Manifest(m.data, m.deletes :+ dv, keyCols, files = m.files, op = "delete")))
+          Manifest(m.data, m.deletes :+ dv, keyCols, files = m.files, op = "delete",
+            statsExact = m.statsExact)))
         return cur + 1
       attempt += 1
     }

@@ -213,9 +213,39 @@ class SnapshotDsv2Spec extends SparkSuite {
     val dv = load(table).agg(count(lit(1)).alias("n"))
     assert(!scanOf(dv).description().contains("FOOTER AGGREGATE"))
     assert(dv.collect()(0).getLong(0) === orders.filter(col("o_orderkey") >= 5).count())
-    // string min/max is declined (writer truncation risk) — exact plan runs
-    val s = load(table).agg(min(col("o_orderpriority")).alias("m"))
-    assert(!scanOf(s).description().contains("FOOTER AGGREGATE"))
+  }
+
+  test("string MIN/MAX pushes down only when footer stats are provably exact") {
+    val orders = graft.sources.Tables.orders(spark, sf())
+    // engine-written snapshot: parquet-mr writes untruncated stats and
+    // SETS is_min/max_value_exact — the aggregate answers from footers
+    val table = freshTable("dsv2-stragg")
+    SnapshotStore.commit(orders.repartition(3), table)
+    val q = load(table).agg(
+      min(col("o_orderpriority")).alias("mn"),
+      max(col("o_orderpriority")).alias("mx"),
+      count(lit(1)).alias("n"))
+    assert(scanOf(q).description().contains("FOOTER AGGREGATE"),
+      s"exact string stats should push down: ${scanOf(q).description()}")
+    val r = q.collect()(0)
+    val expect = orders.agg(
+      min(col("o_orderpriority")), max(col("o_orderpriority")), count(lit(1))).collect()(0)
+    assert(r === expect, s"string footer aggregate diverged: $r vs $expect")
+
+    // TRUNCATED stats (writer configured a truncate length): the flags
+    // read false/absent → decline, real plan answers
+    val tTrunc = freshTable("dsv2-strtrunc")
+    val dataDir = s"$tTrunc/v=0"
+    orders.select(col("o_orderkey"), col("o_orderpriority"))
+      .coalesce(1)
+      .write.option("parquet.statistics.truncate.length", "3")
+      .mode("overwrite").parquet(dataDir)
+    SnapshotStore.publishMarker(spark, tTrunc, 0L)
+    val qt = load(tTrunc).agg(min(col("o_orderpriority")).alias("mn"))
+    assert(!scanOf(qt).description().contains("FOOTER AGGREGATE"),
+      s"truncated string stats must decline pushdown: ${scanOf(qt).description()}")
+    assert(qt.collect()(0).getString(0) ===
+      orders.agg(min(col("o_orderpriority"))).collect()(0).getString(0))
   }
 
   test("write path: mode(overwrite) commits an atomic new version; engine reads it back") {
@@ -623,5 +653,31 @@ class SnapshotDsv2Spec extends SparkSuite {
       spark.conf.unset("spark.sql.catalog.gsnapctas.warehouse")
       spark.conf.unset("spark.sql.catalog.gsnapctas")
     }
+  }
+
+  test("composite-key deletion vectors probe correctly through both reader paths") {
+    val table = freshTable("dsv2-dvmulti")
+    val orders = graft.sources.Tables.orders(spark, sf())
+    SnapshotStore.commit(orders, table)
+    // (long, string) composite key: exercises the UnsafeRow byte-image
+    // probe with a mixed-width layout (UTF8String + primitive)
+    SnapshotStore.deleteCommit(spark, table, Seq("o_custkey", "o_orderstatus"),
+      pmod(col("o_custkey"), lit(7)) === 0 && col("o_orderstatus") === "F")
+    val expect = orders.filter(
+      !(pmod(col("o_custkey"), lit(7)) === 0 && col("o_orderstatus") === "F"))
+    // engine read (broadcast anti join) and connector read (reader-side
+    // probe) agree with the plain filter
+    assert(SnapshotStore.read(spark, table).count() === expect.count())
+    val viaConnector = load(table)
+    assert(viaConnector.count() === expect.count())
+    assert(viaConnector.filter(
+      pmod(col("o_custkey"), lit(7)) === 0 && col("o_orderstatus") === "F").count() === 0)
+    // projection that prunes BOTH key columns still applies the DV
+    // (keys decode internally, rows project down)
+    val pruned = load(table).select(col("o_orderkey"))
+    assert(pruned.count() === expect.count())
+    // exact values, not just counts
+    assert(load(table).select(col("o_orderkey")).collect().map(_.getLong(0)).sorted.toSeq
+      === expect.select(col("o_orderkey")).collect().map(_.getLong(0)).sorted.toSeq)
   }
 }
