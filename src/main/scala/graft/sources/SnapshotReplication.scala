@@ -67,10 +67,27 @@ object SnapshotReplication {
                 }
                 SnapshotStore.deleteKeysCommit(s, targetTable, keyCols,
                   rows.select(keyCols.map(col): _*))
-              case Some("insert") =>
-                // append delta: mirror as an O(new-files) append commit
+              case Some("insert") if !rows.filter(col("_change_type") === "remove")
+                  .limit(1).collect().headOption.isDefined =>
+                // pure append delta: mirror as an O(new-files) append
                 SnapshotStore.appendCommit(
                   rows.drop("_change_type", "_commit_version"), targetTable)
+              case Some("insert") | Some("remove") =>
+                // copy-on-write delta: removed files' old rows + staged
+                // files' new rows. The mirror applies multiset algebra
+                // (state − removes + inserts; carry-over rows cancel) in
+                // ONE rebase-safe commit. The mirror pays one shuffle
+                // over its own copy — the WIRE cost stays O(touched
+                // files); a file-mapped mirror that relinks untouched
+                // target files is the next refinement.
+                val removes = rows.filter(col("_change_type") === "remove")
+                  .drop("_change_type", "_commit_version")
+                val inserts = rows.filter(col("_change_type") === "insert")
+                  .drop("_change_type", "_commit_version")
+                SnapshotStore.commitTransform(s, targetTable, {
+                  case Some(cur) => cur.exceptAll(removes).unionAll(inserts)
+                  case None      => inserts
+                })
               case Some(_) =>
                 SnapshotStore.commit(
                   rows.drop("_change_type", "_commit_version"), targetTable)

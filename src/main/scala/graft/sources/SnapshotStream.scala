@@ -30,6 +30,11 @@ import scala.jdk.CollectionConverters._
   *  - an APPEND COMMIT (file-granular superset manifest) emits ONLY
   *    the newly added files' rows with `_change_type = 'insert'` —
   *    O(new data), never a table image;
+  *  - a COPY-ON-WRITE commit (SQL MERGE/UPDATE/DELETE — file-granular
+  *    manifests sharing the untouched files) emits the replaced files'
+  *    old rows as `'remove'` plus the staged files' rows as `'insert'`
+  *    — O(touched files); consumers apply state − removes + inserts
+  *    (carry-over rows cancel between the two sides);
   *  - a DELETE COMMIT (same data identity, new deletion-vector file)
   *    emits ONLY the delta keys with `_change_type = 'delete'` (non-key
   *    columns null) — consumers drop those keys. O(deleted-keys) rows,
@@ -70,7 +75,11 @@ private[sources] final class SnapshotMicroBatchStream(
     *  - `delete`: same data identity, new deletion vectors → key delta
     *  - `insert`: file-granular superset, no DVs on either side → the
     *    NEW files only (an [[SnapshotStore.appendCommit]])
-    *  - `image`: anything else (rewrite/merge/compaction), and any
+    *  - `cow`: file-granular with a SHARED file subset (a copy-on-write
+    *    MERGE/UPDATE/DELETE) → the replaced files' old rows stream as
+    *    `'remove'` and the staged files' rows as `'insert'` — O(touched
+    *    files), never a table image
+    *  - `image`: anything else (full rewrite/compaction), and any
     *    version whose predecessor is unknown (first version, or
     *    vacuumed past — the image is always a safe anchor) */
   private def classify(v: Long, vs: Seq[Long]): String = {
@@ -80,6 +89,8 @@ private[sources] final class SnapshotMicroBatchStream(
     if (m.data == prev.data && m.files == prev.files) "delete"
     else if (m.files.nonEmpty && m.deletes.isEmpty && prev.deletes.isEmpty &&
         filesOf(v - 1).toSet.subsetOf(m.files.toSet)) "insert"
+    else if (m.files.nonEmpty && m.deletes.isEmpty && prev.deletes.isEmpty &&
+        filesOf(v - 1).toSet.intersect(m.files.toSet).nonEmpty) "cow"
     else "image"
   }
 
@@ -156,6 +167,17 @@ private[sources] final class SnapshotMicroBatchStream(
           // carry no DVs by construction, so no lookup is needed)
           val prevFiles = filesOf(v - 1).toSet
           rowGroupPartitions(m, v, m.files.filterNot(prevFiles), "insert")
+        case "cow" =>
+          // copy-on-write commit (SQL MERGE/UPDATE/DELETE): untouched
+          // files are SHARED between the manifests, so the delta is the
+          // replaced files' old rows ('remove' — full-row identity, the
+          // files are still on disk until vacuum) plus the staged
+          // files' rows ('insert'). Carry-over rows appear in both and
+          // cancel; consumers apply state − removes + inserts.
+          val prevFiles = filesOf(v - 1)
+          val curFiles = m.files.toSet
+          rowGroupPartitions(m, v, prevFiles.filterNot(curFiles), "remove") ++
+            rowGroupPartitions(m, v, m.files.filterNot(prevFiles.toSet), "insert")
         case _ =>
           // new image: every row group of the version's data files,
           // with the version's OWN deletion vectors applied
@@ -256,6 +278,7 @@ private[sources] final class SnapshotStreamReaderFactory(
     val p = partition.asInstanceOf[SnapshotStreamPartition]
     val inner: PartitionReader[InternalRow] = p.changeType match {
       case "delete" =>
+        // (remove batches are full-row reads and take the default arm)
         // delta DV file: whole file, evolution path fills non-keys null
         new SnapshotPartitionReader(p.base, tableSchema, Nil, null, conf.conf)
       case _ =>
