@@ -98,4 +98,72 @@ object SnapshotReplication {
         ()
       }
       .start()
+
+  /** PHYSICAL file-level mirroring — the scale-optimal replication for
+    * exact copies: instead of re-materializing rows through the change
+    * feed, copy each source version's FILES the target does not already
+    * hold and publish a path-rewritten manifest under the SAME version
+    * number. Because file-granular commits share files across versions,
+    * the per-sync copy cost is O(new bytes since the last sync):
+    *  - an append copies only the appended part files;
+    *  - a copy-on-write MERGE/UPDATE/DELETE copies only the staged
+    *    replacement files;
+    *  - a delete commit copies only the tiny DV key file;
+    *  - a full rewrite copies its own (genuinely new) files.
+    * The mirror is a version-exact clone: `readVersion(target, v)` ≡
+    * `readVersion(source, v)`, time travel and history included —
+    * stronger than [[mirror]], whose target keeps its own version
+    * numbers. Idempotent and resumable: existing same-length files are
+    * skipped, and a CAS-lost marker publish (another syncer) is fine.
+    * Driver-side sequential copy — on a real cluster hand the returned
+    * file list to distcp and publish markers after; the MANIFEST logic
+    * is identical. Returns the versions synced this call. */
+  def syncFiles(
+      spark: SparkSession,
+      sourceTable: String,
+      targetTable: String): Seq[Long] = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcRoot = new Path(sourceTable).toUri.getPath
+    def rel(p: String): String = {
+      val abs = new Path(p).toUri.getPath
+      require(abs.startsWith(srcRoot + "/"),
+        s"manifest path outside the source table root: $p")
+      abs.stripPrefix(srcRoot + "/")
+    }
+    def copyMissing(srcPathStr: String): Unit = {
+      val sp = new Path(srcPathStr)
+      val sfs = sp.getFileSystem(conf)
+      val entries =
+        if (sfs.getFileStatus(sp).isDirectory)
+          sfs.listStatus(sp).toSeq.filter(_.isFile).map(_.getPath)
+        else Seq(sp)
+      entries.foreach { f =>
+        val dst = new Path(targetTable, rel(f.toString))
+        val dfs = dst.getFileSystem(conf)
+        val have = dfs.exists(dst) &&
+          dfs.getFileStatus(dst).getLen == sfs.getFileStatus(f).getLen
+        if (!have) {
+          dfs.mkdirs(dst.getParent)
+          FileUtil.copy(sfs, f, dfs, dst, false, true, conf)
+        }
+      }
+    }
+    val done = SnapshotStore.versions(spark, targetTable).toSet
+    val todo = SnapshotStore.versions(spark, sourceTable).filterNot(done)
+    todo.foreach { v =>
+      val m = SnapshotStore.manifest(spark, sourceTable, v)
+      if (m.files.nonEmpty) m.files.foreach(copyMissing)
+      else copyMissing(m.data)
+      m.deletes.foreach(copyMissing)
+      val rewritten = m.copy(
+        data = if (m.data.nonEmpty) s"$targetTable/${rel(m.data)}" else "",
+        files = m.files.map(f => s"$targetTable/${rel(f)}"),
+        deletes = m.deletes.map(d => s"$targetTable/${rel(d)}"))
+      // same version number, same commit clock: a version-exact clone.
+      // A false return = another syncer already published v — fine.
+      SnapshotStore.tryPublishManifest(spark, targetTable, v, rewritten)
+    }
+    todo
+  }
 }
