@@ -86,12 +86,15 @@ object Bucketing {
     import graft.store.SnapshotStore
     val cur = SnapshotStore.currentVersion(spark, table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $table"))
-    val inDir = SnapshotStore.manifest(spark, table, cur).data
-    val path = new org.apache.hadoop.fs.Path(inDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(path)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    val totalBytes = files.map(_.getLen).sum
+    // resolve through dataFiles: file-granular heads (append/MERGE/CTAS
+    // commits) have no single data dir — and compaction is exactly the
+    // remedy those tables are pointed at when DVs accumulate
+    val inFiles = SnapshotStore.dataFiles(spark, SnapshotStore.manifest(spark, table, cur))
+      .map(new org.apache.hadoop.fs.Path(_))
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = inFiles.map(f => fs.getFileStatus(f).getLen).sum
+    val files = inFiles
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val next = cur + 1
     val outDir = SnapshotStore.versionDir(table, next)
@@ -102,7 +105,7 @@ object Bucketing {
     SnapshotStore.publishMarker(spark, table, next)
     val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    (files.length, outFiles, totalBytes, next)
+    (files.size, outFiles, totalBytes, next)
   }
 
   def writeRangeSorted(

@@ -138,6 +138,8 @@ final class SnapshotCatalog extends TableCatalog
   override def stageReplace(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: JMap[String, String]): org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "snapshot tables are unpartitioned (row-group stats skipping covers pruning)")
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     new StagedSnapshotTable(tableRoot(ident), schema, replace = true)
   }
@@ -200,24 +202,31 @@ private[sources] final class StagedSnapshotTable(
           new SnapshotWriterFactory(stagedDir, info.schema(),
             new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
         }
-        // files are recorded only; visibility waits for commitStagedChanges
-        override def commit(messages: Array[WriterCommitMessage]): Unit =
+        // files are recorded only; visibility waits for commitStagedChanges.
+        // Stray files from lost task attempts are deleted now, exactly
+        // like the direct write path
+        override def commit(messages: Array[WriterCommitMessage]): Unit = {
           stagedFiles = messages.collect { case SnapshotCommitMessage(Some(f)) => f }.toSeq
+          val sd = new Path(stagedDir)
+          val fs = sd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val names = stagedFiles.map(f => new Path(f).getName).toSet
+          fs.listStatus(sd).toSeq
+            .filterNot(st => names.contains(st.getPath.getName))
+            .foreach(st => fs.delete(st.getPath, st.isDirectory))
+        }
         override def abort(messages: Array[WriterCommitMessage]): Unit = ()
       }
     }
   }
 
   override def commitStagedChanges(): Unit = {
-    val m = SnapshotStore.Manifest("", Nil, Nil,
-      ts = System.currentTimeMillis(), files = stagedFiles,
-      op = if (replace) "rewrite" else "ctas",
-      statsExact = true) // SnapshotDataWriter never truncates stats
     if (replace) {
-      var next = SnapshotStore.currentVersion(spark, root).map(_ + 1).getOrElse(0L)
-      while (!SnapshotStore.tryPublishManifest(spark, root, next, m))
-        next += 1 // staged data stays valid as a later version
-    } else if (!SnapshotStore.tryPublishManifest(spark, root, 0L, m)) {
+      // SnapshotDataWriter never truncates stats
+      SnapshotStore.rewriteFilesCommit(spark, root, stagedFiles, statsExact = true)
+      ()
+    } else if (!SnapshotStore.tryPublishManifest(spark, root, 0L,
+        SnapshotStore.Manifest("", Nil, Nil, ts = System.currentTimeMillis(),
+          files = stagedFiles, op = "ctas", statsExact = true))) {
       abortStagedChanges()
       throw new IllegalStateException(
         s"CREATE TABLE AS SELECT lost a concurrent-create race on $root " +

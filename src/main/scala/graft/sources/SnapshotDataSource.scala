@@ -404,7 +404,7 @@ private[sources] object SnapshotScan {
         rows += r.getRecordCount
         val blocks = r.getFooter.getBlocks.asScala.toSeq
         cols.foreach { c =>
-          blocks.foreach { b =>
+          blocks.zipWithIndex.foreach { case (b, bIdx) =>
             val cc = b.getColumns.asScala
               .find(x => x.getPath.size == 1 && x.getPath.iterator().next() == c)
               .getOrElse(return None)
@@ -414,7 +414,6 @@ private[sources] object SnapshotScan {
               // provably all-null row group is fine; unknown is not
               if (!(s.isNumNullsSet && s.getNumNulls == b.getRowCount)) return None
             } else {
-              val bIdx = r.getFooter.getBlocks.asScala.indexOf(b)
               val v: (Any, Any) = (s.genericGetMin, s.genericGetMax) match {
                 case (mn: Number, mx: Number) =>
                   // parquet-mr builds float/double stats via Math.min/max,

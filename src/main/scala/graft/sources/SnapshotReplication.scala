@@ -24,11 +24,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * — the mirror never rescans the table for a source delete. A batch
   * spanning several source commits applies them in version order.
   *
-  * Delivery is foreachBatch at-least-once: a crash can REPLAY a batch,
-  * which re-commits the same image (an extra target version with
-  * identical content) or re-applies the same delete keys (a no-op
-  * union) — the mirror's CONTENT always converges to the source's live
-  * rows; target version numbers are its own monotone history. Image
+  * Delivery is foreachBatch at-least-once, and the mirror is REPLAY
+  * IDEMPOTENT: every target commit records the source version it
+  * applied (`src=` in the manifest, atomic with the data), and a
+  * replayed batch skips versions at or below the target head's record
+  * — appends and copy-on-write deltas apply exactly once; target
+  * version numbers are the mirror's own monotone history. Image
   * commits materialize the source's deletion vectors away (the batch
   * carries live rows only), so a mirror can be denser than its source.
   */
@@ -45,8 +46,17 @@ object SnapshotReplication {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
+        // replay guard: every mirror commit records the SOURCE version it
+        // applied (`src=` in the target manifest, atomic with the data),
+        // so an at-least-once foreachBatch replay re-applies nothing —
+        // without this, a crash between commit and checkpoint would
+        // duplicate appended rows and re-add cow inserts
+        val applied = SnapshotStore.currentVersion(s, targetTable)
+          .map(hv => SnapshotStore.manifest(s, targetTable, hv).srcV)
+          .getOrElse(-1L)
         val versions = batch.select(col("_commit_version")).distinct()
           .collect().map(_.getLong(0)).sorted
+          .filter(_ > applied)
         versions.foreach { v =>
           val rows = batch.filter(col("_commit_version") === v).cache()
           try {
@@ -63,15 +73,23 @@ object SnapshotReplication {
                   val payload = rows.drop("_change_type", "_commit_version")
                   val counts = payload.select(payload.columns.map(c =>
                     count(col(c)).alias(c)).toIndexedSeq: _*).collect()(0)
-                  payload.columns.toSeq.filter(c => counts.getLong(counts.fieldIndex(c)) > 0L)
+                  val derived =
+                    payload.columns.toSeq.filter(c => counts.getLong(counts.fieldIndex(c)) > 0L)
+                  // the target's recorded DV keyCols are ORDER-significant
+                  // (deleteKeysCommit requires exact equality); prefer them
+                  // when they name the same column set
+                  val tgtKeys = SnapshotStore.currentVersion(s, targetTable)
+                    .map(hv => SnapshotStore.manifest(s, targetTable, hv).keyCols)
+                    .getOrElse(Nil)
+                  if (tgtKeys.nonEmpty && tgtKeys.toSet == derived.toSet) tgtKeys else derived
                 }
                 SnapshotStore.deleteKeysCommit(s, targetTable, keyCols,
-                  rows.select(keyCols.map(col): _*))
+                  rows.select(keyCols.map(col): _*), srcV = v)
               case Some("insert") if !rows.filter(col("_change_type") === "remove")
                   .limit(1).collect().headOption.isDefined =>
                 // pure append delta: mirror as an O(new-files) append
                 SnapshotStore.appendCommit(
-                  rows.drop("_change_type", "_commit_version"), targetTable)
+                  rows.drop("_change_type", "_commit_version"), targetTable, srcV = v)
               case Some("insert") | Some("remove") =>
                 // copy-on-write delta: removed files' old rows + staged
                 // files' new rows. The mirror applies multiset algebra
@@ -87,10 +105,10 @@ object SnapshotReplication {
                 SnapshotStore.commitTransform(s, targetTable, {
                   case Some(cur) => cur.exceptAll(removes).unionAll(inserts)
                   case None      => inserts
-                })
+                }, srcV = v)
               case Some(_) =>
                 SnapshotStore.commit(
-                  rows.drop("_change_type", "_commit_version"), targetTable)
+                  rows.drop("_change_type", "_commit_version"), targetTable, srcV = v)
               case None => () // empty slice (possible on replay boundaries)
             }
           } finally rows.unpersist()

@@ -89,37 +89,13 @@ private[sources] final class SnapshotBatchWrite(
       .filterNot(s => committedNames.contains(s.getPath.getName))
       .foreach(s => fs.delete(s.getPath, s.isDirectory))
 
-    if (append) {
-      var attempt = 0
-      while (attempt < 8) {
-        val (next, base, prevExact) = SnapshotStore.currentVersion(spark, tablePath) match {
-          case Some(v) =>
-            val m = SnapshotStore.manifest(spark, tablePath, v)
-            if (m.deletes.nonEmpty) throw new UnsupportedOperationException(
-              s"graft-snapshot: INSERT INTO $tablePath refused while deletion vectors " +
-                "are live (key-based DVs would suppress re-inserted keys) — run a " +
-                "compacting INSERT OVERWRITE or Bucketing.compactCommit first, then append")
-            (v + 1, SnapshotStore.dataFiles(spark, m), m.statsExact)
-          case None => (0L, Seq.empty[String], true)
-        }
-        if (SnapshotStore.tryPublishManifest(spark, tablePath, next,
-            SnapshotStore.Manifest("", Nil, Nil, ts = System.currentTimeMillis(),
-              files = base ++ committed, op = "append",
-              // the connector's own writer never truncates stats; the
-              // chain stays exact only if the base already was
-              statsExact = prevExact)))
-          return
-        attempt += 1 // CAS lost: re-link the SAME staged files on the new head
-      }
-      throw new IllegalStateException(s"graft-snapshot append lost 8 CAS races on $tablePath")
-    } else {
-      var next = SnapshotStore.currentVersion(spark, tablePath).map(_ + 1).getOrElse(0L)
-      while (!SnapshotStore.tryPublishManifest(
-          spark, tablePath, next, SnapshotStore.Manifest("", Nil, Nil,
-            ts = System.currentTimeMillis(), files = committed, op = "rewrite",
-            statsExact = true))) // SnapshotDataWriter never truncates stats
-        next += 1 // lost the CAS race; the staged data is still valid as a later version
-    }
+    // one shared home for both publish protocols (SnapshotDataWriter
+    // never truncates stats, so the staged side is always exact)
+    if (append)
+      SnapshotStore.appendFilesCommit(spark, tablePath, committed, stagedExact = true)
+    else
+      SnapshotStore.rewriteFilesCommit(spark, tablePath, committed, statsExact = true)
+    ()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -94,8 +94,15 @@ object MaterializedAgg {
       measureCols: Seq[String]): AggMv = {
     val v = graft.store.SnapshotStore.currentVersion(spark, snapshotTable)
       .getOrElse(throw new IllegalStateException(s"no committed snapshot under $snapshotTable"))
-    val dataDir = graft.store.SnapshotStore.manifest(spark, snapshotTable, v).data
-    val mv = AggMv(normalize(basePath), dataDir, groupCols, measureCols)
+    val m = graft.store.SnapshotStore.manifest(spark, snapshotTable, v)
+    // the MV registry stores ONE readable path; a file-granular head
+    // (append/MERGE commit) has no single data dir — refuse loudly
+    // rather than register an empty path that crashes the next rewrite
+    if (m.data.isEmpty)
+      throw new UnsupportedOperationException(
+        s"registerSnapshot: $snapshotTable's head (v$v) is a file-granular commit; " +
+          "run a compacting rewrite (Bucketing.compactCommit) and re-register")
+    val mv = AggMv(normalize(basePath), m.data, groupCols, measureCols)
     registry.put(mv.basePath, mv)
     mv
   }

@@ -95,7 +95,8 @@ object SnapshotStore {
       ts: Long = 0L,
       files: Seq[String] = Nil,
       op: String = "",
-      statsExact: Boolean = false)
+      statsExact: Boolean = false,
+      srcV: Long = -1L)
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -157,7 +158,8 @@ object SnapshotStore {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
-    if (lines.exists(l => l.startsWith("data=") || l.startsWith("file="))) {
+    val markerKeys = Seq("data=", "file=", "delete=", "keys=", "op=", "ts=", "stats=", "src=")
+    if (lines.exists(l => markerKeys.exists(l.startsWith))) {
       Manifest(
         data = lines.find(_.startsWith("data=")).map(_.stripPrefix("data=")).getOrElse(""),
         deletes = lines.filter(_.startsWith("delete=")).map(_.stripPrefix("delete=")),
@@ -165,7 +167,9 @@ object SnapshotStore {
         ts = lines.find(_.startsWith("ts=")).flatMap(l => scala.util.Try(l.stripPrefix("ts=").toLong).toOption).getOrElse(0L),
         files = lines.filter(_.startsWith("file=")).map(_.stripPrefix("file=")),
         op = lines.find(_.startsWith("op=")).map(_.stripPrefix("op=")).getOrElse(""),
-        statsExact = lines.contains("stats=exact"))
+        statsExact = lines.contains("stats=exact"),
+        srcV = lines.find(_.startsWith("src="))
+          .flatMap(l => scala.util.Try(l.stripPrefix("src=").toLong).toOption).getOrElse(-1L))
     } else {
       // legacy bare-path marker (or empty → the fixed v=<N> layout)
       Manifest(lines.headOption.getOrElse(versionDir(table, v)), Nil, Nil)
@@ -214,13 +218,14 @@ object SnapshotStore {
     * invisible to readers; visibility flips at the marker rename.
     * Single-writer convenience: on a marker race it retries the NEXT
     * version number without rewriting the already-staged data. */
-  def commit(df: DataFrame, table: String): Long = {
+  def commit(df: DataFrame, table: String, srcV: Long = -1L): Long = {
     val spark = df.sparkSession
     var next = currentVersion(spark, table).map(_ + 1).getOrElse(0L)
     val dataDir = s"$table/v=${next}__${token()}"
     df.write.mode("overwrite").parquet(dataDir)
     while (!tryPublishManifest(spark, table, next,
-        Manifest(dataDir, Nil, Nil, op = "rewrite", statsExact = writerStatsExact(spark))))
+        Manifest(dataDir, Nil, Nil, op = "rewrite", statsExact = writerStatsExact(spark),
+          srcV = srcV)))
       next += 1 // lost a marker race; the staged data is still valid as a later version
     next
   }
@@ -238,12 +243,43 @@ object SnapshotStore {
     * KEY-based and table-wide, so an append re-inserting a deleted key
     * would be silently suppressed — compact first (any full rewrite
     * materializes DVs away), then append. */
-  def appendCommit(df: DataFrame, table: String, maxAttempts: Int = 8): Long = {
+  def appendCommit(df: DataFrame, table: String, maxAttempts: Int = 8,
+      srcV: Long = -1L): Long = {
     val spark = df.sparkSession
+    // schema compatibility BEFORE staging: readVersion resolves a mixed
+    // file list without mergeSchema, so a silently narrower/wider append
+    // would make the engine and DSv2 read paths disagree — refuse, and
+    // point schema evolution at a full rewrite
+    currentVersion(spark, table).foreach { v =>
+      val base = readVersion(spark, table, v).schema
+      val got = df.schema
+      val baseMap = base.fields.map(f => f.name -> f.dataType).toMap
+      val gotMap = got.fields.map(f => f.name -> f.dataType).toMap
+      require(baseMap == gotMap,
+        s"append schema mismatch on $table: table has " +
+          s"${baseMap.toSeq.sortBy(_._1).mkString(", ")} but the batch has " +
+          s"${gotMap.toSeq.sortBy(_._1).mkString(", ")} — evolve schema through a " +
+          "full rewrite (SnapshotStore.commit), then append")
+    }
     val stageDir =
       s"$table/v=${currentVersion(spark, table).map(_ + 1).getOrElse(0L)}__${token()}"
     df.write.mode("overwrite").parquet(stageDir)
     val staged = dataFiles(spark, Manifest(stageDir, Nil, Nil))
+    appendFilesCommit(spark, table, staged, writerStatsExact(spark), maxAttempts, srcV)
+  }
+
+  /** Low-level shared append publish: CAS-link the current head's files
+    * plus `stagedFiles` as the next version. ONE home for the append
+    * protocol (DV refusal, base resolution, statsExact chaining, CAS
+    * retry) — [[appendCommit]], the DSv2 `INSERT INTO` path, and the
+    * replication mirror all route here. */
+  def appendFilesCommit(
+      spark: SparkSession,
+      table: String,
+      stagedFiles: Seq[String],
+      stagedExact: Boolean,
+      maxAttempts: Int = 8,
+      srcV: Long = -1L): Long = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val (next, base, m0) = currentVersion(spark, table) match {
@@ -257,12 +293,28 @@ object SnapshotStore {
         case None => (0L, Seq.empty[String], None)
       }
       if (tryPublishManifest(spark, table, next,
-          Manifest("", Nil, Nil, files = base ++ staged, op = "append",
-            statsExact = m0.forall(_.statsExact) && writerStatsExact(spark))))
+          Manifest("", Nil, Nil, files = base ++ stagedFiles, op = "append",
+            statsExact = m0.forall(_.statsExact) && stagedExact, srcV = srcV)))
         return next
       attempt += 1 // CAS lost: re-link the SAME staged files against the new head
     }
-    throw new IllegalStateException(s"appendCommit lost $maxAttempts CAS races on $table")
+    throw new IllegalStateException(s"appendFilesCommit lost $maxAttempts CAS races on $table")
+  }
+
+  /** Low-level shared rewrite publish: CAS the given file list as the
+    * next version (DSv2 `INSERT OVERWRITE`, RTAS). */
+  def rewriteFilesCommit(
+      spark: SparkSession,
+      table: String,
+      files: Seq[String],
+      statsExact: Boolean,
+      op: String = "rewrite",
+      srcV: Long = -1L): Long = {
+    var next = currentVersion(spark, table).map(_ + 1).getOrElse(0L)
+    while (!tryPublishManifest(spark, table, next,
+        Manifest("", Nil, Nil, files = files, op = op, statsExact = statsExact, srcV = srcV)))
+      next += 1 // staged data stays valid as a later version
+    next
   }
 
   /** Publish the marker for a version whose data dir was written by the
@@ -280,6 +332,9 @@ object SnapshotStore {
     * atomic, so exactly one concurrent writer wins; the marker is never
     * visible with partial content. */
   def tryPublishManifest(spark: SparkSession, table: String, v: Long, m: Manifest): Boolean = {
+    require(m.data.nonEmpty || m.files.nonEmpty,
+      s"refusing to publish an EMPTY manifest for $table v$v: a version with no " +
+        "data dir and no file actions has nothing for readers to resolve")
     val f = fs(spark, table)
     val dir = new Path(commitsDir(table))
     f.mkdirs(dir)
@@ -292,6 +347,7 @@ object SnapshotStore {
     if (m.keyCols.nonEmpty) content.append(s"keys=${m.keyCols.mkString(",")}\n")
     if (m.op.nonEmpty) content.append(s"op=${m.op}\n")
     if (m.statsExact) content.append("stats=exact\n")
+    if (m.srcV >= 0L) content.append(s"src=${m.srcV}\n")
     content.append(s"ts=$ts\n")
     val out = f.create(tmp, true)
     try out.write(content.toString.getBytes("UTF-8"))
@@ -321,7 +377,8 @@ object SnapshotStore {
       spark: SparkSession,
       table: String,
       fn: Option[DataFrame] => DataFrame,
-      maxAttempts: Int = 8): Long = {
+      maxAttempts: Int = 8,
+      srcV: Long = -1L): Long = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = currentVersion(spark, table)
@@ -330,7 +387,8 @@ object SnapshotStore {
       val dataDir = s"$table/v=${next}__${token()}"
       df.write.mode("overwrite").parquet(dataDir)
       if (tryPublishManifest(spark, table, next,
-          Manifest(dataDir, Nil, Nil, op = "rewrite", statsExact = writerStatsExact(spark)))) return next
+          Manifest(dataDir, Nil, Nil, op = "rewrite", statsExact = writerStatsExact(spark),
+            srcV = srcV))) return next
       fs(spark, table).delete(new Path(dataDir), true)
       attempt += 1
     }
@@ -381,7 +439,8 @@ object SnapshotStore {
       table: String,
       keyCols: Seq[String],
       keys: DataFrame,
-      maxAttempts: Int = 8): Long = {
+      maxAttempts: Int = 8,
+      srcV: Long = -1L): Long = {
     require(keyCols.nonEmpty, "deleteKeysCommit needs at least one key column")
     val dv = s"${deletesDir(table)}/d_${token()}"
     keys.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
@@ -397,7 +456,7 @@ object SnapshotStore {
         s"delete key columns $keyCols differ from the table's existing DV keys ${m.keyCols}")
       if (tryPublishManifest(spark, table, cur + 1,
           Manifest(m.data, m.deletes :+ dv, keyCols, files = m.files, op = "delete",
-            statsExact = m.statsExact)))
+            statsExact = m.statsExact, srcV = srcV)))
         return cur + 1
       attempt += 1
     }
@@ -473,8 +532,21 @@ object SnapshotStore {
       .map { p => val q = new Path(p); (q.getParent.getName, q.getName) }.toSet
     val liveDvs = retainedManifests.flatMap(_.deletes).map(p => new Path(p).getName).toSet
 
-    // aged-out versions: markers drop; data is swept below (refcounted)
+    // aged-out versions: markers drop; v=* data under the root is swept
+    // below (refcounted); EXTERNAL or custom-named dir-granular data
+    // (the publishMarker/foreign-data case) is deleted here, because
+    // the v=* sweep never visits it
     doomedCommitted.foreach { v =>
+      val m = manifest(spark, table, v)
+      if (m.files.isEmpty && m.data.nonEmpty) {
+        val name = new Path(m.data).getName
+        val underRootSweep = name.startsWith("v=") &&
+          new Path(m.data).getParent != null &&
+          new Path(m.data).getParent.toUri.getPath == root.toUri.getPath
+        val hasLiveFilesInside = liveFiles.exists(_._1 == name)
+        if (!underRootSweep && !liveData.contains(name) && !hasLiveFilesInside)
+          f.delete(new Path(m.data), true)
+      }
       f.delete(new Path(commitsDir(table), v.toString), false)
     }
 

@@ -374,4 +374,69 @@ class SnapshotStoreSpec extends SparkSuite {
     // readVersion(2) still green (its dir-granular data dir holds live files)
     assert(SnapshotStore.readVersion(spark, t, 2L).count() === 5)
   }
+
+  test("compactCommit works on a FILE-GRANULAR head and materializes its DVs away") {
+    val root = java.nio.file.Files.createTempDirectory("graft-appcompact").toString
+    val t = s"$root/t"
+    SnapshotStore.commit(spark.range(60).toDF("id").repartition(4), t)          // v0
+    SnapshotStore.appendCommit(spark.range(60, 100).toDF("id").coalesce(2), t)  // v1 file-granular
+    SnapshotStore.deleteCommit(spark, t, Seq("id"), col("id") % 4 === 0)        // v2 DVs
+    // the DV-refusal remediation must actually run against this head
+    val (before, after, bytes, v) = graft.ops.Bucketing.compactCommit(spark, t, 1L << 30)
+    assert(v === 3L && after <= before && bytes > 0)
+    val m3 = SnapshotStore.manifest(spark, t, 3L)
+    assert(m3.deletes.isEmpty, "compaction must materialize DVs away")
+    assert(SnapshotStore.read(spark, t).count() === 100 - 25)
+    // and the table accepts appends again
+    SnapshotStore.appendCommit(spark.range(100, 105).toDF("id").coalesce(1), t)
+    assert(SnapshotStore.read(spark, t).count() === 80)
+  }
+
+  test("appendCommit refuses a schema-mismatched batch with rewrite guidance") {
+    val root = java.nio.file.Files.createTempDirectory("graft-appschema").toString
+    val t = s"$root/t"
+    SnapshotStore.commit(spark.range(10).selectExpr("id", "id * 2 AS v"), t)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.appendCommit(spark.range(5).toDF("id"), t) // missing column v
+    }
+    assert(e.getMessage.contains("schema mismatch") && e.getMessage.contains("rewrite"),
+      e.getMessage)
+    // type drift refused too
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotStore.appendCommit(
+        spark.range(5).selectExpr("id", "CAST(id AS STRING) AS v"), t)
+    }
+    assert(e2.getMessage.contains("schema mismatch"))
+    // column ORDER is not schema drift
+    SnapshotStore.appendCommit(
+      spark.range(10, 12).selectExpr("id * 2 AS v", "id").select("v", "id"), t)
+    assert(SnapshotStore.read(spark, t).count() === 12)
+  }
+
+  test("an empty manifest (no data dir, no file actions) is refused at publish") {
+    val root = java.nio.file.Files.createTempDirectory("graft-emptymanifest").toString
+    val t = s"$root/t"
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.tryPublishManifest(spark, t, 0L, SnapshotStore.Manifest("", Nil, Nil))
+    }
+    assert(e.getMessage.contains("EMPTY manifest"), e.getMessage)
+  }
+
+  test("vacuum deletes an aged-out EXTERNAL data dir once unreferenced") {
+    val root = java.nio.file.Files.createTempDirectory("graft-extvac").toString
+    val t = s"$root/t"
+    val external = s"$root/external_stage"
+    spark.range(20).toDF("id").write.mode("overwrite").parquet(external)
+    assert(SnapshotStore.tryPublishManifest(spark, t, 0L,
+      SnapshotStore.Manifest(external, Nil, Nil)))           // v0 points OUTSIDE the root
+    SnapshotStore.commit(spark.range(5).toDF("id"), t)       // v1
+    SnapshotStore.commit(spark.range(6).toDF("id"), t)       // v2
+    val fsys = new org.apache.hadoop.fs.Path(external)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fsys.exists(new org.apache.hadoop.fs.Path(external)))
+    assert(SnapshotStore.vacuum(spark, t, keep = 2) === Seq(0L))
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(external)),
+      "aged-out external data dir must be collected")
+    assert(SnapshotStore.read(spark, t).count() === 6)
+  }
 }
