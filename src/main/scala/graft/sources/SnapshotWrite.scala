@@ -57,6 +57,82 @@ private[sources] final class SnapshotWriteBuilder(
 private[sources] final class SnapshotWrite(
     tablePath: String, schema: StructType, append: Boolean) extends Write {
   override def toBatch: BatchWrite = new SnapshotBatchWrite(tablePath, schema, append)
+
+  /** Structured Streaming SINK: each micro-batch commits as one
+    * O(new-files) append version, EXACTLY-ONCE — the epoch id rides the
+    * manifest's `src=` line (atomic with the data), so a replayed epoch
+    * (crash between sink commit and checkpoint advance) is detected and
+    * skipped instead of appending twice. Combined with the change-feed
+    * SOURCE, snapshot tables now sit in the middle of a streaming
+    * pipeline: stream in (append versions) and stream out ('insert'
+    * deltas per commit). Append output mode only — complete/update
+    * would need a rewrite per batch, which is the batch INSERT
+    * OVERWRITE's job. Like every snapshot surface, the TABLE must be
+    * born from a first commit before the stream starts (seed an empty
+    * snapshot with the schema: `SnapshotStore.commit(df.limit(0), t)`)
+    * — the provider resolves the sink schema from the table. */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    if (!append) throw new UnsupportedOperationException(
+      "graft-snapshot streaming sink supports APPEND output mode only " +
+        "(complete/update rewrite the table every batch — use batch INSERT OVERWRITE)")
+    new SnapshotStreamingWrite(tablePath, schema)
+  }
+}
+
+private[sources] final class SnapshotStreamingWrite(tablePath: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private val spark = SparkSession.active
+  // stable per sink instance: every task of an epoch stages into the
+  // SAME deterministic dir; a restarted query gets a fresh token and its
+  // replayed epoch's stray stage is vacuum-swept (never referenced)
+  private val queryTok = java.util.UUID.randomUUID.toString.take(8)
+  private def stagedDir(epochId: Long) = s"$tablePath/v=${epochId}__stream$queryTok"
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new SnapshotStreamingWriterFactory(tablePath, queryTok, schema,
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    // exactly-once replay guard: the head's src= records the last epoch
+    // this table applied; an at-least-once re-delivery drops out here
+    val applied = SnapshotStore.currentVersion(spark, tablePath)
+      .map(v => SnapshotStore.manifest(spark, tablePath, v).srcV).getOrElse(-1L)
+    val committed = messages.collect { case SnapshotCommitMessage(Some(f)) => f }.toSeq
+    val sd = new Path(stagedDir(epochId))
+    val fs = sd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (applied >= epochId) {
+      if (fs.exists(sd)) fs.delete(sd, true) // replayed stage: drop, don't double-append
+      return
+    }
+    if (fs.exists(sd)) {
+      val names = committed.map(f => new Path(f).getName).toSet
+      fs.listStatus(sd).toSeq
+        .filterNot(st => names.contains(st.getPath.getName))
+        .foreach(st => fs.delete(st.getPath, st.isDirectory))
+    }
+    if (committed.nonEmpty)
+      SnapshotStore.appendFilesCommit(spark, tablePath, committed,
+        stagedExact = true, srcV = epochId)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val sd = new Path(stagedDir(epochId))
+    val fs = sd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(sd)) fs.delete(sd, true)
+  }
+}
+
+private[sources] final class SnapshotStreamingWriterFactory(
+    tablePath: String, queryTok: String, schema: StructType, conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new SnapshotDataWriter(
+      s"$tablePath/v=${epochId}__stream$queryTok", partitionId, schema, conf.conf,
+      eagerPartitionZero = false)
 }
 
 private[sources] final class SnapshotBatchWrite(
@@ -145,7 +221,8 @@ private[sources] object SnapshotParquetSchema {
 }
 
 private[sources] final class SnapshotDataWriter(
-    stagedDir: String, partitionId: Int, schema: StructType, conf: Configuration)
+    stagedDir: String, partitionId: Int, schema: StructType, conf: Configuration,
+    eagerPartitionZero: Boolean = true)
     extends DataWriter[InternalRow] {
 
   private val file =
@@ -158,11 +235,13 @@ private[sources] final class SnapshotDataWriter(
     org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(messageType, c)
     ExampleParquetWriter.builder(new Path(file)).withConf(c).build()
   }
-  // partition 0 opens its file eagerly so even an all-empty write ships
-  // one schema-bearing parquet file (readers infer schema from data
-  // files); every OTHER empty partition stays fileless — an append of a
-  // small batch commits O(non-empty partitions) files, not O(partitions)
-  if (partitionId == 0) writer = openWriter()
+  // partition 0 opens its file eagerly so even an all-empty BATCH write
+  // ships one schema-bearing parquet file (readers infer schema from
+  // data files); every OTHER empty partition stays fileless — an append
+  // of a small batch commits O(non-empty partitions) files, not
+  // O(partitions). Streaming writers are fully lazy instead: an empty
+  // micro-batch must produce ZERO files so no version is committed
+  if (eagerPartitionZero && partitionId == 0) writer = openWriter()
 
   override def write(row: InternalRow): Unit = {
     if (writer == null) writer = openWriter()
