@@ -1,0 +1,101 @@
+package graft.sources
+
+import graft.store.SnapshotStore
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Metadata tables over a snapshot table, resolved by name suffix
+  * through [[SnapshotCatalog]] (the Iceberg `db.table.history`-style
+  * introspection surface, spelled with a `$` suffix because our
+  * identifiers are path segments):
+  *
+  * {{{
+  *   SELECT * FROM snap.dims.`nation$history`  -- one row per commit
+  *   SELECT * FROM snap.dims.`nation$files`    -- current data files
+  * }}}
+  *
+  * Both are METADATA-ONLY: `$history` reads commit markers; `$files`
+  * reads the manifest + one FileStatus per data file. Row counts are
+  * table-history-sized, so the rows materialize on the driver and ship
+  * as one partition — the same bound as any catalog listing. */
+private[sources] object MetaTables {
+
+  def of(spark: SparkSession, root: String, kind: String): Option[Table] = kind match {
+    case "history" =>
+      val df = SnapshotStore.history(spark, root)
+      val vs = SnapshotStore.versions(spark, root)
+      val srcs = vs.map(v => SnapshotStore.manifest(spark, root, v).srcV)
+      val base = df.collect().sortBy(_.getLong(0))
+      val rows: Seq[Seq[Any]] = base.toSeq.zip(srcs).map { case (r, src) =>
+        Seq(r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3), r.getString(4), src)
+      }
+      Some(new MetaRowsTable(s"$root$$history",
+        StructType(Seq(
+          StructField("version", LongType, nullable = false),
+          StructField("commit_ts_ms", LongType, nullable = false),
+          StructField("operation", StringType, nullable = false),
+          StructField("n_delete_files", IntegerType, nullable = false),
+          StructField("key_cols", StringType, nullable = false),
+          StructField("src_version", LongType, nullable = false))),
+        rows))
+    case "files" =>
+      val cur = SnapshotStore.currentVersion(spark, root).get
+      val m = SnapshotStore.manifest(spark, root, cur)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val rows: Seq[Seq[Any]] = SnapshotStore.dataFiles(spark, m).map { f =>
+        val p = new Path(f)
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        Seq(f, st.getLen, st.getModificationTime)
+      }
+      Some(new MetaRowsTable(s"$root$$files",
+        StructType(Seq(
+          StructField("file", StringType, nullable = false),
+          StructField("size_bytes", LongType, nullable = false),
+          StructField("modified_ms", LongType, nullable = false))),
+        rows))
+    case _ => None
+  }
+}
+
+/** A tiny read-only table over driver-materialized rows (metadata
+  * volumes only). Values are plain JVM types; strings convert to
+  * UTF8String at read. */
+private[sources] final class MetaRowsTable(
+    name0: String, schema0: StructType, rows: Seq[Seq[Any]])
+    extends Table with SupportsRead {
+  override def name(): String = name0
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = schema0
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] =
+        Array(MetaRowsPartition(rows))
+      override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
+        override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+          new PartitionReader[InternalRow] {
+            private val it = p.asInstanceOf[MetaRowsPartition].rows.iterator
+            private var cur: Seq[Any] = _
+            override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+            override def get(): InternalRow =
+              new GenericInternalRow(cur.map {
+                case s: String => UTF8String.fromString(s)
+                case v         => v.asInstanceOf[Any]
+              }.toArray)
+            override def close(): Unit = ()
+          }
+      }
+    }
+}
+
+private[sources] final case class MetaRowsPartition(rows: Seq[Seq[Any]]) extends InputPartition

@@ -82,6 +82,17 @@ final class SnapshotCatalog extends TableCatalog
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // metadata tables: `SELECT * FROM cat.ns.`t$history`` / `t$files` —
+    // the DESCRIBE HISTORY / file-inventory introspection surface,
+    // resolved entirely from commit markers + file statuses
+    if (ident.name.contains("$")) {
+      val base = ident.name.takeWhile(_ != '$')
+      val kind = ident.name.dropWhile(_ != '$').drop(1)
+      val root = (warehouse +: ident.namespace.toSeq :+ base).mkString("/")
+      if (SnapshotStore.versions(spark, root).isEmpty) throw new NoSuchTableException(ident)
+      return MetaTables.of(spark, root, kind).getOrElse(
+        throw new NoSuchTableException(ident))
+    }
     val root = tableRoot(ident)
     SnapshotStore.currentVersion(spark, root) match {
       case Some(v) => tableAt(ident, v)

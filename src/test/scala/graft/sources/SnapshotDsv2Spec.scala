@@ -729,4 +729,38 @@ class SnapshotDsv2Spec extends SparkSuite {
       assert(kinds.subsetOf(Set("snapshot", "insert")), s"kinds: $kinds")
     } finally feed.stop()
   }
+
+  test("metadata tables: $history and $files answer from markers and file statuses") {
+    val wh = java.nio.file.Files.createTempDirectory("dsv2-meta").toString
+    spark.conf.set("spark.sql.catalog.gsnapmeta", classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsnapmeta.warehouse", wh)
+    try {
+      val t = s"$wh/dims/nation"
+      val nation = graft.sources.Tables.nation(spark, sf())
+      SnapshotStore.commit(nation, t)                                      // v0
+      SnapshotStore.appendCommit(nation.limit(3).coalesce(1), t)           // v1
+      SnapshotStore.deleteCommit(spark, t, Seq("n_nationkey"), col("n_nationkey") === 0) // v2
+
+      val hist = spark.sql(
+        "SELECT version, operation, n_delete_files FROM gsnapmeta.dims.`nation$history` ORDER BY version")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+      assert(hist === Seq((0L, "create", 0), (1L, "append", 0), (2L, "delete", 1)), s"$hist")
+
+      val files = spark.sql("SELECT file, size_bytes FROM gsnapmeta.dims.`nation$files`")
+        .collect()
+      val expectFiles = SnapshotStore.dataFiles(spark, SnapshotStore.manifest(spark, t, 2L))
+      assert(files.length === expectFiles.size)
+      assert(files.forall(_.getLong(1) > 0L), "sizes come from real file statuses")
+      // projection/filter compose like any table
+      assert(spark.sql(
+        "SELECT count(*) AS c FROM gsnapmeta.dims.`nation$history` WHERE operation = 'append'")
+        .head().getLong(0) === 1L)
+      // unknown suffix and missing base both refuse
+      intercept[Exception](spark.sql("SELECT * FROM gsnapmeta.dims.`nation$bogus`").collect())
+      intercept[Exception](spark.sql("SELECT * FROM gsnapmeta.dims.`ghost$history`").collect())
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gsnapmeta.warehouse")
+      spark.conf.unset("spark.sql.catalog.gsnapmeta")
+    }
+  }
 }
