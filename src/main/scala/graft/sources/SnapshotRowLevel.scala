@@ -155,7 +155,8 @@ private[sources] final class SnapshotRowLevelBatchWrite(
     }
     val ok = SnapshotStore.tryPublishManifest(spark, tablePath, op.baseVersion + 1,
       SnapshotStore.Manifest("", Nil, Nil, ts = System.currentTimeMillis(),
-        files = survivors ++ committed, op = opName, statsExact = m.statsExact))
+        files = survivors ++ committed, op = opName, statsExact = m.statsExact,
+        mixedSchema = m.mixedSchema))
     if (!ok) {
       abort(messages)
       throw new java.util.ConcurrentModificationException(

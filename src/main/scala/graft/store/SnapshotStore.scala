@@ -96,7 +96,8 @@ object SnapshotStore {
       files: Seq[String] = Nil,
       op: String = "",
       statsExact: Boolean = false,
-      srcV: Long = -1L)
+      srcV: Long = -1L,
+      mixedSchema: Boolean = false)
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -158,7 +159,7 @@ object SnapshotStore {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
-    val markerKeys = Seq("data=", "file=", "delete=", "keys=", "op=", "ts=", "stats=", "src=")
+    val markerKeys = Seq("data=", "file=", "delete=", "keys=", "op=", "ts=", "stats=", "src=", "schema=")
     if (lines.exists(l => markerKeys.exists(l.startsWith))) {
       Manifest(
         data = lines.find(_.startsWith("data=")).map(_.stripPrefix("data=")).getOrElse(""),
@@ -168,6 +169,7 @@ object SnapshotStore {
         files = lines.filter(_.startsWith("file=")).map(_.stripPrefix("file=")),
         op = lines.find(_.startsWith("op=")).map(_.stripPrefix("op=")).getOrElse(""),
         statsExact = lines.contains("stats=exact"),
+        mixedSchema = lines.contains("schema=mixed"),
         srcV = lines.find(_.startsWith("src="))
           .flatMap(l => scala.util.Try(l.stripPrefix("src=").toLong).toOption).getOrElse(-1L))
     } else {
@@ -203,9 +205,11 @@ object SnapshotStore {
     * columns (the delete side is deleted-keys-sized — small). */
   def readVersion(spark: SparkSession, table: String, v: Long): DataFrame = {
     val m = manifest(spark, table, v)
+    val reader =
+      if (m.mixedSchema) spark.read.option("mergeSchema", "true") else spark.read
     val base =
-      if (m.files.nonEmpty) spark.read.parquet(m.files: _*)
-      else spark.read.parquet(m.data)
+      if (m.files.nonEmpty) reader.parquet(m.files: _*)
+      else reader.parquet(m.data)
     if (m.deletes.isEmpty) base
     else {
       val dvs = spark.read.parquet(m.deletes: _*).select(m.keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
@@ -246,26 +250,32 @@ object SnapshotStore {
   def appendCommit(df: DataFrame, table: String, maxAttempts: Int = 8,
       srcV: Long = -1L): Long = {
     val spark = df.sparkSession
-    // schema compatibility BEFORE staging: readVersion resolves a mixed
-    // file list without mergeSchema, so a silently narrower/wider append
-    // would make the engine and DSv2 read paths disagree — refuse, and
-    // point schema evolution at a full rewrite
-    currentVersion(spark, table).foreach { v =>
-      val base = readVersion(spark, table, v).schema
-      val got = df.schema
-      val baseMap = base.fields.map(f => f.name -> f.dataType).toMap
-      val gotMap = got.fields.map(f => f.name -> f.dataType).toMap
-      require(baseMap == gotMap,
-        s"append schema mismatch on $table: table has " +
-          s"${baseMap.toSeq.sortBy(_._1).mkString(", ")} but the batch has " +
-          s"${gotMap.toSeq.sortBy(_._1).mkString(", ")} — evolve schema through a " +
-          "full rewrite (SnapshotStore.commit), then append")
+    // schema check BEFORE staging: identical schemas append plainly;
+    // UNION-COMPATIBLE drift (added/omitted columns, shared columns
+    // type-equal) is real schema EVOLUTION — allowed, and the manifest
+    // records `schema=mixed` so every reader resolves the union schema
+    // (mergeSchema) from then on; a TYPE CONFLICT on a shared column is
+    // refused with rewrite guidance (no union schema exists)
+    val evolving = currentVersion(spark, table).exists { v =>
+      val baseMap = readVersion(spark, table, v).schema.fields
+        .map(f => f.name -> f.dataType).toMap
+      val gotMap = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      val conflicts = baseMap.keySet.intersect(gotMap.keySet)
+        .filter(k => baseMap(k) != gotMap(k))
+      require(conflicts.isEmpty,
+        s"append schema mismatch on $table: column type conflict on " +
+          s"${conflicts.toSeq.sorted.mkString(", ")} (table: " +
+          s"${conflicts.toSeq.sorted.map(baseMap).mkString(", ")} vs batch: " +
+          s"${conflicts.toSeq.sorted.map(gotMap).mkString(", ")}) — no union schema " +
+          "exists; evolve through a full rewrite (SnapshotStore.commit), then append")
+      baseMap != gotMap
     }
     val stageDir =
       s"$table/v=${currentVersion(spark, table).map(_ + 1).getOrElse(0L)}__${token()}"
     df.write.mode("overwrite").parquet(stageDir)
     val staged = dataFiles(spark, Manifest(stageDir, Nil, Nil))
-    appendFilesCommit(spark, table, staged, writerStatsExact(spark), maxAttempts, srcV)
+    appendFilesCommit(spark, table, staged, writerStatsExact(spark), maxAttempts, srcV,
+      mixedSchema = evolving)
   }
 
   /** Low-level shared append publish: CAS-link the current head's files
@@ -279,7 +289,8 @@ object SnapshotStore {
       stagedFiles: Seq[String],
       stagedExact: Boolean,
       maxAttempts: Int = 8,
-      srcV: Long = -1L): Long = {
+      srcV: Long = -1L,
+      mixedSchema: Boolean = false): Long = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val (next, base, m0) = currentVersion(spark, table) match {
@@ -294,7 +305,8 @@ object SnapshotStore {
       }
       if (tryPublishManifest(spark, table, next,
           Manifest("", Nil, Nil, files = base ++ stagedFiles, op = "append",
-            statsExact = m0.forall(_.statsExact) && stagedExact, srcV = srcV)))
+            statsExact = m0.forall(_.statsExact) && stagedExact, srcV = srcV,
+            mixedSchema = mixedSchema || m0.exists(_.mixedSchema)))) // sticky once evolved
         return next
       attempt += 1 // CAS lost: re-link the SAME staged files against the new head
     }
@@ -347,6 +359,7 @@ object SnapshotStore {
     if (m.keyCols.nonEmpty) content.append(s"keys=${m.keyCols.mkString(",")}\n")
     if (m.op.nonEmpty) content.append(s"op=${m.op}\n")
     if (m.statsExact) content.append("stats=exact\n")
+    if (m.mixedSchema) content.append("schema=mixed\n")
     if (m.srcV >= 0L) content.append(s"src=${m.srcV}\n")
     content.append(s"ts=$ts\n")
     val out = f.create(tmp, true)
@@ -423,7 +436,7 @@ object SnapshotStore {
         .write.mode("overwrite").parquet(dv)
       if (tryPublishManifest(spark, table, cur + 1,
           Manifest(m.data, m.deletes :+ dv, keyCols, files = m.files, op = "delete",
-            statsExact = m.statsExact)))
+            statsExact = m.statsExact, mixedSchema = m.mixedSchema)))
         return cur + 1
       attempt += 1 // orphan DV file is GC'd by vacuum's reference count
     }
@@ -456,7 +469,7 @@ object SnapshotStore {
         s"delete key columns $keyCols differ from the table's existing DV keys ${m.keyCols}")
       if (tryPublishManifest(spark, table, cur + 1,
           Manifest(m.data, m.deletes :+ dv, keyCols, files = m.files, op = "delete",
-            statsExact = m.statsExact, srcV = srcV)))
+            statsExact = m.statsExact, srcV = srcV, mixedSchema = m.mixedSchema)))
         return cur + 1
       attempt += 1
     }

@@ -392,25 +392,43 @@ class SnapshotStoreSpec extends SparkSuite {
     assert(SnapshotStore.read(spark, t).count() === 80)
   }
 
-  test("appendCommit refuses a schema-mismatched batch with rewrite guidance") {
+  test("appendCommit: union-compatible schema drift EVOLVES; type conflicts refused") {
     val root = java.nio.file.Files.createTempDirectory("graft-appschema").toString
     val t = s"$root/t"
     SnapshotStore.commit(spark.range(10).selectExpr("id", "id * 2 AS v"), t)
+    // a shared-column TYPE conflict has no union schema — refused
     val e = intercept[IllegalArgumentException] {
-      SnapshotStore.appendCommit(spark.range(5).toDF("id"), t) // missing column v
-    }
-    assert(e.getMessage.contains("schema mismatch") && e.getMessage.contains("rewrite"),
-      e.getMessage)
-    // type drift refused too
-    val e2 = intercept[IllegalArgumentException] {
       SnapshotStore.appendCommit(
         spark.range(5).selectExpr("id", "CAST(id AS STRING) AS v"), t)
     }
-    assert(e2.getMessage.contains("schema mismatch"))
-    // column ORDER is not schema drift
+    assert(e.getMessage.contains("schema mismatch") && e.getMessage.contains("rewrite"),
+      e.getMessage)
+    // column ORDER is not schema drift (no evolution flag set)
     SnapshotStore.appendCommit(
       spark.range(10, 12).selectExpr("id * 2 AS v", "id").select("v", "id"), t)
+    assert(!SnapshotStore.manifest(spark, t,
+      SnapshotStore.currentVersion(spark, t).get).mixedSchema)
     assert(SnapshotStore.read(spark, t).count() === 12)
+
+    // ADDING a column is schema evolution: the manifest records
+    // schema=mixed and reads resolve the UNION schema from then on
+    SnapshotStore.appendCommit(
+      spark.range(12, 15).selectExpr("id", "id * 2 AS v", "'tag' AS note"), t)
+    val head = SnapshotStore.read(spark, t)
+    assert(head.schema.fieldNames.toSet === Set("id", "v", "note"))
+    assert(head.count() === 15)
+    assert(head.filter(col("note").isNull).count() === 12, "old rows read null for the new column")
+    assert(head.filter(col("note") === "tag").count() === 3)
+    // OMITTING a column is also union-compatible (reads null)
+    SnapshotStore.appendCommit(spark.range(15, 16).selectExpr("id", "id * 2 AS v"), t)
+    assert(SnapshotStore.read(spark, t).filter(col("id") === 15).select("note")
+      .head().isNullAt(0))
+    // time travel still serves the PRE-evolution schema
+    assert(SnapshotStore.readVersion(spark, t, 0L).schema.fieldNames.toSet === Set("id", "v"))
+    // DVs compose with the evolved table after compaction re-enables them
+    val ops = SnapshotStore.history(spark, t).orderBy("version")
+      .collect().map(_.getString(2)).toSeq
+    assert(ops === Seq("create", "append", "append", "append"))
   }
 
   test("an empty manifest (no data dir, no file actions) is refused at publish") {
