@@ -108,6 +108,68 @@ object Bucketing {
     (files.size, outFiles, totalBytes, next)
   }
 
+  /** INCREMENTAL compaction — the O(small-files) `OPTIMIZE` that
+    * file-granular manifests make possible: files already at or above
+    * `smallBytes` are RE-LINKED untouched (not a byte moves), and only
+    * the sub-threshold files — the debris a streaming sink or frequent
+    * small appends leave behind — are read, merged into ~`targetBytes`
+    * outputs, and swapped into the manifest. On a 100 TB table where a
+    * day's micro-batches left 10 000 tiny files next to 5 000 big ones,
+    * this rewrites the tiny tail only; [[compactCommit]] (full rewrite)
+    * remains the DV-materializing big hammer.
+    *
+    * Refused while deletion vectors are live: DV keys are table-wide,
+    * and rewriting only SOME files while keeping the delete lines would
+    * re-apply the deletes to the rewritten rows... which is idempotent
+    * but permanently blocks the DV-materialization contract — run
+    * [[compactCommit]] instead (its full rewrite clears them).
+    * Returns (files_rewritten, files_linked, files_after_merge,
+    * committed_version); commits nothing when fewer than two small
+    * files exist. */
+  def compactSmallFilesCommit(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      smallBytes: Long,
+      targetBytes: Long): (Int, Int, Int, Long) = {
+    import graft.store.SnapshotStore
+    val cur = SnapshotStore.currentVersion(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $table"))
+    val m = SnapshotStore.manifest(spark, table, cur)
+    require(m.deletes.isEmpty,
+      s"incremental compaction on $table refused while deletion vectors are live — " +
+        "run the full compactCommit (it materializes DVs away)")
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all = SnapshotStore.dataFiles(spark, m)
+    val sized = all.map(f =>
+      f -> fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
+    val (small, big) = sized.partition(_._2 < smallBytes)
+    if (small.size < 2) return (0, all.size, all.size, cur)
+    val smallTotal = small.map(_._2).sum
+    val nOut = math.max(1, math.ceil(smallTotal.toDouble / targetBytes).toInt)
+    val next = cur + 1
+    val stageDir = s"$table/v=${next}__compact${java.util.UUID.randomUUID.toString.take(8)}"
+    // mergeSchema iff the table evolved: merged outputs then carry the
+    // union schema, which only WIDENS what the files already declared
+    val reader =
+      if (m.mixedSchema) spark.read.option("mergeSchema", "true") else spark.read
+    reader.parquet(small.map(_._1): _*)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(stageDir)
+    val staged = SnapshotStore.dataFiles(spark, SnapshotStore.Manifest(stageDir, Nil, Nil))
+    val ok = SnapshotStore.tryPublishManifest(spark, table, next,
+      SnapshotStore.Manifest("", Nil, Nil, ts = System.currentTimeMillis(),
+        files = big.map(_._1) ++ staged, op = "compact-small",
+        statsExact = m.statsExact, mixedSchema = m.mixedSchema))
+    if (!ok) {
+      fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
+      throw new java.util.ConcurrentModificationException(
+        s"compactSmallFilesCommit lost the CAS race on $table version $next — " +
+          "re-run against the new head")
+    }
+    (small.size, big.size, staged.size, next)
+  }
+
   def writeRangeSorted(
       df: DataFrame,
       path: String,

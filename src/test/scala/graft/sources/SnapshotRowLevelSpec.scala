@@ -260,4 +260,22 @@ class SnapshotRowLevelSpec extends SparkSuite {
       assert(SnapshotReplication.syncFiles(spark, src, tgt) === Seq.empty)
     }
   }
+
+  test("MERGE INTO works on a path-based CREATE TABLE USING graft-snapshot table") {
+    val table = java.nio.file.Files.createTempDirectory("rl-pathmerge").toString + "/t"
+    SnapshotStore.commit(graft.sources.Tables.nation(spark, sf()), table)
+    spark.sql("DROP TABLE IF EXISTS graft_rl_nation")
+    spark.sql(s"CREATE TABLE graft_rl_nation USING `graft-snapshot` OPTIONS (path '$table')")
+    try {
+      spark.sql("SELECT CAST(3 AS INT) AS k, 'RENAMED' AS nm").createOrReplaceTempView("rl_path_src")
+      spark.sql(
+        """MERGE INTO graft_rl_nation t USING rl_path_src s
+           ON t.n_nationkey = s.k
+           WHEN MATCHED THEN UPDATE SET t.n_name = s.nm""")
+      assert(spark.sql(
+        "SELECT n_name FROM graft_rl_nation WHERE n_nationkey = 3").head().getString(0)
+        === "RENAMED")
+      assert(SnapshotStore.manifest(spark, table, 1L).op === "merge")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_rl_nation")
+  }
 }

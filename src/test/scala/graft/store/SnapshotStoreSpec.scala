@@ -457,4 +457,47 @@ class SnapshotStoreSpec extends SparkSuite {
       "aged-out external data dir must be collected")
     assert(SnapshotStore.read(spark, t).count() === 6)
   }
+
+  test("compactSmallFilesCommit rewrites ONLY sub-threshold files; big files re-link untouched") {
+    val root = java.nio.file.Files.createTempDirectory("graft-smallcompact").toString
+    val t = s"$root/t"
+    // one BIG commit, then many tiny appends (the streaming-sink debris shape)
+    SnapshotStore.commit(spark.range(200000).selectExpr("id", "id * 3 AS v").coalesce(1), t)
+    (0 until 5).foreach { i =>
+      SnapshotStore.appendCommit(
+        spark.range(200000L + i * 10, 200000L + i * 10 + 10)
+          .selectExpr("id", "id * 3 AS v").coalesce(1), t)
+    }
+    val before = SnapshotStore.manifest(spark, t,
+      SnapshotStore.currentVersion(spark, t).get)
+    val fsys = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sizes = SnapshotStore.dataFiles(spark, before).map(f =>
+      f -> fsys.getFileStatus(new org.apache.hadoop.fs.Path(f)))
+    val bigFiles = sizes.filter(_._2.getLen >= 64 * 1024).map(_._1)
+    assert(bigFiles.nonEmpty && sizes.size - bigFiles.size >= 5, "fixture needs a big/small mix")
+    val bigMtimes = bigFiles.map(f =>
+      f -> fsys.getFileStatus(new org.apache.hadoop.fs.Path(f)).getModificationTime).toMap
+
+    val (rewritten, linked, merged, v) =
+      graft.ops.Bucketing.compactSmallFilesCommit(spark, t, smallBytes = 64 * 1024,
+        targetBytes = 1L << 30)
+    assert(rewritten >= 5 && linked === bigFiles.size && merged === 1)
+    val after = SnapshotStore.manifest(spark, t, v)
+    assert(after.op === "compact-small")
+    assert(bigFiles.forall(after.files.contains), "big files must re-link")
+    bigFiles.foreach { f =>
+      assert(fsys.getFileStatus(new org.apache.hadoop.fs.Path(f)).getModificationTime
+        === bigMtimes(f), s"compaction touched a big file: $f")
+    }
+    assert(after.files.size === bigFiles.size + 1, "small tail merged to one file")
+    // content identical, sum-exact
+    assert(SnapshotStore.read(spark, t).count() === 200050)
+    assert(SnapshotStore.read(spark, t).agg(sum(col("v"))).head().getLong(0) ===
+      SnapshotStore.readVersion(spark, t, v - 1).agg(sum(col("v"))).head().getLong(0))
+    // appends keep working on the compacted head; a no-op rerun commits nothing
+    val (r2, _, _, v2) = graft.ops.Bucketing.compactSmallFilesCommit(spark, t,
+      smallBytes = 64 * 1024, targetBytes = 1L << 30)
+    assert(r2 === 0 && v2 === v, "rerun with nothing to merge must not commit")
+  }
 }
