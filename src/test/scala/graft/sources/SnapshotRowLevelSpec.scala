@@ -278,4 +278,46 @@ class SnapshotRowLevelSpec extends SparkSuite {
       assert(SnapshotStore.manifest(spark, table, 1L).op === "merge")
     } finally spark.sql("DROP TABLE IF EXISTS graft_rl_nation")
   }
+
+  test("a FRESH change-feed stream over a mixed history anchors at the last image and replays deltas") {
+    withCatalog { (cat, wh) =>
+      val table = s"$wh/dims/nation"
+      SnapshotStore.commit(
+        graft.sources.Tables.nation(spark, sf()).repartitionByRange(4, col("n_nationkey")),
+        table)                                                              // v0 image
+      SnapshotStore.appendCommit(
+        graft.sources.Tables.nation(spark, sf())
+          .select(col("n_nationkey") + 700, col("n_name"), col("n_regionkey"))
+          .toDF("n_nationkey", "n_name", "n_regionkey")
+          .limit(4).coalesce(1), table)                                     // v1 insert delta
+      spark.sql(s"UPDATE $cat.dims.nation SET n_name = 'X' WHERE n_nationkey = 2") // v2 cow
+      // stream starts FRESH with the head a cow commit: must anchor at
+      // the v0 image and replay v1+v2 as deltas (not images)
+      val q = spark.readStream.format("graft-snapshot")
+        .option("path", table).option("changeFeed", "true").load()
+        .writeStream.format("memory").queryName("graft_cdf_anchor2").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val rows = spark.table("graft_cdf_anchor2").collect()
+        def ct(r: org.apache.spark.sql.Row) = r.getString(r.fieldIndex("_change_type"))
+        def cv(r: org.apache.spark.sql.Row) = r.getLong(r.fieldIndex("_commit_version"))
+        assert(rows.filter(cv(_) == 0L).forall(ct(_) == "snapshot"))
+        assert(rows.filter(cv(_) == 0L).length === 25)
+        assert(rows.filter(cv(_) == 1L).forall(ct(_) == "insert"))
+        assert(rows.filter(cv(_) == 1L).length === 4)
+        val v2 = rows.filter(cv(_) == 2L)
+        assert(v2.nonEmpty && v2.forall(r => ct(r) == "remove" || ct(r) == "insert"))
+        // applying the whole feed reproduces the head
+        def key(r: org.apache.spark.sql.Row) =
+          (r.getInt(r.fieldIndex("n_nationkey")), r.getString(r.fieldIndex("n_name")))
+        var state = rows.filter(cv(_) == 0L).map(key).toSet
+        state = state ++ rows.filter(r => cv(r) == 1L).map(key)
+        state = state -- v2.filter(ct(_) == "remove").map(key) ++
+          v2.filter(ct(_) == "insert").map(key)
+        val head = spark.sql(s"SELECT n_nationkey, n_name FROM $cat.dims.nation")
+          .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+        assert(state === head)
+      } finally q.stop()
+    }
+  }
 }
