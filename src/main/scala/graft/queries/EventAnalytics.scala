@@ -509,6 +509,13 @@ object EventAnalytics {
          FROM orders
          GROUP BY 1
          ORDER BY yr""",
+    "dt_small_compact" ->
+      """SELECT o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders
+         GROUP BY o_orderstatus
+         ORDER BY o_orderstatus""",
     "dt_ctas" ->
       """SELECT o_orderpriority,
                 CAST(count(*) AS BIGINT) AS n_rows,
@@ -601,6 +608,35 @@ object EventAnalytics {
 
   /** dt_merge_sql SHARES dt_merge_into's oracle text: the SQL statement
     * and the DataFrame API must produce the identical merged table. */
+  /** DT13: incremental small-file compaction
+    * ([[graft.ops.Bucketing.compactSmallFilesCommit]]) — one big commit
+    * plus five tiny appends (the streaming-sink debris shape), then the
+    * O(small-files) compact merges ONLY the tail; the oracle is the
+    * PLAIN aggregate over the same logical rows: compaction must be
+    * content-neutral. */
+  val dtSmallCompact: Q = (s, d) => {
+    val table = Fixtures.table("smallcompact", d) { t =>
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").alias("cents"))
+      val files = s.sparkContext.defaultParallelism.max(4)
+      graft.store.SnapshotStore.commit(
+        orders.filter(pmod(col("o_orderkey"), lit(7)) =!= 0).repartition(files), t)
+      (0 until 5).foreach { i =>
+        graft.store.SnapshotStore.appendCommit(
+          orders.filter(pmod(col("o_orderkey"), lit(7)) === 0 &&
+            pmod(col("o_orderkey"), lit(5)) === i).coalesce(1), t)
+      }
+      val (rewritten, _, _, _) = graft.ops.Bucketing.compactSmallFilesCommit(
+        s, t, smallBytes = 8L * 1024 * 1024, targetBytes = 1L << 30)
+      require(rewritten >= 2, s"fixture should have merged the small tail: $rewritten")
+    }
+    s.read.format("graft-snapshot").option("path", table).load()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).alias("n_rows"), sum(col("cents")).alias("cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val oracles: Map[String, String] =
     oraclesBase + ("dt_merge_sql" -> oraclesBase("dt_merge_into"))
 
@@ -620,6 +656,7 @@ object EventAnalytics {
     "dt_append" -> dtAppend,
     "dt_merge_sql" -> dtMergeSql,
     "dt_ctas" -> dtCtas,
+    "dt_small_compact" -> dtSmallCompact,
     "c12_transitions" -> c12Transitions,
     "sk_skew_report" -> skSkewReport
   )
