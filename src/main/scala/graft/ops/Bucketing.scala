@@ -157,10 +157,13 @@ object Bucketing {
       .repartition(nOut)
       .write.mode("overwrite").parquet(stageDir)
     val staged = SnapshotStore.dataFiles(spark, SnapshotStore.Manifest(stageDir, Nil, Nil))
+    // big files' stats copy forward; only the merged outputs' footers are read
+    val stats = graft.store.FileStats.sidecarFor(
+      spark, table, big.map(_._1) ++ staged, Some(m), m.statsExact)
     val ok = SnapshotStore.tryPublishManifest(spark, table, next,
       SnapshotStore.Manifest("", Nil, Nil, ts = System.currentTimeMillis(),
         files = big.map(_._1) ++ staged, op = "compact-small",
-        statsExact = m.statsExact, mixedSchema = m.mixedSchema))
+        statsExact = m.statsExact, mixedSchema = m.mixedSchema, statsFile = stats))
     if (!ok) {
       fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
       throw new java.util.ConcurrentModificationException(

@@ -342,6 +342,11 @@ private[sources] object SnapshotScan {
   /** Name of the file-path metadata column. */
   val FileCol = "_file"
 
+  /** Diagnostic: data-file FOOTER opens performed during driver-side
+    * planning (row-group resolution or aggregate folds). Sidecar-covered
+    * tables plan with ZERO footer opens — tests pin that invariant. */
+  val plannerFooterReads = new java.util.concurrent.atomic.AtomicLong
+
   /** Parse a runtime group-filter predicate into the `_file` value set
     * it admits: `IN(_file, v...)` or `=(_file, v)`. None for anything
     * else — an unparsed predicate just means no runtime pruning, which
@@ -388,6 +393,15 @@ private[sources] object SnapshotScan {
   def footerAggregates(
       m: SnapshotStore.Manifest, cols: Seq[String]): Option[(Long, Map[String, (Any, Any)])] = {
     val spark = SparkSession.active
+    // manifest-level fast path: when the sidecar covers every file, the
+    // whole aggregate folds from ONE small-file read — including the
+    // DECLINE decision (a sidecar gap on a requested column implies the
+    // footer sweep would decline for the same reason: no stats, NaN
+    // bounds, unsupported type, or unproven string exactness)
+    if (m.statsFile.nonEmpty) sidecarAggregates(spark, m, cols) match {
+      case Some(resolved) => return resolved
+      case None           => () // sidecar incomplete → footer sweep below
+    }
     val conf = spark.sparkContext.hadoopConfiguration
     val files = SnapshotStore.dataFiles(spark, m).map(new Path(_))
     // per-file raw THRIFT footer parse, done lazily and only when a
@@ -399,6 +413,7 @@ private[sources] object SnapshotScan {
     var rows = 0L
     val acc = scala.collection.mutable.Map.empty[String, (Any, Any)]
     files.foreach { f =>
+      plannerFooterReads.incrementAndGet()
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
       try {
         rows += r.getRecordCount
@@ -459,6 +474,44 @@ private[sources] object SnapshotScan {
       } finally r.close()
     }
     Some((rows, acc.toMap))
+  }
+
+  /** Aggregate fold over the manifest's stats SIDECAR. Outer None =
+    * the sidecar doesn't cover every manifest file (fall back to the
+    * footer sweep); inner Option is the answer-or-decline, final. */
+  private def sidecarAggregates(
+      spark: SparkSession, m: SnapshotStore.Manifest, cols: Seq[String])
+      : Option[Option[(Long, Map[String, (Any, Any)])]] = {
+    val sc =
+      try graft.store.FileStats.read(spark, m.statsFile)
+      catch { case _: java.io.IOException => return None }
+    val files = SnapshotStore.dataFiles(spark, m)
+    if (files.isEmpty || !files.forall(sc.entries.contains)) return None
+    var rows = 0L
+    val acc = scala.collection.mutable.Map.empty[String, (Any, Any)]
+    files.foreach { f =>
+      sc.entries(f).groups.foreach { g =>
+        rows += g.rows
+        cols.foreach { c =>
+          if (!g.allNull.contains(c)) { // provably all-null groups contribute nothing
+            g.stats.get(c) match {
+              case None => return Some(None) // no provable bound → decline
+              case Some((mn, _)) if mn.isInstanceOf[String] && !sc.exact =>
+                return Some(None) // possibly truncated string stats are bounds, not values
+              case Some(v) =>
+                acc.get(c) match {
+                  case None => acc(c) = v
+                  case Some((curMn, curMx)) =>
+                    val newMn = if (cmpAny(v._1, curMn).exists(_ < 0)) v._1 else curMn
+                    val newMx = if (cmpAny(v._2, curMx).exists(_ > 0)) v._2 else curMx
+                    acc(c) = (newMn, newMx)
+                }
+            }
+          }
+        }
+      }
+    }
+    Some(Some((rows, acc.toMap)))
   }
 
   /** Raw thrift footer parse: per (row-group index, column name), the
@@ -702,20 +755,35 @@ private[sources] final class SnapshotScan(
     * row groups are still pruned). */
   private lazy val (keptGroups: Seq[SnapshotInputPartition], totalGroups: Int,
       totalFiles: Int, allColumnsPresent: Boolean) = {
-    val all = SnapshotStore.dataFiles(spark, m).map(new Path(_))
+    val all = SnapshotStore.dataFiles(spark, m)
+    // manifest-level stats: ONE sidecar read covers every file's row
+    // groups, min/max, and field names — planning never opens a data
+    // file's footer unless the sidecar is missing that file (legacy
+    // commits, foreign data). At the 100 TB shape this is the
+    // difference between O(1) and O(files) remote round-trips per query.
+    val sidecar: Map[String, graft.store.FileStats.Entry] =
+      if (m.statsFile.isEmpty) Map.empty
+      else
+        try graft.store.FileStats.read(spark, m.statsFile).entries
+        catch { case _: java.io.IOException => Map.empty }
     var allPresent = true
     var total = 0
     val wanted = (physical.fieldNames.toSeq ++
       (if (m.deletes.isEmpty) Nil else m.keyCols)).distinct
-    val kept = all.flatMap { p =>
-      val (blocks, fields) = footerInfo(p)
+    val kept = all.flatMap { fstr =>
+      val (blocks, fields) = sidecar.get(fstr) match {
+        case Some(e) =>
+          (e.groups.map(g => SnapshotScan.RowGroupInfo(g.start, g.length, g.rows, g.stats)),
+            e.fields)
+        case None => footerInfo(new Path(fstr))
+      }
       if (!physical.fieldNames.forall(fields)) allPresent = false
       val selfContained = wanted.forall(fields)
       total += blocks.size
       blocks
         .filter(b => skippable.isEmpty ||
           !skippable.exists(f => SnapshotScan.excludes(f, b.stats)))
-        .map(b => SnapshotInputPartition(p.toString, b.start, b.length, b.rows, selfContained))
+        .map(b => SnapshotInputPartition(fstr, b.start, b.length, b.rows, selfContained))
     }
     (kept, total, all.size, allPresent)
   }
@@ -726,6 +794,7 @@ private[sources] final class SnapshotScan(
     * no cross-row-group merge exists anymore (skipping is per group),
     * so there is no lossy envelope to get wrong. */
   private def footerInfo(p: Path): (Seq[SnapshotScan.RowGroupInfo], Set[String]) = {
+    SnapshotScan.plannerFooterReads.incrementAndGet()
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, hadoopConf))
     try {
       val fields = r.getFooter.getFileMetaData.getSchema.getFields.asScala

@@ -174,10 +174,25 @@ object SnapshotReplication {
       if (m.files.nonEmpty) m.files.foreach(copyMissing)
       else copyMissing(m.data)
       m.deletes.foreach(copyMissing)
+      // the stats sidecar mirrors too (path-rewritten inside), so the
+      // clone plans from its manifest like the source does; a sidecar
+      // that can't be read just drops — stats are an optimization
+      val statsRewritten =
+        if (m.statsFile.isEmpty) ""
+        else
+          try {
+            val (exact, blocks) = graft.store.FileStats.readBlocks(spark, m.statsFile)
+            val mapped = blocks.toSeq.map { case (path, block) =>
+              val np = s"$targetTable/${rel(path)}"
+              s"f=$np\n" + block.linesIterator.drop(1).mkString("", "\n", "\n")
+            }
+            graft.store.FileStats.write(spark, targetTable, exact, mapped)
+          } catch { case _: java.io.IOException => "" }
       val rewritten = m.copy(
         data = if (m.data.nonEmpty) s"$targetTable/${rel(m.data)}" else "",
         files = m.files.map(f => s"$targetTable/${rel(f)}"),
-        deletes = m.deletes.map(d => s"$targetTable/${rel(d)}"))
+        deletes = m.deletes.map(d => s"$targetTable/${rel(d)}"),
+        statsFile = statsRewritten)
       // same version number, same commit clock: a version-exact clone.
       // A false return = another syncer already published v — fine.
       SnapshotStore.tryPublishManifest(spark, targetTable, v, rewritten)

@@ -153,10 +153,14 @@ private[sources] final class SnapshotRowLevelBatchWrite(
       case Command.UPDATE => "update"
       case Command.DELETE => "delete-cow"
     }
+    // copy-on-write sidecar: survivors' stats copy forward from the base
+    // version's sidecar; only the replacement files' footers are read
+    val stats = graft.store.FileStats.sidecarFor(
+      spark, tablePath, survivors ++ committed, Some(m), m.statsExact)
     val ok = SnapshotStore.tryPublishManifest(spark, tablePath, op.baseVersion + 1,
       SnapshotStore.Manifest("", Nil, Nil, ts = System.currentTimeMillis(),
         files = survivors ++ committed, op = opName, statsExact = m.statsExact,
-        mixedSchema = m.mixedSchema))
+        mixedSchema = m.mixedSchema, statsFile = stats))
     if (!ok) {
       abort(messages)
       throw new java.util.ConcurrentModificationException(

@@ -97,7 +97,8 @@ object SnapshotStore {
       op: String = "",
       statsExact: Boolean = false,
       srcV: Long = -1L,
-      mixedSchema: Boolean = false)
+      mixedSchema: Boolean = false,
+      statsFile: String = "")
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -159,7 +160,7 @@ object SnapshotStore {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
-    val markerKeys = Seq("data=", "file=", "delete=", "keys=", "op=", "ts=", "stats=", "src=", "schema=")
+    val markerKeys = Seq("data=", "file=", "delete=", "keys=", "op=", "ts=", "stats=", "src=", "schema=", "statsfile=")
     if (lines.exists(l => markerKeys.exists(l.startsWith))) {
       Manifest(
         data = lines.find(_.startsWith("data=")).map(_.stripPrefix("data=")).getOrElse(""),
@@ -171,7 +172,9 @@ object SnapshotStore {
         statsExact = lines.contains("stats=exact"),
         mixedSchema = lines.contains("schema=mixed"),
         srcV = lines.find(_.startsWith("src="))
-          .flatMap(l => scala.util.Try(l.stripPrefix("src=").toLong).toOption).getOrElse(-1L))
+          .flatMap(l => scala.util.Try(l.stripPrefix("src=").toLong).toOption).getOrElse(-1L),
+        statsFile = lines.find(_.startsWith("statsfile="))
+          .map(_.stripPrefix("statsfile=")).getOrElse(""))
     } else {
       // legacy bare-path marker (or empty → the fixed v=<N> layout)
       Manifest(lines.headOption.getOrElse(versionDir(table, v)), Nil, Nil)
@@ -227,9 +230,13 @@ object SnapshotStore {
     var next = currentVersion(spark, table).map(_ + 1).getOrElse(0L)
     val dataDir = s"$table/v=${next}__${token()}"
     df.write.mode("overwrite").parquet(dataDir)
+    // harvest once at commit (the writer just produced these footers) so
+    // query PLANNING never opens per-file footers — see [[FileStats]]
+    val stats = FileStats.sidecarFor(spark, table,
+      dataFiles(spark, Manifest(dataDir, Nil, Nil)), None, writerStatsExact(spark))
     while (!tryPublishManifest(spark, table, next,
         Manifest(dataDir, Nil, Nil, op = "rewrite", statsExact = writerStatsExact(spark),
-          srcV = srcV)))
+          srcV = srcV, statsFile = stats)))
       next += 1 // lost a marker race; the staged data is still valid as a later version
     next
   }
@@ -303,10 +310,16 @@ object SnapshotStore {
           (v + 1, dataFiles(spark, m), Some(m))
         case None => (0L, Seq.empty[String], None)
       }
+      // O(new-files) sidecar too: inherited files' stats copy forward
+      // from the predecessor's sidecar at the text level; only the
+      // staged files' footers are read (CAS loser's sidecar orphans →
+      // vacuum collects it like a defeated staged dir)
+      val stats = FileStats.sidecarFor(spark, table, base ++ stagedFiles, m0, stagedExact)
       if (tryPublishManifest(spark, table, next,
           Manifest("", Nil, Nil, files = base ++ stagedFiles, op = "append",
             statsExact = m0.forall(_.statsExact) && stagedExact, srcV = srcV,
-            mixedSchema = mixedSchema || m0.exists(_.mixedSchema)))) // sticky once evolved
+            mixedSchema = mixedSchema || m0.exists(_.mixedSchema), // sticky once evolved
+            statsFile = stats)))
         return next
       attempt += 1 // CAS lost: re-link the SAME staged files against the new head
     }
@@ -323,8 +336,14 @@ object SnapshotStore {
       op: String = "rewrite",
       srcV: Long = -1L): Long = {
     var next = currentVersion(spark, table).map(_ + 1).getOrElse(0L)
+    // copy-forward-aware: a caller whose file list keeps most of the
+    // head's files (copy-on-write shapes) only pays footers for the new
+    // ones; a full overwrite simply inherits nothing
+    val pred = currentVersion(spark, table).map(v => manifest(spark, table, v))
+    val stats = FileStats.sidecarFor(spark, table, files, pred, statsExact)
     while (!tryPublishManifest(spark, table, next,
-        Manifest("", Nil, Nil, files = files, op = op, statsExact = statsExact, srcV = srcV)))
+        Manifest("", Nil, Nil, files = files, op = op, statsExact = statsExact, srcV = srcV,
+          statsFile = stats)))
       next += 1 // staged data stays valid as a later version
     next
   }
@@ -361,6 +380,7 @@ object SnapshotStore {
     if (m.statsExact) content.append("stats=exact\n")
     if (m.mixedSchema) content.append("schema=mixed\n")
     if (m.srcV >= 0L) content.append(s"src=${m.srcV}\n")
+    if (m.statsFile.nonEmpty) content.append(s"statsfile=${m.statsFile}\n")
     content.append(s"ts=$ts\n")
     val out = f.create(tmp, true)
     try out.write(content.toString.getBytes("UTF-8"))
@@ -399,10 +419,13 @@ object SnapshotStore {
       val next = base.map(_ + 1).getOrElse(0L)
       val dataDir = s"$table/v=${next}__${token()}"
       df.write.mode("overwrite").parquet(dataDir)
+      val stats = FileStats.sidecarFor(spark, table,
+        dataFiles(spark, Manifest(dataDir, Nil, Nil)), None, writerStatsExact(spark))
       if (tryPublishManifest(spark, table, next,
           Manifest(dataDir, Nil, Nil, op = "rewrite", statsExact = writerStatsExact(spark),
-            srcV = srcV))) return next
+            srcV = srcV, statsFile = stats))) return next
       fs(spark, table).delete(new Path(dataDir), true)
+      fs(spark, table).delete(new Path(stats), false)
       attempt += 1
     }
     throw new IllegalStateException(s"commitTransform lost $maxAttempts CAS races on $table")
@@ -436,7 +459,8 @@ object SnapshotStore {
         .write.mode("overwrite").parquet(dv)
       if (tryPublishManifest(spark, table, cur + 1,
           Manifest(m.data, m.deletes :+ dv, keyCols, files = m.files, op = "delete",
-            statsExact = m.statsExact, mixedSchema = m.mixedSchema)))
+            statsExact = m.statsExact, mixedSchema = m.mixedSchema,
+            statsFile = m.statsFile))) // data unchanged → stats carry forward
         return cur + 1
       attempt += 1 // orphan DV file is GC'd by vacuum's reference count
     }
@@ -469,7 +493,8 @@ object SnapshotStore {
         s"delete key columns $keyCols differ from the table's existing DV keys ${m.keyCols}")
       if (tryPublishManifest(spark, table, cur + 1,
           Manifest(m.data, m.deletes :+ dv, keyCols, files = m.files, op = "delete",
-            statsExact = m.statsExact, srcV = srcV, mixedSchema = m.mixedSchema)))
+            statsExact = m.statsExact, srcV = srcV, mixedSchema = m.mixedSchema,
+            statsFile = m.statsFile)))
         return cur + 1
       attempt += 1
     }
@@ -544,6 +569,8 @@ object SnapshotStore {
     val liveFiles = retainedManifests.flatMap(_.files)
       .map { p => val q = new Path(p); (q.getParent.getName, q.getName) }.toSet
     val liveDvs = retainedManifests.flatMap(_.deletes).map(p => new Path(p).getName).toSet
+    val liveStats = retainedManifests.map(_.statsFile).filter(_.nonEmpty)
+      .map(p => new Path(p).getName).toSet
 
     // aged-out versions: markers drop; v=* data under the root is swept
     // below (refcounted); EXTERNAL or custom-named dir-granular data
@@ -587,6 +614,14 @@ object SnapshotStore {
         .map(_.getPath)
         .filter(p => !liveDvs.contains(p.getName))
         .foreach(p => f.delete(p, true))
+    }
+    // unreferenced stats sidecars — same lifecycle as DV files
+    val statsRoot = new Path(FileStats.statsDir(table))
+    if (f.exists(statsRoot)) {
+      f.listStatus(statsRoot).toSeq
+        .map(_.getPath)
+        .filter(p => !liveStats.contains(p.getName))
+        .foreach(p => f.delete(p, false))
     }
     doomedCommitted
   }
