@@ -102,7 +102,15 @@ object Bucketing {
     // materialized away by the rewrite, like any table format's compaction
     SnapshotStore.readVersion(spark, table, cur).repartition(nOut)
       .write.mode("overwrite").parquet(outDir)
-    SnapshotStore.publishMarker(spark, table, next)
+    // publish a full manifest (not a bare marker) so the compacted
+    // table keeps footer-free planning: fresh sidecar, op recorded
+    val outStats = graft.store.FileStats.sidecarFor(spark, table,
+      SnapshotStore.dataFiles(spark, SnapshotStore.Manifest(outDir, Nil, Nil)),
+      None, SnapshotStore.writerStatsExact(spark))
+    if (!SnapshotStore.tryPublishManifest(spark, table, next,
+        SnapshotStore.Manifest(outDir, Nil, Nil, op = "compact",
+          statsExact = SnapshotStore.writerStatsExact(spark), statsFile = outStats)))
+      throw new IllegalStateException(s"could not publish commit marker $next under $table")
     val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     (files.size, outFiles, totalBytes, next)

@@ -152,7 +152,15 @@ object Zorder {
     val dir = SnapshotStore.versionDir(table, next)
     writeZordered(cur, dir, zCols, bits, numFiles)
     writeFileStats(spark, dir, zCols)
-    SnapshotStore.publishMarker(spark, table, next)
+    // full manifest (not a bare marker): the optimized layout keeps
+    // footer-free planning through a fresh stats sidecar
+    val outStats = graft.store.FileStats.sidecarFor(spark, table,
+      SnapshotStore.dataFiles(spark, SnapshotStore.Manifest(dir, Nil, Nil)),
+      None, SnapshotStore.writerStatsExact(spark))
+    if (!SnapshotStore.tryPublishManifest(spark, table, next,
+        SnapshotStore.Manifest(dir, Nil, Nil, op = "zorder",
+          statsExact = SnapshotStore.writerStatsExact(spark), statsFile = outStats)))
+      throw new IllegalStateException(s"could not publish commit marker $next under $table")
     next
   }
 

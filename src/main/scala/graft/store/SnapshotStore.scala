@@ -127,7 +127,7 @@ object SnapshotStore {
     * `stats=exact` in the manifest so footer STRING aggregates know the
     * min/max are actual values, not truncated bounds; foreign data
     * published via [[publishMarker]] never gets the tag. */
-  private def writerStatsExact(spark: SparkSession): Boolean =
+  private[graft] def writerStatsExact(spark: SparkSession): Boolean =
     spark.sparkContext.hadoopConfiguration
       .getInt("parquet.statistics.truncate.length", Int.MaxValue) == Int.MaxValue
 

@@ -149,6 +149,23 @@ class FileStatsSpec extends SparkSuite {
     assert(footerOpens(load(t).filter(col("id") > 25).collect()) === 0L)
   }
 
+  test("maintenance commits (compact, zorder) publish fresh sidecars — planning stays footer-free") {
+    val t = freshTable("fstats-maint")
+    SnapshotStore.commit(spark.range(0, 5000).toDF("id")
+      .withColumn("x", col("id") % 100).withColumn("y", col("id") % 77)
+      .repartition(6), t)
+    graft.ops.Bucketing.compactCommit(spark, t, targetBytes = 1L << 30)
+    val mc = SnapshotStore.manifest(spark, t, 1L)
+    assert(mc.op === "compact" && mc.statsFile.nonEmpty, s"compact lost the sidecar: $mc")
+    assert(footerOpens(load(t).filter(col("id") > 4990).collect()) === 0L)
+    graft.ops.Zorder.optimizeCommit(spark, t, Seq("x", "y"), bits = 6, numFiles = 4)
+    val mz = SnapshotStore.manifest(spark, t, 2L)
+    assert(mz.op === "zorder" && mz.statsFile.nonEmpty, s"zorder lost the sidecar: $mz")
+    var n = 0L
+    assert(footerOpens { n = load(t).count() } === 0L)
+    assert(n === 5000L)
+  }
+
   test("syncFiles mirrors the sidecar path-rewritten; the clone plans footer-free") {
     val src = freshTable("fstats-src")
     val dst = freshTable("fstats-dst")
