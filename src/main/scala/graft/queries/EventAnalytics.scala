@@ -538,6 +538,14 @@ object EventAnalytics {
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
          FROM orders WHERE o_orderkey % 50 <> 2
          ORDER BY version""",
+    "dt_spj_join" ->
+      """SELECT o.o_orderpriority,
+                CAST(count(*) AS BIGINT) AS n_items,
+                CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+                CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         GROUP BY o.o_orderpriority
+         ORDER BY o.o_orderpriority""",
     "dt_dsv2_scan" ->
       """SELECT o_orderpriority,
                 CAST(count(*) AS BIGINT) AS n,
@@ -637,6 +645,42 @@ object EventAnalytics {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** DT15: STORAGE-PARTITIONED JOIN — orders and lineitem committed
+    * co-bucketed on the order key ([[graft.store.SnapshotStore
+    * .bucketedCommit]]), joined through the catalog with V2 bucketing
+    * enabled: the scans report matching `KeyGroupedPartitioning
+    * (bucket(n, key))`, the catalog's `bucket` function resolves the
+    * transform, and the join plans with ZERO exchanges — the
+    * write-once shuffle amortized over every read (the fact⨝fact
+    * answer at 100 TB; `StoragePartitionedJoinSpec` pins the
+    * zero-shuffle plan shape). The oracle replays the join on the raw
+    * tables — co-location is plan-shape-only, values must be exact. */
+  val dtSpjJoin: Q = (s, d) => {
+    val wh = Fixtures.dir("spj", d) { root =>
+      val buckets = s.sparkContext.defaultParallelism.max(4)
+      graft.store.SnapshotStore.bucketedCommit(
+        Tables.orders(s, d).select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        s"$root/fact/orders_b", Seq("o_orderkey"), buckets)
+      graft.store.SnapshotStore.bucketedCommit(
+        Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+          .withColumnRenamed("l_orderkey", "o_orderkey"),
+        s"$root/fact/lineitem_b", Seq("o_orderkey"), buckets)
+    }
+    val cat = "gspj_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(wh.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.SnapshotCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.sql(
+      s"""SELECT o.o_orderpriority,
+                 CAST(count(*) AS BIGINT) AS n_items,
+                 CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+                 CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM $cat.fact.orders_b o JOIN $cat.fact.lineitem_b l USING (o_orderkey)
+          GROUP BY o.o_orderpriority
+          ORDER BY o.o_orderpriority""")
+  }
+
   val oracles: Map[String, String] =
     oraclesBase + ("dt_merge_sql" -> oraclesBase("dt_merge_into"))
 
@@ -657,6 +701,7 @@ object EventAnalytics {
     "dt_merge_sql" -> dtMergeSql,
     "dt_ctas" -> dtCtas,
     "dt_small_compact" -> dtSmallCompact,
+    "dt_spj_join" -> dtSpjJoin,
     "c12_transitions" -> c12Transitions,
     "sk_skew_report" -> skSkewReport
   )

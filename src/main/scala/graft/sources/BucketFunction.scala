@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+
+/** The V2 `bucket` function backing storage-partitioned joins over
+  * [[graft.store.SnapshotStore.bucketedCommit]] tables.
+  *
+  * Spark resolves a scan's `bucket(n, cols)` transform through the
+  * table's FUNCTION catalog before it will key-group partitions; the
+  * bound function must compute exactly the row→bucket route the WRITER
+  * used, because Spark may evaluate it (partially-clustered
+  * distributions, missing-partition fill-in). The writer routes via
+  * `df.repartition(n, cols)` = Spark's own HashPartitioning, i.e.
+  * `pmod(murmur3(cols, seed = 42), n)` with the multi-column hash
+  * CHAINED (each column's hash seeds the next) — reproduced here on
+  * the unsafe Murmur3 primitives.
+  *
+  * `canonicalName` is the compatibility token two join sides compare;
+  * it is stable across catalog instances by construction. */
+object BucketFunction extends UnboundFunction {
+
+  override def name(): String = "bucket"
+
+  override def description(): String =
+    "bucket(n, cols...): pmod(murmur3(cols, 42), n) — the snapshot store's bucketed-commit route"
+
+  /** Types whose hash we reproduce bit-for-bit from HashPartitioning.
+    * Anything else refuses to bind: transform resolution then fails and
+    * Spark simply plans without key grouping (correct, just shuffled). */
+  private def hashable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | DateType |
+        TimestampType | TimestampNTZType | StringType | BooleanType => true
+    case _ => false
+  }
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length >= 2,
+      s"bucket expects (numBuckets, col, ...), got $inputType")
+    require(inputType.fields.head.dataType == IntegerType,
+      s"bucket's first argument is the bucket count (int), got ${inputType.fields.head.dataType}")
+    val keyTypes = inputType.fields.tail.map(_.dataType)
+    keyTypes.foreach(t => if (!hashable(t)) throw new UnsupportedOperationException(
+      s"bucket: unsupported key type $t (supported: integral/date/timestamp/string/boolean)"))
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = IntegerType +: keyTypes
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.snapshot.bucket"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: InternalRow): Integer = {
+        val n = input.getInt(0)
+        var h = 42
+        var i = 0
+        while (i < keyTypes.length) {
+          val ord = i + 1
+          // null columns leave the seed unchanged — Murmur3Hash semantics
+          if (!input.isNullAt(ord)) h = keyTypes(i) match {
+            case LongType | TimestampType | TimestampNTZType =>
+              Murmur3_x86_32.hashLong(input.getLong(ord), h)
+            case IntegerType | DateType =>
+              Murmur3_x86_32.hashInt(input.getInt(ord), h)
+            case ShortType => Murmur3_x86_32.hashInt(input.getShort(ord).toInt, h)
+            case ByteType => Murmur3_x86_32.hashInt(input.getByte(ord).toInt, h)
+            case BooleanType => Murmur3_x86_32.hashInt(if (input.getBoolean(ord)) 1 else 0, h)
+            case StringType =>
+              val s = input.getUTF8String(ord)
+              Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), h)
+            case other => throw new IllegalStateException(s"unreachable: $other")
+          }
+          i += 1
+        }
+        ((h % n) + n) % n // pmod: HashPartitioning.partitionIdExpression
+      }
+    }
+  }
+}

@@ -39,7 +39,8 @@ import java.util.{Map => JMap}
   * locations.
   */
 final class SnapshotCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -52,6 +53,17 @@ final class SnapshotCatalog extends TableCatalog
   }
 
   override def name(): String = catalogName
+
+  // ---- FunctionCatalog: serves the `bucket` transform function so the
+  // planner can resolve a bucketed table's partitioning and key-group
+  // co-bucketed scans (storage-partitioned joins) -------------------
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name.equalsIgnoreCase("bucket")) BucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   private def spark = SparkSession.active
 

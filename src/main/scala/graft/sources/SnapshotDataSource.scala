@@ -145,6 +145,16 @@ private[sources] final class SnapshotTable(
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = tablePath
   override def schema(): StructType = tableSchema
+  /** Bucketed layout (from [[SnapshotStore.bucketedCommit]]) surfaces
+    * as a V2 `bucket(n, cols)` transform so the planner can elide the
+    * exchange on co-bucketed joins/aggregations (the scan reports the
+    * matching KeyGroupedPartitioning; the catalog serves the `bucket`
+    * function for transform resolution). */
+  override def partitioning(): Array[Transform] =
+    if (m.bucketN > 0)
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .bucket(m.bucketN, m.bucketCols: _*))
+    else Array.empty
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
@@ -372,6 +382,19 @@ private[sources] object SnapshotScan {
         strOf(p.children()(1)).map(Set(_))
       case _ => None
     }
+  }
+
+  /** Bucket id of a part file written by a bucketed commit: write task
+    * i (= partition i = bucket i under HashPartitioning) names its
+    * output `part-<i>-<uuid>...`. None-shaped -1 when the name doesn't
+    * carry a valid id — the scan then refuses to report key grouping. */
+  def bucketIdOf(file: String, n: Int): Int = {
+    val name = file.substring(file.lastIndexOf('/') + 1)
+    if (!name.startsWith("part-")) return -1
+    val digits = name.drop(5).takeWhile(_.isDigit)
+    if (digits.isEmpty) return -1
+    val id = scala.util.Try(digits.toInt).getOrElse(-1)
+    if (id >= 0 && id < n) id else -1
   }
 
   /** Human label for a manifest's data: the dir for dir-granular
@@ -702,7 +725,8 @@ private[sources] final class SnapshotScan(
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
     rowLevel: Boolean = false)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   // ---- driver-side, metadata-only planning (footers, never data pages)
   private val spark = SparkSession.active
@@ -779,14 +803,34 @@ private[sources] final class SnapshotScan(
       }
       if (!physical.fieldNames.forall(fields)) allPresent = false
       val selfContained = wanted.forall(fields)
+      val bucket = if (m.bucketN > 0) SnapshotScan.bucketIdOf(fstr, m.bucketN) else -1
       total += blocks.size
       blocks
         .filter(b => skippable.isEmpty ||
           !skippable.exists(f => SnapshotScan.excludes(f, b.stats)))
-        .map(b => SnapshotInputPartition(fstr, b.start, b.length, b.rows, selfContained))
+        .map(b => SnapshotInputPartition(fstr, b.start, b.length, b.rows, selfContained,
+          bucketId = bucket))
     }
     (kept, total, all.size, allPresent)
   }
+
+  /** Storage-partitioned joins: a bucketed manifest's scan reports
+    * `KeyGroupedPartitioning(bucket(n, cols))` with one key per part
+    * file (the write task id IS the bucket id), so Spark zips two
+    * co-bucketed tables partition-for-partition instead of shuffling
+    * either side — the write-once-shuffle-never contract at 100 TB.
+    * Reported only when every kept group resolved a bucket id and the
+    * scan is a plain batch read (row-level scans re-filter files at
+    * runtime; the change feed unions many snapshots). */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (m.bucketN > 0 && !changeFeed && !rowLevel &&
+        keptGroups.nonEmpty && keptGroups.forall(_.bucketId >= 0))
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .bucket(m.bucketN, m.bucketCols: _*)),
+        keptGroups.map(_.bucketId).distinct.size)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(keptGroups.size)
 
   /** Per-ROW-GROUP (start, length, rows, per-column min/max) plus the
     * file's top-level field names — one footer read serves skipping,
@@ -909,9 +953,18 @@ private[sources] final class SnapshotScan(
 /** One row group of one part file (midpoint-convention byte range).
   * `selfContained` = the file carries every wanted column, so the
   * vectorized decoder can serve it even on the row (DV) path. */
+/** One row-group read unit. `bucketId` (from the part file's name —
+  * write task i of a bucketed commit emits `part-<i>-*`) keys
+  * storage-partitioned joins; -1 on unbucketed tables. The
+  * [[org.apache.spark.sql.connector.read.HasPartitionKey]] value is
+  * only consulted when the scan REPORTS KeyGroupedPartitioning, which
+  * it does only for bucketed manifests with every group resolved. */
 private[sources] final case class SnapshotInputPartition(
     file: String, start: Long, length: Long, rows: Long,
-    selfContained: Boolean = true) extends InputPartition
+    selfContained: Boolean = true, bucketId: Int = -1)
+    extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = new GenericInternalRow(Array[Any](bucketId))
+}
 
 /** Deletion-vector membership structure, built ONCE on the driver and
   * broadcast whole. Single-key tables (the common case) probe a flat

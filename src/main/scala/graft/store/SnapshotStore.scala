@@ -98,7 +98,9 @@ object SnapshotStore {
       statsExact: Boolean = false,
       srcV: Long = -1L,
       mixedSchema: Boolean = false,
-      statsFile: String = "")
+      statsFile: String = "",
+      bucketCols: Seq[String] = Nil,
+      bucketN: Int = 0)
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -160,7 +162,7 @@ object SnapshotStore {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
-    val markerKeys = Seq("data=", "file=", "delete=", "keys=", "op=", "ts=", "stats=", "src=", "schema=", "statsfile=")
+    val markerKeys = Seq("data=", "file=", "delete=", "keys=", "op=", "ts=", "stats=", "src=", "schema=", "statsfile=", "bucket=")
     if (lines.exists(l => markerKeys.exists(l.startsWith))) {
       Manifest(
         data = lines.find(_.startsWith("data=")).map(_.stripPrefix("data=")).getOrElse(""),
@@ -174,7 +176,12 @@ object SnapshotStore {
         srcV = lines.find(_.startsWith("src="))
           .flatMap(l => scala.util.Try(l.stripPrefix("src=").toLong).toOption).getOrElse(-1L),
         statsFile = lines.find(_.startsWith("statsfile="))
-          .map(_.stripPrefix("statsfile=")).getOrElse(""))
+          .map(_.stripPrefix("statsfile=")).getOrElse(""),
+        bucketCols = lines.find(_.startsWith("bucket="))
+          .map(_.stripPrefix("bucket=").split(":")(0).split(",").toSeq.map(_.trim)).getOrElse(Nil),
+        bucketN = lines.find(_.startsWith("bucket="))
+          .flatMap(l => scala.util.Try(l.stripPrefix("bucket=").split(":")(1).toInt).toOption)
+          .getOrElse(0))
     } else {
       // legacy bare-path marker (or empty → the fixed v=<N> layout)
       Manifest(lines.headOption.getOrElse(versionDir(table, v)), Nil, Nil)
@@ -238,6 +245,38 @@ object SnapshotStore {
         Manifest(dataDir, Nil, Nil, op = "rewrite", statsExact = writerStatsExact(spark),
           srcV = srcV, statsFile = stats)))
       next += 1 // lost a marker race; the staged data is still valid as a later version
+    next
+  }
+
+  /** Commit `df` BUCKETED by `cols` into `n` buckets and record the
+    * layout in the manifest — the write-once shuffle that lets every
+    * later equi-join or aggregation on the bucket key plan WITHOUT an
+    * exchange (storage-partitioned joins through the DSv2 connector:
+    * the scan reports `KeyGroupedPartitioning(bucket(n, cols))` and two
+    * co-bucketed tables zip partition-for-partition). Rows route to
+    * bucket `pmod(murmur3(cols), n)` — Spark's own HashPartitioning —
+    * and each write task emits one `part-<bucketId>-*` file, which is
+    * how readers recover the file→bucket mapping with no extra
+    * metadata. The connector's catalog exposes the SAME hash as a V2
+    * `bucket` function so Spark can verify transform compatibility.
+    *
+    * The layout survives delete commits (data unchanged) but NOT
+    * append/merge/compaction — those drop the `bucket=` tag rather
+    * than silently serving a stale co-location promise; re-establish
+    * with a fresh [[bucketedCommit]]. */
+  def bucketedCommit(df: DataFrame, table: String, cols: Seq[String], n: Int): Long = {
+    require(cols.nonEmpty && n > 0, s"bucketedCommit needs columns and a positive count")
+    val spark = df.sparkSession
+    var next = currentVersion(spark, table).map(_ + 1).getOrElse(0L)
+    val dataDir = s"$table/v=${next}__${token()}"
+    df.repartition(n, cols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").parquet(dataDir)
+    val stats = FileStats.sidecarFor(spark, table,
+      dataFiles(spark, Manifest(dataDir, Nil, Nil)), None, writerStatsExact(spark))
+    while (!tryPublishManifest(spark, table, next,
+        Manifest(dataDir, Nil, Nil, op = "bucket", statsExact = writerStatsExact(spark),
+          statsFile = stats, bucketCols = cols, bucketN = n)))
+      next += 1
     next
   }
 
@@ -381,6 +420,7 @@ object SnapshotStore {
     if (m.mixedSchema) content.append("schema=mixed\n")
     if (m.srcV >= 0L) content.append(s"src=${m.srcV}\n")
     if (m.statsFile.nonEmpty) content.append(s"statsfile=${m.statsFile}\n")
+    if (m.bucketN > 0) content.append(s"bucket=${m.bucketCols.mkString(",")}:${m.bucketN}\n")
     content.append(s"ts=$ts\n")
     val out = f.create(tmp, true)
     try out.write(content.toString.getBytes("UTF-8"))
@@ -460,7 +500,8 @@ object SnapshotStore {
       if (tryPublishManifest(spark, table, cur + 1,
           Manifest(m.data, m.deletes :+ dv, keyCols, files = m.files, op = "delete",
             statsExact = m.statsExact, mixedSchema = m.mixedSchema,
-            statsFile = m.statsFile))) // data unchanged → stats carry forward
+            statsFile = m.statsFile, // data unchanged → stats carry forward
+            bucketCols = m.bucketCols, bucketN = m.bucketN)))
         return cur + 1
       attempt += 1 // orphan DV file is GC'd by vacuum's reference count
     }
@@ -494,7 +535,8 @@ object SnapshotStore {
       if (tryPublishManifest(spark, table, cur + 1,
           Manifest(m.data, m.deletes :+ dv, keyCols, files = m.files, op = "delete",
             statsExact = m.statsExact, srcV = srcV, mixedSchema = m.mixedSchema,
-            statsFile = m.statsFile)))
+            statsFile = m.statsFile,
+            bucketCols = m.bucketCols, bucketN = m.bucketN)))
         return cur + 1
       attempt += 1
     }

@@ -1,0 +1,154 @@
+package graft.sources
+
+import graft.SparkSuite
+import graft.store.SnapshotStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** Storage-partitioned joins: two snapshot tables bucketed by the same
+  * key ([[SnapshotStore.bucketedCommit]]) join through the catalog with
+  * NO shuffle on either side — the scan reports
+  * `KeyGroupedPartitioning(bucket(n, col))`, the catalog serves the
+  * `bucket` function for transform resolution, and Spark zips matching
+  * bucket ids instead of exchanging 2× the data. The write-once
+  * shuffle amortized over every read is the fact⨝fact answer at
+  * 100 TB. */
+class StoragePartitionedJoinSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def shuffles(df: DataFrame): Int = {
+    df.collect() // settle AQE
+    var n = 0
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case _: ShuffleExchangeExec => n += 1
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+        case _ => ()
+      }
+      p.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    n
+  }
+
+  private def withSpjConfs(body: => Unit): Unit = {
+    val saved = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled"),
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a real (non-broadcast) join
+    try body
+    finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("co-bucketed snapshot tables join with ZERO shuffles; values exact") {
+    val wh = java.nio.file.Files.createTempDirectory("spj-wh").toString
+    spark.conf.set("spark.sql.catalog.spjcat", classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjcat.warehouse", wh)
+    try withSpjConfs {
+      val orders = graft.sources.Tables.orders(spark, sf("sf0.01"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val lineitem = graft.sources.Tables.lineitem(spark, sf("sf0.01"))
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+      SnapshotStore.bucketedCommit(orders, s"$wh/fact/orders_b", Seq("o_orderkey"), 8)
+      SnapshotStore.bucketedCommit(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        s"$wh/fact/lineitem_b", Seq("o_orderkey"), 8)
+
+      val joined = spark.sql(
+        """SELECT o.o_orderkey, o.o_totalprice, l.l_quantity
+           FROM spjcat.fact.orders_b o JOIN spjcat.fact.lineitem_b l
+           USING (o_orderkey)""")
+      val nShuffles = shuffles(joined)
+      assert(nShuffles === 0,
+        s"co-bucketed join should be storage-partitioned (0 exchanges), saw $nShuffles:\n" +
+          joined.queryExecution.executedPlan)
+
+      val expect = orders.join(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
+        .selectExpr("o_orderkey", "o_totalprice", "l_quantity")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sorted.toSeq
+      val got = joined
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sorted.toSeq
+      assert(got === expect)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjcat.warehouse")
+      spark.conf.unset("spark.sql.catalog.spjcat")
+    }
+  }
+
+  test("control: the same join over UNBUCKETED snapshot tables shuffles both sides") {
+    val wh = java.nio.file.Files.createTempDirectory("spj-wh-ctl").toString
+    spark.conf.set("spark.sql.catalog.spjctl", classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjctl.warehouse", wh)
+    try withSpjConfs {
+      val orders = graft.sources.Tables.orders(spark, sf("sf0.01"))
+        .select("o_orderkey", "o_totalprice")
+      SnapshotStore.commit(orders, s"$wh/fact/plain_a")
+      SnapshotStore.commit(orders.withColumnRenamed("o_totalprice", "p2"), s"$wh/fact/plain_b")
+      val joined = spark.sql(
+        "SELECT a.o_orderkey FROM spjctl.fact.plain_a a JOIN spjctl.fact.plain_b b USING (o_orderkey)")
+      assert(shuffles(joined) >= 2, "unbucketed join should exchange both sides")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjctl.warehouse")
+      spark.conf.unset("spark.sql.catalog.spjctl")
+    }
+  }
+
+  test("aggregation on the bucket key over a bucketed table plans without a shuffle") {
+    val wh = java.nio.file.Files.createTempDirectory("spj-agg").toString
+    spark.conf.set("spark.sql.catalog.spjagg", classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjagg.warehouse", wh)
+    try withSpjConfs {
+      val orders = graft.sources.Tables.orders(spark, sf("sf0.01"))
+        .select("o_orderkey", "o_totalprice")
+      SnapshotStore.bucketedCommit(orders, s"$wh/fact/ob", Seq("o_orderkey"), 8)
+      val agg = spark.sql(
+        "SELECT o_orderkey, sum(o_totalprice) AS v FROM spjagg.fact.ob GROUP BY o_orderkey")
+      val n = shuffles(agg)
+      assert(n === 0,
+        s"groupBy on the bucket key should reuse the storage partitioning, saw $n:\n" +
+          agg.queryExecution.executedPlan)
+      assert(agg.count() === orders.select("o_orderkey").distinct().count())
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjagg.warehouse")
+      spark.conf.unset("spark.sql.catalog.spjagg")
+    }
+  }
+
+  test("bucket function matches the writer's route exactly (HashPartitioning parity)") {
+    val bound = BucketFunction.bind(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+    // the authority: where repartition(n, col) actually sent each key
+    val n = 8
+    val placed = spark.range(0, 1000).toDF("k")
+      .repartition(n, col("k"))
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    placed.foreach { case (k, pid) =>
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](n, k))
+      assert(bound.produceResult(row) === pid, s"bucket($n, $k) diverged from repartition")
+    }
+  }
+
+  test("bucket layout survives a delete commit and is dropped by append") {
+    val t = java.nio.file.Files.createTempDirectory("spj-inherit").toString + "/t"
+    SnapshotStore.bucketedCommit(spark.range(100).toDF("id"), t, Seq("id"), 4)
+    assert(SnapshotStore.manifest(spark, t, 0L).bucketN === 4)
+    SnapshotStore.deleteCommit(spark, t, Seq("id"), col("id") < 10)
+    val m1 = SnapshotStore.manifest(spark, t, 1L)
+    assert(m1.bucketN === 4 && m1.bucketCols === Seq("id"), "delete must keep the layout")
+    SnapshotStore.commit(spark.range(100).toDF("id"), t) // clears DVs
+    SnapshotStore.appendCommit(spark.range(100, 110).toDF("id"), t)
+    assert(SnapshotStore.manifest(spark, t, 3L).bucketN === 0,
+      "append must drop the stale co-location promise")
+  }
+}
