@@ -149,11 +149,10 @@ final class SnapshotCatalog extends TableCatalog
   override def stageCreate(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: JMap[String, String]): org.apache.spark.sql.connector.catalog.StagedTable = {
-    if (partitions.nonEmpty) throw new UnsupportedOperationException(
-      "snapshot tables are unpartitioned (row-group stats skipping covers pruning)")
+    val bucket = SnapshotCatalog.bucketSpecOf(partitions)
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
-    new StagedSnapshotTable(tableRoot(ident), schema, replace = false)
+    new StagedSnapshotTable(tableRoot(ident), schema, replace = false, bucket = bucket)
   }
 
   /** RTAS (`REPLACE TABLE ... AS SELECT`): same staging, published as
@@ -161,18 +160,16 @@ final class SnapshotCatalog extends TableCatalog
   override def stageReplace(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: JMap[String, String]): org.apache.spark.sql.connector.catalog.StagedTable = {
-    if (partitions.nonEmpty) throw new UnsupportedOperationException(
-      "snapshot tables are unpartitioned (row-group stats skipping covers pruning)")
+    val bucket = SnapshotCatalog.bucketSpecOf(partitions)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    new StagedSnapshotTable(tableRoot(ident), schema, replace = true)
+    new StagedSnapshotTable(tableRoot(ident), schema, replace = true, bucket = bucket)
   }
 
   override def stageCreateOrReplace(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: JMap[String, String]): org.apache.spark.sql.connector.catalog.StagedTable = {
-    if (partitions.nonEmpty) throw new UnsupportedOperationException(
-      "snapshot tables are unpartitioned (row-group stats skipping covers pruning)")
-    new StagedSnapshotTable(tableRoot(ident), schema, replace = true)
+    val bucket = SnapshotCatalog.bucketSpecOf(partitions)
+    new StagedSnapshotTable(tableRoot(ident), schema, replace = true, bucket = bucket)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
@@ -189,18 +186,56 @@ final class SnapshotCatalog extends TableCatalog
     throw new UnsupportedOperationException("rename is not supported for snapshot tables")
 }
 
+private[sources] object SnapshotCatalog {
+  /** Parse `PARTITIONED BY` transforms into the one layout snapshot
+    * tables support: a SINGLE `bucket(n, cols...)` over top-level
+    * columns (rows co-locate by key; the scan reports the matching
+    * KeyGroupedPartitioning for storage-partitioned joins). Identity
+    * partitioning stays refused — row-group stats skipping covers
+    * value pruning without directory layouts. */
+  def bucketSpecOf(partitions: Array[Transform]): Option[(Seq[String], Int)] = {
+    if (partitions.isEmpty) return None
+    if (partitions.length > 1) throw new UnsupportedOperationException(
+      "snapshot tables support at most one PARTITIONED BY transform: bucket(n, cols...)")
+    val t = partitions.head
+    if (t.name != "bucket") throw new UnsupportedOperationException(
+      s"snapshot tables support only bucket(n, cols...) partitioning " +
+        s"(row-group stats skipping covers value pruning); got ${t.describe}")
+    val n = t.arguments.collectFirst {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_]
+          if l.value.isInstanceOf[Int] => l.value.asInstanceOf[Int]
+    }.getOrElse(throw new IllegalArgumentException(s"bucket transform without a count: ${t.describe}"))
+    val cols = t.arguments.toSeq.collect {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+        require(r.fieldNames.length == 1,
+          s"bucket columns must be top-level, got ${r.describe}")
+        r.fieldNames.head
+    }
+    require(cols.nonEmpty, s"bucket transform without columns: ${t.describe}")
+    Some((cols, n))
+  }
+}
+
 /** The staged side of CTAS/RTAS: collects the query's committed part
   * files through the ordinary snapshot writer, then publishes them as
   * ONE file-granular manifest when Spark calls `commitStagedChanges` —
   * before that marker rename the table (or the new version) does not
   * exist for any reader. */
 private[sources] final class StagedSnapshotTable(
-    root: String, tableSchema: StructType, replace: Boolean)
+    root: String, tableSchema: StructType, replace: Boolean,
+    bucket: Option[(Seq[String], Int)] = None)
     extends org.apache.spark.sql.connector.catalog.StagedTable
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
   import graft.store.SnapshotStore
+
+  bucket.foreach { case (cols, n) =>
+    require(n > 0, s"bucket count must be positive, got $n")
+    val missing = cols.filterNot(c => tableSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    require(missing.isEmpty,
+      s"bucket columns ${missing.mkString(", ")} not in the CTAS schema ${tableSchema.fieldNames.mkString(", ")}")
+  }
 
   private def spark = SparkSession.active
   private val stagedDir =
@@ -217,7 +252,25 @@ private[sources] final class StagedSnapshotTable(
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder
       with org.apache.spark.sql.connector.write.SupportsTruncate {
     override def truncate(): WriteBuilder = this // RTAS truncates; staging is already a replace
-    override def build(): Write = new Write {
+    override def build(): Write = new Write
+        with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+      // a bucketed CTAS asks Spark to cluster the query by the bucket
+      // columns into EXACTLY n partitions — HashPartitioning(cols, n)
+      // makes partition id = pmod(murmur3(cols), n) = the bucket id,
+      // and each write task's `part-<id>` file name carries it; an
+      // unbucketed CTAS leaves the query's distribution alone
+      override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+        bucket match {
+          case Some((cols, _)) =>
+            org.apache.spark.sql.connector.distributions.Distributions.clustered(
+              cols.map(c => org.apache.spark.sql.connector.expressions.Expressions.column(c)
+                : org.apache.spark.sql.connector.expressions.Expression).toArray)
+          case None =>
+            org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+        }
+      override def requiredNumPartitions(): Int = bucket.map(_._2).getOrElse(0)
+      override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+        Array.empty
       override def toBatch: BatchWrite = new BatchWrite {
         override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DataWriterFactory = {
           val p = new Path(stagedDir)
@@ -243,17 +296,23 @@ private[sources] final class StagedSnapshotTable(
   }
 
   override def commitStagedChanges(): Unit = {
+    val (bCols, bN) = bucket.getOrElse((Seq.empty[String], 0))
     if (replace) {
       // SnapshotDataWriter never truncates stats
-      SnapshotStore.rewriteFilesCommit(spark, root, stagedFiles, statsExact = true)
+      SnapshotStore.rewriteFilesCommit(spark, root, stagedFiles, statsExact = true,
+        bucketCols = bCols, bucketN = bN)
       ()
-    } else if (!SnapshotStore.tryPublishManifest(spark, root, 0L,
-        SnapshotStore.Manifest("", Nil, Nil, ts = System.currentTimeMillis(),
-          files = stagedFiles, op = "ctas", statsExact = true))) {
-      abortStagedChanges()
-      throw new IllegalStateException(
-        s"CREATE TABLE AS SELECT lost a concurrent-create race on $root " +
-          "(the table now exists; use CREATE OR REPLACE to overwrite)")
+    } else {
+      val stats = graft.store.FileStats.sidecarFor(spark, root, stagedFiles, None, exact = true)
+      if (!SnapshotStore.tryPublishManifest(spark, root, 0L,
+          SnapshotStore.Manifest("", Nil, Nil, ts = System.currentTimeMillis(),
+            files = stagedFiles, op = "ctas", statsExact = true, statsFile = stats,
+            bucketCols = bCols, bucketN = bN))) {
+        abortStagedChanges()
+        throw new IllegalStateException(
+          s"CREATE TABLE AS SELECT lost a concurrent-create race on $root " +
+            "(the table now exists; use CREATE OR REPLACE to overwrite)")
+      }
     }
   }
 

@@ -373,7 +373,9 @@ object SnapshotStore {
       files: Seq[String],
       statsExact: Boolean,
       op: String = "rewrite",
-      srcV: Long = -1L): Long = {
+      srcV: Long = -1L,
+      bucketCols: Seq[String] = Nil,
+      bucketN: Int = 0): Long = {
     var next = currentVersion(spark, table).map(_ + 1).getOrElse(0L)
     // copy-forward-aware: a caller whose file list keeps most of the
     // head's files (copy-on-write shapes) only pays footers for the new
@@ -382,7 +384,7 @@ object SnapshotStore {
     val stats = FileStats.sidecarFor(spark, table, files, pred, statsExact)
     while (!tryPublishManifest(spark, table, next,
         Manifest("", Nil, Nil, files = files, op = op, statsExact = statsExact, srcV = srcV,
-          statsFile = stats)))
+          statsFile = stats, bucketCols = bucketCols, bucketN = bucketN)))
       next += 1 // staged data stays valid as a later version
     next
   }

@@ -139,6 +139,41 @@ class StoragePartitionedJoinSpec extends SparkSuite {
     }
   }
 
+  test("SQL CTAS with PARTITIONED BY (bucket(n, key)) creates a co-locatable table") {
+    val wh = java.nio.file.Files.createTempDirectory("spj-ctas").toString
+    spark.conf.set("spark.sql.catalog.spjc", classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjc.warehouse", wh)
+    try withSpjConfs {
+      val orders = graft.sources.Tables.orders(spark, sf("sf0.01"))
+      SnapshotStore.commit(orders, s"$wh/fact/orders_src")
+      spark.sql(
+        """CREATE TABLE spjc.fact.orders_ctas
+           PARTITIONED BY (bucket(8, o_orderkey))
+           AS SELECT o_orderkey, o_totalprice FROM spjc.fact.orders_src""")
+      val m = SnapshotStore.manifest(spark, s"$wh/fact/orders_ctas", 0L)
+      assert(m.bucketN === 8 && m.bucketCols === Seq("o_orderkey"), s"layout not recorded: $m")
+      assert(m.statsFile.nonEmpty, "CTAS v0 must carry a stats sidecar")
+      // rows landed in their hash buckets: joins against a bucketedCommit
+      // twin plan shuffle-free AND value-exact
+      SnapshotStore.bucketedCommit(
+        orders.select(col("o_orderkey"), col("o_orderpriority")),
+        s"$wh/fact/orders_twin", Seq("o_orderkey"), 8)
+      val j = spark.sql(
+        """SELECT a.o_orderkey, b.o_orderpriority FROM spjc.fact.orders_ctas a
+           JOIN spjc.fact.orders_twin b USING (o_orderkey)""")
+      assert(shuffles(j) === 0, s"CTAS-bucketed join shuffled:\n${j.queryExecution.executedPlan}")
+      assert(j.count() === orders.count())
+      // identity partitioning stays refused, with guidance
+      val e = intercept[Exception](spark.sql(
+        """CREATE TABLE spjc.fact.bad PARTITIONED BY (o_orderkey)
+           AS SELECT o_orderkey FROM spjc.fact.orders_src"""))
+      assert(e.getMessage.contains("bucket"), s"refusal should name the supported layout: ${e.getMessage}")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjc.warehouse")
+      spark.conf.unset("spark.sql.catalog.spjc")
+    }
+  }
+
   test("bucket layout survives a delete commit and is dropped by append") {
     val t = java.nio.file.Files.createTempDirectory("spj-inherit").toString + "/t"
     SnapshotStore.bucketedCommit(spark.range(100).toDF("id"), t, Seq("id"), 4)
