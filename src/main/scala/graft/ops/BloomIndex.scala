@@ -66,7 +66,8 @@ object BloomIndex {
     * the same metadata-only pattern as [[Zorder.selectFiles]]. */
   def selectFiles(spark: SparkSession, path: String, key: Long): Seq[String] = {
     val hashed = XxHash64(Seq(Literal(key)), Seed).eval(InternalRow.empty).asInstanceOf[Long]
-    spark.read.parquet(s"$path/_bindex").collect().toSeq
+    // explicit file list, not the underscore dir root — see Zorder.fileStats
+    spark.read.parquet(Zorder.indexFiles(spark, s"$path/_bindex"): _*).collect().toSeq
       .filter { r =>
         val bytes = r.getAs[Array[Byte]]("bloom")
         bytes != null && org.apache.spark.util.sketch.BloomFilter

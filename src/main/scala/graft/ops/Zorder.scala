@@ -95,9 +95,21 @@ object Zorder {
       .write.mode("overwrite").parquet(s"$path/_zindex")
   }
 
-  /** The per-file stats index written by [[writeFileStats]]. */
+  /** The per-file stats index written by [[writeFileStats]]. Read by
+    * EXPLICIT file list: handing Spark the underscore-named dir as a
+    * root makes its listing log a spurious "All paths were ignored"
+    * warning for every index read (the data still loads — base paths
+    * are exempt from the hidden-file filter, their log line is not). */
   def fileStats(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/_zindex")
+    spark.read.parquet(indexFiles(spark, s"$path/_zindex"): _*)
+
+  private[ops] def indexFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+  }
 
   /** Scan `path` reading ONLY files whose min/max envelope intersects
     * every `[lo, hi]` range in `ranges`, then re-apply the exact
