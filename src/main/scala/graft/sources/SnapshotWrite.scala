@@ -55,8 +55,34 @@ private[sources] final class SnapshotWriteBuilder(
 }
 
 private[sources] final class SnapshotWrite(
-    tablePath: String, schema: StructType, append: Boolean) extends Write {
-  override def toBatch: BatchWrite = new SnapshotBatchWrite(tablePath, schema, append)
+    tablePath: String, schema: StructType, append: Boolean) extends Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  /** The head's bucketed layout, resolved ONCE at write build: when
+    * present, the write requires the input clustered by the bucket
+    * columns into EXACTLY n partitions — HashPartitioning makes the
+    * write-task id the bucket id, the staged `part-<id>` names carry
+    * it, and the committed manifest keeps the `bucket=` tag, so
+    * `INSERT INTO` / `INSERT OVERWRITE` / the streaming sink all
+    * PRESERVE co-location instead of silently dropping it. */
+  private[sources] val bucketSpec: Option[(Seq[String], Int)] =
+    SnapshotStore.currentVersion(SparkSession.active, tablePath)
+      .map(v => SnapshotStore.manifest(SparkSession.active, tablePath, v))
+      .filter(_.bucketN > 0).map(m => (m.bucketCols, m.bucketN))
+
+  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+    bucketSpec match {
+      case Some((cols, _)) =>
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          cols.map(c => org.apache.spark.sql.connector.expressions.Expressions.column(c)
+            : org.apache.spark.sql.connector.expressions.Expression).toArray)
+      case None => org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    }
+  override def requiredNumPartitions(): Int = bucketSpec.map(_._2).getOrElse(0)
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
+
+  override def toBatch: BatchWrite = new SnapshotBatchWrite(tablePath, schema, append, bucketSpec)
 
   /** Structured Streaming SINK: each micro-batch commits as one
     * O(new-files) append version, EXACTLY-ONCE — the epoch id rides the
@@ -75,11 +101,13 @@ private[sources] final class SnapshotWrite(
     if (!append) throw new UnsupportedOperationException(
       "graft-snapshot streaming sink supports APPEND output mode only " +
         "(complete/update rewrite the table every batch — use batch INSERT OVERWRITE)")
-    new SnapshotStreamingWrite(tablePath, schema)
+    new SnapshotStreamingWrite(tablePath, schema, bucketSpec)
   }
 }
 
-private[sources] final class SnapshotStreamingWrite(tablePath: String, schema: StructType)
+private[sources] final class SnapshotStreamingWrite(
+    tablePath: String, schema: StructType,
+    bucketSpec: Option[(Seq[String], Int)] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private val spark = SparkSession.active
@@ -115,7 +143,7 @@ private[sources] final class SnapshotStreamingWrite(tablePath: String, schema: S
     }
     if (committed.nonEmpty)
       SnapshotStore.appendFilesCommit(spark, tablePath, committed,
-        stagedExact = true, srcV = epochId)
+        stagedExact = true, srcV = epochId, routedBucket = bucketSpec)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -136,7 +164,8 @@ private[sources] final class SnapshotStreamingWriterFactory(
 }
 
 private[sources] final class SnapshotBatchWrite(
-    tablePath: String, schema: StructType, append: Boolean)
+    tablePath: String, schema: StructType, append: Boolean,
+    bucketSpec: Option[(Seq[String], Int)] = None)
     extends BatchWrite {
 
   private val spark = SparkSession.active
@@ -168,9 +197,12 @@ private[sources] final class SnapshotBatchWrite(
     // one shared home for both publish protocols (SnapshotDataWriter
     // never truncates stats, so the staged side is always exact)
     if (append)
-      SnapshotStore.appendFilesCommit(spark, tablePath, committed, stagedExact = true)
+      SnapshotStore.appendFilesCommit(spark, tablePath, committed, stagedExact = true,
+        routedBucket = bucketSpec)
     else
-      SnapshotStore.rewriteFilesCommit(spark, tablePath, committed, statsExact = true)
+      SnapshotStore.rewriteFilesCommit(spark, tablePath, committed, statsExact = true,
+        bucketCols = bucketSpec.map(_._1).getOrElse(Nil),
+        bucketN = bucketSpec.map(_._2).getOrElse(0))
     ()
   }
 

@@ -260,10 +260,13 @@ object SnapshotStore {
     * metadata. The connector's catalog exposes the SAME hash as a V2
     * `bucket` function so Spark can verify transform compatibility.
     *
-    * The layout survives delete commits (data unchanged) but NOT
-    * append/merge/compaction — those drop the `bucket=` tag rather
-    * than silently serving a stale co-location promise; re-establish
-    * with a fresh [[bucketedCommit]]. */
+    * The layout survives delete commits (data unchanged) AND appends —
+    * [[appendCommit]] and the DSv2 `INSERT INTO`/streaming-sink paths
+    * route each batch through the same hash before staging, so
+    * incremental loads keep the co-location. MERGE and compaction drop
+    * the `bucket=` tag (their rewrites don't honor the route) rather
+    * than serve a stale promise; re-establish with a fresh
+    * [[bucketedCommit]]. */
   def bucketedCommit(df: DataFrame, table: String, cols: Seq[String], n: Int): Long = {
     require(cols.nonEmpty && n > 0, s"bucketedCommit needs columns and a positive count")
     val spark = df.sparkSession
@@ -316,12 +319,22 @@ object SnapshotStore {
           "exists; evolve through a full rewrite (SnapshotStore.commit), then append")
       baseMap != gotMap
     }
+    // appending to a BUCKETED table routes the batch through the same
+    // hash before staging, so the layout (and every storage-partitioned
+    // join against it) survives incremental loads
+    val spec = currentVersion(spark, table).map(v => manifest(spark, table, v))
+      .filter(_.bucketN > 0).map(m => (m.bucketCols, m.bucketN))
+    val routed = spec match {
+      case Some((cols, n)) =>
+        df.repartition(n, cols.map(org.apache.spark.sql.functions.col): _*)
+      case None => df
+    }
     val stageDir =
       s"$table/v=${currentVersion(spark, table).map(_ + 1).getOrElse(0L)}__${token()}"
-    df.write.mode("overwrite").parquet(stageDir)
+    routed.write.mode("overwrite").parquet(stageDir)
     val staged = dataFiles(spark, Manifest(stageDir, Nil, Nil))
     appendFilesCommit(spark, table, staged, writerStatsExact(spark), maxAttempts, srcV,
-      mixedSchema = evolving)
+      mixedSchema = evolving, routedBucket = spec)
   }
 
   /** Low-level shared append publish: CAS-link the current head's files
@@ -336,7 +349,8 @@ object SnapshotStore {
       stagedExact: Boolean,
       maxAttempts: Int = 8,
       srcV: Long = -1L,
-      mixedSchema: Boolean = false): Long = {
+      mixedSchema: Boolean = false,
+      routedBucket: Option[(Seq[String], Int)] = None): Long = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val (next, base, m0) = currentVersion(spark, table) match {
@@ -354,11 +368,19 @@ object SnapshotStore {
       // staged files' footers are read (CAS loser's sidecar orphans →
       // vacuum collects it like a defeated staged dir)
       val stats = FileStats.sidecarFor(spark, table, base ++ stagedFiles, m0, stagedExact)
+      // a bucketed layout survives the append ONLY when the caller
+      // routed the staged rows with the head's EXACT spec (a concurrent
+      // re-bucketing between route and commit drops the tag instead of
+      // claiming a co-location the staged files don't honor)
+      val keptSpec = routedBucket.filter(spec =>
+        m0.exists(m => m.bucketN == spec._2 && m.bucketCols == spec._1))
       if (tryPublishManifest(spark, table, next,
           Manifest("", Nil, Nil, files = base ++ stagedFiles, op = "append",
             statsExact = m0.forall(_.statsExact) && stagedExact, srcV = srcV,
             mixedSchema = mixedSchema || m0.exists(_.mixedSchema), // sticky once evolved
-            statsFile = stats)))
+            statsFile = stats,
+            bucketCols = keptSpec.map(_._1).getOrElse(Nil),
+            bucketN = keptSpec.map(_._2).getOrElse(0))))
         return next
       attempt += 1 // CAS lost: re-link the SAME staged files against the new head
     }

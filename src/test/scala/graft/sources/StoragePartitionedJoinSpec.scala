@@ -121,6 +121,45 @@ class StoragePartitionedJoinSpec extends SparkSuite {
     }
   }
 
+  test("streaming sink into a bucketed table routes rows and keeps the layout — or drops it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("spj-stream").toString
+    val t = s"$root/t"
+    val ckpt = s"$root/ckpt"
+    SnapshotStore.bucketedCommit(spark.range(0).toDF("id"), t, Seq("id"), 4)
+    val input = MemoryStream[Long]
+    val q = input.toDF().selectExpr("value AS id")
+      .writeStream.format("graft-snapshot").option("path", t)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      input.addData(0L until 64L: _*); q.processAllAvailable()
+    } finally q.stop()
+    val head = SnapshotStore.manifest(spark, t,
+      SnapshotStore.currentVersion(spark, t).get)
+    assert(SnapshotStore.read(spark, t).count() === 64)
+    if (head.bucketN > 0) {
+      // the tag survived — then EVERY file's rows must hash to its id
+      // (a kept tag over mis-routed files would silently corrupt
+      // storage-partitioned joins)
+      val bound = BucketFunction.bind(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+      graft.store.SnapshotStore.dataFiles(spark, head).foreach { f =>
+        val id = SnapshotScan.bucketIdOf(f, head.bucketN)
+        assert(id >= 0, s"bucketed manifest holds an unmapped file: $f")
+        spark.read.parquet(f).collect().foreach { r =>
+          val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](head.bucketN, r.getLong(0)))
+          assert(bound.produceResult(row) === id,
+            s"row ${r.getLong(0)} mis-routed into bucket file $f")
+        }
+      }
+    }
+  }
+
   test("bucket function matches the writer's route exactly (HashPartitioning parity)") {
     val bound = BucketFunction.bind(org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.IntegerType),
@@ -174,16 +213,51 @@ class StoragePartitionedJoinSpec extends SparkSuite {
     }
   }
 
-  test("bucket layout survives a delete commit and is dropped by append") {
+  test("bucket layout survives delete AND append commits; plain rewrite drops it") {
     val t = java.nio.file.Files.createTempDirectory("spj-inherit").toString + "/t"
     SnapshotStore.bucketedCommit(spark.range(100).toDF("id"), t, Seq("id"), 4)
     assert(SnapshotStore.manifest(spark, t, 0L).bucketN === 4)
     SnapshotStore.deleteCommit(spark, t, Seq("id"), col("id") < 10)
     val m1 = SnapshotStore.manifest(spark, t, 1L)
     assert(m1.bucketN === 4 && m1.bucketCols === Seq("id"), "delete must keep the layout")
-    SnapshotStore.commit(spark.range(100).toDF("id"), t) // clears DVs
+    SnapshotStore.commit(spark.range(100).toDF("id"), t) // clears DVs... and the layout
+    assert(SnapshotStore.manifest(spark, t, 2L).bucketN === 0,
+      "a plain rewrite doesn't honor the route — the tag must drop")
+    // re-establish, then append: the batch routes through the same hash
+    // and the layout SURVIVES the incremental load
+    SnapshotStore.bucketedCommit(SnapshotStore.read(spark, t), t, Seq("id"), 4)
     SnapshotStore.appendCommit(spark.range(100, 110).toDF("id"), t)
-    assert(SnapshotStore.manifest(spark, t, 3L).bucketN === 0,
-      "append must drop the stale co-location promise")
+    val m4 = SnapshotStore.manifest(spark, t, 4L)
+    assert(m4.bucketN === 4 && m4.op === "append", s"append must keep the routed layout: $m4")
+    assert(SnapshotStore.read(spark, t).count() === 110)
+  }
+
+  test("appended rows land in their hash buckets: the grown table still joins shuffle-free") {
+    val wh = java.nio.file.Files.createTempDirectory("spj-grow").toString
+    spark.conf.set("spark.sql.catalog.spjg", classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjg.warehouse", wh)
+    try withSpjConfs {
+      val orders = graft.sources.Tables.orders(spark, sf("sf0.01"))
+        .select("o_orderkey", "o_totalprice")
+      val (gen1, gen2) = (orders.filter(col("o_orderkey") % 2 === 0),
+        orders.filter(col("o_orderkey") % 2 =!= 0))
+      SnapshotStore.bucketedCommit(gen1, s"$wh/f/grow", Seq("o_orderkey"), 8)
+      SnapshotStore.bucketedCommit(
+        orders.select(col("o_orderkey")), s"$wh/f/twin", Seq("o_orderkey"), 8)
+      // grow via the DSv2 SQL surface — the write itself must route
+      gen2.createOrReplaceTempView("spj_gen2")
+      spark.sql("INSERT INTO spjg.f.grow SELECT * FROM spj_gen2")
+      val m = SnapshotStore.manifest(spark, s"$wh/f/grow", 1L)
+      assert(m.op === "append" && m.bucketN === 8, s"INSERT INTO dropped the layout: $m")
+      val j = spark.sql(
+        "SELECT a.o_orderkey, a.o_totalprice FROM spjg.f.grow a JOIN spjg.f.twin b USING (o_orderkey)")
+      assert(shuffles(j) === 0, s"grown bucketed join shuffled:\n${j.queryExecution.executedPlan}")
+      val got = j.collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+      val expect = orders.collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+      assert(got === expect, "appended generation must join value-exact")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjg.warehouse")
+      spark.conf.unset("spark.sql.catalog.spjg")
+    }
   }
 }
