@@ -160,6 +160,20 @@ class StoragePartitionedJoinSpec extends SparkSuite {
     }
   }
 
+  test("path-based reads of bucketed tables degrade gracefully (no catalog = no SPJ, still exact)") {
+    val t = java.nio.file.Files.createTempDirectory("spj-path").toString + "/t"
+    withSpjConfs {
+      SnapshotStore.bucketedCommit(
+        spark.range(0, 500).toDF("id").withColumn("v", col("id") * 2), t, Seq("id"), 4)
+      // a path-based load has no FunctionCatalog to resolve bucket(n, id)
+      // against — Spark must plan WITHOUT key grouping, not crash
+      val df = spark.read.format("graft-snapshot").option("path", t).load()
+      val joined = df.join(df.withColumnRenamed("v", "v2"), "id")
+      assert(joined.count() === 500)
+      assert(df.filter(col("id") === 123L).count() === 1)
+    }
+  }
+
   test("bucket function matches the writer's route exactly (HashPartitioning parity)") {
     val bound = BucketFunction.bind(org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.IntegerType),
