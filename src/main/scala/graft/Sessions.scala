@@ -59,6 +59,12 @@ object Sessions {
       // partitioned overwrites replace only the partitions present in the
       // incoming batch (idempotent re-runs), never the whole table
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // storage-partitioned joins are a default capability: scans of
+      // BUCKETED snapshot tables key-group and co-bucketed joins elide
+      // their exchanges; scans of everything else are unaffected. Set
+      // session-wide so the whole corpus runs (and is verified) under
+      // one planner configuration.
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       // catalog tables (bucketed-join demo) land in a temp warehouse,
       // never the working directory
       .config("spark.sql.warehouse.dir",

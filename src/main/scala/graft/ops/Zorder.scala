@@ -103,13 +103,11 @@ object Zorder {
   def fileStats(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(indexFiles(spark, s"$path/_zindex"): _*)
 
-  private[ops] def indexFiles(spark: SparkSession, dir: String): Seq[String] = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toString)
-  }
+  /** Top-level parquet listing — ONE home: the store's dir-granular
+    * manifest resolution (keeps the two filters from drifting). */
+  private[ops] def indexFiles(spark: SparkSession, dir: String): Seq[String] =
+    graft.store.SnapshotStore.dataFiles(
+      spark, graft.store.SnapshotStore.Manifest(dir, Nil, Nil))
 
   /** Scan `path` reading ONLY files whose min/max envelope intersects
     * every `[lo, hi]` range in `ranges`, then re-apply the exact

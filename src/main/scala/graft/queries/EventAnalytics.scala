@@ -670,7 +670,7 @@ object EventAnalytics {
       .digest(wh.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.SnapshotCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
-    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // v2 bucketing is a session default (graft.Sessions) — no conf flip here
     s.sql(
       s"""SELECT o.o_orderpriority,
                  CAST(count(*) AS BIGINT) AS n_items,

@@ -20,6 +20,29 @@ import org.apache.spark.unsafe.hash.Murmur3_x86_32
   *
   * `canonicalName` is the compatibility token two join sides compare;
   * it is stable across catalog instances by construction. */
+/** Shared write-side distribution for bucketed layouts — ONE home for
+  * the "cluster by the bucket columns into EXACTLY n partitions"
+  * requirement (HashPartitioning then makes the write-task id the
+  * bucket id), so the CTAS staging path and the INSERT/streaming path
+  * can never route rows differently while stamping the same
+  * `bucket=` tag. */
+private[sources] trait BucketDistribution
+    extends org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  def bucketSpec: Option[(Seq[String], Int)]
+
+  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+    bucketSpec match {
+      case Some((cols, _)) =>
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          cols.map(c => org.apache.spark.sql.connector.expressions.Expressions.column(c)
+            : org.apache.spark.sql.connector.expressions.Expression).toArray)
+      case None => org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    }
+  override def requiredNumPartitions(): Int = bucketSpec.map(_._2).getOrElse(0)
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
+}
+
 object BucketFunction extends UnboundFunction {
 
   override def name(): String = "bucket"
@@ -37,9 +60,13 @@ object BucketFunction extends UnboundFunction {
   }
 
   override def bind(inputType: StructType): BoundFunction = {
-    require(inputType.fields.length >= 2,
+    // every refusal is UnsupportedOperationException — the soft-failure
+    // type Spark's function resolution treats as "plan without this",
+    // so a direct SQL invocation gets the designed refusal, not a raw
+    // IllegalArgumentException
+    if (inputType.fields.length < 2) throw new UnsupportedOperationException(
       s"bucket expects (numBuckets, col, ...), got $inputType")
-    require(inputType.fields.head.dataType == IntegerType,
+    if (inputType.fields.head.dataType != IntegerType) throw new UnsupportedOperationException(
       s"bucket's first argument is the bucket count (int), got ${inputType.fields.head.dataType}")
     val keyTypes = inputType.fields.tail.map(_.dataType)
     keyTypes.foreach(t => if (!hashable(t)) throw new UnsupportedOperationException(

@@ -252,25 +252,10 @@ private[sources] final class StagedSnapshotTable(
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder
       with org.apache.spark.sql.connector.write.SupportsTruncate {
     override def truncate(): WriteBuilder = this // RTAS truncates; staging is already a replace
-    override def build(): Write = new Write
-        with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
-      // a bucketed CTAS asks Spark to cluster the query by the bucket
-      // columns into EXACTLY n partitions — HashPartitioning(cols, n)
-      // makes partition id = pmod(murmur3(cols), n) = the bucket id,
-      // and each write task's `part-<id>` file name carries it; an
-      // unbucketed CTAS leaves the query's distribution alone
-      override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
-        bucket match {
-          case Some((cols, _)) =>
-            org.apache.spark.sql.connector.distributions.Distributions.clustered(
-              cols.map(c => org.apache.spark.sql.connector.expressions.Expressions.column(c)
-                : org.apache.spark.sql.connector.expressions.Expression).toArray)
-          case None =>
-            org.apache.spark.sql.connector.distributions.Distributions.unspecified()
-        }
-      override def requiredNumPartitions(): Int = bucket.map(_._2).getOrElse(0)
-      override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-        Array.empty
+    override def build(): Write = new Write with BucketDistribution {
+      // a bucketed CTAS shares the write-side routing contract with the
+      // INSERT/streaming paths ([[BucketDistribution]] — one home)
+      override def bucketSpec: Option[(Seq[String], Int)] = bucket
       override def toBatch: BatchWrite = new BatchWrite {
         override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DataWriterFactory = {
           val p = new Path(stagedDir)

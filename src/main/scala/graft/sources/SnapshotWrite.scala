@@ -56,31 +56,19 @@ private[sources] final class SnapshotWriteBuilder(
 
 private[sources] final class SnapshotWrite(
     tablePath: String, schema: StructType, append: Boolean) extends Write
-    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+    with BucketDistribution {
 
   /** The head's bucketed layout, resolved ONCE at write build: when
-    * present, the write requires the input clustered by the bucket
-    * columns into EXACTLY n partitions — HashPartitioning makes the
-    * write-task id the bucket id, the staged `part-<id>` names carry
-    * it, and the committed manifest keeps the `bucket=` tag, so
-    * `INSERT INTO` / `INSERT OVERWRITE` / the streaming sink all
-    * PRESERVE co-location instead of silently dropping it. */
-  private[sources] val bucketSpec: Option[(Seq[String], Int)] =
+    * present, [[BucketDistribution]] requires the input clustered by
+    * the bucket columns into EXACTLY n partitions — the staged
+    * `part-<id>` names then carry the bucket id and the committed
+    * manifest keeps the `bucket=` tag, so `INSERT INTO` /
+    * `INSERT OVERWRITE` / the streaming sink all PRESERVE co-location
+    * instead of silently dropping it. */
+  override val bucketSpec: Option[(Seq[String], Int)] =
     SnapshotStore.currentVersion(SparkSession.active, tablePath)
       .map(v => SnapshotStore.manifest(SparkSession.active, tablePath, v))
       .filter(_.bucketN > 0).map(m => (m.bucketCols, m.bucketN))
-
-  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
-    bucketSpec match {
-      case Some((cols, _)) =>
-        org.apache.spark.sql.connector.distributions.Distributions.clustered(
-          cols.map(c => org.apache.spark.sql.connector.expressions.Expressions.column(c)
-            : org.apache.spark.sql.connector.expressions.Expression).toArray)
-      case None => org.apache.spark.sql.connector.distributions.Distributions.unspecified()
-    }
-  override def requiredNumPartitions(): Int = bucketSpec.map(_._2).getOrElse(0)
-  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    Array.empty
 
   override def toBatch: BatchWrite = new SnapshotBatchWrite(tablePath, schema, append, bucketSpec)
 

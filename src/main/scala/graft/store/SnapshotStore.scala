@@ -305,7 +305,8 @@ object SnapshotStore {
     // records `schema=mixed` so every reader resolves the union schema
     // (mergeSchema) from then on; a TYPE CONFLICT on a shared column is
     // refused with rewrite guidance (no union schema exists)
-    val evolving = currentVersion(spark, table).exists { v =>
+    val headV = currentVersion(spark, table)
+    val evolving = headV.exists { v =>
       val baseMap = readVersion(spark, table, v).schema.fields
         .map(f => f.name -> f.dataType).toMap
       val gotMap = df.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -321,16 +322,27 @@ object SnapshotStore {
     }
     // appending to a BUCKETED table routes the batch through the same
     // hash before staging, so the layout (and every storage-partitioned
-    // join against it) survives incremental loads
-    val spec = currentVersion(spark, table).map(v => manifest(spark, table, v))
+    // join against it) survives incremental loads. Head resolved ONCE —
+    // each _commits listing is a driver round-trip on the hot
+    // incremental-load path
+    val head = headV
+    val spec = head.map(v => manifest(spark, table, v))
       .filter(_.bucketN > 0).map(m => (m.bucketCols, m.bucketN))
+    spec.foreach { case (cols, _) =>
+      val missing = cols.filterNot(c =>
+        df.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+      if (missing.nonEmpty) throw new UnsupportedOperationException(
+        s"append to BUCKETED table $table refused: the batch omits bucket column(s) " +
+          s"${missing.mkString(", ")}, so its rows cannot be routed to their buckets — " +
+          "include the column(s) (nulls route consistently), or drop the layout first " +
+          "with a plain rewrite (SnapshotStore.commit)")
+    }
     val routed = spec match {
       case Some((cols, n)) =>
         df.repartition(n, cols.map(org.apache.spark.sql.functions.col): _*)
       case None => df
     }
-    val stageDir =
-      s"$table/v=${currentVersion(spark, table).map(_ + 1).getOrElse(0L)}__${token()}"
+    val stageDir = s"$table/v=${head.map(_ + 1).getOrElse(0L)}__${token()}"
     routed.write.mode("overwrite").parquet(stageDir)
     val staged = dataFiles(spark, Manifest(stageDir, Nil, Nil))
     appendFilesCommit(spark, table, staged, writerStatsExact(spark), maxAttempts, srcV,

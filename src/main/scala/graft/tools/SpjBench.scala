@@ -17,6 +17,26 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.tools.SpjBench <sfDir> [buckets] [runs]
   */
 object SpjBench {
+
+  /** AQE-aware exchange count of an EXECUTED plan — runs the frame
+    * first so adaptive stages are final. ONE home for the walker (the
+    * plan-shape spec uses it too). */
+  def countExchanges(df: DataFrame): Int = {
+    df.collect()
+    var n = 0
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => n += 1
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+        case _ => ()
+      }
+      p.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    n
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/sf1")
     val buckets = args.lift(1).map(_.toInt).getOrElse(32)
@@ -37,22 +57,6 @@ object SpjBench {
     SnapshotStore.commit(orders.repartition(buckets), s"$wh/f/orders_p")
     SnapshotStore.commit(line.repartition(buckets), s"$wh/f/line_p")
 
-    def exchanges(df: DataFrame): Int = {
-      df.collect()
-      var n = 0
-      def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
-        p match {
-          case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => n += 1
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => walk(a.executedPlan)
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
-          case _ => ()
-        }
-        p.children.foreach(walk)
-      }
-      walk(df.queryExecution.executedPlan)
-      n
-    }
-
     def q(suffix: String): DataFrame = spark.sql(
       s"""SELECT count(*) AS n, sum(l.l_quantity * o.o_totalprice) AS v
           FROM spjb.f.orders_$suffix o JOIN spjb.f.line_$suffix l USING (o_orderkey)""")
@@ -63,8 +67,8 @@ object SpjBench {
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
     q("b").collect(); q("p").collect() // warm
-    val exB = exchanges(q("b"))
-    val exP = exchanges(q("p"))
+    val exB = countExchanges(q("b"))
+    val exP = countExchanges(q("p"))
     val tB = median((1 to runs).map(_ => time(q("b").collect())))
     val tP = median((1 to runs).map(_ => time(q("p").collect())))
     println(f"bucketed: median=$tB%.3f s exchanges=$exB")

@@ -3,7 +3,6 @@ package graft.sources
 import graft.SparkSuite
 import graft.store.SnapshotStore
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.functions._
 
 /** Storage-partitioned joins: two snapshot tables bucketed by the same
@@ -18,22 +17,7 @@ class StoragePartitionedJoinSpec extends SparkSuite {
 
   import spark.implicits._
 
-  private def shuffles(df: DataFrame): Int = {
-    df.collect() // settle AQE
-    var n = 0
-    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
-      p match {
-        case _: ShuffleExchangeExec => n += 1
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          walk(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
-        case _ => ()
-      }
-      p.children.foreach(walk)
-    }
-    walk(df.queryExecution.executedPlan)
-    n
-  }
+  private def shuffles(df: DataFrame): Int = graft.tools.SpjBench.countExchanges(df)
 
   private def withSpjConfs(body: => Unit): Unit = {
     val saved = Seq(
