@@ -99,8 +99,17 @@ object Bucketing {
     val next = cur + 1
     val outDir = SnapshotStore.versionDir(table, next)
     // readVersion (not the raw dir) so pending deletion vectors are
-    // materialized away by the rewrite, like any table format's compaction
-    SnapshotStore.readVersion(spark, table, cur).repartition(nOut)
+    // materialized away by the rewrite, like any table format's
+    // compaction. A BUCKETED table re-routes through its own hash
+    // instead of round-robin, so the big-hammer path (the documented
+    // remedy for DV-blocked appends) doesn't cost the table its
+    // storage-partitioned-join layout.
+    val mCur = SnapshotStore.manifest(spark, table, cur)
+    val rows = SnapshotStore.readVersion(spark, table, cur)
+    (if (mCur.bucketN > 0)
+       rows.repartition(mCur.bucketN,
+         mCur.bucketCols.map(org.apache.spark.sql.functions.col): _*)
+     else rows.repartition(nOut))
       .write.mode("overwrite").parquet(outDir)
     // publish a full manifest (not a bare marker) so the compacted
     // table keeps footer-free planning: fresh sidecar, op recorded
@@ -109,7 +118,8 @@ object Bucketing {
       None, SnapshotStore.writerStatsExact(spark))
     if (!SnapshotStore.tryPublishManifest(spark, table, next,
         SnapshotStore.Manifest(outDir, Nil, Nil, op = "compact",
-          statsExact = SnapshotStore.writerStatsExact(spark), statsFile = outStats)))
+          statsExact = SnapshotStore.writerStatsExact(spark), statsFile = outStats,
+          bucketCols = mCur.bucketCols, bucketN = mCur.bucketN)))
       throw new IllegalStateException(s"could not publish commit marker $next under $table")
     val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
@@ -161,8 +171,17 @@ object Bucketing {
     // union schema, which only WIDENS what the files already declared
     val reader =
       if (m.mixedSchema) spark.read.option("mergeSchema", "true") else spark.read
-    reader.parquet(small.map(_._1): _*)
-      .repartition(nOut)
+    val smallRows = reader.parquet(small.map(_._1): _*)
+    // BUCKETED tables compact without losing co-location: the small
+    // tail re-routes through the SAME hash (rows land back in their
+    // bucket = write partition = `part-<id>` name), so the merged
+    // output is still one-bucket-per-file and the `bucket=` tag keeps
+    // its storage-partitioned-join promise. Unbucketed tables merge
+    // round-robin to the byte-derived output count.
+    (if (m.bucketN > 0)
+       smallRows.repartition(m.bucketN,
+         m.bucketCols.map(org.apache.spark.sql.functions.col): _*)
+     else smallRows.repartition(nOut))
       .write.mode("overwrite").parquet(stageDir)
     val staged = SnapshotStore.dataFiles(spark, SnapshotStore.Manifest(stageDir, Nil, Nil))
     // big files' stats copy forward; only the merged outputs' footers are read
@@ -171,7 +190,8 @@ object Bucketing {
     val ok = SnapshotStore.tryPublishManifest(spark, table, next,
       SnapshotStore.Manifest("", Nil, Nil, ts = System.currentTimeMillis(),
         files = big.map(_._1) ++ staged, op = "compact-small",
-        statsExact = m.statsExact, mixedSchema = m.mixedSchema, statsFile = stats))
+        statsExact = m.statsExact, mixedSchema = m.mixedSchema, statsFile = stats,
+        bucketCols = m.bucketCols, bucketN = m.bucketN))
     if (!ok) {
       fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
       throw new java.util.ConcurrentModificationException(

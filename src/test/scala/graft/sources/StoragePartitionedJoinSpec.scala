@@ -144,6 +144,43 @@ class StoragePartitionedJoinSpec extends SparkSuite {
     }
   }
 
+  test("compaction keeps the bucketed layout: small-file merge AND the DV-clearing full rewrite") {
+    val t = java.nio.file.Files.createTempDirectory("spj-compact").toString + "/t"
+    SnapshotStore.bucketedCommit(spark.range(0, 200).toDF("id"), t, Seq("id"), 4)
+    // leave small-file debris via three routed appends
+    (1 to 3).foreach(g =>
+      SnapshotStore.appendCommit(spark.range(200L * g, 200L * g + 50).toDF("id"), t))
+    val (rewritten, _, _, v) = graft.ops.Bucketing.compactSmallFilesCommit(
+      spark, t, smallBytes = 1L << 20, targetBytes = 1L << 30)
+    assert(rewritten >= 2, s"fixture should have merged the small tail: $rewritten")
+    val mc = SnapshotStore.manifest(spark, t, v)
+    assert(mc.bucketN === 4, s"small-file compaction lost the layout: $mc")
+    // every file (merged included) holds only rows of its own bucket
+    val bound = BucketFunction.bind(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+    def assertRouted(m: SnapshotStore.Manifest): Unit =
+      graft.store.SnapshotStore.dataFiles(spark, m).foreach { f =>
+        val id = SnapshotScan.bucketIdOf(f, m.bucketN)
+        assert(id >= 0, s"bucketed manifest holds an unmapped file: $f")
+        spark.read.parquet(f).collect().foreach { r =>
+          val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](m.bucketN, r.getLong(0)))
+          assert(bound.produceResult(row) === id, s"row ${r.getLong(0)} mis-routed in $f")
+        }
+      }
+    assertRouted(mc)
+    assert(SnapshotStore.read(spark, t).count() === 350)
+    // DV delete, then the full compact: DVs materialize away, layout stays
+    SnapshotStore.deleteCommit(spark, t, Seq("id"), col("id") < 10)
+    val (_, _, _, v2) = graft.ops.Bucketing.compactCommit(spark, t, targetBytes = 1L << 30)
+    val m2 = SnapshotStore.manifest(spark, t, v2)
+    assert(m2.deletes.isEmpty && m2.bucketN === 4, s"full compact lost DV-clearing or layout: $m2")
+    assertRouted(m2)
+    assert(SnapshotStore.read(spark, t).count() === 340)
+  }
+
   test("path-based reads of bucketed tables degrade gracefully (no catalog = no SPJ, still exact)") {
     val t = java.nio.file.Files.createTempDirectory("spj-path").toString + "/t"
     withSpjConfs {
