@@ -192,7 +192,63 @@ object ModernSqlQueries {
          ORDER BY ALL""")
   }
 
+  /** ms9: VARIANT — Spark 4's open semi-structured type end-to-end:
+    * JSON text parses once into the binary variant encoding
+    * (`parse_json`), typed paths extract with `variant_get`, and
+    * schema DRIFT (a key present on only some rows — `to_json` drops
+    * null fields, so a third of the payloads genuinely lack `note`)
+    * reads as null through `try_variant_get` instead of failing.
+    * At 100 TB this is the ingest shape for heterogeneous crawl/event
+    * payloads: ONE binary column, no schema migration per new key,
+    * columnar-shredded access per query. The oracle replays the same
+    * aggregate from the ground-truth columns — the JSON→variant→typed
+    * round trip must be lossless. */
+  val ms9Variant: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("graft_ms9_orders")
+    s.sql(
+      """WITH payloads AS (
+           SELECT parse_json(to_json(named_struct(
+                    'key', o_orderkey,
+                    'prio', o_orderpriority,
+                    'price', o_totalprice,
+                    'note', CASE WHEN o_orderkey % 3 = 0
+                                 THEN concat('n', o_orderkey) END))) AS v
+           FROM graft_ms9_orders)
+         SELECT variant_get(v, '$.prio', 'string') AS prio,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(variant_get(v, '$.price', 'double') * 100) AS BIGINT)) AS BIGINT) AS cents,
+                CAST(count(try_variant_get(v, '$.note', 'string')) AS BIGINT) AS n_notes
+         FROM payloads
+         GROUP BY prio
+         ORDER BY prio""")
+  }
+
+  /** ms10: VARIANT arrays — a nested JSON ARRAY per order (its line
+    * items) lands in ONE variant cell; `variant_explode` (Spark 4
+    * table function) re-flattens it lazily per query. The 100 TB
+    * point: nested repeated payloads need no second normalized table
+    * or schema'd array column — explode happens post-scan inside the
+    * distributed plan, and only queries that ask for the nesting pay
+    * for it. Oracle replays the flatten from the normalized table. */
+  val ms10VariantExplode: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_ms10_lineitem")
+    s.sql(
+      """WITH docs AS (
+           SELECT l_orderkey,
+                  parse_json(to_json(collect_list(named_struct(
+                    'qty', l_quantity, 'ep', l_extendedprice)))) AS items
+           FROM graft_ms10_lineitem
+           WHERE l_orderkey < 1000
+           GROUP BY l_orderkey)
+         SELECT CAST(count(*) AS BIGINT) AS n_items,
+                CAST(sum(CAST(variant_get(item.value, '$.qty', 'double') AS BIGINT)) AS BIGINT) AS qty,
+                CAST(sum(CAST(round(variant_get(item.value, '$.ep', 'double') * 100) AS BIGINT)) AS BIGINT) AS ep_cents
+         FROM docs, LATERAL variant_explode(items) AS item""")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ms9_variant"         -> ms9Variant,
+    "ms10_variant_explode" -> ms10VariantExplode,
     "ms1_recursive_chain" -> ms1RecursiveChain,
     "ms2_recursive_paths" -> ms2RecursivePaths,
     "ms3_sql_udf"         -> ms3SqlUdf,
@@ -203,6 +259,20 @@ object ModernSqlQueries {
     "ms8_lateral_alias"   -> ms8LateralAlias)
 
   val oracles: Map[String, String] = Map(
+    "ms9_variant" ->
+      """SELECT o_orderpriority AS prio,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+                CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_notes
+         FROM orders
+         GROUP BY prio
+         ORDER BY prio""",
+    "ms10_variant_explode" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_items,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS ep_cents
+         FROM lineitem
+         WHERE l_orderkey < 1000""",
     "ms1_recursive_chain" ->
       """WITH RECURSIVE chain(custkey, node, depth) AS (
            SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey <= 400

@@ -114,4 +114,24 @@ class ModernSqlSpec extends SparkSuite {
       s"pipe WHERE not pushed into the scan:\n$physical")
     assert(pipe.collect().toSeq == std.collect().toSeq)
   }
+
+  test("ms9/ms10: variant semantics — try extraction nulls on drift/mismatch, strict throws") {
+    // absent path: null through try_variant_get (the schema-drift read)
+    assert(spark.sql(
+      "SELECT try_variant_get(parse_json('{}'), '$.missing', 'string')").head.isNullAt(0))
+    // type mismatch: try → null, strict variant_get → error
+    assert(spark.sql(
+      """SELECT try_variant_get(parse_json('{"a": "x"}'), '$.a', 'int')""").head.isNullAt(0))
+    intercept[Exception](spark.sql(
+      """SELECT variant_get(parse_json('{"a": "x"}'), '$.a', 'int')""").collect())
+    // numbers extract losslessly at their JSON width
+    assert(spark.sql(
+      """SELECT variant_get(parse_json('{"k": 9007199254740993}'), '$.k', 'long')""")
+      .head.getLong(0) === 9007199254740993L)
+    // schema_of_variant sees the union shape of a nested payload
+    val sch = spark.sql(
+      """SELECT schema_of_variant(parse_json('{"a": 1, "b": [1.5]}'))""").head.getString(0)
+    assert(sch.toUpperCase.contains("OBJECT<") && sch.toUpperCase.contains("ARRAY<"),
+      s"unexpected variant schema: $sch")
+  }
 }
