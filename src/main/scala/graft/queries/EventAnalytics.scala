@@ -523,6 +523,13 @@ object EventAnalytics {
          FROM orders
          GROUP BY o_orderpriority
          ORDER BY o_orderpriority""",
+    "dt_call_optimize" ->
+      """SELECT o_orderpriority,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
     "dt_agg_pushdown" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
                 round(min(o_totalprice), 2) AS min_price,
@@ -645,6 +652,47 @@ object EventAnalytics {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** DT16: SQL maintenance procedures (Spark 4 `CALL`) — a fragmented
+    * table (one base commit + five tiny appends, the streaming-sink
+    * debris shape) is maintained ENTIRELY through SQL against the
+    * catalog: `CALL system.compact_small_files` merges the small tail
+    * and `CALL system.vacuum` drops the pre-compaction versions, each
+    * returning its receipt as a result set the fixture asserts on. The
+    * oracle is the PLAIN aggregate over the same logical rows:
+    * maintenance must be content-neutral. */
+  val dtCallOptimize: Q = (s, d) => {
+    val table = Fixtures.dir("callopt", d) { root =>
+      val t = s"$root/m/orders"
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").alias("cents"))
+      val files = s.sparkContext.defaultParallelism.max(4)
+      graft.store.SnapshotStore.commit(
+        orders.filter(pmod(col("o_orderkey"), lit(7)) =!= 0).repartition(files), t)
+      (0 until 5).foreach { i =>
+        graft.store.SnapshotStore.appendCommit(
+          orders.filter(pmod(col("o_orderkey"), lit(7)) === 0 &&
+            pmod(col("o_orderkey"), lit(5)) === i).coalesce(1), t)
+      }
+      val cat = "gcall_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(root.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      val opt = s.sql(
+        s"CALL $cat.system.compact_small_files(table => 'm.orders', small_mb => 8)")
+        .head()
+      require(opt.getAs[Int]("files_rewritten") >= 2,
+        s"CALL compact_small_files should have merged the appended tail: $opt")
+      val vac = s.sql(s"CALL $cat.system.vacuum(table => 'm.orders', keep => 2)").head()
+      require(vac.getAs[Int]("n_dropped") >= 1,
+        s"CALL vacuum should have dropped pre-compaction versions: $vac")
+    } + "/m/orders"
+    s.read.format("graft-snapshot").option("path", table).load()
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).alias("n_rows"), sum(col("cents")).alias("cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** DT15: STORAGE-PARTITIONED JOIN — orders and lineitem committed
     * co-bucketed on the order key ([[graft.store.SnapshotStore
     * .bucketedCommit]]), joined through the catalog with V2 bucketing
@@ -701,6 +749,7 @@ object EventAnalytics {
     "dt_merge_sql" -> dtMergeSql,
     "dt_ctas" -> dtCtas,
     "dt_small_compact" -> dtSmallCompact,
+    "dt_call_optimize" -> dtCallOptimize,
     "dt_spj_join" -> dtSpjJoin,
     "c12_transitions" -> c12Transitions,
     "sk_skew_report" -> skSkewReport

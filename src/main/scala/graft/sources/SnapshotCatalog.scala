@@ -40,7 +40,8 @@ import java.util.{Map => JMap}
   */
 final class SnapshotCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.StagingTableCatalog
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -64,6 +65,25 @@ final class SnapshotCatalog extends TableCatalog
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.name.equalsIgnoreCase("bucket")) BucketFunction
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  // ---- ProcedureCatalog: maintenance jobs as native SQL `CALL`s
+  // (`CALL cat.system.compact(table => 'ns.t')` — see
+  // [[SnapshotProcedures]] for the full surface) -------------------
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(SnapshotProcedures.Namespace))
+      SnapshotProcedures.names.map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val known =
+      if (ident.namespace.sameElements(SnapshotProcedures.Namespace))
+        SnapshotProcedures.load(warehouse, ident.name)
+      else None
+    known.getOrElse(throw new UnsupportedOperationException(
+      s"no procedure ${ident.namespace.mkString(".")}.${ident.name} in catalog " +
+        s"$catalogName — available: ${SnapshotProcedures.names.map("system." + _).mkString(", ")}"))
+  }
 
   private def spark = SparkSession.active
 

@@ -1,0 +1,213 @@
+package graft.sources
+
+import graft.ops.{Bucketing, Zorder}
+import graft.store.SnapshotStore
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Stored procedures for snapshot-table MAINTENANCE — the pure-SQL
+  * face of the engine's table-service jobs, served through Spark 4's
+  * native `CALL` statement (the same UX Iceberg/Delta users run their
+  * `OPTIMIZE`/`VACUUM` through):
+  *
+  * {{{
+  *   CALL snap.system.compact(table => 'sales.orders')
+  *   CALL snap.system.compact_small_files(table => 'sales.orders')
+  *   CALL snap.system.zorder(table => 'sales.orders', cols => 'o_custkey,o_orderdate')
+  *   CALL snap.system.vacuum(table => 'sales.orders', keep => 3)
+  *   CALL snap.system.sync(source => 'sales.orders', target => 'mirror.orders')
+  *   SHOW PROCEDURES IN snap.system
+  *   DESCRIBE PROCEDURE snap.system.compact
+  * }}}
+  *
+  * Each procedure is a thin SQL binding over the ONE existing
+  * implementation home ([[Bucketing.compactCommit]],
+  * [[Bucketing.compactSmallFilesCommit]], [[Zorder.optimizeCommit]],
+  * [[SnapshotStore.vacuum]], [[SnapshotReplication.syncFiles]]) — no
+  * second copy of any commit protocol. Results come back as ordinary
+  * result sets (a [[LocalScan]] of the operation's receipt: versions
+  * committed, files rewritten/linked/dropped), so a scheduler can
+  * assert on the outcome with plain SQL.
+  *
+  * Table arguments are catalog-relative names (`ns.table`, resolved
+  * under the catalog's warehouse) — the procedure runs against the
+  * SAME table a `SELECT` through the catalog would read.
+  *
+  * Reference analog: the reference schedules its maintenance as
+  * separate Glue jobs named by the pipeline (SURVEY §2 S7); here the
+  * jobs are callable from any SQL client connected to the catalog.
+  */
+object SnapshotProcedures {
+
+  val Namespace: Array[String] = Array("system")
+
+  def names: Seq[String] =
+    Seq("compact", "compact_small_files", "zorder", "vacuum", "sync")
+
+  /** Resolve `ns.table` (possibly multi-level `ns1.ns2.t`) under the
+    * catalog warehouse — identical layout to
+    * `SnapshotCatalog.tableRoot`. */
+  private def root(warehouse: String, table: String): String = {
+    require(table.nonEmpty, "table argument must be non-empty")
+    (warehouse +: table.split('.').toSeq).mkString("/")
+  }
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** One result-set scan: procedures return their receipt as rows. */
+  private final class ResultScan(out: StructType, result: Array[InternalRow])
+      extends LocalScan {
+    override def rows(): Array[InternalRow] = result
+    override def readSchema(): StructType = out
+  }
+
+  /** An unbound+bound procedure in one: binding is trivial because the
+    * parameter list is static (the analyzer handles named-argument
+    * reordering, defaults, and type coercion from the declared
+    * [[ProcedureParameter]]s before `call` sees the row). */
+  private final class Proc(
+      procName: String,
+      desc: String,
+      params: Array[ProcedureParameter],
+      out: StructType)(run: InternalRow => Array[InternalRow])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = desc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false // commits state
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      java.util.Collections
+        .singletonList[Scan](new ResultScan(out, run(input)))
+        .iterator()
+  }
+
+  private def p(name: String, dt: DataType, default: Option[String] = None,
+      comment: String = ""): ProcedureParameter = {
+    var b = ProcedureParameter.in(name, dt)
+    default.foreach(d => b = b.defaultValue(d))
+    if (comment.nonEmpty) b = b.comment(comment)
+    b.build()
+  }
+
+  private def row(vals: Any*): InternalRow = new GenericInternalRow(vals.toArray)
+
+  def load(warehouse: String, name: String): Option[UnboundProcedure] =
+    name.toLowerCase match {
+      case "compact" => Some(new Proc(
+        "compact",
+        "Full rewrite of the current snapshot into ~target_mb files as the next " +
+          "version; materializes live deletion vectors away and re-buckets " +
+          "bucketed tables through their own hash",
+        Array(
+          p("table", StringType, comment = "catalog-relative name, e.g. 'ns.t'"),
+          p("target_mb", IntegerType, Some("128"), "target output file size")),
+        StructType(Seq(
+          StructField("files_before", IntegerType, nullable = false),
+          StructField("files_after", IntegerType, nullable = false),
+          StructField("bytes_total", LongType, nullable = false),
+          StructField("version", LongType, nullable = false))))({ in =>
+        val t = root(warehouse, in.getUTF8String(0).toString)
+        val targetMb = in.getInt(1)
+        require(targetMb > 0, s"target_mb must be positive, got $targetMb")
+        val (before, after, bytes, v) =
+          Bucketing.compactCommit(spark, t, targetMb.toLong * 1024 * 1024)
+        Array(row(before, after, bytes, v))
+      }))
+
+      case "compact_small_files" => Some(new Proc(
+        "compact_small_files",
+        "Incremental OPTIMIZE: merge only files under small_mb into ~target_mb " +
+          "files, re-linking every file already at size — O(small files), " +
+          "the cleanup pass for streaming-sink/append debris",
+        Array(
+          p("table", StringType, comment = "catalog-relative name, e.g. 'ns.t'"),
+          p("small_mb", IntegerType, Some("16"), "files under this size merge"),
+          p("target_mb", IntegerType, Some("128"), "target output file size")),
+        StructType(Seq(
+          StructField("files_rewritten", IntegerType, nullable = false),
+          StructField("files_linked", IntegerType, nullable = false),
+          StructField("files_after", IntegerType, nullable = false),
+          StructField("version", LongType, nullable = false))))({ in =>
+        val t = root(warehouse, in.getUTF8String(0).toString)
+        val smallMb = in.getInt(1); val targetMb = in.getInt(2)
+        require(smallMb > 0 && targetMb > 0,
+          s"small_mb/target_mb must be positive, got $smallMb/$targetMb")
+        val (rewritten, linked, after, v) = Bucketing.compactSmallFilesCommit(
+          spark, t, smallMb.toLong * 1024 * 1024, targetMb.toLong * 1024 * 1024)
+        Array(row(rewritten, linked, after, v))
+      }))
+
+      case "zorder" => Some(new Proc(
+        "zorder",
+        "Rewrite the current snapshot Morton-clustered on cols (comma-separated) " +
+          "as the next version — multi-column skipping locality for the " +
+          "row-group stats pruner",
+        Array(
+          p("table", StringType, comment = "catalog-relative name, e.g. 'ns.t'"),
+          p("cols", StringType, comment = "comma-separated cluster columns"),
+          p("bits", IntegerType, Some("16"), "Morton bits per column"),
+          p("num_files", IntegerType, Some("0"), "output files; 0 = keep current count")),
+        StructType(Seq(
+          StructField("files", IntegerType, nullable = false),
+          StructField("version", LongType, nullable = false))))({ in =>
+        val t = root(warehouse, in.getUTF8String(0).toString)
+        val cols = in.getUTF8String(1).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        require(cols.nonEmpty, "cols must name at least one column")
+        val bits = in.getInt(2)
+        val nFiles0 = in.getInt(3)
+        val nFiles =
+          if (nFiles0 > 0) nFiles0
+          else {
+            val cur = SnapshotStore.currentVersion(spark, t).getOrElse(
+              throw new IllegalStateException(s"no committed snapshot under $t"))
+            SnapshotStore.dataFiles(spark, SnapshotStore.manifest(spark, t, cur)).size
+          }
+        val v = Zorder.optimizeCommit(spark, t, cols, bits, math.max(1, nFiles))
+        Array(row(math.max(1, nFiles), v))
+      }))
+
+      case "vacuum" => Some(new Proc(
+        "vacuum",
+        "Drop all but the newest `keep` versions and delete data/DV/stats files " +
+          "no retained version references (file-refcounted; keep >= 1)",
+        Array(
+          p("table", StringType, comment = "catalog-relative name, e.g. 'ns.t'"),
+          p("keep", IntegerType, Some("2"), "retained trailing versions")),
+        StructType(Seq(
+          StructField("dropped_versions", ArrayType(LongType, containsNull = false),
+            nullable = false),
+          StructField("n_dropped", IntegerType, nullable = false))))({ in =>
+        val t = root(warehouse, in.getUTF8String(0).toString)
+        val dropped = SnapshotStore.vacuum(spark, t, in.getInt(1))
+        Array(row(new GenericArrayData(dropped.toArray), dropped.size))
+      }))
+
+      case "sync" => Some(new Proc(
+        "sync",
+        "Physical file-level mirror: copy each unsynced version's new files to " +
+          "target and publish path-rewritten manifests under the SAME version " +
+          "numbers — an idempotent, resumable version-exact clone",
+        Array(
+          p("source", StringType, comment = "catalog-relative source table"),
+          p("target", StringType, comment = "catalog-relative target table")),
+        StructType(Seq(
+          StructField("synced_versions", ArrayType(LongType, containsNull = false),
+            nullable = false),
+          StructField("n_synced", IntegerType, nullable = false))))({ in =>
+        val src = root(warehouse, in.getUTF8String(0).toString)
+        val dst = root(warehouse, in.getUTF8String(1).toString)
+        val synced = SnapshotReplication.syncFiles(spark, src, dst)
+        Array(row(new GenericArrayData(synced.toArray), synced.size))
+      }))
+
+      case _ => None
+    }
+}
