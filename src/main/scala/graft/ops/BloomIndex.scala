@@ -39,6 +39,13 @@ object BloomIndex {
 
   private val Seed = 42L
 
+  /** The hash a scan-side probe must feed `mightContainLong` — one home
+    * shared with the build side so the two can never disagree. Value
+    * types must match the column's (Catalyst's filter pushdown
+    * guarantees it for the DSv2 path). */
+  def probeHash(v: Any): Long =
+    XxHash64(Seq(Literal(v)), Seed).eval(InternalRow.empty).asInstanceOf[Long]
+
   /** Build the per-file Bloom index for `keyCol` over the table at
     * `path`, persisted under `<path>/_bindex`. One scan, one partial+
     * final aggregate keyed by file name; each group's filter is sized
@@ -102,4 +109,65 @@ object BloomIndex {
   /** Total data files at `path` (prune-factor audits). */
   def totalFiles(spark: SparkSession, path: String): Long =
     Zorder.totalFiles(spark, path)
+
+  /** Bloom index as a MANIFEST surface of a
+    * [[graft.store.SnapshotStore]] table: build per-(file, column)
+    * Bloom filters over the CURRENT snapshot's data files and publish
+    * them as the next version (`bloomfile=` marker line, data
+    * untouched) — from then on the DSv2 connector's scan consults the
+    * index for pushed `=` / `IN` predicates on the indexed columns and
+    * prunes files whose filters exclude the probe value, the
+    * point-lookup complement of the min/max stats sidecar.
+    *
+    * Lifecycle mirrors the stats sidecar: delete commits and appends
+    * carry the index forward (entries are FILE-keyed — appended files
+    * simply have no entry, so they are never pruned), full rewrites
+    * drop it, vacuum collects unreferenced index dirs, `syncFiles`
+    * mirrors it path-rewritten. Entries key by `dirName/fileName`
+    * ([[graft.store.SnapshotStore.relFileKey]]) so the index survives
+    * mirroring verbatim.
+    *
+    * The build reads the RAW files (deleted rows included): a Bloom
+    * false positive costs a file open, never a wrong row, so
+    * over-inclusion is free correctness-wise. Returns the committed
+    * version. */
+  def bloomCommit(
+      spark: SparkSession,
+      table: String,
+      cols: Seq[String],
+      expectedItems: Long = 1L << 20,
+      numBits: Long = 1L << 23): Long = {
+    import graft.store.SnapshotStore
+    require(cols.nonEmpty, "bloomCommit needs at least one column")
+    val cur = SnapshotStore.currentVersion(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $table"))
+    val m = SnapshotStore.manifest(spark, table, cur)
+    val files = SnapshotStore.dataFiles(spark, m)
+    val reader =
+      if (m.mixedSchema) spark.read.option("mergeSchema", "true") else spark.read
+    val raw = reader.parquet(files: _*)
+    val out = s"$table/_bloom/b_${java.util.UUID.randomUUID.toString.take(8)}"
+    cols.map { c =>
+      val hashed = XxHash64(Seq(Bridge.expression(raw(c))), Seed)
+      val agg = Bridge.column(
+        new BloomFilterAggregate(hashed, Literal(expectedItems), Literal(numBits))
+          .toAggregateExpression())
+      raw
+        // file identity = last two path segments (dirName/fileName) —
+        // mirror-stable, matches SnapshotStore.relFileKey
+        .select(regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1)
+          .alias("file"), raw(c))
+        .groupBy(col("file"))
+        .agg(agg.alias("bloom"))
+        .select(col("file"), lit(c).alias("col"), col("bloom"))
+    }.reduce(_ unionAll _)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(out)
+    val next = cur + 1
+    if (!SnapshotStore.tryPublishManifest(spark, table, next,
+        m.copy(ts = 0L, op = "bloom", srcV = -1L, bloomFile = out)))
+      throw new IllegalStateException(
+        s"bloomCommit lost the CAS race on $table v$next — re-run against the new head")
+    next
+  }
 }

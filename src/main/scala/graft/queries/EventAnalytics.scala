@@ -194,6 +194,36 @@ object EventAnalytics {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** DT17: APPENDS OVER LIVE DELETION VECTORS (scoped DVs) — the full
+    * merge-on-read timeline: commit orders (v0), delete every key
+    * divisible by 3 (v1), append back the half of those rows divisible
+    * by 6 (v2 — legal because the v1 DV is SCOPED to v0's files, so the
+    * re-appended keys are new rows, not resurrected ones), then delete
+    * keys ≡6 mod 12 (v3 — covers the appended files too). The oracle
+    * replays the timeline as a pure predicate: a row is live iff its
+    * key is not divisible by 3, OR it was re-appended and not re-deleted
+    * (key divisible by 12). Read through the DSv2 connector, so the
+    * per-file DV class dispatch is what answers. */
+  val dtDvAppend: Q = (s, d) => {
+    val table = Fixtures.table("dvappend", d) { t =>
+      val orders = Tables.orders(s, d)
+      val files = s.sparkContext.defaultParallelism.max(4)
+      graft.store.SnapshotStore.commit(orders.repartition(files), t)
+      graft.store.SnapshotStore.deleteCommit(s, t, Seq("o_orderkey"),
+        pmod(col("o_orderkey"), lit(3)) === 0)
+      graft.store.SnapshotStore.appendCommit(
+        orders.filter(pmod(col("o_orderkey"), lit(6)) === 0).coalesce(2), t)
+      graft.store.SnapshotStore.deleteCommit(s, t, Seq("o_orderkey"),
+        pmod(col("o_orderkey"), lit(12)) === 6)
+    }
+    s.read.format("graft-snapshot").option("path", table).load()
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).alias("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long")).alias("cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** DT7: snapshot table read through the DataSource V2 connector
     * ([[graft.sources.SnapshotDataSource]]) — commit the orders fact
     * range-partitioned into multiple files, apply a deletion-vector
@@ -523,6 +553,14 @@ object EventAnalytics {
          FROM orders
          GROUP BY o_orderpriority
          ORDER BY o_orderpriority""",
+    "dt_dv_append" ->
+      """SELECT o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders
+         WHERE (o_orderkey % 3 <> 0) OR (o_orderkey % 12 = 0)
+         GROUP BY o_orderstatus
+         ORDER BY o_orderstatus""",
     "dt_call_optimize" ->
       """SELECT o_orderpriority,
                 CAST(count(*) AS BIGINT) AS n_rows,
@@ -750,6 +788,7 @@ object EventAnalytics {
     "dt_ctas" -> dtCtas,
     "dt_small_compact" -> dtSmallCompact,
     "dt_call_optimize" -> dtCallOptimize,
+    "dt_dv_append" -> dtDvAppend,
     "dt_spj_join" -> dtSpjJoin,
     "c12_transitions" -> c12Transitions,
     "sk_skew_report" -> skSkewReport

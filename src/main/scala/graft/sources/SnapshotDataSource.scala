@@ -646,6 +646,53 @@ private[sources] object SnapshotScan {
     c
   }
 
+  /** Bloom-index parses cache JVM-wide by path (index dirs are
+    * immutable once a marker references them); bounded like the stats
+    * sidecar cache. Value: (relFileKey, col) → deserialized filter. */
+  private val bloomCache = scala.collection.concurrent.TrieMap
+    .empty[String, Map[(String, String), org.apache.spark.util.sketch.BloomFilter]]
+
+  /** Relative file keys a manifest's Bloom index PROVES free of every
+    * pushed `=` / `IN` probe value for an indexed column. Conservative
+    * on every failure path (missing index, unreadable, un-indexed
+    * column, no equality probes → empty set = no pruning); a file
+    * missing from the index is never excluded. Probe hashing is
+    * [[graft.ops.BloomIndex.probeHash]] — the same xxhash64(seed=42)
+    * the build side feeds the filters. */
+  def bloomExcluded(
+      spark: SparkSession,
+      m: SnapshotStore.Manifest,
+      filters: Array[Filter]): Set[String] = {
+    if (m.bloomFile.isEmpty) return Set.empty
+    val probes: Seq[(String, Seq[Any])] = filters.toSeq.collect {
+      case EqualTo(c, v)            => (c, Seq(v))
+      case In(c, vs) if vs.nonEmpty => (c, vs.toSeq)
+    }
+    if (probes.isEmpty) return Set.empty
+    val idx =
+      try bloomCache.getOrElseUpdate(m.bloomFile, {
+        if (bloomCache.size > 64) bloomCache.clear()
+        spark.read.parquet(m.bloomFile).collect().toSeq.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]]("bloom")
+          if (bytes == null) None
+          else Some(((r.getAs[String]("file"), r.getAs[String]("col")),
+            org.apache.spark.util.sketch.BloomFilter
+              .readFrom(new java.io.ByteArrayInputStream(bytes))))
+        }.toMap
+      })
+      catch { case scala.util.control.NonFatal(_) => return Set.empty }
+    val hashed: Seq[(String, Seq[Long])] = probes.map { case (c, vs) =>
+      (c, vs.map(graft.ops.BloomIndex.probeHash))
+    }
+    idx.keysIterator.map(_._1).toSet.filter { fk =>
+      // excluded iff SOME probed predicate is provably unsatisfiable in
+      // this file (AND semantics across pushed filters)
+      hashed.exists { case (c, hs) =>
+        idx.get((fk, c)).exists(b => !hs.exists(b.mightContainLong))
+      }
+    }
+  }
+
   /** Load one manifest's deletion vectors as a ready-to-probe lookup,
     * values normalized to the readers' JVM-value space (micros for
     * timestamps, days for dates, UTF8String for strings) — ONE home for
@@ -777,9 +824,22 @@ private[sources] final class SnapshotScan(
     * few large files still fans out across the cluster, and stats
     * skipping works at row-group precision (a qualifying file's other
     * row groups are still pruned). */
+  private lazy val allDataFiles: Seq[String] = SnapshotStore.dataFiles(spark, m)
+
+  /** Files the manifest's Bloom index PROVES cannot contain any probed
+    * `=` / `IN` value — pruned before row-group planning. Empty when no
+    * index, no usable predicate, or the index doesn't cover the column;
+    * files without an index entry (appended after the build) never
+    * prune. */
+  private lazy val bloomExcluded: Set[String] =
+    SnapshotScan.bloomExcluded(spark, m, skippable)
+
   private lazy val (keptGroups: Seq[SnapshotInputPartition], totalGroups: Int,
       totalFiles: Int, allColumnsPresent: Boolean) = {
-    val all = SnapshotStore.dataFiles(spark, m)
+    val all =
+      if (bloomExcluded.isEmpty) allDataFiles
+      else allDataFiles.filterNot(f =>
+        bloomExcluded.contains(SnapshotStore.relFileKey(f)))
     // manifest-level stats: ONE sidecar read covers every file's row
     // groups, min/max, and field names — planning never opens a data
     // file's footer unless the sidecar is missing that file (legacy
@@ -809,9 +869,12 @@ private[sources] final class SnapshotScan(
         .filter(b => skippable.isEmpty ||
           !skippable.exists(f => SnapshotScan.excludes(f, b.stats)))
         .map(b => SnapshotInputPartition(fstr, b.start, b.length, b.rows, selfContained,
-          bucketId = bucket))
+          bucketId = bucket,
+          dvClass = if (m.deletes.isEmpty) 0 else dvClassOfFile.getOrElse(fstr, 0)))
     }
-    (kept, total, all.size, allPresent)
+    // totalFiles counts the MANIFEST's files so bloom pruning shows in
+    // the files=kept/total description like every other skip
+    (kept, total, allDataFiles.size, allPresent)
   }
 
   /** Storage-partitioned joins: a bucketed manifest's scan reports
@@ -883,9 +946,22 @@ private[sources] final class SnapshotScan(
     * multi-million-entry set construction (measured: per-task rebuild
     * made the row path 60x slower than the underlying parquet
     * reader). */
-  private lazy val dvLookup: DvLookup = SnapshotScan.loadDvLookup(spark, m)
-  private lazy val dvKeysBroadcast: org.apache.spark.broadcast.Broadcast[DvLookup] =
-    spark.sparkContext.broadcast(dvLookup)
+  /** DV application is per FILE SCOPE (see `SnapshotStore.dvClasses`):
+    * files group into classes by which DVs cover them — one class (the
+    * legacy whole-table shape) unless appends interleaved with deletes
+    * — and each class gets its own merged lookup. Partitions carry
+    * their class index; a class no DV touches probes nothing. */
+  private lazy val dvClassLayout: Seq[(Seq[Int], Seq[String])] =
+    SnapshotStore.dvClasses(spark, m, allDataFiles)
+  private lazy val dvClassOfFile: Map[String, Int] =
+    dvClassLayout.zipWithIndex.flatMap { case ((_, fs), i) => fs.map(_ -> i) }.toMap
+  private lazy val dvClassLookups: Array[DvLookup] =
+    dvClassLayout.map { case (idx, _) =>
+      if (idx.isEmpty) null
+      else SnapshotScan.loadDvLookup(spark, m.copy(deletes = idx.map(m.deletes)))
+    }.toArray
+  private lazy val dvKeysBroadcast: org.apache.spark.broadcast.Broadcast[Array[DvLookup]] =
+    spark.sparkContext.broadcast(dvClassLookups)
 
   override def readSchema(): StructType = required
 
@@ -903,7 +979,10 @@ private[sources] final class SnapshotScan(
   override def description(): String = {
     val files = s"files=${keptGroups.map(_.file).distinct.size}/$totalFiles"
     val groups = s"rowGroups=${keptGroups.size}/$totalGroups"
-    val dv = if (m.deletes.isEmpty) "" else s", dvKeys=${dvLookup.size}"
+    val dv =
+      if (m.deletes.isEmpty) ""
+      else if (dvClassLookups.length == 1) s", dvKeys=${dvClassLookups(0).size}"
+      else s", dvKeys=${dvClassLookups.map(l => if (l == null) 0 else l.size).mkString("/")}"
     val mode = if (columnar) "vectorized" else "row"
     s"graft-snapshot ${SnapshotScan.dataLabel(m)} ($files, $groups, $mode$dv, pushed=${skippable.mkString("[", ",", "]")})"
   }
@@ -961,7 +1040,7 @@ private[sources] final class SnapshotScan(
   * it does only for bucketed manifests with every group resolved. */
 private[sources] final case class SnapshotInputPartition(
     file: String, start: Long, length: Long, rows: Long,
-    selfContained: Boolean = true, bucketId: Int = -1)
+    selfContained: Boolean = true, bucketId: Int = -1, dvClass: Int = 0)
     extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = new GenericInternalRow(Array[Any](bucketId))
 }
@@ -1025,13 +1104,19 @@ private[sources] final class SnapshotReaderFactory(
     required: StructType,
     keyCols: Seq[String],
     keyTypes: Seq[DataType],
-    dvKeys: Option[org.apache.spark.broadcast.Broadcast[DvLookup]],
+    dvKeys: Option[org.apache.spark.broadcast.Broadcast[Array[DvLookup]]],
     columnar: Boolean,
     conf: SerializableHadoopConf,
     appendFileCol: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SnapshotInputPartition]
+    // the partition's class index picks its scoped lookup; a class no
+    // DV covers (appended-after-delete files) carries null = no probe,
+    // and the readers must then not decode the key columns either
+    val dv: DvLookup = dvKeys.map(_.value.apply(p.dvClass)).orNull
+    val kc = if (dv == null) Nil else keyCols
+    val kt = if (dv == null) Nil else keyTypes
     // self-contained row groups decode through the VECTORIZED reader
     // even on the row path (DV probe per emitted row — ~10x the
     // record-assembly reader); only schema-evolution gaps fall back to
@@ -1039,9 +1124,9 @@ private[sources] final class SnapshotReaderFactory(
     val inner: PartitionReader[InternalRow] =
       if (p.selfContained)
         new SnapshotVectorRowReader(
-          p, required, keyCols, keyTypes, dvKeys.map(_.value).orNull, conf.conf)
+          p, required, kc, kt, dv, conf.conf)
       else
-        new SnapshotPartitionReader(p, required, keyCols, dvKeys.map(_.value).orNull, conf.conf)
+        new SnapshotPartitionReader(p, required, kc, dv, conf.conf)
     if (!appendFileCol) inner
     else {
       // `_file` metadata column: a per-partition constant appended as

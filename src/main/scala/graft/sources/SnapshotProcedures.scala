@@ -49,7 +49,7 @@ object SnapshotProcedures {
   val Namespace: Array[String] = Array("system")
 
   def names: Seq[String] =
-    Seq("compact", "compact_small_files", "zorder", "vacuum", "sync")
+    Seq("compact", "compact_small_files", "zorder", "bloom_index", "vacuum", "sync")
 
   /** Resolve `ns.table` (possibly multi-level `ns1.ns2.t`) under the
     * catalog warehouse — identical layout to
@@ -172,6 +172,29 @@ object SnapshotProcedures {
           }
         val v = Zorder.optimizeCommit(spark, t, cols, bits, math.max(1, nFiles))
         Array(row(math.max(1, nFiles), v))
+      }))
+
+      case "bloom_index" => Some(new Proc(
+        "bloom_index",
+        "Build per-(file, column) Bloom filters over the current snapshot and " +
+          "publish them as the next version — point `=` / `IN` lookups on the " +
+          "indexed columns then prune files at planning (the point-lookup " +
+          "complement of min/max stats)",
+        Array(
+          p("table", StringType, comment = "catalog-relative name, e.g. 'ns.t'"),
+          p("cols", StringType, comment = "comma-separated columns to index"),
+          p("expected_items", IntegerType, Some("1048576"), "expected keys per file"),
+          p("num_bits", IntegerType, Some("8388608"), "bits per file filter")),
+        StructType(Seq(
+          StructField("version", LongType, nullable = false))))({ in =>
+        val t = root(warehouse, in.getUTF8String(0).toString)
+        val cols = in.getUTF8String(1).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        require(cols.nonEmpty, "cols must name at least one column")
+        val items = in.getInt(2); val bits = in.getInt(3)
+        require(items > 0 && bits > 0,
+          s"expected_items/num_bits must be positive, got $items/$bits")
+        val v = graft.ops.BloomIndex.bloomCommit(spark, t, cols, items.toLong, bits.toLong)
+        Array(row(v))
       }))
 
       case "vacuum" => Some(new Proc(

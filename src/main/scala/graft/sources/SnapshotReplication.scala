@@ -188,11 +188,15 @@ object SnapshotReplication {
             }
             graft.store.FileStats.write(spark, targetTable, exact, mapped)
           } catch { case _: java.io.IOException => "" }
+      // the bloom index mirrors verbatim: its entries key by RELATIVE
+      // dirName/fileName, so only the marker path needs the rewrite
+      if (m.bloomFile.nonEmpty) copyMissing(m.bloomFile)
       val rewritten = m.copy(
         data = if (m.data.nonEmpty) s"$targetTable/${rel(m.data)}" else "",
         files = m.files.map(f => s"$targetTable/${rel(f)}"),
         deletes = m.deletes.map(d => s"$targetTable/${rel(d)}"),
-        statsFile = statsRewritten)
+        statsFile = statsRewritten,
+        bloomFile = if (m.bloomFile.isEmpty) "" else s"$targetTable/${rel(m.bloomFile)}")
       // same version number, same commit clock: a version-exact clone.
       // A false return = another syncer already published v — fine.
       SnapshotStore.tryPublishManifest(spark, targetTable, v, rewritten)

@@ -65,6 +65,14 @@ private[sources] final class SnapshotMicroBatchStream(
   private val manifestCache =
     scala.collection.mutable.Map.empty[Long, SnapshotStore.Manifest]
   private val fileSetCache = scala.collection.mutable.Map.empty[Long, Seq[String]]
+  // per-version DV-scope class layout (file → class, class → DV subset)
+  // — consulted by image planning AND the lookup builder, so both see
+  // the identical class numbering
+  private val classLayoutCache =
+    scala.collection.mutable.Map.empty[Long, Seq[(Seq[Int], Seq[String])]]
+  private def classLayoutOf(v: Long): Seq[(Seq[Int], Seq[String])] =
+    classLayoutCache.getOrElseUpdate(v,
+      SnapshotStore.dvClasses(spark, manifestOf(v), filesOf(v)))
   private def manifestOf(v: Long): SnapshotStore.Manifest =
     manifestCache.getOrElseUpdate(v, SnapshotStore.manifest(spark, tablePath, v))
   private def filesOf(v: Long): Seq[String] =
@@ -87,7 +95,10 @@ private[sources] final class SnapshotMicroBatchStream(
     val prev = manifestOf(v - 1)
     val m = manifestOf(v)
     if (m.data == prev.data && m.files == prev.files) "delete"
-    else if (m.files.nonEmpty && m.deletes.isEmpty && prev.deletes.isEmpty &&
+    // appends are insert-deltas even over LIVE deletion vectors, as
+    // long as the DV set is UNCHANGED across the commit: DV scopes are
+    // fixed at delete time, so the new files are covered by none
+    else if (m.files.nonEmpty && m.deletes == prev.deletes &&
         filesOf(v - 1).toSet.subsetOf(m.files.toSet)) "insert"
     else if (m.files.nonEmpty && m.deletes.isEmpty && prev.deletes.isEmpty &&
         filesOf(v - 1).toSet.intersect(m.files.toSet).nonEmpty) "cow"
@@ -180,9 +191,15 @@ private[sources] final class SnapshotMicroBatchStream(
             rowGroupPartitions(m, v, m.files.filterNot(prevFiles.toSet), "insert")
         case _ =>
           // new image: every row group of the version's data files,
-          // with the version's OWN deletion vectors applied
+          // with the version's OWN deletion vectors applied (scoped
+          // per file class when appends interleaved with deletes)
           imageVersions += v
-          rowGroupPartitions(m, v, filesOf(v), "snapshot")
+          val classOf: Map[String, Int] =
+            if (m.deletes.isEmpty) Map.empty
+            else classLayoutOf(v).zipWithIndex
+              .flatMap { case ((_, fs), i) => fs.map(_ -> i) }.toMap
+          rowGroupPartitions(m, v, filesOf(v), "snapshot",
+            f => classOf.getOrElse(f, 0))
       }
     }
     plannedImageVersions = imageVersions.toSeq
@@ -193,7 +210,7 @@ private[sources] final class SnapshotMicroBatchStream(
     * change feed emits everything), tagged with the batch kind. */
   private def rowGroupPartitions(
       m: SnapshotStore.Manifest, v: Long, files: Seq[String],
-      changeType: String): Seq[SnapshotStreamPartition] = {
+      changeType: String, dvClassOf: String => Int = _ => 0): Seq[SnapshotStreamPartition] = {
     val wanted = tableSchema.fieldNames.toSeq ++ m.keyCols
     files.flatMap { f =>
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
@@ -204,7 +221,8 @@ private[sources] final class SnapshotMicroBatchStream(
         r.getFooter.getBlocks.asScala.toSeq.map { b =>
           SnapshotStreamPartition(
             SnapshotInputPartition(f, b.getStartingPos,
-              b.getCompressedSize, b.getRowCount, selfContained),
+              b.getCompressedSize, b.getRowCount, selfContained,
+              dvClass = dvClassOf(f)),
             changeType = changeType, version = v)
         }
       } finally r.close()
@@ -217,14 +235,18 @@ private[sources] final class SnapshotMicroBatchStream(
     * ever build one: a delete micro-batch never pays the O(|DV|)
     * driver collect. */
   private val lookupCache =
-    scala.collection.mutable.Map.empty[Long, Option[org.apache.spark.broadcast.Broadcast[DvLookup]]]
+    scala.collection.mutable.Map.empty[Long, Option[org.apache.spark.broadcast.Broadcast[Array[DvLookup]]]]
   private val keyColsCache = scala.collection.mutable.Map.empty[Long, Seq[String]]
-  private def lookupFor(v: Long): Option[org.apache.spark.broadcast.Broadcast[DvLookup]] =
+  private def lookupFor(v: Long): Option[org.apache.spark.broadcast.Broadcast[Array[DvLookup]]] =
     lookupCache.getOrElseUpdate(v, {
       val m = manifestOf(v)
       keyColsCache(v) = m.keyCols
       if (m.deletes.isEmpty) None
-      else Some(spark.sparkContext.broadcast(SnapshotScan.loadDvLookup(spark, m)))
+      else Some(spark.sparkContext.broadcast(
+        classLayoutOf(v).map { case (idx, _) =>
+          if (idx.isEmpty) null
+          else SnapshotScan.loadDvLookup(spark, m.copy(deletes = idx.map(m.deletes)))
+        }.toArray))
     })
   @volatile private var plannedImageVersions: Seq[Long] = Nil
 
@@ -251,6 +273,7 @@ private[sources] final class SnapshotMicroBatchStream(
     // next batch's classification reads — and drop everything older
     manifestCache.filterInPlace((v, _) => v >= upTo)
     fileSetCache.filterInPlace((v, _) => v >= upTo)
+    classLayoutCache.filterInPlace((v, _) => v >= upTo)
   }
   override def stop(): Unit = ()
 }
@@ -270,7 +293,7 @@ private[sources] final case class SnapshotStreamPartition(
 private[sources] final class SnapshotStreamReaderFactory(
     tableSchema: StructType,
     keyColsByVersion: Map[Long, Seq[String]],
-    dvByVersion: Map[Long, org.apache.spark.broadcast.Broadcast[DvLookup]],
+    dvByVersion: Map[Long, org.apache.spark.broadcast.Broadcast[Array[DvLookup]]],
     conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
 
@@ -283,7 +306,8 @@ private[sources] final class SnapshotStreamReaderFactory(
         new SnapshotPartitionReader(p.base, tableSchema, Nil, null, conf.conf)
       case _ =>
         val keyCols = keyColsByVersion.getOrElse(p.version, Nil)
-        val dv = dvByVersion.get(p.version).map(_.value).orNull
+        val dv = dvByVersion.get(p.version)
+          .map(_.value.apply(p.base.dvClass)).orNull
         if (p.base.selfContained && dv != null) {
           val keyTypes = keyCols.map(n =>
             tableSchema.find(_.name == n).map(_.dataType).getOrElse(LongType))

@@ -100,7 +100,8 @@ object SnapshotStore {
       mixedSchema: Boolean = false,
       statsFile: String = "",
       bucketCols: Seq[String] = Nil,
-      bucketN: Int = 0)
+      bucketN: Int = 0,
+      bloomFile: String = "")
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -121,6 +122,68 @@ object SnapshotStore {
   }
 
   private def token(): String = java.util.UUID.randomUUID.toString.take(8)
+
+  // ---- deletion-vector FILE SCOPES -------------------------------
+  // A DV records WHICH data files it applies to (`_scope.txt` inside
+  // the DV's parquet dir: one `dirName/fileName` entry per covered
+  // file, relative so mirrors need no path rewrite; the leading
+  // underscore hides it from parquet readers). Scoping is what makes
+  // APPEND legal while DVs are live: a DV covers exactly the files
+  // that existed when its delete committed, so a re-appended key is a
+  // NEW row in an uncovered file — not a resurrected one. A DV
+  // WITHOUT a scope (legacy commits) applies table-wide, and appends
+  // on such tables stay refused. The scope shares the DV dir's
+  // lifecycle for free: vacuum collects the dir whole, syncFiles
+  // copies its files.
+
+  private def dvScopeFile(dv: String) = s"$dv/_scope.txt"
+
+  /** Stable `dirName/fileName` identity of a data file — the same
+    * (dir, file) convention vacuum's liveness refcount uses. */
+  def relFileKey(p: String): String = {
+    val q = new Path(p)
+    s"${q.getParent.getName}/${q.getName}"
+  }
+
+  private def writeDvScope(spark: SparkSession, dv: String, covered: Seq[String]): Unit = {
+    val f = fs(spark, dv)
+    val out = f.create(new Path(dvScopeFile(dv)), true)
+    try out.write(covered.map(relFileKey).sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The file scope of one DV: Some(covered relative keys), or None for
+    * a legacy table-wide DV. */
+  def dvScope(spark: SparkSession, dv: String): Option[Set[String]] = {
+    val p = new Path(dvScopeFile(dv))
+    val f = fs(spark, dv)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toSet)
+      finally in.close()
+    }
+  }
+
+  /** Group a manifest's data files by the SET of DVs that apply to
+    * each (identified by index into `m.deletes`): the partition a
+    * scoped reader applies DVs class-by-class over. For a plain
+    * delete-only history this is ONE class (all DVs × all files —
+    * exactly the legacy shape); each append after a delete adds one
+    * class of files the earlier DVs don't touch. */
+  def dvClasses(spark: SparkSession, m: Manifest, files: Seq[String])
+      : Seq[(Seq[Int], Seq[String])] = {
+    val scopes = m.deletes.map(dvScope(spark, _))
+    val byClass = scala.collection.mutable.LinkedHashMap.empty[Seq[Int], scala.collection.mutable.ArrayBuffer[String]]
+    files.foreach { f =>
+      val k = relFileKey(f)
+      // None = legacy table-wide DV: applies to every file
+      val applicable = m.deletes.indices.filter(i => scopes(i).forall(_.contains(k)))
+      byClass.getOrElseUpdate(applicable, scala.collection.mutable.ArrayBuffer.empty) += f
+    }
+    byClass.toSeq.map { case (idx, fs) => (idx, fs.toSeq) }
+  }
 
   /** True when data written through this session's parquet writer has
     * UNTRUNCATED binary statistics — a commit-time fact the writer can
@@ -162,7 +225,7 @@ object SnapshotStore {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
-    val markerKeys = Seq("data=", "file=", "delete=", "keys=", "op=", "ts=", "stats=", "src=", "schema=", "statsfile=", "bucket=")
+    val markerKeys = Seq("data=", "file=", "delete=", "keys=", "op=", "ts=", "stats=", "src=", "schema=", "statsfile=", "bucket=", "bloomfile=")
     if (lines.exists(l => markerKeys.exists(l.startsWith))) {
       Manifest(
         data = lines.find(_.startsWith("data=")).map(_.stripPrefix("data=")).getOrElse(""),
@@ -181,7 +244,9 @@ object SnapshotStore {
           .map(_.stripPrefix("bucket=").split(":")(0).split(",").toSeq.map(_.trim)).getOrElse(Nil),
         bucketN = lines.find(_.startsWith("bucket="))
           .flatMap(l => scala.util.Try(l.stripPrefix("bucket=").split(":")(1).toInt).toOption)
-          .getOrElse(0))
+          .getOrElse(0),
+        bloomFile = lines.find(_.startsWith("bloomfile="))
+          .map(_.stripPrefix("bloomfile=")).getOrElse(""))
     } else {
       // legacy bare-path marker (or empty → the fixed v=<N> layout)
       Manifest(lines.headOption.getOrElse(versionDir(table, v)), Nil, Nil)
@@ -217,13 +282,25 @@ object SnapshotStore {
     val m = manifest(spark, table, v)
     val reader =
       if (m.mixedSchema) spark.read.option("mergeSchema", "true") else spark.read
-    val base =
+    if (m.deletes.isEmpty) {
       if (m.files.nonEmpty) reader.parquet(m.files: _*)
       else reader.parquet(m.data)
-    if (m.deletes.isEmpty) base
-    else {
-      val dvs = spark.read.parquet(m.deletes: _*).select(m.keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
-      base.join(broadcast(dvs), m.keyCols, "left_anti")
+    } else {
+      // DVs apply per FILE SCOPE: group the files by which DVs cover
+      // them (ONE class — the legacy whole-table anti join — unless
+      // appends interleaved with deletes), anti-join each class against
+      // only its own DVs, and union. An appended file sits in a class
+      // no earlier DV touches, so its re-appended keys survive.
+      val classes = dvClasses(spark, m, dataFiles(spark, m))
+      classes.map { case (dvIdx, files) =>
+        val base = reader.parquet(files: _*)
+        if (dvIdx.isEmpty) base
+        else {
+          val dvs = spark.read.parquet(dvIdx.map(m.deletes): _*)
+            .select(m.keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
+          base.join(broadcast(dvs), m.keyCols, "left_anti")
+        }
+      }.reduce((a, b) => a.unionByName(b, allowMissingColumns = m.mixedSchema))
     }
   }
 
@@ -368,10 +445,16 @@ object SnapshotStore {
       val (next, base, m0) = currentVersion(spark, table) match {
         case Some(v) =>
           val m = manifest(spark, table, v)
-          if (m.deletes.nonEmpty) throw new UnsupportedOperationException(
-            s"append to $table refused: live deletion vectors are key-based and " +
-              "table-wide, so appended rows with previously deleted keys would be " +
-              "suppressed — run a compacting rewrite (materializes DVs away) first")
+          // scoped DVs coexist with appends: each DV covers only the
+          // files that existed at its delete commit, so the staged
+          // files are outside every live scope and re-appended keys
+          // survive. Only LEGACY unscoped DVs (table-wide) still block.
+          val unscoped = m.deletes.filter(d => dvScope(spark, d).isEmpty)
+          if (unscoped.nonEmpty) throw new UnsupportedOperationException(
+            s"append to $table refused: legacy deletion vector(s) without a file " +
+              s"scope (${unscoped.mkString(", ")}) apply table-wide, so appended " +
+              "rows with previously deleted keys would be suppressed — run a " +
+              "compacting rewrite (materializes DVs away) first")
           (v + 1, dataFiles(spark, m), Some(m))
         case None => (0L, Seq.empty[String], None)
       }
@@ -387,12 +470,16 @@ object SnapshotStore {
       val keptSpec = routedBucket.filter(spec =>
         m0.exists(m => m.bucketN == spec._2 && m.bucketCols == spec._1))
       if (tryPublishManifest(spark, table, next,
-          Manifest("", Nil, Nil, files = base ++ stagedFiles, op = "append",
+          Manifest("", m0.map(_.deletes).getOrElse(Nil), m0.map(_.keyCols).getOrElse(Nil),
+            files = base ++ stagedFiles, op = "append",
             statsExact = m0.forall(_.statsExact) && stagedExact, srcV = srcV,
             mixedSchema = mixedSchema || m0.exists(_.mixedSchema), // sticky once evolved
             statsFile = stats,
             bucketCols = keptSpec.map(_._1).getOrElse(Nil),
-            bucketN = keptSpec.map(_._2).getOrElse(0))))
+            bucketN = keptSpec.map(_._2).getOrElse(0),
+            // bloom index is FILE-keyed: inherited files keep their
+            // entries, staged files simply have none (no skip, no lie)
+            bloomFile = m0.map(_.bloomFile).getOrElse(""))))
         return next
       attempt += 1 // CAS lost: re-link the SAME staged files against the new head
     }
@@ -457,6 +544,7 @@ object SnapshotStore {
     if (m.srcV >= 0L) content.append(s"src=${m.srcV}\n")
     if (m.statsFile.nonEmpty) content.append(s"statsfile=${m.statsFile}\n")
     if (m.bucketN > 0) content.append(s"bucket=${m.bucketCols.mkString(",")}:${m.bucketN}\n")
+    if (m.bloomFile.nonEmpty) content.append(s"bloomfile=${m.bloomFile}\n")
     content.append(s"ts=$ts\n")
     val out = f.create(tmp, true)
     try out.write(content.toString.getBytes("UTF-8"))
@@ -533,11 +621,15 @@ object SnapshotStore {
         .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
         .distinct()
         .write.mode("overwrite").parquet(dv)
+      // scope = the files that exist NOW: later appends are new rows
+      // this DV must not touch (what makes append+DV coexistence legal)
+      writeDvScope(spark, dv, dataFiles(spark, m))
       if (tryPublishManifest(spark, table, cur + 1,
           Manifest(m.data, m.deletes :+ dv, keyCols, files = m.files, op = "delete",
             statsExact = m.statsExact, mixedSchema = m.mixedSchema,
             statsFile = m.statsFile, // data unchanged → stats carry forward
-            bucketCols = m.bucketCols, bucketN = m.bucketN)))
+            bucketCols = m.bucketCols, bucketN = m.bucketN,
+            bloomFile = m.bloomFile)))
         return cur + 1
       attempt += 1 // orphan DV file is GC'd by vacuum's reference count
     }
@@ -568,11 +660,15 @@ object SnapshotStore {
       require(
         m.deletes.isEmpty || m.keyCols == keyCols,
         s"delete key columns $keyCols differ from the table's existing DV keys ${m.keyCols}")
+      // scope re-derives per CAS attempt: a lost race means the file
+      // set may have changed under us (e.g. a concurrent append)
+      writeDvScope(spark, dv, dataFiles(spark, m))
       if (tryPublishManifest(spark, table, cur + 1,
           Manifest(m.data, m.deletes :+ dv, keyCols, files = m.files, op = "delete",
             statsExact = m.statsExact, srcV = srcV, mixedSchema = m.mixedSchema,
             statsFile = m.statsFile,
-            bucketCols = m.bucketCols, bucketN = m.bucketN)))
+            bucketCols = m.bucketCols, bucketN = m.bucketN,
+            bloomFile = m.bloomFile)))
         return cur + 1
       attempt += 1
     }
@@ -649,6 +745,8 @@ object SnapshotStore {
     val liveDvs = retainedManifests.flatMap(_.deletes).map(p => new Path(p).getName).toSet
     val liveStats = retainedManifests.map(_.statsFile).filter(_.nonEmpty)
       .map(p => new Path(p).getName).toSet
+    val liveBlooms = retainedManifests.map(_.bloomFile).filter(_.nonEmpty)
+      .map(p => new Path(p).getName).toSet
 
     // aged-out versions: markers drop; v=* data under the root is swept
     // below (refcounted); EXTERNAL or custom-named dir-granular data
@@ -700,6 +798,14 @@ object SnapshotStore {
         .map(_.getPath)
         .filter(p => !liveStats.contains(p.getName))
         .foreach(p => f.delete(p, false))
+    }
+    // unreferenced bloom-index dirs — same lifecycle again
+    val bloomRoot = new Path(s"$table/_bloom")
+    if (f.exists(bloomRoot)) {
+      f.listStatus(bloomRoot).toSeq
+        .map(_.getPath)
+        .filter(p => !liveBlooms.contains(p.getName))
+        .foreach(p => f.delete(p, true))
     }
     doomedCommitted
   }

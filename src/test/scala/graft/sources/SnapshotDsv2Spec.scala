@@ -296,16 +296,19 @@ class SnapshotDsv2Spec extends SparkSuite {
       nation.agg(max(col("n_nationkey"))).head().getInt(0) + 100)
   }
 
-  test("write path: append is refused while deletion vectors are live, with remediation") {
+  test("write path: append over live SCOPED deletion vectors keeps both correct") {
     val table = freshTable("dsv2-appenddv")
-    SnapshotStore.commit(graft.sources.Tables.nation(spark, sf()), table)
+    val nation = graft.sources.Tables.nation(spark, sf())
+    SnapshotStore.commit(nation, table)
     SnapshotStore.deleteCommit(spark, table, Seq("n_nationkey"), col("n_nationkey") < 5)
-    val e = intercept[Exception] {
-      graft.sources.Tables.nation(spark, sf())
-        .write.format("graft-snapshot").option("path", table).mode("append").save()
-    }
-    assert(e.getMessage.contains("compact"),
-      s"DV-append refusal should name the remediation: ${e.getMessage}")
+    // scoped DVs: the DSv2 append commits, the DV keeps applying to the
+    // ORIGINAL files only — a re-appended deleted key survives
+    nation.filter(col("n_nationkey") < 3)
+      .write.format("graft-snapshot").option("path", table).mode("append").save()
+    val got = spark.read.format("graft-snapshot").option("path", table).load()
+    assert(got.count() === 20 + 3)
+    assert(got.filter(col("n_nationkey") < 5).count() === 3,
+      "only the re-appended keys are visible below the deleted range")
   }
 
   test("pure-SQL surface: INSERT INTO through the catalog appends file-granular") {

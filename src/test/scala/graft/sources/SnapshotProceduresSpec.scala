@@ -31,11 +31,6 @@ class SnapshotProceduresSpec extends SparkSuite {
       SnapshotStore.commit(spark.range(0, 500).toDF("id").repartition(6), t)
       SnapshotStore.deleteCommit(spark, t, Seq("id"),
         org.apache.spark.sql.functions.col("id").isin(7L, 9L))
-      // DVs live → appendCommit refuses; compact is the documented remedy
-      val refused = intercept[UnsupportedOperationException] {
-        SnapshotStore.appendCommit(spark.range(500, 510).toDF("id"), t)
-      }
-      assert(refused.getMessage.contains("deletion vectors"))
 
       val receipt = spark.sql(
         s"CALL $cat.system.compact(table => 'm.orders', target_mb => 512)").collect()

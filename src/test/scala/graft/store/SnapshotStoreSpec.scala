@@ -312,19 +312,26 @@ class SnapshotStoreSpec extends SparkSuite {
     assert(h.toSeq === Seq("create", "append", "append"))
   }
 
-  test("appendCommit refuses while deletion vectors are live; compaction re-enables it") {
+  test("appendCommit coexists with live SCOPED deletion vectors; DVs carry forward") {
     val root = java.nio.file.Files.createTempDirectory("graft-appdv").toString
     val t = s"$root/t"
     SnapshotStore.commit(spark.range(50).toDF("id"), t)
     SnapshotStore.deleteCommit(spark, t, Seq("id"), col("id") < 10)
-    val e = intercept[UnsupportedOperationException] {
-      SnapshotStore.appendCommit(spark.range(100, 110).toDF("id"), t)
-    }
-    assert(e.getMessage.contains("compact"), s"refusal must name the remediation: ${e.getMessage}")
-    // a rewrite materializes DVs away; append works again
-    SnapshotStore.commit(SnapshotStore.read(spark, t), t)
+    // scoped DVs (the default since file scopes landed) allow the append:
+    // the DV covers only v0's files, so the appended rows are untouched —
+    // including a RE-APPENDED previously deleted key
     SnapshotStore.appendCommit(spark.range(100, 110).toDF("id").coalesce(1), t)
     assert(SnapshotStore.read(spark, t).count() === 40 + 10)
+    val m = SnapshotStore.manifest(spark, t, 2L)
+    assert(m.deletes.nonEmpty && m.keyCols === Seq("id"),
+      "append must carry the live DVs forward in its manifest")
+    SnapshotStore.appendCommit(spark.range(5, 7).toDF("id").coalesce(1), t)
+    assert(SnapshotStore.read(spark, t).filter(col("id") < 10).count() === 2,
+      "re-appended previously-deleted keys are NEW rows, not resurrected ones")
+    // compaction still materializes the DVs away entirely
+    val (_, _, _, v) = graft.ops.Bucketing.compactCommit(spark, t, 1L << 30)
+    assert(SnapshotStore.manifest(spark, t, v).deletes.isEmpty)
+    assert(SnapshotStore.read(spark, t).count() === 52)
   }
 
   test("delete commits over an append chain reuse the file list; reads stay DV-correct") {
