@@ -693,12 +693,53 @@ private[sources] object SnapshotScan {
     }
   }
 
+  /** DV lookups cache JVM-wide: DV key files are immutable once a
+    * marker references them, and rebuilding the lookup is a per-QUERY
+    * driver collect + UnsafeProjection pass over every key otherwise —
+    * the dominant scan-setup cost on a hot table with live DVs.
+    * Bounded like the sidecar caches; vacuumed DV paths simply age out
+    * on the clear. */
+  private val dvLookupCache =
+    scala.collection.concurrent.TrieMap.empty[(Seq[String], Seq[String]), DvLookup]
+
+  /** Per-class broadcast arrays cache too (keyed by the exact class →
+    * DV-subset layout + the app id, so a restarted session can never
+    * resolve another context's broadcast): a hot table's scans re-send
+    * zero bytes to the executors. Evicted entries unpersist lazily. */
+  private val dvBroadcastCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Seq[Seq[String]], Seq[String]),
+      org.apache.spark.broadcast.Broadcast[Array[DvLookup]]]
+
+  def broadcastDvClasses(
+      spark: SparkSession,
+      m: SnapshotStore.Manifest,
+      classDeletes: Seq[Seq[String]])
+      : org.apache.spark.broadcast.Broadcast[Array[DvLookup]] =
+    dvBroadcastCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, classDeletes, m.keyCols), {
+        if (dvBroadcastCache.size > 64) {
+          dvBroadcastCache.values.foreach(b =>
+            scala.util.Try(b.unpersist(blocking = false)))
+          dvBroadcastCache.clear()
+        }
+        spark.sparkContext.broadcast(classDeletes.map { ds =>
+          if (ds.isEmpty) null
+          else loadDvLookup(spark, m.copy(deletes = ds))
+        }.toArray)
+      })
+
   /** Load one manifest's deletion vectors as a ready-to-probe lookup,
     * values normalized to the readers' JVM-value space (micros for
     * timestamps, days for dates, UTF8String for strings) — ONE home for
     * the normalization so the batch scan and the change-feed stream can
     * never disagree on it. */
-  def loadDvLookup(spark: SparkSession, m: SnapshotStore.Manifest): DvLookup = {
+  def loadDvLookup(spark: SparkSession, m: SnapshotStore.Manifest): DvLookup =
+    dvLookupCache.getOrElseUpdate((m.deletes, m.keyCols), {
+      if (dvLookupCache.size > 64) dvLookupCache.clear()
+      buildDvLookup(spark, m)
+    })
+
+  private def buildDvLookup(spark: SparkSession, m: SnapshotStore.Manifest): DvLookup = {
     val frame = spark.read.parquet(m.deletes: _*)
       .select(m.keyCols.map(org.apache.spark.sql.functions.col): _*)
     // the JVM-value space the readers probe with: timestamps as micros
@@ -961,7 +1002,7 @@ private[sources] final class SnapshotScan(
       else SnapshotScan.loadDvLookup(spark, m.copy(deletes = idx.map(m.deletes)))
     }.toArray
   private lazy val dvKeysBroadcast: org.apache.spark.broadcast.Broadcast[Array[DvLookup]] =
-    spark.sparkContext.broadcast(dvClassLookups)
+    SnapshotScan.broadcastDvClasses(spark, m, dvClassLayout.map(_._1.map(m.deletes)))
 
   override def readSchema(): StructType = required
 
