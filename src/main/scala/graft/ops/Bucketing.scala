@@ -136,11 +136,14 @@ object Bucketing {
     * this rewrites the tiny tail only; [[compactCommit]] (full rewrite)
     * remains the DV-materializing big hammer.
     *
-    * Refused while deletion vectors are live: DV keys are table-wide,
-    * and rewriting only SOME files while keeping the delete lines would
-    * re-apply the deletes to the rewritten rows... which is idempotent
-    * but permanently blocks the DV-materialization contract — run
-    * [[compactCommit]] instead (its full rewrite clears them).
+    * SCOPED deletion vectors compose: the small tail reads through
+    * [[graft.store.SnapshotStore.readFilesWithDvs]] (each file's own
+    * DVs applied), so the merged outputs carry already-filtered rows —
+    * partial DV materialization — while the re-linked big files keep
+    * their DV coverage through the carried-forward delete lines.
+    * Legacy UNSCOPED DVs (table-wide) still refuse: they would
+    * re-apply to the merged rows forever — run [[compactCommit]]
+    * instead (its full rewrite clears them).
     * Returns (files_rewritten, files_linked, files_after_merge,
     * committed_version); commits nothing when fewer than two small
     * files exist. */
@@ -153,9 +156,12 @@ object Bucketing {
     val cur = SnapshotStore.currentVersion(spark, table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $table"))
     val m = SnapshotStore.manifest(spark, table, cur)
-    require(m.deletes.isEmpty,
-      s"incremental compaction on $table refused while deletion vectors are live — " +
-        "run the full compactCommit (it materializes DVs away)")
+    val unscoped = SnapshotStore.unscopedDvs(spark, m)
+    require(unscoped.isEmpty,
+      s"incremental compaction on $table refused: legacy deletion vector(s) without " +
+        s"a file scope (${unscoped.mkString(", ")}) apply table-wide and would " +
+        "re-apply to the merged rows — run the full compactCommit (it materializes " +
+        "DVs away)")
     val fs = new org.apache.hadoop.fs.Path(table)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val all = SnapshotStore.dataFiles(spark, m)
@@ -167,11 +173,10 @@ object Bucketing {
     val nOut = math.max(1, math.ceil(smallTotal.toDouble / targetBytes).toInt)
     val next = cur + 1
     val stageDir = s"$table/v=${next}__compact${java.util.UUID.randomUUID.toString.take(8)}"
-    // mergeSchema iff the table evolved: merged outputs then carry the
-    // union schema, which only WIDENS what the files already declared
-    val reader =
-      if (m.mixedSchema) spark.read.option("mergeSchema", "true") else spark.read
-    val smallRows = reader.parquet(small.map(_._1): _*)
+    // the small tail reads with each file's own (scoped) DVs applied —
+    // the merged outputs are DV-materialized; mergeSchema resolution
+    // for evolved tables lives inside readFilesWithDvs
+    val smallRows = SnapshotStore.readFilesWithDvs(spark, m, small.map(_._1))
     // BUCKETED tables compact without losing co-location: the small
     // tail re-routes through the SAME hash (rows land back in their
     // bucket = write partition = `part-<id>` name), so the merged
@@ -187,11 +192,14 @@ object Bucketing {
     // big files' stats copy forward; only the merged outputs' footers are read
     val stats = graft.store.FileStats.sidecarFor(
       spark, table, big.map(_._1) ++ staged, Some(m), m.statsExact)
+    // DVs carry forward for the re-linked big files (scoped — the
+    // merged-away small files' scope entries dangle harmlessly); the
+    // staged outputs are DV-materialized and covered by none
     val ok = SnapshotStore.tryPublishManifest(spark, table, next,
-      SnapshotStore.Manifest("", Nil, Nil, ts = System.currentTimeMillis(),
+      SnapshotStore.Manifest("", m.deletes, m.keyCols, ts = System.currentTimeMillis(),
         files = big.map(_._1) ++ staged, op = "compact-small",
         statsExact = m.statsExact, mixedSchema = m.mixedSchema, statsFile = stats,
-        bucketCols = m.bucketCols, bucketN = m.bucketN))
+        bucketCols = m.bucketCols, bucketN = m.bucketN, bloomFile = m.bloomFile))
     if (!ok) {
       fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
       throw new java.util.ConcurrentModificationException(

@@ -195,14 +195,16 @@ object EventAnalytics {
   }
 
   /** DT17: APPENDS OVER LIVE DELETION VECTORS (scoped DVs) — the full
-    * merge-on-read timeline: commit orders (v0), delete every key
-    * divisible by 3 (v1), append back the half of those rows divisible
-    * by 6 (v2 — legal because the v1 DV is SCOPED to v0's files, so the
-    * re-appended keys are new rows, not resurrected ones), then delete
-    * keys ≡6 mod 12 (v3 — covers the appended files too). The oracle
+    * merge-on-read timeline: commit orders (v0), delete keys ≡1 mod 50
+    * (v1, the realistic ~2% DV delta — DVs stay a SMALL-delta
+    * mechanism, larger deletes are compaction's job), append back the
+    * half with keys ≡1 mod 100 (v2 — legal because the v1 DV is SCOPED
+    * to v0's files, so the re-appended keys are new rows, not
+    * resurrected ones), then delete keys ≡101 mod 200 (v3 — covers the
+    * appended files too, killing half the re-appends). The oracle
     * replays the timeline as a pure predicate: a row is live iff its
-    * key is not divisible by 3, OR it was re-appended and not re-deleted
-    * (key divisible by 12). Read through the DSv2 connector, so the
+    * key is not ≡1 mod 50, OR it was re-appended and not re-deleted
+    * (key ≡1 mod 200). Read through the DSv2 connector, so the
     * per-file DV class dispatch is what answers. */
   val dtDvAppend: Q = (s, d) => {
     val table = Fixtures.table("dvappend", d) { t =>
@@ -210,11 +212,11 @@ object EventAnalytics {
       val files = s.sparkContext.defaultParallelism.max(4)
       graft.store.SnapshotStore.commit(orders.repartition(files), t)
       graft.store.SnapshotStore.deleteCommit(s, t, Seq("o_orderkey"),
-        pmod(col("o_orderkey"), lit(3)) === 0)
+        pmod(col("o_orderkey"), lit(50)) === 1)
       graft.store.SnapshotStore.appendCommit(
-        orders.filter(pmod(col("o_orderkey"), lit(6)) === 0).coalesce(2), t)
+        orders.filter(pmod(col("o_orderkey"), lit(100)) === 1).coalesce(2), t)
       graft.store.SnapshotStore.deleteCommit(s, t, Seq("o_orderkey"),
-        pmod(col("o_orderkey"), lit(12)) === 6)
+        pmod(col("o_orderkey"), lit(200)) === 101)
     }
     s.read.format("graft-snapshot").option("path", table).load()
       .groupBy(col("o_orderstatus"))
@@ -558,7 +560,7 @@ object EventAnalytics {
                 CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
          FROM orders
-         WHERE (o_orderkey % 3 <> 0) OR (o_orderkey % 12 = 0)
+         WHERE (o_orderkey % 50 <> 1) OR (o_orderkey % 200 = 1)
          GROUP BY o_orderstatus
          ORDER BY o_orderstatus""",
     "dt_call_optimize" ->
@@ -716,8 +718,11 @@ object EventAnalytics {
         .digest(root.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
       s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.SnapshotCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      // threshold sized so the appended slices (~orders/35) count as
+      // small at EVERY ladder scale — at big sf the base files fall
+      // under it too and the merge widens, which is content-neutral
       val opt = s.sql(
-        s"CALL $cat.system.compact_small_files(table => 'm.orders', small_mb => 8)")
+        s"CALL $cat.system.compact_small_files(table => 'm.orders', small_mb => 64)")
         .head()
       require(opt.getAs[Int]("files_rewritten") >= 2,
         s"CALL compact_small_files should have merged the appended tail: $opt")

@@ -138,6 +138,30 @@ object PruningQueries {
     * might hold each probed key, and the exact IN re-applies. Result ≡
     * plain filter, which is what the oracle runs; the pruning factor
     * itself is pinned in ScalaTest. */
+  /** BL2: the Bloom MANIFEST index through the DSv2 connector
+    * ([[graft.ops.BloomIndex.bloomCommit]]) — a snapshot table
+    * scattered by `o_custkey` (so min/max stats on `o_orderkey`
+    * provably prune nothing) gets a per-(file, column) Bloom index
+    * published as a `bloomfile=` manifest line; a pushed `IN` probe
+    * then prunes files whose filters exclude every value at PLANNING.
+    * The oracle replays the lookup as plain SQL — pruning is IO-only,
+    * values must be exact (false positives re-filter, never leak). */
+  val blManifestLookup: Q = (s, d) => {
+    val table = Fixtures.table("bmanifest", d) { t =>
+      graft.store.SnapshotStore.commit(
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .repartition(16, col("o_custkey")), t)
+      graft.ops.BloomIndex.bloomCommit(s, t, Seq("o_orderkey"),
+        expectedItems = 1L << 16, numBits = 1L << 19)
+    }
+    s.read.format("graft-snapshot").option("path", table).load()
+      .filter(col("o_orderkey").isin(1L, 7L, 32L, 4963L, 29440L, 299999L))
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).alias("price"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val blPointLookup: Q = (s, d) => {
     val dir = Fixtures.table("bindex", d) { t =>
       Tables.orders(s, d)
@@ -199,6 +223,7 @@ object PruningQueries {
   val queries: Map[String, Q] = Map(
     "zo_skipping_scan" -> zoSkippingScan,
     "bl_point_lookup" -> blPointLookup,
+    "bl_manifest_lookup" -> blManifestLookup,
     "mv_rewrite_agg" -> mvRewriteAgg,
     "tx_zipf" -> txZipf,
     "cp_e2e_corpus" -> cpE2eCorpus,
@@ -217,6 +242,11 @@ object PruningQueries {
            AND date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) BETWEEN 400 AND 700
          ORDER BY o_orderkey""",
     "bl_point_lookup" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+         FROM orders
+         WHERE o_orderkey IN (1, 7, 32, 4963, 29440, 299999)
+         ORDER BY o_orderkey""",
+    "bl_manifest_lookup" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
          FROM orders
          WHERE o_orderkey IN (1, 7, 32, 4963, 29440, 299999)

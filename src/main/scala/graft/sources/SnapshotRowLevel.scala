@@ -39,9 +39,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - The group scan reads touched files WHOLE (no static row-group
   *    skipping — see [[SnapshotScanBuilder.pushFilters]]): carry-over
   *    rows of a rewritten file must flow through the replacement.
-  *  - Refused while deletion vectors are live: key-based DVs compose
-  *    wrong with partial rewrites (a re-inserted deleted key would
-  *    vanish) — compact first, like append.
+  *  - SCOPED deletion vectors compose: the group scan applies each
+  *    file's own DVs, so replacement files carry already-filtered rows
+  *    (partial DV materialization) and the surviving files keep their
+  *    DV coverage. Legacy UNSCOPED DVs (table-wide) still refuse — they
+  *    would re-delete a MERGE-reinserted key from the fresh files.
   *  - Concurrency is optimistic: the commit CAS-publishes
   *    `baseVersion + 1`; if any other writer committed since the scan,
   *    the publish loses and the command fails with a concurrent-
@@ -61,11 +63,21 @@ private[sources] final class SnapshotRowLevelOperation(
 
   private def spark = SparkSession.active
 
-  if (m.deletes.nonEmpty)
-    throw new UnsupportedOperationException(
-      s"graft-snapshot: ${cmd} on $tablePath refused while deletion vectors are live " +
-        "(key-based DVs compose wrong with partial rewrites) — run a compacting " +
-        "INSERT OVERWRITE or Bucketing.compactCommit first")
+  // SCOPED DVs compose with copy-on-write: the group scan applies each
+  // file's own DVs (per-class dispatch), so replacement files carry
+  // already-filtered rows and leave the manifest's DV list covering
+  // only the surviving files — partial DV materialization for free.
+  // Only LEGACY unscoped DVs (table-wide: they would re-delete a
+  // MERGE-reinserted key from the fresh files) still refuse.
+  locally {
+    val unscoped = SnapshotStore.unscopedDvs(spark, m)
+    if (unscoped.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"graft-snapshot: ${cmd} on $tablePath refused: legacy deletion vector(s) " +
+          s"without a file scope (${unscoped.mkString(", ")}) apply table-wide and " +
+          "compose wrong with partial rewrites — run a compacting INSERT OVERWRITE " +
+          "or Bucketing.compactCommit first")
+  }
 
   /** The head version this command rewrites; the resolved relation must
     * BE the head — rewriting a time-travelled snapshot would silently
@@ -157,10 +169,15 @@ private[sources] final class SnapshotRowLevelBatchWrite(
     // version's sidecar; only the replacement files' footers are read
     val stats = graft.store.FileStats.sidecarFor(
       spark, tablePath, survivors ++ committed, Some(m), m.statsExact)
+    // DVs carry forward for the SURVIVING files (scoped — replaced
+    // files' scope entries dangle harmlessly once the files leave the
+    // manifest); the staged files' rows were DV-filtered by the group
+    // scan, so no DV covers them and none may
     val ok = SnapshotStore.tryPublishManifest(spark, tablePath, op.baseVersion + 1,
-      SnapshotStore.Manifest("", Nil, Nil, ts = System.currentTimeMillis(),
+      SnapshotStore.Manifest("", m.deletes, m.keyCols, ts = System.currentTimeMillis(),
         files = survivors ++ committed, op = opName, statsExact = m.statsExact,
-        mixedSchema = m.mixedSchema, statsFile = stats))
+        mixedSchema = m.mixedSchema, statsFile = stats,
+        bloomFile = m.bloomFile))
     if (!ok) {
       abort(messages)
       throw new java.util.ConcurrentModificationException(

@@ -166,6 +166,13 @@ object SnapshotStore {
     }
   }
 
+  /** Live DVs WITHOUT a file scope (legacy, pre-scope commits): these
+    * apply table-wide, so incremental surfaces (append, copy-on-write
+    * row-level SQL, small-file compaction) must refuse while any
+    * exist — a compacting rewrite materializes them away. */
+  def unscopedDvs(spark: SparkSession, m: Manifest): Seq[String] =
+    m.deletes.filter(d => dvScope(spark, d).isEmpty)
+
   /** Group a manifest's data files by the SET of DVs that apply to
     * each (identified by index into `m.deletes`): the partition a
     * scoped reader applies DVs class-by-class over. For a plain
@@ -285,23 +292,31 @@ object SnapshotStore {
     if (m.deletes.isEmpty) {
       if (m.files.nonEmpty) reader.parquet(m.files: _*)
       else reader.parquet(m.data)
-    } else {
-      // DVs apply per FILE SCOPE: group the files by which DVs cover
-      // them (ONE class — the legacy whole-table anti join — unless
-      // appends interleaved with deletes), anti-join each class against
-      // only its own DVs, and union. An appended file sits in a class
-      // no earlier DV touches, so its re-appended keys survive.
-      val classes = dvClasses(spark, m, dataFiles(spark, m))
-      classes.map { case (dvIdx, files) =>
-        val base = reader.parquet(files: _*)
-        if (dvIdx.isEmpty) base
-        else {
-          val dvs = spark.read.parquet(dvIdx.map(m.deletes): _*)
-            .select(m.keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
-          base.join(broadcast(dvs), m.keyCols, "left_anti")
-        }
-      }.reduce((a, b) => a.unionByName(b, allowMissingColumns = m.mixedSchema))
-    }
+    } else readFilesWithDvs(spark, m, dataFiles(spark, m))
+  }
+
+  /** Read a SUBSET of a manifest's data files with exactly the DVs
+    * that cover each file applied. DVs apply per FILE SCOPE: the files
+    * group into classes by which DVs cover them (ONE class — the
+    * legacy whole-table anti join — unless appends interleaved with
+    * deletes), each class anti-joins against only its own DVs, and the
+    * classes union. An appended file sits in a class no earlier DV
+    * touches, so its re-appended keys survive. Also the read half of
+    * partial DV materialization (DV-safe incremental compaction reads
+    * its merge set through this). */
+  def readFilesWithDvs(spark: SparkSession, m: Manifest, files: Seq[String]): DataFrame = {
+    val reader =
+      if (m.mixedSchema) spark.read.option("mergeSchema", "true") else spark.read
+    if (m.deletes.isEmpty) reader.parquet(files: _*)
+    else dvClasses(spark, m, files).map { case (dvIdx, fs2) =>
+      val base = reader.parquet(fs2: _*)
+      if (dvIdx.isEmpty) base
+      else {
+        val dvs = spark.read.parquet(dvIdx.map(m.deletes): _*)
+          .select(m.keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
+        base.join(broadcast(dvs), m.keyCols, "left_anti")
+      }
+    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = m.mixedSchema))
   }
 
   /** Write `df` as the next snapshot and publish it atomically. Returns
@@ -449,7 +464,7 @@ object SnapshotStore {
           // files that existed at its delete commit, so the staged
           // files are outside every live scope and re-appended keys
           // survive. Only LEGACY unscoped DVs (table-wide) still block.
-          val unscoped = m.deletes.filter(d => dvScope(spark, d).isEmpty)
+          val unscoped = unscopedDvs(spark, m)
           if (unscoped.nonEmpty) throw new UnsupportedOperationException(
             s"append to $table refused: legacy deletion vector(s) without a file " +
               s"scope (${unscoped.mkString(", ")}) apply table-wide, so appended " +

@@ -135,11 +135,18 @@ class SnapshotRowLevelSpec extends SparkSuite {
     }
   }
 
-  test("MERGE is refused while deletion vectors are live, naming compaction") {
+  test("MERGE is refused only for LEGACY unscoped DVs, naming compaction") {
     withCatalog { (cat, wh) =>
       val table = s"$wh/dims/nation"
       SnapshotStore.commit(graft.sources.Tables.nation(spark, sf()), table)
       SnapshotStore.deleteCommit(spark, table, Seq("n_nationkey"), col("n_nationkey") < 3)
+      // strip the scope sidecar → a pre-scope table-wide DV: those
+      // compose wrong with partial rewrites and must still refuse
+      // (scoped-DV MERGE semantics are pinned in DvScopedAppendSpec)
+      val dv = SnapshotStore.manifest(spark, table, 1L).deletes.head
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dv/_scope.txt"), false))
       spark.sql("SELECT CAST(1 AS INT) AS k, 'X' AS nm").createOrReplaceTempView("rl_dv_src")
       val e = intercept[Exception] {
         spark.sql(

@@ -161,6 +161,91 @@ class DvScopedAppendSpec extends SparkSuite {
     assert(ids(SnapshotStore.readVersion(spark, dst, 3)).count(_ == 2L) === 2)
   }
 
+  test("MERGE INTO composes with live scoped DVs: partial materialization, reinserts survive") {
+    val wh = java.nio.file.Files.createTempDirectory("dvscope-mrg").toString
+    val cat = "dvm_" + java.util.UUID.randomUUID.toString.take(8).replace("-", "")
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      val t = s"$wh/m/kv"
+      val base = spark.range(0, 60).select(col("id"),
+        concat(lit("v"), col("id").cast("string")).as("v"))
+      // range-partitioned → disjoint ids per file
+      SnapshotStore.commit(base.repartitionByRange(3, col("id")), t)          // v0
+      SnapshotStore.deleteCommit(spark, t, Seq("id"), col("id").isin(5L, 25L, 45L)) // v1
+      val v1Files = SnapshotStore.dataFiles(spark, SnapshotStore.manifest(spark, t, 1))
+      val fs = new org.apache.hadoop.fs.Path(t)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val mtime0 = v1Files.map(f =>
+        f -> fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getModificationTime).toMap
+
+      // touches only the middle file's range: update 30, REINSERT the
+      // DV-dead 25 (NOT MATCHED — its only row is deleted), insert 100
+      Seq((30L, "upd"), (25L, "back"), (100L, "new")).toDF("id", "v")
+        .createOrReplaceTempView("dv_mrg_src")
+      spark.sql(
+        s"""MERGE INTO $cat.m.kv t USING dv_mrg_src s ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET t.v = s.v
+            WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+
+      val m2 = SnapshotStore.manifest(spark, t, 2)
+      assert(m2.op === "merge")
+      assert(m2.deletes.nonEmpty && m2.keyCols === Seq("id"),
+        "merge must carry the live DVs forward for the surviving files")
+      // untouched files never moved
+      val survivors = m2.files.toSet.intersect(v1Files.toSet)
+      assert(survivors.nonEmpty && survivors.size < v1Files.size)
+      survivors.foreach(f => assert(
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getModificationTime === mtime0(f)))
+
+      val got = spark.table(s"$cat.m.kv").select("id", "v")
+        .as[(Long, String)].collect().toMap
+      assert(got.size === 59) // 60 - 3 deleted + reinserted 25 + inserted 100
+      assert(!got.contains(5L) && !got.contains(45L), "untouched files keep their DVs")
+      assert(got(25L) === "back", "a reinserted previously-deleted key survives the merge")
+      assert(got(30L) === "upd")
+      assert(got(100L) === "new")
+      assert(got(29L) === "v29", "carry-over rows intact")
+      // deletes still work afterwards
+      SnapshotStore.deleteCommit(spark, t, Seq("id"), col("id") === 30L)
+      assert(!spark.table(s"$cat.m.kv").select("id").as[Long].collect().contains(30L))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
+  test("incremental small-file compaction composes with scoped DVs") {
+    val t = fresh("dvscope-csf")
+    SnapshotStore.commit(spark.range(0, 200000).toDF("id").coalesce(1), t) // big (~1.6 MB)
+    (0 until 3).foreach { i =>
+      SnapshotStore.appendCommit(
+        spark.range(1000 + i * 10, 1010 + i * 10).toDF("id").coalesce(1), t)
+    }
+    // DV covering BOTH generations (scope = all current files)
+    SnapshotStore.deleteCommit(spark, t, Seq("id"), col("id").isin(3L, 1001L, 1011L))
+    val before = ids(SnapshotStore.read(spark, t))
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bigFile = SnapshotStore.dataFiles(spark, SnapshotStore.manifest(spark, t, 0)).head
+    val bigMtime = fs.getFileStatus(new org.apache.hadoop.fs.Path(bigFile)).getModificationTime
+
+    val (rewritten, linked, after, v) = graft.ops.Bucketing.compactSmallFilesCommit(
+      spark, t, smallBytes = 16L * 1024, targetBytes = 1L << 30)
+    assert(rewritten === 3 && linked === 1 && after === 1) // 3 tiny → 1 merged
+    val mV = SnapshotStore.manifest(spark, t, v)
+    assert(mV.deletes.nonEmpty, "compaction of the small tail keeps the big file's DVs")
+    assert(fs.getFileStatus(new org.apache.hadoop.fs.Path(bigFile)).getModificationTime
+      === bigMtime, "the big file must re-link untouched")
+    assert(ids(SnapshotStore.read(spark, t)) === before,
+      "incremental compaction over DVs must be content-neutral")
+    // DSv2 agrees; merged files are DV-materialized, big file still probes
+    assert(ids(spark.read.format("graft-snapshot").option("path", t).load()) === before)
+    // a later re-append of a merged-away deleted key is a new row
+    SnapshotStore.appendCommit(Seq(1001L).toDF("id").coalesce(1), t)
+    assert(ids(SnapshotStore.read(spark, t)).count(_ == 1001L) === 1)
+  }
+
   test("vacuum collects an aged-out DV dir with its scope; retained chain reads whole") {
     val t = fresh("dvscope9")
     SnapshotStore.commit(spark.range(0, 20).toDF("id"), t)             // v0
