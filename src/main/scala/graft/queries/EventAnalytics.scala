@@ -258,6 +258,36 @@ object EventAnalytics {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** DT7b: JOIN-DRIVEN DYNAMIC FILE PRUNING through the DSv2 connector
+    * ([[graft.sources.SnapshotScan]] as `SupportsRuntimeV2Filtering`
+    * over data columns) — the orders fact commits range-clustered by
+    * `o_custkey`; the customer dim is filtered on a NON-key column
+    * (`c_name`), so the surviving custkeys are only known once the
+    * broadcast side materializes. Spark's dynamic-pruning machinery
+    * hands those keys back to the scan as a runtime IN; the scan drops
+    * every file whose custkey range provably excludes them BEFORE any
+    * task launches — the DSv2 analog of dynamic partition pruning,
+    * with no directory layout. The oracle replays the join as plain
+    * SQL: runtime pruning is IO-only, the answer must be identical. */
+  val dtRuntimePrune: Q = (s, d) => {
+    val table = Fixtures.table("rtprune", d) { t =>
+      val files = s.sparkContext.defaultParallelism.max(4)
+      graft.store.SnapshotStore.commit(
+        Tables.orders(s, d).repartitionByRange(files, col("o_custkey")), t)
+    }
+    val dim = Tables.customer(s, d)
+      .filter(col("c_name").isin(
+        "Customer#000000013", "Customer#000000037", "Customer#000000103"))
+      .select(col("c_custkey"), col("c_name"))
+    s.read.format("graft-snapshot").option("path", table).load()
+      .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_name"))
+      .agg(
+        count(lit(1)).alias("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).alias("cents"))
+      .orderBy(col("c_name"))
+  }
+
   /** DT8: the TableCatalog surface end-to-end — commit the orders fact
     * under a warehouse (v0), apply a deletion-vector commit (v1), then
     * answer ENTIRELY in SQL through [[graft.sources.SnapshotCatalog]]
@@ -585,6 +615,13 @@ object EventAnalytics {
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
          FROM orders WHERE o_orderkey % 50 <> 2
          ORDER BY version""",
+    "dt_sorted_join" ->
+      """SELECT o.o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n_items,
+                CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS ext_cents
+         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         GROUP BY o.o_orderstatus
+         ORDER BY o.o_orderstatus""",
     "dt_spj_join" ->
       """SELECT o.o_orderpriority,
                 CAST(count(*) AS BIGINT) AS n_items,
@@ -601,6 +638,14 @@ object EventAnalytics {
          WHERE o_totalprice > 300000.0 AND o_orderkey % 50 <> 1
          GROUP BY o_orderpriority
          ORDER BY o_orderpriority""",
+    "dt_runtime_prune" ->
+      """SELECT c.c_name,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE c.c_name IN ('Customer#000000013', 'Customer#000000037', 'Customer#000000103')
+         GROUP BY c.c_name
+         ORDER BY c.c_name""",
     "dt_delete_vectors" ->
       """SELECT o_orderstatus,
                 CAST(count(*) AS BIGINT) AS n_rows,
@@ -746,6 +791,38 @@ object EventAnalytics {
     * answer at 100 TB; `StoragePartitionedJoinSpec` pins the
     * zero-shuffle plan shape). The oracle replays the join on the raw
     * tables — co-location is plan-shape-only, values must be exact. */
+  /** DT19: SORTED co-bucketed merge join — both facts commit through
+    * [[graft.store.SnapshotStore.bucketedCommit]] with `sortCols` on
+    * the join key, so the scan reports KeyGroupedPartitioning AND
+    * per-partition ordering (`SupportsReportOrdering`): under a
+    * non-broadcast plan the merge join runs with ZERO exchanges and
+    * ZERO sort nodes (plan property pinned in `SortedLayoutSpec`; the
+    * oracle pins the values). Write-once shuffle+sort, amortized over
+    * every later join — the fact⨝fact contract at 100 TB. */
+  val dtSortedJoin: Q = (s, d) => {
+    val wh = Fixtures.dir("sortedspj", d) { root =>
+      val buckets = s.sparkContext.defaultParallelism.max(4)
+      graft.store.SnapshotStore.bucketedCommit(
+        Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        s"$root/fact/orders_s", Seq("o_orderkey"), buckets, sortCols = Seq("o_orderkey"))
+      graft.store.SnapshotStore.bucketedCommit(
+        Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice")
+          .withColumnRenamed("l_orderkey", "o_orderkey"),
+        s"$root/fact/lineitem_s", Seq("o_orderkey"), buckets, sortCols = Seq("o_orderkey"))
+    }
+    val cat = "gsrt_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(wh.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.SnapshotCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(
+      s"""SELECT o.o_orderstatus,
+                 CAST(count(*) AS BIGINT) AS n_items,
+                 CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS ext_cents
+          FROM $cat.fact.orders_s o JOIN $cat.fact.lineitem_s l USING (o_orderkey)
+          GROUP BY o.o_orderstatus
+          ORDER BY o.o_orderstatus""")
+  }
+
   val dtSpjJoin: Q = (s, d) => {
     val wh = Fixtures.dir("spj", d) { root =>
       val buckets = s.sparkContext.defaultParallelism.max(4)
@@ -786,6 +863,7 @@ object EventAnalytics {
     "dt_incr_agg" -> dtIncrAgg,
     "dt_delete_vectors" -> dtDeleteVectors,
     "dt_dsv2_scan" -> dtDsv2Scan,
+    "dt_runtime_prune" -> dtRuntimePrune,
     "dt_catalog_tt" -> dtCatalogTt,
     "dt_agg_pushdown" -> dtAggPushdown,
     "dt_append" -> dtAppend,
@@ -795,6 +873,7 @@ object EventAnalytics {
     "dt_call_optimize" -> dtCallOptimize,
     "dt_dv_append" -> dtDvAppend,
     "dt_spj_join" -> dtSpjJoin,
+    "dt_sorted_join" -> dtSortedJoin,
     "c12_transitions" -> c12Transitions,
     "sk_skew_report" -> skSkewReport
   )

@@ -384,6 +384,94 @@ private[sources] object SnapshotScan {
     }
   }
 
+  /** Diagnostic gauge: row groups the LAST runtime-filtered scan
+    * dropped beyond static pruning (join-driven dynamic file pruning).
+    * Set, not accumulated — planInputPartitions may re-derive the same
+    * filtered set more than once per execution. */
+  val lastRuntimePrunedGroups = new java.util.concurrent.atomic.AtomicLong
+
+  /** Column types eligible as runtime-filter attributes — the same
+    * family [[isSkippable]] accepts as external probe values, so every
+    * accepted runtime predicate can actually consult stats/Bloom. */
+  def runtimeFilterable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | DoubleType | FloatType |
+        StringType => true
+    case _ => false
+  }
+
+  /** A join-driven runtime predicate reduced to probe-ready form: the
+    * IN values sorted under [[cmpAny]] so a row group's exclusion check
+    * is one binary search (O(log v)), not O(v) — at the 100 TB shape a
+    * broadcast dim can hand back 10^5 keys against 10^6 row groups, and
+    * the naive product is a planner stall. `raw` keeps the source
+    * Filter shape for the Bloom-manifest probe (hashes computed once
+    * per value there, shared across files). */
+  final case class RuntimeIn(col: String, sorted: Array[Any], raw: Filter) {
+    /** True only when [min, max] provably contains no probed value. */
+    def excludes(stats: Map[String, (Any, Any)]): Boolean =
+      stats.get(col).exists { case (mn, mx) =>
+        // lowest sorted value >= min; excluded iff none, or it is > max
+        var lo = 0
+        var hi = sorted.length
+        var defined = true
+        while (lo < hi && defined) {
+          val mid = (lo + hi) >>> 1
+          cmpAny(sorted(mid), mn) match {
+            case Some(c) => if (c < 0) lo = mid + 1 else hi = mid
+            case None    => defined = false // no order → never skip
+          }
+        }
+        defined && (lo == sorted.length ||
+          cmpAny(sorted(lo), mx).exists(_ > 0))
+      }
+  }
+
+  /** Hard cap on accepted runtime IN sizes: past this the driver-side
+    * sort + per-file Bloom probes cost more than the IO they save —
+    * an oversized filter is simply ignored (pruning is optional). */
+  val RuntimeInMaxValues = 1 << 20
+
+  /** Parse a DATA-column runtime predicate (`IN`/`=` over an atomic
+    * column with all-literal values) into probe-ready form. Literals
+    * arrive in Catalyst INTERNAL representation (UTF8String for
+    * strings) — externalized here so [[cmpAny]]/Bloom hashing see the
+    * same shapes the static pushdown path does. None for anything
+    * else: an unparsed predicate means no runtime pruning, never a
+    * wrong answer (Spark re-applies the join itself). */
+  def toRuntimeIn(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate): Option[RuntimeIn] = {
+    import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case f: NamedReference if f.fieldNames.length == 1 && f.fieldNames.head != FileCol =>
+          Some(f.fieldNames.head)
+        case _ => None
+      }
+    def valOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[Any] =
+      e match {
+        case l: V2Literal[_] if l.value != null =>
+          Some(org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .convertToScala(l.value, l.dataType))
+        case _ => None
+      }
+    val parsed: Option[(String, Seq[Any])] = p.name() match {
+      case "IN" if p.children().nonEmpty && p.children().length - 1 <= RuntimeInMaxValues =>
+        for {
+          c <- colOf(p.children()(0))
+          vs = p.children().drop(1).map(valOf)
+          if vs.forall(_.isDefined)
+        } yield (c, vs.flatten.toSeq)
+      case "=" if p.children().length == 2 =>
+        for (c <- colOf(p.children()(0)); v <- valOf(p.children()(1))) yield (c, Seq(v))
+      case _ => None
+    }
+    parsed.collect {
+      case (c, vs) if vs.nonEmpty && isSkippable(In(c, vs.toArray)) =>
+        val sorted = vs.toArray.sortWith((a, b) => cmpAny(a, b).exists(_ < 0))
+        RuntimeIn(c, sorted, In(c, vs.toArray))
+    }
+  }
+
   /** Bucket id of a part file written by a bucketed commit: write task
     * i (= partition i = bucket i under HashPartitioning) names its
     * output `part-<i>-<uuid>...`. None-shaped -1 when the name doesn't
@@ -814,7 +902,9 @@ private[sources] final class SnapshotScan(
     rowLevel: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   // ---- driver-side, metadata-only planning (footers, never data pages)
   private val spark = SparkSession.active
@@ -832,21 +922,47 @@ private[sources] final class SnapshotScan(
   private val physical: StructType =
     if (hasFileCol) StructType(required.fields.dropRight(1)) else required
 
-  // ---- runtime group filtering (row-level operations): the planner's
-  // group-filter subquery computes the distinct `_file` values matching
-  // the command and hands them back as an IN predicate — files outside
-  // the set are untouched groups and drop out of BOTH the read and the
-  // copy-on-write rewrite set
+  // ---- runtime group filtering, two shapes:
+  //  * row-level operations: the planner's group-filter subquery
+  //    computes the distinct `_file` values matching the command and
+  //    hands them back as an IN predicate — files outside the set are
+  //    untouched groups and drop out of BOTH the read and the
+  //    copy-on-write rewrite set
+  //  * plain batch scans: Spark's dynamic-pruning machinery hands back
+  //    the DISTINCT JOIN KEYS of a filtered broadcast side as IN
+  //    predicates over data columns — files/row groups whose stats (or
+  //    Bloom manifest entries) provably exclude every key drop before
+  //    any task launches. This is the DSv2 analog of dynamic partition
+  //    pruning, without a directory layout: at 100 TB a star join whose
+  //    dim filter keeps 1 % of keys reads ~1 % of a range-clustered
+  //    fact instead of all of it.
   @volatile private var runtimeFiles: Option[Set[String]] = None
+  @volatile private var runtimeIns: Array[SnapshotScan.RuntimeIn] = Array.empty
 
+  /** Advertised runtime-filterable columns. Row-level scans accept only
+    * the `_file` group filter (they must read touched files WHOLE).
+    * Bucketed scans report KeyGroupedPartitioning for storage-
+    * partitioned joins — dropping whole buckets at runtime would break
+    * the partition-zip contract, so they advertise nothing. Everything
+    * else: every atomic projected column (Spark only consults the ones
+    * that are join keys). */
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (rowLevel) Array(org.apache.spark.sql.connector.expressions.Expressions.column(SnapshotScan.FileCol))
-    else Array.empty
+    if (rowLevel)
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column(SnapshotScan.FileCol))
+    else if (changeFeed || m.bucketN > 0) Array.empty
+    else physical.fields.collect {
+      case f if SnapshotScan.runtimeFilterable(f.dataType) =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
+    }
 
   override def filter(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
     val sets = predicates.flatMap(SnapshotScan.extractFileIn)
     if (sets.nonEmpty) runtimeFiles = Some(sets.reduce(_ intersect _))
+    if (!rowLevel) {
+      val ins = predicates.flatMap(SnapshotScan.toRuntimeIn)
+      if (ins.nonEmpty) runtimeIns = ins
+    }
   }
 
   /** Files this scan will actually read after runtime group filtering —
@@ -855,11 +971,29 @@ private[sources] final class SnapshotScan(
   private[sources] def scannedFiles: Seq[String] =
     effectiveGroups.map(_.file).distinct
 
-  private def effectiveGroups: Seq[SnapshotInputPartition] =
-    runtimeFiles match {
-      case Some(keep) => keptGroups.filter(p => keep.contains(p.file))
-      case None       => keptGroups
+  private def effectiveGroups: Seq[SnapshotInputPartition] = {
+    val afterFile = runtimeFiles match {
+      case Some(keep) => keptWithStats.filter(p => keep.contains(p._1.file))
+      case None       => keptWithStats
     }
+    val ins = runtimeIns
+    val out =
+      if (ins.isEmpty) afterFile
+      else {
+        // file-level Bloom pruning first (hashes computed once per
+        // key), then per-row-group stats exclusion (binary search per
+        // group) — both conservative: unproven → keep, the join
+        // re-applies its own condition anyway
+        val bloomOut = SnapshotScan.bloomExcluded(spark, m, ins.map(_.raw))
+        val kept = afterFile.filter { case (p, st) =>
+          (bloomOut.isEmpty || !bloomOut.contains(SnapshotStore.relFileKey(p.file))) &&
+            !ins.exists(_.excludes(st))
+        }
+        SnapshotScan.lastRuntimePrunedGroups.set(afterFile.size - kept.size)
+        kept
+      }
+    out.map(_._1)
+  }
 
   /** One partition per ROW GROUP, not per file: a snapshot written as
     * few large files still fans out across the cluster, and stats
@@ -875,8 +1009,11 @@ private[sources] final class SnapshotScan(
   private lazy val bloomExcluded: Set[String] =
     SnapshotScan.bloomExcluded(spark, m, skippable)
 
-  private lazy val (keptGroups: Seq[SnapshotInputPartition], totalGroups: Int,
-      totalFiles: Int, allColumnsPresent: Boolean) = {
+  /** Kept partitions PLUS each row group's stats map: the stats stay
+    * on the driver for runtime (join-key) re-pruning; only the bare
+    * partition ships to executors. */
+  private lazy val (keptWithStats: Seq[(SnapshotInputPartition, Map[String, (Any, Any)])],
+      totalGroups: Int, totalFiles: Int, allColumnsPresent: Boolean) = {
     val all =
       if (bloomExcluded.isEmpty) allDataFiles
       else allDataFiles.filterNot(f =>
@@ -909,14 +1046,17 @@ private[sources] final class SnapshotScan(
       blocks
         .filter(b => skippable.isEmpty ||
           !skippable.exists(f => SnapshotScan.excludes(f, b.stats)))
-        .map(b => SnapshotInputPartition(fstr, b.start, b.length, b.rows, selfContained,
+        .map(b => (SnapshotInputPartition(fstr, b.start, b.length, b.rows, selfContained,
           bucketId = bucket,
-          dvClass = if (m.deletes.isEmpty) 0 else dvClassOfFile.getOrElse(fstr, 0)))
+          dvClass = if (m.deletes.isEmpty) 0 else dvClassOfFile.getOrElse(fstr, 0)),
+          b.stats))
     }
     // totalFiles counts the MANIFEST's files so bloom pruning shows in
     // the files=kept/total description like every other skip
     (kept, total, allDataFiles.size, allPresent)
   }
+
+  private lazy val keptGroups: Seq[SnapshotInputPartition] = keptWithStats.map(_._1)
 
   /** Storage-partitioned joins: a bucketed manifest's scan reports
     * `KeyGroupedPartitioning(bucket(n, cols))` with one key per part
@@ -1003,6 +1143,51 @@ private[sources] final class SnapshotScan(
     }.toArray
   private lazy val dvKeysBroadcast: org.apache.spark.broadcast.Broadcast[Array[DvLookup]] =
     SnapshotScan.broadcastDvClasses(spark, m, dvClassLayout.map(_._1.map(m.deletes)))
+
+  /** Per-partition row ordering, reported only for manifests a sorted
+    * commit produced (`sortcols=`). Sound because every read unit is
+    * internally ordered: a row-group partition is a contiguous slice of
+    * a file sorted by [[SnapshotStore.sortedCommit]]/`bucketedCommit(
+    * sortCols)`, and when KeyGroupedPartitioning CONCATENATES a file's
+    * row groups into one Spark partition they concatenate in footer
+    * (= file = sort) order. DV filtering preserves order (row-level
+    * probe skip); appends/rewrites DROP the manifest tag rather than
+    * serve a stale promise. Ascending-nulls-first matches
+    * `sortWithinPartitions`'s default. With a bucketed layout this is
+    * the full no-exchange-no-sort merge join: co-bucketed sorted tables
+    * zip partition-for-partition and SortMergeJoin consumes them with
+    * zero Sort nodes. */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (m.sortCols.nonEmpty && !changeFeed && !rowLevel &&
+        m.sortCols.forall(c => physical.fieldNames.contains(c)))
+      m.sortCols.map(c =>
+        org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+    else Array.empty
+
+  /** Post-pushdown size/row estimates from the SAME row-group metadata
+    * planning already resolved (one sidecar read, no extra IO). Without
+    * this a DSv2 relation defaults to `spark.sql.defaultSizeInBytes`
+    * (Long.MaxValue) and a small snapshot dim can NEVER be auto-
+    * broadcast — every join against it would shuffle. Rows are the kept
+    * groups' counts (DV-deleted rows not subtracted: an overestimate
+    * only makes broadcast decisions more conservative, never wrong);
+    * bytes are the kept groups' compressed lengths scaled by Spark's
+    * own file-compression factor so the threshold comparison matches
+    * what the native parquet source would report. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val factor =
+      try spark.conf.get("spark.sql.sources.fileCompressionFactor").toDouble
+      catch { case scala.util.control.NonFatal(_) => 1.0 }
+    val groups = keptWithStats
+    val bytes = (groups.iterator.map(_._1.length).sum * factor).toLong
+    val rows = groups.iterator.map(_._1.rows).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+  }
 
   override def readSchema(): StructType = required
 

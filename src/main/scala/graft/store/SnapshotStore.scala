@@ -101,7 +101,8 @@ object SnapshotStore {
       statsFile: String = "",
       bucketCols: Seq[String] = Nil,
       bucketN: Int = 0,
-      bloomFile: String = "")
+      bloomFile: String = "",
+      sortCols: Seq[String] = Nil)
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -232,7 +233,7 @@ object SnapshotStore {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
-    val markerKeys = Seq("data=", "file=", "delete=", "keys=", "op=", "ts=", "stats=", "src=", "schema=", "statsfile=", "bucket=", "bloomfile=")
+    val markerKeys = Seq("data=", "file=", "delete=", "keys=", "op=", "ts=", "stats=", "src=", "schema=", "statsfile=", "bucket=", "bloomfile=", "sortcols=")
     if (lines.exists(l => markerKeys.exists(l.startsWith))) {
       Manifest(
         data = lines.find(_.startsWith("data=")).map(_.stripPrefix("data=")).getOrElse(""),
@@ -253,7 +254,10 @@ object SnapshotStore {
           .flatMap(l => scala.util.Try(l.stripPrefix("bucket=").split(":")(1).toInt).toOption)
           .getOrElse(0),
         bloomFile = lines.find(_.startsWith("bloomfile="))
-          .map(_.stripPrefix("bloomfile=")).getOrElse(""))
+          .map(_.stripPrefix("bloomfile=")).getOrElse(""),
+        sortCols = lines.find(_.startsWith("sortcols="))
+          .map(_.stripPrefix("sortcols=").split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+          .getOrElse(Nil))
     } else {
       // legacy bare-path marker (or empty → the fixed v=<N> layout)
       Manifest(lines.headOption.getOrElse(versionDir(table, v)), Nil, Nil)
@@ -359,18 +363,52 @@ object SnapshotStore {
     * the `bucket=` tag (their rewrites don't honor the route) rather
     * than serve a stale promise; re-establish with a fresh
     * [[bucketedCommit]]. */
-  def bucketedCommit(df: DataFrame, table: String, cols: Seq[String], n: Int): Long = {
+  def bucketedCommit(df: DataFrame, table: String, cols: Seq[String], n: Int,
+      sortCols: Seq[String] = Nil): Long = {
     require(cols.nonEmpty && n > 0, s"bucketedCommit needs columns and a positive count")
     val spark = df.sparkSession
     var next = currentVersion(spark, table).map(_ + 1).getOrElse(0L)
     val dataDir = s"$table/v=${next}__${token()}"
-    df.repartition(n, cols.map(org.apache.spark.sql.functions.col): _*)
-      .write.mode("overwrite").parquet(dataDir)
+    val routed = df.repartition(n, cols.map(org.apache.spark.sql.functions.col): _*)
+    // sorted buckets: each bucket file is ordered by sortCols, recorded
+    // in the manifest — the scan then reports per-partition ordering
+    // and a co-bucketed sort-merge join needs NO exchange AND NO sort
+    val laid =
+      if (sortCols.isEmpty) routed
+      else routed.sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
+    laid.write.mode("overwrite").parquet(dataDir)
     val stats = FileStats.sidecarFor(spark, table,
       dataFiles(spark, Manifest(dataDir, Nil, Nil)), None, writerStatsExact(spark))
     while (!tryPublishManifest(spark, table, next,
         Manifest(dataDir, Nil, Nil, op = "bucket", statsExact = writerStatsExact(spark),
-          statsFile = stats, bucketCols = cols, bucketN = n)))
+          statsFile = stats, bucketCols = cols, bucketN = n, sortCols = sortCols)))
+      next += 1
+    next
+  }
+
+  /** Commit `df` RANGE-CLUSTERED and SORTED by `cols` into `n` files,
+    * recording the sort in the manifest. Every file holds a disjoint
+    * key range (min/max stats and runtime join filters prune hard) and
+    * every row-group partition the scan hands out is internally ordered
+    * — the scan reports it via `SupportsReportOrdering`, so downstream
+    * sort-consuming operators skip their sort where Spark's rules
+    * allow. The ascending-nulls-first order matches what the scan
+    * reports; appends and rewrites DROP the `sortcols=` tag (their rows
+    * don't honor it), delete commits carry it (row filters preserve
+    * order). */
+  def sortedCommit(df: DataFrame, table: String, cols: Seq[String], n: Int): Long = {
+    require(cols.nonEmpty && n > 0, s"sortedCommit needs columns and a positive count")
+    val spark = df.sparkSession
+    var next = currentVersion(spark, table).map(_ + 1).getOrElse(0L)
+    val dataDir = s"$table/v=${next}__${token()}"
+    df.repartitionByRange(n, cols.map(org.apache.spark.sql.functions.col): _*)
+      .sortWithinPartitions(cols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").parquet(dataDir)
+    val stats = FileStats.sidecarFor(spark, table,
+      dataFiles(spark, Manifest(dataDir, Nil, Nil)), None, writerStatsExact(spark))
+    while (!tryPublishManifest(spark, table, next,
+        Manifest(dataDir, Nil, Nil, op = "sort", statsExact = writerStatsExact(spark),
+          statsFile = stats, sortCols = cols)))
       next += 1
     next
   }
@@ -560,6 +598,7 @@ object SnapshotStore {
     if (m.statsFile.nonEmpty) content.append(s"statsfile=${m.statsFile}\n")
     if (m.bucketN > 0) content.append(s"bucket=${m.bucketCols.mkString(",")}:${m.bucketN}\n")
     if (m.bloomFile.nonEmpty) content.append(s"bloomfile=${m.bloomFile}\n")
+    if (m.sortCols.nonEmpty) content.append(s"sortcols=${m.sortCols.mkString(",")}\n")
     content.append(s"ts=$ts\n")
     val out = f.create(tmp, true)
     try out.write(content.toString.getBytes("UTF-8"))
@@ -644,7 +683,8 @@ object SnapshotStore {
             statsExact = m.statsExact, mixedSchema = m.mixedSchema,
             statsFile = m.statsFile, // data unchanged → stats carry forward
             bucketCols = m.bucketCols, bucketN = m.bucketN,
-            bloomFile = m.bloomFile)))
+            bloomFile = m.bloomFile,
+            sortCols = m.sortCols))) // DV filtering preserves row order
         return cur + 1
       attempt += 1 // orphan DV file is GC'd by vacuum's reference count
     }
@@ -683,7 +723,8 @@ object SnapshotStore {
             statsExact = m.statsExact, srcV = srcV, mixedSchema = m.mixedSchema,
             statsFile = m.statsFile,
             bucketCols = m.bucketCols, bucketN = m.bucketN,
-            bloomFile = m.bloomFile)))
+            bloomFile = m.bloomFile,
+            sortCols = m.sortCols))) // DV filtering preserves row order
         return cur + 1
       attempt += 1
     }

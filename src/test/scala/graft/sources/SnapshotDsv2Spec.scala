@@ -766,4 +766,41 @@ class SnapshotDsv2Spec extends SparkSuite {
       spark.conf.unset("spark.sql.catalog.gsnapmeta")
     }
   }
+
+  test("scan reports post-pushdown statistics; small snapshot dims auto-broadcast") {
+    val t = freshTable("dsv2-stats")
+    SnapshotStore.commit(
+      spark.range(0, 10000).selectExpr("id AS k", "id * 3 AS v")
+        .repartitionByRange(8, col("k")), t)
+
+    // full-scan stats: exact row count, positive size
+    val full = load(t)
+    val st = scanOf(full)
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(st.numRows.getAsLong === 10000L)
+    assert(st.sizeInBytes.getAsLong > 0L)
+
+    // a pushed range filter shrinks the estimate with the kept groups
+    val filtered = load(t).filter(col("k") < 1000L)
+    val stF = scanOf(filtered)
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(stF.numRows.getAsLong < st.numRows.getAsLong,
+      s"static pruning must shrink the row estimate: ${stF.numRows} vs ${st.numRows}")
+
+    // the payoff: a small snapshot dim joins a big parquet fact WITHOUT
+    // an explicit broadcast() hint and still plans a broadcast join —
+    // impossible under the DSv2 default stats (Long.MaxValue size)
+    val factDir = java.nio.file.Files.createTempDirectory("dsv2-stats-fact").toString
+    spark.range(0, 200000).selectExpr("id % 10000 AS k", "id AS x")
+      .write.mode("overwrite").parquet(factDir)
+    val joined = spark.read.parquet(factDir).join(load(t), "k")
+    val hasBroadcast = joined.queryExecution.sparkPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(hasBroadcast.isDefined,
+      s"expected auto-broadcast of the 10k-row snapshot dim, got:\n${joined.queryExecution.sparkPlan}")
+    assert(joined.count() === 200000L)
+  }
 }
