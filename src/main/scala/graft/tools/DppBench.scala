@@ -35,12 +35,20 @@ object DppBench {
     val fact = java.nio.file.Files.createTempDirectory("dpp-fact").toString + "/t"
     SnapshotStore.commit(
       graft.sources.Tables.orders(spark, sfDir)
+        // synthesize the fact's FAT payload column (the testdata orders
+        // carry no o_comment): wide rows are where avoided IO actually
+        // shows up — thin two-column projections are planner-bound
+        .withColumn("o_payload",
+          concat_ws("|", (0 until 16).map(_ => col("o_orderpriority")): _*))
         .repartitionByRange(nFiles, col("o_custkey")), fact)
     val custs = graft.sources.Tables.customer(spark, sfDir)
-    val nDim = 25
+    // c_name is ~100x-duplicated in the generated data, so each picked
+    // name stands for ~100 surviving custkeys; a handful of names is
+    // the realistic "dim attribute = X" selectivity (~0.02% of keys)
+    val nDim = args.lift(3).map(_.toInt).getOrElse(3)
     val names = custs.select(col("c_name")).orderBy(col("c_custkey"))
       .limit(5000).collect().map(_.getString(0))
-    val wanted = (0 until nDim).map(i => names(i * names.length / nDim))
+    val wanted = (0 until nDim).map(i => names(i * names.length / nDim)).distinct
 
     def star(): org.apache.spark.sql.DataFrame =
       spark.read.format("graft-snapshot").option("path", fact).load()
@@ -48,7 +56,9 @@ object DppBench {
           .select(col("c_custkey"), col("c_name"))),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_name"))
-        .agg(count(lit(1)).as("n"), sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+          sum(length(col("o_payload")).cast("long")).as("payload_chars"))
 
     def run(dpp: Boolean): Double = {
       spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", dpp.toString)
