@@ -889,6 +889,62 @@ private[sources] object SnapshotScan {
     reader.initialize(split, ctx)
     reader.initBatch(new StructType(), InternalRow.empty)
   }
+
+  /** Column types the DV-columnar path can PROBE from a decoded vector
+    * and COPY when compacting a batch with deleted rows — the same
+    * value space [[DvLookup]] stores (timestamps as micros longs, dates
+    * as day ints, strings as UTF8String). Anything else sends the scan
+    * to the row reader instead of risking wrong equality. */
+  def dvColumnarType(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | DateType |
+        LongType | TimestampType | TimestampNTZType | FloatType | DoubleType |
+        StringType => true
+    case _ => false
+  }
+
+  /** Bin-pack row-group slices into task-sized partitions, mirroring
+    * the native file source's split math: target = min(maxPartitionBytes,
+    * max(openCostInBytes, (bytes + slices*openCost) / parallelism)).
+    * One-slice-per-task is right for FAN-OUT but wrong for task COUNT:
+    * a 100 TB table is ~10^6 row groups, and a million 100-ms tasks is
+    * scheduler pressure with no IO win — packing bounds tasks at
+    * ~max(parallelism, bytes/maxPartitionBytes) while openCost keeps
+    * genuinely small scans from collapsing below the cluster width.
+    * `perFileOnly` (sorted layouts) packs only ADJACENT slices of the
+    * SAME file — they concatenate in footer order, so the reported
+    * per-partition ordering stays true; cross-file packing would
+    * interleave two sorted runs. */
+  def packPartitions(
+      spark: SparkSession,
+      units: Seq[SnapshotInputPartition],
+      perFileOnly: Boolean): Array[InputPartition] = {
+    if (units.isEmpty) return Array.empty
+    def confBytes(key: String, dflt: Long): Long =
+      try org.apache.spark.network.util.JavaUtils
+        .byteStringAsBytes(spark.conf.get(key))
+      catch { case scala.util.control.NonFatal(_) => dflt }
+    val openCost = confBytes("spark.sql.files.openCostInBytes", 4L * 1024 * 1024)
+    val maxBytes = confBytes("spark.sql.files.maxPartitionBytes", 128L * 1024 * 1024)
+    val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
+    val total = units.iterator.map(_.length + openCost).sum
+    val target = math.min(maxBytes, math.max(openCost, total / parallelism))
+    val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[SnapshotInputPartition]
+    var curBytes = 0L
+    def flush(): Unit = if (cur.nonEmpty) {
+      out += (if (cur.length == 1) cur.head else SnapshotPackedPartition(cur.toArray))
+      cur.clear(); curBytes = 0L
+    }
+    units.foreach { u =>
+      val sz = u.length + openCost
+      if (cur.nonEmpty &&
+          (curBytes + sz > target || (perFileOnly && cur.last.file != u.file)))
+        flush()
+      cur += u; curBytes += sz
+    }
+    flush()
+    out.toArray
+  }
 }
 
 private[sources] final class SnapshotScan(
@@ -1191,16 +1247,29 @@ private[sources] final class SnapshotScan(
 
   override def readSchema(): StructType = required
 
-  /** Vectorized reading needs row-level fidelity the batch API can't
-    * give when deletion vectors must drop rows, and every file must
-    * carry every requested column; otherwise fall back to the row
+  /** Deletion-vector key types, resolved once from the table schema. */
+  private lazy val dvKeyTypes: Seq[DataType] = m.keyCols.map(n =>
+    fullSchema.find(_.name == n).map(_.dataType).getOrElse(
+      throw new IllegalStateException(
+        s"deletion-vector key column '$n' missing from table schema")))
+
+  /** Vectorized reading requires every file to carry every requested
+    * column and flat column types. Live deletion vectors stay columnar
+    * too ([[SnapshotDvColumnarReader]]: probe the key vectors per
+    * batch, pass clean batches through untouched, compact only batches
+    * that contain deleted rows) as long as every column and key type is
+    * in the copyable atomic set — anything else falls back to the row
     * reader (correct for both). */
   private lazy val columnar: Boolean =
-    m.deletes.isEmpty && allColumnsPresent && !hasFileCol &&
+    allColumnsPresent && !hasFileCol &&
       physical.fields.forall(f => f.dataType match {
         case _: StructType | _: ArrayType | _: MapType => false
         case _                                         => true
-      })
+      }) &&
+      (m.deletes.isEmpty ||
+        (physical.fields.forall(f => SnapshotScan.dvColumnarType(f.dataType)) &&
+          dvKeyTypes.forall(SnapshotScan.dvColumnarType) &&
+          keptGroups.forall(_.selfContained)))
 
   override def description(): String = {
     val files = s"files=${keptGroups.map(_.file).distinct.size}/$totalFiles"
@@ -1240,16 +1309,17 @@ private[sources] final class SnapshotScan(
       StructType(fullSchema.fields.dropRight(2)), options) // drop the CDC meta columns
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    effectiveGroups.map(p => p: InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val units = effectiveGroups
+    // bucketed layouts keep one partition per row group: Spark itself
+    // groups them by bucket key for the storage-partitioned zip
+    if (m.bucketN > 0) units.map(p => p: InputPartition).toArray
+    else SnapshotScan.packPartitions(spark, units, perFileOnly = m.sortCols.nonEmpty)
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val c = SnapshotScan.readerHadoopConf(spark, hadoopConf)
-    val keyTypes = m.keyCols.map(n =>
-      fullSchema.find(_.name == n).map(_.dataType).getOrElse(
-        throw new IllegalStateException(
-          s"deletion-vector key column '$n' missing from table schema")))
-    new SnapshotReaderFactory(physical, m.keyCols, keyTypes,
+    new SnapshotReaderFactory(physical, m.keyCols, dvKeyTypes,
       if (m.deletes.isEmpty) None else Some(dvKeysBroadcast), columnar,
       new SerializableHadoopConf(c), appendFileCol = hasFileCol)
   }
@@ -1271,6 +1341,35 @@ private[sources] final case class SnapshotInputPartition(
   override def partitionKey(): InternalRow = new GenericInternalRow(Array[Any](bucketId))
 }
 
+/** Several row-group slices served by ONE task ([[SnapshotScan.packPartitions]]).
+  * Never used for bucketed scans, so it carries no partition key. */
+private[sources] final case class SnapshotPackedPartition(
+    slices: Array[SnapshotInputPartition]) extends InputPartition
+
+/** Serves a packed partition by draining one slice reader after
+  * another — readers open LAZILY so a task holds one file handle at a
+  * time. Generic over row/columnar output. */
+private[sources] final class SnapshotChainedReader[T](
+    slices: Array[SnapshotInputPartition],
+    mk: SnapshotInputPartition => PartitionReader[T])
+    extends PartitionReader[T] {
+  private var i = 0
+  private var cur: PartitionReader[T] = null
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (i >= slices.length) return false
+        cur = mk(slices(i)); i += 1
+      }
+      if (cur.next()) return true
+      cur.close(); cur = null
+    }
+    false // unreachable
+  }
+  override def get(): T = cur.get()
+  override def close(): Unit = if (cur != null) cur.close()
+}
+
 /** Deletion-vector membership structure, built ONCE on the driver and
   * broadcast whole. Single-key tables (the common case) probe a flat
   * Set[Any]; composite keys probe a set of UnsafeRow BYTE IMAGES —
@@ -1278,10 +1377,62 @@ private[sources] final case class SnapshotInputPartition(
   * boxed tuple hashing (~2 µs/row → sub-µs; the r10 verdict's ask #5).
   * Probes are per-reader ([[DvProbe]]) because UnsafeProjection output
   * rows are reused — the broadcast-shared set itself is immutable. */
+/** Primitive open-addressing hash set over longs: the no-boxing probe
+  * for the dominant single-integral-key deletion vectors. One probe is
+  * a hash + a short linear scan over a flat array — nanoseconds per
+  * row, where `Set[Any].contains` pays a box + generic hash per row
+  * (the difference is the whole merge-on-read CPU tax at scan width). */
+private[sources] final class LongHashSet(values: Array[Long]) extends Serializable {
+  private val cap: Int = {
+    var c = 16
+    while (c < values.length * 2) c <<= 1
+    c
+  }
+  private val mask = cap - 1
+  private val table = new Array[Long](cap)
+  private val occ = new Array[Boolean](cap)
+  values.foreach { v =>
+    var i = idx(v)
+    while (occ(i) && table(i) != v) i = (i + 1) & mask
+    if (!occ(i)) { occ(i) = true; table(i) = v }
+  }
+  @inline private def idx(v: Long): Int = {
+    // 64→32 bit finalizer (splitmix-style) before masking
+    var h = v ^ (v >>> 33)
+    h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33
+    (h.toInt & mask)
+  }
+  def contains(v: Long): Boolean = {
+    var i = idx(v)
+    while (occ(i)) {
+      if (table(i) == v) return true
+      i = (i + 1) & mask
+    }
+    false
+  }
+}
+
 private[sources] final class DvLookup(
     keys: Set[Seq[Any]], arity: Int, keyStorageTypes: Seq[DataType]) extends Serializable {
   private val single: Set[Any] =
     if (arity == 1) keys.iterator.map(_.head).toSet else null
+
+  /** No-boxing probe structures for a single integral key (timestamps
+    * and dates land here too — storage types normalize them to
+    * long/int). Null when the key shape isn't integral. */
+  val fastLong: LongHashSet = {
+    val eligible = arity == 1 &&
+      (keyStorageTypes.head == LongType || keyStorageTypes.head == IntegerType ||
+        keyStorageTypes.head == ShortType || keyStorageTypes.head == ByteType)
+    if (!eligible) null
+    else new LongHashSet(single.iterator.collect {
+      case n: java.lang.Number => n.longValue
+    }.toArray)
+  }
+  /** Whether a NULL key is in the deleted set (probed separately so the
+    * primitive path never sees nulls). */
+  val nullKeyDeleted: Boolean = single != null && single.contains(null)
   private val multi: Set[InternalRow] =
     if (arity == 1) null
     else {
@@ -1335,8 +1486,14 @@ private[sources] final class SnapshotReaderFactory(
     conf: SerializableHadoopConf,
     appendFileCol: Boolean = false)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[SnapshotInputPartition]
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case SnapshotPackedPartition(slices) =>
+        new SnapshotChainedReader[InternalRow](slices, sliceRowReader)
+      case p: SnapshotInputPartition => sliceRowReader(p)
+    }
+
+  private def sliceRowReader(p: SnapshotInputPartition): PartitionReader[InternalRow] = {
     // the partition's class index picks its scoped lookup; a class no
     // DV covers (appended-after-delete files) carries null = no probe,
     // and the readers must then not decode the key columns either
@@ -1374,8 +1531,21 @@ private[sources] final class SnapshotReaderFactory(
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new SnapshotColumnarReader(
-      partition.asInstanceOf[SnapshotInputPartition], required, conf.conf)
+    partition match {
+      case SnapshotPackedPartition(slices) =>
+        new SnapshotChainedReader[org.apache.spark.sql.vectorized.ColumnarBatch](
+          slices, sliceColumnarReader)
+      case p: SnapshotInputPartition => sliceColumnarReader(p)
+    }
+
+  private def sliceColumnarReader(p: SnapshotInputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    // a class no DV covers (appended-after-delete files) decodes clean;
+    // covered classes probe + compact per batch, still columnar
+    val dv: DvLookup = dvKeys.map(_.value.apply(p.dvClass)).orNull
+    if (dv == null) new SnapshotColumnarReader(p, required, conf.conf)
+    else new SnapshotDvColumnarReader(p, required, keyCols, keyTypes, dv, conf.conf)
+  }
 }
 
 /** Row-emitting reader over the VECTORIZED decoder: batches decode
@@ -1430,8 +1600,22 @@ private[sources] final class SnapshotVectorRowReader(
     else row.get(keyOrds(i), keyTs(i)) // UTF8String for strings — matches DvLookup
 
   private val keyScratch = new Array[Any](keyOrds.length)
+  // no-boxing probe for single integral keys (see SnapshotDvColumnarReader)
+  private val fastLong: LongHashSet = if (singleKey) dv.fastLong else null
+  private val fastGetter: (InternalRow, Int) => Long =
+    if (fastLong == null) null
+    else keyTs(0) match {
+      case LongType | TimestampType | TimestampNTZType => (r, o) => r.getLong(o)
+      case IntegerType | DateType                      => (r, o) => r.getInt(o).toLong
+      case ShortType                                   => (r, o) => r.getShort(o).toLong
+      case ByteType                                    => (r, o) => r.getByte(o).toLong
+      case _ => null
+    }
   private def deleted(row: InternalRow): Boolean =
-    if (singleKey) dv.containsSingle(keyVal(row, 0))
+    if (fastLong != null && fastGetter != null) {
+      if (row.isNullAt(keyOrds(0))) dv.nullKeyDeleted
+      else fastLong.contains(fastGetter(row, keyOrds(0)))
+    } else if (singleKey) dv.containsSingle(keyVal(row, 0))
     else {
       var i = 0
       while (i < keyOrds.length) { keyScratch(i) = keyVal(row, i); i += 1 }
@@ -1474,6 +1658,183 @@ private[sources] final class SnapshotColumnarReader(
   override def next(): Boolean = reader.nextBatch()
   override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = reader.resultBatch()
   override def close(): Unit = reader.close()
+}
+
+/** Columnar MERGE-ON-READ: serves ColumnarBatches with deletion
+  * vectors applied, so a table with live DVs keeps whole-stage
+  * columnar processing instead of paying the row-path tax. Per batch:
+  * probe the decoded key vector(s) against the broadcast [[DvLookup]];
+  * a batch with NO deleted rows passes through untouched (the common
+  * case — DVs are small by contract, so almost every 4k-row batch is
+  * clean); a batch with survivors compacts them into reused on-heap
+  * vectors (order-preserving, so reported sort orders stay true); an
+  * all-deleted batch is skipped. Key columns the query didn't project
+  * ride the decode schema after the query's columns and are dropped by
+  * serving only the leading vectors. Gated at planning by
+  * [[SnapshotScan.dvColumnarType]] on every column AND key type —
+  * the copy/probe dispatch below covers exactly that set. */
+private[sources] final class SnapshotDvColumnarReader(
+    partition: SnapshotInputPartition,
+    required: StructType,
+    keyCols: Seq[String],
+    keyTypes: Seq[DataType],
+    dv: DvLookup,
+    conf: Configuration)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private val capacity = 4096
+  // decode projection = query columns FIRST, then any key column the
+  // query pruned out (probe still needs it; serving drops it)
+  private val requested: StructType = {
+    val extra = keyCols.zip(keyTypes)
+      .filterNot { case (n, _) => required.fieldNames.contains(n) }
+    StructType(required.fields ++ extra.map { case (n, t) => StructField(n, t) })
+  }
+
+  private val reader =
+    new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
+      /* useOffHeap = */ false, capacity)
+  SnapshotScan.initVectorizedReader(
+    reader, partition.file, partition.start, partition.length, requested.json, conf)
+  reader.enableReturningBatches()
+
+  private val keyOrds: Array[Int] = keyCols.map(requested.fieldIndex).toArray
+  private val keyGetters: Array[(ColumnVector, Int) => Any] =
+    keyTypes.map(getterOf).toArray
+  private val singleKey = dv.isSingle
+  private val multiProbe: DvProbe = if (!singleKey) dv.newProbe() else null
+  private val keyScratch = new Array[Any](keyOrds.length)
+  // no-boxing probe for single integral keys — the dominant shape; the
+  // per-row box+generic-hash of Set[Any] is the scan-width CPU tax
+  private val fastLong: LongHashSet = if (singleKey) dv.fastLong else null
+  private val fastGetter: (ColumnVector, Int) => Long =
+    if (fastLong == null) null
+    else keyTypes.head match {
+      case LongType | TimestampType | TimestampNTZType => (c, i) => c.getLong(i)
+      case IntegerType | DateType                      => (c, i) => c.getInt(i).toLong
+      case ShortType                                   => (c, i) => c.getShort(i).toLong
+      case ByteType                                    => (c, i) => c.getByte(i).toLong
+      case _ => null // width mismatch: fall back to the boxed probe
+    }
+
+  // survivors of the current batch, by source row id (order-preserving)
+  private val survivors = new Array[Int](capacity)
+
+  // compacted output: reused on-heap vectors + one reused batch shell
+  private val outVecs =
+    org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+      .allocateColumns(capacity, StructType(required.fields))
+  private val outBatch = new ColumnarBatch(outVecs.map(v => v: ColumnVector), 0)
+  private val copiers = required.fields.map(f => copierOf(f.dataType))
+  // pass-through shell over the leading (query) vectors of the decoder's
+  // batch — the decoder reuses its vectors, so ONE shell serves all
+  // batches; null until the first batch exists
+  private var passBatch: ColumnarBatch = null
+
+  private def getterOf(t: DataType): (ColumnVector, Int) => Any = t match {
+    case LongType | TimestampType | TimestampNTZType => (c, i) => c.getLong(i)
+    case IntegerType | DateType                      => (c, i) => c.getInt(i)
+    case ShortType                                   => (c, i) => c.getShort(i)
+    case ByteType                                    => (c, i) => c.getByte(i)
+    case DoubleType                                  => (c, i) => c.getDouble(i)
+    case FloatType                                   => (c, i) => c.getFloat(i)
+    case BooleanType                                 => (c, i) => c.getBoolean(i)
+    case StringType                                  => (c, i) => c.getUTF8String(i)
+    case other => throw new IllegalStateException(
+      s"unreachable: $other is gated by SnapshotScan.dvColumnarType at planning")
+  }
+
+  private type Copier =
+    (ColumnVector, Int, org.apache.spark.sql.execution.vectorized.OnHeapColumnVector, Int) => Unit
+  private def copierOf(t: DataType): Copier = t match {
+    case LongType | TimestampType | TimestampNTZType =>
+      (s, i, d, j) => d.putLong(j, s.getLong(i))
+    case IntegerType | DateType => (s, i, d, j) => d.putInt(j, s.getInt(i))
+    case ShortType              => (s, i, d, j) => d.putShort(j, s.getShort(i))
+    case ByteType               => (s, i, d, j) => d.putByte(j, s.getByte(i))
+    case DoubleType             => (s, i, d, j) => d.putDouble(j, s.getDouble(i))
+    case FloatType              => (s, i, d, j) => d.putFloat(j, s.getFloat(i))
+    case BooleanType            => (s, i, d, j) => d.putBoolean(j, s.getBoolean(i))
+    case StringType             => (s, i, d, j) => {
+      val u = s.getUTF8String(i)
+      d.putByteArray(j, u.getBytes); ()
+    }
+    case other => throw new IllegalStateException(
+      s"unreachable: $other is gated by SnapshotScan.dvColumnarType at planning")
+  }
+
+  private def deletedAt(src: ColumnarBatch, row: Int): Boolean =
+    if (fastLong != null && fastGetter != null) {
+      val c = src.column(keyOrds(0))
+      if (c.isNullAt(row)) dv.nullKeyDeleted else fastLong.contains(fastGetter(c, row))
+    } else if (singleKey) {
+      val c = src.column(keyOrds(0))
+      dv.containsSingle(if (c.isNullAt(row)) null else keyGetters(0)(c, row))
+    } else {
+      var i = 0
+      while (i < keyOrds.length) {
+        val c = src.column(keyOrds(i))
+        keyScratch(i) = if (c.isNullAt(row)) null else keyGetters(i)(c, row)
+        i += 1
+      }
+      multiProbe.contains(keyScratch)
+    }
+
+  private var current: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    while (reader.nextBatch()) {
+      val src = reader.resultBatch()
+      val n = src.numRows()
+      var s = 0
+      var i = 0
+      while (i < n) {
+        if (!deletedAt(src, i)) { survivors(s) = i; s += 1 }
+        i += 1
+      }
+      if (s == n && n > 0) { // clean batch: zero copies
+        if (requested.length == required.length) current = src
+        else {
+          if (passBatch == null)
+            passBatch =
+              new ColumnarBatch(Array.tabulate[ColumnVector](required.length)(src.column), n)
+          passBatch.setNumRows(n)
+          current = passBatch
+        }
+        return true
+      }
+      if (s > 0) { // mixed batch: compact survivors, source order kept
+        var c = 0
+        while (c < outVecs.length) {
+          val dst = outVecs(c)
+          dst.reset()
+          val srcV = src.column(c)
+          val cp = copiers(c)
+          var j = 0
+          while (j < s) {
+            val r = survivors(j)
+            if (srcV.isNullAt(r)) dst.putNull(j) else cp(srcV, r, dst, j)
+            j += 1
+          }
+          c += 1
+        }
+        outBatch.setNumRows(s)
+        current = outBatch
+        return true
+      }
+      // s == 0: every row deleted (or empty batch) — read on
+    }
+    false
+  }
+
+  override def get(): ColumnarBatch = current
+
+  override def close(): Unit = {
+    reader.close()
+    outVecs.foreach(_.close())
+  }
 }
 
 /** Row-by-row parquet reader over one part file: projection-pruned at

@@ -84,7 +84,7 @@ class SnapshotDsv2Spec extends SparkSuite {
     assert(none.count() === 0)
   }
 
-  test("vectorized path serves DV-free scans; DVs and evolution fall back to the row reader") {
+  test("vectorized path serves DV-free AND DV scans (columnar merge-on-read)") {
     val table = freshTable("dsv2-vec")
     val orders = graft.sources.Tables.orders(spark, sf())
     SnapshotStore.commit(orders, table)
@@ -98,9 +98,15 @@ class SnapshotDsv2Spec extends SparkSuite {
 
     SnapshotStore.deleteCommit(spark, table, Seq("o_orderkey"), col("o_orderkey") < 10)
     val withDv = load(table)
-    assert(scanOf(withDv).description().contains("row"),
-      s"DV scan must take the row path: ${scanOf(withDv).description()}")
+    assert(scanOf(withDv).description().contains("vectorized"),
+      s"atomic-typed DV scan should stay columnar: ${scanOf(withDv).description()}")
     assert(withDv.count() === orders.filter(col("o_orderkey") >= 10).count())
+    // full row values through the compacting reader, not just counts
+    assert(withDv.collect().toSet ===
+      SnapshotStore.read(spark, table).collect().toSet)
+    // a projection that PRUNES the key column still probes (key rides
+    // the decode schema, served batches drop it)
+    assert(load(table).select(col("o_orderpriority")).count() === withDv.count())
   }
 
   test("one big file splits into row-group partitions; skipping prunes within the file") {
@@ -120,8 +126,11 @@ class SnapshotDsv2Spec extends SparkSuite {
       .getOrElse(fail(s"no rowGroups in description: $desc"))
     assert(rg.group(2).toInt > 4, s"expected many row groups in one file: $desc")
     assert(desc.contains("files=1/1"), desc)
-    // the scan fans out one partition per row group
-    assert(full.rdd.getNumPartitions === rg.group(2).toInt)
+    // the scan fans out across the file's row groups — split, then
+    // BIN-PACKED to task size (never more tasks than groups, never one
+    // task for a many-group file)
+    assert(full.rdd.getNumPartitions > 1, "one big file must split across tasks")
+    assert(full.rdd.getNumPartitions <= rg.group(2).toInt)
     assert(full.count() ===
       graft.sources.Tables.lineitem(spark, sf("sf0.01")).count())
 
@@ -150,7 +159,7 @@ class SnapshotDsv2Spec extends SparkSuite {
     assert(pruned.count() === got.count())
   }
 
-  test("row path decodes INT96 timestamps (the engine writer's default physical type)") {
+  test("DV readers decode INT96 timestamps (the engine writer's default physical type)") {
     val table = freshTable("dsv2-int96")
     // events.event_time is a true TimestampType column -> Spark writes
     // INT96 under the default outputTimestampType
@@ -158,14 +167,14 @@ class SnapshotDsv2Spec extends SparkSuite {
       .select(col("event_id"), col("user_id"), col("event_time"))
     SnapshotStore.commit(events, table)
     SnapshotStore.deleteCommit(spark, table, Seq("event_id"), col("event_id") % 5 === 0)
-    val viaConnector = load(table) // DVs force the row path
-    assert(scanOf(viaConnector).description().contains("row"))
+    val viaConnector = load(table) // columnar merge-on-read
+    assert(scanOf(viaConnector).description().contains("vectorized"))
     val expect = SnapshotStore.read(spark, table)
       .select(col("event_id"), col("event_time")).collect()
       .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
     val got = viaConnector.select(col("event_id"), col("event_time")).collect()
       .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
-    assert(got === expect, "INT96 timestamps decoded wrong through the row path")
+    assert(got === expect, "INT96 timestamps decoded wrong through the DV reader")
   }
 
   test("schema evolution: files carrying NONE of the requested columns contribute null rows") {
@@ -682,6 +691,38 @@ class SnapshotDsv2Spec extends SparkSuite {
     // exact values, not just counts
     assert(load(table).select(col("o_orderkey")).collect().map(_.getLong(0)).sorted.toSeq
       === expect.select(col("o_orderkey")).collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("columnar DV reader: all-deleted batches skip, nulls compact, non-atomic types fall back") {
+    val table = freshTable("dsv2-dvcol")
+    // disjoint id ranges per file + nullable string payload: deleting a
+    // whole file's range makes every batch of that file ALL-deleted
+    // (the skip branch); the scattered delete makes mixed batches (the
+    // compact branch, null strings included)
+    val base = spark.range(0, 40000)
+      .selectExpr("id",
+        "CASE WHEN id % 5 = 0 THEN NULL ELSE concat('doc-', id) END AS payload",
+        "CAST(id % 97 AS double) AS score")
+      .repartitionByRange(4, col("id"))
+    SnapshotStore.commit(base, table)
+    SnapshotStore.deleteCommit(spark, table, Seq("id"),
+      col("id") < 10000 || pmod(col("id"), lit(3)) === 0)
+    val got = load(table)
+    assert(scanOf(got).description().contains("vectorized"),
+      s"long/string/double DV scan should stay columnar: ${scanOf(got).description()}")
+    val expect = base.filter(!(col("id") < 10000 || pmod(col("id"), lit(3)) === 0))
+    assert(got.collect().toSet === expect.collect().toSet,
+      "compacted batches must carry exact values, null strings included")
+
+    // a non-atomic column (array) keeps the scan correct on the row path
+    val arrTable = freshTable("dsv2-dvarr")
+    SnapshotStore.commit(
+      spark.range(0, 1000).selectExpr("id", "array(id, id + 1) AS xs"), arrTable)
+    SnapshotStore.deleteCommit(spark, arrTable, Seq("id"), pmod(col("id"), lit(2)) === 0)
+    val arr = load(arrTable)
+    assert(scanOf(arr).description().contains("row"),
+      s"array column must fall back to the row reader: ${scanOf(arr).description()}")
+    assert(arr.count() === 500)
   }
 
   test("streaming sink: micro-batches append exactly-once; change feed streams them back out") {
