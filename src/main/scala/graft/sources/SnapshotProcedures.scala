@@ -200,16 +200,23 @@ object SnapshotProcedures {
       case "vacuum" => Some(new Proc(
         "vacuum",
         "Drop all but the newest `keep` versions and delete data/DV/stats files " +
-          "no retained version references (file-refcounted; keep >= 1)",
+          "no retained version references (file-refcounted; keep >= 1). " +
+          "older_than_ms > 0 switches to wall-clock retention: drop versions " +
+          "committed before the instant, keeping at least `keep` trailing ones",
         Array(
           p("table", StringType, comment = "catalog-relative name, e.g. 'ns.t'"),
-          p("keep", IntegerType, Some("2"), "retained trailing versions")),
+          p("keep", IntegerType, Some("2"), "retained trailing versions"),
+          p("older_than_ms", LongType, Some("0"),
+            "epoch-millis cutoff; 0 = count-based retention")),
         StructType(Seq(
           StructField("dropped_versions", ArrayType(LongType, containsNull = false),
             nullable = false),
           StructField("n_dropped", IntegerType, nullable = false))))({ in =>
         val t = root(warehouse, in.getUTF8String(0).toString)
-        val dropped = SnapshotStore.vacuum(spark, t, in.getInt(1))
+        val cutoff = in.getLong(2)
+        val dropped =
+          if (cutoff > 0L) SnapshotStore.vacuumOlderThan(spark, t, cutoff, in.getInt(1))
+          else SnapshotStore.vacuum(spark, t, in.getInt(1))
         Array(row(new GenericArrayData(dropped.toArray), dropped.size))
       }))
 

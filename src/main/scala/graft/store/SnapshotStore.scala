@@ -769,6 +769,27 @@ object SnapshotStore {
     rows.toDF("version", "commit_ts_ms", "operation", "n_delete_files", "key_cols")
   }
 
+  /** Wall-clock retention: drop every version whose commit time is
+    * strictly BEFORE `tsMillis` (the "vacuum older than 7 days"
+    * contract every table format ships), keeping at least `minKeep`
+    * trailing versions regardless — in-flight readers pinned to the
+    * previous snapshot survive an aggressive cutoff. Versions from the
+    * pre-timestamp marker era (ts=0, unknown age) are conservatively
+    * treated as fresh. Delegates to the refcounted [[vacuum]], so
+    * shared data dirs / files / DVs survive while ANY retained version
+    * references them. */
+  def vacuumOlderThan(
+      spark: SparkSession, table: String, tsMillis: Long, minKeep: Int = 2): Seq[Long] = {
+    require(minKeep >= 1, s"minKeep must be >= 1, got $minKeep")
+    val vs = versions(spark, table)
+    if (vs.isEmpty) return Seq.empty
+    val fresh = vs.count { v =>
+      val ts = manifest(spark, table, v).ts
+      ts == 0L || ts >= tsMillis
+    }
+    vacuum(spark, table, keep = math.max(minKeep, fresh))
+  }
+
   /** Retention GC: drop all but the newest `keep` committed snapshots,
     * plus any UNCOMMITTED orphan `v=` directory below the current
     * version (an abandoned or CAS-defeated write that never published a

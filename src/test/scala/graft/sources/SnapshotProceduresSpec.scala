@@ -96,6 +96,30 @@ class SnapshotProceduresSpec extends SparkSuite {
     }
   }
 
+  test("CALL system.vacuum(older_than_ms) drops by wall clock, floored at keep") {
+    withCatalog { (cat, wh) =>
+      val t = s"$wh/m/aged"
+      (0 until 4).foreach(i => SnapshotStore.commit(
+        spark.range(0, 50 + i).toDF("id"), t))
+      Thread.sleep(5)
+      val cutoff = System.currentTimeMillis() // everything is older
+      Thread.sleep(5)
+      SnapshotStore.commit(spark.range(0, 99).toDF("id"), t) // v4, fresh
+      // keep=2 floor: v3 survives even though it is older than the cutoff
+      val r = spark.sql(
+        s"CALL $cat.system.vacuum(table => 'm.aged', keep => 2, " +
+          s"older_than_ms => ${cutoff}L)").collect().head
+      assert(r.getAs[Seq[Long]]("dropped_versions") === Seq(0L, 1L, 2L))
+      assert(SnapshotStore.versions(spark, t) === Seq(3L, 4L))
+      // lowering the floor releases the grace version the cutoff covers
+      val again = spark.sql(
+        s"CALL $cat.system.vacuum(table => 'm.aged', keep => 1, " +
+          s"older_than_ms => ${cutoff}L)").collect().head
+      assert(again.getAs[Int]("n_dropped") === 1) // v3 (pre-cutoff) now collectable
+      assert(SnapshotStore.versions(spark, t) === Seq(4L))
+    }
+  }
+
   test("CALL system.sync produces a version-exact clone inside the warehouse") {
     withCatalog { (cat, wh) =>
       val t = s"$wh/m/src"
