@@ -171,6 +171,28 @@ object EventAnalytics {
     summary(0L).unionAll(summary(1L)).orderBy(col("version"))
   }
 
+  /** DT20: RESTORE ([[graft.store.SnapshotStore.restoreCommit]]) —
+    * commit the customer table (v0), fat-finger it with a tiny
+    * overwrite (v1), then roll back: v2 is a NEW head referencing v0's
+    * exact files (one marker write, zero bytes copied). The query
+    * summarizes the bad head and the restored head by version; the
+    * oracle replays both states as plain filters. Integer cents. */
+  val dtRestore: Q = (s, d) => {
+    val table = Fixtures.table("restore", d) { t =>
+      graft.store.SnapshotStore.commit(Tables.customer(s, d), t)
+      graft.store.SnapshotStore.commit(
+        Tables.customer(s, d).filter(pmod(col("c_custkey"), lit(100)) === 0), t)
+      graft.store.SnapshotStore.restoreCommit(s, t, 0L)
+    }
+    def summary(v: Long) =
+      graft.store.SnapshotStore.readVersion(s, table, v)
+        .agg(
+          count(lit(1)).alias("n_rows"),
+          sum(round(col("c_acctbal") * 100).cast("long")).alias("bal_cents"))
+        .select(lit(v).alias("version"), col("n_rows"), col("bal_cents"))
+    summary(1L).unionAll(summary(2L)).orderBy(col("version"))
+  }
+
   /** DT6: merge-on-read deletion vectors
     * ([[graft.store.SnapshotStore.deleteCommit]]) — commit the orders
     * fact (v0), then two delete commits that write ONLY the deleted
@@ -664,6 +686,15 @@ object EventAnalytics {
          FROM orders
          GROUP BY o_custkey
          ORDER BY o_custkey""",
+    "dt_restore" ->
+      """SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+         FROM customer WHERE c_custkey % 100 = 0
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+                CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         FROM customer
+         ORDER BY version""",
     "dt_time_travel" ->
       """WITH src AS (
            SELECT CASE WHEN o_custkey % 7 = 0 THEN o_custkey + 1000000000000
@@ -860,6 +891,7 @@ object EventAnalytics {
     "dt_snapshot_diff" -> dtSnapshotDiff,
     "dt_merge_into" -> dtMergeInto,
     "dt_time_travel" -> dtTimeTravel,
+    "dt_restore" -> dtRestore,
     "dt_incr_agg" -> dtIncrAgg,
     "dt_delete_vectors" -> dtDeleteVectors,
     "dt_dsv2_scan" -> dtDsv2Scan,

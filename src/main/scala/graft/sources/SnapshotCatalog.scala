@@ -27,11 +27,13 @@ import java.util.{Map => JMap}
   * }}}
   *
   * Identifier → path mapping is `warehouse/namespace…/table`; a table
-  * EXISTS iff its `_commits/` dir does — tables are born from
-  * `SnapshotStore.commit` (or an engine job), not DDL, so `CREATE
-  * TABLE` is refused with that guidance and `DROP TABLE` removes the
-  * whole snapshot tree. Catalog calls are metadata-only (commit-marker
-  * listing + parquet footers); no data pages are read at resolution.
+  * EXISTS iff its `_commits/` dir does — every birth is a version-0
+  * COMMIT: `SnapshotStore.commit` / engine jobs, CTAS (v0 = the
+  * SELECT), or bare `CREATE TABLE` (v0 = an empty schema-bearing
+  * snapshot, so `INSERT INTO` and the streaming sink can follow in
+  * pure SQL). `DROP TABLE` removes the whole snapshot tree. Catalog
+  * calls are metadata-only (commit-marker listing + parquet footers);
+  * no data pages are read at resolution.
   *
   * Reference analog: the Glue Data Catalog naming Athena's tables
   * (`create_views.sql:6` resolves `weather_warehouse.fact_current_
@@ -150,22 +152,35 @@ final class SnapshotCatalog extends TableCatalog
     tableAt(ident, SnapshotStore.versionAsOf(spark, root, timestampMicros / 1000L))
   }
 
+  /** Bare `CREATE TABLE t (cols...)`: seeds an EMPTY version-0 commit
+    * carrying the declared schema — the pure-SQL birth certificate the
+    * streaming sink and `INSERT INTO` need (both require an existing
+    * head to resolve schema/layout from). Honors `PARTITIONED BY
+    * (bucket(n, cols))` so the very first append already routes through
+    * the bucket hash. The commit goes through the same CAS marker as
+    * every other birth (CTAS, engine jobs): a racing creator loses the
+    * marker race, never half-creates. */
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
-      properties: JMap[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft snapshot tables are born from their first commit " +
-        "(SnapshotStore.commit / an engine job writing under the warehouse, or " +
-        "CREATE TABLE ... AS SELECT, whose initial data IS the first commit) — " +
-        "bare CREATE TABLE has no snapshot to publish")
+      properties: JMap[String, String]): Table = {
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    val root = tableRoot(ident)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    SnapshotCatalog.bucketSpecOf(partitions) match {
+      case Some((cols, n)) => SnapshotStore.bucketedCommit(empty, root, cols, n)
+      case None            => SnapshotStore.commit(empty, root)
+    }
+    loadTable(ident)
+  }
 
   /** CTAS: `CREATE TABLE <cat>.<ns>.<t> AS SELECT ...` — the query's
     * result stages as ordinary part files and `commitStagedChanges`
     * publishes version 0 through the SAME CAS marker every other commit
     * uses: the table either exists fully (v0 = the complete SELECT) or
     * not at all; a racing creator loses the marker CAS and errors.
-    * Bare CREATE TABLE stays refused ([[createTable]]) — it has no
-    * content to commit. */
+    * Bare CREATE TABLE ([[createTable]]) seeds an empty v0 instead. */
   override def stageCreate(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: JMap[String, String]): org.apache.spark.sql.connector.catalog.StagedTable = {

@@ -49,7 +49,7 @@ object SnapshotProcedures {
   val Namespace: Array[String] = Array("system")
 
   def names: Seq[String] =
-    Seq("compact", "compact_small_files", "zorder", "bloom_index", "vacuum", "sync")
+    Seq("compact", "compact_small_files", "zorder", "bloom_index", "vacuum", "sync", "restore")
 
   /** Resolve `ns.table` (possibly multi-level `ns1.ns2.t`) under the
     * catalog warehouse — identical layout to
@@ -218,6 +218,22 @@ object SnapshotProcedures {
           if (cutoff > 0L) SnapshotStore.vacuumOlderThan(spark, t, cutoff, in.getInt(1))
           else SnapshotStore.vacuum(spark, t, in.getInt(1))
         Array(row(new GenericArrayData(dropped.toArray), dropped.size))
+      }))
+
+      case "restore" => Some(new Proc(
+        "restore",
+        "Roll the table back to a retained version: publish a NEW head that " +
+          "references that version's exact files/DVs/layout — one marker write, " +
+          "zero bytes copied; the bad head stays readable until vacuum",
+        Array(
+          p("table", StringType, comment = "catalog-relative name, e.g. 'ns.t'"),
+          p("version", LongType, comment = "retained version to restore to")),
+        StructType(Seq(
+          StructField("restored_from", LongType, nullable = false),
+          StructField("new_version", LongType, nullable = false))))({ in =>
+        val t = root(warehouse, in.getUTF8String(0).toString)
+        val v = in.getLong(1)
+        Array(row(v, SnapshotStore.restoreCommit(spark, t, v)))
       }))
 
       case "sync" => Some(new Proc(

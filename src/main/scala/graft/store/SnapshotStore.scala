@@ -769,6 +769,29 @@ object SnapshotStore {
     rows.toDF("version", "commit_ts_ms", "operation", "n_delete_files", "key_cols")
   }
 
+  /** ROLL BACK the table to retained version `v` by publishing a NEW
+    * head whose manifest references `v`'s exact data files, deletion
+    * vectors, and layout tags — an O(1)-data commit (one marker write,
+    * zero bytes copied; the fat-finger recovery every table format
+    * ships as RESTORE). History is preserved: the bad head stays
+    * readable by version until vacuum ages it out, and vacuum's
+    * refcount keeps the restored files alive because the new head
+    * references them. CAS multi-writer safe; `srcV` records the
+    * restored-from version. */
+  def restoreCommit(spark: SparkSession, table: String, v: Long): Long = {
+    val cur = currentVersion(spark, table)
+      .getOrElse(throw new IllegalStateException(s"no committed snapshot under $table"))
+    require(versions(spark, table).contains(v),
+      s"cannot restore $table to version $v: not a retained version")
+    if (v == cur) return cur // restoring to the head is a no-op
+    val m = manifest(spark, table, v)
+    var next = cur + 1
+    while (!tryPublishManifest(spark, table, next,
+        m.copy(op = "restore", srcV = v, ts = 0L))) // fresh wall-clock
+      next += 1
+    next
+  }
+
   /** Wall-clock retention: drop every version whose commit time is
     * strictly BEFORE `tsMillis` (the "vacuum older than 7 days"
     * contract every table format ships), keeping at least `minKeep`

@@ -457,11 +457,10 @@ class SnapshotDsv2Spec extends SparkSuite {
       assert(spark.sql("SELECT count(*) AS c FROM graftsnap.dims.nation").head().getLong(0) ===
         nation.filter(col("n_regionkey") === 4).count())
 
-      val e = intercept[Exception] {
-        spark.sql("CREATE TABLE graftsnap.dims.fresh (id BIGINT) USING parquet")
-      }
-      assert(e.getMessage.contains("first commit"),
-        s"CREATE TABLE refusal should explain how tables are born: ${e.getMessage}")
+      // bare CREATE TABLE (with an explicit USING) seeds an empty v0 too
+      spark.sql("CREATE TABLE graftsnap.dims.fresh (id BIGINT) USING parquet")
+      assert(SnapshotStore.versions(spark, s"$wh/dims/fresh") === Seq(0L))
+      assert(spark.sql("SELECT * FROM graftsnap.dims.fresh").count() === 0)
     } finally {
       spark.conf.unset("spark.sql.catalog.graftsnap.warehouse")
       spark.conf.unset("spark.sql.catalog.graftsnap")
@@ -611,7 +610,7 @@ class SnapshotDsv2Spec extends SparkSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_dsv2_nation")
   }
 
-  test("CTAS creates v0 atomically; RTAS replaces; bare CREATE still refused") {
+  test("CTAS creates v0 atomically; RTAS replaces; bare CREATE seeds an empty v0") {
     val wh = java.nio.file.Files.createTempDirectory("dsv2-ctas").toString
     spark.conf.set("spark.sql.catalog.gsnapctas", classOf[SnapshotCatalog].getName)
     spark.conf.set("spark.sql.catalog.gsnapctas.warehouse", wh)
@@ -651,11 +650,31 @@ class SnapshotDsv2Spec extends SparkSuite {
         "SELECT count(*) AS c FROM gsnapctas.dims.big_nations VERSION AS OF 0")
         .head().getLong(0) === expect)
 
-      // bare CREATE TABLE keeps its refusal + guidance
-      val e = intercept[Exception] {
-        spark.sql("CREATE TABLE gsnapctas.dims.bare (id BIGINT) USING parquet")
+      // bare CREATE TABLE seeds an EMPTY v0 with the declared schema —
+      // the pure-SQL birth the streaming sink / INSERT INTO need
+      spark.sql("CREATE TABLE gsnapctas.dims.bare (id BIGINT, name STRING)")
+      assert(SnapshotStore.versions(spark, s"$wh/dims/bare") === Seq(0L))
+      assert(spark.sql("SELECT * FROM gsnapctas.dims.bare").count() === 0)
+      spark.sql("INSERT INTO gsnapctas.dims.bare VALUES (1L, 'first')")
+      assert(spark.sql("SELECT name FROM gsnapctas.dims.bare WHERE id = 1")
+        .head().getString(0) === "first")
+      // duplicate bare CREATE fails like duplicate CTAS
+      val dup2 = intercept[Exception] {
+        spark.sql("CREATE TABLE gsnapctas.dims.bare (id BIGINT)")
       }
-      assert(e.getMessage.contains("first commit"), e.getMessage)
+      assert(dup2.getMessage.toLowerCase.contains("already exists"), dup2.getMessage)
+      // bucketed bare CREATE records the layout; the FIRST append routes
+      spark.sql(
+        "CREATE TABLE gsnapctas.dims.bucketed (k BIGINT, v STRING) " +
+          "PARTITIONED BY (bucket(4, k))")
+      val m0 = SnapshotStore.manifest(spark, s"$wh/dims/bucketed", 0L)
+      assert(m0.bucketCols === Seq("k") && m0.bucketN === 4)
+      spark.sql("INSERT INTO gsnapctas.dims.bucketed VALUES (10L, 'a'), (11L, 'b')")
+      val m1 = SnapshotStore.manifest(spark, s"$wh/dims/bucketed",
+        SnapshotStore.currentVersion(spark, s"$wh/dims/bucketed").get)
+      assert(m1.bucketCols === Seq("k") && m1.bucketN === 4,
+        "bucket layout must survive the first append")
+      assert(spark.sql("SELECT sum(k) FROM gsnapctas.dims.bucketed").head().getLong(0) === 21L)
       // INSERT INTO the CTAS-born table works (file-granular append on v1)
       spark.sql("INSERT INTO gsnapctas.dims.big_nations VALUES (CAST(777 AS INT), 'NOWHERE')")
       assert(spark.sql(

@@ -120,6 +120,21 @@ class SnapshotProceduresSpec extends SparkSuite {
     }
   }
 
+  test("CALL system.restore rolls the catalog table back; SELECT sees the old rows") {
+    withCatalog { (cat, wh) =>
+      val t = s"$wh/m/roll"
+      SnapshotStore.commit(spark.range(0, 500).toDF("id"), t)  // v0
+      SnapshotStore.commit(spark.range(0, 5).toDF("id"), t)    // v1: bad overwrite
+      val r = spark.sql(
+        s"CALL $cat.system.restore(table => 'm.roll', version => 0L)").collect().head
+      assert(r.getAs[Long]("restored_from") === 0L)
+      assert(r.getAs[Long]("new_version") === 2L)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.m.roll").head().getLong(0) === 500L)
+      // the bad version stays reachable through native time travel
+      assert(spark.sql(s"SELECT count(*) FROM $cat.m.roll VERSION AS OF 1").head().getLong(0) === 5L)
+    }
+  }
+
   test("CALL system.sync produces a version-exact clone inside the warehouse") {
     withCatalog { (cat, wh) =>
       val t = s"$wh/m/src"

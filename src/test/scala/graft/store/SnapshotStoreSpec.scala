@@ -72,6 +72,37 @@ class SnapshotStoreSpec extends SparkSuite {
     assert(SnapshotStore.read(spark, t).count() === 1000)
   }
 
+  test("restoreCommit rolls back to a retained version as an O(1) new head") {
+    val root = java.nio.file.Files.createTempDirectory("graft-snaprestore").toString
+    val t = s"$root/t"
+    SnapshotStore.commit(spark.range(100).toDF("id"), t)            // v0
+    SnapshotStore.appendCommit(spark.range(100, 150).toDF("id"), t) // v1 (file-granular)
+    SnapshotStore.deleteCommit(spark, t, Seq("id"), col("id") < 10) // v2 (DVs live)
+    SnapshotStore.commit(spark.range(999).toDF("id"), t)            // v3 fat-finger rewrite
+
+    // restore to the DV-bearing v2: head v4 reads exactly what v2 read
+    val v4 = SnapshotStore.restoreCommit(spark, t, 2L)
+    assert(v4 === 4L)
+    assert(SnapshotStore.read(spark, t).collect().map(_.getLong(0)).sorted.toSeq
+      === (10L until 150L).toSeq)
+    // history: op recorded, restored-from version recorded, clock fresh
+    val m4 = SnapshotStore.manifest(spark, t, 4L)
+    assert(m4.op === "restore" && m4.srcV === 2L)
+    assert(m4.ts >= SnapshotStore.manifest(spark, t, 3L).ts, "restore must take a fresh clock")
+    // the bad head v3 remains readable until vacuum
+    assert(SnapshotStore.readVersion(spark, t, 3L).count() === 999)
+    // restoring the current head is a no-op
+    assert(SnapshotStore.restoreCommit(spark, t, 4L) === 4L)
+    intercept[IllegalArgumentException](SnapshotStore.restoreCommit(spark, t, 99L))
+
+    // vacuum keep=2 retains v3,v4; v4 references v0+v1's FILES and v2's
+    // DV, so the refcount must keep them all alive through the sweep
+    SnapshotStore.vacuum(spark, t, keep = 2)
+    assert(SnapshotStore.versions(spark, t) === Seq(3L, 4L))
+    assert(SnapshotStore.read(spark, t).collect().map(_.getLong(0)).sorted.toSeq
+      === (10L until 150L).toSeq)
+  }
+
   test("vacuum keeps the newest snapshots and collects crashed-writer orphans") {
     val root = java.nio.file.Files.createTempDirectory("graft-snap3").toString
     val t = s"$root/t"
