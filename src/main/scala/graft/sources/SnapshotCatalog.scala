@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import java.util.{Map => JMap}
@@ -207,9 +207,38 @@ final class SnapshotCatalog extends TableCatalog
     new StagedSnapshotTable(tableRoot(ident), schema, replace = true, bucket = bucket)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "snapshot schema evolves through commits; ALTER TABLE is not supported")
+  /** `ALTER TABLE t ADD COLUMNS (...)`: rides the store's existing
+    * schema-evolution append — commit an EMPTY batch carrying the
+    * widened schema, which marks the manifest `schema=mixed` so every
+    * reader resolves the union schema (existing rows read NULL for the
+    * new columns, exactly like an evolving append). Only top-level
+    * NULLABLE adds are expressible this way (a NOT NULL add would be
+    * instantly violated by every existing row; a position/default is a
+    * metadata promise the file-resident schema can't keep) — anything
+    * else keeps the refusal. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = tableRoot(ident)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn
+          if a.fieldNames.length == 1 && a.isNullable &&
+            a.position == null && a.defaultValue == null =>
+        StructField(a.fieldNames.head, a.dataType, nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"snapshot tables support only ALTER TABLE ... ADD COLUMNS of top-level " +
+          s"nullable columns (no position/default) — schema narrows/renames need a " +
+          s"full rewrite (REPLACE TABLE ... AS SELECT); got $other")
+    }
+    val cur = SnapshotStore.read(spark, root).schema
+    val dup = adds.map(_.name.toLowerCase).intersect(cur.fieldNames.map(_.toLowerCase).toSeq)
+    if (dup.nonEmpty) throw new IllegalArgumentException(
+      s"ALTER TABLE $ident: column(s) already exist: ${dup.mkString(", ")}")
+    val widened = StructType(cur.fields ++ adds)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened)
+    SnapshotStore.appendCommit(empty, root)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = new Path(tableRoot(ident))

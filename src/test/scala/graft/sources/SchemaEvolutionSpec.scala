@@ -34,4 +34,39 @@ class SchemaEvolutionSpec extends SparkSuite {
     val anyOne = spark.read.parquet(root)
     assert(anyOne.columns.length <= merged.columns.length)
   }
+
+  test("ALTER TABLE ADD COLUMNS evolves through an empty schema=mixed append") {
+    val wh = Files.createTempDirectory("evolve-wh").toString
+    val cat = "gevolvecat"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      graft.store.SnapshotStore.commit(
+        Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"), s"$wh/ns/docs")
+      spark.sql(s"ALTER TABLE $cat.ns.docs ADD COLUMNS (quality DOUBLE, lang STRING)")
+      // old rows read NULL for the new columns; schema union resolved
+      val evolved = spark.sql(s"SELECT * FROM $cat.ns.docs")
+      assert(evolved.columns.sorted === Array("doc_id", "lang", "quality", "text"))
+      assert(evolved.count() === 2)
+      assert(evolved.filter(col("quality").isNull).count() === 2)
+      // the widened schema accepts full-width INSERTs
+      spark.sql(s"INSERT INTO $cat.ns.docs VALUES (3L, 'gamma', 0.9, 'en')")
+      assert(spark.sql(s"SELECT lang FROM $cat.ns.docs WHERE doc_id = 3").head().getString(0) === "en")
+      // the manifest is marked evolved, and history gained the empty append
+      val head = graft.store.SnapshotStore.currentVersion(spark, s"$wh/ns/docs").get
+      assert(graft.store.SnapshotStore.manifest(spark, s"$wh/ns/docs", head).mixedSchema)
+      // narrowing / defaults / renames keep the refusal
+      val e = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.ns.docs DROP COLUMN text")
+      }
+      assert(e.getMessage.contains("ADD COLUMNS"), e.getMessage)
+      val dup = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.ns.docs ADD COLUMNS (text STRING)")
+      }
+      assert(dup.getMessage.toLowerCase.contains("exist"), dup.getMessage)
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
 }
