@@ -1323,6 +1323,11 @@ private[sources] final class SnapshotScan(
       if (m.deletes.isEmpty) None else Some(dvKeysBroadcast), columnar,
       new SerializableHadoopConf(c), appendFileCol = hasFileCol)
   }
+
+  /** SQL-UI observability: how much merge-on-read work the DVs caused. */
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    ScanTaskMetrics.supported
 }
 
 /** One row group of one part file (midpoint-convention byte range).
@@ -1341,6 +1346,38 @@ private[sources] final case class SnapshotInputPartition(
   override def partitionKey(): InternalRow = new GenericInternalRow(Array[Any](bucketId))
 }
 
+/** Per-task scan observability, surfaced as DSv2 custom metrics in the
+  * SQL UI: how much merge-on-read work the deletion vectors actually
+  * caused. Shared by every slice reader of one task (single-threaded
+  * within a task, so plain vars suffice). */
+private[sources] final class ScanTaskMetrics {
+  var dvDeletedRows: Long = 0L
+  var dvPassthroughBatches: Long = 0L
+  var dvCompactedBatches: Long = 0L
+  def values: Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    def m(n: String, v: Long) = new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+      override def name(): String = n
+      override def value(): Long = v
+    }
+    Array(m("dvDeletedRows", dvDeletedRows),
+      m("dvPassthroughBatches", dvPassthroughBatches),
+      m("dvCompactedBatches", dvCompactedBatches))
+  }
+}
+
+private[sources] object ScanTaskMetrics {
+  private class Sum(n: String, desc: String)
+      extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = n
+    override def description(): String = desc
+  }
+  /** Driver-side metric declarations ([[SnapshotScan.supportedCustomMetrics]]). */
+  def supported: Array[org.apache.spark.sql.connector.metric.CustomMetric] = Array(
+    new Sum("dvDeletedRows", "rows dropped by deletion vectors"),
+    new Sum("dvPassthroughBatches", "DV batches served with zero copies"),
+    new Sum("dvCompactedBatches", "DV batches compacted (contained deleted rows)"))
+}
+
 /** Several row-group slices served by ONE task ([[SnapshotScan.packPartitions]]).
   * Never used for bucketed scans, so it carries no partition key. */
 private[sources] final case class SnapshotPackedPartition(
@@ -1351,8 +1388,12 @@ private[sources] final case class SnapshotPackedPartition(
   * time. Generic over row/columnar output. */
 private[sources] final class SnapshotChainedReader[T](
     slices: Array[SnapshotInputPartition],
-    mk: SnapshotInputPartition => PartitionReader[T])
+    mk: SnapshotInputPartition => PartitionReader[T],
+    metrics: ScanTaskMetrics = null)
     extends PartitionReader[T] {
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    if (metrics == null) Array.empty else metrics.values
   private var i = 0
   private var cur: PartitionReader[T] = null
   override def next(): Boolean = {
@@ -1486,14 +1527,17 @@ private[sources] final class SnapshotReaderFactory(
     conf: SerializableHadoopConf,
     appendFileCol: Boolean = false)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val mx = new ScanTaskMetrics
     partition match {
       case SnapshotPackedPartition(slices) =>
-        new SnapshotChainedReader[InternalRow](slices, sliceRowReader)
-      case p: SnapshotInputPartition => sliceRowReader(p)
+        new SnapshotChainedReader[InternalRow](slices, sliceRowReader(_, mx), mx)
+      case p: SnapshotInputPartition => sliceRowReader(p, mx)
     }
+  }
 
-  private def sliceRowReader(p: SnapshotInputPartition): PartitionReader[InternalRow] = {
+  private def sliceRowReader(
+      p: SnapshotInputPartition, mx: ScanTaskMetrics): PartitionReader[InternalRow] = {
     // the partition's class index picks its scoped lookup; a class no
     // DV covers (appended-after-delete files) carries null = no probe,
     // and the readers must then not decode the key columns either
@@ -1507,9 +1551,9 @@ private[sources] final class SnapshotReaderFactory(
     val inner: PartitionReader[InternalRow] =
       if (p.selfContained)
         new SnapshotVectorRowReader(
-          p, required, kc, kt, dv, conf.conf)
+          p, required, kc, kt, dv, conf.conf, mx)
       else
-        new SnapshotPartitionReader(p, required, kc, dv, conf.conf)
+        new SnapshotPartitionReader(p, required, kc, dv, conf.conf, mx)
     if (!appendFileCol) inner
     else {
       // `_file` metadata column: a per-partition constant appended as
@@ -1520,6 +1564,9 @@ private[sources] final class SnapshotReaderFactory(
         override def next(): Boolean = inner.next()
         override def get(): InternalRow = joined(inner.get(), meta)
         override def close(): Unit = inner.close()
+        override def currentMetricsValues()
+            : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+          inner.currentMetricsValues()
       }
     }
   }
@@ -1530,21 +1577,23 @@ private[sources] final class SnapshotReaderFactory(
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
 
   override def createColumnarReader(
-      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val mx = new ScanTaskMetrics
     partition match {
       case SnapshotPackedPartition(slices) =>
         new SnapshotChainedReader[org.apache.spark.sql.vectorized.ColumnarBatch](
-          slices, sliceColumnarReader)
-      case p: SnapshotInputPartition => sliceColumnarReader(p)
+          slices, sliceColumnarReader(_, mx), mx)
+      case p: SnapshotInputPartition => sliceColumnarReader(p, mx)
     }
+  }
 
-  private def sliceColumnarReader(p: SnapshotInputPartition)
+  private def sliceColumnarReader(p: SnapshotInputPartition, mx: ScanTaskMetrics)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     // a class no DV covers (appended-after-delete files) decodes clean;
     // covered classes probe + compact per batch, still columnar
     val dv: DvLookup = dvKeys.map(_.value.apply(p.dvClass)).orNull
     if (dv == null) new SnapshotColumnarReader(p, required, conf.conf)
-    else new SnapshotDvColumnarReader(p, required, keyCols, keyTypes, dv, conf.conf)
+    else new SnapshotDvColumnarReader(p, required, keyCols, keyTypes, dv, conf.conf, mx)
   }
 }
 
@@ -1560,8 +1609,13 @@ private[sources] final class SnapshotVectorRowReader(
     keyCols: Seq[String],
     keyTypes: Seq[DataType],
     dv: DvLookup,
-    conf: Configuration)
+    conf: Configuration,
+    metrics: ScanTaskMetrics = null)
     extends PartitionReader[InternalRow] {
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    if (metrics == null) Array.empty else metrics.values
 
   private val wantDv = dv != null
   // decode projection = required ∪ DV keys (keys may be pruned out of
@@ -1627,6 +1681,7 @@ private[sources] final class SnapshotVectorRowReader(
   override def next(): Boolean = {
     var has = reader.nextKeyValue()
     while (has && wantDv && deleted(reader.getCurrentValue.asInstanceOf[InternalRow])) {
+      if (metrics != null) metrics.dvDeletedRows += 1
       has = reader.nextKeyValue()
     }
     if (has) current = reader.getCurrentValue.asInstanceOf[InternalRow]
@@ -1679,8 +1734,13 @@ private[sources] final class SnapshotDvColumnarReader(
     keyCols: Seq[String],
     keyTypes: Seq[DataType],
     dv: DvLookup,
-    conf: Configuration)
+    conf: Configuration,
+    metrics: ScanTaskMetrics = null)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    if (metrics == null) Array.empty else metrics.values
 
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
@@ -1794,7 +1854,9 @@ private[sources] final class SnapshotDvColumnarReader(
         if (!deletedAt(src, i)) { survivors(s) = i; s += 1 }
         i += 1
       }
+      if (metrics != null && s < n) metrics.dvDeletedRows += n - s
       if (s == n && n > 0) { // clean batch: zero copies
+        if (metrics != null) metrics.dvPassthroughBatches += 1
         if (requested.length == required.length) current = src
         else {
           if (passBatch == null)
@@ -1806,6 +1868,7 @@ private[sources] final class SnapshotDvColumnarReader(
         return true
       }
       if (s > 0) { // mixed batch: compact survivors, source order kept
+        if (metrics != null) metrics.dvCompactedBatches += 1
         var c = 0
         while (c < outVecs.length) {
           val dst = outVecs(c)
@@ -1845,8 +1908,13 @@ private[sources] final class SnapshotPartitionReader(
     required: StructType,
     keyCols: Seq[String],
     dv: DvLookup, // null = no deletion vectors; pre-built, broadcast-shared
-    conf: Configuration)
+    conf: Configuration,
+    metrics: ScanTaskMetrics = null)
     extends PartitionReader[InternalRow] {
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    if (metrics == null) Array.empty else metrics.values
 
   private val path = new Path(partition.file)
   // projection = required columns ∪ DV key columns, restricted to what
@@ -1971,6 +2039,7 @@ private[sources] final class SnapshotPartitionReader(
     }
     current = reader.read()
     while (current != null && wantDv && deleted(current)) {
+      if (metrics != null) metrics.dvDeletedRows += 1
       current = reader.read()
     }
     current != null

@@ -712,6 +712,26 @@ class SnapshotDsv2Spec extends SparkSuite {
       === expect.select(col("o_orderkey")).collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("DV scans publish custom task metrics: deleted rows, pass/compact batches") {
+    val table = freshTable("dsv2-dvmx")
+    SnapshotStore.commit(spark.range(0, 20000).selectExpr("id", "id * 2 AS v"), table)
+    SnapshotStore.deleteCommit(spark, table, Seq("id"), pmod(col("id"), lit(4)) === 0)
+    val df = load(table)
+    // collect() runs THIS queryExecution (count() would build its own
+    // plan whose scan metrics we could not reach)
+    assert(df.collect().length === 15000)
+    val scanExec = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec"))
+    // declared on the scan...
+    assert(scanExec.scan.supportedCustomMetrics().map(_.name()).toSet ===
+      Set("dvDeletedRows", "dvPassthroughBatches", "dvCompactedBatches"))
+    // ...and populated after execution (the count() above ran the scan)
+    val metric = scanExec.metrics.get("dvDeletedRows")
+      .getOrElse(fail(s"dvDeletedRows not in ${scanExec.metrics.keySet}"))
+    assert(metric.value === 5000, s"expected 5000 DV-dropped rows, got ${metric.value}")
+  }
+
   test("columnar DV reader: all-deleted batches skip, nulls compact, non-atomic types fall back") {
     val table = freshTable("dsv2-dvcol")
     // disjoint id ranges per file + nullable string payload: deleting a
