@@ -246,8 +246,50 @@ object ModernSqlQueries {
          FROM docs, LATERAL variant_explode(items) AS item""")
   }
 
+  /** ms11: SQL SCRIPTING (Spark 4 `BEGIN ... END` compounds) — session
+    * variables (`DECLARE`/`SET`), branching (`IF`), and a bounded
+    * `WHILE` loop, with the compound's LAST statement as the script's
+    * result set. The control flow runs on the DRIVER between fully
+    * distributed statements — the loop below is 5 scalar SET steps, so
+    * at 100 TB the script costs exactly its data statements (here: one
+    * scalar aggregate + one grouped aggregate over orders), never a
+    * per-row driver loop. The oracle replays the data flow as plain
+    * SQL with the control-flow results folded to literals. */
+  val ms11SqlScripting: Q = (s, d) => {
+    s.conf.set("spark.sql.scripting.enabled", "true")
+    Tables.orders(s, d).createOrReplaceTempView("graft_ms11_orders")
+    s.sql(
+      """BEGIN
+           DECLARE avg_cents BIGINT DEFAULT 0;
+           DECLARE branch STRING DEFAULT 'unset';
+           DECLARE i INT DEFAULT 0;
+           DECLARE loop_sum BIGINT DEFAULT 0;
+           SET avg_cents = (SELECT CAST(round(avg(o_totalprice) * 100) AS BIGINT)
+                            FROM graft_ms11_orders);
+           IF avg_cents > 0 THEN
+             SET branch = 'priced';
+           ELSE
+             SET branch = 'empty';
+           END IF;
+           WHILE i < 5 DO
+             SET loop_sum = loop_sum + i;
+             SET i = i + 1;
+           END WHILE;
+           SELECT o_orderstatus,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+                  branch AS branch,
+                  CAST(loop_sum AS BIGINT) AS loop_sum
+           FROM graft_ms11_orders
+           WHERE CAST(round(o_totalprice * 100) AS BIGINT) > avg_cents
+           GROUP BY o_orderstatus, branch, loop_sum
+           ORDER BY o_orderstatus;
+         END""")
+  }
+
   val queries: Map[String, Q] = Map(
     "ms9_variant"         -> ms9Variant,
+    "ms11_sql_scripting"  -> ms11SqlScripting,
     "ms10_variant_explode" -> ms10VariantExplode,
     "ms1_recursive_chain" -> ms1RecursiveChain,
     "ms2_recursive_paths" -> ms2RecursivePaths,
@@ -259,6 +301,17 @@ object ModernSqlQueries {
     "ms8_lateral_alias"   -> ms8LateralAlias)
 
   val oracles: Map[String, String] = Map(
+    "ms11_sql_scripting" ->
+      """SELECT o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+                'priced' AS branch,
+                CAST(10 AS BIGINT) AS loop_sum
+         FROM orders
+         WHERE CAST(round(o_totalprice * 100) AS BIGINT) >
+               (SELECT CAST(round(avg(o_totalprice) * 100) AS BIGINT) FROM orders)
+         GROUP BY o_orderstatus
+         ORDER BY o_orderstatus""",
     "ms9_variant" ->
       """SELECT o_orderpriority AS prio,
                 CAST(count(*) AS BIGINT) AS n,

@@ -134,4 +134,24 @@ class ModernSqlSpec extends SparkSuite {
     assert(sch.toUpperCase.contains("OBJECT<") && sch.toUpperCase.contains("ARRAY<"),
       s"unexpected variant schema: $sch")
   }
+
+  test("ms11: SQL scripting — variables, IF, WHILE; last statement is the result") {
+    val rows = ModernSqlQueries.ms11SqlScripting(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    // the IF branch and the WHILE accumulation both fold into the output
+    rows.foreach { r =>
+      assert(r.getString(r.fieldIndex("branch")) === "priced")
+      assert(r.getLong(r.fieldIndex("loop_sum")) === 10L) // 0+1+2+3+4
+    }
+    // the script's data flow agrees with the plain-SQL spelling
+    graft.sources.Tables.orders(spark, sf()).createOrReplaceTempView("graft_ms11_orders")
+    val plain = spark.sql(
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+         FROM graft_ms11_orders
+         WHERE CAST(round(o_totalprice * 100) AS BIGINT) >
+               (SELECT CAST(round(avg(o_totalprice) * 100) AS BIGINT) FROM graft_ms11_orders)
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq
+      === plain.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
 }
