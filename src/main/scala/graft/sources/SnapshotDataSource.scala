@@ -142,7 +142,8 @@ private[sources] final class SnapshotTable(
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
   override def name(): String = tablePath
   override def schema(): StructType = tableSchema
   /** Bucketed layout (from [[SnapshotStore.bucketedCommit]]) surfaces
@@ -176,6 +177,39 @@ private[sources] final class SnapshotTable(
       override def isNullable: Boolean = false
       override def comment(): String = "snapshot part file holding the row"
     })
+
+  /** METADATA-ONLY DELETE (`SupportsDeleteV2`): Spark's
+    * `OptimizeMetadataOnlyDeleteFromTable` converts the copy-on-write
+    * `ReplaceData` plan back into a pure manifest edit when every data
+    * file classifies as all-match or none-match from the stats sidecar
+    * — `DELETE WHERE day < X` against a day-appended table drops whole
+    * files with NO job, NO data read, NO footer open. One ambiguous
+    * file (or an unmodellable predicate) → `canDeleteWhere` declines
+    * and the row-level copy-on-write plan runs instead. */
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    SnapshotMetadataDelete.plan(SparkSession.active, m, predicates).isDefined
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val spark = SparkSession.active
+    val (drop, keep) = SnapshotMetadataDelete.plan(spark, m, predicates).getOrElse(
+      throw new IllegalStateException(
+        s"graft-snapshot: deleteWhere called but the predicate set no longer " +
+          s"classifies every file of $tablePath (canDeleteWhere must gate this path)"))
+    // nothing provably matches → the DELETE is a no-op; publishing an
+    // identical manifest would be a contentless version bump
+    if (drop.nonEmpty) SnapshotMetadataDelete.execute(spark, tablePath, m, drop, keep)
+  }
+
+  /** `SupportsDeleteV2`'s default truncate delegates to
+    * `deleteWhere(ALWAYS_TRUE)`, but a snapshot manifest must reference
+    * at least one file — an empty table state does not exist in the
+    * store. Refuse with the working alternative. */
+  override def truncateTable(): Boolean =
+    throw new UnsupportedOperationException(
+      s"graft-snapshot: TRUNCATE on $tablePath is not a manifest edit (the store has " +
+        "no empty-table state) — INSERT OVERWRITE an empty frame instead")
 
   /** SQL `MERGE INTO` / `UPDATE` / `DELETE` — group-based (copy-on-
     * write over touched FILES), enabled by file-granular manifests. */
@@ -1282,11 +1316,42 @@ private[sources] final class SnapshotScan(
     s"graft-snapshot ${SnapshotScan.dataLabel(m)} ($files, $groups, $mode$dv, pushed=${skippable.mkString("[", ",", "]")})"
   }
 
+  /** Batch CHANGE-FEED reads (the `table_changes` shape): with
+    * `changeFeed=true` plus `startingVersion` (inclusive; required) and
+    * optional `endingVersion` (inclusive; default: current), a plain
+    * `spark.read` returns exactly the delta rows the STREAM would emit
+    * for those versions — `'insert'` for appends, remove+insert pairs
+    * for copy-on-write, `'delete'` key rows for DV commits, `'snapshot'`
+    * images only for true rewrites. The caller owns the contract that
+    * their downstream state already reflects `startingVersion - 1`
+    * (unlike the stream's checkpointless start, which anchors to an
+    * image base); a range whose predecessor was vacuumed re-anchors at
+    * the image the retention guard allows. O(delta) per version — an
+    * incremental batch refresh never rescans the table. */
   override def toBatch: Batch = {
-    if (changeFeed) throw new UnsupportedOperationException(
-      "changeFeed is a streaming surface (readStream); batch readers time-travel " +
-        "with the version/asOf options instead")
-    this
+    if (!changeFeed) return this
+    if (fullSchema.length < 2 ||
+        fullSchema.fields(fullSchema.length - 2).name != "_change_type" ||
+        fullSchema.fields(fullSchema.length - 1).name != "_commit_version")
+      throw new UnsupportedOperationException(
+        "the change feed is a path-based surface: use spark.read" +
+          ".format(\"graft-snapshot\").option(\"path\", <tableRoot>)" +
+          ".option(\"changeFeed\", \"true\").option(\"startingVersion\", <v>)")
+    val start = Option(options.get("startingVersion"))
+      .map(s => s.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"batch change feed needs a NUMERIC startingVersion, got '$s'")))
+      .getOrElse(throw new UnsupportedOperationException(
+        "a batch change-feed read requires option(\"startingVersion\", <v>) — " +
+          "the inclusive first version whose changes to return (use readStream " +
+          "for the anchored initial-load protocol)"))
+    val end = Option(options.get("endingVersion")).map(_.toLong).orElse(
+      SnapshotStore.currentVersion(spark, tablePath)).getOrElse(-1L)
+    require(start >= 0 && end >= start,
+      s"batch change feed range is empty or negative: [$start, $end]")
+    new SnapshotChangeBatch(
+      new SnapshotMicroBatchStream(tablePath,
+        StructType(fullSchema.fields.dropRight(2)), options),
+      fromExclusive = start - 1, to = end)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
@@ -1366,16 +1431,30 @@ private[sources] final class ScanTaskMetrics {
 }
 
 private[sources] object ScanTaskMetrics {
-  private class Sum(n: String, desc: String)
-      extends org.apache.spark.sql.connector.metric.CustomSumMetric {
-    override def name(): String = n
-    override def description(): String = desc
-  }
   /** Driver-side metric declarations ([[SnapshotScan.supportedCustomMetrics]]). */
   def supported: Array[org.apache.spark.sql.connector.metric.CustomMetric] = Array(
-    new Sum("dvDeletedRows", "rows dropped by deletion vectors"),
-    new Sum("dvPassthroughBatches", "DV batches served with zero copies"),
-    new Sum("dvCompactedBatches", "DV batches compacted (contained deleted rows)"))
+    new DvDeletedRowsMetric, new DvPassthroughBatchesMetric, new DvCompactedBatchesMetric)
+}
+
+// the three DV metrics are TOP-LEVEL zero-arg classes: Spark's metric
+// aggregation re-instantiates each CustomMetric REFLECTIVELY on the
+// driver (CustomMetrics.buildV2CustomMetricTypeName round-trip), and a
+// constructor-parameterized or nested class fails that instantiation —
+// the metric then silently never aggregates in the SQL UI
+private[sources] final class DvDeletedRowsMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "dvDeletedRows"
+  override def description(): String = "rows dropped by deletion vectors"
+}
+private[sources] final class DvPassthroughBatchesMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "dvPassthroughBatches"
+  override def description(): String = "DV batches served with zero copies"
+}
+private[sources] final class DvCompactedBatchesMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "dvCompactedBatches"
+  override def description(): String = "DV batches compacted (contained deleted rows)"
 }
 
 /** Several row-group slices served by ONE task ([[SnapshotScan.packPartitions]]).

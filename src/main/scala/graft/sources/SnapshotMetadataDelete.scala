@@ -1,0 +1,255 @@
+package graft.sources
+
+import graft.store.{FileStats, SnapshotStore}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Literal => V2Literal, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.sources._
+
+/** Metadata-only DELETE planning for snapshot tables (the
+  * `SupportsDeleteV2` path): decide from the commit's stats SIDECAR
+  * alone — zero data reads, zero footer opens — whether every data
+  * file is provably ALL-MATCH (each of its rows satisfies the DELETE
+  * condition → drop the whole file from the manifest) or NONE-MATCH
+  * (no row satisfies it → keep the file untouched). If every file
+  * classifies, the DELETE is a pure manifest edit: O(files) driver
+  * work, no job, no rewrite — the 100 TB shape for retention deletes
+  * (`DELETE WHERE day < X` against a day-appended table drops whole
+  * files). One ambiguous file → decline, and Spark falls back to the
+  * copy-on-write row-level plan, which is always correct.
+  *
+  * Soundness notes:
+  *  - ALL-MATCH needs a null-free proof for the filtered column (the
+  *    sidecar's `n=` line): a null row satisfies no comparison, so a
+  *    group with unknown null counts can never prove all-match.
+  *  - String min/max may be writer-TRUNCATED, but truncation only
+  *    WIDENS the bounds (truncated min <= real min, truncated max >=
+  *    real max), and every proof below consumes bounds in the safe
+  *    direction (`min > v` proves all rows `> v`; `min == max == v`
+  *    pins every value), so no exactness flag is needed.
+  *  - NaN never reaches the sidecar (poisoned float/double bounds are
+  *    dropped at harvest), so a group holding NaN has no stats for
+  *    that column and proves nothing.
+  *  - A file whose schema OMITS the column (schema evolution) reads it
+  *    as null everywhere: comparisons are none-match, `IS NULL` is
+  *    all-match.
+  */
+private[sources] object SnapshotMetadataDelete {
+
+  /** The (dropFiles, keepFiles) split, or None when any file is
+    * ambiguous / any predicate is untranslatable / the sidecar doesn't
+    * cover the manifest. Deterministic in (manifest, predicates) — so
+    * `canDeleteWhere` and `deleteWhere` agree by construction. */
+  def plan(
+      spark: SparkSession,
+      m: SnapshotStore.Manifest,
+      predicates: Array[Predicate]): Option[(Seq[String], Seq[String])] = {
+    val filters = predicates.map(toFilters)
+    if (filters.exists(_.isEmpty)) return None
+    val v1 = filters.flatMap(_.get).toSeq.map(normalizeDates)
+    if (!v1.forall(supported)) return None
+    if (m.statsFile.isEmpty) return None
+    val sc =
+      try FileStats.read(spark, m.statsFile)
+      catch { case _: java.io.IOException => return None }
+    val files = SnapshotStore.dataFiles(spark, m)
+    if (files.isEmpty || !files.forall(sc.entries.contains)) return None
+    val drop = Seq.newBuilder[String]
+    val keep = Seq.newBuilder[String]
+    files.foreach { f =>
+      val e = sc.entries(f)
+      // AND semantics: a group is all-match iff EVERY predicate holds
+      // on every row; none-match iff SOME predicate fails on every row
+      if (e.groups.forall(g => v1.forall(p => allMatch(p, e, g)))) drop += f
+      else if (e.groups.forall(g => v1.exists(p => noneMatch(p, e, g)))) keep += f
+      else return None
+    }
+    val (d, k) = (drop.result(), keep.result())
+    // a manifest must reference at least one file — deleting EVERY row
+    // routes through the row-level plan (or TRUNCATE), not this path
+    if (k.isEmpty) None else Some((d, k))
+  }
+
+  /** V2 Predicate → V1 Filter(s) for the shapes the classifier can
+    * reason about (Spark's own converter is `private[sql]`). Literal
+    * values arrive in Catalyst INTERNAL form — externalized here so
+    * the stats comparisons see Strings/Dates, the same convention as
+    * the pushdown path. AND flattens into conjuncts; any unconvertible
+    * node declines the whole predicate. */
+  private def toFilters(p: Predicate): Option[Seq[Filter]] = {
+    def colOf(e: V2Expression): Option[String] = e match {
+      case n: NamedReference if n.fieldNames.length == 1 => Some(n.fieldNames.head)
+      case _ => None
+    }
+    def valOf(e: V2Expression): Option[Any] = e match {
+      case l: V2Literal[_] if l.value != null =>
+        Some(org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToScala(l.value, l.dataType))
+      case _ => None
+    }
+    def binary(mk: (String, Any) => Filter, flip: (String, Any) => Filter): Option[Seq[Filter]] = {
+      val Array(a, b) = p.children()
+      (colOf(a), valOf(b), valOf(a), colOf(b)) match {
+        case (Some(c), Some(v), _, _) => Some(Seq(mk(c, v)))
+        case (_, _, Some(v), Some(c)) => Some(Seq(flip(c, v))) // literal-first spelling
+        case _                        => None
+      }
+    }
+    p.name() match {
+      case "AND" =>
+        val kids = p.children().toSeq.map {
+          case q: Predicate => toFilters(q)
+          case _            => None
+        }
+        if (kids.exists(_.isEmpty)) None else Some(kids.flatMap(_.get))
+      case "=" if p.children().length == 2 => binary(EqualTo, EqualTo)
+      case ">" if p.children().length == 2 => binary(GreaterThan, LessThan)
+      case ">=" if p.children().length == 2 => binary(GreaterThanOrEqual, LessThanOrEqual)
+      case "<" if p.children().length == 2 => binary(LessThan, GreaterThan)
+      case "<=" if p.children().length == 2 => binary(LessThanOrEqual, GreaterThanOrEqual)
+      case "IN" if p.children().nonEmpty =>
+        for {
+          c <- colOf(p.children()(0))
+          vs = p.children().drop(1).toSeq.map(valOf)
+          if vs.nonEmpty && vs.forall(_.isDefined)
+        } yield Seq(In(c, vs.flatten.toArray))
+      case "IS_NULL" if p.children().length == 1 =>
+        colOf(p.children()(0)).map(c => Seq(IsNull(c)))
+      case "IS_NOT_NULL" if p.children().length == 1 =>
+        colOf(p.children()(0)).map(c => Seq(IsNotNull(c)))
+      case "ALWAYS_TRUE"  => Some(Seq(AlwaysTrue()))
+      case "ALWAYS_FALSE" => Some(Seq(AlwaysFalse()))
+      case _ => None
+    }
+  }
+
+  /** Filter shapes the classifier can reason about; anything else
+    * declines the metadata path wholesale (AND semantics mean an
+    * unmodellable conjunct could still be the one that fails a row). */
+  private def supported(f: Filter): Boolean = f match {
+    case EqualTo(_, v)            => atomic(v)
+    case GreaterThan(_, v)        => atomic(v)
+    case GreaterThanOrEqual(_, v) => atomic(v)
+    case LessThan(_, v)           => atomic(v)
+    case LessThanOrEqual(_, v)    => atomic(v)
+    case In(_, vs)                => vs.nonEmpty && vs.forall(atomic)
+    case IsNull(_) | IsNotNull(_) => true
+    case AlwaysTrue() | AlwaysFalse() => true
+    case _                        => false
+  }
+
+  private def atomic(v: Any): Boolean = v match {
+    case _: Long | _: Int | _: Short | _: Byte | _: Double | _: Float | _: String => true
+    case _ => false
+  }
+
+  /** TEMPORAL predicate values compare against the sidecar's raw
+    * parquet representation — epoch-day Int32 for DATE, epoch-micros
+    * Int64 for TIMESTAMP (Spark always writes micros) — because the
+    * retention shape (`DELETE WHERE day < X`) is the single most
+    * common metadata delete at scale. Catalyst's implicit casts
+    * guarantee the literal's type matches the column's, so the
+    * normalized value and the stats share a representation. Legacy
+    * INT96 timestamps have Binary stats the harvest never records, so
+    * they decline rather than compare wrong. */
+  private def normalizeDates(f: Filter): Filter = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    def n(v: Any): Any = v match {
+      case d: java.sql.Date       => d.toLocalDate.toEpochDay.toInt
+      case d: java.time.LocalDate => d.toEpochDay.toInt
+      case t: java.sql.Timestamp  => DateTimeUtils.fromJavaTimestamp(t)
+      case t: java.time.Instant   => DateTimeUtils.instantToMicros(t)
+      case t: java.time.LocalDateTime => DateTimeUtils.localDateTimeToMicros(t)
+      case other                  => other
+    }
+    f match {
+      case EqualTo(c, v)            => EqualTo(c, n(v))
+      case GreaterThan(c, v)        => GreaterThan(c, n(v))
+      case GreaterThanOrEqual(c, v) => GreaterThanOrEqual(c, n(v))
+      case LessThan(c, v)           => LessThan(c, n(v))
+      case LessThanOrEqual(c, v)    => LessThanOrEqual(c, n(v))
+      case In(c, vs)                => In(c, vs.map(n))
+      case other                    => other
+    }
+  }
+
+  private def cmp(a: Any, b: Any): Option[Int] = SnapshotScan.cmpAny(a, b)
+
+  /** Every row of the group provably satisfies `f`. */
+  private def allMatch(f: Filter, e: FileStats.Entry, g: FileStats.Group): Boolean = {
+    if (g.rows == 0L) return true
+    def proven(c: String)(check: ((Any, Any)) => Boolean): Boolean =
+      e.fields.contains(c) && g.noNulls.contains(c) && g.stats.get(c).exists(check)
+    f match {
+      case AlwaysTrue() => true
+      case EqualTo(c, v) =>
+        proven(c) { case (mn, mx) => cmp(v, mn).contains(0) && cmp(v, mx).contains(0) }
+      case GreaterThan(c, v) => proven(c) { case (mn, _) => cmp(mn, v).exists(_ > 0) }
+      case GreaterThanOrEqual(c, v) => proven(c) { case (mn, _) => cmp(mn, v).exists(_ >= 0) }
+      case LessThan(c, v) => proven(c) { case (_, mx) => cmp(mx, v).exists(_ < 0) }
+      case LessThanOrEqual(c, v) => proven(c) { case (_, mx) => cmp(mx, v).exists(_ <= 0) }
+      case In(c, vs) => // only the pinned-value shape is provable
+        proven(c) { case (mn, mx) =>
+          cmp(mn, mx).contains(0) && vs.exists(v => cmp(v, mn).contains(0)) }
+      case IsNull(c) => !e.fields.contains(c) || g.allNull.contains(c)
+      case IsNotNull(c) => e.fields.contains(c) && g.noNulls.contains(c)
+      case _ => false
+    }
+  }
+
+  /** No row of the group can satisfy `f` (a null predicate value is
+    * not TRUE, so all-null / absent columns none-match comparisons). */
+  private def noneMatch(f: Filter, e: FileStats.Entry, g: FileStats.Group): Boolean = {
+    if (g.rows == 0L) return true
+    f match {
+      case AlwaysFalse() => true
+      case IsNull(c) => e.fields.contains(c) && g.noNulls.contains(c)
+      case IsNotNull(c) => !e.fields.contains(c) || g.allNull.contains(c)
+      case EqualTo(c, _) => nullOrExcluded(c, f, e, g)
+      case GreaterThan(c, _) => nullOrExcluded(c, f, e, g)
+      case GreaterThanOrEqual(c, _) => nullOrExcluded(c, f, e, g)
+      case LessThan(c, _) => nullOrExcluded(c, f, e, g)
+      case LessThanOrEqual(c, _) => nullOrExcluded(c, f, e, g)
+      case In(c, _) => nullOrExcluded(c, f, e, g)
+      case _ => false
+    }
+  }
+
+  private def nullOrExcluded(
+      c: String, f: Filter, e: FileStats.Entry, g: FileStats.Group): Boolean =
+    !e.fields.contains(c) || g.allNull.contains(c) || SnapshotScan.excludes(f, g.stats)
+
+  /** Execute the metadata delete: publish `baseVersion + 1` keeping
+    * only the surviving files. DVs, bucket/sort layout, Bloom index,
+    * and the schema-evolution flag all carry forward — dropping whole
+    * files invalidates none of them (a scoped DV entry for a dropped
+    * file dangles harmlessly, exactly as in copy-on-write commits).
+    * Returns the committed version. */
+  def execute(
+      spark: SparkSession,
+      tablePath: String,
+      m: SnapshotStore.Manifest,
+      dropFiles: Seq[String],
+      keepFiles: Seq[String]): Long = {
+    val v = SnapshotStore.currentVersion(spark, tablePath).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $tablePath"))
+    val head = SnapshotStore.manifest(spark, tablePath, v)
+    if (head.data != m.data || head.files != m.files)
+      throw new java.util.ConcurrentModificationException(
+        s"graft-snapshot: metadata DELETE must target the table head; $tablePath moved " +
+          s"to version $v since this relation resolved (re-run the command)")
+    // copy-forward sidecar: survivors' blocks reuse textually, zero IO
+    val stats = FileStats.sidecarFor(spark, tablePath, keepFiles, Some(m), m.statsExact)
+    val ok = SnapshotStore.tryPublishManifest(spark, tablePath, v + 1,
+      SnapshotStore.Manifest("", m.deletes, m.keyCols,
+        files = keepFiles, op = "delete-files", statsExact = m.statsExact,
+        mixedSchema = m.mixedSchema, statsFile = stats,
+        bucketCols = m.bucketCols, bucketN = m.bucketN,
+        bloomFile = m.bloomFile, sortCols = m.sortCols))
+    if (!ok) throw new java.util.ConcurrentModificationException(
+      s"graft-snapshot: metadata DELETE on $tablePath lost to a concurrent commit of " +
+        s"version ${v + 1} — re-run the command against the new head")
+    v + 1
+  }
+}

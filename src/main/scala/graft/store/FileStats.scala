@@ -44,6 +44,7 @@ import org.apache.spark.sql.SparkSession
   *   g=<start>,<length>,<rows>     # starts a row group
   *   s=<urlenc col>,<kind>,<min>,<max>   # stats for the last `g`
   *   z=<urlenc col>                # column provably all-null in last `g`
+  *   n=<urlenc col>                # column provably null-FREE in last `g`
   * }}}
   * Value kinds: `i`/`l` decimal integers, `f`/`d` Float/Double
   * `toString` (exact round-trip), `s` base64 of UTF-8 bytes (parquet's
@@ -59,10 +60,15 @@ object FileStats {
     * the planner compares them (Integer/Long/Float/Double/String);
     * `allNull` lists columns PROVEN entirely null in this group (the
     * aggregate path needs the distinction between "no stats" and
-    * "provably nothing to contribute"). */
+    * "provably nothing to contribute"); `noNulls` lists columns PROVEN
+    * null-free (what lets metadata-only DELETE prove every row of a
+    * group satisfies a comparison — a null row satisfies nothing).
+    * Sidecars written before the `n=` line existed simply prove
+    * nothing, never the wrong thing. */
   final case class Group(
       start: Long, length: Long, rows: Long,
-      stats: Map[String, (Any, Any)], allNull: Set[String])
+      stats: Map[String, (Any, Any)], allNull: Set[String],
+      noNulls: Set[String] = Set.empty)
 
   /** One data file's entry: its top-level field names plus row groups. */
   final case class Entry(fields: Set[String], groups: Seq[Group])
@@ -120,6 +126,8 @@ object FileStats {
               if (s.isNumNullsSet && s.getNumNulls == b.getRowCount)
                 sb.append(s"z=${enc(col)}\n")
             } else {
+              if (s.isNumNullsSet && s.getNumNulls == 0L)
+                sb.append(s"n=${enc(col)}\n")
               val pair: Option[(Any, Any)] = (s.genericGetMin, s.genericGetMax) match {
                 case (mn: java.lang.Double, _) if mn.isNaN => None
                 case (_, mx: java.lang.Double) if mx.isNaN => None
@@ -232,9 +240,10 @@ object FileStats {
     var curGroups: scala.collection.mutable.ArrayBuffer[Group] = null
     var gStats: scala.collection.mutable.Map[String, (Any, Any)] = null
     var gNull: scala.collection.mutable.Set[String] = null
+    var gNoNull: scala.collection.mutable.Set[String] = null
     var gHead: (Long, Long, Long) = null
     def flushGroup(): Unit = if (gHead != null) {
-      curGroups += Group(gHead._1, gHead._2, gHead._3, gStats.toMap, gNull.toSet)
+      curGroups += Group(gHead._1, gHead._2, gHead._3, gStats.toMap, gNull.toSet, gNoNull.toSet)
       gHead = null
     }
     text.linesIterator.foreach { line =>
@@ -253,11 +262,14 @@ object FileStats {
         gHead = (parts(0).toLong, parts(1).toLong, parts(2).toLong)
         gStats = scala.collection.mutable.Map.empty
         gNull = scala.collection.mutable.Set.empty
+        gNoNull = scala.collection.mutable.Set.empty
       } else if (line.startsWith("s=") && gHead != null) {
         val parts = line.stripPrefix("s=").split(",", 4)
         gStats(dec(parts(0))) = (decVal(parts(1).head, parts(2)), decVal(parts(1).head, parts(3)))
       } else if (line.startsWith("z=") && gHead != null) {
         gNull += dec(line.stripPrefix("z="))
+      } else if (line.startsWith("n=") && gHead != null) {
+        gNoNull += dec(line.stripPrefix("n="))
       }
     }
     flushGroup()
