@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -48,12 +48,24 @@ import scala.jdk.CollectionConverters._
   * `startingVersion` option: number (emit that version's image first),
   * or `latest` (only future commits). Default: the current version's
   * image is the first batch (initial load).
+  *
+  * `maxFilesPerTrigger` option — ADMISSION CONTROL: without it, a
+  * stream that falls behind (or starts fresh against a long history)
+  * reads every pending commit in ONE micro-batch — at the 100 TB shape
+  * that is an unbounded batch the cluster may not survive. With it,
+  * each trigger admits whole COMMITS (batch atomicity per commit is
+  * the feed's contract — a partially-emitted commit would hand
+  * consumers a torn image) until the admitted versions' cumulative
+  * data-file count would exceed the budget; always at least one commit
+  * per trigger so the stream can never stall. Works with
+  * `Trigger.AvailableNow` natively (the catch-up target is pinned once
+  * at stream start, then drained budget-sized batch by batch).
   */
 private[sources] final class SnapshotMicroBatchStream(
     tablePath: String,
     tableSchema: StructType,
     options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
   private def conf = spark.sparkContext.hadoopConfiguration
@@ -81,12 +93,14 @@ private[sources] final class SnapshotMicroBatchStream(
   /** Commit kind of version `v` relative to its predecessor — drives
     * which delta (if any) the batch can carry:
     *  - `delete`: same data identity, new deletion vectors → key delta
-    *  - `insert`: file-granular superset, no DVs on either side → the
-    *    NEW files only (an [[SnapshotStore.appendCommit]])
-    *  - `cow`: file-granular with a SHARED file subset (a copy-on-write
-    *    MERGE/UPDATE/DELETE) → the replaced files' old rows stream as
-    *    `'remove'` and the staged files' rows as `'insert'` — O(touched
-    *    files), never a table image
+    *  - `insert`: file-granular superset with an UNCHANGED DV set → the
+    *    NEW files only (an [[SnapshotStore.appendCommit]]; scoped DVs
+    *    never cover staged files)
+    *  - `cow`: file-granular with a SHARED file subset and an UNCHANGED
+    *    DV set (a copy-on-write MERGE/UPDATE/DELETE, a metadata
+    *    delete) → the replaced files' old LIVE rows stream as
+    *    `'remove'` (predecessor's DVs applied) and the staged files'
+    *    rows as `'insert'` — O(touched files), never a table image
     *  - `image`: anything else (full rewrite/compaction), and any
     *    version whose predecessor is unknown (first version, or
     *    vacuumed past — the image is always a safe anchor) */
@@ -100,7 +114,14 @@ private[sources] final class SnapshotMicroBatchStream(
     // fixed at delete time, so the new files are covered by none
     else if (m.files.nonEmpty && m.deletes == prev.deletes &&
         filesOf(v - 1).toSet.subsetOf(m.files.toSet)) "insert"
-    else if (m.files.nonEmpty && m.deletes.isEmpty && prev.deletes.isEmpty &&
+    // copy-on-write stays a file delta over LIVE (unchanged) deletion
+    // vectors too: the remove side replays the replaced files' rows
+    // with the PREDECESSOR's scoped DVs applied (so already-deleted
+    // rows are never spuriously removed), and staged files carry
+    // DV-filtered rows by the group scan's construction. Without this
+    // a 1-row MERGE on a DV-bearing 100 TB table would re-emit the
+    // whole table image downstream.
+    else if (m.files.nonEmpty && m.deletes == prev.deletes &&
         filesOf(v - 1).toSet.intersect(m.files.toSet).nonEmpty) "cow"
     else "image"
   }
@@ -127,6 +148,61 @@ private[sources] final class SnapshotMicroBatchStream(
   }
 
   override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  /** `Trigger.AvailableNow` catch-up target, pinned ONCE at stream
+    * start: later commits belong to the next run. */
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(
+      SnapshotStore.currentVersion(spark, tablePath).getOrElse(-1L))
+
+  override def getDefaultReadLimit: ReadLimit =
+    Option(options.get("maxFilesPerTrigger")) match {
+      case Some(n) =>
+        require(n.toInt > 0, s"maxFilesPerTrigger must be positive, got $n")
+        ReadLimit.maxFiles(n.toInt)
+      case None => ReadLimit.allAvailable()
+    }
+
+  /** Data files a version's micro-batch reads — the admission cost. */
+  private def costOf(v: Long, allVersions: Seq[Long]): Int = {
+    val m = manifestOf(v)
+    classify(v, allVersions) match {
+      case "delete" => // delta DV dirs: one small key file each
+        m.deletes.count(d => !manifestOf(v - 1).deletes.contains(d)).max(1)
+      case "insert" =>
+        m.files.count(!filesOf(v - 1).toSet.contains(_)).max(1)
+      case "cow" =>
+        val prev = filesOf(v - 1).toSet
+        val cur = m.files.toSet
+        ((prev -- cur).size + (cur -- prev).size).max(1)
+      case _ => filesOf(v).size.max(1)
+    }
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val head0 = SnapshotStore.currentVersion(spark, tablePath).getOrElse(-1L)
+    val head = availableNowCap.fold(head0)(math.min(_, head0))
+    val from = start.asInstanceOf[SnapshotVersionOffset].v
+    limit match {
+      case mf: ReadMaxFiles if head > from =>
+        val allVersions = SnapshotStore.versions(spark, tablePath)
+        var budget = mf.maxFiles().toLong
+        var to = from + 1 // whole commits only; at least one — no stalls
+        budget -= costOf(to, allVersions)
+        while (to < head && costOf(to + 1, allVersions) <= budget) {
+          to += 1
+          budget -= costOf(to, allVersions)
+        }
+        SnapshotVersionOffset(to)
+      case _ => SnapshotVersionOffset(head)
+    }
+  }
+
+  /** True head for progress reporting, independent of admission. */
+  override def reportLatestOffset(): Offset =
     SnapshotVersionOffset(
       SnapshotStore.currentVersion(spark, tablePath).getOrElse(-1L))
 
@@ -152,6 +228,9 @@ private[sources] final class SnapshotMicroBatchStream(
           "outlives the slowest consumer, or restart the stream from a fresh " +
           "checkpoint to take a new base image.")
     val imageVersions = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // versions whose DV lookup the READERS need: image versions apply
+    // their own DVs; cow remove-batches apply their PREDECESSOR's
+    val dvVersions = scala.collection.mutable.ArrayBuffer.empty[Long]
     val parts = versions.flatMap { v =>
       val m = manifestOf(v)
       classify(v, allVersions) match {
@@ -179,38 +258,54 @@ private[sources] final class SnapshotMicroBatchStream(
           val prevFiles = filesOf(v - 1).toSet
           rowGroupPartitions(m, v, m.files.filterNot(prevFiles), "insert")
         case "cow" =>
-          // copy-on-write commit (SQL MERGE/UPDATE/DELETE): untouched
-          // files are SHARED between the manifests, so the delta is the
-          // replaced files' old rows ('remove' — full-row identity, the
-          // files are still on disk until vacuum) plus the staged
-          // files' rows ('insert'). Carry-over rows appear in both and
-          // cancel; consumers apply state − removes + inserts.
+          // copy-on-write commit (SQL MERGE/UPDATE/DELETE, metadata
+          // delete): untouched files are SHARED between the manifests,
+          // so the delta is the replaced files' old LIVE rows ('remove'
+          // — full-row identity with the predecessor's scoped DVs
+          // applied; the files are still on disk until vacuum) plus the
+          // staged files' rows ('insert'). Carry-over rows appear in
+          // both and cancel; consumers apply state − removes + inserts.
           val prevFiles = filesOf(v - 1)
           val curFiles = m.files.toSet
-          rowGroupPartitions(m, v, prevFiles.filterNot(curFiles), "remove") ++
+          val removed = prevFiles.filterNot(curFiles)
+          val prevM = manifestOf(v - 1)
+          val prevClassOf: Map[String, Int] =
+            if (prevM.deletes.isEmpty) Map.empty
+            else {
+              dvVersions += (v - 1)
+              classLayoutOf(v - 1).zipWithIndex
+                .flatMap { case ((_, fs), i) => fs.map(_ -> i) }.toMap
+            }
+          rowGroupPartitions(prevM, v, removed, "remove",
+            f => prevClassOf.getOrElse(f, 0), dvVersion = v - 1) ++
             rowGroupPartitions(m, v, m.files.filterNot(prevFiles.toSet), "insert")
         case _ =>
           // new image: every row group of the version's data files,
           // with the version's OWN deletion vectors applied (scoped
           // per file class when appends interleaved with deletes)
           imageVersions += v
+          if (m.deletes.nonEmpty) dvVersions += v
           val classOf: Map[String, Int] =
             if (m.deletes.isEmpty) Map.empty
             else classLayoutOf(v).zipWithIndex
               .flatMap { case ((_, fs), i) => fs.map(_ -> i) }.toMap
           rowGroupPartitions(m, v, filesOf(v), "snapshot",
-            f => classOf.getOrElse(f, 0))
+            f => classOf.getOrElse(f, 0), dvVersion = v)
       }
     }
-    plannedImageVersions = imageVersions.toSeq
+    plannedDvVersions = dvVersions.distinct.toSeq
     parts.toArray
   }
 
   /** Row-group partitions over the given data files (no skipping — a
-    * change feed emits everything), tagged with the batch kind. */
+    * change feed emits everything), tagged with the batch kind.
+    * `dvVersion` names the version whose deletion vectors the reader
+    * must apply (-1 = none): the partition's own version for images,
+    * the PREDECESSOR for cow remove-batches. */
   private def rowGroupPartitions(
       m: SnapshotStore.Manifest, v: Long, files: Seq[String],
-      changeType: String, dvClassOf: String => Int = _ => 0): Seq[SnapshotStreamPartition] = {
+      changeType: String, dvClassOf: String => Int = _ => 0,
+      dvVersion: Long = -1L): Seq[SnapshotStreamPartition] = {
     val wanted = tableSchema.fieldNames.toSeq ++ m.keyCols
     files.flatMap { f =>
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
@@ -223,7 +318,7 @@ private[sources] final class SnapshotMicroBatchStream(
             SnapshotInputPartition(f, b.getStartingPos,
               b.getCompressedSize, b.getRowCount, selfContained,
               dvClass = dvClassOf(f)),
-            changeType = changeType, version = v)
+            changeType = changeType, version = v, dvVersion = dvVersion)
         }
       } finally r.close()
     }
@@ -248,10 +343,10 @@ private[sources] final class SnapshotMicroBatchStream(
           else SnapshotScan.loadDvLookup(spark, m.copy(deletes = idx.map(m.deletes)))
         }.toArray))
     })
-  @volatile private var plannedImageVersions: Seq[Long] = Nil
+  @volatile private var plannedDvVersions: Seq[Long] = Nil
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val versions = plannedImageVersions
+    val versions = plannedDvVersions
     val lookups = versions.flatMap(v => lookupFor(v).map(v -> _)).toMap
     val keyColsByVersion = versions.map(v => v -> keyColsCache.getOrElse(v, Nil)).toMap
     new SnapshotStreamReaderFactory(tableSchema, keyColsByVersion, lookups,
@@ -282,8 +377,29 @@ private[sources] final case class SnapshotVersionOffset(v: Long) extends Offset 
   override def json(): String = v.toString
 }
 
+/** Batch adapter over the stream's change planning: one `spark.read`
+  * returns the deltas of versions `(fromExclusive, to]` — the
+  * `table_changes(start, end)` shape. Reuses the micro-batch planner
+  * verbatim so batch and stream can never disagree on a version's
+  * delta, including the vacuum-retention guard. */
+private[sources] final class SnapshotChangeBatch(
+    stream: SnapshotMicroBatchStream, fromExclusive: Long, to: Long)
+    extends org.apache.spark.sql.connector.read.Batch {
+  // planning populates the stream's image-version state the reader
+  // factory consumes; Spark always plans before building the factory,
+  // and the lazy val makes the ordering structural
+  private lazy val parts = stream.planInputPartitions(
+    SnapshotVersionOffset(fromExclusive), SnapshotVersionOffset(to))
+  override def planInputPartitions(): Array[InputPartition] = parts
+  override def createReaderFactory(): PartitionReaderFactory = {
+    parts // force planning
+    stream.createReaderFactory()
+  }
+}
+
 private[sources] final case class SnapshotStreamPartition(
-    base: SnapshotInputPartition, changeType: String, version: Long) extends InputPartition
+    base: SnapshotInputPartition, changeType: String, version: Long,
+    dvVersion: Long = -1L) extends InputPartition
 
 /** Wraps the batch readers and appends (_change_type, _commit_version).
   * Snapshot batches reuse the vectorized/Group row readers (the same
@@ -305,8 +421,8 @@ private[sources] final class SnapshotStreamReaderFactory(
         // delta DV file: whole file, evolution path fills non-keys null
         new SnapshotPartitionReader(p.base, tableSchema, Nil, null, conf.conf)
       case _ =>
-        val keyCols = keyColsByVersion.getOrElse(p.version, Nil)
-        val dv = dvByVersion.get(p.version)
+        val keyCols = keyColsByVersion.getOrElse(p.dvVersion, Nil)
+        val dv = dvByVersion.get(p.dvVersion)
           .map(_.value.apply(p.base.dvClass)).orNull
         if (p.base.selfContained && dv != null) {
           val keyTypes = keyCols.map(n =>
