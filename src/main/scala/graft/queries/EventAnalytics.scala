@@ -457,6 +457,67 @@ object EventAnalytics {
       .orderBy(col("yr"))
   }
 
+  /** DT21: METADATA-ONLY DELETE (`SupportsDeleteV2` +
+    * `OptimizeMetadataOnlyDeleteFromTable`) — the retention shape: a
+    * table built from date-ranged appends, then
+    * `DELETE WHERE o_orderdate >= DATE'1997-01-01'` drops the matching
+    * files as a PURE manifest edit (no job, no data read, no footer
+    * open — every file classifies all-match/none-match from the stats
+    * sidecar). The fixture REQUIRES the commit landed as
+    * `delete-files`: a silent fallback to copy-on-write would still
+    * answer right but would not be the operator under test. Oracle:
+    * the surviving date range aggregated from raw orders. */
+  val dtDeleteFiles: Q = (s, d) => {
+    val wh = Fixtures.dir("mdelwh", d) { root =>
+      val cat = snapCatalog(s, root)
+      val t = s"$root/facts/orders"
+      val orders = Tables.orders(s, d)
+      val files = s.sparkContext.defaultParallelism.max(4)
+      graft.store.SnapshotStore.commit(
+        orders.filter(col("o_orderdate") < lit("1997-01-01").cast("date"))
+          .repartition(files), t)
+      graft.store.SnapshotStore.appendCommit(
+        orders.filter(col("o_orderdate") >= lit("1997-01-01").cast("date"))
+          .repartition(files), t)
+      s.sql(s"DELETE FROM $cat.facts.orders WHERE o_orderdate >= DATE'1997-01-01'")
+      val v = graft.store.SnapshotStore.currentVersion(s, t).get
+      val m = graft.store.SnapshotStore.manifest(s, t, v)
+      require(m.op == "delete-files",
+        s"dt_delete_files must execute as a metadata-only manifest edit, got op=${m.op}")
+    }
+    val cat = snapCatalog(s, wh)
+    s.sql(
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS yr,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM $cat.facts.orders
+          GROUP BY year(o_orderdate) ORDER BY yr""")
+  }
+
+  /** DT22: BATCH CHANGE-FEED READ (the `table_changes` shape) — after
+    * v0 (pre-1996 orders) and an append (v1: the rest), a plain
+    * `spark.read` with `changeFeed` + `startingVersion=1` returns ONLY
+    * v1's insert delta: O(new files), never a table rescan — the
+    * incremental batch-refresh surface. The oracle recomputes the
+    * delta's aggregate from raw orders with the same date split. */
+  val dtChangesBatch: Q = (s, d) => {
+    val table = Fixtures.table("cdfbatch", d) { t =>
+      val orders = Tables.orders(s, d)
+      val files = s.sparkContext.defaultParallelism.max(4)
+      graft.store.SnapshotStore.commit(
+        orders.filter(year(col("o_orderdate")) < 1996).repartition(files), t)
+      graft.store.SnapshotStore.appendCommit(
+        orders.filter(year(col("o_orderdate")) >= 1996).repartition(files), t)
+    }
+    s.read.format("graft-snapshot").option("path", table)
+      .option("changeFeed", "true").option("startingVersion", "1").load()
+      .groupBy(col("_change_type"), year(col("o_orderdate")).alias("yr"))
+      .agg(
+        count(lit(1)).alias("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long")).alias("cents"))
+      .orderBy(col("_change_type"), col("yr"))
+  }
+
   /** DT11: SQL `MERGE INTO` over a catalog table — the same three-clause
     * semantics as `dt_merge_into` (delete big spenders, update balances,
     * insert shifted keys), but issued as the ANSI statement and executed
@@ -593,6 +654,23 @@ object EventAnalytics {
          FROM orders
          GROUP BY 1
          ORDER BY yr""",
+    "dt_delete_files" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders
+         WHERE o_orderdate < DATE '1997-01-01'
+         GROUP BY 1
+         ORDER BY yr""",
+    "dt_changes_batch" ->
+      """SELECT 'insert' AS _change_type,
+                CAST(year(o_orderdate) AS INT) AS yr,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders
+         WHERE year(o_orderdate) >= 1996
+         GROUP BY 2
+         ORDER BY _change_type, yr""",
     "dt_small_compact" ->
       """SELECT o_orderstatus,
                 CAST(count(*) AS BIGINT) AS n_rows,
@@ -899,6 +977,8 @@ object EventAnalytics {
     "dt_catalog_tt" -> dtCatalogTt,
     "dt_agg_pushdown" -> dtAggPushdown,
     "dt_append" -> dtAppend,
+    "dt_delete_files" -> dtDeleteFiles,
+    "dt_changes_batch" -> dtChangesBatch,
     "dt_merge_sql" -> dtMergeSql,
     "dt_ctas" -> dtCtas,
     "dt_small_compact" -> dtSmallCompact,
