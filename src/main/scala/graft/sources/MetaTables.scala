@@ -20,6 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * {{{
   *   SELECT * FROM snap.dims.`nation$history`  -- one row per commit
   *   SELECT * FROM snap.dims.`nation$files`    -- current data files
+  *   SELECT * FROM snap.dims.`nation$tags`     -- named version refs
   * }}}
   *
   * Both are METADATA-ONLY: `$history` reads commit markers; `$files`
@@ -60,6 +61,14 @@ private[sources] object MetaTables {
           StructField("file", StringType, nullable = false),
           StructField("size_bytes", LongType, nullable = false),
           StructField("modified_ms", LongType, nullable = false))),
+        rows))
+    case "tags" =>
+      val rows: Seq[Seq[Any]] = SnapshotStore.tags(spark, root).toSeq.sortBy(_._1)
+        .map { case (n, v) => Seq(n, v) }
+      Some(new MetaRowsTable(s"$root$$tags",
+        StructType(Seq(
+          StructField("tag", StringType, nullable = false),
+          StructField("version", LongType, nullable = false))),
         rows))
     case _ => None
   }

@@ -134,11 +134,11 @@ final class SnapshotCatalog extends TableCatalog
     }
   }
 
-  /** `VERSION AS OF <n>` — the commit number. */
+  /** `VERSION AS OF <spec>` — a commit number or a TAG name
+    * ([[SnapshotStore.createTag]]): `VERSION AS OF 'train-run-7'`
+    * reads the pinned snapshot by name. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val v = version.toLongOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"graft snapshot versions are commit numbers; got '$version'"))
+    val v = SnapshotStore.resolveVersionSpec(spark, tableRoot(ident), version)
     if (!SnapshotStore.versions(spark, tableRoot(ident)).contains(v))
       throw new NoSuchTableException(ident)
     tableAt(ident, v)

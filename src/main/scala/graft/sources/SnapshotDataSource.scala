@@ -122,7 +122,8 @@ object SnapshotDataSource {
     val spark = SparkSession.active
     val table = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-snapshot requires option 'path' (the table root)"))
-    val version = Option(options.get("version")).map(_.toLong).orElse {
+    val version = Option(options.get("version"))
+      .map(SnapshotStore.resolveVersionSpec(spark, table, _)).orElse {
       Option(options.get("asOf")).map { s =>
         val millis = s.toLongOption.getOrElse {
           java.time.LocalDateTime

@@ -49,7 +49,8 @@ object SnapshotProcedures {
   val Namespace: Array[String] = Array("system")
 
   def names: Seq[String] =
-    Seq("compact", "compact_small_files", "zorder", "bloom_index", "vacuum", "sync", "restore")
+    Seq("compact", "compact_small_files", "zorder", "bloom_index", "vacuum", "sync",
+      "restore", "create_tag", "drop_tag")
 
   /** Resolve `ns.table` (possibly multi-level `ns1.ns2.t`) under the
     * catalog warehouse — identical layout to
@@ -234,6 +235,35 @@ object SnapshotProcedures {
         val t = root(warehouse, in.getUTF8String(0).toString)
         val v = in.getLong(1)
         Array(row(v, SnapshotStore.restoreCommit(spark, t, v)))
+      }))
+
+      case "create_tag" => Some(new Proc(
+        "create_tag",
+        "Pin a committed version under an immutable NAME: readers time-travel " +
+          "to it with VERSION AS OF '<name>' (or the reader option " +
+          "version=<name>), and vacuum retains the tagged version's files " +
+          "past any keep horizon until drop_tag releases it",
+        Array(
+          p("table", StringType, comment = "catalog-relative name, e.g. 'ns.t'"),
+          p("name", StringType, comment = "tag name ([A-Za-z0-9._-], no leading dot)"),
+          p("version", LongType, Some("-1"), "version to pin; -1 = current head")),
+        StructType(Seq(
+          StructField("tagged_version", LongType, nullable = false))))({ in =>
+        val t = root(warehouse, in.getUTF8String(0).toString)
+        val name = in.getUTF8String(1).toString
+        Array(row(SnapshotStore.createTag(spark, t, name, in.getLong(2))))
+      }))
+
+      case "drop_tag" => Some(new Proc(
+        "drop_tag",
+        "Release a tag: its version becomes vacuum-eligible again",
+        Array(
+          p("table", StringType, comment = "catalog-relative name, e.g. 'ns.t'"),
+          p("name", StringType, comment = "tag name to drop")),
+        StructType(Seq(
+          StructField("existed", BooleanType, nullable = false))))({ in =>
+        val t = root(warehouse, in.getUTF8String(0).toString)
+        Array(row(SnapshotStore.dropTag(spark, t, in.getUTF8String(1).toString)))
       }))
 
       case "sync" => Some(new Proc(

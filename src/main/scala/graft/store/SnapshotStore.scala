@@ -111,6 +111,8 @@ object SnapshotStore {
 
   private def deletesDir(table: String) = s"$table/_deletes"
 
+  private def refsDir(table: String) = s"$table/_refs"
+
   private def parseVersion(name: String): Option[Long] =
     // tolerate foreign files (temp markers, editor droppings): skip, don't die
     scala.util.Try(name.toLong).toOption
@@ -736,6 +738,81 @@ object SnapshotStore {
     * companion to version-number [[readVersion]]. Commit times come
     * from the markers (monotone per table because versions are
     * CAS-serialized). Throws if the table has no snapshot that old. */
+  // ---- version TAGS ------------------------------------------------
+  // A tag is a named, immutable pointer to a committed version
+  // (`_refs/<name>`, one `v=` line, published by the same atomic
+  // no-overwrite rename as commit markers). Two contracts:
+  //  1. RESOLUTION: every `version` surface (reader option, catalog
+  //     `VERSION AS OF`) accepts a tag name where it accepts a number.
+  //  2. RETENTION: vacuum treats tagged versions as live — their
+  //     manifests, data files, DVs, and sidecars survive any `keep`
+  //     horizon until the tag is dropped. A tag is how "the snapshot we
+  //     trained model X on" outlives a 7-day retention policy.
+
+  private val tagNameOk = "[A-Za-z0-9][A-Za-z0-9._-]*".r
+
+  /** Publish tag `name` → `version` (default: the current head).
+    * Tags are immutable: re-pointing requires dropTag first. */
+  def createTag(spark: SparkSession, table: String, name: String,
+      version: Long = -1L): Long = {
+    require(tagNameOk.matches(name) && name.forall(_ != '/'),
+      s"tag name must match ${tagNameOk.regex}, got '$name'")
+    val v = if (version >= 0L) version else currentVersion(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $table"))
+    require(versions(spark, table).contains(v),
+      s"cannot tag $table@$v: not a retained version")
+    val f = fs(spark, table)
+    val dir = new Path(refsDir(table))
+    f.mkdirs(dir)
+    val tmp = new Path(dir, s".tmp_${token()}")
+    val out = f.create(tmp, true)
+    try out.write(s"v=$v\nts=${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+    finally out.close()
+    val fc = FileContext.getFileContext(new Path(table).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    try { fc.rename(tmp, new Path(dir, name), Options.Rename.NONE); v }
+    catch {
+      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+          _: java.io.FileNotFoundException) =>
+        f.delete(tmp, false)
+        throw new IllegalStateException(
+          s"tag '$name' already exists on $table (tags are immutable — dropTag first)", e)
+      case e: java.io.IOException if e.getMessage != null &&
+          e.getMessage.contains("already exists") =>
+        f.delete(tmp, false)
+        throw new IllegalStateException(
+          s"tag '$name' already exists on $table (tags are immutable — dropTag first)", e)
+    }
+  }
+
+  /** Remove tag `name`; its version becomes vacuum-eligible again. */
+  def dropTag(spark: SparkSession, table: String, name: String): Boolean =
+    fs(spark, table).delete(new Path(refsDir(table), name), false)
+
+  /** All tags of `table`: name → version. */
+  def tags(spark: SparkSession, table: String): Map[String, Long] = {
+    val f = fs(spark, table)
+    val dir = new Path(refsDir(table))
+    if (!f.exists(dir)) return Map.empty
+    f.listStatus(dir).toSeq.filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+      .flatMap { s =>
+        val in = f.open(s.getPath)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        text.linesIterator.find(_.startsWith("v=")).flatMap(l =>
+          l.stripPrefix("v=").toLongOption).map(s.getPath.getName -> _)
+      }.toMap
+  }
+
+  /** A `version` spec as the readers accept it: a number, or a tag
+    * name. Loud on an unknown tag — a silent fallback to "latest"
+    * would time-travel to the wrong snapshot. */
+  def resolveVersionSpec(spark: SparkSession, table: String, spec: String): Long =
+    spec.toLongOption.getOrElse {
+      tags(spark, table).getOrElse(spec, throw new IllegalArgumentException(
+        s"unknown version spec '$spec' on $table: not a number and not a tag " +
+          s"(tags: ${tags(spark, table).keys.toSeq.sorted.mkString(", ")})"))
+    }
+
   def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame =
     readVersion(spark, table, versionAsOf(spark, table, tsMillis))
 
@@ -831,8 +908,12 @@ object SnapshotStore {
     val f = fs(spark, table)
     val root = new Path(table)
 
-    val retained = committed.takeRight(keep)
-    val doomedCommitted = committed.dropRight(keep)
+    // TAGGED versions are live regardless of the keep horizon — a tag
+    // is an explicit retention pin (drop the tag to release it)
+    val tagged = tags(spark, table).values.toSet
+    val retained = committed.filter(v =>
+      tagged.contains(v) || committed.takeRight(keep).contains(v))
+    val doomedCommitted = committed.filterNot(retained.toSet)
     val retainedManifests = retained.map(v => manifest(spark, table, v))
     // dir-granular manifests protect their whole data dir; file-granular
     // manifests protect individual (dirName, fileName) entries — an
