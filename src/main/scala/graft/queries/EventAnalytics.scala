@@ -525,6 +525,45 @@ object EventAnalytics {
     * a matching row rewrite; see SnapshotRowLevelSpec for the file-level
     * pins). SHARES dt_merge_into's oracle: both paths must produce the
     * byte-identical merged customer table. */
+  /** DT23: MERGE-ON-READ MERGE (`SupportsDelta` / `WriteDelta`,
+    * `spark.graft.rowlevel.mode=merge-on-read`) — the SAME three-clause
+    * merge as `dt_merge_sql`, but committed as ONE O(delta) version: a
+    * scoped deletion vector (deleted + updated keys) plus fresh files
+    * (inserted + updated rows); no touched-file rewrite. SHARES
+    * `dt_merge_into`'s oracle: both execution modes must produce the
+    * byte-identical merged customer table. */
+  val dtMergeMor: Q = (s, d) => {
+    val wh = Fixtures.dir("mergemor", d) { root =>
+      val cat = snapCatalog(s, root)
+      val t = s"$root/facts/customer"
+      graft.store.SnapshotStore.commit(Tables.customer(s, d), t)
+      mergeSource(s, d).createOrReplaceTempView("graft_merge_mor_src")
+      s.conf.set("spark.graft.rowlevel.mode", "merge-on-read")
+      s.conf.set("spark.graft.rowlevel.keys", "c_custkey")
+      try
+        s.sql(
+          s"""MERGE INTO $cat.facts.customer t USING graft_merge_mor_src src
+              ON t.c_custkey = src.c_custkey
+              WHEN MATCHED AND src.delta_cents > 80000000 THEN DELETE
+              WHEN MATCHED THEN UPDATE SET
+                c_acctbal = (CAST(round(t.c_acctbal * 100) AS BIGINT) + src.delta_cents) / 100.0
+              WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+                VALUES (src.c_custkey, concat('new-', CAST(src.c_custkey AS STRING)),
+                        CAST(-1 AS INT), src.delta_cents / 100.0, 'NEW')""")
+      finally {
+        s.conf.unset("spark.graft.rowlevel.mode")
+        s.conf.unset("spark.graft.rowlevel.keys")
+      }
+      val v = graft.store.SnapshotStore.currentVersion(s, t).get
+      val m = graft.store.SnapshotStore.manifest(s, t, v)
+      require(m.op == "merge-mor",
+        s"dt_merge_mor must execute merge-on-read, got op=${m.op}")
+    }
+    val cat = snapCatalog(s, wh)
+    s.sql(s"""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+              FROM $cat.facts.customer ORDER BY c_custkey""")
+  }
+
   val dtMergeSql: Q = (s, d) => {
     val wh = Fixtures.dir("mergesql", d) { root =>
       val cat = snapCatalog(s, root)
@@ -959,7 +998,9 @@ object EventAnalytics {
   }
 
   val oracles: Map[String, String] =
-    oraclesBase + ("dt_merge_sql" -> oraclesBase("dt_merge_into"))
+    oraclesBase +
+      ("dt_merge_sql" -> oraclesBase("dt_merge_into")) +
+      ("dt_merge_mor" -> oraclesBase("dt_merge_into"))
 
   val queries: Map[String, Q] = Map(
     "c8_funnel" -> c8Funnel,
@@ -980,6 +1021,7 @@ object EventAnalytics {
     "dt_delete_files" -> dtDeleteFiles,
     "dt_changes_batch" -> dtChangesBatch,
     "dt_merge_sql" -> dtMergeSql,
+    "dt_merge_mor" -> dtMergeMor,
     "dt_ctas" -> dtCtas,
     "dt_small_compact" -> dtSmallCompact,
     "dt_call_optimize" -> dtCallOptimize,

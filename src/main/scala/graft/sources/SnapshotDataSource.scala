@@ -146,7 +146,21 @@ private[sources] final class SnapshotTable(
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
   override def name(): String = tablePath
-  override def schema(): StructType = tableSchema
+
+  /** Under merge-on-read mode the declared row-identity keys surface
+    * NON-NULLABLE (Spark refuses nullable row-ID attributes) — same
+    * contract as Iceberg identifier fields and this store's DV keys:
+    * declaring a key column asserts the data never holds a null key. */
+  override def schema(): StructType = {
+    val conf = SparkSession.active.conf
+    if (conf.get("spark.graft.rowlevel.mode", "copy-on-write") != "merge-on-read")
+      return tableSchema
+    val declared = conf.get("spark.graft.rowlevel.keys", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val keys = if (declared.nonEmpty) declared else m.keyCols.toSet
+    StructType(tableSchema.fields.map(f =>
+      if (keys.contains(f.name)) f.copy(nullable = false) else f))
+  }
   /** Bucketed layout (from [[SnapshotStore.bucketedCommit]]) surfaces
     * as a V2 `bucket(n, cols)` transform so the planner can elide the
     * exchange on co-bucketed joins/aggregations (the scan reports the
@@ -212,12 +226,32 @@ private[sources] final class SnapshotTable(
       s"graft-snapshot: TRUNCATE on $tablePath is not a manifest edit (the store has " +
         "no empty-table state) — INSERT OVERWRITE an empty frame instead")
 
-  /** SQL `MERGE INTO` / `UPDATE` / `DELETE` — group-based (copy-on-
-    * write over touched FILES), enabled by file-granular manifests. */
+  /** SQL `MERGE INTO` / `UPDATE` / `DELETE` — two execution modes:
+    *  - `copy-on-write` (default): group-based rewrite of TOUCHED files
+    *    ([[SnapshotRowLevelOperation]]) — best for large rewrites, also
+    *    re-materializes accumulated DVs;
+    *  - `merge-on-read` (`spark.graft.rowlevel.mode=merge-on-read`):
+    *    one O(delta) commit of a scoped deletion vector + fresh files
+    *    ([[SnapshotDeltaOperation]]) — best for small, hot deltas; row
+    *    identity from `spark.graft.rowlevel.keys` (falls back to the
+    *    table's existing DV keys). */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new SnapshotRowLevelOperation(tablePath, m, tableSchema, info.command)
+    () => {
+      val conf = SparkSession.active.conf
+      conf.get("spark.graft.rowlevel.mode", "copy-on-write") match {
+        case "merge-on-read" =>
+          val keys = conf.get("spark.graft.rowlevel.keys", "")
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          new SnapshotDeltaOperation(tablePath, m, tableSchema, info.command,
+            if (keys.nonEmpty) keys else m.keyCols)
+        case "copy-on-write" =>
+          new SnapshotRowLevelOperation(tablePath, m, tableSchema, info.command)
+        case other => throw new IllegalArgumentException(
+          s"spark.graft.rowlevel.mode must be copy-on-write or merge-on-read, got '$other'")
+      }
+    }
 }
 
 private[sources] final class SnapshotScanBuilder(

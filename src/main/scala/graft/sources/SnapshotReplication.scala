@@ -60,37 +60,56 @@ object SnapshotReplication {
         versions.foreach { v =>
           val rows = batch.filter(col("_commit_version") === v).cache()
           try {
-            rows.select(col("_change_type")).limit(1).collect()
-              .headOption.map(_.getString(0)) match {
-              case Some("delete") =>
-                // key columns come from the SOURCE commit's manifest;
-                // if the source was vacuumed past v before this batch
-                // applied (crash replay), fall back to deriving them
-                // from the batch itself — delete batches carry the key
-                // columns populated and every other column null
-                val keyCols = scala.util.Try(
-                  SnapshotStore.manifest(s, sourceTable, v).keyCols).getOrElse {
-                  val payload = rows.drop("_change_type", "_commit_version")
-                  val counts = payload.select(payload.columns.map(c =>
-                    count(col(c)).alias(c)).toIndexedSeq: _*).collect()(0)
-                  val derived =
-                    payload.columns.toSeq.filter(c => counts.getLong(counts.fieldIndex(c)) > 0L)
-                  // the target's recorded DV keyCols are ORDER-significant
-                  // (deleteKeysCommit requires exact equality); prefer them
-                  // when they name the same column set
-                  val tgtKeys = SnapshotStore.currentVersion(s, targetTable)
-                    .map(hv => SnapshotStore.manifest(s, targetTable, hv).keyCols)
-                    .getOrElse(Nil)
-                  if (tgtKeys.nonEmpty && tgtKeys.toSet == derived.toSet) tgtKeys else derived
-                }
+            // a batch can MIX kinds (a merge-on-read commit carries
+            // 'delete' keys AND 'insert' rows) — dispatch on the SET,
+            // not the first row's kind
+            val kinds = rows.select(col("_change_type")).distinct()
+              .collect().map(_.getString(0)).toSet
+            // key columns come from the SOURCE commit's manifest; if
+            // the source was vacuumed past v before this batch applied
+            // (crash replay), fall back to deriving them from the
+            // batch itself — delete rows carry the key columns
+            // populated and every other column null
+            def keyColsOf(deleteRows: org.apache.spark.sql.DataFrame): Seq[String] =
+              scala.util.Try(
+                SnapshotStore.manifest(s, sourceTable, v).keyCols).getOrElse {
+                val payload = deleteRows.drop("_change_type", "_commit_version")
+                val counts = payload.select(payload.columns.map(c =>
+                  count(col(c)).alias(c)).toIndexedSeq: _*).collect()(0)
+                val derived =
+                  payload.columns.toSeq.filter(c => counts.getLong(counts.fieldIndex(c)) > 0L)
+                // the target's recorded DV keyCols are ORDER-significant
+                // (deleteKeysCommit requires exact equality); prefer them
+                // when they name the same column set
+                val tgtKeys = SnapshotStore.currentVersion(s, targetTable)
+                  .map(hv => SnapshotStore.manifest(s, targetTable, hv).keyCols)
+                  .getOrElse(Nil)
+                if (tgtKeys.nonEmpty && tgtKeys.toSet == derived.toSet) tgtKeys else derived
+              }
+            kinds match {
+              case k if k.isEmpty => () // empty slice (replay boundaries)
+              case k if k == Set("delete") =>
+                val keyCols = keyColsOf(rows)
                 SnapshotStore.deleteKeysCommit(s, targetTable, keyCols,
                   rows.select(keyCols.map(col): _*), srcV = v)
-              case Some("insert") if !rows.filter(col("_change_type") === "remove")
-                  .limit(1).collect().headOption.isDefined =>
+              case k if k == Set("insert") =>
                 // pure append delta: mirror as an O(new-files) append
                 SnapshotStore.appendCommit(
                   rows.drop("_change_type", "_commit_version"), targetTable, srcV = v)
-              case Some("insert") | Some("remove") =>
+              case k if k == Set("delete", "insert") =>
+                // merge-on-read delta: deletes apply BEFORE the append
+                // (the appended rows may re-carry deleted keys). Two
+                // target commits; only the SECOND records srcV, so a
+                // crash between them replays the delete — idempotent
+                // (same keys union into the DV) — then the append.
+                val deletes = rows.filter(col("_change_type") === "delete")
+                val keyCols = keyColsOf(deletes)
+                SnapshotStore.deleteKeysCommit(s, targetTable, keyCols,
+                  deletes.select(keyCols.map(col): _*))
+                SnapshotStore.appendCommit(
+                  rows.filter(col("_change_type") === "insert")
+                    .drop("_change_type", "_commit_version"), targetTable, srcV = v)
+              case k if k.subsetOf(Set("insert", "remove")) =>
                 // copy-on-write delta: removed files' old rows + staged
                 // files' new rows. The mirror applies multiset algebra
                 // (state − removes + inserts; carry-over rows cancel) in
@@ -106,10 +125,10 @@ object SnapshotReplication {
                   case Some(cur) => cur.exceptAll(removes).unionAll(inserts)
                   case None      => inserts
                 }, srcV = v)
-              case Some(_) =>
+              case _ =>
                 SnapshotStore.commit(
-                  rows.drop("_change_type", "_commit_version"), targetTable, srcV = v)
-              case None => () // empty slice (possible on replay boundaries)
+                  rows.filter(col("_change_type") === "snapshot")
+                    .drop("_change_type", "_commit_version"), targetTable, srcV = v)
             }
           } finally rows.unpersist()
         }

@@ -123,6 +123,11 @@ private[sources] final class SnapshotMicroBatchStream(
     // whole table image downstream.
     else if (m.files.nonEmpty && m.deletes == prev.deletes &&
         filesOf(v - 1).toSet.intersect(m.files.toSet).nonEmpty) "cow"
+    // a merge-on-read commit GROWS both sides atomically: new files
+    // (inserts/updates) plus a new scoped DV (deleted/updated keys) —
+    // the delta is O(keys + new files), never an image
+    else if (m.files.nonEmpty && filesOf(v - 1).toSet.subsetOf(m.files.toSet) &&
+        prev.deletes.toSet.subsetOf(m.deletes.toSet)) "delta"
     else "image"
   }
 
@@ -174,6 +179,9 @@ private[sources] final class SnapshotMicroBatchStream(
         m.deletes.count(d => !manifestOf(v - 1).deletes.contains(d)).max(1)
       case "insert" =>
         m.files.count(!filesOf(v - 1).toSet.contains(_)).max(1)
+      case "delta" =>
+        (m.files.count(!filesOf(v - 1).toSet.contains(_)) +
+          m.deletes.count(!manifestOf(v - 1).deletes.contains(_))).max(1)
       case "cow" =>
         val prev = filesOf(v - 1).toSet
         val cur = m.files.toSet
@@ -235,28 +243,22 @@ private[sources] final class SnapshotMicroBatchStream(
       val m = manifestOf(v)
       classify(v, allVersions) match {
         case "delete" =>
-          // delete commit: the DELTA deletion-vector entries only —
-          // each is a parquet DIRECTORY; expand to its part files
-          val prev = manifestOf(v - 1)
-          val delta = m.deletes.filterNot(prev.deletes.toSet)
-          delta.flatMap { d =>
-            val dp = new Path(d)
-            val fs = dp.getFileSystem(conf)
-            val files =
-              if (fs.getFileStatus(dp).isDirectory)
-                fs.listStatus(dp).toSeq.filter(s =>
-                  s.isFile && s.getPath.getName.endsWith(".parquet")).map(_.getPath.toString)
-              else Seq(d)
-            files.map(f => SnapshotStreamPartition(
-              SnapshotInputPartition(f, 0L, Long.MaxValue, 0L, selfContained = false),
-              changeType = "delete", version = v))
-          }
+          // delete commit: the DELTA deletion-vector entries only
+          dvDeltaPartitions(m, v)
         case "insert" =>
           // append commit: ONLY the newly added files stream, tagged
           // 'insert' — O(new data) rows, never a table image (appends
           // carry no DVs by construction, so no lookup is needed)
           val prevFiles = filesOf(v - 1).toSet
           rowGroupPartitions(m, v, m.files.filterNot(prevFiles), "insert")
+        case "delta" =>
+          // merge-on-read commit: the new DV's keys stream as 'delete'
+          // and the fresh files as 'insert'. Within the batch consumers
+          // apply deletes BEFORE inserts — an updated key appears on
+          // both sides and must land at its new row.
+          val prevFiles = filesOf(v - 1).toSet
+          dvDeltaPartitions(m, v) ++
+            rowGroupPartitions(m, v, m.files.filterNot(prevFiles), "insert")
         case "cow" =>
           // copy-on-write commit (SQL MERGE/UPDATE/DELETE, metadata
           // delete): untouched files are SHARED between the manifests,
@@ -295,6 +297,25 @@ private[sources] final class SnapshotMicroBatchStream(
     }
     plannedDvVersions = dvVersions.distinct.toSeq
     parts.toArray
+  }
+
+  /** 'delete' partitions for version `v`'s NEW deletion-vector entries
+    * (each is a parquet DIRECTORY; expand to its part files). */
+  private def dvDeltaPartitions(
+      m: SnapshotStore.Manifest, v: Long): Seq[SnapshotStreamPartition] = {
+    val prev = manifestOf(v - 1)
+    m.deletes.filterNot(prev.deletes.toSet).flatMap { d =>
+      val dp = new Path(d)
+      val fs = dp.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(dp).isDirectory)
+          fs.listStatus(dp).toSeq.filter(s =>
+            s.isFile && s.getPath.getName.endsWith(".parquet")).map(_.getPath.toString)
+        else Seq(d)
+      files.map(f => SnapshotStreamPartition(
+        SnapshotInputPartition(f, 0L, Long.MaxValue, 0L, selfContained = false),
+        changeType = "delete", version = v))
+    }
   }
 
   /** Row-group partitions over the given data files (no skipping — a

@@ -148,6 +148,16 @@ object SnapshotStore {
     s"${q.getParent.getName}/${q.getName}"
   }
 
+  /** Allocate a fresh DV-dir path for an external DV writer (the DSv2
+    * merge-on-read delta path stages its delete keys there). The dir is
+    * unreferenced until a manifest names it — CAS-defeated stages are
+    * orphans vacuum collects. */
+  def newDvDir(table: String): String = s"${deletesDir(table)}/d_${token()}"
+
+  /** Record a DV's file scope ([[dvScope]]) — for external DV writers. */
+  private[graft] def recordDvScope(spark: SparkSession, dv: String, covered: Seq[String]): Unit =
+    writeDvScope(spark, dv, covered)
+
   private def writeDvScope(spark: SparkSession, dv: String, covered: Seq[String]): Unit = {
     val f = fs(spark, dv)
     val out = f.create(new Path(dvScopeFile(dv)), true)
