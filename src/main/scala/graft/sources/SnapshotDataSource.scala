@@ -1375,10 +1375,12 @@ private[sources] final class SnapshotScan(
     val start = Option(options.get("startingVersion"))
       .map(s => s.toLongOption.getOrElse(throw new IllegalArgumentException(
         s"batch change feed needs a NUMERIC startingVersion, got '$s'")))
+      .orElse(Option(options.get("startingTimestamp"))
+        .map(SnapshotStream.parseTs(_, tablePath, spark)))
       .getOrElse(throw new UnsupportedOperationException(
-        "a batch change-feed read requires option(\"startingVersion\", <v>) — " +
-          "the inclusive first version whose changes to return (use readStream " +
-          "for the anchored initial-load protocol)"))
+        "a batch change-feed read requires option(\"startingVersion\", <v>) or " +
+          "option(\"startingTimestamp\", <ts>) — the inclusive start of the " +
+          "change range (use readStream for the anchored initial-load protocol)"))
     val end = Option(options.get("endingVersion")).map(_.toLong).orElse(
       SnapshotStore.currentVersion(spark, tablePath)).getOrElse(-1L)
     require(start >= 0 && end >= start,

@@ -148,7 +148,14 @@ private[sources] final class SnapshotMicroBatchStream(
     Option(options.get("startingVersion")) match {
       case Some("latest") => SnapshotVersionOffset(current)
       case Some(v)        => SnapshotVersionOffset(imageBaseOf(v.toLong) - 1)
-      case None           => SnapshotVersionOffset(imageBaseOf(current) - 1)
+      case None =>
+        // startingTimestamp: anchor at the first commit at/after the
+        // instant (same image-base anchoring as a numeric start)
+        Option(options.get("startingTimestamp")) match {
+          case Some(ts) => SnapshotVersionOffset(
+            imageBaseOf(SnapshotStream.parseTs(ts, tablePath, spark)) - 1)
+          case None => SnapshotVersionOffset(imageBaseOf(current) - 1)
+        }
     }
   }
 
@@ -392,6 +399,19 @@ private[sources] final class SnapshotMicroBatchStream(
     classLayoutCache.filterInPlace((v, _) => v >= upTo)
   }
   override def stop(): Unit = ()
+}
+
+private[sources] object SnapshotStream {
+  /** `startingTimestamp` → the version it names: epoch millis or
+    * 'yyyy-MM-dd HH:mm:ss' UTC, resolved to the FIRST commit at/after
+    * the instant (shared by the stream and the batch change feed). */
+  def parseTs(s: String, tablePath: String, spark: SparkSession): Long = {
+    val millis = s.toLongOption.getOrElse {
+      java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+    SnapshotStore.versionSince(spark, tablePath, millis)
+  }
 }
 
 private[sources] final case class SnapshotVersionOffset(v: Long) extends Offset {

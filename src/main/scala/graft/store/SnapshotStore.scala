@@ -836,6 +836,21 @@ object SnapshotStore {
         s"no snapshot at or before $tsMillis under $table (commits: ${candidates.map(_._2).mkString(",")})"))
   }
 
+  /** Oldest committed version whose commit wall-clock is at or after
+    * `tsMillis` — the change-feed `startingTimestamp` resolution
+    * (inverse of [[versionAsOf]]). Loud when every retained commit
+    * predates the instant: "changes since ts" from a table that has
+    * not moved since would silently mean "nothing", which reads as
+    * data loss downstream. */
+  def versionSince(spark: SparkSession, table: String, tsMillis: Long): Long = {
+    val vs = versions(spark, table)
+    vs.find(v => manifest(spark, table, v).ts >= tsMillis).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot at or after $tsMillis under $table — the newest commit " +
+          s"predates the requested start (newest: " +
+          s"${vs.lastOption.map(v => manifest(spark, table, v).ts).getOrElse(-1L)})"))
+  }
+
   /** Commit history (the DESCRIBE HISTORY surface): one row per
     * retained version with its wall-clock, operation kind (inferred
     * from the manifest shape — a delete commit shares its

@@ -88,6 +88,35 @@ object MdeleteBench {
         .agg(count(lit(1))).head().getLong(0)
     }
     println(f"full_scan_sec=$scanSec%.3f rows=$total")
+
+    // 3. small MERGE both ways: 100 updated keys against the full
+    // table. Copy-on-write rewrites every touched FILE (hash layout →
+    // all of them); merge-on-read writes ~100 keys + one small file.
+    def mergeBench(tag: String, mor: Boolean): Unit = {
+      val (t, c) = freshTable(tag)
+      orders.select(col("o_orderkey")).orderBy(col("o_orderkey")).limit(100)
+        .createOrReplaceTempView(s"mdb_src_$tag")
+      if (mor) {
+        spark.conf.set("spark.graft.rowlevel.mode", "merge-on-read")
+        spark.conf.set("spark.graft.rowlevel.keys", "o_orderkey")
+      }
+      try {
+        val (_, sec) = timed {
+          spark.sql(
+            s"""MERGE INTO $c.facts.orders t USING mdb_src_$tag s
+                ON t.o_orderkey = s.o_orderkey
+                WHEN MATCHED THEN UPDATE SET o_orderpriority = 'X-PATCHED'""")
+        }
+        val op = SnapshotStore.manifest(spark, t,
+          SnapshotStore.currentVersion(spark, t).get).op
+        println(f"merge_${if (mor) "mor" else "cow"}_sec=$sec%.3f op=$op")
+      } finally if (mor) {
+        spark.conf.unset("spark.graft.rowlevel.mode")
+        spark.conf.unset("spark.graft.rowlevel.keys")
+      }
+    }
+    mergeBench("mcow", mor = false)
+    mergeBench("mmor", mor = true)
     spark.stop()
   }
 }

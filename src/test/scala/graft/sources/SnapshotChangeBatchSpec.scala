@@ -104,6 +104,30 @@ class SnapshotChangeBatchSpec extends SparkSuite {
     }
   }
 
+  test("startingTimestamp resolves to the first commit at/after the instant") {
+    val table = freshTable("cbatch-ts")
+    build(table)
+    val v1ts = SnapshotStore.manifest(spark, table, 1L).ts
+    val fromTs = spark.read.format("graft-snapshot")
+      .option("path", table).option("changeFeed", "true")
+      .option("startingTimestamp", v1ts.toString).load().collect()
+    val fromV1 = spark.read.format("graft-snapshot")
+      .option("path", table).option("changeFeed", "true")
+      .option("startingVersion", "1").load().collect()
+    assert(fromTs.length === fromV1.length,
+      "timestamp start must resolve to the same range as its version")
+    // an instant past the newest commit is loud, not silently empty
+    val e = intercept[Exception] {
+      spark.read.format("graft-snapshot")
+        .option("path", table).option("changeFeed", "true")
+        .option("startingTimestamp", (System.currentTimeMillis() + 3600000L).toString)
+        .load().collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).mkString(" | ").contains("at or after"))
+  }
+
   test("a vacuumed-away range fails loudly, never silently empty") {
     val table = freshTable("cbatch-vac")
     val nation = graft.sources.Tables.nation(spark, sf())
