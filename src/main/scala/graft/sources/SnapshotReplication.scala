@@ -99,13 +99,17 @@ object SnapshotReplication {
               case k if k == Set("delete", "insert") =>
                 // merge-on-read delta: deletes apply BEFORE the append
                 // (the appended rows may re-carry deleted keys). Two
-                // target commits; only the SECOND records srcV, so a
-                // crash between them replays the delete — idempotent
-                // (same keys union into the DV) — then the append.
+                // target commits; the delete half records srcV = v - 1
+                // — NOT -1, which would reset the applied watermark and
+                // make a crash-replay re-append earlier versions in the
+                // same batch — and the append's srcV = v closes v out.
+                // A crash between them replays only the delete
+                // (idempotent: same keys union into the DV), then the
+                // append.
                 val deletes = rows.filter(col("_change_type") === "delete")
                 val keyCols = keyColsOf(deletes)
                 SnapshotStore.deleteKeysCommit(s, targetTable, keyCols,
-                  deletes.select(keyCols.map(col): _*))
+                  deletes.select(keyCols.map(col): _*), srcV = v - 1)
                 SnapshotStore.appendCommit(
                   rows.filter(col("_change_type") === "insert")
                     .drop("_change_type", "_commit_version"), targetTable, srcV = v)

@@ -161,6 +161,13 @@ class SnapshotRowLevelDeltaSpec extends SparkSuite {
         val b = SnapshotStore.read(spark, dst).orderBy("n_nationkey").collect()
         assert(a.toSeq === b.toSeq, "mirror must converge across the MoR delta")
         assert(b.count(_.getString(1).startsWith("M-")) === a.count(_.getString(1).startsWith("M-")))
+        // replay idempotence: the delta applied as delete (srcV = v-1,
+        // keeping the watermark monotone) then append (srcV = v) — a
+        // crash between them must never reset the applied watermark
+        val dstVs = SnapshotStore.versions(spark, dst)
+        val srcVs = dstVs.map(hv => SnapshotStore.manifest(spark, dst, hv).srcV)
+        assert(srcVs === srcVs.sorted, s"mirror srcV watermark must stay monotone: $srcVs")
+        assert(srcVs.last === 1L, "the append half closes out source version 1")
       } finally q.stop()
     }
   }
