@@ -525,6 +525,39 @@ object EventAnalytics {
     * a matching row rewrite; see SnapshotRowLevelSpec for the file-level
     * pins). SHARES dt_merge_into's oracle: both paths must produce the
     * byte-identical merged customer table. */
+  /** DT24: VERSION TAGS — pin v0 of the customer table under a name,
+    * advance it twice, vacuum past the untagged middle version, then
+    * read the PINNED snapshot by name (`version=golden`) next to the
+    * head: the tag must keep v0's full content readable after
+    * retention collected its untagged sibling. Oracle replays both
+    * states as plain filters; integer cents. */
+  val dtTagRead: Q = (s, d) => {
+    val table = Fixtures.table("tagread", d) { t =>
+      graft.store.SnapshotStore.commit(Tables.customer(s, d), t) // v0
+      graft.store.SnapshotStore.createTag(s, t, "golden")        // pins v0
+      graft.store.SnapshotStore.commit(
+        Tables.customer(s, d).filter(pmod(col("c_custkey"), lit(3)) === 0), t) // v1
+      graft.store.SnapshotStore.commit(
+        Tables.customer(s, d).filter(pmod(col("c_custkey"), lit(3)) =!= 1), t) // v2
+      graft.store.SnapshotStore.commit(
+        Tables.customer(s, d).filter(pmod(col("c_custkey"), lit(2)) === 0), t) // v3
+      val dropped = graft.store.SnapshotStore.vacuum(s, t, keep = 2)
+      require(dropped == Seq(1L),
+        s"dt_tag_read expects vacuum to drop exactly the untagged v1, got $dropped")
+    }
+    def summary(df: org.apache.spark.sql.DataFrame, label: String) =
+      df.agg(
+        count(lit(1)).alias("n_rows"),
+        sum(round(col("c_acctbal") * 100).cast("long")).alias("bal_cents"))
+        .select(lit(label).alias("state"), col("n_rows"), col("bal_cents"))
+    summary(
+      s.read.format("graft-snapshot").option("path", table)
+        .option("version", "golden").load(), "golden")
+      .unionAll(summary(
+        s.read.format("graft-snapshot").option("path", table).load(), "head"))
+      .orderBy(col("state"))
+  }
+
   /** DT23: MERGE-ON-READ MERGE (`SupportsDelta` / `WriteDelta`,
     * `spark.graft.rowlevel.mode=merge-on-read`) — the SAME three-clause
     * merge as `dt_merge_sql`, but committed as ONE O(delta) version: a
@@ -701,6 +734,28 @@ object EventAnalytics {
          WHERE o_orderdate < DATE '1997-01-01'
          GROUP BY 1
          ORDER BY yr""",
+    "dt_tag_read" ->
+      """SELECT 'golden' AS state,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+         FROM customer
+         UNION ALL
+         SELECT 'head',
+                CAST(count(*) AS BIGINT),
+                CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         FROM customer WHERE c_custkey % 2 = 0
+         ORDER BY state""",
+    "dt_tag_read" ->
+      """SELECT 'golden' AS state,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+         FROM customer
+         UNION ALL
+         SELECT 'head',
+                CAST(count(*) AS BIGINT),
+                CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         FROM customer WHERE c_custkey % 2 = 0
+         ORDER BY state""",
     "dt_changes_batch" ->
       """SELECT 'insert' AS _change_type,
                 CAST(year(o_orderdate) AS INT) AS yr,
@@ -1022,6 +1077,7 @@ object EventAnalytics {
     "dt_changes_batch" -> dtChangesBatch,
     "dt_merge_sql" -> dtMergeSql,
     "dt_merge_mor" -> dtMergeMor,
+    "dt_tag_read" -> dtTagRead,
     "dt_ctas" -> dtCtas,
     "dt_small_compact" -> dtSmallCompact,
     "dt_call_optimize" -> dtCallOptimize,

@@ -756,14 +756,18 @@ private[sources] object SnapshotScan {
     * longs (a double round trip silently collapses values past 2^53),
     * strings compare in UNSIGNED UTF-8 byte order (parquet's stats
     * order — Java's UTF-16 compareTo disagrees for supplementary-plane
-    * characters, which would wrongly exclude files). None = no defined
-    * order → never skip on it. */
+    * characters, which would wrongly exclude files). Floating zeros
+    * normalize (+0.0 via IEEE `x + 0.0`) because SQL comparison treats
+    * -0.0 = 0.0 while `Double.compare` orders them — a file whose
+    * stats are [-0.0, -0.0] must NOT be excluded for `= 0.0`. None =
+    * no defined order → never skip on it. */
   def cmpAny(v: Any, bound: Any): Option[Int] = (v, bound) match {
     case (a: Number, b: Number)
         if !a.isInstanceOf[java.lang.Double] && !a.isInstanceOf[java.lang.Float] &&
           !b.isInstanceOf[java.lang.Double] && !b.isInstanceOf[java.lang.Float] =>
       Some(java.lang.Long.compare(a.longValue(), b.longValue()))
-    case (a: Number, b: Number) => Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
+    case (a: Number, b: Number) =>
+      Some(java.lang.Double.compare(a.doubleValue() + 0.0d, b.doubleValue() + 0.0d))
     case (a: String, b: String) =>
       Some(java.util.Arrays.compareUnsigned(
         a.getBytes(java.nio.charset.StandardCharsets.UTF_8),

@@ -143,6 +143,25 @@ class SnapshotMetadataDeleteSpec extends SparkSuite {
     }
   }
 
+  test("signed zero: -0.0 rows satisfy = 0.0 through stats classification") {
+    withCatalog { (cat, wh) =>
+      val table = s"$wh/facts/szero"
+      import spark.implicits._
+      val negZ = Seq((1L, -0.0), (2L, -0.0)).toDF("k", "v")
+      val fives = Seq((3L, 5.0), (4L, 5.0)).toDF("k", "v")
+      SnapshotStore.commit(negZ.coalesce(1), table)
+      SnapshotStore.appendCommit(fives.coalesce(1), table)
+      // SQL: -0.0 = 0.0 is TRUE — the -0.0 file must classify
+      // all-match (Double.compare alone would wrongly exclude it)
+      spark.sql(s"DELETE FROM $cat.facts.szero WHERE v = 0.0")
+      assert(spark.sql(s"SELECT k FROM $cat.facts.szero ORDER BY k")
+        .as[Long].collect().toSeq === Seq(3L, 4L),
+        "-0.0 rows satisfy = 0.0 and must be deleted")
+      assert(headManifest(table).op === "delete-files",
+        "the signed-zero file should classify via stats, not fall back")
+    }
+  }
+
   test("deletion vectors carry forward across a metadata delete") {
     withCatalog { (cat, wh) =>
       val table = s"$wh/facts/dvmix"
