@@ -745,17 +745,6 @@ object EventAnalytics {
                 CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
          FROM customer WHERE c_custkey % 2 = 0
          ORDER BY state""",
-    "dt_tag_read" ->
-      """SELECT 'golden' AS state,
-                CAST(count(*) AS BIGINT) AS n_rows,
-                CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
-         FROM customer
-         UNION ALL
-         SELECT 'head',
-                CAST(count(*) AS BIGINT),
-                CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
-         FROM customer WHERE c_custkey % 2 = 0
-         ORDER BY state""",
     "dt_changes_batch" ->
       """SELECT 'insert' AS _change_type,
                 CAST(year(o_orderdate) AS INT) AS yr,

@@ -150,12 +150,14 @@ private[sources] final class SnapshotTable(
   /** Under merge-on-read mode the declared row-identity keys surface
     * NON-NULLABLE (Spark refuses nullable row-ID attributes) — same
     * contract as Iceberg identifier fields and this store's DV keys:
-    * declaring a key column asserts the data never holds a null key. */
+    * declaring a key column asserts the data never holds a null key.
+    * The override respects `spark.graft.rowlevel.table` scoping
+    * ([[morApplies]]) so a same-named column on an UNRELATED table in
+    * the session doesn't silently lose its nullability (which would
+    * let the optimizer fold its `IS NULL` predicates to false). */
   override def schema(): StructType = {
-    val conf = SparkSession.active.conf
-    if (conf.get("spark.graft.rowlevel.mode", "copy-on-write") != "merge-on-read")
-      return tableSchema
-    val declared = conf.get("spark.graft.rowlevel.keys", "")
+    if (!SnapshotTable.morApplies(tablePath)) return tableSchema
+    val declared = SparkSession.active.conf.get("spark.graft.rowlevel.keys", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val keys = if (declared.nonEmpty) declared else m.keyCols.toSet
     StructType(tableSchema.fields.map(f =>
@@ -201,14 +203,31 @@ private[sources] final class SnapshotTable(
     * files with NO job, NO data read, NO footer open. One ambiguous
     * file (or an unmodellable predicate) → `canDeleteWhere` declines
     * and the row-level copy-on-write plan runs instead. */
+  // canDeleteWhere/deleteWhere run the SAME deterministic
+  // classification; cache it across the pair so the sidecar is read
+  // and classified once per DELETE, not twice (O(files) driver work)
+  @volatile private var mdeleteCache: (String, Option[(Seq[String], Seq[String])]) = null
+  private def mdeletePlan(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Option[(Seq[String], Seq[String])] = {
+    val key = predicates.map(_.toString).mkString("&")
+    val cached = mdeleteCache
+    if (cached != null && cached._1 == key) cached._2
+    else {
+      val p = SnapshotMetadataDelete.plan(SparkSession.active, m, predicates)
+      mdeleteCache = (key, p)
+      p
+    }
+  }
+
   override def canDeleteWhere(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
-    SnapshotMetadataDelete.plan(SparkSession.active, m, predicates).isDefined
+    mdeletePlan(predicates).isDefined
 
   override def deleteWhere(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
     val spark = SparkSession.active
-    val (drop, keep) = SnapshotMetadataDelete.plan(spark, m, predicates).getOrElse(
+    val (drop, keep) = mdeletePlan(predicates).getOrElse(
       throw new IllegalStateException(
         s"graft-snapshot: deleteWhere called but the predicate set no longer " +
           s"classifies every file of $tablePath (canDeleteWhere must gate this path)"))
@@ -241,17 +260,33 @@ private[sources] final class SnapshotTable(
     () => {
       val conf = SparkSession.active.conf
       conf.get("spark.graft.rowlevel.mode", "copy-on-write") match {
-        case "merge-on-read" =>
+        case "merge-on-read" if SnapshotTable.morApplies(tablePath) =>
           val keys = conf.get("spark.graft.rowlevel.keys", "")
             .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-          new SnapshotDeltaOperation(tablePath, m, tableSchema, info.command,
+          new SnapshotDeltaOperation(tablePath, m, schema(), info.command,
             if (keys.nonEmpty) keys else m.keyCols)
-        case "copy-on-write" =>
+        case "merge-on-read" | "copy-on-write" =>
           new SnapshotRowLevelOperation(tablePath, m, tableSchema, info.command)
         case other => throw new IllegalArgumentException(
           s"spark.graft.rowlevel.mode must be copy-on-write or merge-on-read, got '$other'")
       }
     }
+}
+
+private[sources] object SnapshotTable {
+  /** Whether merge-on-read mode applies to `tablePath`: the mode must
+    * be on, and when `spark.graft.rowlevel.table` is set, only the
+    * NAMED table gets it (the non-null key override and the delta
+    * plan) — the session-global confs otherwise leak nullability onto
+    * every table sharing a key column name. */
+  def morApplies(tablePath: String): Boolean = {
+    val conf = SparkSession.active.conf
+    conf.get("spark.graft.rowlevel.mode", "copy-on-write") == "merge-on-read" && {
+      val scoped = conf.get("spark.graft.rowlevel.table", "")
+      scoped.isEmpty || scoped == tablePath ||
+        tablePath.stripSuffix("/").endsWith("/" + scoped.stripPrefix("/").stripSuffix("/"))
+    }
+  }
 }
 
 private[sources] final class SnapshotScanBuilder(

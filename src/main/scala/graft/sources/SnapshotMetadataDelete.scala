@@ -51,8 +51,11 @@ private[sources] object SnapshotMetadataDelete {
     if (!v1.forall(supported)) return None
     if (m.statsFile.isEmpty) return None
     val sc =
+      // ANY sidecar trouble (unreadable, corrupt, malformed lines)
+      // declines to the always-correct row-level plan — stats are an
+      // optimization, never a correctness gate
       try FileStats.read(spark, m.statsFile)
-      catch { case _: java.io.IOException => return None }
+      catch { case scala.util.control.NonFatal(_) => return None }
     val files = SnapshotStore.dataFiles(spark, m)
     if (files.isEmpty || !files.forall(sc.entries.contains)) return None
     val drop = Seq.newBuilder[String]
@@ -222,10 +225,10 @@ private[sources] object SnapshotMetadataDelete {
 
   /** Execute the metadata delete: publish `baseVersion + 1` keeping
     * only the surviving files. DVs, bucket/sort layout, Bloom index,
-    * and the schema-evolution flag all carry forward — dropping whole
-    * files invalidates none of them (a scoped DV entry for a dropped
-    * file dangles harmlessly, exactly as in copy-on-write commits).
-    * Returns the committed version. */
+    * and the schema-evolution flag all carry forward FROM THE HEAD —
+    * dropping whole files invalidates none of them (a scoped DV entry
+    * for a dropped file dangles harmlessly, exactly as in
+    * copy-on-write commits). Returns the committed version. */
   def execute(
       spark: SparkSession,
       tablePath: String,
@@ -239,14 +242,18 @@ private[sources] object SnapshotMetadataDelete {
       throw new java.util.ConcurrentModificationException(
         s"graft-snapshot: metadata DELETE must target the table head; $tablePath moved " +
           s"to version $v since this relation resolved (re-run the command)")
-    // copy-forward sidecar: survivors' blocks reuse textually, zero IO
-    val stats = FileStats.sidecarFor(spark, tablePath, keepFiles, Some(m), m.statsExact)
+    // carry-forward fields come from the HEAD, not the resolved
+    // manifest: a concurrent DV-delete commit leaves data/files
+    // untouched (so the pin above passes — dropping all-match files
+    // stays correct, the DV only removes MORE rows), but publishing the
+    // resolved manifest's stale DV list would resurrect its deletions
+    val stats = FileStats.sidecarFor(spark, tablePath, keepFiles, Some(head), head.statsExact)
     val ok = SnapshotStore.tryPublishManifest(spark, tablePath, v + 1,
-      SnapshotStore.Manifest("", m.deletes, m.keyCols,
-        files = keepFiles, op = "delete-files", statsExact = m.statsExact,
-        mixedSchema = m.mixedSchema, statsFile = stats,
-        bucketCols = m.bucketCols, bucketN = m.bucketN,
-        bloomFile = m.bloomFile, sortCols = m.sortCols))
+      SnapshotStore.Manifest("", head.deletes, head.keyCols,
+        files = keepFiles, op = "delete-files", statsExact = head.statsExact,
+        mixedSchema = head.mixedSchema, statsFile = stats,
+        bucketCols = head.bucketCols, bucketN = head.bucketN,
+        bloomFile = head.bloomFile, sortCols = head.sortCols))
     if (!ok) throw new java.util.ConcurrentModificationException(
       s"graft-snapshot: metadata DELETE on $tablePath lost to a concurrent commit of " +
         s"version ${v + 1} — re-run the command against the new head")

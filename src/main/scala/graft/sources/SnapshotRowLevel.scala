@@ -81,12 +81,15 @@ private[sources] final class SnapshotRowLevelOperation(
 
   /** The head version this command rewrites; the resolved relation must
     * BE the head — rewriting a time-travelled snapshot would silently
-    * drop every commit after it. */
+    * drop every commit after it. The DELETES list is part of the
+    * identity: a concurrent DV-delete commit changes neither data nor
+    * files, but a group scan planned without its DV would carry the
+    * rows it deleted into the replacement files, resurrecting them. */
   private[sources] val baseVersion: Long = {
     val v = SnapshotStore.currentVersion(spark, tablePath).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $tablePath"))
     val head = SnapshotStore.manifest(spark, tablePath, v)
-    if (head.data != m.data || head.files != m.files)
+    if (head.data != m.data || head.files != m.files || head.deletes != m.deletes)
       throw new IllegalStateException(
         s"graft-snapshot: $cmd must target the table head; $tablePath moved to " +
           s"version $v since this relation resolved (re-run the command)")

@@ -68,12 +68,16 @@ private[sources] final class SnapshotDeltaOperation(
   }
 
   /** Head pin, like the copy-on-write path: rewriting a time-travelled
-    * snapshot would silently drop later commits. */
+    * snapshot would silently drop later commits. The DELETES list is
+    * part of the identity — a concurrent DV-delete commit changes
+    * neither data nor files, but a scan planned without its DV would
+    * match (and re-insert as updates) rows that commit already
+    * removed. */
   private[sources] val baseVersion: Long = {
     val v = SnapshotStore.currentVersion(spark, tablePath).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $tablePath"))
     val head = SnapshotStore.manifest(spark, tablePath, v)
-    if (head.data != m.data || head.files != m.files)
+    if (head.data != m.data || head.files != m.files || head.deletes != m.deletes)
       throw new IllegalStateException(
         s"graft-snapshot: $cmd must target the table head; $tablePath moved to " +
           s"version $v since this relation resolved (re-run the command)")
@@ -170,10 +174,18 @@ private[sources] final class SnapshotDeltaBatchWrite(
     }
     // O(delta) sidecar too: base files' stats copy forward textually
     val stats = FileStats.sidecarFor(spark, tablePath, base ++ dataFiles, Some(m), m.statsExact)
+    // layout tags survive a PURE-DELETE commit (file set unchanged — DV
+    // filtering preserves both co-location and row order, exactly like
+    // deleteKeysCommit); any staged file is unrouted/unsorted and drops
+    // them rather than serving a stale promise
+    val pureDelete = dataFiles.isEmpty
     val ok = SnapshotStore.tryPublishManifest(spark, tablePath, op.baseVersion + 1,
       SnapshotStore.Manifest("", deletes, keyCols, ts = System.currentTimeMillis(),
         files = base ++ dataFiles, op = opName, statsExact = m.statsExact,
         mixedSchema = m.mixedSchema, statsFile = stats,
+        bucketCols = if (pureDelete) m.bucketCols else Nil,
+        bucketN = if (pureDelete) m.bucketN else 0,
+        sortCols = if (pureDelete) m.sortCols else Nil,
         bloomFile = m.bloomFile)) // file-keyed: inherited entries stay valid
     if (!ok) {
       abort(messages)

@@ -203,14 +203,21 @@ private[sources] final class SnapshotMicroBatchStream(
     val from = start.asInstanceOf[SnapshotVersionOffset].v
     limit match {
       case mf: ReadMaxFiles if head > from =>
+        // walk the RETAINED versions, not from+1 arithmetic: a stream
+        // that fell behind vacuum would otherwise crash on the missing
+        // manifest here instead of reaching planInputPartitions'
+        // retention guard (which names the fix)
         val allVersions = SnapshotStore.versions(spark, tablePath)
-        var budget = mf.maxFiles().toLong
-        var to = from + 1 // whole commits only; at least one — no stalls
-        budget -= costOf(to, allVersions)
-        while (to < head && costOf(to + 1, allVersions) <= budget) {
-          to += 1
-          budget -= costOf(to, allVersions)
-        }
+        val pending = allVersions.filter(v => v > from && v <= head)
+        if (pending.isEmpty) return SnapshotVersionOffset(head)
+        var budget = mf.maxFiles().toLong - costOf(pending.head, allVersions)
+        var to = pending.head // whole commits only; at least one — no stalls
+        pending.drop(1).iterator.takeWhile { v =>
+          val c = costOf(v, allVersions)
+          val fits = c <= budget
+          if (fits) { budget -= c; to = v }
+          fits
+        }.foreach(_ => ())
         SnapshotVersionOffset(to)
       case _ => SnapshotVersionOffset(head)
     }

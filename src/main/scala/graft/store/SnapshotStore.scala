@@ -767,6 +767,12 @@ object SnapshotStore {
       version: Long = -1L): Long = {
     require(tagNameOk.matches(name) && name.forall(_ != '/'),
       s"tag name must match ${tagNameOk.regex}, got '$name'")
+    // an all-digit name could never be READ back: resolveVersionSpec
+    // parses digits as a version number first — refuse at creation
+    // rather than pin an unreachable snapshot forever
+    require(name.toLongOption.isEmpty,
+      s"tag name '$name' parses as a version number and would shadow it — " +
+        "use a non-numeric name")
     val v = if (version >= 0L) version else currentVersion(spark, table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $table"))
     require(versions(spark, table).contains(v),

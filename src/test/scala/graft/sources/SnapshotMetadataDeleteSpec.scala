@@ -162,6 +162,31 @@ class SnapshotMetadataDeleteSpec extends SparkSuite {
     }
   }
 
+  test("a concurrent DV commit's deletions survive a metadata delete (head carry-forward)") {
+    withCatalog { (_, wh) =>
+      val table = s"$wh/facts/race"
+      import spark.implicits._
+      val a = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+      val b = Seq((5L, 50L), (6L, 60L)).toDF("k", "v")
+      SnapshotStore.commit(a.coalesce(1), table)       // v0
+      SnapshotStore.appendCommit(b.coalesce(1), table) // v1
+      val stale = SnapshotStore.manifest(spark, table, 1L) // "resolved relation"
+      // concurrent writer: DV-deletes k=2 (data/files untouched → the
+      // head pin passes, but the DV list moved)
+      SnapshotStore.deleteCommit(spark, table, Seq("k"), col("k") === 2L) // v2
+      val plan = SnapshotMetadataDelete.plan(spark, stale,
+        Array(new org.apache.spark.sql.connector.expressions.filter.Predicate(">=",
+          Array(org.apache.spark.sql.connector.expressions.Expressions.column("k"),
+            org.apache.spark.sql.connector.expressions.Expressions.literal(5L))))).get
+      SnapshotMetadataDelete.execute(spark, table, stale, plan._1, plan._2)
+      val head = headManifest(table)
+      assert(head.op === "delete-files")
+      assert(head.deletes.nonEmpty,
+        "the concurrent DV must carry into the metadata-delete manifest, not resurrect k=2")
+      assert(SnapshotStore.read(spark, table).select("k").as[Long].collect().toSeq === Seq(1L))
+    }
+  }
+
   test("deletion vectors carry forward across a metadata delete") {
     withCatalog { (cat, wh) =>
       val table = s"$wh/facts/dvmix"

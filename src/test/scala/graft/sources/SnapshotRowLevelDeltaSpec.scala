@@ -141,6 +141,50 @@ class SnapshotRowLevelDeltaSpec extends SparkSuite {
     }
   }
 
+  test("a concurrent DV commit fails the row-level head pin (both modes), never resurrects") {
+    val table = java.nio.file.Files.createTempDirectory("mor-race").toString + "/t"
+    val nation = graft.sources.Tables.nation(spark, sf())
+    SnapshotStore.commit(nation, table)
+    val stale = SnapshotStore.manifest(spark, table, 0L)
+    SnapshotStore.deleteCommit(spark, table, Seq("n_nationkey"),
+      col("n_nationkey") === 3L) // concurrent DV: data/files unchanged
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+    val schema = SnapshotStore.read(spark, table).schema
+    val cow = intercept[IllegalStateException] {
+      new SnapshotRowLevelOperation(table, stale, schema, Command.DELETE)
+    }
+    assert(cow.getMessage.contains("must target the table head"))
+    spark.conf.set("spark.graft.rowlevel.mode", "merge-on-read")
+    spark.conf.set("spark.graft.rowlevel.keys", "n_nationkey")
+    try {
+      val mor = intercept[IllegalStateException] {
+        new SnapshotDeltaOperation(table, stale, schema, Command.DELETE, Seq("n_nationkey"))
+      }
+      assert(mor.getMessage.contains("must target the table head"))
+    } finally {
+      spark.conf.unset("spark.graft.rowlevel.mode")
+      spark.conf.unset("spark.graft.rowlevel.keys")
+    }
+  }
+
+  test("spark.graft.rowlevel.table scopes the non-null key override to the named table") {
+    withMor("n_nationkey") { (_, wh) =>
+      val target = s"$wh/dims/target"
+      val other = s"$wh/dims/other"
+      val nation = graft.sources.Tables.nation(spark, sf())
+      SnapshotStore.commit(nation, target)
+      SnapshotStore.commit(nation, other)
+      spark.conf.set("spark.graft.rowlevel.table", "dims/target")
+      try {
+        def keyNullable(t: String): Boolean = spark.read.format("graft-snapshot")
+          .option("path", t).load().schema("n_nationkey").nullable
+        assert(!keyNullable(target), "the scoped table's key surfaces non-nullable")
+        assert(keyNullable(other),
+          "an unrelated table sharing the key column name must keep its nullability")
+      } finally spark.conf.unset("spark.graft.rowlevel.table")
+    }
+  }
+
   test("replication mirror converges across a MoR commit (mixed delete+insert batch)") {
     withMor("n_nationkey") { (cat, wh) =>
       val src = s"$wh/dims/src"
