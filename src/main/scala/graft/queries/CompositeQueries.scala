@@ -270,6 +270,49 @@ object CompositeQueries {
       Tables.events(s, d).filter(col("user_id") < 50))
       .orderBy(col("user_id"), col("n_so_far"))
 
+  /** ST13 (beyond reference parity): RATE-LIMITED change-feed catch-up
+    * — a snapshot table with a base image plus three year-sliced
+    * appends drains through `maxFilesPerTrigger=1` under
+    * `Trigger.AvailableNow`: the fixture REQUIRES ≥3 admission-bounded
+    * micro-batches (one unbounded batch would be the pre-admission
+    * behavior) and sinks the feed to parquet; the query aggregates the
+    * sunk rows per change type and year. At 100 TB this is the
+    * contract that a stream starting against a long history never
+    * takes a cluster-sized batch. Oracle replays the feed algebra:
+    * the image carries the base rows, each append carries its year. */
+  val st13FeedRatelimit: Q = (s, d) => {
+    val root = Fixtures.dir("st13rate", d) { base =>
+      val t = s"$base/t"
+      val orders = Tables.orders(s, d)
+      graft.store.SnapshotStore.commit(
+        orders.filter(year(col("o_orderdate")) < 1995).repartition(2), t)
+      Seq(1995, 1996).foreach(y => graft.store.SnapshotStore.appendCommit(
+        orders.filter(year(col("o_orderdate")) === y).coalesce(1), t))
+      graft.store.SnapshotStore.appendCommit(
+        orders.filter(year(col("o_orderdate")) >= 1997).coalesce(1), t)
+      val ckpt = s"$base/ckpt"
+      val q = s.readStream.format("graft-snapshot")
+        .option("path", t).option("changeFeed", "true")
+        .option("maxFilesPerTrigger", "1").load()
+        .writeStream.format("parquet").option("path", s"$base/out")
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val fs = new org.apache.hadoop.fs.Path(ckpt)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val nBatches = fs.listStatus(new org.apache.hadoop.fs.Path(s"$ckpt/offsets"))
+        .count(st => st.getPath.getName.forall(_.isDigit))
+      require(nBatches >= 3,
+        s"st13 expects admission control to split catch-up into >=3 batches, got $nBatches")
+    }
+    s.read.parquet(s"$root/out")
+      .groupBy(col("_change_type"), year(col("o_orderdate")).alias("yr"))
+      .agg(
+        count(lit(1)).alias("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long")).alias("cents"))
+      .orderBy(col("_change_type"), col("yr"))
+  }
+
   /** ST10 (beyond reference parity): per-window distribution drift
     * ([[graft.streaming.EventStreams.distributionDrift]]) — each hourly
     * window's event-type mix scored (KL, TV) against the overall
@@ -690,6 +733,21 @@ object CompositeQueries {
                 round(sum(value), 4) AS value_sum
          FROM sess GROUP BY user_id, sid
          ORDER BY user_id, session_start""",
+    "st13_feed_ratelimit" ->
+      """SELECT 'insert' AS _change_type,
+                CAST(year(o_orderdate) AS INT) AS yr,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders WHERE year(o_orderdate) >= 1995
+         GROUP BY 2
+         UNION ALL
+         SELECT 'snapshot',
+                CAST(year(o_orderdate) AS INT),
+                CAST(count(*) AS BIGINT),
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         FROM orders WHERE year(o_orderdate) < 1995
+         GROUP BY 2
+         ORDER BY _change_type, yr""",
     "st11_asof_enrich" ->
       """WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS vt
                     FROM events WHERE event_type = 'view'),
@@ -855,6 +913,7 @@ object CompositeQueries {
     "st8_stream_topk" -> st8StreamTopk,
     "st10_drift" -> st10Drift,
     "st12_tws_running" -> st12TwsRunning,
+    "st13_feed_ratelimit" -> st13FeedRatelimit,
     "c1_scd2" -> c1Scd2,
     "c1b_scd2_merge" -> c1bScd2Merge,
     "c2_calendar" -> c2Calendar,
