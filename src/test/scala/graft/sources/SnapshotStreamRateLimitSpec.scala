@@ -53,6 +53,35 @@ class SnapshotStreamRateLimitSpec extends SparkSuite {
       s"expected 3 admission-bounded micro-batches, got ${batches.toSeq}")
   }
 
+  test("a rate-limited stream behind vacuum hits the retention guard, not a raw crash") {
+    val table = freshTable("ratelimit-vac")
+    val ckpt = java.nio.file.Files.createTempDirectory("ratelimit-vac-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("ratelimit-vac-out").toString
+    val nation = graft.sources.Tables.nation(spark, sf())
+    SnapshotStore.commit(nation, table) // v0
+    def start() = spark.readStream.format("graft-snapshot")
+      .option("path", table).option("changeFeed", "true")
+      .option("maxFilesPerTrigger", "1").load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop() // checkpoint at v0
+    SnapshotStore.commit(nation.limit(10), table) // v1
+    SnapshotStore.commit(nation.limit(5), table)  // v2
+    SnapshotStore.commit(nation.limit(2), table)  // v3
+    SnapshotStore.vacuum(spark, table, keep = 2)  // v1 gone; checkpoint needs it
+    val q2 = start()
+    val e = intercept[Exception] { q2.processAllAvailable() }
+    try {
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      val all = msgs(e).mkString(" | ")
+      assert(all.contains("vacuum retention"),
+        s"the rate-limited walk must surface the retention guard, not a raw " +
+          s"missing-manifest error: $all")
+    } finally q2.stop()
+  }
+
   test("a commit bigger than the budget still admits (no stall), alone") {
     val table = freshTable("ratelimit-big")
     val ckpt = java.nio.file.Files.createTempDirectory("ratelimit-big-ckpt").toString
