@@ -256,9 +256,12 @@ object ModernSqlQueries {
     * per-row driver loop. The oracle replays the data flow as plain
     * SQL with the control-flow results folded to literals. */
   val ms11SqlScripting: Q = (s, d) => {
+    // restore rather than blanket-unset so the query never clobbers a
+    // user session that had scripting on already
+    val prior = s.conf.getOption("spark.sql.scripting.enabled")
     s.conf.set("spark.sql.scripting.enabled", "true")
     Tables.orders(s, d).createOrReplaceTempView("graft_ms11_orders")
-    s.sql(
+    try s.sql(
       """BEGIN
            DECLARE avg_cents BIGINT DEFAULT 0;
            DECLARE branch STRING DEFAULT 'unset';
@@ -285,6 +288,10 @@ object ModernSqlQueries {
            GROUP BY o_orderstatus, branch, loop_sum
            ORDER BY o_orderstatus;
          END""")
+    finally prior match {
+      case Some(v) => s.conf.set("spark.sql.scripting.enabled", v)
+      case None    => s.conf.unset("spark.sql.scripting.enabled")
+    }
   }
 
   val queries: Map[String, Q] = Map(

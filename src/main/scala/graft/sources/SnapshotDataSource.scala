@@ -157,9 +157,25 @@ private[sources] final class SnapshotTable(
     * let the optimizer fold its `IS NULL` predicates to false). */
   override def schema(): StructType = {
     if (!SnapshotTable.morApplies(tablePath)) return tableSchema
-    val declared = SparkSession.active.conf.get("spark.graft.rowlevel.keys", "")
+    val conf = SparkSession.active.conf
+    val declared = conf.get("spark.graft.rowlevel.keys", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val keys = if (declared.nonEmpty) declared else m.keyCols.toSet
+    // UNSCOPED session-wide keys are an assertion about the one table
+    // the user MEANT, but morApplies matches every table when
+    // `spark.graft.rowlevel.table` is unset. Rewriting nullability on
+    // a bystander table whose same-named column actually holds nulls
+    // would let the optimizer fold its IS NULL predicates to false —
+    // so without explicit scoping the override only applies when it
+    // is PROVABLE: the keys are the table's own recorded DV identity,
+    // or the stats sidecar proves every row group null-free on every
+    // key. Unprovable ⇒ schema unchanged (a MoR write then fails with
+    // a clear "scope it" error instead of flipping read semantics).
+    val scoped = conf.get("spark.graft.rowlevel.table", "").nonEmpty
+    val sound = scoped ||
+      (m.keyCols.nonEmpty && keys == m.keyCols.toSet) ||
+      SnapshotTable.provablyNullFree(m, keys)
+    if (!sound) return tableSchema
     StructType(tableSchema.fields.map(f =>
       if (keys.contains(f.name)) f.copy(nullable = false) else f))
   }
@@ -263,8 +279,21 @@ private[sources] final class SnapshotTable(
         case "merge-on-read" if SnapshotTable.morApplies(tablePath) =>
           val keys = conf.get("spark.graft.rowlevel.keys", "")
             .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-          new SnapshotDeltaOperation(tablePath, m, schema(), info.command,
-            if (keys.nonEmpty) keys else m.keyCols)
+          val chosen = if (keys.nonEmpty) keys else m.keyCols
+          // schema() refused the non-null key override (unscoped keys,
+          // not the table's own DV identity, no sidecar null-free
+          // proof) — Spark would reject the nullable row IDs with a
+          // generic analysis error; name the actual remedy instead
+          if (conf.get("spark.graft.rowlevel.table", "").isEmpty &&
+              !(m.keyCols.nonEmpty && chosen.toSet == m.keyCols.toSet) &&
+              !SnapshotTable.provablyNullFree(m, chosen.toSet))
+            throw new UnsupportedOperationException(
+              s"graft-snapshot: merge-on-read ${info.command} on $tablePath: key " +
+                s"columns ${chosen.mkString(",")} are not provably null-free on this " +
+                "table (no sidecar proof, not the table's DV identity) — scope the " +
+                "session keys with spark.graft.rowlevel.table=<this table> to assert " +
+                "them, or rewrite the table so its stats sidecar carries the proof")
+          new SnapshotDeltaOperation(tablePath, m, schema(), info.command, chosen)
         case "merge-on-read" | "copy-on-write" =>
           new SnapshotRowLevelOperation(tablePath, m, tableSchema, info.command)
         case other => throw new IllegalArgumentException(
@@ -287,6 +316,22 @@ private[sources] object SnapshotTable {
         tablePath.stripSuffix("/").endsWith("/" + scoped.stripPrefix("/").stripSuffix("/"))
     }
   }
+
+  /** Whether the stats sidecar PROVES `keys` null-free: every data
+    * file has a sidecar entry and every row group lists every key in
+    * its `n=` (null-free) proofs. Legacy sidecars (no `n=` lines) and
+    * sidecar-less tables prove nothing — the non-null schema override
+    * then stays off for unscoped sessions (never the wrong answer). */
+  def provablyNullFree(m: SnapshotStore.Manifest, keys: Set[String]): Boolean =
+    keys.nonEmpty && m.statsFile.nonEmpty && {
+      val spark = SparkSession.active
+      val entries =
+        try graft.store.FileStats.read(spark, m.statsFile).entries
+        catch { case scala.util.control.NonFatal(_) => return false }
+      val files = SnapshotStore.dataFiles(spark, m)
+      files.forall(f => entries.get(f).exists(_.groups.forall(g =>
+        keys.subsetOf(g.noNulls))))
+    }
 }
 
 private[sources] final class SnapshotScanBuilder(

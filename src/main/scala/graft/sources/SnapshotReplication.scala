@@ -129,7 +129,15 @@ object SnapshotReplication {
                   case Some(cur) => cur.exceptAll(removes).unionAll(inserts)
                   case None      => inserts
                 }, srcV = v)
-              case _ =>
+              case k =>
+                // a full snapshot image — and ONLY that: an
+                // unrecognized change type must fail loudly here, not
+                // silently drop rows from the mirror (protocol
+                // extensions surface as an error at the target)
+                require(k == Set("snapshot"),
+                  s"graft-snapshot mirror: unrecognized change-type set $k in source " +
+                    s"version $v of $sourceTable — the mirror understands " +
+                    "{snapshot}, {insert}, {delete}, {delete,insert}, {insert,remove}")
                 SnapshotStore.commit(
                   rows.filter(col("_change_type") === "snapshot")
                     .drop("_change_type", "_commit_version"), targetTable, srcV = v)

@@ -158,6 +158,36 @@ private[sources] final class SnapshotDeltaBatchWrite(
 
     val m = SnapshotStore.manifest(spark, tablePath, op.baseVersion)
     val base = SnapshotStore.dataFiles(spark, m)
+
+    // Row-identity CONTRACT check: the scoped DV removes every base row
+    // sharing a deleted key, so keys that don't uniquely identify rows
+    // would silently delete unmatched siblings. Two matched rows
+    // emitting the same key is proof of non-uniqueness — O(|DV|) to
+    // detect, so always on. (The converse hole — a sibling that was
+    // never matched — needs a base-table probe; opt in with
+    // spark.graft.rowlevel.verifyUnique=true, one semi-join scan.)
+    if (dvFiles.nonEmpty) {
+      import org.apache.spark.sql.functions.{col, count_distinct, lit, struct, count}
+      val dv = spark.read.schema(keySchema).parquet(dvFiles: _*)
+      val r = dv.agg(count(lit(1)), count_distinct(struct(keyCols.map(col): _*))).head()
+      val (nDel, nKeys) = (r.getLong(0), r.getLong(1))
+      def refuse(extra: Long): Nothing = {
+        abort(messages)
+        throw new IllegalStateException(
+          s"graft-snapshot: merge-on-read ${op.command()} on $tablePath refused: key " +
+            s"columns (${keyCols.mkString(",")}) do not uniquely identify rows " +
+            s"($extra base row(s) beyond the $nKeys matched key(s) share a deleted " +
+            "key and would be silently removed) — use a unique row identity or " +
+            "copy-on-write mode")
+      }
+      if (nDel != nKeys) refuse(nDel - nKeys)
+      if (spark.conf.get("spark.graft.rowlevel.verifyUnique", "false").toBoolean) {
+        val hit = spark.read.parquet(base: _*)
+          .select(keyCols.map(col): _*)
+          .join(dv.distinct(), keyCols, "left_semi").count()
+        if (hit != nKeys) refuse(hit - nKeys)
+      }
+    }
     val deletes =
       if (dvFiles.isEmpty) { fs.delete(new Path(stagedDvDir), true); m.deletes }
       else {

@@ -173,8 +173,10 @@ private[sources] final class SnapshotMicroBatchStream(
   override def getDefaultReadLimit: ReadLimit =
     Option(options.get("maxFilesPerTrigger")) match {
       case Some(n) =>
-        require(n.toInt > 0, s"maxFilesPerTrigger must be positive, got $n")
-        ReadLimit.maxFiles(n.toInt)
+        val parsed = n.toIntOption
+        require(parsed.exists(_ > 0),
+          s"maxFilesPerTrigger must be a positive integer, got '$n'")
+        ReadLimit.maxFiles(parsed.get)
       case None => ReadLimit.allAvailable()
     }
 

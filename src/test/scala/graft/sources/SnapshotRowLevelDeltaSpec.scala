@@ -215,4 +215,79 @@ class SnapshotRowLevelDeltaSpec extends SparkSuite {
       } finally q.stop()
     }
   }
+
+  test("unscoped MoR keys never flip nullability on a bystander table holding null keys") {
+    withMor("k") { (cat, wh) =>
+      import spark.implicits._
+      // a table whose declared key column actually holds nulls: the
+      // unscoped session conf must NOT rewrite it to nullable=false
+      // (the optimizer would fold IS NULL to empty), and a MoR write
+      // must refuse with the scoping remedy, not a generic error
+      val nully = Seq((Option(1L), "a"), (Option.empty[Long], "b"), (Option(3L), "c"))
+        .toDF("k", "v")
+      SnapshotStore.commit(nully, s"$wh/dims/nully")
+      val read = spark.read.format("graft-snapshot").option("path", s"$wh/dims/nully").load()
+      assert(read.schema("k").nullable,
+        "a null-holding key column must keep nullable=true under unscoped MoR confs")
+      assert(read.filter(col("k").isNull).count() === 1L,
+        "IS NULL must still find the null row")
+
+      // provably null-free keys (sidecar n= proof) still get the
+      // override without explicit scoping — the dt_merge_mor shape
+      SnapshotStore.commit(graft.sources.Tables.nation(spark, sf())
+        .select(col("n_nationkey").alias("k"), col("n_name").alias("v")), s"$wh/dims/clean")
+      assert(!spark.read.format("graft-snapshot").option("path", s"$wh/dims/clean")
+        .load().schema("k").nullable,
+        "a sidecar-proven null-free key surfaces non-nullable")
+
+      val err = intercept[Exception] {
+        spark.sql(s"DELETE FROM $cat.dims.nully WHERE v = 'a'")
+      }
+      def chain(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => e.getMessage +: chain(e.getCause))
+      assert(chain(err).exists(m => m != null && m.contains("not provably null-free")),
+        s"want the scoping remedy, got: ${chain(err).mkString(" | ")}")
+    }
+  }
+
+  test("MoR refuses a row identity that maps two matched rows to one key") {
+    withMor("n_regionkey") { (cat, wh) =>
+      val table = s"$wh/dims/nation"
+      val nation = graft.sources.Tables.nation(spark, sf())
+      SnapshotStore.commit(nation, table)
+      val before = spark.sql(s"SELECT count(*) FROM $cat.dims.nation").head().getLong(0)
+      val err = intercept[Exception] {
+        spark.sql(s"DELETE FROM $cat.dims.nation WHERE n_regionkey = 1")
+      }
+      def chain(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => e.getMessage +: chain(e.getCause))
+      assert(chain(err).exists(m => m != null && m.contains("do not uniquely identify rows")),
+        s"want the uniqueness refusal, got: ${chain(err).mkString(" | ")}")
+      assert(SnapshotStore.currentVersion(spark, table) === Some(0L),
+        "a refused delta must not publish a version")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.dims.nation").head().getLong(0) === before)
+    }
+  }
+
+  test("verifyUnique catches an unmatched sibling sharing a deleted key") {
+    withMor("n_regionkey") { (cat, wh) =>
+      val table = s"$wh/dims/nation"
+      val nation = graft.sources.Tables.nation(spark, sf())
+      SnapshotStore.commit(nation, table)
+      // one matched row (unique among MATCHED keys — the cheap check
+      // passes) whose key is shared by unmatched siblings the DV would
+      // silently remove; the opt-in base probe refuses the commit
+      spark.conf.set("spark.graft.rowlevel.verifyUnique", "true")
+      try {
+        val err = intercept[Exception] {
+          spark.sql(s"DELETE FROM $cat.dims.nation WHERE n_name = 'NATION_7'")
+        }
+        def chain(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(e => e.getMessage +: chain(e.getCause))
+        assert(chain(err).exists(m => m != null && m.contains("do not uniquely identify rows")),
+          s"want the uniqueness refusal, got: ${chain(err).mkString(" | ")}")
+        assert(SnapshotStore.currentVersion(spark, table) === Some(0L))
+      } finally spark.conf.unset("spark.graft.rowlevel.verifyUnique")
+    }
+  }
 }

@@ -107,4 +107,19 @@ class SnapshotStreamRateLimitSpec extends SparkSuite {
     assert(batches.length === 2,
       s"oversized v0 alone, then v1: expected 2 batches, got ${batches.length}")
   }
+
+  test("a non-numeric maxFilesPerTrigger fails naming the option, not with a raw parse error") {
+    val table = freshTable("ratelimit-badopt")
+    SnapshotStore.commit(graft.sources.Tables.nation(spark, sf()), table)
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", table).option("changeFeed", "true")
+      .option("maxFilesPerTrigger", "lots").load()
+      .writeStream.format("noop").start()
+    val err = intercept[Exception] { q.processAllAvailable() }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ chain(e.getCause))
+    assert(chain(err).exists(_.contains("maxFilesPerTrigger must be a positive integer")),
+      s"want the named-option message, got: ${chain(err).mkString(" | ")}")
+    q.stop()
+  }
 }
