@@ -162,7 +162,12 @@ object BloomIndex {
         .select(col("file"), lit(c).alias("col"), col("bloom"))
     }.reduce(_ unionAll _)
       .coalesce(1)
-      .write.mode("overwrite").parquet(out)
+      // SHARDED BY COLUMN (round-12): the scan probes one column at a
+      // time, and a column-partitioned index lets planning read O(probed
+      // columns) of it instead of materializing every (file, column)
+      // filter — `col` comes back as a partition column on read, so
+      // legacy single-file indexes parse identically
+      .write.mode("overwrite").partitionBy("col").parquet(out)
     val next = cur + 1
     if (!SnapshotStore.tryPublishManifest(spark, table, next,
         m.copy(ts = 0L, op = "bloom", srcV = -1L, bloomFile = out)))

@@ -199,7 +199,8 @@ object Bucketing {
       SnapshotStore.Manifest("", m.deletes, m.keyCols, ts = System.currentTimeMillis(),
         files = big.map(_._1) ++ staged, op = "compact-small",
         statsExact = m.statsExact, mixedSchema = m.mixedSchema, statsFile = stats,
-        bucketCols = m.bucketCols, bucketN = m.bucketN, bloomFile = m.bloomFile))
+        bucketCols = m.bucketCols, bucketN = m.bucketN, bloomFile = m.bloomFile,
+        partSpec = m.partSpec))
     if (!ok) {
       fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
       throw new java.util.ConcurrentModificationException(

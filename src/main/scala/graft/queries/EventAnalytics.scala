@@ -637,7 +637,92 @@ object EventAnalytics {
     s.sql(s"SELECT * FROM $cat.marts.prio_summary ORDER BY o_orderpriority")
   }
 
+  /** DT26: PARTITION TRANSFORMS on snapshot tables — `CREATE TABLE ...
+    * PARTITIONED BY (months(o_orderdate)) AS SELECT` routes rows into
+    * hive-style month directories; the DSv2 scan then prunes whole
+    * partitions from the pushed timestamp predicate BEFORE any stats
+    * sidecar or footer is consulted (the fixture pins both counters).
+    * The 100 TB shape: a retention/recency query over a day- or
+    * month-appended fact plans over O(matching partitions), not
+    * O(table), with pure path arithmetic. Oracle replays the range
+    * aggregate over plain parquet. */
+  val dtPartitionPrune: Q = (s, d) => {
+    val wh = Fixtures.dir("partwh", d) { root =>
+      val cat = snapCatalog(s, root)
+      Tables.orders(s, d).createOrReplaceTempView("graft_part_src")
+      s.sql(
+        s"""CREATE TABLE $cat.facts.orders PARTITIONED BY (months(o_orderdate))
+            AS SELECT * FROM graft_part_src""")
+      val t = s"$root/facts/orders"
+      val m = graft.store.SnapshotStore.manifest(s, t, 0L)
+      require(m.partSpec.nonEmpty && m.files.forall(_.contains("/__gp0=")),
+        s"dt_partition_prune: CTAS must route files into partition dirs (got " +
+          s"${m.files.take(2)})")
+      // pruning pin: a month-range predicate must drop files from PATHS
+      // alone — partition counter moves, footer counter does not
+      val footers0 = graft.sources.SnapshotScanProbe.plannerFooterReads
+      graft.sources.SnapshotScanProbe.resetPartitionPrunedFiles()
+      s.read.format("graft-snapshot").option("path", t).load()
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+        .count()
+      require(graft.sources.SnapshotScanProbe.lastPartitionPrunedFiles > 0,
+        "dt_partition_prune: the month-range predicate must prune partition dirs")
+      require(graft.sources.SnapshotScanProbe.plannerFooterReads == footers0,
+        "dt_partition_prune: partition pruning must not open data-file footers")
+    }
+    val cat = snapCatalog(s, wh)
+    s.sql(
+      s"""SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM $cat.facts.orders
+          WHERE o_orderdate >= TIMESTAMP'1999-01-01 00:00:00'
+          GROUP BY 1 ORDER BY 1""")
+  }
+
+  /** DT27: PARTITION-ALIGNED RETENTION DELETE — on a month-partitioned
+    * snapshot table, `DELETE WHERE o_orderdate < X` (X on a month
+    * boundary) classifies every file all-match/none-match and commits
+    * `op=delete-files`: a pure manifest edit, no job, no rewrite — the
+    * retention shape at 100 TB. The fixture pins the op and that the
+    * partition spec survives the edit; oracle replays the filter. */
+  val dtPartitionDelete: Q = (s, d) => {
+    val wh = Fixtures.dir("partdel", d) { root =>
+      val t = s"$root/facts/orders"
+      graft.store.SnapshotStore.partitionedCommit(Tables.orders(s, d), t,
+        Seq(graft.store.PartitionSpec.PartField("months", "o_orderdate")))
+      val cat = snapCatalog(s, root)
+      s.sql(s"DELETE FROM $cat.facts.orders WHERE o_orderdate < TIMESTAMP'1997-01-01 00:00:00'")
+      val m = graft.store.SnapshotStore.manifest(s, t, 1L)
+      require(m.op == "delete-files",
+        s"dt_partition_delete must classify metadata-only, got op=${m.op}")
+      require(m.partSpec.nonEmpty,
+        "dt_partition_delete: the partition spec must survive the manifest edit")
+    }
+    val cat = snapCatalog(s, wh)
+    s.sql(
+      s"""SELECT o_orderstatus,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM $cat.facts.orders
+          GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  }
+
   private val oraclesBase: Map[String, String] = Map(
+    "dt_partition_prune" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+         GROUP BY 1 ORDER BY 1""",
+    "dt_partition_delete" ->
+      """SELECT o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "c12_transitions" ->
       """WITH t AS (SELECT user_id, event_type AS from_type,
                            lead(event_type) OVER (PARTITION BY user_id
@@ -1063,6 +1148,8 @@ object EventAnalytics {
     "dt_agg_pushdown" -> dtAggPushdown,
     "dt_append" -> dtAppend,
     "dt_delete_files" -> dtDeleteFiles,
+    "dt_partition_prune" -> dtPartitionPrune,
+    "dt_partition_delete" -> dtPartitionDelete,
     "dt_changes_batch" -> dtChangesBatch,
     "dt_merge_sql" -> dtMergeSql,
     "dt_merge_mor" -> dtMergeMor,

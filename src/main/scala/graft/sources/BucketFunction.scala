@@ -30,6 +30,15 @@ private[sources] trait BucketDistribution
     extends org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   def bucketSpec: Option[(Seq[String], Int)]
 
+  /** Partition-transform layout ([[graft.store.PartitionSpec]]): the
+    * write requires a LOCAL sort by the source columns, so the rolling
+    * partitioned writer sees each partition value as one contiguous
+    * run and emits one file per (task, partition) — the same local
+    * sort Spark's own FileFormatWriter plans for partitioned inserts.
+    * No distribution requirement: appends are usually day-aligned
+    * already, and a shuffle per insert would tax the common case. */
+  def partSpec: Seq[graft.store.PartitionSpec.PartField] = Nil
+
   override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
     bucketSpec match {
       case Some((cols, _)) =>
@@ -40,7 +49,9 @@ private[sources] trait BucketDistribution
     }
   override def requiredNumPartitions(): Int = bucketSpec.map(_._2).getOrElse(0)
   override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    Array.empty
+    partSpec.map(f => org.apache.spark.sql.connector.expressions.Expressions.sort(
+      org.apache.spark.sql.connector.expressions.Expressions.column(f.col),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
 }
 
 object BucketFunction extends UnboundFunction {

@@ -168,9 +168,12 @@ final class SnapshotCatalog extends TableCatalog
     val root = tableRoot(ident)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    SnapshotCatalog.bucketSpecOf(partitions) match {
-      case Some((cols, n)) => SnapshotStore.bucketedCommit(empty, root, cols, n)
-      case None            => SnapshotStore.commit(empty, root)
+    SnapshotCatalog.layoutOf(partitions) match {
+      case (Some((cols, n)), _)       => SnapshotStore.bucketedCommit(empty, root, cols, n)
+      case (None, spec) if spec.nonEmpty =>
+        graft.store.PartitionSpec.validate(spec, schema)
+        SnapshotStore.partitionedCommit(empty, root, spec)
+      case _                          => SnapshotStore.commit(empty, root)
     }
     loadTable(ident)
   }
@@ -184,10 +187,12 @@ final class SnapshotCatalog extends TableCatalog
   override def stageCreate(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: JMap[String, String]): org.apache.spark.sql.connector.catalog.StagedTable = {
-    val bucket = SnapshotCatalog.bucketSpecOf(partitions)
+    val (bucket, pspec) = SnapshotCatalog.layoutOf(partitions)
+    if (pspec.nonEmpty) graft.store.PartitionSpec.validate(pspec, schema)
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
-    new StagedSnapshotTable(tableRoot(ident), schema, replace = false, bucket = bucket)
+    new StagedSnapshotTable(tableRoot(ident), schema, replace = false, bucket = bucket,
+      partSpec = pspec)
   }
 
   /** RTAS (`REPLACE TABLE ... AS SELECT`): same staging, published as
@@ -195,16 +200,20 @@ final class SnapshotCatalog extends TableCatalog
   override def stageReplace(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: JMap[String, String]): org.apache.spark.sql.connector.catalog.StagedTable = {
-    val bucket = SnapshotCatalog.bucketSpecOf(partitions)
+    val (bucket, pspec) = SnapshotCatalog.layoutOf(partitions)
+    if (pspec.nonEmpty) graft.store.PartitionSpec.validate(pspec, schema)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    new StagedSnapshotTable(tableRoot(ident), schema, replace = true, bucket = bucket)
+    new StagedSnapshotTable(tableRoot(ident), schema, replace = true, bucket = bucket,
+      partSpec = pspec)
   }
 
   override def stageCreateOrReplace(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: JMap[String, String]): org.apache.spark.sql.connector.catalog.StagedTable = {
-    val bucket = SnapshotCatalog.bucketSpecOf(partitions)
-    new StagedSnapshotTable(tableRoot(ident), schema, replace = true, bucket = bucket)
+    val (bucket, pspec) = SnapshotCatalog.layoutOf(partitions)
+    if (pspec.nonEmpty) graft.store.PartitionSpec.validate(pspec, schema)
+    new StagedSnapshotTable(tableRoot(ident), schema, replace = true, bucket = bucket,
+      partSpec = pspec)
   }
 
   /** `ALTER TABLE t ADD COLUMNS (...)`: rides the store's existing
@@ -251,33 +260,64 @@ final class SnapshotCatalog extends TableCatalog
 }
 
 private[sources] object SnapshotCatalog {
-  /** Parse `PARTITIONED BY` transforms into the one layout snapshot
-    * tables support: a SINGLE `bucket(n, cols...)` over top-level
-    * columns (rows co-locate by key; the scan reports the matching
-    * KeyGroupedPartitioning for storage-partitioned joins). Identity
-    * partitioning stays refused — row-group stats skipping covers
-    * value pruning without directory layouts. */
-  def bucketSpecOf(partitions: Array[Transform]): Option[(Seq[String], Int)] = {
-    if (partitions.isEmpty) return None
-    if (partitions.length > 1) throw new UnsupportedOperationException(
-      "snapshot tables support at most one PARTITIONED BY transform: bucket(n, cols...)")
-    val t = partitions.head
-    if (t.name != "bucket") throw new UnsupportedOperationException(
-      s"snapshot tables support only bucket(n, cols...) partitioning " +
-        s"(row-group stats skipping covers value pruning); got ${t.describe}")
-    val n = t.arguments.collectFirst {
-      case l: org.apache.spark.sql.connector.expressions.Literal[_]
-          if l.value.isInstanceOf[Int] => l.value.asInstanceOf[Int]
-    }.getOrElse(throw new IllegalArgumentException(s"bucket transform without a count: ${t.describe}"))
-    val cols = t.arguments.toSeq.collect {
+  /** Parse `PARTITIONED BY` transforms into the two layouts snapshot
+    * tables support:
+    *  - a SINGLE `bucket(n, cols...)` over top-level columns (rows
+    *    co-locate by key; the scan reports the matching
+    *    KeyGroupedPartitioning for storage-partitioned joins), or
+    *  - a PARTITION-TRANSFORM spec ([[graft.store.PartitionSpec]]):
+    *    any combination of `identity(col)` / `days(col)` /
+    *    `months(col)` / `years(col)` / `hours(col)` / `truncate(w,
+    *    col)` — rows route into hive-style partition directories and
+    *    the scan prunes them from pushed predicates before stats run.
+    * Mixing bucket with transforms is refused (a bucket layout is an
+    * all-files zip contract; partition transforms are per-file). */
+  def layoutOf(partitions: Array[Transform])
+      : (Option[(Seq[String], Int)], Seq[graft.store.PartitionSpec.PartField]) = {
+    import graft.store.PartitionSpec.PartField
+    if (partitions.isEmpty) return (None, Nil)
+    def colsOf(t: Transform): Seq[String] = t.arguments.toSeq.collect {
       case r: org.apache.spark.sql.connector.expressions.NamedReference =>
         require(r.fieldNames.length == 1,
-          s"bucket columns must be top-level, got ${r.describe}")
+          s"partition columns must be top-level, got ${r.describe}")
         r.fieldNames.head
     }
-    require(cols.nonEmpty, s"bucket transform without columns: ${t.describe}")
-    Some((cols, n))
+    def intArg(t: Transform): Int = t.arguments.collectFirst {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_]
+          if l.value.isInstanceOf[Int] => l.value.asInstanceOf[Int]
+    }.getOrElse(throw new IllegalArgumentException(
+      s"${t.name} transform without an integer argument: ${t.describe}"))
+    if (partitions.exists(_.name == "bucket")) {
+      if (partitions.length > 1) throw new UnsupportedOperationException(
+        "snapshot tables cannot mix bucket(n, cols...) with other PARTITIONED BY " +
+          "transforms — bucket is an all-files co-location contract")
+      val t = partitions.head
+      val cols = colsOf(t)
+      require(cols.nonEmpty, s"bucket transform without columns: ${t.describe}")
+      (Some((cols, intArg(t))), Nil)
+    } else {
+      val spec = partitions.toSeq.map { t =>
+        def one: String = colsOf(t) match {
+          case Seq(c) => c
+          case other => throw new IllegalArgumentException(
+            s"${t.name} takes exactly one column, got $other")
+        }
+        t.name match {
+          case "identity" => PartField("identity", one)
+          case "years" | "months" | "days" | "hours" => PartField(t.name, one)
+          case "truncate" => PartField("truncate", one, intArg(t))
+          case other => throw new UnsupportedOperationException(
+            s"snapshot tables support PARTITIONED BY bucket(n, cols...), identity, " +
+              s"years/months/days/hours, truncate(w, col); got $other (${t.describe})")
+        }
+      }
+      (None, spec)
+    }
   }
+
+  /** Back-compat shim for callers that only understand buckets. */
+  def bucketSpecOf(partitions: Array[Transform]): Option[(Seq[String], Int)] =
+    layoutOf(partitions)._1
 }
 
 /** The staged side of CTAS/RTAS: collects the query's committed part
@@ -287,7 +327,8 @@ private[sources] object SnapshotCatalog {
   * exist for any reader. */
 private[sources] final class StagedSnapshotTable(
     root: String, tableSchema: StructType, replace: Boolean,
-    bucket: Option[(Seq[String], Int)] = None)
+    bucket: Option[(Seq[String], Int)] = None,
+    partSpec: Seq[graft.store.PartitionSpec.PartField] = Nil)
     extends org.apache.spark.sql.connector.catalog.StagedTable
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
@@ -317,27 +358,29 @@ private[sources] final class StagedSnapshotTable(
       with org.apache.spark.sql.connector.write.SupportsTruncate {
     override def truncate(): WriteBuilder = this // RTAS truncates; staging is already a replace
     override def build(): Write = new Write with BucketDistribution {
-      // a bucketed CTAS shares the write-side routing contract with the
-      // INSERT/streaming paths ([[BucketDistribution]] — one home)
+      // a bucketed/partitioned CTAS shares the write-side routing
+      // contract with the INSERT/streaming paths ([[BucketDistribution]]
+      // — one home)
       override def bucketSpec: Option[(Seq[String], Int)] = bucket
+      override def partSpec: Seq[graft.store.PartitionSpec.PartField] =
+        StagedSnapshotTable.this.partSpec
       override def toBatch: BatchWrite = new BatchWrite {
         override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DataWriterFactory = {
           val p = new Path(stagedDir)
           p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
           new SnapshotWriterFactory(stagedDir, info.schema(),
-            new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+            new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration),
+            StagedSnapshotTable.this.partSpec)
         }
         // files are recorded only; visibility waits for commitStagedChanges.
         // Stray files from lost task attempts are deleted now, exactly
         // like the direct write path
         override def commit(messages: Array[WriterCommitMessage]): Unit = {
-          stagedFiles = messages.collect { case SnapshotCommitMessage(Some(f)) => f }.toSeq
+          stagedFiles = SnapshotWriteUtil.committedFiles(messages)
           val sd = new Path(stagedDir)
           val fs = sd.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val names = stagedFiles.map(f => new Path(f).getName).toSet
-          fs.listStatus(sd).toSeq
-            .filterNot(st => names.contains(st.getPath.getName))
-            .foreach(st => fs.delete(st.getPath, st.isDirectory))
+          SnapshotWriteUtil.sweepStaged(fs, sd,
+            stagedFiles.map(f => new Path(f).getName).toSet)
         }
         override def abort(messages: Array[WriterCommitMessage]): Unit = ()
       }
@@ -349,14 +392,14 @@ private[sources] final class StagedSnapshotTable(
     if (replace) {
       // SnapshotDataWriter never truncates stats
       SnapshotStore.rewriteFilesCommit(spark, root, stagedFiles, statsExact = true,
-        bucketCols = bCols, bucketN = bN)
+        bucketCols = bCols, bucketN = bN, partSpec = partSpec)
       ()
     } else {
       val stats = graft.store.FileStats.sidecarFor(spark, root, stagedFiles, None, exact = true)
       if (!SnapshotStore.tryPublishManifest(spark, root, 0L,
           SnapshotStore.Manifest("", Nil, Nil, ts = System.currentTimeMillis(),
             files = stagedFiles, op = "ctas", statsExact = true, statsFile = stats,
-            bucketCols = bCols, bucketN = bN))) {
+            bucketCols = bCols, bucketN = bN, partSpec = partSpec))) {
         abortStagedChanges()
         throw new IllegalStateException(
           s"CREATE TABLE AS SELECT lost a concurrent-create race on $root " +

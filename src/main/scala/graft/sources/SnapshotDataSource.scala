@@ -188,7 +188,21 @@ private[sources] final class SnapshotTable(
     if (m.bucketN > 0)
       Array(org.apache.spark.sql.connector.expressions.Expressions
         .bucket(m.bucketN, m.bucketCols: _*))
-    else Array.empty
+    else {
+      import org.apache.spark.sql.connector.expressions.{Expressions => E}
+      m.partSpec.map { f =>
+        f.transform match {
+          case "identity" => E.identity(f.col)
+          case "years"    => E.years(f.col)
+          case "months"   => E.months(f.col)
+          case "days"     => E.days(f.col)
+          case "hours"    => E.hours(f.col)
+          case "truncate" =>
+            E.apply("truncate", E.literal(Integer.valueOf(f.arg)), E.column(f.col))
+          case other => throw new IllegalStateException(s"unknown transform $other")
+        }
+      }.toArray
+    }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
@@ -360,7 +374,9 @@ private[sources] final class SnapshotScanBuilder(
     * ([[SnapshotScan.filter]] on `_file`). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     sawFilters = filters.nonEmpty
-    skippable = if (rowLevel) Array.empty else filters.filter(SnapshotScan.isSkippable)
+    skippable =
+      if (rowLevel) Array.empty
+      else filters.filter(SnapshotScan.isSkippable).map(SnapshotScan.normalizeTemporal)
     filters
   }
   override def pushedFilters(): Array[Filter] = skippable
@@ -538,6 +554,76 @@ private[sources] object SnapshotScan {
     * Set, not accumulated — planInputPartitions may re-derive the same
     * filtered set more than once per execution. */
   val lastRuntimePrunedGroups = new java.util.concurrent.atomic.AtomicLong
+
+  /** Files partition-transform pruning dropped in the most recent scan
+    * planning — before any stats sidecar or footer was consulted. */
+  val lastPartitionPrunedFiles = new java.util.concurrent.atomic.AtomicLong
+
+  /** Whether a pushed predicate set PROVABLY excludes every row of a
+    * file given only its partition-directory facts ([[graft.store
+    * .PartitionSpec.factsOf]]). Bounds facts reuse [[excludes]] (the
+    * sidecar-stats exclusion); truncate prefixes and all-null
+    * partitions get their own sound rules. Conservative throughout:
+    * no facts (unrouted file, foreign writer, unparseable dir) → keep. */
+  def partitionKeeps(
+      facts: Seq[graft.store.PartitionSpec.Fact],
+      filters: Seq[Filter]): Boolean = {
+    import graft.store.PartitionSpec.{AllNull, Bounds, TruncPrefix}
+    if (facts.isEmpty || filters.isEmpty) return true
+    val bounds: Map[String, (Any, Any)] =
+      facts.collect { case Bounds(c, lo, hi) => c -> (lo, hi) }.toMap
+    val nulls: Set[String] = facts.collect { case AllNull(c) => c }.toSet
+    val prefixes: Map[String, (String, Int)] =
+      facts.collect { case TruncPrefix(c, p, w) => c -> (p, w) }.toMap
+    def truncCp(s: String, w: Int): String = {
+      val cp = s.codePointCount(0, s.length)
+      if (cp <= w) s else s.substring(0, s.offsetByCodePoints(0, w))
+    }
+    // unsigned-byte successor of the prefix: every string starting with
+    // `p` is < succ(p); None when all bytes are 0xFF (no upper bound)
+    def succ(p: String): Option[Array[Byte]] = {
+      val b = p.getBytes(java.nio.charset.StandardCharsets.UTF_8).clone()
+      var i = b.length - 1
+      while (i >= 0 && b(i) == -1) i -= 1
+      if (i < 0) None else { b(i) = (b(i) + 1).toByte; Some(b.take(i + 1)) }
+    }
+    def cmpBytes(a: String, b: Array[Byte]): Int =
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8), b)
+    def prefixExcludes(f: Filter): Boolean = {
+      def on(c: String)(rule: ((String, Int)) => Boolean): Boolean =
+        prefixes.get(c).exists(rule)
+      f match {
+        case EqualTo(c, v: String) => on(c) { case (p, w) => truncCp(v, w) != p }
+        case In(c, vs) => on(c) { case (p, w) =>
+          vs.forall { case v: String => truncCp(v, w) != p; case _ => false } }
+        // all file values s satisfy p <= s < succ(p) in unsigned-byte order
+        case LessThan(c, v: String) => on(c) { case (p, _) =>
+          cmpBytes(v, p.getBytes(java.nio.charset.StandardCharsets.UTF_8)) <= 0 }
+        case LessThanOrEqual(c, v: String) => on(c) { case (p, _) =>
+          cmpBytes(v, p.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0 }
+        case GreaterThan(c, v: String) => on(c) { case (p, _) =>
+          succ(p).exists(s => cmpBytes(v, s) >= 0) }
+        case GreaterThanOrEqual(c, v: String) => on(c) { case (p, _) =>
+          succ(p).exists(s => cmpBytes(v, s) >= 0) }
+        case _ => false
+      }
+    }
+    def nullExcludes(f: Filter): Boolean = {
+      // a comparison never matches a null; the whole file is null here
+      val c = f match {
+        case EqualTo(x, _)            => x
+        case GreaterThan(x, _)        => x
+        case GreaterThanOrEqual(x, _) => x
+        case LessThan(x, _)           => x
+        case LessThanOrEqual(x, _)    => x
+        case In(x, _)                 => x
+        case _                        => null
+      }
+      c != null && nulls.contains(c)
+    }
+    !filters.exists(f => excludes(f, bounds) || prefixExcludes(f) || nullExcludes(f))
+  }
 
   /** Column types eligible as runtime-filter attributes — the same
     * family [[isSkippable]] accepts as external probe values, so every
@@ -828,7 +914,37 @@ private[sources] object SnapshotScan {
   }
   private def atomic(v: Any): Boolean = v match {
     case _: Long | _: Int | _: Short | _: Byte | _: Double | _: Float | _: String => true
+    // temporal externals compare after [[normalizeTemporal]] maps them
+    // onto the sidecar's raw parquet domain (epoch-day / epoch-micros)
+    case _: java.sql.Date | _: java.time.LocalDate | _: java.sql.Timestamp |
+        _: java.time.Instant | _: java.time.LocalDateTime => true
     case _ => false
+  }
+
+  /** DATE/TIMESTAMP predicate values → the sidecar's raw parquet
+    * representation (epoch-day Int32 for DATE, epoch-micros Int64 for
+    * TIMESTAMP), so retention-shaped predicates (`ts < DATE'...'`)
+    * participate in stats skipping AND partition pruning. Shared with
+    * the metadata-delete classifier, which established the convention. */
+  def normalizeTemporal(f: Filter): Filter = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    def n(v: Any): Any = v match {
+      case d: java.sql.Date           => d.toLocalDate.toEpochDay.toInt
+      case d: java.time.LocalDate     => d.toEpochDay.toInt
+      case t: java.sql.Timestamp      => DateTimeUtils.fromJavaTimestamp(t)
+      case t: java.time.Instant       => DateTimeUtils.instantToMicros(t)
+      case t: java.time.LocalDateTime => DateTimeUtils.localDateTimeToMicros(t)
+      case other                      => other
+    }
+    f match {
+      case EqualTo(c, v)            => EqualTo(c, n(v))
+      case GreaterThan(c, v)        => GreaterThan(c, n(v))
+      case GreaterThanOrEqual(c, v) => GreaterThanOrEqual(c, n(v))
+      case LessThan(c, v)           => LessThan(c, n(v))
+      case LessThanOrEqual(c, v)    => LessThanOrEqual(c, n(v))
+      case In(c, vs)                => In(c, vs.map(n))
+      case other                    => other
+    }
   }
 
   /** Exact-where-possible value ordering shared by the exclusion check
@@ -887,11 +1003,29 @@ private[sources] object SnapshotScan {
     c
   }
 
-  /** Bloom-index parses cache JVM-wide by path (index dirs are
-    * immutable once a marker references them); bounded like the stats
-    * sidecar cache. Value: (relFileKey, col) → deserialized filter. */
-  private val bloomCache = scala.collection.concurrent.TrieMap
-    .empty[String, Map[(String, String), org.apache.spark.util.sketch.BloomFilter]]
+  /** Per-(index, COLUMN) Bloom parse cache — LRU-evicted (access
+    * order, capacity 64), never a blunt clear(): a hot table's probes
+    * stay warm while cold (index, column) shards age out. Entries are
+    * immutable once a marker references the index dir. */
+  private val bloomColCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[
+          (String, String), Map[String, org.apache.spark.util.sketch.BloomFilter]](
+          16, 0.75f, /* accessOrder = */ true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, String),
+              Map[String, org.apache.spark.util.sketch.BloomFilter]]): Boolean =
+          size() > 64
+      })
+
+  /** Bloom filters DESERIALIZED on the driver since JVM start — the
+    * counter tests pin "planning reads O(probed columns) of the index,
+    * once" on. The distributed probe path never moves it. */
+  val bloomEntriesDeserialized = new java.util.concurrent.atomic.AtomicLong
+  /** Rows probed by the DISTRIBUTED (executor-side) bloom path since
+    * JVM start — moves only when a column shard exceeds the driver
+    * byte budget. */
+  val bloomDistributedProbes = new java.util.concurrent.atomic.AtomicLong
 
   /** Relative file keys a manifest's Bloom index PROVES free of every
     * pushed `=` / `IN` probe value for an indexed column. Conservative
@@ -899,7 +1033,16 @@ private[sources] object SnapshotScan {
     * column, no equality probes → empty set = no pruning); a file
     * missing from the index is never excluded. Probe hashing is
     * [[graft.ops.BloomIndex.probeHash]] — the same xxhash64(seed=42)
-    * the build side feeds the filters. */
+    * the build side feeds the filters.
+    *
+    * 100 TB shape (round-12): the index is read PER PROBED COLUMN
+    * (column-partitioned since this round; legacy single-file indexes
+    * filter in the scan), and a column shard bigger than
+    * `spark.graft.bloom.driverBytesMax` (default 32 MB — ~10⁵ files)
+    * is never materialized on the driver at all: the per-file
+    * exclusion runs as a distributed probe over the index parquet and
+    * only the EXCLUDED file keys come back (bounded by the file list
+    * the driver already holds). */
   def bloomExcluded(
       spark: SparkSession,
       m: SnapshotStore.Manifest,
@@ -910,28 +1053,67 @@ private[sources] object SnapshotScan {
       case In(c, vs) if vs.nonEmpty => (c, vs.toSeq)
     }
     if (probes.isEmpty) return Set.empty
-    val idx =
-      try bloomCache.getOrElseUpdate(m.bloomFile, {
-        if (bloomCache.size > 64) bloomCache.clear()
-        spark.read.parquet(m.bloomFile).collect().toSeq.flatMap { r =>
-          val bytes = r.getAs[Array[Byte]]("bloom")
-          if (bytes == null) None
-          else Some(((r.getAs[String]("file"), r.getAs[String]("col")),
-            org.apache.spark.util.sketch.BloomFilter
-              .readFrom(new java.io.ByteArrayInputStream(bytes))))
-        }.toMap
-      })
-      catch { case scala.util.control.NonFatal(_) => return Set.empty }
-    val hashed: Seq[(String, Seq[Long])] = probes.map { case (c, vs) =>
-      (c, vs.map(graft.ops.BloomIndex.probeHash))
-    }
-    idx.keysIterator.map(_._1).toSet.filter { fk =>
-      // excluded iff SOME probed predicate is provably unsatisfiable in
-      // this file (AND semantics across pushed filters)
-      hashed.exists { case (c, hs) =>
-        idx.get((fk, c)).exists(b => !hs.exists(b.mightContainLong))
+    val hashedByCol: Map[String, Seq[Long]] = probes
+      .groupBy(_._1)
+      .map { case (c, ps) =>
+        c -> ps.flatMap(_._2).distinct.map(graft.ops.BloomIndex.probeHash)
       }
-    }
+    val driverBytesMax =
+      spark.conf.get("spark.graft.bloom.driverBytesMax", (32L << 20).toString).toLong
+
+    try {
+      // column-shard byte size: the `col=<c>` subdir for sharded
+      // indexes, the whole index for legacy single-file layouts
+      val fsys = new Path(m.bloomFile)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def shardBytes(c: String): Long = {
+        val shard = new Path(m.bloomFile,
+          "col=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(c))
+        val root = if (fsys.exists(shard)) shard else new Path(m.bloomFile)
+        fsys.getContentSummary(root).getLength
+      }
+      hashedByCol.flatMap { case (c, hs) =>
+        if (shardBytes(c) <= driverBytesMax) {
+          // driver path: deserialize this COLUMN's filters once, LRU-cached
+          val idx = Option(bloomColCache.get((m.bloomFile, c))).getOrElse {
+            val loaded = spark.read.parquet(m.bloomFile)
+              .filter(org.apache.spark.sql.functions.col("col") === c)
+              .select("file", "bloom").collect().toSeq.flatMap { r =>
+                val bytes = r.getAs[Array[Byte]]("bloom")
+                if (bytes == null) None
+                else {
+                  bloomEntriesDeserialized.incrementAndGet()
+                  Some((r.getString(0), org.apache.spark.util.sketch.BloomFilter
+                    .readFrom(new java.io.ByteArrayInputStream(bytes))))
+                }
+              }.toMap
+            bloomColCache.put((m.bloomFile, c), loaded)
+            loaded
+          }
+          idx.collect { case (fk, b) if !hs.exists(b.mightContainLong) => fk }
+        } else {
+          // distributed path: probe in executors, ship back only the
+          // excluded keys — the driver never holds a filter
+          val hsArr = hs.toArray
+          bloomDistributedProbes.addAndGet(hsArr.length.toLong)
+          spark.read.parquet(m.bloomFile)
+            .filter(org.apache.spark.sql.functions.col("col") === c)
+            .select("file", "bloom")
+            .mapPartitions { rows =>
+              rows.flatMap { r =>
+                val bytes = r.getAs[Array[Byte]]("bloom")
+                if (bytes == null) None
+                else {
+                  val b = org.apache.spark.util.sketch.BloomFilter
+                    .readFrom(new java.io.ByteArrayInputStream(bytes))
+                  if (!hsArr.exists(b.mightContainLong)) Some(r.getString(0)) else None
+                }
+              }
+            }(org.apache.spark.sql.Encoders.STRING)
+            .collect().toSeq
+        }
+      }.toSet
+    } catch { case scala.util.control.NonFatal(_) => Set.empty }
   }
 
   /** DV lookups cache JVM-wide: DV key files are immutable once a
@@ -1223,9 +1405,26 @@ private[sources] final class SnapshotScan(
     * partition ships to executors. */
   private lazy val (keptWithStats: Seq[(SnapshotInputPartition, Map[String, (Any, Any)])],
       totalGroups: Int, totalFiles: Int, allColumnsPresent: Boolean) = {
+    // PARTITION-TRANSFORM pruning runs FIRST — pure path arithmetic on
+    // the file list, before the Bloom index or the stats sidecar is
+    // even opened. At the 100 TB day-appended shape (`part=days:ts`),
+    // `WHERE ts >= X` reduces the planning working set to the matching
+    // day directories' files; everything downstream (bloom probes,
+    // sidecar lookups, row-group packing) is O(kept), not O(table).
+    val afterPart =
+      if (m.partSpec.isEmpty || skippable.isEmpty) allDataFiles
+      else {
+        val kept = allDataFiles.filter { f =>
+          SnapshotScan.partitionKeeps(
+            graft.store.PartitionSpec.factsOf(f, m.partSpec, fullSchema),
+            skippable.toSeq)
+        }
+        SnapshotScan.lastPartitionPrunedFiles.set(allDataFiles.size - kept.size)
+        kept
+      }
     val all =
-      if (bloomExcluded.isEmpty) allDataFiles
-      else allDataFiles.filterNot(f =>
+      if (bloomExcluded.isEmpty) afterPart
+      else afterPart.filterNot(f =>
         bloomExcluded.contains(SnapshotStore.relFileKey(f)))
     // manifest-level stats: ONE sidecar read covers every file's row
     // groups, min/max, and field names — planning never opens a data

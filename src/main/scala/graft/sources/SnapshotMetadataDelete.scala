@@ -156,26 +156,7 @@ private[sources] object SnapshotMetadataDelete {
     * normalized value and the stats share a representation. Legacy
     * INT96 timestamps have Binary stats the harvest never records, so
     * they decline rather than compare wrong. */
-  private def normalizeDates(f: Filter): Filter = {
-    import org.apache.spark.sql.catalyst.util.DateTimeUtils
-    def n(v: Any): Any = v match {
-      case d: java.sql.Date       => d.toLocalDate.toEpochDay.toInt
-      case d: java.time.LocalDate => d.toEpochDay.toInt
-      case t: java.sql.Timestamp  => DateTimeUtils.fromJavaTimestamp(t)
-      case t: java.time.Instant   => DateTimeUtils.instantToMicros(t)
-      case t: java.time.LocalDateTime => DateTimeUtils.localDateTimeToMicros(t)
-      case other                  => other
-    }
-    f match {
-      case EqualTo(c, v)            => EqualTo(c, n(v))
-      case GreaterThan(c, v)        => GreaterThan(c, n(v))
-      case GreaterThanOrEqual(c, v) => GreaterThanOrEqual(c, n(v))
-      case LessThan(c, v)           => LessThan(c, n(v))
-      case LessThanOrEqual(c, v)    => LessThanOrEqual(c, n(v))
-      case In(c, vs)                => In(c, vs.map(n))
-      case other                    => other
-    }
-  }
+  private def normalizeDates(f: Filter): Filter = SnapshotScan.normalizeTemporal(f)
 
   private def cmp(a: Any, b: Any): Option[Int] = SnapshotScan.cmpAny(a, b)
 
@@ -253,7 +234,8 @@ private[sources] object SnapshotMetadataDelete {
         files = keepFiles, op = "delete-files", statsExact = head.statsExact,
         mixedSchema = head.mixedSchema, statsFile = stats,
         bucketCols = head.bucketCols, bucketN = head.bucketN,
-        bloomFile = head.bloomFile, sortCols = head.sortCols))
+        bloomFile = head.bloomFile, sortCols = head.sortCols,
+        partSpec = head.partSpec))
     if (!ok) throw new java.util.ConcurrentModificationException(
       s"graft-snapshot: metadata DELETE on $tablePath lost to a concurrent commit of " +
         s"version ${v + 1} — re-run the command against the new head")

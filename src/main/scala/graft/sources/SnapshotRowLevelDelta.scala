@@ -216,7 +216,8 @@ private[sources] final class SnapshotDeltaBatchWrite(
         bucketCols = if (pureDelete) m.bucketCols else Nil,
         bucketN = if (pureDelete) m.bucketN else 0,
         sortCols = if (pureDelete) m.sortCols else Nil,
-        bloomFile = m.bloomFile)) // file-keyed: inherited entries stay valid
+        bloomFile = m.bloomFile, // file-keyed: inherited entries stay valid
+        partSpec = m.partSpec))
     if (!ok) {
       abort(messages)
       throw new java.util.ConcurrentModificationException(

@@ -14,4 +14,19 @@ object SnapshotScanProbe {
   /** Zero the gauge before a measured query (it is set-per-scan, not
     * accumulated). */
   def resetRuntimePrunedGroups(): Unit = SnapshotScan.lastRuntimePrunedGroups.set(0)
+
+  /** Files the most recent partition-transform pruning dropped from
+    * pushed predicates BEFORE any stats sidecar / footer was consulted
+    * (set per scan planning, not accumulated). */
+  def lastPartitionPrunedFiles: Long = SnapshotScan.lastPartitionPrunedFiles.get()
+  def resetPartitionPrunedFiles(): Unit = SnapshotScan.lastPartitionPrunedFiles.set(0)
+
+  /** Bloom filters deserialized on the DRIVER since JVM start (per
+    * probed column, once — LRU-cached); the distributed probe path
+    * never moves it. */
+  def bloomEntriesDeserialized: Long = SnapshotScan.bloomEntriesDeserialized.get()
+
+  /** Probe values evaluated by the DISTRIBUTED bloom path (column
+    * shards above spark.graft.bloom.driverBytesMax). */
+  def bloomDistributedProbes: Long = SnapshotScan.bloomDistributedProbes.get()
 }

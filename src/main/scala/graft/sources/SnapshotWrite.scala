@@ -65,12 +65,28 @@ private[sources] final class SnapshotWrite(
     * manifest keeps the `bucket=` tag, so `INSERT INTO` /
     * `INSERT OVERWRITE` / the streaming sink all PRESERVE co-location
     * instead of silently dropping it. */
-  override val bucketSpec: Option[(Seq[String], Int)] =
+  private val headManifest: Option[SnapshotStore.Manifest] =
     SnapshotStore.currentVersion(SparkSession.active, tablePath)
       .map(v => SnapshotStore.manifest(SparkSession.active, tablePath, v))
-      .filter(_.bucketN > 0).map(m => (m.bucketCols, m.bucketN))
 
-  override def toBatch: BatchWrite = new SnapshotBatchWrite(tablePath, schema, append, bucketSpec)
+  override val bucketSpec: Option[(Seq[String], Int)] =
+    headManifest.filter(_.bucketN > 0).map(m => (m.bucketCols, m.bucketN))
+
+  /** The head's partition-transform layout: INSERT INTO / INSERT
+    * OVERWRITE route rows into `__gpN=` partition dirs (the rolling
+    * writer + the required local sort), so incremental SQL loads keep
+    * partition pruning. A batch missing a source column writes
+    * unrouted (files merely unprunable). */
+  override val partSpec: Seq[graft.store.PartitionSpec.PartField] =
+    headManifest.map(_.partSpec).getOrElse(Nil)
+      .filter(f => schema.fieldNames.contains(f.col)) match {
+      case s if headManifest.exists(_.partSpec.nonEmpty) &&
+          s.size == headManifest.map(_.partSpec.size).getOrElse(0) => s
+      case _ => Nil // partial source columns → no routing, no sort
+    }
+
+  override def toBatch: BatchWrite =
+    new SnapshotBatchWrite(tablePath, schema, append, bucketSpec, partSpec)
 
   /** Structured Streaming SINK: each micro-batch commits as one
     * O(new-files) append version, EXACTLY-ONCE — the epoch id rides the
@@ -89,13 +105,14 @@ private[sources] final class SnapshotWrite(
     if (!append) throw new UnsupportedOperationException(
       "graft-snapshot streaming sink supports APPEND output mode only " +
         "(complete/update rewrite the table every batch — use batch INSERT OVERWRITE)")
-    new SnapshotStreamingWrite(tablePath, schema, bucketSpec)
+    new SnapshotStreamingWrite(tablePath, schema, bucketSpec, partSpec)
   }
 }
 
 private[sources] final class SnapshotStreamingWrite(
     tablePath: String, schema: StructType,
-    bucketSpec: Option[(Seq[String], Int)] = None)
+    bucketSpec: Option[(Seq[String], Int)] = None,
+    partSpec: Seq[graft.store.PartitionSpec.PartField] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private val spark = SparkSession.active
@@ -109,26 +126,21 @@ private[sources] final class SnapshotStreamingWrite(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new SnapshotStreamingWriterFactory(tablePath, queryTok, schema,
-      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration), partSpec)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     // exactly-once replay guard: the head's src= records the last epoch
     // this table applied; an at-least-once re-delivery drops out here
     val applied = SnapshotStore.currentVersion(spark, tablePath)
       .map(v => SnapshotStore.manifest(spark, tablePath, v).srcV).getOrElse(-1L)
-    val committed = messages.collect { case SnapshotCommitMessage(Some(f)) => f }.toSeq
+    val committed = SnapshotWriteUtil.committedFiles(messages)
     val sd = new Path(stagedDir(epochId))
     val fs = sd.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (applied >= epochId) {
       if (fs.exists(sd)) fs.delete(sd, true) // replayed stage: drop, don't double-append
       return
     }
-    if (fs.exists(sd)) {
-      val names = committed.map(f => new Path(f).getName).toSet
-      fs.listStatus(sd).toSeq
-        .filterNot(st => names.contains(st.getPath.getName))
-        .foreach(st => fs.delete(st.getPath, st.isDirectory))
-    }
+    SnapshotWriteUtil.sweepStaged(fs, sd, committed.map(f => new Path(f).getName).toSet)
     if (committed.nonEmpty)
       SnapshotStore.appendFilesCommit(spark, tablePath, committed,
         stagedExact = true, srcV = epochId, routedBucket = bucketSpec)
@@ -142,18 +154,26 @@ private[sources] final class SnapshotStreamingWrite(
 }
 
 private[sources] final class SnapshotStreamingWriterFactory(
-    tablePath: String, queryTok: String, schema: StructType, conf: SerializableHadoopConf)
+    tablePath: String, queryTok: String, schema: StructType, conf: SerializableHadoopConf,
+    partSpec: Seq[graft.store.PartitionSpec.PartField] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(
-      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new SnapshotDataWriter(
-      s"$tablePath/v=${epochId}__stream$queryTok", partitionId, schema, conf.conf,
-      eagerPartitionZero = false)
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
+    val dir = s"$tablePath/v=${epochId}__stream$queryTok"
+    // streaming writers are FULLY lazy (an empty micro-batch must
+    // commit no version), partitioned or not
+    if (partSpec.isEmpty)
+      new SnapshotDataWriter(dir, partitionId, schema, conf.conf, eagerPartitionZero = false)
+    else
+      new SnapshotPartitionedDataWriter(dir, partitionId, schema, partSpec, conf.conf,
+        eagerPartitionZero = false)
+  }
 }
 
 private[sources] final class SnapshotBatchWrite(
     tablePath: String, schema: StructType, append: Boolean,
-    bucketSpec: Option[(Seq[String], Int)] = None)
+    bucketSpec: Option[(Seq[String], Int)] = None,
+    partSpec: Seq[graft.store.PartitionSpec.PartField] = Nil)
     extends BatchWrite {
 
   private val spark = SparkSession.active
@@ -165,7 +185,7 @@ private[sources] final class SnapshotBatchWrite(
     val p = new Path(stagedDir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
     new SnapshotWriterFactory(stagedDir, schema,
-      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration), partSpec)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -173,14 +193,10 @@ private[sources] final class SnapshotBatchWrite(
     // the collected messages ship; anything else in the staged dir is a
     // lost task attempt (executor crash before abort, defeated
     // speculative run) and is deleted before the publish
-    val committed = messages.collect {
-      case SnapshotCommitMessage(Some(f)) => f
-    }.toSeq
+    val committed = SnapshotWriteUtil.committedFiles(messages)
     val fs = new Path(stagedDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committedNames = committed.map(f => new Path(f).getName).toSet
-    fs.listStatus(new Path(stagedDir)).toSeq
-      .filterNot(s => committedNames.contains(s.getPath.getName))
-      .foreach(s => fs.delete(s.getPath, s.isDirectory))
+    SnapshotWriteUtil.sweepStaged(fs, new Path(stagedDir),
+      committed.map(f => new Path(f).getName).toSet)
 
     // one shared home for both publish protocols (SnapshotDataWriter
     // never truncates stats, so the staged side is always exact)
@@ -190,7 +206,8 @@ private[sources] final class SnapshotBatchWrite(
     else
       SnapshotStore.rewriteFilesCommit(spark, tablePath, committed, statsExact = true,
         bucketCols = bucketSpec.map(_._1).getOrElse(Nil),
-        bucketN = bucketSpec.map(_._2).getOrElse(0))
+        bucketN = bucketSpec.map(_._2).getOrElse(0),
+        partSpec = partSpec)
     ()
   }
 
@@ -202,10 +219,12 @@ private[sources] final class SnapshotBatchWrite(
 }
 
 private[sources] final class SnapshotWriterFactory(
-    stagedDir: String, schema: StructType, conf: SerializableHadoopConf)
+    stagedDir: String, schema: StructType, conf: SerializableHadoopConf,
+    partSpec: Seq[graft.store.PartitionSpec.PartField] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new SnapshotDataWriter(stagedDir, partitionId, schema, conf.conf)
+    if (partSpec.isEmpty) new SnapshotDataWriter(stagedDir, partitionId, schema, conf.conf)
+    else new SnapshotPartitionedDataWriter(stagedDir, partitionId, schema, partSpec, conf.conf)
 }
 
 private[sources] object SnapshotParquetSchema {
@@ -304,3 +323,119 @@ private[sources] final class SnapshotDataWriter(
 
 private[sources] final case class SnapshotCommitMessage(file: Option[String])
     extends WriterCommitMessage
+
+/** Multi-file task message — the partitioned rolling writer commits one
+  * file per (task, partition value). */
+private[sources] final case class SnapshotFilesCommitMessage(files: Seq[String])
+    extends WriterCommitMessage
+
+private[sources] object SnapshotWriteUtil {
+  /** Files named by COMMITTED task messages (single- and multi-file). */
+  def committedFiles(messages: Array[WriterCommitMessage]): Seq[String] =
+    messages.toSeq.flatMap {
+      case SnapshotCommitMessage(f)     => f.toSeq
+      case SnapshotFilesCommitMessage(fs) => fs
+      case _                             => Nil
+    }
+
+  /** Delete every file under `dir` (recursively — partition-routed
+    * stages nest `__gpN=` dirs) whose NAME is not in `keep`, then prune
+    * emptied subdirectories. File names are writer-unique (uuid), so
+    * name identity is sufficient. */
+  def sweepStaged(
+      fs: org.apache.hadoop.fs.FileSystem, dir: Path, keep: Set[String]): Unit = {
+    def walk(p: Path): Boolean = { // returns "anything kept below"
+      var any = false
+      fs.listStatus(p).foreach { s =>
+        if (s.isDirectory) {
+          if (walk(s.getPath)) any = true
+          else fs.delete(s.getPath, true)
+        } else if (keep.contains(s.getPath.getName)) any = true
+        else fs.delete(s.getPath, false)
+      }
+      any
+    }
+    if (fs.exists(dir)) { walk(dir); () }
+  }
+}
+
+/** Rolling PARTITIONED task writer: rows arrive locally sorted by the
+  * partition source columns (the write's `requiredOrdering`), so each
+  * transformed value is one contiguous run — the writer closes the
+  * current file and opens the next under the new `__gpN=<value>`
+  * directory when the derived value changes. An out-of-order row
+  * (ordering not applied — defensive) simply opens another file in the
+  * revisited directory; uuid file names never collide. */
+private[sources] final class SnapshotPartitionedDataWriter(
+    stagedDir: String, partitionId: Int, schema: StructType,
+    spec: Seq[graft.store.PartitionSpec.PartField], conf: Configuration,
+    eagerPartitionZero: Boolean = true)
+    extends DataWriter[InternalRow] {
+
+  private val ords = spec.map(f => schema.fieldIndex(f.col)).toArray
+  private val dts = spec.map(f => schema(f.col).dataType).toArray
+  private var cur: SnapshotDataWriter = null
+  private var curSuffix: String = null
+  private val done = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  private def valueOf(row: InternalRow, i: Int): Option[String] = {
+    val o = ords(i)
+    if (row.isNullAt(o)) None
+    else {
+      val raw: Any = dts(i) match {
+        case LongType | TimestampType | TimestampNTZType => row.getLong(o)
+        case IntegerType | DateType                      => row.getInt(o)
+        case ShortType                                   => row.getShort(o)
+        case ByteType                                    => row.getByte(o)
+        case BooleanType                                 => row.getBoolean(o)
+        case StringType                                  => row.getUTF8String(o).toString
+        case other => throw new UnsupportedOperationException(
+          s"unsupported partition source type $other")
+      }
+      Some(graft.store.PartitionSpec.renderValue(spec(i), dts(i), raw))
+    }
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val suffix = graft.store.PartitionSpec.dirSuffix(
+      spec, spec.indices.map(i => valueOf(row, i)))
+    if (suffix != curSuffix) {
+      closeCurrent()
+      cur = new SnapshotDataWriter(s"$stagedDir/$suffix", partitionId, schema, conf,
+        eagerPartitionZero = false)
+      curSuffix = suffix
+    }
+    cur.write(row)
+  }
+
+  private def closeCurrent(): Unit = if (cur != null) {
+    cur.commit() match {
+      case SnapshotCommitMessage(Some(f)) => done += f
+      case _                              => ()
+    }
+    cur = null
+  }
+
+  override def commit(): WriterCommitMessage = {
+    closeCurrent()
+    if (done.isEmpty && eagerPartitionZero && partitionId == 0) {
+      // all-empty batch write: ship ONE schema-bearing root file so the
+      // committed manifest has something for readers to resolve — the
+      // same contract as the unpartitioned writer's eager partition 0
+      val w = new SnapshotDataWriter(stagedDir, partitionId, schema, conf)
+      w.commit() match {
+        case SnapshotCommitMessage(Some(f)) => done += f
+        case _                              => ()
+      }
+    }
+    SnapshotFilesCommitMessage(done.toSeq)
+  }
+
+  override def abort(): Unit = {
+    // already-rolled files of this failed attempt stay in the staged
+    // dir; the job-level sweep (no message from this task) removes them
+    if (cur != null) cur.abort()
+  }
+
+  override def close(): Unit = if (cur != null) cur.close()
+}

@@ -102,7 +102,8 @@ object SnapshotStore {
       bucketCols: Seq[String] = Nil,
       bucketN: Int = 0,
       bloomFile: String = "",
-      sortCols: Seq[String] = Nil)
+      sortCols: Seq[String] = Nil,
+      partSpec: Seq[PartitionSpec.PartField] = Nil)
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -245,7 +246,7 @@ object SnapshotStore {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
-    val markerKeys = Seq("data=", "file=", "delete=", "keys=", "op=", "ts=", "stats=", "src=", "schema=", "statsfile=", "bucket=", "bloomfile=", "sortcols=")
+    val markerKeys = Seq("data=", "file=", "delete=", "keys=", "op=", "ts=", "stats=", "src=", "schema=", "statsfile=", "bucket=", "bloomfile=", "sortcols=", "part=")
     if (lines.exists(l => markerKeys.exists(l.startsWith))) {
       Manifest(
         data = lines.find(_.startsWith("data=")).map(_.stripPrefix("data=")).getOrElse(""),
@@ -269,7 +270,9 @@ object SnapshotStore {
           .map(_.stripPrefix("bloomfile=")).getOrElse(""),
         sortCols = lines.find(_.startsWith("sortcols="))
           .map(_.stripPrefix("sortcols=").split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-          .getOrElse(Nil))
+          .getOrElse(Nil),
+        partSpec = lines.find(_.startsWith("part="))
+          .map(l => PartitionSpec.parse(l.stripPrefix("part="))).getOrElse(Nil))
     } else {
       // legacy bare-path marker (or empty → the fixed v=<N> layout)
       Manifest(lines.headOption.getOrElse(versionDir(table, v)), Nil, Nil)
@@ -398,6 +401,66 @@ object SnapshotStore {
     next
   }
 
+  /** Recursive parquet-file listing of a staged dir — partition-routed
+    * stages nest files under `__gpN=<value>` directories. */
+  def listStagedFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    if (!f.exists(root)) return Seq.empty
+    val out = Seq.newBuilder[String]
+    def walk(p: Path): Unit = f.listStatus(p).foreach { s =>
+      if (s.isDirectory) walk(s.getPath)
+      else if (s.getPath.getName.endsWith(".parquet")) out += s.getPath.toString
+    }
+    walk(root)
+    out.result()
+  }
+
+  /** Commit `df` PARTITIONED by transform `spec` (identity / years /
+    * months / days / hours / truncate — [[PartitionSpec]]): rows
+    * cluster by the transformed value and land under hive-style
+    * `__gpN=<value>` directories inside the staged version dir, while
+    * the data files keep every ORIGINAL column (the derived value
+    * lives only in the directory name). The manifest records the spec
+    * (`part=` line); the DSv2 scan then prunes whole partitions from
+    * pushed predicates BEFORE any stats sidecar or footer is
+    * consulted, and retention deletes (`DELETE WHERE day < X`)
+    * classify partition-aligned files exactly.
+    *
+    * Unlike `bucket=` (an all-files zip contract), the spec survives
+    * EVERY later commit: pruning is per file, so unrouted files from
+    * other writers are merely unprunable, never wrong. [[appendCommit]]
+    * and the DSv2 INSERT paths route each batch into partition dirs,
+    * which is the day-appended-fact shape this layout exists for. */
+  def partitionedCommit(df: DataFrame, table: String, spec: Seq[PartitionSpec.PartField]): Long = {
+    PartitionSpec.validate(spec, df.schema)
+    val spark = df.sparkSession
+    var next = currentVersion(spark, table).map(_ + 1).getOrElse(0L)
+    val dataDir = s"$table/v=${next}__${token()}"
+    val (routed, dirCols) = PartitionSpec.withRoutingColumns(df, spec)
+    // cluster rows so each partition value lands in few tasks — the
+    // write-once shuffle that keeps file counts O(partitions), not
+    // O(partitions × tasks)
+    routed.repartition(dirCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").partitionBy(dirCols: _*).parquet(dataDir)
+    val staged = listStagedFiles(spark, dataDir)
+    // an all-empty frame stages no files; seed one schema-bearing file
+    // so the manifest has something for readers to resolve (bare
+    // CREATE TABLE PARTITIONED BY births this way)
+    val files =
+      if (staged.nonEmpty) staged
+      else {
+        df.limit(0).write.mode("overwrite").parquet(dataDir)
+        dataFiles(spark, Manifest(dataDir, Nil, Nil))
+      }
+    val stats = FileStats.sidecarFor(spark, table, files, None, writerStatsExact(spark))
+    while (!tryPublishManifest(spark, table, next,
+        Manifest("", Nil, Nil, files = files, op = "partition",
+          statsExact = writerStatsExact(spark), statsFile = stats, partSpec = spec)))
+      next += 1
+    next
+  }
+
   /** Commit `df` RANGE-CLUSTERED and SORTED by `cols` into `n` files,
     * recording the sort in the manifest. Every file holds a disjoint
     * key range (min/max stats and runtime join filters prune hard) and
@@ -468,8 +531,8 @@ object SnapshotStore {
     // each _commits listing is a driver round-trip on the hot
     // incremental-load path
     val head = headV
-    val spec = head.map(v => manifest(spark, table, v))
-      .filter(_.bucketN > 0).map(m => (m.bucketCols, m.bucketN))
+    val headM = head.map(v => manifest(spark, table, v))
+    val spec = headM.filter(_.bucketN > 0).map(m => (m.bucketCols, m.bucketN))
     spec.foreach { case (cols, _) =>
       val missing = cols.filterNot(c =>
         df.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
@@ -485,8 +548,23 @@ object SnapshotStore {
       case None => df
     }
     val stageDir = s"$table/v=${head.map(_ + 1).getOrElse(0L)}__${token()}"
-    routed.write.mode("overwrite").parquet(stageDir)
-    val staged = dataFiles(spark, Manifest(stageDir, Nil, Nil))
+    // appending to a PARTITIONED table routes the batch into its
+    // partition directories — the day-appended fact keeps pruning for
+    // every incremental load. A batch omitting a partition source
+    // column stages unrouted (its files are merely unprunable), the
+    // same conservative contract as any foreign writer.
+    val partSpec = headM.map(_.partSpec).getOrElse(Nil)
+    val staged =
+      if (partSpec.nonEmpty && partSpec.forall(f => df.schema.fieldNames.contains(f.col))) {
+        val (withCols, dirCols) = PartitionSpec.withRoutingColumns(routed, partSpec)
+        withCols
+          .sortWithinPartitions(dirCols.map(org.apache.spark.sql.functions.col): _*)
+          .write.mode("overwrite").partitionBy(dirCols: _*).parquet(stageDir)
+        listStagedFiles(spark, stageDir)
+      } else {
+        routed.write.mode("overwrite").parquet(stageDir)
+        dataFiles(spark, Manifest(stageDir, Nil, Nil))
+      }
     appendFilesCommit(spark, table, staged, writerStatsExact(spark), maxAttempts, srcV,
       mixedSchema = evolving, routedBucket = spec)
   }
@@ -544,7 +622,10 @@ object SnapshotStore {
             bucketN = keptSpec.map(_._2).getOrElse(0),
             // bloom index is FILE-keyed: inherited files keep their
             // entries, staged files simply have none (no skip, no lie)
-            bloomFile = m0.map(_.bloomFile).getOrElse(""))))
+            bloomFile = m0.map(_.bloomFile).getOrElse(""),
+            // partition spec is per-FILE metadata (unrouted staged
+            // files are just unprunable) — always carries forward
+            partSpec = m0.map(_.partSpec).getOrElse(Nil))))
         return next
       attempt += 1 // CAS lost: re-link the SAME staged files against the new head
     }
@@ -561,7 +642,8 @@ object SnapshotStore {
       op: String = "rewrite",
       srcV: Long = -1L,
       bucketCols: Seq[String] = Nil,
-      bucketN: Int = 0): Long = {
+      bucketN: Int = 0,
+      partSpec: Seq[PartitionSpec.PartField] = Nil): Long = {
     var next = currentVersion(spark, table).map(_ + 1).getOrElse(0L)
     // copy-forward-aware: a caller whose file list keeps most of the
     // head's files (copy-on-write shapes) only pays footers for the new
@@ -570,7 +652,8 @@ object SnapshotStore {
     val stats = FileStats.sidecarFor(spark, table, files, pred, statsExact)
     while (!tryPublishManifest(spark, table, next,
         Manifest("", Nil, Nil, files = files, op = op, statsExact = statsExact, srcV = srcV,
-          statsFile = stats, bucketCols = bucketCols, bucketN = bucketN)))
+          statsFile = stats, bucketCols = bucketCols, bucketN = bucketN,
+          partSpec = partSpec)))
       next += 1 // staged data stays valid as a later version
     next
   }
@@ -611,6 +694,7 @@ object SnapshotStore {
     if (m.bucketN > 0) content.append(s"bucket=${m.bucketCols.mkString(",")}:${m.bucketN}\n")
     if (m.bloomFile.nonEmpty) content.append(s"bloomfile=${m.bloomFile}\n")
     if (m.sortCols.nonEmpty) content.append(s"sortcols=${m.sortCols.mkString(",")}\n")
+    if (m.partSpec.nonEmpty) content.append(s"part=${PartitionSpec.render(m.partSpec)}\n")
     content.append(s"ts=$ts\n")
     val out = f.create(tmp, true)
     try out.write(content.toString.getBytes("UTF-8"))
@@ -696,7 +780,8 @@ object SnapshotStore {
             statsFile = m.statsFile, // data unchanged → stats carry forward
             bucketCols = m.bucketCols, bucketN = m.bucketN,
             bloomFile = m.bloomFile,
-            sortCols = m.sortCols))) // DV filtering preserves row order
+            sortCols = m.sortCols, // DV filtering preserves row order
+            partSpec = m.partSpec)))
         return cur + 1
       attempt += 1 // orphan DV file is GC'd by vacuum's reference count
     }
@@ -736,7 +821,8 @@ object SnapshotStore {
             statsFile = m.statsFile,
             bucketCols = m.bucketCols, bucketN = m.bucketN,
             bloomFile = m.bloomFile,
-            sortCols = m.sortCols))) // DV filtering preserves row order
+            sortCols = m.sortCols, // DV filtering preserves row order
+            partSpec = m.partSpec)))
         return cur + 1
       attempt += 1
     }
@@ -954,6 +1040,15 @@ object SnapshotStore {
       .map(m => new Path(m.data).getName).toSet
     val liveFiles = retainedManifests.flatMap(_.files)
       .map { p => val q = new Path(p); (q.getParent.getName, q.getName) }.toSet
+    // v-dir-relative identity (`v=<N>__tok/__gp0=…/part-x.parquet`) —
+    // partition-routed files nest under `__gpN=` dirs, so (parent,
+    // name) pairs alone would miss them in the sweep below
+    def vKeyOf(p: String): Option[String] = {
+      val segs = new Path(p).toUri.getPath.split('/')
+      val i = segs.lastIndexWhere(_.startsWith("v="))
+      if (i < 0) None else Some(segs.drop(i).mkString("/"))
+    }
+    val liveVKeys = retainedManifests.flatMap(_.files).flatMap(vKeyOf).toSet
     val liveDvs = retainedManifests.flatMap(_.deletes).map(p => new Path(p).getName).toSet
     val liveStats = retainedManifests.map(_.statsFile).filter(_.nonEmpty)
       .map(p => new Path(p).getName).toSet
@@ -989,10 +1084,24 @@ object SnapshotStore {
       .filter(p => !liveData.contains(p.getName))
       .filter(p => dirVersion(p.getName).exists(_ < current))
       .foreach { p =>
-        val entries = f.listStatus(p).toSeq
-        val (live, dead) = entries.partition(s => liveFiles.contains((p.getName, s.getPath.getName)))
-        if (live.isEmpty) f.delete(p, true)
-        else dead.foreach(s => f.delete(s.getPath, s.isDirectory))
+        // recursive: partition-routed stages nest files under __gpN=
+        // dirs; liveness keys on the v-dir-relative path
+        def sweep(dir: Path): Boolean = { // returns "anything live below"
+          var anyLive = false
+          f.listStatus(dir).foreach { s =>
+            if (s.isDirectory) {
+              if (sweep(s.getPath)) anyLive = true
+              else f.delete(s.getPath, true) // nothing live → prune the empty dir
+            } else {
+              val key = vKeyOf(s.getPath.toString)
+              if (key.exists(liveVKeys.contains) ||
+                  liveFiles.contains((dir.getName, s.getPath.getName))) anyLive = true
+              else f.delete(s.getPath, false)
+            }
+          }
+          anyLive
+        }
+        if (!sweep(p)) f.delete(p, true)
       }
 
     // unreferenced deletion-vector files (aged-out or CAS-defeated)

@@ -137,4 +137,56 @@ class BloomManifestSpec extends SparkSuite {
     assert(look(dst).count() === 0L)
     assert(look(src).count() === 0L)
   }
+
+  test("column-sharded index: planning deserializes O(probed columns), once (LRU-cached)") {
+    val t = fresh("bloomshard")
+    commitShuffled(t, 20000L, 8)
+    BloomIndex.bloomCommit(spark, t, Seq("k", "tag"), expectedItems = 10000L)
+    val bf = SnapshotStore.manifest(spark, t, 1).bloomFile
+    val fs = new org.apache.hadoop.fs.Path(bf)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(bf)).exists(s0 =>
+      s0.isDirectory && s0.getPath.getName.startsWith("col=")),
+      "the index must shard by column on disk")
+
+    def lookup(k: Long) = spark.read.format("graft-snapshot").option("path", t).load()
+      .filter(col("k") === k).count()
+    val d0 = SnapshotScanProbe.bloomEntriesDeserialized
+    lookup(12345L)
+    val afterK = SnapshotScanProbe.bloomEntriesDeserialized - d0
+    assert(afterK === 8L,
+      s"probing one column over 8 files must deserialize exactly 8 filters, got $afterK")
+    lookup(54321L % 20000L) // same column again: cache hit, zero new parses
+    assert(SnapshotScanProbe.bloomEntriesDeserialized - d0 === 8L,
+      "a second probe of the same column must hit the LRU cache")
+    // the OTHER column's shard was never read
+    spark.read.format("graft-snapshot").option("path", t).load()
+      .filter(col("tag") === "p3").count()
+    assert(SnapshotScanProbe.bloomEntriesDeserialized - d0 === 16L,
+      "probing the second column reads only its own shard")
+  }
+
+  test("a column shard above the driver byte budget probes DISTRIBUTED, same pruning") {
+    val t = fresh("bloomdist")
+    commitShuffled(t, 20000L, 8)
+    BloomIndex.bloomCommit(spark, t, Seq("k"), expectedItems = 10000L)
+    spark.conf.set("spark.graft.bloom.driverBytesMax", "1") // force the distributed path
+    try {
+      val d0 = SnapshotScanProbe.bloomEntriesDeserialized
+      val p0 = SnapshotScanProbe.bloomDistributedProbes
+      def lookup(k: Long) = spark.read.format("graft-snapshot").option("path", t).load()
+        .filter(col("k") === k)
+      // absent key: every file's filter excludes it — full prune, computed
+      // in executors
+      val (kept0, total0) = filesRead(lookup(99999999L))
+      assert(total0 === 8 && kept0 === 0,
+        s"distributed probe must prune every file for an absent key, kept $kept0/$total0")
+      // present key: exact answer survives
+      assert(lookup(12346L % 20000L).count() === 1L)
+      assert(SnapshotScanProbe.bloomEntriesDeserialized === d0,
+        "the distributed path must not deserialize filters on the driver")
+      assert(SnapshotScanProbe.bloomDistributedProbes > p0,
+        "the distributed probe counter must move")
+    } finally spark.conf.unset("spark.graft.bloom.driverBytesMax")
+  }
 }

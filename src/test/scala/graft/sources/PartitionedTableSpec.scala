@@ -1,0 +1,247 @@
+package graft.sources
+
+import graft.SparkSuite
+import graft.store.{PartitionSpec, SnapshotStore}
+import org.apache.spark.sql.functions._
+
+/** Partition transforms on snapshot tables (`days`/`months`/`years`/
+  * `hours`/`identity`/`truncate` — [[PartitionSpec]]): writers route
+  * rows into hive-style `__gpN=` directories, the manifest records the
+  * spec, and the scan prunes whole partitions from pushed predicates
+  * BEFORE any stats sidecar or footer is consulted — the day-appended
+  * 100 TB fact layout (reference: `bronze_to_silver.py:115`
+  * partitionBy("observation_date")). */
+class PartitionedTableSpec extends SparkSuite {
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  private def scanDescription(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.sparkPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.description()
+    }.getOrElse(fail("no BatchScanExec in the plan"))
+
+  test("partitionedCommit days(ts): routed dirs, identical answers, path-only pruning") {
+    val table = freshDir("part-days") + "/t"
+    val orders = graft.sources.Tables.orders(spark, sf())
+    SnapshotStore.partitionedCommit(orders, table, Seq(PartitionSpec.PartField("days", "o_orderdate")))
+
+    val m = SnapshotStore.manifest(spark, table, 0L)
+    assert(m.partSpec === Seq(PartitionSpec.PartField("days", "o_orderdate")))
+    assert(m.files.nonEmpty && m.files.forall(_.contains("/__gp0=")),
+      s"every routed file sits under a partition dir: ${m.files.take(3)}")
+    // the derived column is directory-only: data files keep the original schema
+    val read = spark.read.format("graft-snapshot").option("path", table).load()
+    assert(read.schema.fieldNames.toSeq === orders.schema.fieldNames.toSeq)
+    assert(read.count() === orders.count())
+
+    // one full-day predicate: pruning must happen from the PATHS, before
+    // stats (footer counter unchanged, partition counter > 0), and the
+    // answer must match the unpartitioned truth
+    val day = orders.select(to_date(col("o_orderdate")).cast("string").alias("d"))
+      .distinct().orderBy("d").collect()(1).getString(0)
+    val lo = java.sql.Timestamp.valueOf(s"$day 00:00:00")
+    val hi = new java.sql.Timestamp(lo.getTime + 86400000L)
+    val footers0 = SnapshotScanProbe.plannerFooterReads
+    SnapshotScanProbe.resetPartitionPrunedFiles()
+    val q = read.filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+    val got = q.agg(count(lit(1)), sum(col("o_orderkey"))).collect()(0)
+    val want = orders.filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+      .agg(count(lit(1)), sum(col("o_orderkey"))).collect()(0)
+    assert(got === want, "partition pruning must not change answers")
+    assert(SnapshotScanProbe.lastPartitionPrunedFiles > 0,
+      "a one-day predicate over a day-partitioned table must prune files from paths")
+    assert(SnapshotScanProbe.plannerFooterReads === footers0,
+      "partition pruning must not open data-file footers")
+  }
+
+  test("CTAS PARTITIONED BY (days(...)) + INSERT INTO route through the same layout") {
+    val wh = freshDir("part-ctas")
+    val cat = "gpart_" + java.util.UUID.randomUUID.toString.take(8).replace("-", "")
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      graft.sources.Tables.orders(spark, sf()).createOrReplaceTempView("gpart_src")
+      spark.sql(
+        s"""CREATE TABLE $cat.facts.orders PARTITIONED BY (days(o_orderdate))
+            AS SELECT * FROM gpart_src""")
+      val root = s"$wh/facts/orders"
+      val m0 = SnapshotStore.manifest(spark, root, 0L)
+      assert(m0.partSpec === Seq(PartitionSpec.PartField("days", "o_orderdate")))
+      assert(m0.files.forall(_.contains("/__gp0=")),
+        "CTAS tasks must roll files into partition dirs")
+
+      // INSERT INTO appends route into the same directory naming as the
+      // DataFrame path — day dirs line up across both writers
+      spark.sql(
+        s"""INSERT INTO $cat.facts.orders
+            SELECT o_orderkey + 1000000, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority FROM gpart_src""")
+      val m1 = SnapshotStore.manifest(spark, root, 1L)
+      assert(m1.partSpec === m0.partSpec, "append carries the spec forward")
+      val newFiles = m1.files.filterNot(m0.files.toSet)
+      assert(newFiles.nonEmpty && newFiles.forall(_.contains("/__gp0=")))
+      def daysOf(files: Seq[String]): Set[String] =
+        files.flatMap(_.split('/').find(_.startsWith("__gp0="))).toSet
+      assert(daysOf(newFiles) === daysOf(m0.files.toSeq),
+        "both write paths must name day directories identically")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.facts.orders").head().getLong(0)
+        === 2 * spark.table("gpart_src").count())
+
+      // the table reports its transforms
+      val parts = spark.sessionState.catalogManager.catalog(cat)
+        .asInstanceOf[SnapshotCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("facts"), "orders")).partitioning()
+      assert(parts.map(_.describe()).toSeq === Seq("days(o_orderdate)"))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
+  test("retention DELETE on a partition boundary is a pure manifest edit (delete-files)") {
+    val wh = freshDir("part-retention")
+    val cat = "gret_" + java.util.UUID.randomUUID.toString.take(8).replace("-", "")
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      val root = s"$wh/facts/orders"
+      val orders = graft.sources.Tables.orders(spark, sf())
+      SnapshotStore.partitionedCommit(orders, root,
+        Seq(PartitionSpec.PartField("days", "o_orderdate")))
+      val cut = orders.select(to_date(col("o_orderdate")).cast("string").alias("d"))
+        .distinct().orderBy("d").collect()(2).getString(0)
+      val footers0 = SnapshotScanProbe.plannerFooterReads
+      spark.sql(
+        s"DELETE FROM $cat.facts.orders WHERE o_orderdate < TIMESTAMP'$cut 00:00:00'")
+      val m1 = SnapshotStore.manifest(spark, root, 1L)
+      assert(m1.op === "delete-files",
+        s"a partition-aligned retention DELETE must classify metadata-only, got ${m1.op}")
+      assert(m1.partSpec.nonEmpty, "the spec survives the manifest edit")
+      assert(SnapshotScanProbe.plannerFooterReads === footers0, "no footers, no job")
+      val want = orders.filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf(s"$cut 00:00:00"))).count()
+      assert(spark.sql(s"SELECT count(*) FROM $cat.facts.orders").head().getLong(0) === want)
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
+  test("identity + truncate transforms: null partitions, prefix pruning, exact answers") {
+    import spark.implicits._
+    val table = freshDir("part-ident") + "/t"
+    val df = Seq(
+      (1L, Option("ALPHA-1"), "us"), (2L, Option("ALPHA-2"), "eu"),
+      (3L, Option("BETA-9"), "us"), (4L, Option.empty[String], "ap")
+    ).toDF("id", "sku", "region")
+    SnapshotStore.partitionedCommit(df, table, Seq(
+      PartitionSpec.PartField("truncate", "sku", 5),
+      PartitionSpec.PartField("identity", "region")))
+    val read = spark.read.format("graft-snapshot").option("path", table).load()
+    assert(read.count() === 4)
+    assert(read.filter(col("sku").isNull).count() === 1, "null routes to the null dir and reads back")
+
+    // equality on the truncate source: only the ALPHA prefix partitions stay
+    SnapshotScanProbe.resetPartitionPrunedFiles()
+    assert(read.filter(col("sku") === "ALPHA-2").count() === 1)
+    assert(SnapshotScanProbe.lastPartitionPrunedFiles > 0,
+      "prefix partitions that cannot hold the value must prune")
+
+    // identity partition pruning on a second spec field
+    SnapshotScanProbe.resetPartitionPrunedFiles()
+    assert(read.filter(col("region") === "eu").select(sum("id")).head().getLong(0) === 2L)
+    assert(SnapshotScanProbe.lastPartitionPrunedFiles > 0)
+  }
+
+  test("months transform over timestamps prunes month directories") {
+    val table = freshDir("part-months") + "/t"
+    val orders = graft.sources.Tables.orders(spark, sf())
+    SnapshotStore.partitionedCommit(orders, table,
+      Seq(PartitionSpec.PartField("months", "o_orderdate")))
+    val m = SnapshotStore.manifest(spark, table, 0L)
+    assert(m.files.forall(_.contains("/__gp0=")))
+    val read = spark.read.format("graft-snapshot").option("path", table).load()
+    val month = orders.select(date_format(col("o_orderdate"), "yyyy-MM").alias("m"))
+      .groupBy("m").count().orderBy("m").collect()
+    assume(month.length > 1, "needs at least two months of data")
+    val pick = month(0).getString(0)
+    val lo = java.sql.Timestamp.valueOf(s"$pick-01 00:00:00")
+    SnapshotScanProbe.resetPartitionPrunedFiles()
+    val got = read.filter(col("o_orderdate") < lit(lo)).count()
+    assert(got === orders.filter(col("o_orderdate") < lit(lo)).count())
+    // everything is >= the first month's start → every file pruned...
+    // unless the planner folded the filter; assert the counter moved
+    // for the complementary shape instead
+    SnapshotScanProbe.resetPartitionPrunedFiles()
+    val hi = java.sql.Timestamp.valueOf(s"$pick-28 00:00:00")
+    val got2 = read.filter(col("o_orderdate") <= lit(hi)).count()
+    assert(got2 === orders.filter(col("o_orderdate") <= lit(hi)).count())
+    assert(SnapshotScanProbe.lastPartitionPrunedFiles > 0,
+      "a first-month predicate must prune later month dirs")
+  }
+
+  test("vacuum keeps live nested partition files and collects aged-out ones") {
+    val table = freshDir("part-vac") + "/t"
+    val orders = graft.sources.Tables.orders(spark, sf())
+    SnapshotStore.partitionedCommit(orders.limit(50), table,
+      Seq(PartitionSpec.PartField("days", "o_orderdate")))           // v0
+    SnapshotStore.appendCommit(orders.limit(10), table)              // v1
+    SnapshotStore.commit(orders.limit(5), table)                     // v2 (rewrite)
+    SnapshotStore.appendCommit(orders.limit(3), table)               // v3
+    val dropped = SnapshotStore.vacuum(spark, table, keep = 2)
+    assert(dropped === Seq(0L, 1L))
+    // v0/v1's partition-routed files are gone; v2/v3 read intact
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SnapshotStore.manifest(spark, table, 0L match { case _ => 2L }).files.foreach(f =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(f)), s"live file vacuumed: $f"))
+    assert(SnapshotStore.read(spark, table).count() === 8)
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(table)).exists(s =>
+      s.getPath.getName.startsWith("v=0")), "v0's routed stage must be collected")
+  }
+
+  test("streaming sink routes micro-batches into partition dirs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val table = freshDir("part-stream") + "/t"
+    val orders = graft.sources.Tables.orders(spark, sf())
+    SnapshotStore.partitionedCommit(orders.limit(0), table,
+      Seq(PartitionSpec.PartField("days", "o_orderdate")))
+    val rows = orders.limit(20)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .as[(Long, Long, String, Double, java.sql.Timestamp, String)].collect().toSeq
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double, java.sql.Timestamp, String)]
+    val ckpt = freshDir("part-stream-ckpt")
+    val q = mem.toDF()
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .writeStream.format("graft-snapshot").option("path", table)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try { mem.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+    val m = SnapshotStore.manifest(spark, table,
+      SnapshotStore.currentVersion(spark, table).get)
+    val appended = m.files.filterNot(SnapshotStore.manifest(spark, table, 0L).files.toSet)
+    assert(appended.nonEmpty && appended.forall(_.contains("/__gp0=")),
+      s"streamed files must route into partition dirs: ${appended.take(3)}")
+    assert(SnapshotStore.read(spark, table).count() === 20)
+  }
+
+  test("unsupported transform shapes refuse loudly") {
+    val table = freshDir("part-refuse") + "/t"
+    val orders = graft.sources.Tables.orders(spark, sf())
+    val e1 = intercept[UnsupportedOperationException] {
+      SnapshotStore.partitionedCommit(orders, table,
+        Seq(PartitionSpec.PartField("hours", "o_orderstatus")))
+    }
+    assert(e1.getMessage.contains("unsupported partition transform"))
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotStore.partitionedCommit(orders, table,
+        Seq(PartitionSpec.PartField("days", "nope")))
+    }
+    assert(e2.getMessage.contains("not in the schema"))
+  }
+}

@@ -237,11 +237,15 @@ class StoragePartitionedJoinSpec extends SparkSuite {
            JOIN spjc.fact.orders_twin b USING (o_orderkey)""")
       assert(shuffles(j) === 0, s"CTAS-bucketed join shuffled:\n${j.queryExecution.executedPlan}")
       assert(j.count() === orders.count())
-      // identity partitioning stays refused, with guidance
+      // identity/time transforms are a SUPPORTED layout since round-12
+      // (PartitionedTableSpec); what stays refused is MIXING them with
+      // bucket — a bucket layout is an all-files zip contract
       val e = intercept[Exception](spark.sql(
-        """CREATE TABLE spjc.fact.bad PARTITIONED BY (o_orderkey)
+        """CREATE TABLE spjc.fact.bad
+           PARTITIONED BY (bucket(4, o_orderkey), o_orderkey)
            AS SELECT o_orderkey FROM spjc.fact.orders_src"""))
-      assert(e.getMessage.contains("bucket"), s"refusal should name the supported layout: ${e.getMessage}")
+      assert(e.getMessage.contains("cannot mix bucket"),
+        s"refusal should name the mixing contract: ${e.getMessage}")
     } finally {
       spark.conf.unset("spark.sql.catalog.spjc.warehouse")
       spark.conf.unset("spark.sql.catalog.spjc")
