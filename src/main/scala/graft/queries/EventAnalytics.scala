@@ -708,7 +708,58 @@ object EventAnalytics {
           GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   }
 
+  /** DT28: WRITABLE BRANCHES / write-audit-publish — fork a branch at
+    * the fact's head (`CALL system.create_branch`, O(1) metadata),
+    * commit an append AND a deletion-vector delete against the BRANCH
+    * path through the ordinary store surfaces, audit (main provably
+    * unchanged), then `CALL system.fast_forward` publishes the branch
+    * head onto main as ONE atomic manifest — zero data movement, the
+    * every-lakehouse-team WAP flow. Oracle replays the append+delete
+    * algebra over plain parquet. */
+  val dtBranchWap: Q = (s, d) => {
+    val wh = Fixtures.dir("branchwap", d) { root =>
+      val t = s"$root/facts/orders"
+      val orders = Tables.orders(s, d)
+      graft.store.SnapshotStore.commit(orders, t)
+      val cat = snapCatalog(s, root)
+      val br = s.sql(s"CALL $cat.system.create_branch('facts.orders', 'wap')")
+        .head().getString(0)
+      graft.store.SnapshotStore.appendCommit(
+        orders.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L), br)
+      graft.store.SnapshotStore.deleteCommit(s, br, Seq("o_orderkey"),
+        pmod(col("o_orderkey"), lit(50)) === 7)
+      // AUDIT: main must not have moved
+      require(graft.store.SnapshotStore.currentVersion(s, t) == Some(0L),
+        "dt_branch_wap: main moved before publish")
+      val v = s.sql(s"CALL $cat.system.fast_forward('facts.orders', 'wap')")
+        .head().getLong(0)
+      require(v == 1L && graft.store.SnapshotStore.manifest(s, t, v).op == "publish",
+        "dt_branch_wap: publish must fast-forward main by one version")
+    }
+    val cat = snapCatalog(s, wh)
+    s.sql(
+      s"""SELECT o_orderstatus,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM $cat.facts.orders
+          GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  }
+
   private val oraclesBase: Map[String, String] = Map(
+    "dt_branch_wap" ->
+      """WITH u AS (
+           SELECT * FROM orders
+           UNION ALL
+           SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey % 10 = 3)
+         SELECT o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM u
+         WHERE o_orderkey % 50 <> 7
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "dt_partition_prune" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
                 CAST(count(*) AS BIGINT) AS n_rows,
@@ -1149,6 +1200,7 @@ object EventAnalytics {
     "dt_append" -> dtAppend,
     "dt_delete_files" -> dtDeleteFiles,
     "dt_partition_prune" -> dtPartitionPrune,
+    "dt_branch_wap" -> dtBranchWap,
     "dt_partition_delete" -> dtPartitionDelete,
     "dt_changes_batch" -> dtChangesBatch,
     "dt_merge_sql" -> dtMergeSql,

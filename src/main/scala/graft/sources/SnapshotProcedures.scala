@@ -50,7 +50,8 @@ object SnapshotProcedures {
 
   def names: Seq[String] =
     Seq("compact", "compact_small_files", "zorder", "bloom_index", "vacuum", "sync",
-      "restore", "create_tag", "drop_tag")
+      "restore", "create_tag", "drop_tag",
+      "create_branch", "fast_forward", "drop_branch")
 
   /** Resolve `ns.table` (possibly multi-level `ns1.ns2.t`) under the
     * catalog warehouse — identical layout to
@@ -264,6 +265,49 @@ object SnapshotProcedures {
           StructField("existed", BooleanType, nullable = false))))({ in =>
         val t = root(warehouse, in.getUTF8String(0).toString)
         Array(row(SnapshotStore.dropTag(spark, t, in.getUTF8String(1).toString)))
+      }))
+
+      case "create_branch" => Some(new Proc(
+        "create_branch",
+        "Fork a WRITABLE branch at the table's head (O(1) metadata): every " +
+          "write surface works against the returned branch path (the " +
+          "write-audit-publish flow), main never sees branch commits until " +
+          "fast_forward publishes them",
+        Array(
+          p("table", StringType, comment = "catalog-relative name, e.g. 'ns.t'"),
+          p("name", StringType, comment = "branch name ([A-Za-z0-9._-], no leading dot)")),
+        StructType(Seq(
+          StructField("branch_path", StringType, nullable = false))))({ in =>
+        val t = root(warehouse, in.getUTF8String(0).toString)
+        val br = SnapshotStore.createBranch(spark, t, in.getUTF8String(1).toString)
+        Array(row(org.apache.spark.unsafe.types.UTF8String.fromString(br)))
+      }))
+
+      case "fast_forward" => Some(new Proc(
+        "fast_forward",
+        "PUBLISH a branch: fast-forward main to the branch head in one atomic " +
+          "marker rename, zero data movement; refused if main moved past the " +
+          "branch's fork base (re-branch from the new head)",
+        Array(
+          p("table", StringType, comment = "catalog-relative name, e.g. 'ns.t'"),
+          p("name", StringType, comment = "branch name to publish")),
+        StructType(Seq(
+          StructField("published_version", LongType, nullable = false))))({ in =>
+        val t = root(warehouse, in.getUTF8String(0).toString)
+        Array(row(SnapshotStore.fastForward(spark, t, in.getUTF8String(1).toString)))
+      }))
+
+      case "drop_branch" => Some(new Proc(
+        "drop_branch",
+        "Delete a branch's staged files and version log; refused while a " +
+          "published main version still references them (compact main first)",
+        Array(
+          p("table", StringType, comment = "catalog-relative name, e.g. 'ns.t'"),
+          p("name", StringType, comment = "branch name to drop")),
+        StructType(Seq(
+          StructField("existed", BooleanType, nullable = false))))({ in =>
+        val t = root(warehouse, in.getUTF8String(0).toString)
+        Array(row(SnapshotStore.dropBranch(spark, t, in.getUTF8String(1).toString)))
       }))
 
       case "sync" => Some(new Proc(

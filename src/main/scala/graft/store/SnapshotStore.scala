@@ -891,6 +891,116 @@ object SnapshotStore {
   def dropTag(spark: SparkSession, table: String, name: String): Boolean =
     fs(spark, table).delete(new Path(refsDir(table), name), false)
 
+  // ---- WRITABLE BRANCHES (write-audit-publish) ---------------------
+  // A branch is a SELF-CONTAINED snapshot table under
+  // `<table>/_branches/<name>`: its version 0 manifest is a copy of
+  // main's head manifest (file paths still pointing at main's files —
+  // an O(1)-metadata fork, no byte moves), and from then on EVERY
+  // existing write surface works against the branch path unchanged:
+  // appendCommit, MERGE/UPDATE/DELETE through the DSv2 connector,
+  // deletion vectors, compaction. Main never sees branch commits until
+  // [[fastForward]] publishes the branch head manifest as main's next
+  // version — the write-audit-publish flow: write to the branch, run
+  // the audit queries against the branch path, publish atomically (or
+  // drop the branch and nothing ever happened).
+  //
+  // Divergence contract: fastForward requires main's head to be the
+  // branch's recorded base (`src=` of branch v0) — a concurrent main
+  // commit refuses the publish loudly (re-branch from the new head)
+  // rather than silently dropping it, the same head-pin discipline as
+  // the row-level commands. Tags are untouched: they stay immutable
+  // read pins in `_refs/`.
+
+  private def branchesDir(table: String) = s"$table/_branches"
+
+  /** The branch's table root — pass it to ANY read/write surface. */
+  def branchRoot(table: String, name: String): String = {
+    require(tagNameOk.matches(name) && name.forall(_ != '/'),
+      s"branch name must match ${tagNameOk.regex}, got '$name'")
+    s"${branchesDir(table)}/$name"
+  }
+
+  /** Fork a branch at main's head (O(1) metadata). Returns the branch
+    * root path. */
+  def createBranch(spark: SparkSession, table: String, name: String): String = {
+    val br = branchRoot(table, name)
+    require(versions(spark, br).isEmpty && !fs(spark, table).exists(new Path(br)),
+      s"branch '$name' already exists on $table (dropBranch first)")
+    val base = currentVersion(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $table"))
+    val m = manifest(spark, table, base)
+    // file-granular fork: resolve dir-granular legacy manifests to an
+    // explicit file list so the branch head never depends on main's
+    // data-dir LISTING (main may append into new dirs later)
+    val files = dataFiles(spark, m)
+    if (!tryPublishManifest(spark, br, 0L,
+        m.copy(data = "", files = files, op = "branch", srcV = base, ts = 0L)))
+      throw new IllegalStateException(s"branch '$name' lost a concurrent-create race on $table")
+    br
+  }
+
+  /** Branches of `table`: name → (branch head version, main base). */
+  def branches(spark: SparkSession, table: String): Map[String, (Long, Long)] = {
+    val f = fs(spark, table)
+    val dir = new Path(branchesDir(table))
+    if (!f.exists(dir)) return Map.empty
+    f.listStatus(dir).toSeq.filter(_.isDirectory).flatMap { s =>
+      val br = s.getPath.toString
+      versions(spark, br).lastOption.map { head =>
+        s.getPath.getName -> (head, manifest(spark, br, 0L).srcV)
+      }
+    }.toMap
+  }
+
+  /** PUBLISH: fast-forward main to the branch head — one atomic marker
+    * rename, zero data movement (the published manifest references the
+    * branch's staged files in place). Refuses if main moved past the
+    * branch base (divergence) — re-branch from the new head and replay.
+    * Returns main's new version. The branch stays intact (drop it when
+    * done; [[dropBranch]] guards against dropping published files). */
+  def fastForward(spark: SparkSession, table: String, name: String): Long = {
+    val br = branchRoot(table, name)
+    val headBr = currentVersion(spark, br).getOrElse(
+      throw new IllegalArgumentException(s"no branch '$name' under $table"))
+    val base = manifest(spark, br, 0L).srcV
+    val mainHead = currentVersion(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $table"))
+    if (mainHead != base)
+      throw new java.util.ConcurrentModificationException(
+        s"fastForward('$name') refused: $table moved to version $mainHead since the " +
+          s"branch forked at $base — audit against a fresh branch of the new head")
+    if (headBr == 0L) return mainHead // nothing committed on the branch: no-op
+    val bm = manifest(spark, br, headBr)
+    if (!tryPublishManifest(spark, table, mainHead + 1,
+        bm.copy(ts = 0L, op = "publish", srcV = headBr)))
+      throw new java.util.ConcurrentModificationException(
+        s"fastForward('$name') lost the publish race on $table version ${mainHead + 1}")
+    mainHead + 1
+  }
+
+  /** Drop branch `name` (its staged files and version log). REFUSED
+    * while any retained MAIN manifest still references files under the
+    * branch root (a fast-forwarded head does, until a main-side
+    * compaction rewrites them into main's own dirs) — deleting them
+    * would corrupt published history. */
+  def dropBranch(spark: SparkSession, table: String, name: String): Boolean = {
+    val br = branchRoot(table, name)
+    val p = new Path(br)
+    val f = fs(spark, table)
+    if (!f.exists(p)) return false
+    val prefix = p.toUri.getPath + "/"
+    val referencing = versions(spark, table).filter { v =>
+      val m = manifest(spark, table, v)
+      (m.files ++ m.deletes ++ Seq(m.statsFile, m.bloomFile).filter(_.nonEmpty))
+        .exists(q => new Path(q).toUri.getPath.startsWith(prefix))
+    }
+    require(referencing.isEmpty,
+      s"dropBranch('$name') refused: main version(s) ${referencing.mkString(", ")} still " +
+        s"reference files under $br (published via fastForward) — compact main first " +
+        "(Bucketing.compactCommit rewrites them into the table's own directories)")
+    f.delete(p, true)
+  }
+
   /** All tags of `table`: name → version. */
   def tags(spark: SparkSession, table: String): Map[String, Long] = {
     val f = fs(spark, table)
@@ -1026,8 +1136,12 @@ object SnapshotStore {
     val root = new Path(table)
 
     // TAGGED versions are live regardless of the keep horizon — a tag
-    // is an explicit retention pin (drop the tag to release it)
-    val tagged = tags(spark, table).values.toSet
+    // is an explicit retention pin (drop the tag to release it). A
+    // BRANCH pins its fork base the same way: the branch's v0 manifest
+    // references the base version's files in place, so aging the base
+    // out would corrupt every branch forked from it.
+    val tagged = tags(spark, table).values.toSet ++
+      branches(spark, table).values.map(_._2).filter(_ >= 0L)
     val retained = committed.filter(v =>
       tagged.contains(v) || committed.takeRight(keep).contains(v))
     val doomedCommitted = committed.filterNot(retained.toSet)

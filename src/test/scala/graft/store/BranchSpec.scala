@@ -1,0 +1,134 @@
+package graft.store
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Writable BRANCHES (write-audit-publish): a branch forks at main's
+  * head as a self-contained snapshot table under `_branches/<name>`
+  * (O(1) metadata — its v0 references main's files in place), every
+  * existing write surface works against the branch path, and
+  * `fastForward` publishes the branch head onto main in one atomic
+  * marker rename. Tags stay immutable read pins — untouched. */
+class BranchSpec extends SparkSuite {
+
+  private def fresh(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/t"
+
+  test("WAP: branch writes are invisible to main until fastForward publishes them") {
+    val table = fresh("branch-wap")
+    val nation = graft.sources.Tables.nation(spark, sf())
+    SnapshotStore.commit(nation, table) // main v0
+
+    val br = SnapshotStore.createBranch(spark, table, "audit")
+    assert(SnapshotStore.read(spark, br).orderBy("n_nationkey").collect()
+      === SnapshotStore.read(spark, table).orderBy("n_nationkey").collect(),
+      "a fresh branch reads exactly main's head")
+
+    // WRITE to the branch through the ordinary surfaces: an append and a DV delete
+    SnapshotStore.appendCommit(
+      nation.select(col("n_nationkey") + 100, col("n_name"), col("n_regionkey"))
+        .toDF("n_nationkey", "n_name", "n_regionkey").limit(5), br)
+    SnapshotStore.deleteCommit(spark, br, Seq("n_nationkey"), col("n_nationkey") === 3L)
+
+    // AUDIT: branch sees the delta, main does not
+    assert(SnapshotStore.read(spark, br).count() === nation.count() + 5 - 1)
+    assert(SnapshotStore.read(spark, table).count() === nation.count(),
+      "main must not see branch commits")
+    assert(SnapshotStore.currentVersion(spark, table) === Some(0L))
+    assert(SnapshotStore.branches(spark, table)("audit") === ((2L, 0L)))
+
+    // PUBLISH: one atomic manifest, zero data movement
+    val v = SnapshotStore.fastForward(spark, table, "audit")
+    assert(v === 1L)
+    val main = SnapshotStore.read(spark, table)
+    assert(main.count() === nation.count() + 5 - 1)
+    assert(main.filter(col("n_nationkey") === 3L).count() === 0L)
+    assert(SnapshotStore.manifest(spark, table, 1L).op === "publish")
+  }
+
+  test("fastForward refuses when main diverged past the fork base") {
+    val table = fresh("branch-diverge")
+    val nation = graft.sources.Tables.nation(spark, sf())
+    SnapshotStore.commit(nation, table)
+    val br = SnapshotStore.createBranch(spark, table, "wip")
+    SnapshotStore.appendCommit(nation.limit(2), br)
+    SnapshotStore.appendCommit(nation.limit(1), table) // main moves
+    val e = intercept[java.util.ConcurrentModificationException] {
+      SnapshotStore.fastForward(spark, table, "wip")
+    }
+    assert(e.getMessage.contains("moved to version"))
+    assert(SnapshotStore.currentVersion(spark, table) === Some(1L),
+      "a refused publish must not move main")
+  }
+
+  test("dropBranch refuses while published main versions reference branch files") {
+    val table = fresh("branch-drop")
+    val nation = graft.sources.Tables.nation(spark, sf())
+    SnapshotStore.commit(nation, table)
+    val br = SnapshotStore.createBranch(spark, table, "audit")
+    SnapshotStore.appendCommit(nation.limit(4), br)
+    SnapshotStore.fastForward(spark, table, "audit")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.dropBranch(spark, table, "audit")
+    }
+    assert(e.getMessage.contains("reference files under"))
+    assert(SnapshotStore.read(spark, table).count() === nation.count() + 4,
+      "the refused drop must leave published data intact")
+
+    // an UNPUBLISHED branch drops cleanly and main never knew
+    SnapshotStore.appendCommit(nation.limit(1), table) // main moves past the base
+    val scratch = SnapshotStore.createBranch(spark, table, "scratch")
+    SnapshotStore.appendCommit(nation.limit(2), scratch)
+    assert(SnapshotStore.dropBranch(spark, table, "scratch"))
+    assert(SnapshotStore.branches(spark, table).keySet === Set("audit"))
+  }
+
+  test("a branch pins its fork base against main's vacuum") {
+    val table = fresh("branch-vac")
+    val nation = graft.sources.Tables.nation(spark, sf())
+    SnapshotStore.commit(nation, table)                    // v0 = fork base
+    val br = SnapshotStore.createBranch(spark, table, "longlived")
+    SnapshotStore.commit(nation.limit(3), table)           // v1 (rewrite)
+    SnapshotStore.commit(nation.limit(2), table)           // v2
+    SnapshotStore.commit(nation.limit(1), table)           // v3
+    val dropped = SnapshotStore.vacuum(spark, table, keep = 2)
+    assert(!dropped.contains(0L), "the branch's fork base must be retention-pinned")
+    assert(SnapshotStore.read(spark, br).count() === nation.count(),
+      "the branch must stay readable after main's vacuum")
+    // releasing the branch releases the pin
+    assert(SnapshotStore.dropBranch(spark, table, "longlived"))
+    assert(SnapshotStore.vacuum(spark, table, keep = 2).contains(0L))
+  }
+
+  test("SQL procedures: create_branch / fast_forward / drop_branch; empty publish is a no-op") {
+    val wh = java.nio.file.Files.createTempDirectory("branch-sql").toString
+    val cat = "gbr_" + java.util.UUID.randomUUID.toString.take(8).replace("-", "")
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      val table = s"$wh/dims/nation"
+      val nation = graft.sources.Tables.nation(spark, sf())
+      SnapshotStore.commit(nation, table)
+      val br = spark.sql(s"CALL $cat.system.create_branch('dims.nation', 'wap')")
+        .head().getString(0)
+      assert(br.endsWith("_branches/wap"))
+      // empty branch: publishing is a no-op at the fork base
+      assert(spark.sql(s"CALL $cat.system.fast_forward('dims.nation', 'wap')")
+        .head().getLong(0) === 0L)
+      SnapshotStore.appendCommit(nation.limit(3), br)
+      assert(spark.sql(s"CALL $cat.system.fast_forward('dims.nation', 'wap')")
+        .head().getLong(0) === 1L)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.dims.nation").head().getLong(0)
+        === nation.count() + 3)
+      val e = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.drop_branch('dims.nation', 'wap')").collect()
+      }
+      def chain(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ chain(x.getCause))
+      assert(chain(e).exists(_.contains("reference files under")))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+}
