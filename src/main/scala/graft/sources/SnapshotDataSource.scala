@@ -1552,6 +1552,30 @@ private[sources] final class SnapshotScan(
   private lazy val dvKeysBroadcast: org.apache.spark.broadcast.Broadcast[Array[DvLookup]] =
     SnapshotScan.broadcastDvClasses(spark, m, dvClassLayout.map(_._1.map(m.deletes)))
 
+  /** Total bytes of the manifest's DV key files — the driver-vs-task-
+    * side routing signal, resolved from file statuses only (no key is
+    * read to decide). */
+  private lazy val dvBytes: Long = m.deletes.map { d =>
+    val p = new org.apache.hadoop.fs.Path(d)
+    val f = p.getFileSystem(hadoopConf)
+    if (!f.exists(p)) 0L
+    else if (f.getFileStatus(p).isDirectory)
+      f.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+    else f.getFileStatus(p).getLen
+  }.sum
+
+  /** Whether this scan resolves DVs on the DRIVER (collect+broadcast —
+    * the small-delta hot path) or TASK-SIDE (executors read the DV
+    * parquet themselves; driver memory stays O(paths)). The documented
+    * small-delta contract is now enforced in code: a DV past
+    * `spark.graft.dv.driverBytesMax` (default 16 MB) can no longer
+    * grow the driver heap — and compaction remains the remediation
+    * that removes the per-executor read too. */
+  private lazy val dvTaskSide: Boolean = m.deletes.nonEmpty && dvBytes >
+    spark.conf.get("spark.graft.dv.driverBytesMax", (16L << 20).toString).toLong
+
   /** Per-partition row ordering, reported only for manifests a sorted
     * commit produced (`sortcols=`). Sound because every read unit is
     * internally ordered: a row-group partition is a contiguous slice of
@@ -1628,6 +1652,7 @@ private[sources] final class SnapshotScan(
     val groups = s"rowGroups=${keptGroups.size}/$totalGroups"
     val dv =
       if (m.deletes.isEmpty) ""
+      else if (dvTaskSide) s", dvTaskSide=${dvBytes}B" // never collected on the driver
       else if (dvClassLookups.length == 1) s", dvKeys=${dvClassLookups(0).size}"
       else s", dvKeys=${dvClassLookups.map(l => if (l == null) 0 else l.size).mkString("/")}"
     val mode = if (columnar) "vectorized" else "row"
@@ -1704,8 +1729,14 @@ private[sources] final class SnapshotScan(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val c = SnapshotScan.readerHadoopConf(spark, hadoopConf)
+    val resolver: Option[DvResolver] =
+      if (m.deletes.isEmpty) None
+      else if (dvTaskSide)
+        Some(new TaskSideDvResolver(dvClassLayout.map(_._1.map(m.deletes)),
+          m.keyCols, new SerializableHadoopConf(c)))
+      else Some(new BroadcastDvResolver(dvKeysBroadcast))
     new SnapshotReaderFactory(physical, m.keyCols, dvKeyTypes,
-      if (m.deletes.isEmpty) None else Some(dvKeysBroadcast), columnar,
+      resolver, columnar,
       new SerializableHadoopConf(c), appendFileCol = hasFileCol)
   }
 
@@ -1853,6 +1884,115 @@ private[sources] final class LongHashSet(values: Array[Long]) extends Serializab
   }
 }
 
+/** How a reader obtains its partition's deletion-vector lookup — the
+  * driver decides per scan:
+  *  - SMALL DVs (≤ `spark.graft.dv.driverBytesMax`): built once on the
+  *    driver and broadcast ([[BroadcastDvResolver]]) — zero per-task
+  *    I/O, the hot-path default.
+  *  - BIG DVs: the driver never materializes a key — executors read
+  *    the DV parquet themselves, once per JVM ([[TaskSideDvResolver]],
+  *    the Iceberg task-side delete-file shape). Driver memory stays
+  *    O(paths) no matter how large the DV grows; the cost moves to one
+  *    DV read per executor, which compaction remediation then removes.
+  */
+private[sources] sealed trait DvResolver extends Serializable {
+  def lookup(dvClass: Int): DvLookup
+}
+
+private[sources] final class BroadcastDvResolver(
+    b: org.apache.spark.broadcast.Broadcast[Array[DvLookup]]) extends DvResolver {
+  override def lookup(dvClass: Int): DvLookup = b.value.apply(dvClass)
+}
+
+private[sources] final class TaskSideDvResolver(
+    classDeletes: Seq[Seq[String]],
+    keyCols: Seq[String],
+    conf: SerializableHadoopConf) extends DvResolver {
+  override def lookup(dvClass: Int): DvLookup = {
+    val ds = classDeletes(dvClass)
+    if (ds.isEmpty) null
+    else TaskSideDvResolver.cache.getOrElseUpdate((ds, keyCols), {
+      if (TaskSideDvResolver.cache.size > 16) TaskSideDvResolver.cache.clear()
+      TaskSideDvResolver.read(ds, keyCols, conf.conf)
+    })
+  }
+}
+
+private[sources] object TaskSideDvResolver {
+  /** Executor-JVM-local: each executor reads a (DV set, keys) once. */
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(Seq[String], Seq[String]), DvLookup]
+
+  /** Lookups built executor-side since JVM start (test pin; in local
+    * mode the "executor" shares the driver JVM). */
+  val taskSideBuilds = new java.util.concurrent.atomic.AtomicLong
+
+  /** Read DV key files with parquet-mr directly (no Spark session in
+    * executors): raw primitive reads land exactly in the probe value
+    * space — INT64 timestamp-micros as longs, INT32 dates as day ints,
+    * BINARY strings as UTF8String. */
+  private[sources] def read(
+      deletes: Seq[String], keyCols: Seq[String], conf: Configuration): DvLookup = {
+    taskSideBuilds.incrementAndGet()
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val parts: Seq[Path] = deletes.flatMap { d =>
+      val p = new Path(d)
+      val f = p.getFileSystem(conf)
+      if (f.getFileStatus(p).isDirectory)
+        f.listStatus(p).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath)
+      else Seq(p)
+    }
+    require(parts.nonEmpty, s"no DV key files under ${deletes.mkString(", ")}")
+    val schema = {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(parts.head, conf))
+      try r.getFooter.getFileMetaData.getSchema finally r.close()
+    }
+    def primOf(name: String) = schema.getType(schema.getFieldIndex(name)).asPrimitiveType()
+    val storageTypes: Seq[DataType] = keyCols.map(c => primOf(c).getPrimitiveTypeName match {
+      case INT64   => LongType
+      case INT32   => IntegerType
+      case DOUBLE  => DoubleType
+      case FLOAT   => FloatType
+      case BOOLEAN => BooleanType
+      case BINARY
+          if primOf(c).getLogicalTypeAnnotation ==
+            org.apache.parquet.schema.LogicalTypeAnnotation.stringType() => StringType
+      case other => throw new UnsupportedOperationException(
+        s"graft-snapshot: unsupported deletion-vector key physical type $other for '$c'")
+    })
+    val keys = scala.collection.mutable.HashSet.empty[Seq[Any]]
+    parts.foreach { p =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), p)
+        .withConf(conf).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          val sch = g.getType
+          keys += keyCols.map { c =>
+            val i = sch.getFieldIndex(c)
+            if (g.getFieldRepetitionCount(i) == 0) null
+            else sch.getType(i).asPrimitiveType().getPrimitiveTypeName match {
+              case INT64   => java.lang.Long.valueOf(g.getLong(i, 0))
+              case INT32   => java.lang.Integer.valueOf(g.getInteger(i, 0))
+              case DOUBLE  => java.lang.Double.valueOf(g.getDouble(i, 0))
+              case FLOAT   => java.lang.Float.valueOf(g.getFloat(i, 0))
+              case BOOLEAN => java.lang.Boolean.valueOf(g.getBoolean(i, 0))
+              case BINARY  => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+              case other => throw new UnsupportedOperationException(
+                s"unsupported DV key physical type $other")
+            }
+          }
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    new DvLookup(keys.toSet, keyCols.size, storageTypes)
+  }
+}
+
 private[sources] final class DvLookup(
     keys: Set[Seq[Any]], arity: Int, keyStorageTypes: Seq[DataType]) extends Serializable {
   private val single: Set[Any] =
@@ -1921,7 +2061,7 @@ private[sources] final class SnapshotReaderFactory(
     required: StructType,
     keyCols: Seq[String],
     keyTypes: Seq[DataType],
-    dvKeys: Option[org.apache.spark.broadcast.Broadcast[Array[DvLookup]]],
+    dvResolver: Option[DvResolver],
     columnar: Boolean,
     conf: SerializableHadoopConf,
     appendFileCol: Boolean = false)
@@ -1940,7 +2080,7 @@ private[sources] final class SnapshotReaderFactory(
     // the partition's class index picks its scoped lookup; a class no
     // DV covers (appended-after-delete files) carries null = no probe,
     // and the readers must then not decode the key columns either
-    val dv: DvLookup = dvKeys.map(_.value.apply(p.dvClass)).orNull
+    val dv: DvLookup = dvResolver.map(_.lookup(p.dvClass)).orNull
     val kc = if (dv == null) Nil else keyCols
     val kt = if (dv == null) Nil else keyTypes
     // self-contained row groups decode through the VECTORIZED reader
@@ -1990,7 +2130,7 @@ private[sources] final class SnapshotReaderFactory(
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     // a class no DV covers (appended-after-delete files) decodes clean;
     // covered classes probe + compact per batch, still columnar
-    val dv: DvLookup = dvKeys.map(_.value.apply(p.dvClass)).orNull
+    val dv: DvLookup = dvResolver.map(_.lookup(p.dvClass)).orNull
     if (dv == null) new SnapshotColumnarReader(p, required, conf.conf)
     else new SnapshotDvColumnarReader(p, required, keyCols, keyTypes, dv, conf.conf, mx)
   }

@@ -51,7 +51,7 @@ object SnapshotProcedures {
   def names: Seq[String] =
     Seq("compact", "compact_small_files", "zorder", "bloom_index", "vacuum", "sync",
       "restore", "create_tag", "drop_tag",
-      "create_branch", "fast_forward", "drop_branch")
+      "create_branch", "fast_forward", "drop_branch", "maintenance")
 
   /** Resolve `ns.table` (possibly multi-level `ns1.ns2.t`) under the
     * catalog warehouse — identical layout to
@@ -308,6 +308,30 @@ object SnapshotProcedures {
           StructField("existed", BooleanType, nullable = false))))({ in =>
         val t = root(warehouse, in.getUTF8String(0).toString)
         Array(row(SnapshotStore.dropBranch(spark, t, in.getUTF8String(1).toString)))
+      }))
+
+      case "maintenance" => Some(new Proc(
+        "maintenance",
+        "DV-density-aware compaction scheduling: measure deletion-vector rows " +
+          "vs live table rows (metadata only — DV footers + the stats sidecar) " +
+          "and run the compacting rewrite when density exceeds max_dv_ratio, so " +
+          "a merge-on-read-heavy table self-heals on a nightly CALL",
+        Array(
+          p("table", StringType, comment = "catalog-relative name, e.g. 'ns.t'"),
+          p("max_dv_ratio", DoubleType, Some("0.1"),
+            "compact when dv_rows/table_rows exceeds this"),
+          p("target_bytes", LongType, Some((128L << 20).toString),
+            "output file size for the rewrite")),
+        StructType(Seq(
+          StructField("dv_rows", LongType, nullable = false),
+          StructField("table_rows", LongType, nullable = false),
+          StructField("dv_density", DoubleType, nullable = false),
+          StructField("action", StringType, nullable = false),
+          StructField("version", LongType, nullable = false))))({ in =>
+        val t = root(warehouse, in.getUTF8String(0).toString)
+        val r = graft.ops.Maintenance.run(spark, t, in.getDouble(1), in.getLong(2))
+        Array(row(r.dvRows, r.tableRows, r.density,
+          org.apache.spark.unsafe.types.UTF8String.fromString(r.action), r.version))
       }))
 
       case "sync" => Some(new Proc(
