@@ -200,7 +200,7 @@ object Bucketing {
         files = big.map(_._1) ++ staged, op = "compact-small",
         statsExact = m.statsExact, mixedSchema = m.mixedSchema, statsFile = stats,
         bucketCols = m.bucketCols, bucketN = m.bucketN, bloomFile = m.bloomFile,
-        partSpec = m.partSpec))
+        partSpec = m.partSpec, ndvFile = m.ndvFile))
     if (!ok) {
       fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
       throw new java.util.ConcurrentModificationException(

@@ -746,7 +746,59 @@ object EventAnalytics {
           GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   }
 
+  /** DT29: NDV COLUMN STATISTICS → CBO — `CALL system.analyze` runs one
+    * distributed pass aggregating a mergeable HLL sketch (+ exact null
+    * count) per (file, column), published as a manifest surface; the
+    * DSv2 scan then reports distinctCount/nullCount/min/max through V2
+    * Statistics and Spark's CBO join estimation lands within 10% of
+    * the true join cardinality (the fixture pins it — the rowCount-only
+    * estimate is the full product, orders of magnitude off). Join
+    * ordering over snapshot tables stops guessing. Oracle replays the
+    * join exactly. */
+  val dtNdvCbo: Q = (s, d) => {
+    val wh = Fixtures.dir("ndvcbo", d) { root =>
+      val orders = Tables.orders(s, d)
+      graft.store.SnapshotStore.commit(
+        orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        s"$root/facts/orders")
+      graft.store.SnapshotStore.commit(
+        orders.select(col("o_custkey")).distinct()
+          .withColumn("segment", pmod(col("o_custkey"), lit(7))),
+        s"$root/dims/cust")
+      val cat = snapCatalog(s, root)
+      s.sql(s"CALL $cat.system.analyze('facts.orders', 'o_custkey')")
+      s.sql(s"CALL $cat.system.analyze('dims.cust', 'o_custkey')")
+      // CBO pin: the analyzed tables give the join a cardinality
+      // estimate within 10% of truth
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      try {
+        val j = s.sql(
+          s"""SELECT f.o_custkey FROM $cat.facts.orders f
+              JOIN $cat.dims.cust c ON f.o_custkey = c.o_custkey""")
+        val est = j.queryExecution.optimizedPlan.collectFirst {
+          case jn: org.apache.spark.sql.catalyst.plans.logical.Join => jn.stats.rowCount
+        }.flatten
+        val truth = orders.count() // every fact row matches exactly one dim row
+        require(est.exists(e => math.abs(e.toLong - truth).toDouble / truth < 0.10),
+          s"dt_ndv_cbo: join estimate $est must land within 10% of $truth")
+      } finally s.conf.unset("spark.sql.cbo.enabled")
+    }
+    val cat = snapCatalog(s, wh)
+    s.sql(
+      s"""SELECT c.segment,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CAST(round(f.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM $cat.facts.orders f JOIN $cat.dims.cust c ON f.o_custkey = c.o_custkey
+          GROUP BY c.segment ORDER BY c.segment""")
+  }
+
   private val oraclesBase: Map[String, String] = Map(
+    "dt_ndv_cbo" ->
+      """SELECT o_custkey % 7 AS segment,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders
+         GROUP BY 1 ORDER BY 1""",
     "dt_branch_wap" ->
       """WITH u AS (
            SELECT * FROM orders
@@ -1201,6 +1253,7 @@ object EventAnalytics {
     "dt_delete_files" -> dtDeleteFiles,
     "dt_partition_prune" -> dtPartitionPrune,
     "dt_branch_wap" -> dtBranchWap,
+    "dt_ndv_cbo" -> dtNdvCbo,
     "dt_partition_delete" -> dtPartitionDelete,
     "dt_changes_batch" -> dtChangesBatch,
     "dt_merge_sql" -> dtMergeSql,

@@ -1615,9 +1615,63 @@ private[sources] final class SnapshotScan(
     val groups = keptWithStats
     val bytes = (groups.iterator.map(_._1.length).sum * factor).toLong
     val rows = groups.iterator.map(_._1.rows).sum
+    // NDV column statistics (`CALL system.analyze` → `ndvfile=`):
+    // union the KEPT files' per-file HLL sketches per column — the
+    // estimate tracks pruning, and Spark's CBO (transformV2Stats)
+    // folds distinctCount into join cardinality/reorder decisions.
+    // Empty map when no analyze ran — CBO then sees rows/bytes only,
+    // exactly the pre-round-12 behavior.
+    val ndv: Map[String, (Long, Long)] =
+      if (m.ndvFile.isEmpty || m.deletes.nonEmpty) Map.empty // DVs shrink true NDV unpredictably
+      else graft.ops.NdvStats.estimates(
+        spark, m.ndvFile, groups.map(_._1.file).distinct)
+    val colStats = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    ndv.foreach { case (c, (n, nulls)) =>
+      if (physical.fieldNames.contains(c)) {
+        // merged min/max over the KEPT groups' sidecar bounds — CBO's
+        // equi-join estimation intersects key VALUE INTERVALS before
+        // applying the NDV formula, and absent intervals read as
+        // disjoint (estimate 0). Numerics only: the values are already
+        // catalyst-internal (Long/Int/Double; timestamp micros, date
+        // days); strings use the default interval anyway and their
+        // sidecar bounds may be writer-truncated.
+        val numericBounds: Option[(Any, Any)] = {
+          val bs = groups.iterator.flatMap(_._2.get(c)).toSeq
+          if (bs.isEmpty || !bs.forall(b =>
+              b._1.isInstanceOf[java.lang.Number] && b._2.isInstanceOf[java.lang.Number]))
+            None
+          else Some((
+            bs.map(_._1).minBy(_.asInstanceOf[java.lang.Number].doubleValue()),
+            bs.map(_._2).maxBy(_.asInstanceOf[java.lang.Number].doubleValue())))
+        }
+        colStats.put(
+          org.apache.spark.sql.connector.expressions.Expressions.column(c),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(n)
+            // exact, from the same analyze pass: CBO's join estimation
+            // requires a null count NEXT TO the distinct count
+            // (EstimationUtils hasCountStats) — distinctCount alone is
+            // silently ignored
+            override def nullCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(nulls)
+            override def min(): java.util.Optional[Object] =
+              numericBounds.map(b => java.util.Optional.of(b._1.asInstanceOf[Object]))
+                .getOrElse(java.util.Optional.empty[Object]())
+            override def max(): java.util.Optional[Object] =
+              numericBounds.map(b => java.util.Optional.of(b._2.asInstanceOf[Object]))
+                .getOrElse(java.util.Optional.empty[Object]())
+          })
+      }
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
   }
 

@@ -51,7 +51,7 @@ object SnapshotProcedures {
   def names: Seq[String] =
     Seq("compact", "compact_small_files", "zorder", "bloom_index", "vacuum", "sync",
       "restore", "create_tag", "drop_tag",
-      "create_branch", "fast_forward", "drop_branch", "maintenance")
+      "create_branch", "fast_forward", "drop_branch", "maintenance", "analyze")
 
   /** Resolve `ns.table` (possibly multi-level `ns1.ns2.t`) under the
     * catalog warehouse — identical layout to
@@ -332,6 +332,22 @@ object SnapshotProcedures {
         val r = graft.ops.Maintenance.run(spark, t, in.getDouble(1), in.getLong(2))
         Array(row(r.dvRows, r.tableRows, r.density,
           org.apache.spark.unsafe.types.UTF8String.fromString(r.action), r.version))
+      }))
+
+      case "analyze" => Some(new Proc(
+        "analyze",
+        "NDV column statistics: one distributed pass aggregates a mergeable " +
+          "HLL sketch per (file, column) and publishes it as the next version " +
+          "(ndvfile= marker, data untouched) — the scan then reports " +
+          "distinctCount to Spark's CBO for join cardinality and reordering",
+        Array(
+          p("table", StringType, comment = "catalog-relative name, e.g. 'ns.t'"),
+          p("columns", StringType, comment = "comma-separated column names")),
+        StructType(Seq(
+          StructField("analyzed_version", LongType, nullable = false))))({ in =>
+        val t = root(warehouse, in.getUTF8String(0).toString)
+        val cols = in.getUTF8String(1).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        Array(row(graft.ops.NdvStats.analyzeCommit(spark, t, cols)))
       }))
 
       case "sync" => Some(new Proc(

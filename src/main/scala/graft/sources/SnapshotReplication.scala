@@ -222,12 +222,15 @@ object SnapshotReplication {
       // the bloom index mirrors verbatim: its entries key by RELATIVE
       // dirName/fileName, so only the marker path needs the rewrite
       if (m.bloomFile.nonEmpty) copyMissing(m.bloomFile)
+      // NDV sketches mirror like the bloom index (file-keyed entries)
+      if (m.ndvFile.nonEmpty) copyMissing(m.ndvFile)
       val rewritten = m.copy(
         data = if (m.data.nonEmpty) s"$targetTable/${rel(m.data)}" else "",
         files = m.files.map(f => s"$targetTable/${rel(f)}"),
         deletes = m.deletes.map(d => s"$targetTable/${rel(d)}"),
         statsFile = statsRewritten,
-        bloomFile = if (m.bloomFile.isEmpty) "" else s"$targetTable/${rel(m.bloomFile)}")
+        bloomFile = if (m.bloomFile.isEmpty) "" else s"$targetTable/${rel(m.bloomFile)}",
+        ndvFile = if (m.ndvFile.isEmpty) "" else s"$targetTable/${rel(m.ndvFile)}")
       // same version number, same commit clock: a version-exact clone.
       // A false return = another syncer already published v — fine.
       SnapshotStore.tryPublishManifest(spark, targetTable, v, rewritten)

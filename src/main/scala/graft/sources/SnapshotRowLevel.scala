@@ -180,7 +180,7 @@ private[sources] final class SnapshotRowLevelBatchWrite(
       SnapshotStore.Manifest("", m.deletes, m.keyCols, ts = System.currentTimeMillis(),
         files = survivors ++ committed, op = opName, statsExact = m.statsExact,
         mixedSchema = m.mixedSchema, statsFile = stats,
-        bloomFile = m.bloomFile, partSpec = m.partSpec))
+        bloomFile = m.bloomFile, partSpec = m.partSpec, ndvFile = m.ndvFile))
     if (!ok) {
       abort(messages)
       throw new java.util.ConcurrentModificationException(

@@ -217,7 +217,7 @@ private[sources] final class SnapshotDeltaBatchWrite(
         bucketN = if (pureDelete) m.bucketN else 0,
         sortCols = if (pureDelete) m.sortCols else Nil,
         bloomFile = m.bloomFile, // file-keyed: inherited entries stay valid
-        partSpec = m.partSpec))
+        partSpec = m.partSpec, ndvFile = m.ndvFile))
     if (!ok) {
       abort(messages)
       throw new java.util.ConcurrentModificationException(

@@ -103,7 +103,8 @@ object SnapshotStore {
       bucketN: Int = 0,
       bloomFile: String = "",
       sortCols: Seq[String] = Nil,
-      partSpec: Seq[PartitionSpec.PartField] = Nil)
+      partSpec: Seq[PartitionSpec.PartField] = Nil,
+      ndvFile: String = "")
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -246,7 +247,7 @@ object SnapshotStore {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
-    val markerKeys = Seq("data=", "file=", "delete=", "keys=", "op=", "ts=", "stats=", "src=", "schema=", "statsfile=", "bucket=", "bloomfile=", "sortcols=", "part=")
+    val markerKeys = Seq("data=", "file=", "delete=", "keys=", "op=", "ts=", "stats=", "src=", "schema=", "statsfile=", "bucket=", "bloomfile=", "sortcols=", "part=", "ndvfile=")
     if (lines.exists(l => markerKeys.exists(l.startsWith))) {
       Manifest(
         data = lines.find(_.startsWith("data=")).map(_.stripPrefix("data=")).getOrElse(""),
@@ -272,7 +273,9 @@ object SnapshotStore {
           .map(_.stripPrefix("sortcols=").split(",").toSeq.map(_.trim).filter(_.nonEmpty))
           .getOrElse(Nil),
         partSpec = lines.find(_.startsWith("part="))
-          .map(l => PartitionSpec.parse(l.stripPrefix("part="))).getOrElse(Nil))
+          .map(l => PartitionSpec.parse(l.stripPrefix("part="))).getOrElse(Nil),
+        ndvFile = lines.find(_.startsWith("ndvfile="))
+          .map(_.stripPrefix("ndvfile=")).getOrElse(""))
     } else {
       // legacy bare-path marker (or empty → the fixed v=<N> layout)
       Manifest(lines.headOption.getOrElse(versionDir(table, v)), Nil, Nil)
@@ -625,7 +628,11 @@ object SnapshotStore {
             bloomFile = m0.map(_.bloomFile).getOrElse(""),
             // partition spec is per-FILE metadata (unrouted staged
             // files are just unprunable) — always carries forward
-            partSpec = m0.map(_.partSpec).getOrElse(Nil))))
+            partSpec = m0.map(_.partSpec).getOrElse(Nil),
+            // NDV sketches are file-keyed like the bloom index:
+            // inherited files keep their entries, staged files have
+            // none (their distincts are simply not counted yet)
+            ndvFile = m0.map(_.ndvFile).getOrElse(""))))
         return next
       attempt += 1 // CAS lost: re-link the SAME staged files against the new head
     }
@@ -695,6 +702,7 @@ object SnapshotStore {
     if (m.bloomFile.nonEmpty) content.append(s"bloomfile=${m.bloomFile}\n")
     if (m.sortCols.nonEmpty) content.append(s"sortcols=${m.sortCols.mkString(",")}\n")
     if (m.partSpec.nonEmpty) content.append(s"part=${PartitionSpec.render(m.partSpec)}\n")
+    if (m.ndvFile.nonEmpty) content.append(s"ndvfile=${m.ndvFile}\n")
     content.append(s"ts=$ts\n")
     val out = f.create(tmp, true)
     try out.write(content.toString.getBytes("UTF-8"))
@@ -781,7 +789,7 @@ object SnapshotStore {
             bucketCols = m.bucketCols, bucketN = m.bucketN,
             bloomFile = m.bloomFile,
             sortCols = m.sortCols, // DV filtering preserves row order
-            partSpec = m.partSpec)))
+            partSpec = m.partSpec, ndvFile = m.ndvFile)))
         return cur + 1
       attempt += 1 // orphan DV file is GC'd by vacuum's reference count
     }
@@ -822,7 +830,7 @@ object SnapshotStore {
             bucketCols = m.bucketCols, bucketN = m.bucketN,
             bloomFile = m.bloomFile,
             sortCols = m.sortCols, // DV filtering preserves row order
-            partSpec = m.partSpec)))
+            partSpec = m.partSpec, ndvFile = m.ndvFile)))
         return cur + 1
       attempt += 1
     }

@@ -1,0 +1,140 @@
+package graft.ops
+
+import graft.SparkSuite
+import graft.store.SnapshotStore
+import org.apache.spark.sql.functions._
+
+/** NDV column statistics ([[NdvStats]] / `CALL system.analyze`):
+  * per-file mergeable HLL sketches published as a manifest surface;
+  * the scan reports union-of-kept-files distinctCount through the V2
+  * Statistics API, which Spark's CBO folds into join cardinality. */
+class NdvStatsSpec extends SparkSuite {
+
+  private def fresh(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/t"
+
+  private def withCbo(test: => Unit): Unit = {
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try test finally spark.conf.unset("spark.sql.cbo.enabled")
+  }
+
+  test("analyze publishes per-file sketches; estimates within 10% of exact") {
+    val table = fresh("ndv")
+    val orders = graft.sources.Tables.orders(spark, sf())
+    SnapshotStore.commit(orders.repartition(4), table)
+    val v = NdvStats.analyzeCommit(spark, table, Seq("o_custkey", "o_orderstatus"))
+    val m = SnapshotStore.manifest(spark, table, v)
+    assert(m.ndvFile.nonEmpty && m.op === "analyze")
+
+    val est = NdvStats.estimates(spark, m.ndvFile, SnapshotStore.dataFiles(spark, m))
+    val exactCust = orders.select("o_custkey").distinct().count()
+    val exactStat = orders.select("o_orderstatus").distinct().count()
+    assert(est.keySet === Set("o_custkey", "o_orderstatus"))
+    assert(math.abs(est("o_custkey")._1 - exactCust).toDouble / exactCust < 0.10,
+      s"o_custkey NDV ${est("o_custkey")} vs exact $exactCust")
+    assert(est("o_orderstatus") === ((exactStat, 0L)),
+      "tiny cardinalities estimate exactly, null counts exact")
+  }
+
+  test("the scan reports distinctCount to the optimizer; estimates track pruning") {
+    val table = fresh("ndv-scan")
+    val orders = graft.sources.Tables.orders(spark, sf())
+    // range-cluster so a key predicate actually prunes files
+    SnapshotStore.sortedCommit(spark.createDataFrame(orders.rdd, orders.schema),
+      table, Seq("o_orderkey"), 8)
+    NdvStats.analyzeCommit(spark, table, Seq("o_orderkey"))
+    withCbo {
+      def attrStats(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.stats.attributeStats
+        }.getOrElse(fail("no V2 scan relation in plan"))
+      def ndvOf(df: org.apache.spark.sql.DataFrame): Option[Long] =
+        attrStats(df).toSeq
+          .collectFirst { case (a, cs) if a.name == "o_orderkey" => cs.distinctCount }
+          .flatten.map(_.toLong)
+      val full = spark.read.format("graft-snapshot").option("path", table).load()
+        .select("o_orderkey")
+      val exact = orders.select("o_orderkey").distinct().count()
+      assert(ndvOf(full).exists(n => math.abs(n - exact).toDouble / exact < 0.10),
+        s"scan-reported NDV ${ndvOf(full)} vs exact $exact")
+
+      // a pruned scan unions fewer sketches: NDV estimate shrinks with
+      // it (the layout is range-clustered on the key, so a key-range
+      // predicate keeps ~1/8 of the files and ~1/8 of the distincts)
+      val firstKeys = spark.read.format("graft-snapshot").option("path", table).load()
+        .filter(col("o_orderkey") <= 200).select("o_orderkey")
+      val prunedNdv = ndvOf(firstKeys)
+      assert(prunedNdv.exists(n => n < exact / 2),
+        s"pruned-scan NDV $prunedNdv should reflect kept files only (exact $exact)")
+    }
+  }
+
+  test("CBO join cardinality: NDV stats correct the estimate by orders of magnitude") {
+    val wh = java.nio.file.Files.createTempDirectory("ndv-join").toString
+    val orders = graft.sources.Tables.orders(spark, sf())
+    val fact = s"$wh/fact"
+    val dim = s"$wh/dim"
+    SnapshotStore.commit(orders.select("o_orderkey", "o_custkey"), fact)
+    SnapshotStore.commit(
+      orders.select("o_custkey").distinct().withColumn("segment",
+        pmod(col("o_custkey"), lit(7))), dim)
+    def joined = spark.read.format("graft-snapshot").option("path", fact).load()
+      .join(spark.read.format("graft-snapshot").option("path", dim).load(), "o_custkey")
+    def joinEstimate: Option[BigInt] =
+      joined.queryExecution.optimizedPlan.collectFirst {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.stats.rowCount
+      }.flatten
+    val truth = joined.count()
+    withCbo {
+      val before = joinEstimate // rowCount-only estimation
+      NdvStats.analyzeCommit(spark, fact, Seq("o_custkey"))
+      NdvStats.analyzeCommit(spark, dim, Seq("o_custkey"))
+      val after = joinEstimate
+      assert(after.isDefined, "NDV stats must give the join a cardinality estimate")
+      val err = math.abs(after.get.toLong - truth).toDouble / truth
+      assert(err < 0.10, s"join estimate ${after.get} vs truth $truth (err $err)")
+      assert(before.isEmpty ||
+        math.abs(before.get.toLong - truth).toDouble / truth > err,
+        s"NDV must not make the estimate worse: before=$before after=$after truth=$truth")
+    }
+  }
+
+  test("appended files void the coverage until re-analyzed; surface carries forward") {
+    val table = fresh("ndv-append")
+    val orders = graft.sources.Tables.orders(spark, sf())
+    SnapshotStore.commit(orders, table)
+    NdvStats.analyzeCommit(spark, table, Seq("o_custkey"))
+    SnapshotStore.appendCommit(orders.limit(10), table)
+    val m = SnapshotStore.manifest(spark, table,
+      SnapshotStore.currentVersion(spark, table).get)
+    assert(m.ndvFile.nonEmpty, "the ndv surface carries forward across appends")
+    assert(NdvStats.estimates(spark, m.ndvFile,
+      SnapshotStore.dataFiles(spark, m)).isEmpty,
+      "an uncovered appended file must suppress the estimate, not skew it")
+    // re-analyze restores coverage (now including the appended file)
+    val v2 = NdvStats.analyzeCommit(spark, table, Seq("o_custkey"))
+    val m2 = SnapshotStore.manifest(spark, table, v2)
+    assert(NdvStats.estimates(spark, m2.ndvFile,
+      SnapshotStore.dataFiles(spark, m2)).contains("o_custkey"))
+  }
+
+  test("CALL system.analyze publishes through SQL") {
+    val wh = java.nio.file.Files.createTempDirectory("ndv-sql").toString
+    val cat = "gndv_" + java.util.UUID.randomUUID.toString.take(8).replace("-", "")
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      SnapshotStore.commit(graft.sources.Tables.nation(spark, sf()), s"$wh/dims/nation")
+      val v = spark.sql(
+        s"CALL $cat.system.analyze('dims.nation', 'n_regionkey,n_nationkey')")
+        .head().getLong(0)
+      val m = SnapshotStore.manifest(spark, s"$wh/dims/nation", v)
+      val est = NdvStats.estimates(spark, m.ndvFile, SnapshotStore.dataFiles(spark, m))
+      assert(est("n_regionkey") === ((5L, 0L)) && est("n_nationkey") === ((25L, 0L)))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+}
