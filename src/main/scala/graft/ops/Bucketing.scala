@@ -106,24 +106,47 @@ object Bucketing {
     // storage-partitioned-join layout.
     val mCur = SnapshotStore.manifest(spark, table, cur)
     val rows = SnapshotStore.readVersion(spark, table, cur)
-    (if (mCur.bucketN > 0)
-       rows.repartition(mCur.bucketN,
-         mCur.bucketCols.map(org.apache.spark.sql.functions.col): _*)
-     else rows.repartition(nOut))
-      .write.mode("overwrite").parquet(outDir)
+    // PARTITION-AWARE: a transform-partitioned table compacts WITHIN
+    // its partition directories (rows re-route through the same spec),
+    // so the rewrite that materializes DVs away never costs the table
+    // its partition pruning — same promise the bucket branch makes for
+    // storage-partitioned joins.
+    val routedPart = mCur.partSpec.nonEmpty &&
+      mCur.partSpec.forall(f => rows.schema.fieldNames.contains(f.col))
+    if (routedPart) {
+      val (withCols, dirCols) =
+        graft.store.PartitionSpec.withRoutingColumns(rows, mCur.partSpec)
+      withCols.repartition(dirCols.map(org.apache.spark.sql.functions.col): _*)
+        .write.mode("overwrite").partitionBy(dirCols: _*).parquet(outDir)
+    } else {
+      (if (mCur.bucketN > 0)
+         rows.repartition(mCur.bucketN,
+           mCur.bucketCols.map(org.apache.spark.sql.functions.col): _*)
+       else rows.repartition(nOut))
+        .write.mode("overwrite").parquet(outDir)
+    }
     // publish a full manifest (not a bare marker) so the compacted
-    // table keeps footer-free planning: fresh sidecar, op recorded
+    // table keeps footer-free planning: fresh sidecar, op recorded.
+    // Partition-routed outputs publish FILE-granular (nested dirs have
+    // no single-listing data dir).
+    val outFileList =
+      if (routedPart) SnapshotStore.listStagedFiles(spark, outDir)
+      else SnapshotStore.dataFiles(spark, SnapshotStore.Manifest(outDir, Nil, Nil))
     val outStats = graft.store.FileStats.sidecarFor(spark, table,
-      SnapshotStore.dataFiles(spark, SnapshotStore.Manifest(outDir, Nil, Nil)),
-      None, SnapshotStore.writerStatsExact(spark))
-    if (!SnapshotStore.tryPublishManifest(spark, table, next,
+      outFileList, None, SnapshotStore.writerStatsExact(spark))
+    val outManifest =
+      if (routedPart)
+        SnapshotStore.Manifest("", Nil, Nil, files = outFileList, op = "compact",
+          statsExact = SnapshotStore.writerStatsExact(spark), statsFile = outStats,
+          partSpec = mCur.partSpec)
+      else
         SnapshotStore.Manifest(outDir, Nil, Nil, op = "compact",
           statsExact = SnapshotStore.writerStatsExact(spark), statsFile = outStats,
-          bucketCols = mCur.bucketCols, bucketN = mCur.bucketN)))
+          bucketCols = mCur.bucketCols, bucketN = mCur.bucketN,
+          partSpec = mCur.partSpec)
+    if (!SnapshotStore.tryPublishManifest(spark, table, next, outManifest))
       throw new IllegalStateException(s"could not publish commit marker $next under $table")
-    val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
-      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    (files.size, outFiles, totalBytes, next)
+    (files.size, outFileList.size, totalBytes, next)
   }
 
   /** INCREMENTAL compaction — the O(small-files) `OPTIMIZE` that

@@ -325,18 +325,32 @@ private[sources] final case class SnapshotCommitMessage(file: Option[String])
     extends WriterCommitMessage
 
 /** Multi-file task message — the partitioned rolling writer commits one
-  * file per (task, partition value). */
-private[sources] final case class SnapshotFilesCommitMessage(files: Seq[String])
+  * file per (task, partition value). `emptyFallback` is task 0's
+  * schema-bearing root file, used ONLY when the whole job produced no
+  * routed files (an all-empty INSERT OVERWRITE must still ship one
+  * file for readers to resolve a schema from); any other outcome
+  * leaves it unreferenced and the staged-dir sweep removes it. */
+private[sources] final case class SnapshotFilesCommitMessage(
+    files: Seq[String], emptyFallback: Option[String] = None)
     extends WriterCommitMessage
 
 private[sources] object SnapshotWriteUtil {
-  /** Files named by COMMITTED task messages (single- and multi-file). */
-  def committedFiles(messages: Array[WriterCommitMessage]): Seq[String] =
-    messages.toSeq.flatMap {
-      case SnapshotCommitMessage(f)     => f.toSeq
-      case SnapshotFilesCommitMessage(fs) => fs
-      case _                             => Nil
+  /** Files named by COMMITTED task messages (single- and multi-file).
+    * Task 0's empty-batch fallback file counts only when NO task wrote
+    * a real file — otherwise an empty input partition 0 would plant an
+    * unrouted root file next to the partition directories. */
+  def committedFiles(messages: Array[WriterCommitMessage]): Seq[String] = {
+    val real = messages.toSeq.flatMap {
+      case SnapshotCommitMessage(f)          => f.toSeq
+      case SnapshotFilesCommitMessage(fs, _) => fs
+      case _                                 => Nil
     }
+    if (real.nonEmpty) real
+    else messages.toSeq.flatMap {
+      case SnapshotFilesCommitMessage(_, fb) => fb.toSeq
+      case _                                 => Nil
+    }.take(1)
+  }
 
   /** Delete every file under `dir` (recursively — partition-routed
     * stages nest `__gpN=` dirs) whose NAME is not in `keep`, then prune
@@ -419,16 +433,19 @@ private[sources] final class SnapshotPartitionedDataWriter(
   override def commit(): WriterCommitMessage = {
     closeCurrent()
     if (done.isEmpty && eagerPartitionZero && partitionId == 0) {
-      // all-empty batch write: ship ONE schema-bearing root file so the
-      // committed manifest has something for readers to resolve — the
-      // same contract as the unpartitioned writer's eager partition 0
+      // ALL-EMPTY batch write needs ONE schema-bearing file for readers
+      // to resolve — but this task cannot know whether its SIBLINGS
+      // wrote rows, so the root file ships as a FALLBACK the job-level
+      // commit uses only when no task produced a routed file (an empty
+      // input partition 0 must never plant an unrouted root file next
+      // to real partition dirs)
       val w = new SnapshotDataWriter(stagedDir, partitionId, schema, conf)
-      w.commit() match {
-        case SnapshotCommitMessage(Some(f)) => done += f
-        case _                              => ()
+      val fb = w.commit() match {
+        case SnapshotCommitMessage(f) => f
+        case _                        => None
       }
-    }
-    SnapshotFilesCommitMessage(done.toSeq)
+      SnapshotFilesCommitMessage(Nil, fb)
+    } else SnapshotFilesCommitMessage(done.toSeq)
   }
 
   override def abort(): Unit = {

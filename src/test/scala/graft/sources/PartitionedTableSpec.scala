@@ -244,4 +244,53 @@ class PartitionedTableSpec extends SparkSuite {
     }
     assert(e2.getMessage.contains("not in the schema"))
   }
+
+  test("compaction re-routes through the partition spec: pruning survives the DV-clearing rewrite") {
+    val table = freshDir("part-compact") + "/t"
+    val orders = graft.sources.Tables.orders(spark, sf())
+    SnapshotStore.partitionedCommit(orders, table,
+      Seq(PartitionSpec.PartField("months", "o_orderdate")))
+    SnapshotStore.deleteCommit(spark, table, Seq("o_orderkey"),
+      pmod(col("o_orderkey"), lit(9)) === 2)
+    val want = SnapshotStore.read(spark, table)
+      .agg(count(lit(1)), sum("o_orderkey")).collect()(0)
+
+    val (_, _, _, v) = graft.ops.Bucketing.compactCommit(spark, table, 64L << 20)
+    val m = SnapshotStore.manifest(spark, table, v)
+    assert(m.op === "compact" && m.deletes.isEmpty, "compaction materializes DVs away")
+    assert(m.partSpec.nonEmpty, "the spec survives compaction")
+    assert(m.files.nonEmpty && m.files.forall(_.contains("/__gp0=")),
+      s"compacted outputs must re-route into partition dirs: ${m.files.take(2)}")
+
+    val read = spark.read.format("graft-snapshot").option("path", table).load()
+    assert(read.agg(count(lit(1)), sum("o_orderkey")).collect()(0) === want,
+      "compaction must not change answers")
+    SnapshotScanProbe.resetPartitionPrunedFiles()
+    read.filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+      .count()
+    assert(SnapshotScanProbe.lastPartitionPrunedFiles > 0,
+      "partition pruning must keep working after compaction")
+  }
+
+  test("an empty input partition 0 never plants an unrouted root file (fallback contract)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    val staged = freshDir("part-fallback")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))
+    val spec = Seq(PartitionSpec.PartField("identity", "k"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    // task 0: zero rows → message carries only the schema fallback
+    val w0 = new SnapshotPartitionedDataWriter(staged, 0, schema, spec, conf)
+    val m0 = w0.commit().asInstanceOf[SnapshotFilesCommitMessage]
+    assert(m0.files.isEmpty && m0.emptyFallback.nonEmpty)
+    // task 1: one real routed row
+    val w1 = new SnapshotPartitionedDataWriter(staged, 1, schema, spec, conf)
+    w1.write(InternalRow(7L))
+    val m1 = w1.commit().asInstanceOf[SnapshotFilesCommitMessage]
+    assert(m1.files.nonEmpty && m1.files.forall(_.contains("__gp0=7")))
+    // job view: real files win, the fallback is ignored (and would be
+    // swept as a stray); an all-empty job falls back to the one file
+    assert(SnapshotWriteUtil.committedFiles(Array(m0, m1)) === m1.files)
+    assert(SnapshotWriteUtil.committedFiles(Array(m0)) === m0.emptyFallback.toSeq)
+  }
 }
