@@ -204,14 +204,29 @@ object Bucketing {
     // tail re-routes through the SAME hash (rows land back in their
     // bucket = write partition = `part-<id>` name), so the merged
     // output is still one-bucket-per-file and the `bucket=` tag keeps
-    // its storage-partitioned-join promise. Unbucketed tables merge
-    // round-robin to the byte-derived output count.
-    (if (m.bucketN > 0)
-       smallRows.repartition(m.bucketN,
-         m.bucketCols.map(org.apache.spark.sql.functions.col): _*)
-     else smallRows.repartition(nOut))
-      .write.mode("overwrite").parquet(stageDir)
-    val staged = SnapshotStore.dataFiles(spark, SnapshotStore.Manifest(stageDir, Nil, Nil))
+    // its storage-partitioned-join promise. PARTITION-TRANSFORMED
+    // tables re-route through the spec the same way — the
+    // streaming-ingest shape (small files accumulating inside day
+    // dirs) compacts WITHIN partitions and keeps pruning. Unbucketed,
+    // unpartitioned tables merge round-robin to the byte-derived
+    // output count.
+    val routedPart = m.partSpec.nonEmpty &&
+      m.partSpec.forall(f => smallRows.schema.fieldNames.contains(f.col))
+    if (routedPart) {
+      val (withCols, dirCols) =
+        graft.store.PartitionSpec.withRoutingColumns(smallRows, m.partSpec)
+      withCols.repartition(dirCols.map(org.apache.spark.sql.functions.col): _*)
+        .write.mode("overwrite").partitionBy(dirCols: _*).parquet(stageDir)
+    } else {
+      (if (m.bucketN > 0)
+         smallRows.repartition(m.bucketN,
+           m.bucketCols.map(org.apache.spark.sql.functions.col): _*)
+       else smallRows.repartition(nOut))
+        .write.mode("overwrite").parquet(stageDir)
+    }
+    val staged =
+      if (routedPart) SnapshotStore.listStagedFiles(spark, stageDir)
+      else SnapshotStore.dataFiles(spark, SnapshotStore.Manifest(stageDir, Nil, Nil))
     // big files' stats copy forward; only the merged outputs' footers are read
     val stats = graft.store.FileStats.sidecarFor(
       spark, table, big.map(_._1) ++ staged, Some(m), m.statsExact)

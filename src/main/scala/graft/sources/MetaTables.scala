@@ -50,18 +50,16 @@ private[sources] object MetaTables {
     case "files" =>
       val cur = SnapshotStore.currentVersion(spark, root).get
       val m = SnapshotStore.manifest(spark, root, cur)
-      val conf = spark.sparkContext.hadoopConfiguration
-      val rows: Seq[Seq[Any]] = SnapshotStore.dataFiles(spark, m).map { f =>
-        val p = new Path(f)
-        val st = p.getFileSystem(conf).getFileStatus(p)
-        Seq(f, st.getLen, st.getModificationTime)
-      }
-      Some(new MetaRowsTable(s"$root$$files",
-        StructType(Seq(
-          StructField("file", StringType, nullable = false),
-          StructField("size_bytes", LongType, nullable = false),
-          StructField("modified_ms", LongType, nullable = false))),
-        rows))
+      // per-file row counts from the stats sidecar (one cached read) —
+      // absent entries report -1, never a footer open
+      val sidecarRows: Map[String, Long] =
+        if (m.statsFile.isEmpty) Map.empty
+        else
+          try graft.store.FileStats.read(spark, m.statsFile).entries
+            .map { case (f, e) => f -> e.groups.map(_.rows).sum }
+          catch { case scala.util.control.NonFatal(_) => Map.empty }
+      Some(new MetaFilesTable(s"$root$$files", spark,
+        SnapshotStore.dataFiles(spark, m), sidecarRows))
     case "tags" =>
       val rows: Seq[Seq[Any]] = SnapshotStore.tags(spark, root).toSeq.sortBy(_._1)
         .map { case (n, v) => Seq(n, v) }
@@ -108,3 +106,69 @@ private[sources] final class MetaRowsTable(
 }
 
 private[sources] final case class MetaRowsPartition(rows: Seq[Seq[Any]]) extends InputPartition
+
+/** `$files` as a DISTRIBUTED scan: the driver ships only PATH SLICES
+  * (plus sidecar row counts, already cached); each task stats its own
+  * files — at the 10⁵-files-per-table shape the per-file FileStatus
+  * round-trips parallelize across the cluster instead of serializing
+  * on the driver, and the rows never materialize driver-side unless
+  * the user collects them. */
+private[sources] final class MetaFilesTable(
+    name0: String, spark: SparkSession,
+    files: Seq[String], sidecarRows: Map[String, Long])
+    extends Table with SupportsRead {
+
+  private val schema0 = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("modified_ms", LongType, nullable = false),
+    StructField("rows", LongType, nullable = false))) // -1 = no sidecar entry
+
+  override def name(): String = name0
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val sliceSize = 1024
+    val slices: Array[InputPartition] = files.grouped(sliceSize).map { fs =>
+      MetaFilesPartition(fs.map(f => (f, sidecarRows.getOrElse(f, -1L))))
+        : InputPartition
+    }.toArray
+    () => new Scan with Batch {
+      override def readSchema(): StructType = schema0
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] =
+        if (slices.isEmpty) Array(MetaFilesPartition(Nil)) else slices
+      override def description(): String = s"$name0 (distributed file stat)"
+      // top-level factory: the anonymous Scan must not ride to executors
+      // (it would drag the SparkSession-holding outer table with it)
+      override def createReaderFactory(): PartitionReaderFactory =
+        new MetaFilesReaderFactory(conf)
+    }
+  }
+}
+
+private[sources] final class MetaFilesReaderFactory(conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val it = p.asInstanceOf[MetaFilesPartition].files.iterator
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        if (!it.hasNext) return false
+        val (f, nRows) = it.next()
+        val path = new Path(f)
+        val st = path.getFileSystem(conf.conf).getFileStatus(path)
+        cur = new GenericInternalRow(Array[Any](
+          UTF8String.fromString(f), st.getLen, st.getModificationTime, nRows))
+        true
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+}
+
+private[sources] final case class MetaFilesPartition(files: Seq[(String, Long)])
+    extends InputPartition

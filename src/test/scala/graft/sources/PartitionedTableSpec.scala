@@ -293,4 +293,40 @@ class PartitionedTableSpec extends SparkSuite {
     assert(SnapshotWriteUtil.committedFiles(Array(m0, m1)) === m1.files)
     assert(SnapshotWriteUtil.committedFiles(Array(m0)) === m0.emptyFallback.toSeq)
   }
+
+  test("small-file compaction merges WITHIN partitions: routing and pruning survive") {
+    val table = freshDir("part-smallcompact") + "/t"
+    val orders = graft.sources.Tables.orders(spark, sf())
+    SnapshotStore.partitionedCommit(orders, table,
+      Seq(PartitionSpec.PartField("months", "o_orderdate")))
+    // streaming-ingest shape: several tiny appends landing inside the
+    // same month directories
+    (1 to 3).foreach { i =>
+      SnapshotStore.appendCommit(
+        orders.filter(pmod(col("o_orderkey"), lit(100)) === i)
+          .withColumn("o_orderkey", col("o_orderkey") + i * 1000000L), table)
+    }
+    val want = SnapshotStore.read(spark, table)
+      .agg(count(lit(1)), sum("o_orderkey")).collect()(0)
+    val before = SnapshotStore.dataFiles(spark, SnapshotStore.manifest(spark, table,
+      SnapshotStore.currentVersion(spark, table).get)).size
+
+    val (rewritten, linked, after, v) =
+      graft.ops.Bucketing.compactSmallFilesCommit(spark, table,
+        smallBytes = 256L << 10, targetBytes = 64L << 20)
+    assert(rewritten > 0, s"the tiny appended files must merge (before=$before)")
+    val m = SnapshotStore.manifest(spark, table, v)
+    assert(m.op === "compact-small" && m.partSpec.nonEmpty)
+    val staged = m.files.filterNot(f => f.contains("v=0__"))
+    assert(staged.nonEmpty && staged.forall(_.contains("/__gp0=")),
+      s"merged outputs must land inside partition dirs: ${staged.take(3)}")
+
+    val read = spark.read.format("graft-snapshot").option("path", table).load()
+    assert(read.agg(count(lit(1)), sum("o_orderkey")).collect()(0) === want)
+    SnapshotScanProbe.resetPartitionPrunedFiles()
+    read.filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+      .count()
+    assert(SnapshotScanProbe.lastPartitionPrunedFiles > 0,
+      "pruning keeps working over the merged layout")
+  }
 }

@@ -829,11 +829,18 @@ class SnapshotDsv2Spec extends SparkSuite {
         .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
       assert(hist === Seq((0L, "create", 0), (1L, "append", 0), (2L, "delete", 1)), s"$hist")
 
-      val files = spark.sql("SELECT file, size_bytes FROM gsnapmeta.dims.`nation$files`")
+      val files = spark.sql(
+        "SELECT file, size_bytes, rows FROM gsnapmeta.dims.`nation$files`")
         .collect()
       val expectFiles = SnapshotStore.dataFiles(spark, SnapshotStore.manifest(spark, t, 2L))
       assert(files.length === expectFiles.size)
       assert(files.forall(_.getLong(1) > 0L), "sizes come from real file statuses")
+      // row counts resolve from the stats sidecar (no footer opens) and
+      // the scan is DISTRIBUTED — file statuses stat in tasks, the
+      // driver ships only path slices
+      assert(files.map(_.getLong(2)).sum ===
+        spark.read.parquet(expectFiles: _*).count(), // physical rows, DVs included
+        s"rows column must carry sidecar physical row counts: ${files.toSeq}")
       // projection/filter compose like any table
       assert(spark.sql(
         "SELECT count(*) AS c FROM gsnapmeta.dims.`nation$history` WHERE operation = 'append'")
