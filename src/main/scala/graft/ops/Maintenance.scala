@@ -90,7 +90,23 @@ object Maintenance {
       Receipt(dv, rows, density, s"none (density below $maxDvRatio)", cur)
     else {
       Bucketing.compactCommit(spark, table, targetBytes)
-      Receipt(dv, rows, density, "compacted (deletion vectors materialized away)",
+      // the rewrite replaced every file, voiding NDV sketch coverage —
+      // refresh the previously analyzed columns in the same maintenance
+      // pass so CBO estimates survive the self-heal
+      val refreshed: Seq[String] =
+        if (m.ndvFile.isEmpty) Nil
+        else
+          try {
+            val cols = NdvStats.sketches(spark, m.ndvFile).keysIterator
+              .map(_._2).toSet.toSeq.sorted
+            if (cols.nonEmpty) NdvStats.analyzeCommit(spark, table, cols)
+            cols
+          } catch { case scala.util.control.NonFatal(_) => Nil }
+      val note =
+        if (refreshed.isEmpty) "compacted (deletion vectors materialized away)"
+        else "compacted (deletion vectors materialized away; NDV re-analyzed: " +
+          refreshed.mkString(",") + ")"
+      Receipt(dv, rows, density, note,
         SnapshotStore.currentVersion(spark, table).getOrElse(cur))
     }
   }

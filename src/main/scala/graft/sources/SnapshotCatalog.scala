@@ -124,6 +124,24 @@ final class SnapshotCatalog extends TableCatalog
       val kind = ident.name.dropWhile(_ != '$').drop(1)
       val root = (warehouse +: ident.namespace.toSeq :+ base).mkString("/")
       if (SnapshotStore.versions(spark, root).isEmpty) throw new NoSuchTableException(ident)
+      // BRANCHES as first-class catalog tables — the whole
+      // write-audit-publish flow in pure SQL:
+      //   INSERT INTO cat.ns.`t$branch$audit` SELECT ...   (write)
+      //   SELECT ... FROM  cat.ns.`t$branch$audit`         (audit)
+      //   CALL cat.system.fast_forward('ns.t', 'audit')    (publish)
+      // The returned table is an ordinary SnapshotTable over the
+      // branch root, so every surface (scans, row-level SQL, metadata
+      // columns) behaves exactly as on main.
+      if (kind.startsWith("branch$")) {
+        val branch = kind.stripPrefix("branch$")
+        val br = SnapshotStore.branchRoot(root, branch)
+        val v = SnapshotStore.currentVersion(spark, br).getOrElse(
+          throw new NoSuchTableException(ident))
+        val m = SnapshotStore.manifest(spark, br, v)
+        return new SnapshotTable(br, m,
+          spark.read.option("mergeSchema", "true")
+            .parquet(SnapshotStore.dataFiles(spark, m): _*).schema)
+      }
       return MetaTables.of(spark, root, kind).getOrElse(
         throw new NoSuchTableException(ident))
     }

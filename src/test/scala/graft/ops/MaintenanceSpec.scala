@@ -75,4 +75,21 @@ class MaintenanceSpec extends SparkSuite {
       spark.conf.unset(s"spark.sql.catalog.$cat")
     }
   }
+
+  test("maintenance refreshes NDV coverage after the self-heal rewrite") {
+    val table = fresh("maint-ndv")
+    val orders = graft.sources.Tables.orders(spark, sf())
+    SnapshotStore.commit(orders, table)
+    NdvStats.analyzeCommit(spark, table, Seq("o_custkey"))
+    SnapshotStore.deleteCommit(spark, table, Seq("o_orderkey"),
+      pmod(col("o_orderkey"), lit(4)) === 0) // 25% > bound
+    val r = Maintenance.run(spark, table, maxDvRatio = 0.2)
+    assert(r.action.contains("NDV re-analyzed: o_custkey"), s"receipt: $r")
+    val m = SnapshotStore.manifest(spark, table,
+      SnapshotStore.currentVersion(spark, table).get)
+    assert(m.ndvFile.nonEmpty)
+    val est = NdvStats.estimates(spark, m.ndvFile, SnapshotStore.dataFiles(spark, m))
+    assert(est.contains("o_custkey"),
+      "the refreshed sketches must cover the compacted files")
+  }
 }

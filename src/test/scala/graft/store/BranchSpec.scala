@@ -131,4 +131,35 @@ class BranchSpec extends SparkSuite {
       spark.conf.unset(s"spark.sql.catalog.$cat")
     }
   }
+
+  test("branches are first-class catalog tables: the WAP flow in pure SQL") {
+    val wh = java.nio.file.Files.createTempDirectory("branch-cat").toString
+    val cat = "gbc_" + java.util.UUID.randomUUID.toString.take(8).replace("-", "")
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      val nation = graft.sources.Tables.nation(spark, sf())
+      SnapshotStore.commit(nation, s"$wh/dims/nation")
+      spark.sql(s"CALL $cat.system.create_branch('dims.nation', 'audit')")
+      // WRITE to the branch in SQL
+      spark.sql(
+        s"""INSERT INTO $cat.dims.`nation$$branch$$audit`
+            SELECT n_nationkey + 500, n_name, n_regionkey FROM $cat.dims.nation LIMIT 4""")
+      // AUDIT in SQL: the branch sees the delta, main does not
+      assert(spark.sql(s"SELECT count(*) FROM $cat.dims.`nation$$branch$$audit`")
+        .head().getLong(0) === nation.count() + 4)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.dims.nation").head().getLong(0)
+        === nation.count())
+      // PUBLISH in SQL
+      spark.sql(s"CALL $cat.system.fast_forward('dims.nation', 'audit')")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.dims.nation").head().getLong(0)
+        === nation.count() + 4)
+      // unknown branch refuses like any missing table
+      intercept[Exception](
+        spark.sql(s"SELECT * FROM $cat.dims.`nation$$branch$$ghost`").collect())
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
 }
