@@ -135,13 +135,34 @@ object BloomIndex {
       spark: SparkSession,
       table: String,
       cols: Seq[String],
-      expectedItems: Long = 1L << 20,
-      numBits: Long = 1L << 23): Long = {
+      expectedItems: Long = -1L,
+      numBits: Long = -1L): Long = {
     import graft.store.SnapshotStore
     require(cols.nonEmpty, "bloomCommit needs at least one column")
     val cur = SnapshotStore.currentVersion(spark, table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $table"))
     val m = SnapshotStore.manifest(spark, table, cur)
+    // AUTO-SIZE from the stats sidecar (default): per-file filters
+    // sized to the BIGGEST file's row count at ~8 bits/key (≈2% fpp)
+    // instead of a flat 1 MB per (file, column). A 256-file table's
+    // column shard then weighs O(rows), not 256 MB — small tables stay
+    // on the millisecond LRU-cached driver probe path, and only
+    // genuinely huge shards route to the distributed probe. Explicit
+    // sizes still win; a missing sidecar falls back to the old flat
+    // sizing (over-allocation is a cost, never a correctness risk).
+    val maxFileRows: Long =
+      if (m.statsFile.isEmpty) -1L
+      else
+        try graft.store.FileStats.read(spark, m.statsFile).entries.values
+          .map(_.groups.map(_.rows).sum).foldLeft(0L)(math.max)
+        catch { case scala.util.control.NonFatal(_) => -1L }
+    val items =
+      if (expectedItems > 0) expectedItems
+      else if (maxFileRows > 0) maxFileRows
+      else 1L << 20
+    val bits =
+      if (numBits > 0) numBits
+      else math.min(1L << 23, math.max(1L << 14, java.lang.Long.highestOneBit(items * 8) << 1))
     val files = SnapshotStore.dataFiles(spark, m)
     val reader =
       if (m.mixedSchema) spark.read.option("mergeSchema", "true") else spark.read
@@ -150,7 +171,7 @@ object BloomIndex {
     cols.map { c =>
       val hashed = XxHash64(Seq(Bridge.expression(raw(c))), Seed)
       val agg = Bridge.column(
-        new BloomFilterAggregate(hashed, Literal(expectedItems), Literal(numBits))
+        new BloomFilterAggregate(hashed, Literal(items), Literal(bits))
           .toAggregateExpression())
       raw
         // file identity = last two path segments (dirName/fileName) —
