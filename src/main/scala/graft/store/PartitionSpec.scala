@@ -228,7 +228,15 @@ object PartitionSpec {
 
   /** Parse the `__gpN=` segments of `path` into per-source-column
     * facts. A path without the segments yields no facts (unroutable
-    * file — never pruned). Unparseable values are skipped, not wrong. */
+    * file — never pruned). Unparseable values are skipped, not wrong.
+    *
+    * STRING source columns get no fact from the hive default
+    * directory: `df.write.partitionBy` routes BOTH null and
+    * empty-string values there (`ExternalCatalogUtils.getPartitionPathString`
+    * treats `value.isEmpty` as the default partition), so the
+    * directory proves "null OR ''", which is not [[AllNull]] — an
+    * AllNull fact would let null-excluding predicates like `c = ''`
+    * prune a file that contains matching rows. */
   def factsOf(path: String, spec: Seq[PartField], schema: StructType): Seq[Fact] = {
     val segs = path.split('/')
     spec.zipWithIndex.flatMap { case (f, i) =>
@@ -237,7 +245,10 @@ object PartitionSpec {
         field <- schema.fields.find(_.name == f.col) // evolved-away col → no facts
         seg <- segs.find(_.startsWith(pre))
         raw = seg.stripPrefix(pre)
-        fact <- if (raw == NullDir) Some(AllNull(f.col))
+        fact <- if (raw == NullDir || raw.isEmpty) {
+                  if (field.dataType == StringType) None // null-or-empty: unprovable
+                  else Some(AllNull(f.col))
+                }
                 else factOf(f, field.dataType, unescape(raw))
       } yield fact
     }
