@@ -97,8 +97,10 @@ object Maintenance {
         if (m.ndvFile.isEmpty) Nil
         else
           try {
-            val cols = NdvStats.sketches(spark, m.ndvFile).keysIterator
-              .map(_._2).toSet.toSeq.sorted
+            // column names only — never materialize the sketch bytes
+            // on the driver just to list the analyzed columns
+            val cols = spark.read.parquet(m.ndvFile).select("col")
+              .distinct().collect().map(_.getString(0)).toSeq.sorted
             if (cols.nonEmpty) NdvStats.analyzeCommit(spark, table, cols)
             cols
           } catch { case scala.util.control.NonFatal(_) => Nil }

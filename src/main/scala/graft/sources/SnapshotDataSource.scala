@@ -1190,14 +1190,19 @@ private[sources] object SnapshotScan {
         case v: java.lang.Double => v
         case v: java.lang.Float => v
         case v: java.lang.Boolean => v
+        // normalized to catalyst Decimal — the probe side reads
+        // `row.get(ord, DecimalType(p, s))`, which yields Decimal too,
+        // and Decimal equality/hashing are numeric-value-based, so a
+        // scale difference between writer generations can't miss
+        case d: java.math.BigDecimal => org.apache.spark.sql.types.Decimal(d)
         case null => null
-        // decimal/binary/etc would compare by the WRONG equality against
+        // binary/struct/etc would compare by the WRONG equality against
         // the readers' probe values — deleted rows would silently
         // resurface; refuse instead
         case other => throw new UnsupportedOperationException(
           s"graft-snapshot: unsupported deletion-vector key value type " +
             s"${other.getClass.getName} (supported: integral/floating/boolean/" +
-            "string/timestamp/date keys)")
+            "string/timestamp/date/decimal keys)")
       })).toSet
     new DvLookup(keys, m.keyCols.size, storageTypes)
   }
@@ -1572,9 +1577,20 @@ private[sources] final class SnapshotScan(
     * small-delta contract is now enforced in code: a DV past
     * `spark.graft.dv.driverBytesMax` (default 16 MB) can no longer
     * grow the driver heap — and compaction remains the remediation
-    * that removes the per-executor read too. */
+    * that removes the per-executor read too.
+    *
+    * The task-side reader probes RAW parquet primitives, so it only
+    * takes key types whose physical encoding lands exactly in the
+    * probe value space (INT64 plain/timestamp-micros, INT32
+    * plain/date, double/float/boolean, BINARY-string). Anything else
+    * — INT96 timestamps, decimals, millis timestamps, narrow ints —
+    * falls back to the BROADCAST resolver (Spark-read, any type)
+    * instead of failing the scan at runtime; the check is one footer
+    * open per delete commit, only paid when the byte cap already
+    * tripped. */
   private lazy val dvTaskSide: Boolean = m.deletes.nonEmpty && dvBytes >
-    spark.conf.get("spark.graft.dv.driverBytesMax", (16L << 20).toString).toLong
+    spark.conf.get("spark.graft.dv.driverBytesMax", (16L << 20).toString).toLong &&
+    TaskSideDvResolver.supportsKeyTypes(m.deletes, m.keyCols, hadoopConf)
 
   /** Per-partition row ordering, reported only for manifests a sorted
     * commit produced (`sortcols=`). Sound because every read unit is
@@ -1980,6 +1996,66 @@ private[sources] object TaskSideDvResolver {
   /** Lookups built executor-side since JVM start (test pin; in local
     * mode the "executor" shares the driver JVM). */
   val taskSideBuilds = new java.util.concurrent.atomic.AtomicLong
+
+  /** Scans that WANTED the task-side path (byte cap tripped) but fell
+    * back to the broadcast resolver because a DV key's physical type
+    * is outside the raw-primitive probe set (test pin). */
+  val typeFallbacks = new java.util.concurrent.atomic.AtomicLong
+
+  /** Whether [[read]] can probe these key columns from raw parquet
+    * primitives with the SAME value space the scan probes with. One
+    * footer open per delete commit (first key file only — a commit's
+    * DV files share their writer's schema); any unreadable/missing
+    * shape answers false, which routes to the broadcast resolver —
+    * conservative, never wrong. Millis-unit INT64 timestamps are
+    * rejected too: the raw long would be millis while probes are
+    * micros, a silent never-matches (deleted rows resurfacing), not an
+    * error. */
+  def supportsKeyTypes(
+      deletes: Seq[String], keyCols: Seq[String], conf: Configuration): Boolean = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val ok = try {
+      deletes.forall { d =>
+        val p = new Path(d)
+        val f = p.getFileSystem(conf)
+        val first: Option[Path] =
+          if (f.getFileStatus(p).isDirectory)
+            f.listStatus(p).toSeq
+              .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+              .sortBy(_.getPath.getName).headOption.map(_.getPath)
+          else Some(p)
+        first.exists { fp =>
+          val r = ParquetFileReader.open(HadoopInputFile.fromPath(fp, conf))
+          val schema = try r.getFooter.getFileMetaData.getSchema finally r.close()
+          keyCols.forall { c =>
+            schema.containsField(c) && {
+              val t = schema.getType(schema.getFieldIndex(c)).asPrimitiveType()
+              val ann = t.getLogicalTypeAnnotation
+              t.getPrimitiveTypeName match {
+                case INT64 => ann == null || (ann match {
+                  case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                    ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+                  case _ => false
+                })
+                case INT32 => ann == null ||
+                  ann == LogicalTypeAnnotation.dateType() || (ann match {
+                    case it: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                      it.getBitWidth == 32 && it.isSigned
+                    case _ => false
+                  })
+                case DOUBLE | FLOAT | BOOLEAN => true
+                case BINARY => ann == LogicalTypeAnnotation.stringType()
+                case _ => false
+              }
+            }
+          }
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
+    if (!ok) typeFallbacks.incrementAndGet()
+    ok
+  }
 
   /** Read DV key files with parquet-mr directly (no Spark session in
     * executors): raw primitive reads land exactly in the probe value

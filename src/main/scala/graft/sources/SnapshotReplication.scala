@@ -51,9 +51,10 @@ object SnapshotReplication {
         // so an at-least-once foreachBatch replay re-applies nothing —
         // without this, a crash between commit and checkpoint would
         // duplicate appended rows and re-add cow inserts
-        val applied = SnapshotStore.currentVersion(s, targetTable)
-          .map(hv => SnapshotStore.manifest(s, targetTable, hv).srcV)
-          .getOrElse(-1L)
+        // resolved through lastAppliedSrcV, not the bare head: a
+        // maintenance commit or WAP publish on the TARGET between two
+        // mirror batches must not reset (or fake) the cursor
+        val applied = SnapshotStore.lastAppliedSrcV(s, targetTable)
         val versions = batch.select(col("_commit_version")).distinct()
           .collect().map(_.getLong(0)).sorted
           .filter(_ > applied)

@@ -129,10 +129,14 @@ private[sources] final class SnapshotStreamingWrite(
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration), partSpec)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    // exactly-once replay guard: the head's src= records the last epoch
-    // this table applied; an at-least-once re-delivery drops out here
-    val applied = SnapshotStore.currentVersion(spark, tablePath)
-      .map(v => SnapshotStore.manifest(spark, tablePath, v).srcV).getOrElse(-1L)
+    // exactly-once replay guard: the newest CURSOR commit's src=
+    // records the last epoch this table applied; an at-least-once
+    // re-delivery drops out here. Resolved through lastAppliedSrcV so
+    // an interleaved maintenance commit (analyze/compact, srcV = -1)
+    // or a write-audit-publish fastForward between the epoch commit
+    // and its replay can neither reset the guard (double-append) nor
+    // masquerade a table version as an applied epoch (skipped epoch).
+    val applied = SnapshotStore.lastAppliedSrcV(spark, tablePath)
     val committed = SnapshotWriteUtil.committedFiles(messages)
     val sd = new Path(stagedDir(epochId))
     val fs = sd.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -206,10 +206,18 @@ object PartitionSpec {
   }
 
   /** `__gp0=v0/__gp1=v1` directory suffix for one row (hive-escaped;
-    * nulls to the hive default dir). */
+    * nulls to the hive default dir). An EMPTY rendered value routes to
+    * the default dir too — Spark's own
+    * `ExternalCatalogUtils.getPartitionPathString` treats
+    * `value.isEmpty` as the default partition, so `df.write
+    * .partitionBy` puts both null and `''` there; the rolling writer
+    * must agree byte-for-byte or one logical partition splits across
+    * two directories depending on which writer committed it. Only
+    * string transforms can render empty (identity/truncate of `''`);
+    * numerics/dates always render at least one character. */
   def dirSuffix(spec: Seq[PartField], values: Seq[Option[String]]): String =
     spec.zip(values).zipWithIndex.map { case ((_, v), i) =>
-      s"${dirColName(i)}=${v.map(escape).getOrElse(NullDir)}"
+      s"${dirColName(i)}=${v.filter(_.nonEmpty).map(escape).getOrElse(NullDir)}"
     }.mkString("/")
 
   // ---- path → implied source-column constraints (scan pruning) -------
@@ -245,10 +253,15 @@ object PartitionSpec {
         field <- schema.fields.find(_.name == f.col) // evolved-away col → no facts
         seg <- segs.find(_.startsWith(pre))
         raw = seg.stripPrefix(pre)
-        fact <- if (raw == NullDir || raw.isEmpty) {
+        fact <- if (raw == NullDir) {
                   if (field.dataType == StringType) None // null-or-empty: unprovable
                   else Some(AllNull(f.col))
                 }
+                // a bare `__gpN=` segment: neither writer produces it
+                // (empty renders route to NullDir, non-strings never
+                // render empty), so it is foreign/corrupt — per the
+                // doctrine above, skipped, never asserted
+                else if (raw.isEmpty) None
                 else factOf(f, field.dataType, unescape(raw))
       } yield fact
     }

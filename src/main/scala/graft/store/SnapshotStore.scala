@@ -104,7 +104,8 @@ object SnapshotStore {
       bloomFile: String = "",
       sortCols: Seq[String] = Nil,
       partSpec: Seq[PartitionSpec.PartField] = Nil,
-      ndvFile: String = "")
+      ndvFile: String = "",
+      provenance: String = "")
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -247,7 +248,7 @@ object SnapshotStore {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
-    val markerKeys = Seq("data=", "file=", "delete=", "keys=", "op=", "ts=", "stats=", "src=", "schema=", "statsfile=", "bucket=", "bloomfile=", "sortcols=", "part=", "ndvfile=")
+    val markerKeys = Seq("data=", "file=", "delete=", "keys=", "op=", "ts=", "stats=", "src=", "schema=", "statsfile=", "bucket=", "bloomfile=", "sortcols=", "part=", "ndvfile=", "provenance=")
     if (lines.exists(l => markerKeys.exists(l.startsWith))) {
       Manifest(
         data = lines.find(_.startsWith("data=")).map(_.stripPrefix("data=")).getOrElse(""),
@@ -275,7 +276,9 @@ object SnapshotStore {
         partSpec = lines.find(_.startsWith("part="))
           .map(l => PartitionSpec.parse(l.stripPrefix("part="))).getOrElse(Nil),
         ndvFile = lines.find(_.startsWith("ndvfile="))
-          .map(_.stripPrefix("ndvfile=")).getOrElse(""))
+          .map(_.stripPrefix("ndvfile=")).getOrElse(""),
+        provenance = lines.find(_.startsWith("provenance="))
+          .map(_.stripPrefix("provenance=")).getOrElse(""))
     } else {
       // legacy bare-path marker (or empty → the fixed v=<N> layout)
       Manifest(lines.headOption.getOrElse(versionDir(table, v)), Nil, Nil)
@@ -703,6 +706,7 @@ object SnapshotStore {
     if (m.sortCols.nonEmpty) content.append(s"sortcols=${m.sortCols.mkString(",")}\n")
     if (m.partSpec.nonEmpty) content.append(s"part=${PartitionSpec.render(m.partSpec)}\n")
     if (m.ndvFile.nonEmpty) content.append(s"ndvfile=${m.ndvFile}\n")
+    if (m.provenance.nonEmpty) content.append(s"provenance=${m.provenance}\n")
     content.append(s"ts=$ts\n")
     val out = f.create(tmp, true)
     try out.write(content.toString.getBytes("UTF-8"))
@@ -979,8 +983,14 @@ object SnapshotStore {
           s"branch forked at $base — audit against a fresh branch of the new head")
     if (headBr == 0L) return mainHead // nothing committed on the branch: no-op
     val bm = manifest(spark, br, headBr)
+    // srcV = -1, NEVER the branch-local head: main-head srcV doubles as
+    // the streaming sink's exactly-once epoch guard and the mirror's
+    // incremental cursor — a published branch version number would
+    // masquerade as an applied epoch/source version and replay or skip
+    // commits. Branch provenance rides a dedicated marker key instead.
     if (!tryPublishManifest(spark, table, mainHead + 1,
-        bm.copy(ts = 0L, op = "publish", srcV = headBr)))
+        bm.copy(ts = 0L, op = "publish", srcV = -1L,
+          provenance = s"branch:$name@$headBr")))
       throw new java.util.ConcurrentModificationException(
         s"fastForward('$name') lost the publish race on $table version ${mainHead + 1}")
     mainHead + 1
@@ -999,7 +1009,13 @@ object SnapshotStore {
     val prefix = p.toUri.getPath + "/"
     val referencing = versions(spark, table).filter { v =>
       val m = manifest(spark, table, v)
-      (m.files ++ m.deletes ++ Seq(m.statsFile, m.bloomFile).filter(_.nonEmpty))
+      // EVERY sidecar the manifest can reference must be guarded —
+      // an analyze on the branch published via fastForward leaves
+      // main's ndvfile= under the branch root, and deleting it would
+      // silently degrade CBO estimates to empty (NdvStats swallows
+      // read failures by design)
+      (m.files ++ m.deletes ++
+        Seq(m.statsFile, m.bloomFile, m.ndvFile).filter(_.nonEmpty))
         .exists(q => new Path(q).toUri.getPath.startsWith(prefix))
     }
     require(referencing.isEmpty,
@@ -1007,6 +1023,32 @@ object SnapshotStore {
         s"reference files under $br (published via fastForward) — compact main first " +
         "(Bucketing.compactCommit rewrites them into the table's own directories)")
     f.delete(p, true)
+  }
+
+  /** The srcV cursor a CONSUMER commit last recorded on `table` — the
+    * streaming sink's exactly-once epoch guard and the mirror's
+    * incremental source cursor read this, NOT the bare head srcV:
+    * maintenance commits (analyze/compact, srcV = -1) and metadata
+    * publishes (fastForward, restore) can land between a cursor commit
+    * and its at-least-once replay, and reading only the head would
+    * reset the cursor to -1 (duplicate application) or — worse, before
+    * round 14 — read a version number that was never an epoch (skipped
+    * application). Walks newest-first and stops at the first commit
+    * that carries a cursor (`srcV >= 0` and not an op that reuses the
+    * field for table-version provenance); a table whose recent commits
+    * are cursor commits — every steady-state streaming sink or mirror
+    * target — resolves in O(1) manifest reads, and the O(history)
+    * worst case only happens once, before the first cursor commit
+    * exists (vacuum bounds retained history regardless). */
+  def lastAppliedSrcV(spark: SparkSession, table: String): Long = {
+    val vs = versions(spark, table)
+    vs.reverseIterator
+      .map(v => manifest(spark, table, v))
+      .collectFirst {
+        case m if m.srcV >= 0L && m.op != "restore" && m.op != "publish" &&
+            m.op != "branch" => m.srcV
+      }
+      .getOrElse(-1L)
   }
 
   /** All tags of `table`: name → version. */

@@ -119,6 +119,44 @@ class NdvStatsSpec extends SparkSuite {
       SnapshotStore.dataFiles(spark, m2)).contains("o_custkey"))
   }
 
+  test("a sidecar past the driver byte cap resolves DISTRIBUTEDLY with estimate parity") {
+    val table = fresh("ndv-dist")
+    val orders = graft.sources.Tables.orders(spark, sf())
+    SnapshotStore.commit(orders.repartition(4), table)
+    val v = NdvStats.analyzeCommit(spark, table, Seq("o_custkey", "o_orderstatus"))
+    val m = SnapshotStore.manifest(spark, table, v)
+    val files = SnapshotStore.dataFiles(spark, m)
+    val viaDriver = NdvStats.estimates(spark, m.ndvFile, files) // default cap → driver path
+    assert(viaDriver.keySet === Set("o_custkey", "o_orderstatus"))
+
+    spark.conf.set("spark.graft.ndv.driverBytesMax", "1")
+    try {
+      val d0 = NdvStats.driverEntriesLoaded.get()
+      val u0 = NdvStats.distributedUnions.get()
+      val viaDist = NdvStats.estimates(spark, m.ndvFile, files)
+      assert(NdvStats.distributedUnions.get() === u0 + 1,
+        "the byte cap must route the union to a distributed job")
+      assert(NdvStats.driverEntriesLoaded.get() === d0,
+        "the distributed path must never parse sketch entries on the driver")
+      assert(viaDist === viaDriver,
+        s"HLL union is associative — both paths must agree exactly: $viaDist vs $viaDriver")
+
+      // repeated planning of the same snapshot answers from the result
+      // cache, not another job
+      NdvStats.estimates(spark, m.ndvFile, files)
+      assert(NdvStats.distributedUnions.get() === u0 + 1,
+        "a repeated (sidecar, file-set) estimate must hit the result cache")
+
+      // the coverage contract holds distributedly too: an uncovered
+      // file suppresses the estimate instead of skewing it
+      SnapshotStore.appendCommit(orders.limit(10), table)
+      val m2 = SnapshotStore.manifest(spark, table,
+        SnapshotStore.currentVersion(spark, table).get)
+      assert(NdvStats.estimates(spark, m2.ndvFile,
+        SnapshotStore.dataFiles(spark, m2)).isEmpty)
+    } finally spark.conf.unset("spark.graft.ndv.driverBytesMax")
+  }
+
   test("CALL system.analyze publishes through SQL") {
     val wh = java.nio.file.Files.createTempDirectory("ndv-sql").toString
     val cat = "gndv_" + java.util.UUID.randomUUID.toString.take(8).replace("-", "")

@@ -52,6 +52,35 @@ class DvTaskSideSpec extends SparkSuite {
     }
   }
 
+  test("a DV key type outside the raw-primitive set falls back to broadcast, not a failed scan") {
+    import spark.implicits._
+    val table = fresh("dvtask-dec")
+    // decimal(25, 3): FIXED_LEN_BYTE_ARRAY physical — the task-side
+    // raw reader cannot probe it in the right value space
+    val rows = spark.range(0, 500)
+      .selectExpr("id", "CAST(CAST(id AS STRING) || '.125' AS DECIMAL(25,3)) AS amt")
+    SnapshotStore.commit(rows, table)
+    SnapshotStore.deleteCommit(spark, table, Seq("amt"),
+      pmod(col("id"), lit(5)) === 2)
+    def read() = spark.read.format("graft-snapshot").option("path", table).load()
+    val want = read().agg(count(lit(1)), sum("id")).collect()(0) // below cap: broadcast
+    assert(want.getLong(0) === 400L)
+
+    withTaskSideDv {
+      val f0 = TaskSideDvResolver.typeFallbacks.get()
+      val b0 = TaskSideDvResolver.taskSideBuilds.get()
+      val q = read()
+      assert(!scanDesc(q.filter(col("id") >= 0)).contains("dvTaskSide="),
+        "the scan must NOT claim task-side mode for an unsupported key type")
+      assert(q.agg(count(lit(1)), sum("id")).collect()(0) === want,
+        "above the byte cap a decimal-keyed DV must read oracle-exact via broadcast")
+      assert(TaskSideDvResolver.typeFallbacks.get() > f0,
+        "the type-gap fallback counter must move")
+      assert(TaskSideDvResolver.taskSideBuilds.get() === b0,
+        "no executor may attempt the raw-primitive DV read")
+    }
+  }
+
   test("task-side parity across key shapes: string, timestamp, composite") {
     val table = fresh("dvtask-shapes")
     import spark.implicits._

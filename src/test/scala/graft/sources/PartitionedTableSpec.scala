@@ -230,6 +230,83 @@ class PartitionedTableSpec extends SparkSuite {
     assert(SnapshotStore.read(spark, table).count() === 20)
   }
 
+  test("empty-string partition values: both writers route to the hive default dir; no predicate mis-prunes them") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+    // rendering contract (r13 soundness fix, pinned here): the rolling
+    // writer must agree byte-for-byte with df.write.partitionBy, which
+    // routes BOTH null and '' to the hive default directory
+    val sspec = Seq(PartitionSpec.PartField("identity", "sku"))
+    val nspec = Seq(PartitionSpec.PartField("identity", "n"))
+    assert(PartitionSpec.dirSuffix(sspec, Seq(Some("")))
+      === s"__gp0=${PartitionSpec.NullDir}", "empty strings route like nulls")
+    assert(PartitionSpec.dirSuffix(sspec, Seq(None)) === s"__gp0=${PartitionSpec.NullDir}")
+    // fact contract: string default dir proves only "null OR ''" → no
+    // fact; non-string default dir proves all-null; a bare `__gpN=`
+    // segment is foreign (neither writer emits it) → no fact, any type
+    val schema = new StructType().add("sku", StringType).add("n", LongType)
+    assert(PartitionSpec.factsOf(
+      s"/x/__gp0=${PartitionSpec.NullDir}/f.parquet", sspec, schema) === Nil)
+    assert(PartitionSpec.factsOf(
+      s"/x/__gp0=${PartitionSpec.NullDir}/f.parquet", nspec, schema)
+      === Seq(PartitionSpec.AllNull("n")))
+    assert(PartitionSpec.factsOf("/x/__gp0=/f.parquet", sspec, schema) === Nil)
+    assert(PartitionSpec.factsOf("/x/__gp0=/f.parquet", nspec, schema) === Nil,
+      "a bare empty segment must yield NO fact — asserting AllNull for a " +
+        "path no writer produces could prune live rows of foreign data")
+
+    // end-to-end through BOTH write paths on one table
+    val wh = freshDir("part-empty")
+    val cat = "gpemp_" + java.util.UUID.randomUUID.toString.take(8).replace("-", "")
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      val root = s"$wh/facts/t"
+      val df = Seq(
+        (1L, Option("x")), (2L, Option("y")), (3L, Option("")), (4L, Option.empty[String])
+      ).toDF("id", "sku")
+      // path 1: DataFrame write (df.write.partitionBy under the hood)
+      SnapshotStore.partitionedCommit(df, root, sspec)
+      // path 2: the DSv2 rolling writer (INSERT INTO routes per-row)
+      df.select((col("id") + 10L).alias("id"), col("sku"))
+        .createOrReplaceTempView("gpemp_src")
+      spark.sql(s"INSERT INTO $cat.facts.t SELECT * FROM gpemp_src")
+
+      val m0 = SnapshotStore.manifest(spark, root, 0L)
+      val m1 = SnapshotStore.manifest(spark, root, 1L)
+      val rolled = m1.files.filterNot(m0.files.toSet)
+      def underDefault(fs: Seq[String]) =
+        fs.filter(_.contains(s"__gp0=${PartitionSpec.NullDir}"))
+      assert(underDefault(m0.files.toSeq).nonEmpty && underDefault(rolled).nonEmpty,
+        s"both writers must use the default dir for null/'' rows: ${m1.files}")
+      assert(!m1.files.exists(_.contains("__gp0=/")),
+        s"no writer may emit a bare empty partition segment: ${m1.files}")
+      def dirsOf(fs: Seq[String]): Set[String] =
+        fs.flatMap(_.split('/').find(_.startsWith("__gp0="))).toSet
+      assert(dirsOf(rolled) === dirsOf(m0.files.toSeq),
+        "identical rows must land in identical directories on both paths")
+
+      // answers: every null-vs-empty distinction survives the shared dir
+      val read = spark.read.format("graft-snapshot").option("path", root).load()
+      assert(read.count() === 8)
+      assert(read.filter(col("sku") === "").select("id").collect().map(_.getLong(0)).sorted
+        === Array(3L, 13L), "c = '' must see rows in the default dir (r13 soundness fix)")
+      assert(read.filter(col("sku").isNull).select("id").collect().map(_.getLong(0)).sorted
+        === Array(4L, 14L))
+      assert(read.filter(col("sku") === "x").select("id").collect().map(_.getLong(0)).sorted
+        === Array(1L, 11L))
+      // pruning still fires where it is PROVABLE (the y-dir for c = 'x')
+      SnapshotScanProbe.resetPartitionPrunedFiles()
+      assert(read.filter(col("sku") === "x").count() === 2)
+      assert(SnapshotScanProbe.lastPartitionPrunedFiles > 0,
+        "value dirs that cannot match must still prune")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
   test("unsupported transform shapes refuse loudly") {
     val table = freshDir("part-refuse") + "/t"
     val orders = graft.sources.Tables.orders(spark, sf())

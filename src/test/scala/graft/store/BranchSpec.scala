@@ -83,6 +83,99 @@ class BranchSpec extends SparkSuite {
     assert(SnapshotStore.branches(spark, table).keySet === Set("audit"))
   }
 
+  test("fastForward publishes srcV = -1 with branch provenance on a dedicated key") {
+    val table = fresh("branch-prov")
+    val nation = graft.sources.Tables.nation(spark, sf())
+    SnapshotStore.commit(nation, table)
+    val br = SnapshotStore.createBranch(spark, table, "audit")
+    SnapshotStore.appendCommit(nation.limit(2), br)
+    SnapshotStore.appendCommit(nation.limit(1), br) // branch head = v2
+    SnapshotStore.fastForward(spark, table, "audit")
+    val m = SnapshotStore.manifest(spark, table, 1L)
+    assert(m.op === "publish")
+    assert(m.srcV === -1L,
+      "a publish must NOT reuse srcV for the branch head — main-head srcV doubles " +
+        "as the streaming epoch guard and the mirror cursor")
+    assert(m.provenance === "branch:audit@2",
+      "branch provenance rides its own marker key instead")
+  }
+
+  test("dropBranch protects an NDV sidecar that fastForward published onto main") {
+    val table = fresh("branch-ndv")
+    val orders = graft.sources.Tables.orders(spark, sf())
+    SnapshotStore.commit(orders, table)
+    val br = SnapshotStore.createBranch(spark, table, "stats")
+    graft.ops.NdvStats.analyzeCommit(spark, br, Seq("o_custkey")) // branch v1: ndvfile under the branch root
+    SnapshotStore.fastForward(spark, table, "stats")
+    val head = SnapshotStore.manifest(spark, table, 1L)
+    assert(head.ndvFile.nonEmpty && head.ndvFile.contains("_branches/stats"),
+      s"precondition: main's head references the branch-rooted sidecar (${head.ndvFile})")
+    // estimates resolve through the published sidecar
+    assert(graft.ops.NdvStats.estimates(spark, head.ndvFile,
+      SnapshotStore.dataFiles(spark, head)).contains("o_custkey"))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.dropBranch(spark, table, "stats")
+    }
+    assert(e.getMessage.contains("reference files under"),
+      "dropping the branch would delete main's live ndv sidecar — must refuse")
+    // a full rewrite drops the sidecar reference; once history ages out,
+    // the branch releases cleanly
+    SnapshotStore.commit(orders.limit(5), table)
+    SnapshotStore.vacuum(spark, table, keep = 1)
+    assert(SnapshotStore.dropBranch(spark, table, "stats"))
+  }
+
+  test("exactly-once streaming sink survives an interleaved WAP publish (epoch guard)") {
+    val table = fresh("branch-stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("branch-streamck").toString
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    SnapshotStore.commit(spark.range(0).selectExpr("id"), table) // seed schema, v0
+    val input = MemoryStream[Long]
+    def start() = input.toDF().selectExpr("value AS id")
+      .writeStream.format("graft-snapshot").option("path", table)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    try {
+      input.addData(0L until 10L: _*); q1.processAllAvailable() // epoch 0
+      input.addData(10L until 15L: _*); q1.processAllAvailable() // epoch 1
+      assert(SnapshotStore.read(spark, table).count() === 15)
+    } finally q1.stop()
+
+    // WAP while the stream is down: THREE branch commits so the branch
+    // head version number (3) collides with a FUTURE epoch id — the
+    // pre-round-14 publish (srcV = branch head) would then silently
+    // skip epochs 2 and 3
+    val br = SnapshotStore.createBranch(spark, table, "wap")
+    (1 to 3).foreach(i =>
+      SnapshotStore.appendCommit(spark.range(100L * i, 100L * i + 2).selectExpr("id"), br))
+    SnapshotStore.fastForward(spark, table, "wap")
+    assert(SnapshotStore.read(spark, table).count() === 21)
+
+    // force an at-least-once REPLAY of epoch 1: drop its commit marker
+    // from the checkpoint, so the restarted query re-runs the batch
+    val commit1 = java.nio.file.Paths.get(ckpt, "commits", "1")
+    assert(java.nio.file.Files.deleteIfExists(commit1), s"missing $commit1")
+    // the local checksum FS shadows every log file with a .crc — a
+    // stale one would fail the restarted query's atomic rename
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replays epoch 1 — the guard must drop it
+      assert(SnapshotStore.read(spark, table).count() === 21,
+        "a replayed epoch after a WAP publish must not double-append " +
+          "(the publish must not reset the epoch cursor)")
+      input.addData(15L until 18L: _*); q2.processAllAvailable() // epoch 2
+      assert(SnapshotStore.read(spark, table).count() === 24,
+        "fresh epochs after the publish must still apply " +
+          "(a published branch version must not masquerade as an applied epoch)")
+      assert(SnapshotStore.read(spark, table)
+        .agg(org.apache.spark.sql.functions.sum(col("id"))).head().getLong(0)
+        === (0L until 18L).sum + Seq(100L, 101L, 200L, 201L, 300L, 301L).sum)
+    } finally q2.stop()
+  }
+
   test("a branch pins its fork base against main's vacuum") {
     val table = fresh("branch-vac")
     val nation = graft.sources.Tables.nation(spark, sf())
