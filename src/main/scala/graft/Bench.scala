@@ -71,6 +71,24 @@ object Bench {
     val c0 = System.nanoTime()
     graft.fixtures.WeatherDemo.ensureCatalog(spark)
     val catalogSec = (System.nanoTime() - c0) / 1e9
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    // Box-speed CONTROL (round-14, after two rounds of false regression
+    // flags on untouched sub-second queries): a fixed synthetic
+    // compute+shuffle probe that NO engine code path touches — Spark
+    // built-ins over range() — so round-over-round its time moves with
+    // the BOX, never with the repo. The regression gate divides by the
+    // control ratio before comparing, turning "this box is 1.6× slower
+    // than last round's" from a page of fake flags into a scale factor.
+    def controlRun(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 150000000L, 1L, 32)
+        .selectExpr("xxhash64(id) AS h")
+        .selectExpr("pmod(h, 1024) AS k", "h AS v")
+        .groupBy("k").sum("v").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    controlRun() // codegen/JIT warm-up run, untimed
+    val controlSec = median(Seq(controlRun(), controlRun(), controlRun()))
     val outcomes = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => subset.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -112,7 +130,6 @@ object Bench {
         }
         name -> (okMap1(name) +: extra)
       }.toMap
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     // spread over the WARM runs only (drop the first, corpus-pass run):
     // run 1 always carries plan compilation + codegen, so including it
     // would report ~5-9× "spread" on a perfectly quiet box and bury the
@@ -123,29 +140,39 @@ object Bench {
       .filter(_.size >= 2)
       .map(rs => rs.max / math.max(rs.min, 1e-9))
       .foldLeft(1.0)(math.max)
-    // Per-query regression gate (round-12): diff this run against the
-    // PREVIOUS BENCH_FULL.json (read before we overwrite it) and record
-    // queries >1.5× slower. Absolute seconds are box-sensitive (round-11
-    // lesson), so this is a flag list, not a failure — but it puts the
-    // diff the judge used to do by hand into the bench record itself.
-    // Sub-300ms queries are skipped (pure noise at that scale).
-    val prevQueries: Map[String, Double] = {
+    // Per-query regression gate (round-12, BOX-NORMALIZED since
+    // round-14): diff this run against the PREVIOUS BENCH_FULL.json
+    // (read before we overwrite it) and record queries >1.5× slower
+    // AFTER dividing out the control ratio — absolute seconds are
+    // box-sensitive (rounds 11-13 each flagged an untouched query
+    // purely because the box speed moved). Still a flag list, not a
+    // failure. Sub-300ms queries are skipped (pure noise at that
+    // scale). The scale is clamped to [0.4, 2.5]: a pathological
+    // control reading must not be able to mask a real 2×+ regression.
+    val prevText: Option[String] = {
       val p = java.nio.file.Paths.get(fullOut)
-      if (!java.nio.file.Files.exists(p)) Map.empty
-      else try {
-        val text = new String(java.nio.file.Files.readAllBytes(p),
-          java.nio.charset.StandardCharsets.UTF_8)
-        val qStart = text.indexOf("\"queries\":{")
-        if (qStart < 0) Map.empty
-        else {
-          val body = text.substring(qStart + 11, text.indexOf("}", qStart))
-          "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        }
-      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+      if (!java.nio.file.Files.exists(p)) None
+      else try Some(new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8))
+      catch { case scala.util.control.NonFatal(_) => None }
     }
+    val prevQueries: Map[String, Double] = prevText.flatMap { text =>
+      val qStart = text.indexOf("\"queries\":{")
+      if (qStart < 0) None
+      else {
+        val body = text.substring(qStart + 11, text.indexOf("}", qStart))
+        Some("\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+      }
+    }.getOrElse(Map.empty)
+    val prevControl: Option[Double] = prevText.flatMap(text =>
+      "\"control_sec\":([0-9.]+)".r.findFirstMatchIn(text)
+        .map(_.group(1).toDouble).filter(_ > 0))
+    val controlScale = // this box's speed relative to the previous run's
+      math.min(2.5, math.max(0.4, prevControl.map(controlSec / _).getOrElse(1.0)))
     val regressions = ok.collect {
-      case (k, v, _) if prevQueries.get(k).exists(old => old > 0.3 && v > 1.5 * old) =>
+      case (k, v, _) if prevQueries.get(k)
+          .exists(old => old > 0.3 && v > 1.5 * old * controlScale) =>
         k -> (v, prevQueries(k))
     }.sortBy { case (_, (now, old)) => -(now / old) }
     val regressionsJson = regressions
@@ -164,14 +191,14 @@ object Bench {
       .map { case (k, v) => "\"" + k.takeWhile(_ != '|') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${outcomes.size},"queries":$fullQs,"runs":$runsJson,"spread_max":${fmt(spreadMax)},"errors":$errs,"regressions_vs_prev":$regressionsJson,$boot,"fixture_setup_sec":$fixturesJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${outcomes.size},"queries":$fullQs,"runs":$runsJson,"spread_max":${fmt(spreadMax)},"errors":$errs,"control_sec":${fmt(controlSec)},"control_scale_vs_prev":${fmt(controlScale)},"regressions_vs_prev":$regressionsJson,$boot,"fixture_setup_sec":$fixturesJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(fullOut),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val headQs = headline.flatMap(k => headRuns.get(k).map(rs => "\"" + k + "\":" + fmt(median(rs))))
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${outcomes.size},"n_errors":${outcomes.count(_._3.isDefined)},"queries":$headQs,"queries_stat":"median_of_3","spread_max":${fmt(spreadMax)},"n_regressions":${regressions.size},$boot,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${outcomes.size},"n_errors":${outcomes.count(_._3.isDefined)},"queries":$headQs,"queries_stat":"median_of_3","spread_max":${fmt(spreadMax)},"control_sec":${fmt(controlSec)},"n_regressions":${regressions.size},$boot,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
