@@ -115,7 +115,7 @@ object Bucketing {
       mCur.partSpec.forall(f => rows.schema.fieldNames.contains(f.col))
     if (routedPart) {
       val (withCols, dirCols) =
-        graft.store.PartitionSpec.withRoutingColumns(rows, mCur.partSpec)
+        graft.store.PartitionSpec.withRoutingColumns(rows, mCur.partSpec, mCur.partGen)
       withCols.repartition(dirCols.map(org.apache.spark.sql.functions.col): _*)
         .write.mode("overwrite").partitionBy(dirCols: _*).parquet(outDir)
     } else {
@@ -134,16 +134,18 @@ object Bucketing {
       else SnapshotStore.dataFiles(spark, SnapshotStore.Manifest(outDir, Nil, Nil))
     val outStats = graft.store.FileStats.sidecarFor(spark, table,
       outFileList, None, SnapshotStore.writerStatsExact(spark))
+    // a FULL rewrite re-routes every row under the CURRENT spec
+    // generation — older generations' history heals away here
     val outManifest =
       if (routedPart)
         SnapshotStore.Manifest("", Nil, Nil, files = outFileList, op = "compact",
           statsExact = SnapshotStore.writerStatsExact(spark), statsFile = outStats,
-          partSpec = mCur.partSpec)
+          partSpec = mCur.partSpec, partGen = mCur.partGen)
       else
         SnapshotStore.Manifest(outDir, Nil, Nil, op = "compact",
           statsExact = SnapshotStore.writerStatsExact(spark), statsFile = outStats,
           bucketCols = mCur.bucketCols, bucketN = mCur.bucketN,
-          partSpec = mCur.partSpec)
+          partSpec = mCur.partSpec, partGen = mCur.partGen)
     if (!SnapshotStore.tryPublishManifest(spark, table, next, outManifest))
       throw new IllegalStateException(s"could not publish commit marker $next under $table")
     (files.size, outFileList.size, totalBytes, next)
@@ -214,7 +216,7 @@ object Bucketing {
       m.partSpec.forall(f => smallRows.schema.fieldNames.contains(f.col))
     if (routedPart) {
       val (withCols, dirCols) =
-        graft.store.PartitionSpec.withRoutingColumns(smallRows, m.partSpec)
+        graft.store.PartitionSpec.withRoutingColumns(smallRows, m.partSpec, m.partGen)
       withCols.repartition(dirCols.map(org.apache.spark.sql.functions.col): _*)
         .write.mode("overwrite").partitionBy(dirCols: _*).parquet(stageDir)
     } else {
@@ -238,7 +240,9 @@ object Bucketing {
         files = big.map(_._1) ++ staged, op = "compact-small",
         statsExact = m.statsExact, mixedSchema = m.mixedSchema, statsFile = stats,
         bucketCols = m.bucketCols, bucketN = m.bucketN, bloomFile = m.bloomFile,
-        partSpec = m.partSpec, ndvFile = m.ndvFile))
+        // big (old-generation) files survive → the spec history must too
+        partSpec = m.partSpec, ndvFile = m.ndvFile,
+        partGen = m.partGen, partHist = m.partHist))
     if (!ok) {
       fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
       throw new java.util.ConcurrentModificationException(

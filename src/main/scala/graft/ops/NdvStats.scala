@@ -55,6 +55,16 @@ object NdvStats {
       s"analyze column '$c' is not in the table schema"))
     val out = s"$table/_ndv/n_${java.util.UUID.randomUUID.toString.take(8)}"
     cols.map { c =>
+      // quantile sketch rides the same row for numeric/date/timestamp
+      // columns (equi-height histograms for CBO range selectivity);
+      // other types carry a null — coverage logic skips them
+      val kllCol =
+        if (graft.functions.KllSketches.supported(raw.schema(c).dataType))
+          org.apache.spark.sql.graftbridge.Bridge.column(
+            graft.functions.KllSketchAgg(
+              org.apache.spark.sql.graftbridge.Bridge.expression(raw(c)))
+              .toAggregateExpression()).alias("kll")
+        else lit(null).cast("binary").alias("kll")
       raw
         // file identity = dirName/fileName, mirror-stable
         // (SnapshotStore.relFileKey) — partition-routed files keep
@@ -66,8 +76,9 @@ object NdvStats {
         // nulls ride along exactly (CBO's join estimation requires a
         // null count next to the distinct count — hasCountStats)
         .agg(hll_sketch_agg(raw(c), lit(LgK)).alias("sketch"),
-          (count(lit(1)) - count(raw(c))).alias("nulls"))
-        .select(col("file"), lit(c).alias("col"), col("sketch"), col("nulls"))
+          (count(lit(1)) - count(raw(c))).alias("nulls"),
+          kllCol)
+        .select(col("file"), lit(c).alias("col"), col("sketch"), col("nulls"), col("kll"))
     }.reduce(_ unionAll _)
       // PARALLEL sidecar write — the shuffle already distributed the
       // (file, column) rows; funneling them through one task
@@ -99,28 +110,45 @@ object NdvStats {
           size() > cap
       })
 
+  /** One sidecar row, parsed: the HLL sketch bytes, the exact null
+    * count, and (when the column is numeric/date/timestamp and the
+    * sidecar was written since round 14) the KLL quantile sketch. */
+  private final case class Entry(hll: Array[Byte], nulls: Long, kll: Option[Array[Byte]])
+
+  /** Per-column plan-time statistics over a concrete kept-file set:
+    * distinct-count estimate, exact null count, and an optional
+    * equi-height histogram (height = rows per bin; bins carry
+    * (lo, hi, per-bin NDV approximation) in the catalyst-internal
+    * double domain — epoch days for dates, epoch micros for
+    * timestamps). */
+  final case class ColStats(
+      ndv: Long, nulls: Long, histogram: Option[(Double, Array[(Double, Double, Long)])])
+
   /** Sidecar parse cache (JVM-wide by ndv-file path — immutable once a
-    * marker references it): (fileKey, col) → (serialized sketch,
-    * nulls). LRU-evicted (access order, capacity 64), never a blunt
-    * clear(): hot tables' sidecars stay warm while cold ones age out —
-    * the same policy as the Bloom column cache. */
-  private val cache = lru[String, Map[(String, String), (Array[Byte], Long)]](64)
+    * marker references it): (fileKey, col) → [[Entry]]. LRU-evicted
+    * (access order, capacity 64), never a blunt clear(): hot tables'
+    * sidecars stay warm while cold ones age out — the same policy as
+    * the Bloom column cache. */
+  private val cache = lru[String, Map[(String, String), Entry]](64)
   /** Sidecar byte sizes (immutable once written — safe to cache). */
   private val sizeCache = lru[String, java.lang.Long](256)
   /** Distributed union results: (ndvFile, md5 of the sorted file-key
-    * set) → per-column estimates. Bounded; repeated planning of the
-    * same snapshot never re-runs the job. */
-  private val distCache = lru[(String, String), Map[String, (Long, Long)]](64)
+    * set) → per-column stats. Bounded; repeated planning of the same
+    * snapshot never re-runs the job. */
+  private val distCache = lru[(String, String), Map[String, ColStats]](64)
 
-  def sketches(
-      spark: SparkSession, ndvFile: String): Map[(String, String), (Array[Byte], Long)] = {
+  private def sketches(
+      spark: SparkSession, ndvFile: String): Map[(String, String), Entry] = {
     val hit = cache.get(ndvFile)
     if (hit != null) return hit
-    val loaded = spark.read.parquet(ndvFile).collect().toSeq.flatMap { r =>
+    val df = spark.read.parquet(ndvFile)
+    val hasKll = df.schema.fieldNames.contains("kll") // pre-round-14 sidecars lack it
+    val loaded = df.collect().toSeq.flatMap { r =>
       Option(r.getAs[Array[Byte]]("sketch")).map { b =>
         driverEntriesLoaded.incrementAndGet()
         ((r.getAs[String]("file"), r.getAs[String]("col")),
-          (b, r.getAs[Long]("nulls")))
+          Entry(b, r.getAs[Long]("nulls"),
+            if (hasKll) Option(r.getAs[Array[Byte]]("kll")) else None))
       }
     }.toMap
     cache.put(ndvFile, loaded)
@@ -153,37 +181,99 @@ object NdvStats {
   def estimates(
       spark: SparkSession,
       ndvFile: String,
-      files: Seq[String]): Map[String, (Long, Long)] = {
+      files: Seq[String]): Map[String, (Long, Long)] =
+    stats(spark, ndvFile, files).map { case (c, s) => c -> ((s.ndv, s.nulls)) }
+
+  /** Full per-column plan-time statistics (NDV + nulls + optional
+    * equi-height histogram) over exactly `files`. `numBins` defaults to
+    * Spark's own `spark.sql.statistics.histogram.numBins`. */
+  def stats(
+      spark: SparkSession,
+      ndvFile: String,
+      files: Seq[String],
+      numBins: Int = 0): Map[String, ColStats] = {
     if (ndvFile.isEmpty || files.isEmpty) return Map.empty
+    val bins =
+      if (numBins > 0) numBins
+      else spark.conf.get("spark.sql.statistics.histogram.numBins", "254").toInt
     val keys = files.map(SnapshotStore.relFileKey).distinct
     val driverBytesMax = spark.conf.get(
       "spark.graft.ndv.driverBytesMax", (32L << 20).toString).toLong
     try {
       if (sidecarBytes(spark, ndvFile) <= driverBytesMax)
-        driverEstimates(spark, ndvFile, keys)
+        driverStats(spark, ndvFile, keys, bins)
       else
-        distributedEstimates(spark, ndvFile, keys)
+        distributedStats(spark, ndvFile, keys, bins)
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
   }
 
-  private def driverEstimates(
-      spark: SparkSession, ndvFile: String, keys: Seq[String]): Map[String, (Long, Long)] = {
+  /** Minimum relative deviation of the quantile curve from a straight
+    * min→max line before a histogram is emitted at all. Histograms are
+    * a SKEW corrector: on a near-uniform column min/max interpolation
+    * is already right, the exact-NDV join formula is already right,
+    * and feeding the optimizer approximate misaligned bins (per-bin
+    * NDV is an equal split, boundaries carry sketch rank error) can
+    * only replace a good estimate with a noisy one — measured as a
+    * 2.5× join-cardinality error on a uniform key. Skewed columns are
+    * exactly where the bins pay for themselves. */
+  val HistogramSkewMin = 0.15
+
+  /** Equi-height bins from a merged KLL sketch: boundaries at ranks
+    * i/n, height = rows per bin, per-bin NDV approximated as an equal
+    * split of the column NDV (the standard approximation — per-bin
+    * exactness would need a sketch per bin). Near-uniform
+    * distributions return None (see [[HistogramSkewMin]]). */
+  private def binsOf(
+      sk: org.apache.datasketches.kll.KllDoublesSketch,
+      numBins: Int,
+      ndv: Long): Option[(Double, Array[(Double, Double, Long)])] = {
+    if (sk.isEmpty) return None
+    val n = math.min(numBins.toLong, math.max(1L, sk.getN)).toInt
+    val ranks = Array.tabulate(n + 1)(i => i.toDouble / n)
+    val qs = sk.getQuantiles(ranks,
+      org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE)
+    val range = qs(n) - qs(0)
+    if (range <= 0) return None // constant column: min/max already exact
+    val skew = (1 until n).iterator.map { i =>
+      math.abs(qs(i) - (qs(0) + range * i / n)) / range
+    }.max
+    if (skew < HistogramSkewMin) return None
+    val binNdv = math.max(1L, math.round(ndv.toDouble / n))
+    Some((sk.getN.toDouble / n, Array.tabulate(n)(i => (qs(i), qs(i + 1), binNdv))))
+  }
+
+  private def driverStats(
+      spark: SparkSession, ndvFile: String, keys: Seq[String],
+      numBins: Int): Map[String, ColStats] = {
     val sk = sketches(spark, ndvFile)
     sk.keysIterator.map(_._2).toSet.toSeq.flatMap { (c: String) =>
       val parts = keys.map(fk => sk.get((fk, c)))
       if (parts.exists(_.isEmpty)) None // uncovered file → no estimate
       else {
+        val entries = parts.flatten
         val u = new org.apache.datasketches.hll.Union(LgK)
-        parts.flatten.foreach { case (b, _) =>
-          u.update(org.apache.datasketches.hll.HllSketch.heapify(b)) }
-        Some(c -> ((math.max(0L, math.round(u.getResult.getEstimate)),
-          parts.flatten.map(_._2).sum)))
+        entries.foreach(e =>
+          u.update(org.apache.datasketches.hll.HllSketch.heapify(e.hll)))
+        val ndv = math.max(0L, math.round(u.getResult.getEstimate))
+        // histogram only under FULL kll coverage (same doctrine as NDV:
+        // a partial merge would misplace every quantile)
+        val hist =
+          if (entries.exists(_.kll.isEmpty)) None
+          else {
+            val m = org.apache.datasketches.kll.KllDoublesSketch
+              .newHeapInstance(graft.functions.KllSketches.DefaultK)
+            entries.foreach(e => m.merge(org.apache.datasketches.kll.KllDoublesSketch
+              .heapify(org.apache.datasketches.memory.Memory.wrap(e.kll.get))))
+            binsOf(m, numBins, ndv)
+          }
+        Some(c -> ColStats(ndv, entries.map(_.nulls).sum, hist))
       }
     }.toMap
   }
 
-  private def distributedEstimates(
-      spark: SparkSession, ndvFile: String, keys: Seq[String]): Map[String, (Long, Long)] = {
+  private def distributedStats(
+      spark: SparkSession, ndvFile: String, keys: Seq[String],
+      numBins: Int): Map[String, ColStats] = {
     val setKey = {
       val md = java.security.MessageDigest.getInstance("MD5")
       keys.sorted.foreach(k => md.update(k.getBytes("UTF-8")))
@@ -195,24 +285,46 @@ object NdvStats {
     // kept-file set as a broadcast semi-join build side: the driver
     // already holds the file list, so shipping it is O(paths); the
     // sidecar (the big side) streams through executors and never
-    // lands on the driver
+    // lands on the driver — per column, ONE merged (ndv, nulls, kll)
+    // row comes back
     val keysDf = spark.createDataset(keys)(org.apache.spark.sql.Encoders.STRING)
       .toDF("file")
-    val rows = spark.read.parquet(ndvFile)
+    val sidecar = spark.read.parquet(ndvFile)
+    val hasKll = sidecar.schema.fieldNames.contains("kll")
+    val base = sidecar
       .filter(col("sketch").isNotNull)
       .join(broadcast(keysDf), Seq("file"), "inner")
       .groupBy(col("col"))
-      .agg(
+    val aggd =
+      if (hasKll) base.agg(
         hll_sketch_estimate(hll_union_agg(col("sketch"), lit(true))).alias("ndv"),
         sum(col("nulls")).alias("nulls"),
-        count(lit(1)).alias("nfiles"))
-      .collect()
+        count(lit(1)).alias("nfiles"),
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.functions.KllMergeAgg(
+            org.apache.spark.sql.graftbridge.Bridge.expression(col("kll")))
+            .toAggregateExpression()).alias("kll"),
+        count(col("kll")).alias("kllfiles"))
+      else base.agg(
+        hll_sketch_estimate(hll_union_agg(col("sketch"), lit(true))).alias("ndv"),
+        sum(col("nulls")).alias("nulls"),
+        count(lit(1)).alias("nfiles"),
+        lit(null).cast("binary").alias("kll"),
+        lit(0L).alias("kllfiles"))
+    val rows = aggd.collect()
     val n = keys.size.toLong
     val out = rows.iterator.flatMap { r =>
       // full coverage only — same contract as the driver path
       if (r.getAs[Long]("nfiles") != n) None
-      else Some(r.getAs[String]("col") ->
-        ((math.max(0L, r.getAs[Long]("ndv")), r.getAs[Long]("nulls"))))
+      else {
+        val ndv = math.max(0L, r.getAs[Long]("ndv"))
+        val hist = Option(r.getAs[Array[Byte]]("kll"))
+          .filter(_ => r.getAs[Long]("kllfiles") == n)
+          .flatMap(b => binsOf(
+            org.apache.datasketches.kll.KllDoublesSketch.heapify(
+              org.apache.datasketches.memory.Memory.wrap(b)), numBins, ndv))
+        Some(r.getAs[String]("col") -> ColStats(ndv, r.getAs[Long]("nulls"), hist))
+      }
     }.toMap
     distCache.put((ndvFile, setKey), out)
     out

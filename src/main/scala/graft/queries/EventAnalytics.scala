@@ -792,7 +792,139 @@ object EventAnalytics {
           GROUP BY c.segment ORDER BY c.segment""")
   }
 
+  /** DT31: PARTITION SPEC EVOLUTION — `CALL system.evolve_partition_spec`
+    * switches a months-partitioned fact to days in ONE metadata commit
+    * (zero bytes move; Iceberg-style spec-per-file-generation): old
+    * files keep their months directories, appends route into
+    * generation-TAGGED day directories, and the scan prunes each file
+    * under exactly the spec that wrote it — the fixture pins that a
+    * date cut prunes provably-dead files from BOTH generations, counted
+    * from the paths themselves. Oracle replays the append algebra over
+    * plain parquet. */
+  val dtPartitionEvolve: Q = (s, d) => {
+    val wh = Fixtures.dir("partevolve", d) { root =>
+      val t = s"$root/facts/orders"
+      val orders = Tables.orders(s, d)
+      graft.store.SnapshotStore.partitionedCommit(orders, t,
+        Seq(graft.store.PartitionSpec.PartField("months", "o_orderdate")))
+      val cat = snapCatalog(s, root)
+      val v = s.sql(
+        s"CALL $cat.system.evolve_partition_spec('facts.orders', 'days:o_orderdate')")
+        .head().getLong(0)
+      require(v == 1L, "dt_partition_evolve: evolution must be one metadata commit")
+      graft.store.SnapshotStore.appendCommit(
+        orders.filter(pmod(col("o_orderkey"), lit(4)) === 1)
+          .withColumn("o_orderkey", col("o_orderkey") + 20000000L), t)
+      val m = graft.store.SnapshotStore.manifest(s, t,
+        graft.store.SnapshotStore.currentVersion(s, t).get)
+      require(m.partGen == 1 && m.partHist.nonEmpty,
+        "dt_partition_evolve: the manifest must carry both spec generations")
+      def dirVal(f: String, pre: String): Option[String] =
+        f.split('/').find(_.startsWith(pre)).map(_.stripPrefix(pre))
+      val expectPruned = m.files.count(f =>
+        dirVal(f, "__gp0=").exists(_ < "1997-01") ||
+          dirVal(f, "__g1p0=").exists(_ < "1997-01-01"))
+      require(m.files.exists(f => dirVal(f, "__gp0=").exists(_ < "1997-01")) &&
+        m.files.exists(f => dirVal(f, "__g1p0=").exists(_ < "1997-01-01")),
+        "dt_partition_evolve: both generations must hold prunable files")
+      graft.sources.SnapshotScanProbe.resetPartitionPrunedFiles()
+      s.read.format("graft-snapshot").option("path", t).load()
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        .count()
+      require(graft.sources.SnapshotScanProbe.lastPartitionPrunedFiles == expectPruned,
+        s"dt_partition_evolve: every dead file of EVERY generation must prune " +
+          s"(got ${graft.sources.SnapshotScanProbe.lastPartitionPrunedFiles}, want $expectPruned)")
+    }
+    val cat = snapCatalog(s, wh)
+    s.sql(
+      s"""SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+          FROM $cat.facts.orders
+          WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY 1 ORDER BY 1""")
+  }
+
+  /** DT30: EQUI-HEIGHT HISTOGRAMS → CBO — `CALL system.analyze` also
+    * aggregates a mergeable KLL quantile sketch per (file, column)
+    * (native Catalyst `TypedImperativeAggregate`, the quantile analog
+    * Spark ships no built-in for); plan time merges the kept files'
+    * sketches, cuts equi-height bins, and surfaces them through V2
+    * `ColumnStatistics.histogram` — Spark's FilterEstimation then
+    * prices a range predicate on a SKEWED column from the bins instead
+    * of min/max interpolation, which the fixture proves wrong by >2.5×
+    * on a quartic-skew amount column. Near-uniform columns emit NO
+    * bins by design (the exact-NDV join formula is already right
+    * there). Oracle replays the filtered aggregate exactly. */
+  val dtHistCbo: Q = (s, d) => {
+    val cut = 8000000000000000L // ≈ top 5.4% of rows under the quartic skew
+    val wh = Fixtures.dir("histcbo", d) { root =>
+      val t = s"$root/facts/orders"
+      // integer-exact quartic skew (v⁴ over v = hash(o_orderkey) in
+      // [0, 9999]) so the DuckDB oracle replays it bit-for-bit — no
+      // cross-engine pow()/rounding drift
+      val base = Tables.orders(s, d)
+        .withColumn("v", expr("pmod(o_orderkey * 2654435761, 100000) DIV 10"))
+        .withColumn("skew_amt", col("v") * col("v") * col("v") * col("v"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("skew_amt"))
+      graft.store.SnapshotStore.commit(base, t)
+      val cat = snapCatalog(s, root)
+      s.sql(s"CALL $cat.system.analyze('facts.orders', 'skew_amt')")
+      // CBO pin: the histogram prices the tail range within 2.5× of
+      // truth where uniform min/max interpolation is >2.5× off
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      try {
+        val truth = base.filter(col("skew_amt") > cut).count()
+        val Seq(mn, mx) = base.agg(min("skew_amt"), max("skew_amt"))
+          .collect()(0).toSeq.map(_.asInstanceOf[Long])
+        val uniform = base.count().toDouble * (mx - cut).toDouble / (mx - mn)
+        require(uniform > 2.5 * truth,
+          s"dt_hist_cbo fixture: skew precondition broke (uniform $uniform vs truth $truth)")
+        val est = s.sql(
+          s"SELECT o_orderkey FROM $cat.facts.orders WHERE skew_amt > $cut")
+          .queryExecution.optimizedPlan.collectFirst {
+            case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.stats.rowCount
+          }.flatten
+        require(est.exists(e => e.toDouble < truth * 2.5 && e.toDouble > truth / 2.5),
+          s"dt_hist_cbo: histogram estimate $est must land within 2.5× of truth $truth " +
+            s"(uniform interpolation says ${uniform.toLong})")
+      } finally s.conf.unset("spark.sql.cbo.enabled")
+    }
+    val cat = snapCatalog(s, wh)
+    s.sql(
+      s"""SELECT o_orderstatus,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+          FROM $cat.facts.orders
+          WHERE skew_amt > $cut
+          GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  }
+
   private val oraclesBase: Map[String, String] = Map(
+    "dt_partition_evolve" ->
+      """WITH u AS (
+           SELECT * FROM orders
+           UNION ALL
+           SELECT o_orderkey + 20000000, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey % 4 = 1)
+         SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         FROM u
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY 1 ORDER BY 1""",
+    "dt_hist_cbo" ->
+      """WITH t AS (
+           SELECT o_orderkey, o_orderstatus,
+                  ((o_orderkey * 2654435761) % 100000) // 10 AS v
+           FROM orders)
+         SELECT o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         FROM t
+         WHERE v*v*v*v > 8000000000000000
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "dt_ndv_cbo" ->
       """SELECT o_custkey % 7 AS segment,
                 CAST(count(*) AS BIGINT) AS n_rows,
@@ -1254,6 +1386,8 @@ object EventAnalytics {
     "dt_partition_prune" -> dtPartitionPrune,
     "dt_branch_wap" -> dtBranchWap,
     "dt_ndv_cbo" -> dtNdvCbo,
+    "dt_hist_cbo" -> dtHistCbo,
+    "dt_partition_evolve" -> dtPartitionEvolve,
     "dt_partition_delete" -> dtPartitionDelete,
     "dt_changes_batch" -> dtChangesBatch,
     "dt_merge_sql" -> dtMergeSql,

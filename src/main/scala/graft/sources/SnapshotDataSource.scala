@@ -1419,9 +1419,17 @@ private[sources] final class SnapshotScan(
     val afterPart =
       if (m.partSpec.isEmpty || skippable.isEmpty) allDataFiles
       else {
+        // spec EVOLUTION: every generation (current + parthist=) tries
+        // its own generation-TAGGED directory names, so a file yields
+        // facts from exactly the spec that routed it — old files prune
+        // under the old spec, new files under the new, no parse
+        // ambiguity and no rewrite
+        val gens: Seq[(Seq[graft.store.PartitionSpec.PartField], Int)] =
+          (m.partSpec, m.partGen) +: m.partHist.map { case (g, sp) => (sp, g) }
         val kept = allDataFiles.filter { f =>
           SnapshotScan.partitionKeeps(
-            graft.store.PartitionSpec.factsOf(f, m.partSpec, fullSchema),
+            gens.flatMap { case (sp, g) =>
+              graft.store.PartitionSpec.factsOf(f, sp, fullSchema, g) },
             skippable.toSeq)
         }
         SnapshotScan.lastPartitionPrunedFiles.set(allDataFiles.size - kept.size)
@@ -1637,14 +1645,14 @@ private[sources] final class SnapshotScan(
     // folds distinctCount into join cardinality/reorder decisions.
     // Empty map when no analyze ran — CBO then sees rows/bytes only,
     // exactly the pre-round-12 behavior.
-    val ndv: Map[String, (Long, Long)] =
+    val ndv: Map[String, graft.ops.NdvStats.ColStats] =
       if (m.ndvFile.isEmpty || m.deletes.nonEmpty) Map.empty // DVs shrink true NDV unpredictably
-      else graft.ops.NdvStats.estimates(
+      else graft.ops.NdvStats.stats(
         spark, m.ndvFile, groups.map(_._1.file).distinct)
     val colStats = new java.util.HashMap[
       org.apache.spark.sql.connector.expressions.NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-    ndv.foreach { case (c, (n, nulls)) =>
+    ndv.foreach { case (c, graft.ops.NdvStats.ColStats(n, nulls, hist)) =>
       if (physical.fieldNames.contains(c)) {
         // merged min/max over the KEPT groups' sidecar bounds — CBO's
         // equi-join estimation intersects key VALUE INTERVALS before
@@ -1679,6 +1687,29 @@ private[sources] final class SnapshotScan(
             override def max(): java.util.Optional[Object] =
               numericBounds.map(b => java.util.Optional.of(b._2.asInstanceOf[Object]))
                 .getOrElse(java.util.Optional.empty[Object]())
+            // equi-height histogram from the analyze pass's merged KLL
+            // quantile sketches (round-14): Spark's transformV2Stats
+            // folds it into catalyst ColumnStat.histogram, which
+            // FilterEstimation uses for range-predicate selectivity on
+            // SKEWED columns — where min/max interpolation is off by
+            // the skew factor
+            override def histogram(): java.util.Optional[
+                org.apache.spark.sql.connector.read.colstats.Histogram] =
+              hist.map { case (h, bs) =>
+                val v2bins = bs.map { case (binLo, binHi, binNdv) =>
+                  new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                    override def lo(): Double = binLo
+                    override def hi(): Double = binHi
+                    override def ndv(): Long = binNdv
+                  }
+                }
+                java.util.Optional.of(
+                  new org.apache.spark.sql.connector.read.colstats.Histogram {
+                    override def height(): Double = h
+                    override def bins(): Array[
+                        org.apache.spark.sql.connector.read.colstats.HistogramBin] = v2bins
+                  }: org.apache.spark.sql.connector.read.colstats.Histogram)
+              }.getOrElse(java.util.Optional.empty())
           })
       }
     }

@@ -350,6 +350,24 @@ object SnapshotProcedures {
         Array(row(graft.ops.NdvStats.analyzeCommit(spark, t, cols)))
       }))
 
+      case "evolve_partition_spec" => Some(new Proc(
+        "evolve_partition_spec",
+        "Partition SPEC EVOLUTION: switch the table's partition layout for " +
+          "future writes in one metadata-only commit (zero data movement) — " +
+          "existing files keep pruning under the generation-tagged spec that " +
+          "wrote them; a compaction re-routes everything and heals the history",
+        Array(
+          p("table", StringType, comment = "catalog-relative name, e.g. 'ns.t'"),
+          p("spec", StringType,
+            comment = "new spec, e.g. 'days:ts' or 'months:ts|identity:region' " +
+              "or 'truncate:4:sku'")),
+        StructType(Seq(
+          StructField("evolved_version", LongType, nullable = false))))({ in =>
+        val t = root(warehouse, in.getUTF8String(0).toString)
+        val spec = graft.store.PartitionSpec.parse(in.getUTF8String(1).toString)
+        Array(row(SnapshotStore.evolvePartitionSpec(spark, t, spec)))
+      }))
+
       case "sync" => Some(new Proc(
         "sync",
         "Physical file-level mirror: copy each unsynced version's new files to " +

@@ -180,7 +180,8 @@ private[sources] final class SnapshotRowLevelBatchWrite(
       SnapshotStore.Manifest("", m.deletes, m.keyCols, ts = System.currentTimeMillis(),
         files = survivors ++ committed, op = opName, statsExact = m.statsExact,
         mixedSchema = m.mixedSchema, statsFile = stats,
-        bloomFile = m.bloomFile, partSpec = m.partSpec, ndvFile = m.ndvFile))
+        bloomFile = m.bloomFile, partSpec = m.partSpec, ndvFile = m.ndvFile,
+        partGen = m.partGen, partHist = m.partHist))
     if (!ok) {
       abort(messages)
       throw new java.util.ConcurrentModificationException(

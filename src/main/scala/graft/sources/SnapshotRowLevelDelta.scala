@@ -217,7 +217,8 @@ private[sources] final class SnapshotDeltaBatchWrite(
         bucketN = if (pureDelete) m.bucketN else 0,
         sortCols = if (pureDelete) m.sortCols else Nil,
         bloomFile = m.bloomFile, // file-keyed: inherited entries stay valid
-        partSpec = m.partSpec, ndvFile = m.ndvFile))
+        partSpec = m.partSpec, ndvFile = m.ndvFile,
+        partGen = m.partGen, partHist = m.partHist))
     if (!ok) {
       abort(messages)
       throw new java.util.ConcurrentModificationException(

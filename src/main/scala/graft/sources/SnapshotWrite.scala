@@ -85,8 +85,13 @@ private[sources] final class SnapshotWrite(
       case _ => Nil // partial source columns → no routing, no sort
     }
 
+  /** Spec generation of [[partSpec]] — routed directories carry it in
+    * their names (`__g<gen>pN=`), so files written under different
+    * generations prune under exactly the spec that wrote them. */
+  private val partGen: Int = headManifest.map(_.partGen).getOrElse(0)
+
   override def toBatch: BatchWrite =
-    new SnapshotBatchWrite(tablePath, schema, append, bucketSpec, partSpec)
+    new SnapshotBatchWrite(tablePath, schema, append, bucketSpec, partSpec, partGen)
 
   /** Structured Streaming SINK: each micro-batch commits as one
     * O(new-files) append version, EXACTLY-ONCE — the epoch id rides the
@@ -105,14 +110,15 @@ private[sources] final class SnapshotWrite(
     if (!append) throw new UnsupportedOperationException(
       "graft-snapshot streaming sink supports APPEND output mode only " +
         "(complete/update rewrite the table every batch — use batch INSERT OVERWRITE)")
-    new SnapshotStreamingWrite(tablePath, schema, bucketSpec, partSpec)
+    new SnapshotStreamingWrite(tablePath, schema, bucketSpec, partSpec, partGen)
   }
 }
 
 private[sources] final class SnapshotStreamingWrite(
     tablePath: String, schema: StructType,
     bucketSpec: Option[(Seq[String], Int)] = None,
-    partSpec: Seq[graft.store.PartitionSpec.PartField] = Nil)
+    partSpec: Seq[graft.store.PartitionSpec.PartField] = Nil,
+    partGen: Int = 0)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private val spark = SparkSession.active
@@ -126,7 +132,7 @@ private[sources] final class SnapshotStreamingWrite(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new SnapshotStreamingWriterFactory(tablePath, queryTok, schema,
-      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration), partSpec)
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration), partSpec, partGen)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     // exactly-once replay guard: the newest CURSOR commit's src=
@@ -159,7 +165,8 @@ private[sources] final class SnapshotStreamingWrite(
 
 private[sources] final class SnapshotStreamingWriterFactory(
     tablePath: String, queryTok: String, schema: StructType, conf: SerializableHadoopConf,
-    partSpec: Seq[graft.store.PartitionSpec.PartField] = Nil)
+    partSpec: Seq[graft.store.PartitionSpec.PartField] = Nil,
+    partGen: Int = 0)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
@@ -170,14 +177,15 @@ private[sources] final class SnapshotStreamingWriterFactory(
       new SnapshotDataWriter(dir, partitionId, schema, conf.conf, eagerPartitionZero = false)
     else
       new SnapshotPartitionedDataWriter(dir, partitionId, schema, partSpec, conf.conf,
-        eagerPartitionZero = false)
+        eagerPartitionZero = false, gen = partGen)
   }
 }
 
 private[sources] final class SnapshotBatchWrite(
     tablePath: String, schema: StructType, append: Boolean,
     bucketSpec: Option[(Seq[String], Int)] = None,
-    partSpec: Seq[graft.store.PartitionSpec.PartField] = Nil)
+    partSpec: Seq[graft.store.PartitionSpec.PartField] = Nil,
+    partGen: Int = 0)
     extends BatchWrite {
 
   private val spark = SparkSession.active
@@ -189,7 +197,7 @@ private[sources] final class SnapshotBatchWrite(
     val p = new Path(stagedDir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
     new SnapshotWriterFactory(stagedDir, schema,
-      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration), partSpec)
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration), partSpec, partGen)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -211,7 +219,9 @@ private[sources] final class SnapshotBatchWrite(
       SnapshotStore.rewriteFilesCommit(spark, tablePath, committed, statsExact = true,
         bucketCols = bucketSpec.map(_._1).getOrElse(Nil),
         bucketN = bucketSpec.map(_._2).getOrElse(0),
-        partSpec = partSpec)
+        // a full overwrite re-routed every row under the current
+        // generation — no history survives it
+        partSpec = partSpec, partGen = partGen)
     ()
   }
 
@@ -224,11 +234,13 @@ private[sources] final class SnapshotBatchWrite(
 
 private[sources] final class SnapshotWriterFactory(
     stagedDir: String, schema: StructType, conf: SerializableHadoopConf,
-    partSpec: Seq[graft.store.PartitionSpec.PartField] = Nil)
+    partSpec: Seq[graft.store.PartitionSpec.PartField] = Nil,
+    partGen: Int = 0)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     if (partSpec.isEmpty) new SnapshotDataWriter(stagedDir, partitionId, schema, conf.conf)
-    else new SnapshotPartitionedDataWriter(stagedDir, partitionId, schema, partSpec, conf.conf)
+    else new SnapshotPartitionedDataWriter(stagedDir, partitionId, schema, partSpec, conf.conf,
+      gen = partGen)
 }
 
 private[sources] object SnapshotParquetSchema {
@@ -387,7 +399,8 @@ private[sources] object SnapshotWriteUtil {
 private[sources] final class SnapshotPartitionedDataWriter(
     stagedDir: String, partitionId: Int, schema: StructType,
     spec: Seq[graft.store.PartitionSpec.PartField], conf: Configuration,
-    eagerPartitionZero: Boolean = true)
+    eagerPartitionZero: Boolean = true,
+    gen: Int = 0)
     extends DataWriter[InternalRow] {
 
   private val ords = spec.map(f => schema.fieldIndex(f.col)).toArray
@@ -416,7 +429,7 @@ private[sources] final class SnapshotPartitionedDataWriter(
 
   override def write(row: InternalRow): Unit = {
     val suffix = graft.store.PartitionSpec.dirSuffix(
-      spec, spec.indices.map(i => valueOf(row, i)))
+      spec, spec.indices.map(i => valueOf(row, i)), gen)
     if (suffix != curSuffix) {
       closeCurrent()
       cur = new SnapshotDataWriter(s"$stagedDir/$suffix", partitionId, schema, conf,

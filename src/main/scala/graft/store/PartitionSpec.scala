@@ -115,6 +115,18 @@ object PartitionSpec {
 
   def dirColName(i: Int): String = s"__gp$i"
 
+  /** Spec-generation-aware directory column name (round-14 partition
+    * SPEC EVOLUTION): generation 0 keeps the legacy `__gpN` names;
+    * every later generation embeds its number (`__g<gen>pN`), so a
+    * manifest that references files routed under DIFFERENT generations
+    * (months→days evolution without a rewrite) can derive each file's
+    * facts from exactly the spec that wrote it — the directory name
+    * itself is the authority, never a parse guess (an identity-string
+    * generation would otherwise happily "parse" any other generation's
+    * values). */
+  def dirColName(gen: Int, i: Int): String =
+    if (gen == 0) s"__gp$i" else s"__g${gen}p$i"
+
   /** The derived routing column for one spec field — canonical STRING
     * form so `df.write.partitionBy` names directories exactly like the
     * DSv2 rolling writer. UTC throughout: timestamps derive through
@@ -155,11 +167,12 @@ object PartitionSpec {
     * `__gp0..`) — callers hand the result to `write.partitionBy(dirCols)`,
     * which moves the derived columns into directory names and keeps
     * every original column in the data files. */
-  def withRoutingColumns(df: DataFrame, spec: Seq[PartField]): (DataFrame, Seq[String]) = {
+  def withRoutingColumns(
+      df: DataFrame, spec: Seq[PartField], gen: Int = 0): (DataFrame, Seq[String]) = {
     val schema = df.schema
-    val names = spec.indices.map(dirColName)
+    val names = spec.indices.map(dirColName(gen, _))
     val out = spec.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
-      d.withColumn(dirColName(i), deriveColumn(f, schema(f.col).dataType))
+      d.withColumn(dirColName(gen, i), deriveColumn(f, schema(f.col).dataType))
     }
     (out, names)
   }
@@ -215,9 +228,9 @@ object PartitionSpec {
     * two directories depending on which writer committed it. Only
     * string transforms can render empty (identity/truncate of `''`);
     * numerics/dates always render at least one character. */
-  def dirSuffix(spec: Seq[PartField], values: Seq[Option[String]]): String =
+  def dirSuffix(spec: Seq[PartField], values: Seq[Option[String]], gen: Int = 0): String =
     spec.zip(values).zipWithIndex.map { case ((_, v), i) =>
-      s"${dirColName(i)}=${v.filter(_.nonEmpty).map(escape).getOrElse(NullDir)}"
+      s"${dirColName(gen, i)}=${v.filter(_.nonEmpty).map(escape).getOrElse(NullDir)}"
     }.mkString("/")
 
   // ---- path → implied source-column constraints (scan pruning) -------
@@ -245,10 +258,11 @@ object PartitionSpec {
     * directory proves "null OR ''", which is not [[AllNull]] — an
     * AllNull fact would let null-excluding predicates like `c = ''`
     * prune a file that contains matching rows. */
-  def factsOf(path: String, spec: Seq[PartField], schema: StructType): Seq[Fact] = {
+  def factsOf(
+      path: String, spec: Seq[PartField], schema: StructType, gen: Int = 0): Seq[Fact] = {
     val segs = path.split('/')
     spec.zipWithIndex.flatMap { case (f, i) =>
-      val pre = s"${dirColName(i)}="
+      val pre = s"${dirColName(gen, i)}="
       for {
         field <- schema.fields.find(_.name == f.col) // evolved-away col → no facts
         seg <- segs.find(_.startsWith(pre))

@@ -105,7 +105,16 @@ object SnapshotStore {
       sortCols: Seq[String] = Nil,
       partSpec: Seq[PartitionSpec.PartField] = Nil,
       ndvFile: String = "",
-      provenance: String = "")
+      provenance: String = "",
+      /** Spec GENERATION of `partSpec` (0 = the legacy unnumbered
+        * `__gpN` directory names). Bumped by [[evolvePartitionSpec]];
+        * each generation routes into generation-tagged directories, so
+        * one manifest can prune files written under different specs. */
+      partGen: Int = 0,
+      /** Older spec generations still covering referenced files:
+        * (generation, spec). Full rewrites drop the history (every
+        * surviving file is re-routed under the current spec). */
+      partHist: Seq[(Int, Seq[PartitionSpec.PartField])] = Nil)
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -248,7 +257,7 @@ object SnapshotStore {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
-    val markerKeys = Seq("data=", "file=", "delete=", "keys=", "op=", "ts=", "stats=", "src=", "schema=", "statsfile=", "bucket=", "bloomfile=", "sortcols=", "part=", "ndvfile=", "provenance=")
+    val markerKeys = Seq("data=", "file=", "delete=", "keys=", "op=", "ts=", "stats=", "src=", "schema=", "statsfile=", "bucket=", "bloomfile=", "sortcols=", "part=", "ndvfile=", "provenance=", "partgen=", "parthist=")
     if (lines.exists(l => markerKeys.exists(l.startsWith))) {
       Manifest(
         data = lines.find(_.startsWith("data=")).map(_.stripPrefix("data=")).getOrElse(""),
@@ -278,7 +287,14 @@ object SnapshotStore {
         ndvFile = lines.find(_.startsWith("ndvfile="))
           .map(_.stripPrefix("ndvfile=")).getOrElse(""),
         provenance = lines.find(_.startsWith("provenance="))
-          .map(_.stripPrefix("provenance=")).getOrElse(""))
+          .map(_.stripPrefix("provenance=")).getOrElse(""),
+        partGen = lines.find(_.startsWith("partgen="))
+          .flatMap(l => l.stripPrefix("partgen=").toIntOption).getOrElse(0),
+        partHist = lines.filter(_.startsWith("parthist=")).map { l =>
+          val body = l.stripPrefix("parthist=")
+          val cut = body.indexOf(':')
+          (body.take(cut).toInt, PartitionSpec.parse(body.drop(cut + 1)))
+        })
     } else {
       // legacy bare-path marker (or empty → the fixed v=<N> layout)
       Manifest(lines.headOption.getOrElse(versionDir(table, v)), Nil, Nil)
@@ -467,6 +483,37 @@ object SnapshotStore {
     next
   }
 
+  /** PARTITION SPEC EVOLUTION (Iceberg-style, round-14): switch the
+    * table's partition spec for FUTURE writes in one metadata-only
+    * commit — zero data movement. Existing files keep pruning under
+    * the spec that wrote them: the old (generation, spec) pairs ride
+    * the manifest's `parthist=` lines, every generation routes into
+    * generation-TAGGED directory names (`__g<gen>pN=`), and the scan
+    * derives each file's facts from exactly its own generation — no
+    * cross-generation parse ambiguity is possible. New appends route
+    * under the new spec; a full compaction re-routes everything and
+    * drops the history. The day-appended 100 TB fact can move from
+    * `months(ts)` to `days(ts)` mid-life without rewriting a byte. */
+  def evolvePartitionSpec(
+      spark: SparkSession, table: String, newSpec: Seq[PartitionSpec.PartField]): Long = {
+    val cur = currentVersion(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $table"))
+    val m = manifest(spark, table, cur)
+    PartitionSpec.validate(newSpec, read(spark, table).schema)
+    require(m.partSpec != newSpec,
+      s"evolvePartitionSpec: $table already partitions by ${PartitionSpec.render(newSpec)}")
+    val hist =
+      if (m.partSpec.isEmpty) m.partHist // unpartitioned → first spec: no history entry
+      else m.partHist :+ (m.partGen, m.partSpec)
+    val next = cur + 1
+    if (!tryPublishManifest(spark, table, next,
+        m.copy(ts = 0L, op = "evolve-spec", srcV = -1L,
+          partSpec = newSpec, partGen = m.partGen + 1, partHist = hist)))
+      throw new java.util.ConcurrentModificationException(
+        s"evolvePartitionSpec lost the CAS race on $table v$next — re-run against the new head")
+    next
+  }
+
   /** Commit `df` RANGE-CLUSTERED and SORTED by `cols` into `n` files,
     * recording the sort in the manifest. Every file holds a disjoint
     * key range (min/max stats and runtime join filters prune hard) and
@@ -562,7 +609,8 @@ object SnapshotStore {
     val partSpec = headM.map(_.partSpec).getOrElse(Nil)
     val staged =
       if (partSpec.nonEmpty && partSpec.forall(f => df.schema.fieldNames.contains(f.col))) {
-        val (withCols, dirCols) = PartitionSpec.withRoutingColumns(routed, partSpec)
+        val (withCols, dirCols) = PartitionSpec.withRoutingColumns(routed, partSpec,
+          headM.map(_.partGen).getOrElse(0))
         withCols
           .sortWithinPartitions(dirCols.map(org.apache.spark.sql.functions.col): _*)
           .write.mode("overwrite").partitionBy(dirCols: _*).parquet(stageDir)
@@ -630,8 +678,11 @@ object SnapshotStore {
             // entries, staged files simply have none (no skip, no lie)
             bloomFile = m0.map(_.bloomFile).getOrElse(""),
             // partition spec is per-FILE metadata (unrouted staged
-            // files are just unprunable) — always carries forward
+            // files are just unprunable) — always carries forward,
+            // with its generation and the older generations' specs
             partSpec = m0.map(_.partSpec).getOrElse(Nil),
+            partGen = m0.map(_.partGen).getOrElse(0),
+            partHist = m0.map(_.partHist).getOrElse(Nil),
             // NDV sketches are file-keyed like the bloom index:
             // inherited files keep their entries, staged files have
             // none (their distincts are simply not counted yet)
@@ -653,7 +704,9 @@ object SnapshotStore {
       srcV: Long = -1L,
       bucketCols: Seq[String] = Nil,
       bucketN: Int = 0,
-      partSpec: Seq[PartitionSpec.PartField] = Nil): Long = {
+      partSpec: Seq[PartitionSpec.PartField] = Nil,
+      partGen: Int = 0,
+      partHist: Seq[(Int, Seq[PartitionSpec.PartField])] = Nil): Long = {
     var next = currentVersion(spark, table).map(_ + 1).getOrElse(0L)
     // copy-forward-aware: a caller whose file list keeps most of the
     // head's files (copy-on-write shapes) only pays footers for the new
@@ -663,7 +716,7 @@ object SnapshotStore {
     while (!tryPublishManifest(spark, table, next,
         Manifest("", Nil, Nil, files = files, op = op, statsExact = statsExact, srcV = srcV,
           statsFile = stats, bucketCols = bucketCols, bucketN = bucketN,
-          partSpec = partSpec)))
+          partSpec = partSpec, partGen = partGen, partHist = partHist)))
       next += 1 // staged data stays valid as a later version
     next
   }
@@ -707,6 +760,9 @@ object SnapshotStore {
     if (m.partSpec.nonEmpty) content.append(s"part=${PartitionSpec.render(m.partSpec)}\n")
     if (m.ndvFile.nonEmpty) content.append(s"ndvfile=${m.ndvFile}\n")
     if (m.provenance.nonEmpty) content.append(s"provenance=${m.provenance}\n")
+    if (m.partGen != 0) content.append(s"partgen=${m.partGen}\n")
+    m.partHist.foreach { case (g, sp) =>
+      content.append(s"parthist=$g:${PartitionSpec.render(sp)}\n") }
     content.append(s"ts=$ts\n")
     val out = f.create(tmp, true)
     try out.write(content.toString.getBytes("UTF-8"))
@@ -793,7 +849,8 @@ object SnapshotStore {
             bucketCols = m.bucketCols, bucketN = m.bucketN,
             bloomFile = m.bloomFile,
             sortCols = m.sortCols, // DV filtering preserves row order
-            partSpec = m.partSpec, ndvFile = m.ndvFile)))
+            partSpec = m.partSpec, ndvFile = m.ndvFile,
+            partGen = m.partGen, partHist = m.partHist)))
         return cur + 1
       attempt += 1 // orphan DV file is GC'd by vacuum's reference count
     }
@@ -834,7 +891,8 @@ object SnapshotStore {
             bucketCols = m.bucketCols, bucketN = m.bucketN,
             bloomFile = m.bloomFile,
             sortCols = m.sortCols, // DV filtering preserves row order
-            partSpec = m.partSpec, ndvFile = m.ndvFile)))
+            partSpec = m.partSpec, ndvFile = m.ndvFile,
+            partGen = m.partGen, partHist = m.partHist)))
         return cur + 1
       attempt += 1
     }

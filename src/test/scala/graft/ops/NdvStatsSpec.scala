@@ -157,6 +157,72 @@ class NdvStatsSpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.ndv.driverBytesMax")
   }
 
+  test("analyze collects KLL quantile sketches: histograms reach CBO and fix skewed-range selectivity") {
+    val table = fresh("ndv-hist")
+    // heavy skew: u^8-shaped — the top 20% of the VALUE range holds
+    // only ~2.7% of the rows, so uniform min/max interpolation
+    // overestimates a tail range predicate ~7×
+    val df = spark.range(0, 40000).selectExpr(
+      "id",
+      "CAST(pow(pmod(id * 2654435761, 100000) / 100000.0, 8) * 1000000 AS BIGINT) AS skew")
+    SnapshotStore.commit(spark.createDataFrame(df.rdd, df.schema).repartition(4), table)
+    NdvStats.analyzeCommit(spark, table, Seq("skew", "id"))
+    val m = SnapshotStore.manifest(spark, table,
+      SnapshotStore.currentVersion(spark, table).get)
+    val st = NdvStats.stats(spark, m.ndvFile, SnapshotStore.dataFiles(spark, m))
+    assert(st.contains("skew") && st("skew").histogram.isDefined,
+      "a skewed numeric analyzed column must carry an equi-height histogram")
+    assert(st("id").histogram.isEmpty,
+      "a near-UNIFORM column must emit NO histogram — min/max interpolation is " +
+        "already exact there and approximate bins only add join-estimation noise")
+    val (height, bins) = st("skew").histogram.get
+    assert(bins.length > 1 && height > 0)
+    assert(bins.sliding(2).forall { case Array(a, b) => a._2 <= b._2; case _ => true },
+      "equi-height bin boundaries must be monotone")
+
+    val cut = 800000L
+    val truth = df.filter(col("skew") > cut).count()
+    val Seq(mn, mx) = df.agg(min("skew"), max("skew")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long])
+    val rows = 40000.0
+    val uniformEst = rows * (mx - cut).toDouble / (mx - mn) // what min/max-only CBO would say
+    assert(uniformEst > 4 * truth,
+      s"precondition: the skew must make uniform interpolation wrong ($uniformEst vs $truth)")
+    withCbo {
+      val q = spark.read.format("graft-snapshot").option("path", table).load()
+        .filter(col("skew") > cut)
+      val est = q.queryExecution.optimizedPlan.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.stats.rowCount
+      }.flatten
+      assert(est.isDefined, "CBO must estimate the filtered row count")
+      val e = est.get.toDouble
+      assert(e < truth * 2.5 && e > truth / 2.5,
+        s"histogram selectivity must land near truth: est $e vs truth $truth " +
+          s"(uniform would say $uniformEst)")
+      // the histogram flowed through V2 stats into catalyst ColumnStat
+      val cstat = q.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.stats.attributeStats
+      }.get.toSeq.collectFirst { case (a, cs) if a.name == "skew" => cs }
+      assert(cstat.exists(_.histogram.isDefined),
+        "catalyst ColumnStat.histogram must be populated from the V2 surface")
+    }
+
+    // distributed plan-time path: histogram survives the executor-side
+    // KLL merge (bin geometry within sketch tolerance of the driver's)
+    spark.conf.set("spark.graft.ndv.driverBytesMax", "1")
+    try {
+      val dist = NdvStats.stats(spark, m.ndvFile, SnapshotStore.dataFiles(spark, m))
+      assert(dist("skew").histogram.isDefined,
+        "the distributed union must also produce the histogram")
+      val (_, db) = dist("skew").histogram.get
+      assert(db.length === bins.length)
+      assert(math.abs(db.head._1 - bins.head._1) <= math.max(1.0, 0.05 * (mx - mn)) &&
+        math.abs(db.last._2 - bins.last._2) <= math.max(1.0, 0.05 * (mx - mn)),
+        "distributed and driver merges must agree on the value domain")
+    } finally spark.conf.unset("spark.graft.ndv.driverBytesMax")
+  }
+
   test("CALL system.analyze publishes through SQL") {
     val wh = java.nio.file.Files.createTempDirectory("ndv-sql").toString
     val cat = "gndv_" + java.util.UUID.randomUUID.toString.take(8).replace("-", "")

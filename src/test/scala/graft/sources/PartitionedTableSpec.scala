@@ -307,6 +307,106 @@ class PartitionedTableSpec extends SparkSuite {
     }
   }
 
+  test("partition-spec evolution: months→days with zero data movement, both generations prune") {
+    val table = freshDir("part-evolve") + "/t"
+    val orders = graft.sources.Tables.orders(spark, sf())
+    SnapshotStore.partitionedCommit(orders, table,
+      Seq(PartitionSpec.PartField("months", "o_orderdate")))      // generation 0
+    val m0 = SnapshotStore.manifest(spark, table, 0L)
+
+    // evolve: ONE metadata commit, no byte moves
+    val v1 = SnapshotStore.evolvePartitionSpec(spark, table,
+      Seq(PartitionSpec.PartField("days", "o_orderdate")))
+    val m1 = SnapshotStore.manifest(spark, table, v1)
+    assert(m1.op === "evolve-spec" && m1.partGen === 1)
+    assert(m1.partSpec === Seq(PartitionSpec.PartField("days", "o_orderdate")))
+    assert(m1.partHist === Seq((0, Seq(PartitionSpec.PartField("months", "o_orderdate")))))
+    assert(m1.files === m0.files, "evolution must move zero data")
+
+    // appends route under the NEW generation's TAGGED directories
+    SnapshotStore.appendCommit(
+      orders.withColumn("o_orderkey", col("o_orderkey") + 1000000L), table)
+    val m2 = SnapshotStore.manifest(spark, table,
+      SnapshotStore.currentVersion(spark, table).get)
+    val gen1Files = m2.files.filterNot(m0.files.toSet)
+    assert(gen1Files.nonEmpty && gen1Files.forall(_.contains("/__g1p0=")),
+      s"new files must carry the generation tag: ${gen1Files.take(3)}")
+    assert(m0.files.forall(_.contains("/__gp0=")), "old files keep legacy names")
+
+    // answers exact; pruning drops EXACTLY the provably-dead files of
+    // BOTH generations (computed from the paths themselves)
+    val cutTs = java.sql.Timestamp.valueOf("1997-06-15 00:00:00")
+    val read = spark.read.format("graft-snapshot").option("path", table).load()
+    val want = orders.filter(col("o_orderdate") >= lit(cutTs)).count() * 2
+    def dirVal(f: String, pre: String): Option[String] =
+      f.split('/').find(_.startsWith(pre)).map(_.stripPrefix(pre))
+    val expectPruned =
+      m2.files.count(f =>
+        dirVal(f, "__gp0=").exists(_ < "1997-06") ||       // old months before the cut's month
+        dirVal(f, "__g1p0=").exists(_ < "1997-06-15"))     // new days before the cut day
+    assert(expectPruned > 0, "fixture must have prunable files in both generations")
+    assert(m2.files.exists(f => dirVal(f, "__gp0=").exists(_ < "1997-06")) &&
+      m2.files.exists(f => dirVal(f, "__g1p0=").exists(_ < "1997-06-15")),
+      "fixture must exercise pruning in EACH generation")
+    SnapshotScanProbe.resetPartitionPrunedFiles()
+    assert(read.filter(col("o_orderdate") >= lit(cutTs)).count() === want)
+    assert(SnapshotScanProbe.lastPartitionPrunedFiles === expectPruned,
+      "every provably-dead file of every generation must prune — and nothing else")
+
+    // a full compaction re-routes everything under the CURRENT spec and
+    // heals the generation history away
+    val (_, _, _, vC) = graft.ops.Bucketing.compactCommit(spark, table, 256L << 20)
+    val mC = SnapshotStore.manifest(spark, table, vC)
+    assert(mC.partGen === 1 && mC.partHist.isEmpty,
+      "compaction must drop spec history (all files re-routed)")
+    assert(mC.files.forall(_.contains("/__g1p0=")))
+    assert(spark.read.format("graft-snapshot").option("path", table).load().count()
+      === orders.count() * 2)
+    SnapshotScanProbe.resetPartitionPrunedFiles()
+    spark.read.format("graft-snapshot").option("path", table).load()
+      .filter(col("o_orderdate") >= lit(cutTs)).count()
+    assert(SnapshotScanProbe.lastPartitionPrunedFiles > 0,
+      "day pruning must keep working after the healing rewrite")
+  }
+
+  test("CALL system.evolve_partition_spec publishes through SQL; INSERT routes the new generation") {
+    val wh = freshDir("part-evolve-sql")
+    val cat = "gpev_" + java.util.UUID.randomUUID.toString.take(8).replace("-", "")
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      val root = s"$wh/facts/orders"
+      val orders = graft.sources.Tables.orders(spark, sf())
+      SnapshotStore.partitionedCommit(orders, root,
+        Seq(PartitionSpec.PartField("months", "o_orderdate")))
+      val v = spark.sql(
+        s"CALL $cat.system.evolve_partition_spec('facts.orders', 'days:o_orderdate')")
+        .head().getLong(0)
+      assert(v === 1L)
+      orders.createOrReplaceTempView("gpev_src")
+      spark.sql(
+        s"""INSERT INTO $cat.facts.orders
+            SELECT o_orderkey + 5000000, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority FROM gpev_src""")
+      val m = SnapshotStore.manifest(spark, root, 2L)
+      val fresh = m.files.filterNot(
+        SnapshotStore.manifest(spark, root, 1L).files.toSet)
+      assert(fresh.nonEmpty && fresh.forall(_.contains("/__g1p0=")),
+        s"the DSv2 rolling writer must route under the evolved generation: ${fresh.take(3)}")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.facts.orders").head().getLong(0)
+        === orders.count() * 2)
+      // the table reports the CURRENT spec's transforms
+      val parts = spark.sessionState.catalogManager.catalog(cat)
+        .asInstanceOf[SnapshotCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("facts"), "orders")).partitioning()
+      assert(parts.map(_.describe()).toSeq === Seq("days(o_orderdate)"))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
   test("unsupported transform shapes refuse loudly") {
     val table = freshDir("part-refuse") + "/t"
     val orders = graft.sources.Tables.orders(spark, sf())
