@@ -240,9 +240,11 @@ object Bucketing {
         files = big.map(_._1) ++ staged, op = "compact-small",
         statsExact = m.statsExact, mixedSchema = m.mixedSchema, statsFile = stats,
         bucketCols = m.bucketCols, bucketN = m.bucketN, bloomFile = m.bloomFile,
-        // big (old-generation) files survive → the spec history must too
+        // big (old-generation) files survive → the spec history must
+        // too, and so does the column name mapping
         partSpec = m.partSpec, ndvFile = m.ndvFile,
-        partGen = m.partGen, partHist = m.partHist))
+        partGen = m.partGen, partHist = m.partHist,
+        renames = m.renames, droppedCols = m.droppedCols))
     if (!ok) {
       fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
       throw new java.util.ConcurrentModificationException(

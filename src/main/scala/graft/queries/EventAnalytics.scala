@@ -845,6 +845,39 @@ object EventAnalytics {
           GROUP BY 1 ORDER BY 1""")
   }
 
+  /** DT32: RENAME COLUMN via name mapping — `ALTER TABLE ... RENAME
+    * COLUMN` is one metadata commit (zero data movement): files written
+    * before keep the old physical name, an INSERT after it writes the
+    * new one, and the scan binds each file generation through the
+    * manifest's `rename=` mapping — including FILTERS on the renamed
+    * column (old files' sidecar stats resolve through the alias).
+    * Oracle replays the rename+append algebra over plain parquet,
+    * hash-exact across both generations. */
+  val dtRenameColumn: Q = (s, d) => {
+    val wh = Fixtures.dir("renamecol", d) { root =>
+      val t = s"$root/facts/orders"
+      val orders = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      graft.store.SnapshotStore.commit(orders, t) // gen A: physical o_totalprice
+      val cat = snapCatalog(s, root)
+      s.sql(s"ALTER TABLE $cat.facts.orders RENAME COLUMN o_totalprice TO price")
+      val m = graft.store.SnapshotStore.manifest(s, t, 1L)
+      require(m.op == "rename-column" && m.renames.nonEmpty,
+        "dt_rename_column: the rename must be one metadata commit")
+      orders.createOrReplaceTempView("dtrn_src")
+      s.sql(
+        s"""INSERT INTO $cat.facts.orders
+            SELECT o_orderkey + 9000000, o_custkey, o_totalprice FROM dtrn_src""")
+    }
+    val cat = snapCatalog(s, wh)
+    s.sql(
+      s"""SELECT pmod(o_custkey, 10) AS bucket,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM $cat.facts.orders
+          WHERE price > 1000.0
+          GROUP BY 1 ORDER BY 1""")
+  }
+
   /** DT30: EQUI-HEIGHT HISTOGRAMS → CBO — `CALL system.analyze` also
     * aggregates a mergeable KLL quantile sketch per (file, column)
     * (native Catalyst `TypedImperativeAggregate`, the quantile analog
@@ -901,6 +934,17 @@ object EventAnalytics {
   }
 
   private val oraclesBase: Map[String, String] = Map(
+    "dt_rename_column" ->
+      """WITH u AS (
+           SELECT o_orderkey, o_custkey, o_totalprice AS price FROM orders
+           UNION ALL
+           SELECT o_orderkey + 9000000, o_custkey, o_totalprice FROM orders)
+         SELECT o_custkey % 10 AS bucket,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM u
+         WHERE price > 1000.0
+         GROUP BY 1 ORDER BY 1""",
     "dt_partition_evolve" ->
       """WITH u AS (
            SELECT * FROM orders
@@ -1388,6 +1432,7 @@ object EventAnalytics {
     "dt_ndv_cbo" -> dtNdvCbo,
     "dt_hist_cbo" -> dtHistCbo,
     "dt_partition_evolve" -> dtPartitionEvolve,
+    "dt_rename_column" -> dtRenameColumn,
     "dt_partition_delete" -> dtPartitionDelete,
     "dt_changes_batch" -> dtChangesBatch,
     "dt_merge_sql" -> dtMergeSql,

@@ -111,8 +111,9 @@ final class SnapshotCatalog extends TableCatalog
     // mergeSchema: same union-schema rule as the path-based provider
     // (an evolved snapshot's data dir can mix file generations)
     new SnapshotTable(root, m,
-      spark.read.option("mergeSchema", "true")
-        .parquet(SnapshotStore.dataFiles(spark, m): _*).schema)
+      graft.store.ColumnMapping.logicalSchema(
+        spark.read.option("mergeSchema", "true")
+          .parquet(SnapshotStore.dataFiles(spark, m): _*).schema, m))
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -139,8 +140,9 @@ final class SnapshotCatalog extends TableCatalog
           throw new NoSuchTableException(ident))
         val m = SnapshotStore.manifest(spark, br, v)
         return new SnapshotTable(br, m,
-          spark.read.option("mergeSchema", "true")
-            .parquet(SnapshotStore.dataFiles(spark, m): _*).schema)
+          graft.store.ColumnMapping.logicalSchema(
+            spark.read.option("mergeSchema", "true")
+              .parquet(SnapshotStore.dataFiles(spark, m): _*).schema, m))
       }
       return MetaTables.of(spark, root, kind).getOrElse(
         throw new NoSuchTableException(ident))
@@ -246,16 +248,39 @@ final class SnapshotCatalog extends TableCatalog
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = tableRoot(ident)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    // RENAME/DROP COLUMN (round-14): metadata-only commits through the
+    // store's column name mapping — zero data movement; old files bind
+    // through the manifest's rename=/dropcols= lines. One change kind
+    // per statement (Spark sends them that way).
+    changes.toSeq match {
+      case Seq(r: TableChange.RenameColumn) if r.fieldNames.length == 1 =>
+        SnapshotStore.renameColumnCommit(spark, root, r.fieldNames.head, r.newName)
+        return loadTable(ident)
+      case Seq(d: TableChange.DeleteColumn) if d.fieldNames.length == 1 =>
+        SnapshotStore.dropColumnCommit(spark, root, d.fieldNames.head)
+        return loadTable(ident)
+      case _ => ()
+    }
     val adds = changes.map {
       case a: TableChange.AddColumn
           if a.fieldNames.length == 1 && a.isNullable &&
             a.position == null && a.defaultValue == null =>
         StructField(a.fieldNames.head, a.dataType, nullable = true)
       case other => throw new UnsupportedOperationException(
-        s"snapshot tables support only ALTER TABLE ... ADD COLUMNS of top-level " +
-          s"nullable columns (no position/default) — schema narrows/renames need a " +
-          s"full rewrite (REPLACE TABLE ... AS SELECT); got $other")
+        s"snapshot tables support ALTER TABLE ... ADD COLUMNS (top-level nullable, " +
+          s"no position/default), RENAME COLUMN, and DROP COLUMN of top-level " +
+          s"columns — anything else needs a full rewrite " +
+          s"(REPLACE TABLE ... AS SELECT); got $other")
     }
+    val head = SnapshotStore.currentVersion(spark, root)
+      .map(v => SnapshotStore.manifest(spark, root, v))
+    val retired = head.map(SnapshotStore.retiredCols).getOrElse(Set.empty) ++
+      head.map(_.droppedCols.toSet).getOrElse(Set.empty)
+    val recycled = adds.map(_.name).filter(n => retired.exists(_.equalsIgnoreCase(n)))
+    if (recycled.nonEmpty) throw new IllegalArgumentException(
+      s"ALTER TABLE $ident: column name(s) ${recycled.mkString(", ")} were retired by " +
+        "an earlier RENAME/DROP COLUMN — old files still hold values under them, which " +
+        "would resurface; compact (full rewrite) first to release the name")
     val cur = SnapshotStore.read(spark, root).schema
     val dup = adds.map(_.name.toLowerCase).intersect(cur.fieldNames.map(_.toLowerCase).toSeq)
     if (dup.nonEmpty) throw new IllegalArgumentException(

@@ -79,9 +79,12 @@ final class SnapshotDataSource extends TableProvider with DataSourceRegister {
     SnapshotDataSource.pinned.set(SnapshotDataSource.optionsKey(options) -> resolved)
     // mergeSchema: an evolved snapshot's data dir can mix file
     // generations; the table schema is their union (absent columns
-    // read null in the row path)
-    val base = SparkSession.active.read.option("mergeSchema", "true")
-      .parquet(SnapshotStore.dataFiles(SparkSession.active, resolved._2): _*).schema
+    // read null in the row path), mapped through the manifest's
+    // rename/drop column mapping to the LOGICAL schema
+    val base = graft.store.ColumnMapping.logicalSchema(
+      SparkSession.active.read.option("mergeSchema", "true")
+        .parquet(SnapshotStore.dataFiles(SparkSession.active, resolved._2): _*).schema,
+      resolved._2)
     // change-feed reads carry the two CDC metadata columns
     if (options.getBoolean("changeFeed", false))
       StructType(base.fields :+
@@ -430,8 +433,12 @@ private[sources] final class SnapshotScanBuilder(
     // changeFeed scans must stay streamable (SnapshotAggScan has no
     // micro-batch form); a filtered/DV/grouped aggregate can't be
     // answered from footers exactly
+    // renamed columns live under per-file physical names the footer
+    // stats key by — decline the metadata aggregate rather than bind
+    // names per file here (a compaction materializes the rename and
+    // restores the pushdown)
     if (changeFeed || rowLevel || sawFilters || m.deletes.nonEmpty ||
-        agg.groupByExpressions.nonEmpty) return None
+        m.renames.nonEmpty || agg.groupByExpressions.nonEmpty) return None
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
@@ -1211,6 +1218,14 @@ private[sources] object SnapshotScan {
     * range with the given requested Spark schema — the split-based path
     * that keeps the session's Hadoop configuration (the (path, columns)
     * overload builds a bare Configuration internally). */
+  /** Per-file PHYSICAL spelling of a read schema (column rename
+    * mapping): renamed columns bind to the alias THIS file carries;
+    * field positions — and thus the emitted row layout — are
+    * unchanged, so everything downstream keeps logical indices. */
+  def physicalNames(s: StructType, renameMap: Map[String, String]): StructType =
+    if (renameMap.isEmpty) s
+    else StructType(s.fields.map(f => f.copy(name = renameMap.getOrElse(f.name, f.name))))
+
   def initVectorizedReader(
       reader: org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader,
       file: String, start: Long, length: Long,
@@ -1453,6 +1468,10 @@ private[sources] final class SnapshotScan(
     var total = 0
     val wanted = (physical.fieldNames.toSeq ++
       (if (m.deletes.isEmpty) Nil else m.keyCols)).distinct
+    // column rename mapping: physical alias → logical name, and the
+    // per-file reverse binding (a file written before the rename
+    // carries the OLD physical name — the reader must request that)
+    val aliasOf: Map[String, String] = graft.store.ColumnMapping.aliasOf(m)
     val kept = all.flatMap { fstr =>
       val (blocks, fields) = sidecar.get(fstr) match {
         case Some(e) =>
@@ -1460,16 +1479,34 @@ private[sources] final class SnapshotScan(
             e.fields)
         case None => footerInfo(new Path(fstr))
       }
-      if (!physical.fieldNames.forall(fields)) allPresent = false
-      val selfContained = wanted.forall(fields)
+      def physOf(logical: String): Option[String] =
+        if (fields(logical)) Some(logical)
+        else m.renames.find(_._1 == logical).flatMap(_._2.find(fields))
+      val renameMap: Map[String, String] =
+        if (m.renames.isEmpty) Map.empty
+        else wanted.flatMap(w => physOf(w).filter(_ != w).map(w -> _)).toMap
+      if (!physical.fieldNames.forall(n => physOf(n).isDefined)) allPresent = false
+      val selfContained = wanted.forall(n => physOf(n).isDefined)
       val bucket = if (m.bucketN > 0) SnapshotScan.bucketIdOf(fstr, m.bucketN) else -1
       total += blocks.size
       blocks
+        .map { b =>
+          // normalize stats keys to LOGICAL names so pushed filters
+          // and runtime predicates prune old-generation files too; an
+          // alias entry colliding with a live logical key (foreign
+          // file carrying both spellings) is dropped, never guessed
+          if (aliasOf.isEmpty) b
+          else b.copy(stats = b.stats.flatMap { case (k, v) =>
+            val l = aliasOf.getOrElse(k, k)
+            if (l != k && b.stats.contains(l)) None else Some(l -> v)
+          })
+        }
         .filter(b => skippable.isEmpty ||
           !skippable.exists(f => SnapshotScan.excludes(f, b.stats)))
         .map(b => (SnapshotInputPartition(fstr, b.start, b.length, b.rows, selfContained,
           bucketId = bucket,
-          dvClass = if (m.deletes.isEmpty) 0 else dvClassOfFile.getOrElse(fstr, 0)),
+          dvClass = if (m.deletes.isEmpty) 0 else dvClassOfFile.getOrElse(fstr, 0),
+          renameMap = renameMap),
           b.stats))
     }
     // totalFiles counts the MANIFEST's files so bloom pruning shows in
@@ -1774,6 +1811,9 @@ private[sources] final class SnapshotScan(
     * incremental batch refresh never rescans the table. */
   override def toBatch: Batch = {
     if (!changeFeed) return this
+    if (m.renames.nonEmpty) throw new UnsupportedOperationException(
+      "graft-snapshot: change-feed reads on a table with live column renames are " +
+        "not supported — compact (full rewrite) to materialize the rename first")
     if (fullSchema.length < 2 ||
         fullSchema.fields(fullSchema.length - 2).name != "_change_type" ||
         fullSchema.fields(fullSchema.length - 1).name != "_commit_version")
@@ -1801,6 +1841,9 @@ private[sources] final class SnapshotScan(
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    if (changeFeed && m.renames.nonEmpty) throw new UnsupportedOperationException(
+      "graft-snapshot: change-feed streams on a table with live column renames are " +
+        "not supported — compact (full rewrite) to materialize the rename first")
     if (!changeFeed) throw new UnsupportedOperationException(
       "streaming a snapshot table requires option(\"changeFeed\", \"true\") — " +
         "each committed version becomes one micro-batch of 'snapshot' image rows " +
@@ -1858,7 +1901,10 @@ private[sources] final class SnapshotScan(
   * it does only for bucketed manifests with every group resolved. */
 private[sources] final case class SnapshotInputPartition(
     file: String, start: Long, length: Long, rows: Long,
-    selfContained: Boolean = true, bucketId: Int = -1, dvClass: Int = 0)
+    selfContained: Boolean = true, bucketId: Int = -1, dvClass: Int = 0,
+    /** logical → physical column names for THIS file (rename mapping);
+      * empty when the file already carries every logical name. */
+    renameMap: Map[String, String] = Map.empty)
     extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = new GenericInternalRow(Array[Any](bucketId))
 }
@@ -2333,7 +2379,8 @@ private[sources] final class SnapshotVectorRowReader(
   // NO enableReturningBatches: nextKeyValue()/getCurrentValue yield
   // InternalRows backed by the current batch
   SnapshotScan.initVectorizedReader(
-    reader, partition.file, partition.start, partition.length, requested.json, conf)
+    reader, partition.file, partition.start, partition.length,
+    SnapshotScan.physicalNames(requested, partition.renameMap).json, conf)
 
   private val keyOrds: Array[Int] = keyCols.map(requested.fieldIndex).toArray
   private val keyTs: Array[DataType] = keyTypes.toArray
@@ -2407,7 +2454,8 @@ private[sources] final class SnapshotColumnarReader(
     new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
       /* useOffHeap = */ false, /* capacity = */ 4096)
   SnapshotScan.initVectorizedReader(
-    reader, partition.file, partition.start, partition.length, required.json, conf)
+    reader, partition.file, partition.start, partition.length,
+    SnapshotScan.physicalNames(required, partition.renameMap).json, conf)
   reader.enableReturningBatches()
 
   override def next(): Boolean = reader.nextBatch()
@@ -2457,7 +2505,8 @@ private[sources] final class SnapshotDvColumnarReader(
     new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
       /* useOffHeap = */ false, capacity)
   SnapshotScan.initVectorizedReader(
-    reader, partition.file, partition.start, partition.length, requested.json, conf)
+    reader, partition.file, partition.start, partition.length,
+    SnapshotScan.physicalNames(requested, partition.renameMap).json, conf)
   reader.enableReturningBatches()
 
   private val keyOrds: Array[Int] = keyCols.map(requested.fieldIndex).toArray
@@ -2624,11 +2673,14 @@ private[sources] final class SnapshotPartitionReader(
     try r.getFooter.getFileMetaData.getSchema finally r.close()
   }
   private val wantDv = dv != null
+  // logical → this file's physical spelling (rename mapping)
+  private def phys(n: String): String = partition.renameMap.getOrElse(n, n)
   private val wanted: Seq[String] =
     (required.fieldNames.toSeq ++ (if (wantDv) keyCols else Nil)).distinct
-  private val present: Seq[String] = wanted.filter(fileSchema.containsField)
+  private val present: Seq[String] = wanted.filter(n => fileSchema.containsField(phys(n)))
   private val projection: MessageType = new MessageType(
-    fileSchema.getName, present.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))).asJava)
+    fileSchema.getName,
+    present.map(n => fileSchema.getType(fileSchema.getFieldIndex(phys(n)))).asJava)
   // a file carrying NONE of the wanted columns (pure schema evolution)
   // still contributes this row group's count as all-null rows;
   // parquet-mr rejects an empty projection group, so that case skips
@@ -2668,7 +2720,7 @@ private[sources] final class SnapshotPartitionReader(
     // key columns may be pruned out of `required`; fall back to the
     // physical primitive (snapshot keys are long/int/string in practice)
     typeByName.getOrElse(name, {
-      val t = fileSchema.getType(fileSchema.getFieldIndex(name)).asPrimitiveType()
+      val t = fileSchema.getType(fileSchema.getFieldIndex(phys(name))).asPrimitiveType()
       t.getPrimitiveTypeName match {
         case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64  => LongType
         case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32  => IntegerType

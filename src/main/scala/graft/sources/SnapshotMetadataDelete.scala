@@ -236,7 +236,8 @@ private[sources] object SnapshotMetadataDelete {
         bucketCols = head.bucketCols, bucketN = head.bucketN,
         bloomFile = head.bloomFile, sortCols = head.sortCols,
         partSpec = head.partSpec, ndvFile = head.ndvFile,
-        partGen = head.partGen, partHist = head.partHist))
+        partGen = head.partGen, partHist = head.partHist,
+        renames = head.renames, droppedCols = head.droppedCols))
     if (!ok) throw new java.util.ConcurrentModificationException(
       s"graft-snapshot: metadata DELETE on $tablePath lost to a concurrent commit of " +
         s"version ${v + 1} — re-run the command against the new head")

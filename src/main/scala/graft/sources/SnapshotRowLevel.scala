@@ -181,7 +181,8 @@ private[sources] final class SnapshotRowLevelBatchWrite(
         files = survivors ++ committed, op = opName, statsExact = m.statsExact,
         mixedSchema = m.mixedSchema, statsFile = stats,
         bloomFile = m.bloomFile, partSpec = m.partSpec, ndvFile = m.ndvFile,
-        partGen = m.partGen, partHist = m.partHist))
+        partGen = m.partGen, partHist = m.partHist,
+        renames = m.renames, droppedCols = m.droppedCols))
     if (!ok) {
       abort(messages)
       throw new java.util.ConcurrentModificationException(

@@ -218,7 +218,8 @@ private[sources] final class SnapshotDeltaBatchWrite(
         sortCols = if (pureDelete) m.sortCols else Nil,
         bloomFile = m.bloomFile, // file-keyed: inherited entries stay valid
         partSpec = m.partSpec, ndvFile = m.ndvFile,
-        partGen = m.partGen, partHist = m.partHist))
+        partGen = m.partGen, partHist = m.partHist,
+        renames = m.renames, droppedCols = m.droppedCols))
     if (!ok) {
       abort(messages)
       throw new java.util.ConcurrentModificationException(

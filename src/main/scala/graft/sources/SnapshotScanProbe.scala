@@ -29,4 +29,13 @@ object SnapshotScanProbe {
   /** Probe values evaluated by the DISTRIBUTED bloom path (column
     * shards above spark.graft.bloom.driverBytesMax). */
   def bloomDistributedProbes: Long = SnapshotScan.bloomDistributedProbes.get()
+
+  /** Deletion-vector lookups built EXECUTOR-side since JVM start (the
+    * task-side path above spark.graft.dv.driverBytesMax). */
+  def dvTaskSideBuilds: Long = TaskSideDvResolver.taskSideBuilds.get()
+
+  /** Scans that wanted the task-side DV path but fell back to the
+    * broadcast resolver over a key type outside the raw-primitive
+    * probe set. */
+  def dvTypeFallbacks: Long = TaskSideDvResolver.typeFallbacks.get()
 }

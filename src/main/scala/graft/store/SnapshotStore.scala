@@ -114,7 +114,19 @@ object SnapshotStore {
       /** Older spec generations still covering referenced files:
         * (generation, spec). Full rewrites drop the history (every
         * surviving file is re-routed under the current spec). */
-      partHist: Seq[(Int, Seq[PartitionSpec.PartField])] = Nil)
+      partHist: Seq[(Int, Seq[PartitionSpec.PartField])] = Nil,
+      /** COLUMN NAME MAPPING (`ALTER TABLE ... RENAME COLUMN`, round
+        * 14): logical name → the older physical names still present in
+        * referenced files, newest alias first. Readers bind each
+        * file's columns through the mapping; writers always use the
+        * logical names, and a full rewrite clears the mapping. */
+      renames: Seq[(String, Seq[String])] = Nil,
+      /** Physical names retired by `ALTER TABLE ... DROP COLUMN`
+        * (including every alias the dropped column ever had): hidden
+        * from reads, and re-ADDing any of them is refused — old files
+        * still hold their values, which would otherwise resurface
+        * under the recycled name. A full rewrite clears the list. */
+      droppedCols: Seq[String] = Nil)
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -257,7 +269,7 @@ object SnapshotStore {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
-    val markerKeys = Seq("data=", "file=", "delete=", "keys=", "op=", "ts=", "stats=", "src=", "schema=", "statsfile=", "bucket=", "bloomfile=", "sortcols=", "part=", "ndvfile=", "provenance=", "partgen=", "parthist=")
+    val markerKeys = Seq("data=", "file=", "delete=", "keys=", "op=", "ts=", "stats=", "src=", "schema=", "statsfile=", "bucket=", "bloomfile=", "sortcols=", "part=", "ndvfile=", "provenance=", "partgen=", "parthist=", "rename=", "dropcols=")
     if (lines.exists(l => markerKeys.exists(l.startsWith))) {
       Manifest(
         data = lines.find(_.startsWith("data=")).map(_.stripPrefix("data=")).getOrElse(""),
@@ -294,7 +306,15 @@ object SnapshotStore {
           val body = l.stripPrefix("parthist=")
           val cut = body.indexOf(':')
           (body.take(cut).toInt, PartitionSpec.parse(body.drop(cut + 1)))
-        })
+        },
+        renames = lines.filter(_.startsWith("rename=")).map { l =>
+          val body = l.stripPrefix("rename=")
+          val cut = body.indexOf(':')
+          (body.take(cut), body.drop(cut + 1).split(',').toSeq.filter(_.nonEmpty))
+        },
+        droppedCols = lines.find(_.startsWith("dropcols="))
+          .map(_.stripPrefix("dropcols=").split(',').toSeq.filter(_.nonEmpty))
+          .getOrElse(Nil))
     } else {
       // legacy bare-path marker (or empty → the fixed v=<N> layout)
       Manifest(lines.headOption.getOrElse(versionDir(table, v)), Nil, Nil)
@@ -328,12 +348,17 @@ object SnapshotStore {
     * columns (the delete side is deleted-keys-sized — small). */
   def readVersion(spark: SparkSession, table: String, v: Long): DataFrame = {
     val m = manifest(spark, table, v)
+    // renamed columns live under DIFFERENT physical names per file
+    // generation — the merge exposes them all, the mapping folds them
     val reader =
-      if (m.mixedSchema) spark.read.option("mergeSchema", "true") else spark.read
-    if (m.deletes.isEmpty) {
-      if (m.files.nonEmpty) reader.parquet(m.files: _*)
-      else reader.parquet(m.data)
-    } else readFilesWithDvs(spark, m, dataFiles(spark, m))
+      if (m.mixedSchema || m.renames.nonEmpty) spark.read.option("mergeSchema", "true")
+      else spark.read
+    val base =
+      if (m.deletes.isEmpty) {
+        if (m.files.nonEmpty) reader.parquet(m.files: _*)
+        else reader.parquet(m.data)
+      } else readFilesWithDvs(spark, m, dataFiles(spark, m))
+    ColumnMapping.applyToFrame(base, m)
   }
 
   /** Read a SUBSET of a manifest's data files with exactly the DVs
@@ -683,6 +708,11 @@ object SnapshotStore {
             partSpec = m0.map(_.partSpec).getOrElse(Nil),
             partGen = m0.map(_.partGen).getOrElse(0),
             partHist = m0.map(_.partHist).getOrElse(Nil),
+            // column mapping: inherited files keep their physical
+            // names, staged files carry the logical ones — both
+            // resolve through the carried mapping
+            renames = m0.map(_.renames).getOrElse(Nil),
+            droppedCols = m0.map(_.droppedCols).getOrElse(Nil),
             // NDV sketches are file-keyed like the bloom index:
             // inherited files keep their entries, staged files have
             // none (their distincts are simply not counted yet)
@@ -763,6 +793,10 @@ object SnapshotStore {
     if (m.partGen != 0) content.append(s"partgen=${m.partGen}\n")
     m.partHist.foreach { case (g, sp) =>
       content.append(s"parthist=$g:${PartitionSpec.render(sp)}\n") }
+    m.renames.foreach { case (l, as) =>
+      content.append(s"rename=$l:${as.mkString(",")}\n") }
+    if (m.droppedCols.nonEmpty)
+      content.append(s"dropcols=${m.droppedCols.mkString(",")}\n")
     content.append(s"ts=$ts\n")
     val out = f.create(tmp, true)
     try out.write(content.toString.getBytes("UTF-8"))
@@ -850,7 +884,8 @@ object SnapshotStore {
             bloomFile = m.bloomFile,
             sortCols = m.sortCols, // DV filtering preserves row order
             partSpec = m.partSpec, ndvFile = m.ndvFile,
-            partGen = m.partGen, partHist = m.partHist)))
+            partGen = m.partGen, partHist = m.partHist,
+            renames = m.renames, droppedCols = m.droppedCols)))
         return cur + 1
       attempt += 1 // orphan DV file is GC'd by vacuum's reference count
     }
@@ -892,7 +927,8 @@ object SnapshotStore {
             bloomFile = m.bloomFile,
             sortCols = m.sortCols, // DV filtering preserves row order
             partSpec = m.partSpec, ndvFile = m.ndvFile,
-            partGen = m.partGen, partHist = m.partHist)))
+            partGen = m.partGen, partHist = m.partHist,
+            renames = m.renames, droppedCols = m.droppedCols)))
         return cur + 1
       attempt += 1
     }
@@ -1107,6 +1143,72 @@ object SnapshotStore {
             m.op != "branch" => m.srcV
       }
       .getOrElse(-1L)
+  }
+
+  /** Columns a metadata-only rename/drop must NOT touch: live DV keys
+    * (readers probe data files by these names), partition sources of
+    * ANY spec generation (directory facts key by them), bucket and
+    * sort layout columns (zip/order promises key by them). */
+  private def layoutLockedCols(m: Manifest): Set[String] =
+    (if (m.deletes.nonEmpty) m.keyCols else Nil).toSet ++
+      m.partSpec.map(_.col) ++ m.partHist.flatMap(_._2.map(_.col)) ++
+      m.bucketCols ++ m.sortCols
+
+  /** Every physical name ever retired or aliased — re-using one would
+    * resurface old files' values under the recycled name. */
+  def retiredCols(m: Manifest): Set[String] =
+    m.droppedCols.toSet ++ m.renames.flatMap(_._2)
+
+  /** `ALTER TABLE ... RENAME COLUMN` as ONE metadata commit (zero data
+    * movement, Iceberg-style name mapping): files written before keep
+    * the old physical name and readers bind through the manifest's
+    * `rename=` mapping; files written after carry the new name; a full
+    * rewrite materializes the mapping away. */
+  def renameColumnCommit(spark: SparkSession, table: String, from: String, to: String): Long = {
+    val cur = currentVersion(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $table"))
+    val m = manifest(spark, table, cur)
+    val logical = readVersion(spark, table, cur).schema.fieldNames.toSet
+    require(logical.contains(from), s"RENAME COLUMN: no column '$from' on $table")
+    require(!logical.contains(to), s"RENAME COLUMN: '$to' already exists on $table")
+    require(!retiredCols(m).contains(to) && !m.droppedCols.contains(to),
+      s"RENAME COLUMN: '$to' is a retired physical name on $table — old files still " +
+        "hold values under it; compact (full rewrite) first to release the name")
+    require(!layoutLockedCols(m).contains(from),
+      s"RENAME COLUMN: '$from' is a live layout column (DV key / partition source / " +
+        s"bucket / sort) on $table — rewrite the layout first")
+    val prior = m.renames.find(_._1 == from).map(_._2).getOrElse(Nil)
+    val next = cur + 1
+    if (!tryPublishManifest(spark, table, next,
+        m.copy(ts = 0L, op = "rename-column", srcV = -1L,
+          renames = m.renames.filterNot(_._1 == from) :+ ((to, from +: prior)))))
+      throw new java.util.ConcurrentModificationException(
+        s"renameColumnCommit lost the CAS race on $table v$next")
+    next
+  }
+
+  /** `ALTER TABLE ... DROP COLUMN` as ONE metadata commit: the column
+    * (and every alias it ever had) joins the retired list — hidden
+    * from reads, blocked from re-ADD until a full rewrite clears it. */
+  def dropColumnCommit(spark: SparkSession, table: String, name: String): Long = {
+    val cur = currentVersion(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $table"))
+    val m = manifest(spark, table, cur)
+    val logical = readVersion(spark, table, cur).schema.fieldNames.toSeq
+    require(logical.contains(name), s"DROP COLUMN: no column '$name' on $table")
+    require(logical.size > 1, s"DROP COLUMN: cannot drop $table's last column")
+    require(!layoutLockedCols(m).contains(name),
+      s"DROP COLUMN: '$name' is a live layout column (DV key / partition source / " +
+        s"bucket / sort) on $table — rewrite the layout first")
+    val aliases = m.renames.find(_._1 == name).map(_._2).getOrElse(Nil)
+    val next = cur + 1
+    if (!tryPublishManifest(spark, table, next,
+        m.copy(ts = 0L, op = "drop-column", srcV = -1L,
+          renames = m.renames.filterNot(_._1 == name),
+          droppedCols = m.droppedCols ++ (name +: aliases))))
+      throw new java.util.ConcurrentModificationException(
+        s"dropColumnCommit lost the CAS race on $table v$next")
+    next
   }
 
   /** All tags of `table`: name → version. */

@@ -55,9 +55,19 @@ class SchemaEvolutionSpec extends SparkSuite {
       // the manifest is marked evolved, and history gained the empty append
       val head = graft.store.SnapshotStore.currentVersion(spark, s"$wh/ns/docs").get
       assert(graft.store.SnapshotStore.manifest(spark, s"$wh/ns/docs", head).mixedSchema)
-      // narrowing / defaults / renames keep the refusal
+      // DROP COLUMN is metadata-only (column name mapping): the column
+      // disappears logically; old files keep their bytes but stop binding
+      spark.sql(s"ALTER TABLE $cat.ns.docs DROP COLUMN lang")
+      assert(spark.sql(s"SELECT * FROM $cat.ns.docs").columns.sorted ===
+        Array("doc_id", "quality", "text"))
+      // re-adding a retired name is refused — old bytes would resurface
+      val recycled = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.ns.docs ADD COLUMNS (lang STRING)")
+      }
+      assert(recycled.getMessage.contains("retired"), recycled.getMessage)
+      // narrowing / type changes / defaults keep the refusal
       val e = intercept[Exception] {
-        spark.sql(s"ALTER TABLE $cat.ns.docs DROP COLUMN text")
+        spark.sql(s"ALTER TABLE $cat.ns.docs ALTER COLUMN quality TYPE STRING")
       }
       assert(e.getMessage.contains("ADD COLUMNS"), e.getMessage)
       val dup = intercept[Exception] {
