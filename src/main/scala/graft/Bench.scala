@@ -156,7 +156,12 @@ object Bench {
         java.nio.charset.StandardCharsets.UTF_8))
       catch { case scala.util.control.NonFatal(_) => None }
     }
-    val prevQueries: Map[String, Double] = prevText.flatMap { text =>
+    // a record from a DIFFERENT scale factor is no baseline at all —
+    // comparing sf0.1 times against an sf10 record flags dozens of
+    // phantom regressions (and would mask real ones the other way)
+    val prevSameSf: Option[String] = prevText.filter(
+      _.contains(s""""sf":"$sfDir""""))
+    val prevQueries: Map[String, Double] = prevSameSf.flatMap { text =>
       val qStart = text.indexOf("\"queries\":{")
       if (qStart < 0) None
       else {
@@ -165,7 +170,7 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap)
       }
     }.getOrElse(Map.empty)
-    val prevControl: Option[Double] = prevText.flatMap(text =>
+    val prevControl: Option[Double] = prevSameSf.flatMap(text =>
       "\"control_sec\":([0-9.]+)".r.findFirstMatchIn(text)
         .map(_.group(1).toDouble).filter(_ > 0))
     val controlScale = // this box's speed relative to the previous run's
