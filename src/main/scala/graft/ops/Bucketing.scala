@@ -244,7 +244,8 @@ object Bucketing {
         // too, and so does the column name mapping
         partSpec = m.partSpec, ndvFile = m.ndvFile,
         partGen = m.partGen, partHist = m.partHist,
-        renames = m.renames, droppedCols = m.droppedCols))
+        renames = m.renames, droppedCols = m.droppedCols,
+        widens = m.widens, schemaJson = m.schemaJson))
     if (!ok) {
       fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
       throw new java.util.ConcurrentModificationException(

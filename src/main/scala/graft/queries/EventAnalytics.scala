@@ -878,6 +878,44 @@ object EventAnalytics {
           GROUP BY 1 ORDER BY 1""")
   }
 
+  /** DT33: ALTER COLUMN TYPE widening via metadata-only commits —
+    * `ALTER TABLE ... ALTER COLUMN o_custkey TYPE BIGINT` is one
+    * manifest commit (`widen=` + the pinned logical schema): files
+    * written before keep INT32 and every reader upcasts them natively
+    * under the wide read schema; an INSERT after it writes INT64 —
+    * filters and aggregates stay exact across both generations.
+    * Oracle replays the widen+append algebra with explicit casts. */
+  val dtWidenColumn: Q = (s, d) => {
+    val wh = Fixtures.dir("widencol", d) { root =>
+      val t = s"$root/facts/orders"
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          col("o_custkey").cast("int").alias("o_custkey"),
+          col("o_totalprice"))
+      graft.store.SnapshotStore.commit(orders, t) // gen A: INT32 o_custkey
+      val cat = snapCatalog(s, root)
+      s.sql(s"ALTER TABLE $cat.facts.orders ALTER COLUMN o_custkey TYPE BIGINT")
+      val m = graft.store.SnapshotStore.manifest(s, t, 1L)
+      require(m.op == "widen-column" && m.widens.nonEmpty,
+        "dt_widen_column: the widen must be one metadata commit")
+      orders.createOrReplaceTempView("dtwc_src")
+      s.sql(
+        s"""INSERT INTO $cat.facts.orders
+            SELECT o_orderkey + 9000000, CAST(o_custkey AS BIGINT) + 5000000000,
+                   o_totalprice
+            FROM dtwc_src""") // gen B: INT64, values past int range
+    }
+    val cat = snapCatalog(s, wh)
+    s.sql(
+      s"""SELECT CAST(pmod(o_custkey, 7) AS BIGINT) AS bucket,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+                 CAST(max(o_custkey) AS BIGINT) AS max_cust
+          FROM $cat.facts.orders
+          WHERE o_custkey > 10
+          GROUP BY 1 ORDER BY 1""")
+  }
+
   /** DT30: EQUI-HEIGHT HISTOGRAMS → CBO — `CALL system.analyze` also
     * aggregates a mergeable KLL quantile sketch per (file, column)
     * (native Catalyst `TypedImperativeAggregate`, the quantile analog
@@ -934,6 +972,23 @@ object EventAnalytics {
   }
 
   private val oraclesBase: Map[String, String] = Map(
+    "dt_widen_column" ->
+      """WITH u AS (
+           SELECT o_orderkey, CAST(o_custkey AS INTEGER) AS o_custkey_n, o_totalprice
+           FROM orders),
+         b AS (
+           SELECT o_orderkey, CAST(o_custkey_n AS BIGINT) AS o_custkey, o_totalprice FROM u
+           UNION ALL
+           SELECT o_orderkey + 9000000, CAST(o_custkey_n AS BIGINT) + 5000000000,
+                  o_totalprice
+           FROM u)
+         SELECT CAST(o_custkey % 7 AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+                CAST(max(o_custkey) AS BIGINT) AS max_cust
+         FROM b
+         WHERE o_custkey > 10
+         GROUP BY 1 ORDER BY 1""",
     "dt_rename_column" ->
       """WITH u AS (
            SELECT o_orderkey, o_custkey, o_totalprice AS price FROM orders
@@ -1433,6 +1488,7 @@ object EventAnalytics {
     "dt_hist_cbo" -> dtHistCbo,
     "dt_partition_evolve" -> dtPartitionEvolve,
     "dt_rename_column" -> dtRenameColumn,
+    "dt_widen_column" -> dtWidenColumn,
     "dt_partition_delete" -> dtPartitionDelete,
     "dt_changes_batch" -> dtChangesBatch,
     "dt_merge_sql" -> dtMergeSql,

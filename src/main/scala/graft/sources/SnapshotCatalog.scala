@@ -110,10 +110,7 @@ final class SnapshotCatalog extends TableCatalog
     val m = SnapshotStore.manifest(spark, root, version)
     // mergeSchema: same union-schema rule as the path-based provider
     // (an evolved snapshot's data dir can mix file generations)
-    new SnapshotTable(root, m,
-      graft.store.ColumnMapping.logicalSchema(
-        spark.read.option("mergeSchema", "true")
-          .parquet(SnapshotStore.dataFiles(spark, m): _*).schema, m))
+    new SnapshotTable(root, m, graft.store.ColumnMapping.tableSchema(spark, m))
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -139,10 +136,7 @@ final class SnapshotCatalog extends TableCatalog
         val v = SnapshotStore.currentVersion(spark, br).getOrElse(
           throw new NoSuchTableException(ident))
         val m = SnapshotStore.manifest(spark, br, v)
-        return new SnapshotTable(br, m,
-          graft.store.ColumnMapping.logicalSchema(
-            spark.read.option("mergeSchema", "true")
-              .parquet(SnapshotStore.dataFiles(spark, m): _*).schema, m))
+        return new SnapshotTable(br, m, graft.store.ColumnMapping.tableSchema(spark, m))
       }
       return MetaTables.of(spark, root, kind).getOrElse(
         throw new NoSuchTableException(ident))
@@ -259,6 +253,9 @@ final class SnapshotCatalog extends TableCatalog
       case Seq(d: TableChange.DeleteColumn) if d.fieldNames.length == 1 =>
         SnapshotStore.dropColumnCommit(spark, root, d.fieldNames.head)
         return loadTable(ident)
+      case Seq(u: TableChange.UpdateColumnType) if u.fieldNames.length == 1 =>
+        SnapshotStore.widenColumnCommit(spark, root, u.fieldNames.head, u.newDataType)
+        return loadTable(ident)
       case _ => ()
     }
     val adds = changes.map {
@@ -268,9 +265,9 @@ final class SnapshotCatalog extends TableCatalog
         StructField(a.fieldNames.head, a.dataType, nullable = true)
       case other => throw new UnsupportedOperationException(
         s"snapshot tables support ALTER TABLE ... ADD COLUMNS (top-level nullable, " +
-          s"no position/default), RENAME COLUMN, and DROP COLUMN of top-level " +
-          s"columns — anything else needs a full rewrite " +
-          s"(REPLACE TABLE ... AS SELECT); got $other")
+          s"no position/default), RENAME COLUMN, DROP COLUMN, and ALTER COLUMN ... " +
+          s"TYPE widening (int -> bigint, float -> double) of top-level columns — " +
+          s"anything else needs a full rewrite (REPLACE TABLE ... AS SELECT); got $other")
     }
     val head = SnapshotStore.currentVersion(spark, root)
       .map(v => SnapshotStore.manifest(spark, root, v))

@@ -77,14 +77,11 @@ final class SnapshotDataSource extends TableProvider with DataSourceRegister {
     // would otherwise hand the scan a different snapshot than the one
     // the schema was inferred from
     SnapshotDataSource.pinned.set(SnapshotDataSource.optionsKey(options) -> resolved)
-    // mergeSchema: an evolved snapshot's data dir can mix file
-    // generations; the table schema is their union (absent columns
-    // read null in the row path), mapped through the manifest's
-    // rename/drop column mapping to the LOGICAL schema
-    val base = graft.store.ColumnMapping.logicalSchema(
-      SparkSession.active.read.option("mergeSchema", "true")
-        .parquet(SnapshotStore.dataFiles(SparkSession.active, resolved._2): _*).schema,
-      resolved._2)
+    // the manifest-pinned schema when a widening is live; otherwise
+    // the footer union (an evolved snapshot's data dir can mix file
+    // generations; absent columns read null in the row path) folded
+    // through the rename/drop mapping to the LOGICAL schema
+    val base = graft.store.ColumnMapping.tableSchema(SparkSession.active, resolved._2)
     // change-feed reads carry the two CDC metadata columns
     if (options.getBoolean("changeFeed", false))
       StructType(base.fields :+
@@ -435,10 +432,13 @@ private[sources] final class SnapshotScanBuilder(
     // answered from footers exactly
     // renamed columns live under per-file physical names the footer
     // stats key by — decline the metadata aggregate rather than bind
-    // names per file here (a compaction materializes the rename and
-    // restores the pushdown)
+    // names per file here; widened columns' footer min/max carry the
+    // NARROW boxing, which would corrupt the typed result row — same
+    // decline (a compaction materializes either away and restores the
+    // pushdown)
     if (changeFeed || rowLevel || sawFilters || m.deletes.nonEmpty ||
-        m.renames.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+        m.renames.nonEmpty || m.widens.nonEmpty ||
+        agg.groupByExpressions.nonEmpty) return None
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
@@ -1055,9 +1055,15 @@ private[sources] object SnapshotScan {
       m: SnapshotStore.Manifest,
       filters: Array[Filter]): Set[String] = {
     if (m.bloomFile.isEmpty) return Set.empty
+    // a WIDENED column's index was built from the narrow-typed values
+    // and xxhash64 hashes int and long DIFFERENTLY — probing it with
+    // the wide literal would be a false NEGATIVE (wrongly pruned
+    // file), so widened columns never bloom-prune until a rewrite
+    // rebuilds the index from the wide values
+    val widened = m.widens.map(_._1).toSet
     val probes: Seq[(String, Seq[Any])] = filters.toSeq.collect {
-      case EqualTo(c, v)            => (c, Seq(v))
-      case In(c, vs) if vs.nonEmpty => (c, vs.toSeq)
+      case EqualTo(c, v) if !widened(c)            => (c, Seq(v))
+      case In(c, vs) if vs.nonEmpty && !widened(c) => (c, vs.toSeq)
     }
     if (probes.isEmpty) return Set.empty
     val hashedByCol: Map[String, Seq[Long]] = probes
@@ -2702,6 +2708,16 @@ private[sources] final class SnapshotPartitionReader(
       projection.getType(i).asPrimitiveType().getPrimitiveTypeName ==
         org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96
   }.toArray
+  // WIDENED columns (ALTER COLUMN TYPE): the requested type is wide
+  // (long/double) but a pre-widen file's primitive is INT32/FLOAT —
+  // read the narrow physical value and upcast
+  private def projPrim(i: Int, p: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName) =
+    projection.getType(i).isPrimitive &&
+      projection.getType(i).asPrimitiveType().getPrimitiveTypeName == p
+  private val projNarrowInt: Array[Boolean] = present.indices.map(i =>
+    projPrim(i, org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32)).toArray
+  private val projNarrowFloat: Array[Boolean] = present.indices.map(i =>
+    projPrim(i, org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FLOAT)).toArray
 
   private def int96Micros(b: org.apache.parquet.io.api.Binary): Long = {
     val buf = b.toByteBuffer.order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -2746,9 +2762,11 @@ private[sources] final class SnapshotPartitionReader(
   private def jvmValue(g: Group, idx: Int, dt: DataType): Any =
     if (g.getFieldRepetitionCount(idx) == 0) null
     else dt match {
-      case LongType                         => g.getLong(idx, 0)
+      case LongType =>
+        if (projNarrowInt(idx)) g.getInteger(idx, 0).toLong else g.getLong(idx, 0)
       case IntegerType                      => g.getInteger(idx, 0)
-      case DoubleType                       => g.getDouble(idx, 0)
+      case DoubleType =>
+        if (projNarrowFloat(idx)) g.getFloat(idx, 0).toDouble else g.getDouble(idx, 0)
       case FloatType                        => g.getFloat(idx, 0)
       case BooleanType                      => g.getBoolean(idx, 0)
       case StringType                       => g.getString(idx, 0)

@@ -237,7 +237,8 @@ private[sources] object SnapshotMetadataDelete {
         bloomFile = head.bloomFile, sortCols = head.sortCols,
         partSpec = head.partSpec, ndvFile = head.ndvFile,
         partGen = head.partGen, partHist = head.partHist,
-        renames = head.renames, droppedCols = head.droppedCols))
+        renames = head.renames, droppedCols = head.droppedCols,
+        widens = head.widens, schemaJson = head.schemaJson))
     if (!ok) throw new java.util.ConcurrentModificationException(
       s"graft-snapshot: metadata DELETE on $tablePath lost to a concurrent commit of " +
         s"version ${v + 1} — re-run the command against the new head")

@@ -182,7 +182,8 @@ private[sources] final class SnapshotRowLevelBatchWrite(
         mixedSchema = m.mixedSchema, statsFile = stats,
         bloomFile = m.bloomFile, partSpec = m.partSpec, ndvFile = m.ndvFile,
         partGen = m.partGen, partHist = m.partHist,
-        renames = m.renames, droppedCols = m.droppedCols))
+        renames = m.renames, droppedCols = m.droppedCols,
+        widens = m.widens, schemaJson = m.schemaJson))
     if (!ok) {
       abort(messages)
       throw new java.util.ConcurrentModificationException(

@@ -219,7 +219,8 @@ private[sources] final class SnapshotDeltaBatchWrite(
         bloomFile = m.bloomFile, // file-keyed: inherited entries stay valid
         partSpec = m.partSpec, ndvFile = m.ndvFile,
         partGen = m.partGen, partHist = m.partHist,
-        renames = m.renames, droppedCols = m.droppedCols))
+        renames = m.renames, droppedCols = m.droppedCols,
+        widens = m.widens, schemaJson = m.schemaJson))
     if (!ok) {
       abort(messages)
       throw new java.util.ConcurrentModificationException(

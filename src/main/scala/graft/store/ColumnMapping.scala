@@ -35,6 +35,46 @@ object ColumnMapping {
   def aliasOf(m: SnapshotStore.Manifest): Map[String, String] =
     m.renames.flatMap { case (l, as) => as.map(_ -> l) }.toMap
 
+  /** logical name → widened type (`ALTER COLUMN ... TYPE`). */
+  def widenMap(m: SnapshotStore.Manifest): Map[String, org.apache.spark.sql.types.DataType] =
+    m.widens.map { case (c, t) =>
+      c -> org.apache.spark.sql.types.DataType.fromDDL(t)
+    }.toMap
+
+  /** The manifest-pinned LOGICAL schema (present iff a widening is
+    * live — footer merge cannot reconcile narrow and wide file
+    * generations, so the widen commit pinned the declared schema). */
+  def pinnedSchema(m: SnapshotStore.Manifest): Option[StructType] =
+    if (m.schemaJson.isEmpty) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[StructType])
+
+  /** The table's LOGICAL schema for planning: the manifest-pinned
+    * schema when a widening is live (ZERO footer reads — at 10⁵ files
+    * the footer-merge alternative is a planning job of its own),
+    * otherwise the footer union folded through the rename/drop
+    * mapping. ONE home for the DSv2 provider and catalog. */
+  def tableSchema(spark: org.apache.spark.sql.SparkSession,
+      m: SnapshotStore.Manifest): StructType =
+    pinnedSchema(m).getOrElse(
+      logicalSchema(
+        spark.read.option("mergeSchema", "true")
+          .parquet(SnapshotStore.dataFiles(spark, m): _*).schema, m))
+
+  /** Explicit PHYSICAL-UNION read schema for a widened table: every
+    * logical field at its (wide) logical type, plus each rename alias
+    * as its own field at the SAME wide type — parquet's by-name
+    * binding then upcasts narrow generations natively and null-fills
+    * spellings a file doesn't carry; [[applyToFrame]] folds the alias
+    * columns afterwards. */
+  def physicalReadSchema(logical: StructType, m: SnapshotStore.Manifest): StructType = {
+    val aliasFields = m.renames.flatMap { case (l, as) =>
+      logical.fields.find(_.name == l).toSeq.flatMap(f =>
+        as.map(a => f.copy(name = a)))
+    }
+    StructType(logical.fields ++ aliasFields)
+  }
+
   /** The LOGICAL schema over a merged physical schema: drops retired
     * columns, folds every alias into its logical name (first
     * occurrence keeps the position), renames the survivor. */

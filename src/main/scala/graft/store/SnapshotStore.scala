@@ -3,6 +3,7 @@ package graft.store
 import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.types.{DataType, FloatType, DoubleType, IntegerType, LongType, StructType}
 
 /** Snapshot-isolated plain-parquet tables: a minimal commit-log layout
   * that gives read-union-rewrite maintenance jobs (SCD2 merge, CDC
@@ -126,7 +127,20 @@ object SnapshotStore {
         * from reads, and re-ADDing any of them is refused — old files
         * still hold their values, which would otherwise resurface
         * under the recycled name. A full rewrite clears the list. */
-      droppedCols: Seq[String] = Nil)
+      droppedCols: Seq[String] = Nil,
+      /** COLUMN TYPE WIDENING (`ALTER TABLE ... ALTER COLUMN ... TYPE`,
+        * round 14): logical name → widened Spark type (catalogString).
+        * One metadata commit — old files keep their narrow physical
+        * type and readers upcast natively (Spark 4 parquet type
+        * widening); new files carry the wide type. A full rewrite
+        * materializes the widening away. */
+      widens: Seq[(String, String)] = Nil,
+      /** The table's LOGICAL schema (StructType json), present iff
+        * `widens` is — footer schema inference cannot merge a
+        * narrow-generation INT32 with a wide-generation INT64, so the
+        * widen commit pins the declared schema and every later commit
+        * kind carries (or grows) it. */
+      schemaJson: String = "")
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -269,7 +283,7 @@ object SnapshotStore {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
-    val markerKeys = Seq("data=", "file=", "delete=", "keys=", "op=", "ts=", "stats=", "src=", "schema=", "statsfile=", "bucket=", "bloomfile=", "sortcols=", "part=", "ndvfile=", "provenance=", "partgen=", "parthist=", "rename=", "dropcols=")
+    val markerKeys = Seq("data=", "file=", "delete=", "keys=", "op=", "ts=", "stats=", "src=", "schema=", "statsfile=", "bucket=", "bloomfile=", "sortcols=", "part=", "ndvfile=", "provenance=", "partgen=", "parthist=", "rename=", "dropcols=", "widen=", "schemajson=")
     if (lines.exists(l => markerKeys.exists(l.startsWith))) {
       Manifest(
         data = lines.find(_.startsWith("data=")).map(_.stripPrefix("data=")).getOrElse(""),
@@ -314,7 +328,14 @@ object SnapshotStore {
         },
         droppedCols = lines.find(_.startsWith("dropcols="))
           .map(_.stripPrefix("dropcols=").split(',').toSeq.filter(_.nonEmpty))
-          .getOrElse(Nil))
+          .getOrElse(Nil),
+        widens = lines.filter(_.startsWith("widen=")).map { l =>
+          val body = l.stripPrefix("widen=")
+          val cut = body.indexOf(':')
+          (body.take(cut), body.drop(cut + 1))
+        },
+        schemaJson = lines.find(_.startsWith("schemajson="))
+          .map(_.stripPrefix("schemajson=")).getOrElse(""))
     } else {
       // legacy bare-path marker (or empty → the fixed v=<N> layout)
       Manifest(lines.headOption.getOrElse(versionDir(table, v)), Nil, Nil)
@@ -348,18 +369,32 @@ object SnapshotStore {
     * columns (the delete side is deleted-keys-sized — small). */
   def readVersion(spark: SparkSession, table: String, v: Long): DataFrame = {
     val m = manifest(spark, table, v)
-    // renamed columns live under DIFFERENT physical names per file
-    // generation — the merge exposes them all, the mapping folds them
-    val reader =
-      if (m.mixedSchema || m.renames.nonEmpty) spark.read.option("mergeSchema", "true")
-      else spark.read
     val base =
       if (m.deletes.isEmpty) {
+        val reader = versionReader(spark, m)
         if (m.files.nonEmpty) reader.parquet(m.files: _*)
         else reader.parquet(m.data)
       } else readFilesWithDvs(spark, m, dataFiles(spark, m))
     ColumnMapping.applyToFrame(base, m)
   }
+
+  /** The parquet reader a manifest's files need:
+    *  - a WIDENED table reads under the pinned explicit schema
+    *    (physical-union spelling — by-name binding upcasts narrow
+    *    generations natively, null-fills absent spellings; footer
+    *    merge would refuse INT32 vs INT64);
+    *  - a renamed or schema-evolved table merges footers (renamed
+    *    columns live under DIFFERENT physical names per generation —
+    *    the merge exposes them all, the mapping folds them);
+    *  - otherwise the plain reader. */
+  private def versionReader(spark: SparkSession, m: Manifest) =
+    ColumnMapping.pinnedSchema(m) match {
+      case Some(logical) =>
+        spark.read.schema(ColumnMapping.physicalReadSchema(logical, m))
+      case None if m.mixedSchema || m.renames.nonEmpty =>
+        spark.read.option("mergeSchema", "true")
+      case None => spark.read
+    }
 
   /** Read a SUBSET of a manifest's data files with exactly the DVs
     * that cover each file applied. DVs apply per FILE SCOPE: the files
@@ -371,8 +406,7 @@ object SnapshotStore {
     * partial DV materialization (DV-safe incremental compaction reads
     * its merge set through this). */
   def readFilesWithDvs(spark: SparkSession, m: Manifest, files: Seq[String]): DataFrame = {
-    val reader =
-      if (m.mixedSchema) spark.read.option("mergeSchema", "true") else spark.read
+    val reader = versionReader(spark, m)
     if (m.deletes.isEmpty) reader.parquet(files: _*)
     else dvClasses(spark, m, files).map { case (dvIdx, fs2) =>
       val base = reader.parquet(fs2: _*)
@@ -382,7 +416,8 @@ object SnapshotStore {
           .select(m.keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
         base.join(broadcast(dvs), m.keyCols, "left_anti")
       }
-    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = m.mixedSchema))
+    }.reduce((a, b) =>
+      a.unionByName(b, allowMissingColumns = m.mixedSchema || m.renames.nonEmpty))
   }
 
   /** Write `df` as the next snapshot and publish it atomically. Returns
@@ -645,7 +680,8 @@ object SnapshotStore {
         dataFiles(spark, Manifest(stageDir, Nil, Nil))
       }
     appendFilesCommit(spark, table, staged, writerStatsExact(spark), maxAttempts, srcV,
-      mixedSchema = evolving, routedBucket = spec)
+      mixedSchema = evolving, routedBucket = spec,
+      stagedSchema = if (evolving) Some(df.schema) else None)
   }
 
   /** Low-level shared append publish: CAS-link the current head's files
@@ -661,7 +697,12 @@ object SnapshotStore {
       maxAttempts: Int = 8,
       srcV: Long = -1L,
       mixedSchema: Boolean = false,
-      routedBucket: Option[(Seq[String], Int)] = None): Long = {
+      routedBucket: Option[(Seq[String], Int)] = None,
+      /** The staged batch's schema, passed only on schema-EVOLVING
+        * appends so a widened table's pinned logical schema can GROW
+        * with the added columns (collisions keep the pinned — wide —
+        * type; the narrow staged spelling upcasts at read). */
+      stagedSchema: Option[StructType] = None): Long = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val (next, base, m0) = currentVersion(spark, table) match {
@@ -713,6 +754,18 @@ object SnapshotStore {
             // resolve through the carried mapping
             renames = m0.map(_.renames).getOrElse(Nil),
             droppedCols = m0.map(_.droppedCols).getOrElse(Nil),
+            // type widening carries; the pinned logical schema grows
+            // with any evolving append's new columns
+            widens = m0.map(_.widens).getOrElse(Nil),
+            schemaJson = m0.map(_.schemaJson).filter(_.nonEmpty).map { js =>
+              stagedSchema match {
+                case Some(got) =>
+                  val pinned = DataType.fromJson(js).asInstanceOf[StructType]
+                  val have = pinned.fieldNames.toSet
+                  StructType(pinned.fields ++ got.fields.filterNot(f => have(f.name))).json
+                case None => js
+              }
+            }.getOrElse(""),
             // NDV sketches are file-keyed like the bloom index:
             // inherited files keep their entries, staged files have
             // none (their distincts are simply not counted yet)
@@ -797,6 +850,8 @@ object SnapshotStore {
       content.append(s"rename=$l:${as.mkString(",")}\n") }
     if (m.droppedCols.nonEmpty)
       content.append(s"dropcols=${m.droppedCols.mkString(",")}\n")
+    m.widens.foreach { case (c, t) => content.append(s"widen=$c:$t\n") }
+    if (m.schemaJson.nonEmpty) content.append(s"schemajson=${m.schemaJson}\n")
     content.append(s"ts=$ts\n")
     val out = f.create(tmp, true)
     try out.write(content.toString.getBytes("UTF-8"))
@@ -885,7 +940,8 @@ object SnapshotStore {
             sortCols = m.sortCols, // DV filtering preserves row order
             partSpec = m.partSpec, ndvFile = m.ndvFile,
             partGen = m.partGen, partHist = m.partHist,
-            renames = m.renames, droppedCols = m.droppedCols)))
+            renames = m.renames, droppedCols = m.droppedCols,
+            widens = m.widens, schemaJson = m.schemaJson)))
         return cur + 1
       attempt += 1 // orphan DV file is GC'd by vacuum's reference count
     }
@@ -928,7 +984,8 @@ object SnapshotStore {
             sortCols = m.sortCols, // DV filtering preserves row order
             partSpec = m.partSpec, ndvFile = m.ndvFile,
             partGen = m.partGen, partHist = m.partHist,
-            renames = m.renames, droppedCols = m.droppedCols)))
+            renames = m.renames, droppedCols = m.droppedCols,
+            widens = m.widens, schemaJson = m.schemaJson)))
         return cur + 1
       attempt += 1
     }
@@ -1181,11 +1238,25 @@ object SnapshotStore {
     val next = cur + 1
     if (!tryPublishManifest(spark, table, next,
         m.copy(ts = 0L, op = "rename-column", srcV = -1L,
-          renames = m.renames.filterNot(_._1 == from) :+ ((to, from +: prior)))))
+          renames = m.renames.filterNot(_._1 == from) :+ ((to, from +: prior)),
+          // a widened column keeps its widening under the new name, and
+          // the pinned logical schema follows the rename
+          widens = m.widens.map { case (c, t) => (if (c == from) to else c, t) },
+          schemaJson = renameInSchemaJson(m.schemaJson, from, to))))
       throw new java.util.ConcurrentModificationException(
         s"renameColumnCommit lost the CAS race on $table v$next")
     next
   }
+
+  private def renameInSchemaJson(json: String, from: String, to: String): String =
+    if (json.isEmpty) json
+    else StructType(DataType.fromJson(json).asInstanceOf[StructType].fields
+      .map(f => if (f.name == from) f.copy(name = to) else f)).json
+
+  private def dropInSchemaJson(json: String, name: String): String =
+    if (json.isEmpty) json
+    else StructType(DataType.fromJson(json).asInstanceOf[StructType].fields
+      .filterNot(_.name == name)).json
 
   /** `ALTER TABLE ... DROP COLUMN` as ONE metadata commit: the column
     * (and every alias it ever had) joins the retired list — hidden
@@ -1205,9 +1276,50 @@ object SnapshotStore {
     if (!tryPublishManifest(spark, table, next,
         m.copy(ts = 0L, op = "drop-column", srcV = -1L,
           renames = m.renames.filterNot(_._1 == name),
-          droppedCols = m.droppedCols ++ (name +: aliases))))
+          droppedCols = m.droppedCols ++ (name +: aliases),
+          widens = m.widens.filterNot(_._1 == name),
+          schemaJson = dropInSchemaJson(m.schemaJson, name))))
       throw new java.util.ConcurrentModificationException(
         s"dropColumnCommit lost the CAS race on $table v$next")
+    next
+  }
+
+  /** `ALTER TABLE ... ALTER COLUMN ... TYPE` as ONE metadata commit,
+    * for the LOSSLESS numeric widenings Spark's parquet readers upcast
+    * natively (int → bigint, float → double): old files keep their
+    * narrow physical type, new files carry the wide one, and readers
+    * hand every file the wide read schema. The commit pins the table's
+    * logical schema in the manifest (`schemajson=`) because footer
+    * merge cannot reconcile INT32 and INT64 generations. A full
+    * rewrite materializes the widening away. */
+  def widenColumnCommit(spark: SparkSession, table: String, name: String,
+      newType: DataType): Long = {
+    val cur = currentVersion(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $table"))
+    val m = manifest(spark, table, cur)
+    val logical = readVersion(spark, table, cur).schema
+    val field = logical.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"ALTER COLUMN TYPE: no column '$name' on $table"))
+    val widens = (field.dataType, newType) match {
+      case (IntegerType, LongType) | (FloatType, DoubleType) => true
+      case _ => false
+    }
+    require(widens,
+      s"ALTER COLUMN TYPE: ${field.dataType.catalogString} -> ${newType.catalogString} " +
+        s"is not a supported metadata-only widening on $table (supported: int -> bigint, " +
+        "float -> double) — anything else needs a full rewrite (REPLACE TABLE ... AS SELECT)")
+    require(!layoutLockedCols(m).contains(name),
+      s"ALTER COLUMN TYPE: '$name' is a live layout column (DV key / partition source / " +
+        s"bucket / sort) on $table — rewrite the layout first")
+    val widened = StructType(logical.fields.map(f =>
+      if (f.name == name) f.copy(dataType = newType) else f))
+    val next = cur + 1
+    if (!tryPublishManifest(spark, table, next,
+        m.copy(ts = 0L, op = "widen-column", srcV = -1L,
+          widens = m.widens.filterNot(_._1 == name) :+ ((name, newType.catalogString)),
+          schemaJson = widened.json)))
+      throw new java.util.ConcurrentModificationException(
+        s"widenColumnCommit lost the CAS race on $table v$next")
     next
   }
 
