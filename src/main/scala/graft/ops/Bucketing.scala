@@ -140,12 +140,14 @@ object Bucketing {
       if (routedPart)
         SnapshotStore.Manifest("", Nil, Nil, files = outFileList, op = "compact",
           statsExact = SnapshotStore.writerStatsExact(spark), statsFile = outStats,
-          partSpec = mCur.partSpec, partGen = mCur.partGen)
+          partSpec = mCur.partSpec, partGen = mCur.partGen,
+          schemaJson = SnapshotStore.pinnedJson(rows.schema))
       else
         SnapshotStore.Manifest(outDir, Nil, Nil, op = "compact",
           statsExact = SnapshotStore.writerStatsExact(spark), statsFile = outStats,
           bucketCols = mCur.bucketCols, bucketN = mCur.bucketN,
-          partSpec = mCur.partSpec, partGen = mCur.partGen)
+          partSpec = mCur.partSpec, partGen = mCur.partGen,
+          schemaJson = SnapshotStore.pinnedJson(rows.schema))
     if (!SnapshotStore.tryPublishManifest(spark, table, next, outManifest))
       throw new IllegalStateException(s"could not publish commit marker $next under $table")
     (files.size, outFileList.size, totalBytes, next)

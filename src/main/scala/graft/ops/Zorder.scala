@@ -169,7 +169,8 @@ object Zorder {
       None, SnapshotStore.writerStatsExact(spark))
     if (!SnapshotStore.tryPublishManifest(spark, table, next,
         SnapshotStore.Manifest(dir, Nil, Nil, op = "zorder",
-          statsExact = SnapshotStore.writerStatsExact(spark), statsFile = outStats)))
+          statsExact = SnapshotStore.writerStatsExact(spark), statsFile = outStats,
+          schemaJson = SnapshotStore.pinnedJson(cur.schema))))
       throw new IllegalStateException(s"could not publish commit marker $next under $table")
     next
   }

@@ -432,14 +432,16 @@ private[sources] final class StagedSnapshotTable(
     if (replace) {
       // SnapshotDataWriter never truncates stats
       SnapshotStore.rewriteFilesCommit(spark, root, stagedFiles, statsExact = true,
-        bucketCols = bCols, bucketN = bN, partSpec = partSpec)
+        bucketCols = bCols, bucketN = bN, partSpec = partSpec,
+        schema = Some(tableSchema))
       ()
     } else {
       val stats = graft.store.FileStats.sidecarFor(spark, root, stagedFiles, None, exact = true)
       if (!SnapshotStore.tryPublishManifest(spark, root, 0L,
           SnapshotStore.Manifest("", Nil, Nil, ts = System.currentTimeMillis(),
             files = stagedFiles, op = "ctas", statsExact = true, statsFile = stats,
-            bucketCols = bCols, bucketN = bN, partSpec = partSpec))) {
+            bucketCols = bCols, bucketN = bN, partSpec = partSpec,
+            schemaJson = SnapshotStore.pinnedJson(tableSchema)))) {
         abortStagedChanges()
         throw new IllegalStateException(
           s"CREATE TABLE AS SELECT lost a concurrent-create race on $root " +

@@ -221,7 +221,7 @@ private[sources] final class SnapshotBatchWrite(
         bucketN = bucketSpec.map(_._2).getOrElse(0),
         // a full overwrite re-routed every row under the current
         // generation — no history survives it
-        partSpec = partSpec, partGen = partGen)
+        partSpec = partSpec, partGen = partGen, schema = Some(schema))
     ()
   }
 

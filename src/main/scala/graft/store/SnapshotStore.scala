@@ -425,6 +425,16 @@ object SnapshotStore {
     * invisible to readers; visibility flips at the marker rename.
     * Single-writer convenience: on a marker race it retries the NEXT
     * version number without rewriting the already-staged data. */
+  /** The logical schema a writer pins into its manifest (`schemajson=`,
+    * nullability relaxed like any parquet read): planning resolves the
+    * table schema from the manifest with ZERO footer reads — at 10⁵
+    * files the footer-merge alternative is a job of its own — and
+    * reads bind files under the declared schema (by-name, null-filling
+    * absent columns, natively upcasting widened generations). Legacy
+    * manifests without the line keep the footer-union path. */
+  def pinnedJson(schema: StructType): String =
+    StructType(schema.fields.map(_.copy(nullable = true))).json
+
   def commit(df: DataFrame, table: String, srcV: Long = -1L): Long = {
     val spark = df.sparkSession
     var next = currentVersion(spark, table).map(_ + 1).getOrElse(0L)
@@ -436,7 +446,7 @@ object SnapshotStore {
       dataFiles(spark, Manifest(dataDir, Nil, Nil)), None, writerStatsExact(spark))
     while (!tryPublishManifest(spark, table, next,
         Manifest(dataDir, Nil, Nil, op = "rewrite", statsExact = writerStatsExact(spark),
-          srcV = srcV, statsFile = stats)))
+          srcV = srcV, statsFile = stats, schemaJson = pinnedJson(df.schema))))
       next += 1 // lost a marker race; the staged data is still valid as a later version
     next
   }
@@ -478,7 +488,8 @@ object SnapshotStore {
       dataFiles(spark, Manifest(dataDir, Nil, Nil)), None, writerStatsExact(spark))
     while (!tryPublishManifest(spark, table, next,
         Manifest(dataDir, Nil, Nil, op = "bucket", statsExact = writerStatsExact(spark),
-          statsFile = stats, bucketCols = cols, bucketN = n, sortCols = sortCols)))
+          statsFile = stats, bucketCols = cols, bucketN = n, sortCols = sortCols,
+          schemaJson = pinnedJson(df.schema))))
       next += 1
     next
   }
@@ -538,7 +549,8 @@ object SnapshotStore {
     val stats = FileStats.sidecarFor(spark, table, files, None, writerStatsExact(spark))
     while (!tryPublishManifest(spark, table, next,
         Manifest("", Nil, Nil, files = files, op = "partition",
-          statsExact = writerStatsExact(spark), statsFile = stats, partSpec = spec)))
+          statsExact = writerStatsExact(spark), statsFile = stats, partSpec = spec,
+          schemaJson = pinnedJson(df.schema))))
       next += 1
     next
   }
@@ -596,7 +608,7 @@ object SnapshotStore {
       dataFiles(spark, Manifest(dataDir, Nil, Nil)), None, writerStatsExact(spark))
     while (!tryPublishManifest(spark, table, next,
         Manifest(dataDir, Nil, Nil, op = "sort", statsExact = writerStatsExact(spark),
-          statsFile = stats, sortCols = cols)))
+          statsFile = stats, sortCols = cols, schemaJson = pinnedJson(df.schema))))
       next += 1
     next
   }
@@ -624,9 +636,9 @@ object SnapshotStore {
     // (mergeSchema) from then on; a TYPE CONFLICT on a shared column is
     // refused with rewrite guidance (no union schema exists)
     val headV = currentVersion(spark, table)
-    val evolving = headV.exists { v =>
-      val baseMap = readVersion(spark, table, v).schema.fields
-        .map(f => f.name -> f.dataType).toMap
+    val baseSchema: Option[StructType] = headV.map(v => readVersion(spark, table, v).schema)
+    val evolving = baseSchema.exists { base =>
+      val baseMap = base.fields.map(f => f.name -> f.dataType).toMap
       val gotMap = df.schema.fields.map(f => f.name -> f.dataType).toMap
       val conflicts = baseMap.keySet.intersect(gotMap.keySet)
         .filter(k => baseMap(k) != gotMap(k))
@@ -637,6 +649,15 @@ object SnapshotStore {
           s"${conflicts.toSeq.sorted.map(gotMap).mkString(", ")}) — no union schema " +
           "exists; evolve through a full rewrite (SnapshotStore.commit), then append")
       baseMap != gotMap
+    }
+    // the post-append union schema (base fields first, added fields
+    // after — mergeSchema's own order): pinned into the manifest so
+    // planning keeps resolving with zero footer reads
+    val unionSchema: StructType = baseSchema match {
+      case Some(base) =>
+        val have = base.fieldNames.toSet
+        StructType(base.fields ++ df.schema.fields.filterNot(f => have(f.name)))
+      case None => df.schema
     }
     // appending to a BUCKETED table routes the batch through the same
     // hash before staging, so the layout (and every storage-partitioned
@@ -681,7 +702,7 @@ object SnapshotStore {
       }
     appendFilesCommit(spark, table, staged, writerStatsExact(spark), maxAttempts, srcV,
       mixedSchema = evolving, routedBucket = spec,
-      stagedSchema = if (evolving) Some(df.schema) else None)
+      stagedSchema = Some(unionSchema))
   }
 
   /** Low-level shared append publish: CAS-link the current head's files
@@ -698,10 +719,11 @@ object SnapshotStore {
       srcV: Long = -1L,
       mixedSchema: Boolean = false,
       routedBucket: Option[(Seq[String], Int)] = None,
-      /** The staged batch's schema, passed only on schema-EVOLVING
-        * appends so a widened table's pinned logical schema can GROW
-        * with the added columns (collisions keep the pinned — wide —
-        * type; the narrow staged spelling upcasts at read). */
+      /** The POST-APPEND logical schema when the caller knows it (the
+        * df append path passes the base∪batch union) — pinned into the
+        * manifest so planning resolves with zero footer reads. Absent
+        * (file-level callers: DSv2 INSERT, the streaming sink, the
+        * mirror), the head's pinned schema carries forward verbatim. */
       stagedSchema: Option[StructType] = None): Long = {
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -754,18 +776,13 @@ object SnapshotStore {
             // resolve through the carried mapping
             renames = m0.map(_.renames).getOrElse(Nil),
             droppedCols = m0.map(_.droppedCols).getOrElse(Nil),
-            // type widening carries; the pinned logical schema grows
-            // with any evolving append's new columns
+            // type widening carries; the pinned logical schema is the
+            // caller's post-append union when it knows one (the df
+            // append path), else it carries forward (DSv2 INSERT and
+            // the streaming sink write the table schema verbatim)
             widens = m0.map(_.widens).getOrElse(Nil),
-            schemaJson = m0.map(_.schemaJson).filter(_.nonEmpty).map { js =>
-              stagedSchema match {
-                case Some(got) =>
-                  val pinned = DataType.fromJson(js).asInstanceOf[StructType]
-                  val have = pinned.fieldNames.toSet
-                  StructType(pinned.fields ++ got.fields.filterNot(f => have(f.name))).json
-                case None => js
-              }
-            }.getOrElse(""),
+            schemaJson = stagedSchema.map(pinnedJson)
+              .orElse(m0.map(_.schemaJson).filter(_.nonEmpty)).getOrElse(""),
             // NDV sketches are file-keyed like the bloom index:
             // inherited files keep their entries, staged files have
             // none (their distincts are simply not counted yet)
@@ -789,7 +806,8 @@ object SnapshotStore {
       bucketN: Int = 0,
       partSpec: Seq[PartitionSpec.PartField] = Nil,
       partGen: Int = 0,
-      partHist: Seq[(Int, Seq[PartitionSpec.PartField])] = Nil): Long = {
+      partHist: Seq[(Int, Seq[PartitionSpec.PartField])] = Nil,
+      schema: Option[StructType] = None): Long = {
     var next = currentVersion(spark, table).map(_ + 1).getOrElse(0L)
     // copy-forward-aware: a caller whose file list keeps most of the
     // head's files (copy-on-write shapes) only pays footers for the new
@@ -799,7 +817,8 @@ object SnapshotStore {
     while (!tryPublishManifest(spark, table, next,
         Manifest("", Nil, Nil, files = files, op = op, statsExact = statsExact, srcV = srcV,
           statsFile = stats, bucketCols = bucketCols, bucketN = bucketN,
-          partSpec = partSpec, partGen = partGen, partHist = partHist)))
+          partSpec = partSpec, partGen = partGen, partHist = partHist,
+          schemaJson = schema.map(pinnedJson).getOrElse(""))))
       next += 1 // staged data stays valid as a later version
     next
   }

@@ -91,6 +91,17 @@ object MetadataLadderBench {
     val (sc, tStats) = time { FileStats.read(spark, m.statsFile) }
     require(sc.entries.size == n, s"sidecar entries ${sc.entries.size} != $n")
 
+    // ---- 1b. schema resolution: manifest-pinned, zero footer reads ----
+    // (the footer-union alternative is O(files) — unmeasurable here
+    // because the synthetic files don't exist, which is the point: a
+    // pinned table PLANS without them)
+    val fr0 = graft.sources.SnapshotScanProbe.plannerFooterReads
+    val (schema, tSchema) = time { graft.store.ColumnMapping.tableSchema(spark, m) }
+    require(schema.fieldNames.sameElements(Array("o_orderkey", "o_custkey")),
+      s"pinned schema resolved wrong: $schema")
+    require(graft.sources.SnapshotScanProbe.plannerFooterReads == fr0,
+      "pinned schema resolution must read zero footers")
+
     // ---- 2. NDV: driver vs distributed -------------------------------
     val ndvBytes = {
       val p = new org.apache.hadoop.fs.Path(ndvFile)
@@ -152,7 +163,7 @@ object MetadataLadderBench {
     require(taskBuilds >= 1, "cap=1 must route task-side")
 
     println(
-      s"""{"metric":"metadata_ladder","n_files":$n,"synth_stats_sec":${f"$tSynthStats%.2f"},"synth_ndv_sec":${f"$tSynthNdv%.2f"},"ndv_sidecar_bytes":$ndvBytes,"stats_parse_sec":${f"$tStats%.2f"},"ndv_driver_sec":${f"$tNdvDriver%.2f"},"ndv_driver_entries":$driverEntries,"ndv_distributed_sec":${f"$tNdvDist%.2f"},"ndv_distributed_unions":$distUnions,"ndv_distributed_driver_entries":$distDriverEntries,"dv_bytes":$dvBytes,"dv_taskside_sec":${f"$tDvTask%.2f"},"dv_taskside_builds":$taskBuilds,"dv_broadcast_sec":${f"$tDvBcast%.2f"}}""")
+      s"""{"metric":"metadata_ladder","n_files":$n,"synth_stats_sec":${f"$tSynthStats%.2f"},"synth_ndv_sec":${f"$tSynthNdv%.2f"},"ndv_sidecar_bytes":$ndvBytes,"stats_parse_sec":${f"$tStats%.2f"},"schema_resolution_sec":${f"$tSchema%.3f"},"ndv_driver_sec":${f"$tNdvDriver%.2f"},"ndv_driver_entries":$driverEntries,"ndv_distributed_sec":${f"$tNdvDist%.2f"},"ndv_distributed_unions":$distUnions,"ndv_distributed_driver_entries":$distDriverEntries,"dv_bytes":$dvBytes,"dv_taskside_sec":${f"$tDvTask%.2f"},"dv_taskside_builds":$taskBuilds,"dv_broadcast_sec":${f"$tDvBcast%.2f"}}""")
     spark.stop()
   }
 }

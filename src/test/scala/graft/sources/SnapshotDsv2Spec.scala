@@ -181,12 +181,14 @@ class SnapshotDsv2Spec extends SparkSuite {
     val table = freshTable("dsv2-evolve")
     val gen1 = graft.sources.Tables.nation(spark, sf()).select(col("n_nationkey"))
     SnapshotStore.commit(gen1, table) // v0 files: only n_nationkey
-    // v1 data dir holds BOTH generations' files (mixed schemas)
-    val dataDir = SnapshotStore.manifest(spark, table, 0).data
-    graft.sources.Tables.nation(spark, sf())
-      .select(col("n_nationkey") + 1000, col("n_name"))
-      .toDF("n_nationkey", "n_name")
-      .write.mode("append").parquet(dataDir)
+    // v1: a schema-EVOLVING append — the union schema gains n_name,
+    // gen-1 files carry none of it (the manifest pins the union; the
+    // scan must serve gen-1 files from an empty projection)
+    SnapshotStore.appendCommit(
+      graft.sources.Tables.nation(spark, sf())
+        .select(col("n_nationkey") + 1000, col("n_name"))
+        .toDF("n_nationkey", "n_name"),
+      table)
     // selecting ONLY the evolved column: gen-1 files have an empty
     // projection and must contribute all-null rows, not crash
     val names = load(table).select(col("n_name")) // merged (union) schema

@@ -111,8 +111,10 @@ class WidenColumnSpec extends SparkSuite {
     graft.ops.Bucketing.compactCommit(spark, t, 256L << 20)
     val mc = SnapshotStore.manifest(spark, t,
       SnapshotStore.currentVersion(spark, t).get)
-    assert(mc.widens.isEmpty && mc.schemaJson.isEmpty && mc.renames.isEmpty,
+    assert(mc.widens.isEmpty && mc.renames.isEmpty,
       "compaction must materialize the widening and the mapping away")
+    assert(DataType.fromJson(mc.schemaJson).asInstanceOf[StructType]("num").dataType
+      === LongType, "the re-pinned schema carries the wide type under the new name")
     val phys = spark.read.parquet(SnapshotStore.dataFiles(spark, mc): _*)
     assert(phys.schema("num").dataType === LongType, "rewritten files carry the wide type")
     assert(spark.sql(s"SELECT CAST(sum(num) AS BIGINT) FROM $cat.ns.r").head().getLong(0) === 3L)
