@@ -164,9 +164,14 @@ object BloomIndex {
       if (numBits > 0) numBits
       else math.min(1L << 23, math.max(1L << 14, java.lang.Long.highestOneBit(items * 8) << 1))
     val files = SnapshotStore.dataFiles(spark, m)
-    val reader =
-      if (m.mixedSchema) spark.read.option("mergeSchema", "true") else spark.read
-    val raw = reader.parquet(files: _*)
+    // evolution-aware read: each generation binds its own PHYSICAL
+    // spelling and widened generations upcast under the declared
+    // schema — a footer-bound read after a rename nulls the old
+    // generation's values, and filters built from nulls wrongly
+    // exclude old files from lookups they should answer (a bloom
+    // false NEGATIVE is a wrong answer, not a slow one)
+    val fileCol = "__graft_bloom_src_file"
+    val raw = SnapshotStore.readFilesRaw(spark, m, files, fileNameCol = Some(fileCol))
     val out = s"$table/_bloom/b_${java.util.UUID.randomUUID.toString.take(8)}"
     cols.map { c =>
       val hashed = XxHash64(Seq(Bridge.expression(raw(c))), Seed)
@@ -176,7 +181,7 @@ object BloomIndex {
       raw
         // file identity = last two path segments (dirName/fileName) —
         // mirror-stable, matches SnapshotStore.relFileKey
-        .select(regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1)
+        .select(regexp_extract(col(fileCol), "([^/]+/[^/]+)$", 1)
           .alias("file"), raw(c))
         .groupBy(col("file"))
         .agg(agg.alias("bloom"))

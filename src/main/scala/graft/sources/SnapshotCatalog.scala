@@ -266,7 +266,7 @@ final class SnapshotCatalog extends TableCatalog
       case other => throw new UnsupportedOperationException(
         s"snapshot tables support ALTER TABLE ... ADD COLUMNS (top-level nullable, " +
           s"no position/default), RENAME COLUMN, DROP COLUMN, and ALTER COLUMN ... " +
-          s"TYPE widening (int -> bigint, float -> double) of top-level columns — " +
+          s"TYPE widening (byte/short -> int, byte/short/int -> bigint, float -> double) of top-level columns — " +
           s"anything else needs a full rewrite (REPLACE TABLE ... AS SELECT); got $other")
     }
     val head = SnapshotStore.currentVersion(spark, root)

@@ -1055,21 +1055,42 @@ private[sources] object SnapshotScan {
       m: SnapshotStore.Manifest,
       filters: Array[Filter]): Set[String] = {
     if (m.bloomFile.isEmpty) return Set.empty
-    // a WIDENED column's index was built from the narrow-typed values
-    // and xxhash64 hashes int and long DIFFERENTLY — probing it with
-    // the wide literal would be a false NEGATIVE (wrongly pruned
-    // file), so widened columns never bloom-prune until a rewrite
-    // rebuilds the index from the wide values
+    // a WIDENED column's index may have been built from EITHER
+    // generation's typed values — a pre-widen build hashed the narrow
+    // boxing, a post-widen rebuild (evolution-aware since round 14)
+    // hashes the wide one, and xxhash64 hashes int and long (float and
+    // double) DIFFERENTLY. Probing with BOTH spellings is sound for
+    // every (build era, file) combination: whichever type the build
+    // hashed, one of the two probe hashes reproduces it exactly, and a
+    // narrow-unrepresentable value cannot live in a narrow-era file at
+    // all, so any verdict on such a file is safe. byte/short→int
+    // widenings need no second hash — Catalyst hashes byte, short and
+    // int identically. Cost: one extra mightContain per filter; a
+    // false POSITIVE opens one extra file, never returns a wrong row.
     val widened = m.widens.map(_._1).toSet
     val probes: Seq[(String, Seq[Any])] = filters.toSeq.collect {
-      case EqualTo(c, v) if !widened(c)            => (c, Seq(v))
-      case In(c, vs) if vs.nonEmpty && !widened(c) => (c, vs.toSeq)
+      case EqualTo(c, v)            => (c, Seq(v))
+      case In(c, vs) if vs.nonEmpty => (c, vs.toSeq)
     }
     if (probes.isEmpty) return Set.empty
+    def probeHashes(c: String, v: Any): Seq[Long] = {
+      val wide = graft.ops.BloomIndex.probeHash(v)
+      if (!widened(c)) Seq(wide)
+      else v match {
+        case l: java.lang.Long
+            if l.longValue >= Int.MinValue && l.longValue <= Int.MaxValue =>
+          Seq(wide, graft.ops.BloomIndex.probeHash(Integer.valueOf(l.intValue)))
+        case d: java.lang.Double
+            if java.lang.Double.isNaN(d.doubleValue) ||
+              d.floatValue.toDouble == d.doubleValue =>
+          Seq(wide, graft.ops.BloomIndex.probeHash(java.lang.Float.valueOf(d.floatValue)))
+        case _ => Seq(wide)
+      }
+    }
     val hashedByCol: Map[String, Seq[Long]] = probes
       .groupBy(_._1)
       .map { case (c, ps) =>
-        c -> ps.flatMap(_._2).distinct.map(graft.ops.BloomIndex.probeHash)
+        c -> ps.flatMap(_._2).distinct.flatMap(v => probeHashes(c, v)).distinct
       }
     val driverBytesMax =
       spark.conf.get("spark.graft.bloom.driverBytesMax", (32L << 20).toString).toLong

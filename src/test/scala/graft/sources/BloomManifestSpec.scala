@@ -166,6 +166,33 @@ class BloomManifestSpec extends SparkSuite {
       "probing the second column reads only its own shard")
   }
 
+  test("bloom built AFTER a rename hashes LOGICAL values; old-generation files never wrongly pruned") {
+    val t = fresh("bloomren")
+    // gen A: the key column's physical spelling is k0
+    SnapshotStore.commit(
+      spark.range(0, 4000).select(col("id").as("k0"),
+        concat(lit("p"), (col("id") % 7).cast("string")).as("tag")).repartition(4), t)
+    SnapshotStore.renameColumnCommit(spark, t, "k0", "k")
+    // gen B: appended under the new spelling
+    SnapshotStore.appendCommit(
+      spark.range(900000L, 900100L).select(col("id").as("k"), lit("new").as("tag")).coalesce(1), t)
+    // the rebuild must bind each generation's PHYSICAL spelling — a
+    // footer-bound read nulls gen A's values and builds filters that
+    // wrongly exclude its files from lookups they should answer
+    BloomIndex.bloomCommit(spark, t, Seq("k"))
+    def lookup(k: Long) = spark.read.format("graft-snapshot").option("path", t).load()
+      .filter(col("k") === k)
+    // values living ONLY in old-generation files must survive the index
+    assert(lookup(123L).count() === 1L)
+    assert(lookup(3999L).count() === 1L)
+    // new-generation value: exact too
+    assert(lookup(900050L).count() === 1L)
+    // absent key still prunes every file — the index is live, not disabled
+    val (kept0, total0) = filesRead(lookup(77777777L))
+    assert(total0 === 5 && kept0 === 0,
+      s"absent key should prune every file, kept $kept0/$total0")
+  }
+
   test("a column shard above the driver byte budget probes DISTRIBUTED, same pruning") {
     val t = fresh("bloomdist")
     commitShuffled(t, 20000L, 8)

@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** `ALTER TABLE ... ALTER COLUMN ... TYPE` widening via metadata-only
-  * commits (int → bigint, float → double): old files keep their narrow
+  * commits (byte/short → int, byte/short/int → bigint, float → double):
+  * old files keep their narrow
   * physical type, new files carry the wide one, and every reader path
   * hands files the wide read schema (Spark's parquet readers upcast
   * INT32→long / FLOAT→double natively). The widen commit pins the
@@ -73,24 +74,74 @@ class WidenColumnSpec extends SparkSuite {
     assert(dsv2.collect().map(_.getDouble(0)).toSeq === Seq(1.25d, 3.25d))
   }
 
-  test("bloom index on a widened column never false-negative-prunes") {
+  private def filesRead(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+    val d = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.description()
+    }.getOrElse(fail("no BatchScanExec in plan"))
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(d).getOrElse(
+      fail(s"no files= in scan description: $d"))
+    (m.group(1).toInt, m.group(2).toInt)
+  }
+
+  test("bloom index on a widened column: dual-hash probes keep pruning, never false-negative") {
     val root = Files.createTempDirectory("widen-bloom").toString
     val t = s"$root/ns/b"
+    // keys SHUFFLED across files so min/max stats provably can't prune
     SnapshotStore.commit(
-      spark.range(0, 2000).select(col("id").cast("int").alias("k"),
+      spark.range(0, 2000).select((col("id") * 997 % 2000).cast("int").alias("k"),
         col("id").alias("payload")).repartition(4), t)
     graft.ops.BloomIndex.bloomCommit(spark, t, Seq("k"))
     val cat = catalog(root)
     // pre-widen sanity: the index prunes
-    val pre = spark.sql(s"SELECT payload FROM $cat.ns.b WHERE k = 7")
-    assert(pre.head().getLong(0) === 7L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.b WHERE k = 7").head().getLong(0) === 1L)
     spark.sql(s"ALTER TABLE $cat.ns.b ALTER COLUMN k TYPE BIGINT")
-    // post-widen: the narrow-hashed index MUST NOT prune (int and long
-    // hash differently) — the lookup still returns the row
-    val post = spark.sql(s"SELECT payload FROM $cat.ns.b WHERE k = 7")
-    assert(post.head().getLong(0) === 7L)
+    // post-widen, PRE-rebuild: the narrow-hashed index still prunes —
+    // the probe carries BOTH the int and the long hash, so whichever
+    // the build used, present values survive and absent values prune
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.b WHERE k = 7").head().getLong(0) === 1L)
     assert(spark.sql(s"SELECT count(*) FROM $cat.ns.b WHERE k IN (3, 1999)")
       .head().getLong(0) === 2L)
+    val absent = spark.table(s"$cat.ns.b").filter(col("k") === 999999999L)
+    val (kept0, total0) = filesRead(absent)
+    assert(total0 === 4 && kept0 === 0,
+      s"narrow-era index must still prune an absent key post-widen, kept $kept0/$total0")
+    // post-widen REBUILD (evolution-aware read hashes the WIDE values):
+    // pruning and answers stay exact
+    graft.ops.BloomIndex.bloomCommit(spark, t, Seq("k"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.b WHERE k = 7").head().getLong(0) === 1L)
+    val (kept1, total1) = filesRead(
+      spark.table(s"$cat.ns.b").filter(col("k") === 999999999L))
+    assert(total1 === 4 && kept1 === 0,
+      s"wide-era rebuild must prune an absent key, kept $kept1/$total1")
+  }
+
+  test("widen byte->int and short->bigint: generations read exactly; byte->smallint refuses") {
+    val root = Files.createTempDirectory("widen-bs").toString
+    val t = s"$root/ns/bs"
+    SnapshotStore.commit(
+      Seq((1.toByte, 100.toShort, "a"), (2.toByte, 200.toShort, "b")).toDF("b", "s", "tag"), t)
+    val cat = catalog(root)
+    spark.sql(s"ALTER TABLE $cat.ns.bs ALTER COLUMN b TYPE INT")
+    spark.sql(s"ALTER TABLE $cat.ns.bs ALTER COLUMN s TYPE BIGINT")
+    // a wide-generation insert past both narrow ranges
+    spark.sql(s"INSERT INTO $cat.ns.bs VALUES (300000, CAST(4000000000 AS BIGINT), 'c')")
+    val eng = SnapshotStore.read(spark, t)
+    assert(eng.schema("b").dataType === IntegerType)
+    assert(eng.schema("s").dataType === LongType)
+    assert(eng.orderBy("b").select("b").as[Int].collect().toSeq === Seq(1, 2, 300000))
+    assert(spark.sql(s"SELECT CAST(sum(s) AS BIGINT) FROM $cat.ns.bs").head().getLong(0)
+      === 4000000300L)
+    assert(spark.sql(s"SELECT tag FROM $cat.ns.bs WHERE b = 2").head().getString(0) === "b")
+    assert(spark.sql(s"SELECT tag FROM $cat.ns.bs WHERE s = 4000000000").head().getString(0)
+      === "c")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.bs WHERE s > 150").head().getLong(0) === 2L)
+    // SHORT target refuses — the connector row reader has no short decode
+    val t2 = s"$root/ns/bs2"
+    SnapshotStore.commit(Seq((1.toByte, "x")).toDF("b", "tag"), t2)
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ns.bs2 ALTER COLUMN b TYPE SMALLINT") }
+    assert(e.getMessage.contains("full rewrite"), e.getMessage)
   }
 
   test("rename-after-widen keeps the widening; compaction materializes both away") {
