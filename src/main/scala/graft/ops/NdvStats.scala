@@ -48,9 +48,13 @@ object NdvStats {
       throw new IllegalStateException(s"no committed snapshot under $table"))
     val m = SnapshotStore.manifest(spark, table, cur)
     val files = SnapshotStore.dataFiles(spark, m)
-    val reader =
-      if (m.mixedSchema) spark.read.option("mergeSchema", "true") else spark.read
-    val raw = reader.parquet(files: _*)
+    // evolution-aware read (round 14): each generation binds its own
+    // physical spelling and widened generations upcast under the
+    // declared schema — a footer-bound read after a rename sketched
+    // old-generation files as all-null (CBO under-estimates), and
+    // after a widen the footer merge refused INT32 vs INT64
+    val fileCol = "__graft_ndv_src_file"
+    val raw = SnapshotStore.readFilesRaw(spark, m, files, fileNameCol = Some(fileCol))
     cols.foreach(c => require(raw.schema.fieldNames.contains(c),
       s"analyze column '$c' is not in the table schema"))
     val out = s"$table/_ndv/n_${java.util.UUID.randomUUID.toString.take(8)}"
@@ -70,7 +74,7 @@ object NdvStats {
         // (SnapshotStore.relFileKey) — partition-routed files keep
         // their immediate parent dir in the key like every other
         // file-keyed surface
-        .select(regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1).alias("file"),
+        .select(regexp_extract(col(fileCol), "([^/]+/[^/]+)$", 1).alias("file"),
           raw(c))
         .groupBy(col("file"))
         // nulls ride along exactly (CBO's join estimation requires a

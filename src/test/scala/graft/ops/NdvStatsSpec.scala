@@ -36,6 +36,23 @@ class NdvStatsSpec extends SparkSuite {
       "tiny cardinalities estimate exactly, null counts exact")
   }
 
+  test("analyze after RENAME binds each generation's physical spelling") {
+    val table = fresh("ndv-ren")
+    SnapshotStore.commit(
+      spark.range(0, 1000).select(col("id").as("k0")).repartition(2), table)
+    SnapshotStore.renameColumnCommit(spark, table, "k0", "k")
+    SnapshotStore.appendCommit(
+      spark.range(1000, 2000).select(col("id").as("k")).coalesce(1), table)
+    // a footer-bound read would sketch the old generation as all-null
+    // (half the NDV lost) or refuse the logical name outright
+    val v = NdvStats.analyzeCommit(spark, table, Seq("k"))
+    val m = SnapshotStore.manifest(spark, table, v)
+    val est = NdvStats.estimates(spark, m.ndvFile, SnapshotStore.dataFiles(spark, m))
+    assert(math.abs(est("k")._1 - 2000L).toDouble / 2000 < 0.10,
+      s"cross-generation NDV must see BOTH physical spellings: ${est("k")}")
+    assert(est("k")._2 === 0L, "no real nulls — old-generation rows must not sketch as null")
+  }
+
   test("the scan reports distinctCount to the optimizer; estimates track pruning") {
     val table = fresh("ndv-scan")
     val orders = graft.sources.Tables.orders(spark, sf())
