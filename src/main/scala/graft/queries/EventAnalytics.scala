@@ -680,6 +680,45 @@ object EventAnalytics {
           GROUP BY 1 ORDER BY 1""")
   }
 
+  /** DT35: GROUP BY AGGREGATE PUSHDOWN over identity partitions — the
+    * dashboard rollup (`GROUP BY l_linenumber` with COUNT/MIN/MAX)
+    * answers from partition DIRECTORY NAMES plus one stats-sidecar
+    * read: zero data pages, zero footer opens, O(files) driver
+    * arithmetic. At 100 TB this is the difference between a rollup
+    * scanning the fact table and reading ~KBs of metadata. The fixture
+    * pins the plan (FOOTER AGGREGATE description + footer counter);
+    * anything unprovable (filters, strings, unrouted files, DVs)
+    * declines to the ordinary distributed plan — pinned by
+    * `GroupByPushdownSpec`. Oracle replays the rollup over raw
+    * lineitem. */
+  val dtGroupbyRollup: Q = (s, d) => {
+    val wh = Fixtures.dir("gbroll", d) { root =>
+      val t = s"$root/facts/lineitem"
+      graft.store.SnapshotStore.partitionedCommit(Tables.lineitem(s, d), t,
+        Seq(graft.store.PartitionSpec.PartField("identity", "l_linenumber")))
+      val read = s.read.format("graft-snapshot").option("path", t).load()
+      val q = read.groupBy("l_linenumber")
+        .agg(count(lit(1)), min("l_quantity"), max("l_quantity"), max("l_orderkey"))
+      val desc = q.queryExecution.sparkPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.description()
+      }.getOrElse("")
+      require(desc.contains("FOOTER AGGREGATE [group by l_linenumber"),
+        s"dt_groupby_rollup: the rollup must plan metadata-only, got: $desc")
+      val footers0 = graft.sources.SnapshotScanProbe.plannerFooterReads
+      q.collect()
+      require(graft.sources.SnapshotScanProbe.plannerFooterReads == footers0,
+        "dt_groupby_rollup: the grouped rollup must not open data-file footers")
+    }
+    s.read.format("graft-snapshot").option("path", s"$wh/facts/lineitem").load()
+      .groupBy("l_linenumber")
+      .agg(count(lit(1)).as("n"),
+        round(min("l_quantity"), 2).as("min_qty"),
+        round(max("l_quantity"), 2).as("max_qty"),
+        max("l_orderkey").as("max_key"))
+      .orderBy("l_linenumber")
+  }
+
   /** DT27: PARTITION-ALIGNED RETENTION DELETE — on a month-partitioned
     * snapshot table, `DELETE WHERE o_orderdate < X` (X on a month
     * boundary) classifies every file all-match/none-match and commits
@@ -1050,6 +1089,14 @@ object EventAnalytics {
          FROM orders
          WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
          GROUP BY 1 ORDER BY 1""",
+    "dt_groupby_rollup" ->
+      """SELECT l_linenumber,
+                CAST(count(*) AS BIGINT) AS n,
+                round(min(l_quantity), 2) AS min_qty,
+                round(max(l_quantity), 2) AS max_qty,
+                CAST(max(l_orderkey) AS BIGINT) AS max_key
+         FROM lineitem
+         GROUP BY l_linenumber ORDER BY l_linenumber""",
     "dt_partition_delete" ->
       """SELECT o_orderstatus,
                 CAST(count(*) AS BIGINT) AS n_rows,
@@ -1483,6 +1530,7 @@ object EventAnalytics {
     "dt_append" -> dtAppend,
     "dt_delete_files" -> dtDeleteFiles,
     "dt_partition_prune" -> dtPartitionPrune,
+    "dt_groupby_rollup" -> dtGroupbyRollup,
     "dt_branch_wap" -> dtBranchWap,
     "dt_ndv_cbo" -> dtNdvCbo,
     "dt_hist_cbo" -> dtHistCbo,

@@ -360,7 +360,7 @@ private[sources] final class SnapshotScanBuilder(
   private var required: StructType = schema
   private var skippable: Array[Filter] = Array.empty
   private var sawFilters = false
-  private var aggResult: Option[(StructType, Seq[Any], String)] = None
+  private var aggResult: Option[(StructType, Seq[Seq[Any]], String)] = None
 
   /** Accept the stats-skippable comparisons for file pruning; EVERY
     * filter is returned as a residual so Spark re-applies it row-level
@@ -389,10 +389,13 @@ private[sources] final class SnapshotScanBuilder(
   /** COUNT(*) / MIN / MAX answered from parquet FOOTERS — a metadata-
     * only aggregate: no data page is ever read. Complete pushdown only,
     * and only when it is provably exact: no residual filters, no
-    * deletion vectors, no GROUP BY, numeric columns whose every row
-    * group carries stats (string stats can be writer-truncated), and no
-    * NaN in any float/double bound (a NaN bound means the column holds
-    * NaN, whose Spark ordering footer stats can't reproduce). */
+    * deletion vectors, numeric columns whose every row group carries
+    * stats (string stats can be writer-truncated), and no NaN in any
+    * float/double bound (a NaN bound means the column holds NaN, whose
+    * Spark ordering footer stats can't reproduce). GROUP BY pushes down
+    * too when every group column is an identity partition source and
+    * every file is routed — the rollup folds from directory names plus
+    * the stats sidecar ([[computeGroupedAgg]]). */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     tryComputeAgg(agg).isDefined
@@ -408,23 +411,25 @@ private[sources] final class SnapshotScanBuilder(
   // once, not twice, per pushed aggregate
   private var aggMemo: Option[
     (org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
-      Option[(StructType, Seq[Any], String)])] = None
+      Option[(StructType, Seq[Seq[Any]], String)])] = None
 
   private def tryComputeAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Seq[Any], String)] = {
+      : Option[(StructType, Seq[Seq[Any]], String)] = {
     aggMemo match {
       case Some((prev, res)) if prev == agg => return res
       case _ => ()
     }
-    val res = computeAgg(agg)
+    val res =
+      if (agg.groupByExpressions.isEmpty) computeAgg(agg)
+      else computeGroupedAgg(agg)
     aggMemo = Some((agg, res))
     res
   }
 
   private def computeAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Seq[Any], String)] = {
+      : Option[(StructType, Seq[Seq[Any]], String)] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
     // changeFeed scans must stay streamable (SnapshotAggScan has no
@@ -478,12 +483,168 @@ private[sources] final class SnapshotScanBuilder(
               case v           => v
             }.orNull
         }
-        (StructType(fields), values,
+        (StructType(fields), Seq(values),
           specs.map { case Left(_) => "count(*)"
                       case Right((c, m2)) => s"${if (m2) "min" else "max"}($c)" }.mkString(","))
       }
     }
   }
+
+  /** GROUP BY rollup answered from PARTITION DIRECTORY NAMES + the
+    * stats sidecar — zero data pages, zero footer opens. Sound only
+    * when the metadata carries the whole answer exactly:
+    *  - every group column is an IDENTITY partition source in the spec
+    *    generation that wrote each file, and every file's directory
+    *    value parses — one unrouted file (compaction rewrite, foreign
+    *    writer, pre-evolution generation) declines the pushdown;
+    *  - group columns are integral/date/boolean — a STRING identity
+    *    partition declines, because `df.write.partitionBy` routes both
+    *    null and `''` to the hive default directory, so the path proves
+    *    "null or empty", not a groupable value;
+    *  - no residual filters, DVs, renames, or widenings (same decline
+    *    set as the global fold), and the sidecar covers every file so
+    *    per-group COUNT/MIN/MAX fold from one small-file read.
+    * At the 100 TB day-appended shape this answers the classic
+    * dashboard rollup (`GROUP BY site_id` / `GROUP BY event_date`) in
+    * O(files) driver arithmetic instead of a full table scan. */
+  private def computeGroupedAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Seq[Any]], String)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (changeFeed || rowLevel || sawFilters || m.deletes.nonEmpty ||
+        m.renames.nonEmpty || m.widens.nonEmpty ||
+        m.partSpec.isEmpty || m.statsFile.isEmpty) return None
+    val spark = SparkSession.active
+    // group columns: single references over groupable types
+    val groupCols: Seq[String] = agg.groupByExpressions.toSeq.map {
+      case f: NamedReference if f.fieldNames.length == 1 => f.fieldNames.head
+      case _                                             => return None
+    }
+    if (groupCols.distinct.size != groupCols.size) return None
+    val groupFields: Seq[StructField] =
+      groupCols.map(c => schema.find(_.name == c).getOrElse(return None))
+    if (!groupFields.forall(_.dataType match {
+      case IntegerType | LongType | ShortType | ByteType | DateType | BooleanType => true
+      case _ => false // strings: hive default dir = "null or ''" — unprovable
+    })) return None
+    // aggregate list: same shapes as the global fold
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
+        case _                                             => None
+      }
+    def aggregatable(n: String): Boolean = schema.find(_.name == n).map(_.dataType).exists {
+      case LongType | IntegerType | DoubleType | FloatType | StringType => true
+      case _                                                            => false
+    }
+    val specs: Seq[Either[Unit, (String, Boolean)]] = // Left=count, Right=(col, isMin)
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Left(())
+        case mn: Min      => Right((colOf(mn.column).filter(aggregatable)
+                                     .getOrElse(return None), true))
+        case mx: Max      => Right((colOf(mx.column).filter(aggregatable)
+                                     .getOrElse(return None), false))
+        case _            => return None
+      }
+    val measureCols = specs.collect { case Right((c, _)) => c }.distinct
+    // sidecar must cover every file (COUNT needs per-file rows even
+    // with no min/max measures)
+    val sc =
+      try graft.store.FileStats.read(spark, m.statsFile)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    val files = SnapshotStore.dataFiles(spark, m)
+    if (!files.forall(sc.entries.contains)) return None
+    // per-file group key from the directory names, under the spec
+    // generation that wrote the file (generation-tagged dir names make
+    // the match unambiguous across partition-spec evolution)
+    val gens: Seq[(Seq[graft.store.PartitionSpec.PartField], Int)] =
+      (m.partSpec, m.partGen) +: m.partHist.map { case (g, sp) => (sp, g) }
+    def keyPart(path: String, c: String, dt: DataType): Option[Any] = {
+      val segs = path.split('/')
+      gens.view.flatMap { case (sp, g) =>
+        sp.zipWithIndex.collect {
+          case (f, i) if f.transform == "identity" && f.col == c =>
+            graft.store.PartitionSpec.dirColName(g, i) + "="
+        }.flatMap(pre => segs.find(_.startsWith(pre)).map(_.stripPrefix(pre)))
+      }.headOption.flatMap { raw =>
+        if (raw == graft.store.PartitionSpec.NullDir) Some(NullKey)
+        else if (raw.isEmpty) None // foreign/corrupt — can't prove
+        else {
+          val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(raw)
+          try Some(dt match {
+            case IntegerType => java.lang.Integer.valueOf(v.toInt)
+            case LongType    => java.lang.Long.valueOf(v.toLong)
+            case ShortType   => java.lang.Short.valueOf(v.toShort)
+            case ByteType    => java.lang.Byte.valueOf(v.toByte)
+            case DateType    => java.lang.Integer.valueOf(
+              java.time.LocalDate.parse(v).toEpochDay.toInt)
+            case BooleanType => java.lang.Boolean.valueOf(v.toBoolean)
+            case other       => throw new IllegalStateException(other.toString)
+          }) catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }
+    }
+    // fold: group key → (rows, per-measure (min, max))
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[Any], (Long, scala.collection.mutable.Map[String, (Any, Any)])]
+    files.foreach { f =>
+      val key: Seq[Any] =
+        groupFields.map(gf => keyPart(f, gf.name, gf.dataType).getOrElse(return None))
+      val (rows0, acc) =
+        groups.getOrElseUpdate(key, (0L, scala.collection.mutable.Map.empty))
+      var rows = rows0
+      sc.entries(f).groups.foreach { g =>
+        rows += g.rows
+        measureCols.foreach { c =>
+          if (!g.allNull.contains(c)) {
+            g.stats.get(c) match {
+              case None => return None // no provable bound → decline
+              case Some((mn, _)) if mn.isInstanceOf[String] && !sc.exact =>
+                return None // possibly truncated string stats
+              case Some(v) =>
+                acc.get(c) match {
+                  case None => acc(c) = v
+                  case Some((curMn, curMx)) =>
+                    val newMn = if (SnapshotScan.cmpAny(v._1, curMn).exists(_ < 0)) v._1 else curMn
+                    val newMx = if (SnapshotScan.cmpAny(v._2, curMx).exists(_ > 0)) v._2 else curMx
+                    acc(c) = (newMn, newMx)
+                }
+            }
+          }
+        }
+      }
+      groups(key) = (rows, acc)
+    }
+    val outFields =
+      groupFields.map(gf => StructField(gf.name, gf.dataType)) ++
+        specs.zipWithIndex.map {
+          case (Left(()), i) => StructField(s"agg_$i", LongType, nullable = false)
+          case (Right((c, _)), i) =>
+            StructField(s"agg_$i", schema.find(_.name == c).get.dataType)
+        }
+    val rowsOut: Seq[Seq[Any]] = groups.toSeq.collect {
+      case (key, (n, acc)) if n > 0 =>
+        key.map { case NullKey => null; case v => v } ++ specs.map {
+          case Left(())        => n: Any
+          case Right((c, mn2)) =>
+            acc.get(c).map(b => if (mn2) b._1 else b._2).map {
+              case str: String => UTF8String.fromString(str)
+              case v           => v
+            }.orNull
+        }
+    }
+    val desc = s"group by ${groupCols.mkString(",")}: " +
+      specs.map { case Left(_) => "count(*)"
+                  case Right((c, m2)) => s"${if (m2) "min" else "max"}($c)" }.mkString(",")
+    Some((StructType(outFields), rowsOut, desc))
+  }
+
+  /** Sentinel for a null group key inside map keys (Seq[Any] with real
+    * nulls hash fine, but the sentinel keeps intent explicit and
+    * distinguishes "parsed null" from "unparsed"). */
+  private object NullKey
 
   override def build(): Scan = aggResult match {
     case Some((aggSchema, values, desc)) => new SnapshotAggScan(m, aggSchema, values, desc)
@@ -496,29 +657,31 @@ private[sources] final class SnapshotScanBuilder(
   }
 }
 
-/** Result of a fully pushed footer aggregate: ONE row, zero data IO. */
+/** Result of a fully pushed footer/metadata aggregate: ONE row for the
+  * global fold, one row per group for the partition-directory rollup —
+  * zero data IO either way. */
 private[sources] final class SnapshotAggScan(
-    m: SnapshotStore.Manifest, aggSchema: StructType, values: Seq[Any], aggDesc: String)
+    m: SnapshotStore.Manifest, aggSchema: StructType, rows: Seq[Seq[Any]], aggDesc: String)
     extends Scan with Batch {
   override def readSchema(): StructType = aggSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-snapshot ${SnapshotScan.dataLabel(m)} (FOOTER AGGREGATE [$aggDesc] — metadata-only, no data pages)"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(SnapshotAggPartition(values))
+    Array(SnapshotAggPartition(rows))
   override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] =
       new PartitionReader[InternalRow] {
-        private var emitted = false
-        override def next(): Boolean = { val r = !emitted; emitted = true; r }
-        override def get(): InternalRow =
-          new GenericInternalRow(p.asInstanceOf[SnapshotAggPartition].values.toArray)
+        private val it = p.asInstanceOf[SnapshotAggPartition].rows.iterator
+        private var cur: Seq[Any] = null
+        override def next(): Boolean = { val r = it.hasNext; if (r) cur = it.next(); r }
+        override def get(): InternalRow = new GenericInternalRow(cur.toArray)
         override def close(): Unit = ()
       }
   }
 }
 
-private[sources] final case class SnapshotAggPartition(values: Seq[Any]) extends InputPartition
+private[sources] final case class SnapshotAggPartition(rows: Seq[Seq[Any]]) extends InputPartition
 
 private[sources] object SnapshotScan {
   /** Name of the file-path metadata column. */
