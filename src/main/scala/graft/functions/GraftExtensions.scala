@@ -26,6 +26,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(session => new graft.plans.AggMvRewriteRule(session))
     // whole-operator extensions: the native AS-OF and interval joins
     // (logical node → strategy → sort-merge physical operator)
+    // persisted snapshot-catalog views: Spark 4.1.2 ships the DSv2
+    // ViewCatalog SPI with no analyzer/DDL consumption — the parser
+    // hook executes the view DDL, the resolution rule substitutes
+    // stored views into queries (see graft.plans.GraftViews)
+    ext.injectParser((session, delegate) => new graft.plans.GraftViewParser(session, delegate))
+    ext.injectResolutionRule(session => new graft.plans.GraftViewSubstitution(session))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)

@@ -1,0 +1,278 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedSubqueryColumnAliases, UnresolvedView}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
+import org.apache.spark.sql.{Row, types}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+
+import graft.sources.{SnapshotCatalog, SnapshotViews}
+
+/** PERSISTED-VIEW execution for the snapshot catalog.
+  *
+  * Spark 4.1.2 ships the DSv2 `ViewCatalog` SPI but nothing in the
+  * stock analyzer consumes it — no `loadView` caller exists anywhere
+  * in the release jars, and `ResolveSessionCatalog` refuses every view
+  * DDL aimed at a non-session catalog (`MISSING_CATALOG_ABILITY`).
+  * This file supplies the missing half as ordinary session extensions,
+  * exactly the customization layer Spark provides for engine gaps:
+  *
+  *  - [[GraftViewParser]] (injectParser): after delegating the real
+  *    parse, view DDL whose identifier lands in a [[SnapshotCatalog]]
+  *    (`CREATE [OR REPLACE] VIEW`, `DROP VIEW`, `SHOW VIEWS`,
+  *    `ALTER VIEW ... SET/UNSET TBLPROPERTIES`) is rewritten to the
+  *    runnable commands below BEFORE analysis, so
+  *    `ResolveSessionCatalog` never sees it. Everything else — session
+  *    temp views included — passes through untouched.
+  *  - [[GraftViewSubstitution]] (injectResolutionRule): an
+  *    `UnresolvedRelation` that names a stored view re-parses the
+  *    view's SQL in place (`SubqueryAlias` over the defining query,
+  *    column aliases applied positionally) — the fixed-point analyzer
+  *    then resolves nested views naturally. Resolution context is the
+  *    READER's (views in the corpus qualify their table references);
+  *    a cyclic view fails analysis loudly at max-iterations.
+  *
+  * The storage/API half lives in [[graft.sources.SnapshotViews]] and
+  * `SnapshotCatalog`'s ViewCatalog methods; these commands go through
+  * that public API, so a future Spark release that ships native V2
+  * view execution can drop this file without touching storage. */
+object GraftViews {
+
+  /** The graft catalog + identifier `parts` names, if any: an explicit
+    * leading catalog name wins; otherwise the session's CURRENT
+    * catalog (when it is a SnapshotCatalog) hosts the relative name. */
+  def graftIdent(
+      session: SparkSession, parts: Seq[String]): Option[(SnapshotCatalog, Identifier)] = {
+    if (parts.isEmpty) return None
+    val cm = session.sessionState.catalogManager
+    def catOf(name: String): Option[SnapshotCatalog] =
+      // isCatalogRegistered first: most relation heads are namespaces,
+      // not catalogs — don't pay a thrown CatalogNotFoundException per
+      // UnresolvedRelation per analyzer iteration
+      if (!cm.isCatalogRegistered(name)) None
+      else try cm.catalog(name) match {
+        case c: SnapshotCatalog => Some(c)
+        case _                  => None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val explicit =
+      if (parts.length >= 2)
+        catOf(parts.head).map(c => (c, Identifier.of(parts.tail.init.toArray, parts.last)))
+      else None
+    explicit.orElse {
+      cm.currentCatalog match {
+        case c: SnapshotCatalog =>
+          val ns = if (parts.length >= 2) parts.init.toArray else cm.currentNamespace
+          Some((c, Identifier.of(ns, parts.last)))
+        case _ => None
+      }
+    }
+  }
+
+  private def partsOf(child: LogicalPlan): Option[Seq[String]] = child match {
+    case UnresolvedIdentifier(parts, _) => Some(parts)
+    case v: UnresolvedView              => Some(v.multipartIdentifier)
+    case _                              => None
+  }
+
+  /** Rewrite a parsed view-DDL plan into graft commands when (and only
+    * when) its identifier lands in a SnapshotCatalog. */
+  def intercept(session: SparkSession, plan: LogicalPlan): LogicalPlan = plan match {
+    case cv: CreateView =>
+      (for {
+        parts <- partsOf(cv.child)
+        (cat, id) <- graftIdent(session, parts)
+      } yield CreateGraftViewCommand(
+        cat, id,
+        sql = cv.originalText.getOrElse(throw new IllegalArgumentException(
+          s"CREATE VIEW ${parts.mkString(".")}: no original SQL text captured")),
+        userColumns = cv.userSpecifiedColumns,
+        comment = cv.comment,
+        properties = cv.properties,
+        query = cv.query,
+        allowExisting = cv.allowExisting,
+        replace = cv.replace): LogicalPlan).getOrElse(plan)
+    case dv: DropView =>
+      (for {
+        parts <- partsOf(dv.child)
+        (cat, id) <- graftIdent(session, parts)
+      } yield DropGraftViewCommand(cat, id, dv.ifExists): LogicalPlan).getOrElse(plan)
+    case sv: ShowViews =>
+      sv.namespace match {
+        case UnresolvedNamespace(parts, _) =>
+          val resolved: Option[(SnapshotCatalog, Seq[String])] = parts match {
+            case head +: rest if isGraftCatalogName(session, head) =>
+              Some((session.sessionState.catalogManager.catalog(head)
+                .asInstanceOf[SnapshotCatalog], rest))
+            case other =>
+              session.sessionState.catalogManager.currentCatalog match {
+                case c: SnapshotCatalog => Some((c, other))
+                case _                  => None
+              }
+          }
+          resolved.map { case (cat, ns) =>
+            ShowGraftViewsCommand(cat, ns, sv.pattern): LogicalPlan
+          }.getOrElse(plan)
+        case _ => plan
+      }
+    case sp: SetViewProperties =>
+      (for {
+        parts <- partsOf(sp.child)
+        (cat, id) <- graftIdent(session, parts)
+      } yield AlterGraftViewPropsCommand(cat, id, set = sp.properties,
+        unset = Nil): LogicalPlan).getOrElse(plan)
+    case up: UnsetViewProperties =>
+      (for {
+        parts <- partsOf(up.child)
+        (cat, id) <- graftIdent(session, parts)
+      } yield AlterGraftViewPropsCommand(cat, id, set = Map.empty,
+        unset = up.propertyKeys): LogicalPlan).getOrElse(plan)
+    case _ => plan
+  }
+
+  private def isGraftCatalogName(session: SparkSession, name: String): Boolean = {
+    val cm = session.sessionState.catalogManager
+    cm.isCatalogRegistered(name) &&
+      (try cm.catalog(name).isInstanceOf[SnapshotCatalog]
+       catch { case scala.util.control.NonFatal(_) => false })
+  }
+}
+
+/** Delegating parser that rewrites graft-catalog view DDL after the
+  * real parse ([[GraftViews.intercept]]); every other surface passes
+  * straight through to the stock parser. */
+final class GraftViewParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftViews.intercept(session, delegate.parsePlan(sqlText))
+  // `spark.sql(text[, args])` routes through THIS entry point (with an
+  // empty context for plain SQL): it must reach the real parser — the
+  // interface DEFAULT drops the ParameterContext on the floor, leaving
+  // named/positional parameters unbound — and it must still intercept,
+  // or plain-SQL view DDL sails past into ResolveSessionCatalog's
+  // refusal. A parameterized plan wraps the DDL node, so the top-level
+  // match simply passes it through (view DDL takes no parameters).
+  override def parsePlanWithParameters(
+      sqlText: String,
+      ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
+    GraftViews.intercept(session, delegate.parsePlanWithParameters(sqlText, ctx))
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): types.StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): types.DataType = delegate.parseDataType(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): types.StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+/** Analyzer rule: substitute stored-view names with their defining
+  * query. Runs in the main resolution fixed point, so nested views
+  * resolve transitively. */
+final class GraftViewSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case u: UnresolvedRelation if !u.isStreaming =>
+      GraftViews.graftIdent(session, u.multipartIdentifier).flatMap { case (cat, id) =>
+        SnapshotViews.read(session, warehouseOf(cat), id).map { rec =>
+          val parsed = session.sessionState.sqlParser.parsePlan(rec.sql)
+          val aliased =
+            if (rec.columnAliases != null && rec.columnAliases.nonEmpty)
+              UnresolvedSubqueryColumnAliases(rec.columnAliases.toSeq, parsed)
+            else parsed
+          SubqueryAlias(u.multipartIdentifier.last, aliased): LogicalPlan
+        }
+      }.getOrElse(u)
+  }
+
+  private def warehouseOf(cat: SnapshotCatalog): String = cat.warehousePath
+}
+
+/** `CREATE [OR REPLACE] VIEW <graft-cat>.<ns>.<v> AS <query>`. The
+  * query analyzes HERE (schema + column-count validation against any
+  * user column list) and the record persists through the catalog's
+  * ViewCatalog API — one atomic metadata file. */
+final case class CreateGraftViewCommand(
+    catalog: SnapshotCatalog,
+    ident: Identifier,
+    sql: String,
+    userColumns: Seq[(String, Option[String])],
+    comment: Option[String],
+    properties: Map[String, String],
+    query: LogicalPlan,
+    allowExisting: Boolean,
+    replace: Boolean) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+  override def run(session: SparkSession): Seq[Row] = {
+    if (allowExisting && catalog.viewExists(ident)) return Nil
+    val analyzed = session.sessionState.executePlan(query).analyzed
+    val qSchema = analyzed.schema
+    if (userColumns.nonEmpty && userColumns.length != qSchema.length)
+      throw new IllegalArgumentException(
+        s"CREATE VIEW ${ident.name}: ${userColumns.length} column aliases for a " +
+          s"${qSchema.length}-column query")
+    val aliases = userColumns.map(_._1).toArray
+    val schema =
+      if (aliases.isEmpty) qSchema
+      else types.StructType(qSchema.fields.zip(aliases).map { case (f, a) => f.copy(name = a) })
+    val props = properties ++ comment.map(
+      org.apache.spark.sql.connector.catalog.ViewCatalog.PROP_COMMENT -> _)
+    val cm = session.sessionState.catalogManager
+    val info = new ViewInfo(
+      ident, sql, cm.currentCatalog.name, cm.currentNamespace, schema,
+      qSchema.fieldNames, aliases,
+      userColumns.map(_._2.orNull).toArray, {
+        import scala.jdk.CollectionConverters._
+        props.asJava
+      })
+    if (replace) catalog.replaceView(info, true) else catalog.createView(info)
+    Nil
+  }
+}
+
+final case class DropGraftViewCommand(
+    catalog: SnapshotCatalog, ident: Identifier, ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    if (!catalog.dropView(ident) && !ifExists)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    Nil
+  }
+}
+
+final case class ShowGraftViewsCommand(
+    catalog: SnapshotCatalog, namespace: Seq[String], pattern: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    ShowViews.getOutputAttrs
+  override def run(session: SparkSession): Seq[Row] = {
+    val views = catalog.listViews(namespace: _*)
+    val re = pattern.map(p =>
+      java.util.regex.Pattern.compile(p.replace("*", ".*"), java.util.regex.Pattern.CASE_INSENSITIVE))
+    views.toSeq
+      .filter(v => re.forall(_.matcher(v.name).matches()))
+      .sortBy(_.name)
+      .map(v => Row(namespace.mkString("."), v.name, false))
+  }
+}
+
+final case class AlterGraftViewPropsCommand(
+    catalog: SnapshotCatalog, ident: Identifier,
+    set: Map[String, String], unset: Seq[String]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.connector.catalog.ViewChange
+    val changes: Seq[ViewChange] =
+      set.toSeq.map { case (k, v) => ViewChange.setProperty(k, v) } ++
+        unset.map(ViewChange.removeProperty)
+    catalog.alterView(ident, changes: _*)
+    Nil
+  }
+}

@@ -680,6 +680,73 @@ object EventAnalytics {
           GROUP BY 1 ORDER BY 1""")
   }
 
+  /** DT37: CHECK CONSTRAINTS — ANSI `ALTER TABLE ... ADD CONSTRAINT c
+    * CHECK (...)` on snapshot tables: Spark's own CheckInvariant
+    * enforces SQL writes per-row, the engine write APIs enforce in one
+    * O(delta) pass, and — the 100 TB payoff — a pushed filter that
+    * provably CONTRADICTS a constraint empties the scan before any
+    * file, sidecar, or footer is touched (the fixture pins the
+    * constraint-pruned counter and zero footer opens). Oracle replays
+    * both branches over raw orders. */
+  val dtCheckPrune: Q = (s, d) => {
+    val wh = Fixtures.dir("checkwh", d) { root =>
+      val cat = snapCatalog(s, root)
+      graft.store.SnapshotStore.commit(Tables.orders(s, d), s"$root/facts/orders")
+      s.sql(s"ALTER TABLE $cat.facts.orders ADD CONSTRAINT price_pos CHECK (o_totalprice >= 0)")
+      val read = s.read.format("graft-snapshot").option("path", s"$root/facts/orders").load()
+      val f0 = graft.sources.SnapshotScanProbe.plannerFooterReads
+      graft.sources.SnapshotScanProbe.resetConstraintPrunedFiles()
+      require(read.filter(col("o_totalprice") < 0).count() == 0L,
+        "dt_check_prune: the constraint guarantees no negative prices")
+      require(graft.sources.SnapshotScanProbe.lastConstraintPrunedFiles > 0,
+        "dt_check_prune: the contradicting filter must empty the scan from the constraint alone")
+      require(graft.sources.SnapshotScanProbe.plannerFooterReads == f0,
+        "dt_check_prune: constraint pruning must not open data-file footers")
+    }
+    val read = s.read.format("graft-snapshot").option("path", s"$wh/facts/orders").load()
+    val neg = read.filter(col("o_totalprice") < 0)
+      .agg(count(lit(1)).as("n_rows")).select(lit("neg").as("k"), col("n_rows"))
+    val hi = read.filter(col("o_totalprice") >= 100000.0)
+      .agg(count(lit(1)).as("n_rows")).select(lit("hi").as("k"), col("n_rows"))
+    neg.unionAll(hi).orderBy("k")
+  }
+
+  /** DT36: PERSISTED CATALOG VIEWS — `CREATE VIEW cat.ns.v AS SELECT`
+    * writes ONE atomic metadata file under the warehouse (the DSv2
+    * ViewCatalog SPI + the graft parser/resolution extensions that
+    * supply Spark 4.1.2's missing execution half); a SECOND catalog
+    * instance over the same warehouse — a fresh session's world —
+    * resolves the view by name with no re-registration. The
+    * engine-durable analog of the reference's Athena view layer
+    * (`scripts/sql/create_views.sql`). Oracle replays the view's
+    * defining SQL over raw orders. */
+  val dtViewCatalog: Q = (s, d) => {
+    val wh = Fixtures.dir("viewcat", d) { root =>
+      val cat = snapCatalog(s, root)
+      graft.store.SnapshotStore.commit(Tables.orders(s, d), s"$root/facts/orders")
+      s.sql(
+        s"""CREATE VIEW $cat.facts.prio_rollup AS
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM $cat.facts.orders
+            GROUP BY o_orderpriority""")
+      // durability pin: listing + resolution must come from the FILES,
+      // not a session registry
+      val names = s.sql(s"SHOW VIEWS IN $cat.facts").collect().map(_.getString(1)).toSeq
+      require(names == Seq("prio_rollup"),
+        s"dt_view_catalog: SHOW VIEWS must list the persisted view, got $names")
+    }
+    // a DIFFERENT catalog name over the same warehouse — a fresh
+    // catalog instance with no shared registry, only the persisted
+    // metadata file
+    val cat2 = "gvc2_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(wh.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s.conf.set(s"spark.sql.catalog.$cat2", classOf[graft.sources.SnapshotCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat2.warehouse", wh)
+    s.sql(s"SELECT * FROM $cat2.facts.prio_rollup ORDER BY o_orderpriority")
+  }
+
   /** DT35: GROUP BY AGGREGATE PUSHDOWN over identity partitions — the
     * dashboard rollup (`GROUP BY l_linenumber` with COUNT/MIN/MAX)
     * answers from partition DIRECTORY NAMES plus one stats-sidecar
@@ -1089,6 +1156,17 @@ object EventAnalytics {
          FROM orders
          WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
          GROUP BY 1 ORDER BY 1""",
+    "dt_check_prune" ->
+      """SELECT 'neg' AS k, CAST(count(*) AS BIGINT) AS n_rows FROM orders WHERE o_totalprice < 0
+         UNION ALL
+         SELECT 'hi' AS k, CAST(count(*) AS BIGINT) AS n_rows FROM orders WHERE o_totalprice >= 100000
+         ORDER BY k""",
+    "dt_view_catalog" ->
+      """SELECT o_orderpriority,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "dt_groupby_rollup" ->
       """SELECT l_linenumber,
                 CAST(count(*) AS BIGINT) AS n,
@@ -1531,6 +1609,8 @@ object EventAnalytics {
     "dt_delete_files" -> dtDeleteFiles,
     "dt_partition_prune" -> dtPartitionPrune,
     "dt_groupby_rollup" -> dtGroupbyRollup,
+    "dt_view_catalog" -> dtViewCatalog,
+    "dt_check_prune" -> dtCheckPrune,
     "dt_branch_wap" -> dtBranchWap,
     "dt_ndv_cbo" -> dtNdvCbo,
     "dt_hist_cbo" -> dtHistCbo,

@@ -68,6 +68,54 @@ private[sources] object MetaTables {
           StructField("tag", StringType, nullable = false),
           StructField("version", LongType, nullable = false))),
         rows))
+    case "partitions" =>
+      // per-partition inventory from PURE metadata: directory names
+      // give the partition tuple (under the spec generation that wrote
+      // each file), the stats sidecar gives rows and data bytes — zero
+      // FileStatus calls, zero footer opens. The operational "how big
+      // is each day?" view a 100 TB day-appended fact needs before
+      // retention/compaction decisions.
+      val cur = SnapshotStore.currentVersion(spark, root).get
+      val m = SnapshotStore.manifest(spark, root, cur)
+      val sidecar: Map[String, (Long, Long)] = // file → (rows, bytes)
+        if (m.statsFile.isEmpty) Map.empty
+        else
+          try graft.store.FileStats.read(spark, m.statsFile).entries
+            .map { case (f, e) =>
+              f -> (e.groups.map(_.rows).sum, e.groups.map(_.length).sum)
+            }
+          catch { case scala.util.control.NonFatal(_) => Map.empty }
+      val gens: Seq[(Seq[graft.store.PartitionSpec.PartField], Int)] =
+        (m.partSpec, m.partGen) +: m.partHist.map { case (g, sp) => (sp, g) }
+      def labelOf(path: String): String = {
+        val segs = path.split('/')
+        gens.view.flatMap { case (sp, g) =>
+          if (sp.isEmpty) None
+          else {
+            val vals = sp.zipWithIndex.map { case (f, i) =>
+              val pre = s"${graft.store.PartitionSpec.dirColName(g, i)}="
+              segs.find(_.startsWith(pre)).map(seg =>
+                s"${f.describe}=${seg.stripPrefix(pre)}")
+            }
+            if (vals.forall(_.isDefined)) Some(vals.flatten.mkString("/")) else None
+          }
+        }.headOption.getOrElse(if (m.partSpec.isEmpty) "<table>" else "<unrouted>")
+      }
+      val grouped = SnapshotStore.dataFiles(spark, m)
+        .groupBy(labelOf).toSeq.sortBy(_._1)
+        .map { case (label, fs) =>
+          val known = fs.flatMap(sidecar.get)
+          val rows = if (known.size == fs.size) known.map(_._1).sum else -1L
+          val bytes = if (known.size == fs.size) known.map(_._2).sum else -1L
+          Seq[Any](label, fs.size.toLong, rows, bytes)
+        }
+      Some(new MetaRowsTable(s"$root$$partitions",
+        StructType(Seq(
+          StructField("partition", StringType, nullable = false),
+          StructField("n_files", LongType, nullable = false),
+          StructField("rows", LongType, nullable = false), // -1 = sidecar gap
+          StructField("data_bytes", LongType, nullable = false))),
+        grouped))
     case _ => None
   }
 }

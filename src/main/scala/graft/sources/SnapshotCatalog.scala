@@ -43,7 +43,8 @@ import java.util.{Map => JMap}
 final class SnapshotCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.StagingTableCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -56,6 +57,18 @@ final class SnapshotCatalog extends TableCatalog
   }
 
   override def name(): String = catalogName
+
+  /** The warehouse root (view substitution resolves stored views from
+    * it — [[graft.plans.GraftViewSubstitution]]). */
+  private[graft] def warehousePath: String = warehouse
+
+  /** ANSI table constraints: `ALTER TABLE ... ADD CONSTRAINT c CHECK
+    * (...)` routes through [[alterTable]]; Spark requires the catalog
+    * to declare the capability before parsing the DDL. */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   // ---- FunctionCatalog: serves the `bucket` transform function so the
   // planner can resolve a bucketed table's partitioning and key-group
@@ -85,6 +98,80 @@ final class SnapshotCatalog extends TableCatalog
     known.getOrElse(throw new UnsupportedOperationException(
       s"no procedure ${ident.namespace.mkString(".")}.${ident.name} in catalog " +
         s"$catalogName — available: ${SnapshotProcedures.names.map("system." + _).mkString(", ")}"))
+  }
+
+  // ---- ViewCatalog: persisted SQL views (`CREATE VIEW cat.ns.v AS
+  // SELECT ...` → one atomic metadata file under `<ns>/_views/`; any
+  // later session resolves it by name — see [[SnapshotViews]]) -------
+  override def listViews(namespace: String*): Array[Identifier] =
+    SnapshotViews.list(spark, warehouse, namespace.toArray)
+
+  override def loadView(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.View =
+    SnapshotViews.read(spark, warehouse, ident)
+      .map(new SnapshotViews.SnapView(_))
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+
+  override def viewExists(ident: Identifier): Boolean =
+    SnapshotViews.exists(spark, warehouse, ident)
+
+  override def createView(info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View = {
+    if (tableExists(info.ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(info.ident)
+    if (viewExists(info.ident))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(info.ident)
+    SnapshotViews.create(spark, warehouse, info.ident, SnapshotViews.recOf(info),
+      overwrite = false)
+    loadView(info.ident)
+  }
+
+  override def replaceView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo, orCreate: Boolean)
+      : org.apache.spark.sql.connector.catalog.View = {
+    if (tableExists(info.ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(info.ident)
+    if (!orCreate && !viewExists(info.ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(info.ident)
+    SnapshotViews.create(spark, warehouse, info.ident, SnapshotViews.recOf(info),
+      overwrite = true)
+    loadView(info.ident)
+  }
+
+  override def alterView(
+      ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*)
+      : org.apache.spark.sql.connector.catalog.View = {
+    import org.apache.spark.sql.connector.catalog.ViewChange
+    val rec = SnapshotViews.read(spark, warehouse, ident).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+    val props = changes.foldLeft(rec.properties) {
+      case (p, s: ViewChange.SetProperty)    => p + (s.property -> s.value)
+      case (p, r: ViewChange.RemoveProperty) => p - r.property
+      case (_, other) => throw new IllegalArgumentException(
+        s"unsupported view change ${other.getClass.getSimpleName} on " +
+          s"${ident.namespace.mkString(".")}.${ident.name}")
+    }
+    SnapshotViews.create(spark, warehouse, ident, rec.copy(properties = props),
+      overwrite = true)
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    SnapshotViews.drop(spark, warehouse, ident)
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val rec = SnapshotViews.read(spark, warehouse, oldIdent).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent))
+    if (tableExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(newIdent)
+    // no-overwrite create first, then drop the old — a racing rename
+    // to the same target loses the marker race; a crash between the
+    // two leaves both names readable (re-run the drop), never neither
+    SnapshotViews.create(spark, warehouse, newIdent,
+      rec.copy(name = (newIdent.namespace :+ newIdent.name).mkString(".")),
+      overwrite = false)
+    SnapshotViews.drop(spark, warehouse, oldIdent)
   }
 
   private def spark = SparkSession.active
@@ -179,6 +266,8 @@ final class SnapshotCatalog extends TableCatalog
       properties: JMap[String, String]): Table = {
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    if (viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
     val root = tableRoot(ident)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -205,6 +294,8 @@ final class SnapshotCatalog extends TableCatalog
     if (pspec.nonEmpty) graft.store.PartitionSpec.validate(pspec, schema)
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    if (viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
     new StagedSnapshotTable(tableRoot(ident), schema, replace = false, bucket = bucket,
       partSpec = pspec)
   }
@@ -247,6 +338,29 @@ final class SnapshotCatalog extends TableCatalog
     // through the manifest's rename=/dropcols= lines. One change kind
     // per statement (Spark sends them that way).
     changes.toSeq match {
+      // CHECK constraints (round-14): table-level metadata in
+      // <table>/_constraints — write-time enforcement via
+      // Table.constraints() + Spark's own CheckInvariant injection,
+      // plan-time filter-contradiction pruning via TableChecks.disjoint
+      case Seq(ac: TableChange.AddConstraint) =>
+        ac.constraint match {
+          case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            val c = graft.store.TableChecks.Check(
+              ck.name, ck.predicateSql, ck.enforced, ck.rely)
+            // an enforced constraint must be born true: one validation
+            // scan of the existing table, refuse on any violating row
+            if (ck.enforced) graft.store.TableChecks.validateExisting(spark, root, c)
+            graft.store.TableChecks.add(spark, root, c)
+          case other => throw new UnsupportedOperationException(
+            s"snapshot tables support CHECK constraints only " +
+              s"(got ${other.getClass.getSimpleName}: ${other.toDDL})")
+        }
+        return loadTable(ident)
+      case Seq(dc: TableChange.DropConstraint) =>
+        if (!graft.store.TableChecks.drop(spark, root, dc.name) && !dc.ifExists)
+          throw new IllegalArgumentException(
+            s"no constraint '${dc.name}' on $ident")
+        return loadTable(ident)
       case Seq(r: TableChange.RenameColumn) if r.fieldNames.length == 1 =>
         SnapshotStore.renameColumnCommit(spark, root, r.fieldNames.head, r.newName)
         return loadTable(ident)

@@ -208,6 +208,20 @@ private[sources] final class SnapshotTable(
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_DYNAMIC, TableCapability.STREAMING_WRITE)
+
+  /** CHECK constraints from `<table>/_constraints`
+    * ([[graft.store.TableChecks]]): surfacing them here is what makes
+    * Spark's own analyzer inject a per-row `CheckInvariant` into every
+    * V2 write — SQL INSERT/streaming/row-level enforcement costs zero
+    * extra passes. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    graft.store.TableChecks.read(SparkSession.active, tablePath).map { c =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(c.name).predicateSql(c.predicateSql)
+        .enforced(c.enforced).rely(c.rely)
+        .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(m, tableSchema, tablePath, options)
   override def newWriteBuilder(
@@ -728,6 +742,11 @@ private[sources] object SnapshotScan {
   /** Files partition-transform pruning dropped in the most recent scan
     * planning — before any stats sidecar or footer was consulted. */
   val lastPartitionPrunedFiles = new java.util.concurrent.atomic.AtomicLong
+
+  /** Files dropped because a pushed filter provably contradicts a
+    * table CHECK constraint ([[graft.store.TableChecks.disjoint]]) —
+    * set per scan planning; the whole scan empties at once. */
+  val lastConstraintPrunedFiles = new java.util.concurrent.atomic.AtomicLong
 
   /** Whether a pushed predicate set PROVABLY excludes every row of a
     * file given only its partition-directory facts ([[graft.store
@@ -1621,8 +1640,21 @@ private[sources] final class SnapshotScan(
     // `WHERE ts >= X` reduces the planning working set to the matching
     // day directories' files; everything downstream (bloom probes,
     // sidecar lookups, row-group packing) is O(kept), not O(table).
+    // CHECK-CONSTRAINT contradiction runs before everything: a pushed
+    // comparison filter provably disjoint with a stored CHECK interval
+    // (`WHERE price < 0` vs `CHECK (price >= 0)`) empties the scan with
+    // ZERO file/sidecar/footer reads — the constraint is the proof.
+    val afterChecks =
+      if (tablePath.nonEmpty && skippable.nonEmpty &&
+          graft.store.TableChecks.disjoint(spark, tablePath, skippable.toSeq)) {
+        SnapshotScan.lastConstraintPrunedFiles.set(allDataFiles.size)
+        Seq.empty[String]
+      } else {
+        SnapshotScan.lastConstraintPrunedFiles.set(0)
+        allDataFiles
+      }
     val afterPart =
-      if (m.partSpec.isEmpty || skippable.isEmpty) allDataFiles
+      if (m.partSpec.isEmpty || skippable.isEmpty) afterChecks
       else {
         // spec EVOLUTION: every generation (current + parthist=) tries
         // its own generation-TAGGED directory names, so a file yields
@@ -1631,13 +1663,13 @@ private[sources] final class SnapshotScan(
         // ambiguity and no rewrite
         val gens: Seq[(Seq[graft.store.PartitionSpec.PartField], Int)] =
           (m.partSpec, m.partGen) +: m.partHist.map { case (g, sp) => (sp, g) }
-        val kept = allDataFiles.filter { f =>
+        val kept = afterChecks.filter { f =>
           SnapshotScan.partitionKeeps(
             gens.flatMap { case (sp, g) =>
               graft.store.PartitionSpec.factsOf(f, sp, fullSchema, g) },
             skippable.toSeq)
         }
-        SnapshotScan.lastPartitionPrunedFiles.set(allDataFiles.size - kept.size)
+        SnapshotScan.lastPartitionPrunedFiles.set(afterChecks.size - kept.size)
         kept
       }
     val all =

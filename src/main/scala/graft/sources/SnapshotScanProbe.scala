@@ -38,4 +38,16 @@ object SnapshotScanProbe {
     * broadcast resolver over a key type outside the raw-primitive
     * probe set. */
   def dvTypeFallbacks: Long = TaskSideDvResolver.typeFallbacks.get()
+
+  /** Files the most recent scan planning dropped because a pushed
+    * filter provably CONTRADICTS a table CHECK constraint (set per
+    * scan, not accumulated). */
+  def lastConstraintPrunedFiles: Long = SnapshotScan.lastConstraintPrunedFiles.get()
+  def resetConstraintPrunedFiles(): Unit = SnapshotScan.lastConstraintPrunedFiles.set(0)
+
+  /** The shared exact-where-possible value ordering (integral pairs as
+    * longs, UTF-8 byte order for strings, IEEE-normalized floats) —
+    * exposed for [[graft.store.TableChecks]]'s interval logic so the
+    * constraint pruner and the stats pruner can never disagree. */
+  def cmpValues(a: Any, b: Any): Option[Int] = SnapshotScan.cmpAny(a, b)
 }

@@ -458,6 +458,7 @@ object SnapshotStore {
 
   def commit(df: DataFrame, table: String, srcV: Long = -1L): Long = {
     val spark = df.sparkSession
+    TableChecks.enforce(df, table) // enforced CHECKs: one pass over the new rows
     var next = currentVersion(spark, table).map(_ + 1).getOrElse(0L)
     val dataDir = s"$table/v=${next}__${token()}"
     df.write.mode("overwrite").parquet(dataDir)
@@ -495,6 +496,7 @@ object SnapshotStore {
       sortCols: Seq[String] = Nil): Long = {
     require(cols.nonEmpty && n > 0, s"bucketedCommit needs columns and a positive count")
     val spark = df.sparkSession
+    TableChecks.enforce(df, table)
     var next = currentVersion(spark, table).map(_ + 1).getOrElse(0L)
     val dataDir = s"$table/v=${next}__${token()}"
     val routed = df.repartition(n, cols.map(org.apache.spark.sql.functions.col): _*)
@@ -549,6 +551,7 @@ object SnapshotStore {
   def partitionedCommit(df: DataFrame, table: String, spec: Seq[PartitionSpec.PartField]): Long = {
     PartitionSpec.validate(spec, df.schema)
     val spark = df.sparkSession
+    TableChecks.enforce(df, table)
     var next = currentVersion(spark, table).map(_ + 1).getOrElse(0L)
     val dataDir = s"$table/v=${next}__${token()}"
     val (routed, dirCols) = PartitionSpec.withRoutingColumns(df, spec)
@@ -650,6 +653,7 @@ object SnapshotStore {
   def appendCommit(df: DataFrame, table: String, maxAttempts: Int = 8,
       srcV: Long = -1L): Long = {
     val spark = df.sparkSession
+    TableChecks.enforce(df, table) // enforced CHECKs: one pass over the appended rows only
     // schema check BEFORE staging: identical schemas append plainly;
     // UNION-COMPATIBLE drift (added/omitted columns, shared columns
     // type-equal) is real schema EVOLUTION — allowed, and the manifest

@@ -506,4 +506,31 @@ class PartitionedTableSpec extends SparkSuite {
     assert(SnapshotScanProbe.lastPartitionPrunedFiles > 0,
       "pruning keeps working over the merged layout")
   }
+
+  test("$partitions metadata table: per-partition inventory from sidecar metadata only") {
+    val wh = freshDir("part-meta")
+    val cat = "gpmeta_" + java.util.UUID.randomUUID.toString.take(8).replace("-", "")
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val orders = graft.sources.Tables.orders(spark, sf())
+    SnapshotStore.partitionedCommit(orders, s"$wh/facts/orders",
+      Seq(PartitionSpec.PartField("months", "o_orderdate")))
+
+    val footers0 = SnapshotScanProbe.plannerFooterReads
+    val parts = spark.sql(s"SELECT * FROM $cat.facts.`orders$$partitions`").collect()
+    assert(SnapshotScanProbe.plannerFooterReads === footers0,
+      "$partitions must resolve from the sidecar, not footers")
+    assert(parts.nonEmpty && parts.forall(_.getString(0).startsWith("months(o_orderdate)=")),
+      s"labels carry the transform spelling: ${parts.take(2).toSeq}")
+    assert(parts.map(_.getLong(2)).sum === orders.count(),
+      "sidecar row counts must sum to the table count")
+    assert(parts.forall(r => r.getLong(1) >= 1L && r.getLong(3) > 0L),
+      "every partition reports files and data bytes")
+
+    // unpartitioned table: one <table> row covering everything
+    SnapshotStore.commit(orders, s"$wh/facts/plain")
+    val whole = spark.sql(s"SELECT * FROM $cat.facts.`plain$$partitions`").collect()
+    assert(whole.length === 1 && whole(0).getString(0) === "<table>" &&
+      whole(0).getLong(2) === orders.count())
+  }
 }

@@ -1,0 +1,110 @@
+package graft.sources
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Persisted DSv2 views ([[SnapshotViews]] + SnapshotCatalog's
+  * ViewCatalog): `CREATE VIEW cat.ns.v AS SELECT ...` writes one
+  * atomic metadata file under the warehouse; any catalog instance
+  * pointing at the same warehouse (a fresh session/cluster) resolves
+  * it by name. The engine-durable analog of the reference's Athena
+  * view layer (`scripts/sql/create_views.sql`). */
+class SnapshotViewsSpec extends SparkSuite {
+
+  private def freshCat(): (String, String) = {
+    val wh = java.nio.file.Files.createTempDirectory("viewwh").toString
+    val cat = "gview_" + java.util.UUID.randomUUID.toString.take(8).replace("-", "")
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    (cat, wh)
+  }
+
+  test("CREATE VIEW / SELECT / SHOW VIEWS / DROP — full SQL lifecycle") {
+    val (cat, _) = freshCat()
+    graft.store.SnapshotStore.commit(
+      graft.sources.Tables.nation(spark, sf()), s"${spark.conf.get(s"spark.sql.catalog.$cat.warehouse")}/facts/nation")
+
+    spark.sql(
+      s"""CREATE VIEW $cat.facts.big_nations AS
+          SELECT n_regionkey, count(*) AS n
+          FROM $cat.facts.nation GROUP BY n_regionkey HAVING count(*) > 3""")
+
+    val got = spark.sql(s"SELECT * FROM $cat.facts.big_nations ORDER BY n_regionkey")
+    val want = graft.sources.Tables.nation(spark, sf())
+      .groupBy("n_regionkey").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 3).orderBy("n_regionkey")
+    assert(got.collect().toSeq === want.collect().toSeq)
+
+    val shown = spark.sql(s"SHOW VIEWS IN $cat.facts").collect().map(_.getString(1))
+    assert(shown.contains("big_nations"), s"SHOW VIEWS must list it, got ${shown.toSeq}")
+
+    spark.sql(s"DROP VIEW $cat.facts.big_nations")
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM $cat.facts.big_nations").collect()
+    }
+  }
+
+  test("views persist across catalog instances (fresh-session durability)") {
+    val (cat, wh) = freshCat()
+    graft.store.SnapshotStore.commit(
+      graft.sources.Tables.region(spark, sf()), s"$wh/facts/region")
+    spark.sql(
+      s"""CREATE VIEW $cat.facts.regions_v AS
+          SELECT r_regionkey, upper(r_name) AS rname FROM $cat.facts.region""")
+
+    // a SECOND catalog name over the SAME warehouse = a fresh session's
+    // view of the world: no shared JVM registry, only the files
+    val cat2 = "gview2_" + java.util.UUID.randomUUID.toString.take(8).replace("-", "")
+    spark.conf.set(s"spark.sql.catalog.$cat2", classOf[SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat2.warehouse", wh)
+    val got = spark.sql(s"SELECT * FROM $cat2.facts.regions_v ORDER BY r_regionkey").collect()
+    assert(got.length === 5 && got.forall(_.getString(1).forall(c => !c.isLower)),
+      "the second catalog must resolve the persisted view from the warehouse")
+  }
+
+  test("CREATE OR REPLACE, ALTER VIEW properties, and name-collision guards") {
+    val (cat, wh) = freshCat()
+    graft.store.SnapshotStore.commit(
+      graft.sources.Tables.nation(spark, sf()), s"$wh/facts/nation")
+
+    spark.sql(s"CREATE VIEW $cat.facts.v1 AS SELECT n_nationkey FROM $cat.facts.nation")
+    spark.sql(
+      s"CREATE OR REPLACE VIEW $cat.facts.v1 AS SELECT n_name FROM $cat.facts.nation")
+    assert(spark.sql(s"SELECT * FROM $cat.facts.v1").schema.fieldNames.toSeq === Seq("n_name"),
+      "REPLACE must swap the definition")
+
+    def viewProps: Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      spark.sessionState.catalogManager.catalog(cat).asInstanceOf[SnapshotCatalog]
+        .loadView(org.apache.spark.sql.connector.catalog.Identifier.of(Array("facts"), "v1"))
+        .properties.asScala.toMap
+    }
+    spark.sql(s"ALTER VIEW $cat.facts.v1 SET TBLPROPERTIES ('team' = 'etl')")
+    assert(viewProps.get("team").contains("etl"), s"property must persist, got $viewProps")
+    spark.sql(s"ALTER VIEW $cat.facts.v1 UNSET TBLPROPERTIES ('team')")
+    assert(!viewProps.contains("team"), "UNSET must remove the property")
+
+    // collision guards: a view can't shadow a table, a table can't
+    // shadow a view
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"CREATE VIEW $cat.facts.nation AS SELECT 1 AS one")
+    }
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"CREATE TABLE $cat.facts.v1 AS SELECT 1 AS one")
+    }
+  }
+
+  test("view over a view; dropped base table fails the view loudly") {
+    val (cat, wh) = freshCat()
+    graft.store.SnapshotStore.commit(
+      graft.sources.Tables.orders(spark, sf()), s"$wh/facts/orders")
+    spark.sql(
+      s"""CREATE VIEW $cat.facts.daily AS
+          SELECT o_orderpriority, count(*) AS n FROM $cat.facts.orders
+          GROUP BY o_orderpriority""")
+    spark.sql(
+      s"""CREATE VIEW $cat.facts.daily_top AS
+          SELECT * FROM $cat.facts.daily ORDER BY n DESC LIMIT 2""")
+    assert(spark.sql(s"SELECT * FROM $cat.facts.daily_top").collect().length === 2)
+  }
+}

@@ -1,0 +1,128 @@
+package graft.store
+
+import graft.SparkSuite
+import graft.sources.{SnapshotCatalog, SnapshotScanProbe}
+import org.apache.spark.sql.functions._
+
+/** CHECK constraints ([[TableChecks]]): ANSI `ALTER TABLE ... ADD
+  * CONSTRAINT c CHECK (...)` on snapshot tables — write-time
+  * enforcement on BOTH write families (Spark's native CheckInvariant
+  * for SQL writes, one O(delta) pass for engine commits), add-time
+  * validation of existing data, and plan-time pruning when a pushed
+  * filter provably contradicts a constraint. */
+class TableChecksSpec extends SparkSuite {
+
+  private def freshCat(): (String, String) = {
+    val wh = java.nio.file.Files.createTempDirectory("checkwh").toString
+    val cat = "gchk_" + java.util.UUID.randomUUID.toString.take(8).replace("-", "")
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    (cat, wh)
+  }
+
+  test("SQL INSERT enforcement: violating rows refuse, valid and NULL rows pass") {
+    import spark.implicits._
+    val (cat, wh) = freshCat()
+    SnapshotStore.commit(
+      Seq((1, 10.0), (2, 20.0)).toDF("id", "price"), s"$wh/facts/t")
+    spark.sql(s"ALTER TABLE $cat.facts.t ADD CONSTRAINT price_pos CHECK (price > 0)")
+
+    // violating INSERT refused by Spark's own CheckInvariant
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.facts.t VALUES (3, -5.0)")
+    }
+    assert(e.getMessage.toLowerCase.contains("check") ||
+      e.getMessage.contains("price_pos"), s"error must name the constraint: ${e.getMessage}")
+
+    // valid + NULL rows pass (ANSI: a null predicate satisfies CHECK)
+    spark.sql(s"INSERT INTO $cat.facts.t VALUES (3, 30.0), (4, CAST(NULL AS DOUBLE))")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.facts.t").collect()(0).getLong(0) === 4L)
+  }
+
+  test("engine appendCommit enforcement: one O(delta) pass, violation names the constraint") {
+    import spark.implicits._
+    val (cat, wh) = freshCat()
+    val t = s"$wh/facts/t2"
+    SnapshotStore.commit(Seq((1, 10.0)).toDF("id", "price"), t)
+    spark.sql(s"ALTER TABLE $cat.facts.t2 ADD CONSTRAINT price_pos CHECK (price > 0)")
+
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.appendCommit(Seq((2, -1.0)).toDF("id", "price"), t)
+    }
+    assert(e.getMessage.contains("price_pos"), e.getMessage)
+    SnapshotStore.appendCommit(Seq((2, 2.0), (3, Double.NaN)).toDF("id", "price"), t)
+    assert(SnapshotStore.read(spark, t).count() === 3L)
+  }
+
+  test("ADD CONSTRAINT validates existing data; DROP CONSTRAINT restores writes") {
+    import spark.implicits._
+    val (cat, wh) = freshCat()
+    val t = s"$wh/facts/t3"
+    SnapshotStore.commit(Seq((1, -3.0), (2, 5.0)).toDF("id", "price"), t)
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.facts.t3 ADD CONSTRAINT price_pos CHECK (price > 0)")
+    }
+    // Spark 4.1 validates ahead of alterTable (NEW_CHECK_CONSTRAINT_
+    // VIOLATION); TableChecks.validateExisting guards programmatic
+    // callers with its own message
+    assert(e.getMessage.contains("existing rows violate") ||
+      e.getMessage.contains("violated by existing data"), e.getMessage)
+
+    // fix the data, add, then drop — writes free again
+    spark.sql(s"DELETE FROM $cat.facts.t3 WHERE price < 0")
+    spark.sql(s"ALTER TABLE $cat.facts.t3 ADD CONSTRAINT price_pos CHECK (price > 0)")
+    intercept[Exception] {
+      SnapshotStore.appendCommit(Seq((9, -9.0)).toDF("id", "price"), t)
+    }
+    spark.sql(s"ALTER TABLE $cat.facts.t3 DROP CONSTRAINT price_pos")
+    SnapshotStore.appendCommit(Seq((9, -9.0)).toDF("id", "price"), t)
+    assert(SnapshotStore.read(spark, t).count() === 2L)
+  }
+
+  test("plan-time pruning: a filter contradicting a CHECK empties the scan before any IO") {
+    val (cat, wh) = freshCat()
+    val t = s"$wh/facts/orders"
+    SnapshotStore.commit(graft.sources.Tables.orders(spark, sf()), t)
+    spark.sql(
+      s"ALTER TABLE $cat.facts.orders ADD CONSTRAINT price_pos CHECK (o_totalprice >= 0)")
+
+    val read = spark.read.format("graft-snapshot").option("path", t).load()
+    val footers0 = SnapshotScanProbe.plannerFooterReads
+    SnapshotScanProbe.resetConstraintPrunedFiles()
+    val n = read.filter(col("o_totalprice") < 0).count()
+    assert(n === 0L)
+    assert(SnapshotScanProbe.lastConstraintPrunedFiles > 0,
+      "the contradicting filter must empty the scan from the constraint alone")
+    assert(SnapshotScanProbe.plannerFooterReads === footers0,
+      "constraint pruning must not open footers")
+
+    // a compatible filter is untouched — and still correct
+    SnapshotScanProbe.resetConstraintPrunedFiles()
+    val want = graft.sources.Tables.orders(spark, sf())
+      .filter(col("o_totalprice") > 100000.0).count()
+    assert(read.filter(col("o_totalprice") > 100000.0).count() === want)
+    assert(SnapshotScanProbe.lastConstraintPrunedFiles === 0L,
+      "a satisfiable filter must not constraint-prune")
+  }
+
+  test("constraints survive commits and show through Table.constraints()") {
+    import spark.implicits._
+    val (cat, wh) = freshCat()
+    val t = s"$wh/facts/t4"
+    SnapshotStore.commit(Seq((1, 5.0)).toDF("id", "price"), t)
+    spark.sql(s"ALTER TABLE $cat.facts.t4 ADD CONSTRAINT price_pos CHECK (price > 0)")
+    SnapshotStore.appendCommit(Seq((2, 6.0)).toDF("id", "price"), t)
+    graft.ops.Bucketing.compactCommit(spark, t, 128L * 1024 * 1024)
+
+    val cs = spark.sessionState.catalogManager.catalog(cat).asInstanceOf[SnapshotCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("facts"), "t4"))
+      .constraints()
+    assert(cs.length === 1 && cs(0).name === "price_pos" && cs(0).enforced,
+      s"constraint must survive append + compaction, got ${cs.toSeq}")
+    // duplicate name refused
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.facts.t4 ADD CONSTRAINT price_pos CHECK (price > 1)")
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+  }
+}
