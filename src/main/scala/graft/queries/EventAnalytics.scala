@@ -680,6 +680,47 @@ object EventAnalytics {
           GROUP BY 1 ORDER BY 1""")
   }
 
+  /** DT38: NULL-AWARE + TEMPORAL AGGREGATE PUSHDOWN — `COUNT(col)`
+    * folds from metadata as rows − proven nulls (stats-sidecar
+    * noNulls/allNull group lines, or the NDV sidecar's EXACT per-file
+    * null counts when groups mix), and MIN/MAX over DATE/TIMESTAMP
+    * answer typed from the epoch-domain stats. The fixture pins the
+    * metadata plan (description names count(opt_key) and
+    * min(o_orderdate), zero footer opens); oracle replays over raw
+    * orders with the same derived nullable column. */
+  val dtAggNullaware: Q = (s, d) => {
+    val wh = Fixtures.dir("aggnull", d) { root =>
+      val t = s"$root/facts/orders"
+      val src = Tables.orders(s, d).withColumn("opt_key",
+        when(pmod(col("o_orderkey"), lit(7)) === 0, lit(null).cast("bigint"))
+          .otherwise(col("o_orderkey")))
+      graft.store.SnapshotStore.commit(src, t)
+      // mixed-null row groups: the stats sidecar alone can't prove the
+      // null count — the NDV sidecar's exact per-file counts must
+      graft.ops.NdvStats.analyzeCommit(s, t, Seq("opt_key"))
+      val read = s.read.format("graft-snapshot").option("path", t).load()
+      val q = read.agg(count(col("opt_key")), min("o_orderdate"), max("o_orderdate"))
+      val desc = q.queryExecution.sparkPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.description()
+      }.getOrElse("")
+      require(desc.contains("count(opt_key)") && desc.contains("min(o_orderdate)"),
+        s"dt_agg_nullaware: count(col)+temporal min/max must plan metadata-only, got: $desc")
+      val footers0 = graft.sources.SnapshotScanProbe.plannerFooterReads
+      q.collect()
+      require(graft.sources.SnapshotScanProbe.plannerFooterReads == footers0,
+        "dt_agg_nullaware: the metadata aggregate must not open data-file footers")
+    }
+    s.read.format("graft-snapshot").option("path", s"$wh/facts/orders").load()
+      .agg(count(lit(1)).as("n"),
+        count(col("opt_key")).as("n_opt"),
+        min("o_orderdate").as("lo_ts"),
+        max("o_orderdate").as("hi_ts"))
+      .select(col("n"), col("n_opt"),
+        date_format(col("lo_ts"), "yyyy-MM-dd").as("lo_day"),
+        date_format(col("hi_ts"), "yyyy-MM-dd").as("hi_day"))
+  }
+
   /** DT37: CHECK CONSTRAINTS — ANSI `ALTER TABLE ... ADD CONSTRAINT c
     * CHECK (...)` on snapshot tables: Spark's own CheckInvariant
     * enforces SQL writes per-row, the engine write APIs enforce in one
@@ -1156,6 +1197,12 @@ object EventAnalytics {
          FROM orders
          WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
          GROUP BY 1 ORDER BY 1""",
+    "dt_agg_nullaware" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(count(CASE WHEN o_orderkey % 7 <> 0 THEN o_orderkey END) AS BIGINT) AS n_opt,
+                strftime(min(o_orderdate), '%Y-%m-%d') AS lo_day,
+                strftime(max(o_orderdate), '%Y-%m-%d') AS hi_day
+         FROM orders""",
     "dt_check_prune" ->
       """SELECT 'neg' AS k, CAST(count(*) AS BIGINT) AS n_rows FROM orders WHERE o_totalprice < 0
          UNION ALL
@@ -1611,6 +1658,7 @@ object EventAnalytics {
     "dt_groupby_rollup" -> dtGroupbyRollup,
     "dt_view_catalog" -> dtViewCatalog,
     "dt_check_prune" -> dtCheckPrune,
+    "dt_agg_nullaware" -> dtAggNullaware,
     "dt_branch_wap" -> dtBranchWap,
     "dt_ndv_cbo" -> dtNdvCbo,
     "dt_hist_cbo" -> dtHistCbo,

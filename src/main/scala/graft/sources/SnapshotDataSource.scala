@@ -455,6 +455,7 @@ private[sources] final class SnapshotScanBuilder(
     // NARROW boxing, which would corrupt the typed result row — same
     // decline (a compaction materializes either away and restores the
     // pushdown)
+    import org.apache.spark.sql.connector.expressions.aggregate.Count
     if (changeFeed || rowLevel || sawFilters || m.deletes.nonEmpty ||
         m.renames.nonEmpty || m.widens.nonEmpty ||
         agg.groupByExpressions.nonEmpty) return None
@@ -465,41 +466,59 @@ private[sources] final class SnapshotScanBuilder(
       }
     // strings are accepted too: footerAggregates PROVES their stats
     // untruncated via the thrift is_min/max_value_exact flags before
-    // answering (truncated binary stats are bounds, not values)
+    // answering (truncated binary stats are bounds, not values);
+    // temporal stats live in the epoch domain (day ints/micros longs) —
+    // exactly the catalyst-internal representation of the result row
     def aggregatable(n: String): Boolean = schema.find(_.name == n).map(_.dataType).exists {
       case LongType | IntegerType | DoubleType | FloatType | StringType => true
+      case DateType | TimestampType | TimestampNTZType                  => true
       case _                                                            => false
     }
-    val wanted: Option[Seq[Either[Unit, (String, Boolean)]]] = // Left=count, Right=(col, isMin)
-      agg.aggregateExpressions.toSeq.foldLeft(
-        Option(Seq.empty[Either[Unit, (String, Boolean)]])) {
+    // any non-null-typed column works for COUNT(c): only row counts and
+    // null proofs are consulted, never value stats
+    def countable(n: String): Boolean = schema.exists(_.name == n)
+    val wanted: Option[Seq[SnapshotScan.AggSpec]] =
+      agg.aggregateExpressions.toSeq.foldLeft(Option(Seq.empty[SnapshotScan.AggSpec])) {
         case (None, _) => None
-        case (Some(acc), _: CountStar) => Some(acc :+ Left(()))
+        case (Some(acc), _: CountStar) => Some(acc :+ SnapshotScan.CountStarSpec)
+        case (Some(acc), ct: Count) if !ct.isDistinct =>
+          colOf(ct.column).filter(countable).map(c => acc :+ SnapshotScan.CountColSpec(c))
         case (Some(acc), mn: Min) =>
-          colOf(mn.column).filter(aggregatable).map(c => acc :+ Right((c, true)))
+          colOf(mn.column).filter(aggregatable).map(c =>
+            acc :+ SnapshotScan.MinMaxSpec(c, isMin = true))
         case (Some(acc), mx: Max) =>
-          colOf(mx.column).filter(aggregatable).map(c => acc :+ Right((c, false)))
+          colOf(mx.column).filter(aggregatable).map(c =>
+            acc :+ SnapshotScan.MinMaxSpec(c, isMin = false))
         case _ => None
       }
     wanted.flatMap { specs =>
-      SnapshotScan.footerAggregates(m,
-        specs.collect { case Right((c, _)) => c }.distinct).map { case (rows, minMax) =>
+      val minMaxCols = specs.collect { case SnapshotScan.MinMaxSpec(c, _) => c }.distinct
+      SnapshotScan.footerAggregates(m, minMaxCols).flatMap { case (rows, minMax) =>
+        // COUNT(c) = rows − nulls(c): nulls proven from the sidecar's
+        // per-group noNulls/allNull lines, or the NDV sidecar's EXACT
+        // per-file null counts — unknowable nulls decline the pushdown
+        val countCols = specs.collect { case SnapshotScan.CountColSpec(c) => c }.distinct
+        val nullsOf: Map[String, Long] = countCols.flatMap { c =>
+          SnapshotScan.provenNullCount(m, c).map(c -> _)
+        }.toMap
+        if (!countCols.forall(nullsOf.contains)) return None
         val fields = specs.zipWithIndex.map {
-          case (Left(()), i) => StructField(s"agg_$i", LongType, nullable = false)
-          case (Right((c, _)), i) =>
+          case (SnapshotScan.CountStarSpec, i) =>
+            StructField(s"agg_$i", LongType, nullable = false)
+          case (SnapshotScan.CountColSpec(_), i) =>
+            StructField(s"agg_$i", LongType, nullable = false)
+          case (SnapshotScan.MinMaxSpec(c, _), i) =>
             StructField(s"agg_$i", schema.find(_.name == c).get.dataType)
         }
         val values = specs.map {
-          case Left(()) => rows: Any
-          case Right((c, isMn)) =>
-            minMax.get(c).map(b => if (isMn) b._1 else b._2).map {
-              case str: String => UTF8String.fromString(str) // StringType rows carry UTF8String
-              case v           => v
-            }.orNull
+          case SnapshotScan.CountStarSpec   => rows: Any
+          case SnapshotScan.CountColSpec(c) => (rows - nullsOf(c)): Any
+          case SnapshotScan.MinMaxSpec(c, isMn) =>
+            val dt = schema.find(_.name == c).get.dataType
+            minMax.get(c).map(b => if (isMn) b._1 else b._2)
+              .map(v => SnapshotScan.toInternal(v, dt)).orNull
         }
-        (StructType(fields), Seq(values),
-          specs.map { case Left(_) => "count(*)"
-                      case Right((c, m2)) => s"${if (m2) "min" else "max"}($c)" }.mkString(","))
+        Some((StructType(fields), Seq(values), specs.map(_.describe).mkString(",")))
       }
     }
   }
@@ -548,20 +567,26 @@ private[sources] final class SnapshotScanBuilder(
         case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
         case _                                             => None
       }
+    import org.apache.spark.sql.connector.expressions.aggregate.Count
     def aggregatable(n: String): Boolean = schema.find(_.name == n).map(_.dataType).exists {
       case LongType | IntegerType | DoubleType | FloatType | StringType => true
+      case DateType | TimestampType | TimestampNTZType                  => true
       case _                                                            => false
     }
-    val specs: Seq[Either[Unit, (String, Boolean)]] = // Left=count, Right=(col, isMin)
+    val specs: Seq[SnapshotScan.AggSpec] =
       agg.aggregateExpressions.toSeq.map {
-        case _: CountStar => Left(())
-        case mn: Min      => Right((colOf(mn.column).filter(aggregatable)
-                                     .getOrElse(return None), true))
-        case mx: Max      => Right((colOf(mx.column).filter(aggregatable)
-                                     .getOrElse(return None), false))
-        case _            => return None
+        case _: CountStar => SnapshotScan.CountStarSpec
+        case ct: Count if !ct.isDistinct =>
+          SnapshotScan.CountColSpec(colOf(ct.column)
+            .filter(c => schema.exists(_.name == c)).getOrElse(return None))
+        case mn: Min => SnapshotScan.MinMaxSpec(
+          colOf(mn.column).filter(aggregatable).getOrElse(return None), isMin = true)
+        case mx: Max => SnapshotScan.MinMaxSpec(
+          colOf(mx.column).filter(aggregatable).getOrElse(return None), isMin = false)
+        case _ => return None
       }
-    val measureCols = specs.collect { case Right((c, _)) => c }.distinct
+    val measureCols = specs.collect { case SnapshotScan.MinMaxSpec(c, _) => c }.distinct
+    val countCols = specs.collect { case SnapshotScan.CountColSpec(c) => c }.distinct
     // sidecar must cover every file (COUNT needs per-file rows even
     // with no min/max measures)
     val sc =
@@ -600,17 +625,27 @@ private[sources] final class SnapshotScanBuilder(
         }
       }
     }
-    // fold: group key → (rows, per-measure (min, max))
-    val groups = scala.collection.mutable.LinkedHashMap
-      .empty[Seq[Any], (Long, scala.collection.mutable.Map[String, (Any, Any)])]
+    // fold: group key → (rows, per-measure (min, max), per-count nulls)
+    val groups = scala.collection.mutable.LinkedHashMap.empty[Seq[Any],
+      (Long, scala.collection.mutable.Map[String, (Any, Any)],
+        scala.collection.mutable.Map[String, Long])]
     files.foreach { f =>
       val key: Seq[Any] =
         groupFields.map(gf => keyPart(f, gf.name, gf.dataType).getOrElse(return None))
-      val (rows0, acc) =
-        groups.getOrElseUpdate(key, (0L, scala.collection.mutable.Map.empty))
+      val (rows0, acc, nullsAcc) = groups.getOrElseUpdate(key,
+        (0L, scala.collection.mutable.Map.empty, scala.collection.mutable.Map.empty))
       var rows = rows0
       sc.entries(f).groups.foreach { g =>
         rows += g.rows
+        // COUNT(c): per-group null proofs only (noNulls → 0, allNull →
+        // the whole group; anything unproven declines — the grouped
+        // fold has no per-file NDV fallback by design)
+        countCols.foreach { c =>
+          if (g.noNulls.contains(c)) ()
+          else if (g.allNull.contains(c))
+            nullsAcc(c) = nullsAcc.getOrElse(c, 0L) + g.rows
+          else return None
+        }
         measureCols.foreach { c =>
           if (!g.allNull.contains(c)) {
             g.stats.get(c) match {
@@ -629,29 +664,31 @@ private[sources] final class SnapshotScanBuilder(
           }
         }
       }
-      groups(key) = (rows, acc)
+      groups(key) = (rows, acc, nullsAcc)
     }
     val outFields =
       groupFields.map(gf => StructField(gf.name, gf.dataType)) ++
         specs.zipWithIndex.map {
-          case (Left(()), i) => StructField(s"agg_$i", LongType, nullable = false)
-          case (Right((c, _)), i) =>
+          case (SnapshotScan.CountStarSpec, i) =>
+            StructField(s"agg_$i", LongType, nullable = false)
+          case (SnapshotScan.CountColSpec(_), i) =>
+            StructField(s"agg_$i", LongType, nullable = false)
+          case (SnapshotScan.MinMaxSpec(c, _), i) =>
             StructField(s"agg_$i", schema.find(_.name == c).get.dataType)
         }
     val rowsOut: Seq[Seq[Any]] = groups.toSeq.collect {
-      case (key, (n, acc)) if n > 0 =>
+      case (key, (n, acc, nullsAcc)) if n > 0 =>
         key.map { case NullKey => null; case v => v } ++ specs.map {
-          case Left(())        => n: Any
-          case Right((c, mn2)) =>
-            acc.get(c).map(b => if (mn2) b._1 else b._2).map {
-              case str: String => UTF8String.fromString(str)
-              case v           => v
-            }.orNull
+          case SnapshotScan.CountStarSpec   => n: Any
+          case SnapshotScan.CountColSpec(c) => (n - nullsAcc.getOrElse(c, 0L)): Any
+          case SnapshotScan.MinMaxSpec(c, mn2) =>
+            val dt = schema.find(_.name == c).get.dataType
+            acc.get(c).map(b => if (mn2) b._1 else b._2)
+              .map(v => SnapshotScan.toInternal(v, dt)).orNull
         }
     }
     val desc = s"group by ${groupCols.mkString(",")}: " +
-      specs.map { case Left(_) => "count(*)"
-                  case Right((c, m2)) => s"${if (m2) "min" else "max"}($c)" }.mkString(",")
+      specs.map(_.describe).mkString(",")
     Some((StructType(outFields), rowsOut, desc))
   }
 
@@ -918,6 +955,61 @@ private[sources] object SnapshotScan {
     * boundaries), row count, and exact per-column (min, max). */
   final case class RowGroupInfo(
       start: Long, length: Long, rows: Long, stats: Map[String, (Any, Any)])
+
+  /** One pushed aggregate expression the metadata fold can answer. */
+  sealed trait AggSpec { def describe: String }
+  case object CountStarSpec extends AggSpec { def describe = "count(*)" }
+  final case class CountColSpec(col: String) extends AggSpec { def describe = s"count($col)" }
+  final case class MinMaxSpec(col: String, isMin: Boolean) extends AggSpec {
+    def describe = s"${if (isMin) "min" else "max"}($col)"
+  }
+
+  /** Stats-domain value → the catalyst-internal value of the result
+    * row: temporal stats live as epoch numbers (day Int32 / micros
+    * Int64) which IS the internal form, modulo boxing width; strings
+    * become UTF8String. */
+  def toInternal(v: Any, dt: DataType): Any = (v, dt) match {
+    case (s: String, _)                                  => UTF8String.fromString(s)
+    case (n: Number, DateType)                           => java.lang.Integer.valueOf(n.intValue())
+    case (n: Number, TimestampType | TimestampNTZType)   => java.lang.Long.valueOf(n.longValue())
+    case (n: Number, IntegerType)                        => java.lang.Integer.valueOf(n.intValue())
+    case (other, _)                                      => other
+  }
+
+  /** PROVEN total null count of `col` across every file of the
+    * manifest, or None. Two proof sources, in order:
+    *  1. the stats sidecar's per-group lines — `noNulls` proves 0,
+    *     `allNull` proves the whole group;
+    *  2. the NDV sidecar's EXACT per-file null counts (analyze-time
+    *     exact aggregation, coverage-gated to the full file set).
+    * A group in neither set with no NDV coverage → None (decline). */
+  def provenNullCount(m: SnapshotStore.Manifest, col: String): Option[Long] = {
+    val spark = SparkSession.active
+    val fromSidecar: Option[Long] =
+      if (m.statsFile.isEmpty) None
+      else try {
+        val sc = graft.store.FileStats.read(spark, m.statsFile)
+        val files = SnapshotStore.dataFiles(spark, m)
+        if (!files.forall(sc.entries.contains)) None
+        else {
+          var nulls = 0L
+          val ok = files.forall { f =>
+            sc.entries(f).groups.forall { g =>
+              if (g.noNulls.contains(col)) true
+              else if (g.allNull.contains(col)) { nulls += g.rows; true }
+              else false
+            }
+          }
+          if (ok) Some(nulls) else None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    fromSidecar.orElse {
+      if (m.ndvFile.isEmpty) None
+      else graft.ops.NdvStats
+        .estimates(spark, m.ndvFile, SnapshotStore.dataFiles(spark, m))
+        .get(col).map(_._2)
+    }
+  }
 
   /** Driver-side footer fold for pushed aggregates: total row count +
     * exact (min, max) per requested column. None when exactness can't

@@ -140,4 +140,60 @@ class GroupByPushdownSpec extends SparkSuite {
       all.unionAll(Seq((4, "e", 50L)).toDF("k", "s", "v"))
         .groupBy("k").agg(count(lit(1)).as("n"))))
   }
+
+  test("COUNT(col) pushes down via null proofs; temporal MIN/MAX answer typed") {
+    import spark.implicits._
+    // files with PURE null shape per column: one commit all-null, one null-free
+    val t = freshDir("gbp-count") + "/t"
+    SnapshotStore.commit(
+      Seq((1, Some(10.0)), (2, Some(20.0))).toDF("id", "v"), t)
+    SnapshotStore.appendCommit(
+      Seq((3, None: Option[Double]), (4, None: Option[Double])).toDF("id", "v"), t)
+    val read = spark.read.format("graft-snapshot").option("path", t).load()
+    val q = read.agg(count(col("v")).as("n_v"), count(lit(1)).as("n"))
+    assert(scanDescription(q).contains("count(v)"),
+      s"count(col) must push to metadata: ${scanDescription(q)}")
+    assert(q.collect()(0).toSeq === Seq(2L, 4L))
+
+    // temporal min/max: global + grouped over a timestamp column
+    val t2 = freshDir("gbp-ts") + "/t"
+    val orders = graft.sources.Tables.orders(spark, sf())
+    SnapshotStore.partitionedCommit(orders, t2,
+      Seq(graft.store.PartitionSpec.PartField("identity", "o_custkey")))
+    val r2 = spark.read.format("graft-snapshot").option("path", t2).load()
+    val g = r2.agg(min("o_orderdate").as("lo"), max("o_orderdate").as("hi"))
+    assert(scanDescription(g).contains("min(o_orderdate)"),
+      s"temporal min/max must push: ${scanDescription(g)}")
+    assert(g.collect()(0) ===
+      orders.agg(min("o_orderdate").as("lo"), max("o_orderdate").as("hi")).collect()(0))
+    val gg = r2.groupBy("o_custkey")
+      .agg(max("o_orderdate").as("hi"), count(col("o_orderdate")).as("n"))
+    assert(scanDescription(gg).contains("FOOTER AGGREGATE [group by o_custkey"),
+      s"grouped temporal rollup must push: ${scanDescription(gg)}")
+    assert(sortedRows(gg) === sortedRows(orders.groupBy("o_custkey")
+      .agg(max("o_orderdate").as("hi"), count(col("o_orderdate")).as("n"))))
+  }
+
+  test("COUNT(col) over mixed-null files: declines without NDV coverage, answers after analyze") {
+    import spark.implicits._
+    val t = freshDir("gbp-ndv") + "/t"
+    // one file holding BOTH null and non-null v rows: sidecar group is
+    // neither noNulls nor allNull — unprovable from the sidecar alone
+    SnapshotStore.commit(
+      Seq((1, Some(1L)), (2, None: Option[Long]), (3, Some(3L)))
+        .toDF("id", "v").coalesce(1), t)
+    val read = spark.read.format("graft-snapshot").option("path", t).load()
+    val q1 = read.agg(count(col("v")).as("n_v"))
+    assert(!scanDescription(q1).contains("FOOTER AGGREGATE"),
+      "mixed-null groups with no NDV sidecar must decline")
+    assert(q1.collect()(0).getLong(0) === 2L)
+
+    // analyze publishes EXACT per-file null counts -> pushdown answers
+    graft.ops.NdvStats.analyzeCommit(spark, t, Seq("v"))
+    val read2 = spark.read.format("graft-snapshot").option("path", t).load()
+    val q2 = read2.agg(count(col("v")).as("n_v"), count(lit(1)).as("n"))
+    assert(scanDescription(q2).contains("count(v)"),
+      s"NDV null counts must unlock count(col): ${scanDescription(q2)}")
+    assert(q2.collect()(0).toSeq === Seq(2L, 3L))
+  }
 }
