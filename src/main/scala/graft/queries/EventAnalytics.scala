@@ -680,6 +680,36 @@ object EventAnalytics {
           GROUP BY 1 ORDER BY 1""")
   }
 
+  /** DT39: COLUMN DEFAULT VALUES — `CREATE TABLE (... status STRING
+    * DEFAULT 'pending')`: Spark encodes the default into the schema's
+    * field metadata, the pinned `schemajson=` persists it, and the
+    * analyzer fills omitted INSERT columns — rows land physically
+    * complete, so reads need no default logic (and ADD COLUMN ...
+    * DEFAULT stays refused: it would need an exists-default read path
+    * this store does not promise). Oracle reconstructs the two insert
+    * waves from raw orders. */
+  val dtColumnDefault: Q = (s, d) => {
+    val wh = Fixtures.dir("coldef", d) { root =>
+      val cat = snapCatalog(s, root)
+      Tables.orders(s, d).createOrReplaceTempView("graft_coldef_src")
+      s.sql(
+        s"""CREATE TABLE $cat.facts.tagged (
+              o_orderkey BIGINT,
+              status STRING DEFAULT 'pending')""")
+      s.sql(
+        s"""INSERT INTO $cat.facts.tagged (o_orderkey)
+            SELECT o_orderkey FROM graft_coldef_src WHERE o_orderkey % 10 = 0""")
+      s.sql(
+        s"""INSERT INTO $cat.facts.tagged
+            SELECT o_orderkey, 'manual' FROM graft_coldef_src WHERE o_orderkey % 10 = 5""")
+    }
+    val cat = snapCatalog(s, wh)
+    s.sql(
+      s"""SELECT status, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(o_orderkey) AS BIGINT) AS keysum
+          FROM $cat.facts.tagged GROUP BY status ORDER BY status""")
+  }
+
   /** DT38: NULL-AWARE + TEMPORAL AGGREGATE PUSHDOWN — `COUNT(col)`
     * folds from metadata as rows − proven nulls (stats-sidecar
     * noNulls/allNull group lines, or the NDV sidecar's EXACT per-file
@@ -1197,6 +1227,14 @@ object EventAnalytics {
          FROM orders
          WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
          GROUP BY 1 ORDER BY 1""",
+    "dt_column_default" ->
+      """WITH src AS (
+           SELECT o_orderkey, 'pending' AS status FROM orders WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT o_orderkey, 'manual' AS status FROM orders WHERE o_orderkey % 10 = 5)
+         SELECT status, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(o_orderkey) AS BIGINT) AS keysum
+         FROM src GROUP BY status ORDER BY status""",
     "dt_agg_nullaware" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
                 CAST(count(CASE WHEN o_orderkey % 7 <> 0 THEN o_orderkey END) AS BIGINT) AS n_opt,
@@ -1659,6 +1697,7 @@ object EventAnalytics {
     "dt_view_catalog" -> dtViewCatalog,
     "dt_check_prune" -> dtCheckPrune,
     "dt_agg_nullaware" -> dtAggNullaware,
+    "dt_column_default" -> dtColumnDefault,
     "dt_branch_wap" -> dtBranchWap,
     "dt_ndv_cbo" -> dtNdvCbo,
     "dt_hist_cbo" -> dtHistCbo,

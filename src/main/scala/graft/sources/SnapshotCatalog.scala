@@ -62,13 +62,22 @@ final class SnapshotCatalog extends TableCatalog
     * it — [[graft.plans.GraftViewSubstitution]]). */
   private[graft] def warehousePath: String = warehouse
 
-  /** ANSI table constraints: `ALTER TABLE ... ADD CONSTRAINT c CHECK
-    * (...)` routes through [[alterTable]]; Spark requires the catalog
-    * to declare the capability before parsing the DDL. */
+  /** Declared DDL abilities:
+    *  - CHECK constraints (`ALTER TABLE ... ADD CONSTRAINT c CHECK`,
+    *    routed through [[alterTable]]);
+    *  - column DEFAULT values at CREATE TABLE — Spark encodes them in
+    *    the schema's field metadata, the pinned `schemajson=` persists
+    *    them, and Spark's own ResolveDefaultColumns fills omitted
+    *    columns / DEFAULT keywords on INSERT. Sound by construction:
+    *    every data file postdates the declaration, so the
+    *    exists-default read path (old files missing the column) can
+    *    never be needed — and ALTER ... ADD COLUMN ... DEFAULT, which
+    *    WOULD need it, stays refused in [[alterTable]]. */
   override def capabilities(): java.util.Set[
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     java.util.EnumSet.of(
-      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   // ---- FunctionCatalog: serves the `bucket` transform function so the
   // planner can resolve a bucketed table's partitioning and key-group
