@@ -132,7 +132,11 @@ private[sources] final class SnapshotStreamingWrite(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new SnapshotStreamingWriterFactory(tablePath, queryTok, schema,
-      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration), partSpec, partGen)
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration), partSpec, partGen,
+      // enforced CHECK constraints, resolved ONCE on the driver and
+      // evaluated per row in the writers — the analyzer injects this
+      // for batch V2 writes but not for streaming ones
+      checks = graft.store.TableChecks.violationExprs(spark, tablePath, schema))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     // exactly-once replay guard: the newest CURSOR commit's src=
@@ -166,19 +170,53 @@ private[sources] final class SnapshotStreamingWrite(
 private[sources] final class SnapshotStreamingWriterFactory(
     tablePath: String, queryTok: String, schema: StructType, conf: SerializableHadoopConf,
     partSpec: Seq[graft.store.PartitionSpec.PartField] = Nil,
-    partGen: Int = 0)
+    partGen: Int = 0,
+    checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
     val dir = s"$tablePath/v=${epochId}__stream$queryTok"
     // streaming writers are FULLY lazy (an empty micro-batch must
     // commit no version), partitioned or not
-    if (partSpec.isEmpty)
-      new SnapshotDataWriter(dir, partitionId, schema, conf.conf, eagerPartitionZero = false)
-    else
-      new SnapshotPartitionedDataWriter(dir, partitionId, schema, partSpec, conf.conf,
-        eagerPartitionZero = false, gen = partGen)
+    val inner: DataWriter[InternalRow] =
+      if (partSpec.isEmpty)
+        new SnapshotDataWriter(dir, partitionId, schema, conf.conf, eagerPartitionZero = false)
+      else
+        new SnapshotPartitionedDataWriter(dir, partitionId, schema, partSpec, conf.conf,
+          eagerPartitionZero = false, gen = partGen)
+    if (checks.isEmpty) inner
+    else new CheckedDataWriter(inner, tablePath, schema, checks, partitionId)
   }
+}
+
+/** Per-row CHECK-constraint enforcement around a data writer: each
+  * violation expression (TRUE exactly when the row violates — see
+  * [[graft.store.TableChecks.violationExprs]]) compiles ONCE per task
+  * into a codegen'd predicate; a violating row fails the task, which
+  * fails the epoch before its stage can commit. */
+private[sources] final class CheckedDataWriter(
+    inner: DataWriter[InternalRow], tablePath: String, schema: StructType,
+    checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)],
+    partitionId: Int)
+    extends DataWriter[InternalRow] {
+  private lazy val preds = checks.map { case (name, e) =>
+    // expressions arrive pre-bound (ordinal BoundReferences over the
+    // write schema) — codegen compiles them directly
+    val p = org.apache.spark.sql.catalyst.expressions.Predicate.create(e)
+    p.initialize(partitionId)
+    (name, p)
+  }
+  override def write(row: InternalRow): Unit = {
+    preds.foreach { case (name, p) =>
+      if (p.eval(row))
+        throw new IllegalArgumentException(
+          s"streaming write to $tablePath violates CHECK constraint '$name'")
+    }
+    inner.write(row)
+  }
+  override def commit(): WriterCommitMessage = inner.commit()
+  override def abort(): Unit = inner.abort()
+  override def close(): Unit = inner.close()
 }
 
 private[sources] final class SnapshotBatchWrite(

@@ -120,6 +120,41 @@ object TableChecks {
     }
   }
 
+  /** Enforced checks resolved to BOUND catalyst violation expressions
+    * over `schema`'s attributes: each returned expression evaluates
+    * TRUE exactly when the row VIOLATES its constraint (predicate
+    * null-safely equal to false — ANSI: null passes). The streaming
+    * sink ships these to its writers and evaluates per row with a
+    * codegen'd predicate — the per-row enforcement Spark's analyzer
+    * injects for batch writes but not for streaming ones. */
+  def violationExprs(
+      spark: SparkSession, table: String,
+      schema: org.apache.spark.sql.types.StructType)
+      : Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    val checks = read(spark, table).filter(_.enforced)
+    if (checks.isEmpty) return Nil
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.catalyst.plans.logical
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema)
+    checks.map { c =>
+      val parsed = spark.sessionState.sqlParser.parseExpression(c.predicateSql)
+      // full analysis over a LocalRelation of the WRITE schema: function
+      // resolution, implicit casts, attribute binding — identical
+      // semantics to the batch path's CheckInvariant
+      val analyzed = spark.sessionState
+        .executePlan(logical.Filter(parsed, logical.LocalRelation(attrs))).analyzed
+      val cond = analyzed.collectFirst { case f: logical.Filter => f.condition }
+        .getOrElse(throw new IllegalStateException(
+          s"constraint '${c.name}' (${c.predicateSql}) did not analyze to a filter"))
+      // bind HERE (ordinal BoundReferences over the write schema):
+      // expression ids don't survive the driver→executor boundary, a
+      // bound expression does
+      val violation =
+        ce.EqualNullSafe(cond, ce.Literal(false, org.apache.spark.sql.types.BooleanType))
+      (c.name, ce.BindReferences.bindReference(violation, attrs))
+    }
+  }
+
   /** Validate the EXISTING table against a new check (one scan). */
   def validateExisting(spark: SparkSession, table: String, c: Check): Unit = {
     val df = SnapshotStore.read(spark, table)

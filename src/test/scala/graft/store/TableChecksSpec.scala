@@ -125,4 +125,33 @@ class TableChecksSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("already exists"), e.getMessage)
   }
+
+  test("streaming sink enforces CHECK constraints per row") {
+    val (cat, wh) = freshCat()
+    val t = s"$wh/facts/stream_t"
+    val ckpt = java.nio.file.Files.createTempDirectory("checkck").toString
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    SnapshotStore.commit(spark.range(0).selectExpr("id", "CAST(id AS DOUBLE) AS price"), t)
+    spark.sql(s"ALTER TABLE $cat.facts.stream_t ADD CONSTRAINT price_pos CHECK (price > 0)")
+
+    val input = MemoryStream[Long]
+    val q = input.toDF().selectExpr("value AS id", "CAST(value AS DOUBLE) - 5.0 AS price")
+      .writeStream.format("graft-snapshot").option("path", t)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      input.addData(10L, 20L) // prices 5, 15 — pass
+      q.processAllAvailable()
+      assert(SnapshotStore.read(spark, t).count() === 2L)
+      input.addData(3L) // price -2 — must refuse the batch
+      val e = intercept[Exception] { q.processAllAvailable() }
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("price_pos") || msg.toLowerCase.contains("check"),
+        s"failure must name the constraint: $msg")
+      assert(SnapshotStore.read(spark, t).count() === 2L,
+        "the violating batch must not commit")
+    } finally scala.util.Try(q.stop())
+  }
 }
