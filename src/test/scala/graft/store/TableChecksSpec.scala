@@ -154,4 +154,30 @@ class TableChecksSpec extends SparkSuite {
         "the violating batch must not commit")
     } finally scala.util.Try(q.stop())
   }
+
+  test("row-level UPDATE/MERGE enforce CHECK constraints") {
+    import spark.implicits._
+    val (cat, wh) = freshCat()
+    val t = s"$wh/facts/rl"
+    SnapshotStore.commit(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "price"), t)
+    spark.sql(s"ALTER TABLE $cat.facts.rl ADD CONSTRAINT price_pos CHECK (price > 0)")
+
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $cat.facts.rl SET price = -1.0 WHERE id = 1")
+    }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .toLowerCase.contains("check"), s"UPDATE must enforce: ${e.getMessage}")
+    spark.sql(s"UPDATE $cat.facts.rl SET price = 11.0 WHERE id = 1")
+    assert(SnapshotStore.read(spark, t).filter(col("id") === 1).collect()(0).getDouble(1) === 11.0)
+
+    Seq((2L, -7.0), (3L, 30.0)).toDF("id", "price").createOrReplaceTempView("rl_src")
+    val e2 = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $cat.facts.rl t USING rl_src s ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET price = s.price
+            WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert((e2.getMessage + Option(e2.getCause).map(_.getMessage).getOrElse(""))
+      .toLowerCase.contains("check"), s"MERGE must enforce: ${e2.getMessage}")
+  }
 }
