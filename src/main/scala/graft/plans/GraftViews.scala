@@ -76,6 +76,10 @@ object GraftViews {
   private def partsOf(child: LogicalPlan): Option[Seq[String]] = child match {
     case UnresolvedIdentifier(parts, _) => Some(parts)
     case v: UnresolvedView              => Some(v.multipartIdentifier)
+    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+      Some(t.multipartIdentifier)
+    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+      Some(t.multipartIdentifier)
     case _                              => None
   }
 
@@ -119,6 +123,22 @@ object GraftViews {
           }.getOrElse(plan)
         case _ => plan
       }
+    case av: AlterViewAs =>
+      (for {
+        parts <- partsOf(av.child)
+        (cat, id) <- graftIdent(session, parts)
+      } yield AlterGraftViewAsCommand(cat, id, av.originalText,
+        av.query): LogicalPlan).getOrElse(plan)
+    case ac: AnalyzeColumn =>
+      // `ANALYZE TABLE cat.ns.t COMPUTE STATISTICS FOR [ALL] COLUMNS`:
+      // the native spelling of `CALL system.analyze` — Spark's own
+      // AnalyzeColumn command is session-catalog-only
+      (for {
+        parts <- partsOf(ac.child)
+        (cat, id) <- graftIdent(session, parts)
+        if !SnapshotViews.exists(session, cat.warehousePath, id)
+      } yield AnalyzeGraftColumnsCommand(cat, id, ac.columnNames.getOrElse(Nil),
+        ac.allColumns): LogicalPlan).getOrElse(plan)
     case sp: SetViewProperties =>
       (for {
         parts <- partsOf(sp.child)
@@ -235,6 +255,65 @@ final case class CreateGraftViewCommand(
       })
     if (replace) catalog.replaceView(info, true) else catalog.createView(info)
     Nil
+  }
+}
+
+/** `ALTER VIEW <graft-cat>.<ns>.<v> AS <query>` — swap the defining
+  * SQL in place, keeping properties; column aliases/comments reset
+  * (the statement carries no column list). */
+final case class AlterGraftViewAsCommand(
+    catalog: SnapshotCatalog,
+    ident: Identifier,
+    sql: String,
+    query: LogicalPlan) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+  override def run(session: SparkSession): Seq[Row] = {
+    val old = SnapshotViews.read(session, catalog.warehousePath, ident).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+    val analyzed = session.sessionState.executePlan(query).analyzed
+    val cm = session.sessionState.catalogManager
+    SnapshotViews.create(session, catalog.warehousePath, ident,
+      old.copy(sql = sql, currentCatalog = cm.currentCatalog.name,
+        currentNamespace = cm.currentNamespace, schema = analyzed.schema,
+        queryColumnNames = analyzed.schema.fieldNames,
+        columnAliases = Array.empty, columnComments = Array.empty),
+      overwrite = true)
+    Nil
+  }
+}
+
+/** `ANALYZE TABLE <graft-cat>.<ns>.<t> COMPUTE STATISTICS FOR [ALL]
+  * COLUMNS ...` — routes to the NDV/KLL analyze commit ([[graft.ops
+  * .NdvStats.analyzeCommit]]), the same surface as `CALL
+  * system.analyze`. ALL COLUMNS takes every sketchable atomic column
+  * (int/bigint/string — the HLL input domain). */
+final case class AnalyzeGraftColumnsCommand(
+    catalog: SnapshotCatalog,
+    ident: Identifier,
+    columns: Seq[String],
+    allColumns: Boolean) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = (catalog.warehousePath +: ident.namespace.toSeq :+ ident.name).mkString("/")
+    val schema = graft.store.SnapshotStore.read(session, root).schema
+    val cols =
+      if (!allColumns) columns
+      else schema.fields.toSeq.collect {
+        case f if f.dataType == types.IntegerType || f.dataType == types.LongType ||
+          f.dataType == types.StringType => f.name
+      }
+    require(cols.nonEmpty,
+      s"ANALYZE TABLE ${ident.name}: no sketchable columns " +
+        "(HLL sketches take int/bigint/string)")
+    val unknown = cols.filterNot(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    require(unknown.isEmpty,
+      s"ANALYZE TABLE ${ident.name}: unknown column(s) ${unknown.mkString(", ")}")
+    val v = graft.ops.NdvStats.analyzeCommit(session, root, cols)
+    Seq(Row(v, cols.mkString(",")))
+  }
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    Seq(AttributeReference("version", types.LongType, nullable = false)(),
+      AttributeReference("columns", types.StringType, nullable = false)())
   }
 }
 

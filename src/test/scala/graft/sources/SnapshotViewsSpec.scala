@@ -107,4 +107,37 @@ class SnapshotViewsSpec extends SparkSuite {
           SELECT * FROM $cat.facts.daily ORDER BY n DESC LIMIT 2""")
     assert(spark.sql(s"SELECT * FROM $cat.facts.daily_top").collect().length === 2)
   }
+
+  test("ALTER VIEW ... AS swaps the definition; ANALYZE TABLE routes to the NDV commit") {
+    val (cat, wh) = freshCat()
+    graft.store.SnapshotStore.commit(
+      graft.sources.Tables.nation(spark, sf()), s"$wh/facts/nation")
+    spark.sql(s"CREATE VIEW $cat.facts.v5 AS SELECT n_nationkey FROM $cat.facts.nation")
+    spark.sql(s"ALTER VIEW $cat.facts.v5 SET TBLPROPERTIES ('team' = 'etl')")
+    spark.sql(s"ALTER VIEW $cat.facts.v5 AS SELECT n_name, n_regionkey FROM $cat.facts.nation")
+    val df = spark.sql(s"SELECT * FROM $cat.facts.v5")
+    assert(df.schema.fieldNames.toSeq === Seq("n_name", "n_regionkey"))
+    assert(df.count() === 25)
+    // properties survive the redefinition
+    import scala.jdk.CollectionConverters._
+    val props = spark.sessionState.catalogManager.catalog(cat).asInstanceOf[SnapshotCatalog]
+      .loadView(org.apache.spark.sql.connector.catalog.Identifier.of(Array("facts"), "v5"))
+      .properties.asScala
+    assert(props.get("team").contains("etl"), s"props must survive ALTER AS: $props")
+
+    // ANALYZE TABLE ... FOR COLUMNS → ndvfile= manifest surface
+    val rows = spark.sql(
+      s"ANALYZE TABLE $cat.facts.nation COMPUTE STATISTICS FOR COLUMNS n_regionkey").collect()
+    assert(rows.length === 1 && rows(0).getString(1) === "n_regionkey")
+    val t = s"$wh/facts/nation"
+    val m = graft.store.SnapshotStore.manifest(spark, t,
+      graft.store.SnapshotStore.currentVersion(spark, t).get)
+    assert(m.ndvFile.nonEmpty, "analyze must publish the NDV sidecar")
+
+    // ALL COLUMNS picks every sketchable column
+    spark.sql(s"ANALYZE TABLE $cat.facts.nation COMPUTE STATISTICS FOR ALL COLUMNS")
+    val m2 = graft.store.SnapshotStore.manifest(spark, t,
+      graft.store.SnapshotStore.currentVersion(spark, t).get)
+    assert(m2.ndvFile.nonEmpty)
+  }
 }
