@@ -199,8 +199,24 @@ final class GraftViewParser(session: SparkSession, delegate: ParserInterface)
   * query. Runs in the main resolution fixed point, so nested views
   * resolve transitively. */
 final class GraftViewSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case u: UnresolvedRelation if !u.isStreaming =>
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // a VERSION/TIMESTAMP AS OF wrapper must NOT resolve through a
+    // view — substituting would silently ignore the version spec;
+    // leaving it unresolved fails analysis loudly instead
+    val timeTraveled = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    plan.foreach {
+      case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
+        timeTraveled.add(tt.relation)
+      case _ => ()
+    }
+    plan.resolveOperatorsUp {
+      case u: UnresolvedRelation if !u.isStreaming && !timeTraveled.contains(u) =>
+        substitute(u)
+    }
+  }
+
+  private def substitute(u: UnresolvedRelation): LogicalPlan =
       GraftViews.graftIdent(session, u.multipartIdentifier).flatMap { case (cat, id) =>
         SnapshotViews.read(session, warehouseOf(cat), id).map { rec =>
           val parsed = session.sessionState.sqlParser.parsePlan(rec.sql)
@@ -211,7 +227,6 @@ final class GraftViewSubstitution(session: SparkSession) extends Rule[LogicalPla
           SubqueryAlias(u.multipartIdentifier.last, aliased): LogicalPlan
         }
       }.getOrElse(u)
-  }
 
   private def warehouseOf(cat: SnapshotCatalog): String = cat.warehousePath
 }

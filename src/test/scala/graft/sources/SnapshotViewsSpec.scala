@@ -140,4 +140,16 @@ class SnapshotViewsSpec extends SparkSuite {
       graft.store.SnapshotStore.currentVersion(spark, t).get)
     assert(m2.ndvFile.nonEmpty)
   }
+
+  test("time travel over a view name fails loudly instead of ignoring the version") {
+    val (cat, wh) = freshCat()
+    graft.store.SnapshotStore.commit(
+      graft.sources.Tables.region(spark, sf()), s"$wh/facts/region")
+    spark.sql(s"CREATE VIEW $cat.facts.v6 AS SELECT r_regionkey FROM $cat.facts.region")
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM $cat.facts.v6 VERSION AS OF 0").collect()
+    }
+    // the plain read still resolves
+    assert(spark.sql(s"SELECT * FROM $cat.facts.v6").count() === 5)
+  }
 }
