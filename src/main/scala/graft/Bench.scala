@@ -89,14 +89,23 @@ object Bench {
     }
     controlRun() // codegen/JIT warm-up run, untimed
     val controlSec = median(Seq(controlRun(), controlRun(), controlRun()))
+    // Per-query numbers are NET of one-time fixture builds (round-15:
+    // dt_partition_evolve once reported 36.4s of which 35.9s was its
+    // fixture CTAS) — the fixture registry records each build's cost,
+    // so the delta across the query's run is subtracted and published
+    // separately under fixture_setup_sec. The bench then measures the
+    // read path it claims to measure.
+    def fixtureTotal(): Double = graft.queries.Fixtures.buildTimes.values.sum
     val outcomes = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => subset.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      val fx0 = fixtureTotal()
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable => Some(e.getClass.getSimpleName) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val gross = (System.nanoTime() - t0) / 1e9
+      (name, math.max(0.0, gross - (fixtureTotal() - fx0)), err)
     }
     val ok = outcomes.filter(_._3.isEmpty)
     val errs = outcomes.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
@@ -140,15 +149,12 @@ object Bench {
       .filter(_.size >= 2)
       .map(rs => rs.max / math.max(rs.min, 1e-9))
       .foldLeft(1.0)(math.max)
-    // Per-query regression gate (round-12, BOX-NORMALIZED since
-    // round-14): diff this run against the PREVIOUS BENCH_FULL.json
-    // (read before we overwrite it) and record queries >1.5× slower
-    // AFTER dividing out the control ratio — absolute seconds are
-    // box-sensitive (rounds 11-13 each flagged an untouched query
-    // purely because the box speed moved). Still a flag list, not a
-    // failure. Sub-300ms queries are skipped (pure noise at that
-    // scale). The scale is clamped to [0.4, 2.5]: a pathological
-    // control reading must not be able to mask a real 2×+ regression.
+    // Per-query regression gate (round-12; MEDIAN-RATIO normalized
+    // since round-15 — the round-14 control-normalized gate misfired
+    // 161 false flags on its first cross-box run): diff this run
+    // against the PREVIOUS BENCH_FULL.json (read before we overwrite
+    // it) through [[BenchGate.evaluate]], whose arithmetic is
+    // unit-tested in BenchGateSpec. Still a flag list, not a failure.
     val prevText: Option[String] = {
       val p = java.nio.file.Paths.get(fullOut)
       if (!java.nio.file.Files.exists(p)) None
@@ -173,13 +179,10 @@ object Bench {
     val prevControl: Option[Double] = prevSameSf.flatMap(text =>
       "\"control_sec\":([0-9.]+)".r.findFirstMatchIn(text)
         .map(_.group(1).toDouble).filter(_ > 0))
-    val controlScale = // this box's speed relative to the previous run's
-      math.min(2.5, math.max(0.4, prevControl.map(controlSec / _).getOrElse(1.0)))
-    val regressions = ok.collect {
-      case (k, v, _) if prevQueries.get(k)
-          .exists(old => old > 0.3 && v > 1.5 * old * controlScale) =>
-        k -> (v, prevQueries(k))
-    }.sortBy { case (_, (now, old)) => -(now / old) }
+    val controlScale = prevControl.map(controlSec / _).getOrElse(1.0)
+    val gate = BenchGate.evaluate(
+      ok.map { case (k, v, _) => k -> v }.toMap, prevQueries, controlScale)
+    val regressions = gate.regressions
     val regressionsJson = regressions
       .map { case (k, (now, old)) => "\"" + k + "\":[" + fmt(now) + "," + fmt(old) + "]" }
       .mkString("{", ",", "}")
@@ -196,14 +199,14 @@ object Bench {
       .map { case (k, v) => "\"" + k.takeWhile(_ != '|') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${outcomes.size},"queries":$fullQs,"runs":$runsJson,"spread_max":${fmt(spreadMax)},"errors":$errs,"control_sec":${fmt(controlSec)},"control_scale_vs_prev":${fmt(controlScale)},"regressions_vs_prev":$regressionsJson,$boot,"fixture_setup_sec":$fixturesJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${outcomes.size},"queries":$fullQs,"runs":$runsJson,"spread_max":${fmt(spreadMax)},"errors":$errs,"control_sec":${fmt(controlSec)},"control_scale_vs_prev":${fmt(controlScale)},"median_ratio_vs_prev":${fmt(gate.medianRatio)},"n_shared_vs_prev":${gate.nShared},"corpus_slowdown":${gate.corpusSlowdown},"regressions_vs_prev":$regressionsJson,$boot,"fixture_setup_sec":$fixturesJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(fullOut),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val headQs = headline.flatMap(k => headRuns.get(k).map(rs => "\"" + k + "\":" + fmt(median(rs))))
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${outcomes.size},"n_errors":${outcomes.count(_._3.isDefined)},"queries":$headQs,"queries_stat":"median_of_3","spread_max":${fmt(spreadMax)},"control_sec":${fmt(controlSec)},"n_regressions":${regressions.size},$boot,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${outcomes.size},"n_errors":${outcomes.count(_._3.isDefined)},"queries":$headQs,"queries_stat":"median_of_3","spread_max":${fmt(spreadMax)},"control_sec":${fmt(controlSec)},"median_ratio_vs_prev":${fmt(gate.medianRatio)},"n_regressions":${regressions.size},"corpus_slowdown":${gate.corpusSlowdown},$boot,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -59,17 +59,19 @@ object GraftViews {
         case c: SnapshotCatalog => Some(c)
         case _                  => None
       } catch { case scala.util.control.NonFatal(_) => None }
-    val explicit =
-      if (parts.length >= 2)
-        catOf(parts.head).map(c => (c, Identifier.of(parts.tail.init.toArray, parts.last)))
-      else None
-    explicit.orElse {
-      cm.currentCatalog match {
-        case c: SnapshotCatalog =>
-          val ns = if (parts.length >= 2) parts.init.toArray else cm.currentNamespace
-          Some((c, Identifier.of(ns, parts.last)))
-        case _ => None
-      }
+    // A leading part that names a REGISTERED catalog of ANY kind makes
+    // the identifier explicitly qualified: resolve it in that catalog
+    // or not at all. Falling through would reinterpret another
+    // catalog's name as a namespace inside the current graft catalog —
+    // hijacking e.g. `CREATE VIEW spark_catalog.db.v` when a
+    // SnapshotCatalog happens to be current.
+    if (parts.length >= 2 && cm.isCatalogRegistered(parts.head))
+      catOf(parts.head).map(c => (c, Identifier.of(parts.tail.init.toArray, parts.last)))
+    else cm.currentCatalog match {
+      case c: SnapshotCatalog =>
+        val ns = if (parts.length >= 2) parts.init.toArray else cm.currentNamespace
+        Some((c, Identifier.of(ns, parts.last)))
+      case _ => None
     }
   }
 
@@ -112,6 +114,11 @@ object GraftViews {
             case head +: rest if isGraftCatalogName(session, head) =>
               Some((session.sessionState.catalogManager.catalog(head)
                 .asInstanceOf[SnapshotCatalog], rest))
+            // another REGISTERED catalog's name is an explicit
+            // qualifier — leave `SHOW VIEWS IN spark_catalog.db` to
+            // the stock path, don't read it as a graft namespace
+            case head +: _ if session.sessionState.catalogManager
+              .isCatalogRegistered(head) => None
             case other =>
               session.sessionState.catalogManager.currentCatalog match {
                 case c: SnapshotCatalog => Some((c, other))
@@ -153,6 +160,22 @@ object GraftViews {
         unset = up.propertyKeys): LogicalPlan).getOrElse(plan)
     case _ => plan
   }
+
+  /** A persisted view must not capture session-temporary objects: the
+    * stored SQL resolves in the DEFINER's catalog context on every
+    * read, where no temp view exists — the reference would dangle (or
+    * worse, bind to an unrelated table). Mirrors Spark's
+    * INVALID_TEMP_OBJ_REFERENCE refusal for its own persisted views. */
+  def refuseTempRefs(session: SparkSession, body: LogicalPlan, what: String): Unit =
+    body.foreach {
+      case r: UnresolvedRelation
+          if session.sessionState.catalog.isTempView(r.multipartIdentifier) =>
+        throw new IllegalArgumentException(
+          s"$what: the defining query references temporary view " +
+            s"${r.multipartIdentifier.mkString(".")} — a persisted view cannot depend " +
+            "on session-temporary objects")
+      case _ => ()
+    }
 
   private def isGraftCatalogName(session: SparkSession, name: String): Boolean = {
     val cm = session.sessionState.catalogManager
@@ -219,7 +242,8 @@ final class GraftViewSubstitution(session: SparkSession) extends Rule[LogicalPla
   private def substitute(u: UnresolvedRelation): LogicalPlan =
       GraftViews.graftIdent(session, u.multipartIdentifier).flatMap { case (cat, id) =>
         SnapshotViews.read(session, warehouseOf(cat), id).map { rec =>
-          val parsed = session.sessionState.sqlParser.parsePlan(rec.sql)
+          val parsed = qualifyBody(
+            session.sessionState.sqlParser.parsePlan(rec.sql), rec)
           val aliased =
             if (rec.columnAliases != null && rec.columnAliases.nonEmpty)
               UnresolvedSubqueryColumnAliases(rec.columnAliases.toSeq, parsed)
@@ -227,6 +251,39 @@ final class GraftViewSubstitution(session: SparkSession) extends Rule[LogicalPla
           SubqueryAlias(u.multipartIdentifier.last, aliased): LogicalPlan
         }
       }.getOrElse(u)
+
+  /** Pin the DEFINER's resolution context (as Spark's own V2 view
+    * resolution does): an unqualified table reference in the stored
+    * body resolves against the catalog/namespace that were current at
+    * CREATE time — persisted in the record — never the READER's
+    * session state, which would silently bind the same view text to a
+    * different table per reader. References whose head already names a
+    * registered catalog, and names bound by the body's own CTEs, are
+    * left untouched. */
+  private def qualifyBody(parsed: LogicalPlan, rec: SnapshotViews.Rec): LogicalPlan = {
+    val defCat = Option(rec.currentCatalog).filter(_.nonEmpty)
+    if (defCat.isEmpty) return parsed
+    val cm = session.sessionState.catalogManager
+    val defNs: Seq[String] = Option(rec.currentNamespace).map(_.toSeq).getOrElse(Nil)
+    val cteNames = scala.collection.mutable.Set[String]()
+    parsed.foreach {
+      case w: UnresolvedWith =>
+        w.cteRelations.foreach { case (n, _, _) => cteNames += n.toLowerCase }
+      case _ => ()
+    }
+    parsed.transformUpWithSubqueries {
+      case r: UnresolvedRelation
+          if !(r.multipartIdentifier.length >= 2 &&
+              cm.isCatalogRegistered(r.multipartIdentifier.head)) &&
+            !(r.multipartIdentifier.length == 1 &&
+              cteNames.contains(r.multipartIdentifier.head.toLowerCase)) =>
+        val parts = r.multipartIdentifier
+        val full =
+          if (parts.length == 1) defCat.get +: (defNs ++ parts)
+          else defCat.get +: parts
+        r.copy(multipartIdentifier = full)
+    }
+  }
 
   private def warehouseOf(cat: SnapshotCatalog): String = cat.warehousePath
 }
@@ -248,6 +305,7 @@ final case class CreateGraftViewCommand(
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
   override def run(session: SparkSession): Seq[Row] = {
     if (allowExisting && catalog.viewExists(ident)) return Nil
+    GraftViews.refuseTempRefs(session, query, s"CREATE VIEW ${ident.name}")
     val analyzed = session.sessionState.executePlan(query).analyzed
     val qSchema = analyzed.schema
     if (userColumns.nonEmpty && userColumns.length != qSchema.length)
@@ -285,6 +343,7 @@ final case class AlterGraftViewAsCommand(
   override def run(session: SparkSession): Seq[Row] = {
     val old = SnapshotViews.read(session, catalog.warehousePath, ident).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+    GraftViews.refuseTempRefs(session, query, s"ALTER VIEW ${ident.name} AS")
     val analyzed = session.sessionState.executePlan(query).analyzed
     val cm = session.sessionState.catalogManager
     SnapshotViews.create(session, catalog.warehousePath, ident,

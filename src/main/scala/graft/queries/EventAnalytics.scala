@@ -989,8 +989,15 @@ object EventAnalytics {
         s"CALL $cat.system.evolve_partition_spec('facts.orders', 'days:o_orderdate')")
         .head().getLong(0)
       require(v == 1L, "dt_partition_evolve: evolution must be one metadata commit")
+      // the appended batch routes ~1 file per DAY directory: cap it to
+      // one quarter STRADDLING the 1997-01-01 prune cut (round-15 —
+      // the full 7-year range wrote ~2.4k day dirs and charged ~36s of
+      // pure fixture FS work to the bench). Both sides of the cut stay
+      // populated, so the both-generation pruning pins keep their force.
       graft.store.SnapshotStore.appendCommit(
         orders.filter(pmod(col("o_orderkey"), lit(4)) === 1)
+          .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-12-01 00:00:00")) &&
+            col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-03-01 00:00:00")))
           .withColumn("o_orderkey", col("o_orderkey") + 20000000L), t)
       val m = graft.store.SnapshotStore.manifest(s, t,
         graft.store.SnapshotStore.currentVersion(s, t).get)
@@ -1020,6 +1027,113 @@ object EventAnalytics {
           FROM $cat.facts.orders
           WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
           GROUP BY 1 ORDER BY 1""")
+  }
+
+  /** DT36: partition-scoped dynamic `INSERT OVERWRITE` — with
+    * `partitionOverwriteMode=dynamic` (the session default), restating
+    * one month of a months-partitioned fact replaces EXACTLY that
+    * partition in one manifest commit
+    * ([[graft.store.SnapshotStore.dynamicOverwriteCommit]]): untouched
+    * partitions keep their files identically (path-pinned below — a
+    * truncate or rewrite would produce fresh names), the restated
+    * month's rows land routed. The classic restatement workflow the
+    * reference runs as a Glue re-load of one day's partition. Oracle
+    * replays the restatement algebra over plain parquet. */
+  val dtDynamicOverwrite: Q = (s, d) => {
+    val wh = Fixtures.dir("dynoverwrite", d) { root =>
+      val t = s"$root/facts/orders"
+      val orders = Tables.orders(s, d)
+      graft.store.SnapshotStore.partitionedCommit(orders, t,
+        Seq(graft.store.PartitionSpec.PartField("months", "o_orderdate")))
+      val m0 = graft.store.SnapshotStore.manifest(s, t, 0L)
+      def monthOf(f: String): Option[String] =
+        f.split('/').find(_.startsWith("__gp0=")).map(_.stripPrefix("__gp0="))
+      val untouched0 = m0.files.filter(f => !monthOf(f).contains("1997-01")).toSet
+      require(untouched0.nonEmpty && untouched0.size < m0.files.size,
+        "dt_dynamic_overwrite: fixture needs touched AND untouched partitions")
+      val cat = snapCatalog(s, root)
+      orders.filter(date_format(col("o_orderdate"), "yyyy-MM") === "1997-01")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .createOrReplaceTempView("dynovr_src")
+      s.sql(s"INSERT OVERWRITE $cat.facts.orders SELECT * FROM dynovr_src")
+      val m1 = graft.store.SnapshotStore.manifest(s, t, 1L)
+      require(m1.op == "dynamic-overwrite",
+        "dt_dynamic_overwrite: the restatement must be one partition-scoped commit")
+      require(m1.files.filter(f => !monthOf(f).contains("1997-01")).toSet == untouched0,
+        "dt_dynamic_overwrite: untouched partitions must keep their exact files")
+      require(m0.files.filter(f => monthOf(f).contains("1997-01"))
+        .forall(f => !m1.files.contains(f)),
+        "dt_dynamic_overwrite: the restated month's old files must all be replaced")
+    }
+    val cat = snapCatalog(s, wh)
+    s.sql(
+      s"""SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM $cat.facts.orders
+          GROUP BY 1 ORDER BY 1""")
+  }
+
+  /** DT37: `ALTER TABLE ... ADD COLUMN ... DEFAULT` with
+    * EXISTS-DEFAULT reads — a metadata-only add (zero rewrite): files
+    * written BEFORE the ALTER lack the columns physically and their
+    * rows report the frozen defaults; an INSERT after it lands
+    * physically complete (explicit NULLs stay null). The top-5
+    * lakehouse backfill workflow. Oracle replays the two generations
+    * over plain parquet. */
+  val dtAddColumnDefault: Q = (s, d) => {
+    val wh = Fixtures.dir("addcoldef", d) { root =>
+      val t = s"$root/facts/orders"
+      val orders = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      graft.store.SnapshotStore.commit(orders, t) // gen A: no channel/fee
+      val cat = snapCatalog(s, root)
+      s.sql(s"ALTER TABLE $cat.facts.orders ADD COLUMNS " +
+        "(channel STRING DEFAULT 'store', fee DOUBLE DEFAULT 0.25)")
+      orders.createOrReplaceTempView("acd_src")
+      s.sql(
+        s"""INSERT INTO $cat.facts.orders
+            SELECT o_orderkey + 9000000, o_custkey, o_totalprice,
+                   CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE 'web' END, 1.5
+            FROM acd_src""")
+    }
+    val cat = snapCatalog(s, wh)
+    s.sql(
+      s"""SELECT coalesce(channel, '<null>') AS channel,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CAST(round(fee * 100) AS BIGINT)) AS BIGINT) AS fee_cents,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM $cat.facts.orders
+          GROUP BY 1 ORDER BY 1""")
+  }
+
+  /** DT38: `$detail` metadata table + SHOW CREATE TABLE — the
+    * introspection surface over a snapshot table's manifest state
+    * (layout, constraints, defaults, evolution, sidecar coverage) in
+    * one metadata row, zero data IO. Only the DETERMINISTIC fields are
+    * projected (location/timestamps/bytes vary per run), so the oracle
+    * states them as expected constants — with total_rows independently
+    * derived from the source table. */
+  val dtDescribeDetail: Q = (s, d) => {
+    val wh = Fixtures.dir("descdetail", d) { root =>
+      val t = s"$root/facts/orders"
+      graft.store.SnapshotStore.partitionedCommit(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"),
+        t, Seq(graft.store.PartitionSpec.PartField("months", "o_orderdate")))
+      val cat = snapCatalog(s, root)
+      s.sql(s"ALTER TABLE $cat.facts.orders ADD CONSTRAINT price_pos CHECK (o_totalprice >= 0)")
+      s.sql(s"ALTER TABLE $cat.facts.orders ADD COLUMNS (channel STRING DEFAULT 'store')")
+      val ddl = s.sql(s"SHOW CREATE TABLE $cat.facts.orders").head().getString(0)
+      require(ddl.toLowerCase.contains("partitioned by") && ddl.contains("months(o_orderdate)"),
+        s"dt_describe_detail: SHOW CREATE TABLE must render the partition transform: $ddl")
+    }
+    val cat = snapCatalog(s, wh)
+    val det = s.sql(
+      s"""SELECT version, operation, n_delete_files, partition_spec,
+                 spec_generation, n_spec_generations, constraints, column_defaults,
+                 total_rows, stats_exact, has_stats_sidecar, schema_pinned
+          FROM $cat.facts.`orders$$detail`""")
+    require(det.count() == 1L, "dt_describe_detail: exactly one detail row")
+    det
   }
 
   /** DT32: RENAME COLUMN via name mapping — `ALTER TABLE ... RENAME
@@ -1177,13 +1291,55 @@ object EventAnalytics {
          FROM u
          WHERE price > 1000.0
          GROUP BY 1 ORDER BY 1""",
+    "dt_describe_detail" ->
+      """SELECT CAST(1 AS BIGINT) AS version,
+                'append' AS operation,
+                CAST(0 AS BIGINT) AS n_delete_files,
+                'months:o_orderdate' AS partition_spec,
+                CAST(0 AS BIGINT) AS spec_generation,
+                CAST(1 AS BIGINT) AS n_spec_generations,
+                'price_pos CHECK (o_totalprice >= 0)' AS constraints,
+                'channel DEFAULT ''store''' AS column_defaults,
+                (SELECT CAST(count(*) AS BIGINT) FROM orders) AS total_rows,
+                TRUE AS stats_exact,
+                TRUE AS has_stats_sidecar,
+                TRUE AS schema_pinned""",
+    "dt_add_column_default" ->
+      """WITH u AS (
+           SELECT o_orderkey, o_custkey, o_totalprice,
+                  'store' AS channel, 0.25 AS fee
+           FROM orders
+           UNION ALL
+           SELECT o_orderkey + 9000000, o_custkey, o_totalprice,
+                  CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE 'web' END, 1.5
+           FROM orders)
+         SELECT coalesce(channel, '<null>') AS channel,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(fee * 100) AS BIGINT)) AS BIGINT) AS fee_cents,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM u
+         GROUP BY 1 ORDER BY 1""",
+    "dt_dynamic_overwrite" ->
+      """WITH u AS (
+           SELECT * FROM orders WHERE strftime(o_orderdate, '%Y-%m') <> '1997-01'
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2,
+                  o_orderdate, o_orderpriority
+           FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1997-01')
+         SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM u
+         GROUP BY 1 ORDER BY 1""",
     "dt_partition_evolve" ->
       """WITH u AS (
            SELECT * FROM orders
            UNION ALL
            SELECT o_orderkey + 20000000, o_custkey, o_orderstatus, o_totalprice,
                   o_orderdate, o_orderpriority
-           FROM orders WHERE o_orderkey % 4 = 1)
+           FROM orders WHERE o_orderkey % 4 = 1
+             AND o_orderdate >= TIMESTAMP '1996-12-01 00:00:00'
+             AND o_orderdate <  TIMESTAMP '1997-03-01 00:00:00')
          SELECT strftime(o_orderdate, '%Y-%m') AS month,
                 CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(sum(o_orderkey) AS BIGINT) AS key_sum
@@ -1702,6 +1858,9 @@ object EventAnalytics {
     "dt_ndv_cbo" -> dtNdvCbo,
     "dt_hist_cbo" -> dtHistCbo,
     "dt_partition_evolve" -> dtPartitionEvolve,
+    "dt_dynamic_overwrite" -> dtDynamicOverwrite,
+    "dt_add_column_default" -> dtAddColumnDefault,
+    "dt_describe_detail" -> dtDescribeDetail,
     "dt_rename_column" -> dtRenameColumn,
     "dt_widen_column" -> dtWidenColumn,
     "dt_partition_delete" -> dtPartitionDelete,

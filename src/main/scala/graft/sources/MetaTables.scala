@@ -116,6 +116,87 @@ private[sources] object MetaTables {
           StructField("rows", LongType, nullable = false), // -1 = sidecar gap
           StructField("data_bytes", LongType, nullable = false))),
         grouped))
+    case "detail" =>
+      // DESCRIBE-DETAIL surface (round 15): ONE metadata row with
+      // everything a user needs before trusting ALTER/MERGE on a table
+      // they didn't create — layout, constraints, defaults, evolution
+      // state, sidecar coverage. Manifest + constraints file + one
+      // cached sidecar read; zero data IO.
+      val cur = SnapshotStore.currentVersion(spark, root).get
+      val m = SnapshotStore.manifest(spark, root, cur)
+      val files = SnapshotStore.dataFiles(spark, m)
+      val sidecar: Map[String, (Long, Long)] =
+        if (m.statsFile.isEmpty) Map.empty
+        else
+          try graft.store.FileStats.read(spark, m.statsFile).entries
+            .map { case (f, e) =>
+              f -> (e.groups.map(_.rows).sum, e.groups.map(_.length).sum)
+            }
+          catch { case scala.util.control.NonFatal(_) => Map.empty }
+      val known = files.flatMap(sidecar.get)
+      val totalRows = if (known.size == files.size) known.map(_._1).sum else -1L
+      val totalBytes = if (known.size == files.size) known.map(_._2).sum else -1L
+      val checks = graft.store.TableChecks.read(spark, root)
+        .map(c => s"${c.name} CHECK (${c.predicateSql})" +
+          (if (!c.enforced) " NOT ENFORCED" else "") + (if (c.rely) " RELY" else ""))
+        .mkString("; ")
+      val defaults = graft.store.ColumnMapping.pinnedSchema(m).toSeq
+        .flatMap(_.fields.toSeq)
+        .filter(_.metadata.contains("CURRENT_DEFAULT"))
+        .map(f => s"${f.name} DEFAULT ${f.metadata.getString("CURRENT_DEFAULT")}")
+        .mkString("; ")
+      val row: Seq[Any] = Seq(
+        root,
+        cur,
+        m.op,
+        m.ts,
+        files.size.toLong,
+        m.deletes.size.toLong,
+        totalRows,
+        totalBytes,
+        graft.store.PartitionSpec.render(m.partSpec),
+        m.partGen.toLong,
+        (1 + m.partHist.size).toLong,
+        if (m.bucketN > 0) s"bucket(${m.bucketN}, ${m.bucketCols.mkString(", ")})" else "",
+        m.sortCols.mkString(", "),
+        m.keyCols.mkString(", "),
+        checks,
+        defaults,
+        m.renames.map { case (l, as) => s"$l<-${as.mkString("|")}" }.mkString("; "),
+        m.droppedCols.mkString(", "),
+        m.widens.map { case (c, t) => s"$c:$t" }.mkString("; "),
+        m.statsExact,
+        m.statsFile.nonEmpty,
+        m.bloomFile.nonEmpty,
+        m.ndvFile.nonEmpty,
+        m.schemaJson.nonEmpty)
+      Some(new MetaRowsTable(s"$root$$detail",
+        StructType(Seq(
+          StructField("location", StringType, nullable = false),
+          StructField("version", LongType, nullable = false),
+          StructField("operation", StringType, nullable = false),
+          StructField("commit_ts_ms", LongType, nullable = false),
+          StructField("n_data_files", LongType, nullable = false),
+          StructField("n_delete_files", LongType, nullable = false),
+          StructField("total_rows", LongType, nullable = false), // -1 = sidecar gap
+          StructField("data_bytes", LongType, nullable = false),
+          StructField("partition_spec", StringType, nullable = false),
+          StructField("spec_generation", LongType, nullable = false),
+          StructField("n_spec_generations", LongType, nullable = false),
+          StructField("bucket_spec", StringType, nullable = false),
+          StructField("sort_cols", StringType, nullable = false),
+          StructField("key_cols", StringType, nullable = false),
+          StructField("constraints", StringType, nullable = false),
+          StructField("column_defaults", StringType, nullable = false),
+          StructField("renamed_cols", StringType, nullable = false),
+          StructField("dropped_cols", StringType, nullable = false),
+          StructField("widened_cols", StringType, nullable = false),
+          StructField("stats_exact", BooleanType, nullable = false),
+          StructField("has_stats_sidecar", BooleanType, nullable = false),
+          StructField("has_bloom_index", BooleanType, nullable = false),
+          StructField("has_ndv_sketches", BooleanType, nullable = false),
+          StructField("schema_pinned", BooleanType, nullable = false))),
+        Seq(row)))
     case _ => None
   }
 }

@@ -65,14 +65,15 @@ final class SnapshotCatalog extends TableCatalog
   /** Declared DDL abilities:
     *  - CHECK constraints (`ALTER TABLE ... ADD CONSTRAINT c CHECK`,
     *    routed through [[alterTable]]);
-    *  - column DEFAULT values at CREATE TABLE — Spark encodes them in
-    *    the schema's field metadata, the pinned `schemajson=` persists
-    *    them, and Spark's own ResolveDefaultColumns fills omitted
-    *    columns / DEFAULT keywords on INSERT. Sound by construction:
-    *    every data file postdates the declaration, so the
-    *    exists-default read path (old files missing the column) can
-    *    never be needed — and ALTER ... ADD COLUMN ... DEFAULT, which
-    *    WOULD need it, stays refused in [[alterTable]]. */
+    *  - column DEFAULT values, at CREATE TABLE and (round 15) at
+    *    `ALTER TABLE ... ADD COLUMN ... DEFAULT` — Spark encodes them
+    *    in the schema's field metadata, the pinned `schemajson=`
+    *    persists them, and Spark's own ResolveDefaultColumns fills
+    *    omitted columns / DEFAULT keywords on INSERT. The ALTER form
+    *    additionally records EXISTS_DEFAULT (the folded constant),
+    *    which every read path substitutes for files that PREDATE the
+    *    column — post-ALTER files are physically complete, so
+    *    presence-in-file is the exact dispatch. */
   override def capabilities(): java.util.Set[
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     java.util.EnumSet.of(
@@ -383,12 +384,40 @@ final class SnapshotCatalog extends TableCatalog
     }
     val adds = changes.map {
       case a: TableChange.AddColumn
-          if a.fieldNames.length == 1 && a.isNullable &&
-            a.position == null && a.defaultValue == null =>
-        StructField(a.fieldNames.head, a.dataType, nullable = true)
+          if a.fieldNames.length == 1 && a.isNullable && a.position == null =>
+        val base = StructField(a.fieldNames.head, a.dataType, nullable = true)
+        Option(a.defaultValue) match {
+          case None => base
+          case Some(dv) =>
+            // ADD COLUMN ... DEFAULT (round 15): a metadata-only add —
+            // the pinned schema records BOTH defaults exactly as
+            // Spark's CREATE TABLE path does. CURRENT_DEFAULT drives
+            // ResolveDefaultColumns on future INSERTs (which land
+            // physically complete); EXISTS_DEFAULT is what every
+            // pre-ALTER file's rows report for the absent column — the
+            // read paths dispatch on physical presence per file. Only
+            // a constant-foldable default is expressible this way (the
+            // exists-value is frozen at ALTER time, by definition).
+            val cl = dv.getValue
+            if (cl == null) throw new UnsupportedOperationException(
+              s"ALTER TABLE $ident ADD COLUMN ${a.fieldNames.head}: DEFAULT " +
+                s"${dv.getSql} is not a constant literal — a metadata-only add " +
+                "freezes the exists-default at ALTER time, so only constants are " +
+                "expressible (rewrite the table to materialize a computed value)")
+            val lit = org.apache.spark.sql.catalyst.expressions.Literal(cl.value, cl.dataType)
+            val folded =
+              if (lit.dataType == a.dataType) lit
+              else org.apache.spark.sql.catalyst.expressions.Literal(
+                org.apache.spark.sql.catalyst.expressions.Cast(
+                  lit, a.dataType, Some("UTC")).eval(null), a.dataType)
+            base.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("CURRENT_DEFAULT", dv.getSql)
+              .putString("EXISTS_DEFAULT", folded.sql)
+              .build())
+        }
       case other => throw new UnsupportedOperationException(
         s"snapshot tables support ALTER TABLE ... ADD COLUMNS (top-level nullable, " +
-          s"no position/default), RENAME COLUMN, DROP COLUMN, and ALTER COLUMN ... " +
+          s"no position; constant DEFAULT allowed), RENAME COLUMN, DROP COLUMN, and ALTER COLUMN ... " +
           s"TYPE widening (byte/short -> int, byte/short/int -> bigint, float -> double) of top-level columns — " +
           s"anything else needs a full rewrite (REPLACE TABLE ... AS SELECT); got $other")
     }

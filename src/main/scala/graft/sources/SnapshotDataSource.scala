@@ -427,6 +427,28 @@ private[sources] final class SnapshotScanBuilder(
     (org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
       Option[(StructType, Seq[Seq[Any]], String)])] = None
 
+  /** EXISTS_DEFAULT columns some referenced file does NOT carry
+    * physically (`ADD COLUMN ... DEFAULT` predecessors): footer stats
+    * for them describe the null the decoder would emit, not the
+    * default the rows legally report — any metadata aggregate touching
+    * one must decline. Empty (and costs nothing) unless the pinned
+    * schema records a default; a file absent from the sidecar counts
+    * as lacking (decline-side conservative). */
+  private lazy val unfilledDefaultCols: Set[String] = {
+    val defs = graft.store.ColumnMapping.existsDefaults(m).map(_._1).toSet
+    if (defs.isEmpty) Set.empty
+    else {
+      val spark = SparkSession.active
+      val files = SnapshotStore.dataFiles(spark, m)
+      val entries: Map[String, graft.store.FileStats.Entry] =
+        if (m.statsFile.isEmpty) Map.empty
+        else
+          try graft.store.FileStats.read(spark, m.statsFile).entries
+          catch { case _: java.io.IOException => Map.empty }
+      defs.filter(c => files.exists(f => entries.get(f).forall(e => !e.fields(c))))
+    }
+  }
+
   private def tryComputeAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, Seq[Seq[Any]], String)] = {
@@ -434,8 +456,13 @@ private[sources] final class SnapshotScanBuilder(
       case Some((prev, res)) if prev == agg => return res
       case _ => ()
     }
+    val touchesUnfilledDefault = unfilledDefaultCols.nonEmpty &&
+      (agg.aggregateExpressions.toSeq ++ agg.groupByExpressions.toSeq)
+        .flatMap(_.references.toSeq.map(_.fieldNames.head))
+        .exists(unfilledDefaultCols)
     val res =
-      if (agg.groupByExpressions.isEmpty) computeAgg(agg)
+      if (touchesUnfilledDefault) None
+      else if (agg.groupByExpressions.isEmpty) computeAgg(agg)
       else computeGroupedAgg(agg)
     aggMemo = Some((agg, res))
     res
@@ -784,6 +811,18 @@ private[sources] object SnapshotScan {
     * table CHECK constraint ([[graft.store.TableChecks.disjoint]]) —
     * set per scan planning; the whole scan empties at once. */
   val lastConstraintPrunedFiles = new java.util.concurrent.atomic.AtomicLong
+
+  /** True iff `m` IS `tablePath`'s current head manifest. Gates
+    * constraint-contradiction pruning: the `_constraints` file is
+    * table-level (current) state, but a scan may pin an OLDER manifest
+    * (time travel), whose rows predate the constraint's add-time
+    * validation. Re-reading the head marker is one small metadata read,
+    * and it only happens after [[graft.store.TableChecks.disjoint]]
+    * already proved a contradiction (i.e. almost never). */
+  def isHeadManifest(
+      spark: SparkSession, tablePath: String, m: SnapshotStore.Manifest): Boolean =
+    SnapshotStore.currentVersion(spark, tablePath)
+      .exists(v => SnapshotStore.manifest(spark, tablePath, v) == m)
 
   /** Whether a pushed predicate set PROVABLY excludes every row of a
     * file given only its partition-directory facts ([[graft.store
@@ -1736,9 +1775,15 @@ private[sources] final class SnapshotScan(
     // comparison filter provably disjoint with a stored CHECK interval
     // (`WHERE price < 0` vs `CHECK (price >= 0)`) empties the scan with
     // ZERO file/sidecar/footer reads — the constraint is the proof.
+    // HEAD SCANS ONLY: constraints are validated against the head at
+    // ADD time and enforced on writes after it, so an older pinned
+    // snapshot (VERSION/TIMESTAMP AS OF) may legitimately hold rows
+    // violating a later-added constraint — pruning there would return
+    // silently-wrong (empty) results instead of the old rows.
     val afterChecks =
       if (tablePath.nonEmpty && skippable.nonEmpty &&
-          graft.store.TableChecks.disjoint(spark, tablePath, skippable.toSeq)) {
+          graft.store.TableChecks.disjoint(spark, tablePath, skippable.toSeq) &&
+          SnapshotScan.isHeadManifest(spark, tablePath, m)) {
         SnapshotScan.lastConstraintPrunedFiles.set(allDataFiles.size)
         Seq.empty[String]
       } else {
@@ -1786,6 +1831,15 @@ private[sources] final class SnapshotScan(
     // per-file reverse binding (a file written before the rename
     // carries the OLD physical name — the reader must request that)
     val aliasOf: Map[String, String] = graft.store.ColumnMapping.aliasOf(m)
+    // EXISTS_DEFAULT columns the projection asks for (`ADD COLUMN ...
+    // DEFAULT`): resolved ONCE to catalyst values; each file missing
+    // the column physically gets a per-ordinal fill its reader applies
+    // (post-ALTER files are physically complete, nulls included)
+    val scanDefaults: Seq[(String, Any)] =
+      graft.store.ColumnMapping.existsDefaults(m).collect {
+        case (n, sql, dt) if physical.fieldNames.contains(n) =>
+          n -> graft.store.ColumnMapping.defaultValueOf(sql, dt)
+      }
     val kept = all.flatMap { fstr =>
       val (blocks, fields) = sidecar.get(fstr) match {
         case Some(e) =>
@@ -1820,7 +1874,10 @@ private[sources] final class SnapshotScan(
         .map(b => (SnapshotInputPartition(fstr, b.start, b.length, b.rows, selfContained,
           bucketId = bucket,
           dvClass = if (m.deletes.isEmpty) 0 else dvClassOfFile.getOrElse(fstr, 0),
-          renameMap = renameMap),
+          renameMap = renameMap,
+          fillDefaults = scanDefaults.collect {
+            case (n, v) if physOf(n).isEmpty => physical.fieldIndex(n) -> v
+          }),
           b.stats))
     }
     // totalFiles counts the MANIFEST's files so bloom pruning shows in
@@ -2218,7 +2275,12 @@ private[sources] final case class SnapshotInputPartition(
     selfContained: Boolean = true, bucketId: Int = -1, dvClass: Int = 0,
     /** logical → physical column names for THIS file (rename mapping);
       * empty when the file already carries every logical name. */
-    renameMap: Map[String, String] = Map.empty)
+    renameMap: Map[String, String] = Map.empty,
+    /** EXISTS_DEFAULT fills for THIS file: (output ordinal, catalyst
+      * value) for each projected column the file predates (`ADD COLUMN
+      * ... DEFAULT`) — the reader substitutes the value where the
+      * null-filling decoder would emit null. */
+    fillDefaults: Seq[(Int, Any)] = Nil)
     extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = new GenericInternalRow(Array[Any](bucketId))
 }
@@ -2608,12 +2670,39 @@ private[sources] final class SnapshotReaderFactory(
     // even on the row path (DV probe per emitted row — ~10x the
     // record-assembly reader); only schema-evolution gaps fall back to
     // the Group reader, which fills absent columns with null
-    val inner: PartitionReader[InternalRow] =
+    val decoded: PartitionReader[InternalRow] =
       if (p.selfContained)
         new SnapshotVectorRowReader(
           p, required, kc, kt, dv, conf.conf, mx)
       else
         new SnapshotPartitionReader(p, required, kc, dv, conf.conf, mx)
+    // EXISTS_DEFAULT substitution (`ADD COLUMN ... DEFAULT`): THIS
+    // file predates the column, so the decoder's null becomes the
+    // recorded default — one codegen'd projection per slice
+    val inner: PartitionReader[InternalRow] =
+      if (p.fillDefaults.isEmpty) decoded
+      else {
+        val fills = p.fillDefaults.toMap
+        val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+          required.fields.toSeq.zipWithIndex.map { case (f, i) =>
+            fills.get(i) match {
+              case Some(v) =>
+                org.apache.spark.sql.catalyst.expressions.Literal(v, f.dataType)
+                  : org.apache.spark.sql.catalyst.expressions.Expression
+              case None =>
+                org.apache.spark.sql.catalyst.expressions.BoundReference(
+                  i, f.dataType, f.nullable)
+            }
+          })
+        new PartitionReader[InternalRow] {
+          override def next(): Boolean = decoded.next()
+          override def get(): InternalRow = proj(decoded.get())
+          override def close(): Unit = decoded.close()
+          override def currentMetricsValues()
+              : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+            decoded.currentMetricsValues()
+        }
+      }
     if (!appendFileCol) inner
     else {
       // `_file` metadata column: a per-partition constant appended as
@@ -2651,6 +2740,9 @@ private[sources] final class SnapshotReaderFactory(
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     // a class no DV covers (appended-after-delete files) decodes clean;
     // covered classes probe + compact per batch, still columnar
+    require(p.fillDefaults.isEmpty,
+      "columnar read planned for a file needing an exists-default fill — planning " +
+        "must have disabled columnar (allColumnsPresent) for this scan")
     val dv: DvLookup = dvResolver.map(_.lookup(p.dvClass)).orNull
     if (dv == null) new SnapshotColumnarReader(p, required, conf.conf)
     else new SnapshotDvColumnarReader(p, required, keyCols, keyTypes, dv, conf.conf, mx)

@@ -42,21 +42,26 @@ private[sources] final class SnapshotWriteBuilder(
     tablePath: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
 
-  private var truncating = false
+  private var mode: String = "append"
 
-  override def truncate(): WriteBuilder = { truncating = true; this }
+  override def truncate(): WriteBuilder = { mode = "truncate"; this }
 
-  /** Snapshot tables carry no partition columns, so "dynamic partition
-    * overwrite" degenerates to a full replace — identical to truncate. */
-  override def overwriteDynamicPartitions(): WriteBuilder = { truncating = true; this }
+  /** Dynamic partition overwrite (round 15): on an internally
+    * partitioned snapshot table, replace exactly the partitions the
+    * batch touches ([[SnapshotStore.dynamicOverwriteCommit]]) — the
+    * restatement workflow. On a table with no partition layout it
+    * keeps Spark's unpartitioned-table contract: a full replace. */
+  override def overwriteDynamicPartitions(): WriteBuilder = { mode = "dynamic"; this }
 
   override def build(): Write =
-    new SnapshotWrite(tablePath, info.schema(), append = !truncating)
+    new SnapshotWrite(tablePath, info.schema(), mode)
 }
 
 private[sources] final class SnapshotWrite(
-    tablePath: String, schema: StructType, append: Boolean) extends Write
+    tablePath: String, schema: StructType, mode: String) extends Write
     with BucketDistribution {
+
+  private def append: Boolean = mode == "append"
 
   /** The head's bucketed layout, resolved ONCE at write build: when
     * present, [[BucketDistribution]] requires the input clustered by
@@ -90,8 +95,23 @@ private[sources] final class SnapshotWrite(
     * generations prune under exactly the spec that wrote them. */
   private val partGen: Int = headManifest.map(_.partGen).getOrElse(0)
 
+  // dynamic overwrite on a PARTITIONED table must be able to route
+  // every row — a batch missing a partition source column would fall
+  // back to an unrouted stage, which on this path would silently
+  // replace the whole table. Refuse at write build, not at commit.
+  if (mode == "dynamic" && headManifest.exists(_.partSpec.nonEmpty) && partSpec.isEmpty)
+    throw new UnsupportedOperationException(
+      s"dynamic INSERT OVERWRITE on $tablePath: the batch is missing partition source " +
+        s"column(s) of spec ${headManifest.map(_.partSpec.map(_.describe).mkString(", ")).getOrElse("")} " +
+        "— rows cannot be routed to their partitions. Include the column(s), or use " +
+        "static INSERT OVERWRITE for a full replace")
+
   override def toBatch: BatchWrite =
-    new SnapshotBatchWrite(tablePath, schema, append, bucketSpec, partSpec, partGen)
+    new SnapshotBatchWrite(tablePath, schema,
+      // dynamic mode on an UNpartitioned table keeps Spark's contract:
+      // full replace, i.e. the truncate path
+      if (mode == "dynamic" && partSpec.isEmpty) "truncate" else mode,
+      bucketSpec, partSpec, partGen)
 
   /** Structured Streaming SINK: each micro-batch commits as one
     * O(new-files) append version, EXACTLY-ONCE — the epoch id rides the
@@ -220,11 +240,13 @@ private[sources] final class CheckedDataWriter(
 }
 
 private[sources] final class SnapshotBatchWrite(
-    tablePath: String, schema: StructType, append: Boolean,
+    tablePath: String, schema: StructType, mode: String,
     bucketSpec: Option[(Seq[String], Int)] = None,
     partSpec: Seq[graft.store.PartitionSpec.PartField] = Nil,
     partGen: Int = 0)
     extends BatchWrite {
+
+  private def append: Boolean = mode == "append"
 
   private val spark = SparkSession.active
   private val stagedDir =
@@ -248,12 +270,18 @@ private[sources] final class SnapshotBatchWrite(
     SnapshotWriteUtil.sweepStaged(fs, new Path(stagedDir),
       committed.map(f => new Path(f).getName).toSet)
 
-    // one shared home for both publish protocols (SnapshotDataWriter
+    // one shared home for the publish protocols (SnapshotDataWriter
     // never truncates stats, so the staged side is always exact)
     if (append)
       SnapshotStore.appendFilesCommit(spark, tablePath, committed, stagedExact = true,
         routedBucket = bucketSpec)
-    else
+    else if (mode == "dynamic") {
+      // empty batch touches no partitions — Spark's dynamic contract
+      // makes that a no-op, never a truncate
+      if (committed.nonEmpty)
+        SnapshotStore.dynamicOverwriteCommit(spark, tablePath, committed,
+          partSpec, partGen, stagedExact = true)
+    } else
       SnapshotStore.rewriteFilesCommit(spark, tablePath, committed, statsExact = true,
         bucketCols = bucketSpec.map(_._1).getOrElse(Nil),
         bucketN = bucketSpec.map(_._2).getOrElse(0),

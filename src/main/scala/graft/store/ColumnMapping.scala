@@ -41,6 +41,39 @@ object ColumnMapping {
       c -> org.apache.spark.sql.types.DataType.fromDDL(t)
     }.toMap
 
+  /** EXISTS_DEFAULT columns of the pinned logical schema: (logical
+    * name, folded-literal SQL, logical type). Recorded by `ALTER TABLE
+    * ... ADD COLUMN ... DEFAULT` (round 15) — files written BEFORE the
+    * ALTER lack the column physically and their rows report this
+    * default; files written after are physically complete (explicit
+    * NULLs included), so presence-in-file is the exact dispatch.
+    * CREATE TABLE-time defaults also carry the metadata, but every
+    * file postdates them — the fill classifies and finds nothing. */
+  def existsDefaults(
+      m: SnapshotStore.Manifest): Seq[(String, String, org.apache.spark.sql.types.DataType)] =
+    pinnedSchema(m).map(_.fields.toSeq.flatMap { f =>
+      if (f.metadata.contains("EXISTS_DEFAULT"))
+        Some((f.name, f.metadata.getString("EXISTS_DEFAULT"), f.dataType))
+      else None
+    }).getOrElse(Nil)
+
+  /** The CATALYST value of a stored exists-default (driver-side, plan
+    * time): the stored SQL is a folded literal by construction (the
+    * ALTER path folds through the connector literal), so this is a
+    * parse + optional cast, never an analysis. */
+  def defaultValueOf(sql: String, dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    val e = org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql)
+    val lit = e match {
+      case l: Literal => l
+      case other =>
+        require(other.foldable, s"exists-default '$sql' is not a foldable literal")
+        Literal(other.eval(null), other.dataType)
+    }
+    if (lit.dataType == dt) lit.value
+    else Cast(lit, dt, Some("UTC")).eval(null)
+  }
+
   /** The manifest-pinned LOGICAL schema (present iff a widening is
     * live — footer merge cannot reconcile narrow and wide file
     * generations, so the widen commit pinned the declared schema). */

@@ -281,6 +281,22 @@ object PartitionSpec {
     }
   }
 
+  /** The RAW routed directory values of one file under `spec`
+    * generation `gen` — Some only when EVERY spec field has its
+    * directory segment (a fully routed file). Raw-string equality of
+    * these tuples IS partition identity (one writer, one canonical
+    * rendering per value, nulls included via the null directory), which
+    * is what partition-scoped operations (dynamic overwrite) classify
+    * by — no value parsing, no transform math. */
+  def tupleOf(path: String, spec: Seq[PartField], gen: Int = 0): Option[Seq[String]] = {
+    val segs = path.split('/')
+    val vals = spec.indices.map { i =>
+      val pre = s"${dirColName(gen, i)}="
+      segs.find(_.startsWith(pre)).map(_.stripPrefix(pre))
+    }
+    if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
+  }
+
   private def factOf(f: PartField, dt: DataType, v: String): Option[Fact] =
     try {
       def dayMicros(d: LocalDate): (Long, Long) = {

@@ -371,11 +371,46 @@ object SnapshotStore {
     val m = manifest(spark, table, v)
     val base =
       if (m.deletes.isEmpty) {
-        val reader = versionReader(spark, m)
-        if (m.files.nonEmpty) reader.parquet(m.files: _*)
-        else reader.parquet(m.data)
+        if (ColumnMapping.existsDefaults(m).nonEmpty)
+          boundParquet(spark, m, dataFiles(spark, m))
+        else {
+          val reader = versionReader(spark, m)
+          if (m.files.nonEmpty) reader.parquet(m.files: _*)
+          else reader.parquet(m.data)
+        }
       } else readFilesWithDvs(spark, m, dataFiles(spark, m))
     ColumnMapping.applyToFrame(base, m)
+  }
+
+  /** `versionReader(m).parquet(files)` plus the EXISTS_DEFAULT fill
+    * (`ALTER TABLE ... ADD COLUMN ... DEFAULT`): files lacking the
+    * column PHYSICALLY (written before the ALTER) read the recorded
+    * default; files carrying it read stored values, explicit nulls
+    * included. Presence classification is sidecar-metadata only — a
+    * file absent from the sidecar opens one footer (legacy commits). */
+  private def boundParquet(spark: SparkSession, m: Manifest, files: Seq[String]): DataFrame = {
+    val reader = versionReader(spark, m)
+    val defs = ColumnMapping.existsDefaults(m)
+    if (defs.isEmpty || files.isEmpty) return reader.parquet(files: _*)
+    val sidecar: Map[String, FileStats.Entry] =
+      if (m.statsFile.isEmpty) Map.empty
+      else
+        try FileStats.read(spark, m.statsFile).entries
+        catch { case _: java.io.IOException => Map.empty }
+    def fieldsOf(f: String): Set[String] = sidecar.get(f).map(_.fields)
+      .getOrElse(spark.read.parquet(f).schema.fieldNames.toSet)
+    val groups: Map[Set[String], Seq[String]] = files.groupBy { f =>
+      val have = fieldsOf(f)
+      defs.collect { case (n, _, _) if !have(n) => n }.toSet
+    }
+    groups.map { case (missing, fs2) =>
+      var d = reader.parquet(fs2: _*)
+      defs.foreach { case (n, sql, dt) =>
+        if (missing(n))
+          d = d.withColumn(n, org.apache.spark.sql.functions.expr(sql).cast(dt))
+      }
+      d
+    }.reduce(_.unionByName(_))
   }
 
   /** The parquet reader a manifest's files need:
@@ -408,7 +443,7 @@ object SnapshotStore {
     * through the mapping so per-file builders keep file identity. */
   def readFilesRaw(spark: SparkSession, m: Manifest, files: Seq[String],
       fileNameCol: Option[String] = None): DataFrame = {
-    val base = versionReader(spark, m).parquet(files: _*)
+    val base = boundParquet(spark, m, files)
     val withFile = fileNameCol.map { c =>
       require(!base.schema.fieldNames.contains(c),
         s"readFilesRaw: file-name column '$c' collides with a data column")
@@ -427,10 +462,9 @@ object SnapshotStore {
     * partial DV materialization (DV-safe incremental compaction reads
     * its merge set through this). */
   def readFilesWithDvs(spark: SparkSession, m: Manifest, files: Seq[String]): DataFrame = {
-    val reader = versionReader(spark, m)
-    if (m.deletes.isEmpty) reader.parquet(files: _*)
+    if (m.deletes.isEmpty) boundParquet(spark, m, files)
     else dvClasses(spark, m, files).map { case (dvIdx, fs2) =>
-      val base = reader.parquet(fs2: _*)
+      val base = boundParquet(spark, m, fs2)
       if (dvIdx.isEmpty) base
       else {
         val dvs = spark.read.parquet(dvIdx.map(m.deletes): _*)
@@ -846,6 +880,87 @@ object SnapshotStore {
           schemaJson = schema.map(pinnedJson).getOrElse(""))))
       next += 1 // staged data stays valid as a later version
     next
+  }
+
+  /** Partition-scoped dynamic `INSERT OVERWRITE` (round 15): replace
+    * exactly the partitions the staged batch touches — ONE manifest
+    * publishing (head files − files in touched partition directories)
+    * + the staged routed files. The restatement workflow ("re-load one
+    * day of a days-partitioned fact") that a full truncate would turn
+    * into silent data loss.
+    *
+    * Sound-or-refuse throughout: every staged file must be fully
+    * routed under the CURRENT spec generation (the write path
+    * guarantees this when the batch carries all source columns), and
+    * every surviving head file must be classifiable under that same
+    * generation — mixed spec generations or unrouted legacy files make
+    * "partition" ambiguous, so the commit refuses loudly (compact —
+    * a full rewrite re-routes everything — then restate) instead of
+    * guessing. Partition identity is RAW directory-value equality
+    * ([[PartitionSpec.tupleOf]]): no parsing, no transform math. */
+  def dynamicOverwriteCommit(
+      spark: SparkSession,
+      table: String,
+      stagedFiles: Seq[String],
+      partSpec: Seq[PartitionSpec.PartField],
+      partGen: Int,
+      stagedExact: Boolean,
+      maxAttempts: Int = 8): Long = {
+    require(partSpec.nonEmpty, "dynamicOverwriteCommit needs a partition spec")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val v = currentVersion(spark, table).getOrElse(throw new IllegalStateException(
+        s"no committed snapshot under $table"))
+      val m = manifest(spark, table, v)
+      // a concurrent spec evolution between write planning and commit
+      // changes what "partition" means — refuse, the writer re-plans
+      require(m.partSpec == partSpec && m.partGen == partGen,
+        s"dynamic INSERT OVERWRITE on $table: the partition spec changed under the " +
+          "write (concurrent evolve_partition_spec) — re-run the statement")
+      require(m.partHist.isEmpty,
+        s"dynamic INSERT OVERWRITE on $table refused: the table mixes partition-spec " +
+          "generations (evolve_partition_spec without a rewrite), so old-generation " +
+          "files cannot be classified against current-spec partitions — compact " +
+          "(full rewrite) first")
+      require(m.deletes.isEmpty,
+        s"dynamic INSERT OVERWRITE on $table refused: live deletion vectors scope to " +
+          "the current file set — compact (materializes DVs away) first")
+      val touched: Set[Seq[String]] = stagedFiles.map { f =>
+        PartitionSpec.tupleOf(f, partSpec, partGen).getOrElse(
+          throw new IllegalStateException(
+            s"dynamic INSERT OVERWRITE on $table: staged file $f is not routed under " +
+              "the current partition spec (batch missing a source column?) — dynamic " +
+              "overwrite refuses rather than replace the whole table"))
+      }.toSet
+      val headFiles = dataFiles(spark, m)
+      val classified = headFiles.map { f =>
+        f -> PartitionSpec.tupleOf(f, partSpec, m.partGen).getOrElse(
+          throw new UnsupportedOperationException(
+            s"dynamic INSERT OVERWRITE on $table refused: existing file $f carries no " +
+              "partition directories under the current spec (written before the layout, " +
+              "or by a foreign writer) — its partition is unknowable, compact first"))
+      }
+      val kept = classified.collect { case (f, t) if !touched.contains(t) => f }
+      val stats = FileStats.sidecarFor(spark, table, kept ++ stagedFiles, Some(m), stagedExact)
+      if (tryPublishManifest(spark, table, v + 1,
+          Manifest("", Nil, Nil,
+            files = kept ++ stagedFiles, op = "dynamic-overwrite",
+            statsExact = m.statsExact && stagedExact,
+            statsFile = stats,
+            // file-keyed sidecars carry forward: kept files keep their
+            // bloom/NDV entries, dropped files' entries simply orphan
+            // (never consulted — the scan iterates manifest files)
+            bloomFile = m.bloomFile,
+            ndvFile = m.ndvFile,
+            bucketCols = m.bucketCols, bucketN = m.bucketN,
+            partSpec = m.partSpec, partGen = m.partGen, partHist = m.partHist,
+            renames = m.renames, droppedCols = m.droppedCols,
+            widens = m.widens, mixedSchema = m.mixedSchema,
+            schemaJson = m.schemaJson)))
+        return v + 1
+      attempt += 1 // CAS lost: reclassify against the new head, same staged files
+    }
+    throw new IllegalStateException(s"dynamicOverwriteCommit lost $maxAttempts CAS races on $table")
   }
 
   /** Publish the marker for a version whose data dir was written by the
@@ -1278,6 +1393,11 @@ object SnapshotStore {
     require(!layoutLockedCols(m).contains(from),
       s"RENAME COLUMN: '$from' is a live layout column (DV key / partition source / " +
         s"bucket / sort) on $table — rewrite the layout first")
+    val fromChecks = TableChecks.checksReferencing(spark, table, from)
+    require(fromChecks.isEmpty,
+      s"RENAME COLUMN: '$from' is referenced by CHECK constraint(s) " +
+        s"${fromChecks.mkString(", ")} on $table — DROP CONSTRAINT (and re-ADD against " +
+        "the new name) first; the stored predicate SQL would go stale")
     val prior = m.renames.find(_._1 == from).map(_._2).getOrElse(Nil)
     val next = cur + 1
     if (!tryPublishManifest(spark, table, next,
@@ -1315,6 +1435,11 @@ object SnapshotStore {
     require(!layoutLockedCols(m).contains(name),
       s"DROP COLUMN: '$name' is a live layout column (DV key / partition source / " +
         s"bucket / sort) on $table — rewrite the layout first")
+    val nameChecks = TableChecks.checksReferencing(spark, table, name)
+    require(nameChecks.isEmpty,
+      s"DROP COLUMN: '$name' is referenced by CHECK constraint(s) " +
+        s"${nameChecks.mkString(", ")} on $table — DROP CONSTRAINT first; the stored " +
+        "predicate would make every later write fail (or re-bind to a recycled name)")
     val aliases = m.renames.find(_._1 == name).map(_._2).getOrElse(Nil)
     val next = cur + 1
     if (!tryPublishManifest(spark, table, next,

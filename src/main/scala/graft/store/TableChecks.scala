@@ -99,6 +99,24 @@ object TableChecks {
     else { write(spark, table, kept); true }
   }
 
+  /** Names of stored constraints whose predicate references `col`
+    * (top-level attribute name, case-insensitive). The RENAME/DROP
+    * COLUMN guard: a CHECK's predicate SQL re-parses on every
+    * subsequent write, so retiring a referenced name would leave the
+    * table unwritable — and once a full rewrite releases the name, a
+    * re-ADDed unrelated column would silently re-bind the old
+    * predicate. Unparseable predicates count as referencing (refuse
+    * conservatively). */
+  def checksReferencing(spark: SparkSession, table: String, col: String): Seq[String] =
+    read(spark, table).filter { c =>
+      val refs =
+        try spark.sessionState.sqlParser.parseExpression(c.predicateSql).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.head.toLowerCase
+        } catch { case scala.util.control.NonFatal(_) => Seq(col.toLowerCase) }
+      refs.contains(col.toLowerCase)
+    }.map(_.name)
+
   /** Violation rows for one predicate: FALSE only (null passes). */
   private def violates(sql: String) =
     !coalesce(expr(sql), lit(true))

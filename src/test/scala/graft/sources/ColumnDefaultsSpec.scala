@@ -51,17 +51,70 @@ class ColumnDefaultsSpec extends SparkSuite {
       "the default must survive a fresh catalog instance via the pinned schema")
   }
 
-  test("ALTER TABLE ADD COLUMN ... DEFAULT stays refused (no exists-default read path)") {
-    val (cat, _) = freshCat()
+  test("ALTER TABLE ADD COLUMN ... DEFAULT: old files read the exists-default, new inserts are physical") {
+    val (cat, wh) = freshCat()
     spark.sql(s"CREATE TABLE $cat.facts.t3 (id BIGINT)")
-    spark.sql(s"INSERT INTO $cat.facts.t3 VALUES (1)")
-    val e = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.facts.t3 ADD COLUMNS (c INT DEFAULT 7)")
-    }
-    assert(e.getMessage.contains("no position/default") ||
-      e.getMessage.toLowerCase.contains("default"), e.getMessage)
-    // plain nullable add still works
+    spark.sql(s"INSERT INTO $cat.facts.t3 VALUES (1), (2)")
+    spark.sql(s"ALTER TABLE $cat.facts.t3 ADD COLUMNS (c INT DEFAULT 7, tag STRING DEFAULT 'z')")
+    // omitted on INSERT → CURRENT_DEFAULT fills, lands physically
+    spark.sql(s"INSERT INTO $cat.facts.t3 (id) VALUES (3)")
+    // explicit NULL after the ALTER must STAY null (a coalesce-style
+    // fill would wrongly resurrect the default here)
+    spark.sql(s"INSERT INTO $cat.facts.t3 VALUES (4, NULL, NULL)")
+    val got = spark.sql(s"SELECT id, c, tag FROM $cat.facts.t3 ORDER BY id").collect()
+    assert(got.map(r => if (r.isNullAt(1)) null else r.getInt(1)).toSeq === Seq(7, 7, 7, null),
+      s"pre-ALTER rows report the exists-default; explicit NULL stays null: ${got.toSeq}")
+    assert(got.map(_.getString(2)).toSeq === Seq("z", "z", "z", null))
+
+    // filters against the default hit the old rows (reader fill, then
+    // Spark's residual filter — the scan keeps files conservatively)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.facts.t3 WHERE c = 7").head().getLong(0) === 3L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.facts.t3 WHERE c IS NULL").head().getLong(0) === 1L)
+
+    // the ENGINE read path agrees with the DSv2 scan
+    val eng = graft.store.SnapshotStore.read(spark, s"$wh/facts/t3")
+      .orderBy("id").collect()
+    assert(eng.map(r => if (r.isNullAt(1)) null else r.getInt(1)).toSeq === Seq(7, 7, 7, null))
+
+    // aggregates over the defaulted column are exact (no stale footer
+    // pushdown: old files carry no physical 'c')
+    assert(spark.sql(s"SELECT count(c) FROM $cat.facts.t3").head().getLong(0) === 3L)
+    assert(spark.sql(s"SELECT min(c), max(c) FROM $cat.facts.t3").head().toSeq === Seq(7, 7))
+
+    // defaults survive a fresh catalog over the same warehouse
+    val cat2 = "gdef3_" + java.util.UUID.randomUUID.toString.take(8).replace("-", "")
+    spark.conf.set(s"spark.sql.catalog.$cat2", classOf[SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat2.warehouse", wh)
+    assert(spark.sql(s"SELECT sum(c) FROM $cat2.facts.t3").head().getLong(0) === 21L)
+
+    // Spark folds even now() to a constant at ALTER time (standard
+    // exists-default semantics: the value freezes at the DDL) — every
+    // pre-ALTER row reads the SAME frozen instant
+    spark.sql(s"ALTER TABLE $cat.facts.t3 ADD COLUMNS (ts TIMESTAMP DEFAULT now())")
+    val frozen = spark.sql(s"SELECT ts FROM $cat.facts.t3").collect()
+    assert(frozen.forall(!_.isNullAt(0)) && frozen.map(_.getTimestamp(0)).distinct.length === 1,
+      "the exists-default must be one frozen constant for all pre-ALTER rows")
+
+    // plain nullable add still works and still reads null
     spark.sql(s"ALTER TABLE $cat.facts.t3 ADD COLUMNS (d INT)")
-    assert(spark.sql(s"SELECT d FROM $cat.facts.t3").collect()(0).isNullAt(0))
+    assert(spark.sql(s"SELECT d FROM $cat.facts.t3").collect().forall(_.isNullAt(0)))
+  }
+
+  test("exists-default composes with DVs and time travel") {
+    import spark.implicits._
+    val (cat, wh) = freshCat()
+    val t = s"$wh/facts/t4"
+    graft.store.SnapshotStore.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"), t)
+    spark.sql(s"ALTER TABLE $cat.facts.t4 ADD COLUMNS (score INT DEFAULT 5)")
+    spark.sql(s"INSERT INTO $cat.facts.t4 VALUES (4, 'd', 9)")
+    // row-level DELETE (copy-on-write or DV, whatever the session is
+    // configured for) — surviving old rows still report the default
+    spark.sql(s"DELETE FROM $cat.facts.t4 WHERE id = 2")
+    val got = spark.sql(s"SELECT id, score FROM $cat.facts.t4 ORDER BY id").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 3L, 4L))
+    assert(got.map(_.getInt(1)).toSeq === Seq(5, 5, 9))
+    // v0 predates the column entirely: time travel reads the old shape
+    assert(spark.sql(s"SELECT * FROM $cat.facts.t4 VERSION AS OF 0").columns.toSeq ===
+      Seq("id", "name"))
   }
 }

@@ -152,4 +152,57 @@ class SnapshotViewsSpec extends SparkSuite {
     // the plain read still resolves
     assert(spark.sql(s"SELECT * FROM $cat.facts.v6").count() === 5)
   }
+
+  test("another catalog's explicit name is never hijacked into the graft catalog") {
+    val (cat, wh) = freshCat()
+    val cm = spark.sessionState.catalogManager
+    spark.sql(s"SET CATALOG $cat")
+    try {
+      // view DDL aimed at the SESSION catalog must reach it, not land
+      // in the graft warehouse under a bogus ['spark_catalog','default']
+      // namespace just because a SnapshotCatalog is current
+      spark.sql("CREATE VIEW spark_catalog.default.hj_v AS SELECT 1 AS x")
+      assert(!SnapshotViews.exists(spark, wh,
+        org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("spark_catalog", "default"), "hj_v")),
+        "the view must NOT exist in the graft warehouse")
+      assert(spark.sql("SELECT x FROM spark_catalog.default.hj_v").collect()
+        .map(_.getInt(0)).toSeq === Seq(1),
+        "the view must resolve through the session catalog")
+    } finally {
+      spark.sql("SET CATALOG spark_catalog")
+      spark.sql("DROP VIEW IF EXISTS spark_catalog.default.hj_v")
+    }
+    assert(cm.currentCatalog.name === "spark_catalog")
+  }
+
+  test("view body resolves in the DEFINER's catalog context, not the reader's") {
+    val (cat, wh) = freshCat()
+    graft.store.SnapshotStore.commit(
+      graft.sources.Tables.nation(spark, sf()), s"$wh/facts/nation")
+    val want = graft.sources.Tables.nation(spark, sf()).count()
+    spark.sql(s"SET CATALOG $cat")
+    try {
+      // the body's table reference is NOT catalog-qualified: it only
+      // resolves because $cat is current AT CREATE TIME
+      spark.sql(s"CREATE VIEW $cat.facts.unq_v AS SELECT count(*) AS c FROM facts.nation")
+    } finally spark.sql("SET CATALOG spark_catalog")
+    // read from a session whose current catalog is the SESSION catalog:
+    // the stored body must still bind to the definer's facts.nation
+    assert(spark.sql(s"SELECT c FROM $cat.facts.unq_v").collect()
+      .map(_.getLong(0)).toSeq === Seq(want))
+  }
+
+  test("CREATE VIEW over a session temp view refuses (persisted views cannot dangle)") {
+    val (cat, wh) = freshCat()
+    graft.store.SnapshotStore.commit(
+      graft.sources.Tables.region(spark, sf()), s"$wh/facts/region")
+    graft.sources.Tables.region(spark, sf()).createOrReplaceTempView("tmp_region_v")
+    try {
+      val e = intercept[Exception] {
+        spark.sql(s"CREATE VIEW $cat.facts.overtmp AS SELECT * FROM tmp_region_v")
+      }
+      assert(e.getMessage.contains("temporary"), e.getMessage)
+    } finally spark.catalog.dropTempView("tmp_region_v")
+  }
 }

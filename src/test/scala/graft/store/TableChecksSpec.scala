@@ -105,6 +105,59 @@ class TableChecksSpec extends SparkSuite {
       "a satisfiable filter must not constraint-prune")
   }
 
+  test("time-traveled scans never constraint-prune: old snapshots may predate the CHECK") {
+    import spark.implicits._
+    val (cat, wh) = freshCat()
+    val t = s"$wh/facts/tt"
+    // v0 holds a row that VIOLATES a constraint added later (the
+    // violating row is deleted before ADD, so add-time validation
+    // passes) — `VERSION AS OF 0 WHERE price < 0` must return it,
+    // not a silently-empty constraint-pruned scan.
+    SnapshotStore.commit(Seq((1, -3.0), (2, 5.0)).toDF("id", "price"), t)
+    spark.sql(s"DELETE FROM $cat.facts.tt WHERE price < 0")
+    spark.sql(s"ALTER TABLE $cat.facts.tt ADD CONSTRAINT price_pos CHECK (price >= 0)")
+
+    SnapshotScanProbe.resetConstraintPrunedFiles()
+    val old = spark.sql(s"SELECT id, price FROM $cat.facts.tt VERSION AS OF 0 WHERE price < 0")
+      .collect()
+    assert(old.map(_.getInt(0)).toSeq === Seq(1),
+      "the pinned old snapshot legitimately violates the later-added CHECK")
+    assert(SnapshotScanProbe.lastConstraintPrunedFiles === 0L,
+      "constraint pruning must not fire on a non-head manifest")
+
+    // head scans still prune (the optimization survives the gate)
+    SnapshotScanProbe.resetConstraintPrunedFiles()
+    assert(spark.sql(s"SELECT * FROM $cat.facts.tt WHERE price < 0").count() === 0L)
+    assert(SnapshotScanProbe.lastConstraintPrunedFiles > 0,
+      "head scans must still constraint-prune")
+  }
+
+  test("RENAME/DROP COLUMN refuse while a CHECK references the column") {
+    import spark.implicits._
+    val (cat, wh) = freshCat()
+    val t = s"$wh/facts/rc"
+    SnapshotStore.commit(Seq((1, 10.0), (2, 20.0)).toDF("id", "price"), t)
+    spark.sql(s"ALTER TABLE $cat.facts.rc ADD CONSTRAINT price_pos CHECK (price >= 0)")
+
+    // the stored predicate SQL re-parses on every write: retiring the
+    // name would leave the table unwritable (rename) or let a future
+    // re-ADDed 'price' silently re-bind the constraint (drop)
+    val er = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.facts.rc RENAME COLUMN price TO amount")
+    }
+    assert(er.getMessage.contains("price_pos"), er.getMessage)
+    val ed = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.facts.rc DROP COLUMN price")
+    }
+    assert(ed.getMessage.contains("price_pos"), ed.getMessage)
+
+    // unreferenced columns stay free, and dropping the CHECK unblocks
+    spark.sql(s"ALTER TABLE $cat.facts.rc RENAME COLUMN id TO rid")
+    spark.sql(s"ALTER TABLE $cat.facts.rc DROP CONSTRAINT price_pos")
+    spark.sql(s"ALTER TABLE $cat.facts.rc RENAME COLUMN price TO amount")
+    assert(SnapshotStore.read(spark, t).columns.toSeq === Seq("rid", "amount"))
+  }
+
   test("constraints survive commits and show through Table.constraints()") {
     import spark.implicits._
     val (cat, wh) = freshCat()
