@@ -380,6 +380,12 @@ final class SnapshotCatalog extends TableCatalog
       case Seq(u: TableChange.UpdateColumnType) if u.fieldNames.length == 1 =>
         SnapshotStore.widenColumnCommit(spark, root, u.fieldNames.head, u.newDataType)
         return loadTable(ident)
+      case Seq(u: TableChange.UpdateColumnDefaultValue) if u.fieldNames.length == 1 =>
+        // SET DEFAULT edits CURRENT_DEFAULT only (future INSERT fills);
+        // DROP DEFAULT arrives as an empty SQL string
+        SnapshotStore.setDefaultCommit(spark, root, u.fieldNames.head,
+          Option(u.newDefaultValue).filter(_.nonEmpty))
+        return loadTable(ident)
       case _ => ()
     }
     val adds = changes.map {

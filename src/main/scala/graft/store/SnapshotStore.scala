@@ -1501,6 +1501,40 @@ object SnapshotStore {
     next
   }
 
+  /** `ALTER TABLE ... ALTER COLUMN c SET DEFAULT <sql>` / `DROP
+    * DEFAULT` (round 15): ONE metadata commit editing the pinned
+    * schema's CURRENT_DEFAULT — future INSERTs omitting the column
+    * fill the new default. The frozen EXISTS_DEFAULT (what files
+    * predating the column's ADD report) is never touched: SET DEFAULT
+    * does not backfill, per standard semantics. */
+  def setDefaultCommit(spark: SparkSession, table: String, col: String,
+      defaultSql: Option[String]): Long = {
+    val cur = currentVersion(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $table"))
+    val m = manifest(spark, table, cur)
+    val logical = ColumnMapping.pinnedSchema(m)
+      .getOrElse(readVersion(spark, table, cur).schema)
+    require(logical.fieldNames.contains(col),
+      s"ALTER COLUMN SET DEFAULT: no column '$col' on $table")
+    val edited = StructType(logical.fields.map { f =>
+      if (f.name != col) f
+      else {
+        val mb = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+        defaultSql match {
+          case Some(sql) => mb.putString("CURRENT_DEFAULT", sql)
+          case None      => mb.remove("CURRENT_DEFAULT")
+        }
+        f.copy(metadata = mb.build())
+      }
+    })
+    val next = cur + 1
+    if (!tryPublishManifest(spark, table, next,
+        m.copy(ts = 0L, op = "set-default", srcV = -1L, schemaJson = edited.json)))
+      throw new java.util.ConcurrentModificationException(
+        s"setDefaultCommit lost the CAS race on $table v$next")
+    next
+  }
+
   /** All tags of `table`: name → version. */
   def tags(spark: SparkSession, table: String): Map[String, Long] = {
     val f = fs(spark, table)

@@ -100,6 +100,30 @@ class ColumnDefaultsSpec extends SparkSuite {
     assert(spark.sql(s"SELECT d FROM $cat.facts.t3").collect().forall(_.isNullAt(0)))
   }
 
+  test("ALTER COLUMN SET/DROP DEFAULT changes future INSERT fills only") {
+    val (cat, _) = freshCat()
+    spark.sql(s"CREATE TABLE $cat.facts.t5 (id BIGINT, tag STRING DEFAULT 'x')")
+    spark.sql(s"INSERT INTO $cat.facts.t5 (id) VALUES (1)")
+    spark.sql(s"ALTER TABLE $cat.facts.t5 ALTER COLUMN tag SET DEFAULT 'y'")
+    spark.sql(s"INSERT INTO $cat.facts.t5 (id) VALUES (2)")
+    spark.sql(s"ALTER TABLE $cat.facts.t5 ALTER COLUMN tag DROP DEFAULT")
+    spark.sql(s"INSERT INTO $cat.facts.t5 (id) VALUES (3)")
+    val got = spark.sql(s"SELECT tag FROM $cat.facts.t5 ORDER BY id").collect()
+    assert(got.map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq ===
+      Seq("x", "y", null),
+      "each INSERT fills the default current AT ITS TIME; rows already written never change")
+
+    // SET DEFAULT after ADD COLUMN ... DEFAULT: the frozen
+    // exists-default keeps governing pre-ADD files, only future
+    // omitted-column INSERTs see the new value
+    spark.sql(s"ALTER TABLE $cat.facts.t5 ADD COLUMNS (score INT DEFAULT 5)")
+    spark.sql(s"ALTER TABLE $cat.facts.t5 ALTER COLUMN score SET DEFAULT 9")
+    spark.sql(s"INSERT INTO $cat.facts.t5 (id) VALUES (4)")
+    val scores = spark.sql(s"SELECT score FROM $cat.facts.t5 ORDER BY id").collect()
+    assert(scores.map(_.getInt(0)).toSeq === Seq(5, 5, 5, 9),
+      "exists-default (5) governs pre-ADD files; current-default (9) governs new INSERTs")
+  }
+
   test("exists-default composes with DVs and time travel") {
     import spark.implicits._
     val (cat, wh) = freshCat()
