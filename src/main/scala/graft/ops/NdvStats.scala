@@ -58,7 +58,39 @@ object NdvStats {
     cols.foreach(c => require(raw.schema.fieldNames.contains(c),
       s"analyze column '$c' is not in the table schema"))
     val out = s"$table/_ndv/n_${java.util.UUID.randomUUID.toString.take(8)}"
-    cols.map { c =>
+    // Files with ZERO rows never reach the groupBy (nothing to group),
+    // but coverage is all-files-or-nothing — one empty part file (an
+    // empty write partition / split, routine at scale) would silently
+    // void every estimate this analyze just paid for, and with it the
+    // null-count pushdowns that depend on it (seen live: the sf10
+    // corpus run declined dt_agg_nullaware's metadata plan over one
+    // 0-row-group file). Pad a coverage entry per (zero-row file,
+    // column): empty HLL + empty KLL merge as identities, nulls = 0.
+    // Zero-row-ness is PROVEN from the stats sidecar; a file the
+    // sidecar doesn't cover stays unpadded (conservative as before).
+    val zeroRowKeys: Seq[String] =
+      if (m.statsFile.isEmpty) Nil
+      else
+        try {
+          val sc = graft.store.FileStats.read(spark, m.statsFile)
+          files.filter(f => sc.entries.get(f).exists(_.groups.map(_.rows).sum == 0L))
+            .map(SnapshotStore.relFileKey)
+        } catch { case scala.util.control.NonFatal(_) => Nil }
+    val pad: Seq[org.apache.spark.sql.DataFrame] =
+      if (zeroRowKeys.isEmpty) Nil
+      else {
+        val emptyHll = new org.apache.datasketches.hll.HllSketch(LgK).toCompactByteArray
+        val emptyKll = org.apache.datasketches.kll.KllDoublesSketch
+          .newHeapInstance(graft.functions.KllSketches.DefaultK).toByteArray
+        import spark.implicits._
+        Seq(zeroRowKeys.flatMap(fk => cols.map { c =>
+          val kll =
+            if (graft.functions.KllSketches.supported(raw.schema(c).dataType)) emptyKll
+            else null
+          (fk, c, emptyHll, 0L, kll)
+        }).toDF("file", "col", "sketch", "nulls", "kll"))
+      }
+    (cols.map { c =>
       // quantile sketch rides the same row for numeric/date/timestamp
       // columns (equi-height histograms for CBO range selectivity);
       // other types carry a null — coverage logic skips them
@@ -83,7 +115,7 @@ object NdvStats {
           (count(lit(1)) - count(raw(c))).alias("nulls"),
           kllCol)
         .select(col("file"), lit(c).alias("col"), col("sketch"), col("nulls"), col("kll"))
-    }.reduce(_ unionAll _)
+    } ++ pad).reduce(_ unionAll _)
       // PARALLEL sidecar write — the shuffle already distributed the
       // (file, column) rows; funneling them through one task
       // (`coalesce(1)`, pre-round-14) made every large-table analyze

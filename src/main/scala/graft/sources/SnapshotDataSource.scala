@@ -812,6 +812,40 @@ private[sources] object SnapshotScan {
     * set per scan planning; the whole scan empties at once. */
   val lastConstraintPrunedFiles = new java.util.concurrent.atomic.AtomicLong
 
+  /** EXISTS_DEFAULT substitution around a row reader: each (ordinal,
+    * catalyst value) in `fills` replaces the null the null-filling
+    * decoder emitted for a column THIS file predates — one codegen'd
+    * projection per reader, identity passthrough when empty. Shared by
+    * the batch scan and the change-feed factories (both decode
+    * `required`-shaped rows). */
+  def withDefaultFills(
+      decoded: PartitionReader[InternalRow],
+      required: StructType,
+      fills: Seq[(Int, Any)]): PartitionReader[InternalRow] =
+    if (fills.isEmpty) decoded
+    else {
+      val byOrd = fills.toMap
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+        required.fields.toSeq.zipWithIndex.map { case (f, i) =>
+          byOrd.get(i) match {
+            case Some(v) =>
+              org.apache.spark.sql.catalyst.expressions.Literal(v, f.dataType)
+                : org.apache.spark.sql.catalyst.expressions.Expression
+            case None =>
+              org.apache.spark.sql.catalyst.expressions.BoundReference(
+                i, f.dataType, f.nullable)
+          }
+        })
+      new PartitionReader[InternalRow] {
+        override def next(): Boolean = decoded.next()
+        override def get(): InternalRow = proj(decoded.get())
+        override def close(): Unit = decoded.close()
+        override def currentMetricsValues()
+            : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+          decoded.currentMetricsValues()
+      }
+    }
+
   /** True iff `m` IS `tablePath`'s current head manifest. Gates
     * constraint-contradiction pruning: the `_constraints` file is
     * table-level (current) state, but a scan may pin an OLDER manifest
@@ -2680,29 +2714,7 @@ private[sources] final class SnapshotReaderFactory(
     // file predates the column, so the decoder's null becomes the
     // recorded default — one codegen'd projection per slice
     val inner: PartitionReader[InternalRow] =
-      if (p.fillDefaults.isEmpty) decoded
-      else {
-        val fills = p.fillDefaults.toMap
-        val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
-          required.fields.toSeq.zipWithIndex.map { case (f, i) =>
-            fills.get(i) match {
-              case Some(v) =>
-                org.apache.spark.sql.catalyst.expressions.Literal(v, f.dataType)
-                  : org.apache.spark.sql.catalyst.expressions.Expression
-              case None =>
-                org.apache.spark.sql.catalyst.expressions.BoundReference(
-                  i, f.dataType, f.nullable)
-            }
-          })
-        new PartitionReader[InternalRow] {
-          override def next(): Boolean = decoded.next()
-          override def get(): InternalRow = proj(decoded.get())
-          override def close(): Unit = decoded.close()
-          override def currentMetricsValues()
-              : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
-            decoded.currentMetricsValues()
-        }
-      }
+      SnapshotScan.withDefaultFills(decoded, required, p.fillDefaults)
     if (!appendFileCol) inner
     else {
       // `_file` metadata column: a per-partition constant appended as

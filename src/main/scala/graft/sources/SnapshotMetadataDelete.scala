@@ -58,6 +58,18 @@ private[sources] object SnapshotMetadataDelete {
       catch { case scala.util.control.NonFatal(_) => return None }
     val files = SnapshotStore.dataFiles(spark, m)
     if (files.isEmpty || !files.forall(sc.entries.contains)) return None
+    // EXISTS_DEFAULT columns (`ADD COLUMN ... DEFAULT`, round 15): the
+    // classifier's "file missing the column ⇒ all rows null" reasoning
+    // is WRONG for a file predating the column — its rows legally
+    // report the recorded default. A predicate referencing such a
+    // column while any file lacks it physically declines to the
+    // row-level plan (which reads through the fill and stays exact).
+    val defCols = graft.store.ColumnMapping.existsDefaults(m).map(_._1).toSet
+    if (defCols.nonEmpty) {
+      val referenced = v1.flatMap(_.references).toSet.intersect(defCols)
+      if (referenced.exists(c => files.exists(f => !sc.entries(f).fields.contains(c))))
+        return None
+    }
     val drop = Seq.newBuilder[String]
     val keep = Seq.newBuilder[String]
     files.foreach { f =>

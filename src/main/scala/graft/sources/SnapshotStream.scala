@@ -339,6 +339,19 @@ private[sources] final class SnapshotMicroBatchStream(
     * `dvVersion` names the version whose deletion vectors the reader
     * must apply (-1 = none): the partition's own version for images,
     * the PREDECESSOR for cow remove-batches. */
+  /** EXISTS_DEFAULT fills for the feed (`ADD COLUMN ... DEFAULT`): the
+    * feed presents every batch under the stream's table schema, so a
+    * file predating a defaulted column fills the SAME value current
+    * table reads report — a consumer replaying the feed reconstructs
+    * exactly what it would read from the table. Resolved once from the
+    * schema's own metadata. */
+  private lazy val streamDefaults: Seq[(String, Any)] =
+    tableSchema.fields.toSeq.collect {
+      case f if f.metadata.contains("EXISTS_DEFAULT") =>
+        f.name -> graft.store.ColumnMapping.defaultValueOf(
+          f.metadata.getString("EXISTS_DEFAULT"), f.dataType)
+    }
+
   private def rowGroupPartitions(
       m: SnapshotStore.Manifest, v: Long, files: Seq[String],
       changeType: String, dvClassOf: String => Int = _ => 0,
@@ -350,11 +363,14 @@ private[sources] final class SnapshotMicroBatchStream(
         val fields = r.getFooter.getFileMetaData.getSchema.getFields.asScala
           .map(_.getName).toSet
         val selfContained = wanted.forall(fields)
+        val fills = streamDefaults.collect {
+          case (n, value) if !fields(n) => tableSchema.fieldIndex(n) -> value
+        }
         r.getFooter.getBlocks.asScala.toSeq.map { b =>
           SnapshotStreamPartition(
             SnapshotInputPartition(f, b.getStartingPos,
               b.getCompressedSize, b.getRowCount, selfContained,
-              dvClass = dvClassOf(f)),
+              dvClass = dvClassOf(f), fillDefaults = fills),
             changeType = changeType, version = v, dvVersion = dvVersion)
         }
       } finally r.close()
@@ -484,13 +500,17 @@ private[sources] final class SnapshotStreamReaderFactory(
           new SnapshotPartitionReader(p.base, tableSchema, keyCols, dv, conf.conf)
         }
     }
+    // exists-default substitution for files predating an ADD COLUMN
+    // ... DEFAULT (no-op for delete batches: their partitions carry no
+    // fills — DV key rows keep the evolution-path null contract)
+    val filled = SnapshotScan.withDefaultFills(inner, tableSchema, p.base.fillDefaults)
     val meta = new GenericInternalRow(
       Array[Any](UTF8String.fromString(p.changeType), p.version))
     new PartitionReader[InternalRow] {
       private val joined = new JoinedRow()
-      override def next(): Boolean = inner.next()
-      override def get(): InternalRow = joined(inner.get(), meta)
-      override def close(): Unit = inner.close()
+      override def next(): Boolean = filled.next()
+      override def get(): InternalRow = joined(filled.get(), meta)
+      override def close(): Unit = filled.close()
     }
   }
 }

@@ -36,6 +36,42 @@ class NdvStatsSpec extends SparkSuite {
       "tiny cardinalities estimate exactly, null counts exact")
   }
 
+  test("a zero-row part file never voids coverage: analyze pads an identity entry") {
+    val table = fresh("ndv-zero")
+    val src = graft.sources.Tables.orders(spark, sf())
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .withColumn("opt_key",
+        when(pmod(col("o_orderkey"), lit(7)) === 0, lit(null).cast("bigint"))
+          .otherwise(col("o_orderkey")))
+    SnapshotStore.commit(src.repartition(3), table)
+    // link one 0-row part file into the manifest — the shape an empty
+    // write partition/split produces at scale (seen live at sf10)
+    val ed = java.nio.file.Files.createTempDirectory("ndv-empty").toString
+    src.limit(0).coalesce(1).write.mode("overwrite").parquet(ed)
+    val empty = new java.io.File(ed).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head.getAbsolutePath
+    SnapshotStore.appendFilesCommit(spark, table, Seq(empty), stagedExact = true)
+
+    val v = NdvStats.analyzeCommit(spark, table, Seq("opt_key"))
+    val m = SnapshotStore.manifest(spark, table, v)
+    val est = NdvStats.estimates(spark, m.ndvFile, SnapshotStore.dataFiles(spark, m))
+    val exactNulls = src.filter(col("opt_key").isNull).count()
+    assert(est.contains("opt_key"),
+      "the empty file must carry a padded coverage entry, not void the estimate")
+    assert(est("opt_key")._2 === exactNulls, "null counts stay exact through the pad")
+
+    // the downstream payoff: COUNT(col) still plans metadata-only
+    val read = spark.read.format("graft-snapshot").option("path", table).load()
+    val q = read.agg(count(col("opt_key")), min("o_orderdate"))
+    val desc = q.queryExecution.sparkPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.description()
+    }.getOrElse("")
+    assert(desc.contains("count(opt_key)"),
+      s"count(col) must push to metadata over the padded coverage, got: $desc")
+    assert(q.head().getLong(0) === src.count() - exactNulls)
+  }
+
   test("analyze after RENAME binds each generation's physical spelling") {
     val table = fresh("ndv-ren")
     SnapshotStore.commit(

@@ -124,6 +124,54 @@ class ColumnDefaultsSpec extends SparkSuite {
       "exists-default (5) governs pre-ADD files; current-default (9) governs new INSERTs")
   }
 
+  test("DELETE over an exists-default column never takes the missing-column=null shortcut") {
+    import spark.implicits._
+    val (cat, wh) = freshCat()
+    val t = s"$wh/facts/t6"
+    graft.store.SnapshotStore.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), t)
+    spark.sql(s"ALTER TABLE $cat.facts.t6 ADD COLUMNS (c INT DEFAULT 7)")
+    spark.sql(s"INSERT INTO $cat.facts.t6 VALUES (3, 'c', NULL), (4, 'd', 9)")
+    // pre-ALTER rows report 7, NOT null: the metadata classifier's
+    // "file missing the column = all null" rule must decline here,
+    // and the row-level plan reads through the fill
+    spark.sql(s"DELETE FROM $cat.facts.t6 WHERE c IS NULL")
+    assert(spark.sql(s"SELECT id FROM $cat.facts.t6 ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L),
+      "only the explicit-NULL row deletes; pre-ALTER rows report the default")
+    spark.sql(s"DELETE FROM $cat.facts.t6 WHERE c = 7")
+    assert(spark.sql(s"SELECT id FROM $cat.facts.t6 ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(4L),
+      "the default-valued pre-ALTER rows DO match c = 7")
+  }
+
+  test("the change feed fills exists-defaults so replay reconstructs table reads") {
+    import spark.implicits._
+    val (cat, wh) = freshCat()
+    val t = s"$wh/facts/t7"
+    graft.store.SnapshotStore.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), t)
+    spark.sql(s"ALTER TABLE $cat.facts.t7 ADD COLUMNS (c INT DEFAULT 7)")
+    spark.sql(s"INSERT INTO $cat.facts.t7 VALUES (3, 'x', 9)")
+    val feed = spark.read.format("graft-snapshot").option("path", t)
+      .option("changeFeed", "true").option("startingVersion", 0).load()
+      .filter(col("_change_type") === "insert" || col("_change_type") === "snapshot")
+      .select("id", "c").orderBy("id").collect()
+    assert(feed.map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getInt(1))).toSeq ===
+      Seq((1L, 7), (2L, 7), (3L, 9)),
+      "feed rows must report exactly what a table read reports — defaults included")
+  }
+
+  test("a full INSERT OVERWRITE keeps the column defaults working") {
+    val (cat, _) = freshCat()
+    spark.sql(s"CREATE TABLE $cat.facts.t8 (id BIGINT, tag STRING DEFAULT 'x')")
+    spark.sql(s"INSERT INTO $cat.facts.t8 (id) VALUES (1)")
+    spark.sql(s"INSERT OVERWRITE $cat.facts.t8 VALUES (2, 'y')")
+    spark.sql(s"INSERT INTO $cat.facts.t8 (id) VALUES (3)")
+    val got = spark.sql(s"SELECT id, tag FROM $cat.facts.t8 ORDER BY id").collect()
+    assert(got.map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSeq ===
+      Seq((2L, "y"), (3L, "x")),
+      "the default must survive the overwrite's schema re-pin")
+  }
+
   test("exists-default composes with DVs and time travel") {
     import spark.implicits._
     val (cat, wh) = freshCat()
