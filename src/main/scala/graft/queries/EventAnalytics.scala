@@ -1136,6 +1136,49 @@ object EventAnalytics {
     det
   }
 
+  /** DT39: predicate-scoped atomic OVERWRITE
+    * (`df.writeTo(t).overwrite(cond)` — REPLACE WHERE): one manifest
+    * publishing keep(none-match files) ++ survivors(ambiguous files'
+    * non-matching rows, re-routed) ++ the staged replacement. The
+    * date-ranged restatement that is neither a truncate nor a
+    * partition boundary: all-match files drop whole (zero reads),
+    * none-match files keep their exact paths (pinned), only the
+    * mid-month boundary files pay a rewrite. Oracle replays the
+    * replacement algebra over plain parquet. */
+  val dtReplaceWhere: Q = (s, d) => {
+    val wh = Fixtures.dir("replwhere", d) { root =>
+      val t = s"$root/facts/orders"
+      val orders = Tables.orders(s, d)
+      graft.store.SnapshotStore.partitionedCommit(orders, t,
+        Seq(graft.store.PartitionSpec.PartField("months", "o_orderdate")))
+      val m0 = graft.store.SnapshotStore.manifest(s, t, 0L)
+      def monthOf(f: String): Option[String] =
+        f.split('/').find(_.startsWith("__gp0=")).map(_.stripPrefix("__gp0="))
+      val untouched = m0.files.filter(f => monthOf(f).exists(_ < "1997-03")).toSet
+      require(untouched.nonEmpty, "dt_replace_where: fixture needs none-match files")
+      val cat = snapCatalog(s, root)
+      val cut = java.sql.Timestamp.valueOf("1997-03-15 00:00:00")
+      orders.filter(col("o_orderdate") >= lit(cut))
+        .withColumn("o_totalprice", col("o_totalprice") * 3)
+        .writeTo(s"$cat.facts.orders").overwrite(col("o_orderdate") >= lit(cut))
+      val m1 = graft.store.SnapshotStore.manifest(s, t, 1L)
+      require(m1.op == "overwrite-where",
+        "dt_replace_where: the restatement must be one predicate-scoped commit")
+      require(untouched.subsetOf(m1.files.toSet),
+        "dt_replace_where: none-match files must keep their exact paths")
+      require(m0.files.filter(f => monthOf(f).exists(_ > "1997-03"))
+        .forall(f => !m1.files.contains(f)),
+        "dt_replace_where: all-match files must drop whole")
+    }
+    val cat = snapCatalog(s, wh)
+    s.sql(
+      s"""SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM $cat.facts.orders
+          GROUP BY 1 ORDER BY 1""")
+  }
+
   /** DT32: RENAME COLUMN via name mapping — `ALTER TABLE ... RENAME
     * COLUMN` is one metadata commit (zero data movement): files written
     * before keep the old physical name, an INSERT after it writes the
@@ -1290,6 +1333,20 @@ object EventAnalytics {
                 CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS cents
          FROM u
          WHERE price > 1000.0
+         GROUP BY 1 ORDER BY 1""",
+    "dt_replace_where" ->
+      """WITH u AS (
+           SELECT * FROM orders
+           WHERE o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 3,
+                  o_orderdate, o_orderpriority
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1997-03-15 00:00:00')
+         SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM u
          GROUP BY 1 ORDER BY 1""",
     "dt_describe_detail" ->
       """SELECT CAST(1 AS BIGINT) AS version,
@@ -1861,6 +1918,7 @@ object EventAnalytics {
     "dt_dynamic_overwrite" -> dtDynamicOverwrite,
     "dt_add_column_default" -> dtAddColumnDefault,
     "dt_describe_detail" -> dtDescribeDetail,
+    "dt_replace_where" -> dtReplaceWhere,
     "dt_rename_column" -> dtRenameColumn,
     "dt_widen_column" -> dtWidenColumn,
     "dt_partition_delete" -> dtPartitionDelete,

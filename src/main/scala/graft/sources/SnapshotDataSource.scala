@@ -207,7 +207,8 @@ private[sources] final class SnapshotTable(
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_DYNAMIC, TableCapability.STREAMING_WRITE)
+      TableCapability.OVERWRITE_DYNAMIC, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.STREAMING_WRITE)
 
   /** CHECK constraints from `<table>/_constraints`
     * ([[graft.store.TableChecks]]): surfacing them here is what makes

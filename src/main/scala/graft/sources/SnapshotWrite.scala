@@ -40,11 +40,31 @@ import org.apache.spark.sql.types._
   */
 private[sources] final class SnapshotWriteBuilder(
     tablePath: String, info: LogicalWriteInfo)
-    extends WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
+    extends WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite
+    with org.apache.spark.sql.connector.write.SupportsOverwriteV2 {
 
   private var mode: String = "append"
+  private var overwritePreds
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty
 
   override def truncate(): WriteBuilder = { mode = "truncate"; this }
+
+  /** Predicate-scoped overwrite (`df.writeTo(t).overwrite(cond)` —
+    * REPLACE WHERE, round 15): atomically replace exactly the rows the
+    * predicate matches ([[SnapshotMetadataDelete.overwriteWhere]]).
+    * `canOverwrite` admits only predicates the sidecar classifier and
+    * the survivor rewrite can BOTH reason about — anything else gets
+    * Spark's loud table-does-not-support refusal instead of a guess.
+    * (Spark routes the always-true case to [[truncate]] first.) */
+  override def canOverwrite(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Boolean = SnapshotMetadataDelete.translate(predicates).isDefined
+
+  override def overwrite(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : WriteBuilder = {
+    mode = "overwrite-where"; overwritePreds = predicates; this
+  }
 
   /** Dynamic partition overwrite (round 15): on an internally
     * partitioned snapshot table, replace exactly the partitions the
@@ -54,11 +74,13 @@ private[sources] final class SnapshotWriteBuilder(
   override def overwriteDynamicPartitions(): WriteBuilder = { mode = "dynamic"; this }
 
   override def build(): Write =
-    new SnapshotWrite(tablePath, info.schema(), mode)
+    new SnapshotWrite(tablePath, info.schema(), mode, overwritePreds)
 }
 
 private[sources] final class SnapshotWrite(
-    tablePath: String, schema: StructType, mode: String) extends Write
+    tablePath: String, schema: StructType, mode: String,
+    overwritePreds: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+      Array.empty) extends Write
     with BucketDistribution {
 
   private def append: Boolean = mode == "append"
@@ -111,7 +133,7 @@ private[sources] final class SnapshotWrite(
       // dynamic mode on an UNpartitioned table keeps Spark's contract:
       // full replace, i.e. the truncate path
       if (mode == "dynamic" && partSpec.isEmpty) "truncate" else mode,
-      bucketSpec, partSpec, partGen)
+      bucketSpec, partSpec, partGen, overwritePreds)
 
   /** Structured Streaming SINK: each micro-batch commits as one
     * O(new-files) append version, EXACTLY-ONCE — the epoch id rides the
@@ -243,7 +265,9 @@ private[sources] final class SnapshotBatchWrite(
     tablePath: String, schema: StructType, mode: String,
     bucketSpec: Option[(Seq[String], Int)] = None,
     partSpec: Seq[graft.store.PartitionSpec.PartField] = Nil,
-    partGen: Int = 0)
+    partGen: Int = 0,
+    overwritePreds: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+      Array.empty)
     extends BatchWrite {
 
   private def append: Boolean = mode == "append"
@@ -281,7 +305,10 @@ private[sources] final class SnapshotBatchWrite(
       if (committed.nonEmpty)
         SnapshotStore.dynamicOverwriteCommit(spark, tablePath, committed,
           partSpec, partGen, stagedExact = true)
-    } else
+    } else if (mode == "overwrite-where")
+      // REPLACE WHERE: an EMPTY batch still deletes the matching rows
+      SnapshotMetadataDelete.overwriteWhere(spark, tablePath, committed, overwritePreds)
+    else
       SnapshotStore.rewriteFilesCommit(spark, tablePath, committed, statsExact = true,
         bucketCols = bucketSpec.map(_._1).getOrElse(Nil),
         bucketN = bucketSpec.map(_._2).getOrElse(0),
