@@ -80,6 +80,30 @@ class OverwriteWhereSpec extends SparkSuite {
       .map(_.getLong(0)).toSeq === Seq(1L, 2L))
   }
 
+  test("the change feed replays a REPLACE WHERE: state - removes + inserts = new table") {
+    import spark.implicits._
+    val (cat, wh) = freshCat()
+    val t = s"$wh/facts/t4"
+    SnapshotStore.commit(
+      Seq((1L, 5.0), (2L, 20.0), (3L, 50.0)).toDF("id", "price").repartition(3), t)
+    Seq((9L, 99.0)).toDF("id", "price").writeTo(s"$cat.facts.t4")
+      .overwrite(col("price") >= lit(10.0))
+
+    val feed = spark.read.format("graft-snapshot").option("path", t)
+      .option("changeFeed", "true").option("startingVersion", 1).load()
+    val removes = feed.filter(col("_change_type") === "remove")
+      .select("id", "price").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val inserts = feed.filter(col("_change_type") === "insert")
+      .select("id", "price").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val v0 = Set((1L, 5.0), (2L, 20.0), (3L, 50.0))
+    val reconstructed = v0 -- removes ++ inserts
+    val table = spark.sql(s"SELECT id, price FROM $cat.facts.t4").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(reconstructed === table,
+      s"feed replay must reconstruct the table: removes=$removes inserts=$inserts")
+    assert(table === Set((1L, 5.0), (9L, 99.0)))
+  }
+
   test("unsound shapes refuse loudly: DVs and untranslatable predicates") {
     import spark.implicits._
     val (cat, wh) = freshCat()
