@@ -1258,6 +1258,12 @@ object SnapshotStore {
     if (!tryPublishManifest(spark, br, 0L,
         m.copy(data = "", files = files, op = "branch", srcV = base, ts = 0L)))
       throw new IllegalStateException(s"branch '$name' lost a concurrent-create race on $table")
+    // branches INHERIT main's CHECK constraints (round 15): branch
+    // writes then enforce exactly what main enforces — without the
+    // copy, write-audit-publish could fast-forward rows no
+    // CheckInvariant ever saw ([[fastForward]] re-validates as the
+    // last line of defense)
+    TableChecks.copyTo(spark, table, br)
     br
   }
 
@@ -1293,6 +1299,28 @@ object SnapshotStore {
           s"branch forked at $base — audit against a fresh branch of the new head")
     if (headBr == 0L) return mainHead // nothing committed on the branch: no-op
     val bm = manifest(spark, br, headBr)
+    // CHECK constraints are table-level metadata, NOT commits: a
+    // constraint added on main mid-branch passes the moved-main guard
+    // above (no version bump), and a pre-copy branch (or one whose
+    // _constraints drifted) may hold rows main's enforced CHECKs never
+    // saw. Validate every enforced main check the branch did not
+    // itself enforce — one scan per missing check, the last line of
+    // defense before unvalidated rows become main's head.
+    val branchChecks = TableChecks.read(spark, br)
+      .map(c => (c.name.toLowerCase, c.predicateSql)).toSet
+    TableChecks.read(spark, table).filter(_.enforced)
+      .filterNot(c => branchChecks.contains((c.name.toLowerCase, c.predicateSql)))
+      .foreach { c =>
+        val bad = readVersion(spark, br, headBr)
+          .filter(!org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.expr(c.predicateSql),
+            org.apache.spark.sql.functions.lit(true)))
+          .limit(1).count()
+        require(bad == 0L,
+          s"fastForward('$name') refused: branch rows violate $table's enforced CHECK " +
+            s"constraint '${c.name}' (${c.predicateSql}) — the constraint was not " +
+            "active on the branch; fix the branch data or drop the constraint")
+      }
     // srcV = -1, NEVER the branch-local head: main-head srcV doubles as
     // the streaming sink's exactly-once epoch guard and the mirror's
     // incremental cursor — a published branch version number would

@@ -91,6 +91,16 @@ object TableChecks {
     write(spark, table, cur :+ c)
   }
 
+  /** Copy `from`'s constraints file to `to` (no-op when `from` has
+    * none): branches inherit main's constraints at fork, so every
+    * branch write enforces the same CHECKs main enforces — without
+    * this, the write-audit-publish flow could fast-forward rows no
+    * CheckInvariant ever saw. */
+  def copyTo(spark: SparkSession, from: String, to: String): Unit = {
+    val cs = read(spark, from)
+    if (cs.nonEmpty) write(spark, to, cs)
+  }
+
   /** Drop by name; returns whether it existed. */
   def drop(spark: SparkSession, table: String, name: String): Boolean = {
     val cur = read(spark, table)

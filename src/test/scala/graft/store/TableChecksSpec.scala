@@ -158,6 +158,38 @@ class TableChecksSpec extends SparkSuite {
     assert(SnapshotStore.read(spark, t).columns.toSeq === Seq("rid", "amount"))
   }
 
+  test("branches inherit CHECKs at fork; fastForward validates late-added ones") {
+    import spark.implicits._
+    val (cat, wh) = freshCat()
+    val t = s"$wh/facts/wap"
+    SnapshotStore.commit(Seq((1, 10.0)).toDF("id", "price"), t)
+    spark.sql(s"ALTER TABLE $cat.facts.wap ADD CONSTRAINT price_pos CHECK (price >= 0)")
+
+    // fork AFTER the constraint: the branch inherits it, so a branch
+    // write enforcing nothing can't smuggle violating rows to main
+    val br = SnapshotStore.createBranch(spark, t, "audit")
+    val e = intercept[Exception] {
+      SnapshotStore.appendCommit(Seq((2, -5.0)).toDF("id", "price"), br)
+    }
+    assert(e.getMessage.contains("price_pos"),
+      s"branch writes must enforce the inherited CHECK: ${e.getMessage}")
+    SnapshotStore.appendCommit(Seq((2, 5.0)).toDF("id", "price"), br)
+    SnapshotStore.fastForward(spark, t, "audit")
+    assert(SnapshotStore.read(spark, t).count() === 2L)
+
+    // constraint added on MAIN mid-branch (no version bump, so the
+    // moved-main guard can't see it): fastForward must validate the
+    // branch rows against it and refuse the violating publish
+    val t2 = s"$wh/facts/wap2"
+    SnapshotStore.commit(Seq((1, 10.0)).toDF("id", "price"), t2)
+    val br2 = SnapshotStore.createBranch(spark, t2, "late")
+    SnapshotStore.appendCommit(Seq((2, -5.0)).toDF("id", "price"), br2)
+    spark.sql(s"ALTER TABLE $cat.facts.wap2 ADD CONSTRAINT price_pos CHECK (price >= 0)")
+    val e2 = intercept[Exception] { SnapshotStore.fastForward(spark, t2, "late") }
+    assert(e2.getMessage.contains("price_pos"), e2.getMessage)
+    assert(SnapshotStore.read(spark, t2).count() === 1L, "the refused publish changed nothing")
+  }
+
   test("constraints survive commits and show through Table.constraints()") {
     import spark.implicits._
     val (cat, wh) = freshCat()
