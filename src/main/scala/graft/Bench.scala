@@ -164,9 +164,14 @@ object Bench {
     }
     // a record from a DIFFERENT scale factor is no baseline at all —
     // comparing sf0.1 times against an sf10 record flags dozens of
-    // phantom regressions (and would mask real ones the other way)
+    // phantom regressions (and would mask real ones the other way).
+    // Same for a record under a different TIMING SCHEME: per-query
+    // numbers went fixture-net in round 15, so a gross-timed record
+    // would show spurious improvements on fixture-heavy queries and
+    // skew the shared-corpus median — records carry "timing":"net"
+    // and an unmarked (older) record falls back to the box control.
     val prevSameSf: Option[String] = prevText.filter(
-      _.contains(s""""sf":"$sfDir""""))
+      _.contains(s""""sf":"$sfDir"""")).filter(_.contains(""""timing":"net""""))
     val prevQueries: Map[String, Double] = prevSameSf.flatMap { text =>
       val qStart = text.indexOf("\"queries\":{")
       if (qStart < 0) None
@@ -180,11 +185,39 @@ object Bench {
       "\"control_sec\":([0-9.]+)".r.findFirstMatchIn(text)
         .map(_.group(1).toDouble).filter(_ > 0))
     val controlScale = prevControl.map(controlSec / _).getOrElse(1.0)
-    val gate = BenchGate.evaluate(
-      ok.map { case (k, v, _) => k -> v }.toMap, prevQueries, controlScale)
-    val regressions = gate.regressions
+    // SELF-ADJUDICATING gate (round-16; r15 still needed manual FALSE
+    // adjudications for in-run contention): headline queries gate on
+    // their WARM MEDIAN (already collected above — first-pass times
+    // carry whatever the corpus pass was contending with), and a
+    // non-headline flag gets ONE isolated re-run before it is
+    // reported — a flag that vanishes warm was contention, not a
+    // regression, and lands in flags_cleared_on_rerun instead.
+    val gateNow: Map[String, Double] = ok.map { case (k, v, _) =>
+      k -> headRuns.get(k).map(median).getOrElse(v)
+    }.toMap
+    val gate = BenchGate.evaluate(gateNow, prevQueries, controlScale)
+    val cleared = scala.collection.mutable.Map[String, Double]()
+    val regressions = gate.regressions.filter { case (k, (_, old)) =>
+      if (headRuns.contains(k)) true // already a warm median — stands
+      else {
+        val warm =
+          try {
+            val t0 = System.nanoTime()
+            qfns(k)(spark, sfDir).count()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case _: Exception => None } // keep the flag: can't clear it
+        warm match {
+          case Some(w) if w <= 1.5 * old * gate.medianRatio =>
+            cleared(k) = w; false
+          case _ => true
+        }
+      }
+    }
     val regressionsJson = regressions
       .map { case (k, (now, old)) => "\"" + k + "\":[" + fmt(now) + "," + fmt(old) + "]" }
+      .mkString("{", ",", "}")
+    val clearedJson = cleared.toSeq.sortBy(_._1)
+      .map { case (k, w) => "\"" + k + "\":" + fmt(w) }
       .mkString("{", ",", "}")
 
     val fullQs = ok.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
@@ -199,7 +232,7 @@ object Bench {
       .map { case (k, v) => "\"" + k.takeWhile(_ != '|') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${outcomes.size},"queries":$fullQs,"runs":$runsJson,"spread_max":${fmt(spreadMax)},"errors":$errs,"control_sec":${fmt(controlSec)},"control_scale_vs_prev":${fmt(controlScale)},"median_ratio_vs_prev":${fmt(gate.medianRatio)},"n_shared_vs_prev":${gate.nShared},"corpus_slowdown":${gate.corpusSlowdown},"regressions_vs_prev":$regressionsJson,$boot,"fixture_setup_sec":$fixturesJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"net","n_queries":${outcomes.size},"queries":$fullQs,"queries_stat":"first_pass_net_of_fixtures","runs":$runsJson,"runs_stat":"headline_3_runs_first_then_warm","spread_max":${fmt(spreadMax)},"errors":$errs,"control_sec":${fmt(controlSec)},"control_scale_vs_prev":${fmt(controlScale)},"median_ratio_vs_prev":${fmt(gate.medianRatio)},"n_shared_vs_prev":${gate.nShared},"corpus_slowdown":${gate.corpusSlowdown},"regressions_vs_prev":$regressionsJson,"flags_cleared_on_rerun":$clearedJson,$boot,"fixture_setup_sec":$fixturesJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(fullOut),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))

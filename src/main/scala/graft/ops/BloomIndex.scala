@@ -64,24 +64,60 @@ object BloomIndex {
     df.select(input_file_name().alias("file"), df(keyCol))
       .groupBy(col("file"))
       .agg(agg.alias("bloom"))
-      .coalesce(1)
+      // NO coalesce(1): at 100k files × 1-10 MB blooms a single-task
+      // funnel writes ~100s of GB through one executor thread — let
+      // the aggregate's own partitioning write in parallel (one row
+      // per file; readers take the file list, not one file)
       .write.mode("overwrite").parquet(s"$path/_bindex")
   }
 
-  /** Files that MIGHT contain `key` (no false negatives): collect the
-    * metadata-sized index and probe each file's filter on the driver —
-    * the same metadata-only pattern as [[Zorder.selectFiles]]. */
+  /** Distributed-probe counter (test observability — the spec forces a
+    * tiny driver cap and proves the executor path ran, mirroring the
+    * NDV counter-proof pattern). */
+  val distributedProbes = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Files that MIGHT contain `key` (no false negatives). Index bytes
+    * under `spark.graft.bloom.driverBytesMax` (default 32 MB) collect
+    * and probe on the driver — the same metadata-only pattern as
+    * [[Zorder.selectFiles]]. A bigger index probes IN EXECUTORS and
+    * ships back only surviving file NAMES: at 100k files × 1 MB
+    * filters the driver alternative is ~100 GB of heap, the exact
+    * anti-pattern the connector path already avoids
+    * ([[graft.sources.SnapshotDataSource]]'s capped probe — this is
+    * that design, ported). */
   def selectFiles(spark: SparkSession, path: String, key: Long): Seq[String] = {
     val hashed = XxHash64(Seq(Literal(key)), Seed).eval(InternalRow.empty).asInstanceOf[Long]
     // explicit file list, not the underscore dir root — see Zorder.fileStats
-    spark.read.parquet(Zorder.indexFiles(spark, s"$path/_bindex"): _*).collect().toSeq
-      .filter { r =>
-        val bytes = r.getAs[Array[Byte]]("bloom")
-        bytes != null && org.apache.spark.util.sketch.BloomFilter
-          .readFrom(new java.io.ByteArrayInputStream(bytes))
-          .mightContainLong(hashed)
-      }
-      .map(_.getAs[String]("file"))
+    val idxFiles = Zorder.indexFiles(spark, s"$path/_bindex")
+    val driverBytesMax =
+      spark.conf.get("spark.graft.bloom.driverBytesMax", (32L << 20).toString).toLong
+    val fsys = new Path(s"$path/_bindex")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idxBytes = idxFiles.map(f => fsys.getFileStatus(new Path(f)).getLen).sum
+    if (idxBytes <= driverBytesMax)
+      spark.read.parquet(idxFiles: _*).collect().toSeq
+        .filter { r =>
+          val bytes = r.getAs[Array[Byte]]("bloom")
+          bytes != null && org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(bytes))
+            .mightContainLong(hashed)
+        }
+        .map(_.getAs[String]("file"))
+    else {
+      distributedProbes.incrementAndGet()
+      spark.read.parquet(idxFiles: _*)
+        .select("file", "bloom")
+        .mapPartitions { rows =>
+          rows.flatMap { r =>
+            val bytes = r.getAs[Array[Byte]]("bloom")
+            if (bytes != null && org.apache.spark.util.sketch.BloomFilter
+                .readFrom(new java.io.ByteArrayInputStream(bytes))
+                .mightContainLong(hashed)) Some(r.getString(0))
+            else None
+          }
+        }(org.apache.spark.sql.Encoders.STRING)
+        .collect().toSeq
+    }
   }
 
   /** Point lookup `keyCol = key` reading only Bloom-surviving files,
@@ -187,7 +223,10 @@ object BloomIndex {
         .agg(agg.alias("bloom"))
         .select(col("file"), lit(c).alias("col"), col("bloom"))
     }.reduce(_ unionAll _)
-      .coalesce(1)
+      // one writer task per column shard (NOT coalesce(1): a single
+      // task funneling every (file, column) filter is the 100k-file
+      // bottleneck); each shard still lands as one file
+      .repartition(col("col"))
       // SHARDED BY COLUMN (round-12): the scan probes one column at a
       // time, and a column-partitioned index lets planning read O(probed
       // columns) of it instead of materializing every (file, column)

@@ -242,8 +242,12 @@ final class GraftViewSubstitution(session: SparkSession) extends Rule[LogicalPla
   private def substitute(u: UnresolvedRelation): LogicalPlan =
       GraftViews.graftIdent(session, u.multipartIdentifier).flatMap { case (cat, id) =>
         SnapshotViews.read(session, warehouseOf(cat), id).map { rec =>
-          val parsed = qualifyBody(
-            session.sessionState.sqlParser.parsePlan(rec.sql), rec)
+          // CTESubstitution already ran (Substitution batch precedes
+          // resolution rules), so a WITH inside the spliced body would
+          // never bind its own CTE names — run it on the body here
+          val parsed = org.apache.spark.sql.catalyst.analysis.CTESubstitution(
+            qualifyBody(
+              session.sessionState.sqlParser.parsePlan(rec.sql), rec))
           val aliased =
             if (rec.columnAliases != null && rec.columnAliases.nonEmpty)
               UnresolvedSubqueryColumnAliases(rec.columnAliases.toSeq, parsed)
@@ -258,31 +262,53 @@ final class GraftViewSubstitution(session: SparkSession) extends Rule[LogicalPla
     * CREATE time — persisted in the record — never the READER's
     * session state, which would silently bind the same view text to a
     * different table per reader. References whose head already names a
-    * registered catalog, and names bound by the body's own CTEs, are
-    * left untouched. */
+    * registered catalog are left untouched, as are names bound by an
+    * ENCLOSING CTE — scope-aware: a table reference that merely shares
+    * a name with a CTE defined in a different, non-enclosing scope of
+    * the body still qualifies (the plan-global name set this replaced
+    * exempted it, reintroducing per-reader rebinding). The recursion
+    * also descends into the CTE definitions themselves —
+    * `UnresolvedWith` is a UnaryNode whose `cteRelations` are NOT
+    * children, so a child-walking transform never reaches them. */
   private def qualifyBody(parsed: LogicalPlan, rec: SnapshotViews.Rec): LogicalPlan = {
     val defCat = Option(rec.currentCatalog).filter(_.nonEmpty)
     if (defCat.isEmpty) return parsed
     val cm = session.sessionState.catalogManager
     val defNs: Seq[String] = Option(rec.currentNamespace).map(_.toSeq).getOrElse(Nil)
-    val cteNames = scala.collection.mutable.Set[String]()
-    parsed.foreach {
-      case w: UnresolvedWith =>
-        w.cteRelations.foreach { case (n, _, _) => cteNames += n.toLowerCase }
-      case _ => ()
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    def qualify(plan: LogicalPlan, scope: Set[String]): LogicalPlan = {
+      val rewritten = plan match {
+        case w: UnresolvedWith =>
+          // sequential scope: each definition sees the CTEs defined
+          // BEFORE it (plus the outer scope); a RECURSIVE cte sees its
+          // own name inside its definition
+          var s = scope
+          val rels = w.cteRelations.map { case (n, rel, opt) =>
+            val inner = if (w.allowRecursion) s + n.toLowerCase else s
+            val r2 = qualify(rel, inner).asInstanceOf[SubqueryAlias]
+            s += n.toLowerCase
+            (n, r2, opt)
+          }
+          UnresolvedWith(qualify(w.child, s), rels, w.allowRecursion)
+        case r: UnresolvedRelation
+            if !(r.multipartIdentifier.length >= 2 &&
+                cm.isCatalogRegistered(r.multipartIdentifier.head)) &&
+              !(r.multipartIdentifier.length == 1 &&
+                scope.contains(r.multipartIdentifier.head.toLowerCase)) =>
+          val parts = r.multipartIdentifier
+          val full =
+            if (parts.length == 1) defCat.get +: (defNs ++ parts)
+            else defCat.get +: parts
+          r.copy(multipartIdentifier = full)
+        case other => other.mapChildren(qualify(_, scope))
+      }
+      // subquery expressions carry their own plans — outer CTE names
+      // stay in scope inside them
+      rewritten.transformExpressionsUp {
+        case se: SubqueryExpression => se.withNewPlan(qualify(se.plan, scope))
+      }
     }
-    parsed.transformUpWithSubqueries {
-      case r: UnresolvedRelation
-          if !(r.multipartIdentifier.length >= 2 &&
-              cm.isCatalogRegistered(r.multipartIdentifier.head)) &&
-            !(r.multipartIdentifier.length == 1 &&
-              cteNames.contains(r.multipartIdentifier.head.toLowerCase)) =>
-        val parts = r.multipartIdentifier
-        val full =
-          if (parts.length == 1) defCat.get +: (defNs ++ parts)
-          else defCat.get +: parts
-        r.copy(multipartIdentifier = full)
-    }
+    qualify(parsed, Set.empty)
   }
 
   private def warehouseOf(cat: SnapshotCatalog): String = cat.warehousePath

@@ -617,6 +617,62 @@ object EventAnalytics {
               FROM $cat.facts.customer ORDER BY c_custkey""")
   }
 
+  /** DT44: ROW-GRANULAR CHANGE FEED for copy-on-write MERGE (round 16):
+    * the merge commit persists exactly the rows that changed (pre-images
+    * under `_rowchanges/<tok>/removes`, post-images under `/inserts`),
+    * and the feed streams THOSE — O(changed rows) — instead of replaying
+    * every touched file both ways (the keys are hash-scattered so the
+    * 1%-of-keys merge touches EVERY file; the fixture pins that the feed
+    * emits a small fraction of the table, which the file-granular replay
+    * could not). The query REPLAYS the feed onto the v0 image (state −
+    * removes + inserts) and aggregates the reconstructed mirror; the
+    * oracle replays the merge algebra over plain parquet — mirror ≡
+    * merged table, hash-exact. */
+  val dtCdfRowlevel: Q = (s, d) => {
+    val wh = Fixtures.dir("cdfrow", d) { root =>
+      val cat = snapCatalog(s, root)
+      val t = s"$root/facts/customer"
+      val files = s.sparkContext.defaultParallelism.max(4)
+      graft.store.SnapshotStore.commit(
+        Tables.customer(s, d).repartition(files), t) // v0
+      val touched = Tables.customer(s, d)
+        .filter(pmod(col("c_custkey"), lit(100)) === 7)
+        .select(col("c_custkey"))
+      touched.unionAll(touched.select(col("c_custkey") + 9000000))
+        .createOrReplaceTempView("graft_cdf_src")
+      s.sql(
+        s"""MERGE INTO $cat.facts.customer t USING graft_cdf_src src
+            ON t.c_custkey = src.c_custkey
+            WHEN MATCHED AND t.c_acctbal < 0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET c_acctbal = t.c_acctbal + 100.0
+            WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+              VALUES (src.c_custkey, 'new', CAST(-1 AS INT), 0.0, 'NEW')""")
+      val m = graft.store.SnapshotStore.manifest(s, t, 1L)
+      require(m.op == "merge" && m.rowChanges.nonEmpty,
+        "dt_cdf_rowlevel: the CoW merge must publish a row-changes sidecar")
+      val feedCnt = s.read.format("graft-snapshot").option("path", t)
+        .option("changeFeed", "true").option("startingVersion", "1").load().count()
+      val total = graft.store.SnapshotStore.read(s, t).count()
+      require(feedCnt < total / 2,
+        s"dt_cdf_rowlevel: the feed must be O(changed rows) — got $feedCnt " +
+          s"change rows for a $total-row table whose every file the merge touched")
+    }
+    val t = s"$wh/facts/customer"
+    val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .map(col)
+    val feed = s.read.format("graft-snapshot").option("path", t)
+      .option("changeFeed", "true").option("startingVersion", "1").load()
+    val removes = feed.filter(col("_change_type") === "remove").select(cols: _*)
+    val inserts = feed.filter(col("_change_type") === "insert").select(cols: _*)
+    graft.store.SnapshotStore.readVersion(s, t, 0L).select(cols: _*)
+      .exceptAll(removes).unionAll(inserts) // the documented consumer algebra
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).alias("n_rows"),
+        sum(round(col("c_acctbal") * 100).cast("long")).alias("bal_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** DT12: `CREATE TABLE ... AS SELECT` through the snapshot catalog —
     * the summary mart is born as version 0 in ONE atomic staged commit,
     * then answered from the new table. Oracle recomputes the aggregate
@@ -921,6 +977,52 @@ object EventAnalytics {
                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
           FROM $cat.facts.orders
           GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  }
+
+  /** DT43: MULTI-OP SINGLE-TABLE TRANSACTION
+    * ([[graft.store.SnapshotStore.withTransaction]], round 16 — the
+    * r15 verdict's top ask): a "restate + re-index + analyze" job
+    * (row-level DELETE, append, NDV analyze) runs as ONE atomic main
+    * commit. The ops apply to a private branch; a reader polling main
+    * between them observes NOTHING (the fixture polls after every op),
+    * and the single publish lands all three — delete vectors, restated
+    * files, and the stats sidecar — at main version base+1. Oracle
+    * replays the delete+append algebra over plain parquet. */
+  val dtTxn: Q = (s, d) => {
+    val wh = Fixtures.dir("txn", d) { root =>
+      val t = s"$root/facts/orders"
+      val orders = Tables.orders(s, d)
+      graft.store.SnapshotStore.commit(orders, t)
+      val restated = orders
+        .filter(date_format(col("o_orderdate"), "yyyy-MM") === "1997-01")
+        .withColumn("o_orderkey", col("o_orderkey") + 9000000L)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      def mainState(): (Option[Long], Long) =
+        (graft.store.SnapshotStore.currentVersion(s, t),
+          graft.store.SnapshotStore.read(s, t).count())
+      val before = mainState()
+      val (v, _) = graft.store.SnapshotStore.withTransaction(s, t) { br =>
+        graft.store.SnapshotStore.deleteCommit(s, br, Seq("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM") === "1997-01")
+        require(mainState() == before, "dt_txn: the delete leaked to main readers")
+        graft.store.SnapshotStore.appendCommit(restated, br)
+        require(mainState() == before, "dt_txn: the append leaked to main readers")
+        graft.ops.NdvStats.analyzeCommit(s, br, Seq("o_custkey"))
+        require(mainState() == before, "dt_txn: the analyze leaked to main readers")
+      }
+      require(v == 1L, s"dt_txn: the whole transaction must be ONE main commit, got v$v")
+      val m = graft.store.SnapshotStore.manifest(s, t, v)
+      require(m.op == "publish" && m.provenance.startsWith("branch:txn_"),
+        "dt_txn: the publish must carry the transaction's branch provenance")
+      require(m.ndvFile.nonEmpty, "dt_txn: the analyze must publish with the transaction")
+    }
+    val cat = snapCatalog(s, wh)
+    s.sql(
+      s"""SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM $cat.facts.orders
+          GROUP BY 1 ORDER BY 1""")
   }
 
   /** DT29: NDV COLUMN STATISTICS → CBO — `CALL system.analyze` runs one
@@ -1333,6 +1435,33 @@ object EventAnalytics {
                 CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS cents
          FROM u
          WHERE price > 1000.0
+         GROUP BY 1 ORDER BY 1""",
+    "dt_cdf_rowlevel" ->
+      """WITH merged AS (
+           SELECT c_mktsegment,
+                  CASE WHEN c_custkey % 100 = 7 THEN c_acctbal + 100.0
+                       ELSE c_acctbal END AS bal
+           FROM customer
+           WHERE NOT (c_custkey % 100 = 7 AND c_acctbal < 0)
+           UNION ALL
+           SELECT 'NEW' AS c_mktsegment, 0.0 AS bal
+           FROM customer WHERE c_custkey % 100 = 7)
+         SELECT c_mktsegment,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+         FROM merged
+         GROUP BY 1 ORDER BY 1""",
+    "dt_txn" ->
+      """WITH u AS (
+           SELECT * FROM orders WHERE strftime(o_orderdate, '%Y-%m') <> '1997-01'
+           UNION ALL
+           SELECT o_orderkey + 9000000, o_custkey, o_orderstatus, o_totalprice * 2,
+                  o_orderdate, o_orderpriority
+           FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1997-01')
+         SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM u
          GROUP BY 1 ORDER BY 1""",
     "dt_replace_where" ->
       """WITH u AS (
@@ -1912,6 +2041,8 @@ object EventAnalytics {
     "dt_agg_nullaware" -> dtAggNullaware,
     "dt_column_default" -> dtColumnDefault,
     "dt_branch_wap" -> dtBranchWap,
+    "dt_txn" -> dtTxn,
+    "dt_cdf_rowlevel" -> dtCdfRowlevel,
     "dt_ndv_cbo" -> dtNdvCbo,
     "dt_hist_cbo" -> dtHistCbo,
     "dt_partition_evolve" -> dtPartitionEvolve,

@@ -328,10 +328,23 @@ private[sources] object SnapshotMetadataDelete {
           SnapshotStore.listStagedFiles(spark, survivorDir)
         }
       val files = kept ++ survivorFiles ++ stagedFiles
-      require(files.nonEmpty,
-        s"overwrite-by-predicate on $tablePath would empty the table — a manifest " +
-          "must reference at least one file (an all-matching predicate with no new " +
-          "rows is a TRUNCATE: use plain INSERT OVERWRITE)")
+      // survivor parquet lands BEFORE the CAS publish: on a lost
+      // attempt (or the empty-table refusal below) the staged dir
+      // would otherwise leak unreferenced data under the table root
+      // on every retry — sweep it, as the staged-write path sweeps
+      // its stage dir
+      def sweepSurvivorDir(): Unit = if (ambiguous.nonEmpty) {
+        val p = new org.apache.hadoop.fs.Path(survivorDir)
+        val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (f.exists(p)) f.delete(p, true)
+      }
+      if (files.isEmpty) {
+        sweepSurvivorDir()
+        throw new IllegalArgumentException(
+          s"overwrite-by-predicate on $tablePath would empty the table — a manifest " +
+            "must reference at least one file (an all-matching predicate with no new " +
+            "rows is a TRUNCATE: use plain INSERT OVERWRITE)")
+      }
       val exact = m.statsExact &&
         (survivorFiles.isEmpty || SnapshotStore.writerStatsExact(spark))
       val stats = FileStats.sidecarFor(spark, tablePath, files, Some(m), exact)
@@ -349,6 +362,7 @@ private[sources] object SnapshotMetadataDelete {
             droppedCols = m.droppedCols,
             schemaJson = m.schemaJson)))
         return v + 1
+      sweepSurvivorDir()
       attempt += 1 // CAS lost: the base set changed — reclassify and re-stage
     }
     throw new IllegalStateException(

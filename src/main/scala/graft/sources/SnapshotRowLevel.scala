@@ -168,6 +168,39 @@ private[sources] final class SnapshotRowLevelBatchWrite(
       case Command.UPDATE => "update"
       case Command.DELETE => "delete-cow"
     }
+    // ROW-GRANULAR change sidecar (round 16): the rewrite already read
+    // every touched file, so the rows that actually changed are one
+    // multiset diff away — old live rows of the replaced files vs the
+    // staged replacements, both ways. The change feed then streams
+    // O(changed rows) for the commonest write shape (a few-row MERGE
+    // into big files) instead of replaying each touched file twice.
+    // Diff cost is O(touched files) at write time, charged once, here —
+    // never per consumer. Opt out with spark.graft.changes.rowLevel=false.
+    // map columns are not comparable (no exceptAll) — decline to the
+    // file-granular cow feed rather than fail the write
+    def comparable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: StructType => s.fields.forall(f => comparable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => comparable(a.elementType)
+      case _ => true
+    }
+    val rowChanges: String =
+      if (replaced.isEmpty ||
+          !spark.conf.get("spark.graft.changes.rowLevel", "true").toBoolean ||
+          !schema.fields.forall(f => comparable(f.dataType))) ""
+      else {
+        val rc = s"$tablePath/_rowchanges/c_${java.util.UUID.randomUUID.toString.take(8)}"
+        val cols = schema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col)
+        val oldRows = graft.store.ColumnMapping.applyToFrame(
+          SnapshotStore.readFilesWithDvs(spark, m, replaced.toSeq), m).select(cols: _*)
+        val newRows =
+          if (committed.isEmpty) spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), oldRows.schema)
+          else spark.read.schema(oldRows.schema).parquet(committed: _*).select(cols: _*)
+        oldRows.exceptAll(newRows).write.mode("overwrite").parquet(s"$rc/removes")
+        newRows.exceptAll(oldRows).write.mode("overwrite").parquet(s"$rc/inserts")
+        rc
+      }
     // copy-on-write sidecar: survivors' stats copy forward from the base
     // version's sidecar; only the replacement files' footers are read
     val stats = graft.store.FileStats.sidecarFor(
@@ -183,7 +216,8 @@ private[sources] final class SnapshotRowLevelBatchWrite(
         bloomFile = m.bloomFile, partSpec = m.partSpec, ndvFile = m.ndvFile,
         partGen = m.partGen, partHist = m.partHist,
         renames = m.renames, droppedCols = m.droppedCols,
-        widens = m.widens, schemaJson = m.schemaJson))
+        widens = m.widens, schemaJson = m.schemaJson,
+        rowChanges = rowChanges))
     if (!ok) {
       abort(messages)
       throw new java.util.ConcurrentModificationException(

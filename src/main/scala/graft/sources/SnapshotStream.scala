@@ -114,6 +114,12 @@ private[sources] final class SnapshotMicroBatchStream(
     // fixed at delete time, so the new files are covered by none
     else if (m.files.nonEmpty && m.deletes == prev.deletes &&
         filesOf(v - 1).toSet.subsetOf(m.files.toSet)) "insert"
+    // a commit carrying a ROW-CHANGES sidecar is a cow delta by
+    // construction — even when the rewrite touched EVERY file (no
+    // shared subset left to witness it); the sidecar holds exactly the
+    // changed rows, diffed against this very predecessor
+    else if (m.rowChanges.nonEmpty && m.files.nonEmpty &&
+        m.deletes == prev.deletes) "cow"
     // copy-on-write stays a file delta over LIVE (unchanged) deletion
     // vectors too: the remove side replays the replaced files' rows
     // with the PREDECESSOR's scoped DVs applied (so already-deleted
@@ -191,6 +197,9 @@ private[sources] final class SnapshotMicroBatchStream(
       case "delta" =>
         (m.files.count(!filesOf(v - 1).toSet.contains(_)) +
           m.deletes.count(!manifestOf(v - 1).deletes.contains(_))).max(1)
+      case "cow" if m.rowChanges.nonEmpty =>
+        (rowChangeFiles(m.rowChanges, "removes").size +
+          rowChangeFiles(m.rowChanges, "inserts").size).max(1)
       case "cow" =>
         val prev = filesOf(v - 1).toSet
         val cur = m.files.toSet
@@ -275,6 +284,15 @@ private[sources] final class SnapshotMicroBatchStream(
           val prevFiles = filesOf(v - 1).toSet
           dvDeltaPartitions(m, v) ++
             rowGroupPartitions(m, v, m.files.filterNot(prevFiles), "insert")
+        case "cow" if m.rowChanges.nonEmpty =>
+          // ROW-GRANULAR sidecar (round 16): the commit already diffed
+          // old-vs-new over its touched files and persisted exactly the
+          // changed rows — stream those ('remove' pre-images, 'insert'
+          // post-images), O(changed rows) instead of every touched file
+          // twice. Same consumer algebra (state − removes + inserts);
+          // no DV lookup needed (the diff was DV-filtered at write).
+          rowGroupPartitions(m, v, rowChangeFiles(m.rowChanges, "removes"), "remove") ++
+            rowGroupPartitions(m, v, rowChangeFiles(m.rowChanges, "inserts"), "insert")
         case "cow" =>
           // copy-on-write commit (SQL MERGE/UPDATE/DELETE, metadata
           // delete): untouched files are SHARED between the manifests,
@@ -313,6 +331,17 @@ private[sources] final class SnapshotMicroBatchStream(
     }
     plannedDvVersions = dvVersions.distinct.toSeq
     parts.toArray
+  }
+
+  /** Part files of one side of a row-changes sidecar (absent side —
+    * e.g. a pure DELETE's empty inserts — is just no files). */
+  private def rowChangeFiles(rc: String, side: String): Seq[String] = {
+    val dp = new Path(s"$rc/$side")
+    val fsys = dp.getFileSystem(conf)
+    if (!fsys.exists(dp)) Nil
+    else fsys.listStatus(dp).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
   }
 
   /** 'delete' partitions for version `v`'s NEW deletion-vector entries

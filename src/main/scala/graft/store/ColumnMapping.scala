@@ -105,7 +105,21 @@ object ColumnMapping {
       logical.fields.find(_.name == l).toSeq.flatMap(f =>
         as.map(a => f.copy(name = a)))
     }
-    StructType(logical.fields ++ aliasFields)
+    // STRIP default metadata from the read schema: Spark's parquet
+    // reader natively fills EXISTS_DEFAULT for physically-missing
+    // columns, but it binds by the REQUESTED name only — a pre-rename
+    // file carrying the value under an old alias would read the frozen
+    // default AND the real value, and the alias coalesce would prefer
+    // the default. The engine does its own rename-aware per-file fill
+    // ([[SnapshotStore.boundParquet]]); the reader must stay inert.
+    StructType((logical.fields ++ aliasFields).map { f =>
+      if (f.metadata.contains("EXISTS_DEFAULT") || f.metadata.contains("CURRENT_DEFAULT")) {
+        val b = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        b.remove("EXISTS_DEFAULT"); b.remove("CURRENT_DEFAULT")
+        f.copy(metadata = b.build())
+      } else f
+    })
   }
 
   /** The LOGICAL schema over a merged physical schema: drops retired

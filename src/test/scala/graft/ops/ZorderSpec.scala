@@ -140,4 +140,26 @@ class ZorderSpec extends SparkSuite {
       .collect().map(_.getAs[Long]("k")).toSet
     assert(multi === Set(5L, 99999L))
   }
+
+  test("bloom index over the driver byte cap probes in executors, same answer") {
+    val dir = java.nio.file.Files.createTempDirectory("bcap").toString + "/t"
+    spark.range(0, 50000).toDF("k")
+      .withColumn("payload", col("k") + 1)
+      .repartition(8, col("k") % 499)
+      .write.parquet(dir)
+    BloomIndex.writeFileBloomIndex(spark, dir, "k",
+      expectedItems = 1L << 14, numBits = 1L << 18)
+    val onDriver = BloomIndex.selectFiles(spark, dir, 4242L).toSet
+    val before = BloomIndex.distributedProbes.get()
+    spark.conf.set("spark.graft.bloom.driverBytesMax", "1") // force executor path
+    try {
+      val distributed = BloomIndex.selectFiles(spark, dir, 4242L).toSet
+      assert(BloomIndex.distributedProbes.get() > before,
+        "the tiny cap must route the probe through the executor path")
+      assert(distributed === onDriver,
+        "capped and driver probes must select the same files")
+      assert(BloomIndex.pointLookup(spark, dir, "k", 4242L)
+        .collect().map(_.getAs[Long]("payload")).toSeq === Seq(4243L))
+    } finally spark.conf.unset("spark.graft.bloom.driverBytesMax")
+  }
 }

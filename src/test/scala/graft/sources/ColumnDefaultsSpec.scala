@@ -172,6 +172,36 @@ class ColumnDefaultsSpec extends SparkSuite {
       "the default must survive the overwrite's schema re-pin")
   }
 
+  test("RENAME of an exists-default column keeps stored values (engine + scan + rewrite paths)") {
+    val (cat, wh) = freshCat()
+    spark.sql(s"CREATE TABLE $cat.facts.t9 (id BIGINT)")
+    spark.sql(s"INSERT INTO $cat.facts.t9 VALUES (1)")
+    spark.sql(s"ALTER TABLE $cat.facts.t9 ADD COLUMNS (c INT DEFAULT 7)")
+    // files carrying REAL values under the pre-rename physical name 'c'
+    spark.sql(s"INSERT INTO $cat.facts.t9 VALUES (2, 99), (3, NULL)")
+    spark.sql(s"ALTER TABLE $cat.facts.t9 RENAME COLUMN c TO c2")
+    spark.sql(s"INSERT INTO $cat.facts.t9 VALUES (4, 11)")
+    def vals(rows: Array[org.apache.spark.sql.Row], idCol: Int = 0, cCol: Int = 1) =
+      rows.sortBy(_.getLong(idCol)).map(r => if (r.isNullAt(cCol)) null else r.getInt(cCol)).toSeq
+    val expected = Seq[Any](7, 99, null, 11)
+    // DSv2 scan path
+    assert(vals(spark.sql(s"SELECT id, c2 FROM $cat.facts.t9").collect()) === expected,
+      "scan: pre-rename files must bind c2 to the stored physical 'c', not the default")
+    // ENGINE read path (boundParquet classification — the regression
+    // site: classifying by the logical name alone filled the frozen
+    // default over the real 99/NULL values)
+    val eng = graft.store.SnapshotStore.read(spark, s"$wh/facts/t9")
+      .select("id", "c2").collect()
+    assert(vals(eng) === expected,
+      "engine read: rename aliases count as column-present for the exists-default fill")
+    // REWRITE path (row-level DELETE reads through readVersion and
+    // materializes what it read — corruption here would be permanent)
+    spark.sql(s"DELETE FROM $cat.facts.t9 WHERE id = 1")
+    assert(vals(spark.sql(s"SELECT id, c2 FROM $cat.facts.t9").collect()) ===
+      Seq[Any](99, null, 11),
+      "a CoW rewrite must not materialize the default over stored values")
+  }
+
   test("exists-default composes with DVs and time travel") {
     import spark.implicits._
     val (cat, wh) = freshCat()

@@ -199,6 +199,88 @@ class SnapshotRowLevelSpec extends SparkSuite {
     }
   }
 
+  test("row-granular CDF: a CoW MERGE streams exactly the changed rows, not touched files") {
+    withCatalog { (cat, wh) =>
+      import spark.implicits._
+      val t = s"$wh/facts/kv"
+      // ONE file of 1000 rows: the file-granular feed would emit ~2000
+      // rows for any 3-row merge; the row-granular sidecar must emit 5
+      SnapshotStore.commit(
+        spark.range(0, 1000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v").coalesce(1), t)
+      Seq((1L, 10.0), (2L, -1.0), (5000L, 7.0)).toDF("k", "nv")
+        .createOrReplaceTempView("rl_cdf_src")
+      spark.sql(
+        s"""MERGE INTO $cat.facts.kv t USING rl_cdf_src s ON t.k = s.k
+            WHEN MATCHED AND s.nv < 0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET v = s.nv
+            WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)""")
+      val m = SnapshotStore.manifest(spark, t, 1L)
+      assert(m.op === "merge" && m.rowChanges.nonEmpty,
+        "the CoW merge must publish its row-changes sidecar")
+      val feed = spark.read.format("graft-snapshot").option("path", t)
+        .option("changeFeed", "true").option("startingVersion", "1").load().collect()
+      def ct(r: org.apache.spark.sql.Row) = r.getString(r.fieldIndex("_change_type"))
+      def kv(r: org.apache.spark.sql.Row) =
+        (r.getLong(r.fieldIndex("k")), r.getDouble(r.fieldIndex("v")))
+      val removes = feed.filter(ct(_) == "remove").map(kv).toSet
+      val inserts = feed.filter(ct(_) == "insert").map(kv).toSet
+      assert(feed.length === 4,
+        s"update=pre+post, delete=pre, insert=post → 4 change rows, got ${feed.length}")
+      assert(removes === Set((1L, 1.0), (2L, 2.0)),
+        s"pre-images: the updated and deleted rows' OLD values: $removes")
+      assert(inserts === Set((1L, 10.0), (5000L, 7.0)),
+        s"post-images: the updated row's NEW value and the inserted row: $inserts")
+      // consumer algebra still reconstructs the head exactly
+      val head = SnapshotStore.read(spark, t).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val base = SnapshotStore.readVersion(spark, t, 0L).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert((base -- removes ++ inserts) === head)
+
+      // an UPDATE that changes nothing emits NO change rows
+      spark.sql(s"UPDATE $cat.facts.kv SET v = v WHERE k < 10")
+      val feed2 = spark.read.format("graft-snapshot").option("path", t)
+        .option("changeFeed", "true").option("startingVersion", "2").load().collect()
+      assert(feed2.isEmpty,
+        s"a no-op rewrite changed zero rows — the feed must say so: ${feed2.length} rows")
+
+      // opt-out restores the file-granular replay
+      spark.conf.set("spark.graft.changes.rowLevel", "false")
+      try {
+        spark.sql(s"UPDATE $cat.facts.kv SET v = v + 1 WHERE k = 3")
+        assert(SnapshotStore.manifest(spark, t, 3L).rowChanges.isEmpty)
+        val feed3 = spark.read.format("graft-snapshot").option("path", t)
+          .option("changeFeed", "true").option("startingVersion", "3").load().collect()
+        assert(feed3.length > 2, "file-granular fallback replays the touched file both ways")
+      } finally spark.conf.unset("spark.graft.changes.rowLevel")
+    }
+  }
+
+  test("replication mirrors a row-granular CoW MERGE; mirror reads O(changed rows)") {
+    withCatalog { (cat, wh) =>
+      val src = s"$wh/facts/kv2"
+      val tgt = java.nio.file.Files.createTempDirectory("rl-cdf-tgt").toString + "/t"
+      val ckpt = java.nio.file.Files.createTempDirectory("rl-cdf-ck").toString
+      SnapshotStore.commit(
+        spark.range(0, 1000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v").coalesce(1), src)
+      val q = SnapshotReplication.mirror(spark, src, tgt, ckpt)
+      try {
+        q.processAllAvailable()
+        import spark.implicits._
+        Seq((10L, 99.0), (20L, -1.0)).toDF("k", "nv").createOrReplaceTempView("rl_cdf_src2")
+        spark.sql(
+          s"""MERGE INTO $cat.facts.kv2 t USING rl_cdf_src2 s ON t.k = s.k
+              WHEN MATCHED AND s.nv < 0 THEN DELETE
+              WHEN MATCHED THEN UPDATE SET v = s.nv""")
+        q.processAllAvailable()
+        val a = SnapshotStore.read(spark, src).collect().toSet
+        val b = SnapshotStore.read(spark, tgt).collect().toSet
+        assert(a === b, s"mirror diverged: src=${a.size} tgt=${b.size}")
+        assert(a.size === 999 && !a.exists(_.getLong(0) == 20L))
+      } finally q.stop()
+    }
+  }
+
   test("replication mirrors a copy-on-write commit; content converges") {
     withCatalog { (cat, wh) =>
       val src = s"$wh/facts/orders"

@@ -193,6 +193,41 @@ class SnapshotViewsSpec extends SparkSuite {
       .map(_.getLong(0)).toSeq === Seq(want))
   }
 
+  test("definer-context pin is CTE scope-aware (non-enclosing scopes exempt nothing; CTE bodies qualify)") {
+    val (cat, wh) = freshCat()
+    graft.store.SnapshotStore.commit(
+      graft.sources.Tables.nation(spark, sf()), s"$wh/facts/nation")
+    val nNation = graft.sources.Tables.nation(spark, sf()).count()
+    spark.sql(s"SET CATALOG $cat")
+    spark.sql("USE facts") // single-part references need a definer namespace
+    try {
+      // 1) a CTE DEFINITION referencing an unqualified definer table:
+      //    UnresolvedWith keeps its definitions outside `children`, so
+      //    a child-walking qualifier never reaches `facts.nation` here
+      spark.sql(
+        s"""CREATE VIEW $cat.facts.cte_body_v AS
+            WITH src AS (SELECT * FROM facts.nation)
+            SELECT count(*) AS c FROM src""")
+      // 2) a table reference that merely SHARES a name with a CTE in a
+      //    different, non-enclosing scope: the derived table's `nation`
+      //    CTE must not exempt the outer unqualified `nation` reference
+      spark.sql(
+        s"""CREATE VIEW $cat.facts.cte_scope_v AS
+            SELECT (SELECT count(*) FROM (WITH nation AS (SELECT 1 AS x) SELECT * FROM nation) d) AS inner_c,
+                   count(*) AS outer_c
+            FROM nation""")
+    } finally spark.sql("SET CATALOG spark_catalog")
+    // reader context = session catalog, where NO `nation` exists — both
+    // views only answer if the pin qualified the right references and
+    // left the genuinely CTE-bound one alone
+    assert(spark.sql(s"SELECT c FROM $cat.facts.cte_body_v").head().getLong(0) === nNation,
+      "the CTE definition's table reference must bind in the definer's context")
+    val r = spark.sql(s"SELECT inner_c, outer_c FROM $cat.facts.cte_scope_v").head()
+    assert(r.getLong(0) === 1L, "the enclosed scope's reference binds its own CTE")
+    assert(r.getLong(1) === nNation,
+      "the outer reference must qualify to the definer's table despite the name collision")
+  }
+
   test("CREATE VIEW over a session temp view refuses (persisted views cannot dangle)") {
     val (cat, wh) = freshCat()
     graft.store.SnapshotStore.commit(

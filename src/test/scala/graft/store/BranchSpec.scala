@@ -46,19 +46,116 @@ class BranchSpec extends SparkSuite {
     assert(SnapshotStore.manifest(spark, table, 1L).op === "publish")
   }
 
-  test("fastForward refuses when main diverged past the fork base") {
-    val table = fresh("branch-diverge")
+  test("fastForward REBASES onto a moved main when changes are file-disjoint") {
+    val table = fresh("branch-rebase")
     val nation = graft.sources.Tables.nation(spark, sf())
     SnapshotStore.commit(nation, table)
     val br = SnapshotStore.createBranch(spark, table, "wip")
-    SnapshotStore.appendCommit(nation.limit(2), br)
-    SnapshotStore.appendCommit(nation.limit(1), table) // main moves
+    SnapshotStore.appendCommit(
+      nation.select(col("n_nationkey") + 100, col("n_name"), col("n_regionkey"))
+        .toDF("n_nationkey", "n_name", "n_regionkey").limit(2), br)
+    // main takes an APPEND mid-audit: file-disjoint from the branch's
+    SnapshotStore.appendCommit(
+      nation.select(col("n_nationkey") + 200, col("n_name"), col("n_regionkey"))
+        .toDF("n_nationkey", "n_name", "n_regionkey").limit(3), table)
+    val v = SnapshotStore.fastForward(spark, table, "wip")
+    assert(v === 2L, "the rebase publishes on top of main's new head")
+    val got = SnapshotStore.read(spark, table)
+    assert(got.count() === nation.count() + 2 + 3,
+      "BOTH sides' appends must land — the rebase loses neither")
+    assert(got.filter(col("n_nationkey") >= 100 && col("n_nationkey") < 200).count() === 2)
+    assert(got.filter(col("n_nationkey") >= 200).count() === 3)
+    val m = SnapshotStore.manifest(spark, table, v)
+    assert(m.op === "publish" && m.provenance.contains("rebase:0->1"),
+      s"the publish records the rebase in provenance: ${m.provenance}")
+  }
+
+  test("fastForward still refuses a moved main on overlapping rewrites and on DV changes") {
+    val table = fresh("branch-overlap")
+    val nation = graft.sources.Tables.nation(spark, sf())
+    SnapshotStore.commit(nation, table)
+    // overlap: BOTH sides compact (rewrite every base file)
+    val br = SnapshotStore.createBranch(spark, table, "wip")
+    graft.ops.Bucketing.compactCommit(spark, br, 128L * 1024 * 1024)
+    graft.ops.Bucketing.compactCommit(spark, table, 128L * 1024 * 1024)
     val e = intercept[java.util.ConcurrentModificationException] {
       SnapshotStore.fastForward(spark, table, "wip")
     }
-    assert(e.getMessage.contains("moved to version"))
+    assert(e.getMessage.contains("moved to version") &&
+      e.getMessage.contains("audit against a fresh branch"),
+      s"both sides rewrote the same files — must refuse: ${e.getMessage}")
     assert(SnapshotStore.currentVersion(spark, table) === Some(1L),
       "a refused publish must not move main")
+
+    // DV change on the branch + a moved main: row-granular, not
+    // file-decidable — refuses even though the file sets are disjoint
+    val t2 = fresh("branch-dvref")
+    SnapshotStore.commit(nation, t2)
+    val br2 = SnapshotStore.createBranch(spark, t2, "wip")
+    SnapshotStore.deleteCommit(spark, br2, Seq("n_nationkey"), col("n_nationkey") === 3L)
+    SnapshotStore.appendCommit(nation.limit(1), t2) // main moves
+    val e2 = intercept[java.util.ConcurrentModificationException] {
+      SnapshotStore.fastForward(spark, t2, "wip")
+    }
+    assert(e2.getMessage.contains("deletion vectors changed"), e2.getMessage)
+  }
+
+  test("withTransaction: N ops, ONE atomic main commit; failure rolls back to nothing") {
+    val table = fresh("branch-txn")
+    val nation = graft.sources.Tables.nation(spark, sf())
+    SnapshotStore.commit(nation, table)
+    val n0 = nation.count()
+    // a "concurrent reader" polls main after every op: version AND
+    // content must be the pre-transaction state throughout
+    def observed(): (Option[Long], Long) =
+      (SnapshotStore.currentVersion(spark, table), SnapshotStore.read(spark, table).count())
+    val before = observed()
+    val (v, _) = SnapshotStore.withTransaction(spark, table) { br =>
+      SnapshotStore.deleteCommit(spark, br, Seq("n_nationkey"), col("n_nationkey") === 3L)
+      assert(observed() === before, "intermediate state leaked after op 1")
+      SnapshotStore.appendCommit(
+        nation.select(col("n_nationkey") + 100, col("n_name"), col("n_regionkey"))
+          .toDF("n_nationkey", "n_name", "n_regionkey").limit(5), br)
+      assert(observed() === before, "intermediate state leaked after op 2")
+      graft.ops.NdvStats.analyzeCommit(spark, br, Seq("n_regionkey"))
+      assert(observed() === before, "intermediate state leaked after op 3")
+    }
+    assert(v === 1L, "the three ops land as ONE main version")
+    assert(SnapshotStore.read(spark, table).count() === n0 - 1 + 5)
+    assert(SnapshotStore.manifest(spark, table, v).ndvFile.nonEmpty,
+      "the analyze publishes with the same commit")
+
+    // FAILURE mid-transaction: main untouched, the staged branch is gone
+    // (the SUCCESSFUL transaction's branch stays — main references its
+    // published files, dropBranch's guard keeps it)
+    val headBefore = SnapshotStore.currentVersion(spark, table)
+    val branchesBefore = SnapshotStore.branches(spark, table).keySet
+    val boom = intercept[RuntimeException] {
+      SnapshotStore.withTransaction(spark, table) { br =>
+        SnapshotStore.appendCommit(nation.limit(2), br)
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(boom.getMessage === "boom")
+    assert(SnapshotStore.currentVersion(spark, table) === headBefore,
+      "a failed transaction must not move main")
+    assert(SnapshotStore.branches(spark, table).keySet === branchesBefore,
+      "the failed transaction's branch must be dropped")
+
+    // a concurrent APPEND mid-transaction: the publish rebases — both land
+    val n1 = SnapshotStore.read(spark, table).count()
+    val (v2, _) = SnapshotStore.withTransaction(spark, table) { br =>
+      SnapshotStore.appendCommit(
+        nation.select(col("n_nationkey") + 300, col("n_name"), col("n_regionkey"))
+          .toDF("n_nationkey", "n_name", "n_regionkey").limit(2), br)
+      SnapshotStore.appendCommit(
+        nation.select(col("n_nationkey") + 400, col("n_name"), col("n_regionkey"))
+          .toDF("n_nationkey", "n_name", "n_regionkey").limit(1), table) // main moves
+    }
+    assert(SnapshotStore.read(spark, table).count() === n1 + 3,
+      "the transaction's append AND the concurrent main append must both land")
+    assert(SnapshotStore.manifest(spark, table, v2).provenance.contains("rebase"),
+      "the publish records it rebased")
   }
 
   test("dropBranch refuses while published main versions reference branch files") {

@@ -190,6 +190,27 @@ class TableChecksSpec extends SparkSuite {
     assert(SnapshotStore.read(spark, t2).count() === 1L, "the refused publish changed nothing")
   }
 
+  test("a branch's NOT ENFORCED copy of a main CHECK does not skip fastForward validation") {
+    import spark.implicits._
+    val (cat, wh) = freshCat()
+    val t = s"$wh/facts/wap3"
+    SnapshotStore.commit(Seq((1, 10.0)).toDF("id", "price"), t)
+    spark.sql(s"ALTER TABLE $cat.facts.wap3 ADD CONSTRAINT price_pos CHECK (price >= 0)")
+    val br = SnapshotStore.createBranch(spark, t, "loose")
+    // drop the inherited copy and re-add it NOT ENFORCED on the branch:
+    // same name, same predicate, but it validated nothing — branch
+    // writes now accept violating rows
+    TableChecks.drop(spark, br, "price_pos")
+    TableChecks.add(spark, br,
+      TableChecks.Check("price_pos", "price >= 0", enforced = false, rely = false))
+    SnapshotStore.appendCommit(Seq((2, -5.0)).toDF("id", "price"), br)
+    // the name+predicate match alone must NOT satisfy the publish gate
+    val e = intercept[Exception] { SnapshotStore.fastForward(spark, t, "loose") }
+    assert(e.getMessage.contains("price_pos"),
+      s"fastForward must scan rows a non-enforced branch copy never validated: ${e.getMessage}")
+    assert(SnapshotStore.read(spark, t).count() === 1L, "the refused publish changed nothing")
+  }
+
   test("constraints survive commits and show through Table.constraints()") {
     import spark.implicits._
     val (cat, wh) = freshCat()
