@@ -481,9 +481,31 @@ object Dedup {
       textCol: String,
       threshold: Double,
       shingleSize: Int): DataFrame = {
-    val sh = df.select(col(idCol).alias("__jid"),
-      graft.functions.native.wordShingles(col(textCol), shingleSize).alias("__jsh"))
-    cands
+    // Only docs that appear in some candidate pair are ever compared —
+    // semi-prune the corpus to them BEFORE shingling (the former shape
+    // re-shingled the FULL corpus once per join side: two extra corpus
+    // passes at 100 TB to verify a candidate set touching a few percent
+    // of it), and compare 64-bit shingle HASHES, not shingle strings:
+    // |A∩B| and |A∪B| are hash-collision-exact (p ≈ n²/2⁶⁴ per pair),
+    // the long arrays are ~10× smaller through the two verify shuffles,
+    // and the set ops compare longs instead of strings. The candidate
+    // set is consumed twice (id prune + the verify join) and its LSH
+    // lineage is the expensive corpus pass — materialize it ONCE
+    // (pair-sized by the bucket cap); the pruned shingle side stays
+    // LAZY: each join side recomputes scan+semi+shingle over candidate
+    // docs only, which measures cheaper at sf10 than materializing the
+    // shingle arrays through a checkpoint.
+    val c = cands.localCheckpoint(true)
+    val ids = c.select(col("id1").alias("__jid"))
+      .unionAll(c.select(col("id2").alias("__jid")))
+      .distinct()
+    val sh = df.select(col(idCol).alias("__jid"), col(textCol).alias("__jtx"))
+      .join(ids, Seq("__jid"), "left_semi")
+      .select(col("__jid"),
+        transform(
+          graft.functions.native.wordShingles(col("__jtx"), shingleSize),
+          s => xxhash64(s)).alias("__jsh"))
+    c
       .join(sh.withColumnRenamed("__jid", "id1").withColumnRenamed("__jsh", "__sh1"), Seq("id1"))
       .join(sh.withColumnRenamed("__jid", "id2").withColumnRenamed("__jsh", "__sh2"), Seq("id2"))
       .withColumn("jaccard", jaccard(col("__sh1"), col("__sh2")))

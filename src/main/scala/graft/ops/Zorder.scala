@@ -175,6 +175,89 @@ object Zorder {
     next
   }
 
+  /** PARTITION-SCOPED OPTIMIZE (round 16 — the subset companion to
+    * [[optimizeCommit]], which rewrites the whole current version): the
+    * day-append shape accumulates a partition at a time, and
+    * re-clustering yesterday's partition must not move the other 3 000
+    * days' bytes. Only the files of ONE partition value of the current
+    * spec rewrite (z-ordered within the partition, re-routed under the
+    * SAME partition directory so pruning survives); every other file
+    * keeps its exact path in a file-granular `keep ++ rewritten`
+    * manifest — the REPLACE WHERE commit shape. The rewritten rows read
+    * through their deletion vectors, so the fresh files are
+    * DV-MATERIALIZED; a DV whose scope no longer intersects any kept
+    * file drops from the manifest entirely.
+    *
+    * `fieldIdx` names the partition field of the CURRENT spec
+    * generation; `value` is its directory-escaped value (as printed in
+    * the file paths / `$partitions` table). Bucketed tables refuse —
+    * z-ordering inside a bucket layout would break the
+    * one-bucket-per-file promise. Returns the committed version. */
+  def optimizePartitionCommit(
+      spark: SparkSession,
+      table: String,
+      zCols: Seq[String],
+      bits: Int,
+      numFiles: Int,
+      value: String,
+      fieldIdx: Int = 0): Long = {
+    import graft.store.SnapshotStore
+    val cur = SnapshotStore.currentVersion(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $table"))
+    val m = SnapshotStore.manifest(spark, table, cur)
+    require(m.partSpec.nonEmpty,
+      s"optimizePartitionCommit on $table: the table has no partition spec — " +
+        "use optimizeCommit (full rewrite) or compactSmallFilesCommit")
+    require(m.bucketN == 0,
+      s"optimizePartitionCommit on $table refused: the table is bucketed — " +
+        "z-ordering inside buckets would break the storage-partitioned-join layout")
+    val unscoped = SnapshotStore.unscopedDvs(spark, m)
+    require(unscoped.isEmpty,
+      s"optimizePartitionCommit on $table refused: legacy unscoped deletion " +
+        s"vector(s) (${unscoped.mkString(", ")}) apply table-wide — run the full " +
+        "compactCommit first")
+    val seg = s"${graft.store.PartitionSpec.dirColName(m.partGen, fieldIdx)}=$value"
+    val all = SnapshotStore.dataFiles(spark, m)
+    val (touched, kept) = all.partition(_.contains(s"/$seg/"))
+    require(touched.nonEmpty,
+      s"optimizePartitionCommit on $table: no files under partition '$seg'")
+    val next = cur + 1
+    val stageDir = s"$table/v=${next}__opt${java.util.UUID.randomUUID.toString.take(8)}"
+    // DV-materialized read of just the partition, z-ordered within it,
+    // re-routed under the SAME partition directory segment
+    val rows = SnapshotStore.readFilesWithDvs(spark, m, touched)
+    writeZordered(rows, s"$stageDir/$seg", zCols, bits, numFiles)
+    val staged = SnapshotStore.listStagedFiles(spark, stageDir)
+    // a DV whose scope intersects NO kept file has nothing left to
+    // filter (its touched-file rows were just materialized) — clear it
+    val keptKeys = kept.map(SnapshotStore.relFileKey).toSet
+    val liveDvs = m.deletes.filter(dv =>
+      SnapshotStore.dvScope(spark, dv).forall(_.exists(keptKeys)))
+    val stats = graft.store.FileStats.sidecarFor(
+      spark, table, kept ++ staged, Some(m), m.statsExact)
+    val ok = SnapshotStore.tryPublishManifest(spark, table, next,
+      SnapshotStore.Manifest("", liveDvs,
+        if (liveDvs.nonEmpty) m.keyCols else Nil,
+        ts = System.currentTimeMillis(),
+        files = kept ++ staged, op = "zorder-partition",
+        statsExact = m.statsExact && SnapshotStore.writerStatsExact(spark),
+        mixedSchema = m.mixedSchema, statsFile = stats,
+        // bloom/NDV sidecars are file-keyed: kept entries stay valid,
+        // rewritten files are simply uncovered until re-analyze
+        bloomFile = m.bloomFile, ndvFile = m.ndvFile,
+        partSpec = m.partSpec, partGen = m.partGen, partHist = m.partHist,
+        renames = m.renames, droppedCols = m.droppedCols,
+        widens = m.widens, schemaJson = m.schemaJson))
+    if (!ok) {
+      val p = new Path(stageDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      throw new java.util.ConcurrentModificationException(
+        s"optimizePartitionCommit lost the CAS race on $table version $next — " +
+          "re-run against the new head")
+    }
+    next
+  }
+
   /** Total file count of the table at `path` (for prune-factor audits). */
   def totalFiles(spark: SparkSession, path: String): Long = {
     val f = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)

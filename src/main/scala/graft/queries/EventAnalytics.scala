@@ -1436,6 +1436,13 @@ object EventAnalytics {
          FROM u
          WHERE price > 1000.0
          GROUP BY 1 ORDER BY 1""",
+    "dt_partition_optimize" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders
+         WHERE NOT (o_orderkey % 10 = 3 AND strftime(o_orderdate, '%Y-%m') = '1997-01')
+         GROUP BY 1 ORDER BY 1""",
     "dt_cdf_rowlevel" ->
       """WITH merged AS (
            SELECT c_mktsegment,
@@ -1900,6 +1907,58 @@ object EventAnalytics {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** DT45: PARTITION-SCOPED OPTIMIZE (round 16 —
+    * [[graft.ops.Zorder.optimizePartitionCommit]]): re-cluster ONE
+    * month of the day-append fact without moving any other month's
+    * bytes. The fixture DV-deletes rows, then z-orders just 1997-01:
+    * every other partition's files keep their EXACT paths and mtimes
+    * (pinned), the rewritten month's files are DV-materialized, and
+    * the commit is one file-granular keep ++ rewritten manifest.
+    * Oracle replays the delete over plain parquet — maintenance must
+    * be content-neutral. */
+  val dtPartitionOptimize: Q = (s, d) => {
+    val wh = Fixtures.dir("partopt", d) { root =>
+      val t = s"$root/facts/orders"
+      val orders = Tables.orders(s, d)
+      graft.store.SnapshotStore.partitionedCommit(orders, t,
+        Seq(graft.store.PartitionSpec.PartField("months", "o_orderdate")))
+      graft.store.SnapshotStore.deleteCommit(s, t, Seq("o_orderkey"),
+        pmod(col("o_orderkey"), lit(10)) === 3 &&
+          date_format(col("o_orderdate"), "yyyy-MM") === "1997-01")
+      val m1 = graft.store.SnapshotStore.manifest(s, t, 1L)
+      val fsys = new org.apache.hadoop.fs.Path(t)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def mtimes(fs2: Seq[String]): Map[String, Long] = fs2.map(f =>
+        f -> fsys.getFileStatus(new org.apache.hadoop.fs.Path(f)).getModificationTime).toMap
+      val untouched = m1.files.filterNot(_.contains("/__gp0=1997-01/"))
+      require(untouched.nonEmpty, "dt_partition_optimize: fixture needs other months")
+      val before = mtimes(untouched)
+      val v = graft.ops.Zorder.optimizePartitionCommit(
+        s, t, Seq("o_custkey", "o_orderkey"), bits = 12, numFiles = 2, value = "1997-01")
+      val m2 = graft.store.SnapshotStore.manifest(s, t, v)
+      require(m2.op == "zorder-partition",
+        "dt_partition_optimize: the optimize must be one subset commit")
+      require(untouched.toSet.subsetOf(m2.files.toSet) && mtimes(untouched) == before,
+        "dt_partition_optimize: untouched months must keep byte-identical files")
+      require(m1.files.filter(_.contains("/__gp0=1997-01/"))
+        .forall(f => !m2.files.contains(f)),
+        "dt_partition_optimize: the optimized month's old files must all be replaced")
+      // the rewritten files are DV-MATERIALIZED: a plain parquet read of
+      // just the fresh files must already exclude the deleted keys
+      val fresh = m2.files.filterNot(m1.files.toSet)
+      require(fresh.nonEmpty && s.read.parquet(fresh: _*)
+        .filter(pmod(col("o_orderkey"), lit(10)) === 3).count() == 0L,
+        "dt_partition_optimize: rewritten files must carry no DV-dead rows")
+    }
+    val cat = snapCatalog(s, wh)
+    s.sql(
+      s"""SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM $cat.facts.orders
+          GROUP BY 1 ORDER BY 1""")
+  }
+
   /** DT16: SQL maintenance procedures (Spark 4 `CALL`) — a fragmented
     * table (one base commit + five tiny appends, the streaming-sink
     * debris shape) is maintained ENTIRELY through SQL against the
@@ -2043,6 +2102,7 @@ object EventAnalytics {
     "dt_branch_wap" -> dtBranchWap,
     "dt_txn" -> dtTxn,
     "dt_cdf_rowlevel" -> dtCdfRowlevel,
+    "dt_partition_optimize" -> dtPartitionOptimize,
     "dt_ndv_cbo" -> dtNdvCbo,
     "dt_hist_cbo" -> dtHistCbo,
     "dt_partition_evolve" -> dtPartitionEvolve,

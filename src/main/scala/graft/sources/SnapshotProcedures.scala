@@ -49,7 +49,8 @@ object SnapshotProcedures {
   val Namespace: Array[String] = Array("system")
 
   def names: Seq[String] =
-    Seq("compact", "compact_small_files", "zorder", "bloom_index", "vacuum", "sync",
+    Seq("compact", "compact_small_files", "zorder", "zorder_partition",
+      "bloom_index", "vacuum", "sync",
       "restore", "create_tag", "drop_tag",
       "create_branch", "fast_forward", "drop_branch", "maintenance", "analyze")
 
@@ -174,6 +175,29 @@ object SnapshotProcedures {
           }
         val v = Zorder.optimizeCommit(spark, t, cols, bits, math.max(1, nFiles))
         Array(row(math.max(1, nFiles), v))
+      }))
+
+      case "zorder_partition" => Some(new Proc(
+        "zorder_partition",
+        "Subset OPTIMIZE: Morton-cluster ONLY the named partition's files as a " +
+          "file-granular keep ++ rewritten commit — every other partition's " +
+          "bytes stay put; fully-covered deletion vectors clear",
+        Array(
+          p("table", StringType, comment = "catalog-relative name, e.g. 'ns.t'"),
+          p("cols", StringType, comment = "comma-separated cluster columns"),
+          p("value", StringType, comment = "partition value (as in $partitions)"),
+          p("bits", IntegerType, Some("16"), "Morton bits per column"),
+          p("num_files", IntegerType, Some("1"), "output files for the partition")),
+        StructType(Seq(
+          StructField("version", LongType, nullable = false))))({ in =>
+        val t = root(warehouse, in.getUTF8String(0).toString)
+        val cols = in.getUTF8String(1).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        require(cols.nonEmpty, "cols must name at least one column")
+        val value = in.getUTF8String(2).toString
+        val bits = in.getInt(3); val nFiles = in.getInt(4)
+        require(nFiles > 0, s"num_files must be positive, got $nFiles")
+        val v = Zorder.optimizePartitionCommit(spark, t, cols, bits, nFiles, value)
+        Array(row(v))
       }))
 
       case "bloom_index" => Some(new Proc(

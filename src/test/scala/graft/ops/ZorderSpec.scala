@@ -141,6 +141,34 @@ class ZorderSpec extends SparkSuite {
     assert(multi === Set(5L, 99999L))
   }
 
+  test("optimizePartitionCommit: one partition rewrites, a fully-covered DV clears") {
+    import graft.store.{PartitionSpec, SnapshotStore}
+    val t = java.nio.file.Files.createTempDirectory("zpopt").toString + "/t"
+    // ONE partition value only: the delete's DV scope covers exactly the
+    // files the optimize rewrites, so the commit must CLEAR the DV
+    val rows = spark.range(0, 10000)
+      .selectExpr("id AS k", "CAST(id % 97 AS LONG) AS x", "CAST(id % 89 AS LONG) AS y",
+        "timestamp'2024-03-05 00:00:00' AS ts")
+      .repartition(4)
+    SnapshotStore.partitionedCommit(rows, t, Seq(PartitionSpec.PartField("months", "ts")))
+    SnapshotStore.deleteCommit(spark, t, Seq("k"), col("k") % 100 === 7)
+    assert(SnapshotStore.manifest(spark, t, 1L).deletes.nonEmpty)
+    val v = Zorder.optimizePartitionCommit(spark, t, Seq("x", "y"),
+      bits = 8, numFiles = 2, value = "2024-03")
+    val m = SnapshotStore.manifest(spark, t, v)
+    assert(m.op === "zorder-partition")
+    assert(m.deletes.isEmpty && m.keyCols.isEmpty,
+      "a DV whose scope has no kept file left must clear from the manifest")
+    val got = SnapshotStore.read(spark, t)
+    assert(got.count() === 10000 - 100)
+    assert(got.filter(col("k") % 100 === 7).count() === 0L,
+      "the rewritten files must be DV-materialized")
+    // the z-ordered partition clusters: each fresh file's x-range is a
+    // fraction of the domain (the point of the rewrite)
+    assert(m.files.forall(_.contains("/__gp0=2024-03/")),
+      "rewritten files stay routed under the same partition directory")
+  }
+
   test("bloom index over the driver byte cap probes in executors, same answer") {
     val dir = java.nio.file.Files.createTempDirectory("bcap").toString + "/t"
     spark.range(0, 50000).toDF("k")
