@@ -45,11 +45,32 @@ class AggMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
   /** Base-relation scan (optionally under attribute-only Project and a
-    * group-column Filter) → (mv, filter condition). */
+    * group-column Filter) → (mv, filter condition). Two base shapes:
+    * a parquet `LogicalRelation` (always rewritable — parquet dirs are
+    * assumed maintained with the MV), and a snapshot-table DSv2 scan,
+    * which rewrites ONLY when provably FRESH: the `_mv` sidecar names
+    * the base version the summary reflects, and the manifest at that
+    * version must equal the manifest this scan pinned (so a refresh-lag
+    * MV never serves a stale answer, and a time-travel read at the
+    * reflected version still rewrites). Snapshot scans are safe to
+    * match bare: the connector returns EVERY pushed filter as a
+    * residual, so a user filter always survives as a `Filter` node
+    * above the scan. */
   private def matchChild(plan: LogicalPlan): Option[(AggMv, Option[Expression])] = plan match {
     case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
       val fs = lr.relation.asInstanceOf[HadoopFsRelation]
       MaterializedAgg.matchBase(fs.location.rootPaths.map(p => p.toUri.getPath)).map(mv => (mv, None))
+    case dr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      graft.sources.SnapshotScanProbe.rewriteTarget(dr.table).flatMap {
+        case (path, pinnedManifest) =>
+          MaterializedAgg.forBasePath(path).filter(_.snapshot).filter { mv =>
+            graft.sql.SnapshotMv.meta(spark, mv.mvPath).exists { mm =>
+              scala.util.Try(
+                graft.store.SnapshotStore.manifest(spark, path, mm.baseVersion))
+                .toOption.contains(pinnedManifest)
+            }
+          }.map(mv => (mv, None))
+      }
     case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
       matchChild(child)
     case Filter(cond, child) =>
@@ -76,7 +97,7 @@ class AggMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       else {
         val rel = MaterializedAgg.mvRelation(spark, mv)
         val mvAttr: Map[String, AttributeReference] =
-          rel.output.map(a => a.name -> a).toMap
+          rel.output.collect { case a: AttributeReference => a.name -> a }.toMap
 
         def sumOf(name: String): Expression =
           Sum(mvAttr(name)).toAggregateExpression()

@@ -1443,6 +1443,29 @@ object EventAnalytics {
          FROM orders
          WHERE NOT (o_orderkey % 10 = 3 AND strftime(o_orderdate, '%Y-%m') = '1997-01')
          GROUP BY 1 ORDER BY 1""",
+    "dt_mv_incremental" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_orderpriority,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders
+           UNION ALL
+           SELECT o_orderkey + 9000000, o_orderpriority,
+                  CAST(round(o_totalprice * 100) AS BIGINT) + 11
+           FROM orders WHERE o_orderkey % 10 = 3),
+         merged AS (
+           SELECT o_orderkey, o_orderpriority,
+                  CASE WHEN o_orderkey % 100 = 3 THEN cents + 500
+                       ELSE cents END AS cents
+           FROM base)
+         SELECT o_orderpriority,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(cents) AS BIGINT) AS sum_cents,
+                CAST(count(cents) AS BIGINT) AS cnt_cents,
+                MIN(cents) AS min_cents,
+                MAX(cents) AS max_cents
+         FROM merged
+         WHERE NOT (o_orderkey % 100 = 7)
+         GROUP BY 1 ORDER BY 1""",
     "dt_cdf_rowlevel" ->
       """WITH merged AS (
            SELECT c_mktsegment,
@@ -1959,6 +1982,65 @@ object EventAnalytics {
           GROUP BY 1 ORDER BY 1""")
   }
 
+  /** DT46: INCREMENTALLY-MAINTAINED MATERIALIZED VIEW
+    * ([[graft.sql.SnapshotMv]], round 16): a summary grouped by order
+    * priority is created once, then the base takes an APPEND, a CoW
+    * MERGE (row-changes sidecar), and a merge-on-read DELETE — and ONE
+    * `refresh` folds all three commits' change-feed rows into the
+    * stored state without rescanning the base (the fixture pins
+    * mode=incremental and the sidecar's presence; `sum/cnt/n` subtract
+    * algebraically, a removed value that ties a group's min/max
+    * recomputes just that group's base slice). The oracle replays the
+    * same append+merge+delete algebra over plain parquet — the
+    * incrementally-maintained MV must equal the from-scratch
+    * aggregate, hash-exact. */
+  val dtMvIncremental: Q = (s, d) => {
+    val wh = Fixtures.dir("mvinc", d) { root =>
+      val cat = snapCatalog(s, root)
+      val t = s"$root/facts/t"
+      val mv = s"$root/marts/mv"
+      graft.store.SnapshotStore.commit(
+        Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").alias("cents")), t) // v0
+      graft.sql.SnapshotMv.create(s, t, mv, Seq("o_orderpriority"), Seq("cents"))
+      // v1: append a re-keyed slice (mod-100 classes preserved, so the
+      // later value-predicated merge/delete cover appended rows too)
+      graft.store.SnapshotStore.appendCommit(
+        graft.store.SnapshotStore.readVersion(s, t, 0L)
+          .filter(pmod(col("o_orderkey"), lit(10)) === 3)
+          .select((col("o_orderkey") + 9000000L).alias("o_orderkey"),
+            col("o_orderpriority"), (col("cents") + 11L).alias("cents")), t)
+      // v2: CoW MERGE — +500 cents for every key in class 3 (mod 100).
+      // The source pins VERSION 1 (never a lazy read of the table being
+      // merged) and dedups: at large SF the +9000000 re-key can collide
+      // with a live key, and MERGE refuses duplicate source keys.
+      graft.store.SnapshotStore.readVersion(s, t, 1L)
+        .filter(pmod(col("o_orderkey"), lit(100)) === 3)
+        .select(col("o_orderkey").alias("k")).distinct()
+        .createOrReplaceTempView("graft_mvinc_src")
+      s.sql(
+        s"""MERGE INTO $cat.facts.t t USING graft_mvinc_src s ON t.o_orderkey = s.k
+            WHEN MATCHED THEN UPDATE SET cents = t.cents + 500""")
+      require(graft.store.SnapshotStore.manifest(s, t, 2L).rowChanges.nonEmpty,
+        "dt_mv_incremental: the CoW merge must publish a row-changes sidecar")
+      // v3: merge-on-read DELETE of key class 7 — 'delete' feed rows
+      // carry keys only; refresh fetches the pre-images by semi-join
+      graft.store.SnapshotStore.deleteKeysCommit(s, t, Seq("o_orderkey"),
+        graft.store.SnapshotStore.readVersion(s, t, 2L)
+          .filter(pmod(col("o_orderkey"), lit(100)) === 7)
+          .select(col("o_orderkey")).distinct())
+      val r = graft.sql.SnapshotMv.refresh(s, mv)
+      require(r.mode == "incremental" && r.fromVersion == 0L && r.toVersion == 3L,
+        s"dt_mv_incremental: the refresh must fold the feed, not rebuild — got $r")
+    }
+    val mv = s"$wh/marts/mv"
+    graft.store.SnapshotStore.read(s, mv)
+      .select(col("o_orderpriority"), col("n"), col("sum_cents"),
+        col("cnt_cents"), col("min_cents"), col("max_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** DT16: SQL maintenance procedures (Spark 4 `CALL`) — a fragmented
     * table (one base commit + five tiny appends, the streaming-sink
     * debris shape) is maintained ENTIRELY through SQL against the
@@ -2103,6 +2185,7 @@ object EventAnalytics {
     "dt_txn" -> dtTxn,
     "dt_cdf_rowlevel" -> dtCdfRowlevel,
     "dt_partition_optimize" -> dtPartitionOptimize,
+    "dt_mv_incremental" -> dtMvIncremental,
     "dt_ndv_cbo" -> dtNdvCbo,
     "dt_hist_cbo" -> dtHistCbo,
     "dt_partition_evolve" -> dtPartitionEvolve,

@@ -147,6 +147,19 @@ private[sources] final class SnapshotTable(
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
   override def name(): String = tablePath
 
+  /** `(tablePath, pinned manifest)` when this table resolution is a
+    * PLAIN batch-read candidate for MV rewrite — change-feed
+    * resolutions (recognizable by the CDC meta columns the path-based
+    * provider appends) and pathless tables decline. The optimizer rule
+    * runs BEFORE V2 scan conversion, so the TABLE (not the scan) is
+    * what it can see. */
+  private[sources] def rewriteTarget: Option[(String, SnapshotStore.Manifest)] = {
+    val f = tableSchema.fieldNames
+    val cdc = f.length >= 2 &&
+      f(f.length - 2) == "_change_type" && f.last == "_commit_version"
+    if (tablePath.isEmpty || cdc) None else Some((tablePath, m))
+  }
+
   /** Under merge-on-read mode the declared row-identity keys surface
     * NON-NULLABLE (Spark refuses nullable row-ID attributes) — same
     * contract as Iceberg identifier fields and this store's DV keys:
@@ -1691,6 +1704,16 @@ private[sources] final class SnapshotScan(
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
+
+  /** `(tablePath, pinned manifest)` when this scan is a PLAIN batch
+    * read eligible as an MV-rewrite base (not a change feed, not a
+    * row-level group scan): [[graft.plans.AggMvRewriteRule]] compares
+    * the manifest against the one at the version a registered summary
+    * reflects — structural equality, so the rewrite fires exactly when
+    * the scan would read the data the MV aggregated, including
+    * time-travel reads pinned at that version. */
+  private[sources] def rewriteTarget: Option[(String, SnapshotStore.Manifest)] =
+    if (changeFeed || rowLevel || tablePath.isEmpty) None else Some((tablePath, m))
 
   // ---- driver-side, metadata-only planning (footers, never data pages)
   private val spark = SparkSession.active

@@ -52,7 +52,8 @@ object SnapshotProcedures {
     Seq("compact", "compact_small_files", "zorder", "zorder_partition",
       "bloom_index", "vacuum", "sync",
       "restore", "create_tag", "drop_tag",
-      "create_branch", "fast_forward", "drop_branch", "maintenance", "analyze")
+      "create_branch", "fast_forward", "drop_branch", "maintenance", "analyze",
+      "mv_create", "mv_refresh")
 
   /** Resolve `ns.table` (possibly multi-level `ns1.ns2.t`) under the
     * catalog warehouse — identical layout to
@@ -372,6 +373,48 @@ object SnapshotProcedures {
         val t = root(warehouse, in.getUTF8String(0).toString)
         val cols = in.getUTF8String(1).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         Array(row(graft.ops.NdvStats.analyzeCommit(spark, t, cols)))
+      }))
+
+      case "mv_create" => Some(new Proc(
+        "mv_create",
+        "Create an incrementally-maintainable aggregate MV over a snapshot " +
+          "table (group columns + n/sum/cnt/min/max state per measure): one " +
+          "full aggregate now, O(changed rows) refreshes after — and DSv2 " +
+          "scans of the base transparently rewrite onto it while it is fresh",
+        Array(
+          p("base", StringType, comment = "catalog-relative base table, e.g. 'ns.t'"),
+          p("mv", StringType, comment = "catalog-relative MV table to create"),
+          p("group_cols", StringType, comment = "comma-separated group columns"),
+          p("measure_cols", StringType, comment = "comma-separated measure columns")),
+        StructType(Seq(
+          StructField("mv_version", LongType, nullable = false),
+          StructField("base_version", LongType, nullable = false))))({ in =>
+        val b = root(warehouse, in.getUTF8String(0).toString)
+        val mvT = root(warehouse, in.getUTF8String(1).toString)
+        val g = in.getUTF8String(2).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val ms = in.getUTF8String(3).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val r = graft.sql.SnapshotMv.create(spark, b, mvT, g, ms)
+        Array(row(r.mvVersion, r.toVersion))
+      }))
+
+      case "mv_refresh" => Some(new Proc(
+        "mv_refresh",
+        "Advance an MV to its base table's current version by folding the " +
+          "batch change feed into the stored state — reads O(changed rows), " +
+          "never rescans the base (mode tells: incremental / full fallback " +
+          "on a true rewrite / noop when already current)",
+        Array(
+          p("mv", StringType, comment = "catalog-relative MV table, e.g. 'marts.mv'")),
+        StructType(Seq(
+          StructField("mode", StringType, nullable = false),
+          StructField("mv_version", LongType, nullable = false),
+          StructField("from_version", LongType, nullable = false),
+          StructField("to_version", LongType, nullable = false),
+          StructField("recomputed_groups", LongType, nullable = false))))({ in =>
+        val mvT = root(warehouse, in.getUTF8String(0).toString)
+        val r = graft.sql.SnapshotMv.refresh(spark, mvT)
+        Array(row(org.apache.spark.unsafe.types.UTF8String.fromString(r.mode),
+          r.mvVersion, r.fromVersion, r.toVersion, r.recomputedGroups))
       }))
 
       case "evolve_partition_spec" => Some(new Proc(

@@ -45,6 +45,27 @@ object SnapshotScanProbe {
   def lastConstraintPrunedFiles: Long = SnapshotScan.lastConstraintPrunedFiles.get()
   def resetConstraintPrunedFiles(): Unit = SnapshotScan.lastConstraintPrunedFiles.set(0)
 
+  /** MV-rewrite probe: the `(tablePath, pinned manifest)` of a plain
+    * snapshot batch scan (None for change feeds, row-level group scans,
+    * and non-snapshot scans) — lets [[graft.plans.AggMvRewriteRule]]
+    * recognize snapshot-table scans without reaching into
+    * `private[sources]` internals. */
+  def rewriteTarget(scan: org.apache.spark.sql.connector.read.Scan)
+      : Option[(String, graft.store.SnapshotStore.Manifest)] =
+    scan match {
+      case s: SnapshotScan => s.rewriteTarget
+      case _               => None
+    }
+
+  /** Same probe at the TABLE level — what the rewrite rule sees, since
+    * it runs before V2 scan conversion. */
+  def rewriteTarget(table: org.apache.spark.sql.connector.catalog.Table)
+      : Option[(String, graft.store.SnapshotStore.Manifest)] =
+    table match {
+      case t: SnapshotTable => t.rewriteTarget
+      case _                => None
+    }
+
   /** The shared exact-where-possible value ordering (integral pairs as
     * longs, UTF-8 byte order for strings, IEEE-normalized floats) —
     * exposed for [[graft.store.TableChecks]]'s interval logic so the

@@ -1,6 +1,7 @@
 package graft.sql
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.functions._
 
@@ -26,12 +27,17 @@ import org.apache.spark.sql.functions._
 object MaterializedAgg {
 
   /** A registered MV: where the base lives, where the summary lives,
-    * what it groups by, and which measures it carries. */
+    * what it groups by, and which measures it carries. `snapshot` marks
+    * a [[SnapshotMv]]-maintained summary: both paths are snapshot
+    * TABLES (not parquet dirs), the rewrite resolves the MV through the
+    * snapshot reader, and it fires only when the `_mv` sidecar proves
+    * the summary reflects exactly the manifest the scan pinned. */
   final case class AggMv(
       basePath: String,
       mvPath: String,
       groupCols: Seq[String],
-      measureCols: Seq[String])
+      measureCols: Seq[String],
+      snapshot: Boolean = false)
 
   // path-keyed global registry; LogicalRelation resolved lazily per session
   private val registry =
@@ -119,7 +125,8 @@ object MaterializedAgg {
     val out = f.create(new org.apache.hadoop.fs.Path(path), true)
     try registered.foreach { mv =>
       out.write(
-        s"mv\tbase=${mv.basePath}\tdata=${mv.mvPath}\tgroup=${mv.groupCols.mkString(",")}\tmeasure=${mv.measureCols.mkString(",")}\n"
+        (s"mv\tbase=${mv.basePath}\tdata=${mv.mvPath}\tgroup=${mv.groupCols.mkString(",")}\tmeasure=${mv.measureCols.mkString(",")}" +
+          (if (mv.snapshot) "\tkind=snapshot" else "") + "\n")
           .getBytes("UTF-8"))
     } finally out.close()
   }
@@ -139,16 +146,28 @@ object MaterializedAgg {
         .flatMap(t => t.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None })
         .toMap
       for (b <- kv.get("base"); d <- kv.get("data"); g <- kv.get("group"); m <- kv.get("measure"))
-        yield AggMv(b, d, g.split(",").toSeq.filter(_.nonEmpty), m.split(",").toSeq.filter(_.nonEmpty))
+        yield AggMv(b, d, g.split(",").toSeq.filter(_.nonEmpty), m.split(",").toSeq.filter(_.nonEmpty),
+          snapshot = kv.get("kind").contains("snapshot"))
     }.toSeq
     loaded.foreach(register)
     loaded.size
   }
 
   /** A fresh resolved relation for the MV (fresh expr ids per call, so
-    * one MV can appear several times in a plan). */
-  private[graft] def mvRelation(spark: SparkSession, mv: AggMv): LogicalRelation =
-    spark.read.parquet(mv.mvPath).queryExecution.analyzed.collectFirst {
+    * one MV can appear several times in a plan). A snapshot MV resolves
+    * through the DSv2 reader as an (analyzed, unconverted) V2 relation:
+    * the rewrite rule runs BEFORE the early scan-pushdown batch, which
+    * then converts the injected relation — and pushes the re-targeted
+    * filters/pruning into the MV scan — like any other. */
+  private[graft] def mvRelation(spark: SparkSession, mv: AggMv): LogicalPlan =
+    if (mv.snapshot)
+      spark.read.format("graft-snapshot").option("path", mv.mvPath).load()
+        .queryExecution.analyzed.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+            r.newInstance()
+        }.getOrElse(throw new IllegalStateException(
+          s"snapshot MV at ${mv.mvPath} did not resolve to a V2 relation"))
+    else spark.read.parquet(mv.mvPath).queryExecution.analyzed.collectFirst {
       case r: LogicalRelation => r.newInstance()
     }.getOrElse(throw new IllegalStateException(s"MV at ${mv.mvPath} did not resolve to a relation"))
 
