@@ -185,20 +185,53 @@ object Bench {
       "\"control_sec\":([0-9.]+)".r.findFirstMatchIn(text)
         .map(_.group(1).toDouble).filter(_ > 0))
     val controlScale = prevControl.map(controlSec / _).getOrElse(1.0)
+    // prior record's 3-run arrays and isolated re-run times: the
+    // like-for-like baselines for warm-median gating and rerun clearing
+    val prevRuns: Map[String, Seq[Double]] = prevSameSf.flatMap { text =>
+      val rStart = text.indexOf("\"runs\":{")
+      if (rStart < 0) None
+      else {
+        // entries hold arrays (brackets), never braces — the first '}'
+        // after the open IS the object close, even for an empty map
+        val body = text.substring(rStart + 8, text.indexOf("}", rStart))
+        Some("\"([^\"]+)\":\\[([0-9.,]+)\\]".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).split(",").toSeq.map(_.toDouble)).toMap)
+      }
+    }.getOrElse(Map.empty)
+    val prevReruns: Map[String, Double] = prevSameSf.flatMap { text =>
+      val rStart = text.indexOf("\"reruns\":{")
+      if (rStart < 0) None
+      else {
+        val body = text.substring(rStart + 10, text.indexOf("}", rStart))
+        Some("\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+      }
+    }.getOrElse(Map.empty)
     // SELF-ADJUDICATING gate (round-16; r15 still needed manual FALSE
-    // adjudications for in-run contention): headline queries gate on
-    // their WARM MEDIAN (already collected above — first-pass times
-    // carry whatever the corpus pass was contending with), and a
-    // non-headline flag gets ONE isolated re-run before it is
-    // reported — a flag that vanishes warm was contention, not a
-    // regression, and lands in flags_cleared_on_rerun instead.
+    // adjudications for in-run contention), LIKE-FOR-LIKE (r16 self-
+    // review: warm-now vs first-pass-old masks regressions — a warm
+    // median is routinely 1.3-3x faster than a first pass, so a true 2x
+    // slowdown could clear). Headline queries gate warm-median vs
+    // warm-median ONLY when the previous record carries that query's
+    // 3-run array; otherwise first-pass vs first-pass. A non-headline
+    // flag gets ONE isolated re-run before it is reported: when the
+    // previous record has an isolated-rerun time for the same query,
+    // the re-run clears against THAT (tight 1.25 factor); a first-time
+    // flag clears against the previous first pass with the looser 1.5
+    // factor that acknowledges the residual warm-vs-first asymmetry.
+    // Every isolated re-run is recorded under "reruns" so repeat flags
+    // converge to the tight like-for-like comparison.
+    val warmGated: Set[String] = headRuns.keySet.intersect(prevRuns.keySet)
     val gateNow: Map[String, Double] = ok.map { case (k, v, _) =>
-      k -> headRuns.get(k).map(median).getOrElse(v)
+      k -> (if (warmGated(k)) median(headRuns(k)) else v)
     }.toMap
-    val gate = BenchGate.evaluate(gateNow, prevQueries, controlScale)
+    val prevGate: Map[String, Double] =
+      prevQueries ++ warmGated.flatMap(k => prevRuns.get(k).map(rs => k -> median(rs)))
+    val gate = BenchGate.evaluate(gateNow, prevGate, controlScale)
     val cleared = scala.collection.mutable.Map[String, Double]()
+    val reruns = scala.collection.mutable.Map[String, Double]()
     val regressions = gate.regressions.filter { case (k, (_, old)) =>
-      if (headRuns.contains(k)) true // already a warm median — stands
+      if (warmGated(k)) true // warm-vs-warm already — the flag stands
       else {
         val warm =
           try {
@@ -206,10 +239,12 @@ object Bench {
             qfns(k)(spark, sfDir).count()
             Some((System.nanoTime() - t0) / 1e9)
           } catch { case _: Exception => None } // keep the flag: can't clear it
+        warm.foreach(w => reruns(k) = w)
+        val clearBar =
+          prevReruns.get(k).map(1.25 * _).getOrElse(1.5 * old) * gate.medianRatio
         warm match {
-          case Some(w) if w <= 1.5 * old * gate.medianRatio =>
-            cleared(k) = w; false
-          case _ => true
+          case Some(w) if w <= clearBar => cleared(k) = w; false
+          case _                        => true
         }
       }
     }
@@ -217,6 +252,9 @@ object Bench {
       .map { case (k, (now, old)) => "\"" + k + "\":[" + fmt(now) + "," + fmt(old) + "]" }
       .mkString("{", ",", "}")
     val clearedJson = cleared.toSeq.sortBy(_._1)
+      .map { case (k, w) => "\"" + k + "\":" + fmt(w) }
+      .mkString("{", ",", "}")
+    val rerunsJson = reruns.toSeq.sortBy(_._1)
       .map { case (k, w) => "\"" + k + "\":" + fmt(w) }
       .mkString("{", ",", "}")
 
@@ -232,7 +270,7 @@ object Bench {
       .map { case (k, v) => "\"" + k.takeWhile(_ != '|') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"net","n_queries":${outcomes.size},"queries":$fullQs,"queries_stat":"first_pass_net_of_fixtures","runs":$runsJson,"runs_stat":"headline_3_runs_first_then_warm","spread_max":${fmt(spreadMax)},"errors":$errs,"control_sec":${fmt(controlSec)},"control_scale_vs_prev":${fmt(controlScale)},"median_ratio_vs_prev":${fmt(gate.medianRatio)},"n_shared_vs_prev":${gate.nShared},"corpus_slowdown":${gate.corpusSlowdown},"regressions_vs_prev":$regressionsJson,"flags_cleared_on_rerun":$clearedJson,$boot,"fixture_setup_sec":$fixturesJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"net","n_queries":${outcomes.size},"queries":$fullQs,"queries_stat":"first_pass_net_of_fixtures","runs":$runsJson,"runs_stat":"headline_3_runs_first_then_warm","spread_max":${fmt(spreadMax)},"errors":$errs,"control_sec":${fmt(controlSec)},"control_scale_vs_prev":${fmt(controlScale)},"median_ratio_vs_prev":${fmt(gate.medianRatio)},"n_shared_vs_prev":${gate.nShared},"corpus_slowdown":${gate.corpusSlowdown},"regressions_vs_prev":$regressionsJson,"flags_cleared_on_rerun":$clearedJson,"reruns":$rerunsJson,"reruns_stat":"isolated_single_rerun",$boot,"fixture_setup_sec":$fixturesJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(fullOut),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -87,13 +87,20 @@ object BloomIndex {
     * that design, ported). */
   def selectFiles(spark: SparkSession, path: String, key: Long): Seq[String] = {
     val hashed = XxHash64(Seq(Literal(key)), Seed).eval(InternalRow.empty).asInstanceOf[Long]
-    // explicit file list, not the underscore dir root — see Zorder.fileStats
-    val idxFiles = Zorder.indexFiles(spark, s"$path/_bindex")
     val driverBytesMax =
       spark.conf.get("spark.graft.bloom.driverBytesMax", (32L << 20).toString).toLong
-    val fsys = new Path(s"$path/_bindex")
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val idxBytes = idxFiles.map(f => fsys.getFileStatus(new Path(f)).getLen).sum
+    val idxDir = new Path(s"$path/_bindex")
+    val fsys = idxDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // ONE listStatus supplies both the explicit file list (not the
+    // underscore dir root — see Zorder.fileStats) and the byte sizes
+    // the driver-cap decision needs: per-file getFileStatus would cost
+    // O(index parts) namenode/S3 round-trips on every point lookup
+    val idxStatus =
+      if (!fsys.exists(idxDir)) Seq.empty
+      else fsys.listStatus(idxDir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val idxFiles = idxStatus.map(_.getPath.toString)
+    val idxBytes = idxStatus.map(_.getLen).sum
     if (idxBytes <= driverBytesMax)
       spark.read.parquet(idxFiles: _*).collect().toSeq
         .filter { r =>

@@ -60,12 +60,15 @@ object Clustering {
     * don't converge rather than returning a half-merged clustering. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val e = pairs.select(col("id1").alias("src"), col("id2").alias("dst"))
-    var edges = e
-      .unionAll(e.select(col("dst").alias("src"), col("src").alias("dst")))
+    val sym = e.unionAll(e.select(col("dst").alias("src"), col("src").alias("dst")))
+    var edges = sym
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges
+    // vertex set from the UNFILTERED endpoints: a vertex appearing only
+    // in self-pairs (id1 == id2) has no contractable edge but is still
+    // "a vertex that appears in any pair" — it labels itself
+    var labels = sym
       .select(col("src").alias("id"))
       .distinct()
       .select(col("id"), col("id").alias("comp"))

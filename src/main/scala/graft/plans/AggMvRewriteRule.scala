@@ -5,7 +5,8 @@ import graft.sql.MaterializedAgg.AggMv
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.DoubleType
@@ -56,46 +57,170 @@ class AggMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * match bare: the connector returns EVERY pushed filter as a
     * residual, so a user filter always survives as a `Filter` node
     * above the scan. */
-  private def matchChild(plan: LogicalPlan): Option[(AggMv, Option[Expression])] = plan match {
+  private def matchChild(plan: LogicalPlan)
+      : Option[(AggMv, Seq[Expression], Option[Long])] = plan match {
     case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
       val fs = lr.relation.asInstanceOf[HadoopFsRelation]
-      MaterializedAgg.matchBase(fs.location.rootPaths.map(p => p.toUri.getPath)).map(mv => (mv, None))
+      MaterializedAgg.matchBase(fs.location.rootPaths.map(p => p.toUri.getPath))
+        .filter(_.dims.isEmpty) // a JOIN MV never answers a bare-base aggregate
+        .map(mv => (mv, Nil, None))
     case dr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
       graft.sources.SnapshotScanProbe.rewriteTarget(dr.table).flatMap {
         case (path, pinnedManifest) =>
-          MaterializedAgg.forBasePath(path).filter(_.snapshot).filter { mv =>
-            graft.sql.SnapshotMv.meta(spark, mv.mvPath).exists { mm =>
-              scala.util.Try(
-                graft.store.SnapshotStore.manifest(spark, path, mm.baseVersion))
-                .toOption.contains(pinnedManifest)
-            }
-          }.map(mv => (mv, None))
+          MaterializedAgg.forBasePath(path).filter(_.snapshot)
+            .filter(_.dims.isEmpty) // join multiplicity ≠ base multiplicity
+            .flatMap(mv => freshPin(path, pinnedManifest, mv)
+              .map(hv => (mv, Seq.empty[Expression], Some(hv))))
       }
+    case j: Join => matchJoinMv(j)
     case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
       matchChild(child)
     case Filter(cond, child) =>
-      matchChild(child).flatMap {
-        case (mv, None) => Some((mv, Some(cond)))
-        case _          => None // one filter layer only
-      }
+      matchChild(child).map { case (mv, fs, pin) => (mv, fs :+ cond, pin) }
     case _ => None
   }
+
+  /** MV freshness + version pin. Resolve the MV version FIRST and pin
+    * the rewrite to it — a concurrent mv_refresh landing after this
+    * line can only make the check below decline, never make the query
+    * read newer aggregates than the base version the scan pinned.
+    * Freshness comes from the resolved head's own immutable manifest:
+    * its `src=` cursor names the base version the committed state
+    * reflects. The `_mv` sidecar (written AFTER the commit) is
+    * consulted only for metadata-only base advances (no MV commit, the
+    * sidecar moves alone), and only when it is not stale relative to
+    * the cursor. Returns the MV version to read when fresh. */
+  private def freshPin(
+      path: String,
+      pinnedManifest: graft.store.SnapshotStore.Manifest,
+      mv: AggMv): Option[Long] =
+    graft.store.SnapshotStore.currentVersion(spark, mv.mvPath).flatMap { hv =>
+      val man = scala.util.Try(
+        graft.store.SnapshotStore.manifest(spark, mv.mvPath, hv)).toOption
+      def reflects(v: Long): Boolean = v >= 0 && scala.util.Try(
+        graft.store.SnapshotStore.manifest(spark, path, v))
+        .toOption.contains(pinnedManifest)
+      val srcV = man.map(_.srcV).getOrElse(-1L)
+      val sidecarOk = graft.sql.SnapshotMv.meta(spark, mv.mvPath).exists(mm =>
+        mm.baseVersion >= srcV && reflects(mm.baseVersion))
+      if (reflects(srcV) || sidecarOk) Some(hv) else None
+    }
+
+  // ---- JOIN-MV matching -------------------------------------------------
+
+  /** A pinned snapshot leaf under attr-only Projects and Filters, with
+    * the filters collected on the way down. */
+  private def pinnedLeaf(plan: LogicalPlan): Option[
+      (String, graft.store.SnapshotStore.Manifest, AttributeSet, Seq[Expression])] =
+    plan match {
+      case dr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        graft.sources.SnapshotScanProbe.rewriteTarget(dr.table)
+          .map { case (p, m) => (p, m, dr.outputSet, Nil) }
+      case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        pinnedLeaf(child)
+      case Filter(cond, child) =>
+        pinnedLeaf(child).map { case (p, m, out, fs) => (p, m, out, fs :+ cond) }
+      case _ => None
+    }
+
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConj(l) ++ splitConj(r)
+    case x         => Seq(x)
+  }
+
+  private case class DimMatch(
+      path: String,
+      pinned: graft.store.SnapshotStore.Manifest,
+      eqs: Seq[(String, String)], // (fact-side name, dim-side name)
+      filters: Seq[Expression])
+
+  /** Unroll a left-deep INNER equi-join tree: dims peel off the right,
+    * the fact leaf sits bottom-left. Every conjunct must be a plain
+    * column equality with one side from the dim leaf. */
+  private def unrollJoins(plan: LogicalPlan)
+      : Option[((String, graft.store.SnapshotStore.Manifest, Seq[Expression]),
+          Seq[DimMatch])] = plan match {
+    case j: Join if j.joinType == Inner && j.condition.isDefined =>
+      pinnedLeaf(j.right).flatMap { case (dPath, dPin, dOut, dFilters) =>
+        val pairs = splitConj(j.condition.get).map {
+          case EqualTo(a: AttributeReference, b: AttributeReference) =>
+            if (dOut.contains(b) && !dOut.contains(a)) Some((a.name, b.name))
+            else if (dOut.contains(a) && !dOut.contains(b)) Some((b.name, a.name))
+            else None
+          case _ => None
+        }
+        if (pairs.contains(None)) None
+        else unrollJoins(j.left).map { case (fact, dims) =>
+          (fact, dims :+ DimMatch(dPath, dPin, pairs.flatten, dFilters))
+        }
+      }
+    case other =>
+      pinnedLeaf(other).map { case (p, m, _, fs) => ((p, m, fs), Nil) }
+  }
+
+  /** An aggregate over `fact ⋈ dims` re-targets onto a registered JOIN
+    * MV when the join SHAPE matches the MV's recorded dims (as a
+    * multiset — role-playing dims join the same table twice under
+    * different keys) and EVERY pinned manifest is exactly the version
+    * the MV state reflects: the fact via [[freshPin]], each dim via the
+    * `_mv` sidecar's per-dim version pin. Leaf filters (pushed below
+    * the join by the optimizer) are carried out and re-applied over the
+    * MV; [[tryRewrite]] later drops the inferred `IsNotNull(joinKey)`
+    * conjuncts, which the inner equi-join makes vacuous on MV state. */
+  private def matchJoinMv(j: Join)
+      : Option[(AggMv, Seq[Expression], Option[Long])] =
+    unrollJoins(j).flatMap { case ((factPath, factPinned, factFilters), dimMatches) =>
+      MaterializedAgg.forBasePath(factPath).filter(_.snapshot)
+        .filter(_.dims.nonEmpty).flatMap { mv =>
+          graft.sql.SnapshotMv.meta(spark, mv.mvPath).flatMap { mm =>
+            if (dimMatches.size != mm.dims.size) None
+            else {
+              val remaining = scala.collection.mutable.ArrayBuffer(mm.dims: _*)
+              val allMatched = dimMatches.forall { dm =>
+                val i = remaining.indexWhere { p =>
+                  MaterializedAgg.normalizePath(p.dim.table) == dm.path &&
+                    p.dim.factKeys.zip(p.dim.dimKeys).toSet == dm.eqs.toSet &&
+                    scala.util.Try(graft.store.SnapshotStore
+                        .manifest(spark, p.dim.table, p.version))
+                      .toOption.contains(dm.pinned)
+                }
+                if (i >= 0) { remaining.remove(i); true } else false
+              }
+              if (!allMatched) None
+              else freshPin(factPath, factPinned, mv).map { hv =>
+                (mv, factFilters ++ dimMatches.flatMap(_.filters), Some(hv))
+              }
+            }
+          }
+        }
+    }
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     val (groupingExprs, resultExprs, child) =
       (agg.groupingExpressions, agg.aggregateExpressions, agg.child)
-    matchChild(child).flatMap { case (mv, filterCond) =>
+    matchChild(child).flatMap { case (mv, rawFilters, mvPin) =>
       val groupNames = groupingExprs.map {
         case a: AttributeReference => Some(a.name)
         case _                     => None
       }
+      // Inferred `IsNotNull(joinKey)` conjuncts (InferFiltersFromConstraints
+      // plants them on both sides of every equi-join) are VACUOUS on MV
+      // state — a null-keyed fact row never survived the inner join, so
+      // no state row descends from one. Drop them instead of declining.
+      val joinKeyNames: Set[String] =
+        mv.dims.flatMap(d => d.factKeys ++ d.dimKeys).toSet
+      val conjuncts = rawFilters.flatMap(splitConj).filterNot {
+        case IsNotNull(a: AttributeReference) => joinKeyNames.contains(a.name)
+        case _                                => false
+      }
+      val filterCond = conjuncts.reduceOption(And)
       val filterAttrs = filterCond.toSeq.flatMap(_.references.toSeq).map(_.name)
       val groupingOk =
         groupNames.forall(_.exists(mv.groupCols.contains)) &&
           filterAttrs.forall(mv.groupCols.contains)
       if (!groupingOk) None
       else {
-        val rel = MaterializedAgg.mvRelation(spark, mv)
+        val rel = MaterializedAgg.mvRelation(spark, mv, mvPin)
         val mvAttr: Map[String, AttributeReference] =
           rel.output.collect { case a: AttributeReference => a.name -> a }.toMap
 

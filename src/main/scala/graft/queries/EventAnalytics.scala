@@ -1466,6 +1466,29 @@ object EventAnalytics {
          FROM merged
          WHERE NOT (o_orderkey % 100 = 7)
          GROUP BY 1 ORDER BY 1""",
+    "dt_mv_join" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders
+           UNION ALL
+           SELECT o_orderkey + 9000000, o_custkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) + 11
+           FROM orders WHERE o_orderkey % 10 = 3),
+         merged AS (
+           SELECT o_orderkey, o_custkey,
+                  CASE WHEN o_orderkey % 100 = 3 THEN cents + 500
+                       ELSE cents END AS cents
+           FROM base)
+         SELECT c.c_mktsegment,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(m.cents) AS BIGINT) AS sum_cents,
+                CAST(count(m.cents) AS BIGINT) AS cnt_cents,
+                MIN(m.cents) AS min_cents,
+                MAX(m.cents) AS max_cents
+         FROM merged m JOIN customer c ON m.o_custkey = c.c_custkey
+         WHERE NOT (m.o_orderkey % 100 = 7)
+         GROUP BY 1 ORDER BY 1""",
     "dt_cdf_rowlevel" ->
       """WITH merged AS (
            SELECT c_mktsegment,
@@ -2041,6 +2064,69 @@ object EventAnalytics {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** DT47: INCREMENTALLY-MAINTAINED JOIN MV
+    * ([[graft.sql.SnapshotMv.createJoin]], round 16): the summary of
+    * `orders ⋈ customer` grouped by a DIM attribute (c_mktsegment) is
+    * created once with the dim version PINNED, then the FACT takes an
+    * append, a CoW MERGE, and a merge-on-read DELETE — and one
+    * `refresh` folds the fact change feed, enriching each delta row
+    * through the pinned dim (broadcast — fact deltas never shuffle on
+    * the dim key), without rescanning fact OR dim. The registered
+    * rewrite re-targets star-join aggregates of the same shape onto
+    * the summary (plan-level, pinned in SnapshotMvRewriteSpec). The
+    * oracle replays the identical algebra as one DuckDB join over
+    * plain parquet — the maintained MV must be hash-exact. */
+  val dtMvJoin: Q = (s, d) => {
+    val wh = Fixtures.dir("mvjoin", d) { root =>
+      val cat = snapCatalog(s, root)
+      val t = s"$root/facts/t"
+      val dim = s"$root/dims/customer"
+      val mv = s"$root/marts/mv"
+      graft.store.SnapshotStore.commit(
+        Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").alias("cents")), t) // v0
+      graft.store.SnapshotStore.commit(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")), dim)
+      graft.sql.SnapshotMv.createJoin(s, t, mv,
+        Seq(graft.sql.MaterializedAgg.MvDim(
+          dim, Seq("o_custkey"), Seq("c_custkey"), Seq("c_mktsegment"))),
+        Seq("c_mktsegment"), Seq("cents"))
+      // v1: append a re-keyed slice (same custkeys, so every appended
+      // row still joins; +11 cents keeps sums distinguishable)
+      graft.store.SnapshotStore.appendCommit(
+        graft.store.SnapshotStore.readVersion(s, t, 0L)
+          .filter(pmod(col("o_orderkey"), lit(10)) === 3)
+          .select((col("o_orderkey") + 9000000L).alias("o_orderkey"),
+            col("o_custkey"), (col("cents") + 11L).alias("cents")), t)
+      // v2: CoW MERGE — +500 cents for key class 3 (mod 100); source
+      // pins version 1 and dedups (see dt_mv_incremental)
+      graft.store.SnapshotStore.readVersion(s, t, 1L)
+        .filter(pmod(col("o_orderkey"), lit(100)) === 3)
+        .select(col("o_orderkey").alias("k")).distinct()
+        .createOrReplaceTempView("graft_mvjoin_src")
+      s.sql(
+        s"""MERGE INTO $cat.facts.t t USING graft_mvjoin_src s ON t.o_orderkey = s.k
+            WHEN MATCHED THEN UPDATE SET cents = t.cents + 500""")
+      // v3: merge-on-read DELETE of key class 7 — pre-images fetched by
+      // semi-join, then ENRICHED through the pinned dim before -state
+      graft.store.SnapshotStore.deleteKeysCommit(s, t, Seq("o_orderkey"),
+        graft.store.SnapshotStore.readVersion(s, t, 2L)
+          .filter(pmod(col("o_orderkey"), lit(100)) === 7)
+          .select(col("o_orderkey")).distinct())
+      val r = graft.sql.SnapshotMv.refresh(s, mv)
+      require(r.mode == "incremental" && r.fromVersion == 0L && r.toVersion == 3L,
+        s"dt_mv_join: the refresh must fold the fact feed, not rebuild — got $r")
+      require(graft.sql.SnapshotMv.meta(s, mv).get.dims.head.version == 0L,
+        "dt_mv_join: the dim pin must be untouched by a fact-only refresh")
+    }
+    val mv = s"$wh/marts/mv"
+    graft.store.SnapshotStore.read(s, mv)
+      .select(col("c_mktsegment"), col("n"), col("sum_cents"),
+        col("cnt_cents"), col("min_cents"), col("max_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** DT16: SQL maintenance procedures (Spark 4 `CALL`) — a fragmented
     * table (one base commit + five tiny appends, the streaming-sink
     * debris shape) is maintained ENTIRELY through SQL against the
@@ -2186,6 +2272,7 @@ object EventAnalytics {
     "dt_cdf_rowlevel" -> dtCdfRowlevel,
     "dt_partition_optimize" -> dtPartitionOptimize,
     "dt_mv_incremental" -> dtMvIncremental,
+    "dt_mv_join" -> dtMvJoin,
     "dt_ndv_cbo" -> dtNdvCbo,
     "dt_hist_cbo" -> dtHistCbo,
     "dt_partition_evolve" -> dtPartitionEvolve,

@@ -397,6 +397,45 @@ object SnapshotProcedures {
         Array(row(r.mvVersion, r.toVersion))
       }))
 
+      case "mv_create_join" => Some(new Proc(
+        "mv_create_join",
+        "Create an incrementally-maintainable JOIN MV: the summary of " +
+          "fact INNER JOIN dims (star shape) grouped by fact columns and/or " +
+          "dim attrs, measures from the fact. Dim versions pin at create; " +
+          "refresh folds FACT deltas enriched through the pinned dims and " +
+          "falls back to one re-pinning rebuild when a dim moves",
+        Array(
+          p("base", StringType, comment = "catalog-relative fact table, e.g. 'ns.t'"),
+          p("mv", StringType, comment = "catalog-relative MV table to create"),
+          p("dims", StringType, comment =
+            "semicolon-separated dim specs 'table:fk1|fk2=dk1|dk2:attr1|attr2'"),
+          p("group_cols", StringType, comment = "comma-separated group columns"),
+          p("measure_cols", StringType, comment = "comma-separated FACT measure columns")),
+        StructType(Seq(
+          StructField("mv_version", LongType, nullable = false),
+          StructField("base_version", LongType, nullable = false))))({ in =>
+        val b = root(warehouse, in.getUTF8String(0).toString)
+        val mvT = root(warehouse, in.getUTF8String(1).toString)
+        def list(s: String) = s.split('|').map(_.trim).filter(_.nonEmpty).toSeq
+        val dims = in.getUTF8String(2).toString.split(';').map(_.trim)
+          .filter(_.nonEmpty).toSeq.map { spec =>
+            spec.split(':') match {
+              case Array(t, on, attrs) => on.split('=') match {
+                case Array(fks, dks) => graft.sql.MaterializedAgg.MvDim(
+                  root(warehouse, t), list(fks), list(dks), list(attrs))
+                case _ => throw new IllegalArgumentException(
+                  s"dim spec '$spec' needs fk1|fk2=dk1|dk2 between the colons")
+              }
+              case _ => throw new IllegalArgumentException(
+                s"dim spec '$spec' must be table:fks=dks:attrs")
+            }
+          }
+        val g = in.getUTF8String(3).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val ms = in.getUTF8String(4).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val r = graft.sql.SnapshotMv.createJoin(spark, b, mvT, dims, g, ms)
+        Array(row(r.mvVersion, r.toVersion))
+      }))
+
       case "mv_refresh" => Some(new Proc(
         "mv_refresh",
         "Advance an MV to its base table's current version by folding the " +

@@ -220,6 +220,11 @@ private[sources] final class SnapshotRowLevelBatchWrite(
         rowChanges = rowChanges))
     if (!ok) {
       abort(messages)
+      // the row-changes sidecar was staged for the manifest that just
+      // lost the CAS — nothing will ever reference it; sweep it like
+      // the staged data dir (same leak shape as overwriteWhere's
+      // survivor-dir sweep)
+      if (rowChanges.nonEmpty) fs.delete(new Path(rowChanges), true)
       throw new java.util.ConcurrentModificationException(
         s"graft-snapshot: ${op.command()} on $tablePath lost to a concurrent commit " +
           s"of version ${op.baseVersion + 1} — re-run the command against the new head")

@@ -26,18 +26,33 @@ import org.apache.spark.sql.functions._
   */
 object MaterializedAgg {
 
+  /** One dimension of a JOIN MV ([[SnapshotMv.createJoin]]): the MV's
+    * state aggregates `fact INNER JOIN dim ON zip(factKeys == dimKeys)`
+    * carrying `attrs` (dim attribute columns usable as group keys). The
+    * joined-at dim VERSION is pinned in the `_mv` sidecar, not here —
+    * the registry holds the shape, the sidecar holds the freshness. */
+  final case class MvDim(
+      table: String,
+      factKeys: Seq[String],
+      dimKeys: Seq[String],
+      attrs: Seq[String])
+
   /** A registered MV: where the base lives, where the summary lives,
     * what it groups by, and which measures it carries. `snapshot` marks
     * a [[SnapshotMv]]-maintained summary: both paths are snapshot
     * TABLES (not parquet dirs), the rewrite resolves the MV through the
     * snapshot reader, and it fires only when the `_mv` sidecar proves
-    * the summary reflects exactly the manifest the scan pinned. */
+    * the summary reflects exactly the manifest the scan pinned.
+    * Non-empty `dims` marks a JOIN MV: the rewrite matches an aggregate
+    * over `base ⋈ dims` (never a bare-base aggregate — the join changes
+    * row multiplicity), with every dim's pinned manifest checked too. */
   final case class AggMv(
       basePath: String,
       mvPath: String,
       groupCols: Seq[String],
       measureCols: Seq[String],
-      snapshot: Boolean = false)
+      snapshot: Boolean = false,
+      dims: Seq[MvDim] = Nil)
 
   // path-keyed global registry; LogicalRelation resolved lazily per session
   private val registry =
@@ -54,6 +69,11 @@ object MaterializedAgg {
 
   private def normalize(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** The registry's path normalization, for callers comparing external
+    * paths (e.g. the rewrite rule matching a dim leaf to a recorded
+    * dim table). */
+  private[graft] def normalizePath(p: String): String = normalize(p)
 
   /** Build the summary table for `basePath` grouped by `groupCols`
     * carrying `measureCols`, write it to `mvPath`, and register it for
@@ -119,6 +139,29 @@ object MaterializedAgg {
   /** Persist the registry (same `k=v` line format as the snapshot-store
     * manifests) so a fresh session restores its MVs with [[load]] —
     * registration survives the JVM, like a catalog would hold it. */
+  /** Compact one-token codec for a dim list (URL-encoded names, so the
+    * `;`/`|`/`,` separators can never appear inside them) — shared by
+    * [[save]]/[[load]] and the `_mv` sidecar's `dims=` line. */
+  private[graft] def encodeDims(dims: Seq[MvDim]): String = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    dims.map(d => Seq(
+      enc(d.table),
+      d.factKeys.map(enc).mkString("|"),
+      d.dimKeys.map(enc).mkString("|"),
+      d.attrs.map(enc).mkString("|")).mkString(";")).mkString(",")
+  }
+
+  private[graft] def decodeDims(s: String): Seq[MvDim] = {
+    def dec(x: String) = java.net.URLDecoder.decode(x, "UTF-8")
+    def list(x: String) = x.split("\\|").toSeq.filter(_.nonEmpty).map(dec)
+    if (s.isEmpty) Nil
+    else s.split(",").toSeq.map { entry =>
+      val p = entry.split(";", -1)
+      require(p.length == 4, s"malformed MV dim entry: $entry")
+      MvDim(dec(p(0)), list(p(1)), list(p(2)), list(p(3)))
+    }
+  }
+
   def save(spark: SparkSession, path: String): Unit = {
     val f = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -126,7 +169,8 @@ object MaterializedAgg {
     try registered.foreach { mv =>
       out.write(
         (s"mv\tbase=${mv.basePath}\tdata=${mv.mvPath}\tgroup=${mv.groupCols.mkString(",")}\tmeasure=${mv.measureCols.mkString(",")}" +
-          (if (mv.snapshot) "\tkind=snapshot" else "") + "\n")
+          (if (mv.snapshot) "\tkind=snapshot" else "") +
+          (if (mv.dims.nonEmpty) s"\tdims=${encodeDims(mv.dims)}" else "") + "\n")
           .getBytes("UTF-8"))
     } finally out.close()
   }
@@ -147,7 +191,8 @@ object MaterializedAgg {
         .toMap
       for (b <- kv.get("base"); d <- kv.get("data"); g <- kv.get("group"); m <- kv.get("measure"))
         yield AggMv(b, d, g.split(",").toSeq.filter(_.nonEmpty), m.split(",").toSeq.filter(_.nonEmpty),
-          snapshot = kv.get("kind").contains("snapshot"))
+          snapshot = kv.get("kind").contains("snapshot"),
+          dims = kv.get("dims").map(decodeDims).getOrElse(Nil))
     }.toSeq
     loaded.foreach(register)
     loaded.size
@@ -159,9 +204,16 @@ object MaterializedAgg {
     * the rewrite rule runs BEFORE the early scan-pushdown batch, which
     * then converts the injected relation — and pushes the re-targeted
     * filters/pruning into the MV scan — like any other. */
-  private[graft] def mvRelation(spark: SparkSession, mv: AggMv): LogicalPlan =
+  private[graft] def mvRelation(
+      spark: SparkSession, mv: AggMv, pinnedVersion: Option[Long] = None): LogicalPlan =
     if (mv.snapshot)
-      spark.read.format("graft-snapshot").option("path", mv.mvPath).load()
+      // pinnedVersion: the MV version whose manifest passed the rewrite
+      // rule's freshness check — reading THAT version (not the head)
+      // closes the race with a concurrent mv_refresh commit
+      pinnedVersion.foldLeft(
+          spark.read.format("graft-snapshot").option("path", mv.mvPath))(
+          (r, v) => r.option("version", v.toString))
+        .load()
         .queryExecution.analyzed.collectFirst {
           case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
             r.newInstance()

@@ -56,12 +56,21 @@ import graft.store.SnapshotStore
   * same marts fresh without the rebuild. */
 object SnapshotMv {
 
-  /** What the `_mv` sidecar records. */
+  /** One JOIN-MV dimension with the base version it is joined at:
+    * the MV state reflects `fact@baseVersion ⋈ dim.table@version`. */
+  final case class DimPin(dim: MaterializedAgg.MvDim, version: Long)
+
+  /** What the `_mv` sidecar records. `dims` non-empty marks a JOIN MV
+    * ([[createJoin]]): group columns may come from dim attrs, measures
+    * always come from the fact, and refresh folds FACT deltas enriched
+    * through the PINNED dim versions (a moved dim → one full rebuild
+    * that re-pins). */
   final case class MvMeta(
       baseTable: String,
       groupCols: Seq[String],
       measureCols: Seq[String],
-      baseVersion: Long)
+      baseVersion: Long,
+      dims: Seq[DimPin] = Nil)
 
   /** One create/refresh outcome. `mode` ∈ full | incremental | noop;
     * `recomputedGroups` counts groups whose min/max bound a removal
@@ -94,9 +103,17 @@ object SnapshotMv {
       g <- kv.get("groups")
       ms <- kv.get("measures")
       v <- kv.get("version").flatMap(_.toLongOption)
-    } yield MvMeta(dec(base),
-      g.split(",").toSeq.filter(_.nonEmpty).map(dec),
-      ms.split(",").toSeq.filter(_.nonEmpty).map(dec), v)
+    } yield {
+      val dims = kv.get("dims").map(MaterializedAgg.decodeDims).getOrElse(Nil)
+      val vers = kv.get("dimvers").toSeq
+        .flatMap(_.split(",").toSeq.filter(_.nonEmpty).flatMap(_.toLongOption))
+      require(dims.size == vers.size,
+        s"corrupt _mv sidecar: ${dims.size} dims but ${vers.size} pinned versions")
+      MvMeta(dec(base),
+        g.split(",").toSeq.filter(_.nonEmpty).map(dec),
+        ms.split(",").toSeq.filter(_.nonEmpty).map(dec), v,
+        dims.zip(vers).map { case (d, dv) => DimPin(d, dv) })
+    }
   }
 
   private def writeMeta(spark: SparkSession, mvTable: String, m: MvMeta): Unit = {
@@ -109,7 +126,10 @@ object SnapshotMv {
       (s"base=${enc(m.baseTable)}\n" +
         s"groups=${m.groupCols.map(enc).mkString(",")}\n" +
         s"measures=${m.measureCols.map(enc).mkString(",")}\n" +
-        s"version=${m.baseVersion}\n").getBytes("UTF-8"))
+        s"version=${m.baseVersion}\n" +
+        (if (m.dims.isEmpty) ""
+         else s"dims=${MaterializedAgg.encodeDims(m.dims.map(_.dim))}\n" +
+           s"dimvers=${m.dims.map(_.version).mkString(",")}\n")).getBytes("UTF-8"))
     finally out.close()
     val fc = FileContext.getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(tmp, p, Options.Rename.OVERWRITE)
@@ -119,21 +139,122 @@ object SnapshotMv {
     * over the base — the only full scan the MV ever needs), commit it
     * as the MV table's next version, and record the reflected base
     * version in the `_mv` sidecar. */
+  /** Fail-fast name validation shared by [[create]] and [[createJoin]]:
+    * the state schema reserves `n` and `sum_/cnt_/min_/max_<measure>` —
+    * a group or measure column occupying one of those names would make
+    * the refresh self-join silently mis-classify state columns. */
+  private def validateNames(groupCols: Seq[String], measureCols: Seq[String]): Unit = {
+    require(groupCols.nonEmpty && measureCols.nonEmpty,
+      "an aggregate MV needs at least one group column and one measure")
+    val all = groupCols ++ measureCols
+    require(all.distinct.size == all.size,
+      s"group/measure columns must be distinct: ${all.mkString(", ")}")
+    val reserved = "n" +: measureCols.flatMap(c =>
+      Seq(s"sum_$c", s"cnt_$c", s"min_$c", s"max_$c"))
+    val clash = all.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"column name(s) ${clash.mkString(", ")} collide with the MV state " +
+        "schema (n, sum_/cnt_/min_/max_<measure>) — rename before creating the MV")
+  }
+
+  /** Enrich fact rows through every pinned dim: inner equi-join on the
+    * recorded keys, carrying ONLY the declared attr columns forward.
+    * Dims broadcast (a dim is group-cardinality-sized next to a 100 TB
+    * fact) — fact deltas never shuffle on the dim keys. */
+  private def enrich(spark: SparkSession, facts: DataFrame, dims: Seq[DimPin]): DataFrame =
+    dims.foldLeft(facts) { (acc, p) =>
+      val d = p.dim
+      val dimDf = SnapshotStore.readVersion(spark, d.table, p.version)
+        .select((d.dimKeys ++ d.attrs).distinct.map(col): _*)
+      val cond = d.factKeys.zip(d.dimKeys)
+        .map { case (f, k) => acc(f) === dimDf(k) }.reduce(_ && _)
+      acc.join(broadcast(dimDf), cond, "inner")
+        .select(acc.columns.map(acc(_)) ++ d.attrs.map(dimDf(_)): _*)
+    }
+
+  /** The base+dim versions an MV COMMIT reflects, carried in its own
+    * manifest (`provenance=`) so they publish atomically with the state
+    * — the `_mv` sidecar (written after) can heal from them. */
+  private def pinsProvenance(factV: Long, dims: Seq[DimPin]): String =
+    s"mvpins:$factV;${dims.map(_.version).mkString(",")}"
+
+  private def parsePins(provenance: String): Option[(Long, Seq[Long])] =
+    if (!provenance.startsWith("mvpins:")) None
+    else provenance.stripPrefix("mvpins:").split(";", -1) match {
+      case Array(f, ds) => f.toLongOption.map(fv =>
+        (fv, ds.split(",").toSeq.filter(_.nonEmpty).flatMap(_.toLongOption)))
+      case _ => None
+    }
+
   def create(
       spark: SparkSession,
       baseTable: String,
       mvTable: String,
       groupCols: Seq[String],
       measureCols: Seq[String]): RefreshResult = {
-    require(groupCols.nonEmpty && measureCols.nonEmpty,
-      "an aggregate MV needs at least one group column and one measure")
+    validateNames(groupCols, measureCols)
     val v = SnapshotStore.currentVersion(spark, baseTable).getOrElse(
       throw new IllegalArgumentException(
         s"$baseTable is not a snapshot table (no committed version)"))
     val state = ChangeData.aggState(
       SnapshotStore.readVersion(spark, baseTable, v), groupCols, measureCols)
-    val mvV = SnapshotStore.commit(state, mvTable)
+    val mvV = SnapshotStore.commit(state, mvTable, srcV = v,
+      provenance = pinsProvenance(v, Nil))
     writeMeta(spark, mvTable, MvMeta(baseTable, groupCols, measureCols, v))
+    register(spark, mvTable)
+    RefreshResult(mvV, "full", -1L, v, 0L)
+  }
+
+  /** Build a JOIN MV: the summary of `fact ⋈ dims` grouped by
+    * `groupCols` (fact columns and/or dim attrs) carrying fact-sourced
+    * `measureCols`. Dim versions pin at their CURRENT version; refresh
+    * folds FACT change-feed deltas enriched through the pinned dims
+    * (O(changed fact rows)) and falls back to ONE full rebuild — which
+    * re-pins — when any dim advances. The registered rewrite re-targets
+    * aggregates over the same join shape onto the summary
+    * ([[graft.plans.AggMvRewriteRule]]'s join branch). */
+  def createJoin(
+      spark: SparkSession,
+      baseTable: String,
+      mvTable: String,
+      dims: Seq[MaterializedAgg.MvDim],
+      groupCols: Seq[String],
+      measureCols: Seq[String]): RefreshResult = {
+    require(dims.nonEmpty, "createJoin needs at least one dim — use create() otherwise")
+    validateNames(groupCols, measureCols)
+    val v = SnapshotStore.currentVersion(spark, baseTable).getOrElse(
+      throw new IllegalArgumentException(
+        s"$baseTable is not a snapshot table (no committed version)"))
+    val factCols = SnapshotStore.readVersion(spark, baseTable, v).columns.toSet
+    dims.foreach { d =>
+      require(d.factKeys.nonEmpty && d.factKeys.size == d.dimKeys.size,
+        s"dim ${d.table}: factKeys and dimKeys must pair up")
+      val missing = d.factKeys.filterNot(factCols)
+      require(missing.isEmpty,
+        s"dim ${d.table}: fact is missing join key(s) ${missing.mkString(", ")}")
+      val collide = d.attrs.filter(factCols)
+      require(collide.isEmpty,
+        s"dim ${d.table}: attr(s) ${collide.mkString(", ")} collide with fact " +
+          "column names — alias the dim column before creating the MV")
+    }
+    val dimAttrs = dims.flatMap(_.attrs)
+    require(dimAttrs.distinct.size == dimAttrs.size,
+      s"dim attrs must be globally distinct: ${dimAttrs.mkString(", ")}")
+    measureCols.foreach(mc => require(factCols(mc),
+      s"measure $mc must be a FACT column — dim-sourced measures would " +
+        "need dim-change maintenance the delta algebra cannot provide"))
+    groupCols.foreach(g => require(factCols(g) || dimAttrs.contains(g),
+      s"group column $g is neither a fact column nor a declared dim attr"))
+    val pins = dims.map(d => DimPin(d,
+      SnapshotStore.currentVersion(spark, d.table).getOrElse(
+        throw new IllegalArgumentException(
+          s"${d.table} is not a snapshot table (no committed version)"))))
+    val state = ChangeData.aggState(
+      enrich(spark, SnapshotStore.readVersion(spark, baseTable, v), pins),
+      groupCols, measureCols)
+    val mvV = SnapshotStore.commit(state, mvTable, srcV = v,
+      provenance = pinsProvenance(v, pins))
+    writeMeta(spark, mvTable, MvMeta(baseTable, groupCols, measureCols, v, pins))
     register(spark, mvTable)
     RefreshResult(mvV, "full", -1L, v, 0L)
   }
@@ -149,7 +270,8 @@ object SnapshotMv {
     val m = meta(spark, mvTable).getOrElse(throw new IllegalArgumentException(
       s"$mvTable has no _mv sidecar — create() the MV first"))
     val mv = MaterializedAgg.AggMv(
-      m.baseTable, mvTable, m.groupCols, m.measureCols, snapshot = true)
+      m.baseTable, mvTable, m.groupCols, m.measureCols, snapshot = true,
+      dims = m.dims.map(_.dim))
     MaterializedAgg.register(mv)
     mv
   }
@@ -157,10 +279,17 @@ object SnapshotMv {
   private def fullRebuild(
       spark: SparkSession, mvTable: String, m: MvMeta,
       from: Long, to: Long): RefreshResult = {
+    // the rebuild is the ONE moment dims may re-pin: the fresh state
+    // reflects every dim's current version
+    val pins = m.dims.map(p => p.copy(version =
+      SnapshotStore.currentVersion(spark, p.dim.table).getOrElse(
+        throw new IllegalStateException(s"dim table ${p.dim.table} has vanished"))))
     val state = ChangeData.aggState(
-      SnapshotStore.readVersion(spark, m.baseTable, to), m.groupCols, m.measureCols)
-    val mvV = SnapshotStore.commit(state, mvTable)
-    writeMeta(spark, mvTable, m.copy(baseVersion = to))
+      enrich(spark, SnapshotStore.readVersion(spark, m.baseTable, to), pins),
+      m.groupCols, m.measureCols)
+    val mvV = SnapshotStore.commit(state, mvTable, srcV = to,
+      provenance = pinsProvenance(to, pins))
+    writeMeta(spark, mvTable, m.copy(baseVersion = to, dims = pins))
     RefreshResult(mvV, "full", from, to, 0L)
   }
 
@@ -176,10 +305,38 @@ object SnapshotMv {
     * true rewrite (`snapshot` images), the predecessor of a delete
     * commit was vacuumed, or the feed declines (live column renames). */
   def refresh(spark: SparkSession, mvTable: String): RefreshResult = {
-    val m = meta(spark, mvTable).getOrElse(throw new IllegalArgumentException(
+    val m0 = meta(spark, mvTable).getOrElse(throw new IllegalArgumentException(
       s"$mvTable has no _mv sidecar — create() the MV first"))
-    val v1 = SnapshotStore.currentVersion(spark, m.baseTable).getOrElse(
-      throw new IllegalStateException(s"base table ${m.baseTable} has vanished"))
+    val v1 = SnapshotStore.currentVersion(spark, m0.baseTable).getOrElse(
+      throw new IllegalStateException(s"base table ${m0.baseTable} has vanished"))
+    // CRASH-WINDOW GUARD: the MV commit and the sidecar write are two
+    // steps; every MV commit therefore carries the versions it reflects
+    // in its own manifest (`src=` as the fact cursor — the store's
+    // consumer-cursor convention, [[SnapshotStore.lastAppliedSrcV]] —
+    // and the dim pins in `provenance=`). A refresh that committed but
+    // died before the sidecar write would otherwise re-fold the same
+    // change range onto already-folded state (or enrich deltas through
+    // dim versions older than the committed state's) — the commit's own
+    // cursors are the truth; heal the sidecar from them.
+    val headMan = SnapshotStore.currentVersion(spark, mvTable)
+      .map(hv => SnapshotStore.manifest(spark, mvTable, hv))
+    val committedSrcV = headMan.map(_.srcV).getOrElse(-1L)
+    val m =
+      if (committedSrcV > m0.baseVersion) {
+        val committedDims = headMan.flatMap(h => parsePins(h.provenance))
+          .map(_._2).filter(_.size == m0.dims.size)
+          .map(vs => m0.dims.zip(vs).map { case (p, dv) => p.copy(version = dv) })
+          .getOrElse(m0.dims)
+        val healed = m0.copy(baseVersion = committedSrcV, dims = committedDims)
+        writeMeta(spark, mvTable, healed)
+        healed
+      } else m0
+    // a moved dim invalidates the delta algebra (old state rows joined
+    // the OLD dim version) — one full rebuild re-pins, even when the
+    // fact itself did not move
+    if (m.dims.exists(p =>
+        !SnapshotStore.currentVersion(spark, p.dim.table).contains(p.version)))
+      return fullRebuild(spark, mvTable, m, m.baseVersion, v1)
     val v0 = m.baseVersion
     if (v1 == v0)
       return RefreshResult(
@@ -187,31 +344,38 @@ object SnapshotMv {
     require(v1 > v0, s"MV reflects version $v0 but the base head is $v1 — the base " +
       "table was reset; drop and recreate the MV")
 
+    // Decline → one full rebuild. The feed can refuse EAGERLY (load())
+    // or at ACTION time (physical planning throws on live column
+    // renames), so the shape-deciding aggregate runs inside the same
+    // fallback boundary. Any other failure propagates: nothing has
+    // committed yet at this point, so the fallback is never stacked on
+    // top of a half-applied fold.
     Try {
-      spark.read.format("graft-snapshot")
+      val changes = spark.read.format("graft-snapshot")
         .option("path", m.baseTable)
         .option("changeFeed", "true")
         .option("startingVersion", (v0 + 1).toString)
         .option("endingVersion", v1.toString)
         .load()
+      val kinds = changes.groupBy(col("_change_type"), col("_commit_version"))
+        .count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      (changes, kinds)
     } match {
-      case Failure(_) => fullRebuild(spark, mvTable, m, v0, v1) // feed declined
-      case Success(changes) =>
+      case Failure(_: UnsupportedOperationException) =>
+        fullRebuild(spark, mvTable, m, v0, v1) // feed declined
+      case Failure(e) => throw e
+      case Success((changes, kinds)) =>
         changes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try incrementalFold(spark, mvTable, m, v0, v1, changes)
+        try incrementalFold(spark, mvTable, m, v0, v1, changes, kinds)
         finally changes.unpersist()
     }
   }
 
   private def incrementalFold(
       spark: SparkSession, mvTable: String, m: MvMeta,
-      v0: Long, v1: Long, changes: DataFrame): RefreshResult = {
-    // one tiny aggregate decides the shape of the whole refresh: which
-    // change kinds are present, and which versions carry key-only
-    // 'delete' rows needing a pre-image lookup
-    val kinds = changes.groupBy(col("_change_type"), col("_commit_version"))
-      .count().collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
+      v0: Long, v1: Long, changes: DataFrame,
+      kinds: Seq[(String, Long)]): RefreshResult = {
     if (kinds.exists(_._1 == "snapshot"))
       return fullRebuild(spark, mvTable, m, v0, v1)
     if (kinds.isEmpty) { // metadata-only commits: nothing to fold
@@ -253,8 +417,13 @@ object SnapshotMv {
     // keys included) so no attribute is ambiguous
     def suffixed(df: DataFrame, sfx: String): DataFrame =
       df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + sfx))
-    val insSt = suffixed(ChangeData.aggState(inserts, g, ms), "_ins")
-    val remSt = suffixed(ChangeData.aggState(removes, g, ms), "_rem")
+    // JOIN MVs: deltas enrich through the PINNED dim versions before
+    // aggregating — the exact multiplicity the stored state was built
+    // with (the dim-moved case already fell back to a rebuild above)
+    val insSt = suffixed(
+      ChangeData.aggState(enrich(spark, inserts, m.dims), g, ms), "_ins")
+    val remSt = suffixed(
+      ChangeData.aggState(enrich(spark, removes, m.dims), g, ms), "_rem")
 
     val delta = insSt.join(remSt,
         g.map(c => col(c + "_ins") <=> col(c + "_rem")).reduce(_ && _), "full_outer")
@@ -308,7 +477,8 @@ object SnapshotMv {
       val result =
         if (nRecomp == 0) algebraic
         else {
-          val base = SnapshotStore.readVersion(spark, m.baseTable, v1)
+          val base = enrich(spark,
+            SnapshotStore.readVersion(spark, m.baseTable, v1), m.dims)
           val slice = base.join(recompKeys, nsCond(base, recompKeys, g), "left_semi")
           algebraic.unionByName(ChangeData.aggState(slice, g, ms))
         }
@@ -316,7 +486,7 @@ object SnapshotMv {
       val ordered = result.select(
         ((g :+ "n") ++ ms.flatMap(c =>
           Seq(s"sum_$c", s"cnt_$c", s"min_$c", s"max_$c"))).map(col): _*)
-      val mvV = SnapshotStore.commit(ordered, mvTable)
+      val mvV = SnapshotStore.commit(ordered, mvTable, srcV = v1)
       writeMeta(spark, mvTable, m.copy(baseVersion = v1))
       RefreshResult(mvV, "incremental", v0, v1, nRecomp)
     } finally joined.unpersist()

@@ -511,7 +511,8 @@ object SnapshotStore {
   def pinnedJson(schema: StructType): String =
     StructType(schema.fields.map(_.copy(nullable = true))).json
 
-  def commit(df: DataFrame, table: String, srcV: Long = -1L): Long = {
+  def commit(df: DataFrame, table: String, srcV: Long = -1L,
+      provenance: String = ""): Long = {
     val spark = df.sparkSession
     TableChecks.enforce(df, table) // enforced CHECKs: one pass over the new rows
     var next = currentVersion(spark, table).map(_ + 1).getOrElse(0L)
@@ -523,7 +524,8 @@ object SnapshotStore {
       dataFiles(spark, Manifest(dataDir, Nil, Nil)), None, writerStatsExact(spark))
     while (!tryPublishManifest(spark, table, next,
         Manifest(dataDir, Nil, Nil, op = "rewrite", statsExact = writerStatsExact(spark),
-          srcV = srcV, statsFile = stats, schemaJson = pinnedJson(df.schema))))
+          srcV = srcV, statsFile = stats, schemaJson = pinnedJson(df.schema),
+          provenance = provenance)))
       next += 1 // lost a marker race; the staged data is still valid as a later version
     next
   }

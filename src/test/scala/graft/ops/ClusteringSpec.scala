@@ -87,6 +87,19 @@ class ClusteringSpec extends SparkSuite {
     assert(lab.keySet === comp.keySet)
   }
 
+  test("a vertex appearing only in self-pairs still labels itself") {
+    val pairs = Seq((7L, 7L)).toDF("id1", "id2")
+    val got = Clustering.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((7L, 7L)),
+      "one row per vertex that appears in ANY pair — self-pairs included")
+    // mixed: a real edge plus an isolated self-pair vertex
+    val mixed = Seq((1L, 2L), (9L, 9L)).toDF("id1", "id2")
+    val got2 = Clustering.connectedComponents(mixed)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 === Set((1L, 1L), (2L, 1L), (9L, 9L)))
+  }
+
   test("transitive chains collapse to one cluster with min-id keeper") {
     // A~B, B~C must merge even though A~C was never a pair
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")

@@ -155,6 +155,32 @@ class SnapshotProceduresSpec extends SparkSuite {
     }
   }
 
+  test("CALL system.mv_create_join builds a join MV that mv_refresh maintains") {
+    withCatalog { (cat, wh) =>
+      SnapshotStore.commit(
+        Seq((1, 10, 100L), (2, 20, 7L)).toDF("id", "cust", "cents"), s"$wh/f/t")
+      SnapshotStore.commit(
+        Seq((10, "A"), (20, "B")).toDF("c_id", "segment"), s"$wh/d/c")
+      val created = spark.sql(
+        s"""CALL $cat.system.mv_create_join(
+              base => 'f.t', mv => 'marts.mv',
+              dims => 'd.c:cust=c_id:segment',
+              group_cols => 'segment', measure_cols => 'cents')""").head()
+      assert(created.getAs[Long]("base_version") === 0L)
+      val got = SnapshotStore.read(spark, s"$wh/marts/mv")
+        .orderBy("segment").collect()
+        .map(r => (r.getAs[String]("segment"), r.getAs[Long]("sum_cents")))
+      assert(got.toSeq === Seq(("A", 100L), ("B", 7L)))
+      SnapshotStore.appendCommit(
+        Seq((3, 20, 3L)).toDF("id", "cust", "cents"), s"$wh/f/t")
+      val r = spark.sql(s"CALL $cat.system.mv_refresh(mv => 'marts.mv')").head()
+      assert(r.getAs[String]("mode") === "incremental")
+      val b = SnapshotStore.read(spark, s"$wh/marts/mv")
+        .filter($"segment" === "B").head()
+      assert(b.getAs[Long]("n") === 2L && b.getAs[Long]("sum_cents") === 10L)
+    }
+  }
+
   test("SHOW PROCEDURES lists the surface; DESCRIBE PROCEDURE explains one") {
     withCatalog { (cat, _) =>
       val shown = spark.sql(s"SHOW PROCEDURES IN $cat.system")

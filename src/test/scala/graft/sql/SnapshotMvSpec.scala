@@ -190,6 +190,75 @@ class SnapshotMvSpec extends SparkSuite {
     assertMvEquals(mv, base)
   }
 
+  test("group/measure names colliding with the state schema are refused at create") {
+    val root = tmp("mvreserved")
+    val base = s"$root/t"
+    SnapshotStore.commit(
+      Seq((1L, "a", 10L)).toDF("n", "grp", "cents"), base)
+    // group column literally named "n" collides with the row counter
+    val e1 = intercept[IllegalArgumentException] {
+      SnapshotMv.create(spark, base, s"$root/mv1", Seq("n"), Seq("cents"))
+    }
+    assert(e1.getMessage.contains("collide"))
+    // a group column named like a measure's derived state column
+    SnapshotStore.commit(
+      Seq((1L, "a", 10L)).toDF("sum_cents", "grp", "cents"), s"$root/t2")
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotMv.create(spark, s"$root/t2", s"$root/mv2", Seq("sum_cents"), Seq("cents"))
+    }
+    assert(e2.getMessage.contains("collide"))
+    // duplicate columns across the two lists
+    val e3 = intercept[IllegalArgumentException] {
+      SnapshotMv.create(spark, base, s"$root/mv3", Seq("grp"), Seq("grp"))
+    }
+    assert(e3.getMessage.contains("distinct"))
+  }
+
+  test("a lost sidecar write heals from the MV commit's own cursor — no double fold") {
+    val root = tmp("mvheal")
+    val base = s"$root/t"; val mv = s"$root/mv"
+    SnapshotStore.commit(baseRows((1, "a", 10L), (2, "b", 5L)), base)
+    SnapshotMv.create(spark, base, mv, Seq("grp"), Seq("cents"))
+    SnapshotStore.appendCommit(baseRows((3, "a", 7L)), base)
+    assert(SnapshotMv.refresh(spark, mv).mode === "incremental")
+    // simulate the crash window: the MV commit landed (its manifest
+    // carries src=1) but the sidecar write was lost — regress it to 0
+    val sidecar = new java.io.File(mv, "_mv")
+    val stale = new String(
+      java.nio.file.Files.readAllBytes(sidecar.toPath), "UTF-8")
+      .replace("version=1", "version=0")
+    java.nio.file.Files.write(sidecar.toPath, stale.getBytes("UTF-8"))
+    // the raw rewrite bypassed Hadoop's ChecksumFileSystem — drop the
+    // now-stale CRC sidecar so the next read doesn't fail on it
+    new java.io.File(mv, "._mv.crc").delete()
+    assert(SnapshotMv.meta(spark, mv).get.baseVersion === 0L)
+    // refresh must heal from the commit cursor and NOT re-fold (0,1]:
+    // re-applying the insert would double group a's n/sum
+    val r = SnapshotMv.refresh(spark, mv)
+    assert(r.mode === "noop", s"healed refresh must be a noop, was ${r.mode}")
+    assert(SnapshotMv.meta(spark, mv).get.baseVersion === 1L)
+    assertMvEquals(mv, base)
+    // and the next REAL change still folds once
+    SnapshotStore.appendCommit(baseRows((4, "b", 2L)), base)
+    assert(SnapshotMv.refresh(spark, mv).mode === "incremental")
+    assertMvEquals(mv, base)
+  }
+
+  test("a live column rename declines the feed and falls back to one full rebuild") {
+    val root = tmp("mvrename")
+    val base = s"$root/t"; val mv = s"$root/mv"
+    SnapshotStore.commit(baseRows((1, "a", 10L), (2, "b", 5L)), base)
+    SnapshotMv.create(spark, base, mv, Seq("grp"), Seq("cents"))
+    // rename a column the MV does not touch: the change feed refuses
+    // ANY read under live renames (at action time, not load time), but
+    // the full-rebuild path reads logical names and works
+    SnapshotStore.renameColumnCommit(spark, base, "id", "row_id")
+    val r = SnapshotMv.refresh(spark, mv)
+    assert(r.mode === "full", s"rename must fall back to a rebuild, was ${r.mode}")
+    assert(SnapshotMv.meta(spark, mv).get.baseVersion === 1L)
+    assertMvEquals(mv, base)
+  }
+
   implicit private class Pipe[A](a: A) {
     def pipe[B](f: A => B): B = f(a)
   }
