@@ -60,15 +60,20 @@ object Clustering {
     * don't converge rather than returning a half-merged clustering. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val e = pairs.select(col("id1").alias("src"), col("id2").alias("dst"))
-    val sym = e.unionAll(e.select(col("dst").alias("src"), col("src").alias("dst")))
-    var edges = sym
-      .filter(col("src") =!= col("dst"))
+    // ONE scan of the pair source — `pairs` is typically an expensive
+    // lazy plan (LSH candidate generation + verify), so both the edge
+    // set and the vertex set must derive from a single materialization.
+    // Self-loops are KEPT here: a vertex appearing only in self-pairs
+    // (id1 == id2) has no contractable edge but is still "a vertex
+    // that appears in any pair" — it labels itself below.
+    val undirected = e
+      .unionAll(e.select(col("dst").alias("src"), col("src").alias("dst")))
       .distinct()
       .localCheckpoint(true)
-    // vertex set from the UNFILTERED endpoints: a vertex appearing only
-    // in self-pairs (id1 == id2) has no contractable edge but is still
-    // "a vertex that appears in any pair" — it labels itself
-    var labels = sym
+    var edges = undirected
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint(true)
+    var labels = undirected
       .select(col("src").alias("id"))
       .distinct()
       .select(col("id"), col("id").alias("comp"))

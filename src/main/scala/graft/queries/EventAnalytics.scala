@@ -1176,6 +1176,54 @@ object EventAnalytics {
           GROUP BY 1 ORDER BY 1""")
   }
 
+  /** DT48: WRITE DISTRIBUTION MODES
+    * (`spark.graft.write.distribution` — [[graft.sources
+    * .BucketDistribution]], round 16): an adversarially-partitioned
+    * INSERT INTO a month-partitioned table (every input task holds
+    * rows of every month — the restatement/backfill shape) under
+    * `hash` mode clusters the shuffle by the partition source column
+    * with a size advisory, so AQE's rebalance + the local sort land
+    * ~one right-sized file per partition instead of #tasks ×
+    * #partitions small files. The fixture PINS the physical claim (a
+    * 16-task input may add at most 2 files per month; unrouted it
+    * would add 16) and the oracle pins the data: the mode only moves
+    * rows between write tasks. */
+  val dtWriteDistribution: Q = (s, d) => {
+    val wh = Fixtures.dir("wdist", d) { root =>
+      val t = s"$root/facts/orders"
+      val orders = Tables.orders(s, d)
+      graft.store.SnapshotStore.partitionedCommit(orders.limit(0), t,
+        Seq(graft.store.PartitionSpec.PartField("months", "o_orderdate")))
+      val cat = snapCatalog(s, root)
+      orders.repartition(16).createOrReplaceTempView("wdist_src")
+      s.conf.set("spark.graft.write.distribution", "hash")
+      // pinned advisory so the file-count claim below holds at every sf
+      s.conf.set("spark.graft.write.targetFileSizeBytes", (1L << 30).toString)
+      try s.sql(s"INSERT INTO $cat.facts.orders SELECT * FROM wdist_src")
+      finally {
+        s.conf.unset("spark.graft.write.distribution")
+        s.conf.unset("spark.graft.write.targetFileSizeBytes")
+      }
+      val prev = graft.store.SnapshotStore.dataFiles(
+        s, graft.store.SnapshotStore.manifest(s, t, 0L)).toSet
+      val added = graft.store.SnapshotStore.dataFiles(
+        s, graft.store.SnapshotStore.manifest(s, t, 1L)).filterNot(prev)
+      val months = added.flatMap(_.split('/').find(_.startsWith("__gp0="))).distinct
+      require(months.size > 12,
+        s"dt_write_distribution: fixture needs many month partitions, got ${months.size}")
+      require(added.size <= 2 * months.size,
+        s"dt_write_distribution: hash mode must land ~one file per month " +
+          s"(16 unrouted tasks would add ${16 * months.size}); got ${added.size}")
+    }
+    val cat = snapCatalog(s, wh)
+    s.sql(
+      s"""SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM $cat.facts.orders
+          GROUP BY 1 ORDER BY 1""")
+  }
+
   /** DT37: `ALTER TABLE ... ADD COLUMN ... DEFAULT` with
     * EXISTS-DEFAULT reads — a metadata-only add (zero rewrite): files
     * written BEFORE the ALTER lack the columns physically and their
@@ -1569,6 +1617,12 @@ object EventAnalytics {
                 CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
          FROM u
+         GROUP BY 1 ORDER BY 1""",
+    "dt_write_distribution" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders
          GROUP BY 1 ORDER BY 1""",
     "dt_partition_evolve" ->
       """WITH u AS (
@@ -2277,6 +2331,7 @@ object EventAnalytics {
     "dt_hist_cbo" -> dtHistCbo,
     "dt_partition_evolve" -> dtPartitionEvolve,
     "dt_dynamic_overwrite" -> dtDynamicOverwrite,
+    "dt_write_distribution" -> dtWriteDistribution,
     "dt_add_column_default" -> dtAddColumnDefault,
     "dt_describe_detail" -> dtDescribeDetail,
     "dt_replace_where" -> dtReplaceWhere,

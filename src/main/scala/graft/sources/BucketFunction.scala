@@ -35,9 +35,37 @@ private[sources] trait BucketDistribution
     * partitioned writer sees each partition value as one contiguous
     * run and emits one file per (task, partition) — the same local
     * sort Spark's own FileFormatWriter plans for partitioned inserts.
-    * No distribution requirement: appends are usually day-aligned
-    * already, and a shuffle per insert would tax the common case. */
+    * By default no distribution requirement: appends are usually
+    * day-aligned already, and a shuffle per insert would tax the
+    * common case. Opt-in WRITE DISTRIBUTION MODES change that for the
+    * restatement / backfill shapes where input partitioning is
+    * adversarial (every task holds rows of every partition → #tasks ×
+    * #partitions small files):
+    *
+    *  - `spark.graft.write.distribution = hash`: cluster the shuffle
+    *    by the partition SOURCE columns, non-strict, with
+    *    [[advisoryPartitionSizeInBytes]] — AQE's size-targeted
+    *    rebalance then coalesces small clusters together and splits
+    *    skewed ones, and the local sort turns each task into one file
+    *    per contiguous partition run: total files ≈
+    *    max(#partitions, bytes / target) instead of #tasks ×
+    *    #partitions.
+    *  - `= range`: globally ordered by the source columns — same file
+    *    budget, plus cross-file non-overlap for range-predicate
+    *    skipping.
+    *  - `= none` (default): today's behavior.
+    *
+    * `spark.graft.write.targetFileSizeBytes` (default 128 MiB) is the
+    * advisory — it measures UNCOMPRESSED shuffle bytes, so parquet
+    * files land smaller by roughly the codec ratio. A bucketed layout
+    * ignores the mode: its distribution is the bucket contract
+    * (exactly n partitions, strict), and Spark refuses advisory sizes
+    * alongside a required partition count. */
   def partSpec: Seq[graft.store.PartitionSpec.PartField] = Nil
+
+  private def distributionMode: String =
+    org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.graft.write.distribution", "none")
 
   override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
     bucketSpec match {
@@ -45,9 +73,31 @@ private[sources] trait BucketDistribution
         org.apache.spark.sql.connector.distributions.Distributions.clustered(
           cols.map(c => org.apache.spark.sql.connector.expressions.Expressions.column(c)
             : org.apache.spark.sql.connector.expressions.Expression).toArray)
-      case None => org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+      case None => distributionMode match {
+        case "hash" if partSpec.nonEmpty =>
+          org.apache.spark.sql.connector.distributions.Distributions.clustered(
+            partSpec.map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.col)
+              : org.apache.spark.sql.connector.expressions.Expression).toArray)
+        case "range" if partSpec.nonEmpty =>
+          org.apache.spark.sql.connector.distributions.Distributions.ordered(
+            partSpec.map(f => org.apache.spark.sql.connector.expressions.Expressions.sort(
+              org.apache.spark.sql.connector.expressions.Expressions.column(f.col),
+              org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray)
+        case "none" | "hash" | "range" =>
+          org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+        case other => throw new IllegalArgumentException(
+          s"spark.graft.write.distribution must be none|hash|range, got '$other'")
+      }
     }
+  /** Strict only for the bucket contract (the task id IS the bucket
+    * id); hash/range are throughput hints AQE may rebalance. */
+  override def distributionStrictlyRequired(): Boolean = bucketSpec.isDefined
   override def requiredNumPartitions(): Int = bucketSpec.map(_._2).getOrElse(0)
+  override def advisoryPartitionSizeInBytes(): Long =
+    if (bucketSpec.isEmpty && partSpec.nonEmpty && distributionMode != "none")
+      org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.graft.write.targetFileSizeBytes", (128L << 20).toString).toLong
+    else 0L
   override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     partSpec.map(f => org.apache.spark.sql.connector.expressions.Expressions.sort(
       org.apache.spark.sql.connector.expressions.Expressions.column(f.col),
