@@ -67,6 +67,26 @@ private[sources] trait BucketDistribution
     org.apache.spark.sql.SparkSession.active.conf
       .get("spark.graft.write.distribution", "none")
 
+  /** Clustering key for one partition field: the DERIVED transform
+    * value, not the raw source column. Hashing the source column
+    * splinters one partition VALUE across as many clusters as the
+    * column has distinct values under it (a month of daily timestamps
+    * lands in ~30 hash clusters, each of which the local sort then
+    * turns into its own file — measured 317 files for 80 months on the
+    * sf0.1 orders restatement, vs ~1/month intended). The named
+    * transforms resolve through the snapshot FunctionCatalog
+    * ([[PartitionTransformFunction]]), whose equivalence classes match
+    * [[graft.store.PartitionSpec.deriveColumn]] exactly. */
+  private def clusterExpr(
+      f: graft.store.PartitionSpec.PartField): org.apache.spark.sql.connector.expressions.Expression = {
+    import org.apache.spark.sql.connector.expressions.Expressions.{apply => fnApply, column, literal}
+    f.transform match {
+      case "identity" => column(f.col)
+      case "truncate" => fnApply("truncate", literal(f.arg), column(f.col))
+      case t          => fnApply(t, column(f.col))
+    }
+  }
+
   override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
     bucketSpec match {
       case Some((cols, _)) =>
@@ -76,8 +96,7 @@ private[sources] trait BucketDistribution
       case None => distributionMode match {
         case "hash" if partSpec.nonEmpty =>
           org.apache.spark.sql.connector.distributions.Distributions.clustered(
-            partSpec.map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.col)
-              : org.apache.spark.sql.connector.expressions.Expression).toArray)
+            partSpec.map(clusterExpr).toArray)
         case "range" if partSpec.nonEmpty =>
           org.apache.spark.sql.connector.distributions.Distributions.ordered(
             partSpec.map(f => org.apache.spark.sql.connector.expressions.Expressions.sort(
@@ -164,4 +183,107 @@ object BucketFunction extends UnboundFunction {
       }
     }
   }
+}
+
+/** Partition-transform scalar functions (`years`/`months`/`days`/
+  * `hours`/`truncate`) served by the snapshot FunctionCatalog so a
+  * write's required CLUSTERED distribution can key on the derived
+  * partition value (Spark resolves named transforms in a required
+  * distribution through the table catalog's FunctionCatalog — the
+  * Iceberg pattern).
+  *
+  * Contract: each function is an INJECTIVE image of
+  * [[graft.store.PartitionSpec.deriveColumn]]'s equivalence classes —
+  * two rows get equal results here iff they land in the same partition
+  * directory — which is all a clustering key needs (the rendered
+  * string itself is not required). Temporal transforms reduce to
+  * epoch-day arithmetic: zoned timestamps floor in UTC, NTZ timestamps
+  * use their local date part, both exactly as deriveColumn does. */
+private[sources] final case class PartitionTransformFunction(fn: String)
+    extends UnboundFunction {
+
+  override def name(): String = fn
+
+  override def description(): String =
+    s"$fn: snapshot partition transform (write-distribution clustering key)"
+
+  private def temporalOk(dt: DataType): Boolean = dt match {
+    case DateType | TimestampType | TimestampNTZType => fn != "hours" || dt != DateType
+    case _ => false
+  }
+
+  override def bind(inputType: StructType): BoundFunction = fn match {
+    case "years" | "months" | "days" | "hours" =>
+      if (inputType.fields.length != 1 || !temporalOk(inputType.fields.head.dataType))
+        throw new UnsupportedOperationException(
+          s"$fn expects one date/timestamp argument, got $inputType")
+      val dt = inputType.fields.head.dataType
+      new ScalarFunction[java.lang.Long] {
+        override def inputTypes(): Array[DataType] = Array(dt)
+        override def resultType(): DataType = LongType
+        override def name(): String = fn
+        override def canonicalName(): String = s"graft.snapshot.$fn"
+        override def isResultNullable: Boolean = true
+        override def produceResult(input: InternalRow): java.lang.Long = {
+          if (input.isNullAt(0)) return null
+          val epochDay: Long = dt match {
+            case DateType => input.getInt(0).toLong
+            case _        => Math.floorDiv(input.getLong(0), 86400000000L)
+          }
+          fn match {
+            case "days"  => epochDay
+            case "hours" => Math.floorDiv(input.getLong(0), 3600000000L)
+            case "months" =>
+              val d = java.time.LocalDate.ofEpochDay(epochDay)
+              d.getYear * 12L + (d.getMonthValue - 1)
+            case "years" =>
+              java.time.LocalDate.ofEpochDay(epochDay).getYear.toLong
+          }
+        }
+      }
+    case "truncate" =>
+      if (inputType.fields.length != 2 ||
+          inputType.fields.head.dataType != IntegerType)
+        throw new UnsupportedOperationException(
+          s"truncate expects (width int, value), got $inputType")
+      inputType.fields(1).dataType match {
+        case StringType =>
+          new ScalarFunction[org.apache.spark.unsafe.types.UTF8String] {
+            override def inputTypes(): Array[DataType] = Array(IntegerType, StringType)
+            override def resultType(): DataType = StringType
+            override def name(): String = fn
+            override def canonicalName(): String = "graft.snapshot.truncate"
+            override def isResultNullable: Boolean = true
+            override def produceResult(input: InternalRow): org.apache.spark.unsafe.types.UTF8String =
+              if (input.isNullAt(1)) null
+              // 1-based codepoint prefix — substring(col, 1, w) semantics
+              else input.getUTF8String(1).substringSQL(1, input.getInt(0))
+          }
+        case it @ (IntegerType | LongType) =>
+          new ScalarFunction[java.lang.Long] {
+            override def inputTypes(): Array[DataType] = Array(IntegerType, it)
+            override def resultType(): DataType = LongType
+            override def name(): String = fn
+            override def canonicalName(): String = "graft.snapshot.truncate"
+            override def isResultNullable: Boolean = true
+            override def produceResult(input: InternalRow): java.lang.Long = {
+              if (input.isNullAt(1)) return null
+              val w = input.getInt(0).toLong
+              val v = it match {
+                case IntegerType => input.getInt(1).toLong
+                case _           => input.getLong(1)
+              }
+              v - Math.floorMod(v, w)
+            }
+          }
+        case other => throw new UnsupportedOperationException(
+          s"truncate: unsupported value type $other (supported: string/int/long)")
+      }
+    case other => throw new UnsupportedOperationException(
+      s"unknown partition transform function $other")
+  }
+}
+
+private[sources] object PartitionTransformFunction {
+  val names: Seq[String] = Seq("years", "months", "days", "hours", "truncate")
 }

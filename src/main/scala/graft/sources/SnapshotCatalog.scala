@@ -84,11 +84,16 @@ final class SnapshotCatalog extends TableCatalog
   // planner can resolve a bucketed table's partitioning and key-group
   // co-bucketed scans (storage-partitioned joins) -------------------
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "bucket"))
+    ("bucket" +: PartitionTransformFunction.names)
+      .map(n => Identifier.of(namespace, n)).toArray
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.name.equalsIgnoreCase("bucket")) BucketFunction
+    else if (PartitionTransformFunction.names.contains(ident.name.toLowerCase))
+      // partition transforms: resolve a write's derived clustering key
+      // (hash distribution mode) — see [[PartitionTransformFunction]]
+      PartitionTransformFunction(ident.name.toLowerCase)
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   // ---- ProcedureCatalog: maintenance jobs as native SQL `CALL`s

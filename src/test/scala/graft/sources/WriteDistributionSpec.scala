@@ -83,6 +83,37 @@ class WriteDistributionSpec extends SparkSuite {
     }
   }
 
+  test("hash mode clusters by the DERIVED month, not the raw timestamp: " +
+      "per-row-distinct dates still land one file per partition") {
+    withCatalog { (cat, wh) =>
+      val t = s"$wh/facts/t"
+      // every row a DISTINCT timestamp (the sf0.1 orders shape that broke
+      // source-column clustering: hashing the raw date splinters a month
+      // across clusters, and the local sort then cuts one file per month
+      // RUN inside every task — 317 files for 80 months)
+      val df = spark.range(3200)
+        .select(
+          col("id"),
+          expr("timestamp'2024-01-01 00:00:00' + make_interval(0, cast(id % 8 as int), 0, 0, 0, cast(id as int))")
+            .alias("ts"),
+          (col("id") * 3L).alias("v"))
+      SnapshotStore.partitionedCommit(
+        df.limit(0), t, Seq(PartitionSpec.PartField("months", "ts")))
+      df.repartition(16).createOrReplaceTempView("graft_wdist_src_distinct")
+      withMode("hash") {
+        spark.sql(s"INSERT INTO $cat.facts.t SELECT * FROM graft_wdist_src_distinct")
+      }
+      val perPart = newFilesByPartition(t, 1L)
+      assert(perPart.size === 8, s"8 month partitions, got $perPart")
+      assert(perPart.values.forall(_ === 1),
+        s"derived-value clustering must land ONE file per month: $perPart")
+      val got = spark.read.format("graft-snapshot").option("path", t).load()
+        .agg(count(lit(1)), sum(col("v")), countDistinct(col("ts"))).collect()(0)
+      val want = df.agg(count(lit(1)), sum(col("v")), countDistinct(col("ts"))).collect()(0)
+      assert(got === want, "clustering must never change answers")
+    }
+  }
+
   test("default mode keeps today's no-shuffle behavior: many files per partition") {
     withCatalog { (cat, wh) =>
       val t = s"$wh/facts/t"
