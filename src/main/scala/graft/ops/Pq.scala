@@ -123,39 +123,88 @@ object Pq {
       if (stride > 1)
         corpus.filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
       else corpus
-    // the training set is read `iterations + 1` times (seed + each
-    // Lloyd round): persist it once instead of replaying the scan +
-    // subvector explode per round — the same cache-the-training-input
-    // contract MLlib's k-means uses (memory-and-disk: spills, never OOMs)
-    val subvecs = subvectors(train, idCol, vecCol, m, normalize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def toDf(rows: Seq[(Int, Int, Seq[Double])]): DataFrame =
       spark.createDataFrame(rows).toDF("sub", "code", "__cv")
-    val seedW = Window.partitionBy(col("sub")).orderBy(col("__id"))
-    var local: Seq[(Int, Int, Seq[Double])] = subvecs
-      .withColumn("__rk", row_number().over(seedW))
-      .filter(col("__rk") <= ksub)
-      .select(col("sub"), (col("__rk") - 1).cast("int").alias("code"), col("__sv").alias("__cv"))
-      .collect().toSeq
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    // The training set is BOUNDED by the sample contract above
+    // (≤ ~maxTrainVectors vectors — 4096 × 64 doubles ≈ 2 MB at the
+    // defaults), so Lloyd runs as a DRIVER loop over one collected
+    // sample: one job total, instead of the former seed-window collect
+    // plus (broadcast + 3-stage aggregate + collect) per iteration —
+    // 2 + 2·iterations distributed jobs whose per-job latency dominated
+    // the training wall (measured 3.2 s warm at sf0.1 for 2 000
+    // vectors; the arithmetic itself is ~50 M flops). Normalization and
+    // subvector slicing stay SPARK expressions (same codegen'd kernels
+    // as encoding), so the collected subvectors are bit-identical to
+    // what the distributed rounds consumed; seed choice (first ksub ids
+    // per sub), the assignment rule (argmax dot(sv,c) − ‖c‖²/2, ties to
+    // the lower code), empty-codes-keep-centroid, and the per-position
+    // mean are reproduced exactly — only the mean's floating-point
+    // summation ORDER changes (id-ascending here vs partition-merge
+    // order there), which the former partial aggregation never pinned
+    // either. The CORPUS still never visits the driver: encoding
+    // (assignCodes) remains fully distributed.
+    val collected = subvectors(train, idCol, vecCol, m, normalize)
+      .orderBy(col("__id"), col("sub"))
+      .select(col("sub"), col("__sv"))
+      .collect()
+    val bySub: Array[Array[Array[Double]]] = {
+      val builders = Array.fill(m)(Array.newBuilder[Array[Double]])
+      collected.foreach { r =>
+        builders(r.getInt(0)) += r.getSeq[Double](1).toArray
+      }
+      builders.map(_.result())
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // seeds: the first ksub ids' subvectors per sub (id-ascending — the
+    // same rows the former row_number window picked)
+    val codebook: Array[Array[Array[Double]]] =
+      bySub.map(svs => svs.take(ksub).map(_.clone()))
     for (_ <- 1 to iterations) {
-      val updated = assignCodes(subvecs, toDf(local))
-        .select(col("sub"), col("code"), posexplode(col("__sv")).as(Seq("__pos", "__x")))
-        .groupBy(col("sub"), col("code"), col("__pos"))
-        .agg(avg(col("__x")).alias("__mc"))
-        .groupBy(col("sub"), col("code"))
-        .agg(array_sort(collect_list(struct(col("__pos"), col("__mc")))).alias("__pm"))
-        .select(col("sub"), col("code"),
-          transform(col("__pm"), p => p.getField("__mc")).alias("__newCv"))
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
-      // empty codes keep their previous centroid
-      local = local.map { case (sub, code, cv) =>
-        (sub, code, updated.getOrElse((sub, code), cv))
+      var sub = 0
+      while (sub < m) {
+        val svs = bySub(sub)
+        val cents = codebook(sub)
+        val half = cents.map(c => dot(c, c) / 2)
+        val sums = Array.fill(cents.length)(new Array[Double](if (svs.isEmpty) 0 else svs(0).length))
+        val counts = new Array[Long](cents.length)
+        var i = 0
+        while (i < svs.length) {
+          val sv = svs(i)
+          var best = 0
+          var bestScore = Double.NegativeInfinity
+          var c = 0
+          while (c < cents.length) {
+            val score = dot(sv, cents(c)) - half(c)
+            if (score > bestScore) { bestScore = score; best = c } // tie keeps the lower code
+            c += 1
+          }
+          val acc = sums(best)
+          var j = 0
+          while (j < sv.length) { acc(j) += sv(j); j += 1 }
+          counts(best) += 1
+          i += 1
+        }
+        var c = 0
+        while (c < cents.length) {
+          if (counts(c) > 0) { // empty codes keep their previous centroid
+            val mean = sums(c)
+            var j = 0
+            while (j < mean.length) { mean(j) /= counts(c); j += 1 }
+            cents(c) = mean
+          }
+          c += 1
+        }
+        sub += 1
       }
     }
-    subvecs.unpersist(blocking = false)
-    toDf(local)
+    toDf(for {
+      sub <- 0 until m
+      code <- codebook(sub).indices
+    } yield (sub, code, codebook(sub)(code).toSeq))
   }
 
   /** Encode the corpus: (id, sub, code) — the 1-byte-per-subspace
