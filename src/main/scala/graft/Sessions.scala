@@ -40,6 +40,22 @@ object Sessions {
   def maxPartitionBytes: String =
     sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728")
 
+  /** AQE small-partition coalescing policy. Spark's default
+    * (`parallelismFirst=true`) refuses to coalesce below the default
+    * parallelism — 32 tasks for every KB-sized shuffle on local[32],
+    * pure scheduling overhead on the many small exchanges of this
+    * corpus. `false` is the setting Spark's own SQL-performance guide
+    * recommends for production ("respect the configured target size");
+    * the advisory below sets that target. Both stay env-overridable for
+    * ladder runs. */
+  def parallelismFirst: String =
+    sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true")
+
+  /** AQE advisory post-shuffle partition size (also the coalesce
+    * target). Spark default 64 MB. */
+  def advisoryPartitionBytes: String =
+    sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "67108864")
+
   def local(appName: String = "graft"): SparkSession = {
     val spark = SparkSession
       .builder()
@@ -47,6 +63,8 @@ object Sessions {
       .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", parallelismFirst)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisoryPartitionBytes)
       .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

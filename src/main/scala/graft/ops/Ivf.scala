@@ -36,14 +36,24 @@ object Ivf {
       .filter(col("__v").isNotNull)
 
   /** Nearest-centroid assignment against an explicit (cell, __cv)
-    * centroid table (broadcast — centroid sets are KBs). */
+    * centroid table (broadcast — centroid sets are KBs). The argmax is
+    * a `max_by` hash AGGREGATION (same rule as [[Pq]]'s assignCodes:
+    * max __sim, ties to the lower cell via the negated key), NOT a
+    * row_number window: the window form shuffled the corpus × nCells
+    * expanded rows — each carrying the vector AND a centroid — into a
+    * hash exchange plus per-id sort, where the partial-merging
+    * aggregate collapses the nCells candidates to one row per vector
+    * ON THE MAP SIDE, so the exchange moves |corpus| rows of
+    * (cell, vector) and nothing sorts. */
   private def assignTo(normed: DataFrame, cents: DataFrame): DataFrame =
     normed
       .join(broadcast(cents)) // broadcast nested loop: |corpus| × nCells, no shuffle of corpus
       .withColumn("__sim", native.dotProduct(col("__v"), col("__cv")))
-      .withColumn("__rk", row_number().over(Window.partitionBy(col("__id")).orderBy(col("__sim").desc, col("cell"))))
-      .filter(col("__rk") === 1)
-      .select(col("__id"), col("cell"), col("__v"))
+      .groupBy(col("__id"))
+      .agg(max_by(
+        struct(col("cell"), col("__v")),
+        struct(col("__sim"), (-col("cell")).alias("__nc"))).alias("__best"))
+      .select(col("__id"), col("__best.cell").alias("cell"), col("__best.__v").alias("__v"))
 
   /** Deterministic seed centroids: the first `nCells` ids. */
   private def seedCentroids(normed: DataFrame, nCells: Int): DataFrame =
@@ -150,17 +160,17 @@ object Ivf {
       .filter(col("__rk") <= nProbe)
       .select(col("q_id"), col("cell"))
     val lut = Pq.queryLut(corpus, idCol, vecCol, queryIds, codebook, m)
-    cellCodes
-      .join(broadcast(probes), Seq("cell"))
-      .join(broadcast(lut), Seq("q_id", "sub", "code"))
-      .filter(col("q_id") =!= col("__id"))
-      .groupBy(col("q_id"), col("__id"))
-      .agg(sum(col("__d")).alias("approx_sim"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("approx_sim").desc, col("__id"))))
-      .filter(col("rnk") <= k)
+    Similarity.rankTopK(
+      cellCodes
+        .join(broadcast(probes), Seq("cell"))
+        .join(broadcast(lut), Seq("q_id", "sub", "code"))
+        .filter(col("q_id") =!= col("__id"))
+        .groupBy(col("q_id"), col("__id"))
+        .agg(sum(col("__d")).alias("approx_sim"))
+        .select(col("q_id"), col("__id").alias("n_id"), col("approx_sim").alias("sim")),
+      k)
       .select(col("q_id"), col("rnk").cast("int").alias("rnk"),
-        col("__id").alias("n_id"), round(col("approx_sim"), 4).alias("approx_sim"))
+        col("n_id"), round(col("sim"), 4).alias("approx_sim"))
   }
 
   /** RESIDUAL IVF-PQ — the classical formulation ([[pqTopK]] quantizes
@@ -229,19 +239,19 @@ object Ivf {
       .select(col("q_id"), col("cell"), col("__base"))
     // LUT of q's raw subvectors vs the RESIDUAL codebook: dot(q, r) ≈ Σ lut
     val lut = Pq.queryLut(corpus, idCol, vecCol, queryIds, codebook, m)
-    cellCodes
-      .join(broadcast(probes), Seq("cell"))
-      .join(broadcast(lut), Seq("q_id", "sub", "code"))
-      .filter(col("q_id") =!= col("__id"))
-      .groupBy(col("q_id"), col("__id"))
-      // every sub row carries the same __base for the (q, cell) pair —
-      // first() is exact, and base + Σ lut reassembles dot(q, c + r)
-      .agg((first(col("__base")) + sum(col("__d"))).alias("approx_sim"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("approx_sim").desc, col("__id"))))
-      .filter(col("rnk") <= k)
+    Similarity.rankTopK(
+      cellCodes
+        .join(broadcast(probes), Seq("cell"))
+        .join(broadcast(lut), Seq("q_id", "sub", "code"))
+        .filter(col("q_id") =!= col("__id"))
+        .groupBy(col("q_id"), col("__id"))
+        // every sub row carries the same __base for the (q, cell) pair —
+        // first() is exact, and base + Σ lut reassembles dot(q, c + r)
+        .agg((first(col("__base")) + sum(col("__d"))).alias("approx_sim"))
+        .select(col("q_id"), col("__id").alias("n_id"), col("approx_sim").alias("sim")),
+      k)
       .select(col("q_id"), col("rnk").cast("int").alias("rnk"),
-        col("__id").alias("n_id"), round(col("approx_sim"), 4).alias("approx_sim"))
+        col("n_id"), round(col("sim"), 4).alias("approx_sim"))
   }
 
   /** IVF top-k: probe the `nProbe` closest cells per query, exact-rank
@@ -302,12 +312,12 @@ object Ivf {
       .select(col("q_id"), col("__qv"), col("cell"))
     val probedCells = probes.select(col("cell")).distinct().collect().map(_.get(0))
     val pruned = cells.filter(col("cell").isin(probedCells: _*))
-    probes
-      .join(pruned.select(col("cell"), col("__id").alias("n_id"), col("__v").alias("__nv")), Seq("cell"))
-      .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", native.dotProduct(col("__qv"), col("__nv")))
-      .withColumn("rnk", row_number().over(Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))))
-      .filter(col("rnk") <= k)
+    Similarity.rankTopK(
+      probes
+        .join(pruned.select(col("cell"), col("__id").alias("n_id"), col("__v").alias("__nv")), Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("sim", native.dotProduct(col("__qv"), col("__nv"))),
+      k)
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).alias("sim"))
   }
 
@@ -335,12 +345,12 @@ object Ivf {
       .filter(col("__rk") <= nProbe)
       .select(col("q_id"), col("__qv"), col("cell"))
 
-    probes
-      .join(assigned.select(col("cell"), col("__id").alias("n_id"), col("__v").alias("__nv")), Seq("cell"))
-      .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", native.dotProduct(col("__qv"), col("__nv")))
-      .withColumn("rnk", row_number().over(Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))))
-      .filter(col("rnk") <= k)
+    Similarity.rankTopK(
+      probes
+        .join(assigned.select(col("cell"), col("__id").alias("n_id"), col("__v").alias("__nv")), Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("sim", native.dotProduct(col("__qv"), col("__nv"))),
+      k)
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).alias("sim"))
   }
 }

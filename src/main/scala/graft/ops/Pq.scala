@@ -265,15 +265,15 @@ object Pq {
       maxTrainVectors = maxTrainVectors)
     val codes = encode(corpus, idCol, vecCol, codebook, m)
     val lut = queryLut(corpus, idCol, vecCol, queryIds, codebook, m)
-    codes
-      .join(broadcast(lut), Seq("sub", "code"))
-      .filter(col("q_id") =!= col("__id"))
-      .groupBy(col("q_id"), col("__id"))
-      .agg(sum(col("__d")).alias("approx_sim"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("approx_sim").desc, col("__id"))))
-      .filter(col("rnk") <= k)
+    Similarity.rankTopK(
+      codes
+        .join(broadcast(lut), Seq("sub", "code"))
+        .filter(col("q_id") =!= col("__id"))
+        .groupBy(col("q_id"), col("__id"))
+        .agg(sum(col("__d")).alias("approx_sim"))
+        .select(col("q_id"), col("__id").alias("n_id"), col("approx_sim").alias("sim")),
+      k)
       .select(col("q_id"), col("rnk").cast("int").alias("rnk"),
-        col("__id").alias("n_id"), round(col("approx_sim"), 4).alias("approx_sim"))
+        col("n_id"), round(col("sim"), 4).alias("approx_sim"))
   }
 }

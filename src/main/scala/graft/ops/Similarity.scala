@@ -71,12 +71,28 @@ object Similarity {
       .join(n, col("q_id") =!= col("n_id"))
       .withColumn("sim",
         fdot(col("__qv"), col("__nv")) / (sqrt(fdot(col("__qv"), col("__qv"))) * sqrt(fdot(col("__nv"), col("__nv")))))
-    scored
-      .withColumn("rnk",
-        row_number().over(Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))))
-      .filter(col("rnk") <= k)
+    rankTopK(scored, k)
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).alias("sim"))
   }
+
+  /** Per-query top-k selection + rank for (q_id, n_id, sim) scored rows:
+    * the native partial-merging grouped top-k ([[graft.ops.TopK
+    * .nativePerGroup]]) reduces every map partition to ≤ k rows per
+    * query BEFORE the exchange, then `row_number` ranks the ≤ k
+    * survivors riding the same clustered distribution (zero extra
+    * exchanges, sorts of k rows). The former `row_number`-window-only
+    * form shuffled EVERY scored candidate row of a query into one task
+    * and sorted the lot — per-query candidate volume is corpus-bound
+    * (brute force: the whole corpus), the textbook single-reducer wall
+    * at 100 TB. Identical output: the order (sim desc, n_id asc) is
+    * total, so "k first under the order, then rank them" ≡ "rank all,
+    * keep rnk ≤ k". */
+  private[ops] def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    TopK.nativePerGroup(
+      scored.select(col("q_id"), col("n_id"), col("sim")),
+      Seq("q_id"), Seq(("sim", true), ("n_id", false)), k)
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))))
 
   /** Deterministic pseudo-random hyperplane matrix: a fixed
     * SplitMix64-style integer recurrence (no RNG state, identical across
@@ -183,13 +199,12 @@ object Similarity {
       .filter(col("q_id") =!= col("n_id"))
       .dropDuplicates("q_id", "n_id")
 
-    pairCosine(
-      cands.select(col("q_id").alias("id1"), col("n_id").alias("id2")),
-      corpus, idCol, vecCol)
-      .select(col("id1").alias("q_id"), col("id2").alias("n_id"), col("sim"))
-      .withColumn("rnk",
-        row_number().over(Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))))
-      .filter(col("rnk") <= k)
+    rankTopK(
+      pairCosine(
+        cands.select(col("q_id").alias("id1"), col("n_id").alias("id2")),
+        corpus, idCol, vecCol)
+        .select(col("id1").alias("q_id"), col("id2").alias("n_id"), col("sim")),
+      k)
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).alias("sim"))
   }
 
@@ -246,13 +261,12 @@ object Similarity {
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"))
       .distinct()
-    pairCosine(
-      cands.select(col("q_id").alias("id1"), col("n_id").alias("id2")),
-      corpus, idCol, vecCol)
-      .select(col("id1").alias("q_id"), col("id2").alias("n_id"), col("sim"))
-      .withColumn("rnk",
-        row_number().over(Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))))
-      .filter(col("rnk") <= k)
+    rankTopK(
+      pairCosine(
+        cands.select(col("q_id").alias("id1"), col("n_id").alias("id2")),
+        corpus, idCol, vecCol)
+        .select(col("id1").alias("q_id"), col("id2").alias("n_id"), col("sim")),
+      k)
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).alias("sim"))
   }
 
@@ -283,13 +297,12 @@ object Similarity {
       base.filter(col("n_id").isin(queryIds: _*))
         .select(col("n_id").alias("q_id"), col("__nv").alias("__qv")))
     val n = base.filter(col("__ok")).select(col("n_id"), col("__nv"))
-    q.join(n, col("q_id") =!= col("n_id"))
-      .withColumn("sim",
-        fdot(col("__qv"), col("__nv")) /
-          (sqrt(fdot(col("__qv"), col("__qv"))) * sqrt(fdot(col("__nv"), col("__nv")))))
-      .withColumn("rnk",
-        row_number().over(Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))))
-      .filter(col("rnk") <= k)
+    rankTopK(
+      q.join(n, col("q_id") =!= col("n_id"))
+        .withColumn("sim",
+          fdot(col("__qv"), col("__nv")) /
+            (sqrt(fdot(col("__qv"), col("__qv"))) * sqrt(fdot(col("__nv"), col("__nv"))))),
+      k)
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).alias("sim"))
   }
 
@@ -341,13 +354,12 @@ object Similarity {
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"))
       .distinct()
-    pairCosine(
-      cands.select(col("q_id").alias("id1"), col("n_id").alias("id2")),
-      corpus, idCol, vecCol)
-      .select(col("id1").alias("q_id"), col("id2").alias("n_id"), col("sim"))
-      .withColumn("rnk",
-        row_number().over(Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))))
-      .filter(col("rnk") <= k)
+    rankTopK(
+      pairCosine(
+        cands.select(col("q_id").alias("id1"), col("n_id").alias("id2")),
+        corpus, idCol, vecCol)
+        .select(col("id1").alias("q_id"), col("id2").alias("n_id"), col("sim")),
+      k)
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).alias("sim"))
   }
 

@@ -19,4 +19,17 @@ object Bridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : org.apache.spark.sql.DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The cached RDD behind a `localCheckpoint`ed DataFrame (its plan is a
+    * `LogicalRDD` leaf), so iterative operators can RELEASE per-round
+    * checkpoint blocks when the iteration ends — localCheckpoint never
+    * unpersists by itself, and a loop that checkpoints every round leaks
+    * one cached RDD per round per call (measured: dd_cluster's warm
+    * re-runs got SLOWER than its first pass as blocks accumulated). */
+  def checkpointRdd(df: org.apache.spark.sql.DataFrame)
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
 }
