@@ -321,6 +321,49 @@ object ExprKernels {
     new GenericArrayData(arr)
   }
 
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** See [[SimHashPortable]] for semantics and parity notes. */
+  def simhashPortable(input: UTF8String, bits: Int): Long = {
+    val text = input.toString.toLowerCase(java.util.Locale.ROOT)
+    val toks = text.split("\\s+")
+    val counts = new Array[Int](bits)
+    val md = md5Local.get()
+    var t = 0
+    while (t < toks.length) {
+      val tok = toks(t)
+      if (tok.nonEmpty) {
+        md.reset()
+        val dig = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first 15 hex chars of the digest = the 60-bit unsigned value
+        // conv(substr(md5(t),1,15),16,10) parses — nibble-exact
+        var v = 0L
+        var i = 0
+        while (i < 15) {
+          val nib =
+            if ((i & 1) == 0) (dig(i >> 1) >>> 4) & 0xF
+            else dig(i >> 1) & 0xF
+          v = v * 16 + nib
+          i += 1
+        }
+        var j = 0
+        while (j < bits) {
+          if (((v >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      t += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      if (counts(j) > 0) sig += 1L << j
+      j += 1
+    }
+    sig
+  }
+
   /** See [[QualityScoreRaw]] for semantics and parity notes. */
   def qualityScoreRaw(u: UTF8String): Double = {
     val nChars = u.numChars()
@@ -383,8 +426,39 @@ object ExprKernels {
   }
 }
 
+/** `simhash_portable(text, bits)`: the md5-based portable SimHash
+  * signature in ONE compiled pass — tokenize (lowercase, `\s+` split,
+  * empties dropped), md5 each token, take the first 15 hex chars as a
+  * 60-bit value, vote ±1 per bit, assemble the sign word. Replaces the
+  * higher-order-function pipeline (`aggregate` × `zip_with` ×
+  * `transform` over `bits` slots per token), whose lambdas are
+  * CodegenFallback — interpreted per (token × bit), ~48 boxed lambda
+  * calls per token — with a tight kernel loop. Bit-identical by
+  * construction: the same token set (the [[ExprKernels.wordShingles]]
+  * tokenizer this file already proves parity for), the same
+  * `conv(substr(md5(t),1,15),16,10)` 60-bit image (nibble-exact), the
+  * same ±1 vote and `counts > 0` sign rule — the DuckDB oracle
+  * replaying all 48 bits (`dd_simhash_md5`) pins it value-for-value. */
+case class SimHashPortable(child: Expression, bits: Int) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_portable"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.simhashPortable(input.asInstanceOf[UTF8String], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.simhashPortable($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashPortable =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the native expressions. */
 object native {
+
+  def simhashPortable(text: Column, bits: Int): Column =
+    Bridge.column(SimHashPortable(Bridge.expression(text.cast("string")), bits))
 
   def wordShingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))

@@ -620,8 +620,20 @@ object Dedup {
     * the `dd_simhash_md5` entry's DuckDB oracle recomputes the whole
     * signature, giving SimHash a full value oracle ([[simhash64]] stays
     * the production path: xxhash64 is much cheaper than a string md5 per
-    * token, but is Spark-specific and hence rows-only at the gate). */
-  def simhashPortable(text: Column, bits: Int = 48): Column = {
+    * token, but is Spark-specific and hence rows-only at the gate).
+    *
+    * Evaluates through the native codegen'd kernel
+    * ([[graft.functions.SimHashPortable]]) — one compiled loop per doc
+    * instead of the higher-order-function pipeline, whose lambdas run
+    * interpreted per (token × bit). [[simhashPortableHof]] keeps the
+    * replayable reference form; `DedupSpec` pins the two equal. */
+  def simhashPortable(text: Column, bits: Int = 48): Column =
+    graft.functions.native.simhashPortable(text, bits)
+
+  /** Higher-order-function reference implementation of
+    * [[simhashPortable]] — the SQL-replayable form the DuckDB oracle
+    * mirrors, kept as the parity witness for the native kernel. */
+  def simhashPortableHof(text: Column, bits: Int = 48): Column = {
     val toks = wordTokens(text)
     val hashes = transform(toks, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
     val counts = aggregate(

@@ -138,6 +138,29 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("native simhash kernel is bit-identical to the HOF reference form") {
+    // the declared entries evaluate through the codegen'd kernel
+    // (functions.SimHashPortable); the HOF pipeline is the replayable
+    // reference the DuckDB oracle mirrors — every signature must match
+    // bit-for-bit, including edge shapes (empty text, pure whitespace,
+    // unicode, repeated tokens)
+    val edge = Seq(
+      (100L, ""), (101L, "   \t \n "), (102L, "one"),
+      (103L, "Matching CASE Matching case"), (104L, "naïve café × tokens"),
+      (105L, "a b c d e f g h i j k l m n o p q r s t u v w x y z")
+    ).toDF("doc_id", "text")
+    val both = docs.unionByName(edge).select(
+      col("doc_id"),
+      Dedup.simhashPortable(col("text")).alias("native"),
+      Dedup.simhashPortableHof(col("text")).alias("hof"))
+    val rows = both.collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2),
+        s"doc ${r.getLong(0)}: native ${r.getLong(1)} != hof ${r.getLong(2)}")
+    }
+    assert(rows.length === docs.count() + 6)
+  }
+
   test("simhash banding: identical docs pair at hamming 0; pigeonhole recall within bands-1; unrelated pairs excluded") {
     val pairs = Dedup.simhashBandPairs(docs, "doc_id", "text", maxHamming = 12)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
