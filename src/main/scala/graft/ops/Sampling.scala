@@ -284,10 +284,14 @@ object Sampling {
         col("__word"),
         pmod(conv(substring(md5(col("__word")), 1, 8), 16, 10).cast("long"), lit(buckets))
           .alias("__b"))
+    // persisted: consumed by the bucket model AND the score join —
+    // without the cache the tokenize + two-shuffle chain runs twice
+    // (and a third time through the percentile cut below)
     val perDoc = perDocWord
       .join(broadcast(vocab), Seq("__word"))
       .groupBy(col(idCol), col("__tgt"), col("__b"))
       .agg(sum(col("__m")).alias("__m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = perDoc
       .groupBy(col("__b"))
       .agg(
@@ -305,6 +309,7 @@ object Sampling {
         (log((col("__r.__ct") + 1).cast("double") / (col("__nt") + buckets))
           - log((col("__r.__cr") + 1).cast("double") / (col("__nr") + buckets)))
           .alias("__lam"))
+    // persisted: the percentile cut and the final selection both read it
     val scored = perDoc
       .filter(!col("__tgt"))
       .join(broadcast(model), Seq("__b"))
@@ -313,6 +318,7 @@ object Sampling {
         sum(col("__m")).cast("long").alias("n_tokens"),
         round(sum(col("__m") * col("__lam")), 4).alias("logw"))
       .withColumn("__s4", round(col("logw") * 10000).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cut = scored.agg(
       percentile(col("__s4"), lit(1.0 - keepFrac)).alias("__cut"))
     scored

@@ -350,9 +350,15 @@ object TextAnalysis {
     // per-doc bigram multiplicities FIRST: every downstream shuffle and
     // join then carries distinct (doc, bigram) rows, not instances, and
     // the global bigram counts derive from the same aggregate instead of
-    // re-scanning the corpus
+    // re-scanning the corpus. PERSISTED: two consumers (the model's
+    // bigram counts and the final score join) otherwise re-tokenize and
+    // re-shuffle the corpus once each — the cache turns the second
+    // consumer into a cached-scan (memory-and-disk: spills, keeps
+    // lineage for executor loss, released by the context cleaner when
+    // the query's references drop)
     val perDoc = bi.groupBy(col(idCol), col("w"), col("w2"))
       .agg(count(lit(1)).alias("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uni = toks
       .select(explode(col("__t")).alias("w"))
       .groupBy(col("w")).agg(count(lit(1)).alias("c1"))
@@ -392,9 +398,13 @@ object TextAnalysis {
     * percentile aggregate over doc-count rows and a broadcast of the
     * two boundaries — no global sort, no window. */
   def lmQualityBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // persisted: consumed by BOTH the tercile-boundary aggregate and the
+    // final bucket labeling — without the cache the whole LM scoring
+    // pipeline (tokenize + model join + per-doc aggregate) runs twice
     val scored = bigramLmScore(docs, idCol, textCol)
       .select(col(idCol), col("avg_logp"), col("n_bigrams"),
         round(col("avg_logp") * 10000).cast("long").alias("__s4"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bounds = scored.agg(
       expr("percentile(__s4, array(1.0D/3, 2.0D/3))").alias("__b"))
     scored.crossJoin(broadcast(bounds))
