@@ -101,17 +101,24 @@ object Clustering {
         .filter(col("src") =!= col("dst")))
       // pointer doubling ON THE MAP: m ∘ m halves every chain, so a
       // sorted k-hop path compresses in ceil(log2 k) tiny self-joins.
-      // Convergence is a null-probe on the checkpointed compose: a hit
-      // (__d2 non-null) is STRICTLY smaller by construction (identity
-      // rows were dropped), so "no hit" IS the fixpoint — works for any
-      // orderable id type, no numeric assumption
-      var jumping = true
+      // The chain PROBE runs BEFORE the compose materializes: a hit
+      // (some dst is itself a src — strictly smaller by construction,
+      // identity rows were dropped) means another doubling step;
+      // "no hit" IS the fixpoint, and on the common dedup graph (stars
+      // converge immediately) the loop then costs ONE cheap cached
+      // semi-probe instead of a full compose checkpoint + probe. Works
+      // for any orderable id type, no numeric assumption.
+      var jumping = m
+        .join(m.select(col("src").alias("dst")), Seq("dst"), "left_semi")
+        .limit(1).count() > 0
       while (jumping) {
-        val m2 = ckpt(m
+        m = ckpt(m
           .join(m.select(col("src").alias("dst"), col("dst").alias("__d2")),
-            Seq("dst"), "left"))
-        jumping = m2.filter(col("__d2").isNotNull).limit(1).count() > 0
-        m = m2.select(col("src"), coalesce(col("__d2"), col("dst")).alias("dst"))
+            Seq("dst"), "left")
+          .select(col("src"), coalesce(col("__d2"), col("dst")).alias("dst")))
+        jumping = m
+          .join(m.select(col("src").alias("dst")), Seq("dst"), "left_semi")
+          .limit(1).count() > 0
       }
       // labels follow the compressed map — map side is candidate-pair
       // sized (broadcastable), the full label table stays unshuffled

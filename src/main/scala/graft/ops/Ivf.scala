@@ -281,7 +281,13 @@ object Ivf {
       if (iterations > 0) trainCentroids(corpus, idCol, vecCol, nCells, iterations)
       else seedCentroids(normed, nCells)
     val assigned = assignTo(normed, cents)
+    // cluster the write by cell: the partitioned writer otherwise emits
+    // one file per (task × cell) — #tasks × nCells small files whose
+    // open/commit overhead dominates both the write and every probe's
+    // read (the write-distribution lesson); clustered, each cell is one
+    // contiguous run per owning task → ~one file per cell, AQE-sized
     assigned.select(col("cell"), col("__id"), col("__v"))
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     cents.write.mode("overwrite").parquet(s"$path/centroids")
   }
