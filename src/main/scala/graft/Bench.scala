@@ -105,6 +105,14 @@ object Bench {
         try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable => Some(e.getClass.getSimpleName) }
       val gross = (System.nanoTime() - t0) / 1e9
+      // release intra-query caches OUTSIDE the timed region (round-17):
+      // operators persist shared intermediates inside one query's plan;
+      // without this, a later run of the same query re-derives the same
+      // plan and silently reads the CacheManager entry ("Asked to cache
+      // already cached data"), so warm medians were partially cached-scan
+      // times and the 298-query JVM accumulated dead cache pressure.
+      // Every timed run now recomputes from the parquet inputs.
+      graft.ops.QueryCaches.releaseAll()
       (name, math.max(0.0, gross - (fixtureTotal() - fx0)), err)
     }
     val ok = outcomes.filter(_._3.isEmpty)
@@ -131,7 +139,9 @@ object Bench {
           try {
             val t0 = System.nanoTime()
             qfns(name)(spark, sfDir).count()
-            Some((System.nanoTime() - t0) / 1e9)
+            val sec = (System.nanoTime() - t0) / 1e9
+            graft.ops.QueryCaches.releaseAll() // untimed; see first pass
+            Some(sec)
           } catch { case e: Exception =>
             System.err.println(s"[bench] re-run of $name failed: ${e.getMessage}")
             None
@@ -237,7 +247,9 @@ object Bench {
           try {
             val t0 = System.nanoTime()
             qfns(k)(spark, sfDir).count()
-            Some((System.nanoTime() - t0) / 1e9)
+            val sec = (System.nanoTime() - t0) / 1e9
+            graft.ops.QueryCaches.releaseAll() // untimed; see first pass
+            Some(sec)
           } catch { case _: Exception => None } // keep the flag: can't clear it
         warm.foreach(w => reruns(k) = w)
         val clearBar =

@@ -28,6 +28,10 @@ object Verify {
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
         if (sys.env.contains("GRAFT_VERIFY_STACK")) e.printStackTrace()
       }
+      // release intra-query persisted intermediates once the dump action
+      // is done — the 298-query JVM otherwise accumulates dead cache
+      // blocks (see [[graft.ops.QueryCaches]])
+      graft.ops.QueryCaches.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

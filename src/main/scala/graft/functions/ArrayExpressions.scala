@@ -399,6 +399,72 @@ object ExprKernels {
     lenScore * 0.3 + wordScore * 0.3 + stopScore * 0.3 + (1.0 - punctPenalty) * 0.1
   }
 
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def md5Hex(md: java.security.MessageDigest, s: String): UTF8String = {
+    md.reset()
+    val dig = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((dig(i) >>> 4) & 0xF)
+      out(2 * i + 1) = hexDigits(dig(i) & 0xF)
+      i += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+
+  /** See [[CdcChunks]] for semantics and parity notes. */
+  def cdcChunks(input: UTF8String, modulus: Int): ArrayData = {
+    // tokenizer parity with the HOF reference: Java-regex \s+ split,
+    // empties dropped, NO lowercasing (chunk digests are case-sensitive)
+    val toks = input.toString.split("\\s+").filter(_.nonEmpty)
+    val n = toks.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val md = md5Local.get()
+    val rows = new java.util.ArrayList[Any]
+    val sb = new java.lang.StringBuilder
+    var start = 0
+    var i = 0
+    while (i < n) {
+      // boundary AFTER 1-based position i+1 iff the 60-bit md5 image of
+      // the token ≡ 0 (mod modulus); a boundary at the LAST token never
+      // splits (the reference's `p < n` filter), so its hash is skipped
+      var boundary = false
+      if (i < n - 1) {
+        md.reset()
+        val dig = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first 15 hex chars of the digest = the 60-bit unsigned value
+        // conv(substr(md5(t),1,15),16,10) parses — nibble-exact (the
+        // proven [[simhashPortable]] image)
+        var v = 0L
+        var k = 0
+        while (k < 15) {
+          val nib =
+            if ((k & 1) == 0) (dig(k >> 1) >>> 4) & 0xF
+            else dig(k >> 1) & 0xF
+          v = v * 16 + nib
+          k += 1
+        }
+        boundary = v % modulus == 0
+      }
+      if (boundary || i == n - 1) {
+        sb.setLength(0)
+        var j = start
+        while (j <= i) {
+          if (j > start) sb.append(' ')
+          sb.append(toks(j))
+          j += 1
+        }
+        rows.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i - start + 1, md5Hex(md, sb.toString))))
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(rows.toArray)
+  }
+
   /** See [[TokenCount]] for semantics and regex-parity notes. */
   def tokenCount(input: UTF8String): Int = {
     val s = input.toString
@@ -454,8 +520,49 @@ case class SimHashPortable(child: Expression, bits: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** `cdc_chunks(text, modulus)`: content-defined chunking in ONE compiled
+  * pass — tokenize (Java-regex `\s+` split, empties dropped, case
+  * preserved), declare a boundary after every token whose 60-bit md5
+  * image (`conv(substr(md5(t),1,15),16,10)`, the proven
+  * [[SimHashPortable]] image) is ≡ 0 mod `modulus`, and emit one
+  * `struct(chunk_tokens INT, chunk_digest STRING)` per chunk, where the
+  * digest is the md5 hex of the chunk's tokens joined by single spaces.
+  * Replaces the higher-order pipeline (a per-token `filter` lambda over
+  * `sequence(1,n)` computing md5→conv→pmod — CodegenFallback, interpreted
+  * per token — plus per-chunk `slice`+`array_join`+`md5`) with one kernel
+  * loop. Chunk order is document order, so `posexplode` positions are the
+  * reference's chunk_idx exactly; the HOF form is retained as
+  * [[graft.ops.TextAnalysis.contentDefinedChunksHof]], the replayable
+  * reference, and the `g7_cdc_chunk` DuckDB oracle replays boundary rule,
+  * slices and digests value-for-value. */
+case class CdcChunks(child: Expression, modulus: Int) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        // nullable=true mirrors the HOF reference's derived-expression
+        // schema (arithmetic over struct fields / md5 are nullable), so
+        // the dumped parquet schema is unchanged query-for-query
+        org.apache.spark.sql.types.StructField("chunk_tokens", IntegerType, nullable = true),
+        org.apache.spark.sql.types.StructField("chunk_digest", StringType, nullable = true))),
+      containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.cdcChunks(input.asInstanceOf[UTF8String], modulus)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.cdcChunks($c, $modulus)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the native expressions. */
 object native {
+
+  def cdcChunks(text: Column, modulus: Int): Column =
+    Bridge.column(CdcChunks(Bridge.expression(text.cast("string")), modulus))
 
   def simhashPortable(text: Column, bits: Int): Column =
     Bridge.column(SimHashPortable(Bridge.expression(text.cast("string")), bits))

@@ -148,7 +148,9 @@ object Clustering {
     tmp.filter(_ ne out)
       .flatMap(org.apache.spark.sql.graftbridge.Bridge.checkpointRdd)
       .foreach(_.unpersist(false))
-    out
+    // the survivor pin is released by the harness after the consuming
+    // action (it cannot be released here — the caller's action reads it)
+    QueryCaches.trackCheckpoint(out)
   }
 
   /** Per-vertex cluster assignment with keeper flag: (id, cluster_id,

@@ -267,15 +267,15 @@ object Dedup {
         greatest(col("__bid"), col("__hid")).alias("id2"))
     val intra = lshCandidatePairs(batch, idCol, textCol, shingleSize, k, bands, maxBucket)
     val cands = cross.unionAll(intra).distinct()
-    val sh = history.unionByName(batch)
-      .select(col(idCol).alias("__jid"),
-        graft.functions.native.wordShingles(col(textCol), shingleSize).alias("__jsh"))
-    cands
-      .join(sh.withColumnRenamed("__jid", "id1").withColumnRenamed("__jsh", "__sh1"), Seq("id1"))
-      .join(sh.withColumnRenamed("__jid", "id2").withColumnRenamed("__jsh", "__sh2"), Seq("id2"))
-      .withColumn("jaccard", jaccard(col("__sh1"), col("__sh2")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
+    // Verification is the shared [[verifyJaccard]] (the ssjoin/LSH path):
+    // it semi-prunes the corpus to candidate docs BEFORE shingling — the
+    // former inline verify shingled history ∪ batch in full, two extra
+    // corpus passes at 100 TB — and compares 64-bit shingle hashes, so
+    // the verify joins move long arrays (~10× narrower than shingle
+    // strings). Hash-Jaccard ≡ string-Jaccard up to 64-bit collisions
+    // (p ≈ n²/2⁶⁴ per pair) — the same contract every other dedup
+    // family's verification already carries.
+    verifyJaccard(cands, history.unionByName(batch), idCol, textCol, threshold, shingleSize)
   }
 
   /** Fuzzy string matching via prefix blocking + bounded edit distance —
@@ -391,7 +391,23 @@ object Dedup {
       col(idCol).alias("__id"),
       graft.functions.native.wordShingles(col(textCol), shingleSize).alias("__sh"))
       .filter(size(col("__sh")) > 0)
-    val ex = base.select(col("__id"), explode(col("__sh")).alias("__tok"))
+    // Candidate generation never needs the shingle STRING — only a stable
+    // identity to count df, order prefixes, and key buckets — so every
+    // shingle is replaced by its 64-bit xxhash64 image right after the
+    // explode: the df aggregate, the df-attach join, the per-doc regroup
+    // (collect_list of (df, tok) structs) and the prefix-bucket exchange
+    // all carry 8-byte longs instead of ~25-byte shingle strings (guide
+    // §2.3 "shuffle keys and metadata instead of payloads"). Exactness is
+    // preserved: the prefix-filter theorem holds for ANY fixed global
+    // total order on the token universe — (df, hash) is one; rarest-first
+    // is only the bucket-size heuristic, which df still provides — and a
+    // 64-bit collision between distinct shingles can only MERGE buckets,
+    // growing the candidate superset, never hiding a true pair (two docs
+    // sharing a shingle always share its hash). The exact verification
+    // pass ([[verifyJaccard]], which already compares xxhash64 shingle
+    // images) removes any collision-born false candidates.
+    val ex = base.select(col("__id"), explode(col("__sh")).alias("__s"))
+      .select(col("__id"), xxhash64(col("__s")).alias("__tok"))
     val dfreq = ex.groupBy(col("__tok")).agg(count(lit(1)).alias("__df"))
     // rarest-first global order, materialized per doc: sort each doc's
     // own (df, tok) structs — a narrow array_sort after the regroup,
@@ -465,7 +481,7 @@ object Dedup {
                 s"(budget $maxCandidatePairs): the corpus has large near-identical " +
                 s"clusters at threshold=$threshold. Raise threshold, lower " +
                 s"maxBucket (=$maxBucket), or use the LSH path (nearDupPairs).")
-          candsFrom(prefP).localCheckpoint(true)
+          QueryCaches.trackCheckpoint(candsFrom(prefP).localCheckpoint(true))
         } finally prefP.unpersist(false)
       } else candsFrom(pref)
     verifyJaccard(cands, df, idCol, textCol, threshold, shingleSize)
@@ -489,16 +505,33 @@ object Dedup {
     // |A∩B| and |A∪B| are hash-collision-exact (p ≈ n²/2⁶⁴ per pair),
     // the long arrays are ~10× smaller through the two verify shuffles,
     // and the set ops compare longs instead of strings. The candidate
-    // set is consumed twice (id prune + the verify join) and its LSH
-    // lineage is the expensive corpus pass — materialize it ONCE
-    // (pair-sized by the bucket cap); the pruned shingle side stays
-    // LAZY: each join side recomputes scan+semi+shingle over candidate
-    // docs only, which measures cheaper at sf10 than materializing the
-    // shingle arrays through a checkpoint.
-    val c = cands.localCheckpoint(true)
-    val ids = c.select(col("id1").alias("__jid"))
-      .unionAll(c.select(col("id2").alias("__jid")))
-      .distinct()
+    // set is consumed three times (id prune + both verify joins) and its
+    // LSH lineage is the expensive corpus pass — materialize it ONCE
+    // through an eager localCheckpoint (pair-sized by the bucket cap;
+    // a lazy persist was A/B'd in round-17 and measured ~2× SLOWER on
+    // every verify-heavy dedup query: the full candidate lineage then
+    // rides the final plan once per consumer and the giant plan's
+    // compile+codegen swamps the saved job). The pruned shingle side
+    // stays LAZY: each join side recomputes scan+semi+shingle over
+    // candidate docs only, which measures cheaper at sf10 than
+    // materializing the shingle arrays through a checkpoint.
+    val c = QueryCaches.trackCheckpoint(cands.localCheckpoint(true))
+    // ids is BROADCAST explicitly: the candidate subtree carries no
+    // usable size estimate (LSH explode/aggregate estimates are wildly
+    // pessimistic), so the planner otherwise sort-merges this semi join —
+    // and because the corpus side is typically a UNION of filtered
+    // branches, the semi join is pushed into EVERY branch: measured at
+    // sf0.1, dd_incremental planned 8 SortMergeJoin LeftSemi nodes, each
+    // shuffling its corpus slice AND re-aggregating ids (1.0 → 2.7-3.8 s
+    // warm). Broadcast turns all of them into map-side hash semi joins
+    // over ONE shared (reused) broadcast of the distinct candidate doc
+    // ids — bounded by 2·|candidates|, which the bucket caps and the
+    // fail-fast budget already bound; a corpus whose candidate set is
+    // too big to broadcast is exactly the corpus the budget refuses.
+    val ids = broadcast(
+      c.select(col("id1").alias("__jid"))
+        .unionAll(c.select(col("id2").alias("__jid")))
+        .distinct())
     val sh = df.select(col(idCol).alias("__jid"), col(textCol).alias("__jtx"))
       .join(ids, Seq("__jid"), "left_semi")
       .select(col("__jid"),

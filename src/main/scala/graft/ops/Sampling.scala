@@ -286,12 +286,13 @@ object Sampling {
           .alias("__b"))
     // persisted: consumed by the bucket model AND the score join —
     // without the cache the tokenize + two-shuffle chain runs twice
-    // (and a third time through the percentile cut below)
-    val perDoc = perDocWord
+    // (and a third time through the percentile cut below). Tracked so
+    // the harness releases it after the consuming action.
+    val perDoc = QueryCaches.track(perDocWord
       .join(broadcast(vocab), Seq("__word"))
       .groupBy(col(idCol), col("__tgt"), col("__b"))
       .agg(sum(col("__m")).alias("__m"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val model = perDoc
       .groupBy(col("__b"))
       .agg(
@@ -309,8 +310,9 @@ object Sampling {
         (log((col("__r.__ct") + 1).cast("double") / (col("__nt") + buckets))
           - log((col("__r.__cr") + 1).cast("double") / (col("__nr") + buckets)))
           .alias("__lam"))
-    // persisted: the percentile cut and the final selection both read it
-    val scored = perDoc
+    // persisted: the percentile cut and the final selection both read it;
+    // tracked so the harness releases it after the consuming action
+    val scored = QueryCaches.track(perDoc
       .filter(!col("__tgt"))
       .join(broadcast(model), Seq("__b"))
       .groupBy(col(idCol))
@@ -318,7 +320,7 @@ object Sampling {
         sum(col("__m")).cast("long").alias("n_tokens"),
         round(sum(col("__m") * col("__lam")), 4).alias("logw"))
       .withColumn("__s4", round(col("logw") * 10000).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cut = scored.agg(
       percentile(col("__s4"), lit(1.0 - keepFrac)).alias("__cut"))
     scored

@@ -31,6 +31,54 @@ class TextAnalysisSpec extends SparkSuite {
     assert(one(TextAnalysis.tokenCount(col("text")), null) === null)
   }
 
+  test("native CDC chunk kernel is bit-identical to the HOF reference form") {
+    // contentDefinedChunks evaluates through the codegen'd kernel
+    // (functions.CdcChunks); the HOF pipeline stays the replayable
+    // reference the DuckDB oracle mirrors — every (chunk_idx,
+    // chunk_tokens, chunk_digest) row must match value-for-value,
+    // including edge shapes (empty, whitespace-only, single token,
+    // case-sensitivity, unicode, a doc whose LAST token is a boundary)
+    val edge = Seq(
+      (100L, ""), (101L, "   \t \n "), (102L, "one"),
+      (103L, "Case SENSITIVE case sensitive"), (104L, "naïve café × tokens"),
+      (105L, ("w1 " * 200).trim)
+    ).toDF("doc_id", "text")
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select(col("doc_id"), col("text")).unionByName(edge)
+    val native = TextAnalysis.contentDefinedChunks(docs, "doc_id", "text")
+    val hof = TextAnalysis.contentDefinedChunksHof(docs, "doc_id", "text")
+    assert(native.exceptAll(hof).count() === 0)
+    assert(hof.exceptAll(native).count() === 0)
+    assert(native.count() > docs.count(), "fixture must actually chunk")
+  }
+
+  test("bigramLmScore matches a hand computation on a tiny corpus") {
+    // guards the single-explode restructure: unigram counts derive from
+    // the same per-doc aggregate as the bigram model (null-w2 marker
+    // rows), so spell the whole model out by hand once.
+    // corpus: d1 = "a b a", d2 = "b b", d3 = "c" (no bigrams -> no row)
+    val docs = Seq((1L, "a b a"), (2L, "b b"), (3L, "c")).toDF("doc_id", "text")
+    // unigrams: a=2, b=3, c=1 -> |V| = 3
+    // bigrams: d1: (a,b) (b,a); d2: (b,b)
+    // c12: (a,b)=1 (b,a)=1 (b,b)=1; c1: a=2, b=3
+    val lp = Map(
+      ("a", "b") -> math.log(2.0 / 5.0), // (1+1)/(2+3)
+      ("b", "a") -> math.log(2.0 / 6.0), // (1+1)/(3+3)
+      ("b", "b") -> math.log(2.0 / 6.0))
+    val want = Map(
+      1L -> (BigDecimal((lp(("a", "b")) + lp(("b", "a"))) / 2)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, 2L),
+      2L -> (BigDecimal(lp(("b", "b")))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, 1L))
+    val got = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got.keySet === Set(1L, 2L), got.toString) // d3 has no bigrams
+    want.foreach { case (id, (logp, n)) =>
+      assert(math.abs(got(id)._1 - logp) < 1e-9 && got(id)._2 === n,
+        s"doc $id: got ${got(id)}, want ($logp, $n)")
+    }
+  }
+
   test("word stats") {
     assert(one(TextAnalysis.wordCount(col("text")), "the  quick   fox") === 3)
     assert(one(TextAnalysis.avgWordLen(col("text")), "ab abcd") === 3.0)

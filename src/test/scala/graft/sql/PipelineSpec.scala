@@ -40,6 +40,35 @@ class PipelineSpec extends SparkSuite {
     assert(parity.select("actual_weather_key").collect().map(_.getInt(0)).sorted === Array(1, 2))
   }
 
+  test("SQL DDL views: two-pass partition-offset keys enumerate the global ROW_NUMBER order") {
+    // round-17: the reference's ROW_NUMBER() OVER (ORDER BY k) surrogate
+    // keys are computed per-day + day offset so no single-partition
+    // WindowExec materializes the fact table on one task. The contract:
+    // keys stay DENSE (1..N) and ascending key order IS ascending k —
+    // exactly what the global window produced.
+    outputs
+    FactViewsSql.registerAll(spark, "2024-01-01 07:00:00", "_tp")
+    Seq(
+      ("fact_weather_actual_tp", "actual_weather_key", Seq("observation_time")),
+      ("fact_weather_forecast_tp", "forecast_key",
+        Seq("forecast_created_time", "forecast_for_time")),
+      ("fact_forecast_accuracy_tp", "accuracy_key",
+        Seq("forecast_created_time", "forecast_for_time"))
+    ).foreach { case (view, key, orderCols) =>
+      val df = spark.table(view)
+      val n = df.count()
+      assert(n > 0, s"$view must not be empty")
+      val keys = df.select(col(key).cast("long")).collect().map(_.getLong(0)).sorted
+      assert(keys === (1L to n).toArray, s"$view keys must be dense 1..$n")
+      val inKeyOrder = df.orderBy(col(key))
+        .select(orderCols.map(col): _*).collect().map(_.toSeq).toSeq
+      val inSortOrder = df.orderBy(orderCols.map(col): _*)
+        .select(orderCols.map(col): _*).collect().map(_.toSeq).toSeq
+      assert(inKeyOrder === inSortOrder,
+        s"$view rows in key order must follow (${orderCols.mkString(", ")})")
+    }
+  }
+
   test("J4/C3: accuracy view is the one-to-many band join with derived errors") {
     val acc = spark.table("fact_forecast_accuracy").cache()
     // only the +0.5h forecast points are within 1h of the 06:00 obs
