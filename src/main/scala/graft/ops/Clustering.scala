@@ -120,32 +120,45 @@ object Clustering {
           .join(m.select(col("src").alias("dst")), Seq("dst"), "left_semi")
           .limit(1).count() > 0
       }
-      // labels follow the compressed map — map side is candidate-pair
-      // sized (broadcastable), the full label table stays unshuffled
-      labels = ckpt(labels
+      // labels follow the compressed map (map side is candidate-pair
+      // sized, the full label table stays unshuffled) and the edges
+      // contract through the same map (star-internal edges become
+      // self-loops and vanish). Both outputs CO-MATERIALIZE in ONE
+      // tagged-union checkpoint (round-17): they were two separate
+      // localCheckpoint jobs per round, each paying full job fixed cost
+      // on KB-scale frames — the fusion halves per-round actions without
+      // reordering any algebra (the label rows and edge rows are the
+      // exact frames the two former checkpoints held; the next round
+      // reads them back as narrow filters over the cached blocks).
+      val newLabels = labels
         .join(m.select(col("src").alias("comp"), col("dst").alias("__m")),
           Seq("comp"), "left")
-        .select(col("id"), coalesce(col("__m"), col("comp")).alias("comp")))
-      // contract: rewrite both endpoints through the map; edges inside a
-      // fully-merged star become self-loops and vanish
-      edges = ckpt(edges
+        .select(col("id"), coalesce(col("__m"), col("comp")).alias("comp"))
+      val newEdges = edges
         .join(m.select(col("src"), col("dst").alias("__ms")), Seq("src"), "left")
         .join(m.select(col("src").alias("dst"), col("dst").alias("__md")), Seq("dst"), "left")
         .select(
           coalesce(col("__ms"), col("src")).alias("src"),
           coalesce(col("__md"), col("dst")).alias("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct())
+        .distinct()
+      val fused = ckpt(
+        newLabels.select(lit(true).alias("__lab"), col("id").alias("__a"), col("comp").alias("__b"))
+          .unionAll(newEdges.select(lit(false).alias("__lab"), col("src").alias("__a"), col("dst").alias("__b"))))
+      labels = fused.filter(col("__lab"))
+        .select(col("__a").alias("id"), col("__b").alias("comp"))
+      edges = fused.filter(!col("__lab"))
+        .select(col("__a").alias("src"), col("__b").alias("dst"))
       live = edges.limit(1).count() > 0 // early exit: empty frontier = done
       round += 1
     }
     require(!live, s"connectedComponents did not converge in $maxIter rounds")
-    // pin the result independently of the intermediates, then release
-    // every per-round block (round 0 returns labels lazily derived from
-    // `undirected`, so it must re-checkpoint before the release)
-    val out =
-      if (round > 0) labels else labels.localCheckpoint(true)
-    tmp.filter(_ ne out)
+    // pin the result independently of the intermediates (labels is a
+    // lazy filter over the final fused checkpoint, and round 0 returns
+    // labels lazily derived from `undirected`, so both shapes must
+    // re-checkpoint before the release), then free every per-round block
+    val out = labels.localCheckpoint(true)
+    tmp
       .flatMap(org.apache.spark.sql.graftbridge.Bridge.checkpointRdd)
       .foreach(_.unpersist(false))
     // the survivor pin is released by the harness after the consuming

@@ -100,6 +100,40 @@ class ClusteringSpec extends SparkSuite {
     assert(got2 === Set((1L, 1L), (2L, 1L), (9L, 9L)))
   }
 
+  test("random-graph differential: labels match a Scala union-find exactly") {
+    // guards the round-17 fused label+edge checkpoint: on 60 random
+    // graphs of varied density (including self-loops and duplicate
+    // pairs), every vertex's component label must equal the min id of
+    // its component as computed by an independent union-find.
+    val rnd = new scala.util.Random(1234)
+    (1 to 60).foreach { trial =>
+      val n = 2 + rnd.nextInt(40)
+      val nEdges = rnd.nextInt(60)
+      val pairs = Seq.fill(nEdges)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val df = pairs.toDF("id1", "id2")
+      if (pairs.nonEmpty) {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          find(a); find(b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        // min id per component (union-by-min keeps the root minimal,
+        // but path order can leave a non-min root — normalize)
+        val vertices = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        val minOf = vertices.groupBy(find).map { case (r, vs) => r -> vs.min }
+        val want = vertices.map(v => v -> minOf(find(v))).toMap
+        val got = Clustering.connectedComponents(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === want, s"trial $trial (n=$n, edges=$pairs)")
+      }
+    }
+  }
+
   test("transitive chains collapse to one cluster with min-id keeper") {
     // A~B, B~C must merge even though A~C was never a pair
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
