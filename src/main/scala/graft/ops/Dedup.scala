@@ -387,10 +387,15 @@ object Dedup {
       maxBucket: Int = 4096,
       maxCandidatePairs: Long = 0L): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+    // NO size filter on __sh: wordShingles never returns an empty array
+    // (the empty text collapses to [""]), a null text yields null and
+    // `explode` emits nothing for it — while a pushed-down
+    // `size(__sh) > 0` predicate would re-evaluate the shingle kernel
+    // per row (the duplicated-projection disease measured on the CDC
+    // path at sf10)
     val base = df.select(
       col(idCol).alias("__id"),
       graft.functions.native.wordShingles(col(textCol), shingleSize).alias("__sh"))
-      .filter(size(col("__sh")) > 0)
     // Candidate generation never needs the shingle STRING — only a stable
     // identity to count df, order prefixes, and key buckets — so every
     // shingle is replaced by its 64-bit xxhash64 image right after the

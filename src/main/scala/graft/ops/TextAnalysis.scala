@@ -541,10 +541,14 @@ object TextAnalysis {
       textCol: String,
       modulus: Int = 16): DataFrame = {
     require(modulus > 1, s"modulus must be > 1, got $modulus")
+    // NO size filter on __c: a pushed-down `size(__c) > 0` predicate
+    // re-evaluates the kernel per row (measured 3 evaluations/row at
+    // sf10: size + isnotnull in the Filter, plus the Project), and
+    // posexplode of an empty or null array emits no rows anyway —
+    // token-less documents drop exactly as the HOF reference drops them
     docs
       .select(col(idCol),
         graft.functions.native.cdcChunks(col(textCol), modulus).alias("__c"))
-      .filter(size(col("__c")) > 0)
       .select(col(idCol), posexplode(col("__c")))
       .select(
         col(idCol),
