@@ -387,6 +387,49 @@ object Dedup {
       maxBucket: Int = 4096,
       maxCandidatePairs: Long = 0L): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+    val pref = prefixRows(df, idCol, textCol, threshold, shingleSize)
+    def candsFrom(p: DataFrame): DataFrame =
+      prefixBucketCandidates(p, threshold, maxBucket)
+    val cands =
+      if (maxCandidatePairs > 0) {
+        // EXACTLY the pair count the buckets will emit: Σ_buckets
+        // bn·(bn-1)/2 after the same >1 / ≤maxBucket occupancy filter.
+        // `pref` is persisted while armed so its tokenize+shingle+explode
+        // lineage runs once for the estimate AND the candidate join (the
+        // guard matters most on exactly the corpora where that lineage is
+        // expensive). Within budget the candidate rows are ≤ the budget
+        // by this very check, so the eager localCheckpoint that pins them
+        // is bounded — and it lets the pref cache be released before the
+        // (lazy) verification join ever runs.
+        val prefP = pref.persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val est = prefP
+            .groupBy(col("__ptok")).agg(count(lit(1)).alias("__bn"))
+            .filter(col("__bn") > 1 && col("__bn") <= maxBucket)
+            .agg(coalesce(sum(col("__bn") * (col("__bn") - 1)), lit(0L)).cast("long"))
+            .head.getLong(0) / 2
+          if (est > maxCandidatePairs)
+            throw new IllegalStateException(
+              s"prefixFilterJoin would generate $est candidate pairs " +
+                s"(budget $maxCandidatePairs): the corpus has large near-identical " +
+                s"clusters at threshold=$threshold. Raise threshold, lower " +
+                s"maxBucket (=$maxBucket), or use the LSH path (nearDupPairs).")
+          QueryCaches.trackCheckpoint(candsFrom(prefP).localCheckpoint(true))
+        } finally prefP.unpersist(false)
+      } else candsFrom(pref)
+    verifyJaccard(cands, df, idCol, textCol, threshold, shingleSize)
+  }
+
+  /** Ordered prefix rows `(__id, __n, __pos, __ptok)` of the prefix
+    * filter — extracted so the candidate plan stays independently
+    * explainable (the full join checkpoints candidates eagerly, which
+    * hides this subtree from the final query's plan). */
+  private[graft] def prefixRows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleSize: Int): DataFrame = {
     // NO size filter on __sh: wordShingles never returns an empty array
     // (the empty text collapses to [""]), a null text yields null and
     // `explode` emits nothing for it — while a pushed-down
@@ -422,22 +465,29 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("__df"), col("__tok")))).alias("__o"))
     val prefLen = greatest(
       size(col("__o")) - ceil(size(col("__o")) * threshold).cast("int") + 1, lit(1))
-    val pref = ordered.select(
+    ordered.select(
       col("__id"),
       size(col("__o")).alias("__n"),
       posexplode(slice(transform(col("__o"), x => x("__tok")), lit(1), prefLen))
         .as(Seq("__pos", "__ptok")))
-    // Two candidate prunes BEFORE the expensive verify joins, both free
-    // (their inputs ride the same bucket shuffle):
-    //  - AllPairs LENGTH filter: J ≥ τ forces |y| ≥ τ·|x| (and
-    //    symmetrically) — wildly different sizes never qualify.
-    //  - PPJoin POSITIONAL filter: meeting at 0-based prefix positions
-    //    (i, j) bounds the overlap by 1 + min(n1−i−1, n2−j−1) (only
-    //    later-ordered tokens can still match under the shared global
-    //    order), while J ≥ τ needs ≥ ⌈τ/(1+τ)·(n1+n2)⌉ — pairs whose
-    //    BEST meeting position can't reach the bound are dropped by the
-    //    same groupBy that dedups multi-bucket pairs.
-    def candsFrom(p: DataFrame): DataFrame = p
+  }
+
+  /** Candidate pairs from prefix-bucket co-occurrence over
+    * [[prefixRows]] output. Two candidate prunes run BEFORE the
+    * expensive verify joins, both free (their inputs ride the same
+    * bucket shuffle):
+    *  - AllPairs LENGTH filter: J ≥ τ forces |y| ≥ τ·|x| (and
+    *    symmetrically) — wildly different sizes never qualify.
+    *  - PPJoin POSITIONAL filter: meeting at 0-based prefix positions
+    *    (i, j) bounds the overlap by 1 + min(n1−i−1, n2−j−1) (only
+    *    later-ordered tokens can still match under the shared global
+    *    order), while J ≥ τ needs ≥ ⌈τ/(1+τ)·(n1+n2)⌉ — pairs whose
+    *    BEST meeting position can't reach the bound are dropped by the
+    *    same groupBy that dedups multi-bucket pairs. */
+  private[graft] def prefixBucketCandidates(
+      p: DataFrame,
+      threshold: Double,
+      maxBucket: Int): DataFrame = p
       .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("__ptok"))))
       .filter(col("__bn") > 1 && col("__bn") <= maxBucket)
       .groupBy(col("__ptok"))
@@ -462,35 +512,6 @@ object Dedup {
       .filter(col("__ub").cast("double") >=
         (col("__n1") + col("__n2")) * lit(threshold / (1 + threshold)) - lit(1e-9))
       .select(col("id1"), col("id2"))
-    val cands =
-      if (maxCandidatePairs > 0) {
-        // EXACTLY the pair count the buckets will emit: Σ_buckets
-        // bn·(bn-1)/2 after the same >1 / ≤maxBucket occupancy filter.
-        // `pref` is persisted while armed so its tokenize+shingle+explode
-        // lineage runs once for the estimate AND the candidate join (the
-        // guard matters most on exactly the corpora where that lineage is
-        // expensive). Within budget the candidate rows are ≤ the budget
-        // by this very check, so the eager localCheckpoint that pins them
-        // is bounded — and it lets the pref cache be released before the
-        // (lazy) verification join ever runs.
-        val prefP = pref.persist(StorageLevel.MEMORY_AND_DISK)
-        try {
-          val est = prefP
-            .groupBy(col("__ptok")).agg(count(lit(1)).alias("__bn"))
-            .filter(col("__bn") > 1 && col("__bn") <= maxBucket)
-            .agg(coalesce(sum(col("__bn") * (col("__bn") - 1)), lit(0L)).cast("long"))
-            .head.getLong(0) / 2
-          if (est > maxCandidatePairs)
-            throw new IllegalStateException(
-              s"prefixFilterJoin would generate $est candidate pairs " +
-                s"(budget $maxCandidatePairs): the corpus has large near-identical " +
-                s"clusters at threshold=$threshold. Raise threshold, lower " +
-                s"maxBucket (=$maxBucket), or use the LSH path (nearDupPairs).")
-          QueryCaches.trackCheckpoint(candsFrom(prefP).localCheckpoint(true))
-        } finally prefP.unpersist(false)
-      } else candsFrom(pref)
-    verifyJaccard(cands, df, idCol, textCol, threshold, shingleSize)
-  }
 
   /** Exact shingle-Jaccard verification of candidate (id1, id2) pairs:
     * shared by the LSH and prefix-filter paths. Joins shingle sets back
