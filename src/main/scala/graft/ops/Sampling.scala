@@ -275,21 +275,27 @@ object Sampling {
       isTarget.alias("__tgt"),
       explode(Dedup.wordTokens(col(textCol))).alias("__word"))
     // per-doc WORD multiplicities first (the bigram-LM discipline), so
-    // the md5 binning runs once per VOCABULARY entry — not once per
-    // token occurrence — via a vocab-sized broadcast lookup
+    // the md5 binning runs once per DISTINCT (doc, word) — never once
+    // per token occurrence. The bin is computed inline on those rows
+    // (round-17): the former vocabulary broadcast-lookup evaluated the
+    // whole tokenize+aggregate chain TWICE (once under the vocab
+    // distinct, once as the join's stream side), cost a full
+    // distinct-words shuffle plus a broadcast build — and a corpus-scale
+    // vocabulary does not broadcast at 100 TB at all. One md5 of a short
+    // word per row is cheaper than the join probe it replaces, and the
+    // binning function is unchanged, so buckets are identical.
     val perDocWord = words.groupBy(col(idCol), col("__tgt"), col("__word"))
       .agg(count(lit(1)).alias("__m"))
-    val vocab = perDocWord.select(col("__word")).distinct()
-      .select(
-        col("__word"),
-        pmod(conv(substring(md5(col("__word")), 1, 8), 16, 10).cast("long"), lit(buckets))
-          .alias("__b"))
     // persisted: consumed by the bucket model AND the score join —
     // without the cache the tokenize + two-shuffle chain runs twice
     // (and a third time through the percentile cut below). Tracked so
     // the harness releases it after the consuming action.
     val perDoc = QueryCaches.track(perDocWord
-      .join(broadcast(vocab), Seq("__word"))
+      .select(
+        col(idCol), col("__tgt"),
+        pmod(conv(substring(md5(col("__word")), 1, 8), 16, 10).cast("long"), lit(buckets))
+          .alias("__b"),
+        col("__m"))
       .groupBy(col(idCol), col("__tgt"), col("__b"))
       .agg(sum(col("__m")).alias("__m"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))

@@ -212,11 +212,19 @@ object TextAnalysis {
       .join(broadcast(model), Seq("word"))
       .groupBy(col("doc_id"), col("lang_true"), col("lang"))
       .agg(sum(col("w_scaled")).alias("score"))
+    // per-doc argmax as a partial-aggregable min_by keyed on
+    // (-score, lang) — exactly the former row_number window's
+    // (score DESC, lang ASC) rule (score is a non-negative long, so the
+    // negation is a safe total-order inversion), but candidates collapse
+    // map-side instead of shuffling every (doc, lang) row into a
+    // per-doc sort (the r16 IVF-assignment lesson, guide §2.3)
     scores
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("lang"))))
-      .filter(col("__rn") === 1)
-      .select(col("doc_id"), col("lang_true"), col("lang").alias("pred_lang"), col("score"))
+      .groupBy(col("doc_id"), col("lang_true"))
+      .agg(min_by(
+        struct(col("lang"), col("score")),
+        struct(-col("score"), col("lang"))).alias("__m"))
+      .select(col("doc_id"), col("lang_true"),
+        col("__m.lang").alias("pred_lang"), col("__m.score").alias("score"))
   }
 
   /** The Gopher required-stopword list (a doc passing the rule contains
